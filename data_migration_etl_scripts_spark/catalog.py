@@ -1,0 +1,87 @@
+"""Table catalog: name -> DataFrame over a directory of parquet tables.
+
+The reference's dataflow graph is two databases (source ``dbo.*`` V1 and
+target ``app.*`` V2) where the target is both sink and mid-pipeline lookup
+source (reference: ``utils/fks_mapper.py:8-111``). Here a Catalog is a thin
+named-table layer over a directory of parquet files (one per table) plus a
+writable area for engine outputs (entity tables, sync crosswalks, the
+watermark table).
+
+Scale note: on a real deployment this maps 1:1 onto a metastore / Delta
+catalog; nothing below assumes local paths beyond ``os.path`` joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver-provided testdata ships (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Named parquet tables under a base directory.
+
+    ``read(name)`` resolves ``<base>/<name>.parquet`` first, then
+    ``<base>/<name>`` (directory-style output of ``write``).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str, scratch_dir: str | None = None):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.scratch_dir = scratch_dir or os.path.join("/tmp", "dmess_spark_scratch")
+
+    def path(self, name: str) -> str:
+        file_style = os.path.join(self.base_dir, f"{name}.parquet")
+        if os.path.exists(file_style):
+            return file_style
+        dir_style = os.path.join(self.base_dir, name)
+        if os.path.exists(dir_style):
+            return dir_style
+        scratch = os.path.join(self.scratch_dir, name)
+        if os.path.exists(scratch):
+            return scratch
+        raise KeyError(f"table not found in catalog: {name!r} under {self.base_dir}")
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def register_all(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Register every table as a temp view for spark.sql()."""
+        for name in names:
+            try:
+                self.read(name).createOrReplaceTempView(name)
+            except KeyError:
+                continue
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> str:
+        """Write an engine output table into the scratch area.
+
+        Append mode is how the reference's JDBC ``if_exists='append'``
+        sink is expressed (reference: ``Template_Tables/makes.py:97``);
+        parquet append is a new-files-only commit so it is atomic per
+        batch at the file level.
+        """
+        out = os.path.join(self.scratch_dir, name)
+        df.write.mode(mode).parquet(out)
+        return out
+
+    def exists(self, name: str) -> bool:
+        try:
+            self.path(name)
+            return True
+        except KeyError:
+            return False

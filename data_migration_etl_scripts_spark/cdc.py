@@ -1,0 +1,164 @@
+"""Watermark-based CDC incremental batch runner.
+
+The reference's execution model (SURVEY.md §3): per table, loop
+``extract -> transform -> load`` where extract reads a per-table
+watermark from ``app.EtlCDC(TableName, MaxIndex)`` and pulls the next
+``TOP N`` rows with ``pk > watermark ORDER BY pk``; load appends the
+batch and advances the watermark in one transaction
+(``Template_Tables/makes.py:34-127``).
+
+Spark-first re-expression:
+- watermark table = a tiny parquet key/value table (on a real
+  deployment: Delta + MERGE INTO);
+- extraction = ``where(pk > wm).orderBy(pk).limit(N)`` — Catalyst
+  pushes the range predicate into the scan (parquet row-group pruning /
+  JDBC WHERE);
+- failure model = the reference's at-least-once: a batch whose RI gate
+  trips raises BEFORE any write; a crash between write and watermark
+  advance re-processes the batch on restart (pair with
+  ``anti_join_existing`` for the idempotent pipelines, exactly as the
+  reference does — SURVEY.md §7.4 risk 4);
+- ``batch_ts`` is injectable for deterministic tests (the reference
+  stamps ``datetime.now()`` — §7.4 risk 1).
+
+Scale note: the micro-batch loop is a *driver* loop; each iteration is
+one distributed job. Batch size plays the role of the reference's TOP N
+(100..15000 rows there; set orders of magnitude higher on a cluster).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class WatermarkStore:
+    """Tiny (table_name -> max_index) state table, parquet-backed.
+
+    The whole table is a handful of rows; overwrite-per-advance is the
+    parquet equivalent of the reference's T-SQL MERGE upsert
+    (``Template_Tables/makes.py:101-110``).
+    """
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("table_name", T.StringType(), False),
+            T.StructField("max_index", T.LongType(), False),
+        ]
+    )
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], self.SCHEMA)
+        return self.spark.read.schema(self.SCHEMA).parquet(self.path)
+
+    def get(self, table_name: str) -> int | None:
+        """None = never run (do NOT assume 0: source keys may start at 0
+        or be negative; the reference's ISNULL(MaxIndex,0) default would
+        silently skip a pk=0 row)."""
+        rows = self._read().where(F.col("table_name") == table_name).collect()
+        return int(rows[0].max_index) if rows else None
+
+    def advance(self, table_name: str, new_max: int) -> None:
+        current = self.get(table_name)
+        if current is not None and new_max < current:
+            raise ValueError(
+                f"watermark for {table_name} must be monotone: {new_max} < {current}"
+            )
+        others = self._read().where(F.col("table_name") != table_name)
+        updated = others.unionByName(
+            self.spark.createDataFrame([(table_name, new_max)], self.SCHEMA)
+        )
+        # tiny table: collect-and-rewrite avoids read/overwrite-same-path races
+        rows = [(r.table_name, int(r.max_index)) for r in updated.collect()]
+        self.spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.path)
+
+
+@dataclass
+class IncrementalPipeline:
+    """One table's extract/transform/load spec.
+
+    ``transform(batch_df, batch_ts)`` returns the load-ready DataFrame;
+    RI gates inside transform raise IncrementalDependencyError to abort
+    the batch before the write (reference contract).
+    ``extra_sinks`` enables dual-output loads (entity + sync crosswalk,
+    reference ``Main_Modules/ProductManagement/categories.py:111-128``):
+    each maps the transformed batch to a second DataFrame.
+    """
+
+    name: str
+    source: Callable[[], DataFrame]
+    watermark_col: str
+    sink_table: str
+    transform: Callable[[DataFrame, datetime], DataFrame] = lambda df, ts: df
+    extra_sinks: Sequence[tuple[str, Callable[[DataFrame], DataFrame]]] = field(
+        default_factory=tuple
+    )
+
+
+@dataclass
+class BatchResult:
+    batches: int
+    rows: int
+    final_watermark: int | None
+
+
+def run_incremental(
+    catalog,
+    pipeline: IncrementalPipeline,
+    batch_size: int | None = 1000,
+    batch_ts: datetime | None = None,
+    max_batches: int | None = None,
+) -> BatchResult:
+    """Drive the micro-batch loop until the source is exhausted.
+
+    ``batch_size=None`` drains all rows past the watermark in ONE batch
+    with no sort — use this for full loads. A numeric ``batch_size``
+    compiles to TakeOrderedAndProject, which allocates a top-N heap of
+    that capacity per partition: keep it in the 1e3..1e6 range (the
+    reference uses 100..15000), never "a huge number meaning all".
+    """
+    store = WatermarkStore(catalog.spark, os.path.join(catalog.scratch_dir, "_etl_cdc"))
+    ts = batch_ts or datetime.now(timezone.utc)
+    wm_col = pipeline.watermark_col
+    total_rows, batches = 0, 0
+
+    while max_batches is None or batches < max_batches:
+        wm = store.get(pipeline.name)
+        source = pipeline.source()
+        remaining = source if wm is None else source.where(F.col(wm_col) > F.lit(wm))
+        if batch_size is None:
+            batch = remaining
+        else:
+            batch = remaining.orderBy(F.col(wm_col)).limit(batch_size)
+        # cache: the batch feeds transform + watermark max + (maybe) dual sinks
+        batch = batch.cache()
+        try:
+            agg = batch.agg(
+                F.count(F.lit(1)).alias("n"), F.max(wm_col).alias("mx")
+            ).collect()[0]
+            if agg["n"] == 0:
+                break
+            loaded = pipeline.transform(batch, ts)  # gates raise here, pre-write
+            catalog.write(loaded, pipeline.sink_table, mode="append")
+            for sink_name, project in pipeline.extra_sinks:
+                catalog.write(project(loaded), sink_name, mode="append")
+            store.advance(pipeline.name, int(agg["mx"]))
+            total_rows += int(agg["n"])
+            batches += 1
+        finally:
+            batch.unpersist()
+
+    return BatchResult(batches=batches, rows=total_rows, final_watermark=store.get(pipeline.name))
