@@ -30,3 +30,14 @@ def clean_contact(col: Column | str) -> Column:
               F.concat(F.lit("+"), F.substring(no_leading_zeros, 1, 14)))
         .otherwise(F.substring(no_leading_zeros, 1, 15))
     )
+
+
+def clean_contact_sql(expr: str) -> str:
+    """DuckDB twin of :func:`clean_contact` (for oracle queries)."""
+    digits = f"nullif(regexp_replace({expr}, '[^+0-9]', '', 'g'), '')"
+    nz = f"regexp_replace({digits}, '^0+', '')"
+    return (
+        f"CASE WHEN {nz} LIKE '5%' THEN '+966' || substr({nz}, 1, 12) "
+        f"WHEN {nz} LIKE '9%' THEN '+' || substr({nz}, 1, 14) "
+        f"ELSE substr({nz}, 1, 15) END"
+    )

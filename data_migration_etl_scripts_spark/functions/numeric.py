@@ -53,3 +53,32 @@ def derive_missing_of_three(
     new_grand = F.when(two_present & a & ~b, subtotal - d + item_tax_total).otherwise(grand_total)
     new_tax = F.when(two_present & a & b & ~c, grand_total - subtotal + d).otherwise(item_tax_total)
     return new_subtotal, new_grand, new_tax
+
+
+def derive_missing_of_three_sql(
+    subtotal: str, grand_total: str, item_tax_total: str, discount_total: str
+) -> tuple[str, str, str]:
+    """DuckDB twin of :func:`derive_missing_of_three` (oracle queries)."""
+
+    def present(e: str) -> str:
+        return f"({e} IS NOT NULL AND {e} <> 0)"
+
+    a, b, c = present(subtotal), present(grand_total), present(item_tax_total)
+    two = (
+        f"((CASE WHEN {a} THEN 1 ELSE 0 END) + (CASE WHEN {b} THEN 1 ELSE 0 END) "
+        f"+ (CASE WHEN {c} THEN 1 ELSE 0 END) = 2)"
+    )
+    d = f"coalesce({discount_total}, 0.0)"
+    new_sub = (
+        f"CASE WHEN {two} AND NOT {a} THEN {grand_total} - {item_tax_total} + {d} "
+        f"ELSE {subtotal} END"
+    )
+    new_grand = (
+        f"CASE WHEN {two} AND {a} AND NOT {b} THEN {subtotal} - {d} + {item_tax_total} "
+        f"ELSE {grand_total} END"
+    )
+    new_tax = (
+        f"CASE WHEN {two} AND {a} AND {b} AND NOT {c} THEN {grand_total} - {subtotal} + {d} "
+        f"ELSE {item_tax_total} END"
+    )
+    return new_sub, new_grand, new_tax

@@ -1,0 +1,416 @@
+"""Deduplication operator family for large-scale document pipelines.
+
+Five strategies, all declarative Spark plans (no Python in the hot
+path), each with a DuckDB-oracle-compatible formulation:
+
+- :func:`exact_dup_groups`      — content-hash group-by (exact dedup).
+- :func:`minhash_lsh_pairs`     — MinHash signatures + banded LSH
+                                  candidate join (near-dup at scale).
+- :func:`ngram_jaccard_pairs`   — exact n-gram Jaccard via a shared-
+                                  shingle candidate join (the verifier
+                                  for minhash, and a fine standalone
+                                  dedup at moderate scale).
+- :func:`simhash64`             — per-doc SimHash fingerprint over
+                                  token hashes (+ banded pair join).
+- :func:`embedding_neardup_pairs` — cosine near-dup over embeddings,
+                                  sign-LSH bucketed so it never goes
+                                  all-pairs.
+
+Scale design (100 TB / 1000 executors):
+- Every strategy is shuffle-bounded by *candidate generation*, never
+  all-pairs: LSH bands, shared shingles, or sign-buckets.
+- The explode(shingles) -> groupBy(shingle) join is the classic
+  MinHash candidate shape; hot shingles (boilerplate) are the skew
+  risk -> ``ngram_jaccard_pairs`` drops shingles shared by more than
+  ``max_shingle_freq`` docs (stopword-shingle suppression), which is
+  both a perf guard and standard practice.
+- md5 is used for oracle parity; swap to ``xxhash64`` in production
+  (see textprep module notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.operators import textprep as tp
+
+# ------------------------------------------------------------ exact
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (canonicalized) content; keep the min id.
+
+    Returns (content_hash, keep_id, dup_count) for groups of size > 1.
+    One shuffle on the 128-bit hash; partial aggregation map-side.
+    """
+    canon = F.concat_ws(" ", tp.tokens(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(canon).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def exact_dup_groups_sql(table: str, id_col: str, text_col: str) -> str:
+    canon = f"array_to_string({tp.tokens_sql(text_col)}, ' ')"
+    return f"""
+        SELECT md5({canon}) AS content_hash,
+               min({id_col}) AS keep_id,
+               count(*) AS dup_count
+        FROM {table}
+        GROUP BY 1
+        HAVING count(*) > 1
+    """
+
+
+# ---------------------------------------------------------- minhash
+
+
+def minhash_signature(shingles: Column, k: int = 12) -> Column:
+    """k-permutation MinHash as an array of k hex-string minima.
+
+    min(md5(seed || ':' || shingle)) per seed — lexicographic min of
+    fixed-width hex equals numeric min, so this is portable to the
+    DuckDB oracle unchanged. NULL (not []) when the doc has no
+    shingles, so empty docs never collide into one giant LSH bucket.
+    """
+    # NB: the per-seed hasher must be built by a factory taking ONE
+    # lambda param — a two-param lambda (e.g. `lambda s, i=i: ...`)
+    # makes pyspark pass the ARRAY INDEX as the second argument,
+    # silently clobbering the seed.
+    def seeded(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    sigs = [F.array_min(F.transform(shingles, seeded(i))) for i in range(k)]
+    return F.when(F.size(shingles) > 0, F.array(*sigs))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    rows_per_band = k // bands. Two docs are candidates iff at least
+    one band of their signatures is identical; est_sim is the fraction
+    of agreeing signature positions (unbiased Jaccard estimate).
+    Returns (doc_a, doc_b, est_sim) with doc_a < doc_b, deduped.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sig = minhash_signature(tp.word_shingles(tp.tokens(text_col), n=shingle_n), k=k)
+    docs = (
+        df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+        .where(F.col("sig").isNotNull())
+    )
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.element_at("sig", b * r + j + 1) for j in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    banded = docs.select(
+        "doc_id", "sig", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round(agree / F.lit(float(k)), 6).alias("est_sim")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str, id_col: str, text_col: str, k: int = 12, bands: int = 4, shingle_n: int = 3
+) -> str:
+    r = k // bands
+    shingles = tp.word_shingles_sql(tp.tokens_sql(text_col), n=shingle_n)
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))" for i in range(k)
+    )
+    band_elems = ", ".join(
+        "md5(" + " || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r)) + ")"
+        for b in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, sig, {b} AS band_id, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sig_a[{i + 1}] = sig_b[{i + 1}] THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+        WITH shingled AS (
+            SELECT {id_col} AS doc_id, {shingles} AS sh FROM {table}
+        ),
+        sigs AS (
+            SELECT doc_id, [{sig_elems}] AS sig FROM shingled WHERE len(sh) > 0
+        ),
+        banded AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.sig AS sig_a, b.sig AS sig_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, round(({agree}) / {float(k)}, 6) AS est_sim
+        FROM pairs
+    """
+
+
+# --------------------------------------------------- n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 50,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingles, candidate-joined.
+
+    Candidates = doc pairs sharing >= 1 (non-ubiquitous) shingle;
+    |A ∩ B| counted per pair from the shared-shingle join, |A ∪ B| =
+    |A| + |B| − |A ∩ B|. Shingles appearing in more than
+    ``max_shingle_freq`` docs are dropped from candidate generation —
+    boilerplate suppression + skew guard (they cannot push a true
+    near-dup below threshold on their own at realistic sizes, and they
+    are what makes naive shingle-joins explode at scale).
+
+    NOTE exactness caveat: dropping ubiquitous shingles makes both the
+    intersection and the doc sizes slightly smaller; the SAME filtered
+    universe is used on both sides (and in the oracle), so the metric
+    stays well-defined.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tp.word_shingles(tp.tokens(text_col), n=shingle_n)).alias("shingle"),
+        )
+    )
+    sh = sh.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    sh = sh.where(F.col("freq") <= max_shingle_freq).drop("freq")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 50,
+) -> str:
+    shingles = tp.word_shingles_sql(tp.tokens_sql(text_col), n=shingle_n)
+    return f"""
+        WITH sh0 AS (
+            SELECT {id_col} AS doc_id, unnest({shingles}) AS shingle FROM {table}
+        ),
+        sh AS (
+            SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS freq FROM sh0
+            ) WHERE freq <= {max_shingle_freq}
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------- simhash
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash fingerprint (token-unigram features).
+
+    Each token hashes to a 60-bit int (md5-derived, oracle-portable);
+    bit j of the fingerprint is set iff the sum over tokens of
+    (+1 if bit j set else -1) is positive. One explode + one groupBy
+    — the agg is ``bits`` conditional sums, all codegen'd.
+    Returns (doc_id, simhash) for docs with >= 1 token.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tp.tokens(text_col)).alias("tok"),
+    ).withColumn("h", tp.md5_long(F.col("tok")))
+    weights = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"w{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*weights)
+    fingerprint = None
+    for j in range(bits):
+        bit = F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else (fingerprint + bit)
+    return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_sql(table: str, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> str:
+    toks = tp.tokens_sql(text_col)
+    h = tp.md5_long_sql("tok")
+    weights = ", ".join(
+        f"sum(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS w{j}" for j in range(bits)
+    )
+    combine = " + ".join(f"CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {h} AS h FROM (
+                SELECT {id_col} AS doc_id, unnest({toks}) AS tok FROM {table}
+            )
+        ),
+        agg AS (SELECT doc_id, {weights} FROM toks GROUP BY doc_id)
+        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM agg
+    """
+
+
+# ------------------------------------------- embedding near-dup (LSH)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Sign-LSH bucket id from the first ``bits`` dimensions.
+
+    A degenerate (axis-aligned) random-hyperplane LSH: cheap,
+    deterministic, oracle-portable. 2^bits buckets bound the pair join
+    to within-bucket pairs.
+    """
+    out = None
+    for i in range(bits):
+        bit = F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = bit if out is None else (out + bit)
+    return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Cosine near-duplicate pairs, sign-LSH bucketed.
+
+    Recall caveat (documented, standard LSH trade): pairs whose sign
+    pattern differs in the first ``bucket_bits`` dims are missed; near-
+    identical vectors almost always share the pattern. The oracle uses
+    the same bucketing, so correctness-vs-oracle is exact.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    docs = df.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        sign_bucket(v, bucket_bits).alias("bucket"),
+        _norm(v).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    a, b = docs.alias("a"), docs.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_sql(
+    table: str, id_col: str, vec_col: str, threshold: float = 0.95, bucket_bits: int = 8
+) -> str:
+    bucket = " + ".join(
+        f"CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(bucket_bits)
+    )
+    return f"""
+        WITH docs AS (
+            SELECT {id_col} AS vec_id,
+                   CAST({vec_col} AS DOUBLE[]) AS v,
+                   sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm
+            FROM {table}
+        ),
+        bucketed AS (SELECT vec_id, v, nrm, {bucket} AS bucket FROM docs WHERE nrm > 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {threshold}
+    """

@@ -1,0 +1,203 @@
+"""Text-analysis operators for document pipelines.
+
+All pure Column expressions over the canonical tokenization
+(textprep.tokens), each with a DuckDB oracle twin:
+
+- :func:`token_stats`    — token count, char count, avg token length,
+                           type-token ratio (whitespace+alnum
+                           tokenizer; a BPE-ish subword count is
+                           approximated as ceil(chars/4), the common
+                           budgeting rule of thumb).
+- :func:`language_id`    — n-gram/stopword-vote heuristic with a
+                           deterministic tie-break. (Real pipelines
+                           plug a model here; the operator contract —
+                           one label + score per doc, computed
+                           distributed — is what the engine provides.)
+- :func:`quality_score`  — length/stopword/repetition heuristics in
+                           [0,1] (Gopher-rules-style shape).
+- :func:`fingerprint`    — md5 content fingerprint of canonical text
+                           plus a positional rolling-window fingerprint
+                           (min-of-window-hashes, winnowing-style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.operators import textprep as tp
+
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein")
+STOPWORDS_ES = ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con")
+STOPWORDS_FR = ("le", "la", "de", "et", "est", "un", "une", "dans", "pour", "que")
+
+_LANGS = (("en", STOPWORDS_EN), ("de", STOPWORDS_DE), ("es", STOPWORDS_ES), ("fr", STOPWORDS_FR))
+
+
+def _sql_in(values: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in values)
+
+
+# ------------------------------------------------------------- stats
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    t = tp.tokens(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_raw"),
+        F.size(F.array_distinct(t)).alias("n_types"),
+        F.when(
+            n_tokens > 0,
+            F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / n_tokens,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        F.ceil(n_chars / 4).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+def token_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    t = tp.tokens_sql(text_col)
+    return f"""
+        SELECT {id_col} AS doc_id,
+               len(t) AS n_tokens,
+               length({text_col}) AS n_chars_raw,
+               len(list_distinct(t)) AS n_types,
+               CASE WHEN len(t) > 0
+                    THEN list_sum(list_transform(t, x -> length(x))) / len(t)
+                    ELSE 0.0 END AS avg_token_len,
+               CAST(ceil(length({text_col}) / 4) AS BIGINT) AS approx_bpe_tokens
+        FROM (SELECT {id_col}, {text_col}, {t} AS t FROM {table})
+    """
+
+
+# ---------------------------------------------------------- language
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language guess: (doc_id, lang_guess, lang_hits).
+
+    Votes = stopword-list hits per language; winner = most hits,
+    ties broken by fixed language order (en, de, es, fr); zero hits
+    everywhere -> 'und' (undetermined, BCP-47 style).
+    """
+    t = tp.tokens(text_col)
+
+    # one-param lambda via factory: a defaulted second param would
+    # receive pyspark's array index, not the closed-over stopword list
+    def in_set(sw: tuple[str, ...]):
+        return lambda x: x.isin(*sw)
+
+    hits = {lang: F.size(F.filter(t, in_set(sw))) for lang, sw in _LANGS}
+    out = df.select(F.col(id_col).alias("doc_id"), *[h.alias(f"h_{l}") for l, h in hits.items()])
+    # fold from the last language up, so earlier languages win ties
+    win = F.lit("und")
+    win_h = F.lit(0)
+    for lang, _ in _LANGS[::-1]:
+        c = F.col(f"h_{lang}") > win_h
+        win = F.when(c, F.lit(lang)).otherwise(win)
+        win_h = F.when(c, F.col(f"h_{lang}")).otherwise(win_h)
+    return out.select("doc_id", win.alias("lang_guess"), win_h.cast("int").alias("lang_hits"))
+
+
+def language_id_sql(table: str, id_col: str, text_col: str) -> str:
+    t = tp.tokens_sql(text_col)
+    hit_cols = ", ".join(
+        f"len(list_filter(t, x -> x IN ({_sql_in(sw)}))) AS h_{lang}" for lang, sw in _LANGS
+    )
+    # same fold, reversed order so earlier languages win ties
+    win = "'und'"
+    win_h = "0"
+    for lang, _ in _LANGS[::-1]:
+        win = f"CASE WHEN h_{lang} > {win_h} THEN '{lang}' ELSE {win} END"
+        win_h = f"CASE WHEN h_{lang} > {win_h} THEN h_{lang} ELSE {win_h} END"
+    return f"""
+        SELECT doc_id, {win} AS lang_guess, CAST({win_h} AS INT) AS lang_hits
+        FROM (
+            SELECT {id_col} AS doc_id, {hit_cols}
+            FROM (SELECT {id_col}, {t} AS t FROM {table})
+        )
+    """
+
+
+# ----------------------------------------------------------- quality
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic doc quality in [0,1]: (doc_id, quality).
+
+    quality = 0.4 * length_ok + 0.3 * (1 - repetition) + 0.3 * stopword_ok
+      - length_ok: 1 if 50 <= n_tokens <= 100000 else n_tokens/50
+      - repetition: 1 - distinct/total tokens (high = boilerplate)
+      - stopword_ok: 1 if stopword fraction in [0.01, 0.6]
+    The exact constants are pipeline policy, not magic — the operator
+    contract is "deterministic scalar quality per doc, computed
+    distributed, no UDF".
+    """
+    t = tp.tokens(text_col)
+    n = F.size(t)
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(t)) / n).otherwise(F.lit(0.0))
+    sw = STOPWORDS_EN
+    sw_frac = F.when(n > 0, F.size(F.filter(t, lambda x: x.isin(*sw))) / n).otherwise(F.lit(0.0))
+    length_ok = F.when(n >= 50, F.lit(1.0)).otherwise(n / F.lit(50.0))
+    sw_ok = F.when((sw_frac >= 0.01) & (sw_frac <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    # no rounding: identical-order IEEE ops give bit-identical doubles
+    # in both engines, while round(x, 4) can disagree on half-cases
+    quality = 0.4 * length_ok + 0.3 * distinct_ratio + 0.3 * sw_ok
+    return df.select(F.col(id_col).alias("doc_id"), quality.alias("quality"))
+
+
+def quality_score_sql(table: str, id_col: str, text_col: str) -> str:
+    t = tp.tokens_sql(text_col)
+    return f"""
+        SELECT doc_id,
+               0.4 * (CASE WHEN n >= 50 THEN 1.0 ELSE n / 50.0 END)
+                   + 0.3 * (CASE WHEN n > 0 THEN len(list_distinct(t)) / CAST(n AS DOUBLE) ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN sw_frac >= 0.01 AND sw_frac <= 0.6 THEN 1.0 ELSE 0.0 END)
+                   AS quality
+        FROM (
+            SELECT doc_id, t, n,
+                   CASE WHEN n > 0
+                        THEN len(list_filter(t, x -> x IN ({_sql_in(STOPWORDS_EN)}))) / CAST(n AS DOUBLE)
+                        ELSE 0.0 END AS sw_frac
+            FROM (SELECT {id_col} AS doc_id, {t} AS t, len({t}) AS n FROM {table})
+        )
+    """
+
+
+# ------------------------------------------------------- fingerprints
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, window: int = 5) -> DataFrame:
+    """(doc_id, content_md5, winnow_fp): whole-content hash plus a
+    winnowing-style fingerprint = min over token-window hashes — robust
+    to local edits, cheap to compare."""
+    t = tp.tokens(text_col)
+    canon = F.concat_ws(" ", t)
+    wins = tp.word_shingles(t, n=window, distinct=False)
+    win_hashes = F.transform(wins, lambda s: F.md5(s))
+    winnow = F.when(F.size(wins) > 0, F.array_min(win_hashes)).otherwise(F.md5(canon))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(canon).alias("content_md5"),
+        winnow.alias("winnow_fp"),
+    )
+
+
+def fingerprint_sql(table: str, id_col: str, text_col: str, window: int = 5) -> str:
+    t = tp.tokens_sql(text_col)
+    wins = tp.word_shingles_sql(t, n=window, distinct=False)
+    return f"""
+        SELECT {id_col} AS doc_id,
+               md5(array_to_string(t, ' ')) AS content_md5,
+               CASE WHEN len(w) > 0
+                    THEN list_min(list_transform(w, s -> md5(s)))
+                    ELSE md5(array_to_string(t, ' ')) END AS winnow_fp
+        FROM (SELECT {id_col}, {t} AS t, {wins} AS w FROM {table})
+    """

@@ -1,0 +1,870 @@
+"""Declared query inventory: one entry per operator from SURVEY.md §2
+plus the training-data-pipeline operators.
+
+Each query is a pair:
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` built on the
+  engine's operator/function library, and
+- a DuckDB oracle SQL string over the same parquet tables (views
+  ``region nation customer supplier part orders lineitem events
+  documents embeddings`` pre-registered by the driver).
+
+Cross-engine determinism rules used throughout (learned the hard way,
+see tests/test_selfcheck parity):
+- Money/measure AGGREGATES go through DECIMAL casts so sums are exact
+  and order-independent, then cast to double for output. Raw double
+  sums differ between engines because addition order differs.
+- Per-row double arithmetic needs no rounding: identical IEEE ops
+  give identical bits in both engines.
+- Every window/dedup uses a TOTAL ordering (explicit tiebreakers).
+- Cosines are rounded BEFORE ranking so last-ulp differences cannot
+  flip an ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark import functions as ef
+from data_migration_etl_scripts_spark.functions.contact import clean_contact_sql
+from data_migration_etl_scripts_spark.functions.numeric import (
+    derive_missing_of_three,
+    derive_missing_of_three_sql,
+)
+from data_migration_etl_scripts_spark.operators import (
+    anti_join_existing,
+    collect_group_json,
+    cross_seed,
+    fk_remap,
+    top1_per_group,
+    unpivot_kv,
+)
+from data_migration_etl_scripts_spark.operators import dedup as dd
+from data_migration_etl_scripts_spark.operators import similarity as sim
+from data_migration_etl_scripts_spark.operators import text as tx
+
+QuerySpec = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QuerySpec] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark only reads
+        # as a raw long (nanosAsLong). Integer-divide to micros (exact;
+        # double division would lose precision on epoch-nanos) and
+        # rebuild the timestamp — matches DuckDB's ns->us truncation.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf may be static in some deployments; session.py sets it too
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QuerySpec) -> QuerySpec:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# decimal casts for exact, order-independent aggregation
+def _dec(c, p=12, s=4):
+    return (F.col(c) if isinstance(c, str) else c).cast(f"decimal({p},{s})")
+
+
+def _decsum(c) -> F.Column:
+    """sum a decimal expr -> double, portably.
+
+    The decimal sum is exact in both engines, but casting a high-scale
+    decimal to double differs by 1 ulp between Spark (BigDecimal,
+    correctly rounded) and DuckDB (double(hugeint)/10^s, two
+    roundings). round(sum, 2) first: money inputs have <= 2 real
+    decimals per factor, both engines round decimals HALF_UP away from
+    zero, and a scale-2 decimal casts to double exactly-rounded in one
+    step on both sides.
+    """
+    return F.round(F.sum(c), 2).cast("double")
+
+
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+# =====================================================================
+# §2.4 aggregations / flagship
+# =====================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4)) * CAST(1 + l_tax AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) / count(*) AS avg_price,
+           CAST(round(sum(CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary (A1/A2/A5, P6). Flagship query."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)")
+    charge = disc_price * (1 + F.col("l_tax")).cast("decimal(12,4)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _decsum(_dec("l_quantity")).alias("sum_qty"),
+        _decsum(_dec("l_extendedprice")).alias("sum_base_price"),
+        _decsum(disc_price).alias("sum_disc_price"),
+        _decsum(charge).alias("sum_charge"),
+        (_decsum(_dec("l_quantity")) / n).alias("avg_qty"),
+        (_decsum(_dec("l_extendedprice")) / n).alias("avg_price"),
+        (_decsum(_dec("l_discount")) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "group_sizes_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def group_sizes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 value_counts / group sizes."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+    )
+
+
+@query("watermark_max", oracle="SELECT max(o_orderkey) AS max_index FROM orders")
+def watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/A4 scalar watermark lookup."""
+    return _t(spark, sf_dir, "orders").agg(F.max("o_orderkey").alias("max_index"))
+
+
+# =====================================================================
+# §2.3 joins
+# =====================================================================
+
+
+@query(
+    "fk_remap_orders_customer",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def fk_remap_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 workhorse: broadcast left join against a dim lookup (no gate
+    here; the gate path is exercised in tests)."""
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    lookup = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    out = fk_remap(orders, lookup, on="c_custkey")
+    return out.select(
+        "o_orderkey", F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "right_join_part_linecount",
+    oracle="""
+    SELECT p_partkey, count(l_orderkey) AS n_lines
+    FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey
+    """,
+)
+def right_join_part_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 right join (sync-table build shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "right")
+        .groupBy("p_partkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+
+
+@query(
+    "inner_join_brand_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def inner_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 inner join + agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(_decsum(disc_price).alias("revenue"))
+    )
+
+
+@query(
+    "cross_join_seed",
+    oracle="SELECT r_regionkey, r_name, s_suppkey FROM region CROSS JOIN supplier",
+)
+def cross_join_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 cross-join seeding (accounts x payment modes shape)."""
+    region = _t(spark, sf_dir, "region")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    return cross_seed(region.select("r_regionkey", "r_name"), supplier)
+
+
+@query(
+    "anti_join_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 left anti join (skip-already-loaded shape)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join_existing(customer, orders, on="c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "semi_join_hot_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    """,
+)
+def semi_join_hot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8 semi-join (IN-list pushdown replacement)."""
+    orders = _t(spark, sf_dir, "orders")
+    hot = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return orders.join(hot, "o_orderkey", "left_semi").select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "preagg_join_order_totals",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           coalesce(t.gross, 0.0) AS gross,
+           coalesce(t.net, 0.0) AS net,
+           t.last_ship
+    FROM orders LEFT JOIN (
+        SELECT l_orderkey,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS gross,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS net,
+               max(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey
+    ) t ON o_orderkey = l_orderkey
+    """,
+)
+def preagg_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 pre-aggregation before join (orders+checkout shape, §4)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    totals = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        _decsum(_dec("l_extendedprice")).alias("gross"),
+        _decsum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)"))
+        .alias("net"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    return orders.join(totals, "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce("gross", F.lit(0.0)).alias("gross"),
+        F.coalesce("net", F.lit(0.0)).alias("net"),
+        "last_ship",
+    )
+
+
+@query(
+    "nation_pair_revenue",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 role-playing dim (nation twice) + S4 multi-join chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .groupBy("cust_nation", "supp_nation")
+        .agg(_decsum(disc_price).alias("revenue"))
+    )
+
+
+# =====================================================================
+# §2.5 windows / dedup / §2.6 reshape
+# =====================================================================
+
+
+@query(
+    "window_top1_part_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        FROM part
+    ) WHERE rn = 1
+    """,
+)
+def window_top1_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 top-1-per-group dedup with total ordering."""
+    part = _t(spark, sf_dir, "part")
+    return top1_per_group(
+        part,
+        keys=["p_brand"],
+        order=[F.col("p_retailprice").desc()],
+        tiebreakers=["p_partkey"],
+    ).select("p_brand", "p_partkey", "p_retailprice")
+
+
+@query(
+    "dedup_distinct_pairs",
+    oracle="SELECT DISTINCT l_orderkey, l_partkey FROM lineitem",
+)
+def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 subset dedup (key projection so result is deterministic)."""
+    return _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+
+
+@query(
+    "duplicate_detection",
+    oracle="""
+    SELECT l_orderkey, l_partkey, count(*) AS n_dup
+    FROM lineitem GROUP BY l_orderkey, l_partkey HAVING count(*) > 1
+    """,
+)
+def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 duplicate hunting."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .where(F.col("n_dup") > 1)
+    )
+
+
+@query(
+    "first_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts AS first_ts FROM (
+        SELECT user_id, event_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/W1 earliest-row-per-key (cars CreatedAt backfill shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return top1_per_group(
+        ev, keys=["user_id"], order=[F.col("ts").asc()], tiebreakers=["event_id"]
+    ).select("user_id", "event_id", "event_type", F.col("ts").alias("first_ts"))
+
+
+@query(
+    "running_total_supplier",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_gross
+    FROM lineitem
+    """,
+)
+def running_total_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame (running sum) — beyond the reference's row_number-
+    only windows, standard OLAP surface."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(_dec("l_extendedprice")).over(w), 2).cast("double").alias("running_gross"),
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 melt -> EAV rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return unpivot_kv(
+        li,
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        key_col="measure",
+        value_col="value",
+    )
+
+
+@query(
+    "collect_json_customer_orders",
+    oracle="""
+    SELECT o_custkey, to_json(list(o_orderkey ORDER BY o_orderkey)) AS orders_json
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def collect_json_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/F15 collect-per-group -> JSON string."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.to_json(F.array_sort(F.collect_list("o_orderkey"))).alias("orders_json")
+    )
+
+
+@query("collect_json_order_structs")  # no oracle: JSON struct formatting is engine-specific
+def collect_json_order_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 full shape: array-of-struct JSON (WorkingHours/Amenities
+    shape, reference locations.py:123-166). Driver does rows-only."""
+    orders = _t(spark, sf_dir, "orders")
+    return collect_group_json(
+        orders.where(F.col("o_orderkey") < 1000),
+        group_key="o_custkey",
+        struct_cols=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        out_col="orders_json",
+    )
+
+
+# =====================================================================
+# §2.7 scalar functions
+# =====================================================================
+
+
+_PHONE_CASE_SQL = """
+    CASE c_custkey % 4
+        WHEN 0 THEN '05' || lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+        WHEN 1 THEN '9665' || lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+        WHEN 2 THEN '+966 5' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') || ' ext'
+        ELSE 'no-phone'
+    END
+"""
+
+
+@query(
+    "clean_contact_phones",
+    oracle=f"""
+    SELECT c_custkey, phone, {clean_contact_sql("phone")} AS cleaned
+    FROM (SELECT c_custkey, {_PHONE_CASE_SQL} AS phone FROM customer)
+    """,
+)
+def clean_contact_phones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 clean_contact as pure column expressions over synthesized
+    dirty phone strings."""
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    phone = (
+        F.when(key % 4 == 0, F.concat(F.lit("05"), F.lpad(key.cast("string"), 8, "0")))
+        .when(key % 4 == 1, F.concat(F.lit("9665"), F.lpad(key.cast("string"), 8, "0")))
+        .when(
+            key % 4 == 2,
+            F.concat(F.lit("+966 5"), F.lpad(key.cast("string"), 7, "0"), F.lit(" ext")),
+        )
+        .otherwise(F.lit("no-phone"))
+    )
+    out = cust.select("c_custkey", phone.alias("phone"))
+    return out.select("c_custkey", "phone", ef.clean_contact("phone").alias("cleaned"))
+
+
+@query(
+    "parse_dates_multiformat",
+    oracle="""
+    SELECT o_orderkey, datestr,
+           coalesce(try_strptime(datestr, '%b %d %Y %I:%M%p'),
+                    try_strptime(datestr, '%m/%d/%Y %I:%M:%S %p')) AS parsed_ts
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN (['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'])[month(o_orderdate)]
+                         || ' ' || CAST(day(o_orderdate) AS VARCHAR) || ' ' || CAST(year(o_orderdate) AS VARCHAR) || ' 8:39AM'
+                    ELSE CAST(month(o_orderdate) AS VARCHAR) || '/' || CAST(day(o_orderdate) AS VARCHAR) || '/'
+                         || CAST(year(o_orderdate) AS VARCHAR) || ' 1:28:20 PM'
+               END AS datestr
+        FROM orders
+    )
+    """,
+)
+def parse_dates_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 VARCHAR-date parsing, both reference formats round-tripped."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    month_name = F.element_at(F.array(*[F.lit(m) for m in _MONTHS]), F.month(d))
+    fmt1 = F.concat_ws(
+        " ",
+        month_name,
+        F.dayofmonth(d).cast("string"),
+        F.year(d).cast("string"),
+        F.lit("8:39AM"),
+    )
+    fmt2 = F.concat(
+        F.month(d).cast("string"),
+        F.lit("/"),
+        F.dayofmonth(d).cast("string"),
+        F.lit("/"),
+        F.year(d).cast("string"),
+        F.lit(" 1:28:20 PM"),
+    )
+    datestr = F.when(F.col("o_orderkey") % 2 == 0, fmt1).otherwise(fmt2)
+    out = orders.select("o_orderkey", datestr.alias("datestr"))
+    return out.select(
+        "o_orderkey", "datestr", ef.parse_multiformat_ts("datestr").alias("parsed_ts")
+    )
+
+
+_CHECKOUT_SYNTH_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber % 3 = 0 THEN 0.0 ELSE l_extendedprice END AS subtotal,
+           CASE WHEN l_linenumber % 3 = 1 THEN 0.0
+                ELSE l_extendedprice - l_extendedprice * l_discount + l_extendedprice * l_tax END AS grand_total,
+           CASE WHEN l_linenumber % 3 = 2 THEN 0.0 ELSE l_extendedprice * l_tax END AS item_tax_total,
+           l_extendedprice * l_discount AS discount_total
+    FROM lineitem
+"""
+_REPAIRED = derive_missing_of_three_sql("subtotal", "grand_total", "item_tax_total", "discount_total")
+
+
+@query(
+    "checkout_repair",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {_REPAIRED[0]} AS subtotal_fixed,
+           {_REPAIRED[1]} AS grand_total_fixed,
+           {_REPAIRED[2]} AS item_tax_fixed
+    FROM ({_CHECKOUT_SYNTH_SQL})
+    """,
+)
+def checkout_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 fix_order_checkout: derive the missing one of
+    {subtotal, grand_total, tax} from the accounting identity."""
+    li = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    ep, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    synth = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(ln % 3 == 0, F.lit(0.0)).otherwise(ep).alias("subtotal"),
+        F.when(ln % 3 == 1, F.lit(0.0)).otherwise(ep - ep * disc + ep * tax).alias("grand_total"),
+        F.when(ln % 3 == 2, F.lit(0.0)).otherwise(ep * tax).alias("item_tax_total"),
+        (ep * disc).alias("discount_total"),
+    )
+    st, gt, it = derive_missing_of_three(
+        F.col("subtotal"), F.col("grand_total"), F.col("item_tax_total"), F.col("discount_total")
+    )
+    return synth.select(
+        "l_orderkey",
+        "l_linenumber",
+        st.alias("subtotal_fixed"),
+        gt.alias("grand_total_fixed"),
+        it.alias("item_tax_fixed"),
+    )
+
+
+@query(
+    "recode_priority",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderpriority
+                WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+                WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE 0 END AS priority_code
+    FROM orders
+    """,
+)
+def recode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 dict-map recode with default."""
+    orders = _t(spark, sf_dir, "orders")
+    mapping = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4, "5-LOW": 5}
+    return orders.select(
+        "o_orderkey",
+        ef.recode("o_orderpriority", mapping, default=0).alias("priority_code"),
+    )
+
+
+@query(
+    "string_clean_suite",
+    oracle="""
+    SELECT c_custkey,
+           nullif(trim(dirty), '') AS stripped,
+           nullif(trim(dirty2), 'NULL') AS scrubbed,
+           upper(c_mktsegment) AS segment_norm,
+           CASE WHEN abs(c_acctbal) > 9000 THEN NULL ELSE round(c_acctbal, 2) END AS bal_bounded,
+           TRY_CAST(numstr AS DOUBLE) AS coerced
+    FROM (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CASE c_custkey % 3 WHEN 0 THEN '  padded  ' WHEN 1 THEN '   ' ELSE c_name END AS dirty,
+               CASE c_custkey % 2 WHEN 0 THEN 'NULL' ELSE c_name END AS dirty2,
+               CASE c_custkey % 3 WHEN 0 THEN '12.5' WHEN 1 THEN 'x13' ELSE '1e3' END AS numstr
+        FROM customer
+    )
+    """,
+)
+def string_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F9/F10 string-cleaning + coercion policies."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = (
+        F.when(k % 3 == 0, F.lit("  padded  "))
+        .when(k % 3 == 1, F.lit("   "))
+        .otherwise(F.col("c_name"))
+    )
+    dirty2 = F.when(k % 2 == 0, F.lit("NULL")).otherwise(F.col("c_name"))
+    numstr = F.when(k % 3 == 0, F.lit("12.5")).when(k % 3 == 1, F.lit("x13")).otherwise(F.lit("1e3"))
+    synth = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        dirty.alias("dirty"),
+        dirty2.alias("dirty2"),
+        numstr.alias("numstr"),
+    )
+    return synth.select(
+        "c_custkey",
+        ef.strip_or_null("dirty").alias("stripped"),
+        ef.scrub_null_literal(ef.strip_keep_empty("dirty2")).alias("scrubbed"),
+        F.upper("c_mktsegment").alias("segment_norm"),
+        ef.bounded_abs("c_acctbal", 9000, scale=2).alias("bal_bounded"),
+        ef.try_numeric("numstr").alias("coerced"),
+    )
+
+
+@query(
+    "date_offset_expiry",
+    oracle="""
+    SELECT o_orderkey, o_orderdate + INTERVAL 12 MONTH AS expiry_ts FROM orders
+    """,
+)
+def date_offset_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 date offset (+1 year subscription expiry shape)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("o_orderdate + INTERVAL '12' MONTH").alias("expiry_ts")
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (props shredding) + pushed filter."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+    FROM (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+        FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag window (30-min gap) — the batch analog
+    of streaming session windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.select("user_id", "event_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (1 + F.sum(F.when(F.col("gap_us") > 1800000000, 1).otherwise(0))).alias("n_sessions"),
+        )
+    )
+
+
+# =====================================================================
+# training-data-pipeline operators
+# =====================================================================
+
+
+@query("dedup_exact", oracle=dd.exact_dup_groups_sql("documents", "doc_id", "text"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", k=12, bands=4),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=12, bands=4
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=dd.ngram_jaccard_pairs_sql(
+        "documents", "doc_id", "text", shingle_n=3, threshold=0.2, max_shingle_freq=20
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        threshold=0.2,
+        max_shingle_freq=20,
+    )
+
+
+@query("dedup_simhash", oracle=dd.simhash_sql("documents", "doc_id", "text"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_embedding_neardup",
+    oracle=dd.embedding_neardup_pairs_sql(
+        "embeddings", "vec_id", "embedding", threshold=0.2, bucket_bits=8
+    ),
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.2, bucket_bits=8
+    )
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle=sim.cosine_topk_bruteforce_sql("embeddings", "vec_id < 8", k=5),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "ann_topk_bucketed",
+    oracle=sim.cosine_topk_bucketed_sql("embeddings", "vec_id < 8", k=5, bucket_bits=6),
+)
+def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_bucketed(
+        emb, emb.where(F.col("vec_id") < 8), k=5, bucket_bits=6
+    )
+
+
+@query("text_token_stats", oracle=tx.token_stats_sql("documents", "doc_id", "text"))
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_language_id", oracle=tx.language_id_sql("documents", "doc_id", "text"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_quality_score", oracle=tx.quality_score_sql("documents", "doc_id", "text"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_fingerprint", oracle=tx.fingerprint_sql("documents", "doc_id", "text"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("multimodal_features")  # no oracle: mapInPandas kernel, rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media -> deterministic fake
+    features via Arrow-batched mapInPandas (decode stubbed; see
+    operators/multimodal.py)."""
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, n=128)
+    return mm.extract_features(media, dim=8)

@@ -54,6 +54,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # broadcast joins up to 64 MiB dims (FK-remap lookups are small)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # parquet TIMESTAMP(NANOS) (e.g. events.ts) reads as raw long;
+        # catalog/query layer converts to timestamp via `ts div 1000`
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
