@@ -1,0 +1,59 @@
+"""Benchmark harness: run the full query inventory at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with the noop datasource (full pipeline runs, rows
+never collected to the driver), which is what a sink write would cost
+minus the I/O — the honest way to time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    from data_migration_etl_scripts_spark import get_spark
+    from data_migration_etl_scripts_spark import queries as q
+
+    spark = get_spark(app_name="dmess_bench")
+    # warm the session so JVM/codegen startup isn't billed to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    only = set(sys.argv[1:])
+    times: dict[str, float] = {}
+    for name, fn in q.all_queries().items():
+        if only and not any(f in name for f in only):
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "full_query_inventory_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

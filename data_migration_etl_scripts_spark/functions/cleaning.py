@@ -20,16 +20,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _strip(c: Column) -> Column:
+    # python str.strip() parity: ALL whitespace, not just spaces
+    # (Spark's trim() only strips 0x20)
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def strip_or_null(col: Column | str) -> Column:
-    """trim; empty/whitespace-only -> NULL (the default cleaning policy)."""
+    """strip; empty/whitespace-only -> NULL (the default cleaning policy)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.nullif(F.trim(c), F.lit(""))
+    return F.nullif(_strip(c), F.lit(""))
 
 
 def strip_keep_empty(col: Column | str) -> Column:
-    """trim but keep '' (the reference's key-column exemption, e.g. Name)."""
+    """strip but keep '' (the reference's key-column exemption, e.g. Name)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(c)
+    return _strip(c)
 
 
 def scrub_null_literal(col: Column | str, literal: str = "NULL") -> Column:

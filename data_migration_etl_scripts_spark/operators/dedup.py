@@ -71,23 +71,45 @@ def exact_dup_groups_sql(table: str, id_col: str, text_col: str) -> str:
 # ---------------------------------------------------------- minhash
 
 
-def minhash_signature(shingles: Column, k: int = 12) -> Column:
-    """k-permutation MinHash as an array of k hex-string minima.
+# universal-hash family for minhash permutations: (a_j*h + b_j) mod p
+# over a 28-bit base hash. p = 2^31-1 (Mersenne prime); products stay
+# well inside int64 so the same arithmetic runs in Spark and DuckDB.
+MINHASH_P = 2_147_483_647
+MINHASH_BASE_DIGITS = 7  # 28-bit base hash: enough for shingle minima
 
-    min(md5(seed || ':' || shingle)) per seed — lexicographic min of
-    fixed-width hex equals numeric min, so this is portable to the
-    DuckDB oracle unchanged. NULL (not []) when the doc has no
-    shingles, so empty docs never collide into one giant LSH bucket.
+
+def _perm_coeffs(j: int) -> tuple[int, int]:
+    a = ((j + 1) * 1_000_003) % MINHASH_P
+    b = ((j + 1) * 999_983) % MINHASH_P
+    return a, b
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """md5-hash each shingle ONCE to a 28-bit int array.
+
+    Callers must materialize this column (projection + exchange/persist)
+    before feeding it to :func:`minhash_signature` — otherwise Catalyst
+    CollapseProject inlines the md5 pass into all k permutation
+    transforms and the single-hash saving evaporates.
     """
-    # NB: the per-seed hasher must be built by a factory taking ONE
-    # lambda param — a two-param lambda (e.g. `lambda s, i=i: ...`)
-    # makes pyspark pass the ARRAY INDEX as the second argument,
-    # silently clobbering the seed.
-    def seeded(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+    return F.transform(shingles, lambda s: tp.md5_long(s, digits=MINHASH_BASE_DIGITS))
 
-    sigs = [F.array_min(F.transform(shingles, seeded(i))) for i in range(k)]
-    return F.when(F.size(shingles) > 0, F.array(*sigs))
+
+def minhash_signature(hashes: Column, k: int = 12) -> Column:
+    """k-permutation MinHash over pre-hashed shingles: array of k
+    BIGINT minima via cheap `(a_j*h + b_j) mod p` universal-hash
+    permutations. NULL (not []) when the doc has no shingles, so empty
+    docs never collide into one LSH bucket.
+    """
+
+    # one-param lambda via factory: a defaulted second param would
+    # receive pyspark's array index, not the closed-over coefficients
+    def perm(j: int):
+        a, b = _perm_coeffs(j)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    sigs = [F.array_min(F.transform(hashes, perm(j))) for j in range(k)]
+    return F.when(F.size(hashes) > 0, F.array(*sigs))
 
 
 def minhash_lsh_pairs(
@@ -107,41 +129,62 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0, "k must divide into equal bands"
     r = k // bands
-    sig = minhash_signature(tp.word_shingles(tp.tokens(text_col), n=shingle_n), k=k)
+
+    # Physical-plan shaping (matters at every scale):
+    # 1. signatures via EXPLODE + k codegen'd min() aggregates — not
+    #    array lambdas: higher-order transform() is tree-interpreted
+    #    per element (observed ~20s for 5k docs), while explode +
+    #    hash-agg stays in whole-stage codegen with map-side partial
+    #    mins, so the doc_id shuffle carries one row per doc.
+    #    Docs with zero shingles vanish at explode — exactly the "no
+    #    empty-doc LSH bucket" rule.
+    # 2. persist the slim (doc_id, sig) table — it feeds band explode
+    #    plus two signature re-joins; without it the self-join would
+    #    recompute every signature on both sides (observed 40x slower).
+    # 3. the band self-join carries only (doc_id, band) — signatures
+    #    re-attach to the (far smaller) candidate-pair set afterwards.
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tp.word_shingles(tp.tokens(text_col), n=shingle_n)).alias("s"),
+    )
+    h = tp.md5_long(F.col("s"), digits=MINHASH_BASE_DIGITS)
+    mins = []
+    for j in range(k):
+        a, b = _perm_coeffs(j)
+        mins.append(F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{j}"))
     docs = (
-        df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
-        .where(F.col("sig").isNotNull())
+        exploded.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"m{j}") for j in range(k)]).alias("sig"))
+        .persist()
     )
     band_keys = F.array(
         *[
-            F.md5(F.concat_ws("|", *[F.element_at("sig", b * r + j + 1) for j in range(r)]))
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)],
+                )
+            )
             for b in range(bands)
         ]
     )
-    banded = docs.select(
-        "doc_id", "sig", F.posexplode(band_keys).alias("band_id", "band_key")
-    )
+    banded = docs.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-        )
-    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     return pairs.select(
         "doc_a", "doc_b", F.round(agree / F.lit(float(k)), 6).alias("est_sim")
     )
@@ -152,17 +195,17 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     r = k // bands
     shingles = tp.word_shingles_sql(tp.tokens_sql(text_col), n=shingle_n)
+    base_hash = tp.md5_long_sql("s", digits=MINHASH_BASE_DIGITS)
     sig_elems = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))" for i in range(k)
-    )
-    band_elems = ", ".join(
-        "md5(" + " || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r)) + ")"
-        for b in range(bands)
+        "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p}))".format(
+            a=_perm_coeffs(j)[0], b=_perm_coeffs(j)[1], p=MINHASH_P
+        )
+        for j in range(k)
     )
     band_rows = " UNION ALL ".join(
-        "SELECT doc_id, sig, {b} AS band_id, md5({key}) AS band_key FROM sigs".format(
+        "SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sigs".format(
             b=b,
-            key=" || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r)),
+            key=" || '|' || ".join(f"CAST(sig[{b * r + j + 1}] AS VARCHAR)" for j in range(r)),
         )
         for b in range(bands)
     )
@@ -174,14 +217,21 @@ def minhash_lsh_pairs_sql(
             SELECT {id_col} AS doc_id, {shingles} AS sh FROM {table}
         ),
         sigs AS (
-            SELECT doc_id, [{sig_elems}] AS sig FROM shingled WHERE len(sh) > 0
+            SELECT doc_id, [{sig_elems}] AS sig
+            FROM (SELECT doc_id, list_transform(sh, s -> {base_hash}) AS hs
+                  FROM shingled WHERE len(sh) > 0)
         ),
         banded AS ({band_rows}),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            a.sig AS sig_a, b.sig AS sig_b
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM banded a JOIN banded b
               ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+            FROM cand
+            JOIN sigs sa ON cand.doc_a = sa.doc_id
+            JOIN sigs sb ON cand.doc_b = sb.doc_id
         )
         SELECT doc_a, doc_b, round(({agree}) / {float(k)}, 6) AS est_sim
         FROM pairs

@@ -120,4 +120,6 @@ def synthetic_media(spark, n: int = 64, dim_hint: int = 0) -> DataFrame:
         content = hashlib.md5(f"media:{i}".encode()).digest() * (4 + i % 5)
         meta = f'{{"duration_ms": {1000 * (i % 7)}}}' if media_type == "video" else "{}"
         rows.append((i, media_type, bytearray(content), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # few partitions: mapInPandas pays a Python-worker spinup per task,
+    # so a tiny table fanned over local[32] costs ~10s of pure startup
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 64))

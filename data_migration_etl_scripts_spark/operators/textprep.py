@@ -48,12 +48,25 @@ def tokens_sql(expr: str) -> str:
 
 
 def word_shingles(tokens_col: Column, n: int = 3, distinct: bool = True) -> Column:
-    """n-word shingles as space-joined strings; [] when fewer than n tokens."""
-    size = F.size(tokens_col)
-    idx = F.sequence(F.lit(1), size - (n - 1))
-    parts = lambda i: [F.element_at(tokens_col, i + j) for j in range(n)]  # noqa: E731
-    built = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
-    out = F.when(size >= n, built).otherwise(F.array().cast("array<string>"))
+    """n-word shingles as space-joined strings; [] when fewer than n tokens.
+
+    Built as zip_with over shifted slices, NOT as
+    ``transform(indices, i -> element_at(tokens, i+j))``: Catalyst has
+    no common-subexpression elimination inside lambdas, so the
+    element_at form re-evaluates the whole upstream tokenize expression
+    per window element (observed ~50x slowdown). zip_with binds each
+    input array once per row; zip_with pads the shorter side with
+    nulls, concat propagates them, and the final filter drops the
+    partial trailing windows.
+    """
+    out = tokens_col
+    for j in range(1, n):
+        shifted = F.slice(
+            tokens_col, j + 1, F.greatest(F.size(tokens_col) - j, F.lit(0))
+        )
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    if n > 1:
+        out = F.filter(out, lambda x: x.isNotNull())
     return F.array_distinct(out) if distinct else out
 
 

@@ -657,8 +657,8 @@ def recode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_clean_suite",
     oracle="""
     SELECT c_custkey,
-           nullif(trim(dirty), '') AS stripped,
-           nullif(trim(dirty2), 'NULL') AS scrubbed,
+           nullif(regexp_replace(dirty, '^\\s+|\\s+$', '', 'g'), '') AS stripped,
+           nullif(regexp_replace(dirty2, '^\\s+|\\s+$', '', 'g'), 'NULL') AS scrubbed,
            upper(c_mktsegment) AS segment_norm,
            CASE WHEN abs(c_acctbal) > 9000 THEN NULL ELSE round(c_acctbal, 2) END AS bal_bounded,
            TRY_CAST(numstr AS DOUBLE) AS coerced

@@ -1,0 +1,126 @@
+"""CDC watermark runner: the reference's extract->transform->load loop
+semantics (full drain, resume no-op, RI-gate abort before write,
+monotone watermark, dual-output sinks)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.catalog import Catalog
+from data_migration_etl_scripts_spark.cdc import (
+    IncrementalPipeline,
+    WatermarkStore,
+    run_incremental,
+)
+from data_migration_etl_scripts_spark.gates import (
+    IncrementalDependencyError,
+    require_no_nulls,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, base_dir=SF_DIR, scratch_dir=str(tmp_path))
+
+
+def orders_pipeline(cat, **kw):
+    return IncrementalPipeline(
+        name="orders",
+        source=lambda: cat.read("orders"),
+        watermark_col="o_orderkey",
+        sink_table="orders_v2",
+        **kw,
+    )
+
+
+def test_full_load_then_resume_noop(cat):
+    r1 = run_incremental(cat, orders_pipeline(cat), batch_size=600)
+    assert r1.rows == 1500 and r1.batches == 3
+    assert r1.final_watermark == 1499
+    assert cat.read("orders_v2").count() == 1500
+
+    r2 = run_incremental(cat, orders_pipeline(cat), batch_size=600)
+    assert r2.rows == 0 and r2.batches == 0
+    assert cat.read("orders_v2").count() == 1500  # no double-insert
+
+
+def test_batch_size_none_single_drain(cat):
+    r = run_incremental(cat, orders_pipeline(cat), batch_size=None)
+    assert r.batches == 1 and r.rows == 1500
+
+
+def test_incremental_picks_up_only_new_rows(cat, spark):
+    run_incremental(cat, orders_pipeline(cat), batch_size=None)
+    # simulate new source rows arriving beyond the watermark
+    newer = cat.read("orders").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000)
+    )
+    pipe = IncrementalPipeline(
+        name="orders",
+        source=lambda: cat.read("orders").unionByName(newer),
+        watermark_col="o_orderkey",
+        sink_table="orders_v2",
+    )
+    r = run_incremental(cat, pipe, batch_size=1000)
+    assert r.rows == 1500  # only the new keys
+    assert r.final_watermark == 11_499
+
+
+def test_gate_aborts_without_write_or_advance(cat):
+    def gated(df, ts):
+        out = df.withColumn("new_id", F.lit(None).cast("long"))
+        return require_no_nulls(out, "new_id", context="orders->dim")
+
+    pipe = IncrementalPipeline(
+        name="orders_gated",
+        source=lambda: cat.read("orders"),
+        watermark_col="o_orderkey",
+        sink_table="orders_gated_v2",
+        transform=gated,
+    )
+    with pytest.raises(IncrementalDependencyError):
+        run_incremental(cat, pipe, batch_size=500)
+    assert not cat.exists("orders_gated_v2")
+    store = WatermarkStore(cat.spark, os.path.join(cat.scratch_dir, "_etl_cdc"))
+    assert store.get("orders_gated") is None
+
+
+def test_dual_output_sink(cat):
+    pipe = IncrementalPipeline(
+        name="orders_dual",
+        source=lambda: cat.read("orders"),
+        watermark_col="o_orderkey",
+        sink_table="orders_entity",
+        transform=lambda df, ts: df.select("o_orderkey", "o_custkey"),
+        extra_sinks=(
+            ("orders_sync", lambda df: df.select(F.col("o_orderkey").alias("old_id"))),
+        ),
+    )
+    run_incremental(cat, pipe, batch_size=None)
+    assert cat.read("orders_entity").count() == 1500
+    assert cat.read("orders_sync").columns == ["old_id"]
+    assert cat.read("orders_sync").count() == 1500
+
+
+def test_watermark_monotonicity_enforced(cat):
+    store = WatermarkStore(cat.spark, os.path.join(cat.scratch_dir, "_etl_cdc"))
+    store.advance("t", 100)
+    store.advance("t", 150)
+    with pytest.raises(ValueError):
+        store.advance("t", 99)
+    assert store.get("t") == 150
+
+
+def test_watermark_zero_key_not_skipped(cat, spark):
+    """Keys starting at 0 must load (never treat missing watermark as 0)."""
+    src = spark.range(0, 5).withColumnRenamed("id", "k")
+    pipe = IncrementalPipeline(
+        name="zero_keys", source=lambda: src, watermark_col="k", sink_table="zk"
+    )
+    r = run_incremental(cat, pipe, batch_size=None)
+    assert r.rows == 5
