@@ -1,0 +1,31 @@
+"""Declarative pipeline catalog: one builder per reference script shape.
+
+Each builder returns an :class:`~data_migration_etl_scripts_spark.cdc.
+IncrementalPipeline` whose transform is composed from the engine's
+column-function and macro-operator libraries — the Spark-first
+re-expression of the reference's extract/transform/load scripts
+(SURVEY.md §3.2-3.3, §7.2).
+
+The reference's 36 scripts collapse into a handful of SHAPES:
+
+- :mod:`dimensions` — drop/rename/strip/fill template tables (makes,
+  models, units, amenities, services, landmarks, app_sources,
+  suppliers, bays, warehouses ...) + sync-crosswalk builders.
+- :mod:`facts` — multi-input pre-aggregated fact loads with checkout
+  repair and gated FK remaps (orders, order_line_items ...).
+- :mod:`wide` — JSON side-collects (locations), EAV unpivots
+  (location_settings, roles), multiformat-date + backfill (cars),
+  dedup/anti-join dual-output (categories, items).
+"""
+
+from data_migration_etl_scripts_spark.pipelines.dimensions import (  # noqa: F401
+    dimension_pipeline,
+    sync_crosswalk_pipeline,
+)
+from data_migration_etl_scripts_spark.pipelines.facts import orders_pipeline  # noqa: F401
+from data_migration_etl_scripts_spark.pipelines.wide import (  # noqa: F401
+    cars_pipeline,
+    categories_pipeline,
+    location_settings_pipeline,
+    locations_pipeline,
+)

@@ -1,0 +1,179 @@
+"""Deterministic V1-shaped fixture tables (FIXTURES.md) written into a
+test catalog's scratch area. Small, explicit, and dirty in exactly the
+ways the reference's data is: 'NULL' literals, whitespace, VARCHAR
+dates in two formats, dangling FKs, case-duplicate names, div-by-zero
+quantities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from data_migration_etl_scripts_spark.catalog import Catalog
+
+
+def _write(cat: Catalog, name: str, rows, schema) -> None:
+    cat.write(cat.spark.createDataFrame(rows, schema), name, mode="overwrite")
+
+
+def build_v1_fixtures(cat: Catalog) -> None:
+    # --- dimensions -------------------------------------------------
+    _write(
+        cat,
+        "Make",
+        [
+            (1, "  Toyota ", "تويوتا", "-1", "2020-01-01 00:00:00"),
+            (2, "Honda", None, "h.png", None),
+            (3, "   ", "نيسان", None, "2021-05-05 00:00:00"),
+        ],
+        "MakeID long, Name string, ArabicName string, ImagePath string, CreatedOn string",
+    )
+    _write(
+        cat,
+        "Units",
+        [(1, "Litre"), (2, "Piece"), (3, "Box")],
+        "UnitID long, Name string",
+    )
+    _write(
+        cat,
+        "UnitsV2",  # freshly-migrated V2 table the sync build joins to
+        [(101, "Litre"), (102, "Piece"), (104, "litre")],  # case matters (CS join)
+        "UnitID long, Name string",
+    )
+
+    # --- cities / sync ---------------------------------------------
+    _write(
+        cat,
+        "SyncCities",
+        # new V2 CityID <- old V1 city id (4101 = the reference's
+        # default old-domain city for SA rows with no city)
+        [(11, 4101, "SA"), (12, 4102, "SA")],
+        "CityID long, OldCityID long, CountryID string",
+    )
+
+    # --- locations + satellites ------------------------------------
+    _write(
+        cat,
+        "Locations",
+        [
+            # (id, user, country, name, contact, city, landmark, lat, lon, updated, account)
+            (10, 1, "SA", "Loc A", "0501234567", 4101, 2, "24.5", "46.7", "2024-01-01 00:00:00", 900),
+            (11, 1, "SA", "Loc B", "no-phone", None, 9, "1200.0", "46.7", None, 900),
+            (12, 2, "AE", "Loc C", "9665000000", 4102, None, None, None, None, 901),
+        ],
+        "LocationID long, UserID long, CountryID string, Name string, ContactNo string,"
+        " CityID long, LandmarkID int, Latitude string, Longitude string,"
+        " LastUpdatedDate string, AccountID long",
+    )
+    _write(
+        cat,
+        "LocationAmenitiesJunc",
+        [(10, 1), (10, 2), (10, 2), (11, 1)],  # duplicate pair
+        "LocationID long, AmenitiesID long",
+    )
+    _write(
+        cat,
+        "LocationWorkingHours",
+        [(10, "Mon", "9-5"), (10, "Tue", "9-5"), (12, "Fri", "closed")],
+        "LocationID long, Name string, Time string",
+    )
+    _write(
+        cat,
+        "Receipt",
+        [
+            (1, 10, "fb.com/a", None, "  "),
+            (2, 11, None, None, None),
+        ],
+        "ReceiptID long, LocationID long, Facebook string, Twitter string, Instagram string",
+    )
+
+    # --- categories -------------------------------------------------
+    _write(
+        cat,
+        "Category",
+        [
+            # duplicate (account-derived, name) at different StatusID
+            (100, 10, "Oil", 2),
+            (101, 10, "Oil", 1),   # survives (lowest StatusID)
+            (102, 11, "Tyres", 1),
+            (103, 12, "Oil", 1),   # different account -> kept
+        ],
+        "CategoryID long, LocationID long, Name string, StatusID int",
+    )
+
+    # --- cars -------------------------------------------------------
+    _write(
+        cat,
+        "Cars",
+        [
+            (1, "May 29 2020 8:39AM", "NULL"),
+            (2, "NULL", "3/3/2025 1:28:20 PM"),
+            (3, None, None),  # backfilled from junction
+            (4, "garbage date", None),  # unparseable -> fallback
+        ],
+        "CarID long, CreatedOn string, LastUpdatedDate string",
+    )
+    junc_schema = T.StructType(
+        [
+            T.StructField("CarLocationID", T.LongType()),
+            T.StructField("CarID", T.LongType()),
+            T.StructField("CreatedOn", T.TimestampType()),
+        ]
+    )
+    import datetime as dt
+
+    _write(
+        cat,
+        "CarsLocationJunc",
+        [
+            (1, 3, dt.datetime(2021, 7, 7, 10, 0, 0)),
+            (2, 3, dt.datetime(2021, 1, 1, 9, 0, 0)),  # earliest wins
+            (3, 1, dt.datetime(2022, 2, 2, 8, 0, 0)),
+        ],
+        junc_schema,
+    )
+
+    # --- orders chain ----------------------------------------------
+    _write(
+        cat,
+        "Orders",
+        [
+            (1000, 10, "New", "2025-02-01 10:00:00"),
+            (1001, 11, "New", "2025-02-02 11:00:00"),
+            (1002, 12, "New", None),
+        ],
+        "OrderID long, LocationID long, OrderType string, CreatedOn string",
+    )
+    _write(
+        cat,
+        "OrderCheckout",
+        [
+            # order 1000: two checkout rows; all three money cols present
+            (1, 1000, 100.0, 15.0, 115.0, 115.0, 0.0, 1, 7),
+            (2, 1000, 50.0, 5.0, 55.0, 0.0, 0.0, 1, 7),
+            # order 1001: grand total missing -> derived (st - disc + tax)
+            (3, 1001, 200.0, 20.0, 0.0, 100.0, 10.0, 2, 7),
+            # order 1002: subtotal missing -> derived (gt - tax + disc)
+            (4, 1002, 0.0, 30.0, 330.0, 330.0, 0.0, 2, 8),
+        ],
+        "OrderCheckOutID long, OrderID long, AmountTotal double, Tax double,"
+        " GrandTotal double, AmountPaid double, AmountDiscount double,"
+        " PaymentMode int, AppSourceID int",
+    )
+    _write(
+        cat,
+        "LocationsV2Lookup",
+        [(10, 5010), (11, 5011), (12, 5012)],
+        "OldLocationID long, LocationID long",
+    )
+    _write(
+        cat,
+        "OrderDetail",
+        [
+            (1, 1000, 1, 4.0, 200.0, 0.0),
+            (2, 1000, 2, 0.0, 80.0, 80.0),   # qty 0 + 100% discount
+            (3, 1001, None, 2.0, 100.0, 10.0),  # open item
+        ],
+        "OrderDetailID long, OrderID long, ItemID long, Quantity double,"
+        " Price double, DiscountAmount double",
+    )
