@@ -1,0 +1,66 @@
+"""Streaming micro-batch runner: the CDC loop as Structured Streaming.
+
+``stream_pipeline`` reads a directory as a file stream (new files =
+new batches — the file-arrival analog of `pk > watermark`), applies
+the SAME transform callable an IncrementalPipeline uses (gates raise
+inside foreachBatch, failing the query before the batch commits), and
+appends to the catalog sink. The streaming checkpoint replaces the
+EtlCDC watermark table: source offsets + sink commit log give
+exactly-once per batch, strictly stronger than the reference's
+at-least-once contract (SURVEY.md §2.1 S11).
+
+``trigger_available_now`` drains everything currently in the source
+then stops — the streaming equivalent of the reference's "loop until
+extract() returns empty" (``Template_Tables/makes.py:117-127``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    source_dir: str,
+    schema: T.StructType | str,
+    sink_table: str,
+    transform: Callable[[DataFrame, datetime], DataFrame] = lambda df, ts: df,
+    batch_ts: datetime | None = None,
+    source_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+):
+    """Run (or start) the streaming version of a pipeline.
+
+    Returns the StreamingQuery (terminated already when
+    ``await_termination`` with availableNow).
+    """
+    ts = batch_ts or datetime.now(timezone.utc)
+    reader = spark.readStream.format(source_format).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_dir)
+
+    sink_path = os.path.join(catalog.scratch_dir, sink_table)
+    checkpoint = os.path.join(catalog.scratch_dir, f"_checkpoints/{name}")
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df, ts)
+        out.write.mode("append").parquet(sink_path)
+
+    query = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -1,0 +1,148 @@
+"""Streaming surface: file-stream CDC runner (exactly-once restart),
+event-time windowed aggregation batch/stream parity, session windows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.catalog import Catalog
+from data_migration_etl_scripts_spark.streaming import (
+    stream_pipeline,
+    stream_sessionize,
+    windowed_event_aggregate,
+)
+
+TS = dt.datetime(2026, 1, 1)
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, base_dir=str(tmp_path), scratch_dir=str(tmp_path / "out"))
+
+
+def _event(i, minute, user=1, etype="view", value=1.0):
+    return (i, dt.datetime(2026, 1, 1, 10, minute), user, etype, value)
+
+
+def test_stream_pipeline_drains_and_is_exactly_once(spark, cat, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _mk_events(spark, [_event(1, 0), _event(2, 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def xform(df, ts):
+        return df.withColumn("loaded_at", F.lit(ts))
+
+    stream_pipeline(
+        spark, cat, name="ev", source_dir=src, schema=EVENTS_SCHEMA,
+        sink_table="EventsV2", transform=xform, batch_ts=TS,
+    )
+    assert cat.read("EventsV2").count() == 2
+
+    # restart with NO new files: checkpoint makes it a no-op
+    stream_pipeline(
+        spark, cat, name="ev", source_dir=src, schema=EVENTS_SCHEMA,
+        sink_table="EventsV2", transform=xform, batch_ts=TS,
+    )
+    assert cat.read("EventsV2").count() == 2
+
+    # new file arrives -> only its rows are processed
+    _mk_events(spark, [_event(3, 2)]).coalesce(1).write.mode("append").parquet(src)
+    stream_pipeline(
+        spark, cat, name="ev", source_dir=src, schema=EVENTS_SCHEMA,
+        sink_table="EventsV2", transform=xform, batch_ts=TS,
+    )
+    out = cat.read("EventsV2")
+    assert out.count() == 3
+    assert out.where(F.col("loaded_at") == TS).count() == 3
+
+
+def test_windowed_aggregate_stream_matches_batch(spark, cat, tmp_path):
+    rows = [
+        _event(1, 5, etype="view", value=2.0),
+        _event(2, 10, etype="view", value=3.0),
+        _event(3, 40, etype="buy", value=7.0),
+        (4, dt.datetime(2026, 1, 1, 11, 5), 2, "view", 1.0),
+    ]
+    batch = _mk_events(spark, rows)
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_aggregate(batch, window_duration="30 minutes").collect()
+    }
+    assert expected[(dt.datetime(2026, 1, 1, 10, 0), "view")] == (2, 5.0)
+    assert expected[(dt.datetime(2026, 1, 1, 10, 30), "buy")] == (1, 7.0)
+    assert expected[(dt.datetime(2026, 1, 1, 11, 0), "view")] == (1, 1.0)
+
+    # same aggregation through the streaming engine (availableNow drain,
+    # complete mode into memory sink)
+    src = str(tmp_path / "wsrc")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = windowed_event_aggregate(stream, window_duration="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM wagg").collect()
+    }
+    assert got == expected
+
+
+def test_stream_sessionize_batch_semantics(spark):
+    rows = [
+        _event(1, 0, user=1),
+        _event(2, 10, user=1),   # same session (gap < 30m)
+        _event(3, 59, user=1),   # new session
+        _event(4, 0, user=2),
+    ]
+    out = stream_sessionize(_mk_events(spark, rows), gap="30 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_stream_pipeline_gate_failure_blocks_commit(spark, cat, tmp_path):
+    from data_migration_etl_scripts_spark.gates import require_no_nulls
+
+    src = str(tmp_path / "gsrc")
+    os.makedirs(src)
+    _mk_events(spark, [_event(1, 0)]).coalesce(1).write.mode("append").parquet(src)
+
+    def bad(df, ts):
+        out = df.withColumn("fk", F.lit(None).cast("long"))
+        return require_no_nulls(out, "fk", context="stream->dim")
+
+    with pytest.raises(Exception):
+        stream_pipeline(
+            spark, cat, name="gated", source_dir=src, schema=EVENTS_SCHEMA,
+            sink_table="GatedV2", transform=bad, batch_ts=TS,
+        )
+    assert not cat.exists("GatedV2")
+
+    # after fixing the transform, the SAME batch replays (offsets were
+    # not committed) — the streaming form of gate-abort-then-resume
+    stream_pipeline(
+        spark, cat, name="gated", source_dir=src, schema=EVENTS_SCHEMA,
+        sink_table="GatedV2", transform=lambda df, ts: df, batch_ts=TS,
+    )
+    assert cat.read("GatedV2").count() == 1
