@@ -868,3 +868,233 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.synthetic_media(spark, n=128)
     return mm.extract_features(media, dim=8)
+
+
+# =====================================================================
+# standard OLAP surface beyond the reference (pivot, rollup, set ops,
+# top-k, time buckets, distinct aggs) — SURVEY.md §2 "not present"
+# rows, provided because any analytics engine user expects them
+# =====================================================================
+
+
+@query(
+    "topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+        FROM part
+    ) WHERE rnk <= 3
+    """,
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group (generalized W1)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "rnk", "p_partkey", "p_retailprice")
+    )
+
+
+@query(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_custkey,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 pivot with a FIXED value list — at scale never let pivot
+    infer the distinct values (that is an extra full scan + an
+    unbounded column explosion)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_custkey",
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
+    "rollup_acctbal",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_bal,
+           count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region -> nation -> grand total)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@query(
+    "set_ops_customers",
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     EXCEPT
+     SELECT o_custkey AS c_custkey FROM orders)
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0 AND c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT set operations."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    negative_mach = cust.where(
+        (F.col("c_acctbal") < 0) & (F.col("c_mktsegment") == "MACHINERY")
+    ).select("c_custkey")
+    return building.exceptAll(orders).distinct().union(negative_mach).distinct()
+
+
+@query(
+    "distinct_agg_supplier",
+    oracle="""
+    SELECT l_suppkey,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def distinct_agg_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (Spark expands to a two-phase agg internally)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "windowed_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows, batch form of the streaming
+    windowed aggregate (streaming/windows.py) — same plan modulo the
+    watermark operator."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "set_validation_order_status",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           bool_and(o_orderstatus IN ('O', 'F', 'P')) AS all_valid
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def set_validation_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 set-membership validation: collect_set + forall."""
+    orders = _t(spark, sf_dir, "orders")
+    statuses = F.array_sort(F.collect_set("o_orderstatus"))
+    return orders.groupBy("o_custkey").agg(
+        statuses.alias("statuses"),
+        F.forall(statuses, lambda s: s.isin("O", "F", "P")).alias("all_valid"),
+    )
+
+
+@query(
+    "backfill_earliest_ship",
+    oracle="""
+    SELECT o.o_orderkey,
+           coalesce(o.known_ship, e.first_ship) AS effective_ship
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_orderdate + INTERVAL 30 DAY END AS known_ship
+        FROM orders
+    ) o
+    LEFT JOIN (
+        SELECT l_orderkey AS o_orderkey, l_shipdate AS first_ship FROM (
+            SELECT l_orderkey, l_shipdate,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_shipdate ASC, l_linenumber ASC) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    ) e USING (o_orderkey)
+    """,
+)
+def backfill_earliest_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 earliest-row-per-key backfill as an oracle-checked query
+    (operator: backfill_from_group_earliest; synthetic nulls on every
+    third order)."""
+    from data_migration_etl_scripts_spark.operators import backfill_from_group_earliest
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.lit(None).cast("timestamp")
+        ).otherwise(F.expr("o_orderdate + INTERVAL '30' DAY")).alias("known_ship"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_shipdate",
+        "l_linenumber",
+    )
+    # total order within each group: shipdate then linenumber
+    li = li.withColumn(
+        "__ord", F.concat_ws("|", F.col("l_shipdate").cast("string"),
+                             F.lpad(F.col("l_linenumber").cast("string"), 2, "0"))
+    )
+    out = backfill_from_group_earliest(
+        orders, li, key="o_orderkey", fill_cols=["known_ship"],
+        aux_order="__ord", aux_source_col="l_shipdate",
+    )
+    return out.select("o_orderkey", F.col("known_ship").alias("effective_ship"))

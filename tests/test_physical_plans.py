@@ -1,0 +1,100 @@
+"""Physical-plan shape assertions: the properties that make these
+plans survive a 100 TB scale-up — filter/projection pushdown into the
+parquet scan, broadcast joins for dim lookups, no cartesian products
+where an equi-join is intended, whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = q.q1_pricing_summary(spark, SF)
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = q.q1_pricing_summary(spark, SF)
+    p = plan(df)
+    # only the 7 needed columns are read, not all 16 lineitem columns
+    assert "l_comment" not in p
+    assert "l_orderkey" not in p
+
+
+def test_dim_lookup_joins_broadcast(spark):
+    p = plan(q.fk_remap_orders_customer(spark, SF))
+    assert "BroadcastHashJoin" in p
+    p = plan(q.nation_pair_revenue(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 4  # customer, supplier, 2x nation
+
+
+def test_semi_join_is_a_join_not_subquery_rescan(spark):
+    p = plan(q.semi_join_hot_orders(spark, SF))
+    assert "LeftSemi" in p
+
+
+def test_anti_join_native(spark):
+    p = plan(q.anti_join_customers_no_orders(spark, SF))
+    assert "LeftAnti" in p
+
+
+def test_no_cartesian_in_equi_joins(spark):
+    for name in [
+        "fk_remap_orders_customer",
+        "nation_pair_revenue",
+        "preagg_join_order_totals",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+    ]:
+        p = plan(q.all_queries()[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # HashAggregate appears twice (partial + final) around the exchange
+    p = plan(q.q1_pricing_summary(spark, SF))
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in p
+
+
+def test_wholestage_codegen_covers_agg_pipeline(spark):
+    df = q.q1_pricing_summary(spark, SF)
+    df.collect()  # AQE finalizes the plan only after execution
+    p = plan(df)
+    assert "isFinalPlan=true" in p
+    # '*(n)' operator prefixes = whole-stage-codegen stages; both the
+    # partial (map-side) and final aggregate must be inside codegen
+    assert "*(1) HashAggregate" in p and "*(2) HashAggregate" in p
+
+
+def test_watermark_scan_prunes_with_pushed_range(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .where(F.col("o_orderkey") > 1000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,1000)]" in p
+
+
+def test_topk_uses_window_not_global_sort(spark):
+    p = plan(q.all_queries()["topk_parts_per_brand"](spark, SF))
+    assert "RunningWindowFunction" in p or "Window" in p
+    # partitioned window sort, not a global Sort of everything to one node
+    assert "Exchange hashpartitioning(p_brand" in p
