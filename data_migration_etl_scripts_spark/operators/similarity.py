@@ -162,3 +162,129 @@ def cosine_topk_bucketed_sql(
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def _assign_cells(base: DataFrame, cent, id_alias: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast centroids, score, argmax.
+
+    Cosine rounded to 6 dp before the argmax so engine last-ulp
+    differences cannot flip a cell assignment (same rule as ranking).
+    """
+    cos = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+    )
+    w = Window.partitionBy(id_alias).orderBy(
+        F.col("__cos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("__cos", cos)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_alias, "v", "nrm", "centroid_id")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells (centroids = first n vectors by id —
+    deterministic and oracle-portable; production swaps in k-means
+    codebooks, the plan shape is identical), then each query scores
+    ONLY its own cell.
+
+    Scale shape: assignment is a broadcast-centroids map-side pass over
+    the corpus (no shuffle), search is an equi-join on cell id — the
+    same plan that serves a billion-vector corpus with nprobe=1.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    cent = (
+        base.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    assigned = _assign_cells(base, cent, "vid")
+    qids = queries.select(F.col(id_col).alias("vid"))
+    q = (
+        assigned.join(F.broadcast(qids), "vid")
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "centroid_id",
+        )
+    )
+    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6)
+    scored = (
+        assigned.join(F.broadcast(q), "centroid_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("corpus_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cosine")
+    )
+
+
+def cosine_topk_ivf_sql(
+    table: str,
+    query_pred: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+) -> str:
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
+                   sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm
+            FROM {table}
+        ),
+        base_nz AS (SELECT * FROM base WHERE nrm > 0),
+        cent AS (
+            SELECT vid AS centroid_id, v AS cv, nrm AS cn
+            FROM base_nz ORDER BY vid LIMIT {n_centroids}
+        ),
+        assigned AS (
+            SELECT vid, v, nrm, centroid_id FROM (
+                SELECT b.vid, b.v, b.nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vid
+                           ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM base_nz b CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vid AS query_id, v AS qv, nrm AS qn, centroid_id
+            FROM assigned
+            WHERE vid IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+        ),
+        scored AS (
+            SELECT q.query_id, a.vid AS corpus_id,
+                   round(list_inner_product(a.v, q.qv) / (a.nrm * q.qn), 6) AS cosine
+            FROM assigned a JOIN q USING (centroid_id)
+            WHERE a.vid <> q.query_id
+        )
+        SELECT query_id, rank, corpus_id, cosine FROM (
+            SELECT query_id, corpus_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, corpus_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """

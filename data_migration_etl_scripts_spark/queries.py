@@ -1098,3 +1098,71 @@ def backfill_earliest_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         aux_order="__ord", aux_source_col="l_shipdate",
     )
     return out.select("o_orderkey", F.col("known_ship").alias("effective_ship"))
+
+
+@query(
+    "lag_lead_rank_prices",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           rank()       OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank,
+           lag(p_retailprice)  OVER w AS prev_price,
+           lead(p_retailprice) OVER w AS next_price
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+    """,
+)
+def lag_lead_rank_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag/lead windows (beyond the reference's
+    row_number-only usage — SURVEY.md §2.5 'not present' row)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.lag("p_retailprice").over(w).alias("prev_price"),
+        F.lead("p_retailprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "percentile_acctbal",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.5)  AS p50,
+           quantile_cont(c_acctbal, 0.9)  AS p90,
+           min(c_acctbal) AS lo, max(c_acctbal) AS hi
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def percentile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB swap to `percentile_approx`
+    (t-digest sketch, mergeable map-side) — kept exact here so the
+    oracle can hash-match."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("p50"),
+        F.expr("percentile(c_acctbal, 0.9)").alias("p90"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )
+
+
+@query(
+    "ann_topk_ivf",
+    oracle=sim.cosine_topk_ivf_sql("embeddings", "vec_id < 8", k=5, n_centroids=8),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (centroids = the
+    first n vectors by id), corpus assigned to nearest centroid, query
+    probes only its own cell. The real-world variant runs k-means for
+    the codebook; the cell-assignment plan (broadcast centroids ->
+    argmin -> equi-join on cell) is identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivf(emb, emb.where(F.col("vec_id") < 8), k=5, n_centroids=8)

@@ -98,3 +98,53 @@ def test_topk_uses_window_not_global_sort(spark):
     assert "RunningWindowFunction" in p or "Window" in p
     # partitioned window sort, not a global Sort of everything to one node
     assert "Exchange hashpartitioning(p_brand" in p
+
+
+# ------------------------------------------------------- scale shaping
+
+
+def test_salted_join_same_result_no_hot_partition(spark):
+    from data_migration_etl_scripts_spark.operators.scale import salted_join
+
+    facts = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    dim = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = facts.join(dim, "o_custkey", "left")
+    salted = salted_join(facts, dim, on="o_custkey", how="left", salt=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the join key is widened with the salt column
+    assert "__salt" in optimized(salted.select("o_orderkey"))
+
+
+def test_bucketed_join_avoids_exchange(spark, tmp_path):
+    from data_migration_etl_scripts_spark.operators.scale import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=4,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(li, "b_lineitem", ["o_orderkey"], num_buckets=4,
+                   sort_cols=["o_orderkey"])
+    try:
+        a = read_bucketed(spark, "b_orders")
+        b = read_bucketed(spark, "b_lineitem")
+        # force SMJ (broadcast would hide the bucketing)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = plan(a.join(b, "o_orderkey"))
+            assert "SortMergeJoin" in p
+            # identical bucketing on both sides: no shuffle at all
+            assert "Exchange" not in p
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
