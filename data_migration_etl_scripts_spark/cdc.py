@@ -28,7 +28,9 @@ one distributed job. Batch size plays the role of the reference's TOP N
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -36,6 +38,8 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from data_migration_etl_scripts_spark.gates import observed_gate
 
 
 class WatermarkStore:
@@ -115,12 +119,22 @@ class BatchResult:
     final_watermark: int | None
 
 
+def _promote_staged(staging: str, sink: str) -> None:
+    """Move staged part files into the sink directory (same filesystem
+    rename — atomic per file; parquet append IS adding files)."""
+    os.makedirs(sink, exist_ok=True)
+    for f in glob.glob(os.path.join(staging, "part-*")):
+        shutil.move(f, os.path.join(sink, os.path.basename(f)))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def run_incremental(
     catalog,
     pipeline: IncrementalPipeline,
     batch_size: int | None = 1000,
     batch_ts: datetime | None = None,
     max_batches: int | None = None,
+    observe_gates: Sequence[str] = (),
 ) -> BatchResult:
     """Drive the micro-batch loop until the source is exhausted.
 
@@ -129,6 +143,15 @@ def run_incremental(
     compiles to TakeOrderedAndProject, which allocates a top-N heap of
     that capacity per partition: keep it in the 1e3..1e6 range (the
     reference uses 100..15000), never "a huge number meaning all".
+
+    ``observe_gates``: RI-gate columns checked via ``df.observe``
+    metrics that ride along with the WRITE action — one scan per batch
+    instead of gate-scan + write-scan. The batch lands in a staging
+    directory first; only a clean gate promotes the files into the
+    sink (rename, no rewrite) and advances the watermark, so a tripped
+    gate leaves the sink untouched — same abort contract as the
+    action-based ``require_no_nulls``, at half the I/O. This is the
+    shape to use when a batch is too big to scan twice.
     """
     store = WatermarkStore(catalog.spark, os.path.join(catalog.scratch_dir, "_etl_cdc"))
     ts = batch_ts or datetime.now(timezone.utc)
@@ -151,10 +174,30 @@ def run_incremental(
             ).collect()[0]
             if agg["n"] == 0:
                 break
-            loaded = pipeline.transform(batch, ts)  # gates raise here, pre-write
-            catalog.write(loaded, pipeline.sink_table, mode="append")
-            for sink_name, project in pipeline.extra_sinks:
-                catalog.write(project(loaded), sink_name, mode="append")
+            loaded = pipeline.transform(batch, ts)  # action-gates raise here, pre-write
+            if observe_gates:
+                observed, gate = observed_gate(
+                    loaded, *observe_gates, context=pipeline.name
+                )
+                staging = os.path.join(
+                    catalog.scratch_dir, "_staging", pipeline.name
+                )
+                shutil.rmtree(staging, ignore_errors=True)
+                observed.write.mode("overwrite").parquet(staging)
+                try:
+                    gate.check()  # metrics came free with the write
+                except Exception:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise
+                sink_path = os.path.join(catalog.scratch_dir, pipeline.sink_table)
+                staged = catalog.spark.read.parquet(staging)
+                for sink_name, project in pipeline.extra_sinks:
+                    catalog.write(project(staged), sink_name, mode="append")
+                _promote_staged(staging, sink_path)
+            else:
+                catalog.write(loaded, pipeline.sink_table, mode="append")
+                for sink_name, project in pipeline.extra_sinks:
+                    catalog.write(project(loaded), sink_name, mode="append")
             store.advance(pipeline.name, int(agg["mx"]))
             total_rows += int(agg["n"])
             batches += 1

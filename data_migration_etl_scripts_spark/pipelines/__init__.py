@@ -23,6 +23,15 @@ from data_migration_etl_scripts_spark.pipelines.dimensions import (  # noqa: F40
     sync_crosswalk_pipeline,
 )
 from data_migration_etl_scripts_spark.pipelines.facts import orders_pipeline  # noqa: F401
+from data_migration_etl_scripts_spark.pipelines.products import items_pipeline  # noqa: F401
+from data_migration_etl_scripts_spark.pipelines.settings import (  # noqa: F401
+    roles_claims_transform,
+    subscriptions_pipeline,
+)
+from data_migration_etl_scripts_spark.pipelines.users import (  # noqa: F401
+    account_payment_pipeline,
+    subusers_pipeline,
+)
 from data_migration_etl_scripts_spark.pipelines.wide import (  # noqa: F401
     cars_pipeline,
     categories_pipeline,

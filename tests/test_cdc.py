@@ -124,3 +124,43 @@ def test_watermark_zero_key_not_skipped(cat, spark):
     )
     r = run_incremental(cat, pipe, batch_size=None)
     assert r.rows == 5
+
+
+def test_observed_gate_staged_write_aborts_clean(cat, spark):
+    """observe()-fused gate: one scan per batch, staged files promoted
+    only on a clean gate."""
+    import os
+
+    def with_null_fk(df, ts):
+        return df.withColumn("new_id", F.lit(None).cast("long"))
+
+    pipe = IncrementalPipeline(
+        name="orders_obs_bad",
+        source=lambda: cat.read("orders"),
+        watermark_col="o_orderkey",
+        sink_table="orders_obs_v2",
+        transform=with_null_fk,
+    )
+    with pytest.raises(IncrementalDependencyError):
+        run_incremental(cat, pipe, batch_size=None, observe_gates=["new_id"])
+    assert not cat.exists("orders_obs_v2")
+    assert not os.path.exists(os.path.join(cat.scratch_dir, "_staging", "orders_obs_bad"))
+    store = WatermarkStore(cat.spark, os.path.join(cat.scratch_dir, "_etl_cdc"))
+    assert store.get("orders_obs_bad") is None
+
+
+def test_observed_gate_staged_write_promotes(cat):
+    pipe = IncrementalPipeline(
+        name="orders_obs_ok",
+        source=lambda: cat.read("orders"),
+        watermark_col="o_orderkey",
+        sink_table="orders_obs_v2",
+        transform=lambda df, ts: df.select("o_orderkey", "o_custkey"),
+        extra_sinks=(
+            ("orders_obs_sync", lambda df: df.select(F.col("o_orderkey").alias("old_id"))),
+        ),
+    )
+    r = run_incremental(cat, pipe, batch_size=700, observe_gates=["o_custkey"])
+    assert r.rows == 1500 and r.batches == 3
+    assert cat.read("orders_obs_v2").count() == 1500
+    assert cat.read("orders_obs_sync").count() == 1500

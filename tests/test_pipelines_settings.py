@@ -1,0 +1,104 @@
+"""End-to-end tests for the settings/users/products pipeline shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.catalog import Catalog
+from data_migration_etl_scripts_spark.cdc import run_incremental
+from data_migration_etl_scripts_spark.gates import IncrementalDependencyError
+from data_migration_etl_scripts_spark.pipelines import (
+    account_payment_pipeline,
+    items_pipeline,
+    roles_claims_transform,
+    subscriptions_pipeline,
+    subusers_pipeline,
+)
+
+from tests.v1fixtures import build_v1_fixtures_extra
+
+TS = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(spark, base_dir=str(tmp_path), scratch_dir=str(tmp_path))
+    build_v1_fixtures_extra(c)
+    return c
+
+
+def test_subscriptions_recode_and_expiry(cat):
+    run_incremental(cat, subscriptions_pipeline(cat), batch_size=None, batch_ts=TS)
+    got = {r.UserPackageDetailID: r for r in cat.read("SubscriptionsV2").collect()}
+    assert got[1].SubscriptionType == "FREE"
+    assert got[2].SubscriptionType == "PROF"
+    assert got[3].SubscriptionType == "FREE"  # null -> default
+    assert got[1].ExpiryDate == dt.datetime(2026, 3, 1)  # +1 year
+    assert got[2].ExpiryDate == dt.datetime(2027, 1, 1)  # kept
+    assert got[3].ExpiryDate == dt.datetime(2025, 2, 28)  # leap-day clamp
+
+
+def test_roles_claims_unpivot_and_lookup(cat):
+    claims = {
+        ("Users", "New"): "POST:users",
+        ("Users", "Edit"): "PUT:users",
+        ("Users", "Access"): "GET:users",
+        ("Cancel Order", "Access"): "GET:orders/cancel",
+    }
+    out = roles_claims_transform(cat.read("RoleGroupForms"), claims).collect()
+    got = {(r.GroupID, r.FormName, r.ClaimType): r.ClaimValue for r in out}
+    # only granted flags become claims; group 2 granted nothing
+    assert got == {
+        (1, "Users", "New"): "POST:users",
+        (1, "Users", "Edit"): "PUT:users",
+        (1, "Users", "Access"): "GET:users",
+        (1, "Cancel Order", "Access"): "GET:orders/cancel",
+    }
+
+
+def test_subusers_normalization(cat):
+    run_incremental(cat, subusers_pipeline(cat), batch_size=None, batch_ts=TS)
+    got = {r.SubUserID: r for r in cat.read("SubUsersV2").collect()}
+    assert got[1].Email == "ali@x.com"
+    assert got[1].NormalizedEmail == "ALI@X.COM"
+    assert got[1].ContactNo == "+966501234567"
+    assert got[1].CityID == 12
+    assert got[2].NormalizedEmail is None
+    assert got[2].ContactNo is None  # 'junk' has no digits
+    assert got[2].CityID is None  # 'x9' not numeric
+    assert got[1].CreatedAt == TS
+
+
+def test_account_payment_cross_seed(cat):
+    run_incremental(cat, account_payment_pipeline(cat), batch_size=None, batch_ts=TS)
+    out = cat.read("AccountPaymentModesV2")
+    assert out.count() == 6  # 2 accounts x 3 modes
+    assert out.select("AccountID").distinct().count() == 2
+
+
+def test_items_pipeline_full_shape(cat):
+    # dangling SubCatID=99 (item 5) must abort the whole batch
+    with pytest.raises(IncrementalDependencyError):
+        run_incremental(cat, items_pipeline(cat), batch_size=None, batch_ts=TS)
+    assert not cat.exists("ItemsV2")
+
+    # drop the orphan -> loads clean (materialize before overwriting the
+    # same path — Spark reads lazily from the files being replaced)
+    fixed = cat.read("Items").where(F.col("ItemID") != 5)
+    rows = fixed.collect()
+    cat.write(cat.spark.createDataFrame(rows, fixed.schema), "Items", mode="overwrite")
+    run_incremental(cat, items_pipeline(cat), batch_size=None, batch_ts=TS)
+    v2 = {r.ItemID: r for r in cat.read("ItemsV2").collect()}
+    # dedup on (CategoryID, Name): items 1,2 share (100, 'Oil 5W30');
+    # same StatusID -> higher Price wins -> item 2
+    assert 2 in v2 and 1 not in v2
+    assert v2[2].ItemTypeID == 2  # 'oil filter' -> normalized 'oilfilter'
+    assert v2[3].Name is None  # 'NULL' scrubbed
+    assert v2[3].ItemTypeID == 4  # unknown type -> default
+    assert v2[4].Price == 30.0  # string-numeric coerced
+    sync = cat.read("SyncItems")
+    assert sync.columns == ["OldItemID", "CategoryID", "Name"]
+    assert sync.count() == 3

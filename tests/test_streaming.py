@@ -146,3 +146,56 @@ def test_stream_pipeline_gate_failure_blocks_commit(spark, cat, tmp_path):
         sink_table="GatedV2", transform=lambda df, ts: df, batch_ts=TS,
     )
     assert cat.read("GatedV2").count() == 1
+
+
+def test_stateful_running_totals_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across
+    micro-batches AND across query restarts (state checkpointed)."""
+    from data_migration_etl_scripts_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "ssrc")
+    ckpt = str(tmp_path / "sckpt")
+    out_dir = str(tmp_path / "sout")
+    os.makedirs(src)
+
+    def drain(qname):
+        # foreachBatch parquet sink: supports checkpoint recovery
+        # (the memory sink does not)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out_dir).collect()
+        latest = {}
+        for r in rows:  # update mode: keep the most-advanced row per user
+            cur = latest.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                latest[r.user_id] = (r.n_events, r.total_value)
+        return latest
+
+    _mk_events(spark, [_event(1, 0, user=1, value=2.0),
+                       _event(2, 1, user=1, value=3.0),
+                       _event(3, 2, user=2, value=5.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = drain("stateful1")
+    assert got[1] == (2, 5.0) and got[2] == (1, 5.0)
+
+    # restart: new file, state carries over through the checkpoint
+    _mk_events(spark, [_event(4, 3, user=1, value=10.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = drain("stateful2")
+    assert got[1] == (3, 15.0)  # 2 prior events + 1 new, totals accumulated

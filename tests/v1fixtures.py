@@ -177,3 +177,67 @@ def build_v1_fixtures(cat: Catalog) -> None:
         "OrderDetailID long, OrderID long, ItemID long, Quantity double,"
         " Price double, DiscountAmount double",
     )
+
+
+def build_v1_fixtures_extra(cat: Catalog) -> None:
+    """Settings/users/products fixtures (FIXTURES.md §2, §5)."""
+    import datetime as dt
+
+    _write(
+        cat,
+        "UserPackageDetails",
+        [
+            (1, 10, 1, dt.datetime(2025, 3, 1), None),
+            (2, 11, 2, dt.datetime(2025, 4, 1), dt.datetime(2027, 1, 1)),
+            (3, 12, None, dt.datetime(2024, 2, 29), None),  # leap-day +1y
+        ],
+        "UserPackageDetailID long, UserID long, PackageInfoID int,"
+        " CreatedDate timestamp, ExpiryDate timestamp",
+    )
+    _write(
+        cat,
+        "RoleGroupForms",
+        [
+            (1, "Users", True, False, True, True),
+            (1, "Cancel Order", False, False, False, True),
+            (2, "Users", False, False, False, False),
+        ],
+        "GroupID long, FormName string, New boolean, Remove boolean,"
+        " Edit boolean, Access boolean",
+    )
+    _write(
+        cat,
+        "SubUsers",
+        [
+            (1, 10, " ali@x.com ", "Ali", "0501234567", "12", None),
+            (2, 10, None, "Badr", "junk", "x9", dt.datetime(2025, 5, 5)),
+        ],
+        "SubUserID long, UserID long, Email string, UserName string,"
+        " ContactNo string, CityID string, LastUpdatedDate timestamp",
+    )
+    _write(cat, "Accounts", [(900,), (901,)], "AccountID long")
+    _write(
+        cat,
+        "PaymentModes",
+        [(1,), (2,), (3,)],
+        "PaymentModeID long",
+    )
+    _write(
+        cat,
+        "SubCategory",
+        [(70, 100), (71, 101)],
+        "SubCatID long, CategoryID long",
+    )
+    _write(
+        cat,
+        "Items",
+        [
+            (1, 70, "Oil 5W30", "Oil", 10.0, "50.5", 1),
+            (2, 70, "Oil 5W30", "oil filter", 20.0, "60.0", 1),  # dup name, higher price... same status
+            (3, 70, "NULL", "unknown thing", None, "x", 2),      # 'NULL' name scrubbed
+            (4, 71, "Brake Pad", "OIL FILTER", 1.0, "30", None),
+            (5, 99, "Orphan", "oil", 1.0, "5", 1),               # dangling SubCatID
+        ],
+        "ItemID long, SubCatID long, Name string, ItemType string,"
+        " Cost double, Price string, StatusID int",
+    )
