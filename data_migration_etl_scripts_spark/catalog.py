@@ -56,8 +56,16 @@ class Catalog:
             return scratch
         raise KeyError(f"table not found in catalog: {name!r} under {self.base_dir}")
 
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+    def read(self, name: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions column sets across the table's
+        files — the parquet equivalent of the reference's idempotent
+        ``ALTER TABLE ADD Old<X>ID`` guards (S10): a batch appended
+        with a new column widens the table, earlier files read it as
+        null."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.path(name))
 
     def register_all(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
         """Register every table as a temp view for spark.sql()."""

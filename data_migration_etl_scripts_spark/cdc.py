@@ -205,3 +205,31 @@ def run_incremental(
             batch.unpersist()
 
     return BatchResult(batches=batches, rows=total_rows, final_watermark=store.get(pipeline.name))
+
+
+def run_scoped(
+    catalog,
+    pipeline: IncrementalPipeline,
+    predicate,
+    batch_ts: datetime | None = None,
+) -> int:
+    """Manual scoped re-run: apply the pipeline's transform+load to the
+    rows matching ``predicate``, IGNORING and NOT ADVANCING the
+    watermark.
+
+    This is the engine form of the reference's ``zTEST`` scripts
+    (``Main_Modules/zTEST/items.py:40-70``): re-process one account /
+    one key range to patch data after a fix, without disturbing the
+    incremental state. Idempotency is the transform's job — pair with
+    ``anti_join_existing`` exactly as the reference's re-runs do.
+    Returns the number of rows written.
+    """
+    ts = batch_ts or datetime.now(timezone.utc)
+    batch = pipeline.source().where(predicate)
+    loaded = pipeline.transform(batch, ts)
+    n = loaded.count()
+    if n:
+        catalog.write(loaded, pipeline.sink_table, mode="append")
+        for sink_name, project in pipeline.extra_sinks:
+            catalog.write(project(loaded), sink_name, mode="append")
+    return n

@@ -164,3 +164,34 @@ def test_observed_gate_staged_write_promotes(cat):
     assert r.rows == 1500 and r.batches == 3
     assert cat.read("orders_obs_v2").count() == 1500
     assert cat.read("orders_obs_sync").count() == 1500
+
+
+def test_run_scoped_ignores_watermark(cat, spark):
+    from data_migration_etl_scripts_spark.cdc import run_scoped
+
+    pipe = orders_pipeline(cat, transform=lambda df, ts: df.select("o_orderkey", "o_custkey"))
+    run_incremental(cat, pipe, batch_size=None)
+    assert cat.read("orders_v2").count() == 1500
+
+    # scoped repair re-run for one customer: appends again (idempotency
+    # is the transform's anti-join job, as in the reference's zTEST)
+    n = run_scoped(cat, pipe, F.col("o_custkey") == 7)
+    per_cust = cat.read("orders_v2").where(F.col("o_custkey") == 7).count()
+    assert n > 0 and per_cust == 2 * n
+    # watermark untouched
+    store = WatermarkStore(cat.spark, os.path.join(cat.scratch_dir, "_etl_cdc"))
+    assert store.get("orders") == 1499
+
+
+def test_schema_evolution_merge_read(cat, spark):
+    """S10 analog: a later batch adds Old*ID; merge-read widens."""
+    cat.write(spark.createDataFrame([(1, "a")], "id long, name string"), "evo")
+    cat.write(
+        spark.createDataFrame([(2, "b", 99)], "id long, name string, OldID long"),
+        "evo",
+        mode="append",
+    )
+    merged = cat.read("evo", merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "OldID"}
+    got = {r.id: r.OldID for r in merged.collect()}
+    assert got == {1: None, 2: 99}

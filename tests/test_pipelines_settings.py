@@ -102,3 +102,47 @@ def test_items_pipeline_full_shape(cat):
     sync = cat.read("SyncItems")
     assert sync.columns == ["OldItemID", "CategoryID", "Name"]
     assert sync.count() == 3
+
+
+# ------------------------------------------------------ inventory chain
+
+
+@pytest.fixture()
+def inv_cat(spark, tmp_path):
+    from tests.v1fixtures import build_v1_fixtures_inventory
+
+    c = Catalog(spark, base_dir=str(tmp_path), scratch_dir=str(tmp_path))
+    build_v1_fixtures_inventory(c)
+    return c
+
+
+def test_stock_transfers_role_playing_join(inv_cat):
+    from data_migration_etl_scripts_spark.pipelines import stock_transfers_pipeline
+
+    run_incremental(inv_cat, stock_transfers_pipeline(inv_cat), batch_size=None, batch_ts=TS)
+    got = {r.StockIssueID: r for r in inv_cat.read("StockTransfersV2").collect()}
+    assert (got[1].SourceWarehouseID, got[1].DestinationWarehouseID) == (501, 502)
+    assert (got[2].SourceWarehouseID, got[2].DestinationWarehouseID) == (503, 501)
+
+
+def test_purchase_bills_nullable_fk_does_not_gate(inv_cat):
+    from data_migration_etl_scripts_spark.pipelines import purchase_bills_pipeline
+
+    run_incremental(inv_cat, purchase_bills_pipeline(inv_cat), batch_size=None, batch_ts=TS)
+    got = {r.BillID: r for r in inv_cat.read("PurchaseBillsV2").collect()}
+    assert got[1].NewSupplierID == 9011 and got[1].NewPurchaseOrderID == 8021
+    assert got[2].NewPurchaseOrderID is None  # null PO passes through
+    assert got[3].NewPurchaseOrderID is None  # dangling PO: no gate, null
+    assert got[3].WarehouseID == 503          # but store remap gated and resolved
+
+
+def test_stocks_typo_repair_and_defaults(inv_cat):
+    from data_migration_etl_scripts_spark.pipelines import stocks_pipeline
+
+    run_incremental(inv_cat, stocks_pipeline(inv_cat), batch_size=None, batch_ts=TS)
+    got = {r.StockID: r for r in inv_cat.read("StocksV2").collect()}
+    assert "StatusID" in inv_cat.read("StocksV2").columns  # typo renamed
+    assert got[1].CurrentStock == 12.5
+    assert got[2].CurrentStock == 0.0 and got[2].StatusID == 1
+    assert got[3].CurrentStock == 0.0  # 'x' coerces to null -> 0
+    assert got[2].CreatedAt == TS

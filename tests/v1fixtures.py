@@ -241,3 +241,52 @@ def build_v1_fixtures_extra(cat: Catalog) -> None:
         "ItemID long, SubCatID long, Name string, ItemType string,"
         " Cost double, Price string, StatusID int",
     )
+
+
+def build_v1_fixtures_inventory(cat: Catalog) -> None:
+    """Inventory-chain fixtures (FIXTURES.md §4)."""
+    _write(
+        cat,
+        "Warehouses",
+        [(1, 501), (2, 502), (3, 503)],
+        "OldStoreID long, WarehouseID long",
+    )
+    _write(
+        cat,
+        "StockIssue",
+        [(1, 1, 2), (2, 3, 1)],
+        "StockIssueID long, FromStoreID long, ToStoreID long",
+    )
+    _write(
+        cat,
+        "SuppliersV2",
+        [(11, 9011), (12, 9012)],
+        "OldSupplierID long, SupplierID long",
+    )
+    _write(
+        cat,
+        "PurchaseOrdersV2",
+        [(21, 8021)],
+        "OldPurchaseOrderID long, PurchaseOrderID long",
+    )
+    _write(
+        cat,
+        "Bill",
+        [
+            (1, 11, 1, 21),
+            (2, 12, 2, None),   # 81%-null PO: must NOT gate
+            (3, 11, 3, 999),    # dangling PO: propagates as null-new-id, no gate
+        ],
+        "BillID long, SupplierID long, StoreID long, PurchaseOrderID long",
+    )
+    _write(
+        cat,
+        "Stock",
+        [
+            (1, 1, "12.5", 1, None),
+            (2, 1, None, None, None),   # missing stock -> 0, status -> 1
+            (3, 2, "x", 2, None),
+        ],
+        "StockID long, StoreID long, CurrentStock string, StutusID int,"
+        " CreatedOn timestamp",
+    )
