@@ -31,8 +31,17 @@ def main() -> int:
     from data_migration_etl_scripts_spark import queries as q
 
     spark = get_spark(app_name="dmess_bench")
-    # warm the session so JVM/codegen startup isn't billed to the first query
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the session so JVM/codegen/parquet-reader startup isn't
+    # billed to the first query: touch every source path once and run
+    # a shuffle + broadcast-join through the engine
+    tiny = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    for t in ("nation", "customer", "supplier", "part", "orders", "lineitem",
+              "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).count()
+    from data_migration_etl_scripts_spark import queries as _q
+
+    _q.all_queries()["group_sizes_events"](spark, SF_DIR).limit(1).count()
+    tiny.join(tiny.selectExpr("r_regionkey"), "r_regionkey").groupBy("r_name").count().collect()
 
     only = set(sys.argv[1:])
     times: dict[str, float] = {}
