@@ -99,6 +99,87 @@ def extract_features(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, decoder: str = "fake"
+) -> DataFrame:
+    """Image resize kernel: binary -> binary at (width, height).
+
+    ``decoder="real"`` marks the PIL plug-point; the fake produces a
+    deterministic content-derived payload of plausible size so batch
+    shapes, memory profile, and schema are exercised for real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resize needs PIL — plug the codec kernel in here"
+                )
+
+            def fake_resize(b):
+                if b is None:
+                    return None
+                seed = hashlib.md5(bytes(b) + f":{width}x{height}".encode()).digest()
+                reps = max(1, (width * height) // (16 * 64))  # ~bytes/64 payload
+                return seed * reps
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": pdf["content"].map(fake_resize),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mfcc", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame, n_mfcc: int = 13, decoder: str = "fake") -> DataFrame:
+    """Audio feature kernel: binary -> (duration, mfcc-like vector).
+
+    ``decoder="real"`` marks the torchaudio/librosa plug-point."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real audio decode needs torchaudio/librosa — plug in here"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_ms": pdf["content"].map(
+                        lambda b: None if b is None else len(b) * 8
+                    ),
+                    "mfcc": pdf["content"].map(lambda b: _fake_features(b, n_mfcc)),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explodes per-video sample timestamps
     from metadata (duration_ms in meta_json) WITHOUT decoding — the

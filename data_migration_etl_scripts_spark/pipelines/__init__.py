@@ -23,6 +23,11 @@ from data_migration_etl_scripts_spark.pipelines.dimensions import (  # noqa: F40
     sync_crosswalk_pipeline,
 )
 from data_migration_etl_scripts_spark.pipelines.facts import orders_pipeline  # noqa: F401
+from data_migration_etl_scripts_spark.pipelines.geo import (  # noqa: F401
+    countries_pipeline,
+    recode_via_join,
+    warehouses_pipeline,
+)
 from data_migration_etl_scripts_spark.pipelines.inventory import (  # noqa: F401
     purchase_bills_pipeline,
     stock_transfers_pipeline,

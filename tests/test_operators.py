@@ -268,3 +268,24 @@ def test_frame_sample_plan(spark):
     rows = out.groupBy("media_id").count().collect()
     # every media id yields at least the t=0 sample
     assert {r.media_id for r in rows} == set(range(12))
+
+
+def test_multimodal_resize_kernel(spark):
+    media = mm.synthetic_media(spark, n=8)
+    out = mm.resize_images(media, width=64, height=64).collect()
+    assert len(out) == 8
+    assert all(r.width == 64 and r.height == 64 for r in out)
+    assert all(r.content is not None and len(r.content) > 0 for r in out)
+    # deterministic: same input -> same bytes
+    again = mm.resize_images(media, width=64, height=64).collect()
+    assert {r.media_id: bytes(r.content) for r in out} == {
+        r.media_id: bytes(r.content) for r in again
+    }
+
+
+def test_multimodal_audio_features(spark):
+    media = mm.synthetic_media(spark, n=6)
+    out = mm.audio_features(media, n_mfcc=5).collect()
+    assert len(out) == 6
+    assert all(len(r.mfcc) == 5 for r in out)
+    assert all(r.duration_ms > 0 for r in out)

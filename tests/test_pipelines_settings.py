@@ -146,3 +146,50 @@ def test_stocks_typo_repair_and_defaults(inv_cat):
     assert got[2].CurrentStock == 0.0 and got[2].StatusID == 1
     assert got[3].CurrentStock == 0.0  # 'x' coerces to null -> 0
     assert got[2].CreatedAt == TS
+
+
+# --------------------------------------------------- geo + multimodal
+
+
+def test_countries_large_map_recode(spark, tmp_path):
+    from data_migration_etl_scripts_spark.pipelines import countries_pipeline
+
+    c = Catalog(spark, base_dir=str(tmp_path), scratch_dir=str(tmp_path))
+    c.write(
+        spark.createDataFrame(
+            [
+                (1, "SA", " Saudi Arabia ", "SAR"),
+                (2, "EGY", "Egypt", "EGP"),     # already alpha-3: kept as-is
+                (3, "X", "Mystery", None),      # not mappable, length != 3 -> dropped
+                (4, "GB", "United Kingdom", "GBP"),
+            ],
+            "CountryRowID long, Code string, Name string, Curr_Code string",
+        ),
+        "Country",
+    )
+    run_incremental(c, countries_pipeline(c), batch_size=None, batch_ts=TS)
+    got = {r.Code: r for r in c.read("CountriesV2").collect()}
+    assert set(got) == {"SAU", "EGY", "GBR"}
+    assert got["SAU"].Name == "Saudi Arabia"
+
+
+def test_warehouses_flags_and_defaults(spark, tmp_path):
+    from data_migration_etl_scripts_spark.pipelines import warehouses_pipeline
+
+    c = Catalog(spark, base_dir=str(tmp_path), scratch_dir=str(tmp_path))
+    c.write(
+        spark.createDataFrame(
+            [
+                (1, "Main", "Main Store", None, None),
+                (2, "Aux", "Sub Store", 7, None),
+            ],
+            "StoreID long, Name string, Type string, StoreLocationID long,"
+            " LastUpdatedDate timestamp",
+        ),
+        "Stores",
+    )
+    run_incremental(c, warehouses_pipeline(c), batch_size=None, batch_ts=TS)
+    got = {r.StoreID: r for r in c.read("WarehousesV2").collect()}
+    assert got[1].IsMainStore is True and got[2].IsMainStore is False
+    assert got[1].StoreLocationID == 4  # 41%-null default
+    assert got[2].StoreLocationID == 7
