@@ -146,7 +146,7 @@ def backfill_from_group_earliest(
     aux: DataFrame,
     key: str,
     fill_cols: Sequence[str],
-    aux_order: str,
+    aux_order: str | Sequence[str],
     aux_source_col: str,
     broadcast: bool = False,
 ) -> DataFrame:
@@ -161,7 +161,10 @@ def backfill_from_group_earliest(
     row per key), so at scale this is a shuffle join on ``key`` — only
     broadcast when the aux table is known-small.
     """
-    w = Window.partitionBy(key).orderBy(F.col(aux_order).asc_nulls_last())
+    order_cols = [aux_order] if isinstance(aux_order, str) else list(aux_order)
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
     earliest = (
         aux.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

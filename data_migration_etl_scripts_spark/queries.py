@@ -1088,14 +1088,9 @@ def backfill_earliest_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         "l_linenumber",
     )
-    # total order within each group: shipdate then linenumber
-    li = li.withColumn(
-        "__ord", F.concat_ws("|", F.col("l_shipdate").cast("string"),
-                             F.lpad(F.col("l_linenumber").cast("string"), 2, "0"))
-    )
     out = backfill_from_group_earliest(
         orders, li, key="o_orderkey", fill_cols=["known_ship"],
-        aux_order="__ord", aux_source_col="l_shipdate",
+        aux_order=["l_shipdate", "l_linenumber"], aux_source_col="l_shipdate",
     )
     return out.select("o_orderkey", F.col("known_ship").alias("effective_ship"))
 
