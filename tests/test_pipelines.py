@@ -225,3 +225,38 @@ def test_dag_runner_order_and_failure_isolation(cat, spark):
     assert report.skipped == ["child_of_bad"]
     assert not report.ok
     assert not cat.exists("ChildV2")
+
+
+def test_reference_dag_end_to_end(spark, tmp_path):
+    """The whole canonical migration run over the V1-shaped fixtures:
+    derived topological order, every sink lands, a re-run is a no-op."""
+    from data_migration_etl_scripts_spark.plans.reference_dag import build_reference_dag
+    from tests.v1fixtures import build_v1_fixtures_extra
+
+    c = Catalog(spark, base_dir=str(tmp_path), scratch_dir=str(tmp_path))
+    build_v1_fixtures(c)
+    build_v1_fixtures_extra(c)
+    c.write(c.spark.createDataFrame([(1, "Main", "Main Store", None, None)],
+            "StoreID long, Name string, Type string, StoreLocationID long,"
+            " LastUpdatedDate timestamp"), "Stores")
+    # drop the deliberately-dangling item (its abort path has its own test)
+    clean_items = c.read("Items").where(F.col("ItemID") != 5).collect()
+    c.write(c.spark.createDataFrame(clean_items, c.read("Items").schema), "Items",
+            mode="overwrite")
+
+    runner = build_reference_dag(c)
+    order = runner.order()
+    assert order.index("locations") < order.index("categories") < order.index("items")
+    assert order.index("cars") < order.index("orders")
+
+    report = runner.run(batch_ts=TS)
+    assert report.ok, (report.failures, report.skipped)
+    for sink in ["MakesV2", "WarehousesV2", "LocationsV2", "CategoriesV2",
+                 "ItemsV2", "SubUsersV2", "SubscriptionsV2", "CarsV2", "OrdersV2"]:
+        assert c.exists(sink), sink
+        assert c.read(sink).count() > 0, sink
+
+    # resume: watermarks make the whole DAG a no-op
+    report2 = build_reference_dag(c).run(batch_ts=TS)
+    assert report2.ok
+    assert all(r.rows == 0 for r in report2.results.values())
