@@ -1161,3 +1161,80 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin -> equi-join on cell) is identical."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.cosine_topk_ivf(emb, emb.where(F.col("vec_id") < 8), k=5, n_centroids=8)
+
+
+@query(
+    "top_tokens",
+    oracle=f"""
+    SELECT tok, n_docs, n_total FROM (
+        SELECT tok, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total,
+               row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+        FROM (SELECT doc_id, unnest({'{t}'}) AS tok
+              FROM (SELECT doc_id, {'{tsql}'} AS t FROM documents))
+        GROUP BY tok
+    ) WHERE rn <= 25
+    """.format(t="t", tsql="list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"),
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-N (explode -> count -> rank): the
+    vocabulary/stopword-discovery pass of a text pipeline."""
+    from data_migration_etl_scripts_spark.operators import textprep as tp
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tp.tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    w = Window.orderBy(F.col("n_total").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("tok", "n_docs", "n_total")
+    )
+
+
+@query(
+    "cdc_batch_extract",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey > 7000
+    ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def cdc_batch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/P6: one micro-batch exactly as the CDC runner extracts it —
+    pushed range predicate, total order, TOP N."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") > 7000)
+        .orderBy("o_orderkey")
+        .limit(1000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup): per-status, per-priority,
+    and grand total in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total,
+               count(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
