@@ -487,10 +487,22 @@ def collect_json_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("collect_json_order_structs")  # no oracle: JSON struct formatting is engine-specific
+@query(
+    "collect_json_order_structs",
+    oracle="""
+    SELECT o_custkey,
+           to_json(list(struct_pack(o_orderkey := o_orderkey,
+                                    o_orderstatus := o_orderstatus,
+                                    o_totalprice := o_totalprice)
+                        ORDER BY o_orderkey)) AS orders_json
+    FROM orders WHERE o_orderkey < 1000 GROUP BY o_custkey
+    """,
+)
 def collect_json_order_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 full shape: array-of-struct JSON (WorkingHours/Amenities
-    shape, reference locations.py:123-166). Driver does rows-only."""
+    shape, reference locations.py:123-166). Spark's to_json and
+    DuckDB's to_json(struct_pack(...)) are byte-identical on
+    int/string/double fields, so this hash-checks fully."""
     orders = _t(spark, sf_dir, "orders")
     return collect_group_json(
         orders.where(F.col("o_orderkey") < 1000),
