@@ -1258,16 +1258,22 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            levenshtein(a.c_name, b.c_name) AS dist
     FROM customer a JOIN customer b
-      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      ON a.c_nationkey = b.c_nationkey
+     AND substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15)
+     AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 2
     """,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy (edit-distance) duplicate candidates: bucketed candidate
-    join (nation) -> levenshtein filter. The blocking key caps the
-    pair count per bucket — the classic record-linkage shape; at scale
-    the blocking key gets finer (prefix, soundex, LSH), the plan stays
-    this equi-join."""
+    """Fuzzy (edit-distance) duplicate candidates: blocked candidate
+    join -> levenshtein filter — the classic record-linkage shape.
+
+    Blocking key = (nation, 15-char name prefix). The prefix component
+    is the standard recall trade (pairs differing inside the prefix are
+    not candidates — same contract as the LSH dedup family) and what
+    keeps the pair count linear-ish: nation alone at sf0.1 means ~600
+    names per block = 4.5M levenshtein calls (measured ~60 s); with the
+    prefix it is thousands."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     a, b = cust.alias("a"), cust.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
@@ -1275,6 +1281,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (
+                F.substring(F.col("a.c_name"), 1, 15)
+                == F.substring(F.col("b.c_name"), 1, 15)
+            )
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .where(dist <= 2)
