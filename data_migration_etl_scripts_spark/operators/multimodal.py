@@ -194,13 +194,31 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64, dim_hint: int = 0) -> DataFrame:
-    """Deterministic fake media table for tests/benches (no codecs)."""
-    rows = []
-    for i in range(n):
-        media_type = ("image", "audio", "video")[i % 3]
-        content = hashlib.md5(f"media:{i}".encode()).digest() * (4 + i % 5)
-        meta = f'{{"duration_ms": {1000 * (i % 7)}}}' if media_type == "video" else "{}"
-        rows.append((i, media_type, bytearray(content), meta))
-    # few partitions: mapInPandas pays a Python-worker spinup per task,
-    # so a tiny table fanned over local[32] costs ~10s of pure startup
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 64))
+    """Deterministic fake media table for tests/benches (no codecs).
+
+    Generated entirely JVM-side (range -> md5 -> unhex), never via
+    driver createDataFrame: shipping binary rows through Py4J is
+    seconds-slow and degrades badly in long-lived sessions. Few
+    partitions: mapInPandas pays a Python-worker spinup per task, so a
+    tiny table fanned over local[32] costs ~10s of pure startup.
+    """
+    df = spark.range(n).select(F.col("id").alias("media_id"))
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("media_id") % 3).cast("int") + 1,
+    )
+    seed_hex = F.md5(F.concat(F.lit("media:"), F.col("media_id").cast("string")))
+    content = F.unhex(F.expr(
+        "repeat(md5(concat('media:', CAST(media_id AS STRING))), CAST(4 + media_id % 5 AS INT))"
+    ))
+    meta = F.when(
+        media_type == "video",
+        F.concat(F.lit('{"duration_ms": '), (1000 * (F.col("media_id") % 7)).cast("string"), F.lit("}")),
+    ).otherwise(F.lit("{}"))
+    _ = seed_hex  # inlined in the SQL repeat above
+    return df.select(
+        "media_id",
+        media_type.alias("media_type"),
+        content.alias("content"),
+        meta.alias("meta_json"),
+    ).coalesce(max(1, n // 64))
