@@ -193,3 +193,60 @@ def test_warehouses_flags_and_defaults(spark, tmp_path):
     assert got[1].IsMainStore is True and got[2].IsMainStore is False
     assert got[1].StoreLocationID == 4  # 41%-null default
     assert got[2].StoreLocationID == 7
+
+
+# ------------------------------------------------------ config registry
+
+
+def test_registry_configs_build_and_run(spark, tmp_path):
+    """Every registry config wires a runnable pipeline; spot-run a
+    dimension and a gated entity on minimal fixtures."""
+    from data_migration_etl_scripts_spark.pipelines import registry as rg
+
+    c = Catalog(spark, base_dir=str(tmp_path), scratch_dir=str(tmp_path))
+
+    # all configs at least construct against an empty catalog
+    for name in rg.DIMENSION_CONFIGS:
+        assert rg.build_dimension(c, name).name == name
+    for name in rg.GATED_ENTITY_CONFIGS:
+        assert rg.build_gated_entity(c, name).name == name
+
+    # models: coercions + image recode
+    c.write(
+        spark.createDataFrame(
+            [(1, 1, " Corolla ", "2020", "4.5", "-1"),
+             (2, 1, "Civic", "x", None, "c.png")],
+            "ModelID long, MakeID long, Name string, Year string,"
+            " RecommendedLitres string, ImagePath string",
+        ),
+        "Model",
+    )
+    run_incremental(c, rg.build_dimension(c, "models"), batch_size=None, batch_ts=TS)
+    got = {r.OldModelID: r for r in c.read("ModelsV2").collect()}
+    assert got[1].Name == "Corolla" and got[1].Year == 2020.0
+    assert got[1].ImagePath is None
+    assert got[2].Year is None  # 'x' coerced to null
+
+    # bays: gated location remap aborts on dangling FK, passes when clean
+    c.write(
+        spark.createDataFrame([(10, 5010)], "OldLocationID long, LocationID long"),
+        "LocationsV2Lookup",
+    )
+    c.write(
+        spark.createDataFrame(
+            [(1, "Bay 1", 10), (2, "Bay 2", 99)],
+            "BayID long, BayName string, LocationID long",
+        ),
+        "Bay",
+    )
+    with pytest.raises(IncrementalDependencyError):
+        run_incremental(c, rg.build_gated_entity(c, "bays"), batch_size=None, batch_ts=TS)
+    c.write(
+        spark.createDataFrame(
+            [(1, "Bay 1", 10)], "BayID long, BayName string, LocationID long"
+        ),
+        "Bay",
+        mode="overwrite",
+    )
+    run_incremental(c, rg.build_gated_entity(c, "bays"), batch_size=None, batch_ts=TS)
+    assert c.read("BaysV2").collect()[0].NewLocationID == 5010
