@@ -1294,3 +1294,78 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
     )
+
+
+@query(
+    "corpus_clean",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, n, q, content_hash FROM (
+            SELECT doc_id,
+                   len(t) AS n,
+                   0.4 * (CASE WHEN len(t) >= 50 THEN 1.0 ELSE len(t) / 50.0 END)
+                     + 0.3 * (CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE) ELSE 0.0 END)
+                     + 0.3 * (CASE WHEN sw_frac >= 0.01 AND sw_frac <= 0.6 THEN 1.0 ELSE 0.0 END) AS q,
+                   md5(array_to_string(t, ' ')) AS content_hash
+            FROM (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) > 0
+                            THEN len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) / CAST(len(t) AS DOUBLE)
+                            ELSE 0.0 END AS sw_frac
+                FROM (SELECT doc_id,
+                             list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS t
+                      FROM documents)
+            )
+        ) WHERE q >= 0.5 AND n >= 10
+    )
+    SELECT doc_id, q AS quality, n AS n_tokens FROM (
+        SELECT doc_id, q, n,
+               row_number() OVER (PARTITION BY content_hash
+                                  ORDER BY n DESC, doc_id ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning pass, composed from the
+    engine's text operators in ONE lazy plan: quality-score -> filter
+    (quality and minimum length) -> exact-dedup keeping the LONGEST
+    representative per content hash. The composition is the point:
+    three operator families fuse into two shuffles (hash groupBy +
+    window) with everything else map-side."""
+    from data_migration_etl_scripts_spark.operators import textprep as tp
+    from data_migration_etl_scripts_spark.operators.text import STOPWORDS_EN
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tp.tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(t).alias("n"),
+        t.alias("t"),
+    )
+    n = F.col("n")
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(F.col("t"))) / n).otherwise(
+        F.lit(0.0)
+    )
+
+    def in_set(sw):
+        return lambda x: x.isin(*sw)
+
+    sw_frac = F.when(
+        n > 0, F.size(F.filter(F.col("t"), in_set(STOPWORDS_EN))) / n
+    ).otherwise(F.lit(0.0))
+    length_ok = F.when(n >= 50, F.lit(1.0)).otherwise(n / F.lit(50.0))
+    sw_ok = F.when((sw_frac >= 0.01) & (sw_frac <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = 0.4 * length_ok + 0.3 * distinct_ratio + 0.3 * sw_ok
+    scored = base.select(
+        "doc_id",
+        "n",
+        quality.alias("q"),
+        F.md5(F.concat_ws(" ", F.col("t"))).alias("content_hash"),
+    ).where((F.col("q") >= 0.5) & (F.col("n") >= 10))
+    w = Window.partitionBy("content_hash").orderBy(F.col("n").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("q").alias("quality"), F.col("n").alias("n_tokens"))
+    )
