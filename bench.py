@@ -52,6 +52,9 @@ def main() -> int:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+        # operators may persist() reused subplans; drop them so later
+        # queries are not measured under accumulated heap pressure
+        spark.catalog.clearCache()
 
     out = {
         "metric": "full_query_inventory_wall",
