@@ -80,6 +80,7 @@ def main() -> int:
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
+        spark.catalog.clearCache()  # operators may persist(); keep runs independent
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
