@@ -75,16 +75,37 @@ class Catalog:
             except KeyError:
                 continue
 
-    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> str:
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: tuple[str, ...] | list[str] = (),
+        sort_within_partitions: tuple[str, ...] | list[str] = (),
+    ) -> str:
         """Write an engine output table into the scratch area.
 
         Append mode is how the reference's JDBC ``if_exists='append'``
         sink is expressed (reference: ``Template_Tables/makes.py:97``);
         parquet append is a new-files-only commit so it is atomic per
         batch at the file level.
+
+        Scale knobs:
+        - ``partition_by``: hive-style directory partitioning — readers
+          filtering on the partition column skip whole directories
+          (partition pruning), the first-order I/O lever for a 100 TB
+          fact table (partition by ingest date / tenant).
+        - ``sort_within_partitions``: clusters rows so parquet row-group
+          min/max stats become selective — point/range predicates on
+          the sort key skip row groups inside each file.
         """
         out = os.path.join(self.scratch_dir, name)
-        df.write.mode(mode).parquet(out)
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.parquet(out)
         return out
 
     def exists(self, name: str) -> bool:

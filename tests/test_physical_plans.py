@@ -148,3 +148,23 @@ def test_bucketed_join_avoids_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    from data_migration_etl_scripts_spark.catalog import Catalog
+
+    cat = Catalog(spark, base_dir=str(tmp_path), scratch_dir=str(tmp_path))
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    cat.write(orders, "orders_part", partition_by=["status"],
+              sort_within_partitions=["o_orderkey"])
+
+    df = cat.read("orders_part").where(F.col("status") == "O").select("o_orderkey")
+    p = plan(df)
+    # the predicate lands in PartitionFilters (directory skip), not a scan filter
+    assert "PartitionFilters" in p
+    assert "status" in p.split("PartitionFilters")[1][:200]
+    n_part = cat.read("orders_part").where(F.col("status") == "O").count()
+    n_plain = orders.where(F.col("o_orderstatus") == "O").count()
+    assert n_part == n_plain
