@@ -47,8 +47,17 @@ def orders_transform(
     lookups: dict[str, DataFrame],
     batch_ts: datetime,
 ) -> DataFrame:
-    """orders batch + checkout rollup + gated remaps + money repair."""
-    out = batch.join(checkout_preagg(checkout), "OrderID", "left")
+    """orders batch + checkout rollup + gated remaps + money repair.
+
+    The checkout side-table is semi-joined to the batch's order keys
+    BEFORE pre-aggregation — the engine form of the reference's
+    ``WHERE OrderID IN {order_ids}`` string splicing (P7,
+    ``orders.py:54-55``): only this batch's checkout rows are
+    aggregated, so the side-scan cost follows the batch size, not the
+    full history."""
+    batch_keys = batch.select("OrderID")
+    scoped = checkout.join(F.broadcast(batch_keys), "OrderID", "left_semi")
+    out = batch.join(checkout_preagg(scoped), "OrderID", "left")
 
     # F6 checkout repair: derive the missing one of {subtotal, grand,
     # tax} from the accounting identity (no row UDF — pure columns)

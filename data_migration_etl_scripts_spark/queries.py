@@ -1369,3 +1369,46 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("q").alias("quality"), F.col("n").alias("n_tokens"))
     )
+
+
+@query(
+    "session_windows_batch",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    i AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM i GROUP BY user_id, sid
+    """,
+)
+def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (gap-merged event-time sessions) in batch mode —
+    the same operator streaming/windows.stream_sessionize uses on
+    streams. Oracle: classic gaps-and-islands SQL (lag -> new-session
+    flag -> cumulative id), which is exactly the semantics
+    session_window implements natively."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

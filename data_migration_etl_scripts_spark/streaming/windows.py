@@ -41,6 +41,22 @@ def windowed_event_aggregate(
     )
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with BOUNDED state:
+    duplicates arriving within the watermark window are dropped, state
+    for keys older than the watermark is evicted — the streaming analog
+    of the batch dropDuplicates, and the standard guard in front of an
+    at-least-once upstream (e.g. replayed CDC batches)."""
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     ts_col: str = "ts",

@@ -199,3 +199,35 @@ def test_stateful_running_totals_across_restarts(spark, tmp_path):
     ).parquet(src)
     got = drain("stateful2")
     assert got[1] == (3, 15.0)  # 2 prior events + 1 new, totals accumulated
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from data_migration_etl_scripts_spark.streaming.windows import (
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "dsrc")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    os.makedirs(src)
+    # event 1 appears twice (same id) within the watermark window
+    _mk_events(spark, [_event(1, 0), _event(1, 1), _event(2, 2)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    deduped = stream_dedup_within_watermark(stream, keys=("event_id",))
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]  # duplicate dropped
