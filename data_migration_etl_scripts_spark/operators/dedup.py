@@ -79,8 +79,21 @@ MINHASH_BASE_DIGITS = 7  # 28-bit base hash: enough for shingle minima
 
 
 def _perm_coeffs(j: int) -> tuple[int, int]:
-    a = ((j + 1) * 1_000_003) % MINHASH_P
-    b = ((j + 1) * 999_983) % MINHASH_P
+    """Independent md5-derived (a, b) per permutation.
+
+    NOT an arithmetic progression like a_j = (j+1)*c: with that family
+    a_j*h mod p = (j+1)*(c*h mod p), so one shingle whose c*h mod p is
+    small wins MANY positions at once and est_sim is wildly inflated
+    for pairs sharing it (observed 0.375 estimated vs 0.01 true
+    Jaccard). Hash-derived coefficients make positions independent;
+    tests/test_approx_and_recall.py pins the estimator against true
+    Jaccard.
+    """
+    import hashlib
+
+    h = hashlib.md5(f"minhash-perm:{j}".encode()).digest()
+    a = (int.from_bytes(h[:8], "big") % (MINHASH_P - 1)) + 1
+    b = int.from_bytes(h[8:16], "big") % MINHASH_P
     return a, b
 
 

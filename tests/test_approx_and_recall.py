@@ -1,0 +1,62 @@
+"""Scale-path approximations: the sketch-based aggregates SCALE.md
+prescribes for 100 TB, checked against exact answers within tolerance,
+and the MinHash estimator checked against true Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.operators import dedup as dd
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_tolerance(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_partkey").alias("n")).collect()[0].n
+    approx = li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n")
+    ).collect()[0].n
+    assert abs(approx - exact) / exact < 0.05  # HLL++ at 2% rsd
+
+
+def test_percentile_approx_tolerance(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    exact = cust.select(F.expr("percentile(c_acctbal, 0.5)").alias("p")).collect()[0].p
+    approx = cust.select(
+        F.percentile_approx("c_acctbal", 0.5, accuracy=10000).alias("p")
+    ).collect()[0].p
+    spread = cust.select(
+        (F.max("c_acctbal") - F.min("c_acctbal")).alias("r")
+    ).collect()[0].r
+    assert abs(approx - exact) / spread < 0.01
+
+
+def test_minhash_estimates_true_jaccard(spark):
+    """est_sim (fraction of agreeing minhash positions) must track the
+    true n-gram Jaccard for candidate pairs; with k=24 the estimator's
+    std-err is ~sqrt(j(1-j)/24) <= 0.11, so 0.35 absolute tolerance is
+    a ~3-sigma bound."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    est = {
+        (r.doc_a, r.doc_b): r.est_sim
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", k=24, bands=6).collect()
+    }
+    true = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.0,
+            max_shingle_freq=10**6,
+        ).collect()
+    }
+    checked = 0
+    for pair, e in est.items():
+        if pair in true:
+            assert abs(e - true[pair]) <= 0.35, (pair, e, true[pair])
+            checked += 1
+    assert checked >= 10  # the corpus contains real near-dups
+    # and every exact duplicate pair must be found by LSH with est 1.0
+    for pair, j in true.items():
+        if j == 1.0:
+            assert est.get(pair) == 1.0, pair
