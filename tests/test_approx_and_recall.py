@@ -60,3 +60,30 @@ def test_minhash_estimates_true_jaccard(spark):
     for pair, j in true.items():
         if j == 1.0:
             assert est.get(pair) == 1.0, pair
+
+
+def test_embedding_lsh_recall_on_constructed_neardups(spark):
+    """Sign-LSH bucketing must recover nearly all constructed near-dup
+    pairs (tiny perturbations rarely flip a sign on dims with
+    non-negligible magnitude)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rnd.uniform(-1, 1) for _ in range(16)]
+        dup = [x + rnd.uniform(-1e-3, 1e-3) for x in base]
+        rows.append((i, base))
+        rows.append((1000 + i, dup))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.999, bucket_bits=8
+        ).collect()
+    }
+    expected = {(i, 1000 + i) for i in range(60)}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, recall
+    # and no false positives among unrelated random pairs
+    assert all(b - a == 1000 for a, b in found)
