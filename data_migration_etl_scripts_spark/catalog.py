@@ -65,7 +65,17 @@ class Catalog:
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(self.path(name))
+        # Idempotent sinks nest per-batch subdirectories (batch-<wm>),
+        # which need recursiveFileLookup — but that option DISABLES
+        # hive partition discovery, so apply it only when non-hive
+        # (no '=') subdirectories are present.
+        p = self.path(name)
+        if os.path.isdir(p) and any(
+            "=" not in e and os.path.isdir(os.path.join(p, e))
+            for e in os.listdir(p)
+        ):
+            reader = reader.option("recursiveFileLookup", "true")
+        return reader.parquet(p)
 
     def register_all(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
         """Register every table as a temp view for spark.sql()."""

@@ -135,6 +135,7 @@ def run_incremental(
     batch_ts: datetime | None = None,
     max_batches: int | None = None,
     observe_gates: Sequence[str] = (),
+    idempotent: bool = False,
 ) -> BatchResult:
     """Drive the micro-batch loop until the source is exhausted.
 
@@ -152,6 +153,15 @@ def run_incremental(
     gate leaves the sink untouched — same abort contract as the
     action-based ``require_no_nulls``, at half the I/O. This is the
     shape to use when a batch is too big to scan twice.
+
+    ``idempotent``: each batch writes into a DETERMINISTIC
+    per-watermark subdirectory of the sink (``batch-<max_index>``)
+    with overwrite semantics. A crash between write and watermark
+    advance then re-runs the SAME batch into the SAME directory on
+    restart — no duplicates, upgrading the reference's at-least-once
+    contract to effective exactly-once without a transaction log
+    (SURVEY.md §7.4 risk 4). Requires nothing from readers:
+    catalog.read lists sink directories recursively.
     """
     store = WatermarkStore(catalog.spark, os.path.join(catalog.scratch_dir, "_etl_cdc"))
     ts = batch_ts or datetime.now(timezone.utc)
@@ -194,6 +204,15 @@ def run_incremental(
                 for sink_name, project in pipeline.extra_sinks:
                     catalog.write(project(staged), sink_name, mode="append")
                 _promote_staged(staging, sink_path)
+            elif idempotent:
+                suffix = os.path.join("", f"batch-{int(agg['mx'])}")
+                catalog.write(
+                    loaded, os.path.join(pipeline.sink_table, suffix), mode="overwrite"
+                )
+                for sink_name, project in pipeline.extra_sinks:
+                    catalog.write(
+                        project(loaded), os.path.join(sink_name, suffix), mode="overwrite"
+                    )
             else:
                 catalog.write(loaded, pipeline.sink_table, mode="append")
                 for sink_name, project in pipeline.extra_sinks:

@@ -195,3 +195,28 @@ def test_schema_evolution_merge_read(cat, spark):
     assert set(merged.columns) == {"id", "name", "OldID"}
     got = {r.id: r.OldID for r in merged.collect()}
     assert got == {1: None, 2: 99}
+
+
+def test_idempotent_batches_survive_crash_replay(cat, spark):
+    """idempotent=True: a crash between batch write and watermark
+    advance replays the SAME batch into the SAME deterministic
+    directory — no duplicates."""
+    pipe = orders_pipeline(cat, transform=lambda df, ts: df.select("o_orderkey", "o_custkey"))
+    r = run_incremental(cat, pipe, batch_size=600, idempotent=True)
+    assert r.rows == 1500 and r.batches == 3
+    assert cat.read("orders_v2").count() == 1500
+
+    # simulate crash-after-write-before-advance: the watermark still
+    # holds the PREVIOUS batch boundary (1199) while the last batch's
+    # directory (batch-1499) is already on disk; replay re-extracts the
+    # identical batch and overwrites the same directory
+    store = WatermarkStore(cat.spark, os.path.join(cat.scratch_dir, "_etl_cdc"))
+    others = store._read().where(F.col("table_name") != "orders").collect()
+    rows = [(r2.table_name, int(r2.max_index)) for r2 in others] + [("orders", 1199)]
+    cat.spark.createDataFrame(rows, store.SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(store.path)
+
+    r2 = run_incremental(cat, pipe, batch_size=600, idempotent=True)
+    assert r2.rows == 300  # the replayed final batch (keys 1200-1499)
+    assert cat.read("orders_v2").count() == 1500  # still no duplicates
