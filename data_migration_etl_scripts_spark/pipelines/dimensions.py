@@ -37,6 +37,7 @@ def dimension_transform(
     fill_ts_cols: Sequence[str] = (),
     numeric_coerce: Sequence[str] = (),
     recodes: Mapping[str, tuple[Mapping, object]] | None = None,
+    scrub_values: Mapping[str, object] | None = None,
     extra: Sequence[tuple[str, Column]] = (),
 ) -> DataFrame:
     """The canonical template-table transform as one projection chain.
@@ -69,6 +70,12 @@ def dimension_transform(
     for c, (mapping, default) in (recodes or {}).items():
         if c in out.columns:
             exprs[c] = ef.recode(c, mapping, default=default)
+    # sentinel scrub ('-1' image paths etc.): matched value -> NULL,
+    # everything else KEPT — distinct from recode, whose dict-map
+    # semantics (pandas .map) send unmatched values to the default
+    for c, sentinel in (scrub_values or {}).items():
+        if c in out.columns:
+            exprs[c] = F.nullif(F.col(c), F.lit(sentinel))
     if exprs:
         out = out.withColumns(exprs)
     for name, col in extra:

@@ -25,14 +25,14 @@ DIMENSION_CONFIGS: dict[str, dict] = {
     "makes": dict(
         source_table="Make", watermark_col="MakeID", sink_table="MakesV2",
         rename={"MakeID": "OldMakeID"}, strip_to_null=["Name", "ArabicName"],
-        recodes={"ImagePath": ({"-1": None}, None)}, fill_ts_cols=["CreatedAt"],
+        scrub_values={"ImagePath": "-1"}, fill_ts_cols=["CreatedAt"],
     ),
     # Template_Tables/models.py (Year/RecommendedLitres coercions)
     "models": dict(
         source_table="Model", watermark_col="ModelID", sink_table="ModelsV2",
         rename={"ModelID": "OldModelID"}, strip_to_null=["Name", "ArabicName"],
         numeric_coerce=["Year", "RecommendedLitres"],
-        recodes={"ImagePath": ({"-1": None}, None)}, fill_ts_cols=["CreatedAt"],
+        scrub_values={"ImagePath": "-1"}, fill_ts_cols=["CreatedAt"],
     ),
     # Template_Tables/units.py / amenities / services / landmarks /
     # app_sources — one shape, five tables

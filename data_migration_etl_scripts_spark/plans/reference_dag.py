@@ -48,7 +48,7 @@ def build_reference_dag(catalog) -> DagRunner:
             sink_table="MakesV2",
             rename={"MakeID": "OldMakeID"},
             strip_to_null=["Name", "ArabicName"],
-            recodes={"ImagePath": ({"-1": None}, None)},
+            scrub_values={"ImagePath": "-1"},
             fill_ts_cols=["CreatedAt"],
         ),
         ["Make"],

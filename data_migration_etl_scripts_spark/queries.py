@@ -1418,3 +1418,66 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (keyword extraction)."""
     return tx.tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+@query(
+    "dimension_template_clean",
+    oracle="""
+    SELECT c_custkey AS old_id,
+           nullif(regexp_replace(raw_name, '^\\s+|\\s+$', '', 'g'), '') AS name,
+           CASE raw_image WHEN '-1' THEN NULL ELSE raw_image END AS image_path,
+           coalesce(status_id, 1) AS status_id,
+           coalesce(created_on, TIMESTAMP '2026-01-01 12:00:00') AS created_at
+    FROM (
+        SELECT c_custkey,
+               CASE c_custkey % 3 WHEN 0 THEN '  ' || c_name || ' '
+                    WHEN 1 THEN '   ' ELSE c_name END AS raw_name,
+               CASE c_custkey % 2 WHEN 0 THEN '-1' ELSE 'img.png' END AS raw_image,
+               CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE 2 END AS status_id,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE TIMESTAMP '2024-06-01 00:00:00' END AS created_on
+        FROM customer
+    )
+    """,
+)
+def dimension_template_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole Template_Tables transform (drop/rename/strip/recode/
+    default-fill with injectable batch timestamp) under the oracle
+    gate, over a synthesized dirty dimension."""
+    import datetime as _dt
+
+    from data_migration_etl_scripts_spark.pipelines.dimensions import (
+        dimension_transform,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = cust.select(
+        k.alias("OldID"),
+        F.when(k % 3 == 0, F.concat(F.lit("  "), F.col("c_name"), F.lit(" ")))
+        .when(k % 3 == 1, F.lit("   "))
+        .otherwise(F.col("c_name"))
+        .alias("Name"),
+        F.when(k % 2 == 0, F.lit("-1")).otherwise(F.lit("img.png")).alias("ImagePath"),
+        F.when(k % 4 == 0, F.lit(None).cast("int")).otherwise(F.lit(2)).alias("StatusID"),
+        F.when(k % 5 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        .alias("CreatedAt"),
+        F.lit("bookkeeping").alias("RowVersion"),  # dropped by the transform
+    )
+    out = dimension_transform(
+        dirty,
+        _dt.datetime(2026, 1, 1, 12, 0, 0),
+        drop=["RowVersion"],
+        strip_to_null=["Name"],
+        scrub_values={"ImagePath": "-1"},
+        fill_defaults={"StatusID": 1},
+        fill_ts_cols=["CreatedAt"],
+    )
+    return out.select(
+        F.col("OldID").alias("old_id"),
+        F.col("Name").alias("name"),
+        F.col("ImagePath").alias("image_path"),
+        F.col("StatusID").alias("status_id"),
+        F.col("CreatedAt").alias("created_at"),
+    )

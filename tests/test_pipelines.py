@@ -46,14 +46,15 @@ def test_dimension_pipeline_makes(cat):
         sink_table="MakesV2",
         rename={"MakeID": "OldMakeID"},
         strip_to_null=["Name", "ArabicName"],
-        recodes={"ImagePath": ({"-1": None}, None)},
+        scrub_values={"ImagePath": "-1"},
         fill_ts_cols=["CreatedAt"],
     )
     r = run_incremental(cat, pipe, batch_size=None, batch_ts=TS)
     assert r.rows == 3 and r.final_watermark == 3
     got = {row.OldMakeID: row for row in cat.read("MakesV2").collect()}
     assert got[1].Name == "Toyota"
-    assert got[1].ImagePath is None  # '-1' recoded away
+    assert got[1].ImagePath is None  # '-1' sentinel scrubbed...
+    assert got[2].ImagePath == "h.png"  # ...but real paths preserved
     assert got[3].Name is None  # whitespace-only -> null
     assert got[2].CreatedAt == TS  # injectable batch timestamp
 
