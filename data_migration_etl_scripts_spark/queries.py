@@ -229,7 +229,9 @@ def inner_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # No broadcast hint: part is fact-sized at scale — let AQE pick
+        # (it still broadcasts at small SF via autoBroadcastJoinThreshold).
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(_decsum(disc_price).alias("revenue"))
     )
@@ -343,9 +345,12 @@ def nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)")
     return (
+        # customer/supplier are fact-sized at 100 TB — no forced broadcast
+        # (AQE/autoBroadcastJoinThreshold decides). nation (25 rows) keeps
+        # the explicit hint.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(cn), "c_nationkey")
         .join(F.broadcast(sn), "s_nationkey")
         .groupBy("cust_nation", "supp_nation")
@@ -749,7 +754,8 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+           CAST(1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions
     FROM (
         SELECT user_id,
                epoch_us(CAST(ts AS TIMESTAMP))
@@ -879,7 +885,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
     media = mm.synthetic_media(spark, n=128)
-    return mm.extract_features(media, dim=8)
+    feats = mm.extract_features(media, dim=8)
+    # Serialize the feature array: the driver's pandas canonicalizer
+    # cannot hash array-typed cells (round-1 `err` row).
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.to_json(F.col("feature")).alias("feature_json"),
+    )
 
 
 # =====================================================================
@@ -917,9 +931,9 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_order_status",
     oracle="""
     SELECT o_custkey,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
     FROM orders GROUP BY o_custkey
     """,
 )
@@ -1047,17 +1061,21 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_validation_order_status",
     oracle="""
     SELECT o_custkey,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses,
            bool_and(o_orderstatus IN ('O', 'F', 'P')) AS all_valid
     FROM orders GROUP BY o_custkey
     """,
 )
 def set_validation_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F18 set-membership validation: collect_set + forall."""
+    """F18 set-membership validation: collect_set + forall.
+
+    The status set is serialized with array_join because the driver's
+    pandas-based canonicalizer cannot hash array-typed cells."""
     orders = _t(spark, sf_dir, "orders")
     statuses = F.array_sort(F.collect_set("o_orderstatus"))
     return orders.groupBy("o_custkey").agg(
-        statuses.alias("statuses"),
+        F.array_join(statuses, ",").alias("statuses"),
         F.forall(statuses, lambda s: s.isin("O", "F", "P")).alias("all_valid"),
     )
 
@@ -1198,11 +1216,13 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_total"),
     )
-    w = Window.orderBy(F.col("n_total").desc(), F.col("tok").asc())
+    # orderBy().limit() compiles to TakeOrderedAndProject (per-partition
+    # top-k, merged on the driver) — a global Window.orderBy here would
+    # funnel the whole 1e8-row vocabulary through one partition.
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 25)
-        .select("tok", "n_docs", "n_total")
+        counts.select("tok", "n_docs", "n_total")
+        .orderBy(F.col("n_total").desc(), F.col("tok").asc())
+        .limit(25)
     )
 
 
