@@ -7,15 +7,18 @@ per-item compute runs as Arrow-batched Pandas functions via
 touches the hot path, because pixel/sample decoding is genuinely not
 expressible in Spark SQL.
 
-The actual codec work (PIL/ffmpeg/torchaudio) is NOT available in this
-environment, so the decode kernels are stubbed two ways:
+Codec libraries (PIL/ffmpeg/torchaudio) are NOT available in this
+environment, so the decode kernels come in two flavors:
 
 - ``decoder="fake"`` (default): a deterministic md5-seeded fake that
   produces stable pseudo-features — lets every piece of Spark-side
   plumbing (schema, batching, partitioning, fan-out) run and be tested
   for real.
-- ``decoder="real"``: raises NotImplementedError at the first batch,
-  marking exactly where a PIL/ffmpeg kernel plugs in.
+- ``decoder="real"``: REAL byte-level decoding for the formats the
+  Python stdlib can handle — uncompressed 24-bit BMP (struct) and PCM
+  WAV (wave) — with NotImplementedError narrowed to compressed codecs
+  (JPEG/PNG/MP3/H.264), which is exactly where a PIL/ffmpeg kernel
+  plugs in on a real deployment.
 
 Scale design: mapInPandas streams Arrow batches, so peak memory per
 task is one batch of decoded media, not a partition; keep
@@ -27,6 +30,10 @@ co-locate (size skew = straggler tasks).
 from __future__ import annotations
 
 import hashlib
+import io
+import math
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -54,6 +61,104 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------
+# stdlib codecs: uncompressed 24-bit BMP and PCM WAV. These are REAL
+# decoders (byte-exact round-trips, tested), kept dependency-free so
+# the "real" kernel path executes end-to-end in this sandbox.
+# ---------------------------------------------------------------------
+
+
+def bmp_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Top-down (r, g, b) pixel rows -> uncompressed 24-bit BMP bytes."""
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    row_size = (3 * width + 3) & ~3
+    img = bytearray()
+    for row in reversed(rows):  # BMP stores rows bottom-up
+        for r, g, b in row:
+            img += bytes((b, g, r))
+        img += b"\x00" * (row_size - 3 * width)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img),
+                      2835, 2835, 0, 0)
+    return bytes(header + dib + img)
+
+
+def bmp_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """BMP bytes -> (width, height, top-down (r, g, b) rows)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    width = struct.unpack_from("<i", b, 18)[0]
+    height = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "compressed/non-24bpp images need PIL — plug the codec kernel in here"
+        )
+    row_size = (3 * width + 3) & ~3
+    rows = []
+    for y in range(height):
+        base = offset + (height - 1 - y) * row_size
+        rows.append(
+            [(b[base + 3 * x + 2], b[base + 3 * x + 1], b[base + 3 * x])
+             for x in range(width)]
+        )
+    return width, height, rows
+
+
+def wav_decode(b: bytes) -> tuple[int, list[float]]:
+    """PCM WAV bytes -> (duration_ms, mono samples in [-1, 1])."""
+    with wave.open(io.BytesIO(b)) as w:
+        nch, sampwidth, rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(nframes)
+    if sampwidth != 2:
+        raise NotImplementedError(
+            "non-16-bit audio needs ffmpeg/soundfile — plug the codec kernel in here"
+        )
+    ints = struct.unpack(f"<{len(raw) // 2}h", raw)
+    mono = [sum(ints[i:i + nch]) / (nch * 32768.0) for i in range(0, len(ints), nch)]
+    return int(nframes * 1000 / rate), mono
+
+
+def _real_features(content: bytes | None, dim: int) -> list[float] | None:
+    """Decode-and-summarize: per-channel stats for BMP images, duration
+    + band energies for WAV audio. Compressed formats raise — the
+    honest seam where a PIL/ffmpeg kernel slots in."""
+    if content is None:
+        return None
+    if content[:2] == b"BM":
+        w, h, rows = bmp_decode(content)
+        n = max(1, w * h)
+        sums = [0, 0, 0]
+        mx = [0, 0, 0]
+        for row in rows:
+            for px in row:
+                for c in range(3):
+                    sums[c] += px[c]
+                    mx[c] = max(mx[c], px[c])
+        out = [float(w), float(h)]
+        out += [s / (255.0 * n) for s in sums]
+        out += [m / 255.0 for m in mx]
+    elif content[:4] == b"RIFF":
+        dur_ms, mono = wav_decode(content)
+        n_bands = max(1, dim - 2)
+        step = max(1, len(mono) // n_bands)
+        bands = [
+            math.sqrt(sum(x * x for x in mono[i:i + step]) / max(1, len(mono[i:i + step])))
+            for i in range(0, step * n_bands, step)
+        ]
+        out = [dur_ms / 1000.0, float(len(mono))] + bands
+    else:
+        raise NotImplementedError(
+            "compressed media needs PIL/ffmpeg — plug the codec kernel in here"
+        )
+    return [float(round(v, 6)) for v in (out + [0.0] * dim)[:dim]]
+
+
 def _fake_features(content: bytes | None, dim: int) -> list[float] | None:
     """Deterministic pseudo-embedding: md5-chained floats in [0,1)."""
     if content is None:
@@ -77,18 +182,16 @@ def extract_features(
     ``df`` must carry MEDIA_SCHEMA columns. Output: FEATURE_SCHEMA.
     """
 
+    features = _real_features if decoder == "real" else _fake_features
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decoding needs PIL/ffmpeg — plug the codec kernel in here"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["content"].map(lambda b: None if b is None else len(b)),
-                    "feature": pdf["content"].map(lambda b: _fake_features(b, dim)),
+                    "feature": pdf["content"].map(lambda b: features(bytes(b) if b is not None else None, dim)),
                 }
             )
 
@@ -119,26 +222,36 @@ def resize_images(
     shapes, memory profile, and schema are exercised for real.
     """
 
+    def real_resize(b):
+        # nearest-neighbor resample of an uncompressed BMP, re-encoded
+        # as BMP; compressed formats raise inside bmp_decode
+        if b is None:
+            return None
+        w, h, rows = bmp_decode(bytes(b))
+        out = [
+            [rows[min(h - 1, (y * h) // height)][min(w - 1, (x * w) // width)]
+             for x in range(width)]
+            for y in range(height)
+        ]
+        return bmp_encode(out)
+
+    def fake_resize(b):
+        if b is None:
+            return None
+        seed = hashlib.md5(bytes(b) + f":{width}x{height}".encode()).digest()
+        reps = max(1, (width * height) // (16 * 64))  # ~bytes/64 payload
+        return seed * reps
+
+    resize = real_resize if decoder == "real" else fake_resize
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real image resize needs PIL — plug the codec kernel in here"
-                )
-
-            def fake_resize(b):
-                if b is None:
-                    return None
-                seed = hashlib.md5(bytes(b) + f":{width}x{height}".encode()).digest()
-                reps = max(1, (width * height) // (16 * 64))  # ~bytes/64 payload
-                return seed * reps
-
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "content": pdf["content"].map(fake_resize),
+                    "content": pdf["content"].map(resize),
                 }
             )
 
@@ -159,12 +272,34 @@ def audio_features(df: DataFrame, n_mfcc: int = 13, decoder: str = "fake") -> Da
 
     ``decoder="real"`` marks the torchaudio/librosa plug-point."""
 
+    def real_row(b):
+        # PCM WAV via the stdlib wave module: true duration + per-band
+        # RMS energies (an MFCC stand-in until librosa/torchaudio plugs
+        # in — the band-energy vector is real signal, not a hash)
+        if b is None:
+            return None, None
+        dur_ms, mono = wav_decode(bytes(b))
+        step = max(1, len(mono) // n_mfcc)
+        bands = [
+            float(round(math.sqrt(
+                sum(x * x for x in mono[i:i + step]) / max(1, len(mono[i:i + step]))
+            ), 6))
+            for i in range(0, step * n_mfcc, step)
+        ]
+        return dur_ms, (bands + [0.0] * n_mfcc)[:n_mfcc]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real audio decode needs torchaudio/librosa — plug in here"
+                decoded = pdf["content"].map(real_row)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "duration_ms": decoded.map(lambda t: t[0]),
+                        "mfcc": decoded.map(lambda t: t[1]),
+                    }
                 )
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -222,3 +357,36 @@ def synthetic_media(spark, n: int = 64, dim_hint: int = 0) -> DataFrame:
         content.alias("content"),
         meta.alias("meta_json"),
     ).coalesce(max(1, n // 64))
+
+
+def wav_encode(samples: list[float], rate: int = 8000) -> bytes:
+    """Mono [-1, 1] samples -> 16-bit PCM WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(
+            f"<{len(samples)}h",
+            *(max(-32768, min(32767, int(s * 32767))) for s in samples),
+        ))
+    return buf.getvalue()
+
+
+def synthetic_real_media(spark, n: int = 12) -> DataFrame:
+    """Small table of GENUINE media payloads — 8x8 gradient BMPs and
+    8 kHz sine WAVs — for exercising the ``decoder="real"`` kernels.
+    Driver-side createDataFrame is fine here: this is a test/demo
+    table of a few KB, not a bench input (see synthetic_media)."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            px = [[((x * 32 + i) % 256, (y * 32) % 256, (x * y + i) % 256)
+                   for x in range(8)] for y in range(8)]
+            rows.append((i, "image", bytearray(bmp_encode(px)), "{}"))
+        else:
+            freq = 220.0 * (1 + i % 3)
+            samples = [math.sin(2 * math.pi * freq * t / 8000.0)
+                       for t in range(800)]  # 100 ms
+            rows.append((i, "audio", bytearray(wav_encode(samples)), "{}"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

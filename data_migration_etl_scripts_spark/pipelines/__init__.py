@@ -22,8 +22,13 @@ from data_migration_etl_scripts_spark.pipelines.dimensions import (  # noqa: F40
     dimension_pipeline,
     sync_crosswalk_pipeline,
 )
-from data_migration_etl_scripts_spark.pipelines.facts import orders_pipeline  # noqa: F401
+from data_migration_etl_scripts_spark.pipelines.facts import (  # noqa: F401
+    order_line_items_pipeline,
+    order_payments_pipeline,
+    orders_pipeline,
+)
 from data_migration_etl_scripts_spark.pipelines.geo import (  # noqa: F401
+    cities_pipeline,
     countries_pipeline,
     recode_via_join,
     warehouses_pipeline,
@@ -33,7 +38,16 @@ from data_migration_etl_scripts_spark.pipelines.inventory import (  # noqa: F401
     stock_transfers_pipeline,
     stocks_pipeline,
 )
-from data_migration_etl_scripts_spark.pipelines.products import items_pipeline  # noqa: F401
+from data_migration_etl_scripts_spark.pipelines.products import (  # noqa: F401
+    items_pipeline,
+    subcategories_pipeline,
+)
+from data_migration_etl_scripts_spark.pipelines.registry import (  # noqa: F401
+    build_dimension,
+    build_entity,
+    build_gated_entity,
+    build_sync,
+)
 from data_migration_etl_scripts_spark.pipelines.settings import (  # noqa: F401
     roles_claims_transform,
     subscriptions_pipeline,

@@ -110,6 +110,8 @@ def build_sync_crosswalk(
     new_name: str = "Name",
     name_cleaner=None,
     extra_cols: Sequence[str] = (),
+    old_cleaner=None,
+    new_cleaner=None,
 ) -> DataFrame:
     """(OldID, NewID) crosswalk by cleaned-name join.
 
@@ -120,12 +122,18 @@ def build_sync_crosswalk(
     §2.3) with an explicit cleaner (e.g. the 'X Service' -> 'X' rename,
     ``sync_services.py:61``). Name matching is case-sensitive, matching
     the reference's forced COLLATE CS_AS joins (S5).
+
+    ``old_cleaner``/``new_cleaner`` override ``name_cleaner`` per side:
+    sync_cities fixes spellings on the OLD names (sync_cities.py:58-74),
+    sync_payment_modes on the NEW names (sync_payment_modes.py:58-66).
     """
     clean = name_cleaner or (lambda c: ef.strip_keep_empty(c))
+    clean_old = old_cleaner or clean
+    clean_new = new_cleaner or clean
     o = old.select(
-        F.col(old_id).alias("old_id"), clean(F.col(old_name)).alias("__k"), *extra_cols
+        F.col(old_id).alias("old_id"), clean_old(F.col(old_name)).alias("__k"), *extra_cols
     )
-    n = new.select(F.col(new_id).alias("new_id"), clean(F.col(new_name)).alias("__k"))
+    n = new.select(F.col(new_id).alias("new_id"), clean_new(F.col(new_name)).alias("__k"))
     return (
         o.join(F.broadcast(n.dropDuplicates(["__k"])), "__k", "left")
         .where(F.col("new_id").isNotNull())
@@ -146,6 +154,8 @@ def sync_crosswalk_pipeline(
     old_name: str = "Name",
     new_name: str = "Name",
     name_cleaner=None,
+    old_cleaner=None,
+    new_cleaner=None,
 ) -> IncrementalPipeline:
     return IncrementalPipeline(
         name=name,
@@ -160,5 +170,7 @@ def sync_crosswalk_pipeline(
             old_name=old_name,
             new_name=new_name,
             name_cleaner=name_cleaner,
+            old_cleaner=old_cleaner,
+            new_cleaner=new_cleaner,
         ),
     )

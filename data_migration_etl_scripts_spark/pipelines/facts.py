@@ -15,6 +15,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_migration_etl_scripts_spark import functions as ef
 from data_migration_etl_scripts_spark.cdc import IncrementalPipeline
 from data_migration_etl_scripts_spark.functions.numeric import derive_missing_of_three
 from data_migration_etl_scripts_spark.operators import fk_remap
@@ -142,4 +143,95 @@ def line_items_transform(details: DataFrame) -> DataFrame:
             "IsFreeItem": disc_pct == 100.0,
             "IsOpenItem": F.col("ItemID").isNull(),
         }
+    )
+
+
+def order_payments_pipeline(
+    catalog, name: str = "order_payments", sink_table: str = "OrderPaymentsV2"
+) -> IncrementalPipeline:
+    """Checkout rows -> payment rows, reference
+    ``Orders_Payments/Orders/order_payments.py:50-90``.
+
+    The reference watermarks on the TARGET Orders table's new OrderID
+    and extracts checkout rows by an IN-list of the batch's
+    OldOrderIDs. Spark-first: the IN-list string splice becomes an
+    equi-join of checkout to the Orders (OldOrderID -> OrderID)
+    crosswalk; the runner's pushed ``OrderID > wm`` range predicate
+    then scopes the batch. RI on OrderID holds by construction — the
+    keys originate from the Orders table — so the inner join replaces
+    the reference's post-hoc missing-OrderID gate
+    (order_payments.py:80-84). The AppSource recode stays an ungated
+    left join (order_payments.py:86).
+    """
+
+    def source() -> DataFrame:
+        co = catalog.read("OrderCheckout")
+        keep = [c for c in ("OrderCheckOutID", "OrderID", "PaymentMode", "Remarks",
+                            "OrderStatus", "CreatedOn", "AppSourceID", "AmountPaid")
+                if c in co.columns]
+        co = co.select(*keep).withColumnsRenamed(
+            {"OrderCheckOutID": "OldPaymentID", "OrderID": "OldOrderID",
+             "OrderStatus": "StatusID", "CreatedOn": "CreatedAt",
+             "Remarks": "Notes", "PaymentMode": "PaymentModeID",
+             "AppSourceID": "OldAppSourceID"}
+        )
+        orders = (
+            catalog.read("OrdersV2Map")
+            .select("OldOrderID", "OrderID")
+            .where(F.col("OldOrderID").isNotNull())
+            .dropDuplicates(["OldOrderID"])
+        )
+        return co.join(orders, "OldOrderID", "inner")
+
+    def transform(df: DataFrame, ts: datetime) -> DataFrame:
+        out = df.withColumns(
+            {
+                "CreatedBy": F.lit(0),
+                "PaymentModeID": F.coalesce(F.col("PaymentModeID"), F.lit(1)),
+                "OldAppSourceID": ef.try_numeric("OldAppSourceID").cast("long"),
+            }
+        )
+        sync = (
+            catalog.read("SyncAppSources")
+            .select("OldAppSourceID", "AppSourceID")
+            .dropDuplicates(["OldAppSourceID"])
+        )
+        out = fk_remap(out, sync, on="OldAppSourceID",
+                       context="order_payments->app_sources")
+        return out.drop("OldOrderID", "OldAppSourceID")
+
+    return IncrementalPipeline(
+        name=name,
+        source=source,
+        watermark_col="OrderID",
+        sink_table=sink_table,
+        transform=transform,
+    )
+
+
+def order_line_items_pipeline(
+    catalog, name: str = "order_line_items", sink_table: str = "OrderLineItemsV2"
+) -> IncrementalPipeline:
+    """Per-line money derivations + the gated OldOrderID -> OrderID
+    remap, reference ``order_line_items.py:49-130``: a missing order
+    aborts the batch (IncrementalDependencyError) so line items never
+    land before their order."""
+
+    def transform(df: DataFrame, ts: datetime) -> DataFrame:
+        out = line_items_transform(df.withColumnRenamed("OrderID", "OldOrderID"))
+        orders = (
+            catalog.read("OrdersV2Map")
+            .select("OldOrderID", "OrderID")
+            .dropDuplicates(["OldOrderID"])
+        )
+        out = fk_remap(out, orders, on="OldOrderID", gate="OrderID",
+                       context="order_line_items->orders")
+        return out.drop("OldOrderID")
+
+    return IncrementalPipeline(
+        name=name,
+        source=lambda: catalog.read("OrderDetail"),
+        watermark_col="OrderDetailID",
+        sink_table=sink_table,
+        transform=transform,
     )

@@ -100,3 +100,37 @@ def warehouses_pipeline(
         sink_table=sink_table,
         transform=warehouses_transform,
     )
+
+
+def cities_transform(df: DataFrame, countries: DataFrame) -> DataFrame:
+    """Template_Tables/cities.py:64-100: project/rename, Timezone='',
+    District fillna(''), the SA->SAU code fix, strip, then an inner
+    join to Countries on Code — rows whose code has no country are
+    DROPPED (the reference's ``~CountryID.isna()`` mask), and Code is
+    dropped after the join. The country side is tiny -> broadcast.
+    """
+    out = df.select(
+        F.col("ID").alias("OldCityID"),
+        ef.strip_keep_empty("Name").alias("CityName"),
+        F.coalesce(F.trim(F.col("District")), F.lit("")).alias("District"),
+        F.when(F.trim(F.col("CountryCode")) == "SA", F.lit("SAU"))
+        .otherwise(F.trim(F.col("CountryCode")))
+        .alias("Code"),
+        F.lit("").alias("Timezone"),
+    )
+    lookup = countries.select("CountryID", "Code").dropDuplicates(["Code"])
+    return out.join(F.broadcast(lookup), "Code", "inner").drop("Code")
+
+
+def cities_pipeline(
+    catalog, name: str = "cities", sink_table: str = "CitiesV2Out"
+) -> IncrementalPipeline:
+    """The reference reloads dbo.City wholesale (no TOP N); watermarking
+    on OldCityID keeps re-runs incremental without changing results."""
+    return IncrementalPipeline(
+        name=name,
+        source=lambda: catalog.read("City"),
+        watermark_col="ID",
+        sink_table=sink_table,
+        transform=lambda df, ts: cities_transform(df, catalog.read("CountriesV2")),
+    )

@@ -96,3 +96,45 @@ def items_pipeline(
             ),
         ),
     )
+
+
+def subcategories_transform(
+    batch: DataFrame, sync_categories: DataFrame, categories: DataFrame
+) -> DataFrame:
+    """Composite-key crosswalk remap (J6), reference
+    ``Main_Modules/ProductManagement/subcategories.py:67-95``: the
+    (OldCategoryID -> CategoryID) map does not exist directly — it is
+    DERIVED by joining SyncCategories(AccountID, Name, OldCategoryID)
+    to the freshly-loaded Categories on the composite business key
+    (AccountID, Name), then the batch remaps through it. Ungated: the
+    reference only reports unmatched rows.
+    """
+    cat_ids = (
+        sync_categories.join(categories, ["AccountID", "Name"], "left")
+        .select("CategoryID", "OldCategoryID")
+        .dropDuplicates(["OldCategoryID"])
+    )
+    out = batch.withColumnsRenamed({"CategoryID": "OldCategoryID"})
+    return out.join(F.broadcast(cat_ids), "OldCategoryID", "left")
+
+
+def subcategories_pipeline(
+    catalog, name: str = "subcategories", sink_table: str = "SubCategoriesV2"
+) -> IncrementalPipeline:
+    """Watermarks on CategoryID — a reference quirk (its extract is
+    ``WHERE CategoryID > wm``, subcategories.py:54), preserved."""
+
+    def transform(df: DataFrame, ts: datetime) -> DataFrame:
+        return subcategories_transform(
+            df.select("SubCatID", "CategoryID"),
+            catalog.read("SyncCategories").select("AccountID", "Name", "OldCategoryID"),
+            catalog.read("CategoriesV2Map").select("CategoryID", "AccountID", "Name"),
+        )
+
+    return IncrementalPipeline(
+        name=name,
+        source=lambda: catalog.read("SubCategory"),
+        watermark_col="CategoryID",
+        sink_table=sink_table,
+        transform=transform,
+    )

@@ -1501,3 +1501,103 @@ def dimension_template_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("StatusID").alias("status_id"),
         F.col("CreatedAt").alias("created_at"),
     )
+
+
+@query(
+    "categories_shape",
+    oracle="""
+    WITH existing AS (
+        SELECT DISTINCT p_brand, p_type FROM part WHERE p_size > 40
+    ),
+    best AS (
+        SELECT p_brand, p_type, p_partkey, p_size, p_retailprice FROM (
+            SELECT p_brand, p_type, p_partkey, p_size, p_retailprice,
+                   row_number() OVER (
+                       PARTITION BY p_brand, p_type
+                       ORDER BY p_size ASC, p_retailprice DESC, p_partkey ASC
+                   ) AS rn
+            FROM part
+        ) WHERE rn = 1
+    )
+    SELECT b.p_brand, b.p_type, b.p_partkey, b.p_size, b.p_retailprice
+    FROM best b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM existing e
+        WHERE e.p_brand = b.p_brand AND e.p_type = b.p_type
+    )
+    """,
+)
+def categories_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The categories/items migration shape as ONE plan (reference
+    ``Main_Modules/ProductManagement/categories.py:86-101``): W1
+    keep-best dedup per composite business key with a TOTAL ordering
+    (p_size asc, p_retailprice desc, p_partkey tiebreak), then a J5/J6
+    composite-key anti-join against the already-migrated set."""
+    part = _t(spark, sf_dir, "part")
+    existing = part.where(F.col("p_size") > 40).select("p_brand", "p_type")
+    best = top1_per_group(
+        part,
+        keys=["p_brand", "p_type"],
+        order=[F.col("p_size").asc(), F.col("p_retailprice").desc()],
+        tiebreakers=["p_partkey"],
+    )
+    fresh = anti_join_existing(best, existing, on=["p_brand", "p_type"])
+    return fresh.select("p_brand", "p_type", "p_partkey", "p_size", "p_retailprice")
+
+
+@query(
+    "entity_clean_suite",
+    oracle="""
+    SELECT c_custkey,
+           upper(replace(trim(c_name), ' ', '')) AS norm_key,
+           CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+                THEN c_mktsegment END AS segment_domain,
+           CAST(round(CAST(c_acctbal AS DECIMAL(14,2)) * CAST(1.15 AS DECIMAL(6,2)), 2)
+                AS DOUBLE) AS bal_with_vat,
+           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal_floored,
+           coalesce(nullif(trim(c_mktsegment), ''), '(none)') AS segment_filled,
+           c_acctbal > 0 AS is_positive,
+           list_extract(string_split(c_name, '#'), 2) AS name_number
+    FROM customer
+    """,
+)
+def entity_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One composed pass covering the column-function families that were
+    pytest-only: F3 normalized identity key, F8 domain restrict, F11
+    money arithmetic (decimal-exact), F12 conditional fill, F13
+    constant fill, F14 boolean derivation, F17 positional lookup."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.replace(F.trim(F.col("c_name")), F.lit(" "), F.lit(""))).alias("norm_key"),
+        ef.domain_restrict("c_mktsegment", ["BUILDING", "AUTOMOBILE", "MACHINERY"])
+        .alias("segment_domain"),
+        F.round(
+            F.col("c_acctbal").cast("decimal(14,2)") * F.lit(1.15).cast("decimal(6,2)"), 2
+        ).cast("double").alias("bal_with_vat"),
+        F.when(F.col("c_acctbal") < 0, F.lit(0.0)).otherwise(F.col("c_acctbal"))
+        .alias("bal_floored"),
+        F.coalesce(F.nullif(F.trim(F.col("c_mktsegment")), F.lit("")), F.lit("(none)"))
+        .alias("segment_filled"),
+        (F.col("c_acctbal") > 0).alias("is_positive"),
+        F.element_at(F.split(F.col("c_name"), "#"), 2).alias("name_number"),
+    )
+
+
+@query("multimodal_real_decode")  # no oracle: stdlib codec kernel, rows-only check
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL decode path: genuine BMP/WAV payloads decoded
+    byte-level (stdlib struct/wave) inside the Arrow-batched
+    mapInPandas kernel — no hash fakes (operators/multimodal.py,
+    decoder="real"). Compressed codecs remain the documented
+    PIL/ffmpeg plug-point."""
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    media = mm.synthetic_real_media(spark, n=24)
+    feats = mm.extract_features(media, dim=6, decoder="real")
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.to_json(F.col("feature")).alias("feature_json"),
+    )

@@ -232,11 +232,12 @@ def test_reference_dag_end_to_end(spark, tmp_path):
     """The whole canonical migration run over the V1-shaped fixtures:
     derived topological order, every sink lands, a re-run is a no-op."""
     from data_migration_etl_scripts_spark.plans.reference_dag import build_reference_dag
-    from tests.v1fixtures import build_v1_fixtures_extra
+    from tests.v1fixtures import build_v1_fixtures_extra, build_v1_fixtures_registry
 
     c = Catalog(spark, base_dir=str(tmp_path), scratch_dir=str(tmp_path))
     build_v1_fixtures(c)
     build_v1_fixtures_extra(c)
+    build_v1_fixtures_registry(c)
     c.write(c.spark.createDataFrame([(1, "Main", "Main Store", None, None)],
             "StoreID long, Name string, Type string, StoreLocationID long,"
             " LastUpdatedDate timestamp"), "Stores")
@@ -247,15 +248,28 @@ def test_reference_dag_end_to_end(spark, tmp_path):
 
     runner = build_reference_dag(c)
     order = runner.order()
+    assert order.index("accounts") < order.index("locations")
     assert order.index("locations") < order.index("categories") < order.index("items")
     assert order.index("cars") < order.index("orders")
+    assert order.index("orders") < order.index("order_line_items")
+    assert order.index("orders") < order.index("order_payments")
+    assert order.index("order_line_items") < order.index("order_packages")
+    assert order.index("cars") < order.index("car_locations")
 
     report = runner.run(batch_ts=TS)
     assert report.ok, (report.failures, report.skipped)
     for sink in ["MakesV2", "WarehousesV2", "LocationsV2", "CategoriesV2",
-                 "ItemsV2", "SubUsersV2", "SubscriptionsV2", "CarsV2", "OrdersV2"]:
+                 "ItemsV2", "SubUsersV2", "SubscriptionsV2", "CarsV2", "OrdersV2",
+                 "AccountsV2Out", "AspNetUsersV2", "CarLocationsV2", "CitiesV2Out",
+                 "SyncCitiesOut", "SyncPaymentModes", "SubCategoriesV2",
+                 "OrderLineItemsV2", "OrderPaymentsV2", "OrderDetailPackagesV2",
+                 "LocationItemsV2", "AccountPaymentModesV2"]:
         assert c.exists(sink), sink
         assert c.read(sink).count() > 0, sink
+    # the orders -> order_line_items edge carries the RI gate on OrderID:
+    # every landed line item references a landed order
+    oli = c.read("OrderLineItemsV2")
+    assert oli.where(F.col("OrderID").isNull()).count() == 0
 
     # resume: watermarks make the whole DAG a no-op
     report2 = build_reference_dag(c).run(batch_ts=TS)

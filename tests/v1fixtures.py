@@ -118,6 +118,9 @@ def build_v1_fixtures(cat: Catalog) -> None:
             T.StructField("CarLocationID", T.LongType()),
             T.StructField("CarID", T.LongType()),
             T.StructField("CreatedOn", T.TimestampType()),
+            T.StructField("LocationID", T.LongType()),
+            T.StructField("StatusID", T.IntegerType()),
+            T.StructField("LastUpdatedDate", T.TimestampType()),
         ]
     )
     import datetime as dt
@@ -126,9 +129,13 @@ def build_v1_fixtures(cat: Catalog) -> None:
         cat,
         "CarsLocationJunc",
         [
-            (1, 3, dt.datetime(2021, 7, 7, 10, 0, 0)),
-            (2, 3, dt.datetime(2021, 1, 1, 9, 0, 0)),  # earliest wins
-            (3, 1, dt.datetime(2022, 2, 2, 8, 0, 0)),
+            (1, 3, dt.datetime(2021, 7, 7, 10, 0, 0), 10, None,
+             dt.datetime(2025, 1, 2, 0, 0, 0)),
+            # earliest CreatedOn wins (cars backfill); null LastUpdatedDate
+            # -> batch_ts fill in car_locations
+            (2, 3, dt.datetime(2021, 1, 1, 9, 0, 0), 11, 1, None),
+            (3, 1, dt.datetime(2022, 2, 2, 8, 0, 0), 12, 2,
+             dt.datetime(2025, 1, 3, 0, 0, 0)),
         ],
         junc_schema,
     )
@@ -144,21 +151,27 @@ def build_v1_fixtures(cat: Catalog) -> None:
         ],
         "OrderID long, LocationID long, OrderType string, CreatedOn string",
     )
+    import datetime as _dt
+
     _write(
         cat,
         "OrderCheckout",
         [
             # order 1000: two checkout rows; all three money cols present
-            (1, 1000, 100.0, 15.0, 115.0, 115.0, 0.0, 1, 7),
-            (2, 1000, 50.0, 5.0, 55.0, 0.0, 0.0, 1, 7),
+            (1, 1000, 100.0, 15.0, 115.0, 115.0, 0.0, 1, 7,
+             " ok ", 1, _dt.datetime(2025, 2, 1, 10, 5, 0)),
+            (2, 1000, 50.0, 5.0, 55.0, 0.0, 0.0, 1, 7, None, 1, None),
             # order 1001: grand total missing -> derived (st - disc + tax)
-            (3, 1001, 200.0, 20.0, 0.0, 100.0, 10.0, 2, 7),
-            # order 1002: subtotal missing -> derived (gt - tax + disc)
-            (4, 1002, 0.0, 30.0, 330.0, 330.0, 0.0, 2, 8),
+            (3, 1001, 200.0, 20.0, 0.0, 100.0, 10.0, 2, 7, "part pay", 2,
+             _dt.datetime(2025, 2, 2, 11, 0, 0)),
+            # order 1002: subtotal missing -> derived (gt - tax + disc);
+            # null PaymentMode -> order_payments fills 1
+            (4, 1002, 0.0, 30.0, 330.0, 330.0, 0.0, None, 8, None, None, None),
         ],
         "OrderCheckOutID long, OrderID long, AmountTotal double, Tax double,"
         " GrandTotal double, AmountPaid double, AmountDiscount double,"
-        " PaymentMode int, AppSourceID int",
+        " PaymentMode int, AppSourceID int, Remarks string, OrderStatus int,"
+        " CreatedOn timestamp",
     )
     _write(
         cat,
@@ -289,4 +302,210 @@ def build_v1_fixtures_inventory(cat: Catalog) -> None:
         ],
         "StockID long, StoreID long, CurrentStock string, StutusID int,"
         " CreatedOn timestamp",
+    )
+
+
+def build_v1_fixtures_registry(cat: Catalog) -> None:
+    """Fixtures for the ENTITY_CONFIGS / SYNC_CONFIGS / custom-pipeline
+    coverage of the remaining reference scripts (accounts, customers,
+    car_locations, order_payments/packages, bill/stock details,
+    location_items/packages, subcategories, cities, pinned sync_*)."""
+    import datetime as dt
+
+    t = dt.datetime(2025, 6, 1, 8, 0, 0)
+
+    # accounts (Main_Modules/Accounts/accounts.py)
+    _write(
+        cat,
+        "Users",
+        [
+            (1, " Sara ", " Haddad ", "-1", "  Acme Motors ", "Garage", " a@b.c ",
+             "0501234567", t, 1, None, dt.datetime(2024, 1, 1), "300123", None),
+            (2, "Omar", None, "u2.png", None, None, None, "junk", None, 2,
+             "C2", None, "x", "b.png"),
+        ],
+        "UserID long, FirstName string, LastName string, ImagePath string,"
+        " Company string, BusinessType string, Email string, ContactNo string,"
+        " LastUpdatedDate timestamp, StatusID int, CompanyCode string,"
+        " CreatedDate timestamp, VATNO string, BrandThumbnailImage string",
+    )
+
+    # customers (Main_Modules/AspNetUsers/customers.py) + geo chain
+    _write(
+        cat,
+        "Customers",
+        [
+            (1, " Ali Kareem ", None, "hash1", " ali@x.com ", "0501234567",
+             10, None, dt.datetime(2024, 5, 1), t),
+            (2, "Noor", "-", "hash2", None, None, None, 2, None, None),
+        ],
+        "CustomerID long, FullName string, ImagePath string, Password string,"
+        " Email string, Mobile string, LocationID long, StatusID int,"
+        " CreatedOn timestamp, LastUpdatedDate timestamp",
+    )
+    _write(
+        cat,
+        "LocationsV2All",
+        # (old location, new location, city, account) — serves customers
+        # (OldLocationID -> CityID) AND location_* (AccountID -> LocationID fan-out)
+        [(10, 5010, 4101, 900), (11, 5011, 4102, 900), (12, 5012, None, 901)],
+        "OldLocationID long, LocationID long, CityID long, AccountID long",
+    )
+    _write(cat, "CitiesV2", [(4101, 966), (4102, 971)], "CityID long, CountryID long")
+
+    # car_locations lookups
+    _write(
+        cat,
+        "CarsV2Map",
+        [(1, 901), (2, 902), (3, 903), (4, 904)],
+        "OldCarID long, CarID long",
+    )
+
+    # order_packages (Orders_Payments/Orders/order_packages.py)
+    _write(
+        cat,
+        "OrderPackageDetail",
+        [(1, 1, 1, " Widget "), (2, 2, 2, "NULL"), (3, 3, 4, None)],
+        "OrderPkgDetailID long, OrderDetailID long, ItemID long, Name string",
+    )
+    _write(
+        cat,
+        "OrderLineItemsV2Map",
+        [(1, 9001), (2, 9002), (3, 9003)],
+        "OldOrderDetailID long, OrderDetailID long",
+    )
+    _write(
+        cat,
+        "ItemsV2Map",
+        [(1, 801), (2, 802), (3, 803), (4, 804), (5, 805), (50, 850)],
+        "OldItemID long, ItemID long",
+    )
+
+    # purchase_bill_details (Invertory/Purchases/purchase_bill_details.py)
+    _write(
+        cat,
+        "BillDetail",
+        [
+            (1, 100, 1, 5.0, 7.5, dt.datetime(2024, 3, 1), None, 1, "u1", "u2", "note"),
+            (2, 101, 2, 3.0, 4.0, None, t, None, None, None, None),
+        ],
+        "BillDetailID long, BillID long, ItemID long, Cost double, Price double,"
+        " CreatedOn timestamp, LastUpdatedDate timestamp, StatusID int,"
+        " CreatedBy string, LastUpdatedBy string, Remarks string",
+    )
+    _write(
+        cat,
+        "PurchaseBillsV2Map",
+        [(100, 7100, 0.15), (101, 7101, 0.0)],
+        "OldBillID long, PurchaseBillID long, TaxAmount double",
+    )
+
+    # stock_transfer_details (Invertory/Stocks/stock_transfer_details.py)
+    _write(
+        cat,
+        "StockIssueDetail",
+        [
+            (1, 50, 1, 10.0, 12.0, 9.0, dt.datetime(2024, 4, 1), None, None,
+             "u1", "u2", "  keep  "),
+            (2, 51, 2, 1.0, 1.0, 1.0, None, t, 2, None, None, None),
+        ],
+        "StockIssueDetailID long, StockIssueID long, ItemID long, IssueQty double,"
+        " RequestQty double, ReceiveQty double, CreateOn timestamp,"
+        " LastUpdatedDate timestamp, StatusID int, CreatedBy string,"
+        " LastUpdatedBy string, Notes string",
+    )
+    _write(
+        cat,
+        "StockTransfersV2Map",
+        [(50, 6050), (51, 6051)],
+        "OldStockIssueID long, StockTransferID long",
+    )
+
+    # subcategories / location_items / location_packages
+    _write(
+        cat,
+        "SyncCategories",
+        [(900, "Oil", 100), (901, "Tyres", 101)],
+        "AccountID long, Name string, OldCategoryID long",
+    )
+    _write(
+        cat,
+        "CategoriesV2Map",
+        [(201, 900, "Oil"), (202, 901, "Tyres")],
+        "CategoryID long, AccountID long, Name string",
+    )
+    # cities + sync_cities (Template_Tables/cities.py, sync_cities.py)
+    _write(
+        cat,
+        "City",
+        [
+            # codes are alpha-3 except the legacy 'SA' quirk (cities.py:81)
+            (1, " Riyadh ", None, "SA"),
+            (2, "Dubai", "Deira", "ARE"),
+            (3, "Nowhere", None, "XXX"),    # unknown country -> dropped
+            (4, "Sharja", None, "ARE"),     # old spelling, fixed by sync map
+        ],
+        "ID long, Name string, District string, CountryCode string",
+    )
+    _write(cat, "CountriesV2", [(966, "SAU"), (971, "ARE")], "CountryID long, Code string")
+    _write(
+        cat,
+        "CitiesV2New",
+        [(11, "Riyadh"), (12, "Dubai"), (13, "Sharjah")],
+        "CityID long, CityName string",
+    )
+
+    # sync_payment_modes (Template_Tables/sync_payment_modes.py)
+    _write(
+        cat,
+        "PaymentModesOld",
+        [(1, " Cash "), (2, "StcPay"), (3, "Cheque")],
+        "PaymentModeID long, Name string",
+    )
+    _write(
+        cat,
+        "PaymentModesV2",
+        [(21, "Cash"), (22, "STC Pay")],
+        "PaymentModeID long, Name string",
+    )
+
+    # order_payments (Orders_Payments/Orders/order_payments.py)
+    _write(
+        cat,
+        "OrdersV2Map",
+        [(1000, 9100), (1001, 9101), (1002, 9102)],
+        "OldOrderID long, OrderID long",
+    )
+    _write(
+        cat,
+        "SyncAppSources",
+        [(7, 70), (8, 80)],
+        "OldAppSourceID long, AppSourceID long",
+    )
+
+
+def build_v1_fixtures_migrated_products(cat: Catalog) -> None:
+    """Standalone migrated-side product tables for the location_items /
+    location_packages unit tests. NOT part of the registry set: in the
+    full DAG these names are the items/packages pipeline SINKS."""
+    import datetime as dt
+
+    t = dt.datetime(2025, 6, 1, 8, 0, 0)
+    _write(
+        cat,
+        "ItemsV2",
+        [
+            (1, 201, 10.0, t, t, 1),
+            (2, 202, 20.0, None, None, 1),
+            (3, 203, 30.0, None, None, 2),  # unknown category -> null LocationID
+        ],
+        "ItemID long, CategoryID long, Price double, UpdatedAt timestamp,"
+        " CreatedAt timestamp, StatusID int",
+    )
+    _write(
+        cat,
+        "PackagesV2",
+        [(1, 201, 99.0, t, t, 1), (2, 203, 50.0, None, None, 1)],
+        "PackageID long, CategoryID long, Price double, CreatedAt timestamp,"
+        " UpdatedAt timestamp, StatusID int",
     )
