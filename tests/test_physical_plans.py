@@ -168,3 +168,27 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     n_part = cat.read("orders_part").where(F.col("status") == "O").count()
     n_plain = orders.where(F.col("o_orderstatus") == "O").count()
     assert n_part == n_plain
+
+
+def test_top_tokens_compiles_to_take_ordered(spark):
+    """top_tokens must be a per-partition top-k merge
+    (TakeOrderedAndProject), never a global single-partition window —
+    at corpus scale the vocabulary is 1e8+ rows (VERDICT r1 #3)."""
+    p = plan(q.all_queries()["top_tokens"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_fact_joins_carry_no_forced_broadcast_hint(spark):
+    """nation_pair_revenue / inner_join_brand_revenue: fact-sized sides
+    (customer, supplier, part) must not carry explicit broadcast hints —
+    AQE + autoBroadcastJoinThreshold decide (VERDICT r1 #4). Hints on
+    the 25-row nation role-playing dims are fine and expected."""
+    for name, dims_allowed in [
+        ("nation_pair_revenue", 2),      # cn + sn hints only
+        ("inner_join_brand_revenue", 0), # no hints at all
+    ]:
+        df = q.all_queries()[name](spark, SF)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert logical.count("UnresolvedHint") == 0
+        assert logical.count("ResolvedHint") <= dims_allowed, name

@@ -1,0 +1,115 @@
+"""10x relational scaling smoke: replicate the sf0.1 TPC-H-ish tables
+ten times with key offsets that PRESERVE join relationships (copy i
+shifts every join key by i * (max_key + 1)), write to a scratch dir,
+and time the headline queries at 1x vs 10x on the same session.
+
+The point is catching plans that only look fine at sf0.1 — superlinear
+blowups from shuffles, windows, or joins that stop fitting. Run:
+
+    python tools/scale_smoke.py          # writes /tmp/dmess_scale10 once, times both
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/dmess_scale10"
+COPIES = 10
+
+#: join keys to shift per table (columns sharing a domain shift together)
+KEYED = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+}
+#: key domains so offsets line up across tables: domain -> (table, col)
+DOMAINS = {
+    "orderkey": [("lineitem", "l_orderkey"), ("orders", "o_orderkey")],
+    "custkey": [("orders", "o_custkey"), ("customer", "c_custkey")],
+    "suppkey": [("lineitem", "l_suppkey"), ("supplier", "s_suppkey")],
+    "partkey": [("lineitem", "l_partkey"), ("part", "p_partkey")],
+    "docid": [("documents", "doc_id")],
+}
+
+QUERIES = [
+    "q1_pricing_summary",
+    "nation_pair_revenue",
+    "preagg_join_order_totals",
+    "topk_parts_per_brand",
+    "top_tokens",
+    "dedup_minhash_lsh",
+    "categories_shape",
+]
+
+
+def build_10x(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(DST, "_DONE")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    # one offset per key domain, shared by every table using it
+    offsets = {}
+    for dom, sites in DOMAINS.items():
+        t, c = sites[0]
+        mx = spark.read.parquet(f"{SRC}/{t}.parquet").agg(F.max(c)).collect()[0][0]
+        offsets[dom] = int(mx) + 1
+    col_off = {
+        (t, c): offsets[dom] for dom, sites in DOMAINS.items() for (t, c) in sites
+    }
+    for t in ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region", "documents"):
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t in KEYED:
+            parts = []
+            for i in range(COPIES):
+                shifted = df
+                for c in KEYED[t]:
+                    shifted = shifted.withColumn(
+                        c, F.col(c) + F.lit(i * col_off[(t, c)])
+                    )
+                parts.append(shifted)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df  # dims stay dims
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+    open(os.path.join(DST, "_DONE"), "w").write("ok")
+
+
+def main() -> int:
+    from data_migration_etl_scripts_spark import get_spark
+    from data_migration_etl_scripts_spark import queries as q
+
+    spark = get_spark(app_name="scale_smoke")
+    build_10x(spark)
+    all_q = q.all_queries()
+    rows = []
+    for name in QUERIES:
+        times = {}
+        for label, sf_dir in (("1x", SRC), ("10x", DST)):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            all_q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[label] = time.time() - t0
+        ratio = times["10x"] / times["1x"]
+        rows.append((name, times["1x"], times["10x"], ratio))
+        print(f"{name:32s} 1x={times['1x']:6.2f}s 10x={times['10x']:6.2f}s "
+              f"ratio={ratio:5.2f}")
+    bad = [r for r in rows if r[3] > 20]
+    print(f"\n{len(rows)} queries; superlinear (>20x at 10x data): "
+          f"{[r[0] for r in bad] or 'none'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
