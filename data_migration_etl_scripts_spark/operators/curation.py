@@ -1,0 +1,181 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/similarity: duplicate-pair CLUSTERING (connected
+components), deterministic sampling/splitting, and sequence packing.
+
+All three are built to hold at 100 TB:
+
+- ``dup_clusters`` is hash-min label propagation — the standard
+  distributed connected-components algorithm (used by GraphFrames /
+  GraphX under the hood): O(graph diameter) rounds, each one
+  join + min-aggregate, state truncated per round with
+  ``localCheckpoint`` so the lineage (and the DAG scheduler) stays
+  O(1) per round instead of O(rounds). Dup graphs have tiny diameters
+  (near-cliques), so this converges in a handful of rounds.
+- ``deterministic_sample`` replaces rand()-based sampling with an
+  md5-threshold on the key: the same row set is selected on every
+  run, on every engine, regardless of partitioning — reproducible
+  train/val splits with no seed-coordination across 1000 executors.
+- ``pack_sequences`` assigns documents to fixed-token-budget bins
+  (LLM pretraining pack files) with a per-shard running-sum window —
+  partition-local window, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate pairs -> (doc_id, cluster_id) connected components.
+
+    ``cluster_id`` is the minimum doc id of the component (canonical
+    representative: keep that doc, drop the rest). Hash-min label
+    propagation: every node repeatedly takes the min label among
+    itself and its neighbors; fixpoint = components labeled.
+    """
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage every round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`dup_clusters`: recursive CTE reachability
+    (UNION dedups rows, so the recursion terminates), min label per
+    node = component representative."""
+    return f"""
+    WITH RECURSIVE pair_edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM ({pairs_sql})
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM ({pairs_sql})
+    ),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM pair_edges)
+        UNION
+        SELECT e.u, r.label FROM pair_edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+def sample_threshold_hex(fraction: float, digits: int = 6) -> str:
+    """The md5-prefix cutoff selecting ~``fraction`` of keys."""
+    return format(int(fraction * 16**digits), f"0{digits}x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float
+) -> DataFrame:
+    """Reproducible sample: keep rows whose md5(key) prefix falls below
+    the fraction cutoff. Engine-, partitioning-, and run-independent —
+    the property rand(seed) does NOT have across different
+    partitionings. Lowercase-hex string comparison, so the same rows
+    are picked by any engine with md5."""
+    cutoff = sample_threshold_hex(fraction)
+    prefix = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 6)
+    return df.where(prefix < F.lit(cutoff))
+
+
+def deterministic_sample_sql(table: str, key_col: str, fraction: float) -> str:
+    cutoff = sample_threshold_hex(fraction)
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE substr(md5(CAST({key_col} AS VARCHAR)), 1, 6) < '{cutoff}'"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    capacity: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget pack bins.
+
+    Documents shard deterministically (``id % n_shards``); within a
+    shard a running token sum ordered by id assigns
+    ``bin = floor((cumsum - n_tokens) / capacity)`` — the bin where
+    the document STARTS (boundary docs straddle into the next bin,
+    the standard concat-and-chunk pretraining layout). The window is
+    per-shard, so at corpus scale each partition sorts only its shard:
+    no global sort, no single-partition window."""
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(F.col(id_col), F.col(n_tokens_col).alias("n_tokens"), shard)
+    cum = F.sum("n_tokens").over(w)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / capacity).cast("long").alias("pack_bin"),
+        (cum - F.col("n_tokens") - F.floor((cum - F.col("n_tokens")) / capacity) * capacity)
+        .cast("long")
+        .alias("bin_offset"),
+    )
+
+
+def pack_sequences_sql(
+    inner_sql: str, id_col: str, n_tokens_col: str, capacity: int, n_shards: int = 32
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` over ``inner_sql``."""
+    return f"""
+    SELECT {id_col}, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / {capacity}) AS BIGINT) AS pack_bin,
+           CAST(cum - n_tokens - floor((cum - n_tokens) / {capacity}) * {capacity}
+                AS BIGINT) AS bin_offset
+    FROM (
+        SELECT {id_col}, {id_col} % {n_shards} AS shard,
+               {n_tokens_col} AS n_tokens,
+               sum({n_tokens_col}) OVER (
+                   PARTITION BY {id_col} % {n_shards} ORDER BY {id_col}
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM ({inner_sql})
+    )
+    """

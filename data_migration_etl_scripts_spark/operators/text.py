@@ -276,3 +276,44 @@ def tfidf_topk_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+#: PII patterns chosen to behave identically under Java regex (Spark)
+#: and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mask emails/URLs/phone-like spans with typed placeholders —
+    the pre-training privacy scrub pass. Pure column regexps (JVM-side,
+    whole-stage codegen); order matters: URLs first so their
+    digit-runs are not half-eaten by the phone pattern."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_URL, "<URL>"),
+            PII_EMAIL, "<EMAIL>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("text_scrubbed"),
+        (F.length(text_col) - F.length(scrubbed)).alias("n_chars_removed"),
+    )
+
+
+def scrub_pii_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`scrub_pii` (RE2 'g' flag = replace-all,
+    matching Spark's regexp_replace default)."""
+    s = (
+        f"regexp_replace(regexp_replace(regexp_replace({text_col}, "
+        f"'{PII_URL}', '<URL>', 'g'), "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g')"
+    )
+    return (
+        f"SELECT {id_col} AS doc_id, {s} AS text_scrubbed, "
+        f"length({text_col}) - length({s}) AS n_chars_removed FROM {table}"
+    )

@@ -1601,3 +1601,61 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.to_json(F.col("feature")).alias("feature_json"),
     )
+
+
+# ------- corpus curation: clustering, sampling, packing, scrubbing ---
+
+
+from data_migration_etl_scripts_spark.operators import curation as cu  # noqa: E402
+
+_MINHASH_PAIRS_SQL = dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", k=12, bands=4)
+
+
+@query("dedup_clusters", oracle=cu.dup_clusters_sql(_MINHASH_PAIRS_SQL))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> (doc, canonical
+    cluster representative). Hash-min label propagation: O(diameter)
+    join+min rounds with per-round localCheckpoint (lineage stays
+    O(1)); the keep-one-per-cluster decision downstream is a simple
+    doc_id == cluster_id filter."""
+    pairs = dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=12, bands=4
+    )
+    return cu.dup_clusters(pairs)
+
+
+@query(
+    "sample_deterministic",
+    oracle=cu.deterministic_sample_sql("documents", "doc_id", 0.2)
+    .replace("SELECT *", "SELECT doc_id, lang"),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% split by md5-threshold on the key: the same
+    rows on every run, every engine, every partitioning — unlike
+    rand(seed), which changes with the partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    return cu.deterministic_sample(docs, "doc_id", 0.2).select("doc_id", "lang")
+
+
+@query(
+    "pack_sequences",
+    oracle=cu.pack_sequences_sql(
+        tx.token_stats_sql("documents", "doc_id", "text"),
+        "doc_id", "approx_bpe_tokens", capacity=2048, n_shards=8,
+    ),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM pack-file layout: per-shard running token sum assigns each
+    document its pack bin + offset (capacity 2048 tokens). The window
+    partitions by shard — no global sort at corpus scale."""
+    stats = tx.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return cu.pack_sequences(
+        stats, "doc_id", "approx_bpe_tokens", capacity=2048, n_shards=8
+    )
+
+
+@query("text_scrub_pii", oracle=tx.scrub_pii_sql("documents", "doc_id", "text"))
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL/phone masking with typed placeholders (pure JVM-side
+    regexps; patterns chosen to match under both Java regex and RE2)."""
+    return tx.scrub_pii(_t(spark, sf_dir, "documents"), "doc_id", "text")
