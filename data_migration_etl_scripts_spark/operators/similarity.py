@@ -192,12 +192,13 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int = 8,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
-    ``n_centroids`` cells (centroids = first n vectors by id —
-    deterministic and oracle-portable; production swaps in k-means
-    codebooks, the plan shape is identical), then each query scores
-    ONLY its own cell.
+    ``n_centroids`` cells (default centroids = first n vectors by id —
+    deterministic and oracle-portable; pass ``centroids`` from
+    :func:`train_kmeans_centroids` for a trained codebook — same plan
+    shape, better recall), then each query scores ONLY its own cell.
 
     Scale shape: assignment is a broadcast-centroids map-side pass over
     the corpus (no shuffle), search is an equi-join on cell id — the
@@ -207,7 +208,7 @@ def cosine_topk_ivf(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
-    cent = (
+    cent = centroids if centroids is not None else (
         base.orderBy("vid")
         .limit(n_centroids)
         .select(
@@ -288,3 +289,85 @@ def cosine_topk_ivf_sql(
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Lloyd's k-means codebook for the IVF index, as pure DataFrame ops.
+
+    Each round = nearest-centroid assignment (broadcast centroids,
+    map-side) + per-cell mean (one groupBy with ``F.aggregate`` /
+    ``zip_with`` element-wise sums — partial aggregation applies, the
+    shuffle carries one partial vector per cell per task, not the
+    data). Deterministic init: first ``n_centroids`` vectors by id, the
+    same seeding ``cosine_topk_ivf`` uses, so swapping the trained
+    codebook in changes recall, never the plan shape.
+
+    Empty cells keep their previous centroid (standard Lloyd's fix).
+    Returns (centroid_id, cv, cn) ready for ``_assign_cells``.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    base = base.localCheckpoint()
+    cent = (
+        base.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            # the seed vid IS the cell id — no global-window renumbering
+            F.col("vid").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assigned = _assign_cells(base, cent, "vid")
+        # per-(cell, dimension) mean: explode -> groupBy(cell, dim) gets
+        # map-side partial aggregation, so the shuffle carries one
+        # partial per (cell, dim) per task — never whole vectors per
+        # cell (a collect_list of vectors would OOM a hot cell at scale)
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv_new")
+            )
+        )
+        cent = (
+            cent.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"),
+            )
+            .withColumn("cn", _norm(F.col("cv")))
+            .where(F.col("cn") > 0)
+            .localCheckpoint()
+        )
+    return cent
+
+
+def kmeans_cost(corpus: DataFrame, centroids: DataFrame,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> float:
+    """Mean (1 - cosine-to-assigned-centroid) — the convergence metric."""
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    assigned = _assign_cells(base, centroids, "vid")
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    joined = assigned.join(F.broadcast(centroids), "centroid_id")
+    return float(
+        joined.agg(F.avg(F.lit(1.0) - cos).alias("c")).collect()[0]["c"]
+    )

@@ -304,15 +304,20 @@ def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def scrub_pii_sql(table: str, id_col: str, text_col: str) -> str:
-    """DuckDB twin of :func:`scrub_pii` (RE2 'g' flag = replace-all,
-    matching Spark's regexp_replace default)."""
-    s = (
+def scrub_pii_expr_sql(text_col: str) -> str:
+    """The DuckDB scrub expression alone (for composing into larger
+    oracles); RE2 'g' flag = replace-all, matching Spark's default."""
+    return (
         f"regexp_replace(regexp_replace(regexp_replace({text_col}, "
         f"'{PII_URL}', '<URL>', 'g'), "
         f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
         f"'{PII_PHONE}', '<PHONE>', 'g')"
     )
+
+
+def scrub_pii_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`scrub_pii`."""
+    s = scrub_pii_expr_sql(text_col)
     return (
         f"SELECT {id_col} AS doc_id, {s} AS text_scrubbed, "
         f"length({text_col}) - length({s}) AS n_chars_removed FROM {table}"

@@ -1659,3 +1659,75 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/URL/phone masking with typed placeholders (pure JVM-side
     regexps; patterns chosen to match under both Java regex and RE2)."""
     return tx.scrub_pii(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("ann_topk_ivf_trained")  # no oracle: iterative k-means codebook
+def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over a TRAINED k-means codebook (Lloyd's, 3 rounds of
+    broadcast-assign + per-dimension mean): same search plan as
+    ann_topk_ivf, better cells. Rows-only check: the codebook is the
+    product of an iterative algorithm with no SQL twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = sim.train_kmeans_centroids(emb, n_centroids=8, n_iter=3)
+    return sim.cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 8), k=5, centroids=cent
+    )
+
+
+@query(
+    "corpus_curate",
+    oracle=f"""
+    WITH RECURSIVE pair_edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM ({_MINHASH_PAIRS_SQL})
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM ({_MINHASH_PAIRS_SQL})
+    ),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM pair_edges)
+        UNION
+        SELECT e.u, r.label FROM pair_edges e JOIN reach r ON e.v = r.node
+    ),
+    dupes AS (
+        SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(label)
+    ),
+    scrubbed AS (
+        SELECT doc_id, {tx.scrub_pii_expr_sql('text')} AS text_s
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+    ),
+    sized AS (
+        SELECT doc_id, CAST(ceil(length(text_s) / 4.0) AS BIGINT) AS n_tokens
+        FROM scrubbed WHERE length(text_s) >= 200
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_bin,
+           CAST(cum - n_tokens - floor((cum - n_tokens) / 2048) * 2048 AS BIGINT)
+               AS bin_offset
+    FROM (
+        SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sized
+    )
+    """,
+)
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus curation pipeline as ONE composed plan:
+    near-dup pairs -> connected-component clusters -> keep canonical
+    doc per cluster (anti-join) -> PII scrub -> min-length filter ->
+    pack-bin assignment. Every stage is the already-tested operator;
+    the composition stays lazy, so Catalyst prunes and pipelines
+    across stage boundaries."""
+    from data_migration_etl_scripts_spark.operators import curation as cu2
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=4)
+    clusters = cu2.dup_clusters(pairs)
+    dupes = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = docs.join(dupes, "doc_id", "left_anti")
+    scrubbed = tx.scrub_pii(kept, "doc_id", "text").select("doc_id", "text_scrubbed")
+    sized = scrubbed.where(F.length("text_scrubbed") >= 200).select(
+        "doc_id",
+        F.ceil(F.length("text_scrubbed") / F.lit(4.0)).cast("long").alias("n_tokens"),
+    )
+    return cu2.pack_sequences(sized, "doc_id", "n_tokens", capacity=2048, n_shards=8)

@@ -41,3 +41,35 @@ def read_json(
 
 def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """JSON-lines corpus reader (the interchange format of most web-scale
+    text pipelines). Always pass a schema in production: inference scans
+    the data once extra and drifts across shards."""
+    return read_json(spark, path, schema=schema, **options)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """JSON-lines sink; pair with compression='zstd'/'gzip' for shipping."""
+    df.write.mode(mode).options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet, same pushdown/pruning behavior
+    (PushedFilters shows in .explain identically)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by=None
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

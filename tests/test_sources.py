@@ -39,3 +39,26 @@ def test_watermark_query_construction():
         " WHERE CreatedOn > '2025-01-01' AND OrderID > 1500"
     )
     assert watermark_query("t", "pk", None) == "SELECT * FROM t"
+
+
+def test_jsonl_roundtrip_and_orc_pushdown(spark, tmp_path):
+    from data_migration_etl_scripts_spark.sources.files import (
+        read_jsonl,
+        read_orc,
+        write_jsonl,
+        write_orc,
+    )
+
+    df = spark.range(100).selectExpr("id", "concat('doc ', id) AS text")
+    jl = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, jl, compression="gzip")
+    back = read_jsonl(spark, jl, schema="id long, text string")
+    assert back.count() == 100
+    assert {r.id for r in back.where("id < 3").collect()} == {0, 1, 2}
+
+    oc = str(tmp_path / "docs_orc")
+    write_orc(df, oc)
+    scanned = read_orc(spark, oc).where("id > 90").select("id")
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(id,90)" in plan
+    assert scanned.count() == 9
