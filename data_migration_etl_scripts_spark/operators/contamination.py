@@ -1,0 +1,282 @@
+"""Benchmark decontamination + repetition-based quality filtering for
+training-corpus curation.
+
+Two operators every LLM-data pipeline needs that the dedup family does
+not cover:
+
+- :func:`decontaminate` — flag training documents that share n-gram
+  shingles with a benchmark/eval set (the standard "n-gram overlap"
+  decontamination from the GPT-3/PaLM data cards: a training doc is
+  contaminated when any length-``n`` token window also appears in an
+  eval document).
+- :func:`repetition_stats` — Gopher-style repetition metrics
+  (duplicate-line fraction, most-common-token fraction, most-common-
+  2-gram fraction) used to drop degenerate/boilerplate documents.
+
+Scale design (100 TB corpus, 1000 executors):
+- The eval set is small by construction (benchmarks are thousands of
+  docs, not billions), so its distinct shingle set is broadcast and
+  the contamination check is a map-side broadcast LEFT SEMI style
+  join — the 100 TB side is never shuffled.
+- ``repetition_stats`` uses explode -> groupBy(doc_id, gram) ->
+  max-per-doc. Both aggregations partially aggregate map-side and
+  shuffle on (doc_id, gram) / (doc_id) — no skew risk because the key
+  space is per-document, and no per-row O(k^2) array self-scans.
+
+All hashing/tokenization comes from ``textprep`` so the DuckDB oracle
+fragments stay in lockstep with the Spark plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.operators import textprep as tp
+
+# ------------------------------------------------------ decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Per-doc contamination stats against a benchmark set.
+
+    Returns (doc_id, n_shingles, n_hits, contaminated) where ``n_hits``
+    counts the doc's DISTINCT n-gram shingles that also occur anywhere
+    in ``bench``; ``contaminated`` is true when any hit exists. Docs
+    too short to form a shingle report 0/0/false.
+
+    Plan shape: bench distinct-shingle set (small — benchmarks are
+    thousands of docs) is broadcast; the corpus side explodes its
+    shingles and LEFT-joins the broadcast set, so the 100 TB side is
+    map-side only until the final per-doc count, which shuffles one
+    (doc_id, partial-count) row per task.
+    """
+    bench_text = bench_text_col or text_col
+    bench_shingles = (
+        bench.select(
+            F.explode(
+                tp.word_shingles(tp.tokens(bench_text), n=n, distinct=True)
+            ).alias("shingle")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_shingles = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            tp.word_shingles(tp.tokens(text_col), n=n, distinct=True)
+        ).alias("shingle"),
+    )
+    return (
+        doc_shingles.join(F.broadcast(bench_shingles), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("shingle").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
+def decontaminate_sql(
+    docs_table: str,
+    bench_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> str:
+    """DuckDB twin of :func:`decontaminate`. ``bench_sql`` is a SELECT
+    producing the benchmark rows with a ``{text_col}`` column."""
+    doc_sh = tp.word_shingles_sql(tp.tokens_sql(text_col), n=n, distinct=True)
+    return f"""
+        WITH bench_shingles AS (
+            SELECT DISTINCT unnest({doc_sh}) AS shingle
+            FROM ({bench_sql})
+        ),
+        doc_shingles AS (
+            SELECT {id_col} AS doc_id, s.shingle
+            FROM {docs_table}
+            LEFT JOIN LATERAL (
+                SELECT unnest(COALESCE(NULLIF({doc_sh}, []), [NULL])) AS shingle
+            ) s ON true
+        )
+        SELECT d.doc_id,
+               count(d.shingle) AS n_shingles,
+               CAST(count(b.shingle) AS BIGINT) AS n_hits,
+               count(b.shingle) > 0 AS contaminated
+        FROM doc_shingles d
+        LEFT JOIN bench_shingles b ON d.shingle = b.shingle
+        GROUP BY d.doc_id
+    """
+
+
+# -------------------------------------------------- repetition filters
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_frac: float = 0.20,
+    max_bigram_frac: float = 0.30,
+    max_dup_line_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition metrics + keep/drop flag per document.
+
+    Returns (doc_id, n_tokens, top_token_frac, top_bigram_frac,
+    dup_line_frac, keep). Fractions are 0 for empty docs so the flag
+    never NULLs out.
+
+    - ``top_token_frac``  — occurrences of the most frequent token /
+      total tokens ("most common word" rule).
+    - ``top_bigram_frac`` — tokens covered by the most frequent 2-gram
+      (2 * count / n_tokens), capped at 1.0 for the n_tokens==1 edge.
+    - ``dup_line_frac``   — 1 - distinct_lines/lines over newline-split
+      raw text (duplicate-paragraph rule; 0 for single-line docs).
+
+    Plan: one explode of non-distinct token/2-gram streams ->
+    groupBy(doc_id, gram) -> max count per doc. Two shuffles, both
+    partially aggregated map-side, keyed per-document (no global skew).
+    dup_line_frac is a pure per-row array expression (no shuffle).
+    """
+    toks = tp.tokens(text_col)
+    grams = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit(1).alias("w"), t.alias("g"))),
+        F.transform(
+            tp.word_shingles(toks, n=2, distinct=False),
+            lambda t: F.struct(F.lit(2).alias("w"), t.alias("g")),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    ).select("doc_id", F.col("gram.w").alias("w"), F.col("gram.g").alias("g"))
+    tops = (
+        exploded.groupBy("doc_id", "w", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "w")
+        .agg(F.max("c").alias("top_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("w") == 1, F.col("top_c"))).alias("top_tok_c"),
+            F.max(F.when(F.col("w") == 2, F.col("top_c"))).alias("top_big_c"),
+        )
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct_lines"),
+    )
+    out = (
+        base.join(tops, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("top_tok_c") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_token_frac"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 1,
+                    F.least(
+                        F.lit(2) * F.col("top_big_c") / F.col("n_tokens"),
+                        F.lit(1.0),
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    F.lit(1.0) - F.col("n_distinct_lines") / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_frac"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_token_frac") <= max_token_frac)
+        & (F.col("top_bigram_frac") <= max_bigram_frac)
+        & (F.col("dup_line_frac") <= max_dup_line_frac),
+    )
+
+
+def repetition_stats_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_frac: float = 0.20,
+    max_bigram_frac: float = 0.30,
+    max_dup_line_frac: float = 0.30,
+) -> str:
+    """DuckDB twin of :func:`repetition_stats`."""
+    toks = tp.tokens_sql(text_col)
+    bigr = tp.word_shingles_sql(toks, n=2, distinct=False)
+    return f"""
+        WITH grams AS (
+            SELECT {id_col} AS doc_id, u.w, u.g
+            FROM {table},
+            LATERAL (
+                SELECT 1 AS w, unnest({toks}) AS g
+                UNION ALL
+                SELECT 2 AS w, unnest({bigr}) AS g
+            ) u
+        ),
+        tops AS (
+            SELECT doc_id,
+                   max(c) FILTER (w = 1) AS top_tok_c,
+                   max(c) FILTER (w = 2) AS top_big_c
+            FROM (
+                SELECT doc_id, w, g, count(*) AS c
+                FROM grams GROUP BY doc_id, w, g
+            ) counted
+            GROUP BY doc_id
+        ),
+        base AS (
+            SELECT {id_col} AS doc_id,
+                   CAST(len({toks}) AS BIGINT) AS n_tokens,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines
+            FROM (
+                SELECT *,
+                       list_filter(list_transform(string_split({text_col}, chr(10)),
+                                                  s -> trim(s)),
+                                   s -> s <> '') AS lines
+                FROM {table}
+            ) t
+        ),
+        metrics AS (
+            SELECT b.doc_id, b.n_tokens,
+                   round(CASE WHEN b.n_tokens > 0
+                              THEN t.top_tok_c / CAST(b.n_tokens AS DOUBLE)
+                              ELSE 0.0 END, 6) AS top_token_frac,
+                   round(CASE WHEN b.n_tokens > 1
+                              THEN least(2 * t.top_big_c / CAST(b.n_tokens AS DOUBLE), 1.0)
+                              ELSE 0.0 END, 6) AS top_bigram_frac,
+                   round(CASE WHEN b.n_lines > 0
+                              THEN 1.0 - b.n_distinct_lines / CAST(b.n_lines AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_line_frac
+            FROM base b LEFT JOIN tops t ON b.doc_id = t.doc_id
+        )
+        SELECT *,
+               top_token_frac <= {max_token_frac}
+               AND top_bigram_frac <= {max_bigram_frac}
+               AND dup_line_frac <= {max_dup_line_frac} AS keep
+        FROM metrics
+    """

@@ -41,7 +41,9 @@ from data_migration_etl_scripts_spark.operators import (
     top1_per_group,
     unpivot_kv,
 )
+from data_migration_etl_scripts_spark.operators import contamination as ctm
 from data_migration_etl_scripts_spark.operators import dedup as dd
+from data_migration_etl_scripts_spark.operators import embed as em
 from data_migration_etl_scripts_spark.operators import similarity as sim
 from data_migration_etl_scripts_spark.operators import text as tx
 
@@ -1731,3 +1733,53 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.length("text_scrubbed") / F.lit(4.0)).cast("long").alias("n_tokens"),
     )
     return cu2.pack_sequences(sized, "doc_id", "n_tokens", capacity=2048, n_shards=8)
+
+
+@query(
+    "decontaminate_docs",
+    oracle=ctm.decontaminate_sql(
+        "documents",
+        "SELECT text FROM documents WHERE doc_id % 23 = 0",
+        n=8,
+    ),
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 8-gram
+    with the eval slice (doc_id % 23 == 0 stands in for a benchmark
+    table). Eval shingle set is broadcast — the corpus side never
+    shuffles until the per-doc count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0).select("text")
+    return ctm.decontaminate(docs, bench, n=8)
+
+
+@query(
+    "quality_repetition",
+    oracle=ctm.repetition_stats_sql("documents"),
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (top-token / top-2-gram /
+    duplicate-line fractions) + keep flag, per document."""
+    return ctm.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "embed_quantize_int8",
+    oracle=em.quantize_int8_sql("embeddings"),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (map-side only; floor(x+0.5) rounding for cross-engine parity;
+    quantized vector serialized as CSV for harness hashability)."""
+    return em.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embed_random_projection",
+    oracle=em.random_projection_sql("embeddings", in_dim=64, out_dim=8),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed (±1) random projection 64 -> 8 dims as scalar columns;
+    md5-seeded sign matrix embedded as literals in both engines, fold
+    order matched so doubles are bit-identical."""
+    return em.random_projection(_t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=8)

@@ -29,6 +29,7 @@ KEYED = {
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 #: key domains so offsets line up across tables: domain -> (table, col)
 DOMAINS = {
@@ -37,6 +38,7 @@ DOMAINS = {
     "suppkey": [("lineitem", "l_suppkey"), ("supplier", "s_suppkey")],
     "partkey": [("lineitem", "l_partkey"), ("part", "p_partkey")],
     "docid": [("documents", "doc_id")],
+    "vecid": [("embeddings", "vec_id")],
 }
 
 QUERIES = [
@@ -47,6 +49,11 @@ QUERIES = [
     "top_tokens",
     "dedup_minhash_lsh",
     "categories_shape",
+    "corpus_curate",
+    "decontaminate_docs",
+    "quality_repetition",
+    "embed_quantize_int8",
+    "embed_random_projection",
 ]
 
 
@@ -66,7 +73,7 @@ def build_10x(spark) -> None:
         (t, c): offsets[dom] for dom, sites in DOMAINS.items() for (t, c) in sites
     }
     for t in ("lineitem", "orders", "customer", "supplier", "part",
-              "nation", "region", "documents"):
+              "nation", "region", "documents", "embeddings"):
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         if t in KEYED:
             parts = []
