@@ -280,3 +280,122 @@ def repetition_stats_sql(
                AND dup_line_frac <= {max_dup_line_frac} AS keep
         FROM metrics
     """
+
+
+# ------------------------------------------- corpus-statistics scoring
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 4096,
+) -> DataFrame:
+    """Unigram-LM document scoring against corpus-global statistics —
+    the cheap stand-in for perplexity filtering (KenLM-style) in data
+    curation: low average token log-prob = gibberish / OOV-heavy docs.
+
+    Two passes over the corpus, which is inherent (pass 1 builds the
+    model, pass 2 scores): token counts -> top-``vocab_size`` vocab
+    (TakeOrderedAndProject, never a global sort) with probabilities;
+    then per-token LEFT join against the BROADCAST vocab, OOV floored
+    at 0.5/total. Per-token log-probs are rounded to 9 dp then summed
+    as DECIMAL so the per-doc average is order-independent (1000
+    executors must agree with each other, not just with the oracle).
+
+    Returns (doc_id, n_tokens, oov_frac, avg_logprob); empty docs
+    report (0, 0.0, 0.0).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tp.tokens(text_col)).alias("t"),
+    )
+    counts = tok.where(F.col("t").isNotNull()).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.agg(F.sum("c").cast("long").alias("total"))
+    vocab = counts.orderBy(F.desc("c"), "t").limit(vocab_size)
+    lp = F.round(
+        F.log(
+            F.coalesce(
+                F.col("c") / F.col("total"),
+                F.lit(0.5) / F.col("total"),
+            )
+        ),
+        9,
+    )
+    scored = (
+        tok.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(vocab), "t", "left")
+        .select(
+            "doc_id",
+            F.col("t").isNotNull().cast("int").alias("is_tok"),
+            (F.col("t").isNotNull() & F.col("c").isNull()).cast("int").alias("is_oov"),
+            F.when(F.col("t").isNotNull(), lp)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(20,10)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("is_tok").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.sum("is_tok") > 0, F.sum("is_oov") / F.sum("is_tok")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("oov_frac"),
+        F.round(
+            F.when(
+                F.sum("is_tok") > 0,
+                F.sum("lp").cast("double") / F.sum("is_tok"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+def unigram_logprob_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob` (same rounding + DECIMAL
+    summation so doubles agree bit-for-bit)."""
+    toks = tp.tokens_sql(text_col)
+    return f"""
+        WITH tok AS (
+            SELECT {id_col} AS doc_id, u.t
+            FROM {table}
+            LEFT JOIN LATERAL (
+                SELECT unnest(COALESCE(NULLIF({toks}, []), [NULL])) AS t
+            ) u ON true
+        ),
+        counts AS (
+            SELECT t, count(*) AS c FROM tok WHERE t IS NOT NULL GROUP BY t
+        ),
+        totals AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+        vocab AS (
+            SELECT t, c FROM counts ORDER BY c DESC, t LIMIT {vocab_size}
+        ),
+        scored AS (
+            SELECT tok.doc_id,
+                   CAST(tok.t IS NOT NULL AS INT) AS is_tok,
+                   CAST(tok.t IS NOT NULL AND v.c IS NULL AS INT) AS is_oov,
+                   CAST(CASE WHEN tok.t IS NOT NULL THEN
+                       round(ln(COALESCE(v.c / CAST(total AS DOUBLE),
+                                         0.5 / CAST(total AS DOUBLE))), 9)
+                   ELSE 0.0 END AS DECIMAL(20,10)) AS lp
+            FROM tok CROSS JOIN totals LEFT JOIN vocab v ON tok.t = v.t
+        )
+        SELECT doc_id,
+               CAST(sum(is_tok) AS BIGINT) AS n_tokens,
+               round(CASE WHEN sum(is_tok) > 0
+                          THEN sum(is_oov) / CAST(sum(is_tok) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS oov_frac,
+               round(CASE WHEN sum(is_tok) > 0
+                          THEN CAST(sum(lp) AS DOUBLE) / sum(is_tok)
+                          ELSE 0.0 END, 6) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    """

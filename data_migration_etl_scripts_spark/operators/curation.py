@@ -179,3 +179,47 @@ def pack_sequences_sql(
         FROM ({inner_sql})
     )
     """
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample each language
+    or source to its target mixture weight). Same md5-prefix scheme as
+    :func:`deterministic_sample` — engine-, partitioning-, and
+    run-independent — with the cutoff chosen per stratum value. Rows in
+    strata absent from ``fractions`` keep ``default_fraction``.
+
+    Pure map-side filter: no shuffle, no per-stratum scan — one pass
+    with a CASE over the broadcast-free literal cutoff table.
+    """
+    prefix = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 6)
+    cutoff = F.lit(sample_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(strata_col) == value, F.lit(sample_threshold_hex(frac))
+        ).otherwise(cutoff)
+    return df.where(prefix < cutoff)
+
+
+def stratified_sample_sql(
+    table: str,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    whens = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN '{sample_threshold_hex(f)}'"
+        for v, f in sorted(fractions.items())
+    )
+    return (
+        f"SELECT * FROM {table} WHERE "
+        f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 6) < "
+        f"CASE {whens} ELSE '{sample_threshold_hex(default_fraction)}' END"
+    )

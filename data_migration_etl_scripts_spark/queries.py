@@ -1783,3 +1783,37 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-seeded sign matrix embedded as literals in both engines, fold
     order matched so doubles are bit-identical."""
     return em.random_projection(_t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=8)
+
+
+_STRATA_FRACTIONS = {"en": 0.1, "zh": 0.5, "es": 0.9}
+
+
+@query(
+    "sample_stratified",
+    oracle=cu.stratified_sample_sql(
+        "documents", "doc_id", "lang", _STRATA_FRACTIONS, default_fraction=0.25
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling to mixture weights
+    (md5-threshold per stratum; partitioning/run independent, one
+    map-side CASE filter — no shuffle, no per-stratum scan)."""
+    return cu.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        _STRATA_FRACTIONS,
+        default_fraction=0.25,
+    )
+
+
+@query(
+    "unigram_lm_score",
+    oracle=ctm.unigram_logprob_sql("documents", vocab_size=64),
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring against corpus-global token stats
+    (perplexity-filter stand-in): top-64 vocab via TakeOrderedAndProject,
+    broadcast to a per-token left join; log-probs rounded then
+    DECIMAL-summed so 1000 executors agree bit-for-bit."""
+    return ctm.unigram_logprob(_t(spark, sf_dir, "documents"), vocab_size=64)

@@ -110,3 +110,43 @@ def test_decontaminate_plan_broadcasts_bench(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    from data_migration_etl_scripts_spark.operators import curation as cu
+
+    df = spark.range(4000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+    )
+    out = cu.stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.05}, default_fraction=0.0
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts.get("en", 0) / 2000 - 0.5) < 0.06
+    assert abs(counts.get("de", 0) / 2000 - 0.05) < 0.03
+    # deterministic: same rows on re-run and under different partitioning
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in cu.stratified_sample(
+            df.repartition(13), "doc_id", "lang", {"en": 0.5, "de": 0.05}
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_unigram_logprob_ranks_common_above_gibberish(spark):
+    from data_migration_etl_scripts_spark.operators import contamination as ct2
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zxqv wvmpk qqzzk jjxwv pppqq zzzzw aaaqx"))  # OOV soup
+    rows.append((101, ""))  # empty
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ct2.unigram_logprob(df, vocab_size=10).collect()}
+    assert out[0].avg_logprob > out[100].avg_logprob
+    assert out[100].oov_frac > 0.5
+    assert out[101].n_tokens == 0 and out[101].avg_logprob == 0.0
+    # common-doc tokens all in vocab -> zero OOV
+    assert out[0].oov_frac == 0.0
