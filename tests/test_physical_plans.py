@@ -192,3 +192,38 @@ def test_fact_joins_carry_no_forced_broadcast_hint(spark):
         logical = df._jdf.queryExecution().analyzed().toString()
         assert logical.count("UnresolvedHint") == 0
         assert logical.count("ResolvedHint") <= dims_allowed, name
+
+
+def test_unigram_vocab_is_broadcast_never_smj(spark):
+    # corpus-statistics scoring: the top-V vocab and the scalar total
+    # must broadcast; a SortMergeJoin here would shuffle the whole
+    # exploded token stream against a 64-row table
+    p = plan(q.all_queries()["unigram_lm_score"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    p = plan(q.all_queries()["decontaminate_docs"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_repetition_stats_partially_aggregates(spark):
+    # explode -> groupBy must partial-aggregate map-side: partial_count
+    # before the exchange, so the shuffle carries per-(doc,gram) partials
+    p = plan(q.all_queries()["quality_repetition"](spark, SF))
+    assert "partial_count" in p
+
+
+def test_embed_transforms_have_no_shuffle(spark):
+    # quantize/projection are pure map-side expressions: no Exchange
+    for name in ("embed_quantize_int8", "embed_random_projection"):
+        p = plan(q.all_queries()[name](spark, SF))
+        assert "Exchange" not in p, name
+
+
+def test_stratified_sample_is_a_pushed_scan_filter(spark):
+    # one Filter over the scan; no shuffle, no join
+    p = plan(q.all_queries()["sample_stratified"](spark, SF))
+    assert "Exchange" not in p and "Join" not in p
