@@ -1,0 +1,116 @@
+"""Table profiling: per-column stats in ONE pass over the data.
+
+``profile_columns`` is the data-quality/gate companion — null counts,
+exact distinct counts, min/max per column, emitted as one row per
+column. The whole profile is a single aggregate job: Spark evaluates
+all per-column aggregates together (multiple DISTINCT aggregates plan
+through Expand), then a ``stack`` unpivots the single result row.
+
+Scale note (documented, and why ``approx`` exists): N exact DISTINCT
+aggregates Expand the input N-fold pre-shuffle. Fine for gate-sized
+dimension tables; for 100 TB fact profiling pass ``approx=True`` —
+``approx_count_distinct`` (HyperLogLog++) is mergeable, one row per
+partition into the shuffle, no Expand. HLL results are engine-specific
+so approx mode has no value-exact oracle (rows-only checks).
+
+``approx_profile`` adds the per-group sketch family: HLL distinct +
+t-digest quantiles (``percentile_approx``) — the mergeable-sketch
+shapes that replace exact percentiles at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_s, max_s). min/max are cast to string so heterogeneous column
+    types fit one schema. NULLs are excluded from n_distinct (SQL
+    semantics) and min/max."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        nd = (
+            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            nd.alias(f"__d_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"__d_{c}"),
+            F.col(f"__nn_{c}"),
+            F.col(f"__mn_{c}"),
+            F.col(f"__mx_{c}"),
+        ]
+    n = len(cols)
+    return row.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(
+            F.lit(n), *stack_args
+        ).alias("column", "n_distinct", "__nn", "min_s", "max_s"),
+    ).select(
+        "column",
+        "n_rows",
+        (F.col("n_rows") - F.col("__nn")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_s",
+        "max_s",
+    )
+
+
+def profile_columns_sql(table: str, columns: list[str]) -> str:
+    """DuckDB twin of exact :func:`profile_columns` (UNION ALL per
+    column — the oracle need not be single-pass, only value-equal)."""
+    parts = [
+        f"""
+        SELECT '{c}' AS column,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_s,
+               CAST(max({c}) AS VARCHAR) AS max_s
+        FROM {table}
+        """
+        for c in columns
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def approx_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group mergeable sketches: HLL distinct count of ``value_col``
+    plus t-digest quantiles. One shuffle carrying one sketch per group
+    per task — the 100 TB replacement for exact percentiles (exact
+    stays available for test parity via ``percentile_acctbal``-style
+    queries)."""
+    qcols = [
+        F.percentile_approx(value_col, q, accuracy).alias(
+            f"p{str(q).replace('0.', '')}"
+        )
+        for q in quantiles
+    ]
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct(value_col).alias("approx_distinct"),
+            *qcols,
+        )
+        .orderBy(group_col)
+    )

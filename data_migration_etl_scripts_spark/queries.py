@@ -44,6 +44,8 @@ from data_migration_etl_scripts_spark.operators import (
 from data_migration_etl_scripts_spark.operators import contamination as ctm
 from data_migration_etl_scripts_spark.operators import dedup as dd
 from data_migration_etl_scripts_spark.operators import embed as em
+from data_migration_etl_scripts_spark.operators import ingest as ig
+from data_migration_etl_scripts_spark.operators import profile as pf
 from data_migration_etl_scripts_spark.operators import similarity as sim
 from data_migration_etl_scripts_spark.operators import text as tx
 
@@ -1817,3 +1819,48 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast to a per-token left join; log-probs rounded then
     DECIMAL-summed so 1000 executors agree bit-for-bit."""
     return ctm.unigram_logprob(_t(spark, sf_dir, "documents"), vocab_size=64)
+
+
+@query(
+    "ingest_dedup",
+    oracle=ig.dedup_incoming_sql(
+        "SELECT * FROM documents WHERE doc_id % 10 = 7",
+        "SELECT * FROM documents WHERE doc_id % 10 <> 7",
+    ),
+)
+def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest: classify an incoming batch (doc_id%10==7)
+    against history indexes (content hashes + LSH band table) without
+    touching historical text. Two slim equi-joins; the batch side is
+    the natural AQE broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 7)
+    hist = docs.where(F.col("doc_id") % 10 != 7)
+    return ig.dedup_incoming(
+        new,
+        ig.content_hash_table(hist, "doc_id", "text"),
+        ig.minhash_band_table(hist, "doc_id", "text"),
+    )
+
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"]
+
+
+@query(
+    "profile_customer",
+    oracle=pf.profile_columns_sql("customer", _PROFILE_COLS),
+)
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile: null/distinct/min/max per column as
+    rows (gate precheck / data-quality report). Exact mode here;
+    approx=True (HLL, no Expand) is the documented 100 TB path."""
+    return pf.profile_columns(_t(spark, sf_dir, "customer"), _PROFILE_COLS)
+
+
+@query("sketch_profile_events")  # no oracle: HLL/t-digest are engine-specific
+def sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mergeable sketches: HLL distinct users + t-digest
+    amount quantiles. Rows-only driver check (sketch values are
+    engine-specific); pytest bounds them against exact answers."""
+    ev = _t(spark, sf_dir, "events")
+    return pf.approx_profile(ev, "event_type", "user_id")
