@@ -68,3 +68,66 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort-within-partitions before writing parquet:
+    every output file covers a disjoint range of ``cluster_cols``, so
+    parquet column min/max stats let later range/point predicates skip
+    whole files and row groups (poor-man's clustering — same idea as
+    Delta OPTIMIZE ZORDER for a single-dimension key).
+
+    ``repartitionByRange`` samples the key distribution, so files come
+    out balanced even under skew (quantile cuts, not hash). One shuffle
+    to pay at write time; every selective read afterwards scans only
+    the matching files instead of all of them.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    parted = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    cluster_cols: Sequence[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``ceil(n/target)`` files —
+    the maintenance pass that keeps a streaming/incremental sink from
+    accumulating thousands of tiny appended files (each file is a scan
+    task + a NameNode/listing entry; small-file sprawl is a classic
+    100 TB operational failure). Preserves range clustering when
+    ``cluster_cols`` given. Returns the new file count.
+
+    Uses overwrite-via-staging: read, coalesce/range-cluster, write to
+    `path + '.compact'`, then swap — callers on object stores should
+    swap via their catalog instead of a rename.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    staged = path.rstrip("/") + ".compact"
+    if cluster_cols:
+        cols = [F.col(c) for c in cluster_cols]
+        out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    return n_files

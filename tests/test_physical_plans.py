@@ -227,3 +227,49 @@ def test_stratified_sample_is_a_pushed_scan_filter(spark):
     # one Filter over the scan; no shuffle, no join
     p = plan(q.all_queries()["sample_stratified"](spark, SF))
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_range_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
+    import glob
+
+    from data_migration_etl_scripts_spark.operators.scale import (
+        write_range_clustered,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    dst = str(tmp_path / "clustered")
+    write_range_clustered(orders, dst, ["o_orderkey"], num_files=4)
+    files = glob.glob(dst + "/part-*.parquet")
+    assert len(files) == 4
+    # per-file key ranges must not overlap -> min/max stats can skip files
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .collect()[0]
+        )
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap — no skipping possible"
+
+
+def test_compact_small_files_preserves_data(spark, tmp_path):
+    from data_migration_etl_scripts_spark.operators.scale import (
+        compact_small_files,
+    )
+
+    dst = str(tmp_path / "sink")
+    # simulate streaming sprawl: 20 tiny appends
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(dst)
+    import glob
+
+    assert len(glob.glob(dst + "/part-*.parquet")) >= 20
+    before = sorted(r.id for r in spark.read.parquet(dst).collect())
+    n_files = compact_small_files(spark, dst, target_rows_per_file=100)
+    assert n_files == 2
+    assert len(glob.glob(dst + "/part-*.parquet")) == 2
+    after = sorted(r.id for r in spark.read.parquet(dst).collect())
+    assert after == before
