@@ -223,3 +223,57 @@ def stratified_sample_sql(
         f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 6) < "
         f"CASE {whens} ELSE '{sample_threshold_hex(default_fraction)}' END"
     )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_tokens_col: str,
+    budget_per_shard: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget:
+    take the highest-``score_col`` documents until each shard's
+    running token sum exceeds ``budget_per_shard`` (total budget =
+    n_shards * budget_per_shard). The standard "best data that fits
+    the compute budget" selection, made distributed by sharding on
+    ``id % n_shards``: each shard sorts only its slice (partition-local
+    window, no global sort) and budgets independently — at 1000
+    executors the sort is n_shards-way parallel.
+
+    Deterministic total order: (score desc, id) — ties never flip
+    between runs/engines. Returns the kept rows + (shard, cum_tokens).
+    """
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select("*", shard).withColumn(
+        "cum_tokens", F.sum(n_tokens_col).over(w).cast("long")
+    )
+    return out.where(F.col("cum_tokens") <= budget_per_shard)
+
+
+def select_to_token_budget_sql(
+    inner_sql: str,
+    id_col: str,
+    score_col: str,
+    n_tokens_col: str,
+    budget_per_shard: int,
+    n_shards: int = 32,
+) -> str:
+    """DuckDB twin of :func:`select_to_token_budget`."""
+    return f"""
+        SELECT * FROM (
+            SELECT *, {id_col} % {n_shards} AS shard,
+                   CAST(sum({n_tokens_col}) OVER (
+                       PARTITION BY {id_col} % {n_shards}
+                       ORDER BY {score_col} DESC, {id_col}
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM ({inner_sql})
+        ) WHERE cum_tokens <= {budget_per_shard}
+    """

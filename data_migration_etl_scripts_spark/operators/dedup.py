@@ -480,3 +480,116 @@ def embedding_neardup_pairs_sql(
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {threshold}
     """
+
+
+# ------------------------------------------- paragraph-level dedup
+
+
+def remove_duplicate_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-wide paragraph dedup: every paragraph keeps only its
+    FIRST occurrence (ordered by (doc_id, position)); later copies are
+    dropped from their documents and the text is reassembled. The
+    substring-level companion to document dedup — kills boilerplate
+    shared across otherwise-distinct pages.
+
+    Skew-safe at corpus scale: the winner per paragraph-hash is a
+    ``min(struct(doc_id, pos))`` AGGREGATE (map-side partials; a
+    boilerplate paragraph occurring 10M times still shuffles one
+    partial per task) — NOT a window over the hash, which would drag
+    every copy of a hot paragraph into one partition. Reassembly
+    sorts each doc's kept paragraphs with array_sort(collect_list)
+    (order-independent collect, deterministic result).
+
+    Returns (doc_id, text_clean, n_paras, n_dropped); documents whose
+    every paragraph was dropped keep an empty text_clean.
+    """
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.trim(F.col("para")) != "")
+    hashed = paras.withColumn("ph", F.md5(F.trim(F.col("para"))))
+    winners = (
+        hashed.groupBy("ph")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select(
+            F.col("ph").alias("wph"),
+            F.col("w.doc_id").alias("wdoc"),
+            F.col("w.pos").alias("wpos"),
+        )
+    )
+    kept = hashed.join(
+        winners,
+        (F.col("ph") == F.col("wph"))
+        & (F.col("doc_id") == F.col("wdoc"))
+        & (F.col("pos") == F.col("wpos")),
+        "semi",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            (F.coalesce("n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def remove_duplicate_paragraphs_sql(
+    table: str, id_col: str, text_col: str, sep: str = "\n"
+) -> str:
+    """DuckDB twin of :func:`remove_duplicate_paragraphs` (the oracle
+    may use a window — it doesn't need to be skew-safe)."""
+    sep_sql = sep.replace("\n", "' || chr(10) || '")
+    return f"""
+        WITH paras AS (
+            SELECT {id_col} AS doc_id, u.pos - 1 AS pos, u.para,
+                   md5(trim(u.para)) AS ph
+            FROM {table},
+            LATERAL (
+                SELECT generate_subscripts(s, 1) AS pos, unnest(s) AS para
+                FROM (SELECT string_split({text_col}, '{sep_sql}') AS s)
+            ) u
+            WHERE trim(u.para) <> ''
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY ph ORDER BY doc_id, pos
+            ) AS rn
+            FROM paras
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(para, '{sep_sql}' ORDER BY pos) AS text_clean,
+                   count(*) AS n_kept
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        ),
+        totals AS (
+            SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id
+        )
+        SELECT d.{id_col} AS doc_id,
+               COALESCE(r.text_clean, '') AS text_clean,
+               CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+               CAST(COALESCE(t.n_paras, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS n_dropped
+        FROM {table} d
+        LEFT JOIN totals t ON d.{id_col} = t.doc_id
+        LEFT JOIN rebuilt r ON d.{id_col} = r.doc_id
+    """

@@ -322,3 +322,82 @@ def scrub_pii_sql(table: str, id_col: str, text_col: str) -> str:
         f"SELECT {id_col} AS doc_id, {s} AS text_scrubbed, "
         f"length({text_col}) - length({s}) AS n_chars_removed FROM {table}"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    preprocessing step for embedding models / context-window loaders.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final partial chunk is kept
+    (so every token lands in >= 1 chunk). Pure per-row array exprs
+    (sequence -> slice -> join) — map-side only, no shuffle, one output
+    row per chunk via posexplode.
+
+    Returns (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = tp.tokens(text_col)
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride); 0 for empty docs
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.when(n_chunks > 0, chunks)).alias("chunk_id", "ctoks"),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ctoks").alias("n_chunk_tokens"),
+        F.array_join("ctoks", " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    stride = chunk_tokens - overlap
+    toks = tp.tokens_sql(text_col)
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+        ),
+        sized AS (
+            SELECT doc_id, t,
+                   CASE WHEN len(t) <= 0 THEN 0
+                        ELSE 1 + CAST(ceil(greatest(len(t) - {chunk_tokens}, 0)
+                                           / {stride}.0) AS INT) END AS n_chunks
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(g.i AS INT) AS chunk_id,
+               CAST(len(list_slice(t, g.i * {stride} + 1,
+                                   g.i * {stride} + {chunk_tokens})) AS INT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(t, g.i * {stride} + 1,
+                                          g.i * {stride} + {chunk_tokens}), ' ')
+                   AS chunk_text
+        FROM sized, LATERAL (
+            SELECT unnest(CASE WHEN n_chunks > 0
+                               THEN list_transform(generate_series(0, n_chunks - 1), x -> x)
+                               ELSE [] END) AS i
+        ) g
+    """

@@ -1864,3 +1864,63 @@ def sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific); pytest bounds them against exact answers."""
     ev = _t(spark, sf_dir, "events")
     return pf.approx_profile(ev, "event_type", "user_id")
+
+
+@query(
+    "dedup_paragraphs",
+    oracle=dd.remove_duplicate_paragraphs_sql("documents", "doc_id", "text"),
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (keep first occurrence by (doc_id,
+    pos)): winner per paragraph-hash is a min(struct) AGGREGATE — not a
+    per-hash window — so 10M copies of a boilerplate paragraph still
+    shuffle only map-side partials. Text reassembled deterministically
+    via array_sort(collect_list)."""
+    return dd.remove_duplicate_paragraphs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "chunk_documents",
+    oracle=tx.chunk_documents_sql("documents", chunk_tokens=16, overlap=4),
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows with overlap (embedding/context-window
+    prep): sequence -> slice per row, posexplode to one row per chunk.
+    Map-side only — no shuffle."""
+    return tx.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4
+    )
+
+
+_BUDGET_INNER_SQL = f"""
+    SELECT q.doc_id, q.quality, t.approx_bpe_tokens
+    FROM ({tx.quality_score_sql('documents', 'doc_id', 'text')}) q
+    JOIN ({tx.token_stats_sql('documents', 'doc_id', 'text')}) t USING (doc_id)
+"""
+
+
+@query(
+    "select_token_budget",
+    oracle=cu.select_to_token_budget_sql(
+        _BUDGET_INNER_SQL, "doc_id", "quality", "approx_bpe_tokens",
+        budget_per_shard=400, n_shards=8,
+    ),
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first greedy selection under a per-shard token budget
+    (the 'best data for the compute budget' pass): per-shard window
+    cumsum over (quality desc, doc_id) — n_shards-way parallel sort,
+    never global."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.quality_score(docs, "doc_id", "text").join(
+        tx.token_stats(docs, "doc_id", "text").select(
+            "doc_id", "approx_bpe_tokens"
+        ),
+        "doc_id",
+    )
+    return cu.select_to_token_budget(
+        scored, "doc_id", "quality", "approx_bpe_tokens",
+        budget_per_shard=400, n_shards=8,
+    )

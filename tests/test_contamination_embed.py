@@ -150,3 +150,74 @@ def test_unigram_logprob_ranks_common_above_gibberish(spark):
     assert out[101].n_tokens == 0 and out[101].avg_logprob == 0.0
     # common-doc tokens all in vocab -> zero OOV
     assert out[0].oov_frac == 0.0
+
+
+def test_remove_duplicate_paragraphs_keeps_first_occurrence(spark):
+    from data_migration_etl_scripts_spark.operators import dedup as dd2
+
+    rows = [
+        (1, "alpha\nbeta\nalpha"),     # in-doc dup: second 'alpha' dropped
+        (2, "beta\ngamma"),            # 'beta' seen in doc 1 -> dropped
+        (3, ""),                       # empty doc
+        (4, "delta"),                  # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dd2.remove_duplicate_paragraphs(df, "doc_id", "text").collect()}
+    assert out[1].text_clean == "alpha\nbeta" and out[1].n_dropped == 1
+    assert out[2].text_clean == "gamma" and out[2].n_dropped == 1
+    assert out[3].text_clean == "" and out[3].n_paras == 0
+    assert out[4].text_clean == "delta" and out[4].n_dropped == 0
+
+
+def test_remove_duplicate_paragraphs_winner_is_aggregate_not_window(spark):
+    from data_migration_etl_scripts_spark.operators import dedup as dd2
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        dd2.remove_duplicate_paragraphs(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # skew guard: no window over the paragraph hash anywhere in the plan
+    assert "Window" not in plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from data_migration_etl_scripts_spark.operators import text as tx2
+
+    words = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = tx2.chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 20 tokens, stride 6 -> chunks at 0,6,12 -> 1+ceil(12/6)=3
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert len(c1) == 3
+    assert c1[0].chunk_text.split()[:2] == ["w0", "w1"]
+    assert c1[1].chunk_text.split()[0] == "w6"  # overlap of 2: starts at 6
+    assert c1[2].n_chunk_tokens == 8  # 12..19
+    # every token appears in at least one chunk
+    covered = set()
+    for r in c1:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(20)}
+    # short doc: single partial chunk; empty doc: no rows
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 3
+    assert 3 not in by_doc
+
+
+def test_select_to_token_budget_takes_best_first(spark):
+    from data_migration_etl_scripts_spark.operators import curation as cu2
+
+    rows = [(i, float(i), 40) for i in range(20)]  # higher id = better
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tok int")
+    out = cu2.select_to_token_budget(
+        df, "doc_id", "score", "n_tok", budget_per_shard=100, n_shards=1
+    ).collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [18, 19]  # 40 + 40 fits; the third-best would hit 120
+    assert max(r.cum_tokens for r in out) <= 100
