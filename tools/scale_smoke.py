@@ -54,6 +54,10 @@ QUERIES = [
     "quality_repetition",
     "embed_quantize_int8",
     "embed_random_projection",
+    "dedup_paragraphs",
+    "ingest_dedup",
+    "select_token_budget",
+    "chunk_documents",
 ]
 
 
