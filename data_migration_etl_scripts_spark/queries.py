@@ -43,6 +43,7 @@ from data_migration_etl_scripts_spark.operators import (
 )
 from data_migration_etl_scripts_spark.operators import contamination as ctm
 from data_migration_etl_scripts_spark.operators import dedup as dd
+from data_migration_etl_scripts_spark.operators import diffing as dfo
 from data_migration_etl_scripts_spark.operators import embed as em
 from data_migration_etl_scripts_spark.operators import ingest as ig
 from data_migration_etl_scripts_spark.operators import profile as pf
@@ -1923,4 +1924,60 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.select_to_token_budget(
         scored, "doc_id", "quality", "approx_bpe_tokens",
         budget_per_shard=400, n_shards=8,
+    )
+
+
+_DIFF_CMP = ["o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=dfo.snapshot_diff_sql(
+        "SELECT * FROM orders WHERE o_orderkey % 97 <> 3",
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 89 = 5 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 97 <> 11""",
+        ["o_orderkey"],
+        _DIFF_CMP,
+    ),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run regression diff: added/removed/changed rows by pk,
+    O(changes) output (unchanged rows dropped inside the join). Old =
+    orders minus keys≡3 (mod 97); new = orders minus keys≡11 with a
+    price bump on keys≡5 (mod 89)."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.where(k % 97 != 3)
+    new = orders.where(k % 97 != 11).withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 5, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return dfo.snapshot_diff(old, new, ["o_orderkey"], _DIFF_CMP)
+
+
+@query(
+    "fk_orphan_report",
+    oracle=dfo.fk_orphan_report_sql(
+        "lineitem",
+        [
+            ("l_partkey", "(SELECT * FROM part WHERE p_partkey % 7 <> 3)", "p_partkey"),
+            ("l_suppkey", "supplier", "s_suppkey"),
+        ],
+    ),
+)
+def fk_orphan_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RI triage report: orphan counts for every FK in ONE fact scan
+    (k broadcast left-joins + a single-row aggregate — no fact
+    shuffle). The part dim is restricted (p_partkey%7==3 removed) so
+    the orphan path is exercised."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 7 != 3)
+    supp = _t(spark, sf_dir, "supplier")
+    return dfo.fk_orphan_report(
+        li,
+        [("l_partkey", part, "p_partkey"), ("l_suppkey", supp, "s_suppkey")],
     )

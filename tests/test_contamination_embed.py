@@ -221,3 +221,50 @@ def test_select_to_token_budget_takes_best_first(spark):
     kept = sorted(r.doc_id for r in out)
     assert kept == [18, 19]  # 40 + 40 fits; the third-best would hit 120
     assert max(r.cum_tokens for r in out) <= 100
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from data_migration_etl_scripts_spark.operators import diffing as dfo
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "pk long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "pk long, s string, v double",
+    )
+    out = {r.pk: r.change_type for r in
+           dfo.snapshot_diff(old, new, ["pk"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 NULL->value changed, 4 removed, 5 added
+    assert out == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_literal_null_string_differ(spark):
+    from data_migration_etl_scripts_spark.operators import diffing as dfo
+
+    old = spark.createDataFrame([(1, None)], "pk long, s string")
+    new = spark.createDataFrame([(1, "<null>")], "pk long, s string")
+    out = dfo.snapshot_diff(old, new, ["pk"]).collect()
+    assert [r.change_type for r in out] == ["changed"]  # sentinel works
+
+
+def test_fk_orphan_report_counts_and_single_scan(spark):
+    from data_migration_etl_scripts_spark.operators import diffing as dfo
+
+    facts = spark.createDataFrame(
+        [(1, 10, 100), (2, 11, None), (3, 99, 101), (4, None, 999)],
+        "pk long, fk_a long, fk_b long",
+    )
+    dim_a = spark.createDataFrame([(10,), (11,)], "k long")
+    dim_b = spark.createDataFrame([(100,), (101,)], "k long")
+    out = {r.fk_col: r for r in dfo.fk_orphan_report(
+        facts, [("fk_a", dim_a, "k"), ("fk_b", dim_b, "k")]
+    ).collect()}
+    assert out["fk_a"].n_rows == 4 and out["fk_a"].n_null == 1
+    assert out["fk_a"].n_orphans == 1  # 99
+    assert out["fk_b"].n_null == 1 and out["fk_b"].n_orphans == 1  # 999
+    plan = dfo.fk_orphan_report(
+        facts, [("fk_a", dim_a, "k"), ("fk_b", dim_b, "k")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # dims broadcast, fact never shuffles
