@@ -1,0 +1,59 @@
+"""Driver-contract guards: invariants the correctness harness relies
+on, enforced for EVERY registered query so future additions can't
+regress them.
+
+Round-1 lesson: the driver's pandas canonicalizer crashes on
+array-typed result columns ('unhashable type: list'), which turned
+two correct queries into red rows. Schema analysis alone (no
+execution) is enough to catch that class forever.
+"""
+
+from __future__ import annotations
+
+import re
+
+from data_migration_etl_scripts_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+_NONSCALAR = re.compile(r"^(array|map|struct)")
+
+
+def test_every_oracle_has_a_query():
+    names = set(q.all_queries())
+    oracle_names = set(q.all_oracles())
+    assert oracle_names <= names, oracle_names - names
+
+
+def test_rows_only_queries_are_the_documented_exceptions():
+    # iterative codebook, media kernels, engine-specific sketches —
+    # anything else missing an oracle is an accidental coverage gap
+    allowed = {
+        "ann_topk_ivf_trained",
+        "multimodal_features",
+        "multimodal_real_decode",
+        "sketch_profile_events",
+    }
+    missing = set(q.all_queries()) - set(q.all_oracles())
+    assert missing == allowed, missing ^ allowed
+
+
+def test_no_query_returns_nonscalar_columns(spark):
+    # plan analysis only — no execution, so this stays fast at 80+ queries
+    bad = {}
+    for name, fn in q.all_queries().items():
+        df = fn(spark, SF)
+        nonscalar = [
+            (c, t) for c, t in df.dtypes if _NONSCALAR.match(t)
+        ]
+        if nonscalar:
+            bad[name] = nonscalar
+    assert not bad, f"driver canonicalizer cannot hash these: {bad}"
+
+
+def test_query_output_columns_are_unique_and_named(spark):
+    for name, fn in q.all_queries().items():
+        cols = fn(spark, SF).columns
+        assert len(cols) == len(set(cols)), f"{name}: duplicate column names"
+        for c in cols:
+            assert not c.startswith("__"), f"{name}: internal column {c} leaked"
