@@ -48,6 +48,7 @@ from data_migration_etl_scripts_spark.operators import embed as em
 from data_migration_etl_scripts_spark.operators import ingest as ig
 from data_migration_etl_scripts_spark.operators import profile as pf
 from data_migration_etl_scripts_spark.operators import similarity as sim
+from data_migration_etl_scripts_spark.operators import temporal as tmp
 from data_migration_etl_scripts_spark.operators import text as tx
 
 QuerySpec = Callable[[SparkSession, str], DataFrame]
@@ -1981,3 +1982,68 @@ def fk_orphan_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         [("l_partkey", part, "p_partkey"), ("l_suppkey", supp, "s_suppkey")],
     )
+
+
+@query(
+    "asof_purchase_attribution",
+    oracle=tmp.asof_join_sql(
+        "SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'",
+        "SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'",
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    ),
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (point-in-time): attribute each purchase to the
+    user's latest click at-or-before it. Union-marker + per-key
+    forward-fill window — one key shuffle, partition-local sorts,
+    never a per-row lookup. Oracle = DuckDB native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return tmp.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+    )
+
+
+@query(
+    "range_join_click_windows",
+    oracle="""
+    SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts
+    FROM (SELECT event_id AS purchase_id, user_id,
+                 ts - INTERVAL 1 HOUR AS w_start, ts AS p_ts
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id AS click_id, user_id, ts AS c_ts
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.c_ts >= p.w_start AND c.c_ts < p.p_ts
+    """,
+)
+def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join via time-bin equi-keys (hash join + exact filter,
+    never an inequality-only nested loop): clicks within the hour
+    before each purchase. Oracle = the naive inequality join."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    out = tmp.range_join_binned(
+        purchases, clicks, key="user_id",
+        left_start="w_start", left_end="p_ts", right_ts="c_ts",
+        bin_seconds=3600,
+    )
+    return out.select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
