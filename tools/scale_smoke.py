@@ -30,6 +30,7 @@ KEYED = {
     "part": ["p_partkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
 }
 #: key domains so offsets line up across tables: domain -> (table, col)
 DOMAINS = {
@@ -39,6 +40,8 @@ DOMAINS = {
     "partkey": [("lineitem", "l_partkey"), ("part", "p_partkey")],
     "docid": [("documents", "doc_id")],
     "vecid": [("embeddings", "vec_id")],
+    "eventid": [("events", "event_id")],
+    "userid": [("events", "user_id")],
 }
 
 QUERIES = [
@@ -58,6 +61,8 @@ QUERIES = [
     "ingest_dedup",
     "select_token_budget",
     "chunk_documents",
+    "asof_purchase_attribution",
+    "range_join_click_windows",
 ]
 
 
@@ -77,7 +82,7 @@ def build_10x(spark) -> None:
         (t, c): offsets[dom] for dom, sites in DOMAINS.items() for (t, c) in sites
     }
     for t in ("lineitem", "orders", "customer", "supplier", "part",
-              "nation", "region", "documents", "embeddings"):
+              "nation", "region", "documents", "embeddings", "events"):
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         if t in KEYED:
             parts = []
