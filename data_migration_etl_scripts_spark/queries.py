@@ -59,10 +59,11 @@ _ORACLES: dict[str, str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark only reads
-        # as a raw long (nanosAsLong). Integer-divide to micros (exact;
-        # double division would lose precision on epoch-nanos) and
-        # rebuild the timestamp — matches DuckDB's ns->us truncation.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+        # drops, which Spark only reads as a raw long (nanosAsLong).
+        # Integer-divide to micros (exact; double division would lose
+        # precision on epoch-nanos) and rebuild the timestamp — matches
+        # DuckDB's ns->us truncation.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
@@ -70,8 +71,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session tz pinned to UTC,
+    so the instant is unchanged). Parquet micros-without-tz reads as NTZ
+    under Spark 4's inferTimestampNTZ, but chrono functions like
+    unix_micros and every timestamp literal comparison in this module
+    expect TIMESTAMP; normalizing once at the scan keeps both data
+    vintages (tz-annotated and tz-less) on one code path."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def query(name: str, oracle: str | None = None):
