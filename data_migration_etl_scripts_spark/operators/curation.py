@@ -277,3 +277,176 @@ def select_to_token_budget_sql(
             FROM ({inner_sql})
         ) WHERE cum_tokens <= {budget_per_shard}
     """
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    cosine near-dup candidate pairs (sign-LSH bucketed, never
+    all-pairs) -> connected components -> keep ONE canonical document
+    per semantic cluster (the min id), drop the rest.
+
+    Returns every input doc labeled ``(doc_id, cluster_id, keep)`` —
+    singleton docs are their own cluster and always kept, so the
+    keep-set is ``where keep`` with no second pass over the corpus.
+
+    Scale shape: the pair join is bounded by the LSH buckets; label
+    propagation touches only docs that appear in a pair (O(near-dups),
+    not O(corpus)); the final labeling is one left join of the corpus
+    against that small cluster table.
+    """
+    from data_migration_etl_scripts_spark.operators.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        embeddings, id_col, vec_col, threshold=threshold, bucket_bits=bucket_bits
+    )
+    clusters = dup_clusters(pairs, src="id_a", dst="id_b")
+    ids = embeddings.select(F.col(id_col).alias("doc_id"))
+    labeled = ids.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return labeled.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+def semantic_dedup_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 8,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (recursive-CTE components
+    over the same bucketed pair SQL)."""
+    from data_migration_etl_scripts_spark.operators.dedup import embedding_neardup_pairs_sql
+
+    pairs_sql = embedding_neardup_pairs_sql(
+        table, id_col, vec_col, threshold=threshold, bucket_bits=bucket_bits
+    )
+    return f"""
+    WITH RECURSIVE pair_edges AS (
+        SELECT id_a AS u, id_b AS v FROM ({pairs_sql})
+        UNION
+        SELECT id_b AS u, id_a AS v FROM ({pairs_sql})
+    ),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM pair_edges)
+        UNION
+        SELECT e.u, r.label FROM pair_edges e JOIN reach r ON e.v = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT t.{id_col} AS doc_id,
+           coalesce(c.cluster_id, t.{id_col}) AS cluster_id,
+           coalesce(c.cluster_id, t.{id_col}) = t.{id_col} AS keep
+    FROM {table} t LEFT JOIN clusters c ON t.{id_col} = c.doc_id
+    """
+
+
+def mix_by_temperature(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted domain mixing: sample each stratum (domain,
+    language, source) so the output of ~``target_rows`` rows follows
+    p(stratum) proportional to n^alpha — alpha < 1 upweights the tail
+    domains, the standard multinomial-temperature mixture used for
+    pretraining corpora.
+
+    Per-stratum keep fraction: f_s = min(1, target * w_s / W / n_s)
+    with w_s = n_s^alpha and W = sum(w_s). Row selection reuses the
+    md5-prefix scheme of :func:`deterministic_sample`, with the cutoff
+    RENDERED AS HEX IN THE PLAN (hex()/lpad agree across engines) so
+    the data-derived fraction stays engine- and partitioning-
+    independent.
+
+    Cross-engine determinism: weights are rounded then DECIMAL-summed
+    (order-independent — at 1000 executors double addition order is
+    nondeterministic); alpha=0.5 uses sqrt(), which IEEE guarantees
+    correctly rounded on every engine. Other alphas go through pow(),
+    where a last-ulp libm difference could in principle flip one
+    boundary row per stratum — documented trade.
+
+    Scale shape: one count agg (map-side partials, stratum-cardinality
+    rows), the tiny weight table broadcast back, one map-side filter.
+    The corpus is scanned once and never shuffled.
+    """
+    w_raw = (
+        F.sqrt(F.col("n_s").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_s").cast("double"), F.lit(float(alpha)))
+    )
+    weights = (
+        df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count("*").alias("n_s"))
+        .select("stratum", "n_s", F.round(w_raw, 6).cast("decimal(38,6)").alias("w"))
+    )
+    total = weights.agg(F.sum("w").alias("w_total"))
+    frac = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_rows)) * (F.col("w").cast("double")))
+        / (F.col("w_total").cast("double"))
+        / (F.col("n_s").cast("double")),
+    )
+    cutoff_int = F.floor(frac * F.lit(float(16**6)) + F.lit(0.5)).cast("long")
+    cutoffs = weights.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        F.when(frac >= 1.0, F.lit("G"))  # > any hex digit: keep all
+        .otherwise(F.lpad(F.hex(cutoff_int), 6, "0"))
+        .alias("cutoff_hex"),
+    )
+    prefix = F.upper(
+        F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 6)
+    )
+    return (
+        df.join(F.broadcast(cutoffs), df[strata_col] == cutoffs.stratum)
+        .where(prefix < F.col("cutoff_hex"))
+        .drop("stratum", "cutoff_hex")
+    )
+
+
+def mix_by_temperature_sql(
+    table: str,
+    key_col: str,
+    strata_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`mix_by_temperature` (alpha=0.5 path)."""
+    w_expr = (
+        f"round(sqrt(CAST(count(*) AS DOUBLE)), 6)"
+        if alpha == 0.5
+        else f"round(pow(CAST(count(*) AS DOUBLE), {alpha}), 6)"
+    )
+    return f"""
+    WITH weights AS (
+        SELECT {strata_col} AS stratum, count(*) AS n_s,
+               CAST({w_expr} AS DECIMAL(38,6)) AS w
+        FROM {table} GROUP BY {strata_col}
+    ),
+    cutoffs AS (
+        SELECT stratum,
+               CASE WHEN frac >= 1.0 THEN 'G'
+                    ELSE lpad(hex(CAST(floor(frac * 16777216.0 + 0.5) AS BIGINT)), 6, '0')
+               END AS cutoff_hex
+        FROM (
+            SELECT stratum, n_s,
+                   least(1.0, ({float(target_rows)} * CAST(w AS DOUBLE))
+                              / CAST((SELECT sum(w) FROM weights) AS DOUBLE)
+                              / CAST(n_s AS DOUBLE)) AS frac
+            FROM weights
+        )
+    )
+    SELECT t.* FROM {table} t
+    JOIN cutoffs c ON t.{strata_col} = c.stratum
+    WHERE upper(substr(md5(CAST(t.{key_col} AS VARCHAR)), 1, 6)) < c.cutoff_hex
+    """

@@ -2061,3 +2061,41 @@ def range_join_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_seconds=3600,
     )
     return out.select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
+
+
+@query(
+    "dedup_semantic",
+    oracle=cu.semantic_dedup_sql(
+        "embeddings", "vec_id", "embedding", threshold=0.2, bucket_bits=8
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: bucketed cosine near-dup pairs ->
+    connected components -> keep one canonical doc per semantic
+    cluster. Every input doc comes back labeled (cluster_id, keep), so
+    the survivor set is a single filter with no second corpus pass.
+    Reference parity: generalizes the reference's exact-key dedup
+    vocabulary (e.g. ProductManagement/categories.py:86-101) to
+    embedding space."""
+    return cu.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.2, bucket_bits=8,
+    )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="SELECT doc_id, lang FROM ("
+    + cu.mix_by_temperature_sql("documents", "doc_id", "lang", target_rows=200)
+    + ")",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (p(lang) ~ n^0.5): one count
+    agg -> broadcast per-stratum md5 cutoffs -> map-side filter. The
+    corpus is scanned once and never shuffled; the data-derived keep
+    fraction is rendered as a hex cutoff so both engines pick the
+    identical row set."""
+    docs = _t(spark, sf_dir, "documents")
+    return cu.mix_by_temperature(
+        docs, "doc_id", "lang", target_rows=200
+    ).select("doc_id", "lang")

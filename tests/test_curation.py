@@ -68,3 +68,55 @@ def test_scrub_pii_masks_typed_spans(spark):
     assert got[2].text_scrubbed == "call <PHONE> today"
     assert got[3].text_scrubbed == "clean text stays clean"
     assert got[3].n_chars_removed == 0
+
+
+def test_semantic_dedup_labels_every_doc_and_keeps_one_per_cluster(spark):
+    # two near-identical vectors (same cluster), one opposite-signed
+    # (different LSH bucket), one zero vector (no pair; still labeled)
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [1.0, 2.0, 3.001]),  # cosine ~1 with vec 1
+        (3, [-1.0, -2.0, -3.0]),  # different sign bucket
+        (4, [0.0, 0.0, 0.0]),  # zero norm: never in a pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in cu.semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.95, bucket_bits=3
+        ).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)  # deduped into cluster 1
+    assert got[3] == (3, True)  # own cluster
+    assert got[4] == (4, True)  # zero vector survives, labeled singleton
+    assert len(got) == 4  # every input doc labeled
+
+
+def test_mix_by_temperature_flattens_distribution_and_is_stable(spark):
+    # 4000 'en' vs 250 'fr': alpha=0.5 should keep fr at a higher
+    # fraction than en (sqrt weighting flattens the mixture)
+    df = spark.range(0, 4250).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 4000, F.lit("en")).otherwise(F.lit("fr")).alias("lang"),
+    )
+    out = cu.mix_by_temperature(df, "k", "lang", target_rows=1000)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    f_en = counts["en"] / 4000
+    f_fr = counts["fr"] / 250
+    assert f_fr > 2 * f_en  # tail domain upweighted
+    assert 700 < counts["en"] + counts["fr"] < 1300  # ~target overall
+    # partitioning-independent row selection
+    again = cu.mix_by_temperature(df.repartition(17), "k", "lang", target_rows=1000)
+    assert sorted(r.k for r in out.collect()) == sorted(r.k for r in again.collect())
+
+
+def test_mix_by_temperature_small_stratum_keeps_all(spark):
+    # a stratum whose fair share exceeds its size is kept wholesale
+    df = spark.range(0, 1010).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 1000, F.lit("big")).otherwise(F.lit("tiny")).alias("lang"),
+    )
+    out = cu.mix_by_temperature(df, "k", "lang", target_rows=900)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["tiny"] == 10  # frac >= 1 -> 'G' cutoff keeps every row
