@@ -2099,3 +2099,33 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.mix_by_temperature(
         docs, "doc_id", "lang", target_rows=200
     ).select("doc_id", "lang")
+
+
+# One SQL text, two engines: the query below is ANSI enough to run
+# verbatim as Spark SQL (via the views surface in sql.py) AND as its
+# own DuckDB oracle — demonstrating that the SQL front-end shares the
+# planner (and the correctness bar) with the DataFrame API.
+_SQL_SURFACE_REVENUE = """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+"""
+
+
+@query("sql_surface_revenue", oracle=_SQL_SURFACE_REVENUE)
+def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc SQL entry point (sql.py): the SAME SQL text is executed
+    by Spark SQL over the registered views and by DuckDB as the
+    oracle. Decimal-exact revenue sum keeps the double cast
+    order-independent across engines and executors."""
+    from data_migration_etl_scripts_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_SURFACE_REVENUE)
