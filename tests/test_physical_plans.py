@@ -273,3 +273,40 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
     assert len(glob.glob(dst + "/part-*.parquet")) == 2
     after = sorted(r.id for r in spark.read.parquet(dst).collect())
     assert after == before
+
+
+def test_runtime_bloom_filter_prunes_fact_side_of_selective_join(spark):
+    """At 100 TB a selectively-filtered dim joined to a fact without a
+    broadcast should inject a runtime bloom filter: the fact scan then
+    drops non-matching rows BEFORE the shuffle. Default-on in this
+    Spark; the size thresholds are lowered here only because the local
+    fixture is tiny (a real fact table clears 10 GiB on its own)."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        plan = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select("l_orderkey", "o_totalprice")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan, "no runtime bloom filter on the fact scan"
+        assert "bloom_filter_agg" in plan, "no bloom build on the filtered dim side"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
