@@ -401,3 +401,90 @@ def chunk_documents_sql(
                                ELSE [] END) AS i
         ) g
     """
+
+
+# ------------------------------------------------------- URL dedup
+
+#: query params that never identify content (tracking/session noise)
+_TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|sessionid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for web-corpus dedup, as pure column
+    expressions (whole-stage codegen; no UDF):
+
+    - scheme and host lowercased; ``www.`` and default ports stripped
+    - fragment dropped; trailing-slash path normalized ('' -> '/')
+    - tracking params (utm_*, fbclid, gclid, ...) removed; remaining
+      query params SORTED so param order never splits a dup group
+
+    Non-URLs (no ``scheme://``) canonicalize to NULL. Patterns stay in
+    the Java-regex/RE2 common subset so the DuckDB twin is exact.
+    """
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    base = F.concat(scheme, F.lit("://"), host, path)
+    return F.when(
+        scheme == "", F.lit(None).cast("string")
+    ).otherwise(
+        F.when(query == "", base).otherwise(F.concat(base, F.lit("?"), query))
+    )
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (same regexes, same order)."""
+    u = f"trim({url_expr})"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host0 = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    host = f"regexp_replace(regexp_replace({host0}, '^www\\.', ''), ':(80|443)$', '')"
+    path0 = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    path = f"CASE WHEN regexp_replace({path0}, '/+$', '') = '' THEN '/' ELSE regexp_replace({path0}, '/+$', '') END"
+    rawq = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({rawq}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}')))"
+    )
+    query = f"array_to_string({params}, '&')"
+    base = f"concat({scheme}, '://', {host}, {path})"
+    return (
+        f"CASE WHEN {scheme} = '' THEN NULL "
+        f"WHEN {query} = '' THEN {base} "
+        f"ELSE concat({base}, '?', {query}) END"
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Keep one document per canonical URL (min id wins — skew-safe
+    min(struct) aggregate, no per-URL window): returns
+    (canonical_url, n_dups, keep_id). One shuffle on the canonical
+    key; hot URLs partially aggregate map-side."""
+    canon = df.select(
+        F.col(id_col).alias("kid"), canonical_url(F.col(url_col)).alias("canonical_url")
+    ).where(F.col("canonical_url").isNotNull())
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_dups"),
+        F.min("kid").alias("keep_id"),
+    )
+
+
+def url_dedup_sql(inner_sql: str, id_col: str, url_expr: str) -> str:
+    """DuckDB twin of :func:`url_dedup` over ``inner_sql``."""
+    canon = canonical_url_sql(url_expr)
+    return f"""
+        SELECT canonical_url, count(*) AS n_dups, min({id_col}) AS keep_id
+        FROM (SELECT {id_col}, {canon} AS canonical_url FROM ({inner_sql}))
+        WHERE canonical_url IS NOT NULL
+        GROUP BY canonical_url
+    """

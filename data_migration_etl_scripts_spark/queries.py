@@ -2129,3 +2129,45 @@ def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.sql import run_sql
 
     return run_sql(spark, sf_dir, _SQL_SURFACE_REVENUE)
+
+
+_URL_INNER_SQL = """
+    SELECT doc_id, concat(
+        CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END,
+        CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+        'Site', CAST(doc_id % 5 AS VARCHAR), '.Example.com',
+        CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+        '/path/', CAST(doc_id % 20 AS VARCHAR),
+        CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+        '?utm_source=feed&b=', CAST(doc_id % 5 AS VARCHAR),
+        '&a=', CAST(doc_id % 5 AS VARCHAR),
+        CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END
+    ) AS url FROM documents
+"""
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=tx.url_dedup_sql(_URL_INNER_SQL, "doc_id", "url"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL dedup: canonicalize (case/www/default-port/
+    trailing-slash/fragment/tracking-param/param-order noise) then
+    keep one doc per canonical URL via a skew-safe min aggregate.
+    URLs are constructed deterministically from doc_id so every
+    canonicalization rule is exercised; the oracle builds the same
+    strings."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Site"), s(d % 5), F.lit(".Example.com"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/path/"), s(d % 20),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="), s(d % 5), F.lit("&a="), s(d % 5),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return tx.url_dedup(docs, "doc_id", "url")

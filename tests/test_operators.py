@@ -289,3 +289,46 @@ def test_multimodal_audio_features(spark):
     assert len(out) == 6
     assert all(len(r.mfcc) == 5 for r in out)
     assert all(r.duration_ms > 0 for r in out)
+
+
+# ------------------------------------------------------------ URL dedup
+
+
+def test_canonical_url_golden(spark):
+    cases = [
+        # case/www/port/slash/fragment/tracking/param-order noise -> one form
+        ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+         "https://example.com/a/b?a=2&z=1"),
+        ("https://example.com/a/b?a=2&z=1",
+         "https://example.com/a/b?a=2&z=1"),
+        ("http://example.com:80", "http://example.com/"),
+        ("http://example.com/", "http://example.com/"),
+        ("https://example.com/x?utm_source=a&utm_medium=b&fbclid=z",
+         "https://example.com/x"),
+        ("not a url", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "u"])
+    got = {
+        r.i: r.c
+        for r in df.select("i", tx.canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_url_dedup_groups_and_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "https://A.com/x?b=1&a=1"),
+            (3, "HTTPS://a.com/x/?a=1&b=1#f"),   # same canonical as 5
+            (9, "https://a.com/y"),
+            (7, "nonsense"),                      # dropped (NULL canonical)
+        ],
+        ["id", "url"],
+    )
+    rows = {r.canonical_url: r for r in tx.url_dedup(df, "id", "url").collect()}
+    assert rows["https://a.com/x?a=1&b=1"].keep_id == 3
+    assert rows["https://a.com/x?a=1&b=1"].n_dups == 2
+    assert rows["https://a.com/y"].keep_id == 9
+    assert len(rows) == 2

@@ -44,26 +44,19 @@ DOMAINS = {
     "userid": [("events", "user_id")],
 }
 
-QUERIES = [
-    "q1_pricing_summary",
-    "nation_pair_revenue",
-    "preagg_join_order_totals",
-    "topk_parts_per_brand",
-    "top_tokens",
-    "dedup_minhash_lsh",
-    "categories_shape",
-    "corpus_curate",
-    "decontaminate_docs",
-    "quality_repetition",
-    "embed_quantize_int8",
-    "embed_random_projection",
-    "dedup_paragraphs",
-    "ingest_dedup",
-    "select_token_budget",
-    "chunk_documents",
-    "asof_purchase_attribution",
-    "range_join_click_windows",
-]
+#: scale-invariant queries (synthetic inputs generated in-session, or
+#: fixed-size seed tables) — timing them at "10x" measures nothing
+SKIP = {
+    "multimodal_features",
+    "multimodal_real_decode",
+    "cross_join_seed",
+}
+
+
+def default_queries() -> list[str]:
+    from data_migration_etl_scripts_spark import queries as q
+
+    return [n for n in q.all_queries() if n not in SKIP]
 
 
 def build_10x(spark) -> None:
@@ -109,8 +102,9 @@ def main() -> int:
     spark = get_spark(app_name="scale_smoke")
     build_10x(spark)
     all_q = q.all_queries()
+    names = [n for n in sys.argv[1:] if n in all_q] or default_queries()
     rows = []
-    for name in QUERIES:
+    for name in names:
         times = {}
         for label, sf_dir in (("1x", SRC), ("10x", DST)):
             spark.catalog.clearCache()
