@@ -2171,3 +2171,44 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
     return tx.url_dedup(docs, "doc_id", "url")
+
+
+@query(
+    "incremental_rollup_orders",
+    oracle=__import__(
+        "data_migration_etl_scripts_spark.operators.rollup", fromlist=["rollup_oracle_sql"]
+    ).rollup_oracle_sql(
+        "orders",
+        {"month": "CAST(date_trunc('month', o_orderdate) AS DATE)", "status": "o_orderstatus"},
+        ["o_totalprice"],
+        avg_of=["o_totalprice"],
+    ),
+)
+def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the monthly/status rollup is
+    built from a simulated history slice, then each of three
+    incremental batches is folded in by merging PARTIALS — history
+    facts are scanned once, ever. The oracle is the straight one-shot
+    aggregate over the full table; a green hash IS the proof that
+    merge(rollup(h), rollup(b)) == rollup(h ∪ b)."""
+    from data_migration_etl_scripts_spark.operators import rollup as ru
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.trunc(F.col("o_orderdate"), "month").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    keys, measures = ["month", "status"], ["o_totalprice"]
+    cut = orders.agg(F.max("o_orderkey")).first()[0] or 0
+    history = orders.where(F.col("o_orderkey") <= cut * 7 // 10)
+    state = ru.rollup_partials(history, keys, measures)
+    for lo, hi in ((7, 8), (8, 9), (9, 10)):  # three watermark batches
+        batch = orders.where(
+            (F.col("o_orderkey") > cut * lo // 10)
+            & (F.col("o_orderkey") <= cut * hi // 10)
+        )
+        state = ru.merge_partials(
+            state, ru.rollup_partials(batch, keys, measures), keys, measures
+        )
+    return ru.rollup_read(state, measures, avg_of=measures)
