@@ -114,3 +114,49 @@ def approx_profile(
         )
         .orderBy(group_col)
     )
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the ``top`` hottest key values with
+    their share of all rows and the skew factor (count / mean count
+    per key). This is the measurement you take BEFORE choosing
+    salting, AQE skew-split, or bucketing for a key — a skew factor in
+    the hundreds means one task does hundreds of tasks' work.
+
+    Plan shape: one map-side-partial count per key, a single-row
+    global summary broadcast back, and TakeOrderedAndProject for the
+    top slice — no global sort, safe at any key cardinality.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    enriched = counts.crossJoin(F.broadcast(totals)).select(
+        F.col("key").cast("string").alias("key"),
+        "n",
+        F.round(F.col("n") / F.col("total_rows"), 6).alias("row_share"),
+        F.round(
+            F.col("n") * F.col("n_keys") / F.col("total_rows"), 3
+        ).alias("skew_factor"),
+    )
+    return enriched.orderBy(F.desc("n"), "key").limit(top)
+
+
+def skew_report_sql(table: str, key_col: str, top: int = 10) -> str:
+    """DuckDB twin of :func:`skew_report`."""
+    return f"""
+        WITH counts AS (
+            SELECT CAST({key_col} AS VARCHAR) AS key, count(*) AS n
+            FROM {table} GROUP BY CAST({key_col} AS VARCHAR)
+        ),
+        t AS (SELECT sum(n) AS total_rows, count(*) AS n_keys FROM counts)
+        SELECT key, n,
+               round(n / CAST(total_rows AS DOUBLE), 6) AS row_share,
+               round(n * n_keys / CAST(total_rows AS DOUBLE), 3) AS skew_factor
+        FROM counts, t
+        ORDER BY n DESC, key LIMIT {top}
+    """

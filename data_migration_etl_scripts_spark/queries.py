@@ -2212,3 +2212,17 @@ def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             state, ru.rollup_partials(batch, keys, measures), keys, measures
         )
     return ru.rollup_read(state, measures, avg_of=measures)
+
+
+@query(
+    "skew_report_events",
+    oracle=pf.skew_report_sql("events", "user_id", top=10),
+)
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis for a join/agg key: top-10 heaviest user_ids
+    with row share and skew factor (count / mean-per-key). One
+    map-side-partial count, a broadcast single-row summary, and
+    TakeOrderedAndProject — no global sort at any key cardinality.
+    This is the measurement that decides salting / AQE skew-split /
+    bucketing before a 100 TB join."""
+    return pf.skew_report(_t(spark, sf_dir, "events"), "user_id", top=10)

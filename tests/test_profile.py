@@ -51,3 +51,17 @@ def test_approx_profile_within_tolerance_of_exact(spark):
         assert abs(a.approx_distinct - e.d) / e.d < 0.05  # HLL++ rsd
         # t-digest median within 5% of exact median of ids
         assert abs(a.p5 - e.p5) / max(e.p5, 1) < 0.05
+
+
+def test_skew_report_flags_hot_key(spark):
+    from data_migration_etl_scripts_spark.operators import profile as pf
+
+    # one key with 900 rows, 100 keys with 1 row each
+    rows = [(0,)] * 900 + [(k,) for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "k long")
+    top = pf.skew_report(df, "k", top=3).collect()
+    assert top[0].key == "0" and top[0].n == 900
+    assert abs(top[0].row_share - 0.9) < 1e-6
+    # mean count = 1000/101 ~ 9.9 -> skew factor ~ 90.9
+    assert 90 < top[0].skew_factor < 92
+    assert top[1].n == 1  # everything else is cold
