@@ -1,0 +1,100 @@
+"""Declarative data-quality expectations, evaluated in ONE scan.
+
+The reference hand-rolls referential-integrity asserts at ~25 sites
+(e.g. /root/reference/Main_Modules/Locations/locations.py:108-111 —
+count nulls after a lookup merge, raise on any). `gates.py` ports that
+exact gate; this module generalizes it to the dbt-style check
+vocabulary a data platform expects:
+
+- ``not_null`` / ``accepted_values`` / arbitrary row predicates
+- ``unique_key`` (composite keys supported)
+- ``fk`` relationship checks against dimension tables
+
+Scale shape: every check folds into a SINGLE aggregate job over one
+pass of the table — row predicates become conditional sums, uniqueness
+is ``count(*) - count(distinct key)``, and FK checks are broadcast
+left joins whose null-markers feed the same aggregate. A 100 TB fact
+table is scanned once no matter how many checks are attached.
+
+``enforce`` raises ``ExpectationError`` listing every failed check —
+same abort-before-write discipline as the RI gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ExpectationError(RuntimeError):
+    """At least one expectation failed; message lists all of them."""
+
+
+def not_null(col: str) -> Column:
+    """Violation predicate: value is NULL."""
+    return F.col(col).isNull()
+
+
+def accepted_values(col: str, values: list) -> Column:
+    """Violation predicate: non-null value outside the accepted set."""
+    return F.col(col).isNotNull() & ~F.col(col).isin(values)
+
+
+def expectation_report(
+    df: DataFrame,
+    row_checks: dict[str, Column] | None = None,
+    unique_keys: dict[str, list[str]] | None = None,
+    fk_checks: dict[str, tuple[DataFrame, str, str]] | None = None,
+) -> DataFrame:
+    """(check_name, n_violations) for every declared expectation, one scan.
+
+    ``row_checks``  name -> violation predicate (true = bad row)
+    ``unique_keys`` name -> key column list (composite ok)
+    ``fk_checks``   name -> (dim_df, fact_key, dim_key); a non-null
+                    fact key missing from the dim is a violation
+    """
+    row_checks = dict(row_checks or {})
+    base = df
+    for name, (dim, fact_key, dim_key) in (fk_checks or {}).items():
+        marker = f"__fk_{name}"
+        lookup = F.broadcast(
+            dim.select(F.col(dim_key).alias(f"{marker}_key"))
+            .distinct()
+            .withColumn(marker, F.lit(1))
+        )
+        base = base.join(
+            lookup, base[fact_key] == lookup[f"{marker}_key"], "left"
+        ).drop(f"{marker}_key")
+        row_checks[name] = F.col(fact_key).isNotNull() & F.col(marker).isNull()
+
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in row_checks.items()
+    ]
+    for name, keys in (unique_keys or {}).items():
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(F.struct(*keys)))
+            .cast("long")
+            .alias(name)
+        )
+    wide = base.agg(*aggs)
+    names = [f.name for f in wide.schema.fields]
+    stack = F.expr(
+        "stack({n}, {pairs}) AS (check_name, n_violations)".format(
+            n=len(names),
+            pairs=", ".join(f"'{c}', `{c}`" for c in names),
+        )
+    )
+    return wide.select(stack)
+
+
+def enforce(report: DataFrame) -> None:
+    """Raise :class:`ExpectationError` if any check has violations.
+    The report is group-cardinality-sized, so the collect is O(checks)."""
+    bad = [
+        f"{r['check_name']}: {r['n_violations']} violations"
+        for r in report.collect()
+        if r["n_violations"]
+    ]
+    if bad:
+        raise ExpectationError("; ".join(bad))

@@ -2226,3 +2226,50 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the measurement that decides salting / AQE skew-split /
     bucketing before a 100 TB join."""
     return pf.skew_report(_t(spark, sf_dir, "events"), "user_id", top=10)
+
+
+@query(
+    "expectations_orders",
+    oracle="""
+    SELECT 'custkey_not_null' AS check_name,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk', CAST(count(*) AS BIGINT)
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over orders — not-null,
+    value-domain, FK relationship, and unique-key checks — ALL folded
+    into one aggregate over one scan (FK dims broadcast in as null
+    markers). Generalizes the reference's 25 hand-rolled RI asserts
+    (e.g. Main_Modules/Locations/locations.py:108-111) to the dbt-style
+    check vocabulary; the oracle computes each check naively."""
+    from data_migration_etl_scripts_spark.operators import expectations as ex
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return ex.expectation_report(
+        orders,
+        row_checks={
+            "custkey_not_null": ex.not_null("o_custkey"),
+            "status_domain": ex.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        },
+        unique_keys={"orderkey_unique": ["o_orderkey"]},
+        fk_checks={"custkey_fk": (customer, "o_custkey", "c_custkey")},
+    )

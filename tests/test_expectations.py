@@ -1,0 +1,65 @@
+"""Declarative expectations: violation counts, enforce aborts, and the
+one-scan plan property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.operators import expectations as ex
+
+
+def _report_dict(rep):
+    return {r.check_name: r.n_violations for r in rep.collect()}
+
+
+def test_expectation_report_counts_all_check_kinds(spark):
+    facts = spark.createDataFrame(
+        [(1, 10, "A"), (2, 10, "B"), (2, 99, "A"), (3, None, "Z"), (4, 30, None)],
+        "k long, fk int, status string",
+    )
+    dim = spark.createDataFrame([(10,), (30,)], "d int")
+    rep = ex.expectation_report(
+        facts,
+        row_checks={
+            "fk_not_null": ex.not_null("fk"),
+            "status_domain": ex.accepted_values("status", ["A", "B"]),
+        },
+        unique_keys={"k_unique": ["k"]},
+        fk_checks={"fk_exists": (dim, "fk", "d")},
+    )
+    got = _report_dict(rep)
+    assert got == {
+        "fk_not_null": 1,     # k=3
+        "status_domain": 1,   # 'Z' (NULL status is not a domain violation)
+        "k_unique": 1,        # k=2 twice
+        "fk_exists": 1,       # fk=99 (NULL fk is the not-null check's job)
+    }
+
+
+def test_enforce_raises_listing_failures_and_passes_clean(spark):
+    df = spark.createDataFrame([(1,), (None,)], "x int")
+    rep = ex.expectation_report(df, row_checks={"x_not_null": ex.not_null("x")})
+    with pytest.raises(ex.ExpectationError, match="x_not_null: 1"):
+        ex.enforce(rep)
+    clean = spark.createDataFrame([(1,)], "x int")
+    ex.enforce(
+        ex.expectation_report(clean, row_checks={"x_not_null": ex.not_null("x")})
+    )  # no raise
+
+
+def test_expectation_report_is_one_scan(spark, tmp_path):
+    # row + fk checks must fold into a single read of the fact table
+    path = str(tmp_path / "facts")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("fk")
+    ).write.parquet(path)
+    facts = spark.read.parquet(path)
+    dim = spark.createDataFrame([(i,) for i in range(5)], "d long")
+    rep = ex.expectation_report(
+        facts,
+        row_checks={"fk_not_null": ex.not_null("fk")},
+        fk_checks={"fk_exists": (dim, "fk", "d")},
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
