@@ -110,6 +110,11 @@ class IncrementalPipeline:
     extra_sinks: Sequence[tuple[str, Callable[[DataFrame], DataFrame]]] = field(
         default_factory=tuple
     )
+    #: optional declarative quality gate: maps the load-ready batch to an
+    #: expectations report (operators/expectations.expectation_report);
+    #: any violation aborts the batch pre-write, like an RI gate. All
+    #: declared checks cost ONE extra aggregate scan of the batch total.
+    expectations: Callable[[DataFrame], DataFrame] | None = None
 
 
 @dataclass
@@ -185,6 +190,12 @@ def run_incremental(
             if agg["n"] == 0:
                 break
             loaded = pipeline.transform(batch, ts)  # action-gates raise here, pre-write
+            if pipeline.expectations is not None:
+                from data_migration_etl_scripts_spark.operators.expectations import (
+                    enforce,
+                )
+
+                enforce(pipeline.expectations(loaded))  # aborts pre-write
             if observe_gates:
                 observed, gate = observed_gate(
                     loaded, *observe_gates, context=pipeline.name

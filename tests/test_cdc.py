@@ -220,3 +220,36 @@ def test_idempotent_batches_survive_crash_replay(cat, spark):
     r2 = run_incremental(cat, pipe, batch_size=600, idempotent=True)
     assert r2.rows == 300  # the replayed final batch (keys 1200-1499)
     assert cat.read("orders_v2").count() == 1500  # still no duplicates
+
+
+def test_expectations_gate_aborts_batch_before_write(cat):
+    from data_migration_etl_scripts_spark.operators import expectations as ex
+
+    # 'P' statuses exist in the data -> the domain check must trip
+    pipe = orders_pipeline(
+        cat,
+        expectations=lambda df: ex.expectation_report(
+            df, row_checks={"status_domain": ex.accepted_values("o_orderstatus", ["O", "F"])}
+        ),
+    )
+    with pytest.raises(ex.ExpectationError, match="status_domain"):
+        run_incremental(cat, pipe, batch_size=None)
+    # nothing written, watermark never advanced
+    assert not os.path.isdir(os.path.join(cat.scratch_dir, "orders_v2"))
+    assert WatermarkStore(cat.spark, os.path.join(cat.scratch_dir, "_etl_cdc")).get("orders") is None
+
+
+def test_expectations_gate_clean_batch_loads(cat):
+    from data_migration_etl_scripts_spark.operators import expectations as ex
+
+    pipe = orders_pipeline(
+        cat,
+        expectations=lambda df: ex.expectation_report(
+            df,
+            row_checks={"custkey_not_null": ex.not_null("o_custkey")},
+            unique_keys={"pk_unique": ["o_orderkey"]},
+        ),
+    )
+    r = run_incremental(cat, pipe, batch_size=None)
+    assert r.rows == 1500
+    assert cat.read("orders_v2").count() == 1500
