@@ -371,3 +371,52 @@ def kmeans_cost(corpus: DataFrame, centroids: DataFrame,
     return float(
         joined.agg(F.avg(F.lit(1.0) - cos).alias("c")).collect()[0]["c"]
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "corpus_id",
+    k: int = 5,
+) -> DataFrame:
+    """Measure an ANN method against exact top-k: per-query hit count
+    and recall@k, one row per query in ``exact``.
+
+    Accepts the (query_id, rank, corpus_id, ...) shape the topk
+    operators emit. The semi join keys on (query, id), so the cost is
+    O(k · queries) regardless of corpus size — evaluating recall never
+    touches the corpus again. Queries the approx method missed
+    entirely still appear (recall 0), which is exactly the failure you
+    want visible.
+    """
+    a = approx.select(F.col(query_col).alias("q"), F.col(id_col).alias("i"))
+    e = exact.select(F.col(query_col).alias("q"), F.col(id_col).alias("i"))
+    hits = e.join(a, ["q", "i"], "semi").groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_query = (
+        e.select("q").distinct().join(hits, "q", "left").select(
+            F.col("q").alias(query_col),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )
+    return per_query
+
+
+def recall_at_k_sql(approx_sql: str, exact_sql: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`recall_at_k` over two topk subqueries."""
+    return f"""
+        WITH a AS (SELECT query_id AS q, corpus_id AS i FROM ({approx_sql})),
+             e AS (SELECT query_id AS q, corpus_id AS i FROM ({exact_sql})),
+             hits AS (
+                SELECT e.q, count(*) AS n_hits FROM e
+                WHERE EXISTS (SELECT 1 FROM a WHERE a.q = e.q AND a.i = e.i)
+                GROUP BY e.q
+             )
+        SELECT eq.q AS query_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) / {float(k)} AS recall_at_k
+        FROM (SELECT DISTINCT q FROM e) eq LEFT JOIN hits h ON eq.q = h.q
+    """

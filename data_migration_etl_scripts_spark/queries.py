@@ -2273,3 +2273,24 @@ def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_keys={"orderkey_unique": ["o_orderkey"]},
         fk_checks={"custkey_fk": (customer, "o_custkey", "c_custkey")},
     )
+
+
+@query(
+    "ann_recall_ivf",
+    oracle=sim.recall_at_k_sql(
+        sim.cosine_topk_ivf_sql("embeddings", "vec_id < 8", k=5, n_centroids=8),
+        sim.cosine_topk_bruteforce_sql("embeddings", "vec_id < 8", k=5),
+        k=5,
+    ),
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN against exact brute-force, per query —
+    the approximate-search tradeoff MEASURED inside the engine. The
+    comparison joins only the two top-k result sets (O(k·queries));
+    the corpus is never rescanned. Queries the IVF cell probe misses
+    entirely surface as recall 0 rather than vanishing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    approx = sim.cosine_topk_ivf(emb, queries_df, k=5, n_centroids=8)
+    exact = sim.cosine_topk_bruteforce(emb, queries_df, k=5)
+    return sim.recall_at_k(approx, exact, k=5)

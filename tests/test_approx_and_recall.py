@@ -87,3 +87,21 @@ def test_embedding_lsh_recall_on_constructed_neardups(spark):
     assert recall >= 0.9, recall
     # and no false positives among unrelated random pairs
     assert all(b - a == 1000 for a, b in found)
+
+
+def test_recall_at_k_counts_hits_and_misses(spark):
+    from data_migration_etl_scripts_spark.operators import similarity as sim
+
+    exact = spark.createDataFrame(
+        [(1, r, 100 + r) for r in range(1, 6)] + [(2, r, 200 + r) for r in range(1, 6)],
+        "query_id long, rank int, corpus_id long",
+    )
+    # query 1: 3 of 5 right; query 2: nothing returned at all
+    approx = spark.createDataFrame(
+        [(1, 1, 101), (1, 2, 102), (1, 3, 103), (1, 4, 999), (1, 5, 998)],
+        "query_id long, rank int, corpus_id long",
+    )
+    got = {r.query_id: (r.n_hits, r.recall_at_k)
+           for r in sim.recall_at_k(approx, exact, k=5).collect()}
+    assert got[1] == (3, 0.6)
+    assert got[2] == (0, 0.0)  # fully-missed query still visible
