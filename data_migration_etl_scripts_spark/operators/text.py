@@ -488,3 +488,105 @@ def url_dedup_sql(inner_sql: str, id_col: str, url_expr: str) -> str:
         WHERE canonical_url IS NOT NULL
         GROUP BY canonical_url
     """
+
+
+# ------------------------------------------- exact substring duplication
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Exact substring-duplication detection — the distributed stand-in
+    for suffix-array dedup: every ``window_tokens``-token sliding
+    window is hashed; windows whose hash occurs more than once ANYWHERE
+    in the corpus (other docs or elsewhere in the same doc) are
+    flagged, and flagged positions merge into maximal spans
+    (gaps-and-islands per doc). Returns
+    (doc_id, span_start, span_end, n_windows): token positions over
+    the canonical tokenization, end exclusive.
+
+    Scale shape: window hashing is per-row array work (map-side,
+    O(n·w) per doc like the chunker); the only shuffles are the
+    window-hash count (map-side partials, keys are content hashes — no
+    hot key unless the corpus repeats one string massively) and the
+    per-doc islands window. Downstream removal is a span-slice per doc
+    — no second corpus-wide pass.
+    """
+    toks = tp.tokens(text_col)
+    n = F.size(toks)
+    w = window_tokens
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - w),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
+    )
+    wins = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.when(n >= w, hashes)).alias("pos", "whash"),
+    )
+    dup_hashes = (
+        wins.groupBy("whash").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("whash")
+    )
+    flagged = wins.join(dup_hashes, "whash", "semi").select("doc_id", "pos")
+    from pyspark.sql import Window as W
+
+    lag = F.lag("pos").over(W.partitionBy("doc_id").orderBy("pos"))
+    islands = flagged.withColumn(
+        "new_island", F.when(lag.isNull() | (F.col("pos") > lag + 1), 1).otherwise(0)
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + w).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+def duplicate_spans_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+) -> str:
+    """DuckDB twin of :func:`duplicate_spans`."""
+    toks = tp.tokens_sql(text_col)
+    w = window_tokens
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+        ),
+        wins AS (
+            SELECT doc_id, g.i AS pos,
+                   md5(array_to_string(list_slice(t, g.i + 1, g.i + {w}), ' ')) AS whash
+            FROM base, LATERAL (
+                SELECT unnest(CASE WHEN len(t) >= {w}
+                                   THEN list_transform(generate_series(0, len(t) - {w}), x -> x)
+                                   ELSE [] END) AS i
+            ) g
+        ),
+        dup AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) > 1),
+        flagged AS (
+            SELECT doc_id, pos FROM wins WHERE whash IN (SELECT whash FROM dup)
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+            FROM (
+                SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM flagged
+            )
+        )
+        SELECT doc_id, min(pos) AS span_start, max(pos) + {w} AS span_end,
+               count(*) AS n_windows
+        FROM islands GROUP BY doc_id, island
+    """

@@ -2294,3 +2294,18 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim.cosine_topk_ivf(emb, queries_df, k=5, n_centroids=8)
     exact = sim.cosine_topk_bruteforce(emb, queries_df, k=5)
     return sim.recall_at_k(approx, exact, k=5)
+
+
+@query(
+    "duplicate_spans_docs",
+    oracle=tx.duplicate_spans_sql("documents", "doc_id", "text", window_tokens=12),
+)
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (suffix-array-dedup stand-in):
+    12-token sliding windows hashed, corpus-wide duplicated windows
+    flagged, flagged positions merged into maximal per-doc spans. Map-
+    side hashing; shuffles carry only window hashes and flagged
+    positions."""
+    return tx.duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=12
+    )

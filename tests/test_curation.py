@@ -120,3 +120,32 @@ def test_mix_by_temperature_small_stratum_keeps_all(spark):
     out = cu.mix_by_temperature(df, "k", "lang", target_rows=900)
     counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts["tiny"] == 10  # frac >= 1 -> 'G' cutoff keeps every row
+
+
+def test_duplicate_spans_flags_shared_run_and_merges_islands(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten"),
+        (3, "completely unrelated text with no duplicate content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in tx.duplicate_spans(df, window_tokens=4).collect()
+    }
+    # doc 1: shared tokens at positions 3..10 -> windows 3..7 (5 windows),
+    # span [3, 11); doc 2: positions 2..9 -> windows 2..6, span [2, 10)
+    assert spans[1] == (3, 11, 5)
+    assert spans[2] == (2, 10, 5)
+    assert 3 not in spans  # clean doc emits nothing
+
+
+def test_duplicate_spans_catches_within_doc_repetition(spark):
+    run = "red orange yellow green blue"
+    df = spark.createDataFrame(
+        [(1, f"{run} filler words here {run}")], "doc_id long, text string"
+    )
+    got = tx.duplicate_spans(df, window_tokens=5).collect()
+    # both occurrences of the 5-token run are windows with the same hash
+    assert {(r.span_start, r.span_end) for r in got} == {(0, 5), (8, 13)}
