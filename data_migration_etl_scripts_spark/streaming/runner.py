@@ -36,8 +36,14 @@ def stream_pipeline(
     source_format: str = "parquet",
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    expectations: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """Run (or start) the streaming version of a pipeline.
+
+    ``expectations`` mirrors IncrementalPipeline.expectations: the
+    transformed batch is checked pre-append; a violation fails the
+    query before the batch commits, so a fixed rerun resumes cleanly
+    from the checkpoint.
 
     Returns the StreamingQuery (terminated already when
     ``await_termination`` with availableNow).
@@ -53,6 +59,12 @@ def stream_pipeline(
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df, ts)
+        if expectations is not None:
+            from data_migration_etl_scripts_spark.operators.expectations import (
+                enforce,
+            )
+
+            enforce(expectations(out))  # fails the query pre-commit
         out.write.mode("append").parquet(sink_path)
 
     query = (

@@ -231,3 +231,33 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(out_dir).collect()
     assert sorted(r.event_id for r in rows) == [1, 2]  # duplicate dropped
+
+
+def test_stream_pipeline_expectations_block_commit_then_resume(spark, cat, tmp_path):
+    from data_migration_etl_scripts_spark.operators import expectations as ex
+
+    src = str(tmp_path / "xsrc")
+    os.makedirs(src)
+    _mk_events(spark, [_event(1, 0, etype="weird")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    checks = lambda df: ex.expectation_report(  # noqa: E731
+        df, row_checks={"etype_domain": ex.accepted_values("event_type", ["view", "buy"])}
+    )
+    with pytest.raises(Exception, match="etype_domain"):
+        stream_pipeline(
+            spark, cat, name="xgated", source_dir=src, schema=EVENTS_SCHEMA,
+            sink_table="XGatedV2", batch_ts=TS, expectations=checks,
+        )
+    assert not cat.exists("XGatedV2")
+
+    # relaxing the expectation replays the same uncommitted batch
+    stream_pipeline(
+        spark, cat, name="xgated", source_dir=src, schema=EVENTS_SCHEMA,
+        sink_table="XGatedV2", batch_ts=TS,
+        expectations=lambda df: ex.expectation_report(
+            df, row_checks={"id_not_null": ex.not_null("event_id")}
+        ),
+    )
+    assert cat.read("XGatedV2").count() == 1
