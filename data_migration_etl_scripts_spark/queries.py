@@ -2309,3 +2309,42 @@ def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.duplicate_spans(
         _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=12
     )
+
+
+from data_migration_etl_scripts_spark.operators import textprep as tp  # noqa: E402
+
+
+@query(
+    "corpus_composition",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang, source, len({{toks}}) AS n_tok FROM documents
+    ),
+    grouped AS (
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM per_doc GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           round(n_tokens / CAST((SELECT sum(n_tokens) FROM grouped) AS DOUBLE), 6)
+               AS token_share
+    FROM grouped
+    """.format(toks=tp.tokens_sql("text")),
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-card composition report: docs, tokens, and token share
+    per (language, source). One scan + a stratum-cardinality agg; the
+    global total is a broadcast single row, so the report costs the
+    same at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    grouped = docs.select(
+        "lang", "source", F.size(tp.tokens("text")).alias("n_tok")
+    ).groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    total = grouped.agg(F.sum("n_tokens").alias("tot"))
+    return grouped.crossJoin(F.broadcast(total)).select(
+        "lang", "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot").cast("double"), 6).alias("token_share"),
+    )
