@@ -514,15 +514,21 @@ def duplicate_spans(
     per-doc islands window. Downstream removal is a span-slice per doc
     — no second corpus-wide pass.
     """
-    toks = tp.tokens(text_col)
-    n = F.size(toks)
     w = window_tokens
+    # materialize the token array BEFORE the per-window lambda: Catalyst
+    # has no CSE inside lambdas, so referencing tp.tokens(text) there
+    # would re-run the regex tokenizer once PER WINDOW (measured ~10x
+    # on this operator; same trap documented for the shingle builders)
+    based = df.select(
+        F.col(id_col).alias("doc_id"), tp.tokens(text_col).alias("toks")
+    )
+    n = F.size(F.col("toks"))
     hashes = F.transform(
         F.sequence(F.lit(0), n - w),
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, w), " ")),
     )
-    wins = df.select(
-        F.col(id_col).alias("doc_id"),
+    wins = based.select(
+        "doc_id",
         F.posexplode(F.when(n >= w, hashes)).alias("pos", "whash"),
     )
     dup_hashes = (
