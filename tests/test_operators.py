@@ -332,3 +332,20 @@ def test_url_dedup_groups_and_keeps_min_id(spark):
     assert rows["https://a.com/x?a=1&b=1"].n_dups == 2
     assert rows["https://a.com/y"].keep_id == 9
     assert len(rows) == 2
+
+
+def test_canonical_url_is_idempotent(spark):
+    # canonicalizing an already-canonical URL must be a no-op —
+    # guarantees repeated pipeline passes cannot re-split dup groups
+    urls = [
+        "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+        "http://example.com:80//x//y/?b=2&a=1",
+        "https://sub.domain.example.com/path?id=7&ref=nav",
+        "ftp://Files.Example.net/data/",
+        "https://example.com",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "u"])
+    once = df.select("i", tx.canonical_url(F.col("u")).alias("c1"))
+    twice = once.select("i", "c1", tx.canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r.c2 == r.c1, f"not idempotent: {r.c1!r} -> {r.c2!r}"
