@@ -379,14 +379,19 @@ def mix_by_temperature(
     Scale shape: one count agg (map-side partials, stratum-cardinality
     rows), the tiny weight table broadcast back, one map-side filter.
     The corpus is scanned once and never shuffled.
+
+    NULL strata form their own stratum (sampled like any other) rather
+    than being dropped by the join — a null-equality sentinel keeps
+    the equi-join shape.
     """
+    skey = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00<null>"))
     w_raw = (
         F.sqrt(F.col("n_s").cast("double"))
         if alpha == 0.5
         else F.pow(F.col("n_s").cast("double"), F.lit(float(alpha)))
     )
     weights = (
-        df.groupBy(F.col(strata_col).alias("stratum"))
+        df.groupBy(skey.alias("stratum"))
         .agg(F.count("*").alias("n_s"))
         .select("stratum", "n_s", F.round(w_raw, 6).cast("decimal(38,6)").alias("w"))
     )
@@ -408,7 +413,7 @@ def mix_by_temperature(
         F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 6)
     )
     return (
-        df.join(F.broadcast(cutoffs), df[strata_col] == cutoffs.stratum)
+        df.join(F.broadcast(cutoffs), skey == cutoffs.stratum)
         .where(prefix < F.col("cutoff_hex"))
         .drop("stratum", "cutoff_hex")
     )

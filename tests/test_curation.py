@@ -149,3 +149,15 @@ def test_duplicate_spans_catches_within_doc_repetition(spark):
     got = tx.duplicate_spans(df, window_tokens=5).collect()
     # both occurrences of the 5-token run are windows with the same hash
     assert {(r.span_start, r.span_end) for r in got} == {(0, 5), (8, 13)}
+
+
+def test_mix_by_temperature_null_stratum_is_sampled_not_dropped(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 200, F.lit("en")).otherwise(F.lit(None)).alias("lang"),
+    )
+    out = cu.mix_by_temperature(df, "k", "lang", target_rows=400)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # target >= population: every row kept, including the NULL stratum
+    assert counts.get("en") == 200
+    assert counts.get(None) == 200
