@@ -45,6 +45,7 @@ def expectation_report(
     row_checks: dict[str, Column] | None = None,
     unique_keys: dict[str, list[str]] | None = None,
     fk_checks: dict[str, tuple[DataFrame, str, str]] | None = None,
+    approx_unique: bool = False,
 ) -> DataFrame:
     """(check_name, n_violations) for every declared expectation, one scan.
 
@@ -52,6 +53,15 @@ def expectation_report(
     ``unique_keys`` name -> key column list (composite ok)
     ``fk_checks``   name -> (dim_df, fact_key, dim_key); a non-null
                     fact key missing from the dim is a violation
+    ``approx_unique``: screen uniqueness with HLL
+    (approx_count_distinct) instead of exact count-distinct. An exact
+    distinct adds a full extra shuffle stage keyed by the key values —
+    and an Expand (duplicated scan rows) once several distinct checks
+    are declared; at 100 TB that dominates the whole report. The
+    approx mode keeps everything in ONE map-side-partial aggregate
+    (plan-tested: no Expand, no distinct re-shuffle); violation counts
+    become estimates (floored at 0), so use it as a gate on "roughly
+    unique", not an exact census.
     """
     row_checks = dict(row_checks or {})
     base = df
@@ -72,8 +82,13 @@ def expectation_report(
         for name, pred in row_checks.items()
     ]
     for name, keys in (unique_keys or {}).items():
+        distinct = (
+            F.approx_count_distinct(F.struct(*keys))
+            if approx_unique
+            else F.count_distinct(F.struct(*keys))
+        )
         aggs.append(
-            (F.count(F.lit(1)) - F.count_distinct(F.struct(*keys)))
+            F.greatest(F.lit(0), F.count(F.lit(1)) - distinct)
             .cast("long")
             .alias(name)
         )

@@ -63,3 +63,29 @@ def test_expectation_report_is_one_scan(spark, tmp_path):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_approx_unique_screens_without_expand(spark):
+    df = spark.createDataFrame(
+        [(k % 50, float(k)) for k in range(100)], "k int, x double"
+    )
+    # small cardinality: HLL++ sparse mode is exact, so counts agree
+    checks = dict(
+        row_checks={"x_null": ex.not_null("x")},
+        unique_keys={"k_uniq": ["k"], "kx_uniq": ["k", "x"]},
+    )
+    exact = ex.expectation_report(df, **checks)
+    approx = ex.expectation_report(df, **checks, approx_unique=True)
+    assert _report_dict(exact) == {"x_null": 0, "k_uniq": 50, "kx_uniq": 0}
+    # approx mode is a screen: estimates within HLL tolerance, floored
+    # at zero, exact row-predicate counts untouched
+    got = _report_dict(approx)
+    assert got["x_null"] == 0
+    assert abs(got["k_uniq"] - 50) <= 5
+    assert got["kx_uniq"] <= 5
+    # the scale property: several exact distincts plan an Expand
+    # (duplicated scan rows); the approx mode must stay one plain pass
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
