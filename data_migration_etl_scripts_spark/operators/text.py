@@ -344,7 +344,13 @@ def chunk_documents(
     """
     assert 0 <= overlap < chunk_tokens
     stride = chunk_tokens - overlap
-    toks = tp.tokens(text_col)
+    # materialize the token array before the per-chunk lambda (no CSE
+    # inside lambdas: a tokenizer expression referenced there would
+    # re-run once per chunk — same trap fixed in duplicate_spans)
+    based = df.select(
+        F.col(id_col).alias("doc_id"), tp.tokens(text_col).alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride); 0 for empty docs
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
@@ -354,8 +360,8 @@ def chunk_documents(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
     )
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"),
+    exploded = based.select(
+        "doc_id",
         F.posexplode(F.when(n_chunks > 0, chunks)).alias("chunk_id", "ctoks"),
     )
     return exploded.select(
