@@ -39,13 +39,22 @@ def quantize_int8(
     comparison harnesses can't hash array columns; ``from_csv``/
     ``split`` reverses it losslessly (ints only).
     """
-    v = F.col(vec_col).cast("array<double>")
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    v0 = F.col(vec_col).cast("array<double>")
+    # materialize scale before the per-element lambda: referencing the
+    # array_max expression inside the transform would re-run the full
+    # O(d) max pass once PER ELEMENT (no CSE inside lambdas — same trap
+    # as the shingle builders / duplicate_spans)
+    based = df.select(
+        F.col(id_col).alias("vec_id"),
+        v0.alias("v"),
+        (F.array_max(F.transform(v0, F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    v, scale = F.col("v"), F.col("scale")
     q = F.when(scale > 0, F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("int"))).otherwise(
         F.transform(v, lambda x: F.lit(0))
     )
-    return df.select(
-        F.col(id_col).alias("vec_id"),
+    return based.select(
+        "vec_id",
         F.round(scale, 9).alias("scale"),
         F.size(v).alias("n_dims"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
