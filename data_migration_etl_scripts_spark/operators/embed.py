@@ -44,12 +44,16 @@ def quantize_int8(
     # array_max expression inside the transform would re-run the full
     # O(d) max pass once PER ELEMENT (no CSE inside lambdas — same trap
     # as the shingle builders / duplicate_spans)
+    # the internal column must NOT be named like the rounded output
+    # alias: lateral column alias resolution would bind the lambda's
+    # reference to round(scale, 9) — zero for tiny scales — and ANSI
+    # mode then throws DIVIDE_BY_ZERO (found by the hypothesis test)
     based = df.select(
         F.col(id_col).alias("vec_id"),
         v0.alias("v"),
-        (F.array_max(F.transform(v0, F.abs)) / F.lit(127.0)).alias("scale"),
+        (F.array_max(F.transform(v0, F.abs)) / F.lit(127.0)).alias("qscale"),
     )
-    v, scale = F.col("v"), F.col("scale")
+    v, scale = F.col("v"), F.col("qscale")
     q = F.when(scale > 0, F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("int"))).otherwise(
         F.transform(v, lambda x: F.lit(0))
     )

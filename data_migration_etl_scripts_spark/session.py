@@ -10,9 +10,11 @@ Scale notes (100 TB deployment):
   cluster AQE coalesces post-shuffle partitions from the configured
   initial value, so the initial number only needs to be "big enough"
   (set it to ~2-3x total cores at deploy time).
-- ANSI is left OFF intentionally: the reference semantics are
-  pandas-permissive (coercions return null, not errors); we use
-  ``try_cast``/``try_to_timestamp`` explicitly where coercion may fail.
+- ANSI stays at the Spark 4 default (ON): every place the reference's
+  pandas-permissive semantics need coerce-to-null, the engine already
+  uses ``try_cast``/``try_to_timestamp`` explicitly, and ANSI's
+  strictness has caught real expression bugs the permissive mode would
+  have silently mis-evaluated.
 """
 
 from __future__ import annotations
