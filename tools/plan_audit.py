@@ -46,6 +46,7 @@ AUDITED = {
     "expectations_orders": "all quality checks in ONE aggregate over one fact scan; FK dims broadcast as null markers",
     "duplicate_spans_docs": "window hashing map-side (tokens materialized pre-lambda); shuffles carry only hashes + flagged positions",
     "skew_report_events": "per-key counts with map-side partials; top slice is TakeOrderedAndProject — no global sort",
+    "q3_shipping_priority": "filters pushed to all 3 scans; decimal partial aggs; top-10 = TakeOrderedAndProject",
 }
 
 
