@@ -44,15 +44,21 @@ def expectation_report(
     df: DataFrame,
     row_checks: dict[str, Column] | None = None,
     unique_keys: dict[str, list[str]] | None = None,
-    fk_checks: dict[str, tuple[DataFrame, str, str]] | None = None,
+    fk_checks: dict[str, tuple[DataFrame, str | list[str], str | list[str]]]
+    | None = None,
     approx_unique: bool = False,
 ) -> DataFrame:
     """(check_name, n_violations) for every declared expectation, one scan.
 
     ``row_checks``  name -> violation predicate (true = bad row)
     ``unique_keys`` name -> key column list (composite ok)
-    ``fk_checks``   name -> (dim_df, fact_key, dim_key); a non-null
-                    fact key missing from the dim is a violation
+    ``fk_checks``   name -> (dim_df, fact_key, dim_key); keys may be a
+                    single column name or a same-length list for
+                    composite foreign keys. A fact key with every
+                    component non-null that is missing from the dim is
+                    a violation (partially-null composites are the
+                    not_null checks' business, mirroring SQL FK
+                    semantics)
     ``approx_unique``: screen uniqueness with HLL
     (approx_count_distinct) instead of exact count-distinct. An exact
     distinct adds a full extra shuffle stage keyed by the key values —
@@ -66,16 +72,27 @@ def expectation_report(
     row_checks = dict(row_checks or {})
     base = df
     for name, (dim, fact_key, dim_key) in (fk_checks or {}).items():
+        fact_keys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+        dim_keys = [dim_key] if isinstance(dim_key, str) else list(dim_key)
         marker = f"__fk_{name}"
+        key_aliases = [f"{marker}_k{i}" for i in range(len(dim_keys))]
         lookup = F.broadcast(
-            dim.select(F.col(dim_key).alias(f"{marker}_key"))
+            dim.select(
+                *[F.col(d).alias(a) for d, a in zip(dim_keys, key_aliases)]
+            )
             .distinct()
             .withColumn(marker, F.lit(1))
         )
-        base = base.join(
-            lookup, base[fact_key] == lookup[f"{marker}_key"], "left"
-        ).drop(f"{marker}_key")
-        row_checks[name] = F.col(fact_key).isNotNull() & F.col(marker).isNull()
+        cond = None
+        for fk, a in zip(fact_keys, key_aliases):
+            eq = base[fk] == lookup[a]
+            cond = eq if cond is None else cond & eq
+        base = base.join(lookup, cond, "left").drop(*key_aliases)
+        all_present = None
+        for fk in fact_keys:
+            nn = F.col(fk).isNotNull()
+            all_present = nn if all_present is None else all_present & nn
+        row_checks[name] = all_present & F.col(marker).isNull()
 
     aggs = [
         F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)

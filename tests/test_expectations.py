@@ -89,3 +89,18 @@ def test_approx_unique_screens_without_expand(spark):
     approx_plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan
+
+
+def test_fk_check_supports_composite_keys(spark):
+    facts = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 9), (3, None, 1), (4, "b", 2)],
+        "k long, acct string, item int",
+    )
+    dim = spark.createDataFrame([("a", 1), ("b", 2)], "d_acct string, d_item int")
+    rep = ex.expectation_report(
+        facts,
+        fk_checks={"pair_fk": (dim, ["acct", "item"], ["d_acct", "d_item"])},
+    )
+    # (a,9) missing -> violation; (None,1) partially null -> NOT an fk
+    # violation (that's a not_null check's job); (a,1),(b,2) match
+    assert _report_dict(rep) == {"pair_fk": 1}
