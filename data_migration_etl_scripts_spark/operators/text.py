@@ -602,3 +602,154 @@ def duplicate_spans_sql(
                count(*) AS n_windows
         FROM islands GROUP BY doc_id, island
     """
+
+
+_POS_ENC = 1 << 20  # token positions per doc bounded by 2^20 for owner encoding
+
+
+def remove_duplicate_runs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup with keep-first-occurrence:
+    tokens inside a duplicated >=w-token run are REMOVED everywhere
+    except the run's first occurrence (min (doc_id, pos) over the
+    occurrences of its first duplicated window — encoded as
+    doc_id*2^20+pos, so token positions are bounded at ~1M per doc).
+
+    Policy note (documented approximation): ownership is decided per
+    WINDOW, so an occurrence that owns one duplicated window but sits
+    inside another duplicated run can still lose tokens to that run's
+    owner. Exact keep-first at full substring granularity needs a
+    suffix automaton — this is the distributed trade.
+
+    Returns (doc_id, text_clean, n_tokens_kept, n_tokens_removed) for
+    EVERY input doc. Shuffle volume: window hashes (map-side partials),
+    the flagged-window explode (O(duplicated volume * w)), and one
+    per-doc reassembly — the clean-corpus rewrite never goes through
+    the driver.
+    """
+    w = window_tokens
+    based = df.select(
+        F.col(id_col).alias("doc_id"), tp.tokens(text_col).alias("toks")
+    )
+    n = F.size(F.col("toks"))
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - w),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, w), " ")),
+    )
+    wins = based.select(
+        "doc_id", F.posexplode(F.when(n >= w, hashes)).alias("pos", "whash")
+    )
+    owners = (
+        wins.groupBy("whash")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.col("doc_id") * _POS_ENC + F.col("pos")).alias("owner_enc"),
+        )
+        .where(F.col("c") > 1)
+        .select("whash", "owner_enc")
+    )
+    flagged = wins.join(owners, "whash").where(
+        F.col("doc_id") * _POS_ENC + F.col("pos") != F.col("owner_enc")
+    )
+    removable = flagged.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + w - 1)).alias("tpos")
+    ).distinct()
+    all_toks = based.select(
+        "doc_id", F.posexplode_outer("toks").alias("tpos", "tok")
+    )
+    kept = all_toks.where(F.col("tok").isNotNull()).join(
+        removable, ["doc_id", "tpos"], "anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    totals = based.select("doc_id", n.alias("n_toks"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+            (F.col("n_toks") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
+def remove_duplicate_runs_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+) -> str:
+    """DuckDB twin of :func:`remove_duplicate_runs`."""
+    toks = tp.tokens_sql(text_col)
+    w = window_tokens
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+        ),
+        wins AS (
+            SELECT doc_id, g.i AS pos,
+                   md5(array_to_string(list_slice(t, g.i + 1, g.i + {w}), ' ')) AS whash
+            FROM base, LATERAL (
+                SELECT unnest(CASE WHEN len(t) >= {w}
+                                   THEN list_transform(generate_series(0, len(t) - {w}), x -> x)
+                                   ELSE [] END) AS i
+            ) g
+        ),
+        owners AS (
+            SELECT whash, min(doc_id * {_POS_ENC} + pos) AS owner_enc
+            FROM wins GROUP BY whash HAVING count(*) > 1
+        ),
+        flagged AS (
+            SELECT w.doc_id, w.pos FROM wins w JOIN owners o ON w.whash = o.whash
+            WHERE w.doc_id * {_POS_ENC} + w.pos <> o.owner_enc
+        ),
+        removable AS (
+            SELECT DISTINCT doc_id, g.tpos FROM flagged, LATERAL (
+                SELECT unnest(list_transform(generate_series(pos, pos + {w} - 1), x -> x)) AS tpos
+            ) g
+        ),
+        all_toks AS (
+            SELECT doc_id, g.i - 1 AS tpos, t[g.i] AS tok
+            FROM base, LATERAL (
+                SELECT unnest(CASE WHEN len(t) > 0
+                                   THEN list_transform(generate_series(1, len(t)), x -> x)
+                                   ELSE [] END) AS i
+            ) g
+        ),
+        kept AS (
+            SELECT a.doc_id, a.tpos, a.tok FROM all_toks a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM removable r
+                WHERE r.doc_id = a.doc_id AND r.tpos = a.tpos
+            )
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       list_sort(list(struct_pack(tpos := tpos, tok := tok))),
+                       s -> s.tok), ' ') AS text_clean,
+                   count(*) AS n_tokens_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(r.text_clean, '') AS text_clean,
+               CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+               CAST(len(b.t) - coalesce(r.n_tokens_kept, 0) AS BIGINT)
+                   AS n_tokens_removed
+        FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """

@@ -2396,3 +2396,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "dedup_remove_runs",
+    oracle=tx.remove_duplicate_runs_sql("documents", "doc_id", "text", window_tokens=12),
+)
+def dedup_remove_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring REMOVAL (keep-first-occurrence):
+    tokens inside duplicated 12-token runs are stripped everywhere but
+    the run's first occurrence, and every document comes back with its
+    cleaned text and kept/removed counts — the rewrite stage that
+    follows duplicate_spans detection, entirely distributed."""
+    return tx.remove_duplicate_runs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=12
+    )

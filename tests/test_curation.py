@@ -161,3 +161,33 @@ def test_mix_by_temperature_null_stratum_is_sampled_not_dropped(spark):
     # target >= population: every row kept, including the NULL stratum
     assert counts.get("en") == 200
     assert counts.get(None) == 200
+
+
+def test_remove_duplicate_runs_keeps_first_occurrence(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"four five {shared} six seven"),
+        (3, "totally different words without any repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.remove_duplicate_runs(df, window_tokens=4).collect()}
+    # doc 1 owns every duplicated window (min doc_id): untouched
+    assert got[1].text_clean == f"one two {shared} three"
+    assert got[1].n_tokens_removed == 0
+    # doc 2 loses exactly the shared run
+    assert got[2].text_clean == "four five six seven"
+    assert got[2].n_tokens_removed == 8
+    # clean doc untouched, short-docs-safe
+    assert got[3].n_tokens_removed == 0
+    assert len(got) == 3
+
+
+def test_remove_duplicate_runs_within_doc(spark):
+    run = "red orange yellow green blue"
+    df = spark.createDataFrame(
+        [(7, f"{run} some filler words {run}")], "doc_id long, text string"
+    )
+    r = tx.remove_duplicate_runs(df, window_tokens=5).collect()[0]
+    assert r.text_clean == f"{run} some filler words"
+    assert r.n_tokens_removed == 5
