@@ -2411,3 +2411,22 @@ def dedup_remove_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.remove_duplicate_runs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=12
     )
+
+
+@query(
+    "ann_recall_bucketed",
+    oracle=sim.recall_at_k_sql(
+        sim.cosine_topk_bucketed_sql("embeddings", "vec_id < 8", k=5),
+        sim.cosine_topk_bruteforce_sql("embeddings", "vec_id < 8", k=5),
+        k=5,
+    ),
+)
+def ann_recall_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH bucketed ANN vs exact brute force —
+    together with ann_recall_ivf this measures both approximate search
+    paths, so the bucket-vs-cell tradeoff is a number, not a claim."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    approx = sim.cosine_topk_bucketed(emb, queries_df, k=5)
+    exact = sim.cosine_topk_bruteforce(emb, queries_df, k=5)
+    return sim.recall_at_k(approx, exact, k=5)
