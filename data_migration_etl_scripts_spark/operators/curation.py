@@ -22,7 +22,7 @@ All three are built to hold at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -355,6 +355,20 @@ def semantic_dedup_sql(
     """
 
 
+def _cutoff_hex(frac: Column) -> Column:
+    """6-hex-digit md5-prefix cutoff for a keep fraction ``frac``.
+
+    frac within 2^-25 of 1.0 rounds cutoff_int up to 16^6, whose hex is
+    7 chars; lpad(...,6) would TRUNCATE it to '100000' and keep only
+    ~1/16 of a stratum that should be ~fully kept — so any cutoff at or
+    above 16^6 takes the keep-all branch ('G' > every hex digit).
+    """
+    cutoff_int = F.floor(frac * F.lit(float(16**6)) + F.lit(0.5)).cast("long")
+    return F.when(
+        (frac >= 1.0) | (cutoff_int >= F.lit(16**6)), F.lit("G")
+    ).otherwise(F.lpad(F.hex(cutoff_int), 6, "0"))
+
+
 def mix_by_temperature(
     df: DataFrame,
     key_col: str,
@@ -408,12 +422,8 @@ def mix_by_temperature(
         / (F.col("w_total").cast("double"))
         / (F.col("n_s").cast("double")),
     )
-    cutoff_int = F.floor(frac * F.lit(float(16**6)) + F.lit(0.5)).cast("long")
     cutoffs = weights.crossJoin(F.broadcast(total)).select(
-        "stratum",
-        F.when(frac >= 1.0, F.lit("G"))  # > any hex digit: keep all
-        .otherwise(F.lpad(F.hex(cutoff_int), 6, "0"))
-        .alias("cutoff_hex"),
+        "stratum", _cutoff_hex(frac).alias("cutoff_hex")
     )
     prefix = F.upper(
         F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 6)
@@ -432,7 +442,13 @@ def mix_by_temperature_sql(
     target_rows: int,
     alpha: float = 0.5,
 ) -> str:
-    """DuckDB twin of :func:`mix_by_temperature` (alpha=0.5 path)."""
+    """DuckDB twin of :func:`mix_by_temperature` (alpha=0.5 path).
+
+    NULL strata are kept as their own stratum (GROUP BY groups NULLs
+    together; the join uses ``IS NOT DISTINCT FROM``) to match the Spark
+    operator's NULL-sentinel behaviour — a plain equi-join would silently
+    drop every NULL-stratum row.
+    """
     w_expr = (
         f"round(sqrt(CAST(count(*) AS DOUBLE)), 6)"
         if alpha == 0.5
@@ -446,7 +462,9 @@ def mix_by_temperature_sql(
     ),
     cutoffs AS (
         SELECT stratum,
-               CASE WHEN frac >= 1.0 THEN 'G'
+               CASE WHEN frac >= 1.0
+                         OR CAST(floor(frac * 16777216.0 + 0.5) AS BIGINT) >= 16777216
+                    THEN 'G'
                     ELSE lpad(hex(CAST(floor(frac * 16777216.0 + 0.5) AS BIGINT)), 6, '0')
                END AS cutoff_hex
         FROM (
@@ -458,6 +476,6 @@ def mix_by_temperature_sql(
         )
     )
     SELECT t.* FROM {table} t
-    JOIN cutoffs c ON t.{strata_col} = c.stratum
+    JOIN cutoffs c ON t.{strata_col} IS NOT DISTINCT FROM c.stratum
     WHERE upper(substr(md5(CAST(t.{key_col} AS VARCHAR)), 1, 6)) < c.cutoff_hex
     """

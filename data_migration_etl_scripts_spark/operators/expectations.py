@@ -22,8 +22,24 @@ same abort-before-write discipline as the RI gates.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Check names are interpolated into the stack() SQL string at report
+# time; restrict them up front so a quote/backtick can't break (or
+# mangle) the generated expression.
+_SAFE_NAME = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def _validate_names(names) -> None:
+    bad = [n for n in names if not _SAFE_NAME.match(n)]
+    if bad:
+        raise ValueError(
+            "expectation check names must match [A-Za-z0-9_]+; got: "
+            + ", ".join(repr(n) for n in bad)
+        )
 
 
 class ExpectationError(RuntimeError):
@@ -70,6 +86,11 @@ def expectation_report(
     unique", not an exact census.
     """
     row_checks = dict(row_checks or {})
+    _validate_names(
+        list(row_checks)
+        + list(unique_keys or {})
+        + list(fk_checks or {})
+    )
     base = df
     for name, (dim, fact_key, dim_key) in (fk_checks or {}).items():
         fact_keys = [fact_key] if isinstance(fact_key, str) else list(fact_key)

@@ -630,7 +630,22 @@ def remove_duplicate_runs(
     the flagged-window explode (O(duplicated volume * w)), and one
     per-doc reassembly — the clean-corpus rewrite never goes through
     the driver.
+
+    The owner encoding requires an INTEGRAL ``id_col`` and token
+    positions < 2^20 (~1M tokens/doc); both are enforced — a string id
+    raises up front with a clear message instead of an ANSI cast error,
+    and an over-long document fails the job loudly rather than silently
+    mis-ordering ownership (positions bleeding into the doc-id field).
     """
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"remove_duplicate_runs requires an integral {id_col!r} column for "
+            f"owner encoding (doc_id*2^20+pos); got {id_type.simpleString()}. "
+            "Map string ids to a surrogate BIGINT first."
+        )
     w = window_tokens
     based = df.select(
         F.col(id_col).alias("doc_id"), tp.tokens(text_col).alias("toks")
@@ -642,6 +657,17 @@ def remove_duplicate_runs(
     )
     wins = based.select(
         "doc_id", F.posexplode(F.when(n >= w, hashes)).alias("pos", "whash")
+    ).withColumn(
+        "pos",
+        F.when(F.col("pos") < F.lit(_POS_ENC), F.col("pos")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("remove_duplicate_runs: document "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f" exceeds {_POS_ENC} tokens; owner encoding would overflow"),
+                )
+            )
+        ),
     )
     owners = (
         wins.groupBy("whash")

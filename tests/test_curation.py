@@ -191,3 +191,55 @@ def test_remove_duplicate_runs_within_doc(spark):
     r = tx.remove_duplicate_runs(df, window_tokens=5).collect()[0]
     assert r.text_clean == f"{run} some filler words"
     assert r.n_tokens_removed == 5
+
+
+def test_remove_duplicate_runs_rejects_string_ids(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "some text here")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral"):
+        tx.remove_duplicate_runs(df)
+
+
+def test_cutoff_hex_overflow_keeps_all(spark):
+    # frac within 2^-25 of 1.0 rounds the 6-hex-digit cutoff up to 16^6
+    # (7 hex chars); the guard must emit the keep-all 'G' cutoff instead
+    # of lpad-truncating it to '100000' (~1/16 keep rate)
+    fracs = [1.0 - 2.0**-26, 1.0 - 2.0**-30, 1.0, 0.5, 0.0]
+    df = spark.createDataFrame([(f,) for f in fracs], "frac double")
+    got = {
+        r.frac: r.cut
+        for r in df.select("frac", cu._cutoff_hex(F.col("frac")).alias("cut")).collect()
+    }
+    assert got[1.0 - 2.0**-26] == "G"
+    assert got[1.0 - 2.0**-30] == "G"
+    assert got[1.0] == "G"
+    assert got[0.5] == "800000"
+    assert got[0.0] == "000000"
+
+
+def test_mix_by_temperature_sql_twin_keeps_null_strata(spark, tmp_path):
+    # oracle-parity pin for the NULL-stratum sentinel: the DuckDB twin
+    # must keep NULL-strata rows (IS NOT DISTINCT FROM join), matching
+    # the Spark operator — a plain equi-join would silently drop them
+    import duckdb
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 200, F.lit("en")).otherwise(F.lit(None)).alias("lang"),
+    )
+    pq = str(tmp_path / "mix_null.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    spark_keys = sorted(
+        r.k for r in cu.mix_by_temperature(df, "k", "lang", target_rows=300).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW corpus AS SELECT * FROM '{pq}/*.parquet'")
+    sql = cu.mix_by_temperature_sql("corpus", "k", "lang", target_rows=300)
+    oracle_keys = sorted(r[0] for r in con.sql(sql).fetchall())
+    assert spark_keys == oracle_keys
+    # and NULL-strata rows actually survive in both
+    null_kept = con.sql(
+        f"SELECT count(*) FROM ({sql}) WHERE lang IS NULL"
+    ).fetchone()[0]
+    assert null_kept > 0
