@@ -15,10 +15,11 @@ environment, so the decode kernels come in two flavors:
   plumbing (schema, batching, partitioning, fan-out) run and be tested
   for real.
 - ``decoder="real"``: REAL byte-level decoding for the formats the
-  Python stdlib can handle — uncompressed 24-bit BMP (struct) and PCM
-  WAV (wave) — with NotImplementedError narrowed to compressed codecs
-  (JPEG/PNG/MP3/H.264), which is exactly where a PIL/ffmpeg kernel
-  plugs in on a real deployment.
+  Python stdlib can handle — uncompressed 24-bit BMP (struct), 8-bit
+  PNG (zlib inflate + the five scanline filters), and PCM WAV (wave) —
+  with NotImplementedError narrowed to the remaining compressed codecs
+  (JPEG/MP3/H.264), which is exactly where a PIL/ffmpeg kernel plugs
+  in on a real deployment.
 
 Scale design: mapInPandas streams Arrow batches, so peak memory per
 task is one batch of decoded media, not a partition; keep
@@ -34,6 +35,7 @@ import io
 import math
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -108,6 +110,118 @@ def bmp_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     return width, height, rows
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(
+    rows: list[list[tuple[int, int, int]]], compress_level: int = 6
+) -> bytes:
+    """Top-down (r, g, b) pixel rows -> 8-bit truecolor PNG bytes
+    (filter type 0 on every scanline; stdlib zlib deflate)."""
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for row in rows:
+        raw.append(0)  # filter type None
+        for r, g, b in row:
+            raw += bytes((r, g, b))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), compress_level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """PNG bytes -> (width, height, top-down (r, g, b) rows). Pure
+    stdlib: chunk walk + zlib inflate + the five scanline filters
+    (None/Sub/Up/Average/Paeth). Supports non-interlaced 8-bit
+    truecolor (RGB), truecolor+alpha (alpha dropped), and grayscale;
+    palette/16-bit/interlaced stay at the PIL plug point."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, 0
+    height = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            "palette/16-bit/interlaced PNG needs PIL — plug the codec kernel in here"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    prev = bytearray(stride)
+    rows: list[list[tuple[int, int, int]]] = []
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = line
+        if channels == 1:
+            rows.append([(v, v, v) for v in line])
+        elif channels == 2:
+            rows.append([(line[i], line[i], line[i]) for i in range(0, stride, 2)])
+        else:
+            rows.append(
+                [tuple(line[i : i + 3]) for i in range(0, stride, channels)]
+            )
+    return width, height, rows
+
+
+def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Dispatch on magic bytes: BMP and PNG decode via stdlib; JPEG and
+    friends raise at the documented PIL plug point."""
+    if b[:2] == b"BM":
+        return bmp_decode(b)
+    if b[:8] == _PNG_SIG:
+        return png_decode(b)
+    raise NotImplementedError(
+        "JPEG/other compressed images need PIL — plug the codec kernel in here"
+    )
+
+
 def wav_decode(b: bytes) -> tuple[int, list[float]]:
     """PCM WAV bytes -> (duration_ms, mono samples in [-1, 1])."""
     with wave.open(io.BytesIO(b)) as w:
@@ -125,13 +239,14 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
 
 
 def _real_features(content: bytes | None, dim: int) -> list[float] | None:
-    """Decode-and-summarize: per-channel stats for BMP images, duration
-    + band energies for WAV audio. Compressed formats raise — the
-    honest seam where a PIL/ffmpeg kernel slots in."""
+    """Decode-and-summarize: per-channel stats for BMP/PNG images,
+    duration + band energies for WAV audio. Remaining compressed
+    formats (JPEG/MP3) raise — the honest seam where a PIL/ffmpeg
+    kernel slots in."""
     if content is None:
         return None
-    if content[:2] == b"BM":
-        w, h, rows = bmp_decode(content)
+    if content[:2] == b"BM" or content[:8] == _PNG_SIG:
+        w, h, rows = image_decode(content)
         n = max(1, w * h)
         sums = [0, 0, 0]
         mx = [0, 0, 0]
@@ -160,14 +275,21 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
 
 
 def _fake_features(content: bytes | None, dim: int) -> list[float] | None:
-    """Deterministic pseudo-embedding: md5-chained floats in [0,1)."""
+    """Deterministic pseudo-embedding: md5-chained floats in [0,1).
+
+    The chain runs over ASCII HEX strings (seed_0 = content.hex(),
+    seed_{i+1} = md5(seed_i)) rather than raw digest bytes, so an
+    engine whose md5 only accepts VARCHAR (DuckDB) can reproduce it
+    exactly — that makes the fake kernel SQL-twinnable and gives the
+    multimodal plumbing a real hash-matched oracle row.
+    """
     if content is None:
         return None
     out: list[float] = []
-    seed = hashlib.md5(content).digest()
+    seed = content.hex()
     while len(out) < dim:
-        seed = hashlib.md5(seed).digest()
-        out.append(int.from_bytes(seed[:4], "big") / 2**32)
+        seed = hashlib.md5(seed.encode("ascii")).hexdigest()
+        out.append(int(seed[:8], 16) / 2**32)
     return out[:dim]
 
 
@@ -223,11 +345,11 @@ def resize_images(
     """
 
     def real_resize(b):
-        # nearest-neighbor resample of an uncompressed BMP, re-encoded
-        # as BMP; compressed formats raise inside bmp_decode
+        # nearest-neighbor resample of a BMP or PNG, re-encoded as BMP;
+        # other compressed formats raise inside image_decode
         if b is None:
             return None
-        w, h, rows = bmp_decode(bytes(b))
+        w, h, rows = image_decode(bytes(b))
         out = [
             [rows[min(h - 1, (y * h) // height)][min(w - 1, (x * w) // width)]
              for x in range(width)]
@@ -375,15 +497,17 @@ def wav_encode(samples: list[float], rate: int = 8000) -> bytes:
 
 def synthetic_real_media(spark, n: int = 12) -> DataFrame:
     """Small table of GENUINE media payloads — 8x8 gradient BMPs and
-    8 kHz sine WAVs — for exercising the ``decoder="real"`` kernels.
-    Driver-side createDataFrame is fine here: this is a test/demo
-    table of a few KB, not a bench input (see synthetic_media)."""
+    PNGs (alternating) and 8 kHz sine WAVs — for exercising the
+    ``decoder="real"`` kernels. Driver-side createDataFrame is fine
+    here: this is a test/demo table of a few KB, not a bench input
+    (see synthetic_media)."""
     rows = []
     for i in range(n):
         if i % 2 == 0:
             px = [[((x * 32 + i) % 256, (y * 32) % 256, (x * y + i) % 256)
                    for x in range(8)] for y in range(8)]
-            rows.append((i, "image", bytearray(bmp_encode(px)), "{}"))
+            enc = bmp_encode if i % 4 == 0 else png_encode
+            rows.append((i, "image", bytearray(enc(px)), "{}"))
         else:
             freq = 220.0 * (1 + i % 3)
             samples = [math.sin(2 * math.pi * freq * t / 8000.0)

@@ -897,22 +897,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("multimodal_features")  # no oracle: mapInPandas kernel, rows-only check
+def _multimodal_features_oracle(n: int = 128, dim: int = 8) -> str:
+    """DuckDB twin of the deterministic fake feature kernel.
+
+    The kernel chains md5 over ASCII hex strings (seed_0 =
+    content.hex(), seed_{i+1} = md5(seed_i), value_i = first 8 hex
+    chars of seed_i as uint32 / 2^32, stored as float32), which DuckDB's
+    VARCHAR-only md5 reproduces exactly; features are micro-quantized
+    (floor(x*1e6+0.5)) through the same float32 cast on both engines so
+    the JSON serialization is integer-exact.
+    """
+    hcols = ", ".join(f"md5(h{j}) AS h{j + 1}" for j in range(dim))
+    f = (
+        "CAST(floor(CAST(CAST(CAST('0x' || substr(h{j}, 1, 8) AS UBIGINT) AS DOUBLE)"
+        " / 4294967296.0 AS REAL)::DOUBLE * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    feats = ", ".join(f.format(j=j) for j in range(1, dim + 1))
+    return f"""
+    WITH m AS (
+        SELECT id AS media_id,
+               CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'
+                                        WHEN 1 THEN 'audio'
+                                        ELSE 'video' END AS media_type,
+               repeat(md5('media:' || CAST(id AS VARCHAR)),
+                      CAST(4 + id % 5 AS INT)) AS h0
+        FROM range({n}) t(id)
+    ),
+    c AS (SELECT media_id, media_type,
+                 CAST(octet_length(unhex(h0)) AS BIGINT) AS n_bytes, {hcols}
+          FROM m)
+    SELECT media_id, media_type, n_bytes, to_json([{feats}]) AS feature_q6
+    FROM c
+    """
+
+
+@query("multimodal_features", oracle=_multimodal_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> deterministic fake
     features via Arrow-batched mapInPandas (decode stubbed; see
-    operators/multimodal.py)."""
+    operators/multimodal.py). The fake kernel is md5-chain math, so a
+    DuckDB twin reproduces it exactly — this row is hash-checked, not
+    rows-only."""
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
     media = mm.synthetic_media(spark, n=128)
     feats = mm.extract_features(media, dim=8)
-    # Serialize the feature array: the driver's pandas canonicalizer
-    # cannot hash array-typed cells (round-1 `err` row).
+    # Serialize the feature array (the driver's pandas canonicalizer
+    # cannot hash array-typed cells), micro-quantized so float32 JSON
+    # formatting differences can't break hash parity.
     return feats.select(
         "media_id",
         "media_type",
         "n_bytes",
-        F.to_json(F.col("feature")).alias("feature_json"),
+        F.to_json(
+            F.transform(
+                F.col("feature"),
+                lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+            )
+        ).alias("feature_q6"),
     )
 
 

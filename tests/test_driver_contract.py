@@ -28,9 +28,10 @@ def test_every_oracle_has_a_query():
 def test_rows_only_queries_are_the_documented_exceptions():
     # iterative codebook, media kernels, engine-specific sketches —
     # anything else missing an oracle is an accidental coverage gap
+    # multimodal_features graduated to a hash-checked oracle in round 3
+    # (md5-chain fake kernel has an exact DuckDB twin)
     allowed = {
         "ann_topk_ivf_trained",
-        "multimodal_features",
         "multimodal_real_decode",
         "sketch_profile_events",
     }

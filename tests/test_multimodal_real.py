@@ -60,3 +60,107 @@ def test_real_kernel_raises_on_compressed(spark):
     fake = mm.synthetic_media(spark, n=3)  # md5 noise: not BMP/WAV magic
     with pytest.raises(Exception, match="PIL|ffmpeg|NotImplemented"):
         mm.extract_features(fake, dim=4, decoder="real").collect()
+
+
+def test_png_roundtrip_pure():
+    px = [[(x * 17 % 256, y * 31 % 256, (x * y + 7) % 256) for x in range(9)]
+          for y in range(5)]
+    w, h, back = mm.png_decode(mm.png_encode(px))
+    assert (w, h) == (9, 5)
+    assert back == px
+
+
+def _png_with_filter(rows, ftype, channels=3, color_type=2):
+    """Build a PNG whose every scanline uses filter ``ftype`` by applying
+    the filter forward (decode applies the inverse)."""
+    import struct
+    import zlib
+
+    width, height = len(rows[0]), len(rows)
+    stride = width * channels
+    flat = [bytes(v for px in row for v in px[:channels]) if channels >= 3
+            else bytes(px[0] for px in row) for row in rows]
+    raw = bytearray()
+    prev = bytes(stride)
+    for line in flat:
+        raw.append(ftype)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ftype == 0:
+                f = line[i]
+            elif ftype == 1:
+                f = (line[i] - a) & 0xFF
+            elif ftype == 2:
+                f = (line[i] - b) & 0xFF
+            elif ftype == 3:
+                f = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                f = (line[i] - pred) & 0xFF
+            raw.append(f)
+        prev = line
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (mm._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decode_all_filter_types(ftype):
+    px = [[(x * 13 % 256, (x + y * 5) % 256, (250 - x * y) % 256)
+           for x in range(7)] for y in range(4)]
+    w, h, back = mm.png_decode(_png_with_filter(px, ftype))
+    assert (w, h) == (7, 4)
+    assert back == px
+
+
+def test_png_decode_grayscale():
+    px = [[(v * 40 % 256,) * 3 for v in range(6)] for _ in range(2)]
+    gray = _png_with_filter(px, 1, channels=1, color_type=0)
+    w, h, back = mm.png_decode(gray)
+    assert (w, h) == (6, 2)
+    assert back == px
+
+
+def test_png_decode_rejects_16bit():
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    bad = mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.png_decode(bad)
+
+
+def test_extract_features_real_kernel_png(spark):
+    # synthetic_real_media alternates BMP (id % 4 == 0) and PNG images;
+    # the real kernel must decode both to identical per-pixel features
+    media = mm.synthetic_real_media(spark, n=8)
+    out = {r.media_id: r for r in
+           mm.extract_features(media, dim=6, decoder="real").collect()}
+    png_row = out[2]  # PNG-encoded image
+    assert png_row.feature[0] == 8.0 and png_row.feature[1] == 8.0
+    # same pixel generator as the BMPs modulo the per-id offsets: the
+    # channel-mean features must be real numbers in (0, 1]
+    assert all(0.0 < v <= 1.0 for v in png_row.feature[2:5])
+
+
+def test_resize_real_kernel_accepts_png(spark):
+    media = mm.synthetic_real_media(spark, n=4).where("media_id = 2")
+    out = mm.resize_images(media, width=3, height=3, decoder="real").collect()
+    w, h, rows = mm.bmp_decode(bytes(out[0].content))
+    assert (w, h) == (3, 3)
