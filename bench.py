@@ -5,6 +5,12 @@ JSON line:
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
 
+The same JSON is also written to BENCH_LOCAL.json next to this script —
+round 2's driver capture tail-truncated the (multi-KB, 96-query) stdout
+line and recorded `parsed: null`, so the file is the durable artifact
+and stdout carries nothing except that one line (progress goes to
+stderr).
+
 Execution is forced with the noop datasource (full pipeline runs, rows
 never collected to the driver), which is what a sink write would cost
 minus the I/O — the honest way to time a distributed plan.
@@ -63,7 +69,15 @@ def main() -> int:
         "queries": times,
         "sf": _sf_from_dir(SF_DIR),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # durable artifact: the driver's tail capture can truncate a multi-KB
+    # stdout line (BENCH_r02 recorded parsed:null) — the file always parses
+    artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+    with open(artifact, "w") as f:
+        f.write(line + "\n")
+    print(line)
+    sys.stdout.flush()
     return 0
 
 

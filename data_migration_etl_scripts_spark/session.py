@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for harnesses that parse the last line
+        # (bench JSON); progress bars would interleave \r chatter
+        .config("spark.ui.showConsoleProgress", "false")
         # 128 MiB input splits: good default for parquet scans at scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # broadcast joins up to 64 MiB dims (FK-remap lookups are small)

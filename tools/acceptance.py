@@ -34,7 +34,10 @@ def run(name: str, cmd: list[str]) -> bool:
 def main() -> int:
     surfaces = [
         ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
-        ("selfcheck (DuckDB oracles, sf0.01)", [sys.executable, "tools/selfcheck.py"]),
+        ("selfcheck (DuckDB oracles, sf0.01)",
+         [sys.executable, "tools/selfcheck.py", "--json", "SELFCHECK_LOCAL.json"]),
+        ("full-DAG sink hashes (V1 fixtures)",
+         [sys.executable, "tools/dag_acceptance.py", "--json", "DAG_ACCEPTANCE.json"]),
         ("bench (sf0.1)", [sys.executable, "bench.py"]),
     ]
     if "--smoke" in sys.argv:

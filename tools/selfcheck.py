@@ -6,7 +6,13 @@ value hash (columns sorted by name, rows sorted, values canonicalized).
 Usage:
     python tools/selfcheck.py              # all queries
     python tools/selfcheck.py q1 dedup_*   # substring filters
+    python tools/selfcheck.py --json SELFCHECK_r03.json   # + artifact
     SELFCHECK_SF_DIR=/root/testdata/sf0.001 python tools/selfcheck.py
+
+With ``--json PATH`` a machine-readable per-query artifact (status,
+row counts, value hashes, seconds) is written — committed per round so
+queries outside the driver's pinned board carry durable correctness
+evidence.
 """
 
 from __future__ import annotations
@@ -63,7 +69,13 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 
 def main() -> int:
-    filters = sys.argv[1:]
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    filters = args
     import __spark_entry__ as entrymod
     from data_migration_etl_scripts_spark import get_spark
 
@@ -78,9 +90,14 @@ def main() -> int:
         qs = {k: v for k, v in qs.items() if any(f in k for f in filters)}
 
     failures = []
+    board: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.time()
         spark.catalog.clearCache()  # operators may persist(); keep runs independent
+        rec = board[name] = {
+            "status": None, "spark_rows": None, "oracle_rows": None,
+            "spark_hash": None, "oracle_hash": None, "secs": None,
+        }
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
@@ -88,8 +105,11 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR\n{traceback.format_exc()}")
             failures.append(name)
+            rec["status"] = "spark_error"
             continue
         if name not in oracles:
+            rec.update(status="rows_only", spark_rows=len(srows),
+                       secs=round(time.time() - t0, 2))
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -99,24 +119,43 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: ORACLE ERROR\n{traceback.format_exc()}")
             failures.append(name)
+            rec["status"] = "oracle_error"
             continue
         scols_l = [c.lower() for c in scols]
         sh, sn = table_hash(scols_l, srows)
         oh, on = table_hash(ocols, orows)
+        rec.update(spark_rows=sn, oracle_rows=on, spark_hash=sh, oracle_hash=oh,
+                   secs=round(time.time() - t0, 2))
         if sorted(scols_l) != sorted(ocols):
             print(f"FAIL  {name}: COLUMNS spark={sorted(scols_l)} oracle={sorted(ocols)}")
             failures.append(name)
+            rec["status"] = "columns_mismatch"
         elif sn != on:
             print(f"FAIL  {name}: ROWCOUNT spark={sn} oracle={on}")
             failures.append(name)
+            rec["status"] = "rowcount_mismatch"
         elif sh != oh:
             print(f"FAIL  {name}: HASH mismatch ({sn} rows)")
             _diff(scols_l, srows, ocols, orows)
             failures.append(name)
+            rec["status"] = "hash_mismatch"
         else:
             print(f"ok    {name}: {sn} rows match ({time.time()-t0:.1f}s)")
+            rec["status"] = "ok"
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    if json_path:
+        import json
+
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(qs),
+            "n_pass": len(qs) - len(failures),
+            "queries": board,
+        }
+        with open(json_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"artifact: {json_path}")
     spark.stop()
     return 1 if failures else 0
 
