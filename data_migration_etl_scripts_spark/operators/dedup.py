@@ -409,16 +409,20 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def sign_bucket(vec: Column, bits: int = 8) -> Column:
-    """Sign-LSH bucket id from the first ``bits`` dimensions.
+def sign_bucket(vec: Column, bits: int = 8, offset: int = 0) -> Column:
+    """Sign-LSH bucket id from ``bits`` dimensions starting at ``offset``.
 
     A degenerate (axis-aligned) random-hyperplane LSH: cheap,
     deterministic, oracle-portable. 2^bits buckets bound the pair join
-    to within-bucket pairs.
+    to within-bucket pairs. ``offset`` lets multi-table OR
+    constructions (similarity.cosine_topk_bucketed ``n_tables``) draw
+    independent hyperplane sets from disjoint dimension ranges;
+    out-of-range dimensions contribute a 0 bit (F.get is null-safe, no
+    ANSI index error).
     """
     out = None
     for i in range(bits):
-        bit = F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(F.get(vec, offset + i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         out = bit if out is None else (out + bit)
     return out
 

@@ -109,18 +109,45 @@ def cosine_topk_bucketed(
     vec_col: str = "embedding",
     k: int = 5,
     bucket_bits: int = 6,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: only score (query, corpus) pairs sharing a
     sign-LSH bucket. Equi-join on bucket replaces the cross join —
-    the shape that survives a corpus 1000x bigger."""
+    the shape that survives a corpus 1000x bigger.
+
+    ``n_tables > 1`` is the standard multi-table OR construction: each
+    table hashes a DISJOINT range of ``bucket_bits`` dimensions
+    (table t uses dims [t*bits, (t+1)*bits)), a pair is a candidate if
+    it collides in ANY table, and duplicate candidates collapse in a
+    (query, corpus) group-by before ranking. Single-table sign-LSH
+    collision probability decays as (1 - theta/pi)^bits — near-chance
+    recall on weakly-correlated embeddings (measured: 0.04 at bits=6
+    on the synthetic corpus); OR-ing tables trades candidate volume
+    for recall (see the tuning table in SCALE.md). Requires
+    n_tables * bucket_bits <= vector dim; out-of-range dims hash to a
+    0 bit (degrades, never errors).
+    """
     c, q = _scored(corpus, queries, id_col, vec_col)
-    c = c.withColumn("bucket", sign_bucket(F.col("cv"), bucket_bits))
-    q = q.withColumn("bucket", sign_bucket(F.col("qv"), bucket_bits))
+
+    def tbuckets(col):
+        # table id folded into the join key: one equi-join serves all
+        # tables; 2^bits * n_tables distinct keys
+        return F.array(*[
+            F.lit(t * (1 << bucket_bits))
+            + sign_bucket(col, bucket_bits, offset=t * bucket_bits)
+            for t in range(n_tables)
+        ])
+
+    c = c.withColumn("tbucket", F.explode(tbuckets(F.col("cv"))))
+    q = q.withColumn("tbucket", F.explode(tbuckets(F.col("qv"))))
     cos = F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6)
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), "tbucket")
         .where((F.col("cn") > 0) & (F.col("qn") > 0) & (F.col("corpus_id") != F.col("query_id")))
-        .select("query_id", "corpus_id", cos.alias("cosine"))
+        # a pair colliding in several tables appears once per table;
+        # max() of an identical cosine dedups without a second pass
+        .groupBy("query_id", "corpus_id")
+        .agg(F.max(cos).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     return (
@@ -137,24 +164,35 @@ def cosine_topk_bucketed_sql(
     vec_col: str = "embedding",
     k: int = 5,
     bucket_bits: int = 6,
+    n_tables: int = 1,
 ) -> str:
-    bucket = " + ".join(
-        f"CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(bucket_bits)
-    )
+    def bucket(t: int) -> str:
+        # v[i] out of range yields NULL in DuckDB -> CASE falls to 0,
+        # matching Spark's null-safe F.get
+        bits = " + ".join(
+            f"CASE WHEN v[{t * bucket_bits + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(bucket_bits)
+        )
+        return f"{t * (1 << bucket_bits)} + {bits}"
+
+    tb_list = ", ".join(bucket(t) for t in range(n_tables))
     return f"""
         WITH base AS (
             SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
                    sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm
             FROM {table}
         ),
-        c AS (SELECT id AS corpus_id, v AS cv, nrm AS cn, {bucket} AS bucket FROM base),
-        q AS (SELECT id AS query_id, v, nrm AS qn, {bucket} AS bucket
-              FROM (SELECT * FROM base WHERE id IN (SELECT {id_col} FROM {table} WHERE {query_pred}))),
+        c AS (SELECT id AS corpus_id, v AS cv, nrm AS cn, u.tbucket
+              FROM base, UNNEST([{tb_list}]) AS u(tbucket)),
+        q AS (SELECT id AS query_id, v, nrm AS qn, u.tbucket
+              FROM (SELECT * FROM base WHERE id IN (SELECT {id_col} FROM {table} WHERE {query_pred})),
+                   UNNEST([{tb_list}]) AS u(tbucket)),
         scored AS (
             SELECT query_id, corpus_id,
-                   round(list_inner_product(cv, q.v) / (cn * qn), 6) AS cosine
-            FROM c JOIN q USING (bucket)
+                   max(round(list_inner_product(cv, q.v) / (cn * qn), 6)) AS cosine
+            FROM c JOIN q USING (tbucket)
             WHERE cn > 0 AND qn > 0 AND corpus_id <> query_id
+            GROUP BY query_id, corpus_id
         )
         SELECT query_id, rank, corpus_id, cosine FROM (
             SELECT query_id, corpus_id, cosine,
@@ -164,9 +202,13 @@ def cosine_topk_bucketed_sql(
     """
 
 
-def _assign_cells(base: DataFrame, cent, id_alias: str) -> DataFrame:
+def _assign_cells(
+    base: DataFrame, cent, id_alias: str, n_probe: int = 1
+) -> DataFrame:
     """Nearest-centroid assignment: broadcast centroids, score, argmax.
 
+    ``n_probe > 1`` keeps the n nearest cells per vector (multi-probe
+    query-side assignment — one output row per (vector, probed cell)).
     Cosine rounded to 6 dp before the argmax so engine last-ulp
     differences cannot flip a cell assignment (same rule as ranking).
     """
@@ -180,7 +222,7 @@ def _assign_cells(base: DataFrame, cent, id_alias: str) -> DataFrame:
         base.crossJoin(F.broadcast(cent))
         .withColumn("__cos", cos)
         .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        .where(F.col("__rn") <= n_probe)
         .select(id_alias, "v", "nrm", "centroid_id")
     )
 
@@ -193,16 +235,20 @@ def cosine_topk_ivf(
     k: int = 5,
     n_centroids: int = 8,
     centroids: DataFrame | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells (default centroids = first n vectors by id —
     deterministic and oracle-portable; pass ``centroids`` from
     :func:`train_kmeans_centroids` for a trained codebook — same plan
-    shape, better recall), then each query scores ONLY its own cell.
+    shape, better recall), then each query scores only its ``n_probe``
+    nearest cells (1 = classic single-probe; higher trades latency for
+    recall — see the tuning table in SCALE.md).
 
     Scale shape: assignment is a broadcast-centroids map-side pass over
-    the corpus (no shuffle), search is an equi-join on cell id — the
-    same plan that serves a billion-vector corpus with nprobe=1.
+    the corpus (no shuffle), search is an equi-join on cell id whose
+    probe side carries n_probe rows per query — the same plan that
+    serves a billion-vector corpus.
     """
     base = corpus.select(
         F.col(id_col).alias("vid"),
@@ -219,14 +265,12 @@ def cosine_topk_ivf(
     )
     assigned = _assign_cells(base, cent, "vid")
     qids = queries.select(F.col(id_col).alias("vid"))
-    q = (
-        assigned.join(F.broadcast(qids), "vid")
-        .select(
-            F.col("vid").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            "centroid_id",
-        )
+    qbase = base.join(F.broadcast(qids), "vid")
+    q = _assign_cells(qbase, cent, "vid", n_probe=n_probe).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "centroid_id",
     )
     cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6)
     scored = (
@@ -249,6 +293,7 @@ def cosine_topk_ivf_sql(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int = 8,
+    n_probe: int = 1,
 ) -> str:
     return f"""
         WITH base AS (
@@ -272,9 +317,15 @@ def cosine_topk_ivf_sql(
             ) WHERE rn = 1
         ),
         q AS (
-            SELECT vid AS query_id, v AS qv, nrm AS qn, centroid_id
-            FROM assigned
-            WHERE vid IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+            SELECT vid AS query_id, v AS qv, nrm AS qn, centroid_id FROM (
+                SELECT b.vid, b.v, b.nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vid
+                           ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM base_nz b CROSS JOIN cent c
+                WHERE b.vid IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+            ) WHERE rn <= {n_probe}
         ),
         scored AS (
             SELECT q.query_id, a.vid AS corpus_id,

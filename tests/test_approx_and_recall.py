@@ -105,3 +105,61 @@ def test_recall_at_k_counts_hits_and_misses(spark):
            for r in sim.recall_at_k(approx, exact, k=5).collect()}
     assert got[1] == (3, 0.6)
     assert got[2] == (0, 0.0)  # fully-missed query still visible
+
+
+def test_ann_operating_point_floors(spark):
+    """Pin the recall floors behind SCALE.md's ANN tuning table at
+    sf0.01 (measured: IVF cells=8 n_probe=4 -> 0.79, n_probe=1 ->
+    0.41; bucketed bits=6 tables=8 -> 0.33, tables=1 -> 0.08).
+    Conservative floors so noise can't flake, but a regression in
+    multi-probe / multi-table candidate generation trips them."""
+    from data_migration_etl_scripts_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 32)
+    exact = sim.cosine_topk_bruteforce(emb, qs, k=5).persist()
+
+    def mean_recall(approx) -> float:
+        return float(
+            sim.recall_at_k(approx, exact, k=5)
+            .agg(F.avg("recall_at_k").alias("r")).collect()[0]["r"]
+        )
+
+    p1 = mean_recall(sim.cosine_topk_ivf(emb, qs, k=5, n_centroids=8))
+    p4 = mean_recall(sim.cosine_topk_ivf(emb, qs, k=5, n_centroids=8, n_probe=4))
+    assert p4 >= 0.6, p4          # the documented default operating point
+    assert p4 > p1 + 0.15, (p1, p4)  # multi-probe must actually help
+
+    t1 = mean_recall(sim.cosine_topk_bucketed(emb, qs, k=5, bucket_bits=6))
+    t8 = mean_recall(
+        sim.cosine_topk_bucketed(emb, qs, k=5, bucket_bits=6, n_tables=8)
+    )
+    assert t8 >= 0.2, t8
+    assert t8 > 2 * t1, (t1, t8)  # OR construction must multiply recall
+    exact.unpersist()
+
+
+def test_bucketed_multi_table_matches_duckdb_twin(spark):
+    """n_tables > 1 oracle parity: the Spark multi-table OR candidates
+    + group-by dedup must hash-match the UNNEST-based DuckDB twin."""
+    import duckdb
+
+    from data_migration_etl_scripts_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 8)
+    got = sorted(
+        (r.query_id, r.rank, r.corpus_id, r.cosine)
+        for r in sim.cosine_topk_bucketed(
+            emb, qs, k=5, bucket_bits=6, n_tables=4
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    sql = sim.cosine_topk_bucketed_sql(
+        "embeddings", "vec_id < 8", k=5, bucket_bits=6, n_tables=4
+    )
+    want = sorted((q, rk, c, cos) for q, rk, c, cos in con.sql(sql).fetchall())
+    assert got == want
