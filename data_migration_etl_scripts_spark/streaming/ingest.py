@@ -5,13 +5,23 @@ before being admitted — the streaming composition of
 
 Loop per micro-batch (inside ``foreachBatch``):
 
+0. (optional) declarative quality gate: an ``expectations`` report over
+   the RAW wave (operators/expectations, same contract as the batch CDC
+   loop's pre-write gate at cdc.py) — any violation QUARANTINES the
+   whole wave (report appended to rejected/, nothing admitted, indexes
+   untouched), mirroring the batch path's abort-before-write;
 1. within-batch exact dedup (keep min doc_id per content hash) — a
    batch may carry its own duplicates;
 2. classify survivors against the persisted history indexes
    (content-hash table + minhash band table) — 'exact_dup'/'near_dup'
    rejected, 'new' accepted;
 3. append accepted docs to the corpus sink, and append their index
-   rows to both index tables so the NEXT batch sees them as history.
+   rows to both index tables so the NEXT batch sees them as history;
+4. (optional) fold the accepted docs' mergeable partials into the
+   batch-id-versioned incremental rollup (streaming/rollup_stream
+   machinery — crash replays re-derive, never double-count), so the
+   streaming path maintains the same always-fresh aggregates the batch
+   path gets from operators/rollup.
 
 Exactly-once: the streaming checkpoint dedups source files across
 restarts. A crashed batch may replay step 3's appends, but duplicate
@@ -29,12 +39,17 @@ hash/band keys, with the (small) incoming batch as the broadcast side.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_migration_etl_scripts_spark.operators import ingest as ig
+from data_migration_etl_scripts_spark.streaming.rollup_stream import (
+    fold_batch_into_rollup,
+    read_rollup,
+)
 
 _EMPTY_HASHES = "doc_id long, content_hash string"
 _EMPTY_BANDS = "doc_id long, band_id int, band_key string"
@@ -51,6 +66,12 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def read_ingest_rollup(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Latest committed rollup over every ACCEPTED document (None before
+    the first admitting batch of a rollup-enabled ingest)."""
+    return read_rollup(spark, os.path.join(state_dir, "rollup"))
+
+
 def stream_corpus_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -60,20 +81,46 @@ def stream_corpus_ingest(
     text_col: str = "text",
     k: int = 12,
     bands: int = 4,
+    expectations: Callable[[DataFrame], DataFrame] | None = None,
+    rollup_spec: tuple[list[str], list[str]] | None = None,
     await_termination: bool = True,
 ):
     """Drain ``source_dir`` (availableNow) through the dedup-admit loop.
 
-    ``state_dir`` holds corpus/, hashes/, bands/, checkpoint/. Returns
-    the StreamingQuery. Call repeatedly as new files land — the
-    checkpoint skips files already processed.
+    ``state_dir`` holds corpus/, hashes/, bands/, checkpoint/ (plus
+    rejected/ when ``expectations`` is set and rollup/ when
+    ``rollup_spec`` is set). Returns the StreamingQuery. Call
+    repeatedly as new files land — the checkpoint skips files already
+    processed.
+
+    ``expectations`` maps the raw wave to an expectation report
+    (operators/expectations.expectation_report); ANY violation
+    quarantines the whole wave before indexes/corpus are touched —
+    the streaming twin of the batch CDC pre-write gate.
+    ``rollup_spec`` = (group_cols, measure_cols) over accepted docs;
+    read back with :func:`read_ingest_rollup`.
     """
     corpus_dir = os.path.join(state_dir, "corpus")
     hashes_dir = os.path.join(state_dir, "hashes")
     bands_dir = os.path.join(state_dir, "bands")
+    rejected_dir = os.path.join(state_dir, "rejected")
+    rollup_dir = os.path.join(state_dir, "rollup")
     checkpoint = os.path.join(state_dir, "checkpoint")
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # 0. wave-level quality gate: violations quarantine the wave
+        #    BEFORE any state (corpus, indexes, rollup) is extended
+        if expectations is not None:
+            report = expectations(batch_df).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            )
+            # the report is check-cardinality-sized; collect is O(checks)
+            rows = report.collect()
+            if any(r["n_violations"] for r in rows):
+                # audit trail (append; a crash replay re-appending the
+                # same verdict is harmless — it's a log, not state)
+                report.write.mode("append").parquet(rejected_dir)
+                return
         # 1. within-batch exact dedup: keep the smallest id per content
         hashed = ig.content_hash_table(batch_df, id_col, text_col)
         keep = hashed.groupBy("content_hash").agg(F.min("doc_id").alias(id_col))
@@ -100,6 +147,13 @@ def stream_corpus_ingest(
         ig.minhash_band_table(
             accepted, id_col, text_col, k=k, bands=bands
         ).write.mode("append").parquet(bands_dir)
+        # 4. incremental rollup over accepted docs: batch-id-versioned
+        #    fold, so a crash replay re-derives instead of double-counts
+        if rollup_spec is not None:
+            group_cols, measure_cols = rollup_spec
+            fold_batch_into_rollup(
+                spark, accepted, batch_id, rollup_dir, group_cols, measure_cols
+            )
 
     query = (
         spark.readStream.format("parquet")

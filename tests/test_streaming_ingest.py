@@ -78,3 +78,80 @@ def test_streaming_ingest_restart_is_idempotent(spark, tmp_path):
     assert _corpus_ids(spark, state) == before == {1, 2}
     corpus = spark.read.parquet(os.path.join(state, "corpus"))
     assert corpus.count() == 2  # no duplicate rows either
+
+
+def test_streaming_ingest_quality_gate_quarantines_bad_wave(spark, tmp_path):
+    from data_migration_etl_scripts_spark.operators import expectations as ex
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+
+    def gate(df):
+        return ex.expectation_report(
+            df, row_checks={"text_not_null": ex.not_null("text")}
+        )
+
+    _write_wave(spark, src, "w1", [(1, BASE), (2, OTHER)])
+    stream_corpus_ingest(spark, src, state, expectations=gate)
+    assert _corpus_ids(spark, state) == {1, 2}
+
+    # wave 2 carries a NULL text: the WHOLE wave must be quarantined
+    # before the corpus or either index is extended
+    _write_wave(spark, src, "w2", [
+        (3, None),
+        (4, "perfectly fine document that still must not land because "
+            "its wave failed the declared expectations gate"),
+    ])
+    stream_corpus_ingest(spark, src, state, expectations=gate)
+    assert _corpus_ids(spark, state) == {1, 2}  # nothing admitted
+    hashes = spark.read.parquet(os.path.join(state, "hashes"))
+    assert {r.doc_id for r in hashes.collect()} == {1, 2}  # index untouched
+    rejected = spark.read.parquet(os.path.join(state, "rejected"))
+    bad = {r.check_name: r.n_violations for r in rejected.collect()}
+    assert bad["text_not_null"] == 1
+
+    # wave 3 is clean again: the gate lets it through, history intact
+    _write_wave(spark, src, "w3", [
+        (5, "fresh subject matter entirely about tidal harbors and the "
+            "engineering of breakwaters with nothing shared before")
+    ])
+    stream_corpus_ingest(spark, src, state, expectations=gate)
+    assert _corpus_ids(spark, state) == {1, 2, 5}
+
+
+def test_streaming_ingest_maintains_incremental_rollup(spark, tmp_path):
+    from data_migration_etl_scripts_spark.streaming.ingest import read_ingest_rollup
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    schema = "doc_id long, text string, lang string, n_tokens long"
+    spec = (["lang"], ["n_tokens"])
+
+    def wave(name, rows):
+        import glob
+        import shutil
+        import tempfile
+
+        df = spark.createDataFrame(rows, schema)
+        with tempfile.TemporaryDirectory() as td:
+            out = os.path.join(td, "out")
+            df.coalesce(1).write.parquet(out)
+            part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    wave("w1", [(1, BASE, "en", 30), (2, OTHER, "en", 25)])
+    stream_corpus_ingest(spark, src, state, schema=schema, rollup_spec=spec)
+    r1 = {r.lang: (r.n_rows, int(r.sum_n_tokens)) for r in
+          read_ingest_rollup(spark, state).collect()}
+    assert r1 == {"en": (2, 55)}
+
+    # wave 2: a history dup (must NOT count) + a fresh fr doc (must)
+    wave("w2", [(3, BASE, "en", 30),
+                (4, "nouveau document distinct sans chevauchement reel "
+                    "avec le corpus existant pour le test", "fr", 14)])
+    stream_corpus_ingest(spark, src, state, schema=schema, rollup_spec=spec)
+    r2 = {r.lang: (r.n_rows, int(r.sum_n_tokens)) for r in
+          read_ingest_rollup(spark, state).collect()}
+    assert r2 == {"en": (2, 55), "fr": (1, 14)}
