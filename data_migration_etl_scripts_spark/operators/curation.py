@@ -105,6 +105,60 @@ def dup_clusters_sql(pairs_sql: str) -> str:
     """
 
 
+def keep_best_per_cluster(labeled: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, quality) -> + ``keep``: the highest-quality
+    member of each near-dup cluster survives (ties to the smallest doc
+    id), everything else is dropped — quality-aware canonicalization,
+    the standard upgrade over keep-min-id when a quality signal exists
+    (the retained copy of a near-dup group should be the cleanest one,
+    not the one with the smallest key).
+
+    Scale shape: winner per cluster is ONE max(struct(quality, -id))
+    aggregate — map-side partials, no per-cluster window, so a massive
+    duplicate cluster (the classic hot key in web corpora) never
+    funnels through a single task — then one broadcast-joinable
+    winners table labels the corpus.
+    """
+    winners = labeled.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))).alias(
+            "w"
+        )
+    ).select("cluster_id", (-F.col("w.neg_id")).alias("win_id"))
+    return labeled.join(winners, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.col("doc_id") == F.col("win_id")).alias("keep"),
+    )
+
+
+def keep_best_per_cluster_sql(
+    clusters_sql: str, quality_sql: str
+) -> str:
+    """DuckDB twin over a clusters subquery (doc_id, cluster_id — only
+    docs appearing in dup pairs) and a quality subquery (doc_id,
+    quality): unlabeled docs form their own singleton cluster."""
+    return f"""
+    WITH clusters AS ({clusters_sql}),
+         quality AS ({quality_sql}),
+         labeled AS (
+            SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+                   q.quality
+            FROM quality q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+         ),
+         winners AS (
+            SELECT cluster_id, doc_id AS win_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY quality DESC, doc_id ASC) AS rn
+                FROM labeled
+            ) WHERE rn = 1
+         )
+    SELECT l.doc_id, l.cluster_id, l.quality, l.doc_id = w.win_id AS keep
+    FROM labeled l JOIN winners w USING (cluster_id)
+    """
+
+
 def sample_threshold_hex(fraction: float, digits: int = 6) -> str:
     """The md5-prefix cutoff selecting ~``fraction`` of keys."""
     return format(int(fraction * 16**digits), f"0{digits}x")

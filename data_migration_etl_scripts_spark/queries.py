@@ -1256,6 +1256,42 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_ivf_probe4",
+    oracle=sim.cosine_topk_ivf_sql(
+        "embeddings", "vec_id < 8", k=5, n_centroids=8, n_probe=4
+    ),
+)
+def ann_topk_ivf_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at the measured efficient-frontier operating point
+    (SCALE.md tuning table): each query probes its 4 nearest of 8
+    cells — recall 0.79 vs 0.46 single-probe at sf0.1, scan fraction
+    exactly n_probe/cells. The probe side carries 4 rows per query
+    (still broadcast); the corpus-side plan is unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 8), k=5, n_centroids=8, n_probe=4
+    )
+
+
+@query(
+    "ann_topk_multitable",
+    oracle=sim.cosine_topk_bucketed_sql(
+        "embeddings", "vec_id < 8", k=5, bucket_bits=6, n_tables=4
+    ),
+)
+def ann_topk_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with the multi-table OR construction (4 tables over
+    disjoint 6-dim ranges, table id folded into one equi-join key,
+    candidate pairs deduped in a group-by) — recall ~5x the
+    single-table bucket at sf0.1 (SCALE.md). The plan stays one
+    equi-join + one pair aggregate: no all-pairs anywhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_bucketed(
+        emb, emb.where(F.col("vec_id") < 8), k=5, bucket_bits=6, n_tables=4
+    )
+
+
+@query(
     "top_tokens",
     oracle=f"""
     SELECT tok, n_docs, n_total FROM (
@@ -1714,6 +1750,34 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.pack_sequences(
         stats, "doc_id", "approx_bpe_tokens", capacity=2048, n_shards=8
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=cu.keep_best_per_cluster_sql(
+        cu.dup_clusters_sql(_MINHASH_PAIRS_SQL),
+        tx.quality_score_sql("documents", "doc_id", "text"),
+    ),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization: minhash-LSH pairs ->
+    connected components -> the HIGHEST-QUALITY member of each cluster
+    survives (ties to min doc id) instead of the smallest id — the
+    retained copy of a duplicate group should be its cleanest one.
+    Winner selection is one max(struct) aggregate (skew-safe under the
+    classic hot duplicate cluster); quality doubles are identical-order
+    IEEE on both engines so the winner never flips."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = cu.dup_clusters(
+        dd.minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=4)
+    )
+    quality = tx.quality_score(docs, "doc_id", "text")
+    labeled = quality.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "quality",
+    )
+    return cu.keep_best_per_cluster(labeled)
 
 
 @query("text_scrub_pii", oracle=tx.scrub_pii_sql("documents", "doc_id", "text"))

@@ -193,6 +193,18 @@ def test_remove_duplicate_runs_within_doc(spark):
     assert r.n_tokens_removed == 5
 
 
+def test_keep_best_per_cluster_picks_quality_then_min_id(spark):
+    labeled = spark.createDataFrame(
+        [
+            (1, 1, 0.5), (2, 1, 0.9), (3, 1, 0.9),   # cluster 1: tie at 0.9
+            (4, 4, 0.1),                             # singleton keeps itself
+        ],
+        "doc_id long, cluster_id long, quality double",
+    )
+    got = {r.doc_id: r.keep for r in cu.keep_best_per_cluster(labeled).collect()}
+    assert got == {1: False, 2: True, 3: False, 4: True}
+
+
 def test_remove_duplicate_runs_rejects_string_ids(spark):
     import pytest
 

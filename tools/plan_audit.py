@@ -47,6 +47,9 @@ AUDITED = {
     "duplicate_spans_docs": "window hashing map-side (tokens materialized pre-lambda); shuffles carry only hashes + flagged positions",
     "skew_report_events": "per-key counts with map-side partials; top slice is TakeOrderedAndProject — no global sort",
     "q3_shipping_priority": "filters pushed to all 3 scans; decimal partial aggs; top-10 = TakeOrderedAndProject",
+    "ann_topk_ivf_probe4": "broadcast centroids assign cells map-side; probe side = n_probe rows/query (broadcast); search is one equi-join on cell id",
+    "ann_topk_multitable": "multi-table OR: table id folded into ONE equi-join key; candidate pairs dedup in a group-by — never all-pairs",
+    "dedup_keep_best": "winner per cluster = one max(struct) aggregate (map-side partials, skew-safe under hot dup clusters) + broadcast winners join",
 }
 
 
