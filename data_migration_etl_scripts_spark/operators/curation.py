@@ -533,3 +533,54 @@ def mix_by_temperature_sql(
     JOIN cutoffs c ON t.{strata_col} IS NOT DISTINCT FROM c.stratum
     WHERE upper(substr(md5(CAST(t.{key_col} AS VARCHAR)), 1, 6)) < c.cutoff_hex
     """
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    score_col: str,
+    q: float = 0.75,
+    keep: str = "above",
+) -> DataFrame:
+    """Keep rows whose ``score_col`` clears the corpus q-quantile.
+
+    The standard "drop the bottom X% by quality" curation step (quality
+    thresholds in web-corpus pipelines are usually stated as quantiles,
+    not absolute scores, so the cut adapts per corpus/snapshot).
+
+    Scale shape: ONE aggregate computes the threshold (exact
+    interpolated ``percentile`` here so the DuckDB ``quantile_cont``
+    oracle can hash-match; at 100 TB swap to ``percentile_approx`` —
+    a mergeable t-digest sketch with map-side partials), the one-row
+    threshold broadcasts, and the corpus filter is map-side. The corpus
+    itself never shuffles and is scanned exactly twice (once for the
+    sketch, once for the filter) — or once if the caller caches.
+
+    keep="above": score >= threshold (the curation default);
+    keep="below": score < threshold (e.g. flag-for-review split).
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    thr = df.agg(F.expr(f"percentile({score_col}, {q!r})").alias("_thr"))
+    cond = (
+        F.col(score_col) >= F.col("_thr")
+        if keep == "above"
+        else F.col(score_col) < F.col("_thr")
+    )
+    return df.join(F.broadcast(thr)).where(cond).drop("_thr")
+
+
+def filter_by_quantile_sql(
+    inner_sql: str,
+    score_col: str,
+    q: float = 0.75,
+    keep: str = "above",
+) -> str:
+    """DuckDB twin of :func:`filter_by_quantile` (``quantile_cont`` ==
+    Spark's exact ``percentile``: both interpolate
+    lower + (higher - lower) * frac over the sorted values)."""
+    op = ">=" if keep == "above" else "<"
+    return f"""
+        WITH scored AS ({inner_sql})
+        SELECT * FROM scored
+        WHERE {score_col} {op} (SELECT quantile_cont({score_col}, {q}) FROM scored)
+    """

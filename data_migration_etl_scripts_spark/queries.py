@@ -2207,6 +2207,74 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@query(
+    "quality_quantile_filter",
+    oracle=cu.filter_by_quantile_sql(
+        tx.quality_score_sql("documents", "doc_id", "text"), "quality", q=0.6
+    ),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold curation: keep docs whose quality score clears
+    the corpus 60th percentile. The cut is stated as a QUANTILE (the way
+    corpus-quality policies are written — adapts per snapshot), not an
+    absolute score: one exact-percentile aggregate -> one-row broadcast
+    -> map-side filter; the corpus never shuffles. At 100 TB the
+    percentile swaps to percentile_approx (mergeable t-digest)."""
+    scored = tx.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return cu.filter_by_quantile(scored, "quality", q=0.6)
+
+
+from data_migration_etl_scripts_spark.sources import shards as sh  # noqa: E402
+
+
+@query(
+    "export_tar_manifest",
+    oracle=sh.tar_manifest_sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+        "doc_id",
+        ["strlen(text)"],  # DuckDB strlen = BYTE length of a VARCHAR
+        n_shards=8,
+        max_items=16,
+    ),
+)
+def export_tar_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard export (the training-dataloader sink):
+    deterministic key%n shard assignment, ONE shuffle, per-task streamed
+    USTAR tars with deterministic bytes, manifest emitted from the same
+    pass. The oracle recomputes the manifest — including the EXACT
+    on-disk tar byte size — from 512/10240-block arithmetic in SQL, so a
+    hash match proves the written archives are byte-shaped exactly as
+    specified (measured size == computed size)."""
+    import os as _os
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out = f"/tmp/dmess_shards/{_os.path.basename(sf_dir.rstrip('/'))}"
+    return sh.write_tar_shards(
+        docs, out, "doc_id", {"txt": "text"}, n_shards=8, max_items=16
+    )
+
+
+@query("bpe_tokenize_corpus")
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (not the token_stats estimator): merges
+    trained on THIS corpus (one word-count shuffle + driver loop over
+    the bounded top-2000 word table), then applied map-side via an
+    Arrow-batched Pandas UDF with a per-worker word cache. Rows-only by
+    design — the iterative greedy merge has no SQL twin; correctness is
+    pinned by tests/test_bpe.py (golden merges, naive-reference parity,
+    reconstruction property)."""
+    from data_migration_etl_scripts_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    merges = bpe.train_bpe(docs, "text", num_merges=60, max_words=2000)
+    toks = bpe.apply_bpe(docs, "doc_id", "text", merges)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("tokens", 1, 8), " ").alias("token_head"),
+    )
+
+
 # One SQL text, two engines: the query below is ANSI enough to run
 # verbatim as Spark SQL (via the views surface in sql.py) AND as its
 # own DuckDB oracle — demonstrating that the SQL front-end shares the

@@ -3,6 +3,7 @@ clustering, deterministic sampling, sequence packing, PII scrub."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_migration_etl_scripts_spark.operators import curation as cu
@@ -255,3 +256,22 @@ def test_mix_by_temperature_sql_twin_keeps_null_strata(spark, tmp_path):
         f"SELECT count(*) FROM ({sql}) WHERE lang IS NULL"
     ).fetchone()[0]
     assert null_kept > 0
+
+
+def test_filter_by_quantile_above_and_below_partition_the_corpus(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") / 100.0).alias("score")
+    )
+    above = cu.filter_by_quantile(df, "score", q=0.75, keep="above")
+    below = cu.filter_by_quantile(df, "score", q=0.75, keep="below")
+    a = sorted(r.doc_id for r in above.collect())
+    b = sorted(r.doc_id for r in below.collect())
+    # exact percentile of 0..99/100 at q=0.75 interpolates to 0.7425;
+    # >= keeps 75..99 plus nothing below, < keeps the complement
+    assert a == list(range(75, 100))
+    assert b == list(range(0, 75))
+    assert set(a) | set(b) == set(range(100)) and not set(a) & set(b)
+    # threshold helper column must not leak into the output
+    assert above.columns == ["doc_id", "score"]
+    with pytest.raises(ValueError, match="keep"):
+        cu.filter_by_quantile(df, "score", keep="sideways")

@@ -1,0 +1,113 @@
+"""Tar-shard export/import (sources/shards.py): round-trip fidelity,
+deterministic bytes, size/item bounds, staged-rename cleanliness."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.sources import shards as sh
+
+
+def _corpus(spark, n=100):
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), F.repeat(F.lit("x"), (F.col("id") % 700).cast("int"))).alias(
+            "text"
+        ),
+        F.to_json(F.struct(F.col("id").alias("k"), F.lit("en").alias("lang"))).alias("meta"),
+    )
+
+
+def test_tar_shards_round_trip_text_and_json_members(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = _corpus(spark)
+    manifest = sh.write_tar_shards(
+        df, out, "doc_id", {"txt": "text", "json": "meta"}, n_shards=4
+    ).collect()
+    assert sum(m.n_items for m in manifest) == 100
+    back = sh.read_tar_shards(spark, out)
+    texts = {
+        r.key: r.content.decode("utf-8") for r in back.where(F.col("ext") == "txt").collect()
+    }
+    metas = {
+        r.key: r.content.decode("utf-8") for r in back.where(F.col("ext") == "json").collect()
+    }
+    orig = {r.doc_id: (r.text, r.meta) for r in df.collect()}
+    assert set(texts) == set(orig) and set(metas) == set(orig)
+    for k, (t, m) in orig.items():
+        assert texts[k] == t and metas[k] == m
+    # shard assignment is the deterministic key % n contract
+    for row in manifest:
+        assert row.key_min % 4 == row.shard and row.key_max % 4 == row.shard
+
+
+def test_tar_shards_item_rolling_and_exact_size_math(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    rows = sh.write_tar_shards(
+        _corpus(spark), out, "doc_id", {"txt": "text"}, n_shards=2, max_items=16
+    ).collect()
+    # 50 docs per shard -> seq 0..3 (16,16,16,2)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        assert sorted(r.seq for r in shard_rows) == [0, 1, 2, 3]
+        assert sorted((r.n_items for r in shard_rows), reverse=True) == [16, 16, 16, 2]
+    # measured file size == pure block arithmetic over member sizes
+    for r in rows:
+        path = os.path.join(out, r.file)
+        with tarfile.open(path) as tf:
+            sizes = [i.size for i in tf.getmembers()]
+        assert len(sizes) == r.n_items
+        assert os.path.getsize(path) == sh.tar_file_bytes(sizes) == r.n_bytes
+
+
+def test_tar_shards_byte_rolling_bounds_file_size(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    rows = sh.write_tar_shards(
+        _corpus(spark), out, "doc_id", {"txt": "text"}, n_shards=2, max_bytes=16 * 1024
+    ).collect()
+    assert len(rows) > 2  # actually rolled
+    for r in rows:
+        # bound holds up to one member of slack (a row is never split)
+        assert r.n_bytes <= 16 * 1024 + 2048
+
+
+def test_tar_shards_rerun_is_idempotent_and_deterministic(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = _corpus(spark, 60)
+    sh.write_tar_shards(df, out, "doc_id", {"txt": "text"}, n_shards=3).collect()
+
+    def digest():
+        return {
+            os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(os.path.join(out, "shard-*.tar"))
+        }
+
+    first = digest()
+    sh.write_tar_shards(df, out, "doc_id", {"txt": "text"}, n_shards=3).collect()
+    assert digest() == first  # same files, byte-identical
+    assert not glob.glob(os.path.join(out, "*.inprogress*"))  # staged names promoted
+
+
+def test_export_tar_shards_persists_manifest(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    manifest = sh.export_tar_shards(
+        _corpus(spark, 40), out, "doc_id", {"txt": "text"}, n_shards=2
+    )
+    assert manifest.count() == 2
+    again = spark.read.parquet(os.path.join(out, "_manifest"))
+    assert {r.file for r in again.collect()} == {
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "shard-*.tar"))
+    }
+
+
+def test_write_tar_shards_requires_members(spark, tmp_path):
+    with pytest.raises(ValueError, match="members"):
+        sh.write_tar_shards(_corpus(spark, 5), str(tmp_path), "doc_id", {})
