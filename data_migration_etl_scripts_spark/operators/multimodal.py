@@ -16,8 +16,9 @@ environment, so the decode kernels come in two flavors:
   for real.
 - ``decoder="real"``: REAL byte-level decoding for the formats the
   Python stdlib can handle — uncompressed 24-bit BMP (struct), 8-bit
-  PNG (zlib inflate + the five scanline filters), and PCM WAV (wave) —
-  with NotImplementedError narrowed to the remaining compressed codecs
+  PNG (zlib inflate + the five scanline filters), GIF (full
+  variable-width LZW + interlace unweave), and PCM WAV (wave) — with
+  NotImplementedError narrowed to the remaining compressed codecs
   (JPEG/MP3/H.264), which is exactly where a PIL/ffmpeg kernel plugs
   in on a real deployment.
 
@@ -210,13 +211,236 @@ def png_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     return width, height, rows
 
 
+def _gif_interlace_order(height: int) -> list[int]:
+    """GIF interlace pass order: rows 0,8,16.. then 4,12.. then 2,6..
+    then 1,3,5.. — the list maps storage position -> display row."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+class _LZWBitWriter:
+    """LSB-first variable-width code packer (GIF byte order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: list[int], code_size: int) -> bytes:
+    """GIF variable-width LZW. The width schedule mirrors the decoder's
+    (which widens one code AFTER the entry that crosses 2^width, because
+    the decoder adds each entry one code later than the encoder does) —
+    tracked here by simulating the decoder's entry counter."""
+    cc, eoi = 1 << code_size, (1 << code_size) + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    width = code_size + 1
+    dec_next = eoi + 1  # decoder's table counter (one code behind ours)
+    emitted = 0
+    bw = _LZWBitWriter()
+
+    def emit(c: int) -> None:
+        nonlocal emitted, dec_next, width
+        bw.put(c, width)
+        emitted += 1
+        # decoder adds an entry per data code starting with its 2nd read,
+        # then widens when ITS counter crosses — affecting the next code
+        if emitted >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    bw.put(cc, width)
+    w: int | None = None
+    for k in indices:
+        if w is None:
+            w = k
+            continue
+        if (w, k) in table:
+            w = table[(w, k)]
+        else:
+            emit(w)
+            if next_code < 4096:
+                table[(w, k)] = next_code
+                next_code += 1
+            w = k
+    if w is not None:
+        emit(w)
+    bw.put(eoi, width)
+    return bw.done()
+
+
+def _gif_lzw_decode(data: bytes, code_size: int) -> list[int]:
+    """Canonical GIF LZW decode: variable width, clear/EOI handling,
+    KwKwK case, width bump when the table crosses 2^width."""
+    cc, eoi = 1 << code_size, (1 << code_size) + 1
+    pos = 0  # bit position
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            byte = pos >> 3
+            if byte >= len(data):
+                return eoi
+            v |= ((data[byte] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset() -> tuple[int, int]:
+        nonlocal table
+        table = [[i] for i in range(1 << code_size)] + [[], []]
+        return code_size + 1, eoi + 1
+
+    width, next_code = reset()
+    prev: list[int] | None = None
+    while True:
+        c = read(width)
+        if c == eoi:
+            break
+        if c == cc:
+            width, next_code = reset()
+            prev = None
+            continue
+        if c < len(table) and (table[c] or c < (1 << code_size)):
+            entry = table[c]
+        elif c == next_code and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {c})")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + [entry[0]])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def gif_encode(
+    rows: list[list[tuple[int, int, int]]], interlace: bool = False
+) -> bytes:
+    """Top-down (r, g, b) rows -> GIF89a bytes (global palette built
+    from the image; real variable-width LZW). Test-grade writer that
+    produces fully standard archives — palette must fit 256 colors."""
+    height, width = len(rows), len(rows[0]) if rows else 0
+    palette: dict[tuple[int, int, int], int] = {}
+    for row in rows:
+        for px in row:
+            palette.setdefault(px, len(palette))
+    if len(palette) > 256:
+        raise ValueError("GIF palette limited to 256 colors")
+    bits = max(1, (len(palette) - 1).bit_length())
+    code_size = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | ((bits - 1) & 7))  # global table, 2^bits entries
+    out += bytes((0, 0))  # bg color, aspect
+    for px, _ in sorted(palette.items(), key=lambda kv: kv[1]):
+        out += bytes(px)
+    out += b"\x00\x00\x00" * ((1 << bits) - len(palette))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out.append(0x40 if interlace else 0)
+    row_order = _gif_interlace_order(height) if interlace else range(height)
+    indices = [palette[px] for y in row_order for px in rows[y]]
+    out.append(code_size)
+    stream = _gif_lzw_encode(indices, code_size)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """GIF bytes -> (width, height, top-down (r, g, b) rows). Pure
+    stdlib: logical-screen/extension/descriptor walk, global+local
+    palettes, full variable-width LZW, interlace unweave. First frame
+    only (animation = repeated image descriptors; sampling frames is
+    ``frame_sample_plan``'s job, not the pixel codec's)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed, pos = b[10], 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        palette = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, width, height = struct.unpack_from("<HHHH", b, pos + 1)
+            flags = b[pos + 9]
+            pos += 10
+            if flags & 0x80:
+                n = 2 << (flags & 7)
+                palette = [
+                    tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+                ]
+                pos += 3 * n
+            code_size = b[pos]
+            pos += 1
+            stream = bytearray()
+            while b[pos]:
+                stream += b[pos + 1 : pos + 1 + b[pos]]
+                pos += 1 + b[pos]
+            pos += 1
+            idx = _gif_lzw_decode(bytes(stream), code_size)
+            if len(idx) < width * height:
+                raise ValueError("GIF pixel data underrun")
+            flat = [palette[i] for i in idx[: width * height]]
+            stored = [flat[y * width : (y + 1) * width] for y in range(height)]
+            if flags & 0x40:  # interlaced: unweave pass order
+                rows = [None] * height  # type: ignore[list-item]
+                for stored_pos, display_row in enumerate(
+                    _gif_interlace_order(height)
+                ):
+                    rows[display_row] = stored[stored_pos]
+                stored = rows  # type: ignore[assignment]
+            return width, height, stored
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contained no image descriptor")
+
+
 def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Dispatch on magic bytes: BMP and PNG decode via stdlib; JPEG and
-    friends raise at the documented PIL plug point."""
+    """Dispatch on magic bytes: BMP, PNG and GIF decode via stdlib;
+    JPEG and friends raise at the documented PIL plug point."""
     if b[:2] == b"BM":
         return bmp_decode(b)
     if b[:8] == _PNG_SIG:
         return png_decode(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decode(b)
     raise NotImplementedError(
         "JPEG/other compressed images need PIL — plug the codec kernel in here"
     )
@@ -239,13 +463,17 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
 
 
 def _real_features(content: bytes | None, dim: int) -> list[float] | None:
-    """Decode-and-summarize: per-channel stats for BMP/PNG images,
+    """Decode-and-summarize: per-channel stats for BMP/PNG/GIF images,
     duration + band energies for WAV audio. Remaining compressed
     formats (JPEG/MP3) raise — the honest seam where a PIL/ffmpeg
     kernel slots in."""
     if content is None:
         return None
-    if content[:2] == b"BM" or content[:8] == _PNG_SIG:
+    if (
+        content[:2] == b"BM"
+        or content[:8] == _PNG_SIG
+        or content[:6] in (b"GIF87a", b"GIF89a")
+    ):
         w, h, rows = image_decode(content)
         n = max(1, w * h)
         sums = [0, 0, 0]
@@ -345,7 +573,7 @@ def resize_images(
     """
 
     def real_resize(b):
-        # nearest-neighbor resample of a BMP or PNG, re-encoded as BMP;
+        # nearest-neighbor resample of a BMP/PNG/GIF, re-encoded as BMP;
         # other compressed formats raise inside image_decode
         if b is None:
             return None
@@ -496,8 +724,8 @@ def wav_encode(samples: list[float], rate: int = 8000) -> bytes:
 
 
 def synthetic_real_media(spark, n: int = 12) -> DataFrame:
-    """Small table of GENUINE media payloads — 8x8 gradient BMPs and
-    PNGs (alternating) and 8 kHz sine WAVs — for exercising the
+    """Small table of GENUINE media payloads — 8x8 gradient BMPs, PNGs
+    and GIFs (rotating) and 8 kHz sine WAVs — for exercising the
     ``decoder="real"`` kernels. Driver-side createDataFrame is fine
     here: this is a test/demo table of a few KB, not a bench input
     (see synthetic_media)."""
@@ -506,7 +734,7 @@ def synthetic_real_media(spark, n: int = 12) -> DataFrame:
         if i % 2 == 0:
             px = [[((x * 32 + i) % 256, (y * 32) % 256, (x * y + i) % 256)
                    for x in range(8)] for y in range(8)]
-            enc = bmp_encode if i % 4 == 0 else png_encode
+            enc = (bmp_encode, png_encode, gif_encode)[(i // 2) % 3]
             rows.append((i, "image", bytearray(enc(px)), "{}"))
         else:
             freq = 220.0 * (1 + i % 3)

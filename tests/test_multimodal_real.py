@@ -164,3 +164,40 @@ def test_resize_real_kernel_accepts_png(spark):
     out = mm.resize_images(media, width=3, height=3, decoder="real").collect()
     w, h, rows = mm.bmp_decode(bytes(out[0].content))
     assert (w, h) == (3, 3)
+
+
+def test_gif_roundtrip_pure_including_interlace_and_width_growth():
+    import random
+
+    rng = random.Random(9)
+    pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(16)]
+    px = [[pal[rng.randrange(16)] for _ in range(40)] for _ in range(30)]
+    for interlace in (False, True):
+        w, h, back = mm.gif_decode(mm.gif_encode(px, interlace=interlace))
+        assert (w, h) == (40, 30)
+        assert back == px
+    # 256-color noise crosses several LZW code-width boundaries, and a
+    # big enough image saturates the 4096-entry table (frozen-table path)
+    pal256 = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+    big = [[pal256[rng.randrange(256)] for _ in range(120)] for _ in range(100)]
+    assert mm.gif_decode(mm.gif_encode(big))[2] == big
+
+
+def test_gif_decode_skips_extension_blocks():
+    px = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (10, 20, 30)]]
+    blob = bytearray(mm.gif_encode(px))
+    # splice a Graphic Control Extension before the image descriptor
+    at = blob.index(0x2C, 13)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    patched = bytes(blob[:at]) + gce + bytes(blob[at:])
+    assert mm.gif_decode(patched)[2] == px
+
+
+def test_image_decode_dispatches_gif(spark):
+    media = mm.synthetic_real_media(spark, n=6)  # ids 0/2/4 = bmp/png/gif
+    out = {r.media_id: r for r in mm.extract_features(media, dim=6, decoder="real").collect()}
+    for i in (0, 2, 4):
+        assert out[i].feature[0] == 8.0 and out[i].feature[1] == 8.0
+    # the three containers hold the SAME pixel recipe modulo i-offsets;
+    # feature vectors must come from pixels, not container bytes
+    assert out[4].n_bytes != out[2].n_bytes != out[0].n_bytes
