@@ -2254,6 +2254,38 @@ def export_tar_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_orders_oracle() -> str:
+    from data_migration_etl_scripts_spark.operators import scale as sc
+
+    inner = (
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_day "
+        "FROM orders"
+    )
+    z = sc.zorder_key_sql(inner, ["o_custkey", "o_day"], bits=16)
+    return f"SELECT o_orderkey, zval FROM ({z})"
+
+
+@query("zorder_key_orders", oracle=_zorder_orders_oracle())
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (customer, order day) — the
+    multi-dimensional layout key behind write_zorder_clustered: sorting
+    by it keeps rows close in BOTH dimensions close on disk, so parquet
+    min/max stats prune files for predicates on either column. Pure
+    codegen bit math over exact BIGINT ranks (one O(1) min/max agg
+    feeds literal bounds); the DuckDB twin reproduces every key
+    bit-for-bit."""
+    from data_migration_etl_scripts_spark.operators import scale as sc
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_date(cast(o_orderdate as date))").cast("bigint").alias("o_day"),
+    )
+    keyed = sc.zorder_key(orders, ["o_custkey", "o_day"], bits=16)
+    return keyed.select("o_orderkey", F.col("_zval").alias("zval"))
+
+
 @query("bpe_tokenize_corpus")
 def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenization (not the token_stats estimator): merges

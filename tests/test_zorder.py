@@ -1,0 +1,79 @@
+"""Z-order clustering (operators/scale.py): Morton key bit math and
+the multi-dimensional file-skipping payoff vs single-key clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.operators import scale as sc
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    # x,y in 0..3 with bits=2: rank == value; x bits land on even
+    # positions, y bits on odd — the classic 4x4 Morton curve
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r._zval for r in sc.zorder_key(df, ["x", "y"], bits=2).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(2):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+
+
+def test_zorder_requires_two_columns(spark):
+    df = spark.range(4).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError, match="2 columns"):
+        sc.zorder_key(df, ["x"])
+
+
+def _file_boxes(spark, path):
+    df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    return {
+        r.f: (r.xmin, r.xmax, r.ymin, r.ymax)
+        for r in df.groupBy("f")
+        .agg(
+            F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+        )
+        .collect()
+    }
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    # 64x64 uniform grid, 16 files: z-order keeps every file's min/max
+    # box tight in BOTH x and y; range-clustering on x alone leaves y
+    # unconstrained (every file spans all of y)
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    sc.write_zorder_clustered(grid, zpath, ["x", "y"], num_files=16, bits=6)
+    sc.write_range_clustered(grid, rpath, ["x"], num_files=16)
+    zboxes, rboxes = _file_boxes(spark, zpath), _file_boxes(spark, rpath)
+    assert len(zboxes) == 16
+
+    def hits(boxes, x0, x1, y0, y1):
+        return sum(
+            1
+            for (xmin, xmax, ymin, ymax) in boxes.values()
+            if xmax >= x0 and xmin <= x1 and ymax >= y0 and ymin <= y1
+        )
+
+    # y-only predicate: x-range layout cannot prune at all
+    assert hits(rboxes, 0, 63, 0, 7) == len(rboxes)
+    # z-order prunes the same predicate to a fraction of the files
+    assert hits(zboxes, 0, 63, 0, 7) <= len(zboxes) // 2
+    # and a small 2-D box touches only a few files
+    assert hits(zboxes, 0, 7, 0, 7) <= 4
+    # layout change loses no rows
+    assert spark.read.parquet(zpath).count() == 64 * 64
+    # the key column does not leak into the written files
+    assert set(spark.read.parquet(zpath).columns) == {"x", "y"}
