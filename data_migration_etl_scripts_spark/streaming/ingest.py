@@ -72,6 +72,19 @@ def read_ingest_rollup(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return read_rollup(spark, os.path.join(state_dir, "rollup"))
 
 
+def read_ingest_shards(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Members of every training shard emitted so far (one row per tar
+    member across all admitted batches)."""
+    from data_migration_etl_scripts_spark.sources.shards import read_tar_shards
+
+    try:
+        return read_tar_shards(spark, os.path.join(state_dir, "shards", "batch-*"))
+    except Exception:  # no admitting batch has emitted shards yet
+        return spark.createDataFrame(
+            [], "shard_file string, key long, ext string, content binary, n_bytes long"
+        )
+
+
 def stream_corpus_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -83,6 +96,7 @@ def stream_corpus_ingest(
     bands: int = 4,
     expectations: Callable[[DataFrame], DataFrame] | None = None,
     rollup_spec: tuple[list[str], list[str]] | None = None,
+    shard_spec: dict | None = None,
     await_termination: bool = True,
 ):
     """Drain ``source_dir`` (availableNow) through the dedup-admit loop.
@@ -99,6 +113,13 @@ def stream_corpus_ingest(
     the streaming twin of the batch CDC pre-write gate.
     ``rollup_spec`` = (group_cols, measure_cols) over accepted docs;
     read back with :func:`read_ingest_rollup`.
+    ``shard_spec`` (optional) emits each admitting batch's accepted
+    docs as WebDataset-style tar shards under
+    ``shards/batch-{id:06d}/`` — keys: ``members`` (ext -> column,
+    required), ``n_shards``, ``max_items``/``max_bytes``. Each batch
+    writes its OWN directory with deterministic bytes, so a crash
+    replay rewrites identical files (idempotent, like the index
+    appends); dataloaders read them via :func:`read_ingest_shards`.
     """
     corpus_dir = os.path.join(state_dir, "corpus")
     hashes_dir = os.path.join(state_dir, "hashes")
@@ -147,6 +168,20 @@ def stream_corpus_ingest(
         ig.minhash_band_table(
             accepted, id_col, text_col, k=k, bands=bands
         ).write.mode("append").parquet(bands_dir)
+        # 3b. emit this batch's accepted docs as training shards —
+        #     per-batch dir + deterministic tar bytes = replay-safe
+        if shard_spec is not None and not accepted.rdd.isEmpty():
+            from data_migration_etl_scripts_spark.sources.shards import (
+                export_tar_shards,
+            )
+
+            export_tar_shards(
+                accepted,
+                os.path.join(state_dir, "shards", f"batch-{batch_id:06d}"),
+                id_col,
+                shard_spec["members"],
+                **{k_: v for k_, v in shard_spec.items() if k_ != "members"},
+            )
         # 4. incremental rollup over accepted docs: batch-id-versioned
         #    fold, so a crash replay re-derives instead of double-counts
         if rollup_spec is not None:

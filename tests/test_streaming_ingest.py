@@ -155,3 +155,36 @@ def test_streaming_ingest_maintains_incremental_rollup(spark, tmp_path):
     r2 = {r.lang: (r.n_rows, int(r.sum_n_tokens)) for r in
           read_ingest_rollup(spark, state).collect()}
     assert r2 == {"en": (2, 55), "fr": (1, 14)}
+
+
+def test_streaming_ingest_emits_training_shards_for_accepted_docs(spark, tmp_path):
+    import glob
+
+    from data_migration_etl_scripts_spark.streaming.ingest import read_ingest_shards
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    spec = {"members": {"txt": "text"}, "n_shards": 2}
+
+    # nothing emitted yet: the reader degrades to an empty frame
+    assert read_ingest_shards(spark, state).count() == 0
+
+    _write_wave(spark, src, "w1", [(1, BASE), (2, OTHER), (3, BASE)])
+    stream_corpus_ingest(spark, src, state, shard_spec=spec)
+    # wave 2 is entirely duplicate: admits nothing, emits no shard dir
+    _write_wave(spark, src, "w2", [(4, BASE), (5, OTHER)])
+    stream_corpus_ingest(spark, src, state, shard_spec=spec)
+    # wave 3 admits one fresh doc
+    _write_wave(spark, src, "w3", [(6, "completely fresh vocabulary that "
+                                       "matches no earlier admitted text")])
+    stream_corpus_ingest(spark, src, state, shard_spec=spec)
+
+    batch_dirs = sorted(glob.glob(os.path.join(state, "shards", "batch-*")))
+    assert len(batch_dirs) == 2  # the all-duplicate wave emitted nothing
+    members = {r.key: r.content.decode() for r in read_ingest_shards(spark, state).collect()}
+    assert set(members) == _corpus_ids(spark, state) == {1, 2, 6}
+    assert members[1] == BASE and members[2] == OTHER
+    # every emitted batch carries its manifest artifact
+    for d in batch_dirs:
+        assert os.path.isdir(os.path.join(d, "_manifest"))
