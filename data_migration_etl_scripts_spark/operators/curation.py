@@ -191,6 +191,7 @@ def pack_sequences(
     n_tokens_col: str,
     capacity: int,
     n_shards: int = 32,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Assign documents to fixed-token-budget pack bins.
 
@@ -200,19 +201,27 @@ def pack_sequences(
     the document STARTS (boundary docs straddle into the next bin,
     the standard concat-and-chunk pretraining layout). The window is
     per-shard, so at corpus scale each partition sorts only its shard:
-    no global sort, no single-partition window."""
+    no global sort, no single-partition window.
+
+    ``keep_cols`` ride along unchanged (e.g. the token arrays when the
+    packed output feeds an export directly) — cheaper than re-joining
+    them back by id, which would recompute any UDF-produced column."""
     shard = (F.col(id_col) % n_shards).alias("shard")
     w = (
         Window.partitionBy("shard")
         .orderBy(F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df.select(F.col(id_col), F.col(n_tokens_col).alias("n_tokens"), shard)
+    out = df.select(
+        F.col(id_col), F.col(n_tokens_col).alias("n_tokens"), shard,
+        *[F.col(c) for c in keep_cols],
+    )
     cum = F.sum("n_tokens").over(w)
     return out.select(
         id_col,
         "shard",
         "n_tokens",
+        *keep_cols,
         F.floor((cum - F.col("n_tokens")) / capacity).cast("long").alias("pack_bin"),
         (cum - F.col("n_tokens") - F.floor((cum - F.col("n_tokens")) / capacity) * capacity)
         .cast("long")

@@ -2307,6 +2307,46 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("corpus_to_training_shards")
+def corpus_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end 'raw corpus -> training-ready artifacts' path a
+    reference user actually wants, as ONE lazy composition: quality
+    scoring -> quantile-threshold curation (drop the bottom 25%) ->
+    corpus-trained BPE tokenization -> fixed-budget sequence packing ->
+    WebDataset tar-shard export, returning the shard manifest. Every
+    stage is the already-oracle-checked operator; the composition adds
+    no new shuffle beyond each stage's own (score/filter map-side,
+    tokenize map-side, pack = per-shard window, export = one
+    repartition). Rows-only: BPE's merge loop has no SQL twin."""
+    import os as _os
+
+    from data_migration_etl_scripts_spark.operators import bpe
+    from data_migration_etl_scripts_spark.operators import curation as cu2
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.join(
+        tx.quality_score(docs, "doc_id", "text"), "doc_id"
+    )
+    kept = cu2.filter_by_quantile(scored, "quality", q=0.25)
+    merges = bpe.train_bpe(kept, "text", num_merges=60, max_words=2000)
+    toks = bpe.apply_bpe(kept, "doc_id", "text", merges)
+    # keep_cols carries the token arrays through packing — a re-join by
+    # id would run the tokenizer UDF twice
+    packed = cu2.pack_sequences(
+        toks, "doc_id", "n_tokens", capacity=2048, n_shards=8, keep_cols=["tokens"]
+    )
+    records = packed.select(
+        "doc_id",
+        F.to_json(
+            F.struct("doc_id", "pack_bin", "bin_offset", "n_tokens", "tokens")
+        ).alias("record"),
+    )
+    out = f"/tmp/dmess_shards/train_{_os.path.basename(sf_dir.rstrip('/'))}"
+    return sh.write_tar_shards(
+        records, out, "doc_id", {"json": "record"}, n_shards=4, max_items=64
+    )
+
+
 # One SQL text, two engines: the query below is ANSI enough to run
 # verbatim as Spark SQL (via the views surface in sql.py) AND as its
 # own DuckDB oracle — demonstrating that the SQL front-end shares the

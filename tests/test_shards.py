@@ -111,3 +111,26 @@ def test_export_tar_shards_persists_manifest(spark, tmp_path):
 def test_write_tar_shards_requires_members(spark, tmp_path):
     with pytest.raises(ValueError, match="members"):
         sh.write_tar_shards(_corpus(spark, 5), str(tmp_path), "doc_id", {})
+
+
+def test_corpus_to_training_shards_members_are_valid_records(spark):
+    # drive the composed corpus->shards query on the tiny sf and check
+    # the emitted members are loadable training records
+    import json
+
+    from data_migration_etl_scripts_spark import queries as q
+
+    manifest = q.all_queries()["corpus_to_training_shards"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(m.n_items for m in manifest) > 0
+    out = "/tmp/dmess_shards/train_sf0.001"
+    back = sh.read_tar_shards(spark, out).collect()
+    assert len(back) == sum(m.n_items for m in manifest)
+    for r in back[:20]:
+        rec = json.loads(r.content.decode("utf-8"))
+        assert rec["doc_id"] == r.key
+        assert rec["n_tokens"] == len(rec["tokens"]) > 0
+        assert rec["pack_bin"] >= 0 and 0 <= rec["bin_offset"] < 2048
+        # reconstruction: tokens spell the (lowercased) document back
+        assert "".join(rec["tokens"]).count("</w>") >= 1
