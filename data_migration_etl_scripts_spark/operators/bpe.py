@@ -184,6 +184,8 @@ def apply_bpe(
             for w in t.split():
                 got = cache.get(w)
                 if got is None:
+                    if len(cache) >= 1_000_000:  # bound worker memory;
+                        cache.clear()  # Zipf head repopulates instantly
                     got = cache[w] = encode_word(w, ranks)
                 toks.extend(got)
             return toks

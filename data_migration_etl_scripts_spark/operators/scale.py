@@ -136,9 +136,13 @@ def compact_small_files(
 def _zorder_rank_expr(col: str, cmin: int, cmax: int, bits: int) -> str:
     """Exact-integer rank of ``col`` into [0, 2^bits): all-BIGINT math
     (``div``, never double division) so any engine reproduces the same
-    rank bit-for-bit."""
+    rank bit-for-bit. NULLs rank at the minimum (cluster together at
+    the front) instead of poisoning the whole key to NULL."""
     span = max(1, cmax - cmin)
-    return f"((cast({col} as bigint) - {cmin}) * {(1 << bits) - 1}) div {span}"
+    return (
+        f"((coalesce(cast({col} as bigint), {cmin}) - {cmin})"
+        f" * {(1 << bits) - 1}) div {span}"
+    )
 
 
 def zorder_key(
@@ -171,7 +175,9 @@ def zorder_key(
     stats = df.agg(*aggs).collect()[0].asDict()
     terms = []
     for j, c in enumerate(cols):
-        rank = _zorder_rank_expr(c, int(stats[f"min_{c}"]), int(stats[f"max_{c}"]), bits)
+        cmin = int(stats[f"min_{c}"] or 0)  # all-NULL column -> rank 0
+        cmax = int(stats[f"max_{c}"] or 0)
+        rank = _zorder_rank_expr(c, cmin, cmax, bits)
         for i in range(bits):
             terms.append(f"shiftleft(shiftright(({rank}), {i}) & 1, {i * k + j})")
     return df.withColumn(out_col, F.expr(" + ".join(terms)).cast("bigint"))
@@ -192,7 +198,8 @@ def zorder_key_sql(
     terms = []
     for j, c in enumerate(cols):
         rank = (
-            f"((CAST({c} AS BIGINT) - min_{c}) * {(1 << bits) - 1}) "
+            f"((coalesce(CAST({c} AS BIGINT), min_{c}) - min_{c})"
+            f" * {(1 << bits) - 1}) "
             f"// (CASE WHEN max_{c} = min_{c} THEN 1 ELSE max_{c} - min_{c} END)"
         )
         for i in range(bits):

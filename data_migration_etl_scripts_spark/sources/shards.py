@@ -192,6 +192,15 @@ def export_tar_shards(
     """Run the export and persist the manifest next to the shards
     (``_manifest`` parquet — the index a dataloader or a later
     incremental job reads instead of listing tars)."""
+    # sweep tmp files a previously-killed task may have leaked — safe
+    # here because no task of THIS action has started yet
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "*.inprogress-*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     manifest = write_tar_shards(df, out_dir, key_col, members, **kwargs)
     (
         manifest.coalesce(1)

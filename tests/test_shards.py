@@ -134,3 +134,26 @@ def test_corpus_to_training_shards_members_are_valid_records(spark):
         assert rec["pack_bin"] >= 0 and 0 <= rec["bin_offset"] < 2048
         # reconstruction: tokens spell the (lowercased) document back
         assert "".join(rec["tokens"]).count("</w>") >= 1
+
+
+def test_tar_file_bytes_matches_real_tarfile_output():
+    # property: the manifest's pure block arithmetic == what Python's
+    # tarfile actually writes, for arbitrary member size mixes
+    import io
+    import tarfile as tf
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=30))
+    def prop(sizes):
+        buf = io.BytesIO()
+        with tf.open(fileobj=buf, mode="w", format=tf.USTAR_FORMAT) as t:
+            for i, n in enumerate(sizes):
+                info = tf.TarInfo(name=f"{i}.bin")
+                info.size = n
+                t.addfile(info, io.BytesIO(b"\x01" * n))
+        assert len(buf.getvalue()) == sh.tar_file_bytes(sizes)
+
+    prop()

@@ -50,6 +50,10 @@ AUDITED = {
     "ann_topk_ivf_probe4": "broadcast centroids assign cells map-side; probe side = n_probe rows/query (broadcast); search is one equi-join on cell id",
     "ann_topk_multitable": "multi-table OR: table id folded into ONE equi-join key; candidate pairs dedup in a group-by — never all-pairs",
     "dedup_keep_best": "winner per cluster = one max(struct) aggregate (map-side partials, skew-safe under hot dup clusters) + broadcast winners join",
+    "quality_quantile_filter": "one exact-percentile agg -> one-row broadcast threshold -> map-side filter; corpus never shuffles (percentile_approx at 100 TB)",
+    "export_tar_manifest": "deterministic key%n shard cols; ONE repartition shuffle then per-task streamed tar writes inside mapInPandas",
+    "zorder_key_orders": "O(1) min/max agg feeds literal bounds; Morton key is pure codegen bit math — no UDF, no shuffle",
+    "corpus_to_training_shards": "score/filter/tokenize map-side; pack = per-shard window (no global sort); export = one repartition; tokens ride keep_cols so the UDF runs once",
 }
 
 
