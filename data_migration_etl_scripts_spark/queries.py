@@ -2307,6 +2307,59 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppl_bucket_oracle() -> str:
+    from data_migration_etl_scripts_spark.operators import contamination as ctm2
+    from data_migration_etl_scripts_spark.operators import curation as cu3
+
+    scored = ctm2.unigram_logprob_sql("documents", "doc_id", "text")
+    bucketed = f"""(
+        SELECT doc_id, avg_logprob,
+               CASE WHEN avg_logprob < p25 THEN 'low'
+                    WHEN avg_logprob >= p75 THEN 'high'
+                    ELSE 'mid' END AS ppl_bucket
+        FROM ({scored}) s,
+             (SELECT quantile_cont(avg_logprob, 0.25) AS p25,
+                     quantile_cont(avg_logprob, 0.75) AS p75
+              FROM ({scored})) t
+    )"""
+    samp = cu3.stratified_sample_sql(
+        bucketed, "doc_id", "ppl_bucket",
+        {"low": 0.1, "mid": 0.8, "high": 0.3},
+    )
+    return f"SELECT doc_id, ppl_bucket, avg_logprob FROM ({samp})"
+
+
+@query("sample_by_perplexity_bucket", oracle=_ppl_bucket_oracle())
+def sample_by_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucketed sampling — the 'keep the middle of the LM
+    score distribution' curation heuristic (very low logprob =
+    gibberish, very high = boilerplate): unigram-LM scoring -> exact
+    quartile thresholds (one agg, broadcast) -> per-bucket
+    deterministic md5 sampling (mid 80% / high 30% / low 10%). All
+    composed from hash-matched operators; the corpus shuffles only in
+    the scoring explode, never for bucketing or sampling."""
+    from data_migration_etl_scripts_spark.operators import contamination as ctm2
+    from data_migration_etl_scripts_spark.operators import curation as cu3
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = ctm2.unigram_logprob(docs, "doc_id", "text")
+    thr = scored.agg(
+        F.expr("percentile(avg_logprob, 0.25)").alias("p25"),
+        F.expr("percentile(avg_logprob, 0.75)").alias("p75"),
+    )
+    bucketed = scored.join(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") < F.col("p25"), F.lit("low"))
+        .when(F.col("avg_logprob") >= F.col("p75"), F.lit("high"))
+        .otherwise(F.lit("mid"))
+        .alias("ppl_bucket"),
+    )
+    return cu3.stratified_sample(
+        bucketed, "doc_id", "ppl_bucket", {"low": 0.1, "mid": 0.8, "high": 0.3}
+    ).select("doc_id", "ppl_bucket", "avg_logprob")
+
+
 @query("corpus_to_training_shards")
 def corpus_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end 'raw corpus -> training-ready artifacts' path a
