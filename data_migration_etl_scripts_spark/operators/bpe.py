@@ -172,16 +172,27 @@ def apply_bpe(
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def tokenize(texts):
+        import re
+
         import pandas as pd
 
         cache: dict[str, tuple[str, ...]] = {}
+        # ASCII \s to MATCH TRAINING: word_counts splits with Spark's
+        # Java regex \s+ (ASCII-only by default); Python str.split()
+        # would also split on Unicode spaces (\u00a0 etc.), silently
+        # segmenting words the merges were never trained on
+        ws = re.compile(r"\s+", flags=re.ASCII)
 
         def enc(text):
             if text is None:
                 return []
             toks: list[str] = []
             t = text.lower() if lowercase else text
-            for w in t.split():
+            # no str.strip(): it trims UNICODE whitespace, which the
+            # Java-regex training side would keep attached to the word
+            for w in ws.split(t):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     if len(cache) >= 1_000_000:  # bound worker memory;

@@ -169,6 +169,12 @@ def zorder_key(
     k = len(cols)
     if k < 2:
         raise ValueError("zorder needs >= 2 columns (use range clustering for 1)")
+    if bits * k > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * k} exceeds 63: the Morton key would "
+            "overflow into the BIGINT sign bit and silently mis-sort; "
+            "lower bits (e.g. bits=63//len(cols))"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]

@@ -166,10 +166,19 @@ def write_tar_shards(
             for tup in zip(
                 pdf["_shard"], pdf["_key"], *(pdf[f"_m_{e}"] for e in exts)
             ):
-                payloads = [
-                    v if isinstance(v, bytes) else str(v).encode("utf-8")
-                    for v in tup[2:]
-                ]
+                payloads = []
+                for v in tup[2:]:
+                    if v is None:
+                        # refuse loudly: a dataloader silently training
+                        # on the 4-byte string "None" is far worse than
+                        # a failed job — filter/fill nulls upstream
+                        raise ValueError(
+                            f"null member payload for key {tup[1]}; "
+                            "filter or fill null member columns upstream"
+                        )
+                    payloads.append(
+                        v if isinstance(v, bytes) else str(v).encode("utf-8")
+                    )
                 add_row(int(tup[0]), int(tup[1]), payloads)
         close_tar()
         if out_rows:
@@ -192,11 +201,16 @@ def export_tar_shards(
     """Run the export and persist the manifest next to the shards
     (``_manifest`` parquet — the index a dataloader or a later
     incremental job reads instead of listing tars)."""
-    # sweep tmp files a previously-killed task may have leaked — safe
-    # here because no task of THIS action has started yet
+    # sweep leftovers from previous runs BEFORE the action starts (no
+    # tasks are writing yet): tmp files a killed task leaked, and — so a
+    # shrunken re-export cannot leave phantom high-seq tars that
+    # read_tar_shards would surface but the fresh manifest doesn't list
+    # — every previously-published shard tar
     import glob as _glob
 
-    for stale in _glob.glob(os.path.join(out_dir, "*.inprogress-*")):
+    for stale in _glob.glob(
+        os.path.join(out_dir, "*.inprogress-*")
+    ) + _glob.glob(os.path.join(out_dir, "shard-*.tar")):
         try:
             os.remove(stale)
         except OSError:

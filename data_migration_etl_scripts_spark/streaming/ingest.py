@@ -15,13 +15,15 @@ Loop per micro-batch (inside ``foreachBatch``):
 2. classify survivors against the persisted history indexes
    (content-hash table + minhash band table) — 'exact_dup'/'near_dup'
    rejected, 'new' accepted;
-3. append accepted docs to the corpus sink, and append their index
-   rows to both index tables so the NEXT batch sees them as history;
-4. (optional) fold the accepted docs' mergeable partials into the
-   batch-id-versioned incremental rollup (streaming/rollup_stream
-   machinery — crash replays re-derive, never double-count), so the
-   streaming path maintains the same always-fresh aggregates the batch
-   path gets from operators/rollup.
+3. write the wave's outputs in replay-safety order: first the
+   idempotent derived artifacts — optional tar-shard emission
+   (per-batch dirs, deterministic bytes) and the optional
+   batch-id-versioned rollup fold (streaming/rollup_stream machinery —
+   crash replays re-derive, never double-count) — then the corpus
+   append, and LAST the index-table appends. The index append is the
+   point of no replay (after it, a replayed wave classifies as dups of
+   itself), so everything that must survive a mid-batch crash happens
+   before it.
 
 Exactly-once: the streaming checkpoint dedups source files across
 restarts. A crashed batch may replay step 3's appends, but duplicate
@@ -77,9 +79,13 @@ def read_ingest_shards(spark: SparkSession, state_dir: str) -> DataFrame:
     member across all admitted batches)."""
     from data_migration_etl_scripts_spark.sources.shards import read_tar_shards
 
+    from pyspark.errors import AnalysisException
+
     try:
         return read_tar_shards(spark, os.path.join(state_dir, "shards", "batch-*"))
-    except Exception:  # no admitting batch has emitted shards yet
+    except AnalysisException:  # no admitting batch has emitted shards yet
+        # (real read failures — corrupt tars, permissions — surface as
+        # execution-time errors, not AnalysisException, and still raise)
         return spark.createDataFrame(
             [], "shard_file string, key long, ext string, content binary, n_bytes long"
         )
@@ -139,8 +145,12 @@ def stream_corpus_ingest(
             rows = report.collect()
             if any(r["n_violations"] for r in rows):
                 # audit trail (append; a crash replay re-appending the
-                # same verdict is harmless — it's a log, not state)
-                report.write.mode("append").parquet(rejected_dir)
+                # same verdict is harmless — it's a log, not state).
+                # Rebuilt from the collected rows: re-running `report`
+                # would recompute the whole wave aggregation a 2nd time
+                spark.createDataFrame(rows, report.schema).write.mode(
+                    "append"
+                ).parquet(rejected_dir)
                 return
         # 1. within-batch exact dedup: keep the smallest id per content
         hashed = ig.content_hash_table(batch_df, id_col, text_col)
@@ -160,16 +170,15 @@ def stream_corpus_ingest(
         # index writes must see THIS batch's acceptance set, not a
         # re-evaluation against already-updated state)
         accepted = accepted.localCheckpoint()
-        # 3. admit + extend history
-        accepted.write.mode("append").parquet(corpus_dir)
-        ig.content_hash_table(accepted, id_col, text_col).write.mode(
-            "append"
-        ).parquet(hashes_dir)
-        ig.minhash_band_table(
-            accepted, id_col, text_col, k=k, bands=bands
-        ).write.mode("append").parquet(bands_dir)
-        # 3b. emit this batch's accepted docs as training shards —
-        #     per-batch dir + deterministic tar bytes = replay-safe
+        # 3a. idempotent derived artifacts FIRST, while a crash replay
+        #     can still recompute the same `accepted` set: once the
+        #     hash index is extended (3c), a replay classifies this
+        #     batch's docs as exact dups of themselves -> accepted is
+        #     empty -> anything written only after 3c would be lost for
+        #     this wave. Shards are per-batch dirs with deterministic
+        #     bytes (rewrite == identical files); the rollup fold is
+        #     batch-id-versioned (re-fold == same version, never
+        #     double-counted).
         if shard_spec is not None and not accepted.rdd.isEmpty():
             from data_migration_etl_scripts_spark.sources.shards import (
                 export_tar_shards,
@@ -182,13 +191,20 @@ def stream_corpus_ingest(
                 shard_spec["members"],
                 **{k_: v for k_, v in shard_spec.items() if k_ != "members"},
             )
-        # 4. incremental rollup over accepted docs: batch-id-versioned
-        #    fold, so a crash replay re-derives instead of double-counts
         if rollup_spec is not None:
             group_cols, measure_cols = rollup_spec
             fold_batch_into_rollup(
                 spark, accepted, batch_id, rollup_dir, group_cols, measure_cols
             )
+        # 3b. admit to the corpus sink
+        accepted.write.mode("append").parquet(corpus_dir)
+        # 3c. extend history indexes LAST — the point of no replay
+        ig.content_hash_table(accepted, id_col, text_col).write.mode(
+            "append"
+        ).parquet(hashes_dir)
+        ig.minhash_band_table(
+            accepted, id_col, text_col, k=k, bands=bands
+        ).write.mode("append").parquet(bands_dir)
 
     query = (
         spark.readStream.format("parquet")

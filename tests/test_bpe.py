@@ -86,3 +86,16 @@ def test_distributed_train_matches_local_counts(spark):
     assert [tuple(r) for r in table.orderBy("rank").collect()] == [
         (i, a, b) for i, (a, b) in enumerate(merges)
     ]
+
+
+def test_unicode_space_words_match_between_train_and_apply(spark):
+    #   is NOT a word separator for Java's ASCII \s+ (training);
+    # apply must segment identically or merges never fire on these words
+    text = "foo bar foo bar foo bar baz"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    counts = {r.word: r.n for r in bpe.word_counts(df, "text").collect()}
+    assert counts == {"foo bar": 3, "baz": 1}
+    merges = bpe.train_bpe(df, "text", num_merges=20, max_words=10)
+    out = bpe.apply_bpe(df, "doc_id", "text", merges).collect()[0]
+    # trained to convergence on this corpus: the whole glued word is one token
+    assert "foo bar</w>" in out.tokens

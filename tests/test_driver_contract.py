@@ -34,6 +34,10 @@ def test_rows_only_queries_are_the_documented_exceptions():
         "ann_topk_ivf_trained",
         "multimodal_real_decode",
         "sketch_profile_events",
+        # BPE's iterative greedy merge has no SQL form; both entries'
+        # correctness is pinned by tests/test_bpe.py + the shard tests
+        "bpe_tokenize_corpus",
+        "corpus_to_training_shards",
     }
     missing = set(q.all_queries()) - set(q.all_oracles())
     assert missing == allowed, missing ^ allowed

@@ -157,3 +157,27 @@ def test_tar_file_bytes_matches_real_tarfile_output():
         assert len(buf.getvalue()) == sh.tar_file_bytes(sizes)
 
     prop()
+
+
+def test_write_tar_shards_rejects_null_member_payloads(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="null member payload"):
+        sh.write_tar_shards(df, str(tmp_path / "s"), "doc_id", {"txt": "text"}).collect()
+
+
+def test_export_tar_shards_sweeps_stale_tars_on_reexport(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    big = _corpus(spark, 100)
+    sh.export_tar_shards(big, out, "doc_id", {"txt": "text"}, n_shards=2, max_items=16)
+    n_before = len(glob.glob(os.path.join(out, "shard-*.tar")))
+    # shrink the input: fewer seqs per shard; stale high-seq tars must go
+    small = _corpus(spark, 20)
+    manifest = sh.export_tar_shards(
+        small, out, "doc_id", {"txt": "text"}, n_shards=2, max_items=16
+    )
+    files = {os.path.basename(p) for p in glob.glob(os.path.join(out, "shard-*.tar"))}
+    assert files == {r.file for r in manifest.collect()}  # no phantoms
+    assert len(files) < n_before
+    assert sh.read_tar_shards(spark, out).count() == 20

@@ -77,3 +77,17 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == 64 * 64
     # the key column does not leak into the written files
     assert set(spark.read.parquet(zpath).columns) == {"x", "y"}
+
+
+def test_zorder_rejects_sign_bit_overflow(spark):
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    with pytest.raises(ValueError, match="sign bit"):
+        sc.zorder_key(df, ["a", "b", "c", "d"], bits=16)
+
+
+def test_zorder_nulls_rank_at_minimum(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (None, 0), (3, 3)], "x long, y long"
+    )
+    got = {(r.x, r.y): r._zval for r in sc.zorder_key(df, ["x", "y"], bits=2).collect()}
+    assert got[(None, 0)] == got[(0, 0)] == 0  # NULL clusters with min, not NULL key

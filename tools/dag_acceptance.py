@@ -104,9 +104,16 @@ def main() -> int:
         rows = [tuple(r) for r in df.collect()]
         h, n = table_hash(cols, rows)
         rec.update(rows=n, hash=h)
-        if update or sink not in golden:
-            rec["match"] = None if not update else True
+        if update:
+            rec["match"] = True
             print(f"pin   {sink} ({pipeline}): {n} rows {h[:12]}")
+        elif sink not in golden:
+            # an unpinned sink must FAIL, not silently pass — otherwise a
+            # new pipeline's output is never actually verified until
+            # someone remembers to re-pin
+            rec["match"] = False
+            bad.append(sink)
+            print(f"FAIL  {sink} ({pipeline}): no golden pin — run with --update")
         elif golden[sink]["hash"] == h and golden[sink]["rows"] == n:
             rec["match"] = True
             print(f"ok    {sink} ({pipeline}): {n} rows hash-match")
