@@ -432,6 +432,150 @@ def gif_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     raise ValueError("GIF contained no image descriptor")
 
 
+def gif_encode_frames(
+    frames: list[list[list[tuple[int, int, int]]]],
+    delay_ms: int = 100,
+    optimize_patches: bool = True,
+) -> bytes:
+    """Frame list -> animated GIF89a. Frame 0 is written full-size;
+    later frames as bounding-box PATCHES of what changed vs the
+    previous frame (the standard GIF animation optimization — and it
+    exercises the decoder's sub-rectangle compositing path). Global
+    palette built over all frames (≤256 colors)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    height, width = len(frames[0]), len(frames[0][0])
+    palette: dict[tuple[int, int, int], int] = {}
+    for fr in frames:
+        for row in fr:
+            for px in row:
+                palette.setdefault(px, len(palette))
+    if len(palette) > 256:
+        raise ValueError("GIF palette limited to 256 colors")
+    bits = max(1, (len(palette) - 1).bit_length())
+    code_size = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | ((bits - 1) & 7))
+    out += bytes((0, 0))
+    for px, _ in sorted(palette.items(), key=lambda kv: kv[1]):
+        out += bytes(px)
+    out += b"\x00\x00\x00" * ((1 << bits) - len(palette))
+    # netscape-free: plain frame loop, per-frame GCE with the delay
+    prev = None
+    for fr in frames:
+        if prev is None or not optimize_patches:
+            x0, y0, x1, y1 = 0, 0, width - 1, height - 1
+        else:
+            changed = [
+                (x, y)
+                for y in range(height)
+                for x in range(width)
+                if fr[y][x] != prev[y][x]
+            ]
+            if changed:
+                xs, ys = [c[0] for c in changed], [c[1] for c in changed]
+                x0, y0, x1, y1 = min(xs), min(ys), max(xs), max(ys)
+            else:
+                x0, y0, x1, y1 = 0, 0, 0, 0  # 1x1 no-op patch
+        out += bytes([0x21, 0xF9, 0x04, 0x00])  # GCE, disposal=none
+        out += struct.pack("<H", max(1, delay_ms // 10))
+        out += bytes([0x00, 0x00])  # no transparency; terminator
+        pw, ph = x1 - x0 + 1, y1 - y0 + 1
+        out += b"\x2c" + struct.pack("<HHHH", x0, y0, pw, ph)
+        out.append(0)  # no local table, no interlace
+        idx = [palette[fr[y][x]] for y in range(y0, y1 + 1) for x in range(x0, x1 + 1)]
+        out.append(code_size)
+        stream = _gif_lzw_encode(idx, code_size)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+        prev = fr
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode_frames(
+    b: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[tuple[int, list[list[tuple[int, int, int]]]]]]:
+    """Animated GIF -> (width, height, [(delay_ms, full frame), ...]).
+
+    Each image descriptor is COMPOSITED onto the running canvas at its
+    (left, top) offset — sub-rectangle patch frames reconstruct to full
+    frames — honoring the GCE transparent index (transparent pixels
+    leave the canvas untouched). Disposal is treated as 'leave in
+    place' (methods 0/1, the overwhelmingly common case for corpus
+    GIFs); restore-to-background/previous are approximated by the same.
+    """
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed, bg_idx, pos = b[10], b[11], 13
+    gpalette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gpalette = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    bg = gpalette[bg_idx] if bg_idx < len(gpalette) else (0, 0, 0)
+    canvas = [[bg] * sw for _ in range(sh)]
+    frames: list[tuple[int, list[list[tuple[int, int, int]]]]] = []
+    delay_ms, transparent = 0, None
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9 and b[pos] >= 4:  # graphic control extension
+                flags = b[pos + 1]
+                delay_ms = struct.unpack_from("<H", b, pos + 2)[0] * 10
+                transparent = b[pos + 4] if flags & 1 else None
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, width, height = struct.unpack_from("<HHHH", b, pos + 1)
+            flags = b[pos + 9]
+            pos += 10
+            palette = gpalette
+            if flags & 0x80:
+                n = 2 << (flags & 7)
+                palette = [
+                    tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+                ]
+                pos += 3 * n
+            code_size = b[pos]
+            pos += 1
+            stream = bytearray()
+            while b[pos]:
+                stream += b[pos + 1 : pos + 1 + b[pos]]
+                pos += 1 + b[pos]
+            pos += 1
+            idx = _gif_lzw_decode(bytes(stream), code_size)
+            order = (
+                _gif_interlace_order(height) if flags & 0x40 else range(height)
+            )
+            for stored_pos, disp_row in enumerate(order):
+                base = stored_pos * width
+                for x in range(width):
+                    v = idx[base + x]
+                    if v == transparent:
+                        continue
+                    yy, xx = top + disp_row, left + x
+                    if yy < sh and xx < sw:
+                        canvas[yy][xx] = palette[v]
+            frames.append((delay_ms, [row[:] for row in canvas]))
+            delay_ms, transparent = 0, None
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return sw, sh, frames
+
+
 def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Dispatch on magic bytes: BMP, PNG and GIF decode via stdlib;
     JPEG and friends raise at the documented PIL plug point."""
@@ -741,4 +885,105 @@ def synthetic_real_media(spark, n: int = 12) -> DataFrame:
             samples = [math.sin(2 * math.pi * freq * t / 8000.0)
                        for t in range(800)]  # 100 ms
             rows.append((i, "audio", bytearray(wav_encode(samples)), "{}"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, t_ms long, width int, height int, "
+    "frame_bmp binary"
+)
+
+
+def extract_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int = 32,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Video -> sampled frames as rows: (media_id, frame_idx, t_ms,
+    width, height, frame_bmp). The REAL row-multiplying half of
+    ``frame_sample_plan`` (which only plans timestamps from metadata).
+
+    decoder="real": animated GIF decodes fully in stdlib (patch frames
+    composited to full frames); real video codecs (H.264 etc.) raise at
+    the ffmpeg plug point. decoder="fake": two deterministic md5-seeded
+    4x4 frames per item, so the Spark plumbing (fan-out schema,
+    batching) runs and benches without codec libs. Frames re-encode as
+    BMP — the downstream-friendliest uncompressed handoff.
+
+    Scale: mapInPandas streams Arrow batches; memory = one batch of
+    decoded frames, bounded by max_frames; repartition upstream on size
+    to avoid straggler tasks on long videos.
+    """
+
+    def real_rows(media_id: int, content: bytes):
+        if content is None:
+            return
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, frames = gif_decode_frames(
+                content, max_frames=max_frames * every_n
+            )
+            t = 0
+            for i, (delay, rows) in enumerate(frames):
+                t += delay
+                if i % every_n:
+                    continue
+                yield (i, t, w, h, bmp_encode(rows))
+        else:
+            raise NotImplementedError(
+                "real video codecs need ffmpeg — plug the codec kernel in here"
+            )
+
+    def fake_rows(media_id: int, content: bytes):
+        if content is None:
+            return
+        seed = hashlib.md5(content).digest()
+        for i in range(2):
+            px = [
+                [(seed[(i + x) % 16], seed[(i + y) % 16], seed[(x * y + i) % 16])
+                 for x in range(4)]
+                for y in range(4)
+            ]
+            yield (i, i * 1000, 4, 4, bmp_encode(px))
+
+    rows_fn = real_rows if decoder == "real" else fake_rows
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for idx, t_ms, w, h, bmp in rows_fn(
+                    int(mid), bytes(content) if content is not None else None
+                ):
+                    out.append((int(mid), idx, t_ms, w, h, bmp))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["media_id", "frame_idx", "t_ms", "width",
+                             "height", "frame_bmp"],
+                )
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def synthetic_video_media(spark, n: int = 6) -> DataFrame:
+    """Tiny table of GENUINE animated GIFs (8x8, 4 frames, moving
+    2x2 block — deterministic formulas, no RNG) for the real
+    frame-extraction path."""
+    rows = []
+    for i in range(n):
+        frames = []
+        base = [[((x * 31 + i) % 256, (y * 53) % 256, 64)
+                 for x in range(8)] for y in range(8)]
+        for f in range(4):
+            fr = [row[:] for row in base]
+            bx, by = (f * 2) % 6, (f + i) % 6
+            for y in range(by, by + 2):
+                for x in range(bx, bx + 2):
+                    fr[y][x] = (255, f * 60 % 256, i * 40 % 256)
+            frames.append(fr)
+        rows.append(
+            (i, "video", bytearray(gif_encode_frames(frames, delay_ms=100)),
+             '{"duration_ms": 400}')
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

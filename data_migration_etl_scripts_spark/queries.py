@@ -2360,6 +2360,29 @@ def sample_by_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "ppl_bucket", "avg_logprob")
 
 
+@query("video_frame_extract")
+def video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: animated GIFs (stdlib codec — patch
+    frames composited to full frames) fan out to every-2nd-frame rows
+    via an Arrow-batched mapInPandas kernel; each frame re-encodes as
+    BMP and is fingerprinted here for a scalar output. Rows-only by
+    design: pixel decoding has no SQL twin (same class as
+    multimodal_real_decode); correctness is pinned by
+    tests/test_multimodal_real.py round-trips."""
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    media = mm.synthetic_video_media(spark, n=8)
+    frames = mm.extract_frames(media, every_n=2, decoder="real")
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "t_ms",
+        "width",
+        "height",
+        F.md5(F.col("frame_bmp")).alias("frame_md5"),
+    )
+
+
 @query("corpus_to_training_shards")
 def corpus_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end 'raw corpus -> training-ready artifacts' path a

@@ -38,6 +38,8 @@ def test_rows_only_queries_are_the_documented_exceptions():
         # correctness is pinned by tests/test_bpe.py + the shard tests
         "bpe_tokenize_corpus",
         "corpus_to_training_shards",
+        # pixel decoding has no SQL twin; pinned by codec round-trips
+        "video_frame_extract",
     }
     missing = set(q.all_queries()) - set(q.all_oracles())
     assert missing == allowed, missing ^ allowed

@@ -201,3 +201,52 @@ def test_image_decode_dispatches_gif(spark):
     # the three containers hold the SAME pixel recipe modulo i-offsets;
     # feature vectors must come from pixels, not container bytes
     assert out[4].n_bytes != out[2].n_bytes != out[0].n_bytes
+
+
+def test_gif_animation_roundtrip_with_patch_frames():
+    base = [[(x * 20 % 256, y * 20 % 256, 7) for x in range(10)] for y in range(8)]
+    frames = [base]
+    for f in range(1, 4):
+        fr = [row[:] for row in frames[-1]]
+        fr[f][f] = (255, 0, f * 50)
+        frames.append(fr)
+    blob = mm.gif_encode_frames(frames, delay_ms=120)
+    w, h, got = mm.gif_decode_frames(blob)
+    assert (w, h) == (10, 8) and len(got) == 4
+    assert [f for _, f in got] == frames
+    assert all(d == 120 for d, _ in got)
+    # patch encoding actually happened: animated blob much smaller than
+    # four independently-encoded full frames
+    assert len(blob) < 4 * len(mm.gif_encode(base))
+
+
+def test_extract_frames_real_samples_every_nth(spark):
+    media = mm.synthetic_video_media(spark, n=3)
+    out = mm.extract_frames(media, every_n=2, decoder="real").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {0, 1, 2}
+    for mid, rows in by_id.items():
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs == [0, 2]  # 4 frames, every 2nd
+        for r in rows:
+            fw, fh, px = mm.bmp_decode(bytes(r.frame_bmp))
+            assert (fw, fh) == (r.width, r.height) == (8, 8)
+        # the sampled frames differ (the moving block moved)
+        assert rows[0].frame_bmp != rows[1].frame_bmp
+    # t_ms accumulates the per-frame delays
+    assert {r.t_ms for r in by_id[0]} == {100, 300}
+
+
+def test_extract_frames_fake_is_deterministic(spark):
+    media = mm.synthetic_media(spark, n=4).where("media_type = 'video'")
+    a = sorted(map(tuple, mm.extract_frames(media, decoder="fake").collect()))
+    b = sorted(map(tuple, mm.extract_frames(media, decoder="fake").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_extract_frames_real_raises_on_nongif_video(spark):
+    media = mm.synthetic_media(spark, n=6).where("media_type = 'video'")
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        mm.extract_frames(media, decoder="real").collect()
