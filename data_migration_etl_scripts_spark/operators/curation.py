@@ -595,3 +595,137 @@ def filter_by_quantile_sql(
         SELECT * FROM scored
         WHERE {score_col} {op} (SELECT quantile_cont({score_col}, {q}) FROM scored)
     """
+
+
+def chunk_token_stream(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk materialization: the per-shard token stream
+    (documents concatenated in id order) split into FIXED-``capacity``
+    training sequences — the actual pretraining row format, one step
+    past :func:`pack_sequences` (which only assigns bin ids; this
+    emits the sequences, with boundary documents SPLIT across
+    neighboring sequences exactly as a dataloader would).
+
+    Scale shape: per-shard window cumsum (partition-local, no global
+    sort) positions each doc in its shard's stream; each doc explodes
+    into only the 1 + floor(n/capacity)-ish sequences it overlaps
+    (map-side sequence() + slice — O(stream length) total, not
+    O(docs * sequences)); one groupBy (shard, seq) reassembles pieces
+    with a sort_array on the deterministic start offset. Every shard
+    is independent — 1000 executors chunk 1000 streams in parallel.
+
+    Returns (shard, seq, n_tokens, seq_tokens); the final sequence of
+    each shard may be shorter than ``capacity``.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = (
+        df.select(
+            F.col(id_col),
+            (F.col(id_col) % n_shards).alias("shard"),
+            F.col(tokens_col).alias("_toks"),
+            F.size(tokens_col).alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .withColumn("cum", F.sum("n").over(w).cast("long"))
+        .withColumn("start", (F.col("cum") - F.col("n")).cast("long"))
+    )
+    exploded = pos.select(
+        "shard",
+        "start",
+        "_toks",
+        "n",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / capacity).cast("long"),
+                F.floor((F.col("cum") - 1) / capacity).cast("long"),
+            )
+        ).alias("seq"),
+    ).select(
+        "shard",
+        "seq",
+        "start",
+        F.slice(
+            "_toks",
+            (F.greatest(F.lit(0), F.col("seq") * capacity - F.col("start")) + 1).cast(
+                "int"
+            ),
+            (
+                F.least(F.col("n"), (F.col("seq") + 1) * capacity - F.col("start"))
+                - F.greatest(F.lit(0), F.col("seq") * capacity - F.col("start"))
+            ).cast("int"),
+        ).alias("piece"),
+    )
+    return (
+        exploded.groupBy("shard", "seq")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("start"), F.col("piece")))
+                    ),
+                    lambda x: x.piece,
+                )
+            ).alias("seq_tokens")
+        )
+        .select(
+            "shard",
+            "seq",
+            F.size("seq_tokens").alias("n_tokens"),
+            "seq_tokens",
+        )
+    )
+
+
+def chunk_token_stream_sql(
+    inner_sql: str,
+    id_col: str,
+    tokens_expr: str,
+    capacity: int,
+    n_shards: int = 32,
+) -> str:
+    """DuckDB twin of :func:`chunk_token_stream` over ``inner_sql``
+    (must expose ``id_col``; ``tokens_expr`` builds the token list).
+    ``list(x ORDER BY start)`` gives the same deterministic reassembly
+    as Spark's sort_array-of-structs."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS doc_id, {tokens_expr} AS tokens FROM ({inner_sql})
+    ),
+    pos AS (
+        SELECT doc_id, CAST(doc_id % {n_shards} AS BIGINT) AS shard, tokens,
+               len(tokens) AS n,
+               CAST(sum(len(tokens)) OVER (
+                   PARTITION BY doc_id % {n_shards} ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM toks WHERE len(tokens) > 0
+    ),
+    expl AS (
+        -- scalar generate_series + unnest: the table-function form
+        -- cannot take lateral column arguments in DuckDB
+        SELECT shard, tokens, n, cum - n AS start,
+               unnest(generate_series(
+                   CAST(floor((cum - n) / {capacity}) AS BIGINT),
+                   CAST(floor((cum - 1) / {capacity}) AS BIGINT))) AS seq
+        FROM pos
+    ),
+    sliced AS (
+        SELECT shard, seq, start,
+               list_slice(tokens,
+                   greatest(0, seq * {capacity} - start) + 1,
+                   least(n, (seq + 1) * {capacity} - start)) AS piece
+        FROM expl
+    )
+    SELECT shard, seq,
+           CAST(len(flatten(list(piece ORDER BY start))) AS INT) AS n_tokens,
+           flatten(list(piece ORDER BY start)) AS seq_tokens
+    FROM sliced GROUP BY shard, seq
+    """

@@ -2360,6 +2360,46 @@ def sample_by_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "ppl_bucket", "avg_logprob")
 
 
+def _chunk_stream_oracle() -> str:
+    from data_migration_etl_scripts_spark.operators import curation as cu4
+    from data_migration_etl_scripts_spark.operators import textprep as tp2
+
+    inner = cu4.chunk_token_stream_sql(
+        "SELECT doc_id, text FROM documents",
+        "doc_id",
+        tp2.tokens_sql("text"),
+        capacity=512,
+        n_shards=8,
+    )
+    return (
+        f"SELECT shard, seq, n_tokens, "
+        f"md5(array_to_string(seq_tokens, ' ')) AS seq_md5 FROM ({inner})"
+    )
+
+
+@query("chunk_token_stream_docs", oracle=_chunk_stream_oracle())
+def chunk_token_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk: the per-shard token stream cut into fixed
+    512-token pretraining sequences, boundary docs SPLIT across
+    neighboring sequences — the materialized step past pack_sequences'
+    bin assignment. Per-shard window + map-side sequence()/slice
+    explode + one (shard, seq) group-by; every shard independent. The
+    md5 of each full sequence hash-matches DuckDB, proving token-exact
+    reassembly including every boundary split."""
+    from data_migration_etl_scripts_spark.operators import curation as cu4
+    from data_migration_etl_scripts_spark.operators import textprep as tp2
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tp2.tokens("text").alias("toks"))
+    out = cu4.chunk_token_stream(toks, "doc_id", "toks", capacity=512, n_shards=8)
+    return out.select(
+        "shard",
+        "seq",
+        "n_tokens",
+        F.md5(F.array_join("seq_tokens", " ")).alias("seq_md5"),
+    )
+
+
 @query("video_frame_extract")
 def video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling: animated GIFs (stdlib codec — patch

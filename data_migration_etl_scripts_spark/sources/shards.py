@@ -305,3 +305,16 @@ def tar_manifest_sql(
                min(key) AS key_min, max(key) AS key_max
         FROM seqd GROUP BY shard, seq
     """
+
+
+def shards_to_table(spark: SparkSession, shard_dir: str) -> DataFrame:
+    """Members regrouped one row per sample: (key, <ext> columns...) —
+    the inverse of ``write_tar_shards`` for relational consumers.
+    One groupBy on key; extensions become binary columns via max(CASE)
+    (each (key, ext) appears once by construction)."""
+    members = read_tar_shards(spark, shard_dir)
+    exts = sorted(r.ext for r in members.select("ext").distinct().collect())
+    aggs = [
+        F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e) for e in exts
+    ]
+    return members.groupBy("key").agg(*aggs)

@@ -275,3 +275,32 @@ def test_filter_by_quantile_above_and_below_partition_the_corpus(spark):
     assert above.columns == ["doc_id", "score"]
     with pytest.raises(ValueError, match="keep"):
         cu.filter_by_quantile(df, "score", keep="sideways")
+
+
+def test_chunk_token_stream_invariants(spark):
+    # docs with varying sizes; capacity 10 forces straddling boundaries
+    rows = [(i, [f"t{i}_{j}" for j in range(3 + (i * 7) % 12)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    out = cu.chunk_token_stream(df, "doc_id", "toks", capacity=10, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    stream_total = sum(len(t) for _, t in rows)
+    assert sum(r.n_tokens for r in out) == stream_total  # no token lost or duped
+    for shard, seqs in by_shard.items():
+        seqs.sort(key=lambda r: r.seq)
+        assert [r.seq for r in seqs] == list(range(len(seqs)))  # dense seq ids
+        assert all(r.n_tokens == 10 for r in seqs[:-1])  # full except the tail
+        assert 0 < seqs[-1].n_tokens <= 10
+        # reassembled stream == docs of this shard concatenated in id order
+        rebuilt = [t for r in seqs for t in r.seq_tokens]
+        expected = [t for i, toks in sorted(rows) if i % 4 == shard for t in toks]
+        assert rebuilt == expected
+
+
+def test_chunk_token_stream_skips_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, ["a", "b"]), (4, []), (8, ["c"])], "doc_id long, toks array<string>"
+    )
+    out = cu.chunk_token_stream(df, "doc_id", "toks", capacity=2, n_shards=4).collect()
+    assert sum(r.n_tokens for r in out) == 3

@@ -181,3 +181,13 @@ def test_export_tar_shards_sweeps_stale_tars_on_reexport(spark, tmp_path):
     assert files == {r.file for r in manifest.collect()}  # no phantoms
     assert len(files) < n_before
     assert sh.read_tar_shards(spark, out).count() == 20
+
+
+def test_shards_to_table_inverts_the_export(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = _corpus(spark, 30)
+    sh.write_tar_shards(df, out, "doc_id", {"txt": "text", "json": "meta"}, n_shards=2).collect()
+    table = {r.key: r for r in sh.shards_to_table(spark, out).collect()}
+    for r in df.collect():
+        assert table[r.doc_id].txt.decode() == r.text
+        assert table[r.doc_id].json.decode() == r.meta
