@@ -207,3 +207,67 @@ def apply_bpe(
         F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
     )
     return out.withColumn("n_tokens", F.size("tokens"))
+
+
+def build_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Token -> id table implied by the merges: byte-level singles
+    (chars 0-255 by codepoint... here: printable ASCII + observed merge
+    chars) first, then one id per merge product in rank order — the
+    standard BPE vocab layout (stable: same merges => same ids)."""
+    vocab: dict[str, int] = {EOW: 0}
+    for a, b in merges:
+        for t in (a, b):
+            if t not in vocab:
+                vocab[t] = len(vocab)
+    for a, b in merges:
+        ab = a + b
+        if ab not in vocab:
+            vocab[ab] = len(vocab)
+    return vocab
+
+
+def encode_token_ids(
+    df: DataFrame,
+    tokens_col: str,
+    vocab: dict[str, int],
+    unk_id: int | None = None,
+) -> DataFrame:
+    """array<string> tokens -> (ids array<int>, ids_bin binary): the
+    int32-little-endian packed form training dataloaders mmap. Unknown
+    tokens map to ``unk_id`` (default: len(vocab), one past the table).
+    Map-side only — the vocab broadcasts with the closure; packing is a
+    vectorized struct.pack per row inside the Arrow batch."""
+    unk = len(vocab) if unk_id is None else unk_id
+
+    @F.pandas_udf("struct<ids: array<int>, ids_bin: binary>")
+    def pack(tokens_series):
+        import struct as st
+
+        import pandas as pd
+
+        out_ids, out_bin = [], []
+        for toks in tokens_series:
+            if toks is None:
+                out_ids.append([])
+                out_bin.append(b"")
+                continue
+            ids = [vocab.get(t, unk) for t in toks]
+            out_ids.append(ids)
+            out_bin.append(st.pack(f"<{len(ids)}i", *ids))
+        return pd.DataFrame({"ids": out_ids, "ids_bin": out_bin})
+
+    return df.withColumn("_packed", pack(F.col(tokens_col))).select(
+        "*",
+        F.col("_packed.ids").alias("ids"),
+        F.col("_packed.ids_bin").alias("ids_bin"),
+    ).drop("_packed")
+
+
+def decode_token_ids(blob: bytes, vocab: dict[str, int]) -> list[str]:
+    """Inverse of the binary packing (dataloader-side helper/test
+    oracle): int32-LE blob -> tokens (unknown id -> '<unk>')."""
+    import struct as st
+
+    rev = {i: t for t, i in vocab.items()}
+    n = len(blob) // 4
+    return [rev.get(i, "<unk>") for i in st.unpack(f"<{n}i", blob)]

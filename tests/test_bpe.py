@@ -99,3 +99,25 @@ def test_unicode_space_words_match_between_train_and_apply(spark):
     out = bpe.apply_bpe(df, "doc_id", "text", merges).collect()[0]
     # trained to convergence on this corpus: the whole glued word is one token
     assert "foo bar</w>" in out.tokens
+
+
+def test_token_ids_roundtrip_through_int32_binary(spark):
+    merges = bpe.train_bpe_from_counts(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 5
+    )
+    vocab = bpe.build_vocab(merges)
+    assert vocab["</w>"] == 0 and len(set(vocab.values())) == len(vocab)
+    df = spark.createDataFrame(
+        [(1, "low lowest"), (2, "zebra")], "doc_id long, text string"
+    )
+    toks = bpe.apply_bpe(df, "doc_id", "text", merges)
+    out = {r.doc_id: r for r in bpe.encode_token_ids(toks, "tokens", vocab).collect()}
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        assert len(r.ids) == len(r.tokens) and len(r.ids_bin) == 4 * len(r.ids)
+        back = bpe.decode_token_ids(bytes(r.ids_bin), vocab)
+        expected = [t if t in vocab else "<unk>" for t in r.tokens]
+        assert back == expected
+    # known tokens round-trip exactly; 'zebra' has chars outside vocab
+    assert "<unk>" in bpe.decode_token_ids(bytes(out[2].ids_bin), vocab)
+    assert "<unk>" not in bpe.decode_token_ids(bytes(out[1].ids_bin), vocab)

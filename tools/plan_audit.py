@@ -54,6 +54,8 @@ AUDITED = {
     "export_tar_manifest": "deterministic key%n shard cols; ONE repartition shuffle then per-task streamed tar writes inside mapInPandas",
     "zorder_key_orders": "O(1) min/max agg feeds literal bounds; Morton key is pure codegen bit math — no UDF, no shuffle",
     "corpus_to_training_shards": "score/filter/tokenize map-side; pack = per-shard window (no global sort); export = one repartition; tokens ride keep_cols so the UDF runs once",
+    "chunk_token_stream_docs": "per-shard window cumsum; docs explode map-side into only the sequences they overlap; ONE (shard,seq) group-by reassembles",
+    "sample_by_perplexity_bucket": "scoring explode is the only corpus shuffle; quartile thresholds broadcast; bucket+sample are one map-side CASE filter",
 }
 
 
