@@ -2446,20 +2446,30 @@ def corpus_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = cu2.filter_by_quantile(scored, "quality", q=0.25)
     merges = bpe.train_bpe(kept, "text", num_merges=60, max_words=2000)
     toks = bpe.apply_bpe(kept, "doc_id", "text", merges)
-    # keep_cols carries the token arrays through packing — a re-join by
-    # id would run the tokenizer UDF twice
+    toks = bpe.encode_token_ids(toks, "tokens", bpe.build_vocab(merges))
+    # materialize the tokenized corpus ONCE: the window + two member
+    # projections would otherwise re-run the UDF chain (measured 2.3x);
+    # at 100 TB this is "persist the tokenized corpus to parquet"
+    toks = toks.localCheckpoint()
+    # keep_cols carries the token arrays + packed ids through packing —
+    # a re-join by id would run the tokenizer UDF twice
     packed = cu2.pack_sequences(
-        toks, "doc_id", "n_tokens", capacity=2048, n_shards=8, keep_cols=["tokens"]
+        toks, "doc_id", "n_tokens", capacity=2048, n_shards=8,
+        keep_cols=["tokens", "ids_bin"],
     )
     records = packed.select(
         "doc_id",
         F.to_json(
             F.struct("doc_id", "pack_bin", "bin_offset", "n_tokens", "tokens")
         ).alias("record"),
+        "ids_bin",
     )
     out = f"/tmp/dmess_shards/train_{_os.path.basename(sf_dir.rstrip('/'))}"
+    # two members per sample: the JSON record and the mmap-able
+    # int32-LE token ids — the pair a dataloader actually consumes
     return sh.write_tar_shards(
-        records, out, "doc_id", {"json": "record"}, n_shards=4, max_items=64
+        records, out, "doc_id", {"json": "record", "bin": "ids_bin"},
+        n_shards=4, max_items=64,
     )
 
 

@@ -126,14 +126,18 @@ def test_corpus_to_training_shards_members_are_valid_records(spark):
     assert sum(m.n_items for m in manifest) > 0
     out = "/tmp/dmess_shards/train_sf0.001"
     back = sh.read_tar_shards(spark, out).collect()
-    assert len(back) == sum(m.n_items for m in manifest)
-    for r in back[:20]:
+    # two members (json + int32-id bin) per sample
+    assert len(back) == 2 * sum(m.n_items for m in manifest)
+    bins = {r.key: bytes(r.content) for r in back if r.ext == "bin"}
+    for r in [b for b in back if b.ext == "json"][:20]:
         rec = json.loads(r.content.decode("utf-8"))
         assert rec["doc_id"] == r.key
         assert rec["n_tokens"] == len(rec["tokens"]) > 0
         assert rec["pack_bin"] >= 0 and 0 <= rec["bin_offset"] < 2048
         # reconstruction: tokens spell the (lowercased) document back
         assert "".join(rec["tokens"]).count("</w>") >= 1
+        # the binary member is the int32 packing of the same sequence
+        assert len(bins[r.key]) == 4 * rec["n_tokens"]
 
 
 def test_tar_file_bytes_matches_real_tarfile_output():
