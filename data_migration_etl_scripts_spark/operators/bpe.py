@@ -268,6 +268,11 @@ def decode_token_ids(blob: bytes, vocab: dict[str, int]) -> list[str]:
     oracle): int32-LE blob -> tokens (unknown id -> '<unk>')."""
     import struct as st
 
+    if len(blob) % 4:
+        raise ValueError(
+            f"ids blob length {len(blob)} is not a multiple of 4 — "
+            "truncated or corrupt member"
+        )
     rev = {i: t for t, i in vocab.items()}
     n = len(blob) // 4
     return [rev.get(i, "<unk>") for i in st.unpack(f"<{n}i", blob)]

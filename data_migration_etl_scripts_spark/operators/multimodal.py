@@ -445,6 +445,12 @@ def gif_encode_frames(
     if not frames:
         raise ValueError("need at least one frame")
     height, width = len(frames[0]), len(frames[0][0])
+    for i, fr in enumerate(frames):
+        if len(fr) != height or any(len(row) != width for row in fr):
+            raise ValueError(
+                f"frame {i} is not {width}x{height}: all frames must match "
+                "frame 0's dimensions"
+            )
     palette: dict[tuple[int, int, int], int] = {}
     for fr in frames:
         for row in fr:
@@ -925,10 +931,11 @@ def extract_frames(
             )
             t = 0
             for i, (delay, rows) in enumerate(frames):
+                t_start = t  # frame i displays during [t, t+delay)
                 t += delay
                 if i % every_n:
                     continue
-                yield (i, t, w, h, bmp_encode(rows))
+                yield (i, t_start, w, h, bmp_encode(rows))
         else:
             raise NotImplementedError(
                 "real video codecs need ffmpeg — plug the codec kernel in here"
@@ -938,7 +945,11 @@ def extract_frames(
         if content is None:
             return
         seed = hashlib.md5(content).digest()
-        for i in range(2):
+        emitted = 0
+        for i in range(4):  # same every_n/max_frames contract as real
+            if i % every_n or emitted >= max_frames:
+                continue
+            emitted += 1
             px = [
                 [(seed[(i + x) % 16], seed[(i + y) % 16], seed[(x * y + i) % 16])
                  for x in range(4)]

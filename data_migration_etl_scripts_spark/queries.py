@@ -2249,7 +2249,9 @@ def export_tar_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     out = f"/tmp/dmess_shards/{_os.path.basename(sf_dir.rstrip('/'))}"
-    return sh.write_tar_shards(
+    # export_tar_shards (not bare write_tar_shards): the wrapper sweeps
+    # phantom tars a previous larger run left in this fixed dir
+    return sh.export_tar_shards(
         docs, out, "doc_id", {"txt": "text"}, n_shards=8, max_items=16
     )
 
@@ -2466,8 +2468,9 @@ def corpus_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = f"/tmp/dmess_shards/train_{_os.path.basename(sf_dir.rstrip('/'))}"
     # two members per sample: the JSON record and the mmap-able
-    # int32-LE token ids — the pair a dataloader actually consumes
-    return sh.write_tar_shards(
+    # int32-LE token ids — the pair a dataloader actually consumes.
+    # export_tar_shards sweeps phantoms from prior runs in the fixed dir
+    return sh.export_tar_shards(
         records, out, "doc_id", {"json": "record", "bin": "ids_bin"},
         n_shards=4, max_items=64,
     )

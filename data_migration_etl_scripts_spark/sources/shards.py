@@ -200,17 +200,23 @@ def export_tar_shards(
 ) -> DataFrame:
     """Run the export and persist the manifest next to the shards
     (``_manifest`` parquet — the index a dataloader or a later
-    incremental job reads instead of listing tars)."""
-    # sweep leftovers from previous runs BEFORE the action starts (no
-    # tasks are writing yet): tmp files a killed task leaked, and — so a
-    # shrunken re-export cannot leave phantom high-seq tars that
-    # read_tar_shards would surface but the fresh manifest doesn't list
-    # — every previously-published shard tar
+    incremental job reads instead of listing tars).
+
+    Re-export discipline: the previous dataset stays readable until the
+    new one succeeds. Before the action, only leaked ``.inprogress``
+    temp files are swept; published tars are replaced file-by-file via
+    ``os.replace`` during the write, and only AFTER the action commits
+    are published tars not listed in the fresh manifest removed (a
+    shrunken re-export would otherwise leave phantom high-seq tars the
+    manifest doesn't list). A crash mid-export therefore leaves the old
+    manifest plus a mix of old and already-replaced tars — detectable
+    (manifest n_bytes won't match) but not transactional; on object
+    stores, swap via a catalog instead (same caveat as
+    ``compact_small_files``).
+    """
     import glob as _glob
 
-    for stale in _glob.glob(
-        os.path.join(out_dir, "*.inprogress-*")
-    ) + _glob.glob(os.path.join(out_dir, "shard-*.tar")):
+    for stale in _glob.glob(os.path.join(out_dir, "*.inprogress-*")):
         try:
             os.remove(stale)
         except OSError:
@@ -221,7 +227,15 @@ def export_tar_shards(
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "_manifest"))
     )
-    return manifest.sparkSession.read.parquet(os.path.join(out_dir, "_manifest"))
+    fresh = manifest.sparkSession.read.parquet(os.path.join(out_dir, "_manifest"))
+    listed = {r.file for r in fresh.select("file").collect()}
+    for tar in _glob.glob(os.path.join(out_dir, "shard-*.tar")):
+        if os.path.basename(tar) not in listed:
+            try:
+                os.remove(tar)
+            except OSError:
+                pass
+    return fresh
 
 
 def read_tar_shards(spark: SparkSession, shard_dir: str) -> DataFrame:
@@ -312,7 +326,9 @@ def shards_to_table(spark: SparkSession, shard_dir: str) -> DataFrame:
     the inverse of ``write_tar_shards`` for relational consumers.
     One groupBy on key; extensions become binary columns via max(CASE)
     (each (key, ext) appears once by construction)."""
-    members = read_tar_shards(spark, shard_dir)
+    # persist across the two jobs: the distinct-ext probe and the
+    # groupBy would otherwise each re-read and re-untar every shard
+    members = read_tar_shards(spark, shard_dir).persist()
     exts = sorted(r.ext for r in members.select("ext").distinct().collect())
     aggs = [
         F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e) for e in exts

@@ -74,6 +74,16 @@ def read_ingest_rollup(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return read_rollup(spark, os.path.join(state_dir, "rollup"))
 
 
+def read_ingest_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Every admitted document (union of the per-batch corpus dirs —
+    per-batch overwrite is what makes a crash-replayed wave rewrite
+    rather than duplicate itself)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(state_dir, "corpus"))
+    )
+
+
 def read_ingest_shards(spark: SparkSession, state_dir: str) -> DataFrame:
     """Members of every training shard emitted so far (one row per tar
     member across all admitted batches)."""
@@ -196,8 +206,14 @@ def stream_corpus_ingest(
             fold_batch_into_rollup(
                 spark, accepted, batch_id, rollup_dir, group_cols, measure_cols
             )
-        # 3b. admit to the corpus sink
-        accepted.write.mode("append").parquet(corpus_dir)
+        # 3b. admit to the corpus sink — per-batch dir with OVERWRITE,
+        #     so a replayed wave rewrites the same directory instead of
+        #     appending duplicate rows (a plain append here would
+        #     double the whole wave if the crash landed between this
+        #     write and the index extension below)
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch-{batch_id:06d}")
+        )
         # 3c. extend history indexes LAST — the point of no replay
         ig.content_hash_table(accepted, id_col, text_col).write.mode(
             "append"

@@ -236,7 +236,7 @@ def test_extract_frames_real_samples_every_nth(spark):
         # the sampled frames differ (the moving block moved)
         assert rows[0].frame_bmp != rows[1].frame_bmp
     # t_ms accumulates the per-frame delays
-    assert {r.t_ms for r in by_id[0]} == {100, 300}
+    assert {r.t_ms for r in by_id[0]} == {0, 200}  # start-of-display times
 
 
 def test_extract_frames_fake_is_deterministic(spark):

@@ -35,10 +35,12 @@ def _write_wave(spark, src, name, rows):
 
 
 def _corpus_ids(spark, state):
+    from data_migration_etl_scripts_spark.streaming.ingest import read_ingest_corpus
+
     path = os.path.join(state, "corpus")
     if not os.path.isdir(path):
         return set()
-    return {r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()}
+    return {r.doc_id for r in read_ingest_corpus(spark, state).select("doc_id").collect()}
 
 
 def test_streaming_ingest_admits_and_rejects_across_waves(spark, tmp_path):
@@ -76,8 +78,9 @@ def test_streaming_ingest_restart_is_idempotent(spark, tmp_path):
     # re-run with the same checkpoint and no new files: nothing replays
     stream_corpus_ingest(spark, src, state)
     assert _corpus_ids(spark, state) == before == {1, 2}
-    corpus = spark.read.parquet(os.path.join(state, "corpus"))
-    assert corpus.count() == 2  # no duplicate rows either
+    from data_migration_etl_scripts_spark.streaming.ingest import read_ingest_corpus
+
+    assert read_ingest_corpus(spark, state).count() == 2  # no duplicate rows either
 
 
 def test_streaming_ingest_quality_gate_quarantines_bad_wave(spark, tmp_path):
