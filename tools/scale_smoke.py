@@ -57,6 +57,7 @@ SKIP = {
     "multimodal_features",
     "multimodal_real_decode",
     "cross_join_seed",
+    "video_frame_extract",  # synthetic media table, fixed size
 }
 
 
