@@ -209,12 +209,21 @@ def apply_bpe(
     return out.withColumn("n_tokens", F.size("tokens"))
 
 
-def build_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
-    """Token -> id table implied by the merges: byte-level singles
-    (chars 0-255 by codepoint... here: printable ASCII + observed merge
-    chars) first, then one id per merge product in rank order — the
-    standard BPE vocab layout (stable: same merges => same ids)."""
+def build_vocab(
+    merges: list[tuple[str, str]], base_chars: str | None = None
+) -> dict[str, int]:
+    """Token -> id table implied by the merges: EOW, then the BASE
+    characters (default: printable ASCII — the standard BPE layout
+    seeds every base symbol so unseen-but-ordinary words still encode
+    without <unk>), then merge sides not already present, then one id
+    per merge product in rank order. Stable: same merges + base =>
+    same ids on any machine."""
+    if base_chars is None:
+        base_chars = "".join(chr(c) for c in range(32, 127))
     vocab: dict[str, int] = {EOW: 0}
+    for ch in base_chars:
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
     for a, b in merges:
         for t in (a, b):
             if t not in vocab:

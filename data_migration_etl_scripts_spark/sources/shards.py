@@ -334,3 +334,50 @@ def shards_to_table(spark: SparkSession, shard_dir: str) -> DataFrame:
         F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e) for e in exts
     ]
     return members.groupBy("key").agg(*aggs)
+
+
+def export_tar_shards_incremental(
+    df: DataFrame,
+    root_dir: str,
+    key_col: str,
+    members: dict[str, str],
+    **kwargs,
+) -> DataFrame:
+    """Append-only export: keys already shipped by ANY previous batch
+    are skipped; genuinely new rows export into the next
+    ``batch-{n:06d}/`` directory (same layout the streaming admit loop
+    emits). Returns the new batch's manifest — empty if nothing new.
+
+    Each batch dir carries a ``_keys`` parquet alongside ``_manifest``:
+    the exact-membership index the anti-join runs against (manifest key
+    RANGES can't answer membership). History cost is O(shipped keys),
+    read once per increment — the same persisted-index pattern as
+    ``operators/ingest``'s content-hash table; the corpus payload is
+    never re-read.
+    """
+    import glob as _glob
+
+    spark = df.sparkSession
+    batches = sorted(_glob.glob(os.path.join(root_dir, "batch-*")))
+    key_paths = [p for p in (os.path.join(b, "_keys") for b in batches)
+                 if os.path.isdir(p)]
+    fresh = df
+    if key_paths:
+        shipped = spark.read.parquet(*key_paths)
+        fresh = df.join(
+            shipped.withColumnRenamed("key", key_col), key_col, "left_anti"
+        )
+    fresh = fresh.localCheckpoint()  # pin the set: used by export AND _keys
+    if fresh.rdd.isEmpty():
+        return spark.createDataFrame([], _MANIFEST_SCHEMA)
+    nxt = 0
+    if batches:
+        nxt = max(int(os.path.basename(b).split("-")[1]) for b in batches) + 1
+    batch_dir = os.path.join(root_dir, f"batch-{nxt:06d}")
+    manifest = export_tar_shards(fresh, batch_dir, key_col, members, **kwargs)
+    (
+        fresh.select(F.col(key_col).cast("long").alias("key"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(batch_dir, "_keys"))
+    )
+    return manifest

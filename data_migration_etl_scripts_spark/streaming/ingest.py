@@ -132,7 +132,10 @@ def stream_corpus_ingest(
     ``shard_spec`` (optional) emits each admitting batch's accepted
     docs as WebDataset-style tar shards under
     ``shards/batch-{id:06d}/`` — keys: ``members`` (ext -> column,
-    required), ``n_shards``, ``max_items``/``max_bytes``. Each batch
+    required), ``n_shards``, ``max_items``/``max_bytes``, and
+    optionally ``tokenizer_merges`` (a trained BPE merges list): when
+    set, admitted docs gain ``tokens``/``n_tokens``/``ids_bin`` columns
+    before export, so members can ship the int32 token ids directly. Each batch
     writes its OWN directory with deterministic bytes, so a crash
     replay rewrites identical files (idempotent, like the index
     appends); dataloaders read them via :func:`read_ingest_shards`.
@@ -194,12 +197,27 @@ def stream_corpus_ingest(
                 export_tar_shards,
             )
 
+            to_ship = accepted
+            merges = shard_spec.get("tokenizer_merges")
+            if merges:
+                # pre-trained tokenizer artifact (bpe.merge_table
+                # parquet, loaded by the caller): admitted docs ship
+                # with tokens + mmap-able int32 ids, so the stream's
+                # output is training-ready without a second batch pass
+                from data_migration_etl_scripts_spark.operators import bpe
+
+                to_ship = bpe.encode_token_ids(
+                    bpe.apply_bpe(accepted, id_col, text_col, merges),
+                    "tokens",
+                    bpe.build_vocab(merges),
+                ).join(accepted, id_col)
             export_tar_shards(
-                accepted,
+                to_ship,
                 os.path.join(state_dir, "shards", f"batch-{batch_id:06d}"),
                 id_col,
                 shard_spec["members"],
-                **{k_: v for k_, v in shard_spec.items() if k_ != "members"},
+                **{k_: v for k_, v in shard_spec.items()
+                   if k_ not in ("members", "tokenizer_merges")},
             )
         if rollup_spec is not None:
             group_cols, measure_cols = rollup_spec

@@ -108,7 +108,7 @@ def test_token_ids_roundtrip_through_int32_binary(spark):
     vocab = bpe.build_vocab(merges)
     assert vocab["</w>"] == 0 and len(set(vocab.values())) == len(vocab)
     df = spark.createDataFrame(
-        [(1, "low lowest"), (2, "zebra")], "doc_id long, text string"
+        [(1, "low lowest"), (2, "z\u00e9bra")], "doc_id long, text string"
     )
     toks = bpe.apply_bpe(df, "doc_id", "text", merges)
     out = {r.doc_id: r for r in bpe.encode_token_ids(toks, "tokens", vocab).collect()}
@@ -118,6 +118,7 @@ def test_token_ids_roundtrip_through_int32_binary(spark):
         back = bpe.decode_token_ids(bytes(r.ids_bin), vocab)
         expected = [t if t in vocab else "<unk>" for t in r.tokens]
         assert back == expected
-    # known tokens round-trip exactly; 'zebra' has chars outside vocab
+    # known tokens round-trip exactly; the accented char is outside the
+    # printable-ASCII base vocab
     assert "<unk>" in bpe.decode_token_ids(bytes(out[2].ids_bin), vocab)
     assert "<unk>" not in bpe.decode_token_ids(bytes(out[1].ids_bin), vocab)

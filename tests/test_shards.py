@@ -195,3 +195,21 @@ def test_shards_to_table_inverts_the_export(spark, tmp_path):
     for r in df.collect():
         assert table[r.doc_id].txt.decode() == r.text
         assert table[r.doc_id].json.decode() == r.meta
+
+
+def test_incremental_export_ships_only_new_keys(spark, tmp_path):
+    root = str(tmp_path / "inc")
+    first = _corpus(spark, 30)
+    m1 = sh.export_tar_shards_incremental(first, root, "doc_id", {"txt": "text"}, n_shards=2)
+    assert sum(r.n_items for r in m1.collect()) == 30
+    # 20 overlapping + 10 new keys
+    second = _corpus(spark, 40)
+    m2 = sh.export_tar_shards_incremental(second, root, "doc_id", {"txt": "text"}, n_shards=2)
+    assert sum(r.n_items for r in m2.collect()) == 10
+    back = sh.read_tar_shards(spark, os.path.join(root, "batch-*"))
+    keys = sorted(r.key for r in back.collect())
+    assert keys == list(range(40))  # union is exactly the 40 docs, once each
+    # nothing new -> no new batch dir, empty manifest
+    m3 = sh.export_tar_shards_incremental(second, root, "doc_id", {"txt": "text"}, n_shards=2)
+    assert m3.count() == 0
+    assert len(glob.glob(os.path.join(root, "batch-*"))) == 2

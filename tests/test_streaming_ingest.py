@@ -191,3 +191,35 @@ def test_streaming_ingest_emits_training_shards_for_accepted_docs(spark, tmp_pat
     # every emitted batch carries its manifest artifact
     for d in batch_dirs:
         assert os.path.isdir(os.path.join(d, "_manifest"))
+
+
+def test_streaming_ingest_ships_tokenized_shards_with_pretrained_merges(spark, tmp_path):
+    import struct
+
+    from data_migration_etl_scripts_spark.operators import bpe
+    from data_migration_etl_scripts_spark.streaming.ingest import read_ingest_shards
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    # tokenizer trained offline on a seed corpus (the artifact a real
+    # deployment loads from bpe.merge_table parquet)
+    seed = spark.createDataFrame([(0, BASE), (1, OTHER)], "doc_id long, text string")
+    merges = bpe.train_bpe(seed, "text", num_merges=40, max_words=200)
+    spec = {"members": {"txt": "text", "bin": "ids_bin"}, "n_shards": 2,
+            "tokenizer_merges": merges}
+
+    _write_wave(spark, src, "w1", [(1, BASE), (2, OTHER)])
+    stream_corpus_ingest(spark, src, state, shard_spec=spec)
+    back = read_ingest_shards(spark, state).collect()
+    texts = {r.key: r.content.decode() for r in back if r.ext == "txt"}
+    bins = {r.key: bytes(r.content) for r in back if r.ext == "bin"}
+    assert set(texts) == set(bins) == {1, 2}
+    vocab = bpe.build_vocab(merges)
+    for k, blob in bins.items():
+        ids = struct.unpack(f"<{len(blob) // 4}i", blob)
+        # ids decode back to tokens that reconstruct the document
+        toks = bpe.decode_token_ids(blob, vocab)
+        assert "<unk>" not in toks  # seed corpus covers these docs' chars
+        assert "".join(toks).replace("</w>", " ").strip() == texts[k].lower()
+        assert len(ids) > 0
