@@ -559,6 +559,8 @@ def gif_decode_frames(
                 pos += 1 + b[pos]
             pos += 1
             idx = _gif_lzw_decode(bytes(stream), code_size)
+            if len(idx) < width * height:
+                raise ValueError("GIF pixel data underrun")
             order = (
                 _gif_interlace_order(height) if flags & 0x40 else range(height)
             )
@@ -568,6 +570,11 @@ def gif_decode_frames(
                     v = idx[base + x]
                     if v == transparent:
                         continue
+                    if v >= len(palette):
+                        raise ValueError(
+                            f"GIF pixel index {v} outside palette "
+                            f"({len(palette)} entries)"
+                        )
                     yy, xx = top + disp_row, left + x
                     if yy < sh and xx < sw:
                         canvas[yy][xx] = palette[v]

@@ -139,9 +139,18 @@ def _zorder_rank_expr(col: str, cmin: int, cmax: int, bits: int) -> str:
     rank bit-for-bit. NULLs rank at the minimum (cluster together at
     the front) instead of poisoning the whole key to NULL."""
     span = max(1, cmax - cmin)
+    scale = (1 << bits) - 1
+    if span > (1 << 63) // scale:
+        # (col - cmin) * scale would exceed 2^63: non-ANSI Spark wraps
+        # silently, mis-sorting Z-keys (the DuckDB twin errors instead).
+        # Refuse loudly — callers can lower bits or pre-bucket the column.
+        raise ValueError(
+            f"zorder column {col!r} span {span} * {scale} overflows BIGINT; "
+            f"lower bits (max span at bits={bits} is {(1 << 63) // scale})"
+        )
     return (
         f"((coalesce(cast({col} as bigint), {cmin}) - {cmin})"
-        f" * {(1 << bits) - 1}) div {span}"
+        f" * {scale}) div {span}"
     )
 
 

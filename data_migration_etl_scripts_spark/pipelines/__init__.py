@@ -50,6 +50,7 @@ from data_migration_etl_scripts_spark.pipelines.registry import (  # noqa: F401
 )
 from data_migration_etl_scripts_spark.pipelines.settings import (  # noqa: F401
     roles_claims_transform,
+    roles_pipeline,
     subscriptions_pipeline,
 )
 from data_migration_etl_scripts_spark.pipelines.users import (  # noqa: F401

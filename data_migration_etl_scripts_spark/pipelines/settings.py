@@ -83,3 +83,50 @@ def roles_claims_transform(
             "ClaimValue"
         ),
     )
+
+
+#: The reference's positional claims table (``roles.py:90-96``):
+#: FormName -> [POST, DELETE, GET, PUT] indexed by the verb map
+#: {'New': 0, 'Remove': 1, 'Access': 2, 'Edit': 3}. The doubled
+#: "DELETE  POST"/"GET  POST"/"PUT  POST" strings for AppSources are
+#: the reference's own copy-paste quirk, pinned faithfully.
+_REFERENCE_ROLES_TABLE: dict[str, list[str]] = {
+    "Accounts": [
+        "POST /api/v1/accounts",
+        "DELETE /api/v1/accounts/{AccountID}",
+        "GET /api/v1/accounts/{AccountID}",
+        "PUT /api/v1/accounts/{AccountID}",
+    ],
+    "AppSources": [
+        "POST /api/v1/appsources",
+        "DELETE  POST /api/v1/appsources/{AppSourceID}",
+        "GET  POST /api/v1/appsources/{AppSourceID}",
+        "PUT  POST /api/v1/appsources/{AppSourceID}",
+    ],
+}
+_VERB_INDEX = {"New": 0, "Remove": 1, "Access": 2, "Edit": 3}
+
+REFERENCE_CLAIM_STRINGS: Mapping[tuple[str, str], str] = {
+    (form, verb): strings[i]
+    for form, strings in _REFERENCE_ROLES_TABLE.items()
+    for verb, i in _VERB_INDEX.items()
+}
+
+
+def roles_pipeline(
+    catalog,
+    name: str = "roles",
+    sink_table: str = "RoleClaimsV2",
+    claim_strings: Mapping[tuple[str, str], str] = REFERENCE_CLAIM_STRINGS,
+) -> IncrementalPipeline:
+    """``Settings/Roles/roles.py`` as a runnable DAG node: unpivot the
+    per-form permission flags into granted claim rows and resolve each
+    (FormName, verb) through the claims table; unmapped forms fall back
+    to ``FormName:ClaimType`` instead of the reference's hard KeyError."""
+    return IncrementalPipeline(
+        name=name,
+        source=lambda: catalog.read("RoleGroupForms"),
+        watermark_col="GroupID",
+        sink_table=sink_table,
+        transform=lambda df, ts: roles_claims_transform(df, claim_strings),
+    )

@@ -20,6 +20,7 @@ from data_migration_etl_scripts_spark.pipelines import (
     cars_pipeline,
     categories_pipeline,
     cities_pipeline,
+    countries_pipeline,
     dimension_pipeline,
     items_pipeline,
     location_settings_pipeline,
@@ -27,6 +28,7 @@ from data_migration_etl_scripts_spark.pipelines import (
     order_line_items_pipeline,
     order_payments_pipeline,
     orders_pipeline,
+    roles_pipeline,
     subcategories_pipeline,
     subscriptions_pipeline,
     subusers_pipeline,
@@ -56,6 +58,47 @@ def _entity_sources(name: str) -> list[str]:
     return [cfg["source_table"]] + [rm.lookup_table for rm in cfg.get("remaps", ())]
 
 
+def _packages_chained(catalog):
+    """The gated packages entity with the reference's SECOND category
+    hop (``packages.py:75-90``): the subcategory remap yields the OLD
+    category id; resolve it to the migrated CategoryID by deriving the
+    (OldCategoryID -> CategoryID) map from SyncCategories x
+    CategoriesV2Map (same derivation as subcategories_transform), then
+    drop the intermediate columns so the PackagesV2 sink carries the
+    migrated CategoryID that location_packages fans out on."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from data_migration_etl_scripts_spark import functions as ef
+
+    p = build_gated_entity(catalog, "packages")
+    inner = p.transform
+
+    def transform(df, ts):
+        out = inner(df, ts)
+        # packages.py:66-70 cleans every object column (strip -> None,
+        # 'NULL' -> None) before the remaps
+        out = out.withColumn(
+            "Name", ef.scrub_null_literal(ef.strip_or_null("Name"))
+        )
+        cat_ids = (
+            catalog.read("SyncCategories")
+            .join(catalog.read("CategoriesV2Map"), ["AccountID", "Name"])
+            # min(), not dropDuplicates: the categories pipeline APPENDS
+            # crosswalk rows whose old-ids can collide with pre-seeded
+            # ones, and an arbitrary-pick dedup would make the sink
+            # hash run-dependent
+            .groupBy("OldCategoryID")
+            .agg(F.min("CategoryID").alias("CategoryID"))
+        )
+        out = out.withColumnRenamed("NewCategoryID", "OldCategoryID")
+        out = out.join(F.broadcast(cat_ids), "OldCategoryID", "left")
+        return out.drop("SubCategoryID", "OldCategoryID")
+
+    return dataclasses.replace(p, transform=transform)
+
+
 def build_reference_dag(catalog) -> DagRunner:
     runner = DagRunner(catalog)
 
@@ -68,8 +111,14 @@ def build_reference_dag(catalog) -> DagRunner:
     for dim in DIMENSION_CONFIGS:
         add_if_sources(build_dimension(catalog, dim),
                        [DIMENSION_CONFIGS[dim]["source_table"]])
+    # countries writes its own V2 sink; the pre-seeded CountriesV2
+    # lookup (the crosswalk cities joins) keeps its fixture identity,
+    # matching the registry dims' *V2Out discipline
+    add_if_sources(countries_pipeline(catalog, sink_table="CountriesV2Out"),
+                   ["Country"])
     add_if_sources(warehouses_pipeline(catalog), ["Stores"])
     add_if_sources(cities_pipeline(catalog), ["City", "CountriesV2"])
+    add_if_sources(roles_pipeline(catalog), ["RoleGroupForms"])
     for sync in SYNC_CONFIGS:
         add_if_sources(build_sync(catalog, sync),
                        [SYNC_CONFIGS[sync]["source_table"],
@@ -138,8 +187,8 @@ def build_reference_dag(catalog) -> DagRunner:
         depends_on=["cars", "locations"],
     )
     add_if_sources(
-        build_gated_entity(catalog, "packages"),
-        ["Packages", "SubCategory"],
+        _packages_chained(catalog),
+        ["Packages", "SubCategory", "SyncCategories", "CategoriesV2Map"],
         depends_on=["subcategories"],
     )
     add_if_sources(
@@ -154,9 +203,11 @@ def build_reference_dag(catalog) -> DagRunner:
         ["Items", "SubCategory", "CategoriesV2Map", "LocationsV2All"],
         depends_on=["items", "locations"],
     )
+    # location_packages reads the MIGRATED packages table (the packages
+    # sink), so its source check is the upstream's source list
     add_if_sources(
         build_entity(catalog, "location_packages"),
-        ["PackagesV2", "CategoriesV2Map", "LocationsV2All"],
+        ["Packages", "SubCategory", "CategoriesV2Map", "LocationsV2All"],
         depends_on=["packages", "locations"],
     )
 

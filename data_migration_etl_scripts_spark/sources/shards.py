@@ -89,7 +89,9 @@ def write_tar_shards(
     exts = sorted(members)
     os.makedirs(out_dir, exist_ok=True)
 
-    shard = (F.col(key_col) % F.lit(n_shards)).cast("int").alias("_shard")
+    # pmod, not %: Spark % returns negative remainders for negative
+    # keys, which would mint shard ids like -3 and malformed filenames
+    shard = F.pmod(F.col(key_col), F.lit(n_shards)).cast("int").alias("_shard")
     cols = [F.col(key_col).cast("long").alias("_key")] + [
         F.col(members[e]).alias(f"_m_{e}") for e in exts
     ]
@@ -222,13 +224,20 @@ def export_tar_shards(
         except OSError:
             pass
     manifest = write_tar_shards(df, out_dir, key_col, members, **kwargs)
+    spark = manifest.sparkSession
+    # Run the export ONCE at full parallelism (collect triggers the
+    # mapInPandas kernel across all n_shards tasks) and write the tiny
+    # one-row-per-tar manifest driver-side. A coalesce(1) before the
+    # write would collapse the kernel itself into a single task,
+    # serializing every tar write through one executor.
+    rows = manifest.collect()
     (
-        manifest.coalesce(1)
+        spark.createDataFrame(sorted(rows), schema=_MANIFEST_SCHEMA)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "_manifest"))
     )
-    fresh = manifest.sparkSession.read.parquet(os.path.join(out_dir, "_manifest"))
-    listed = {r.file for r in fresh.select("file").collect()}
+    fresh = spark.read.parquet(os.path.join(out_dir, "_manifest"))
+    listed = {r.file for r in rows}
     for tar in _glob.glob(os.path.join(out_dir, "shard-*.tar")):
         if os.path.basename(tar) not in listed:
             try:
@@ -303,7 +312,7 @@ def tar_manifest_sql(
     )
     return f"""
         WITH rows_in AS (
-            SELECT CAST(({key_col}) % {n_shards} AS INT) AS shard,
+            SELECT CAST(((({key_col}) % {n_shards}) + {n_shards}) % {n_shards} AS INT) AS shard,
                    CAST({key_col} AS BIGINT) AS key,
                    CAST({row_bytes} AS BIGINT) AS row_bytes
             FROM ({inner_sql})

@@ -15,23 +15,20 @@ Loop per micro-batch (inside ``foreachBatch``):
 2. classify survivors against the persisted history indexes
    (content-hash table + minhash band table) — 'exact_dup'/'near_dup'
    rejected, 'new' accepted;
-3. write the wave's outputs in replay-safety order: first the
-   idempotent derived artifacts — optional tar-shard emission
-   (per-batch dirs, deterministic bytes) and the optional
-   batch-id-versioned rollup fold (streaming/rollup_stream machinery —
-   crash replays re-derive, never double-count) — then the corpus
-   append, and LAST the index-table appends. The index append is the
-   point of no replay (after it, a replayed wave classifies as dups of
-   itself), so everything that must survive a mid-batch crash happens
-   before it.
+3. write the wave's outputs — shards, rollup fold, corpus, index
+   tables — each into a per-batch directory with mode=overwrite and
+   deterministic content.
 
 Exactly-once: the streaming checkpoint dedups source files across
-restarts. A crashed batch may replay step 3's appends, but duplicate
-index rows are harmless by construction — the exact join goes through
-``distinct()`` on content_hash and the near join counts
-``count_distinct(hist doc_id)`` — so replays cannot change any later
-batch's verdicts, and the corpus sink append is guarded by the
-checkpoint's batch commit log.
+restarts, and EVERY state write is a per-batch-directory overwrite
+whose content is a pure function of the wave + the OTHER batches'
+state: when step 2 classifies a wave against history, the wave's own
+``batch-{id}`` index directories are EXCLUDED from the history read.
+A crash at any point therefore replays into byte-identical rewrites —
+the replayed wave can never classify as a duplicate of itself (the
+failure mode of an append-based index: once extended, a replay
+computed ``accepted`` as empty and overwrote the corpus batch dir
+with nothing, destroying the wave).
 
 State grows with accepted docs (16 B + bands rows each), never with
 corpus bytes; at 1000 executors the per-batch joins shuffle only
@@ -57,15 +54,35 @@ _EMPTY_HASHES = "doc_id long, content_hash string"
 _EMPTY_BANDS = "doc_id long, band_id int, band_key string"
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _read_batch_dirs(
+    spark: SparkSession, root: str, schema: str, exclude: str | None = None
+) -> DataFrame:
+    """Union of the per-batch parquet directories under ``root``,
+    optionally excluding one batch's own directory (so a replayed wave
+    classifies against the history WITHOUT itself — the property that
+    makes every write idempotent under crash replay)."""
     try:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            return spark.read.schema(schema).parquet(path)
-    except Exception:
-        pass
-    return spark.createDataFrame([], schema)
+        dirs = sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("batch-") and d != exclude
+            and os.path.isdir(os.path.join(root, d))
+        )
+    except FileNotFoundError:
+        dirs = []
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def read_ingest_hashes(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Content-hash index over every admitted document."""
+    return _read_batch_dirs(spark, os.path.join(state_dir, "hashes"), _EMPTY_HASHES)
+
+
+def read_ingest_bands(spark: SparkSession, state_dir: str) -> DataFrame:
+    """MinHash band index over every admitted document."""
+    return _read_batch_dirs(spark, os.path.join(state_dir, "bands"), _EMPTY_BANDS)
 
 
 def read_ingest_rollup(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -169,9 +186,15 @@ def stream_corpus_ingest(
         hashed = ig.content_hash_table(batch_df, id_col, text_col)
         keep = hashed.groupBy("content_hash").agg(F.min("doc_id").alias(id_col))
         batch = batch_df.join(keep.select(id_col), id_col, "semi")
-        # 2. classify vs history indexes
-        hist_h = _read_or_empty(spark, hashes_dir, _EMPTY_HASHES)
-        hist_b = _read_or_empty(spark, bands_dir, _EMPTY_BANDS)
+        # 2. classify vs history indexes, EXCLUDING this batch's own
+        #    per-batch index dirs: a crash-replayed wave therefore
+        #    recomputes the IDENTICAL accepted set (it can never see
+        #    itself as history), and every write below — all per-batch
+        #    overwrites with deterministic content — rewrites the first
+        #    attempt's bytes instead of destroying them
+        me = f"batch-{batch_id:06d}"
+        hist_h = _read_batch_dirs(spark, hashes_dir, _EMPTY_HASHES, exclude=me)
+        hist_b = _read_batch_dirs(spark, bands_dir, _EMPTY_BANDS, exclude=me)
         verdicts = ig.dedup_incoming(
             batch, hist_h, hist_b, id_col, text_col, k=k, bands=bands
         )
@@ -179,20 +202,16 @@ def stream_corpus_ingest(
         accepted = batch.join(
             accepted_ids.withColumnRenamed("doc_id", id_col), id_col, "semi"
         )
-        # materialize before the index appends extend history (both
-        # index writes must see THIS batch's acceptance set, not a
-        # re-evaluation against already-updated state)
+        # materialize once — the same acceptance set feeds shards,
+        # rollup, corpus, and both index writes
         accepted = accepted.localCheckpoint()
-        # 3a. idempotent derived artifacts FIRST, while a crash replay
-        #     can still recompute the same `accepted` set: once the
-        #     hash index is extended (3c), a replay classifies this
-        #     batch's docs as exact dups of themselves -> accepted is
-        #     empty -> anything written only after 3c would be lost for
-        #     this wave. Shards are per-batch dirs with deterministic
-        #     bytes (rewrite == identical files); the rollup fold is
-        #     batch-id-versioned (re-fold == same version, never
-        #     double-counted).
-        if shard_spec is not None and not accepted.rdd.isEmpty():
+        if accepted.rdd.isEmpty():
+            # wave fully duplicate: admit nothing, extend no state.
+            # (Writing empty batch dirs would be harmless but noisy —
+            # and skipping keeps "all-dup wave emits no shard dir".)
+            return
+        # 3a. derived artifacts: per-batch dirs, deterministic bytes
+        if shard_spec is not None:
             from data_migration_etl_scripts_spark.sources.shards import (
                 export_tar_shards,
             )
@@ -224,21 +243,18 @@ def stream_corpus_ingest(
             fold_batch_into_rollup(
                 spark, accepted, batch_id, rollup_dir, group_cols, measure_cols
             )
-        # 3b. admit to the corpus sink — per-batch dir with OVERWRITE,
-        #     so a replayed wave rewrites the same directory instead of
-        #     appending duplicate rows (a plain append here would
-        #     double the whole wave if the crash landed between this
-        #     write and the index extension below)
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, f"batch-{batch_id:06d}")
-        )
-        # 3c. extend history indexes LAST — the point of no replay
+        # 3b. admit to the corpus sink — per-batch dir, overwrite
+        accepted.write.mode("overwrite").parquet(os.path.join(corpus_dir, me))
+        # 3c. extend history indexes — ALSO per-batch overwrite dirs;
+        #     exclude-self in step 2 makes a replay after either (or a
+        #     partial pair of) these writes recompute the identical
+        #     accepted set and rewrite identical index rows
         ig.content_hash_table(accepted, id_col, text_col).write.mode(
-            "append"
-        ).parquet(hashes_dir)
+            "overwrite"
+        ).parquet(os.path.join(hashes_dir, me))
         ig.minhash_band_table(
             accepted, id_col, text_col, k=k, bands=bands
-        ).write.mode("append").parquet(bands_dir)
+        ).write.mode("overwrite").parquet(os.path.join(bands_dir, me))
 
     query = (
         spark.readStream.format("parquet")

@@ -64,7 +64,9 @@ def test_streaming_ingest_admits_and_rejects_across_waves(spark, tmp_path):
     assert _corpus_ids(spark, state) == {1, 2, 6}
 
     # index tables grew only by accepted docs
-    hashes = spark.read.parquet(os.path.join(state, "hashes"))
+    from data_migration_etl_scripts_spark.streaming.ingest import read_ingest_hashes
+
+    hashes = read_ingest_hashes(spark, state)
     assert {r.doc_id for r in hashes.collect()} == {1, 2, 6}
 
 
@@ -81,6 +83,51 @@ def test_streaming_ingest_restart_is_idempotent(spark, tmp_path):
     from data_migration_etl_scripts_spark.streaming.ingest import read_ingest_corpus
 
     assert read_ingest_corpus(spark, state).count() == 2  # no duplicate rows either
+
+
+def test_streaming_ingest_replay_after_index_write_preserves_wave(spark, tmp_path):
+    """Crash-replay regression (advisor, round 3): a wave replayed AFTER
+    its index write must NOT classify as a duplicate of itself and
+    overwrite its own corpus/rollup dirs with nothing. We simulate the
+    worst replay — checkpoint lost entirely after a fully-committed wave
+    — and require every artifact to survive byte-for-byte in content."""
+    import shutil
+
+    from data_migration_etl_scripts_spark.streaming.ingest import (
+        read_ingest_hashes,
+        read_ingest_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    schema = "doc_id long, text string, lang string, n_tokens long"
+    _rows = [(1, BASE, "en", 30), (2, OTHER, "en", 25)]
+    df = spark.createDataFrame(_rows, schema)
+    import glob
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "out")
+        df.coalesce(1).write.parquet(out)
+        shutil.copy(glob.glob(os.path.join(out, "part-*.parquet"))[0],
+                    os.path.join(src, "w1.parquet"))
+
+    spec = (["lang"], ["n_tokens"])
+    stream_corpus_ingest(spark, src, state, schema=schema, rollup_spec=spec)
+    assert _corpus_ids(spark, state) == {1, 2}
+
+    # lose the checkpoint: the source re-lists w1.parquet and the wave
+    # replays as batch 0 with the index tables ALREADY extended
+    shutil.rmtree(os.path.join(state, "checkpoint"))
+    stream_corpus_ingest(spark, src, state, schema=schema, rollup_spec=spec)
+
+    # the wave survived: corpus, index, and rollup all intact
+    assert _corpus_ids(spark, state) == {1, 2}
+    assert {r.doc_id for r in read_ingest_hashes(spark, state).collect()} == {1, 2}
+    r = {x.lang: (x.n_rows, int(x.sum_n_tokens))
+         for x in read_ingest_rollup(spark, state).collect()}
+    assert r == {"en": (2, 55)}
 
 
 def test_streaming_ingest_quality_gate_quarantines_bad_wave(spark, tmp_path):
@@ -108,7 +155,9 @@ def test_streaming_ingest_quality_gate_quarantines_bad_wave(spark, tmp_path):
     ])
     stream_corpus_ingest(spark, src, state, expectations=gate)
     assert _corpus_ids(spark, state) == {1, 2}  # nothing admitted
-    hashes = spark.read.parquet(os.path.join(state, "hashes"))
+    from data_migration_etl_scripts_spark.streaming.ingest import read_ingest_hashes
+
+    hashes = read_ingest_hashes(spark, state)
     assert {r.doc_id for r in hashes.collect()} == {1, 2}  # index untouched
     rejected = spark.read.parquet(os.path.join(state, "rejected"))
     bad = {r.check_name: r.n_violations for r in rejected.collect()}

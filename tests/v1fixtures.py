@@ -484,6 +484,162 @@ def build_v1_fixtures_registry(cat: Catalog) -> None:
     )
 
 
+def build_v1_fixtures_dag_close(cat: Catalog) -> None:
+    """Source tables for the pipelines that close the 36-script DAG:
+    template dims (models, countries, amenities, services, landmarks,
+    app_sources, suppliers, reconciliations), their sync_* V2 lookups,
+    the gated entities (bays, customer_locations, packages chain,
+    purchase_orders), and roles. Dirty in the reference's ways."""
+    import datetime as dt
+
+    t = dt.datetime(2025, 6, 1, 8, 0, 0)
+
+    # Template_Tables/models.py
+    _write(
+        cat,
+        "Model",
+        [
+            (1, 1, " Corolla ", "2020", "4.5", "-1"),
+            (2, 1, "Civic", "x", None, "c.png"),
+            (3, 2, "NULL", None, "3.0", None),
+        ],
+        "ModelID long, MakeID long, Name string, Year string,"
+        " RecommendedLitres string, ImagePath string",
+    )
+    # Template_Tables/countries.py (alpha-2 -> alpha-3 recode + filter)
+    _write(
+        cat,
+        "Country",
+        [
+            (1, "SA", " Saudi Arabia ", "SAR"),
+            (2, "EGY", "Egypt", "EGP"),
+            (3, "X", "Mystery", None),      # unmappable, dropped
+            (4, "GB", "United Kingdom", "GBP"),
+        ],
+        "CountryRowID long, Code string, Name string, Curr_Code string",
+    )
+    # Template_Tables/amenities.py + sync_amenities.py
+    _write(
+        cat,
+        "Amenities",
+        [(1, " WiFi ", "  "), (2, "Parking", "NULL"), (3, "Cafe", " open ")],
+        "AmenitiesID long, Name string, Description string",
+    )
+    _write(
+        cat,
+        "AmenitiesV2New",
+        [(31, "WiFi"), (32, "Parking")],
+        "AmenitiesID long, Name string",
+    )
+    # Template_Tables/services.py + sync_services.py (' Service' suffix)
+    _write(
+        cat,
+        "Service",
+        [(1, " Oil Change Service "), (2, "Tyre Rotation"), (3, "Wash Service")],
+        "ServiceID long, ServiceTitle string",
+    )
+    _write(
+        cat,
+        "ServicesV2New",
+        [(41, "Oil Change"), (42, "Wash")],
+        "ServiceID long, Name string",
+    )
+    # Template_Tables/landmarks.py + sync_landmarks.py
+    _write(
+        cat,
+        "Landmark",
+        [(1, " Mall "), (2, "Airport"), (9, "Old Tower")],
+        "LandmarkID long, Name string",
+    )
+    _write(
+        cat,
+        "LandmarksV2New",
+        [(51, "Mall"), (52, "Airport")],
+        "LandmarkID long, Name string",
+    )
+    # Template_Tables/app_sources.py + sync_app_sources.py
+    _write(
+        cat,
+        "AppSource",
+        [(7, " iOS "), (8, "Android"), (9, "Web")],
+        "AppSourceID long, Name string",
+    )
+    _write(
+        cat,
+        "AppSourcesV2New",
+        [(70, "iOS"), (80, "Android")],
+        "AppSourceID long, Name string",
+    )
+    # Invertory/Suppliers/suppliers.py
+    _write(
+        cat,
+        "Supplier",
+        [
+            (11, " Gulf Parts ", " a@gulf.example ", " Hamid ", "  ", None),
+            (12, "Desert Oil", None, "NULL", " POB 9 ", 2),
+        ],
+        "SupplierID long, Name string, Email string, ContactPerson string,"
+        " Address string, StatusID int",
+    )
+    # Invertory/Reconciliations/reconciliations.py
+    _write(
+        cat,
+        "Reconciliation",
+        [(1, " shrinkage ", None), (2, "  ", 2), (3, None, None)],
+        "ReconciliationID long, Reason string, StatusID int",
+    )
+    # Main_Modules/Bays/bays.py — all FKs resolvable (gated; a dangling
+    # row would abort the whole DAG run)
+    _write(
+        cat,
+        "Bay",
+        [(1, "Bay 1", 10), (2, "Bay 2", 11), (3, "Bay 3", 12)],
+        "BayID long, BayName string, LocationID long",
+    )
+    # Main_Modules/AspNetUsers/customer_locations.py (gateless remap;
+    # note the reference's 'LocationId' casing)
+    _write(
+        cat,
+        "CustomerLocationJunc",
+        [(1, 1, 10, t), (2, 1, 11, None), (3, 2, None, None)],
+        "CustomerLocationID long, CustomerID long, LocationId long,"
+        " CreatedOn timestamp",
+    )
+    # Main_Modules/Packages/packages.py — SubCategoryID must resolve
+    _write(
+        cat,
+        "Packages",
+        [
+            (1, 70, " Oil Combo ", "89.5", 1, t),
+            (2, 71, "NULL", "120", None, None),
+        ],
+        "PackageID long, SubCategoryID long, Name string, Price string,"
+        " StatusID int, UpdatedAt timestamp",
+    )
+    # Main_Modules/Packages/package_details.py + the target-side
+    # crosswalk (stand-in for the DB identity map, like OrdersV2Map)
+    _write(
+        cat,
+        "PackageDetails",
+        [(1, 1, 1, 2.0), (2, 1, 2, 1.0), (3, 2, 4, 3.0)],
+        "PackageDetailID long, PackageID long, ItemID long, Quantity double",
+    )
+    _write(
+        cat,
+        "PackagesSync",
+        [(1, 7001), (2, 7002)],
+        "OldPackageID long, NewPackageID long",
+    )
+    # Invertory/Purchases/purchase_orders.py — suppliers resolvable
+    _write(
+        cat,
+        "PurchaseOrder",
+        [(21, 11, " first po ", t), (22, 12, None, None)],
+        "PurchaseOrderID long, SupplierID long, Remarks string,"
+        " CreatedOn timestamp",
+    )
+
+
 def build_v1_fixtures_migrated_products(cat: Catalog) -> None:
     """Standalone migrated-side product tables for the location_items /
     location_packages unit tests. NOT part of the registry set: in the

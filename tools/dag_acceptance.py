@@ -47,7 +47,9 @@ def main() -> int:
     )
     from tests.v1fixtures import (
         build_v1_fixtures,
+        build_v1_fixtures_dag_close,
         build_v1_fixtures_extra,
+        build_v1_fixtures_inventory,
         build_v1_fixtures_registry,
     )
     from tools.selfcheck import table_hash
@@ -58,6 +60,8 @@ def main() -> int:
     build_v1_fixtures(cat)
     build_v1_fixtures_extra(cat)
     build_v1_fixtures_registry(cat)
+    build_v1_fixtures_inventory(cat)
+    build_v1_fixtures_dag_close(cat)
     # same catalog adjustments as tests/test_pipelines.py::test_reference_dag_end_to_end
     cat.write(
         spark.createDataFrame(
