@@ -134,6 +134,46 @@ def keep_best_per_cluster(labeled: DataFrame) -> DataFrame:
     )
 
 
+def keep_best_canonicalize(quality: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Quality-aware canonicalization with the corpus kept MAP-SIDE.
+
+    ``quality`` is corpus-sized (doc_id, quality); ``clusters`` is
+    O(docs-in-dup-pairs) — near-dup-sized, broadcastable. The naive
+    shape (left-join labels onto the corpus, aggregate winners over
+    ALL cluster ids, join back) shuffles the corpus twice, because
+    every singleton doc is its own cluster and the winners table is
+    corpus-sized. Split instead:
+
+    - clustered docs: inner broadcast-join to labels (O(dup-docs)
+      rows), winner = one max(struct) aggregate over the SMALL side,
+      broadcast back — the hot-duplicate-cluster key never sees a
+      window or a corpus shuffle;
+    - singletons: broadcast LEFT-ANTI join (map-side), trivially
+      ``keep = true`` — zero shuffles for the overwhelming majority
+      of a real corpus.
+
+    Same output contract as :func:`keep_best_per_cluster`.
+    """
+    labels = F.broadcast(clusters.select("doc_id", "cluster_id"))
+    clustered = quality.join(labels, "doc_id")
+    winners = clustered.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))).alias("w")
+    ).select("cluster_id", (-F.col("w.neg_id")).alias("win_id"))
+    clustered = clustered.join(F.broadcast(winners), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.col("doc_id") == F.col("win_id")).alias("keep"),
+    )
+    singletons = quality.join(labels, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        "quality",
+        F.lit(True).alias("keep"),
+    )
+    return clustered.unionByName(singletons)
+
+
 def keep_best_per_cluster_sql(
     clusters_sql: str, quality_sql: str
 ) -> str:
@@ -218,14 +258,19 @@ def pack_sequences(
         F.col(id_col), F.col(n_tokens_col).alias("n_tokens"), shard,
         *[F.col(c) for c in keep_cols],
     )
-    cum = F.sum("n_tokens").over(w)
+    # materialize the running sum ONCE: Catalyst does not CSE window
+    # expressions, so referencing `cum` in three output columns would
+    # make the Window node evaluate the identical sum three times
+    # (observed as _we0/_we1/_we2 in the physical plan)
+    out = out.withColumn("_cum", F.sum("n_tokens").over(w))
+    start = F.col("_cum") - F.col("n_tokens")
     return out.select(
         id_col,
         "shard",
         "n_tokens",
         *keep_cols,
-        F.floor((cum - F.col("n_tokens")) / capacity).cast("long").alias("pack_bin"),
-        (cum - F.col("n_tokens") - F.floor((cum - F.col("n_tokens")) / capacity) * capacity)
+        F.floor(start / capacity).cast("long").alias("pack_bin"),
+        (start - F.floor(start / capacity) * capacity)
         .cast("long")
         .alias("bin_offset"),
     )

@@ -1767,17 +1767,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Winner selection is one max(struct) aggregate (skew-safe under the
     classic hot duplicate cluster); quality doubles are identical-order
     IEEE on both engines so the winner never flips."""
-    docs = _t(spark, sf_dir, "documents")
+    # persist the pruned scan: the minhash branch and the quality
+    # branch otherwise each re-read the documents parquet (two
+    # identical Scan subtrees in the round-3 plan)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").persist()
     clusters = cu.dup_clusters(
         dd.minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=4)
     )
     quality = tx.quality_score(docs, "doc_id", "text")
-    labeled = quality.join(clusters, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
-        "quality",
-    )
-    return cu.keep_best_per_cluster(labeled)
+    return cu.keep_best_canonicalize(quality, clusters)
 
 
 @query("text_scrub_pii", oracle=tx.scrub_pii_sql("documents", "doc_id", "text"))
@@ -1846,11 +1844,13 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     across stage boundaries."""
     from data_migration_etl_scripts_spark.operators import curation as cu2
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").persist()
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=4)
     clusters = cu2.dup_clusters(pairs)
     dupes = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    kept = docs.join(dupes, "doc_id", "left_anti")
+    # dupes is O(near-dup docs): broadcast keeps the corpus anti-join
+    # map-side instead of shuffling every document on doc_id
+    kept = docs.join(F.broadcast(dupes), "doc_id", "left_anti")
     scrubbed = tx.scrub_pii(kept, "doc_id", "text").select("doc_id", "text_scrubbed")
     sized = scrubbed.where(F.length("text_scrubbed") >= 200).select(
         "doc_id",

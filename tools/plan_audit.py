@@ -49,13 +49,15 @@ AUDITED = {
     "q3_shipping_priority": "filters pushed to all 3 scans; decimal partial aggs; top-10 = TakeOrderedAndProject",
     "ann_topk_ivf_probe4": "broadcast centroids assign cells map-side; probe side = n_probe rows/query (broadcast); search is one equi-join on cell id",
     "ann_topk_multitable": "multi-table OR: table id folded into ONE equi-join key; candidate pairs dedup in a group-by — never all-pairs",
-    "dedup_keep_best": "winner per cluster = one max(struct) aggregate (map-side partials, skew-safe under hot dup clusters) + broadcast winners join",
+    "dedup_keep_best": "docs scanned ONCE (persisted for the minhash + quality branches); clustered/singleton split keeps the corpus map-side — labels, winners, and the anti-join are all broadcast; winner per cluster = one max(struct) aggregate over the small side (skew-safe under hot dup clusters)",
     "quality_quantile_filter": "one exact-percentile agg -> one-row broadcast threshold -> map-side filter; corpus never shuffles (percentile_approx at 100 TB)",
     "export_tar_manifest": "deterministic key%n shard cols; ONE repartition shuffle then per-task streamed tar writes inside mapInPandas",
     "zorder_key_orders": "O(1) min/max agg feeds literal bounds; Morton key is pure codegen bit math — no UDF, no shuffle",
     "corpus_to_training_shards": "score/filter/tokenize map-side; pack = per-shard window (no global sort); export = one repartition; tokens ride keep_cols so the UDF runs once",
     "chunk_token_stream_docs": "per-shard window cumsum; docs explode map-side into only the sequences they overlap; ONE (shard,seq) group-by reassembles",
     "sample_by_perplexity_bucket": "scoring explode is the only corpus shuffle; quartile thresholds broadcast; bucket+sample are one map-side CASE filter",
+    "pack_sequences": "per-shard window (no global sort); running sum materialized ONCE — Catalyst does not CSE window exprs, so deriving bin+offset from a single _cum column keeps the Window node to one aggregate",
+    "corpus_curate": "docs persisted once for the pair + keep branches; O(dup-docs) drop-list broadcast keeps the corpus anti-join map-side; pack = per-shard window",
 }
 
 
