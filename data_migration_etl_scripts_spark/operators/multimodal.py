@@ -17,10 +17,11 @@ environment, so the decode kernels come in two flavors:
 - ``decoder="real"``: REAL byte-level decoding for the formats the
   Python stdlib can handle — uncompressed 24-bit BMP (struct), 8-bit
   PNG (zlib inflate + the five scanline filters), GIF (full
-  variable-width LZW + interlace unweave), and PCM WAV (wave) — with
-  NotImplementedError narrowed to the remaining compressed codecs
-  (JPEG/MP3/H.264), which is exactly where a PIL/ffmpeg kernel plugs
-  in on a real deployment.
+  variable-width LZW + interlace unweave), baseline JPEG (SOF0 —
+  Huffman + dequant + IDCT + YCbCr, ``operators/jpeg.py``), and PCM
+  WAV (wave) — with NotImplementedError narrowed to the remaining
+  compressed codecs (WebP/progressive JPEG/MP3/H.264), which is
+  exactly where a PIL/ffmpeg kernel plugs in on a real deployment.
 
 Scale design: mapInPandas streams Arrow batches, so peak memory per
 task is one batch of decoded media, not a partition; keep
@@ -590,16 +591,22 @@ def gif_decode_frames(
 
 
 def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Dispatch on magic bytes: BMP, PNG and GIF decode via stdlib;
-    JPEG and friends raise at the documented PIL plug point."""
+    """Dispatch on magic bytes: BMP, PNG, GIF and baseline JPEG (SOF0)
+    decode via stdlib (`operators/jpeg.py` for the latter); remaining
+    formats (WebP, progressive JPEG, ...) raise at the PIL plug
+    point."""
     if b[:2] == b"BM":
         return bmp_decode(b)
     if b[:8] == _PNG_SIG:
         return png_decode(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return gif_decode(b)
+    if b[:2] == b"\xff\xd8":
+        from data_migration_etl_scripts_spark.operators.jpeg import jpeg_decode
+
+        return jpeg_decode(b)
     raise NotImplementedError(
-        "JPEG/other compressed images need PIL — plug the codec kernel in here"
+        "WebP/other compressed images need PIL — plug the codec kernel in here"
     )
 
 
@@ -620,16 +627,17 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
 
 
 def _real_features(content: bytes | None, dim: int) -> list[float] | None:
-    """Decode-and-summarize: per-channel stats for BMP/PNG/GIF images,
-    duration + band energies for WAV audio. Remaining compressed
-    formats (JPEG/MP3) raise — the honest seam where a PIL/ffmpeg
-    kernel slots in."""
+    """Decode-and-summarize: per-channel stats for BMP/PNG/GIF/baseline-
+    JPEG images, duration + band energies for WAV audio. Remaining
+    compressed formats (WebP/MP3) raise — the honest seam where a
+    PIL/ffmpeg kernel slots in."""
     if content is None:
         return None
     if (
         content[:2] == b"BM"
         or content[:8] == _PNG_SIG
         or content[:6] in (b"GIF87a", b"GIF89a")
+        or content[:2] == b"\xff\xd8"
     ):
         w, h, rows = image_decode(content)
         n = max(1, w * h)
@@ -881,17 +889,19 @@ def wav_encode(samples: list[float], rate: int = 8000) -> bytes:
 
 
 def synthetic_real_media(spark, n: int = 12) -> DataFrame:
-    """Small table of GENUINE media payloads — 8x8 gradient BMPs, PNGs
-    and GIFs (rotating) and 8 kHz sine WAVs — for exercising the
-    ``decoder="real"`` kernels. Driver-side createDataFrame is fine
-    here: this is a test/demo table of a few KB, not a bench input
-    (see synthetic_media)."""
+    """Small table of GENUINE media payloads — 8x8 gradient BMPs, PNGs,
+    GIFs and baseline JPEGs (rotating) and 8 kHz sine WAVs — for
+    exercising the ``decoder="real"`` kernels. Driver-side
+    createDataFrame is fine here: this is a test/demo table of a few
+    KB, not a bench input (see synthetic_media)."""
+    from data_migration_etl_scripts_spark.operators.jpeg import jpeg_encode
+
     rows = []
     for i in range(n):
         if i % 2 == 0:
             px = [[((x * 32 + i) % 256, (y * 32) % 256, (x * y + i) % 256)
                    for x in range(8)] for y in range(8)]
-            enc = (bmp_encode, png_encode, gif_encode)[(i // 2) % 3]
+            enc = (bmp_encode, png_encode, gif_encode, jpeg_encode)[(i // 2) % 4]
             rows.append((i, "image", bytearray(enc(px)), "{}"))
         else:
             freq = 220.0 * (1 + i % 3)
