@@ -612,6 +612,7 @@ def remove_duplicate_runs(
     id_col: str = "doc_id",
     text_col: str = "text",
     window_tokens: int = 20,
+    policy: str = "window",
 ) -> DataFrame:
     """Corpus-wide exact-substring dedup with keep-first-occurrence:
     tokens inside a duplicated >=w-token run are REMOVED everywhere
@@ -619,11 +620,23 @@ def remove_duplicate_runs(
     occurrences of its first duplicated window — encoded as
     doc_id*2^20+pos, so token positions are bounded at ~1M per doc).
 
-    Policy note (documented approximation): ownership is decided per
-    WINDOW, so an occurrence that owns one duplicated window but sits
-    inside another duplicated run can still lose tokens to that run's
-    owner. Exact keep-first at full substring granularity needs a
-    suffix automaton — this is the distributed trade.
+    ``policy="window"`` (default): ownership is decided per WINDOW, so
+    an occurrence that owns one duplicated window but sits inside
+    another duplicated run can still lose tokens to that run's owner
+    (divergence quantified at ~6% of removed tokens on adversarial
+    dup-heavy corpora, 0 when runs don't overlap —
+    tests/test_remove_runs_property.py).
+
+    ``policy="exact"``: owner-protected keep-first — a token is removed
+    iff covered by at least one non-owner (flagged) window AND by no
+    first-occurrence (owner) window, so first occurrences keep ALL
+    their tokens. Costs one extra explode of the owner windows (the
+    coverage volume roughly doubles, still O(duplicated volume * w));
+    both policies share a single coverage aggregation, so the plan
+    shape is identical. Exact keep-first at full SUBSTRING granularity
+    (not window granularity) would need a suffix automaton; "exact"
+    here means exactly the owner-protected set the property suite
+    defines.
 
     Returns (doc_id, text_clean, n_tokens_kept, n_tokens_removed) for
     EVERY input doc. Shuffle volume: window hashes (map-side partials),
@@ -678,12 +691,36 @@ def remove_duplicate_runs(
         .where(F.col("c") > 1)
         .select("whash", "owner_enc")
     )
-    flagged = wins.join(owners, "whash").where(
-        F.col("doc_id") * _POS_ENC + F.col("pos") != F.col("owner_enc")
-    )
-    removable = flagged.select(
-        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + w - 1)).alias("tpos")
-    ).distinct()
+    if policy not in ("window", "exact"):
+        raise ValueError(f"policy must be 'window' or 'exact', got {policy!r}")
+    matched = wins.join(owners, "whash")
+    own = (
+        F.col("doc_id") * _POS_ENC + F.col("pos") == F.col("owner_enc")
+    ).alias("own")
+    if policy == "window":
+        # flagged coverage only; distinct-by-groupBy keeps one shuffle
+        cov = matched.where(~own).select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + w - 1)).alias("tpos"),
+        )
+        removable = cov.groupBy("doc_id", "tpos").agg(F.lit(1)).select(
+            "doc_id", "tpos"
+        )
+    else:
+        # exact: positions covered by some flagged window and NO owner
+        # window — same single aggregation, owner coverage folded in as
+        # a max(own) flag instead of a second join
+        cov = matched.select(
+            "doc_id",
+            own,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + w - 1)).alias("tpos"),
+        )
+        removable = (
+            cov.groupBy("doc_id", "tpos")
+            .agg(F.max("own").alias("owned"))
+            .where(~F.col("owned"))
+            .select("doc_id", "tpos")
+        )
     all_toks = based.select(
         "doc_id", F.posexplode_outer("toks").alias("tpos", "tok")
     )
@@ -719,10 +756,31 @@ def remove_duplicate_runs_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     window_tokens: int = 20,
+    policy: str = "window",
 ) -> str:
-    """DuckDB twin of :func:`remove_duplicate_runs`."""
+    """DuckDB twin of :func:`remove_duplicate_runs` (both policies)."""
     toks = tp.tokens_sql(text_col)
     w = window_tokens
+    if policy == "exact":
+        removable = f"""
+            SELECT doc_id, tpos FROM (
+                SELECT m.doc_id, g.tpos,
+                       max(CASE WHEN m.doc_id * {_POS_ENC} + m.pos = m.owner_enc
+                                THEN 1 ELSE 0 END) AS owned
+                FROM (
+                    SELECT w.doc_id, w.pos, o.owner_enc
+                    FROM wins w JOIN owners o ON w.whash = o.whash
+                ) m, LATERAL (
+                    SELECT unnest(list_transform(
+                        generate_series(m.pos, m.pos + {w} - 1), x -> x)) AS tpos
+                ) g
+                GROUP BY m.doc_id, g.tpos
+            ) WHERE owned = 0"""
+    else:
+        removable = f"""
+            SELECT DISTINCT doc_id, g.tpos FROM flagged, LATERAL (
+                SELECT unnest(list_transform(generate_series(pos, pos + {w} - 1), x -> x)) AS tpos
+            ) g"""
     return f"""
         WITH base AS (
             SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
@@ -744,10 +802,7 @@ def remove_duplicate_runs_sql(
             SELECT w.doc_id, w.pos FROM wins w JOIN owners o ON w.whash = o.whash
             WHERE w.doc_id * {_POS_ENC} + w.pos <> o.owner_enc
         ),
-        removable AS (
-            SELECT DISTINCT doc_id, g.tpos FROM flagged, LATERAL (
-                SELECT unnest(list_transform(generate_series(pos, pos + {w} - 1), x -> x)) AS tpos
-            ) g
+        removable AS ({removable}
         ),
         all_toks AS (
             SELECT doc_id, g.i - 1 AS tpos, t[g.i] AS tok

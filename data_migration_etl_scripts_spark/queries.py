@@ -2789,6 +2789,25 @@ def dedup_remove_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_remove_runs_exact",
+    oracle=tx.remove_duplicate_runs_sql(
+        "documents", "doc_id", "text", window_tokens=12, policy="exact"
+    ),
+)
+def dedup_remove_runs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Owner-protected exact keep-first rewrite (policy="exact"): first
+    occurrences keep ALL their tokens — a token is removed only when
+    covered by a flagged window and by no owner window. Same plan shape
+    as the window policy (one coverage explode + one aggregation);
+    divergence of the window policy vs this is pinned at ~6% on
+    adversarial corpora by tests/test_remove_runs_property.py."""
+    return tx.remove_duplicate_runs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        window_tokens=12, policy="exact",
+    )
+
+
+@query(
     "ann_recall_bucketed",
     oracle=sim.recall_at_k_sql(
         sim.cosine_topk_bucketed_sql("embeddings", "vec_id < 8", k=5),

@@ -197,3 +197,61 @@ def test_spark_matches_policy_replica_on_random_corpora(spark):
     got = _spark_clean(spark, docs, W)
     want = {d: " ".join(toks) for d, toks in policy_clean(docs, W).items()}
     assert got == want
+
+
+# -------------------------------------------- policy="exact" (round 4)
+
+def exact_clean(docs: dict[int, list[str]], w: int) -> dict[int, list[str]]:
+    removed = oracle_removed(docs, w)
+    return {
+        d: [t for q, t in enumerate(toks) if (d, q) not in removed]
+        for d, toks in docs.items()
+    }
+
+
+def _spark_clean_exact(spark, docs: dict[int, list[str]], w: int) -> dict[int, str]:
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    return {
+        r.doc_id: r.text_clean
+        for r in tx.remove_duplicate_runs(
+            df, window_tokens=w, policy="exact"
+        ).collect()
+    }
+
+
+@pytest.mark.parametrize("docs", ADVERSARIAL)
+def test_exact_policy_matches_owner_protected_oracle(spark, docs):
+    """Zero divergence by construction: Spark policy='exact' equals the
+    owner-protected oracle on the fixtures BUILT to diverge under the
+    window policy."""
+    w = 2
+    got = _spark_clean_exact(spark, docs, w)
+    want = {d: " ".join(toks) for d, toks in exact_clean(docs, w).items()}
+    assert got == want
+
+
+def test_exact_policy_matches_oracle_on_random_corpora(spark):
+    rng = random.Random(11)
+    phrases = [[rng.choice("abcd") for _ in range(rng.randint(3, 6))] for _ in range(3)]
+    docs = {}
+    for d in range(4):
+        toks = []
+        for _ in range(rng.randint(2, 4)):
+            toks += rng.choice(phrases) if rng.random() < 0.5 else [
+                rng.choice("abcd") for _ in range(rng.randint(1, 5))
+            ]
+        docs[d] = toks
+    got = _spark_clean_exact(spark, docs, W)
+    want = {d: " ".join(toks) for d, toks in exact_clean(docs, W).items()}
+    assert got == want
+
+
+def test_exact_owner_keeps_all_its_tokens(spark):
+    """First occurrences are whole under exact: doc 1 (the owner of
+    every phrase it contains) must come back untouched."""
+    docs = {1: list("zab"), 2: list("zab"), 3: list("ab")}
+    got = _spark_clean_exact(spark, docs, 2)
+    assert got[1] == "z a b"
