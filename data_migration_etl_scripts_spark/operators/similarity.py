@@ -202,28 +202,88 @@ def cosine_topk_bucketed_sql(
     """
 
 
+def _dot_lit(col: Column, vec: list[float]) -> Column:
+    """Dot product of an array column against a LITERAL vector."""
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(col, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _probe_expr(cent_rows: list[tuple], n_probe: int) -> Column:
+    """array<struct<neg, centroid_id>> of the ``n_probe`` nearest
+    centroids for the current row's (v, nrm) — a PURE expression, so
+    assignment is map-side codegen with zero shuffles. Ordering
+    matches the join+window form exactly: cosine rounded to 6 dp
+    descending (negated for the ascending struct sort), centroid id
+    ascending on ties."""
+    structs = [
+        F.struct(
+            (-F.round(
+                _dot_lit(F.col("v"), cv) / (F.col("nrm") * F.lit(float(cn))), 6
+            )).alias("neg"),
+            F.lit(int(cid)).alias("centroid_id"),
+        )
+        for cid, cv, cn in cent_rows
+    ]
+    return F.slice(F.sort_array(F.array(*structs)), 1, n_probe)
+
+
+#: above this many centroid*dim literals the assignment expression gets
+#: unwieldy; fall back to the broadcast-join + window form
+_EXPR_ASSIGN_MAX_LITS = 65536
+
+
 def _assign_cells(
     base: DataFrame, cent, id_alias: str, n_probe: int = 1
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast centroids, score, argmax.
+    """Nearest-centroid assignment: argmax cosine over the codebook.
+
+    Codebooks are bounded (O(100-1K) rows) by construction, so the
+    centroids COLLECT to the driver (a watermark-sized scalar read) and
+    assignment compiles to a literal-array expression evaluated
+    map-side — the corpus never shuffles. (The previous join + window
+    form shuffled corpus x n_centroids rows to rank per vid.) Above
+    ``_EXPR_ASSIGN_MAX_LITS`` centroid*dim literals it falls back to
+    the broadcast-join + per-vid window.
 
     ``n_probe > 1`` keeps the n nearest cells per vector (multi-probe
     query-side assignment — one output row per (vector, probed cell)).
     Cosine rounded to 6 dp before the argmax so engine last-ulp
     differences cannot flip a cell assignment (same rule as ranking).
+    Accepts a centroid DataFrame or pre-collected Rows.
     """
-    cos = F.round(
-        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+    rows = cent.collect() if isinstance(cent, DataFrame) else list(cent)
+    if not rows:
+        return base.select(
+            id_alias, "v", "nrm", F.lit(None).cast("long").alias("centroid_id")
+        ).limit(0)
+    n_lits = len(rows) * len(rows[0]["cv"])
+    if n_lits > _EXPR_ASSIGN_MAX_LITS:
+        cent_df = base.sparkSession.createDataFrame(rows)
+        cos = F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("__cos").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            base.crossJoin(F.broadcast(cent_df))
+            .withColumn("__cos", cos)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n_probe)
+            .select(id_alias, "v", "nrm", "centroid_id")
+        )
+    probe = _probe_expr(
+        [(r["centroid_id"], r["cv"], r["cn"]) for r in rows], n_probe
     )
-    w = Window.partitionBy(id_alias).orderBy(
-        F.col("__cos").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("__cos", cos)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= n_probe)
-        .select(id_alias, "v", "nrm", "centroid_id")
+    return base.select(
+        id_alias,
+        "v",
+        "nrm",
+        F.explode(
+            F.transform(probe, lambda s: s["centroid_id"])
+        ).alias("centroid_id"),
     )
 
 
@@ -331,6 +391,214 @@ def cosine_topk_ivf_sql(
             SELECT q.query_id, a.vid AS corpus_id,
                    round(list_inner_product(a.v, q.qv) / (a.nrm * q.qn), 6) AS cosine
             FROM assigned a JOIN q USING (centroid_id)
+            WHERE a.vid <> q.query_id
+        )
+        SELECT query_id, rank, corpus_id, cosine FROM (
+            SELECT query_id, corpus_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, corpus_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def cosine_topk_ivf2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_coarse: int = 8,
+    n_sub: int = 8,
+    n_probe_coarse: int = 4,
+    n_probe_sub: int = 4,
+) -> DataFrame:
+    """TWO-LEVEL IVF (IMI-style): a coarse codebook splits the corpus
+    into ``n_coarse`` cells; INSIDE each coarse cell a sub-codebook
+    splits again into ``n_sub`` sub-cells — ``n_coarse * n_sub``
+    effective cells from two small codebooks. Queries probe
+    ``n_probe_coarse`` coarse cells, then ``n_probe_sub`` sub-cells in
+    each, so the scanned fraction is ~(p1*p2)/(k1*k2) with the
+    granularity of a k1*k2-cell flat index — but no stage ever handles
+    a codebook bigger than max(k1, k2).
+
+    That bound is the 100 TB story: a flat million-cell codebook can't
+    broadcast or compile into an assignment expression; two levels of
+    ~1K keep every assignment a map-side pass and the search an
+    equi-join on the composite (coarse, sub) key. Seeding is
+    deterministic (first k1 corpus vids; first k2 vids per coarse
+    cell), so the whole index is oracle-portable —
+    :func:`cosine_topk_ivf2_sql` hash-matches it.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    base = base.localCheckpoint()
+    coarse_rows = (
+        base.orderBy("vid")
+        .limit(n_coarse)
+        .select(
+            F.col("vid").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .collect()
+    )
+    assigned = _assign_cells(base, coarse_rows, "vid").localCheckpoint()
+    # deterministic sub-seeds: first n_sub vids of each coarse cell
+    # (index-build phase — the one per-cell window in the pipeline)
+    wsub = Window.partitionBy("centroid_id").orderBy("vid")
+    sub_rows = (
+        assigned.withColumn("__rn", F.row_number().over(wsub))
+        .where(F.col("__rn") <= n_sub)
+        .select(
+            "centroid_id",
+            F.col("vid").alias("sub_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("sn"),
+        )
+        .collect()
+    )
+    by_cell: dict[int, list[tuple]] = {}
+    for r in sub_rows:
+        by_cell.setdefault(int(r["centroid_id"]), []).append(
+            (r["sub_id"], r["sv"], r["sn"])
+        )
+
+    def sub_probe(n_probe: int) -> Column:
+        """CASE over the coarse cell -> that cell's sub-probe list."""
+        expr = None
+        for cell, rows in sorted(by_cell.items()):
+            # _probe_expr emits centroid_id structs; rows carry sub ids
+            probes = F.slice(
+                F.sort_array(
+                    F.array(*[
+                        F.struct(
+                            (-F.round(
+                                _dot_lit(F.col("v"), sv)
+                                / (F.col("nrm") * F.lit(float(sn))), 6
+                            )).alias("neg"),
+                            F.lit(int(sid)).alias("sub_id"),
+                        )
+                        for sid, sv, sn in rows
+                    ])
+                ),
+                1,
+                n_probe,
+            )
+            cond = F.col("centroid_id") == cell
+            expr = F.when(cond, probes) if expr is None else expr.when(cond, probes)
+        return F.explode(F.transform(expr, lambda s: s["sub_id"])).alias("sub_id")
+
+    sub_assigned = assigned.select(
+        "vid", "v", "nrm", "centroid_id", sub_probe(1)
+    )
+    qids = queries.select(F.col(id_col).alias("vid"))
+    qbase = base.join(F.broadcast(qids), "vid")
+    q_coarse = _assign_cells(qbase, coarse_rows, "vid", n_probe=n_probe_coarse)
+    q_sub = q_coarse.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "centroid_id",
+        sub_probe(n_probe_sub),
+    )
+    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6)
+    scored = (
+        sub_assigned.join(
+            F.broadcast(q_sub.select("query_id", "qv", "qn", "centroid_id", "sub_id")),
+            ["centroid_id", "sub_id"],
+        )
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("corpus_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cosine")
+    )
+
+
+def cosine_topk_ivf2_sql(
+    table: str,
+    query_pred: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_coarse: int = 8,
+    n_sub: int = 8,
+    n_probe_coarse: int = 4,
+    n_probe_sub: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_ivf2` (identical seeding,
+    rounding, and tie-breaks)."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
+                   sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm
+            FROM {table}
+        ),
+        base_nz AS (SELECT * FROM base WHERE nrm > 0),
+        cent AS (
+            SELECT vid AS centroid_id, v AS cv, nrm AS cn
+            FROM base_nz ORDER BY vid LIMIT {n_coarse}
+        ),
+        assigned AS (
+            SELECT vid, v, nrm, centroid_id FROM (
+                SELECT b.vid, b.v, b.nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vid
+                           ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM base_nz b CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        subs AS (
+            SELECT centroid_id, vid AS sub_id, v AS sv, nrm AS sn FROM (
+                SELECT centroid_id, vid, v, nrm,
+                       row_number() OVER (PARTITION BY centroid_id ORDER BY vid) AS rn
+                FROM assigned
+            ) WHERE rn <= {n_sub}
+        ),
+        sub_assigned AS (
+            SELECT vid, v, nrm, centroid_id, sub_id FROM (
+                SELECT a.vid, a.v, a.nrm, a.centroid_id, s.sub_id,
+                       row_number() OVER (
+                           PARTITION BY a.vid
+                           ORDER BY round(list_inner_product(a.v, s.sv) / (a.nrm * s.sn), 6) DESC,
+                                    s.sub_id ASC) AS rn
+                FROM assigned a JOIN subs s USING (centroid_id)
+            ) WHERE rn = 1
+        ),
+        q_coarse AS (
+            SELECT vid AS query_id, v AS qv, qn, centroid_id FROM (
+                SELECT b.vid, b.v, b.nrm AS qn, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vid
+                           ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM base_nz b CROSS JOIN cent c
+                WHERE b.vid IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+            ) WHERE rn <= {n_probe_coarse}
+        ),
+        q_sub AS (
+            SELECT query_id, qv, qn, centroid_id, sub_id FROM (
+                SELECT q.query_id, q.qv, q.qn, q.centroid_id, s.sub_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id, q.centroid_id
+                           ORDER BY round(list_inner_product(q.qv, s.sv) / (q.qn * s.sn), 6) DESC,
+                                    s.sub_id ASC) AS rn
+                FROM q_coarse q JOIN subs s USING (centroid_id)
+            ) WHERE rn <= {n_probe_sub}
+        ),
+        scored AS (
+            SELECT q.query_id, a.vid AS corpus_id,
+                   round(list_inner_product(a.v, q.qv) / (a.nrm * q.qn), 6) AS cosine
+            FROM sub_assigned a JOIN q_sub q USING (centroid_id, sub_id)
             WHERE a.vid <> q.query_id
         )
         SELECT query_id, rank, corpus_id, cosine FROM (

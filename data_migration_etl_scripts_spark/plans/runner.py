@@ -71,7 +71,14 @@ class DagRunner:
     def order(self) -> list[str]:
         return list(TopologicalSorter(self._deps).static_order())
 
-    def run(self, batch_ts: datetime | None = None) -> RunReport:
+    def run(
+        self, batch_ts: datetime | None = None, idempotent: bool = False
+    ) -> RunReport:
+        """``idempotent=True`` passes cdc.py's deterministic per-batch
+        sink directories through to every pipeline: a crash anywhere
+        between a sink write and its watermark advance replays into
+        byte-identical rewrites on the next run — the DAG-level
+        exactly-once mode (proved by tests/test_dag_chaos.py)."""
         order = self.order()
         report = RunReport(order=order)
         failed: set[str] = set()
@@ -87,6 +94,7 @@ class DagRunner:
                     self._pipelines[name],
                     batch_size=self._batch_sizes[name],
                     batch_ts=batch_ts,
+                    idempotent=idempotent,
                 )
             except Exception as exc:  # gate aborts land here
                 report.failures.append(PipelineFailure(name, exc))

@@ -1274,6 +1274,28 @@ def ann_topk_ivf_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_ivf2",
+    oracle=sim.cosine_topk_ivf2_sql(
+        "embeddings", "vec_id < 8", k=5,
+        n_coarse=8, n_sub=8, n_probe_coarse=4, n_probe_sub=4,
+    ),
+)
+def ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF (IMI-style): 8 coarse x 8 sub = 64 effective cells
+    from two 8-entry codebooks; queries probe 4 coarse then 4 sub-cells
+    each — scan fraction ~1/4 at 64-cell granularity. No stage handles
+    a codebook bigger than 8 entries: at a billion vectors a flat
+    fine-grained codebook can't broadcast, two bounded levels can.
+    Deterministic seeding makes the whole index SQL-expressible — the
+    DuckDB twin reproduces every cell assignment."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivf2(
+        emb, emb.where(F.col("vec_id") < 8), k=5,
+        n_coarse=8, n_sub=8, n_probe_coarse=4, n_probe_sub=4,
+    )
+
+
+@query(
     "ann_topk_multitable",
     oracle=sim.cosine_topk_bucketed_sql(
         "embeddings", "vec_id < 8", k=5, bucket_bits=6, n_tables=4

@@ -13,6 +13,7 @@ module is the Spark-native upgrade path for the same contract:
 """
 
 from data_migration_etl_scripts_spark.streaming.runner import (  # noqa: F401
+    stream_incremental_pipeline,
     stream_pipeline,
 )
 from data_migration_etl_scripts_spark.streaming.windows import (  # noqa: F401

@@ -37,6 +37,7 @@ def stream_pipeline(
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
     expectations: Callable[[DataFrame], DataFrame] | None = None,
+    extra_sinks=(),
 ):
     """Run (or start) the streaming version of a pipeline.
 
@@ -65,7 +66,15 @@ def stream_pipeline(
             )
 
             enforce(expectations(out))  # fails the query pre-commit
+        if extra_sinks:
+            # dual-output loads (entity + crosswalk): materialize the
+            # transformed batch once, derive every sink from it
+            out = out.localCheckpoint()
         out.write.mode("append").parquet(sink_path)
+        for extra_table, fn in extra_sinks or ():
+            fn(out).write.mode("append").parquet(
+                os.path.join(catalog.scratch_dir, extra_table)
+            )
 
     query = (
         stream.writeStream.foreachBatch(sink_batch)
@@ -76,3 +85,37 @@ def stream_pipeline(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_incremental_pipeline(
+    spark: SparkSession,
+    catalog,
+    pipeline,
+    source_dir: str,
+    schema: T.StructType | str,
+    **kwargs,
+):
+    """Run ANY batch ``IncrementalPipeline`` spec as a file stream.
+
+    The registry configs (DIMENSION_CONFIGS / ENTITY_CONFIGS /
+    SYNC_CONFIGS / GATED_ENTITY_CONFIGS) build pipelines whose
+    ``transform`` closes over the catalog for its lookups — streaming
+    them requires NOTHING extra: the same transform runs inside
+    foreachBatch, RI gates raise pre-commit (failing the query so a
+    fixed rerun resumes from the checkpoint), expectations gate the
+    batch, and extra sinks (dual-output crosswalks) append alongside
+    the main sink. Batch and streaming are the same pipeline spec with
+    a different extract: ``pk > watermark`` becomes file arrival.
+    """
+    return stream_pipeline(
+        spark,
+        catalog,
+        pipeline.name,
+        source_dir,
+        schema,
+        pipeline.sink_table,
+        transform=pipeline.transform,
+        expectations=pipeline.expectations,
+        extra_sinks=pipeline.extra_sinks,
+        **kwargs,
+    )

@@ -136,6 +136,22 @@ def test_ann_operating_point_floors(spark):
     )
     assert t8 >= 0.2, t8
     assert t8 > 2 * t1, (t1, t8)  # OR construction must multiply recall
+
+    # two-level IVF at its measured frontier point (8x8 cells, 6x6
+    # probes -> 0.89 at sf0.1, dominating flat cells=16/n_probe=8);
+    # conservative floor so the finer-granularity claim can't silently
+    # regress
+    iv2 = mean_recall(
+        sim.cosine_topk_ivf2(
+            emb, qs, k=5, n_coarse=8, n_sub=8,
+            n_probe_coarse=6, n_probe_sub=6,
+        )
+    )
+    flat8 = mean_recall(
+        sim.cosine_topk_ivf(emb, qs, k=5, n_centroids=16, n_probe=8)
+    )
+    assert iv2 >= 0.6, iv2
+    assert iv2 >= flat8 - 0.05, (iv2, flat8)  # on-frontier vs the flat index
     exact.unpersist()
 
 

@@ -261,3 +261,92 @@ def test_stream_pipeline_expectations_block_commit_then_resume(spark, cat, tmp_p
         ),
     )
     assert cat.read("XGatedV2").count() == 1
+
+
+# ----------------------------------- registry pipelines as streams (r4)
+
+MODEL_SCHEMA = ("ModelID long, MakeID long, Name string, Year string,"
+                " RecommendedLitres string, ImagePath string")
+
+
+def test_registry_dimension_streams_end_to_end(spark, cat, tmp_path):
+    """A registry config runs UNCHANGED as a file stream: same
+    transform, same sink, file arrival instead of pk > watermark —
+    output identical to the batch pipeline on the same rows."""
+    from data_migration_etl_scripts_spark.pipelines import registry as rg
+    from data_migration_etl_scripts_spark.streaming import (
+        stream_incremental_pipeline,
+    )
+
+    src = str(tmp_path / "src_models")
+    os.makedirs(src)
+    wave1 = [(1, 1, " Corolla ", "2020", "4.5", "-1"),
+             (2, 1, "Civic", "x", None, "c.png")]
+    wave2 = [(3, 2, "NULL", None, "3.0", None)]
+    spark.createDataFrame(wave1, MODEL_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    pipe = rg.build_dimension(cat, "models")
+    stream_incremental_pipeline(spark, cat, pipe, src, MODEL_SCHEMA, batch_ts=TS)
+    got = {r.OldModelID: r for r in cat.read("ModelsV2").collect()}
+    assert set(got) == {1, 2}
+    assert got[1].Name == "Corolla" and got[1].Year == 2020.0
+    assert got[1].ImagePath is None and got[2].Year is None
+
+    # second wave drains incrementally; restart with no files is a no-op
+    spark.createDataFrame(wave2, MODEL_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream_incremental_pipeline(spark, cat, pipe, src, MODEL_SCHEMA, batch_ts=TS)
+    stream_incremental_pipeline(spark, cat, pipe, src, MODEL_SCHEMA, batch_ts=TS)
+    assert cat.read("ModelsV2").count() == 3
+
+    # batch twin on the same rows -> identical cleaned values
+    from data_migration_etl_scripts_spark.cdc import run_incremental
+
+    batch_cat = Catalog(spark, base_dir=str(tmp_path / "b"),
+                        scratch_dir=str(tmp_path / "b"))
+    batch_cat.write(spark.createDataFrame(wave1 + wave2, MODEL_SCHEMA), "Model")
+    run_incremental(batch_cat, rg.build_dimension(batch_cat, "models"),
+                    batch_size=None, batch_ts=TS)
+    want = {tuple(r) for r in batch_cat.read("ModelsV2").collect()}
+    assert {tuple(r) for r in cat.read("ModelsV2").collect()} == want
+
+
+def test_registry_gated_entity_stream_gate_blocks_then_resumes(spark, cat, tmp_path):
+    """A GATED registry entity streamed: a dangling FK fails the query
+    BEFORE the batch commits; after the lookup is fixed the rerun
+    resumes from the checkpoint and loads the same wave."""
+    from data_migration_etl_scripts_spark.pipelines import registry as rg
+    from data_migration_etl_scripts_spark.streaming import (
+        stream_incremental_pipeline,
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    src = str(tmp_path / "src_bays")
+    os.makedirs(src)
+    bay_schema = "BayID long, BayName string, LocationID long"
+    cat.write(
+        spark.createDataFrame([(10, 5010)], "OldLocationID long, LocationID long"),
+        "LocationsV2Lookup",
+    )
+    spark.createDataFrame(
+        [(1, "Bay 1", 10), (2, "Bay 2", 99)], bay_schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    pipe = rg.build_gated_entity(cat, "bays")
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        stream_incremental_pipeline(spark, cat, pipe, src, bay_schema, batch_ts=TS)
+    assert not cat.exists("BaysV2")  # nothing committed
+
+    # fix the lookup, rerun: checkpoint replays the uncommitted wave
+    cat.write(
+        spark.createDataFrame(
+            [(10, 5010), (99, 5099)], "OldLocationID long, LocationID long"
+        ),
+        "LocationsV2Lookup",
+        mode="overwrite",
+    )
+    stream_incremental_pipeline(spark, cat, pipe, src, bay_schema, batch_ts=TS)
+    got = {r.BayID: r.NewLocationID for r in cat.read("BaysV2").collect()}
+    assert got == {1: 5010, 2: 5099}

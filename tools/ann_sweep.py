@@ -77,6 +77,20 @@ def main() -> int:
         wall = timed(approx)
         rows.append((f"IVF (trained k-means)", f"cells=16, n_probe={np_}",
                      mean_recall(approx, exact), wall))
+    for k1, k2, p1, p2 in (
+        (8, 8, 2, 4), (8, 8, 4, 4), (8, 8, 4, 6), (8, 8, 6, 6),
+        (16, 8, 4, 4), (16, 8, 6, 4), (16, 8, 8, 4), (16, 8, 8, 6),
+    ):
+        approx = sim.cosine_topk_ivf2(
+            emb, queries, k=K, n_coarse=k1, n_sub=k2,
+            n_probe_coarse=p1, n_probe_sub=p2,
+        )
+        wall = timed(approx)
+        rows.append((
+            "two-level IVF",
+            f"coarse={k1}, sub={k2}, probe={p1}x{p2}",
+            mean_recall(approx, exact), wall,
+        ))
 
     print("| method | operating point | recall@5 | wall (s) |")
     print("|---|---|---|---|")
