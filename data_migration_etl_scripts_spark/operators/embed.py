@@ -159,3 +159,245 @@ def random_projection_sql(
         )
         terms.append(f"(0.0 + {expr}) AS {prefix}{j}")
     return f"SELECT {id_col} AS vec_id, {', '.join(terms)} FROM {table}"
+
+
+# -------------------------------------------- product quantization (r4)
+
+
+def pq_seed_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: for each of ``m_sub`` subspaces, the
+    codewords are the corresponding subvectors of the first
+    ``n_codes`` vectors by id, L2-normalized per FULL vector first (PQ
+    over normalized vectors makes the ADC sum approximate cosine).
+
+    Returns ``codebooks[m][c] -> list[float]`` (driver-side — a
+    codebook is m*n_codes*subdim floats, a few KB; the same
+    watermark-scalar pattern as the IVF centroid collect). Seeding is
+    oracle-portable: the DuckDB twin derives identical codewords.
+    """
+    rows = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn(
+            "nv",
+            F.transform(
+                "v",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.transform("v", lambda y: y * y),
+                        F.lit(0.0),
+                        lambda a, y: a + y,
+                    )
+                ),
+            ),
+        )
+        .where(F.size("v") > 0)
+        .orderBy("vid")
+        .limit(n_codes)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_seed_codebooks: empty corpus")
+    dim = len(rows[0]["nv"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible into {m_sub} subvectors")
+    sub = dim // m_sub
+    return [
+        [[float(x) for x in r["nv"][m * sub : (m + 1) * sub]] for r in rows]
+        for m in range(m_sub)
+    ]
+
+
+def _sub_dot_lit(col: Column, vec: list[float], offset: int) -> Column:
+    """sum_i col[offset+i] * vec_i as codegen'd element_at arithmetic
+    (higher-order folds are tree-interpreted per element — measured
+    ~5x slower on encode-style passes)."""
+    out = None
+    for i, x in enumerate(vec):
+        if x == 0.0:
+            continue
+        t = F.element_at(col, offset + i + 1) * float(x)
+        out = t if out is None else out + t
+    return out if out is not None else F.lit(0.0)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) -> (id, codes array<int>): per subspace, the index of
+    the nearest codeword by squared L2 over the NORMALIZED vector.
+
+    Pure map-side literal expressions (the `_assign_cells` pattern):
+    zero shuffles, zero UDFs. Scores round to 9 dp before the argmax
+    and ties break to the LOWER code id, so any engine reproduces the
+    same codes. m_sub codes of a 256-codeword book = m_sub bytes per
+    vector vs 8*dim for the raw doubles.
+
+    Note: above a few hundred codewords the generated Project exceeds
+    the JVM's 64KB method limit and whole-stage codegen falls back to
+    interpreted expression eval — a CONSTANT per-row factor (the plan
+    stays zero-shuffle and embarrassingly parallel); raise
+    spark.sql.codegen.hugeMethodLimit or shrink n_codes if the encode
+    pass dominates a deployment.
+    """
+    sub = len(codebooks[0][0])
+    dim = len(codebooks) * sub
+    out = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+    # norm as an expanded element_at sum (codegen), materialized once
+    nsq = None
+    for i in range(dim):
+        t = F.element_at("__v", i + 1) * F.element_at("__v", i + 1)
+        nsq = t if nsq is None else nsq + t
+    out = out.withColumn("__nrm", F.sqrt(nsq))
+    # argmin ||nv_sub - c||^2 == argmax (dot(v_sub, c)/nrm - ||c||^2/2):
+    # one division per (sub, code) instead of per element, and the
+    # ||c||^2/2 term folds to a literal. Scores round to 9 dp before
+    # the argmax; ties break to the LOWER code id (array_min over
+    # (neg_score, code) structs) — the rule the SQL twin mirrors.
+    code_cols = []
+    for m, book in enumerate(codebooks):
+        cands = F.array(
+            *[
+                F.struct(
+                    (-F.round(
+                        _sub_dot_lit(F.col("__v"), code, m * sub) / F.col("__nrm")
+                        - sum(x * x for x in code) / 2.0,
+                        9,
+                    )).alias("negs"),
+                    F.lit(c).alias("code"),
+                )
+                for c, code in enumerate(book)
+            ]
+        )
+        code_cols.append(F.array_min(cands)["code"])
+    return out.select(
+        F.col(id_col),
+        F.array(*code_cols).alias("codes"),
+    )
+
+
+def pq_decode_expr(codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """codes -> reconstructed (normalized) vector, as a literal-lookup
+    expression: concat of element_at(codebook_m, code_m + 1)."""
+    parts = []
+    for m, book in enumerate(codebooks):
+        lut = F.array(*[F.array(*[F.lit(x) for x in code]) for code in book])
+        parts.append(F.element_at(lut, F.element_at(codes, m + 1) + 1))
+    return F.concat(*parts)
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes, err): per-vector squared L2 reconstruction error of
+    the PQ codes against the normalized original — the measurable
+    compression/accuracy trade. codes serialize as CSV for harness
+    hashability; err rounds to 6 dp for cross-engine parity."""
+    coded = pq_encode(df, codebooks, id_col, vec_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn(
+        "__nv",
+        F.transform(
+            "__v",
+            lambda x: x
+            / F.sqrt(
+                F.aggregate(
+                    F.transform("__v", lambda y: y * y),
+                    F.lit(0.0),
+                    lambda a, y: a + y,
+                )
+            ),
+        ),
+    )
+    joined = base.join(coded, id_col)
+    rec = pq_decode_expr(F.col("codes"), codebooks)
+    err = F.round(
+        F.aggregate(
+            F.zip_with("__nv", rec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    return joined.select(
+        id_col,
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes_csv"
+        ),
+        err.alias("sq_err"),
+    )
+
+
+def pq_reconstruction_error_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    n_codes: int = 16,
+) -> str:
+    """DuckDB twin of :func:`pq_reconstruction_error` (same seeding,
+    dot-score code assignment, rounding, and tie-breaks)."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
+                   sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm
+            FROM {table}
+        ),
+        base_nz AS (
+            SELECT vid, v, nrm, list_transform(v, x -> x / nrm) AS nv
+            FROM base WHERE nrm > 0
+        ),
+        codewords AS (
+            SELECT g.m, s.code,
+                   list_slice(s.nv, g.m * (len(s.nv) // {m_sub}) + 1,
+                              (g.m + 1) * (len(s.nv) // {m_sub})) AS cw
+            FROM (
+                SELECT nv, row_number() OVER (ORDER BY vid) - 1 AS code
+                FROM (SELECT vid, nv FROM base_nz ORDER BY vid LIMIT {n_codes})
+            ) s, (SELECT unnest(range({m_sub})) AS m) g
+        ),
+        code_scores AS (
+            SELECT b.vid, w.m, w.code, w.cw,
+                   round(list_inner_product(
+                             list_slice(b.v, w.m * (len(b.nv) // {m_sub}) + 1,
+                                        (w.m + 1) * (len(b.nv) // {m_sub})),
+                             w.cw) / b.nrm
+                         - list_inner_product(w.cw, w.cw) / 2.0, 9) AS score
+            FROM base_nz b CROSS JOIN codewords w
+        ),
+        coded_m AS (
+            SELECT vid, m, code, cw FROM (
+                SELECT vid, m, code, cw,
+                       row_number() OVER (PARTITION BY vid, m
+                                          ORDER BY score DESC, code ASC) AS rn
+                FROM code_scores
+            ) WHERE rn = 1
+        ),
+        recon AS (
+            SELECT vid,
+                   string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) AS codes_csv,
+                   flatten(list(cw ORDER BY m)) AS rec
+            FROM coded_m GROUP BY vid
+        )
+        SELECT b.vid AS {id_col}, r.codes_csv,
+               round(list_sum(list_transform(list_zip(b.nv, r.rec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq_err
+        FROM base_nz b JOIN recon r USING (vid)
+    """

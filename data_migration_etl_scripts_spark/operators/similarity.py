@@ -202,12 +202,24 @@ def cosine_topk_bucketed_sql(
     """
 
 
-def _dot_lit(col: Column, vec: list[float]) -> Column:
-    """Dot product of an array column against a LITERAL vector."""
-    lit = F.array(*[F.lit(float(x)) for x in vec])
-    return F.aggregate(
-        F.zip_with(col, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
+def _dot_lit(col: Column, vec: list[float], offset: int = 0) -> Column:
+    """Dot product of an array column (from ``offset``) against a
+    LITERAL vector — an explicit ``element_at`` multiply-add sum, NOT
+    an ``aggregate``/``zip_with`` fold: higher-order functions are
+    tree-interpreted per element (no whole-stage codegen), which
+    measured ~10x slower per assignment pass; the expanded sum stays
+    codegen'd arithmetic."""
+    terms = [
+        F.element_at(col, offset + i + 1) * float(x)
+        for i, x in enumerate(vec)
+        if x != 0.0
+    ]
+    if not terms:
+        return F.lit(0.0)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _probe_expr(cent_rows: list[tuple], n_probe: int) -> Column:
@@ -739,3 +751,269 @@ def recall_at_k_sql(approx_sql: str, exact_sql: str, k: int = 5) -> str:
                coalesce(h.n_hits, 0) / {float(k)} AS recall_at_k
         FROM (SELECT DISTINCT q FROM e) eq LEFT JOIN hits h ON eq.q = h.q
     """
+
+
+def cosine_topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    rerank: int = 32,
+) -> DataFrame:
+    """IVF + PQ with asymmetric-distance (ADC) candidate scoring and an
+    EXACT re-rank — the classic billion-scale layout (IVFADC):
+
+    1. corpus -> coarse cells (map-side literal argmax, zero shuffles);
+    2. corpus -> PQ codes over the L2-normalized vectors (map-side;
+       ``m_sub`` small ints instead of ``dim`` doubles — the candidate
+       scan reads codes, never raw vectors);
+    3. each query probes ``n_probe`` cells and carries per-subspace
+       lookup tables (lut[m][c] = dot of its normalized subvector with
+       codeword c, rounded to 9 dp) — ADC estimate = sum of m_sub
+       table lookups per candidate, pure codegen;
+    4. top-``rerank`` candidates per query by ADC re-join the RAW
+       vectors for exact cosine — full vectors are touched for only
+       O(rerank * queries) rows.
+
+    At 100 TB the scan reads (vid, cell, codes): with m_sub=8 over a
+    1024-dim float corpus that is ~1000x fewer bytes than raw vectors,
+    and recall is recovered by the exact re-rank. Deterministic
+    seeding (coarse cells = first n_centroids vids; codewords = first
+    n_codes vids' subvectors) keeps every stage SQL-expressible —
+    :func:`cosine_topk_ivf_pq_sql` hash-matches this plan.
+    """
+    from data_migration_etl_scripts_spark.operators.embed import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    base = base.localCheckpoint()
+    coarse_rows = (
+        base.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .collect()
+    )
+    books = pq_seed_codebooks(
+        base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
+        id_col=id_col, vec_col=vec_col, m_sub=m_sub, n_codes=n_codes,
+    )
+    assigned = _assign_cells(base, coarse_rows, "vid")
+    codes = pq_encode(
+        base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
+        books, id_col=id_col, vec_col=vec_col,
+    ).withColumnRenamed(id_col, "vid")
+    coded = assigned.select("vid", "centroid_id").join(codes, "vid")
+
+    qids = queries.select(F.col(id_col).alias("vid"))
+    qbase = base.join(F.broadcast(qids), "vid")
+    q_probe = _assign_cells(qbase, coarse_rows, "vid", n_probe=n_probe)
+    sub = len(books[0][0])
+
+    luts = [
+        F.array(*[
+            F.round(_dot_lit(F.col("v"), code, m * sub) / F.col("nrm"), 9)
+            for code in book
+        ]).alias(f"lut{m}")
+        for m, book in enumerate(books)
+    ]
+    q = q_probe.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "centroid_id",
+        *luts,
+    )
+    est = F.round(
+        sum(
+            F.element_at(F.col(f"lut{m}"), F.element_at("codes", m + 1) + 1)
+            for m in range(m_sub)
+        ),
+        6,
+    )
+    cand = (
+        coded.join(
+            F.broadcast(q.select("query_id", "centroid_id", *[f"lut{m}" for m in range(m_sub)])),
+            "centroid_id",
+        )
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", est.alias("est"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("est").desc(), F.col("vid").asc()
+    )
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(wr))
+        .where(F.col("__rn") <= rerank)
+        .select("query_id", "vid")
+    )
+    # exact re-rank: raw vectors touched only for the shortlist
+    qvec = q.select("query_id", "qv", "qn").dropDuplicates(["query_id"])
+    exact = (
+        shortlist.join(base, "vid")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            F.col("vid").alias("corpus_id"),
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cosine")
+    )
+
+
+def cosine_topk_ivf_pq_sql(
+    table: str,
+    query_pred: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    rerank: int = 32,
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_ivf_pq` (identical seeding,
+    score formulation, rounding, and tie-breaks at every stage).
+    Structured as cross joins + window argmins — DuckDB rejects
+    subqueries inside lambda expressions."""
+    sub_expr = f"(len(nv) // {m_sub})"
+    lut_pivot = ", ".join(
+        f"max(CASE WHEN m = {m} THEN lut END) AS lut{m}" for m in range(m_sub)
+    )
+    code_pivot = ", ".join(
+        f"max(CASE WHEN m = {m} THEN code END) AS code{m}" for m in range(m_sub)
+    )
+    est = " + ".join(f"q.lut{m}[c.code{m} + 1]" for m in range(m_sub))
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
+                   sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm
+            FROM {table}
+        ),
+        base_nz AS (
+            SELECT vid, v, nrm, list_transform(v, x -> x / nrm) AS nv
+            FROM base WHERE nrm > 0
+        ),
+        cent AS (
+            SELECT vid AS centroid_id, v AS cv, nrm AS cn
+            FROM base_nz ORDER BY vid LIMIT {n_centroids}
+        ),
+        codewords AS (
+            SELECT g.m, s.code,
+                   list_slice(s.nv, g.m * (len(s.nv) // {m_sub}) + 1,
+                              (g.m + 1) * (len(s.nv) // {m_sub})) AS cw
+            FROM (
+                SELECT nv, row_number() OVER (ORDER BY vid) - 1 AS code
+                FROM (SELECT vid, nv FROM base_nz ORDER BY vid LIMIT {n_codes})
+            ) s, (SELECT unnest(range({m_sub})) AS m) g
+        ),
+        assigned AS (
+            SELECT vid, centroid_id FROM (
+                SELECT b.vid, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vid
+                           ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM base_nz b CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        code_scores AS (
+            SELECT b.vid, w.m, w.code,
+                   round(list_inner_product(
+                             list_slice(b.v, w.m * {sub_expr.replace('nv','b.nv')} + 1,
+                                        (w.m + 1) * {sub_expr.replace('nv','b.nv')}),
+                             w.cw) / b.nrm
+                         - list_inner_product(w.cw, w.cw) / 2.0, 9) AS score
+            FROM base_nz b CROSS JOIN codewords w
+        ),
+        coded_m AS (
+            SELECT vid, m, code FROM (
+                SELECT vid, m, code,
+                       row_number() OVER (PARTITION BY vid, m
+                                          ORDER BY score DESC, code ASC) AS rn
+                FROM code_scores
+            ) WHERE rn = 1
+        ),
+        coded AS (
+            SELECT cm.vid, a.centroid_id, {code_pivot}
+            FROM coded_m cm JOIN assigned a USING (vid)
+            GROUP BY cm.vid, a.centroid_id
+        ),
+        q_probe AS (
+            SELECT vid AS query_id, v AS qv, nrm AS qn, centroid_id FROM (
+                SELECT b.vid, b.v, b.nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vid
+                           ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM base_nz b CROSS JOIN cent c
+                WHERE b.vid IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+            ) WHERE rn <= {n_probe}
+        ),
+        q_lut_rows AS (
+            SELECT q.query_id, w.m,
+                   list(round(list_inner_product(
+                            list_slice(q.qv, w.m * (len(q.qv) // {m_sub}) + 1,
+                                       (w.m + 1) * (len(q.qv) // {m_sub})),
+                            w.cw) / q.qn, 9) ORDER BY w.code) AS lut
+            FROM (SELECT DISTINCT query_id, qv, qn FROM q_probe) q
+            CROSS JOIN codewords w
+            GROUP BY q.query_id, w.m
+        ),
+        q_luts AS (
+            SELECT query_id, {lut_pivot} FROM q_lut_rows GROUP BY query_id
+        ),
+        cand AS (
+            SELECT p.query_id, c.vid, round({est}, 6) AS est
+            FROM coded c
+            JOIN q_probe p USING (centroid_id)
+            JOIN q_luts q ON q.query_id = p.query_id
+            WHERE c.vid <> p.query_id
+        ),
+        shortlist AS (
+            SELECT query_id, vid FROM (
+                SELECT query_id, vid,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY est DESC, vid ASC) AS rn
+                FROM cand
+            ) WHERE rn <= {rerank}
+        ),
+        qvec AS (SELECT DISTINCT query_id, qv, qn FROM q_probe),
+        exact AS (
+            SELECT s.query_id, b.vid AS corpus_id,
+                   round(list_inner_product(b.v, v2.qv) / (b.nrm * v2.qn), 6) AS cosine
+            FROM shortlist s JOIN base_nz b USING (vid)
+            JOIN qvec v2 USING (query_id)
+        )
+        SELECT query_id, rank, corpus_id, cosine FROM (
+            SELECT query_id, corpus_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, corpus_id ASC) AS rank
+            FROM exact
+        ) WHERE rank <= {k}
+    """
+
+

@@ -1296,6 +1296,44 @@ def ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_ivf_pq",
+    oracle=sim.cosine_topk_ivf_pq_sql(
+        "embeddings", "vec_id < 8", k=5,
+        n_centroids=8, n_probe=4, m_sub=8, n_codes=16, rerank=128,
+    ),
+)
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: IVF coarse cells + product-quantization codes with
+    asymmetric-distance candidate scoring and an exact re-rank of the
+    top-32. The candidate scan reads (vid, cell, m_sub codes) — codes,
+    never raw vectors; full vectors are touched for O(rerank*queries)
+    rows only. ADC = per-query lookup tables + m_sub element_at sums,
+    pure codegen. Deterministic seeding makes every stage (codebooks,
+    codes, LUTs, shortlist, re-rank) SQL-expressible — the DuckDB twin
+    hash-matches the full composition."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivf_pq(
+        emb, emb.where(F.col("vec_id") < 8), k=5,
+        n_centroids=8, n_probe=4, m_sub=8, n_codes=16, rerank=128,
+    )
+
+
+@query(
+    "embed_pq_codes",
+    oracle=em.pq_reconstruction_error_sql("embeddings", m_sub=8, n_codes=16),
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression of the embedding column:
+    m_sub=8 codes of a 16-codeword book per vector (8 small ints vs
+    64 doubles — 64x) plus the per-vector squared reconstruction
+    error, the measurable compression/accuracy trade. Encoding is
+    map-side literal-expression argmax — zero shuffles, zero UDFs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = em.pq_seed_codebooks(emb, m_sub=8, n_codes=16)
+    return em.pq_reconstruction_error(emb, books)
+
+
+@query(
     "ann_topk_multitable",
     oracle=sim.cosine_topk_bucketed_sql(
         "embeddings", "vec_id < 8", k=5, bucket_bits=6, n_tables=4

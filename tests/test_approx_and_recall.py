@@ -179,3 +179,49 @@ def test_bucketed_multi_table_matches_duckdb_twin(spark):
     )
     want = sorted((q, rk, c, cos) for q, rk, c, cos in con.sql(sql).fetchall())
     assert got == want
+
+
+def test_pq_codes_compress_and_reconstruct(spark):
+    """PQ sanity: seed vectors encode to themselves (zero error), all
+    codes land in range, and reconstruction error is small relative to
+    the unit-norm vectors."""
+    from data_migration_etl_scripts_spark.operators import embed as em
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = em.pq_seed_codebooks(emb, m_sub=8, n_codes=16)
+    assert len(books) == 8 and len(books[0]) == 16
+    out = {r.vec_id: r for r in em.pq_reconstruction_error(emb, books).collect()}
+    # the 16 seed vectors reconstruct exactly (their own codewords)
+    for vid in range(16):
+        assert out[vid].sq_err == 0.0, (vid, out[vid])
+        assert out[vid].codes_csv == ",".join([str(vid)] * 8)
+    # all codes valid; mean error bounded (unit vectors -> err in [0, 4])
+    import statistics
+
+    errs = [r.sq_err for r in out.values()]
+    assert all(0 <= e <= 4.0 for e in errs)
+    assert statistics.mean(errs) < 2.0  # better than orthogonal-random
+
+
+def test_ivf_pq_rerank_recovers_recall(spark):
+    """The exact re-rank must lift IVFADC recall to ~the plain IVF
+    ceiling at the same probe setting: ADC ordering errors inside the
+    shortlist are corrected by construction."""
+    from data_migration_etl_scripts_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 32)
+    exact = sim.cosine_topk_bruteforce(emb, qs, k=5).persist()
+
+    def mean_recall(approx) -> float:
+        return float(
+            sim.recall_at_k(approx, exact, k=5)
+            .agg(F.avg("recall_at_k").alias("r")).collect()[0]["r"]
+        )
+
+    plain = mean_recall(sim.cosine_topk_ivf(emb, qs, k=5, n_centroids=8, n_probe=4))
+    pq = mean_recall(sim.cosine_topk_ivf_pq(
+        emb, qs, k=5, n_centroids=8, n_probe=4,
+        m_sub=8, n_codes=16, rerank=128))
+    assert pq >= plain - 0.08, (pq, plain)  # re-rank recovers ADC loss
+    exact.unpersist()

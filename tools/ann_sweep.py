@@ -77,6 +77,17 @@ def main() -> int:
         wall = timed(approx)
         rows.append((f"IVF (trained k-means)", f"cells=16, n_probe={np_}",
                      mean_recall(approx, exact), wall))
+    for m, nc, rr in ((8, 16, 64), (8, 16, 128), (8, 32, 64)):
+        approx = sim.cosine_topk_ivf_pq(
+            emb, queries, k=K, n_centroids=8, n_probe=4,
+            m_sub=m, n_codes=nc, rerank=rr,
+        )
+        wall = timed(approx)
+        rows.append((
+            "IVF+PQ (ADC, exact re-rank)",
+            f"cells=8, probe=4, m={m}, codes={nc}, rerank={rr}",
+            mean_recall(approx, exact), wall,
+        ))
     for k1, k2, p1, p2 in (
         (8, 8, 2, 4), (8, 8, 4, 4), (8, 8, 4, 6), (8, 8, 6, 6),
         (16, 8, 4, 4), (16, 8, 6, 4), (16, 8, 8, 4), (16, 8, 8, 6),

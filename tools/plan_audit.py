@@ -57,6 +57,8 @@ AUDITED = {
     "chunk_token_stream_docs": "per-shard window cumsum; docs explode map-side into only the sequences they overlap; ONE (shard,seq) group-by reassembles",
     "sample_by_perplexity_bucket": "scoring explode is the only corpus shuffle; quartile thresholds broadcast; bucket+sample are one map-side CASE filter",
     "pack_sequences": "per-shard window (no global sort); running sum materialized ONCE — Catalyst does not CSE window exprs, so deriving bin+offset from a single _cum column keeps the Window node to one aggregate",
+    "ann_topk_ivf2": "two bounded codebooks give k1*k2 effective cells; assignment is map-side literal-expression argmax (zero corpus shuffles); search = one equi-join on the composite (coarse, sub) key",
+    "ann_topk_ivf_pq": "candidate scan reads (vid, cell, codes) — never raw vectors; ADC = broadcast per-query LUTs + m_sub element_at lookups; exact re-rank joins full vectors for only O(rerank*queries) rows",
     "corpus_curate": "docs persisted once for the pair + keep branches; O(dup-docs) drop-list broadcast keeps the corpus anti-join map-side; pack = per-shard window",
 }
 
