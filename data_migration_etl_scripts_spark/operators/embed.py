@@ -401,3 +401,94 @@ def pq_reconstruction_error_sql(
                      p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq_err
         FROM base_nz b JOIN recon r USING (vid)
     """
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Lloyd's k-means PER SUBSPACE over the L2-normalized vectors —
+    the trained upgrade of :func:`pq_seed_codebooks` (same return
+    shape, drop-in for :func:`pq_encode` / ``cosine_topk_ivf_pq``).
+
+    Each round: (1) assign every (vector, subspace) row to its best
+    codeword via the same rounded dot-score rule pq_encode uses — a
+    map-side literal expression; (2) recompute codewords as per
+    (subspace, code, dim) means — explode + groupBy with map-side
+    partials, so the shuffle carries one partial per (m, code, dim)
+    per task, never vectors (the hot-codeword collect_list OOM shape).
+    Empty codewords keep their previous value (standard Lloyd's fix).
+    Iterative by nature — rows-only territory, no SQL twin; pinned by
+    the falling-reconstruction-error test instead.
+    """
+    from pyspark.sql import types as T  # noqa: F401
+
+    books = pq_seed_codebooks(df, id_col, vec_col, m_sub, n_codes)
+    sub = len(books[0][0])
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    nsq = None
+    for i in range(m_sub * sub):
+        t = F.element_at("__v", i + 1) * F.element_at("__v", i + 1)
+        nsq = t if nsq is None else nsq + t
+    base = base.withColumn("__nrm", F.sqrt(nsq)).where(F.col("__nrm") > 0)
+    # one row per (vector, subspace): sv = normalized subvector
+    subrows = base.select(
+        "vid",
+        F.posexplode(
+            F.array(*[
+                F.array(*[
+                    F.element_at("__v", m * sub + i + 1) / F.col("__nrm")
+                    for i in range(sub)
+                ])
+                for m in range(m_sub)
+            ])
+        ).alias("m", "sv"),
+    ).localCheckpoint()
+
+    def assign_expr(bks: list[list[list[float]]]):
+        expr = None
+        for m, book in enumerate(bks):
+            cands = F.array(*[
+                F.struct(
+                    (-F.round(
+                        sum(
+                            (F.element_at("sv", i + 1) * float(x))
+                            for i, x in enumerate(code)
+                            if x != 0.0
+                        ) - sum(x * x for x in code) / 2.0,
+                        9,
+                    )).alias("negs"),
+                    F.lit(c).alias("code"),
+                )
+                for c, code in enumerate(book)
+            ])
+            pick = F.array_min(cands)["code"]
+            expr = F.when(F.col("m") == m, pick) if expr is None else (
+                expr.when(F.col("m") == m, pick)
+            )
+        return expr
+
+    for _ in range(n_iter):
+        assigned = subrows.withColumn("code", assign_expr(books))
+        means = (
+            assigned.select("m", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("m", "code", "dim")
+            .agg(F.avg("val").alias("mu"))
+            .collect()
+        )
+        new_books = [[list(code) for code in book] for book in books]
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["m"], r["code"]), {})[r["dim"]] = float(r["mu"])
+        for (m, c), dims in got.items():
+            for d, mu in dims.items():
+                new_books[m][c][d] = mu
+        books = new_books
+    return books

@@ -764,6 +764,7 @@ def cosine_topk_ivf_pq(
     m_sub: int = 4,
     n_codes: int = 16,
     rerank: int = 32,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """IVF + PQ with asymmetric-distance (ADC) candidate scoring and an
     EXACT re-rank — the classic billion-scale layout (IVFADC):
@@ -807,7 +808,7 @@ def cosine_topk_ivf_pq(
         )
         .collect()
     )
-    books = pq_seed_codebooks(
+    books = codebooks if codebooks is not None else pq_seed_codebooks(
         base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
         id_col=id_col, vec_col=vec_col, m_sub=m_sub, n_codes=n_codes,
     )
