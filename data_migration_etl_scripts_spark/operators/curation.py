@@ -774,3 +774,108 @@ def chunk_token_stream_sql(
            flatten(list(piece ORDER BY start)) AS seq_tokens
     FROM sliced GROUP BY shard, seq
     """
+
+
+def sample_cluster_balanced(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    budget_per_cluster: int = 50,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Diversity-balanced subsampling: cluster documents by embedding
+    and cap every cluster at ``budget_per_cluster`` members — the
+    standard counter to topic skew (a corpus 80% news keeps at most
+    the same budget of news as of every other cluster).
+
+    Plan: seeded (or provided) centroids assign clusters MAP-SIDE
+    (literal-expression argmax, zero shuffles — similarity._assign_cells);
+    one count aggregate per cluster; per-cluster keep fraction
+    ``min(1, budget/count)`` becomes an integer md5 threshold, so the
+    kept set is deterministic across runs, engines, and partitionings
+    (the rand()-free discipline of deterministic_sample). Returns
+    (id, cluster_id) for the kept docs.
+    """
+    from data_migration_etl_scripts_spark.operators import textprep as tp
+    from data_migration_etl_scripts_spark.operators.dedup import _norm
+    from data_migration_etl_scripts_spark.operators.similarity import _assign_cells
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    cent_rows = centroids if centroids is not None else (
+        base.orderBy("vid")
+        .limit(n_clusters)
+        .select(
+            F.col("vid").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .collect()
+    )
+    assigned = _assign_cells(base, cent_rows, "vid").select("vid", "centroid_id")
+    counts = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("cnt"))
+    thresholds = counts.select(
+        "centroid_id",
+        F.floor(
+            F.least(
+                F.lit(1.0), F.lit(float(budget_per_cluster)) / F.col("cnt").cast("double")
+            )
+            * 1000000
+        ).alias("thresh"),
+    )
+    keep = (tp.md5_long(F.col("vid").cast("string"), digits=7) % 1000000) < F.col(
+        "thresh"
+    )
+    return (
+        assigned.join(F.broadcast(thresholds), "centroid_id")
+        .where(keep)
+        .select(F.col("vid").alias(id_col), F.col("centroid_id").alias("cluster_id"))
+    )
+
+
+def sample_cluster_balanced_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    budget_per_cluster: int = 50,
+) -> str:
+    """DuckDB twin of :func:`sample_cluster_balanced` (same seeding,
+    assignment rounding/tie-break, threshold arithmetic, md5 rule)."""
+    from data_migration_etl_scripts_spark.operators import textprep as tp
+
+    md5l = tp.md5_long_sql("a.vid", digits=7)
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
+                   sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm
+            FROM {table}
+        ),
+        base_nz AS (SELECT * FROM base WHERE nrm > 0),
+        cent AS (
+            SELECT vid AS centroid_id, v AS cv, nrm AS cn
+            FROM base_nz ORDER BY vid LIMIT {n_clusters}
+        ),
+        assigned AS (
+            SELECT vid, centroid_id FROM (
+                SELECT b.vid, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vid
+                           ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM base_nz b CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        thresholds AS (
+            SELECT centroid_id,
+                   floor(least(1.0, {budget_per_cluster} / CAST(count(*) AS DOUBLE))
+                         * 1000000) AS thresh
+            FROM assigned GROUP BY centroid_id
+        )
+        SELECT a.vid AS {id_col}, a.centroid_id AS cluster_id
+        FROM assigned a JOIN thresholds t USING (centroid_id)
+        WHERE ({md5l} % 1000000) < t.thresh
+    """

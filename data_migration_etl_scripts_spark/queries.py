@@ -2834,6 +2834,22 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_cluster_balanced",
+    oracle=cu.sample_cluster_balanced_sql(
+        "embeddings", n_clusters=8, budget_per_cluster=50
+    ),
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced corpus subsample: embedding k-means clusters
+    (seeded, map-side literal-expression assignment — zero shuffles)
+    capped at 50 docs each via per-cluster md5 thresholds — topic skew
+    flattened deterministically across runs, engines, partitionings."""
+    return cu.sample_cluster_balanced(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, budget_per_cluster=50
+    )
+
+
+@query(
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,

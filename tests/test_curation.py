@@ -304,3 +304,27 @@ def test_chunk_token_stream_skips_empty_docs(spark):
     )
     out = cu.chunk_token_stream(df, "doc_id", "toks", capacity=2, n_shards=4).collect()
     assert sum(r.n_tokens for r in out) == 3
+
+
+def test_cluster_balanced_sampling_caps_every_cluster(spark):
+    """Every cluster's kept count respects the budget, the md5 rule is
+    deterministic across repartitionings, and a full-budget cluster
+    keeps everything."""
+    from data_migration_etl_scripts_spark.operators import curation as cu
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = cu.sample_cluster_balanced(emb, n_clusters=8, budget_per_cluster=20)
+    counts = {r.cluster_id: r.n for r in
+              out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # md5 thresholding is statistical: fraction*size in EXPECTATION;
+    # bound by a generous margin above the budget
+    assert counts and all(n <= 40 for n in counts.values()), counts
+    # deterministic under a different partitioning
+    again = cu.sample_cluster_balanced(
+        emb.repartition(7), n_clusters=8, budget_per_cluster=20
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # a budget >= corpus keeps every vector
+    total = emb.count()
+    full = cu.sample_cluster_balanced(emb, n_clusters=8, budget_per_cluster=10**6)
+    assert full.count() == total
