@@ -399,3 +399,92 @@ def unigram_logprob_sql(
                           ELSE 0.0 END, 6) AS avg_logprob
         FROM scored GROUP BY doc_id
     """
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination via MinHash band collision.
+
+    Exact n-gram overlap (:func:`decontaminate`) misses paraphrased or
+    lightly-edited eval leaks; a document that is a NEAR-copy of any
+    benchmark item still collides with it in at least one LSH band
+    with high probability. Returns (doc_id, n_bench_hits, contaminated)
+    for EVERY corpus doc, where ``n_bench_hits`` counts distinct bench
+    docs sharing any band.
+
+    Plan shape: the bench band table (benchmarks are thousands of
+    docs) broadcasts; the corpus pays exactly one signature pass
+    (explode -> codegen min aggregates, one row per doc into the
+    shuffle — the ``minhash_band_table`` shape) and a broadcast
+    equi-join on (band_id, band_key). Never all-pairs, corpus text
+    read once.
+    """
+    from data_migration_etl_scripts_spark.operators import ingest as ig
+
+    bench_bands = ig.minhash_band_table(
+        bench, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n
+    ).select(F.col("doc_id").alias("bench_id"), "band_id", "band_key")
+    corpus_bands = ig.minhash_band_table(
+        docs, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n
+    )
+    hits = (
+        corpus_bands.join(F.broadcast(bench_bands), ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("bench_id").alias("n_bench_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .na.fill({"n_bench_hits": 0})
+        .select(
+            "doc_id",
+            F.col("n_bench_hits").cast("long").alias("n_bench_hits"),
+            (F.col("n_bench_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_fuzzy_sql(
+    docs_table: str,
+    bench_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`decontaminate_fuzzy` (same signatures,
+    band keys, and hit counting as the ingest oracle helpers)."""
+    from data_migration_etl_scripts_spark.operators.ingest import (
+        _bands_from_sigs,
+        _sigs_cte,
+    )
+
+    return f"""
+        WITH bench_sigs AS ({_sigs_cte(bench_sql, id_col, text_col, k, shingle_n)}),
+        bench_bands AS (
+            SELECT doc_id AS bench_id, band_id, band_key
+            FROM ({_bands_from_sigs("bench_sigs", k, bands)})
+        ),
+        corpus_sigs AS (
+            {_sigs_cte(f"SELECT * FROM {docs_table}", id_col, text_col, k, shingle_n)}
+        ),
+        corpus_bands AS ({_bands_from_sigs("corpus_sigs", k, bands)}),
+        hits AS (
+            SELECT c.doc_id, count(DISTINCT b.bench_id) AS n_bench_hits
+            FROM corpus_bands c
+            JOIN bench_bands b USING (band_id, band_key)
+            GROUP BY c.doc_id
+        )
+        SELECT d.{id_col} AS doc_id,
+               CAST(coalesce(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+               coalesce(h.n_bench_hits, 0) > 0 AS contaminated
+        FROM {docs_table} d LEFT JOIN hits h ON d.{id_col} = h.doc_id
+    """

@@ -1938,6 +1938,22 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_fuzzy_docs",
+    oracle=ctm.decontaminate_fuzzy_sql(
+        "documents", "SELECT * FROM documents WHERE doc_id % 23 = 0"
+    ),
+)
+def decontaminate_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination: MinHash band collision flags
+    docs that are near-copies of any eval item — catches the
+    paraphrased leaks exact 8-gram overlap misses. Bench band table
+    broadcast; corpus pays one signature pass."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    return ctm.decontaminate_fuzzy(docs, bench)
+
+
+@query(
     "quality_repetition",
     oracle=ctm.repetition_stats_sql("documents"),
 )

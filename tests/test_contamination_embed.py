@@ -268,3 +268,31 @@ def test_fk_orphan_report_counts_and_single_scan(spark):
         facts, [("fk_a", dim_a, "k"), ("fk_b", dim_b, "k")]
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan  # dims broadcast, fact never shuffles
+
+
+def test_fuzzy_decontamination_catches_paraphrased_leak(spark):
+    """A lightly-edited copy of a bench doc escapes exact 8-gram
+    decontamination windows less reliably than it escapes minhash
+    bands: the fuzzy pass must flag a one-word-edit near-copy AND the
+    verbatim copy, and leave an unrelated doc clean."""
+    from data_migration_etl_scripts_spark.operators import contamination as ctm
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while morning light spreads across the quiet valley and "
+        "birds begin their early songs"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text),                               # verbatim leak
+            (2, bench_text.replace("dog", "cat")),         # paraphrased leak
+            (3, "completely unrelated subject matter about tidal "
+                "harbors and the engineering of breakwaters with "
+                "nothing shared against the benchmark at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {r.doc_id: r.contaminated
+           for r in ctm.decontaminate_fuzzy(docs, bench).collect()}
+    assert got == {1: True, 2: True, 3: False}
