@@ -217,17 +217,17 @@ def pq_seed_codebooks(
     ]
 
 
-def _sub_dot_lit(col: Column, vec: list[float], offset: int) -> Column:
-    """sum_i col[offset+i] * vec_i as codegen'd element_at arithmetic
-    (higher-order folds are tree-interpreted per element — measured
-    ~5x slower on encode-style passes)."""
-    out = None
-    for i, x in enumerate(vec):
-        if x == 0.0:
-            continue
-        t = F.element_at(col, offset + i + 1) * float(x)
-        out = t if out is None else out + t
-    return out if out is not None else F.lit(0.0)
+def _sub_dot_sql(col: str, vec: list[float], offset: int) -> str:
+    """SQL text for sum_i col[offset+i] * vec_i as explicit element_at
+    multiply-adds — one parsed string, not thousands of Column ops
+    (each is a py4j round trip at plan-build time), and no
+    higher-order folds (tree-interpreted per element)."""
+    terms = [
+        f"element_at({col}, {offset + i + 1}) * {x:.17E}"
+        for i, x in enumerate(vec)
+        if x != 0.0
+    ]
+    return "(" + (" + ".join(terms) if terms else "CAST(0.0 AS DOUBLE)") + ")"
 
 
 def pq_encode(
@@ -255,12 +255,13 @@ def pq_encode(
     sub = len(codebooks[0][0])
     dim = len(codebooks) * sub
     out = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
-    # norm as an expanded element_at sum (codegen), materialized once
-    nsq = None
-    for i in range(dim):
-        t = F.element_at("__v", i + 1) * F.element_at("__v", i + 1)
-        nsq = t if nsq is None else nsq + t
-    out = out.withColumn("__nrm", F.sqrt(nsq))
+    # norm as an expanded element_at sum (codegen), materialized once;
+    # ONE parsed SQL string (Column-op composition costs a py4j round
+    # trip per operator at plan-build time)
+    nsq = " + ".join(
+        f"element_at(__v, {i + 1}) * element_at(__v, {i + 1})" for i in range(dim)
+    )
+    out = out.withColumn("__nrm", F.expr(f"sqrt({nsq})"))
     # argmin ||nv_sub - c||^2 == argmax (dot(v_sub, c)/nrm - ||c||^2/2):
     # one division per (sub, code) instead of per element, and the
     # ||c||^2/2 term folds to a literal. Scores round to 9 dp before
@@ -268,20 +269,16 @@ def pq_encode(
     # (neg_score, code) structs) — the rule the SQL twin mirrors.
     code_cols = []
     for m, book in enumerate(codebooks):
-        cands = F.array(
-            *[
-                F.struct(
-                    (-F.round(
-                        _sub_dot_lit(F.col("__v"), code, m * sub) / F.col("__nrm")
-                        - sum(x * x for x in code) / 2.0,
-                        9,
-                    )).alias("negs"),
-                    F.lit(c).alias("code"),
-                )
-                for c, code in enumerate(book)
-            ]
+        structs = ", ".join(
+            "named_struct('negs', -round({dot} / __nrm - {c2:.17E}, 9), "
+            "'code', {c})".format(
+                dot=_sub_dot_sql("__v", code, m * sub),
+                c2=sum(x * x for x in code) / 2.0,
+                c=c,
+            )
+            for c, code in enumerate(book)
         )
-        code_cols.append(F.array_min(cands)["code"])
+        code_cols.append(F.expr(f"array_min(array({structs})).code"))
     return out.select(
         F.col(id_col),
         F.array(*code_cols).alias("codes"),
@@ -433,47 +430,38 @@ def train_pq_codebooks(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    nsq = None
-    for i in range(m_sub * sub):
-        t = F.element_at("__v", i + 1) * F.element_at("__v", i + 1)
-        nsq = t if nsq is None else nsq + t
-    base = base.withColumn("__nrm", F.sqrt(nsq)).where(F.col("__nrm") > 0)
+    nsq = " + ".join(
+        f"element_at(__v, {i + 1}) * element_at(__v, {i + 1})"
+        for i in range(m_sub * sub)
+    )
+    base = base.withColumn("__nrm", F.expr(f"sqrt({nsq})")).where(F.col("__nrm") > 0)
     # one row per (vector, subspace): sv = normalized subvector
+    subarrays = ", ".join(
+        "array(" + ", ".join(
+            f"element_at(__v, {m * sub + i + 1}) / __nrm" for i in range(sub)
+        ) + ")"
+        for m in range(m_sub)
+    )
     subrows = base.select(
         "vid",
-        F.posexplode(
-            F.array(*[
-                F.array(*[
-                    F.element_at("__v", m * sub + i + 1) / F.col("__nrm")
-                    for i in range(sub)
-                ])
-                for m in range(m_sub)
-            ])
-        ).alias("m", "sv"),
+        F.posexplode(F.expr(f"array({subarrays})")).alias("m", "sv"),
     ).localCheckpoint()
 
     def assign_expr(bks: list[list[list[float]]]):
-        expr = None
+        branches = []
         for m, book in enumerate(bks):
-            cands = F.array(*[
-                F.struct(
-                    (-F.round(
-                        sum(
-                            (F.element_at("sv", i + 1) * float(x))
-                            for i, x in enumerate(code)
-                            if x != 0.0
-                        ) - sum(x * x for x in code) / 2.0,
-                        9,
-                    )).alias("negs"),
-                    F.lit(c).alias("code"),
+            structs = ", ".join(
+                "named_struct('negs', -round({dot} - {c2:.17E}, 9), 'code', {c})".format(
+                    dot=_sub_dot_sql("sv", code, 0),
+                    c2=sum(x * x for x in code) / 2.0,
+                    c=c,
                 )
                 for c, code in enumerate(book)
-            ])
-            pick = F.array_min(cands)["code"]
-            expr = F.when(F.col("m") == m, pick) if expr is None else (
-                expr.when(F.col("m") == m, pick)
             )
-        return expr
+            branches.append(
+                f"WHEN m = {m} THEN array_min(array({structs})).code"
+            )
+        return F.expr("CASE " + " ".join(branches) + " END")
 
     for _ in range(n_iter):
         assigned = subrows.withColumn("code", assign_expr(books))

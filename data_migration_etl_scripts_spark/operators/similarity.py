@@ -202,43 +202,49 @@ def cosine_topk_bucketed_sql(
     """
 
 
-def _dot_lit(col: Column, vec: list[float], offset: int = 0) -> Column:
-    """Dot product of an array column (from ``offset``) against a
-    LITERAL vector — an explicit ``element_at`` multiply-add sum, NOT
-    an ``aggregate``/``zip_with`` fold: higher-order functions are
-    tree-interpreted per element (no whole-stage codegen), which
-    measured ~10x slower per assignment pass; the expanded sum stays
-    codegen'd arithmetic."""
+def _dot_sql(col: str, vec: list[float], offset: int = 0, scale: str | None = None) -> str:
+    """SQL text for sum_i col[offset+i] * vec_i (optionally divided by
+    ``scale``), as explicit element_at multiply-adds.
+
+    Two deliberate choices, both measured:
+    - explicit sums, NOT aggregate/zip_with folds — higher-order
+      functions are tree-interpreted per element (no whole-stage
+      codegen), ~10x slower per assignment pass;
+    - ONE generated SQL string parsed by F.expr, NOT thousands of
+      Column operators — every Column op is a py4j round trip, and a
+      codebook's worth of them cost ~30s of pure DRIVER time per plan
+      build (measured on the two-level IVF query).
+    %.17E literals round-trip IEEE doubles exactly and parse as DOUBLE
+    (decimal-looking literals would parse as DECIMAL)."""
     terms = [
-        F.element_at(col, offset + i + 1) * float(x)
+        f"element_at({col}, {offset + i + 1}) * {x:.17E}"
         for i, x in enumerate(vec)
         if x != 0.0
     ]
-    if not terms:
-        return F.lit(0.0)
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    body = " + ".join(terms) if terms else "CAST(0.0 AS DOUBLE)"
+    return f"(({body}) / {scale})" if scale else f"({body})"
+
+
+def _dot_lit(col_name: str, vec: list[float], offset: int = 0) -> Column:
+    """Column form of :func:`_dot_sql` (``col_name`` must be a plain
+    column name — the expression is built as one parsed SQL string)."""
+    return F.expr(_dot_sql(col_name, vec, offset))
 
 
 def _probe_expr(cent_rows: list[tuple], n_probe: int) -> Column:
     """array<struct<neg, centroid_id>> of the ``n_probe`` nearest
-    centroids for the current row's (v, nrm) — a PURE expression, so
-    assignment is map-side codegen with zero shuffles. Ordering
-    matches the join+window form exactly: cosine rounded to 6 dp
-    descending (negated for the ascending struct sort), centroid id
-    ascending on ties."""
-    structs = [
-        F.struct(
-            (-F.round(
-                _dot_lit(F.col("v"), cv) / (F.col("nrm") * F.lit(float(cn))), 6
-            )).alias("neg"),
-            F.lit(int(cid)).alias("centroid_id"),
+    centroids for the current row's (v, nrm) — ONE parsed expression,
+    map-side codegen, zero shuffles. Ordering matches the join+window
+    form exactly: cosine rounded to 6 dp descending (negated for the
+    ascending struct sort), centroid id ascending on ties."""
+    structs = ", ".join(
+        "named_struct('neg', -round({dot} / (nrm * {cn:.17E}), 6), "
+        "'centroid_id', {cid}L)".format(
+            dot=_dot_sql("v", cv), cn=float(cn), cid=int(cid)
         )
         for cid, cv, cn in cent_rows
-    ]
-    return F.slice(F.sort_array(F.array(*structs)), 1, n_probe)
+    )
+    return F.expr(f"slice(array_sort(array({structs})), 1, {n_probe})")
 
 
 #: above this many centroid*dim literals the assignment expression gets
@@ -293,9 +299,7 @@ def _assign_cells(
         id_alias,
         "v",
         "nrm",
-        F.explode(
-            F.transform(probe, lambda s: s["centroid_id"])
-        ).alias("centroid_id"),
+        F.explode(probe["centroid_id"]).alias("centroid_id"),
     )
 
 
@@ -479,29 +483,24 @@ def cosine_topk_ivf2(
         )
 
     def sub_probe(n_probe: int) -> Column:
-        """CASE over the coarse cell -> that cell's sub-probe list."""
-        expr = None
+        """CASE over the coarse cell -> that cell's sub-probe list —
+        built as ONE parsed SQL string (thousands of Column ops would
+        cost ~1 py4j round trip each at plan-build time)."""
+        branches = []
         for cell, rows in sorted(by_cell.items()):
-            # _probe_expr emits centroid_id structs; rows carry sub ids
-            probes = F.slice(
-                F.sort_array(
-                    F.array(*[
-                        F.struct(
-                            (-F.round(
-                                _dot_lit(F.col("v"), sv)
-                                / (F.col("nrm") * F.lit(float(sn))), 6
-                            )).alias("neg"),
-                            F.lit(int(sid)).alias("sub_id"),
-                        )
-                        for sid, sv, sn in rows
-                    ])
-                ),
-                1,
-                n_probe,
+            structs = ", ".join(
+                "named_struct('neg', -round({dot} / (nrm * {sn:.17E}), 6), "
+                "'sub_id', {sid}L)".format(
+                    dot=_dot_sql("v", sv), sn=float(sn), sid=int(sid)
+                )
+                for sid, sv, sn in rows
             )
-            cond = F.col("centroid_id") == cell
-            expr = F.when(cond, probes) if expr is None else expr.when(cond, probes)
-        return F.explode(F.transform(expr, lambda s: s["sub_id"])).alias("sub_id")
+            branches.append(
+                f"WHEN centroid_id = {cell}L THEN "
+                f"slice(array_sort(array({structs})), 1, {n_probe})"
+            )
+        case = "CASE " + " ".join(branches) + " END"
+        return F.explode(F.expr(case)["sub_id"]).alias("sub_id")
 
     sub_assigned = assigned.select(
         "vid", "v", "nrm", "centroid_id", sub_probe(1)
@@ -825,10 +824,12 @@ def cosine_topk_ivf_pq(
     sub = len(books[0][0])
 
     luts = [
-        F.array(*[
-            F.round(_dot_lit(F.col("v"), code, m * sub) / F.col("nrm"), 9)
-            for code in book
-        ]).alias(f"lut{m}")
+        F.expr(
+            "array(" + ", ".join(
+                f"round({_dot_sql('v', code, m * sub, scale='nrm')}, 9)"
+                for code in book
+            ) + ")"
+        ).alias(f"lut{m}")
         for m, book in enumerate(books)
     ]
     q = q_probe.select(
