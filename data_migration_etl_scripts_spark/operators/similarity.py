@@ -339,10 +339,13 @@ def cosine_topk_ivf(
             F.col("nrm").alias("cn"),
         )
     )
-    assigned = _assign_cells(base, cent, "vid")
+    # collect the (bounded) codebook ONCE for both assignment passes —
+    # _assign_cells would otherwise run the seed job twice
+    cent_rows = cent.collect()
+    assigned = _assign_cells(base, cent_rows, "vid")
     qids = queries.select(F.col(id_col).alias("vid"))
     qbase = base.join(F.broadcast(qids), "vid")
-    q = _assign_cells(qbase, cent, "vid", n_probe=n_probe).select(
+    q = _assign_cells(qbase, cent_rows, "vid", n_probe=n_probe).select(
         F.col("vid").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
