@@ -1022,3 +1022,91 @@ def cosine_topk_ivf_pq_sql(
     """
 
 
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    max_cosine: float = 0.98,
+) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training: for
+    each query, the top-k MOST similar corpus vectors whose cosine
+    stays BELOW ``max_cosine`` — close enough to be hard, excluded
+    above the threshold where "negative" would actually be a
+    near-duplicate positive (the classic false-negative poisoning).
+
+    Plan: the IVF candidate scan (probe n_probe of n_centroids cells,
+    map-side assignment, equi-join on cell) scores candidates; the
+    near-dup ceiling filters BEFORE ranking, so the per-query window
+    ranks only eligible negatives. Same rounding/tie-break discipline
+    as every ANN operator — hash-matches its DuckDB twin.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    cent_rows = (
+        base.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .collect()
+    )
+    assigned = _assign_cells(base, cent_rows, "vid")
+    qids = queries.select(F.col(id_col).alias("vid"))
+    qbase = base.join(F.broadcast(qids), "vid")
+    q = _assign_cells(qbase, cent_rows, "vid", n_probe=n_probe).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "centroid_id",
+    )
+    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6)
+    scored = (
+        assigned.join(F.broadcast(q), "centroid_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("corpus_id"), cos.alias("cosine"))
+        .where(F.col("cosine") < F.lit(float(max_cosine)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cosine")
+    )
+
+
+def mine_hard_negatives_sql(
+    table: str,
+    query_pred: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    max_cosine: float = 0.98,
+) -> str:
+    """DuckDB twin of :func:`mine_hard_negatives`."""
+    inner = cosine_topk_ivf_sql(
+        table, query_pred, id_col, vec_col,
+        k=k, n_centroids=n_centroids, n_probe=n_probe,
+    )
+    # splice the ceiling into the scored CTE (same structure, one
+    # extra predicate before ranking)
+    marker = "WHERE a.vid <> q.query_id"
+    assert marker in inner
+    return inner.replace(
+        marker,
+        marker + f"\n              AND round(list_inner_product(a.v, q.qv)"
+                 f" / (a.nrm * q.qn), 6) < {max_cosine!r}",
+    )

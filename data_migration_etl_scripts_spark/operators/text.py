@@ -834,3 +834,71 @@ def remove_duplicate_runs_sql(
                    AS n_tokens_removed
         FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
     """
+
+
+def quality_zscore_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-SOURCE quality calibration: the raw quality score z-scored
+    within its source domain — a fixed global threshold over-prunes
+    whole domains whose style scores low (code, forums) and
+    under-prunes high-scoring boilerplate farms; normalizing per
+    source makes one keep-threshold mean the same thing everywhere.
+
+    Plan: one map-side scoring pass, one stratum-cardinality aggregate
+    (avg + stddev_samp per source, broadcast back), z computed
+    map-side. Degenerate strata (single doc / zero variance) get
+    z = 0. Rounded to 6 dp for cross-engine parity.
+    """
+    scored = quality_score(df, id_col, text_col).join(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(source_col).alias("__src")
+        ),
+        "doc_id",
+    )
+    stats = scored.groupBy("__src").agg(
+        F.avg("quality").alias("__mu"),
+        F.stddev_samp("quality").alias("__sd"),
+    )
+    return (
+        scored.join(F.broadcast(stats), "__src")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("__src").alias(source_col),
+            "quality",
+            F.when(
+                F.col("__sd").isNull() | (F.col("__sd") == 0), F.lit(0.0)
+            )
+            .otherwise(
+                F.round((F.col("quality") - F.col("__mu")) / F.col("__sd"), 6)
+            )
+            .alias("quality_z"),
+        )
+    )
+
+
+def quality_zscore_by_source_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`quality_zscore_by_source`."""
+    inner = quality_score_sql(table, id_col, text_col)
+    return f"""
+        WITH scored AS (
+            SELECT q.doc_id, d.{source_col} AS src, q.quality
+            FROM ({inner}) q JOIN {table} d ON q.doc_id = d.{id_col}
+        ),
+        stats AS (
+            SELECT src, avg(quality) AS mu, stddev_samp(quality) AS sd
+            FROM scored GROUP BY src
+        )
+        SELECT s.doc_id AS {id_col}, s.src AS {source_col}, s.quality,
+               CASE WHEN t.sd IS NULL OR t.sd = 0 THEN 0.0
+                    ELSE round((s.quality - t.mu) / t.sd, 6) END AS quality_z
+        FROM scored s JOIN stats t USING (src)
+    """

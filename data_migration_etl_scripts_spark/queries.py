@@ -1938,6 +1938,40 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hard_negatives",
+    oracle=sim.mine_hard_negatives_sql(
+        "embeddings", "vec_id < 8", k=5, n_centroids=8, n_probe=4,
+        max_cosine=0.98,
+    ),
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the top-5 most-similar vectors BELOW the near-dup ceiling
+    (cosine < 0.98) — hard but not secretly positive. IVF candidate
+    scan + pre-ranking ceiling filter; the false-negative poisoning
+    guard is part of the plan, not post-processing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.mine_hard_negatives(
+        emb, emb.where(F.col("vec_id") < 8), k=5,
+        n_centroids=8, n_probe=4, max_cosine=0.98,
+    )
+
+
+@query(
+    "quality_zscore_by_source",
+    oracle=tx.quality_zscore_by_source_sql("documents"),
+)
+def quality_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: raw scores z-normalized within
+    their source domain, so one keep-threshold means the same thing in
+    every domain (a global cutoff over-prunes low-scoring styles and
+    under-prunes boilerplate farms). One scoring pass + one
+    stratum-cardinality aggregate broadcast back — corpus never
+    shuffles."""
+    return tx.quality_zscore_by_source(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "decontaminate_fuzzy_docs",
     oracle=ctm.decontaminate_fuzzy_sql(
         "documents", "SELECT * FROM documents WHERE doc_id % 23 = 0"

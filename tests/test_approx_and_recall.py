@@ -244,3 +244,25 @@ def test_trained_pq_beats_seeded_reconstruction(spark):
 
     e_seed, e_trained = mean_err(seed), mean_err(trained)
     assert e_trained < e_seed * 0.9, (e_seed, e_trained)
+
+
+def test_hard_negatives_exclude_near_duplicates(spark):
+    """Mined negatives must all sit BELOW the near-dup ceiling, rank
+    contiguously from 1, and never include the query itself."""
+    from data_migration_etl_scripts_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 16)
+    out = sim.mine_hard_negatives(emb, qs, k=5, max_cosine=0.9).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert r.cosine < 0.9
+        assert r.corpus_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # tightening the ceiling can only lower each query's top cosine
+    tight = {r.query_id: r.cosine
+             for r in sim.mine_hard_negatives(emb, qs, k=1, max_cosine=0.5).collect()}
+    assert all(c < 0.5 for c in tight.values())

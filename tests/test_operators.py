@@ -349,3 +349,22 @@ def test_canonical_url_is_idempotent(spark):
     twice = once.select("i", "c1", tx.canonical_url(F.col("c1")).alias("c2"))
     for r in twice.collect():
         assert r.c2 == r.c1, f"not idempotent: {r.c1!r} -> {r.c2!r}"
+
+
+def test_quality_zscore_is_calibrated_within_source(spark):
+    """Each source stratum z-scores to ~zero mean; a degenerate
+    single-doc stratum gets z = 0 instead of null/inf."""
+    from data_migration_etl_scripts_spark.operators import text as tx
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then rests", "web"),
+        (2, "a b c d e f g h i j k l m n o p q r s t", "web"),
+        (3, "the old harbor wall holds against the winter tide for years", "web"),
+        (4, "solitary entry in its own source bucket entirely", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in tx.quality_zscore_by_source(df).collect()}
+    assert out[4].quality_z == 0.0  # single-doc stratum
+    web_z = [out[i].quality_z for i in (1, 2, 3)]
+    assert abs(sum(web_z)) < 1e-6  # mean-centered within source
+    assert max(web_z) > 0 > min(web_z)
