@@ -1110,3 +1110,117 @@ def mine_hard_negatives_sql(
         marker + f"\n              AND round(list_inner_product(a.v, q.qv)"
                  f" / (a.nrm * q.qn), 6) < {max_cosine!r}",
     )
+
+
+# ----------------------------------- persistent incremental IVF index
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize an IVF index on disk: ``centroids/`` (the frozen
+    codebook) plus ``assigned/batch-000000/`` holding
+    (vid, centroid_id, v, nrm) — search never re-reads or re-embeds
+    the source table. The codebook is FROZEN at build time so later
+    appends assign against the same cells (retrain = rebuild, the
+    standard IVF contract)."""
+    import os
+
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    cent = centroids if centroids is not None else (
+        base.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    cent_rows = cent.collect()
+    spark = corpus.sparkSession
+    spark.createDataFrame(cent_rows).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    _assign_cells(base, cent_rows, "vid").write.mode("overwrite").parquet(
+        os.path.join(path, "assigned", "batch-000000")
+    )
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign NEW vectors against the frozen codebook and append them
+    as the next ``assigned/batch-NNNNNN/`` directory — the same
+    idempotent per-batch-dir discipline as the dedup history indexes;
+    existing index data is never re-read or re-assigned."""
+    import glob
+    import os
+
+    spark = new_vectors.sparkSession
+    cent_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    base = new_vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    batches = glob.glob(os.path.join(path, "assigned", "batch-*"))
+    nxt = max(int(os.path.basename(b).split("-")[1]) for b in batches) + 1
+    _assign_cells(base, cent_rows, "vid").write.mode("overwrite").parquet(
+        os.path.join(path, "assigned", f"batch-{nxt:06d}")
+    )
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Top-k search over a materialized index: queries assign against
+    the frozen codebook (map-side), candidates come from the persisted
+    (vid, cell, v, nrm) batches via one equi-join on cell — identical
+    results to :func:`cosine_topk_ivf` over the union of all indexed
+    batches with the same codebook (pinned by test)."""
+    import os
+
+    cent_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    assigned = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(path, "assigned")
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    q = _assign_cells(qbase, cent_rows, "vid", n_probe=n_probe).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "centroid_id",
+    )
+    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6)
+    scored = (
+        assigned.join(F.broadcast(q), "centroid_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("corpus_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "corpus_id", "cosine")
+    )

@@ -266,3 +266,43 @@ def test_hard_negatives_exclude_near_duplicates(spark):
     tight = {r.query_id: r.cosine
              for r in sim.mine_hard_negatives(emb, qs, k=1, max_cosine=0.5).collect()}
     assert all(c < 0.5 for c in tight.values())
+
+
+def test_persistent_ivf_index_build_append_search(spark, tmp_path):
+    """Index-based search must EQUAL from-scratch cosine_topk_ivf over
+    the union corpus with the same frozen codebook — after an
+    incremental append that never re-reads the original batch."""
+    from data_migration_etl_scripts_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    first = emb.where(F.col("vec_id") < 300)
+    rest = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    path = str(tmp_path / "ivf_index")
+
+    sim.build_ivf_index(first, path, n_centroids=8)
+    sim.append_ivf_index(rest, path)
+
+    qs = emb.where(F.col("vec_id") < 8)
+    got = sorted(map(tuple, sim.search_ivf_index(
+        spark, path, qs, k=5, n_probe=4).collect()))
+
+    # reference: one-shot IVF over the union with the SAME codebook
+    # (first 8 vids of the FIRST batch — the frozen build-time seeds)
+    union = first.unionByName(rest)
+    cent = (
+        first.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        .withColumn(
+            "cn",
+            F.sqrt(F.aggregate(
+                F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )),
+        )
+        .orderBy("centroid_id")
+        .limit(8)
+    )
+    want = sorted(map(tuple, sim.cosine_topk_ivf(
+        union, qs, k=5, centroids=cent, n_probe=4).collect()))
+    assert got == want

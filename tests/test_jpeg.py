@@ -135,3 +135,41 @@ def test_grayscale_single_component():
     for row in rows:
         for r, g, b in row:
             assert abs(r - g) <= 4 and abs(g - b) <= 4  # gray stays gray
+
+
+def test_random_images_roundtrip_within_dct_loss():
+    """Property: arbitrary small RGB images round-trip within a
+    quality-95 DCT-loss bound at any size (including 8-multiples and
+    ragged edges), for both subsampling modes."""
+    import random
+
+    rng = random.Random(12345)
+    for trial in range(6):
+        w = rng.randint(1, 24)
+        h = rng.randint(1, 24)
+        img = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        for sub in ("444", "420"):
+            blob = jpeg_encode(img, quality=95, subsampling=sub)
+            ww, hh, rows = jpeg_decode(blob)
+            assert (ww, hh) == (w, h), (trial, sub, w, h, ww, hh)
+            if sub == "444":
+                # random noise is the DCT's worst case: generous but
+                # finite bound still catches structural decode bugs
+                # (wrong offsets produce errors near 255)
+                assert _max_err(rows, img) <= 64, (trial, w, h)
+            else:
+                # 2x2-averaging uncorrelated chroma legitimately loses
+                # a lot of RGB fidelity; the structural invariant for
+                # 4:2:0 is that LUMA survives
+                def luma(px):
+                    return 0.299 * px[0] + 0.587 * px[1] + 0.114 * px[2]
+
+                yerr = max(
+                    abs(luma(rows[y][x]) - luma(img[y][x]))
+                    for y in range(h) for x in range(w)
+                )
+                assert yerr <= 64, (trial, w, h, yerr)
