@@ -1122,9 +1122,10 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     centroids: DataFrame | None = None,
+    batch_name: str = "batch-000000",
 ) -> None:
     """Materialize an IVF index on disk: ``centroids/`` (the frozen
-    codebook) plus ``assigned/batch-000000/`` holding
+    codebook) plus ``assigned/<batch_name>/`` holding
     (vid, centroid_id, v, nrm) — search never re-reads or re-embeds
     the source table. The codebook is FROZEN at build time so later
     appends assign against the same cells (retrain = rebuild, the
@@ -1150,7 +1151,7 @@ def build_ivf_index(
         os.path.join(path, "centroids")
     )
     _assign_cells(base, cent_rows, "vid").write.mode("overwrite").parquet(
-        os.path.join(path, "assigned", "batch-000000")
+        os.path.join(path, "assigned", batch_name)
     )
 
 
@@ -1159,11 +1160,18 @@ def append_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_name: str | None = None,
 ) -> None:
     """Assign NEW vectors against the frozen codebook and append them
     as the next ``assigned/batch-NNNNNN/`` directory — the same
     idempotent per-batch-dir discipline as the dedup history indexes;
-    existing index data is never re-read or re-assigned."""
+    existing index data is never re-read or re-assigned.
+
+    ``batch_name`` pins the directory name (e.g. a streaming batch id)
+    so a crash-replayed caller REWRITES its own directory instead of
+    minting a new one — required for exactly-once maintenance from
+    foreachBatch; the default max+1 numbering serves one-shot batch
+    appends."""
     import glob
     import os
 
@@ -1173,10 +1181,12 @@ def append_ivf_index(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
-    batches = glob.glob(os.path.join(path, "assigned", "batch-*"))
-    nxt = max(int(os.path.basename(b).split("-")[1]) for b in batches) + 1
+    if batch_name is None:
+        batches = glob.glob(os.path.join(path, "assigned", "batch-*"))
+        nxt = max(int(os.path.basename(b).split("-")[1]) for b in batches) + 1
+        batch_name = f"batch-{nxt:06d}"
     _assign_cells(base, cent_rows, "vid").write.mode("overwrite").parquet(
-        os.path.join(path, "assigned", f"batch-{nxt:06d}")
+        os.path.join(path, "assigned", batch_name)
     )
 
 

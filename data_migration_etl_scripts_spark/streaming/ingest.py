@@ -130,6 +130,7 @@ def stream_corpus_ingest(
     expectations: Callable[[DataFrame], DataFrame] | None = None,
     rollup_spec: tuple[list[str], list[str]] | None = None,
     shard_spec: dict | None = None,
+    ann_spec: dict | None = None,
     await_termination: bool = True,
 ):
     """Drain ``source_dir`` (availableNow) through the dedup-admit loop.
@@ -146,6 +147,15 @@ def stream_corpus_ingest(
     the streaming twin of the batch CDC pre-write gate.
     ``rollup_spec`` = (group_cols, measure_cols) over accepted docs;
     read back with :func:`read_ingest_rollup`.
+    ``ann_spec`` (optional) maintains a persistent IVF index over the
+    admitted docs' embedding column — keys: ``vec_col`` (required; the
+    incoming schema must carry it), ``index_dir`` (default
+    ``state_dir/ann_index``), ``n_centroids``. The FIRST admitting
+    batch builds the frozen codebook; every later batch assigns its
+    accepted vectors against it into a per-batch directory named by
+    the streaming batch id, so crash replays rewrite rather than
+    double-append (same discipline as the hash/band indexes). Query it
+    with :func:`operators.similarity.search_ivf_index`.
     ``shard_spec`` (optional) emits each admitting batch's accepted
     docs as WebDataset-style tar shards under
     ``shards/batch-{id:06d}/`` — keys: ``members`` (ext -> column,
@@ -243,6 +253,31 @@ def stream_corpus_ingest(
             fold_batch_into_rollup(
                 spark, accepted, batch_id, rollup_dir, group_cols, measure_cols
             )
+        if ann_spec is not None:
+            from data_migration_etl_scripts_spark.operators.similarity import (
+                append_ivf_index,
+                build_ivf_index,
+            )
+
+            index_dir = ann_spec.get("index_dir") or os.path.join(
+                state_dir, "ann_index"
+            )
+            vec_col = ann_spec["vec_col"]
+            if not os.path.isdir(os.path.join(index_dir, "centroids")):
+                # batch_name = the streaming batch id, so a replayed
+                # first batch rewrites its own assigned dir (the append
+                # path, taken on replay because centroids now exist,
+                # uses the same name)
+                build_ivf_index(
+                    accepted, index_dir, id_col=id_col, vec_col=vec_col,
+                    n_centroids=ann_spec.get("n_centroids", 8),
+                    batch_name=me,
+                )
+            else:
+                append_ivf_index(
+                    accepted, index_dir, id_col=id_col, vec_col=vec_col,
+                    batch_name=me,
+                )
         # 3b. admit to the corpus sink — per-batch dir, overwrite
         accepted.write.mode("overwrite").parquet(os.path.join(corpus_dir, me))
         # 3c. extend history indexes — ALSO per-batch overwrite dirs;

@@ -272,3 +272,66 @@ def test_streaming_ingest_ships_tokenized_shards_with_pretrained_merges(spark, t
         assert "<unk>" not in toks  # seed corpus covers these docs' chars
         assert "".join(toks).replace("</w>", " ").strip() == texts[k].lower()
         assert len(ids) > 0
+
+
+def test_streaming_ingest_maintains_ann_index(spark, tmp_path):
+    """ann_spec: admitted docs' embeddings land in a persistent IVF
+    index (frozen codebook from the first wave, per-batch appends);
+    searching the index finds neighbors across BOTH waves, rejected
+    duplicates never enter it, and a checkpoint-loss replay leaves the
+    index identical."""
+    import shutil
+
+    from data_migration_etl_scripts_spark.operators.similarity import (
+        search_ivf_index,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    schema = "doc_id long, text string, embedding array<double>"
+
+    def vec(seed):
+        return [float((seed * 31 + i * 7) % 13 - 6) for i in range(8)]
+
+    def wave(name, rows):
+        import glob
+        import tempfile
+
+        df = spark.createDataFrame(rows, schema)
+        with tempfile.TemporaryDirectory() as td:
+            out = os.path.join(td, "out")
+            df.coalesce(1).write.parquet(out)
+            shutil.copy(glob.glob(os.path.join(out, "part-*.parquet"))[0],
+                        os.path.join(src, f"{name}.parquet"))
+
+    spec = {"vec_col": "embedding", "n_centroids": 2}
+    wave("w1", [(1, BASE, vec(1)), (2, OTHER, vec(2))])
+    stream_corpus_ingest(spark, src, state, schema=schema, ann_spec=spec)
+    # wave 2: one exact dup (must NOT enter the index) + one fresh doc
+    wave("w2", [(3, BASE, vec(3)),
+                (4, "entirely new material about harbor engineering and "
+                    "tide walls with no overlap at all", vec(4))])
+    stream_corpus_ingest(spark, src, state, schema=schema, ann_spec=spec)
+
+    index_dir = os.path.join(state, "ann_index")
+    q = spark.createDataFrame([(1, vec(1))], "vec_id long, embedding array<double>")
+    got = search_ivf_index(spark, index_dir, q, k=3, n_probe=2).collect()
+    ids = {r.corpus_id for r in got}
+    assert 3 not in ids          # rejected duplicate never indexed
+    assert ids <= {2, 4} and ids  # neighbors span both admitted waves
+
+    before = sorted(
+        tuple(r) for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(index_dir, "assigned"))
+        .select("vid", "centroid_id").collect()
+    )
+    # lose the checkpoint: both waves replay; index must not grow
+    shutil.rmtree(os.path.join(state, "checkpoint"))
+    stream_corpus_ingest(spark, src, state, schema=schema, ann_spec=spec)
+    after = sorted(
+        tuple(r) for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(index_dir, "assigned"))
+        .select("vid", "centroid_id").collect()
+    )
+    assert after == before
