@@ -58,8 +58,15 @@ AUDITED = {
     "sample_by_perplexity_bucket": "scoring explode is the only corpus shuffle; quartile thresholds broadcast; bucket+sample are one map-side CASE filter",
     "pack_sequences": "per-shard window (no global sort); running sum materialized ONCE — Catalyst does not CSE window exprs, so deriving bin+offset from a single _cum column keeps the Window node to one aggregate",
     "ann_topk_ivf2": "two bounded codebooks give k1*k2 effective cells; assignment is map-side literal-expression argmax (zero corpus shuffles); search = one equi-join on the composite (coarse, sub) key",
-    "ann_topk_ivf_pq": "candidate scan reads (vid, cell, codes) — never raw vectors; ADC = broadcast per-query LUTs + m_sub element_at lookups; exact re-rank joins full vectors for only O(rerank*queries) rows",
     "corpus_curate": "docs persisted once for the pair + keep branches; O(dup-docs) drop-list broadcast keeps the corpus anti-join map-side; pack = per-shard window",
+    "ann_topk_ivf_pq": "candidate scan reads (vid, cell, codes) — never raw vectors; ADC = broadcast per-query LUTs + element_at lookups; exact re-rank joins full vectors for O(rerank*queries) rows",
+    "hard_negatives": "IVF candidate plan with the near-dup cosine ceiling filtered BEFORE ranking — the false-negative guard costs nothing extra",
+    "sample_cluster_balanced": "map-side cluster assignment (zero shuffles) + one count agg; per-cluster md5 thresholds broadcast back — corpus never shuffles for the sample decision",
+    "decontaminate_fuzzy_docs": "bench band table broadcast; corpus pays ONE signature pass (explode + codegen min aggs) + a broadcast equi-join — never all-pairs",
+    "quality_zscore_by_source": "one scoring pass + stratum-cardinality agg broadcast back; z computed map-side",
+    "dedup_remove_runs_exact": "same single coverage explode + (doc, tpos) aggregation as the window policy — owner protection folds in as max(own) on the same shuffle",
+    "q5_local_supplier_volume": "region/nation/supplier dims broadcast and prune before any fact shuffle; DECIMAL revenue partials merge order-independently",
+    "q10_returned_items": "quarter+returnflag filters pushed to both fact scans; top-20 = TakeOrderedAndProject, no global sort",
 }
 
 
