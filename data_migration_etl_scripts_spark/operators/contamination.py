@@ -488,3 +488,167 @@ def decontaminate_fuzzy_sql(
                coalesce(h.n_bench_hits, 0) > 0 AS contaminated
         FROM {docs_table} d LEFT JOIN hits h ON d.{id_col} = h.doc_id
     """
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 4096,
+    bigram_size: int = 16384,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM scoring (the CCNet-style upgrade over
+    :func:`unigram_logprob`): per transition (w1, w2),
+
+        lp = log(lam * P(w2|w1) + (1 - lam) * P1(w2))
+
+    with P(w2|w1) = c(w1,w2)/c(w1) from the top-``bigram_size`` bigram
+    table (0 when the bigram or w1 is out of table — the unigram
+    interpolation floor absorbs it) and P1 the floored unigram.
+    Catches fluent-word-salad that fools a unigram model (every token
+    common, no two of them ever adjacent in real text).
+
+    Plan: transitions come from zip_with over shifted slices (the
+    no-CSE-safe shingle pattern); both model tables are
+    TakeOrderedAndProject tops, broadcast; per-transition log-probs
+    round to 9 dp then DECIMAL-sum, so 1000-executor merge order
+    cannot drift the average. Returns (doc_id, n_transitions,
+    hit_frac, avg_logprob); docs with < 2 tokens report (0, 0.0, 0.0).
+    """
+    toks = tp.tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    n = F.size("t")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("t", 1, n - 1),
+            F.expr("slice(t, 2, size(t) - 1)"),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    trans = base.select("doc_id", F.explode_outer(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    tok = base.select("doc_id", F.explode("t").alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(F.sum("c").cast("long").alias("total"))
+    vocab = counts.orderBy(F.desc("c"), "w").limit(vocab_size)
+    bigrams = (
+        trans.where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .join(F.broadcast(vocab.select(F.col("w").alias("w1"))), "w1")
+        .join(F.broadcast(vocab.select(F.col("w").alias("w2"))), "w2")
+        .orderBy(F.desc("cb"), "w1", "w2")
+        .limit(bigram_size)
+    )
+    p2 = F.coalesce(
+        F.col("cb") / F.col("c1"), F.lit(0.0)
+    )
+    p1 = F.coalesce(
+        F.col("c2") / F.col("total"), F.lit(0.5) / F.col("total")
+    )
+    lp = F.round(F.log(F.lit(float(lam)) * p2 + F.lit(1.0 - lam) * p1), 9)
+    scored = (
+        trans.crossJoin(F.broadcast(totals))
+        .join(
+            F.broadcast(vocab.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1", "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2", "left",
+        )
+        .join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.col("w1").isNotNull().cast("int").alias("is_tr"),
+            (F.col("w1").isNotNull() & F.col("cb").isNotNull()).cast("int").alias("is_hit"),
+            F.when(F.col("w1").isNotNull(), lp)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(20,10)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("is_tr").cast("long").alias("n_transitions"),
+        F.round(
+            F.when(F.sum("is_tr") > 0, F.sum("is_hit") / F.sum("is_tr"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("hit_frac"),
+        F.round(
+            F.when(
+                F.sum("is_tr") > 0, F.sum("lp").cast("double") / F.sum("is_tr")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+def bigram_logprob_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 4096,
+    bigram_size: int = 16384,
+    lam: float = 0.7,
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob` (same tops, interpolation,
+    rounding, and DECIMAL summation)."""
+    toks = tp.tokens_sql(text_col)
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+        ),
+        trans AS (
+            SELECT doc_id, u.p.w1 AS w1, u.p.w2 AS w2
+            FROM base
+            LEFT JOIN LATERAL (
+                SELECT unnest(COALESCE(NULLIF(
+                    CASE WHEN len(t) >= 2 THEN
+                        list_transform(
+                            list_zip(list_slice(t, 1, len(t) - 1),
+                                     list_slice(t, 2, len(t))),
+                            z -> struct_pack(w1 := z[1], w2 := z[2]))
+                    ELSE [] END, []), [NULL])) AS p
+            ) u ON true
+        ),
+        tok AS (SELECT doc_id, unnest(t) AS w FROM base),
+        counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        totals AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+        vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {vocab_size}),
+        bigrams AS (
+            SELECT tr.w1, tr.w2, count(*) AS cb
+            FROM trans tr
+            JOIN vocab v1 ON tr.w1 = v1.w
+            JOIN vocab v2 ON tr.w2 = v2.w
+            GROUP BY tr.w1, tr.w2
+            ORDER BY cb DESC, tr.w1, tr.w2 LIMIT {bigram_size}
+        ),
+        scored AS (
+            SELECT tr.doc_id,
+                   CAST(tr.w1 IS NOT NULL AS INT) AS is_tr,
+                   CAST(tr.w1 IS NOT NULL AND b.cb IS NOT NULL AS INT) AS is_hit,
+                   CAST(CASE WHEN tr.w1 IS NOT NULL THEN
+                       round(ln({lam!r} * COALESCE(b.cb / CAST(v1.c AS DOUBLE), 0.0)
+                              + {1.0 - lam!r} * COALESCE(v2.c / CAST(total AS DOUBLE),
+                                                         0.5 / CAST(total AS DOUBLE))), 9)
+                   ELSE 0.0 END AS DECIMAL(20,10)) AS lp
+            FROM trans tr
+            CROSS JOIN totals
+            LEFT JOIN vocab v1 ON tr.w1 = v1.w
+            LEFT JOIN vocab v2 ON tr.w2 = v2.w
+            LEFT JOIN bigrams b ON tr.w1 = b.w1 AND tr.w2 = b.w2
+        )
+        SELECT doc_id,
+               CAST(sum(is_tr) AS BIGINT) AS n_transitions,
+               round(CASE WHEN sum(is_tr) > 0
+                          THEN sum(is_hit) / CAST(sum(is_tr) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS hit_frac,
+               round(CASE WHEN sum(is_tr) > 0
+                          THEN CAST(sum(lp) AS DOUBLE) / sum(is_tr)
+                          ELSE 0.0 END, 6) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    """

@@ -1972,6 +1972,23 @@ def quality_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_lm_score",
+    oracle=ctm.bigram_logprob_sql("documents", vocab_size=2048, bigram_size=8192),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity stand-in (CCNet-style upgrade
+    over the unigram model): transition log-probs interpolate the
+    corpus bigram table with the floored unigram, so fluent word salad
+    — common tokens, impossible adjacencies — scores low even though
+    every token is in-vocab. Both model tables are
+    TakeOrderedAndProject tops, broadcast; DECIMAL log-prob sums keep
+    the average order-independent."""
+    return ctm.bigram_logprob(
+        _t(spark, sf_dir, "documents"), vocab_size=2048, bigram_size=8192
+    )
+
+
+@query(
     "decontaminate_fuzzy_docs",
     oracle=ctm.decontaminate_fuzzy_sql(
         "documents", "SELECT * FROM documents WHERE doc_id % 23 = 0"

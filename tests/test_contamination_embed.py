@@ -296,3 +296,31 @@ def test_fuzzy_decontamination_catches_paraphrased_leak(spark):
     got = {r.doc_id: r.contaminated
            for r in ctm.decontaminate_fuzzy(docs, bench).collect()}
     assert got == {1: True, 2: True, 3: False}
+
+
+def test_bigram_lm_penalizes_word_salad(spark):
+    """The property bigrams add over unigrams: a SHUFFLE of a fluent
+    corpus' tokens keeps every unigram identical but destroys the
+    adjacencies — the bigram model must score the shuffled doc lower
+    while the unigram model cannot tell them apart."""
+    import random
+
+    from data_migration_etl_scripts_spark.operators import contamination as ctm
+
+    fluent = ("the quick brown fox jumps over the lazy dog and the old "
+              "river bank holds the morning light across the quiet valley")
+    words = fluent.split()
+    rng = random.Random(3)
+    salad = words[:]
+    while " ".join(salad) == fluent:
+        rng.shuffle(salad)
+    # a small corpus of fluent docs teaches the bigram table
+    rows = [(i, fluent) for i in range(8)] + [(100, " ".join(salad))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bi = {r.doc_id: r.avg_logprob
+          for r in ctm.bigram_logprob(df, vocab_size=64, bigram_size=256).collect()}
+    uni = {r.doc_id: r.avg_logprob
+           for r in ctm.unigram_logprob(df, vocab_size=64).collect()}
+    assert bi[100] < bi[0] - 0.3, (bi[100], bi[0])   # salad clearly worse
+    assert abs(uni[100] - uni[0]) < 1e-6             # unigrams blind to it
