@@ -250,3 +250,34 @@ def write_zorder_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    max_partitions: int = 10000,
+) -> None:
+    """Persist hive-style partitioned parquet (``col=value/``
+    directories) — the bread-and-butter 100 TB fact layout: a
+    partition-column predicate prunes whole DIRECTORIES at planning
+    time (PartitionFilters in the scan node), before any file or
+    row-group statistic is consulted. Complements range clustering
+    (intra-file ordering) and Z-order (multi-dim file skipping):
+    partitioning handles the coarse axis every query filters on
+    (ingest date, source), clustering handles the rest.
+
+    Guards the classic operational failure: more than
+    ``max_partitions`` distinct partition values (e.g. partitioning by
+    a near-unique key) would create millions of tiny directories and
+    melt the file listing — refuse loudly instead. The check is one
+    distinct-count aggregate, not a listing."""
+    n = df.select(*partition_cols).distinct().limit(max_partitions + 1).count()
+    if n > max_partitions:
+        raise ValueError(
+            f"write_hive_partitioned: > {max_partitions} distinct "
+            f"partition values for {list(partition_cols)}; partition by a "
+            "coarser column (date, source) and range-cluster the rest"
+        )
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -91,3 +91,36 @@ def test_zorder_nulls_rank_at_minimum(spark):
     )
     got = {(r.x, r.y): r._zval for r in sc.zorder_key(df, ["x", "y"], bits=2).collect()}
     assert got[(None, 0)] == got[(0, 0)] == 0  # NULL clusters with min, not NULL key
+
+
+def test_hive_partitioned_write_prunes_directories(spark, tmp_path):
+    """A partition-column predicate must surface as PartitionFilters in
+    the scan (directory pruning at planning time) and read only the
+    matching col=value directories; a too-fine partition key refuses."""
+    import os
+
+    import pytest
+
+    from data_migration_etl_scripts_spark.operators import scale as sc
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    sc.write_hive_partitioned(orders, path, ["o_year"])
+    years = {d for d in os.listdir(path) if d.startswith("o_year=")}
+    assert len(years) >= 3  # data spans 1995-2001
+
+    back = spark.read.parquet(path).where(F.col("o_year") == 1996)
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters", 1)[1][:200]
+    # row parity with the unpartitioned source
+    want = orders.where(F.col("o_year") == 1996).count()
+    assert back.count() == want and want > 0
+
+    with pytest.raises(ValueError, match="distinct partition values"):
+        sc.write_hive_partitioned(
+            orders, str(tmp_path / "bad"), ["o_orderkey"], max_partitions=100
+        )
