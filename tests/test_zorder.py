@@ -124,3 +124,27 @@ def test_hive_partitioned_write_prunes_directories(spark, tmp_path):
         sc.write_hive_partitioned(
             orders, str(tmp_path / "bad"), ["o_orderkey"], max_partitions=100
         )
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining the partitioned fact to a FILTERED dim must plan a
+    dynamicpruning subquery on the partition column — at 100 TB this
+    skips whole fact directories based on the dim filter's runtime
+    result, not just static predicates."""
+    from data_migration_etl_scripts_spark.operators import scale as sc
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year_dpp")
+    sc.write_hive_partitioned(orders, path, ["o_year"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1996, "focus year")], "o_year int, label string"
+    )
+    joined = fact.join(dim.where(F.col("label") == "focus year"), "o_year")
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == orders.where(F.col("o_year") == 1996).count()
