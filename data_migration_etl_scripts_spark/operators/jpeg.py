@@ -251,6 +251,8 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        while pos + 2 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # legal 0xFF fill bytes before a marker
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break

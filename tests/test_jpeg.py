@@ -173,3 +173,16 @@ def test_random_images_roundtrip_within_dct_loss():
                     for y in range(h) for x in range(w)
                 )
                 assert yerr <= 64, (trial, w, h, yerr)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """JPEG permits 0xFF fill bytes before any marker; pad a valid
+    stream's segment boundaries and require identical decode."""
+    img = _gradient()
+    blob = jpeg_encode(img, quality=95)
+    # inject fill bytes before the SOF0 marker
+    i = blob.index(b"\xff\xc0")
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    w, h, rows = jpeg_decode(padded)
+    assert (w, h) == (W, H)
+    assert rows == jpeg_decode(blob)[2]
