@@ -180,7 +180,22 @@ def run_incremental(
         if batch_size is None:
             batch = remaining
         else:
-            batch = remaining.orderBy(F.col(wm_col)).limit(batch_size)
+            # WATERMARK-ALIGNED batching: take the first batch_size rows
+            # to find the boundary value, then include EVERY row <= it.
+            # With a unique watermark column this is exactly the limit;
+            # with a NON-unique one (roles' GroupID, any fact keyed by a
+            # parent id) a plain limit could cut mid-group — the rows
+            # tied with the boundary beyond the limit would be skipped
+            # FOREVER once the watermark advances past their value.
+            head_mx = (
+                remaining.orderBy(F.col(wm_col))
+                .limit(batch_size)
+                .agg(F.max(wm_col).alias("mx"))
+                .collect()[0]["mx"]
+            )
+            if head_mx is None:
+                break
+            batch = remaining.where(F.col(wm_col) <= F.lit(head_mx))
         # cache: the batch feeds transform + watermark max + (maybe) dual sinks
         batch = batch.cache()
         try:

@@ -186,33 +186,32 @@ def pq_seed_codebooks(
             F.col(id_col).alias("vid"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        .withColumn(
-            "nv",
-            F.transform(
-                "v",
-                lambda x: x
-                / F.sqrt(
-                    F.aggregate(
-                        F.transform("v", lambda y: y * y),
-                        F.lit(0.0),
-                        lambda a, y: a + y,
-                    )
-                ),
-            ),
-        )
         .where(F.size("v") > 0)
+        # zero-norm vectors can't seed a codeword (and the SQL twins
+        # seed from base_nz, nrm > 0 — parity requires the same filter)
+        .where(
+            F.expr(
+                "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
+            ) > 0
+        )
         .orderBy("vid")
         .limit(n_codes)
         .collect()
     )
     if not rows:
         raise ValueError("pq_seed_codebooks: empty corpus")
-    dim = len(rows[0]["nv"])
+    dim = len(rows[0]["v"])
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible into {m_sub} subvectors")
     sub = dim // m_sub
+    # normalize driver-side: n_codes rows, no interpreted Spark lambdas
+    normed = []
+    for r in rows:
+        v = [float(x) for x in r["v"]]
+        nrm = sum(x * x for x in v) ** 0.5
+        normed.append([x / nrm for x in v])
     return [
-        [[float(x) for x in r["nv"][m * sub : (m + 1) * sub]] for r in rows]
+        [nv[m * sub : (m + 1) * sub] for nv in normed]
         for m in range(m_sub)
     ]
 
@@ -305,23 +304,25 @@ def pq_reconstruction_error(
     the PQ codes against the normalized original — the measurable
     compression/accuracy trade. codes serialize as CSV for harness
     hashability; err rounds to 6 dp for cross-engine parity."""
-    coded = pq_encode(df, codebooks, id_col, vec_col)
-    base = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn(
-        "__nv",
-        F.transform(
-            "__v",
-            lambda x: x
-            / F.sqrt(
-                F.aggregate(
-                    F.transform("__v", lambda y: y * y),
-                    F.lit(0.0),
-                    lambda a, y: a + y,
-                )
-            ),
-        ),
+    # zero-norm vectors have no meaningful codes; the SQL twin's
+    # base_nz drops them — same filter here for row-set parity
+    sumsq = "aggregate(__v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
+    coded = pq_encode(
+        df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+        .where(F.expr(sumsq) > 0)
+        .drop("__v"),
+        codebooks, id_col, vec_col,
+    )
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .where(F.expr(sumsq) > 0)
+        # materialize the norm ONCE: a transform lambda re-evaluating
+        # the aggregate norm per element is O(dim^2) per row
+        .withColumn("__nrm", F.expr(f"sqrt({sumsq})"))
+        .withColumn("__nv", F.transform("__v", lambda x: x / F.col("__nrm")))
     )
     joined = base.join(coded, id_col)
     rec = pq_decode_expr(F.col("codes"), codebooks)

@@ -386,7 +386,9 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     cy, cb, cr = comps[0], comps[1], comps[2]
     for y in range(height):
         row = []
-        yb = y * cy["w"]
+        # Y gets the same sampling-factor scaling as chroma: a legal
+        # stream may have comps[0].v < vmax (subsampled luma)
+        yb = (y * cy["v"] // vmax) * cy["w"]
         bb = (y * cb["v"] // vmax) * cb["w"]
         rb = (y * cr["v"] // vmax) * cr["w"]
         for x in range(width):

@@ -484,6 +484,12 @@ def cosine_topk_ivf2(
         by_cell.setdefault(int(r["centroid_id"]), []).append(
             (r["sub_id"], r["sv"], r["sn"])
         )
+    if not by_cell:
+        # empty (or all-zero-norm) corpus: degrade like cosine_topk_ivf
+        # instead of emitting an unparseable zero-branch CASE
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, corpus_id long, cosine double"
+        )
 
     def sub_probe(n_probe: int) -> Column:
         """CASE over the coarse cell -> that cell's sub-probe list —

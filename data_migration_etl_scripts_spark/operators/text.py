@@ -859,9 +859,29 @@ def quality_zscore_by_source(
         ),
         "doc_id",
     )
+    # DECIMAL partials for the stratum moments: double avg/stddev merge
+    # partials in partition order, so a z within an ulp of its rounding
+    # boundary could flip between runs/engines. Sum round(q,9) and its
+    # square as decimals (exact, order-independent), derive mu/sd in
+    # fixed-order double math.
+    qd = F.round(F.col("quality"), 9).cast("decimal(20,10)")
     stats = scored.groupBy("__src").agg(
-        F.avg("quality").alias("__mu"),
-        F.stddev_samp("quality").alias("__sd"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(qd).alias("__s"),
+        F.sum(qd * qd).alias("__ss"),
+    ).select(
+        "__src",
+        "__n",
+        (F.col("__s").cast("double") / F.col("__n")).alias("__mu"),
+        F.when(
+            F.col("__n") > 1,
+            (
+                F.col("__ss").cast("double")
+                - F.col("__s").cast("double") * F.col("__s").cast("double")
+                / F.col("__n")
+            )
+            / (F.col("__n") - 1),
+        ).alias("__var"),
     )
     return (
         scored.join(F.broadcast(stats), "__src")
@@ -870,10 +890,12 @@ def quality_zscore_by_source(
             F.col("__src").alias(source_col),
             "quality",
             F.when(
-                F.col("__sd").isNull() | (F.col("__sd") == 0), F.lit(0.0)
+                F.col("__var").isNull() | (F.col("__var") <= 0), F.lit(0.0)
             )
             .otherwise(
-                F.round((F.col("quality") - F.col("__mu")) / F.col("__sd"), 6)
+                F.round(
+                    (F.col("quality") - F.col("__mu")) / F.sqrt(F.col("__var")), 6
+                )
             )
             .alias("quality_z"),
         )
@@ -894,11 +916,24 @@ def quality_zscore_by_source_sql(
             FROM ({inner}) q JOIN {table} d ON q.doc_id = d.{id_col}
         ),
         stats AS (
-            SELECT src, avg(quality) AS mu, stddev_samp(quality) AS sd
+            SELECT src, count(*) AS n,
+                   sum(CAST(round(quality, 9) AS DECIMAL(20,10))) AS s,
+                   sum(CAST(round(quality, 9) AS DECIMAL(20,10))
+                       * CAST(round(quality, 9) AS DECIMAL(20,10))) AS ss
             FROM scored GROUP BY src
+        ),
+        moments AS (
+            SELECT src, n,
+                   CAST(s AS DOUBLE) / n AS mu,
+                   CASE WHEN n > 1 THEN
+                       (CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)
+                   END AS var
+            FROM stats
         )
         SELECT s.doc_id AS {id_col}, s.src AS {source_col}, s.quality,
-               CASE WHEN t.sd IS NULL OR t.sd = 0 THEN 0.0
-                    ELSE round((s.quality - t.mu) / t.sd, 6) END AS quality_z
-        FROM scored s JOIN stats t USING (src)
+               CASE WHEN t.var IS NULL OR t.var <= 0 THEN 0.0
+                    ELSE round((s.quality - t.mu) / sqrt(t.var), 6)
+               END AS quality_z
+        FROM scored s JOIN moments t USING (src)
     """

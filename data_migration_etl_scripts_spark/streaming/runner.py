@@ -5,9 +5,11 @@ new batches — the file-arrival analog of `pk > watermark`), applies
 the SAME transform callable an IncrementalPipeline uses (gates raise
 inside foreachBatch, failing the query before the batch commits), and
 appends to the catalog sink. The streaming checkpoint replaces the
-EtlCDC watermark table: source offsets + sink commit log give
-exactly-once per batch, strictly stronger than the reference's
-at-least-once contract (SURVEY.md §2.1 S11).
+EtlCDC watermark table, and every sink write is a per-batch-id
+OVERWRITE directory, so a crash-replayed batch rewrites its own
+output instead of appending a duplicate — exactly-once per batch,
+strictly stronger than the reference's at-least-once contract
+(SURVEY.md §2.1 S11).
 
 ``trigger_available_now`` drains everything currently in the source
 then stops — the streaming equivalent of the reference's "loop until
@@ -70,10 +72,18 @@ def stream_pipeline(
             # dual-output loads (entity + crosswalk): materialize the
             # transformed batch once, derive every sink from it
             out = out.localCheckpoint()
-        out.write.mode("append").parquet(sink_path)
+        # per-BATCH overwrite directories, not appends: a crash between
+        # any sink write and the checkpoint commit replays the batch,
+        # and an append would duplicate the wave (or leave the entity
+        # sink a wave ahead of its crosswalk). Per-batch dirs make the
+        # replay a byte-identical rewrite — the same discipline as
+        # cdc.py's idempotent mode and streaming/ingest.py; readers
+        # (catalog.read) list sink directories recursively.
+        sub = f"batch-{batch_id:06d}"
+        out.write.mode("overwrite").parquet(os.path.join(sink_path, sub))
         for extra_table, fn in extra_sinks or ():
-            fn(out).write.mode("append").parquet(
-                os.path.join(catalog.scratch_dir, extra_table)
+            fn(out).write.mode("overwrite").parquet(
+                os.path.join(catalog.scratch_dir, extra_table, sub)
             )
 
     query = (

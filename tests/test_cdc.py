@@ -253,3 +253,28 @@ def test_expectations_gate_clean_batch_loads(cat):
     r = run_incremental(cat, pipe, batch_size=None)
     assert r.rows == 1500
     assert cat.read("orders_v2").count() == 1500
+
+
+def test_batching_never_cuts_a_non_unique_watermark_group(cat, spark):
+    """Watermark-aligned batching: with a NON-unique watermark column
+    (e.g. roles' GroupID), a batch boundary landing mid-group must pull
+    the whole group in — a plain limit would skip the tied rows forever
+    once the watermark advanced past their value."""
+    rows = [(g, f"form{j}") for g in range(1, 6) for j in range(4)]  # 5 groups x 4
+    cat.write(
+        spark.createDataFrame(rows, "GroupID long, FormName string"),
+        "GroupedSource",
+    )
+    pipe = IncrementalPipeline(
+        name="grouped",
+        source=lambda: cat.read("GroupedSource"),
+        watermark_col="GroupID",
+        sink_table="GroupedV2",
+    )
+    # batch_size=3 would cut group 1 (4 rows) mid-group under plain limit
+    r = run_incremental(cat, pipe, batch_size=3)
+    assert r.rows == 20  # every row of every group landed
+    out = cat.read("GroupedV2")
+    got = {(x.GroupID, x.FormName) for x in out.collect()}
+    assert got == set(rows)
+    assert out.count() == 20  # and nothing duplicated

@@ -350,3 +350,27 @@ def test_registry_gated_entity_stream_gate_blocks_then_resumes(spark, cat, tmp_p
     stream_incremental_pipeline(spark, cat, pipe, src, bay_schema, batch_ts=TS)
     got = {r.BayID: r.NewLocationID for r in cat.read("BaysV2").collect()}
     assert got == {1: 5010, 2: 5099}
+
+
+def test_stream_pipeline_checkpoint_loss_replay_does_not_duplicate(spark, cat, tmp_path):
+    """Per-batch-dir sinks: replaying a committed wave (checkpoint lost
+    — the worst stand-in for a crash between sink write and commit)
+    must rewrite the same directories, never append duplicates, for
+    the main AND extra sinks."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _mk_events(spark, [_event(1, 0), _event(2, 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    extras = (("EventsMirror", lambda df: df.select("event_id", "user_id")),)
+    kw = dict(name="evr", source_dir=src, schema=EVENTS_SCHEMA,
+              sink_table="EventsV2R", batch_ts=TS, extra_sinks=extras)
+    stream_pipeline(spark, cat, **kw)
+    assert cat.read("EventsV2R").count() == 2
+    assert cat.read("EventsMirror").count() == 2
+
+    shutil.rmtree(os.path.join(cat.scratch_dir, "_checkpoints/evr"))
+    stream_pipeline(spark, cat, **kw)
+    assert cat.read("EventsV2R").count() == 2  # rewrite, not append
+    assert cat.read("EventsMirror").count() == 2
