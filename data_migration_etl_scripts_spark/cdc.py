@@ -187,14 +187,33 @@ def run_incremental(
             # parent id) a plain limit could cut mid-group — the rows
             # tied with the boundary beyond the limit would be skipped
             # FOREVER once the watermark advances past their value.
-            head_mx = (
+            head = (
                 remaining.orderBy(F.col(wm_col))
                 .limit(batch_size)
-                .agg(F.max(wm_col).alias("mx"))
-                .collect()[0]["mx"]
+                .agg(
+                    F.max(wm_col).alias("mx"),
+                    F.sum(F.col(wm_col).isNull().cast("long")).alias("n_null"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
             )
-            if head_mx is None:
+            if head["n"] == 0:
                 break
+            # NULLs sort FIRST, so any null-watermark row lands in the
+            # head batch. They must fail loudly: the `<=` boundary
+            # filter below is null-safe-false (silent drop), and once
+            # the watermark advances, `> wm` excludes them FOREVER.
+            # (The pre-r5 behavior was worse in a different way — an
+            # all-null head made head_mx None and the loop broke with
+            # non-null rows still pending.)
+            if head["n_null"]:
+                raise ValueError(
+                    f"{pipeline.name}: watermark column {wm_col!r} has "
+                    f"{head['n_null']} NULL row(s) — watermark-aligned "
+                    "batching requires a non-null watermark; clean the "
+                    "source or run with batch_size=None"
+                )
+            head_mx = head["mx"]
             batch = remaining.where(F.col(wm_col) <= F.lit(head_mx))
         # cache: the batch feeds transform + watermark max + (maybe) dual sinks
         batch = batch.cache()

@@ -289,6 +289,14 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
             prec, height, width, n_comp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit baseline JPEG supported")
+            if n_comp not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) baseline streams would
+                # otherwise silently decode comps[0:3] as YCbCr and
+                # produce garbage pixels — keep the documented seam.
+                raise NotImplementedError(
+                    f"{n_comp}-component JPEG (CMYK/YCCK) needs PIL — only "
+                    "grayscale and 3-component YCbCr decode here"
+                )
             comps = []
             for c in range(n_comp):
                 cid, hv, qid = struct.unpack_from(">BBB", seg, 6 + 3 * c)

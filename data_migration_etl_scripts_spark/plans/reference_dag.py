@@ -69,19 +69,25 @@ def _packages_chained(catalog):
     import dataclasses
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from data_migration_etl_scripts_spark import functions as ef
+    from data_migration_etl_scripts_spark.gates import require_no_nulls
 
     p = build_gated_entity(catalog, "packages")
     inner = p.transform
 
     def transform(df, ts):
         out = inner(df, ts)
-        # packages.py:66-70 cleans every object column (strip -> None,
-        # 'NULL' -> None) before the remaps
-        out = out.withColumn(
-            "Name", ef.scrub_null_literal(ef.strip_or_null("Name"))
-        )
+        # packages.py:66-70 cleans EVERY object column (strip -> None,
+        # 'NULL' -> None) before the remaps — applied to every
+        # string-typed column of the batch, not just Name
+        for field in out.schema.fields:
+            if isinstance(field.dataType, T.StringType):
+                out = out.withColumn(
+                    field.name,
+                    ef.scrub_null_literal(ef.strip_or_null(field.name)),
+                )
         cat_ids = (
             catalog.read("SyncCategories")
             .join(catalog.read("CategoriesV2Map"), ["AccountID", "Name"])
@@ -94,6 +100,11 @@ def _packages_chained(catalog):
         )
         out = out.withColumnRenamed("NewCategoryID", "OldCategoryID")
         out = out.join(F.broadcast(cat_ids), "OldCategoryID", "left")
+        # packages.py:84-88 gates the SECOND hop too: any OldCategoryID
+        # that fails to resolve aborts the batch (the first hop's RI
+        # gate guarantees OldCategoryID itself is non-null by now, so a
+        # null CategoryID can only mean an unmatched crosswalk row).
+        out = require_no_nulls(out, "CategoryID", context="packages->Categories")
         return out.drop("SubCategoryID", "OldCategoryID")
 
     return dataclasses.replace(p, transform=transform)

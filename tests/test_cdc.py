@@ -278,3 +278,27 @@ def test_batching_never_cuts_a_non_unique_watermark_group(cat, spark):
     got = {(x.GroupID, x.FormName) for x in out.collect()}
     assert got == set(rows)
     assert out.count() == 20  # and nothing duplicated
+
+
+def test_null_watermark_rows_fail_loudly(cat, spark):
+    """NULL-watermark rows sort FIRST under orderBy, so the boundary
+    filter (`wm <= head_mx`, null-safe-false) would silently drop them
+    and the advanced watermark (`wm > stored`) would exclude them
+    FOREVER. The runner must refuse the batch instead."""
+    rows = [(None, "lost"), (1, "a"), (2, "b")]
+    cat.write(
+        spark.createDataFrame(rows, "EventID long, Payload string"),
+        "NullWmSource",
+    )
+    pipe = IncrementalPipeline(
+        name="nullwm",
+        source=lambda: cat.read("NullWmSource"),
+        watermark_col="EventID",
+        sink_table="NullWmV2",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        run_incremental(cat, pipe, batch_size=2)
+    # nothing written, watermark not advanced
+    assert not cat.exists("NullWmV2")
+    store = WatermarkStore(spark, os.path.join(cat.scratch_dir, "_etl_cdc"))
+    assert store.get("nullwm") is None

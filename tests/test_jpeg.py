@@ -186,3 +186,14 @@ def test_fill_bytes_before_markers_are_skipped():
     w, h, rows = jpeg_decode(padded)
     assert (w, h) == (W, H)
     assert rows == jpeg_decode(blob)[2]
+
+
+def test_four_component_cmyk_raises():
+    """A 4-component (Adobe CMYK) SOF0 must hit the documented
+    NotImplementedError seam, not silently decode comps[0:3] as YCbCr."""
+    blob = bytearray(jpeg_encode(_gradient(), quality=90))
+    i = blob.index(b"\xff\xc0")
+    # SOF segment: ff c0 len(2) prec(1) h(2) w(2) ncomp(1) ...
+    blob[i + 9] = 4  # claim 4 components
+    with pytest.raises(NotImplementedError, match="component"):
+        jpeg_decode(bytes(blob))

@@ -254,3 +254,46 @@ def test_order_line_items_pipeline_and_gate(cat):
     with pytest.raises(IncrementalDependencyError):
         run_incremental(fresh, order_line_items_pipeline(fresh), batch_size=None,
                         batch_ts=TS)
+
+
+def test_packages_chained_second_hop_gated(cat):
+    """packages.py:84-88 — the SECOND category hop (OldCategoryID ->
+    CategoryID via the crosswalk) aborts the batch when any
+    OldCategoryID fails to resolve, mirroring the first hop's RI gate;
+    and packages.py:66-70 scrubs EVERY string column, not just Name."""
+    from data_migration_etl_scripts_spark.plans.reference_dag import (
+        _packages_chained,
+    )
+
+    # happy path: both crosswalk rows resolve; every string column
+    # (incl. Price, a padded string in the fixture below) is scrubbed
+    cat.write(
+        cat.spark.createDataFrame(
+            [(1, 70, " Oil Combo ", " 89.5 ", 1, T_FIX),
+             (2, 71, "NULL", "NULL", None, None)],
+            "PackageID long, SubCategoryID long, Name string, Price string,"
+            " StatusID int, UpdatedAt timestamp",
+        ),
+        "Packages",
+        mode="overwrite",
+    )
+    r = run_incremental(cat, _packages_chained(cat), batch_size=None, batch_ts=TS)
+    assert r.rows == 2
+    got = {row.PackageID: row for row in cat.read("PackagesV2").collect()}
+    assert got[1].Name == "Oil Combo" and got[1].Price == "89.5"
+    assert got[2].Name is None and got[2].Price is None  # 'NULL' scrubbed everywhere
+    assert got[1].CategoryID == 201 and got[2].CategoryID == 202
+
+    # unresolved second hop: drop the crosswalk row for OldCategoryID
+    # 101 -> package 2's category cannot resolve -> batch aborts
+    cat.write(
+        cat.spark.createDataFrame(
+            [(900, "Oil", 100)],
+            "AccountID long, Name string, OldCategoryID long",
+        ),
+        "SyncCategories",
+        mode="overwrite",
+    )
+    c2 = Catalog(cat.spark, base_dir=cat.base_dir, scratch_dir=cat.scratch_dir + "_2")
+    with pytest.raises(IncrementalDependencyError, match="packages->Categories"):
+        run_incremental(c2, _packages_chained(c2), batch_size=None, batch_ts=TS)
