@@ -401,6 +401,24 @@ def simhash_sql(table: str, id_col: str, text_col: str, bits: int = SIMHASH_BITS
 # ------------------------------------------- embedding near-dup (LSH)
 
 
+#: parsed-Column cache keyed by (applicationId, generated SQL): the
+#: multi-KB literal codebook/LUT expressions the similarity/embed
+#: operators generate cost ~0.5-1 s each to PARSE (ANTLR over a
+#: 512-4096-term tree), and identical strings recur across the corpus
+#: and query sides of one search and across a query family. Unresolved
+#: Columns are plan-independent, so one parse per session is safe.
+_EXPR_CACHE: dict[tuple, Column] = {}
+
+
+def cached_expr(spark, sql: str) -> Column:
+    key = (spark.sparkContext.applicationId, sql)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = F.expr(sql)
+        _EXPR_CACHE[key] = col
+    return col
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 

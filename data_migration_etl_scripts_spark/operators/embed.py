@@ -22,6 +22,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_migration_etl_scripts_spark.operators.dedup import cached_expr
+
 # ------------------------------------------------------- quantization
 
 
@@ -260,7 +262,7 @@ def pq_encode(
     nsq = " + ".join(
         f"element_at(__v, {i + 1}) * element_at(__v, {i + 1})" for i in range(dim)
     )
-    out = out.withColumn("__nrm", F.expr(f"sqrt({nsq})"))
+    out = out.withColumn("__nrm", cached_expr(df.sparkSession, f"sqrt({nsq})"))
     # argmin ||nv_sub - c||^2 == argmax (dot(v_sub, c)/nrm - ||c||^2/2):
     # one division per (sub, code) instead of per element, and the
     # ||c||^2/2 term folds to a literal. Scores round to 9 dp before
@@ -277,7 +279,9 @@ def pq_encode(
             )
             for c, code in enumerate(book)
         )
-        code_cols.append(F.expr(f"array_min(array({structs})).code"))
+        code_cols.append(
+            cached_expr(df.sparkSession, f"array_min(array({structs})).code")
+        )
     return out.select(
         F.col(id_col),
         F.array(*code_cols).alias("codes"),

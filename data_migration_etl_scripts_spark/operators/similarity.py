@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_migration_etl_scripts_spark.operators.dedup import _dot, _norm, sign_bucket
+from data_migration_etl_scripts_spark.operators.dedup import (
+    _dot,
+    _norm,
+    cached_expr,
+    sign_bucket,
+)
 
 
 def _scored(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str):
@@ -231,7 +236,15 @@ def _dot_lit(col_name: str, vec: list[float], offset: int = 0) -> Column:
     return F.expr(_dot_sql(col_name, vec, offset))
 
 
-def _probe_expr(cent_rows: list[tuple], n_probe: int) -> Column:
+# parse-once cache shared with the embed operators (see
+# dedup.cached_expr): the corpus and query assignments of one search,
+# plus every query in the flat-IVF family, share the exact same
+# generated tree — only the n_probe slice differs, applied OUTSIDE
+# the cached expression.
+_cached_expr = cached_expr
+
+
+def _probe_expr(spark, cent_rows: list[tuple], n_probe: int) -> Column:
     """array<struct<neg, centroid_id>> of the ``n_probe`` nearest
     centroids for the current row's (v, nrm) — ONE parsed expression,
     map-side codegen, zero shuffles. Ordering matches the join+window
@@ -244,7 +257,8 @@ def _probe_expr(cent_rows: list[tuple], n_probe: int) -> Column:
         )
         for cid, cv, cn in cent_rows
     )
-    return F.expr(f"slice(array_sort(array({structs})), 1, {n_probe})")
+    ranked = _cached_expr(spark, f"array_sort(array({structs}))")
+    return F.slice(ranked, 1, n_probe)
 
 
 #: above this many centroid*dim literals the assignment expression gets
@@ -293,7 +307,9 @@ def _assign_cells(
             .select(id_alias, "v", "nrm", "centroid_id")
         )
     probe = _probe_expr(
-        [(r["centroid_id"], r["cv"], r["cn"]) for r in rows], n_probe
+        base.sparkSession,
+        [(r["centroid_id"], r["cv"], r["cn"]) for r in rows],
+        n_probe,
     )
     return base.select(
         id_alias,
@@ -303,33 +319,60 @@ def _assign_cells(
     )
 
 
-def cosine_topk_ivf(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_centroids: int = 8,
-    centroids: DataFrame | None = None,
-    n_probe: int = 1,
-) -> DataFrame:
-    """IVF-style approximate top-k: coarse-quantize the corpus into
-    ``n_centroids`` cells (default centroids = first n vectors by id —
-    deterministic and oracle-portable; pass ``centroids`` from
-    :func:`train_kmeans_centroids` for a trained codebook — same plan
-    shape, better recall), then each query scores only its ``n_probe``
-    nearest cells (1 = classic single-probe; higher trades latency for
-    recall — see the tuning table in SCALE.md).
+#: session-scoped cache of materialized corpus-side IVF assignments,
+#: keyed by (applicationId, caller token, codebook params). The literal
+#: codebook expressions from :func:`_assign_cells` cost Catalyst a
+#: DATA-INDEPENDENT re-analysis (~seconds for multi-KB trees) on every
+#: action; localCheckpoint turns the assigned corpus into a leaf scan
+#: so that price is paid once per session, not once per query. Entries
+#: from dead sessions are keyed out by applicationId.
+_ASSIGN_CACHE: dict[tuple, tuple] = {}
 
-    Scale shape: assignment is a broadcast-centroids map-side pass over
-    the corpus (no shuffle), search is an equi-join on cell id whose
-    probe side carries n_probe rows per query — the same plan that
-    serves a billion-vector corpus.
-    """
+
+def _ivf_assignment(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    centroids: DataFrame | None,
+    cache: str | None,
+):
+    """Corpus-side IVF stage shared by the flat-IVF family: returns
+    ``(assigned, qsource, cent_rows)`` where ``assigned`` carries
+    (vid, v, nrm, centroid_id) and ``qsource`` is the (vid, v, nrm)
+    relation the query side should join against.
+
+    With ``cache`` set (an opaque caller token, e.g. the sf_dir) and
+    the DEFAULT deterministic codebook, the assignment is
+    localCheckpointed and memoized per session: the first caller pays
+    the codebook-expression analysis + one corpus pass, every later
+    caller (same token/params) gets a leaf scan — kills the
+    literal-tree analysis constant that dominated the flat-IVF family
+    at small SF. Custom ``centroids`` skip the cache (their identity
+    can't be keyed)."""
+    spark = corpus.sparkSession
+    key = None
+    if cache is not None and centroids is None:
+        key = (
+            spark.sparkContext.applicationId,
+            "ivf1",
+            cache,
+            id_col,
+            vec_col,
+            n_centroids,
+        )
+        hit = _ASSIGN_CACHE.get(key)
+        if hit is not None:
+            return hit
     base = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
+    if key is not None:
+        # ONE source pass: the seed scan and the assignment pass below
+        # both read the materialized (vid, v, nrm) instead of decoding
+        # the vector column from the source twice
+        base = base.localCheckpoint()
     cent = centroids if centroids is not None else (
         base.orderBy("vid")
         .limit(n_centroids)
@@ -343,8 +386,50 @@ def cosine_topk_ivf(
     # _assign_cells would otherwise run the seed job twice
     cent_rows = cent.collect()
     assigned = _assign_cells(base, cent_rows, "vid")
+    if key is None:
+        # uncached: query side must NOT derive from `assigned` (that
+        # would re-evaluate the corpus assignment expression under the
+        # join) — hand back the raw base
+        return assigned, base, cent_rows
+    assigned = assigned.localCheckpoint()  # eager: analyzed + run ONCE
+    # single-probe assignment is 1 row per vid, so the checkpointed
+    # relation doubles as the (vid, v, nrm) query source — a leaf scan
+    out = (assigned, assigned.select("vid", "v", "nrm"), cent_rows)
+    _ASSIGN_CACHE[key] = out
+    return out
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    n_probe: int = 1,
+    cache: str | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells (default centroids = first n vectors by id —
+    deterministic and oracle-portable; pass ``centroids`` from
+    :func:`train_kmeans_centroids` for a trained codebook — same plan
+    shape, better recall), then each query scores only its ``n_probe``
+    nearest cells (1 = classic single-probe; higher trades latency for
+    recall — see the tuning table in SCALE.md).
+
+    Scale shape: assignment is a broadcast-centroids map-side pass over
+    the corpus (no shuffle), search is an equi-join on cell id whose
+    probe side carries n_probe rows per query — the same plan that
+    serves a billion-vector corpus. ``cache`` (see
+    :func:`_ivf_assignment`) shares the materialized corpus assignment
+    across the probe/recall query family within a session.
+    """
+    assigned, qsource, cent_rows = _ivf_assignment(
+        corpus, id_col, vec_col, n_centroids, centroids, cache
+    )
     qids = queries.select(F.col(id_col).alias("vid"))
-    qbase = base.join(F.broadcast(qids), "vid")
+    qbase = qsource.join(F.broadcast(qids), "vid")
     q = _assign_cells(qbase, cent_rows, "vid", n_probe=n_probe).select(
         F.col("vid").alias("query_id"),
         F.col("v").alias("qv"),
@@ -421,50 +506,67 @@ def cosine_topk_ivf_sql(
     """
 
 
-def cosine_topk_ivf2(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_coarse: int = 8,
-    n_sub: int = 8,
-    n_probe_coarse: int = 4,
-    n_probe_sub: int = 4,
-) -> DataFrame:
-    """TWO-LEVEL IVF (IMI-style): a coarse codebook splits the corpus
-    into ``n_coarse`` cells; INSIDE each coarse cell a sub-codebook
-    splits again into ``n_sub`` sub-cells — ``n_coarse * n_sub``
-    effective cells from two small codebooks. Queries probe
-    ``n_probe_coarse`` coarse cells, then ``n_probe_sub`` sub-cells in
-    each, so the scanned fraction is ~(p1*p2)/(k1*k2) with the
-    granularity of a k1*k2-cell flat index — but no stage ever handles
-    a codebook bigger than max(k1, k2).
-
-    That bound is the 100 TB story: a flat million-cell codebook can't
-    broadcast or compile into an assignment expression; two levels of
-    ~1K keep every assignment a map-side pass and the search an
-    equi-join on the composite (coarse, sub) key. Seeding is
-    deterministic (first k1 corpus vids; first k2 vids per coarse
-    cell), so the whole index is oracle-portable —
-    :func:`cosine_topk_ivf2_sql` hash-matches it.
-    """
-    base = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
-    base = base.localCheckpoint()
-    coarse_rows = (
-        base.orderBy("vid")
-        .limit(n_coarse)
-        .select(
-            F.col("vid").alias("centroid_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
+def _sub_probe_expr(spark, by_cell: dict, n_probe: int) -> Column:
+    """CASE over the coarse cell -> that cell's FULL ranked sub-cell
+    list — built as ONE parsed SQL string (thousands of Column ops
+    would cost ~1 py4j round trip each at plan-build time), cached per
+    session (the ~4K-literal CASE costs ~1 s to parse, and corpus and
+    query sides share the identical tree — only the slice length
+    differs, applied OUTSIDE the cache)."""
+    branches = []
+    for cell, rows in sorted(by_cell.items()):
+        structs = ", ".join(
+            "named_struct('neg', -round({dot} / (nrm * {sn:.17E}), 6), "
+            "'sub_id', {sid}L)".format(
+                dot=_dot_sql("v", sv), sn=float(sn), sid=int(sid)
+            )
+            for sid, sv, sn in rows
         )
-        .collect()
+        branches.append(
+            f"WHEN centroid_id = {cell}L THEN array_sort(array({structs}))"
+        )
+    case = _cached_expr(spark, "CASE " + " ".join(branches) + " END")
+    return F.explode(F.slice(case, 1, n_probe)["sub_id"]).alias("sub_id")
+
+
+def _ivf2_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_coarse: int,
+    n_sub: int,
+    cache: str | None,
+):
+    """Two-level IVF index build shared by :func:`cosine_topk_ivf2`
+    and :func:`ivf2_cell_assignment`: returns ``(sub_assigned,
+    qsource, coarse_rows, by_cell)`` where ``sub_assigned`` carries
+    (vid, v, nrm, centroid_id, sub_id). ``sub_assigned`` is None for
+    an empty / all-zero-norm corpus. With ``cache`` set, both levels
+    are localCheckpointed and memoized per session (coarse level
+    shared with the flat-IVF family via :func:`_ivf_assignment`)."""
+    spark = corpus.sparkSession
+    key = None
+    if cache is not None:
+        key = (
+            spark.sparkContext.applicationId,
+            "ivf2",
+            cache,
+            id_col,
+            vec_col,
+            n_coarse,
+            n_sub,
+        )
+        hit = _ASSIGN_CACHE.get(key)
+        if hit is not None:
+            return hit
+    assigned, qsource, coarse_rows = _ivf_assignment(
+        corpus, id_col, vec_col, n_coarse, None, cache
     )
-    assigned = _assign_cells(base, coarse_rows, "vid").localCheckpoint()
+    if key is None:
+        # uncached: the sub-seed collect AND the sub assignment both
+        # consume `assigned` — materialize it once
+        assigned = assigned.localCheckpoint()
+        qsource = assigned.select("vid", "v", "nrm")
     # deterministic sub-seeds: first n_sub vids of each coarse cell
     # (index-build phase — the one per-cell window in the pipeline)
     wsub = Window.partitionBy("centroid_id").orderBy("vid")
@@ -485,44 +587,228 @@ def cosine_topk_ivf2(
             (r["sub_id"], r["sv"], r["sn"])
         )
     if not by_cell:
-        # empty (or all-zero-norm) corpus: degrade like cosine_topk_ivf
-        # instead of emitting an unparseable zero-branch CASE
+        return None, qsource, coarse_rows, by_cell
+    sub_assigned = assigned.select(
+        "vid", "v", "nrm", "centroid_id",
+        _sub_probe_expr(spark, by_cell, 1),
+    )
+    if key is not None:
+        # materialize the full (vid, coarse, sub) corpus index ONCE
+        # per session — later calls get a leaf scan instead of two
+        # literal-tree analyses + two corpus passes
+        sub_assigned = sub_assigned.localCheckpoint()
+        out = (sub_assigned, qsource, coarse_rows, by_cell)
+        _ASSIGN_CACHE[key] = out
+        return out
+    return sub_assigned, qsource, coarse_rows, by_cell
+
+
+def ivf_cell_assignment(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    cache: str | None = None,
+) -> DataFrame:
+    """The flat-IVF INDEX BUILD surfaced as a relation: every corpus
+    vector with its assigned coarse cell (id_col, centroid_id). This
+    is the stage a deployment materializes ONCE and serves every
+    search from (see :func:`build_ivf_index` for the on-disk form);
+    with ``cache`` set the assignment is also what the
+    ``cosine_topk_ivf`` family reuses in-session — so benchmarks
+    measure build and search as the separate costs they are at scale."""
+    assigned, _, _ = _ivf_assignment(
+        corpus, id_col, vec_col, n_centroids, None, cache
+    )
+    return assigned.select(F.col("vid").alias(id_col), "centroid_id")
+
+
+def ivf_cell_assignment_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> str:
+    """DuckDB twin of :func:`ivf_cell_assignment` (identical seeding,
+    rounding, and tie-breaks)."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
+                   sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm
+            FROM {table}
+        ),
+        base_nz AS (SELECT * FROM base WHERE nrm > 0),
+        cent AS (
+            SELECT vid AS centroid_id, v AS cv, nrm AS cn
+            FROM base_nz ORDER BY vid LIMIT {n_centroids}
+        )
+        SELECT vid AS {id_col}, centroid_id FROM (
+            SELECT b.vid, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY b.vid
+                       ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM base_nz b CROSS JOIN cent c
+        ) WHERE rn = 1
+    """
+
+
+def ivf2_cell_assignment(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_coarse: int = 8,
+    n_sub: int = 8,
+    cache: str | None = None,
+) -> DataFrame:
+    """The two-level IVF INDEX BUILD surfaced as a relation: every
+    corpus vector with its (coarse, sub) composite cell. Same role as
+    :func:`ivf_cell_assignment` for the IMI-style index."""
+    sub_assigned, _, _, _ = _ivf2_index(
+        corpus, id_col, vec_col, n_coarse, n_sub, cache
+    )
+    if sub_assigned is None:
         return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, centroid_id long, sub_id long"
+        )
+    return sub_assigned.select(
+        F.col("vid").alias(id_col), "centroid_id", "sub_id"
+    )
+
+
+def ivf2_cell_assignment_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_coarse: int = 8,
+    n_sub: int = 8,
+) -> str:
+    """DuckDB twin of :func:`ivf2_cell_assignment`."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v,
+                   sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))) AS nrm
+            FROM {table}
+        ),
+        base_nz AS (SELECT * FROM base WHERE nrm > 0),
+        cent AS (
+            SELECT vid AS centroid_id, v AS cv, nrm AS cn
+            FROM base_nz ORDER BY vid LIMIT {n_coarse}
+        ),
+        assigned AS (
+            SELECT vid, v, nrm, centroid_id FROM (
+                SELECT b.vid, b.v, b.nrm, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vid
+                           ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cn), 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM base_nz b CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        subs AS (
+            SELECT centroid_id, vid AS sub_id, v AS sv, nrm AS sn FROM (
+                SELECT centroid_id, vid, v, nrm,
+                       row_number() OVER (PARTITION BY centroid_id ORDER BY vid) AS rn
+                FROM assigned
+            ) WHERE rn <= {n_sub}
+        )
+        SELECT vid AS {id_col}, centroid_id, sub_id FROM (
+            SELECT a.vid, a.centroid_id, s.sub_id,
+                   row_number() OVER (
+                       PARTITION BY a.vid
+                       ORDER BY round(list_inner_product(a.v, s.sv) / (a.nrm * s.sn), 6) DESC,
+                                s.sub_id ASC) AS rn
+            FROM assigned a JOIN subs s USING (centroid_id)
+        ) WHERE rn = 1
+    """
+
+
+def cosine_topk_ivf2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_coarse: int = 8,
+    n_sub: int = 8,
+    n_probe_coarse: int = 4,
+    n_probe_sub: int = 4,
+    cache: str | None = None,
+) -> DataFrame:
+    """TWO-LEVEL IVF (IMI-style): a coarse codebook splits the corpus
+    into ``n_coarse`` cells; INSIDE each coarse cell a sub-codebook
+    splits again into ``n_sub`` sub-cells — ``n_coarse * n_sub``
+    effective cells from two small codebooks. Queries probe
+    ``n_probe_coarse`` coarse cells, then ``n_probe_sub`` sub-cells in
+    each, so the scanned fraction is ~(p1*p2)/(k1*k2) with the
+    granularity of a k1*k2-cell flat index — but no stage ever handles
+    a codebook bigger than max(k1, k2).
+
+    That bound is the 100 TB story: a flat million-cell codebook can't
+    broadcast or compile into an assignment expression; two levels of
+    ~1K keep every assignment a map-side pass and the search an
+    equi-join on the composite (coarse, sub) key. Seeding is
+    deterministic (first k1 corpus vids; first k2 vids per coarse
+    cell), so the whole index is oracle-portable —
+    :func:`cosine_topk_ivf2_sql` hash-matches it.
+
+    ``cache`` memoizes BOTH levels per session (see
+    :func:`_ivf_assignment`): the coarse assignment is shared with the
+    flat-IVF family, and the (vid, coarse, sub) corpus index is
+    localCheckpointed so later calls skip the two big literal-tree
+    analyses and both corpus passes.
+    """
+    spark = corpus.sparkSession
+    sub_assigned, qsource, coarse_rows, by_cell = _ivf2_index(
+        corpus, id_col, vec_col, n_coarse, n_sub, cache
+    )
+    if sub_assigned is None:
+        # empty (or all-zero-norm) corpus: degrade like
+        # cosine_topk_ivf instead of emitting an unparseable
+        # zero-branch CASE
+        return spark.createDataFrame(
             [], "query_id long, rank int, corpus_id long, cosine double"
         )
 
-    def sub_probe(n_probe: int) -> Column:
-        """CASE over the coarse cell -> that cell's sub-probe list —
-        built as ONE parsed SQL string (thousands of Column ops would
-        cost ~1 py4j round trip each at plan-build time)."""
-        branches = []
-        for cell, rows in sorted(by_cell.items()):
-            structs = ", ".join(
-                "named_struct('neg', -round({dot} / (nrm * {sn:.17E}), 6), "
-                "'sub_id', {sid}L)".format(
-                    dot=_dot_sql("v", sv), sn=float(sn), sid=int(sid)
-                )
-                for sid, sv, sn in rows
-            )
-            branches.append(
-                f"WHEN centroid_id = {cell}L THEN "
-                f"slice(array_sort(array({structs})), 1, {n_probe})"
-            )
-        case = "CASE " + " ".join(branches) + " END"
-        return F.explode(F.expr(case)["sub_id"]).alias("sub_id")
-
-    sub_assigned = assigned.select(
-        "vid", "v", "nrm", "centroid_id", sub_probe(1)
-    )
     qids = queries.select(F.col(id_col).alias("vid"))
-    qbase = base.join(F.broadcast(qids), "vid")
+    qbase = qsource.join(F.broadcast(qids), "vid")
     q_coarse = _assign_cells(qbase, coarse_rows, "vid", n_probe=n_probe_coarse)
-    q_sub = q_coarse.select(
-        F.col("vid").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "centroid_id",
-        sub_probe(n_probe_sub),
+    # query-side sub-probe: broadcast the (bounded) sub-codebook as a
+    # 64-row relation and rank per (query, coarse cell) — the corpus
+    # side keeps the compiled CASE (zero-shuffle over billions of
+    # rows, materialized once per session under `cache`), but on the
+    # tiny query side a join dodges the CASE tree's per-action
+    # Catalyst analysis (~1-2 s, data-independent). Cosine parity with
+    # the CASE form is exact: the zip_with/aggregate fold sums in the
+    # same left-to-right order as the compiled element_at chain.
+    sub_cb = spark.createDataFrame(
+        [
+            (int(cell), int(sid), [float(x) for x in sv], float(sn))
+            for cell, rows in sorted(by_cell.items())
+            for sid, sv, sn in rows
+        ],
+        "centroid_id long, sub_id long, sv array<double>, sn double",
+    )
+    wq = Window.partitionBy("vid", "centroid_id").orderBy(
+        F.col("__cos").desc(), F.col("sub_id").asc()
+    )
+    q_sub = (
+        q_coarse.join(F.broadcast(sub_cb), "centroid_id")
+        .withColumn(
+            "__cos",
+            F.round(
+                _dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn")), 6
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probe_sub)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "centroid_id",
+            "sub_id",
+        )
     )
     cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6)
     scored = (
@@ -773,6 +1059,7 @@ def cosine_topk_ivf_pq(
     n_codes: int = 16,
     rerank: int = 32,
     codebooks: list | None = None,
+    cache: str | None = None,
 ) -> DataFrame:
     """IVF + PQ with asymmetric-distance (ADC) candidate scoring and an
     EXACT re-rank — the classic billion-scale layout (IVFADC):
@@ -801,31 +1088,46 @@ def cosine_topk_ivf_pq(
         pq_seed_codebooks,
     )
 
-    base = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
-    base = base.localCheckpoint()
-    coarse_rows = (
-        base.orderBy("vid")
-        .limit(n_centroids)
-        .select(
-            F.col("vid").alias("centroid_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
+    spark = corpus.sparkSession
+    key = None
+    if cache is not None and codebooks is None:
+        key = (
+            spark.sparkContext.applicationId,
+            "ivfpq",
+            cache,
+            id_col,
+            vec_col,
+            n_centroids,
+            m_sub,
+            n_codes,
         )
-        .collect()
-    )
-    books = codebooks if codebooks is not None else pq_seed_codebooks(
-        base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
-        id_col=id_col, vec_col=vec_col, m_sub=m_sub, n_codes=n_codes,
-    )
-    assigned = _assign_cells(base, coarse_rows, "vid")
-    codes = pq_encode(
-        base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
-        books, id_col=id_col, vec_col=vec_col,
-    ).withColumnRenamed(id_col, "vid")
-    coded = assigned.select("vid", "centroid_id").join(codes, "vid")
+    hit = _ASSIGN_CACHE.get(key) if key is not None else None
+    if hit is not None:
+        coded, base, coarse_rows, books = hit
+    else:
+        assigned, base, coarse_rows = _ivf_assignment(
+            corpus, id_col, vec_col, n_centroids, None, cache
+        )
+        if cache is None:
+            # uncached: codebook seeding, encoding, and the re-rank all
+            # consume the base relation — materialize it once (with
+            # `cache` set, _ivf_assignment already returned a leaf)
+            base = base.localCheckpoint()
+        books = codebooks if codebooks is not None else pq_seed_codebooks(
+            base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
+            id_col=id_col, vec_col=vec_col, m_sub=m_sub, n_codes=n_codes,
+        )
+        codes = pq_encode(
+            base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
+            books, id_col=id_col, vec_col=vec_col,
+        ).withColumnRenamed(id_col, "vid")
+        coded = assigned.select("vid", "centroid_id").join(codes, "vid")
+        if key is not None:
+            # the (vid, cell, codes) candidate relation is the PQ
+            # index a deployment serves from — materialize once per
+            # session, later calls scan 8 small ints per vector
+            coded = coded.localCheckpoint()
+            _ASSIGN_CACHE[key] = (coded, base, coarse_rows, books)
 
     qids = queries.select(F.col(id_col).alias("vid"))
     qbase = base.join(F.broadcast(qids), "vid")
@@ -833,11 +1135,12 @@ def cosine_topk_ivf_pq(
     sub = len(books[0][0])
 
     luts = [
-        F.expr(
+        _cached_expr(
+            spark,
             "array(" + ", ".join(
                 f"round({_dot_sql('v', code, m * sub, scale='nrm')}, 9)"
                 for code in book
-            ) + ")"
+            ) + ")",
         ).alias(f"lut{m}")
         for m, book in enumerate(books)
     ]

@@ -82,7 +82,12 @@ def main() -> int:
     spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            # engine-generated datasets (tools/gen_sf.py) are Spark
+            # directory writes; the driver's testdata are single files
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
