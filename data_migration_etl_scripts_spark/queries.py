@@ -818,8 +818,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", k=12, bands=4),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=12, bands=4
+    return _minhash_pairs_stage(spark, sf_dir)
+
+
+def _minhash_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (k=12, bands=4) minhash-LSH pair stage, built ONCE per
+    session (dedup.memo_stage): dedup_minhash_lsh, dedup_clusters,
+    dedup_keep_best, and corpus_curate all consume the identical
+    signature/pair computation — at deployment scale this is the
+    persisted band index (operators/ingest.py), in-session it is a
+    localCheckpointed build-once stage."""
+    return dd.memo_stage(
+        spark,
+        ("minhash_pairs", sf_dir, 12, 4),
+        lambda: dd.minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", k=12, bands=4,
+        ),
+    )
+
+
+def _dup_clusters_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the shared pair stage, built once per
+    session — the label-propagation rounds are the expensive half of
+    every dedup canonicalization query."""
+    from data_migration_etl_scripts_spark.operators import curation as cu2
+
+    return dd.memo_stage(
+        spark,
+        ("dup_clusters", sf_dir, 12, 4),
+        lambda: cu2.dup_clusters(_minhash_pairs_stage(spark, sf_dir)),
     )
 
 
@@ -1809,10 +1837,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+min rounds with per-round localCheckpoint (lineage stays
     O(1)); the keep-one-per-cluster decision downstream is a simple
     doc_id == cluster_id filter."""
-    pairs = dd.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=12, bands=4
-    )
-    return cu.dup_clusters(pairs)
+    return _dup_clusters_stage(spark, sf_dir)
 
 
 @query(
@@ -1860,13 +1885,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Winner selection is one max(struct) aggregate (skew-safe under the
     classic hot duplicate cluster); quality doubles are identical-order
     IEEE on both engines so the winner never flips."""
-    # persist the pruned scan: the minhash branch and the quality
-    # branch otherwise each re-read the documents parquet (two
-    # identical Scan subtrees in the round-3 plan)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").persist()
-    clusters = cu.dup_clusters(
-        dd.minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=4)
-    )
+    # clusters come from the session-shared pair/cluster stage (one
+    # signature build serves the whole dedup family); quality is its
+    # own single map-side scan
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clusters = _dup_clusters_stage(spark, sf_dir)
     quality = tx.quality_score(docs, "doc_id", "text")
     return cu.keep_best_canonicalize(quality, clusters)
 
@@ -1937,9 +1960,8 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     across stage boundaries."""
     from data_migration_etl_scripts_spark.operators import curation as cu2
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").persist()
-    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=4)
-    clusters = cu2.dup_clusters(pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clusters = _dup_clusters_stage(spark, sf_dir)
     dupes = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     # dupes is O(near-dup docs): broadcast keeps the corpus anti-join
     # map-side instead of shuffling every document on doc_id
