@@ -124,11 +124,46 @@ class BatchResult:
     final_watermark: int | None
 
 
+def _validate_staged(staging: str) -> list[str]:
+    """Torn-write guard for the staged batch: a parquet file begins
+    and ends with the 4-byte magic ``PAR1``, so a truncated or
+    corrupted part (crash mid-flush, full disk) is detectable with one
+    8-byte read per file. Called before ANY downstream write consumes
+    the staging directory — a corrupt part aborts the batch with the
+    sink untouched and the watermark unadvanced, and the next run
+    replays the batch from the source (chaos-tested in
+    tests/test_dag_chaos.py). O(#files) driver-side reads; a
+    distributed commit protocol does strictly more."""
+    parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+    for f in parts:
+        size = os.path.getsize(f)
+        head = tail = b""
+        if size >= 12:
+            with open(f, "rb") as fh:
+                head = fh.read(4)
+                fh.seek(-4, os.SEEK_END)
+                tail = fh.read(4)
+        if head != b"PAR1" or tail != b"PAR1":
+            raise IOError(
+                f"staged part {os.path.basename(f)!r} is corrupt "
+                f"(size={size}, magic {head!r}/{tail!r}) — aborting "
+                "promotion; sink untouched, batch will replay"
+            )
+    return parts
+
+
 def _promote_staged(staging: str, sink: str) -> None:
     """Move staged part files into the sink directory (same filesystem
-    rename — atomic per file; parquet append IS adding files)."""
+    rename — atomic per file; parquet append IS adding files).
+
+    Parts are re-validated at promotion time (see
+    :func:`_validate_staged` — the loop calls it BEFORE any dual-sink
+    append, so a torn file aborts before anything downstream is
+    written; the re-check here keeps the invariant even for direct
+    callers)."""
+    parts = _validate_staged(staging)
     os.makedirs(sink, exist_ok=True)
-    for f in glob.glob(os.path.join(staging, "part-*")):
+    for f in parts:
         shutil.move(f, os.path.join(sink, os.path.basename(f)))
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -245,6 +280,10 @@ def run_incremental(
                     shutil.rmtree(staging, ignore_errors=True)
                     raise
                 sink_path = os.path.join(catalog.scratch_dir, pipeline.sink_table)
+                # torn-write guard BEFORE any dual-sink append: a
+                # corrupt staged part must abort while nothing
+                # downstream has been written yet
+                _validate_staged(staging)
                 staged = catalog.spark.read.parquet(staging)
                 for sink_name, project in pipeline.extra_sinks:
                     catalog.write(project(staged), sink_name, mode="append")

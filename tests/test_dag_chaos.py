@@ -57,6 +57,58 @@ def _sink_rows(cat: Catalog) -> dict[str, list]:
     return {s: sorted(tuple(r) for r in cat.read(s).collect()) for s in SINKS}
 
 
+def test_truncated_staged_part_aborts_before_promotion(spark, tmp_path, monkeypatch):
+    """Second chaos axis: a staged sink part is TRUNCATED (torn write)
+    before the rename promotion. The batch must abort with the sink
+    absent and the watermark unadvanced, and the next run must replay
+    the batch clean — identical to an uninterrupted twin."""
+    import glob
+    import os
+
+    # ---- uninterrupted twin
+    clean = _fixtures(spark, tmp_path / "clean")
+    from data_migration_etl_scripts_spark.pipelines.registry import build_dimension
+
+    run_ok = cdc.run_incremental(
+        clean, build_dimension(clean, "makes"), batch_size=None, batch_ts=TS,
+        observe_gates=["OldMakeID"],
+    )
+    assert run_ok.rows > 0
+    want = sorted(tuple(r) for r in clean.read("MakesV2").collect())
+
+    # ---- chaos run: corrupt one staged part right before validation
+    cat = _fixtures(spark, tmp_path / "chaos")
+    orig_validate = cdc._validate_staged
+    armed = {"on": True}
+
+    def corrupting_validate(staging):
+        if armed["on"]:
+            armed["on"] = False
+            victim_part = sorted(glob.glob(os.path.join(staging, "part-*")))[0]
+            with open(victim_part, "r+b") as fh:
+                fh.truncate(os.path.getsize(victim_part) // 2)
+        return orig_validate(staging)
+
+    monkeypatch.setattr(cdc, "_validate_staged", corrupting_validate)
+    pipe = build_dimension(cat, "makes")
+    with pytest.raises(IOError, match="corrupt"):
+        cdc.run_incremental(
+            cat, pipe, batch_size=None, batch_ts=TS, observe_gates=["OldMakeID"]
+        )
+    assert not cat.exists("MakesV2")  # sink untouched
+    store = cdc.WatermarkStore(spark, os.path.join(cat.scratch_dir, "_etl_cdc"))
+    assert store.get(pipe.name) is None  # watermark not advanced
+
+    # ---- restart: replays the batch from source, byte-identical
+    monkeypatch.setattr(cdc, "_validate_staged", orig_validate)
+    r2 = cdc.run_incremental(
+        cat, build_dimension(cat, "makes"), batch_size=None, batch_ts=TS,
+        observe_gates=["OldMakeID"],
+    )
+    assert r2.rows == run_ok.rows
+    assert sorted(tuple(r) for r in cat.read("MakesV2").collect()) == want
+
+
 @pytest.mark.parametrize("victim", ["accounts", "units"])
 def test_dag_crash_between_write_and_watermark_replays_identically(
     spark, tmp_path, monkeypatch, victim

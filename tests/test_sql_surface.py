@@ -31,6 +31,53 @@ def test_run_sql_matches_dataframe_api(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+#: board queries whose ORACLE SQL text is portable ANSI enough to run
+#: verbatim under Spark SQL — the strongest front-end proof available
+#: for free: the identical SQL string drives DuckDB (driver oracle),
+#: Spark SQL (here), and must row-match the DataFrame twin, so all
+#: three surfaces share one pinned answer. Queries whose oracles lean
+#: on DuckDB-only functions (list_inner_product, array_to_string, ...)
+#: are exercised by tools/selfcheck.py instead.
+SQL_PORTABLE_BOARD = [
+    "q1_pricing_summary",
+    "inner_join_brand_revenue",
+    "anti_join_customers_no_orders",
+    "semi_join_hot_orders",
+    "group_sizes_events",
+    "topk_parts_per_brand",
+    "window_top1_part_per_brand",
+    "cross_join_seed",
+    "pivot_order_status",
+    "nation_pair_revenue",
+    "duplicate_detection",
+    "backfill_earliest_ship",
+    "date_offset_expiry",
+    "recode_priority",
+]
+
+
+def _canon_rows(rows):
+    out = []
+    for r in rows:
+        d = r.asDict()
+        out.append(tuple(str(d[k]) for k in sorted(d)))
+    return sorted(out)
+
+
+def test_board_queries_through_sql_frontend(spark):
+    """run_sql(oracle_text) == DataFrame twin for 14 board queries:
+    the SQL front-end and the DataFrame API share the planner AND the
+    answer — same rows, same column set, for the same SQL the DuckDB
+    oracle pins."""
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    for name in SQL_PORTABLE_BOARD:
+        df_rows = _canon_rows(qs[name](spark, SF_DIR).collect())
+        sql_rows = _canon_rows(esql.run_sql(spark, SF_DIR, oracles[name]).collect())
+        assert sql_rows == df_rows, f"{name}: SQL front-end diverged"
+
+
 def test_sql_view_scan_still_prunes_and_pushes(spark):
     # a view is a named logical plan: filters/projections through it
     # must still reach the parquet scan

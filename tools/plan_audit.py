@@ -49,7 +49,11 @@ AUDITED = {
     "q3_shipping_priority": "filters pushed to all 3 scans; decimal partial aggs; top-10 = TakeOrderedAndProject",
     "ann_topk_ivf_probe4": "broadcast centroids assign cells map-side; probe side = n_probe rows/query (broadcast); search is one equi-join on cell id",
     "ann_topk_multitable": "multi-table OR: table id folded into ONE equi-join key; candidate pairs dedup in a group-by — never all-pairs",
-    "dedup_keep_best": "docs scanned ONCE (persisted for the minhash + quality branches); clustered/singleton split keeps the corpus map-side — labels, winners, and the anti-join are all broadcast; winner per cluster = one max(struct) aggregate over the small side (skew-safe under hot dup clusters)",
+    "dedup_keep_best": "clusters read from the session-shared materialized pair/cluster stage (build-once, leaf scan here); clustered/singleton split keeps the corpus map-side — labels, winners, and the anti-join are all broadcast; winner per cluster = one max(struct) aggregate over the small side (skew-safe under hot dup clusters)",
+    "embed_pq_codes": "PQ encode is pure map-side: per-subvector argmin over a literal codebook (parse-cached) — zero Exchanges, codes are 8 small ints per vector",
+    "bigram_lm_score": "top-V unigram+bigram tables broadcast; per-doc score = one explode + codegen'd sum of rounded DECIMAL log-probs — order-independent merges",
+    "ann_ivf_cells": "the flat-IVF index build: broadcast codebook, map-side literal-expression argmax, zero corpus shuffles; materialized once per session and served to the whole ann_topk_ivf family",
+    "ann_ivf2_cells": "two-level index build: coarse assignment reused from the flat stage; sub-codebook CASE is parse-cached and the (vid, coarse, sub) relation checkpointed — later searches are leaf scans",
     "quality_quantile_filter": "one exact-percentile agg -> one-row broadcast threshold -> map-side filter; corpus never shuffles (percentile_approx at 100 TB)",
     "export_tar_manifest": "deterministic key%n shard cols; ONE repartition shuffle then per-task streamed tar writes inside mapInPandas",
     "zorder_key_orders": "O(1) min/max agg feeds literal bounds; Morton key is pure codegen bit math — no UDF, no shuffle",
@@ -58,7 +62,7 @@ AUDITED = {
     "sample_by_perplexity_bucket": "scoring explode is the only corpus shuffle; quartile thresholds broadcast; bucket+sample are one map-side CASE filter",
     "pack_sequences": "per-shard window (no global sort); running sum materialized ONCE — Catalyst does not CSE window exprs, so deriving bin+offset from a single _cum column keeps the Window node to one aggregate",
     "ann_topk_ivf2": "two bounded codebooks give k1*k2 effective cells; assignment is map-side literal-expression argmax (zero corpus shuffles); search = one equi-join on the composite (coarse, sub) key",
-    "corpus_curate": "docs persisted once for the pair + keep branches; O(dup-docs) drop-list broadcast keeps the corpus anti-join map-side; pack = per-shard window",
+    "corpus_curate": "clusters from the session-shared stage (leaf scan); O(dup-docs) drop-list broadcast keeps the corpus anti-join map-side; pack = per-shard window",
     "ann_topk_ivf_pq": "candidate scan reads (vid, cell, codes) — never raw vectors; ADC = broadcast per-query LUTs + element_at lookups; exact re-rank joins full vectors for O(rerank*queries) rows",
     "hard_negatives": "IVF candidate plan with the near-dup cosine ceiling filtered BEFORE ranking — the false-negative guard costs nothing extra",
     "sample_cluster_balanced": "map-side cluster assignment (zero shuffles) + one count agg; per-cluster md5 thresholds broadcast back — corpus never shuffles for the sample decision",
