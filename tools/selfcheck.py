@@ -68,6 +68,122 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return h, len(rows)
 
 
+# ------------------------------------------------------- range asserts
+#
+# Partial oracles for rows-only queries: the full result can't be
+# hash-matched (HLL/t-digest values and k-means codebooks are
+# engine-specific), but big parts of it CAN be pinned against DuckDB —
+# exact counts, tolerance-bracketed quantiles, per-pair cosine values,
+# recall floors. A rows-only query with a range check gets status
+# "range_ok" instead of "rows_only" in the artifact.
+
+
+def _range_sketch_profile(con, cols, rows) -> list[str]:
+    """sketch_profile_events: n_rows exact; approx_distinct within 5%
+    of the exact distinct; each approx quantile inside the exact
+    rank-bracket [q-0.02, q+0.02] computed by DuckDB."""
+    exact = {
+        r[0]: r[1:]
+        for r in con.sql(
+            """
+            SELECT event_type, count(*) AS n_rows,
+                   count(DISTINCT user_id) AS nd,
+                   quantile_cont(user_id, 0.48) q5lo, quantile_cont(user_id, 0.52) q5hi,
+                   quantile_cont(user_id, 0.88) q9lo, quantile_cont(user_id, 0.92) q9hi,
+                   quantile_cont(user_id, 0.97) q99lo, quantile_cont(user_id, 1.00) q99hi
+            FROM events GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    idx = {c: i for i, c in enumerate(cols)}
+    bad = []
+    for r in rows:
+        g = r[idx["event_type"]]
+        n_rows, nd, q5lo, q5hi, q9lo, q9hi, q99lo, q99hi = exact[g]
+        if r[idx["n_rows"]] != n_rows:
+            bad.append(f"{g}: n_rows {r[idx['n_rows']]} != exact {n_rows}")
+        if abs(r[idx["approx_distinct"]] - nd) > 0.05 * nd:
+            bad.append(f"{g}: approx_distinct {r[idx['approx_distinct']]} vs exact {nd} (>5%)")
+        for col, lo, hi in (("p5", q5lo, q5hi), ("p9", q9lo, q9hi), ("p99", q99lo, q99hi)):
+            v = r[idx[col]]
+            if not (lo <= v <= hi):
+                bad.append(f"{g}: {col}={v} outside exact bracket [{lo}, {hi}]")
+    if len(rows) != len(exact):
+        bad.append(f"group count {len(rows)} != exact {len(exact)}")
+    return bad
+
+
+def _range_ivf_trained(con, cols, rows) -> list[str]:
+    """ann_topk_ivf_trained: the returned SET is codebook-specific
+    (k-means has no SQL twin), but every returned cosine must equal
+    the DuckDB-recomputed exact cosine for that (query, corpus) pair,
+    ranks must follow descending cosine, and recall@5 vs the exact
+    brute-force top-5 must clear the pytest-pinned floor (0.6)."""
+    idx = {c: i for i, c in enumerate(cols)}
+    pairs = ", ".join(
+        f"({int(r[idx['query_id']])}, {int(r[idx['rank']])}, "
+        f"{int(r[idx['corpus_id']])}, {float(r[idx['cosine']])!r})"
+        for r in rows
+    )
+    bad = []
+    if not pairs:
+        return ["empty result"]
+    mism = con.sql(
+        f"""
+        WITH got(query_id, rank, corpus_id, cosine) AS (VALUES {pairs}),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings)
+        SELECT g.query_id, g.corpus_id, g.cosine,
+               round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS exact_cos
+        FROM got g JOIN v q ON q.vec_id = g.query_id JOIN v c ON c.vec_id = g.corpus_id
+        WHERE abs(g.cosine - round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6)) > 1e-9
+        """
+    ).fetchall()
+    for q, c, got, want in mism:
+        bad.append(f"pair ({q},{c}): cosine {got} != exact {want}")
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r[idx["query_id"]], []).append(
+            (r[idx["rank"]], r[idx["cosine"]], r[idx["corpus_id"]])
+        )
+    for q, lst in by_q.items():
+        lst.sort()
+        coss = [c for _, c, _ in lst]
+        if coss != sorted(coss, reverse=True):
+            bad.append(f"query {q}: ranks not in descending-cosine order")
+    exact_top = con.sql(
+        """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings)
+        SELECT query_id, corpus_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id ASC) AS rn
+            FROM v q CROSS JOIN v c
+            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id AND q.nrm > 0 AND c.nrm > 0
+        ) WHERE rn <= 5
+        """
+    ).fetchall()
+    want_pairs = {(q, c) for q, c in exact_top}
+    got_pairs = {
+        (r[idx["query_id"]], r[idx["corpus_id"]]) for r in rows
+    }
+    recall = len(want_pairs & got_pairs) / max(len(want_pairs), 1)
+    if recall < 0.6:
+        bad.append(f"recall@5 {recall:.3f} below 0.6 floor")
+    return bad
+
+
+RANGE_CHECKS = {
+    "sketch_profile_events": _range_sketch_profile,
+    "ann_topk_ivf_trained": _range_ivf_trained,
+}
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_path = None
@@ -113,6 +229,19 @@ def main() -> int:
             rec["status"] = "spark_error"
             continue
         if name not in oracles:
+            checker = RANGE_CHECKS.get(name)
+            if checker is not None:
+                violations = checker(con, [c.lower() for c in scols], srows)
+                if violations:
+                    print(f"FAIL  {name}: RANGE ASSERT\n  " + "\n  ".join(violations))
+                    failures.append(name)
+                    rec.update(status="range_fail", spark_rows=len(srows),
+                               secs=round(time.time() - t0, 2))
+                else:
+                    rec.update(status="range_ok", spark_rows=len(srows),
+                               secs=round(time.time() - t0, 2))
+                    print(f"ok~   {name}: range-assert ok ({len(srows)} rows, {time.time()-t0:.1f}s)")
+                continue
             rec.update(status="rows_only", spark_rows=len(srows),
                        secs=round(time.time() - t0, 2))
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
