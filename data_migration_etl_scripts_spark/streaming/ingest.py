@@ -118,6 +118,41 @@ def read_ingest_shards(spark: SparkSession, state_dir: str) -> DataFrame:
         )
 
 
+def write_benchmark_band_index(
+    bench: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+) -> str:
+    """Persist the eval/benchmark set's MinHash band index once —
+    the static side of streaming decontamination (``decon_spec``).
+    Benchmarks are thousands of docs, so the index is broadcast-sized;
+    it is rebuilt only when the benchmark suite changes."""
+    ig.minhash_band_table(bench, id_col, text_col, k=k, bands=bands).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def read_ingest_contaminated(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Audit trail of docs quarantined by the streaming
+    decontamination gate (one per-batch directory each)."""
+    root = os.path.join(state_dir, "contaminated")
+    try:
+        dirs = sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("batch-") and os.path.isdir(os.path.join(root, d))
+        )
+    except FileNotFoundError:
+        dirs = []
+    if not dirs:
+        return spark.createDataFrame([], "doc_id long")
+    return spark.read.parquet(*dirs)
+
+
 def stream_corpus_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -131,6 +166,7 @@ def stream_corpus_ingest(
     rollup_spec: tuple[list[str], list[str]] | None = None,
     shard_spec: dict | None = None,
     ann_spec: dict | None = None,
+    decon_spec: dict | None = None,
     await_termination: bool = True,
 ):
     """Drain ``source_dir`` (availableNow) through the dedup-admit loop.
@@ -166,6 +202,16 @@ def stream_corpus_ingest(
     writes its OWN directory with deterministic bytes, so a crash
     replay rewrites identical files (idempotent, like the index
     appends); dataloaders read them via :func:`read_ingest_shards`.
+
+    ``decon_spec`` (optional) adds streaming DECONTAMINATION: docs
+    colliding (any shared LSH band, same k/bands as the dedup index)
+    with a persisted benchmark band index are quarantined at admit
+    time — written to ``contaminated/batch-{id}/`` (per-batch
+    overwrite, replay-idempotent) and excluded from corpus, indexes,
+    shards, and rollup. Keys: ``bands_dir`` (required — build it with
+    :func:`write_benchmark_band_index`). The bench index is
+    broadcast-sized (benchmarks are thousands of docs); the wave's
+    signature pass is the one it already owes the near-dup classifier.
     """
     corpus_dir = os.path.join(state_dir, "corpus")
     hashes_dir = os.path.join(state_dir, "hashes")
@@ -196,6 +242,28 @@ def stream_corpus_ingest(
         hashed = ig.content_hash_table(batch_df, id_col, text_col)
         keep = hashed.groupBy("content_hash").agg(F.min("doc_id").alias(id_col))
         batch = batch_df.join(keep.select(id_col), id_col, "semi")
+        # 1b. decontamination gate: any survivor sharing an LSH band
+        #     with the benchmark index is quarantined BEFORE the
+        #     history classification and all state extension. The
+        #     quarantine dir is a per-batch overwrite of deterministic
+        #     content — a crash replay rewrites it bit-for-bit.
+        if decon_spec is not None:
+            me0 = f"batch-{batch_id:06d}"
+            bench_bands = spark.read.parquet(decon_spec["bands_dir"]).select(
+                F.col("band_id"), F.col("band_key")
+            )
+            wave_bands = ig.minhash_band_table(
+                batch, id_col, text_col, k=k, bands=bands
+            )
+            contaminated_ids = (
+                wave_bands.join(F.broadcast(bench_bands), ["band_id", "band_key"])
+                .select(F.col("doc_id").alias(id_col))
+                .distinct()
+            )
+            batch.join(contaminated_ids, id_col, "semi").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(state_dir, "contaminated", me0))
+            batch = batch.join(contaminated_ids, id_col, "anti")
         # 2. classify vs history indexes, EXCLUDING this batch's own
         #    per-batch index dirs: a crash-replayed wave therefore
         #    recomputes the IDENTICAL accepted set (it can never see

@@ -335,3 +335,62 @@ def test_streaming_ingest_maintains_ann_index(spark, tmp_path):
         .select("vid", "centroid_id").collect()
     )
     assert after == before
+
+
+def test_streaming_ingest_decontaminates_benchmark_leaks(spark, tmp_path):
+    """Streaming decontamination: a doc colliding with the persisted
+    benchmark band index is quarantined at admit time — absent from
+    corpus AND history indexes, present in the contaminated/ audit
+    trail — and the whole gate is replay-idempotent after checkpoint
+    loss."""
+    import shutil
+
+    from data_migration_etl_scripts_spark.streaming.ingest import (
+        read_ingest_contaminated,
+        read_ingest_hashes,
+        write_benchmark_band_index,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    bench_dir = str(tmp_path / "bench_bands")
+    os.makedirs(src)
+
+    # benchmark suite: one eval doc; BASE is "leaked" into the corpus
+    bench = spark.createDataFrame([(9001, BASE)], "doc_id long, text string")
+    write_benchmark_band_index(bench, bench_dir)
+
+    spec = {"bands_dir": bench_dir}
+    # wave 1: a leaked bench doc (1) + a clean doc (2)
+    _write_wave(spark, src, "w1", [(1, BASE), (2, OTHER)])
+    stream_corpus_ingest(spark, src, state, decon_spec=spec)
+    assert _corpus_ids(spark, state) == {2}  # leak never admitted
+    assert {r.doc_id for r in read_ingest_contaminated(spark, state).collect()} == {1}
+    # the leak is absent from the HISTORY INDEXES too (not just corpus)
+    assert {r.doc_id for r in read_ingest_hashes(spark, state).collect()} == {2}
+
+    # wave 2: a NEAR-dup of the bench doc (one word changed -> still
+    # shares bands) is also quarantined; a fresh doc is admitted
+    _write_wave(spark, src, "w2", [
+        (3, BASE.replace("dog", "cat")),
+        (4, "completely different sentence about warehouse robots "
+            "stacking crates beside the loading dock every evening "
+            "after the last truck departs with its weekly freight"),
+    ])
+    stream_corpus_ingest(spark, src, state, decon_spec=spec)
+    assert _corpus_ids(spark, state) == {2, 4}
+    assert {r.doc_id for r in read_ingest_contaminated(spark, state).collect()} == {1, 3}
+
+    # checkpoint loss: the source re-lists BOTH files into one replay
+    # batch. State converges: corpus/indexes stay exactly {2, 4}, no
+    # leak slips through, and the audit trail still names exactly
+    # {1, 3} (it is a log like rejected/ — a catastrophic re-batching
+    # replay may re-append an id under a new batch id, never lose one)
+    shutil.rmtree(os.path.join(state, "checkpoint"))
+    stream_corpus_ingest(spark, src, state, decon_spec=spec)
+    assert _corpus_ids(spark, state) == {2, 4}
+    assert {r.doc_id for r in read_ingest_contaminated(spark, state).collect()} == {1, 3}
+    from data_migration_etl_scripts_spark.streaming.ingest import read_ingest_hashes
+
+    # and the history indexes never absorbed a contaminated doc
+    assert {r.doc_id for r in read_ingest_hashes(spark, state).collect()} == {2, 4}
