@@ -633,10 +633,20 @@ def remove_duplicate_runs(
     their tokens. Costs one extra explode of the owner windows (the
     coverage volume roughly doubles, still O(duplicated volume * w));
     both policies share a single coverage aggregation, so the plan
-    shape is identical. Exact keep-first at full SUBSTRING granularity
-    (not window granularity) would need a suffix automaton; "exact"
-    here means exactly the owner-protected set the property suite
-    defines.
+    shape is identical.
+
+    Granularity note (r5): at TOKEN granularity, window-coverage
+    removal is PROVABLY IDENTICAL to true substring-granularity
+    keep-first (the suffix-automaton / deduplicate-text-datasets
+    semantics) — every duplicated substring of length >= w covers its
+    tokens with duplicated w-windows at matching offsets, and every
+    duplicated w-window is itself such a substring
+    (tests/test_remove_runs_property.py::
+    test_window_policy_equals_suffix_granularity, brute-force suffix
+    oracle). Mid-window match boundaries only exist below token
+    granularity; the engine tokenizes first. The sole divergence axis
+    between the two policies is ownership protection, pinned at ~6%
+    of removed tokens on adversarial corpora by the same suite.
 
     Returns (doc_id, text_clean, n_tokens_kept, n_tokens_removed) for
     EVERY input doc. Shuffle volume: window hashes (map-side partials),
