@@ -1,0 +1,565 @@
+"""MPEG-1 Audio Layer I/II codec, pure stdlib — the audio analog of
+the baseline JPEG codec (`operators/jpeg.py`), filling the
+`multimodal.py` compressed-audio plug-point for the two subband
+layers. Layer III (MP3) stays a documented plug-point: its IMDCT +
+Huffman + alias-reduction stack is a different order of effort.
+
+Reference parity note: the reference ETL repo has no media handling at
+all; this exists for the LLM-data-pipeline addendum (decode / feature
+extraction over binary audio columns at corpus scale).
+
+What is EXACT here (ISO/IEC 11172-3 frame syntax, from public spec
+knowledge):
+  - header fields, sync walk, padding, frame sizing
+    (LayerI: 4*(12*bitrate/rate + pad); LayerII: 144*bitrate/rate + pad)
+  - Layer I: 4-bit allocation per subband/channel, 6-bit scalefactors,
+    12 samples/subband, nb = alloc+1 bits, MSB-inverted offset code
+  - Layer II: allocation-table driven nbal per subband, scfsi (2 bits)
+    with 1/2/3 scalefactors per 36-sample block, 12 granules x 3
+    samples, GROUPED codes for 3/5/9-level classes (one 5/7/10-bit
+    code = c0 + L*c1 + L^2*c2)
+  - requantization s'' = C*(s' + D) with the per-class (C, D) grid and
+    scalefactor table sf[i] = 2 * 2^(-i/3)
+  - stereo = independently coded channels (intensity/joint stereo
+    raises NotImplementedError — the documented seam)
+
+What is STRUCTURAL-but-not-bit-conformant (documented, by design):
+  - the 512-tap polyphase prototype window. The ISO Annex-B C/D
+    tables are numeric data with no closed form; reproducing 512
+    tabulated constants from memory is exactly the kind of silent
+    wrongness this repo refuses. Instead the filterbank is the
+    textbook NPR cosine-modulated bank (Vaidyanathan pseudo-QMF:
+    modulation about the prototype center with +/-(-1)^k*pi/4
+    phases — the same band structure the ISO matrixing produces once
+    its Annex-B window's built-in sign pattern is folded in) around a
+    numerically designed Kaiser-windowed-sinc prototype with a
+    power-complementary crossover; measured broadband round-trip SNR
+    ~74 dB (pinned in tests/test_mpeg_audio.py). Our encoder and
+    decoder share the bank, so engine-written frames round-trip;
+    decoding a FOREIGN encoder's frames yields audio through a
+    slightly different synthesis window (same subband layout, no
+    resync loss) — drop the Annex-B table + ISO matrixing into
+    ``PROTOTYPE``/``_ANA``/``_SYN`` for bit-level conformance.
+
+The Layer II allocation table below is the B.2a SHAPE (sblimit 30;
+nbal 4/3/2 by subband region; 15-step low bands). Tables B.2b/c/d
+(other rate/bitrate operating points) select identically through
+``_ALLOC_TABLE`` and are a data-only extension.
+"""
+
+from __future__ import annotations
+
+import math
+
+# ------------------------------------------------------------- tables
+
+SAMPLE_RATES = {0: 44100, 1: 48000, 2: 32000}
+BITRATES_L1 = [None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
+BITRATES_L2 = [None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+
+#: scalefactor index -> multiplier (ISO table: sf[0] = 2.0, step 2^(-1/3))
+SCALEFACTORS = [2.0 * 2.0 ** (-i / 3.0) for i in range(63)]
+
+#: Layer II quantization classes: nlevels -> (C, D, bits, grouped)
+#: C = 2^ceil(log2(nlevels+1)) / nlevels, D = 2^(1 - (bits-ish)) per the
+#: spec's class grid; grouped classes pack 3 samples into one code.
+QUANT_CLASSES = {
+    3: (4.0 / 3.0, 0.5, 5, True),
+    5: (8.0 / 5.0, 0.5, 7, True),
+    7: (8.0 / 7.0, 0.25, 3, False),
+    9: (16.0 / 9.0, 0.5, 10, True),
+    15: (16.0 / 15.0, 0.125, 4, False),
+    31: (32.0 / 31.0, 0.0625, 5, False),
+    63: (64.0 / 63.0, 0.03125, 6, False),
+    127: (128.0 / 127.0, 0.015625, 7, False),
+    255: (256.0 / 255.0, 0.0078125, 8, False),
+    511: (512.0 / 511.0, 0.00390625, 9, False),
+    1023: (1024.0 / 1023.0, 0.001953125, 10, False),
+    2047: (2048.0 / 2047.0, 0.0009765625, 11, False),
+    4095: (4096.0 / 4095.0, 0.00048828125, 12, False),
+    8191: (8192.0 / 8191.0, 0.000244140625, 13, False),
+    16383: (16384.0 / 16383.0, 0.0001220703125, 14, False),
+    32767: (32768.0 / 32767.0, 0.00006103515625, 15, False),
+    65535: (65536.0 / 65535.0, 0.000030517578125, 16, False),
+}
+
+#: Layer II allocation table (B.2a shape): per subband, the list of
+#: selectable nlevels (index 0 = not allocated); nbal = bits needed to
+#: index the list. sblimit = len(table).
+_STEPS_LO = [0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767, 65535]
+_STEPS_MID = [0, 3, 5, 7, 9, 15, 31, 65535]
+_STEPS_HI = [0, 3, 5, 65535]
+ALLOC_TABLE_A = [_STEPS_LO] * 11 + [_STEPS_MID] * 12 + [_STEPS_HI] * 7  # sblimit 30
+SBLIMIT_II = len(ALLOC_TABLE_A)
+
+
+def _nbal(steps: list[int]) -> int:
+    return max(1, (len(steps) - 1).bit_length())
+
+
+# --------------------------------------------------- prototype window
+
+def _i0(x: float) -> float:
+    """Modified Bessel I0 via its power series (converges fast for the
+    beta range used here)."""
+    s, t, k = 1.0, 1.0, 1
+    while True:
+        t *= (x / (2.0 * k)) ** 2
+        s += t
+        if t < 1e-12 * s:
+            return s
+        k += 1
+
+
+def _kaiser_sinc(cutoff: float, taps: int = 512, beta: float = 9.0) -> list[float]:
+    h = []
+    m = (taps - 1) / 2.0
+    denom = _i0(beta)
+    for n in range(taps):
+        t = n - m
+        ideal = cutoff / math.pi if t == 0 else math.sin(cutoff * t) / (math.pi * t)
+        w = _i0(beta * math.sqrt(max(0.0, 1.0 - (t / m) ** 2))) / denom
+        h.append(ideal * w)
+    return h
+
+
+def _design_prototype(taps: int = 512, beta: float = 9.0) -> list[float]:
+    """Near-perfect-reconstruction prototype for the 32-band
+    cosine-modulated bank: Kaiser-windowed sinc with the cutoff
+    binary-searched until the response is power-complementary at the
+    band crossover (|H(pi/64)| = sqrt(1/2)*|H(0)| — the classic NPR
+    pseudo-QMF design condition; lands at ~1.13*pi/64). Measured
+    broadband round-trip SNR ~74 dB (tests pin >= 55). Swap in the
+    ISO Annex-B table here for bit-conformance with foreign
+    encoders."""
+
+    def ratio(cutoff: float) -> float:
+        h = _kaiser_sinc(cutoff, taps, beta)
+        def mag(w):
+            re = sum(h[n] * math.cos(w * n) for n in range(taps))
+            im = sum(h[n] * math.sin(w * n) for n in range(taps))
+            return math.hypot(re, im)
+        return mag(math.pi / 64.0) / mag(0.0)
+
+    lo, hi = math.pi / 128.0, math.pi / 32.0
+    for _ in range(40):
+        mid = (lo + hi) / 2.0
+        if ratio(mid) < math.sqrt(0.5):
+            lo = mid
+        else:
+            hi = mid
+    return _kaiser_sinc((lo + hi) / 2.0, taps, beta)
+
+
+PROTOTYPE = _design_prototype()
+
+#: filterbank delay in samples (analysis + synthesis cascade): N - M
+PQMF_DELAY = 512 - 32
+
+# textbook NPR pseudo-QMF modulation (Vaidyanathan): phases
+# +/-(-1)^k*pi/4 about the prototype CENTER (255.5). Equivalent band
+# structure to the ISO matrixing — the ISO +/-16 offsets fold the same
+# phases into its Annex-B window's sign pattern. Synthesis carries the
+# 1/M interpolation gain so the cascade is unit-gain.
+_CENTER = (512 - 1) / 2.0
+_ANA = [
+    [
+        2.0 * PROTOTYPE[n]
+        * math.cos((2 * k + 1) * (math.pi / 64.0) * (n - _CENTER) + (-1) ** k * math.pi / 4.0)
+        for n in range(512)
+    ]
+    for k in range(32)
+]
+_SYN = [
+    [
+        # 2 (modulation) * 32 (interpolation gain of the 1-in-32
+        # upsampled synthesis convolution) -> unit cascade gain,
+        # measured flat to <0.01 dB across the band in the tests
+        64.0 * PROTOTYPE[n]
+        * math.cos((2 * k + 1) * (math.pi / 64.0) * (n - _CENTER) - (-1) ** k * math.pi / 4.0)
+        for n in range(512)
+    ]
+    for k in range(32)
+]
+
+
+def pqmf_analyze(samples: list[float]) -> list[list[float]]:
+    """Mono samples -> list of granules, each 32 subband samples
+    (critically decimated: one granule per 32 input samples). Input is
+    zero-padded at the head (the filter history)."""
+    x = [0.0] * 511 + list(samples)
+    out = []
+    for m in range(len(samples) // 32):
+        end = 511 + (m + 1) * 32  # newest sample index + 1
+        win = x[end - 512 : end][::-1]  # newest-first, length 512
+        out.append([sum(a * b for a, b in zip(row, win)) for row in _ANA])
+    return out
+
+
+def pqmf_synthesize(granules: list[list[float]]) -> list[float]:
+    """Inverse of :func:`pqmf_analyze` (overall delay ``PQMF_DELAY``
+    samples, unit gain)."""
+    hist: list[list[float]] = []
+    out: list[float] = []
+    for s in granules:
+        hist.append(s)
+        if len(hist) > 16:
+            hist.pop(0)
+        for j in range(32):
+            acc = 0.0
+            for r, past in enumerate(reversed(hist)):  # r granules ago
+                base = 32 * r + j
+                for k in range(32):
+                    acc += past[k] * _SYN[k][base]
+            out.append(acc)
+    return out
+
+
+# ------------------------------------------------------------ bit I/O
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bitpos = pos * 8
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            byte = self.data[self.bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+
+# ------------------------------------------------- quantize / requant
+
+def _quantize(v: float, nlevels: int) -> int:
+    """[-1, 1) sample -> MSB-inverted offset code in [0, nlevels-1],
+    the inverse of :func:`_requantize` (midtread, symmetric)."""
+    c, d, _, _ = QUANT_CLASSES[nlevels]
+    sp = v / c - d  # target s' in [-1, 1)
+    nb = (nlevels + 1).bit_length() - 1  # 2^nb - 1 == nlevels for pow2-1
+    if nlevels & (nlevels + 1) == 0:  # 3, 7, 15, ... 2^nb - 1
+        code = round((sp + 1.0) * (1 << (nb - 1)))
+        return max(0, min(nlevels - 1, code))
+    # 5/9-level grouped classes: uniform midtread over [-1, 1]
+    code = round((sp + 1.0) / 2.0 * (nlevels - 1))
+    return max(0, min(nlevels - 1, code))
+
+
+def _requantize(code: int, nlevels: int) -> float:
+    """ISO s'' = C * (s' + D); s' decoded from the MSB-inverted offset
+    code (power-of-two-minus-one classes) or the uniform grid (grouped
+    5/9-level classes)."""
+    c, d, _, _ = QUANT_CLASSES[nlevels]
+    if nlevels & (nlevels + 1) == 0:
+        nb = (nlevels + 1).bit_length() - 1
+        sp = code / float(1 << (nb - 1)) - 1.0
+    else:
+        sp = 2.0 * code / float(nlevels - 1) - 1.0
+    return c * (sp + d)
+
+
+def _pick_scalefactor(peak: float) -> int:
+    """Smallest scalefactor (largest index -> smallest value) that
+    still covers |sample| <= peak, i.e. the ISO 'next table entry
+    above the block maximum'."""
+    for i in range(len(SCALEFACTORS) - 1, -1, -1):
+        if SCALEFACTORS[i] >= peak + 1e-12:
+            return i
+    return 0
+
+
+# ------------------------------------------------------------ headers
+
+def _frame_header(layer: int, bitrate_idx: int, rate_idx: int, pad: int, mode: int) -> bytes:
+    b0 = 0xFF
+    b1 = 0xE0 | (0b11 << 3) | ((0b11 if layer == 1 else 0b10) << 1) | 1  # MPEG-1, no CRC
+    b2 = (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1)
+    b3 = mode << 6
+    return bytes((b0, b1, b2, b3))
+
+
+def _parse_header(data: bytes, pos: int) -> dict:
+    if pos + 4 > len(data):
+        raise ValueError("truncated MPEG audio header")
+    b0, b1, b2, b3 = data[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError(f"bad sync at byte {pos}")
+    version = (b1 >> 3) & 0b11
+    layer_code = (b1 >> 1) & 0b11
+    if version != 0b11:
+        raise NotImplementedError("MPEG-2/2.5 audio needs the lower-rate tables")
+    if layer_code == 0b01:
+        raise NotImplementedError(
+            "Layer III (MP3) needs IMDCT + Huffman — documented plug-point"
+        )
+    if layer_code == 0b00:
+        raise ValueError("reserved layer code")
+    layer = 1 if layer_code == 0b11 else 2
+    bitrate_idx = (b2 >> 4) & 0xF
+    rate_idx = (b2 >> 2) & 0b11
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        raise NotImplementedError("free-format/reserved bitrate or reserved rate")
+    mode = (b3 >> 6) & 0b11
+    bitrate = (BITRATES_L1 if layer == 1 else BITRATES_L2)[bitrate_idx] * 1000
+    rate = SAMPLE_RATES[rate_idx]
+    pad = (b2 >> 1) & 1
+    if layer == 1:
+        frame_len = (12 * bitrate // rate + pad) * 4
+    else:
+        frame_len = 144 * bitrate // rate + pad
+    return {
+        "layer": layer, "bitrate": bitrate, "rate": rate, "pad": pad,
+        "mode": mode, "nch": 1 if mode == 0b11 else 2, "frame_len": frame_len,
+        "crc": (b1 & 1) == 0,
+    }
+
+
+# ------------------------------------------------------------- decode
+
+def mpeg_audio_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
+    """MPEG-1 Layer I/II bytes -> (sample_rate, n_channels,
+    per-channel float sample lists). Walks every frame; a truncated
+    final frame is dropped (streaming-tail tolerance, like the JPEG
+    fill-byte rule). Raises on bad sync / Layer III / MPEG-2."""
+    pos, rate, nch = 0, None, None
+    subband_stream: list[list[list[float]]] = []  # per channel: granules
+    while pos + 4 <= len(data):
+        hdr = _parse_header(data, pos)
+        if pos + hdr["frame_len"] > len(data):
+            break  # truncated tail frame
+        if rate is None:
+            rate, nch = hdr["rate"], hdr["nch"]
+            subband_stream = [[] for _ in range(nch)]
+        elif hdr["rate"] != rate or hdr["nch"] != nch:
+            raise ValueError("mid-stream rate/mode change")
+        body = _BitReader(data, pos + 4 + (2 if hdr["crc"] else 0))
+        if hdr["mode"] == 0b01:
+            raise NotImplementedError("joint (intensity) stereo — documented seam")
+        if hdr["layer"] == 1:
+            _decode_layer1_frame(body, nch, subband_stream)
+        else:
+            _decode_layer2_frame(body, nch, subband_stream)
+        pos += hdr["frame_len"]
+    if rate is None:
+        raise ValueError("no complete MPEG audio frame found")
+    channels = [pqmf_synthesize(g) for g in subband_stream]
+    return rate, nch, channels
+
+
+def _decode_layer1_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) -> None:
+    alloc = [[r.read(4) for _ in range(32)] for _ in range(nch)]
+    for ch in range(nch):
+        if any(a == 15 for a in alloc[ch]):
+            raise ValueError("forbidden Layer I allocation 15")
+    scf = [
+        [r.read(6) if alloc[ch][sb] else 0 for sb in range(32)]
+        for ch in range(nch)
+    ]
+    grans = [[[0.0] * 32 for _ in range(12)] for _ in range(nch)]
+    for s in range(12):
+        for sb in range(32):
+            for ch in range(nch):
+                a = alloc[ch][sb]
+                if a:
+                    nb = a + 1
+                    code = r.read(nb)
+                    grans[ch][s][sb] = (
+                        _requantize(code, (1 << nb) - 1) * SCALEFACTORS[scf[ch][sb]]
+                    )
+    for ch in range(nch):
+        out[ch].extend(grans[ch])
+
+
+def _decode_layer2_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) -> None:
+    table = ALLOC_TABLE_A
+    alloc = [
+        [r.read(_nbal(table[sb])) for sb in range(SBLIMIT_II)] for ch in range(nch)
+    ]
+    scfsi = [
+        [r.read(2) if alloc[ch][sb] else 0 for sb in range(SBLIMIT_II)]
+        for ch in range(nch)
+    ]
+    scf = [[(0, 0, 0)] * SBLIMIT_II for _ in range(nch)]
+    for ch in range(nch):
+        for sb in range(SBLIMIT_II):
+            if not alloc[ch][sb]:
+                continue
+            si = scfsi[ch][sb]
+            if si == 0:
+                a, b, c = r.read(6), r.read(6), r.read(6)
+            elif si == 1:
+                a = r.read(6); c = r.read(6); b = a
+            elif si == 2:
+                a = r.read(6); b = c = a
+            else:
+                a = r.read(6); c = r.read(6); b = c
+            scf[ch][sb] = (a, b, c)
+    grans = [[[0.0] * 32 for _ in range(36)] for _ in range(nch)]
+    for g in range(12):  # granule = 3 consecutive samples per subband
+        for sb in range(SBLIMIT_II):
+            for ch in range(nch):
+                idx = alloc[ch][sb]
+                if not idx:
+                    continue
+                nlevels = table[sb][idx]
+                c_, d_, bits, grouped = QUANT_CLASSES[nlevels]
+                if grouped:
+                    code = r.read(bits)
+                    triple = (
+                        code % nlevels,
+                        (code // nlevels) % nlevels,
+                        (code // (nlevels * nlevels)) % nlevels,
+                    )
+                else:
+                    triple = (r.read(bits), r.read(bits), r.read(bits))
+                sf = SCALEFACTORS[scf[ch][sb][g // 4]]
+                for t in range(3):
+                    grans[ch][3 * g + t][sb] = _requantize(triple[t], nlevels) * sf
+    for ch in range(nch):
+        out[ch].extend(grans[ch])
+
+
+# ------------------------------------------------------------- encode
+
+def _pick_frame(layer: int, rate: int, needed_bytes: int) -> tuple[int, int]:
+    """Smallest standard bitrate index whose unpadded frame holds
+    ``needed_bytes`` -> (bitrate_idx, frame_len)."""
+    rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
+    rates = BITRATES_L1 if layer == 1 else BITRATES_L2
+    for i in range(1, 15):
+        br = rates[i] * 1000
+        fl = (12 * br // rate) * 4 if layer == 1 else 144 * br // rate
+        if fl >= needed_bytes:
+            return i, fl
+    raise ValueError(
+        f"frame payload {needed_bytes}B exceeds the highest Layer {layer} bitrate"
+    )
+
+
+def mpeg_audio_encode(
+    samples: list[float],
+    rate: int = 32000,
+    layer: int = 2,
+    bits: int = 8,
+    sblimit: int | None = None,
+) -> bytes:
+    """Mono [-1, 1] samples -> MPEG-1 Layer I/II bytes (fixture
+    encoder, like ``jpeg_encode``): PQMF analysis, per-block
+    scalefactors, uniform allocation of ``bits``-ish resolution across
+    the coded subbands, scfsi=0 (all three scalefactors sent). Input
+    is trimmed to whole frames (384 / 1152 samples)."""
+    if rate not in SAMPLE_RATES.values():
+        raise ValueError(f"rate must be one of {sorted(SAMPLE_RATES.values())}")
+    frame_granules = 12 if layer == 1 else 36
+    frame_samples = 32 * frame_granules
+    nframes = len(samples) // frame_samples
+    if nframes == 0:
+        raise ValueError(f"need at least {frame_samples} samples")
+    granules = pqmf_analyze(samples[: nframes * frame_samples])
+    frames = bytearray()
+    for f in range(nframes):
+        gr = granules[f * frame_granules : (f + 1) * frame_granules]
+        if layer == 1:
+            frames += _encode_layer1_frame(gr, rate, bits)
+        else:
+            frames += _encode_layer2_frame(gr, rate, bits, sblimit or SBLIMIT_II)
+    return bytes(frames)
+
+
+_SILENCE = 1e-6  # subbands quieter than this get allocation 0
+
+
+def _encode_layer1_frame(gr: list[list[float]], rate: int, bits: int) -> bytes:
+    w = _BitWriter()
+    peaks = [max(abs(g[sb]) for g in gr) for sb in range(32)]
+    # real encoders allocate by psychoacoustics; the fixture encoder
+    # allocates `bits` to every audible subband and 0 to silence
+    alloc = [bits - 1 if peaks[sb] > _SILENCE else 0 for sb in range(32)]
+    nlevels = (1 << bits) - 1
+    scf = [_pick_scalefactor(peaks[sb]) if alloc[sb] else 0 for sb in range(32)]
+    for sb in range(32):
+        w.write(alloc[sb], 4)
+    for sb in range(32):
+        if alloc[sb]:
+            w.write(scf[sb], 6)
+    for s in range(12):
+        for sb in range(32):
+            if alloc[sb]:
+                v = gr[s][sb] / SCALEFACTORS[scf[sb]]
+                w.write(_quantize(v, nlevels), bits)
+    w.pad_to_byte()
+    body = bytes(w.buf)
+    idx, frame_len = _pick_frame(1, rate, len(body) + 4)
+    rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
+    return _frame_header(1, idx, rate_idx, 0, 0b11) + body + bytes(
+        frame_len - 4 - len(body)
+    )
+
+
+def _encode_layer2_frame(
+    gr: list[list[float]], rate: int, bits: int, sblimit: int
+) -> bytes:
+    table = ALLOC_TABLE_A
+    # per subband: the table entry closest to 2^bits - 1 levels
+    want = (1 << bits) - 1
+    alloc_idx, nlevels = [], []
+    for sb in range(sblimit):
+        steps = table[sb]
+        best = min(range(1, len(steps)), key=lambda i: abs(steps[i] - want))
+        alloc_idx.append(best)
+        nlevels.append(steps[best])
+    w = _BitWriter()
+    for sb in range(SBLIMIT_II):
+        w.write(alloc_idx[sb] if sb < sblimit else 0, _nbal(table[sb]))
+    for sb in range(sblimit):
+        w.write(0, 2)  # scfsi=0: all three scalefactors present
+    scf = []
+    for sb in range(sblimit):
+        per_block = []
+        for blk in range(3):
+            peak = max(abs(gr[g][sb]) for g in range(12 * blk, 12 * blk + 12))
+            per_block.append(_pick_scalefactor(peak))
+        scf.append(per_block)
+        for v in per_block:
+            w.write(v, 6)
+    for g in range(12):
+        for sb in range(sblimit):
+            L = nlevels[sb]
+            c_, d_, nbits, grouped = QUANT_CLASSES[L]
+            sf = SCALEFACTORS[scf[sb][g // 4]]
+            codes = [
+                _quantize(gr[3 * g + t][sb] / sf, L) for t in range(3)
+            ]
+            if grouped:
+                w.write(codes[0] + L * codes[1] + L * L * codes[2], nbits)
+            else:
+                for c in codes:
+                    w.write(c, nbits)
+    w.pad_to_byte()
+    body = bytes(w.buf)
+    idx, frame_len = _pick_frame(2, rate, len(body) + 4)
+    rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
+    return _frame_header(2, idx, rate_idx, 0, 0b11) + body + bytes(
+        frame_len - 4 - len(body)
+    )
