@@ -32,9 +32,10 @@ What is STRUCTURAL-but-not-bit-conformant (documented, by design):
     modulation about the prototype center with +/-(-1)^k*pi/4
     phases — the same band structure the ISO matrixing produces once
     its Annex-B window's built-in sign pattern is folded in) around a
-    numerically designed Kaiser-windowed-sinc prototype with a
-    power-complementary crossover; measured broadband round-trip SNR
-    ~74 dB (pinned in tests/test_mpeg_audio.py). Our encoder and
+    numerically designed Kaiser-windowed-sinc prototype optimized for
+    composite-response flatness; measured round-trip SNR ~64 dB on
+    broadband noise, >= 55 dB on in-band sines (pinned in
+    tests/test_mpeg_audio.py). Our encoder and
     decoder share the bank, so engine-written frames round-trip;
     decoding a FOREIGN encoder's frames yields audio through a
     slightly different synthesis window (same subband layout, no
@@ -125,29 +126,41 @@ def _kaiser_sinc(cutoff: float, taps: int = 512, beta: float = 9.0) -> list[floa
 
 def _design_prototype(taps: int = 512, beta: float = 9.0) -> list[float]:
     """Near-perfect-reconstruction prototype for the 32-band
-    cosine-modulated bank: Kaiser-windowed sinc with the cutoff
-    binary-searched until the response is power-complementary at the
-    band crossover (|H(pi/64)| = sqrt(1/2)*|H(0)| — the classic NPR
-    pseudo-QMF design condition; lands at ~1.13*pi/64). Measured
-    broadband round-trip SNR ~74 dB (tests pin >= 55). Swap in the
-    ISO Annex-B table here for bit-conformance with foreign
-    encoders."""
+    cosine-modulated bank: Kaiser-windowed sinc whose cutoff is
+    golden-section-searched to MINIMIZE the classic NPR flatness
+    objective max|T(w) - 1| over the transition band, where
+    T(w) = (|H(w)|^2 + |H(pi/32 - w)|^2) / |H(0)|^2 is the composite
+    (distortion) response of a band and its adjacent image (Lin &
+    Vaidyanathan one-parameter pseudo-QMF design). At beta=9 the
+    optimum lands at cutoff ~1.13*pi/64 with flatness ~1.2e-3 and
+    stopband < -95 dB; measured round-trip SNR ~64 dB on broadband
+    noise, >= 55 dB on in-band sines (pinned in
+    tests/test_mpeg_audio.py). Swap in the ISO Annex-B table here for
+    bit-conformance with foreign encoders."""
 
-    def ratio(cutoff: float) -> float:
+    def mag2(h: list[float], w: float) -> float:
+        re = sum(h[n] * math.cos(w * n) for n in range(taps))
+        im = sum(h[n] * math.sin(w * n) for n in range(taps))
+        return re * re + im * im
+
+    def flatness(cutoff: float, npts: int = 17) -> float:
         h = _kaiser_sinc(cutoff, taps, beta)
-        def mag(w):
-            re = sum(h[n] * math.cos(w * n) for n in range(taps))
-            im = sum(h[n] * math.sin(w * n) for n in range(taps))
-            return math.hypot(re, im)
-        return mag(math.pi / 64.0) / mag(0.0)
+        g0 = mag2(h, 0.0)
+        return max(
+            abs((mag2(h, w) + mag2(h, math.pi / 32.0 - w)) / g0 - 1.0)
+            for w in (
+                (math.pi / 32.0) * i / (npts - 1) for i in range(npts)
+            )
+        )
 
     lo, hi = math.pi / 128.0, math.pi / 32.0
-    for _ in range(40):
-        mid = (lo + hi) / 2.0
-        if ratio(mid) < math.sqrt(0.5):
-            lo = mid
+    for _ in range(50):
+        m1 = lo + (hi - lo) * 0.382
+        m2 = lo + (hi - lo) * 0.618
+        if flatness(m1) < flatness(m2):
+            hi = m2
         else:
-            hi = mid
+            lo = m1
     return _kaiser_sinc((lo + hi) / 2.0, taps, beta)
 
 
@@ -254,28 +267,23 @@ class _BitReader:
 
 def _quantize(v: float, nlevels: int) -> int:
     """[-1, 1) sample -> MSB-inverted offset code in [0, nlevels-1],
-    the inverse of :func:`_requantize` (midtread, symmetric)."""
+    the exact inverse of :func:`_requantize` (midtread, symmetric)."""
     c, d, _, _ = QUANT_CLASSES[nlevels]
     sp = v / c - d  # target s' in [-1, 1)
-    nb = (nlevels + 1).bit_length() - 1  # 2^nb - 1 == nlevels for pow2-1
-    if nlevels & (nlevels + 1) == 0:  # 3, 7, 15, ... 2^nb - 1
-        code = round((sp + 1.0) * (1 << (nb - 1)))
-        return max(0, min(nlevels - 1, code))
-    # 5/9-level grouped classes: uniform midtread over [-1, 1]
-    code = round((sp + 1.0) / 2.0 * (nlevels - 1))
+    nb = nlevels.bit_length()  # code bit width: 2 for 3, 3 for 5/7, 4 for 9/15 ...
+    code = round((sp + 1.0) * (1 << (nb - 1)))
     return max(0, min(nlevels - 1, code))
 
 
 def _requantize(code: int, nlevels: int) -> float:
-    """ISO s'' = C * (s' + D); s' decoded from the MSB-inverted offset
-    code (power-of-two-minus-one classes) or the uniform grid (grouped
-    5/9-level classes)."""
+    """ISO 11172-3 s'' = C * (s''' + D) with s''' = code / 2^(nb-1) - 1,
+    nb = the class code width (the MSB-inverted offset fraction) — one
+    formula for ALL classes, grouped (3/5/9) and ungrouped alike.
+    Spot values: 5-level codes decode to -0.8,-0.4,0,+0.4,+0.8 and
+    9-level to k*16/72 for k in -4..4 (symmetric, within full scale)."""
     c, d, _, _ = QUANT_CLASSES[nlevels]
-    if nlevels & (nlevels + 1) == 0:
-        nb = (nlevels + 1).bit_length() - 1
-        sp = code / float(1 << (nb - 1)) - 1.0
-    else:
-        sp = 2.0 * code / float(nlevels - 1) - 1.0
+    nb = nlevels.bit_length()
+    sp = code / float(1 << (nb - 1)) - 1.0
     return c * (sp + d)
 
 
@@ -368,14 +376,19 @@ def mpeg_audio_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
 
 
 def _decode_layer1_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) -> None:
-    alloc = [[r.read(4) for _ in range(32)] for _ in range(nch)]
+    # ISO field order: subband-major, channel-minor for alloc + scf
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            alloc[ch][sb] = r.read(4)
     for ch in range(nch):
         if any(a == 15 for a in alloc[ch]):
             raise ValueError("forbidden Layer I allocation 15")
-    scf = [
-        [r.read(6) if alloc[ch][sb] else 0 for sb in range(32)]
-        for ch in range(nch)
-    ]
+    scf = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scf[ch][sb] = r.read(6)
     grans = [[[0.0] * 32 for _ in range(12)] for _ in range(nch)]
     for s in range(12):
         for sb in range(32):
@@ -393,16 +406,19 @@ def _decode_layer1_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) 
 
 def _decode_layer2_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) -> None:
     table = ALLOC_TABLE_A
-    alloc = [
-        [r.read(_nbal(table[sb])) for sb in range(SBLIMIT_II)] for ch in range(nch)
-    ]
-    scfsi = [
-        [r.read(2) if alloc[ch][sb] else 0 for sb in range(SBLIMIT_II)]
-        for ch in range(nch)
-    ]
+    # ISO field order: subband-major, channel-minor throughout
+    alloc = [[0] * SBLIMIT_II for _ in range(nch)]
+    for sb in range(SBLIMIT_II):
+        for ch in range(nch):
+            alloc[ch][sb] = r.read(_nbal(table[sb]))
+    scfsi = [[0] * SBLIMIT_II for _ in range(nch)]
+    for sb in range(SBLIMIT_II):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scfsi[ch][sb] = r.read(2)
     scf = [[(0, 0, 0)] * SBLIMIT_II for _ in range(nch)]
-    for ch in range(nch):
-        for sb in range(SBLIMIT_II):
+    for sb in range(SBLIMIT_II):
+        for ch in range(nch):
             if not alloc[ch][sb]:
                 continue
             si = scfsi[ch][sb]
@@ -463,65 +479,93 @@ def mpeg_audio_encode(
     layer: int = 2,
     bits: int = 8,
     sblimit: int | None = None,
+    right: list[float] | None = None,
 ) -> bytes:
     """Mono [-1, 1] samples -> MPEG-1 Layer I/II bytes (fixture
     encoder, like ``jpeg_encode``): PQMF analysis, per-block
     scalefactors, uniform allocation of ``bits``-ish resolution across
     the coded subbands, scfsi=0 (all three scalefactors sent). Input
-    is trimmed to whole frames (384 / 1152 samples)."""
+    is trimmed to whole frames (384 / 1152 samples).
+
+    Pass ``right`` for two-channel STEREO (mode 0b00): the channels
+    are coded independently per the ISO stereo mode — each gets its
+    own allocation/scalefactors, samples interleaved per-subband in
+    channel order. Intensity/joint stereo (mode 0b01) remains the
+    documented decode seam."""
     if rate not in SAMPLE_RATES.values():
         raise ValueError(f"rate must be one of {sorted(SAMPLE_RATES.values())}")
+    if right is not None and len(right) != len(samples):
+        raise ValueError("stereo channels must be the same length")
     frame_granules = 12 if layer == 1 else 36
     frame_samples = 32 * frame_granules
     nframes = len(samples) // frame_samples
     if nframes == 0:
         raise ValueError(f"need at least {frame_samples} samples")
-    granules = pqmf_analyze(samples[: nframes * frame_samples])
+    chans = [samples] if right is None else [samples, right]
+    mode = 0b11 if right is None else 0b00
+    granules = [pqmf_analyze(ch[: nframes * frame_samples]) for ch in chans]
     frames = bytearray()
     for f in range(nframes):
-        gr = granules[f * frame_granules : (f + 1) * frame_granules]
+        grs = [g[f * frame_granules : (f + 1) * frame_granules] for g in granules]
         if layer == 1:
-            frames += _encode_layer1_frame(gr, rate, bits)
+            frames += _encode_layer1_frame(grs, rate, bits, mode)
         else:
-            frames += _encode_layer2_frame(gr, rate, bits, sblimit or SBLIMIT_II)
+            frames += _encode_layer2_frame(grs, rate, bits, sblimit or SBLIMIT_II, mode)
     return bytes(frames)
 
 
 _SILENCE = 1e-6  # subbands quieter than this get allocation 0
 
 
-def _encode_layer1_frame(gr: list[list[float]], rate: int, bits: int) -> bytes:
+def _encode_layer1_frame(
+    grs: list[list[list[float]]], rate: int, bits: int, mode: int
+) -> bytes:
+    nch = len(grs)
     w = _BitWriter()
-    peaks = [max(abs(g[sb]) for g in gr) for sb in range(32)]
+    peaks = [
+        [max(abs(g[sb]) for g in gr) for sb in range(32)] for gr in grs
+    ]
     # real encoders allocate by psychoacoustics; the fixture encoder
     # allocates `bits` to every audible subband and 0 to silence
-    alloc = [bits - 1 if peaks[sb] > _SILENCE else 0 for sb in range(32)]
+    alloc = [
+        [bits - 1 if peaks[ch][sb] > _SILENCE else 0 for sb in range(32)]
+        for ch in range(nch)
+    ]
     nlevels = (1 << bits) - 1
-    scf = [_pick_scalefactor(peaks[sb]) if alloc[sb] else 0 for sb in range(32)]
+    scf = [
+        [_pick_scalefactor(peaks[ch][sb]) if alloc[ch][sb] else 0 for sb in range(32)]
+        for ch in range(nch)
+    ]
+    # ISO field order: subband-major, channel-minor (mirrors the decoder)
     for sb in range(32):
-        w.write(alloc[sb], 4)
+        for ch in range(nch):
+            w.write(alloc[ch][sb], 4)
     for sb in range(32):
-        if alloc[sb]:
-            w.write(scf[sb], 6)
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                w.write(scf[ch][sb], 6)
     for s in range(12):
         for sb in range(32):
-            if alloc[sb]:
-                v = gr[s][sb] / SCALEFACTORS[scf[sb]]
-                w.write(_quantize(v, nlevels), bits)
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    v = grs[ch][s][sb] / SCALEFACTORS[scf[ch][sb]]
+                    w.write(_quantize(v, nlevels), bits)
     w.pad_to_byte()
     body = bytes(w.buf)
     idx, frame_len = _pick_frame(1, rate, len(body) + 4)
     rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
-    return _frame_header(1, idx, rate_idx, 0, 0b11) + body + bytes(
+    return _frame_header(1, idx, rate_idx, 0, mode) + body + bytes(
         frame_len - 4 - len(body)
     )
 
 
 def _encode_layer2_frame(
-    gr: list[list[float]], rate: int, bits: int, sblimit: int
+    grs: list[list[list[float]]], rate: int, bits: int, sblimit: int, mode: int
 ) -> bytes:
+    nch = len(grs)
     table = ALLOC_TABLE_A
     # per subband: the table entry closest to 2^bits - 1 levels
+    # (same allocation for both channels — fixture simplicity)
     want = (1 << bits) - 1
     alloc_idx, nlevels = [], []
     for sb in range(sblimit):
@@ -530,36 +574,43 @@ def _encode_layer2_frame(
         alloc_idx.append(best)
         nlevels.append(steps[best])
     w = _BitWriter()
+    # ISO field order: subband-major, channel-minor (mirrors the decoder)
     for sb in range(SBLIMIT_II):
-        w.write(alloc_idx[sb] if sb < sblimit else 0, _nbal(table[sb]))
+        for ch in range(nch):
+            w.write(alloc_idx[sb] if sb < sblimit else 0, _nbal(table[sb]))
     for sb in range(sblimit):
-        w.write(0, 2)  # scfsi=0: all three scalefactors present
-    scf = []
+        for ch in range(nch):
+            w.write(0, 2)  # scfsi=0: all three scalefactors present
+    scf = [[None] * sblimit for _ in range(nch)]
     for sb in range(sblimit):
-        per_block = []
-        for blk in range(3):
-            peak = max(abs(gr[g][sb]) for g in range(12 * blk, 12 * blk + 12))
-            per_block.append(_pick_scalefactor(peak))
-        scf.append(per_block)
-        for v in per_block:
-            w.write(v, 6)
+        for ch in range(nch):
+            per_block = []
+            for blk in range(3):
+                peak = max(
+                    abs(grs[ch][g][sb]) for g in range(12 * blk, 12 * blk + 12)
+                )
+                per_block.append(_pick_scalefactor(peak))
+            scf[ch][sb] = per_block
+            for v in per_block:
+                w.write(v, 6)
     for g in range(12):
         for sb in range(sblimit):
-            L = nlevels[sb]
-            c_, d_, nbits, grouped = QUANT_CLASSES[L]
-            sf = SCALEFACTORS[scf[sb][g // 4]]
-            codes = [
-                _quantize(gr[3 * g + t][sb] / sf, L) for t in range(3)
-            ]
-            if grouped:
-                w.write(codes[0] + L * codes[1] + L * L * codes[2], nbits)
-            else:
-                for c in codes:
-                    w.write(c, nbits)
+            for ch in range(nch):
+                L = nlevels[sb]
+                c_, d_, nbits, grouped = QUANT_CLASSES[L]
+                sf = SCALEFACTORS[scf[ch][sb][g // 4]]
+                codes = [
+                    _quantize(grs[ch][3 * g + t][sb] / sf, L) for t in range(3)
+                ]
+                if grouped:
+                    w.write(codes[0] + L * codes[1] + L * L * codes[2], nbits)
+                else:
+                    for c in codes:
+                        w.write(c, nbits)
     w.pad_to_byte()
     body = bytes(w.buf)
     idx, frame_len = _pick_frame(2, rate, len(body) + 4)
     rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
-    return _frame_header(2, idx, rate_idx, 0, 0b11) + body + bytes(
+    return _frame_header(2, idx, rate_idx, 0, mode) + body + bytes(
         frame_len - 4 - len(body)
     )

@@ -18,10 +18,12 @@ environment, so the decode kernels come in two flavors:
   Python stdlib can handle — uncompressed 24-bit BMP (struct), 8-bit
   PNG (zlib inflate + the five scanline filters), GIF (full
   variable-width LZW + interlace unweave), baseline JPEG (SOF0 —
-  Huffman + dequant + IDCT + YCbCr, ``operators/jpeg.py``), and PCM
-  WAV (wave) — with NotImplementedError narrowed to the remaining
-  compressed codecs (WebP/progressive JPEG/MP3/H.264), which is
-  exactly where a PIL/ffmpeg kernel plugs in on a real deployment.
+  Huffman + dequant + IDCT + YCbCr, ``operators/jpeg.py``), PCM WAV
+  (wave), and MPEG-1 audio Layer I/II (``operators/mpeg_audio.py`` —
+  frame syntax + requantization exact, pseudo-QMF filterbank) — with
+  NotImplementedError narrowed to the remaining compressed codecs
+  (WebP/progressive JPEG/MP3/H.264), which is exactly where a
+  PIL/ffmpeg kernel plugs in on a real deployment.
 
 Scale design: mapInPandas streams Arrow batches, so peak memory per
 task is one batch of decoded media, not a partition; keep
@@ -626,6 +628,37 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
     return int(nframes * 1000 / rate), mono
 
 
+def audio_decode(b: bytes) -> tuple[int, list[float]]:
+    """Dispatch on magic bytes: PCM WAV (RIFF, stdlib wave) and MPEG-1
+    audio Layer I/II (0xFFEx sync, `operators/mpeg_audio.py` — header
+    walk + requantization real, pseudo-QMF filterbank) decode for
+    real; Layer III (MP3) and other compressed codecs raise at the
+    ffmpeg plug point inside the respective decoder.
+
+    Returns (duration_ms, mono samples in [-1, 1]). MPEG streams are
+    downmixed to mono and the polyphase filterbank's leading delay
+    (``PQMF_DELAY`` samples) is trimmed so sample 0 aligns with the
+    encoder's sample 0."""
+    if b[:4] == b"RIFF":
+        return wav_decode(b)
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        from data_migration_etl_scripts_spark.operators.mpeg_audio import (
+            PQMF_DELAY,
+            mpeg_audio_decode,
+        )
+
+        rate, nch, channels = mpeg_audio_decode(b)
+        n = len(channels[0])
+        mono = [
+            sum(channels[ch][i] for ch in range(nch)) / nch
+            for i in range(PQMF_DELAY, n)
+        ]
+        return int(len(mono) * 1000 / rate), mono
+    raise NotImplementedError(
+        "unrecognized audio container needs ffmpeg — plug the codec kernel in here"
+    )
+
+
 def _real_features(content: bytes | None, dim: int) -> list[float] | None:
     """Decode-and-summarize: per-channel stats for BMP/PNG/GIF/baseline-
     JPEG images, duration + band energies for WAV audio. Remaining
@@ -651,8 +684,12 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         out = [float(w), float(h)]
         out += [s / (255.0 * n) for s in sums]
         out += [m / 255.0 for m in mx]
-    elif content[:4] == b"RIFF":
-        dur_ms, mono = wav_decode(content)
+    elif content[:4] == b"RIFF" or (
+        len(content) >= 2
+        and content[0] == 0xFF
+        and (content[1] & 0xE0) == 0xE0
+    ):
+        dur_ms, mono = audio_decode(content)
         n_bands = max(1, dim - 2)
         step = max(1, len(mono) // n_bands)
         bands = [
@@ -788,12 +825,14 @@ def audio_features(df: DataFrame, n_mfcc: int = 13, decoder: str = "fake") -> Da
     ``decoder="real"`` marks the torchaudio/librosa plug-point."""
 
     def real_row(b):
-        # PCM WAV via the stdlib wave module: true duration + per-band
-        # RMS energies (an MFCC stand-in until librosa/torchaudio plugs
-        # in — the band-energy vector is real signal, not a hash)
+        # PCM WAV (stdlib wave) or MPEG-1 Layer I/II (operators/
+        # mpeg_audio.py) via the audio_decode dispatcher: true duration
+        # + per-band RMS energies (an MFCC stand-in until librosa/
+        # torchaudio plugs in — the band-energy vector is real signal,
+        # not a hash)
         if b is None:
             return None, None
-        dur_ms, mono = wav_decode(bytes(b))
+        dur_ms, mono = audio_decode(bytes(b))
         step = max(1, len(mono) // n_mfcc)
         bands = [
             float(round(math.sqrt(
@@ -888,12 +927,16 @@ def wav_encode(samples: list[float], rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def synthetic_real_media(spark, n: int = 12) -> DataFrame:
-    """Small table of GENUINE media payloads — 8x8 gradient BMPs, PNGs,
-    GIFs and baseline JPEGs (rotating) and 8 kHz sine WAVs — for
-    exercising the ``decoder="real"`` kernels. Driver-side
-    createDataFrame is fine here: this is a test/demo table of a few
-    KB, not a bench input (see synthetic_media)."""
+def synthetic_real_media_rows(
+    n: int = 12, include_mpeg: bool = False
+) -> list[tuple]:
+    """Deterministic GENUINE media payload rows (pure Python, no
+    Spark) — 8x8 gradient BMPs, PNGs, GIFs and baseline JPEGs
+    (rotating) and 8 kHz sine WAVs; with ``include_mpeg``, four extra
+    MPEG-1 audio rows (Layer II mono, Layer I mono, Layer II stereo,
+    Layer II grouped-class) at ids n..n+3. Shared by the Spark fixture
+    below and the selfcheck range-assert oracle, which recomputes the
+    expected features driver-side from these exact bytes."""
     from data_migration_etl_scripts_spark.operators.jpeg import jpeg_encode
 
     rows = []
@@ -908,7 +951,43 @@ def synthetic_real_media(spark, n: int = 12) -> DataFrame:
             samples = [math.sin(2 * math.pi * freq * t / 8000.0)
                        for t in range(800)]  # 100 ms
             rows.append((i, "audio", bytearray(wav_encode(samples)), "{}"))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    if include_mpeg:
+        from data_migration_etl_scripts_spark.operators.mpeg_audio import (
+            mpeg_audio_encode,
+        )
+
+        def tone(freq, length, amp=0.6):
+            return [amp * math.sin(2 * math.pi * freq * t / 32000.0)
+                    for t in range(length)]
+
+        rows.append((n, "audio",
+                     bytearray(mpeg_audio_encode(tone(440.0, 1152), layer=2, bits=10)),
+                     "{}"))
+        rows.append((n + 1, "audio",
+                     bytearray(mpeg_audio_encode(tone(880.0, 384 * 3), layer=1, bits=10)),
+                     "{}"))
+        rows.append((n + 2, "audio",
+                     bytearray(mpeg_audio_encode(
+                         tone(440.0, 1152), layer=2, bits=8,
+                         right=tone(1000.0, 1152, amp=0.4))),
+                     "{}"))
+        rows.append((n + 3, "audio",
+                     bytearray(mpeg_audio_encode(tone(660.0, 1152), layer=2, bits=2)),
+                     "{}"))
+    return rows
+
+
+def synthetic_real_media(
+    spark, n: int = 12, include_mpeg: bool = False
+) -> DataFrame:
+    """Small table of GENUINE media payloads (see
+    :func:`synthetic_real_media_rows`) for exercising the
+    ``decoder="real"`` kernels. Driver-side createDataFrame is fine
+    here: this is a test/demo table of a few KB, not a bench input
+    (see synthetic_media)."""
+    return spark.createDataFrame(
+        synthetic_real_media_rows(n, include_mpeg), MEDIA_SCHEMA
+    )
 
 
 FRAME_SCHEMA = (

@@ -1356,6 +1356,24 @@ def ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embed_pq_codes",
+    oracle=em.pq_reconstruction_error_sql("embeddings", m_sub=8, n_codes=16),
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression of the embedding column:
+    m_sub=8 codes of a 16-codeword book per vector (8 small ints vs
+    64 doubles — 64x) plus the per-vector squared reconstruction
+    error, the measurable compression/accuracy trade. Encoding is
+    map-side literal-expression argmax — zero shuffles, zero UDFs.
+    The codebooks and (vid, codes) relation ride the session-shared
+    PQ index (em.seeded_pq_index) that ann_topk_ivf_pq also consumes:
+    the family pays the collect + encode pass once per session."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books, codes = em.seeded_pq_index(emb, m_sub=8, n_codes=16, cache=sf_dir)
+    return em.pq_reconstruction_error(emb, books, codes=codes)
+
+
+@query(
     "ann_topk_ivf_pq",
     oracle=sim.cosine_topk_ivf_pq_sql(
         "embeddings", "vec_id < 8", k=5,
@@ -1377,21 +1395,6 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=8, n_probe=4, m_sub=8, n_codes=16, rerank=128,
         cache=sf_dir,
     )
-
-
-@query(
-    "embed_pq_codes",
-    oracle=em.pq_reconstruction_error_sql("embeddings", m_sub=8, n_codes=16),
-)
-def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization compression of the embedding column:
-    m_sub=8 codes of a 16-codeword book per vector (8 small ints vs
-    64 doubles — 64x) plus the per-vector squared reconstruction
-    error, the measurable compression/accuracy trade. Encoding is
-    map-side literal-expression argmax — zero shuffles, zero UDFs."""
-    emb = _t(spark, sf_dir, "embeddings")
-    books = em.pq_seed_codebooks(emb, m_sub=8, n_codes=16)
-    return em.pq_reconstruction_error(emb, books)
 
 
 @query(
@@ -1803,16 +1806,19 @@ def entity_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_real_decode")  # no oracle: stdlib codec kernel, rows-only check
+@query("multimodal_real_decode")  # no SQL oracle: stdlib codec kernel —
+# range-asserted by tools/selfcheck.py (_range_multimodal_decode), which
+# recomputes the expected features driver-side from the same payload bytes
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal REAL decode path: genuine BMP/WAV payloads decoded
-    byte-level (stdlib struct/wave) inside the Arrow-batched
-    mapInPandas kernel — no hash fakes (operators/multimodal.py,
-    decoder="real"). Compressed codecs remain the documented
-    PIL/ffmpeg plug-point."""
+    """Multimodal REAL decode path: genuine BMP/PNG/GIF/JPEG/WAV and
+    MPEG-1 audio Layer I/II payloads decoded byte-level (stdlib
+    struct/wave/zlib + operators/jpeg.py + operators/mpeg_audio.py)
+    inside the Arrow-batched mapInPandas kernel — no hash fakes
+    (operators/multimodal.py, decoder="real"). Remaining compressed
+    codecs (WebP/MP3/H.264) stay the documented PIL/ffmpeg plug-point."""
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
-    media = mm.synthetic_real_media(spark, n=24)
+    media = mm.synthetic_real_media(spark, n=24, include_mpeg=True)
     feats = mm.extract_features(media, dim=6, decoder="real")
     return feats.select(
         "media_id",

@@ -178,9 +178,97 @@ def _range_ivf_trained(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_multimodal_decode(con, cols, rows) -> list[str]:
+    """multimodal_real_decode: the decode kernels themselves are pinned
+    by pytest goldens (tests/test_jpeg.py, test_mpeg_audio.py,
+    test_multimodal_real.py); this range assert pins the SPARK side —
+    that the Arrow/mapInPandas transport delivers, for every payload,
+    exactly the features the kernel computes driver-side on the same
+    bytes — plus independent structural facts (8x8 image dims, audio
+    durations and sine RMS levels derivable from the fixture recipe)."""
+    import json as _json
+
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    fixture = {
+        mid: (mtype, bytes(content))
+        for mid, mtype, content, _meta in mm.synthetic_real_media_rows(
+            24, include_mpeg=True
+        )
+    }
+    idx = {c: i for i, c in enumerate(cols)}
+    bad = []
+    if len(rows) != len(fixture):
+        bad.append(f"row count {len(rows)} != fixture {len(fixture)}")
+    for r in rows:
+        mid = r[idx["media_id"]]
+        mtype, payload = fixture[mid]
+        if r[idx["media_type"]] != mtype:
+            bad.append(f"id {mid}: media_type {r[idx['media_type']]} != {mtype}")
+        if r[idx["n_bytes"]] != len(payload):
+            bad.append(f"id {mid}: n_bytes {r[idx['n_bytes']]} != {len(payload)}")
+        got = _json.loads(r[idx["feature_json"]])
+        want = mm._real_features(payload, 6)
+        # FloatType round trip: compare at float32 precision
+        if len(got) != len(want) or any(
+            abs(g - w) > max(1e-5, 1e-6 * abs(w)) for g, w in zip(got, want)
+        ):
+            bad.append(f"id {mid}: feature {got} != driver-side recompute {want}")
+        # independent structural facts, not recomputed through the kernel
+        if mtype == "image" and got[:2] != [8.0, 8.0]:
+            bad.append(f"id {mid}: image dims {got[:2]} != [8, 8]")
+        if mtype == "audio":
+            if not (0.02 <= got[0] <= 0.15):  # 100ms WAVs / 24-85ms MPEG
+                bad.append(f"id {mid}: audio duration {got[0]}s outside [0.02, 0.15]")
+            if not (0.1 <= got[2] <= 0.9):  # sine RMS, real signal not hash
+                bad.append(f"id {mid}: band RMS {got[2]} outside sine range")
+    return bad
+
+
+def _range_bpe_tokenize(con, cols, rows) -> list[str]:
+    """bpe_tokenize_corpus: the iterative merge loop has no SQL twin,
+    but three invariants are independently checkable per document
+    against DuckDB: (1) row set == docs with non-null text; (2) word
+    count <= n_tokens <= non-space chars + words (every word is 1..len
+    tokens, EOW fused); (3) reconstruction — the first 8 tokens with
+    '</w>' markers and spaces stripped are a prefix of the lowercased
+    text with ASCII whitespace removed."""
+    import re as _re
+
+    ws = _re.compile(r"\s+", flags=_re.ASCII)  # kernel's exact splitter
+    idx = {c: i for i, c in enumerate(cols)}
+    exact = {}
+    for d, text in con.sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall():
+        parts = [w for w in ws.split(text.lower()) if w]
+        squash = "".join(parts)
+        exact[d] = (len(parts), len(squash), squash)
+    bad = []
+    if {r[idx["doc_id"]] for r in rows} != set(exact):
+        bad.append(
+            f"doc set mismatch: {len(rows)} rows vs {len(exact)} non-null docs"
+        )
+        return bad
+    for r in rows:
+        d = r[idx["doc_id"]]
+        words, chars, squash = exact[d]
+        n = r[idx["n_tokens"]]
+        if not (words <= n <= chars + words):
+            bad.append(f"doc {d}: n_tokens {n} outside [{words}, {chars + words}]")
+        head = r[idx["token_head"]].replace("</w>", "").replace(" ", "")
+        if not squash.startswith(head):
+            bad.append(
+                f"doc {d}: token head {head[:40]!r} not a prefix of the text"
+            )
+    return bad
+
+
 RANGE_CHECKS = {
     "sketch_profile_events": _range_sketch_profile,
     "ann_topk_ivf_trained": _range_ivf_trained,
+    "multimodal_real_decode": _range_multimodal_decode,
+    "bpe_tokenize_corpus": _range_bpe_tokenize,
 }
 
 
