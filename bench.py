@@ -14,6 +14,15 @@ stderr).
 Execution is forced with the noop datasource (full pipeline runs, rows
 never collected to the driver), which is what a sink write would cost
 minus the I/O — the honest way to time a distributed plan.
+
+BENCH-ORDER NOTE (stage_cache disclosure): query families that share a
+session-memoized stage (minhash signatures/pairs/clusters, IVF cell
+assignments, the seeded PQ index) pay the build in the FIRST family
+member the loop reaches — per-query numbers within such a family are
+order-dependent; the family TOTAL is the stable quantity. Queries run
+in registration order (queries.py), which deliberately puts the
+"index build" query of each family (ann_ivf_cells, ann_ivf2_cells,
+embed_pq_codes, dedup_minhash_lsh) before its consumers.
 """
 
 from __future__ import annotations

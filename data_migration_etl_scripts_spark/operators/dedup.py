@@ -401,46 +401,14 @@ def simhash_sql(table: str, id_col: str, text_col: str, bits: int = SIMHASH_BITS
 # ------------------------------------------- embedding near-dup (LSH)
 
 
-#: parsed-Column cache keyed by (applicationId, generated SQL): the
-#: multi-KB literal codebook/LUT expressions the similarity/embed
-#: operators generate cost ~0.5-1 s each to PARSE (ANTLR over a
-#: 512-4096-term tree), and identical strings recur across the corpus
-#: and query sides of one search and across a query family. Unresolved
-#: Columns are plan-independent, so one parse per session is safe.
-_EXPR_CACHE: dict[tuple, Column] = {}
-
-
-def cached_expr(spark, sql: str) -> Column:
-    key = (spark.sparkContext.applicationId, sql)
-    col = _EXPR_CACHE.get(key)
-    if col is None:
-        col = F.expr(sql)
-        _EXPR_CACHE[key] = col
-    return col
-
-
-#: session-scoped cache of MATERIALIZED shared stages (minhash pairs,
-#: duplicate clusters, ...): several board queries consume the same
-#: signature/pair/cluster computation, and rebuilding it per query is
-#: pure duplicated work (~16 s of the sf0.1 board pre-r5). The
-#: deployment-scale analog is the persisted band/signature index
-#: (operators/ingest.py artifacts); in-session, localCheckpoint gives
-#: the same build-once/serve-many cost model without a sink.
-_STAGE_CACHE: dict[tuple, DataFrame] = {}
-
-
-def memo_stage(spark, key: tuple, builder) -> DataFrame:
-    """Build-once memoization of an expensive DataFrame stage: the
-    first call localCheckpoints the built relation (eager — analysis
-    and compute happen once), later calls with the same key get the
-    materialized leaf scan. Keys are namespaced by applicationId so
-    entries from dead sessions can never leak across."""
-    full_key = (spark.sparkContext.applicationId,) + key
-    df = _STAGE_CACHE.get(full_key)
-    if df is None:
-        df = builder().localCheckpoint()
-        _STAGE_CACHE[full_key] = df
-    return df
+# Session-scoped build-once memoization: promoted in round 6 to a
+# documented engine surface with an explicit invalidation contract and
+# dead-session eviction — see data_migration_etl_scripts_spark/
+# stage_cache.py. Re-exported here for the existing call sites.
+from data_migration_etl_scripts_spark.stage_cache import (  # noqa: F401
+    cached_expr,
+    memo_stage,
+)
 
 
 def _dot(a: Column, b: Column) -> Column:

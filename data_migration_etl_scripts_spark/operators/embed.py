@@ -288,6 +288,50 @@ def pq_encode(
     )
 
 
+def seeded_pq_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    n_codes: int = 16,
+    cache: str | None = None,
+) -> tuple[list, DataFrame]:
+    """The session-shared PQ index pair ``(codebooks, codes)`` for the
+    DETERMINISTIC seeding: codebooks = first ``n_codes`` vectors'
+    subvectors (driver-side list), codes = the encoded (vid, codes)
+    relation with zero-norm rows dropped.
+
+    With ``cache`` set (the source token, e.g. sf_dir) both halves are
+    memoized per session via :mod:`stage_cache` — the PQ analog of the
+    flat-IVF `_ivf_assignment` sharing: `embed_pq_codes` and
+    `ann_topk_ivf_pq` consume the same build, so the family pays the
+    codebook collect + encode pass + literal-expression analysis once
+    per session instead of once per query. The memo key carries every
+    seeding input (contract #2 in stage_cache.py); callers with CUSTOM
+    or trained codebooks must not use this (their identity can't be
+    keyed) — encode directly instead."""
+    from data_migration_etl_scripts_spark.stage_cache import memo, memo_stage
+
+    spark = df.sparkSession
+    sumsq = f"aggregate(CAST({vec_col} AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
+
+    def build_books():
+        return pq_seed_codebooks(df, id_col, vec_col, m_sub, n_codes)
+
+    def build_codes():
+        return pq_encode(
+            df.where(F.expr(sumsq) > 0), books, id_col, vec_col
+        ).withColumnRenamed(id_col, "vid")
+
+    if cache is None:
+        books = build_books()
+        return books, build_codes()
+    seed_key = (cache, id_col, vec_col, m_sub, n_codes)
+    books = memo(spark, ("pqbooks",) + seed_key, build_books)
+    codes = memo_stage(spark, ("pqcodes",) + seed_key, build_codes)
+    return books, codes
+
+
 def pq_decode_expr(codes: Column, codebooks: list[list[list[float]]]) -> Column:
     """codes -> reconstructed (normalized) vector, as a literal-lookup
     expression: concat of element_at(codebook_m, code_m + 1)."""
@@ -303,20 +347,28 @@ def pq_reconstruction_error(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, codes, err): per-vector squared L2 reconstruction error of
     the PQ codes against the normalized original — the measurable
     compression/accuracy trade. codes serialize as CSV for harness
-    hashability; err rounds to 6 dp for cross-engine parity."""
+    hashability; err rounds to 6 dp for cross-engine parity.
+
+    Pass ``codes`` (a (vid, codes) relation, e.g. from
+    :func:`seeded_pq_index`) to skip the internal encode pass and ride
+    a session-shared stage instead."""
     # zero-norm vectors have no meaningful codes; the SQL twin's
     # base_nz drops them — same filter here for row-set parity
     sumsq = "aggregate(__v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
-    coded = pq_encode(
-        df.withColumn("__v", F.col(vec_col).cast("array<double>"))
-        .where(F.expr(sumsq) > 0)
-        .drop("__v"),
-        codebooks, id_col, vec_col,
-    )
+    if codes is not None:
+        coded = codes.withColumnRenamed("vid", id_col)
+    else:
+        coded = pq_encode(
+            df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+            .where(F.expr(sumsq) > 0)
+            .drop("__v"),
+            codebooks, id_col, vec_col,
+        )
     base = (
         df.select(
             F.col(id_col),

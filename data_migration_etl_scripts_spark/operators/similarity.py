@@ -329,6 +329,17 @@ def _assign_cells(
 _ASSIGN_CACHE: dict[tuple, tuple] = {}
 
 
+def _assign_cache_get(spark, key: tuple):
+    """Lookup with dead-session eviction (stage_cache contract #1):
+    entries keyed by applicationIds other than the live session's are
+    dropped on every access, so long-lived multi-session processes
+    can't accumulate them."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _ASSIGN_CACHE if k[0] != app_id]:
+        del _ASSIGN_CACHE[k]
+    return _ASSIGN_CACHE.get(key)
+
+
 def _ivf_assignment(
     corpus: DataFrame,
     id_col: str,
@@ -361,7 +372,7 @@ def _ivf_assignment(
             vec_col,
             n_centroids,
         )
-        hit = _ASSIGN_CACHE.get(key)
+        hit = _assign_cache_get(spark, key)
         if hit is not None:
             return hit
     base = corpus.select(
@@ -556,7 +567,7 @@ def _ivf2_index(
             n_coarse,
             n_sub,
         )
-        hit = _ASSIGN_CACHE.get(key)
+        hit = _assign_cache_get(spark, key)
         if hit is not None:
             return hit
     assigned, qsource, coarse_rows = _ivf_assignment(
@@ -1101,7 +1112,7 @@ def cosine_topk_ivf_pq(
             m_sub,
             n_codes,
         )
-    hit = _ASSIGN_CACHE.get(key) if key is not None else None
+    hit = _assign_cache_get(spark, key) if key is not None else None
     if hit is not None:
         coded, base, coarse_rows, books = hit
     else:
@@ -1113,14 +1124,29 @@ def cosine_topk_ivf_pq(
             # consume the base relation — materialize it once (with
             # `cache` set, _ivf_assignment already returned a leaf)
             base = base.localCheckpoint()
-        books = codebooks if codebooks is not None else pq_seed_codebooks(
-            base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
-            id_col=id_col, vec_col=vec_col, m_sub=m_sub, n_codes=n_codes,
-        )
-        codes = pq_encode(
-            base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
-            books, id_col=id_col, vec_col=vec_col,
-        ).withColumnRenamed(id_col, "vid")
+        if key is not None:
+            # seeded codebooks + (vid, codes) ride the session-shared
+            # PQ index (embed.seeded_pq_index) — the same build
+            # `embed_pq_codes` consumes, so the family pays the
+            # codebook collect + encode pass once per session
+            from data_migration_etl_scripts_spark.operators.embed import (
+                seeded_pq_index,
+            )
+
+            books, codes = seeded_pq_index(
+                base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
+                id_col=id_col, vec_col=vec_col, m_sub=m_sub, n_codes=n_codes,
+                cache=cache,
+            )
+        else:
+            books = codebooks if codebooks is not None else pq_seed_codebooks(
+                base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
+                id_col=id_col, vec_col=vec_col, m_sub=m_sub, n_codes=n_codes,
+            )
+            codes = pq_encode(
+                base.select(F.col("vid").alias(id_col), F.col("v").alias(vec_col)),
+                books, id_col=id_col, vec_col=vec_col,
+            ).withColumnRenamed(id_col, "vid")
         coded = assigned.select("vid", "centroid_id").join(codes, "vid")
         if key is not None:
             # the (vid, cell, codes) candidate relation is the PQ

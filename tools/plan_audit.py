@@ -71,6 +71,9 @@ AUDITED = {
     "dedup_remove_runs_exact": "same single coverage explode + (doc, tpos) aggregation as the window policy — owner protection folds in as max(own) on the same shuffle",
     "q5_local_supplier_volume": "region/nation/supplier dims broadcast and prune before any fact shuffle; DECIMAL revenue partials merge order-independently",
     "q10_returned_items": "quarter+returnflag filters pushed to both fact scans; top-20 = TakeOrderedAndProject, no global sort",
+    "dedup_remove_runs": "O(dup-volume) explode: only FLAGGED window positions explode into (doc, tpos) coverage; per-doc gaps-and-islands is a doc-partitioned window (no global sort); removal rebuild touches only docs that had a span",
+    "quality_repetition": "one explode of the combined token+2-gram stream -> (doc, w, gram) count -> per-doc max: two shuffles, both map-side partial-aggregated and keyed per document (no hot key); dup_line_frac is a pure per-row array expression riding the same scan",
+    "embed_pq_codes": "PQ index build stage for the family: seeded codebooks collected once (bounded n_codes rows), encode = map-side literal argmax; the (vid, codes) relation is session-shared (stage_cache) so ann_topk_ivf_pq reuses this exact build",
 }
 
 
