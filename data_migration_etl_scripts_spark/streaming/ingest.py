@@ -37,6 +37,7 @@ hash/band keys, with the (small) incoming batch as the broadcast side.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -129,16 +130,62 @@ def write_benchmark_band_index(
     """Persist the eval/benchmark set's MinHash band index once —
     the static side of streaming decontamination (``decon_spec``).
     Benchmarks are thousands of docs, so the index is broadcast-sized;
-    it is rebuilt only when the benchmark suite changes."""
+    it is rebuilt only when the benchmark suite changes.
+
+    The signature parameters ``(k, bands)`` are persisted alongside
+    the index (``_decon_params.json``): band keys hashed with
+    different parameters NEVER collide, so a silent mismatch between
+    the index and the ingest loop would let contamination pass
+    undetected — :func:`stream_corpus_ingest` refuses to start on a
+    mismatched or parameterless index instead."""
     ig.minhash_band_table(bench, id_col, text_col, k=k, bands=bands).write.mode(
         "overwrite"
     ).parquet(path)
+    with open(os.path.join(path, "_decon_params.json"), "w") as f:
+        json.dump({"k": k, "bands": bands}, f)
     return path
 
 
-def read_ingest_contaminated(spark: SparkSession, state_dir: str) -> DataFrame:
+def _check_decon_params(bands_dir: str, k: int, bands: int) -> None:
+    """Fail-fast guard for the decontamination gate (ADVICE r5): the
+    ingest loop hashes the wave with ITS (k, bands); an index built
+    with different parameters produces zero band collisions — i.e.
+    contamination silently passes. Raise at stream START, not at the
+    first (already too late) batch."""
+    params_path = os.path.join(bands_dir, "_decon_params.json")
+    try:
+        with open(params_path) as f:
+            params = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"benchmark band index at {bands_dir} carries no "
+            "_decon_params.json — rebuild it with "
+            "write_benchmark_band_index (a parameterless index cannot "
+            "be checked against the ingest loop's k/bands and would "
+            "silently miss contamination on mismatch)"
+        ) from None
+    if (params.get("k"), params.get("bands")) != (k, bands):
+        raise ValueError(
+            f"decontamination parameter mismatch: benchmark band index "
+            f"at {bands_dir} was built with k={params.get('k')}, "
+            f"bands={params.get('bands')} but the ingest loop uses "
+            f"k={k}, bands={bands} — band keys from different "
+            "parameters never collide, so this configuration would "
+            "pass contamination through undetected"
+        )
+
+
+def read_ingest_contaminated(
+    spark: SparkSession,
+    state_dir: str,
+    schema: T.StructType | str = "doc_id long, text string",
+) -> DataFrame:
     """Audit trail of docs quarantined by the streaming
-    decontamination gate (one per-batch directory each)."""
+    decontamination gate (one per-batch directory each). Quarantine
+    dirs hold the FULL ingest rows; ``schema`` is used only for the
+    empty (nothing-quarantined-yet) case so both cases agree — pass
+    the stream's schema when it differs from the default (ADVICE r5:
+    the empty case previously returned a bare ``doc_id`` column)."""
     root = os.path.join(state_dir, "contaminated")
     try:
         dirs = sorted(
@@ -149,7 +196,7 @@ def read_ingest_contaminated(spark: SparkSession, state_dir: str) -> DataFrame:
     except FileNotFoundError:
         dirs = []
     if not dirs:
-        return spark.createDataFrame([], "doc_id long")
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*dirs)
 
 
@@ -219,6 +266,11 @@ def stream_corpus_ingest(
     rejected_dir = os.path.join(state_dir, "rejected")
     rollup_dir = os.path.join(state_dir, "rollup")
     checkpoint = os.path.join(state_dir, "checkpoint")
+    if decon_spec is not None:
+        # fail at stream START on a (k, bands)-mismatched benchmark
+        # index — a mismatch yields zero collisions, i.e. silent
+        # contamination pass-through (ADVICE r5)
+        _check_decon_params(decon_spec["bands_dir"], k, bands)
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         # 0. wave-level quality gate: violations quarantine the wave

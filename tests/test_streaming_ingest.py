@@ -394,3 +394,60 @@ def test_streaming_ingest_decontaminates_benchmark_leaks(spark, tmp_path):
 
     # and the history indexes never absorbed a contaminated doc
     assert {r.doc_id for r in read_ingest_hashes(spark, state).collect()} == {2, 4}
+
+
+def test_decon_gate_rejects_mismatched_index_params(spark, tmp_path):
+    """A benchmark band index built with different (k, bands) than the
+    ingest loop would produce ZERO band collisions — contamination
+    passing silently. The stream must refuse to START (ADVICE r5)."""
+    import pytest
+
+    from data_migration_etl_scripts_spark.streaming.ingest import (
+        write_benchmark_band_index,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    bench_dir = str(tmp_path / "bench_bands")
+    os.makedirs(src)
+    bench = spark.createDataFrame([(9001, BASE)], "doc_id long, text string")
+    write_benchmark_band_index(bench, bench_dir, k=8, bands=2)  # != loop default
+    _write_wave(spark, src, "w1", [(1, BASE)])
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        stream_corpus_ingest(
+            spark, src, state, decon_spec={"bands_dir": bench_dir}
+        )
+    # nothing was admitted or quarantined: the stream never started
+    assert not os.path.isdir(os.path.join(state, "corpus"))
+
+    # a parameterless index (e.g. hand-built) is rejected too
+    import json as _json
+
+    os.remove(os.path.join(bench_dir, "_decon_params.json"))
+    with pytest.raises(ValueError, match="_decon_params.json"):
+        stream_corpus_ingest(
+            spark, src, state, decon_spec={"bands_dir": bench_dir}
+        )
+
+    # matching params start fine and still quarantine the leak
+    with open(os.path.join(bench_dir, "_decon_params.json"), "w") as f:
+        _json.dump({"k": 8, "bands": 2}, f)
+    stream_corpus_ingest(
+        spark, src, state, decon_spec={"bands_dir": bench_dir}, k=8, bands=2
+    )
+    assert _corpus_ids(spark, state) == set()
+
+
+def test_read_ingest_contaminated_empty_schema_matches(spark, tmp_path):
+    """Empty-case schema agrees with the quarantine rows' schema
+    (ADVICE r5: it used to be a bare doc_id column)."""
+    from data_migration_etl_scripts_spark.streaming.ingest import (
+        read_ingest_contaminated,
+    )
+
+    empty = read_ingest_contaminated(spark, str(tmp_path / "nostate"))
+    assert empty.columns == ["doc_id", "text"]
+    custom = read_ingest_contaminated(
+        spark, str(tmp_path / "nostate"), schema="doc_id long, text string, lang string"
+    )
+    assert custom.columns == ["doc_id", "text", "lang"]

@@ -183,22 +183,37 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
     )
 
     # documents: word-salad text from the same vocabulary; ~8% of docs
-    # are near-duplicates of a base doc (same generation seed, one
-    # word substituted) so the dedup family has organic dup structure
+    # are GENUINE near-duplicates of a base doc: same generation seed
+    # (so same length + word sequence) with ONE word substituted at a
+    # position derived from the dup's OWN id — ADVICE r5: deriving
+    # everything from base_id alone made "near-dups" byte-identical
+    # copies, so the sf1 scale evidence exercised only exact-dup
+    # structure. (The substitute word can coincide with the original
+    # with p = 1/|vocab|; the dup share is ~8% either way.)
     words = F.array(*[F.lit(w) for w in DOC_WORDS])
+    is_dup = _u(F.col("id"), "ddup") < 0.08
     base_id = F.when(
-        _u(F.col("id"), "ddup") < 0.08,
+        is_dup,
         (F.abs(F.xxhash64("id", F.lit("dsrcdoc"))) % F.greatest(F.col("id"), F.lit(1))),
     ).otherwise(F.col("id"))
     doc_len = (F.abs(F.xxhash64(base_id, F.lit("dlen"))) % 120 + 20).cast("int")
+    sub_pos = (F.abs(F.xxhash64("id", F.lit("dpos"))) % doc_len + 1).cast("int")
     text = F.array_join(
         F.transform(
             F.sequence(F.lit(1), doc_len),
-            lambda i: F.element_at(
-                words,
-                (F.abs(F.xxhash64(base_id.cast("string"), i, F.lit("dw"))) % len(DOC_WORDS) + 1).cast(
-                    "int"
+            lambda i: F.when(
+                is_dup & (i == sub_pos),
+                F.element_at(
+                    words,
+                    (F.abs(F.xxhash64(F.col("id").cast("string"), i, F.lit("dwsub")))
+                     % len(DOC_WORDS) + 1).cast("int"),
                 ),
+            ).otherwise(
+                F.element_at(
+                    words,
+                    (F.abs(F.xxhash64(base_id.cast("string"), i, F.lit("dw")))
+                     % len(DOC_WORDS) + 1).cast("int"),
+                )
             ),
         ),
         " ",
