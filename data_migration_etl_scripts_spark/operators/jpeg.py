@@ -1,4 +1,4 @@
-"""Pure-stdlib baseline JPEG (SOF0) codec.
+"""Pure-stdlib JPEG codec: baseline (SOF0) + progressive (SOF2).
 
 Closes the last stdlib-feasible plug point in the multimodal column
 kernels (reference parity target: opaque binary media columns,
@@ -9,14 +9,18 @@ Arrow-batched ``mapInPandas`` kernels, one image in memory at a time.
 
 Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
 any sampling factors (4:4:4, 4:2:2, 4:2:0 — chroma upsampled by pixel
-replication), restart markers, byte stuffing. Progressive (SOF2),
-arithmetic coding, and 12-bit stay NotImplementedError.
+replication), restart markers, byte stuffing; PLUS progressive DCT
+(SOF2, r6): spectral selection, successive approximation (DC and AC
+first + refinement scans, EOB runs, the correction-bit walk), and
+inter-scan DHT/DQT updates. Arithmetic coding, lossless/hierarchical,
+and 12-bit stay NotImplementedError.
 
 Encoder: minimal but standards-valid — Annex-K quantization tables
 (quality-scaled, libjpeg formula) and fixed Huffman tables written
-into DQT/DHT, 4:4:4 or 4:2:0. It exists so tests can round-trip
-(decode(encode(img)) ~ img within DCT loss); the decoder reads tables
-from the stream, so it decodes foreign baseline JPEGs too.
+into DQT/DHT, 4:4:4 or 4:2:0; ``jpeg_encode_progressive`` emits a
+five-phase SOF2 scan script whose decode equals the baseline encode
+of the same image exactly. The decoders read all tables from the
+stream, so foreign baseline AND progressive JPEGs decode too.
 """
 
 from __future__ import annotations
@@ -237,6 +241,148 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+# ------------------------------------------- progressive (SOF2) scans
+#
+# A progressive frame carries the same 8x8 DCT coefficients as a
+# baseline one, split across multiple SOS scans by SPECTRAL SELECTION
+# (each AC scan covers one zigzag band Ss..Se of ONE component; DC
+# scans may interleave components) and SUCCESSIVE APPROXIMATION (the
+# first scan of a band sends coefficients point-transformed down by
+# Al bits; each refinement scan with Ah = previous Al adds one bit of
+# precision). The decoder therefore accumulates INTEGER quantized
+# coefficients per block across scans (zigzag order) and runs
+# dequant + IDCT once, after the last scan (T.81 G.2; the control
+# flow mirrors libjpeg's decode_mcu_{DC,AC}_{first,refine}).
+
+
+def _prog_scan_units(scomps: list[dict], mcux: int, mcuy: int):
+    """Yield one coding unit per step: a list of (comp, coef_block)
+    pairs — a full MCU for interleaved (multi-component) scans, a
+    single block in raster order over the component's NATURAL (not
+    MCU-padded) block dims for non-interleaved scans (T.81 A.2.2)."""
+    if len(scomps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                units = []
+                for c in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            gy, gx = my * c["v"] + by, mx * c["h"] + bx
+                            units.append((c, c["coef"][gy * c["bwf"] + gx]))
+                yield units
+    else:
+        c = scomps[0]
+        for gy in range(c["bhn"]):
+            for gx in range(c["bwn"]):
+                yield [(c, c["coef"][gy * c["bwf"] + gx])]
+
+
+def _decode_prog_scan(
+    r: _BitReader,
+    scomps: list[dict],
+    huff: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+) -> None:
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+    if ss > 0 and len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    for c in scomps:
+        c["pred"] = 0
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    n = 0
+    for units in _prog_scan_units(scomps, mcux, mcuy):
+        if restart_interval and n and n % restart_interval == 0:
+            r.restart()
+            eobrun = 0
+            for c in scomps:
+                c["pred"] = 0
+        n += 1
+        if ss == 0 and ah == 0:  # DC first
+            for c, blk in units:
+                t = _huff_decode(r, huff[(0, c["dc"])])
+                diff = _extend(r.read(t), t) if t else 0
+                c["pred"] += diff
+                blk[0] = c["pred"] << al
+        elif ss == 0:  # DC refinement: one bit per block
+            for c, blk in units:
+                if r.read(1):
+                    blk[0] |= p1
+        elif ah == 0:  # AC first
+            (c, blk), = units
+            ac_tab = huff[(1, c["ac"])]
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(r, ac_tab)
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.read(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                blk[k] = _extend(r.read(size), size) << al
+                k += 1
+        else:  # AC refinement (the libjpeg correction-bit walk)
+            (c, blk), = units
+            ac_tab = huff[(1, c["ac"])]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(r, ac_tab)
+                    run, size = rs >> 4, rs & 15
+                    val = 0
+                    if size:
+                        if size != 1:
+                            raise ValueError(
+                                "AC refinement size must be 1"
+                            )
+                        val = p1 if r.read(1) else m1
+                    elif run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += r.read(run)
+                        break
+                    # advance over `run` zero-history coefficients,
+                    # applying correction bits to nonzero-history ones
+                    while k <= se:
+                        if blk[k] != 0:
+                            if r.read(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError("JPEG AC refinement overflow")
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0:
+                        if r.read(1) and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
 def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Baseline JPEG bytes -> (width, height, top-down (r, g, b) rows)."""
     if b[:2] != b"\xff\xd8":
@@ -248,6 +394,9 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     width = height = 0
     restart_interval = 0
     scan_pos = None
+    progressive = False
+    n_prog_scans = 0
+    mcux = mcuy = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -285,10 +434,11 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
                 values = list(seg[i + 17 : i + 17 + n])
                 huff[(cls, tid)] = _build_decode_table(bits, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (progressive)
+            progressive = marker == 0xC2
             prec, height, width, n_comp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG supported")
+                raise NotImplementedError("only 8-bit JPEG supported")
             if n_comp not in (1, 3):
                 # 4-component (Adobe CMYK/YCCK) baseline streams would
                 # otherwise silently decode comps[0:3] as YCbCr and
@@ -303,24 +453,72 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "q": qid}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                # per-block integer coefficient accumulators (zigzag
+                # order), over the FULL MCU-padded grid; natural dims
+                # bound the non-interleaved scan order (T.81 A.2.2)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    c["bwf"] = mcux * c["h"]
+                    c["bhf"] = mcuy * c["v"]
+                    cw = (width * c["h"] + hmax - 1) // hmax
+                    chh = (height * c["v"] + vmax - 1) // vmax
+                    c["bwn"] = (cw + 7) // 8
+                    c["bhn"] = (chh + 7) // 8
+                    c["coef"] = [
+                        [0] * 64 for _ in range(c["bwf"] * c["bhf"])
+                    ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended JPEG needs PIL — only baseline SOF0/1 "
-                "decodes here"
+                "lossless/arithmetic/hierarchical JPEG needs PIL — only "
+                "baseline SOF0/1 and progressive SOF2 decode here"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cid, tids = struct.unpack_from(">BB", seg, 1 + 2 * c)
                 sel[cid] = (tids >> 4, tids & 15)
-            for comp in comps:
-                comp["dc"], comp["ac"] = sel[comp["id"]]
-            scan_pos = pos
-            break
+                order.append(cid)
+            if not progressive:
+                for comp in comps:
+                    comp["dc"], comp["ac"] = sel[comp["id"]]
+                scan_pos = pos
+                break
+            # progressive: decode this scan now, then keep walking
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            by_id = {c["id"]: c for c in comps}
+            scomps = []
+            for cid in order:
+                comp = by_id[cid]
+                comp["dc"], comp["ac"] = sel[cid]
+                scomps.append(comp)
+            rd = _BitReader(b, pos)
+            _decode_prog_scan(
+                rd, scomps, huff, ss, se, ahal >> 4, ahal & 15,
+                restart_interval, mcux, mcuy,
+            )
+            n_prog_scans += 1
+            # skip any residual entropy bytes up to the next marker
+            p = rd.pos
+            while p + 1 < len(b) and not (
+                b[p] == 0xFF
+                and b[p + 1] != 0x00
+                and not (0xD0 <= b[p + 1] <= 0xD7)
+            ):
+                p += 1
+            pos = p
+    if progressive:
+        if n_prog_scans == 0:
+            raise ValueError("JPEG has no scan data")
+        return _prog_reconstruct(comps, qt, width, height, mcux, mcuy)
     if scan_pos is None or not comps:
         raise ValueError("JPEG has no scan data")
 
@@ -382,6 +580,44 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
                                     255 if v > 255 else v
                                 )
 
+    return _planes_to_rows(comps, width, height, hmax, vmax)
+
+
+def _prog_reconstruct(
+    comps: list[dict], qt: dict, width: int, height: int, mcux: int, mcuy: int
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Final pass of a progressive decode: dequantize the accumulated
+    integer coefficients, IDCT every block of the padded grid, fill
+    the component planes, and share the baseline upsample/YCbCr tail."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        c["w"] = c["bwf"] * 8
+        c["rows"] = c["bhf"] * 8
+        plane = c["plane"] = bytearray(c["w"] * c["rows"])
+        quant = qt[c["q"]]
+        pw = c["w"]
+        for gy in range(c["bhf"]):
+            for gx in range(c["bwf"]):
+                zz = c["coef"][gy * c["bwf"] + gx]
+                natural = [0.0] * 64
+                for k in range(64):
+                    natural[ZIGZAG[k]] = zz[k] * quant[k]
+                px = _idct2(natural)
+                ox, oy = gx * 8, gy * 8
+                for y in range(8):
+                    base = (oy + y) * pw + ox
+                    for x in range(8):
+                        v = int(px[y * 8 + x] + 128.5)
+                        plane[base + x] = 0 if v < 0 else (
+                            255 if v > 255 else v
+                        )
+    return _planes_to_rows(comps, width, height, hmax, vmax)
+
+
+def _planes_to_rows(
+    comps: list[dict], width: int, height: int, hmax: int, vmax: int
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     rows: list[list[tuple[int, int, int]]] = []
     if len(comps) == 1:
         c = comps[0]
@@ -618,4 +854,293 @@ def jpeg_encode(
     w.flush()
     out.extend(w.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+#: flat 8-bit AC Huffman table for progressive scans: every (run, size)
+#: symbol with size <= 10 (the 8-bit-sample maximum) at length 8 —
+#: 176 codes in a 256-code space, so the all-ones code stays unassigned
+#: as T.81 requires. Wasteful vs an optimized table but spec-valid,
+#: and — unlike the Annex-K baseline AC tables — it contains the EOBn
+#: symbols (r<<4 | 0, r<15) progressive scans need for EOB runs > 1.
+_AC_FLAT = (
+    [0] * 7 + [176] + [0] * 8,
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _pt_down(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (T.81 G.1.2.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _ProgScanWriter:
+    """One entropy-coded progressive scan: buffers EOB runs and the
+    refinement correction bits the way libjpeg's encode_mcu_AC_refine
+    does, emitting them after the next EOBn/ZRL/newly-nonzero symbol."""
+
+    def __init__(self, out: bytearray, ac_tab: dict) -> None:
+        self.w = _BitWriter()
+        self.out = out
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.eob_bits: list[int] = []
+
+    def sym(self, s: int) -> None:
+        code, ln = self.ac[s]
+        self.w.put(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            self.sym(nb << 4)
+            if nb:
+                self.w.put(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+        for bit in self.eob_bits:
+            self.w.put(bit, 1)
+        self.eob_bits = []
+
+    def end_block_eob(self, pending_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.eob_bits.extend(pending_bits)
+        if self.eobrun == 0x7FFF or len(self.eob_bits) > 900:
+            self.flush_eobrun()
+
+    def close(self) -> None:
+        self.flush_eobrun()
+        self.w.flush()
+        self.out.extend(self.w.out)
+
+
+def _emit_ac_first(sw: _ProgScanWriter, blk: list[int], ss: int, se: int, al: int) -> None:
+    t = [_pt_down(blk[k], al) for k in range(ss, se + 1)]
+    last = -1
+    for i, v in enumerate(t):
+        if v:
+            last = i
+    if last < 0:
+        sw.end_block_eob([])
+        return
+    sw.flush_eobrun()
+    run = 0
+    for i in range(last + 1):
+        v = t[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            sw.sym(0xF0)
+            run -= 16
+        s = _category(v)
+        sw.sym((run << 4) | s)
+        sw.w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se - ss:
+        sw.end_block_eob([])
+
+
+def _emit_ac_refine(sw: _ProgScanWriter, blk: list[int], ss: int, se: int, al: int) -> None:
+    absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i
+    run = 0
+    br: list[int] = []
+    for i, temp in enumerate(absv):
+        if temp == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            sw.flush_eobrun()
+            sw.sym(0xF0)
+            run -= 16
+            for bit in br:
+                sw.w.put(bit, 1)
+            br = []
+        if temp > 1:
+            # already nonzero in history: just its next magnitude bit
+            br.append(temp & 1)
+            continue
+        sw.flush_eobrun()
+        sw.sym((run << 4) | 1)
+        run = 0
+        sw.w.put(1 if blk[ss + i] >= 0 else 0, 1)
+        for bit in br:
+            sw.w.put(bit, 1)
+        br = []
+    if run > 0 or br:
+        sw.end_block_eob(br)
+
+
+def _quantized_comps(
+    rows: list[list[tuple[int, int, int]]], quality: int, subsampling: str
+) -> tuple[list[dict], list[int], list[int], int, int]:
+    """Shared encoder front half: color planes -> per-component dicts
+    with quantized zigzag-order coefficient blocks over the full
+    MCU-padded grid (+ natural block dims for non-interleaved scans)."""
+    height, width = len(rows), len(rows[0])
+    qlum = _scaled_quant(_Q_LUM, quality)
+    qchr = _scaled_quant(_Q_CHR, quality)
+    qlum = [qlum[ZIGZAG[k]] for k in range(64)]
+    qchr = [qchr[ZIGZAG[k]] for k in range(64)]
+    yp = [[0.0] * width for _ in range(height)]
+    cbp = [[0.0] * width for _ in range(height)]
+    crp = [[0.0] * width for _ in range(height)]
+    for y, row in enumerate(rows):
+        for x, (r, g, b) in enumerate(row):
+            yp[y][x] = 0.299 * r + 0.587 * g + 0.114 * b
+            cbp[y][x] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            crp[y][x] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsampling == "420":
+        h1 = v1 = 2
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        cb2 = [[0.0] * cw for _ in range(ch)]
+        cr2 = [[0.0] * cw for _ in range(ch)]
+        for y in range(ch):
+            for x in range(cw):
+                pts = [
+                    (min(2 * y + dy, height - 1), min(2 * x + dx, width - 1))
+                    for dy in (0, 1) for dx in (0, 1)
+                ]
+                cb2[y][x] = sum(cbp[a][b_] for a, b_ in pts) / 4
+                cr2[y][x] = sum(crp[a][b_] for a, b_ in pts) / 4
+        cbp, crp = cb2, cr2
+    else:
+        h1 = v1 = 1
+    mcux = (width + 8 * h1 - 1) // (8 * h1)
+    mcuy = (height + 8 * v1 - 1) // (8 * v1)
+    comps = []
+    for cid, plane, (h, v), quant, qid in (
+        (1, yp, (h1, v1), qlum, 0),
+        (2, cbp, (1, 1), qchr, 1),
+        (3, crp, (1, 1), qchr, 1),
+    ):
+        bwf, bhf = mcux * h, mcuy * v
+        blocks = []
+        for gy in range(bhf):
+            for gx in range(bwf):
+                f = _fdct2(_component_blocks(plane, gx, gy))
+                blocks.append(
+                    [int(round(f[ZIGZAG[k]] / quant[k])) for k in range(64)]
+                )
+        cw_n = (len(plane[0]) + 7) // 8
+        ch_n = (len(plane) + 7) // 8
+        comps.append({
+            "id": cid, "h": h, "v": v, "q": qid,
+            "bwf": bwf, "bhf": bhf, "bwn": cw_n, "bhn": ch_n,
+            "coef": blocks,
+        })
+    return comps, qlum, qchr, mcux, mcuy
+
+
+def jpeg_encode_progressive(
+    rows: list[list[tuple[int, int, int]]],
+    quality: int = 90,
+    subsampling: str = "444",
+) -> bytes:
+    """Top-down (r, g, b) rows -> PROGRESSIVE JPEG (SOF2) bytes.
+
+    Fixed five-phase scan script exercising every progressive coding
+    mode: (1) interleaved DC first at Al=1, (2) per-component AC band
+    1-5 first, (3) per-component AC band 6-63 first (both at Al=1,
+    with EOB-run accumulation), (4) per-component AC refinement
+    Ah=1/Al=0 (correction-bit coding), (5) interleaved DC refinement.
+    Lossless vs the equivalent baseline encode: after scan 5 every
+    coefficient equals its baseline-quantized value, so decode output
+    matches ``jpeg_encode`` at the same quality/subsampling exactly.
+    DC scans use the Annex-K DC tables; AC scans use a flat 9-bit
+    table (``_AC_FLAT``) because the Annex-K AC tables lack EOBn>1
+    symbols. Tables travel in DHT, so any decoder reads them."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    height, width = len(rows), len(rows[0])
+    comps, qlum, qchr, mcux, mcuy = _quantized_comps(rows, quality, subsampling)
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    segment(0xDB, b"\x00" + bytes(qlum))
+    segment(0xDB, b"\x01" + bytes(qchr))
+    segment(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"".join(
+            struct.pack(">BBB", c["id"], (c["h"] << 4) | c["v"], c["q"])
+            for c in comps
+        ),
+    )
+    for cls, tid, (bits, values) in (
+        (0, 0, _DC_LUM), (0, 1, _DC_CHR), (1, 0, _AC_FLAT),
+    ):
+        segment(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
+    dc_tabs = {1: _build_encode_table(*_DC_LUM), 2: _build_encode_table(*_DC_CHR)}
+    ac_flat = _build_encode_table(*_AC_FLAT)
+
+    def sos(scomps: list[dict], ss: int, se: int, ah: int, al: int) -> None:
+        payload = bytes([len(scomps)]) + b"".join(
+            bytes([c["id"], ((0 if c["id"] == 1 else 1) << 4) | 0])
+            for c in scomps
+        ) + bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, payload)
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    sos(comps, 0, 0, 0, 1)
+    w = _BitWriter()
+    preds = {c["id"]: 0 for c in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        gy, gx = my * c["v"] + by, mx * c["h"] + bx
+                        dc = c["coef"][gy * c["bwf"] + gx][0] >> 1  # Al=1
+                        diff = dc - preds[c["id"]]
+                        preds[c["id"]] = dc
+                        t = _category(diff)
+                        code, ln = dc_tabs[1 if c["id"] == 1 else 2][t]
+                        w.put(code, ln)
+                        if t:
+                            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    w.flush()
+    out.extend(w.out)
+
+    def ac_scan(c: dict, ss: int, se: int, ah: int, al: int) -> None:
+        sos([c], ss, se, ah, al)
+        sw = _ProgScanWriter(out, ac_flat)
+        for gy in range(c["bhn"]):
+            for gx in range(c["bwn"]):
+                blk = c["coef"][gy * c["bwf"] + gx]
+                if ah == 0:
+                    _emit_ac_first(sw, blk, ss, se, al)
+                else:
+                    _emit_ac_refine(sw, blk, ss, se, al)
+        sw.close()
+
+    # ---- scans 2-3: AC first passes (two spectral bands), Al=1
+    for c in comps:
+        ac_scan(c, 1, 5, 0, 1)
+    for c in comps:
+        ac_scan(c, 6, 63, 0, 1)
+    # ---- scan 4: AC refinement to full precision (Ah=1 -> Al=0)
+    for c in comps:
+        ac_scan(c, 1, 63, 1, 0)
+    # ---- scan 5: DC refinement, interleaved (one bit per block)
+    sos(comps, 0, 0, 1, 0)
+    w = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        gy, gx = my * c["v"] + by, mx * c["h"] + bx
+                        w.put(c["coef"][gy * c["bwf"] + gx][0] & 1, 1)
+    w.flush()
+    out.extend(w.out)
+    out.extend(b"\xff\xd9")
     return bytes(out)

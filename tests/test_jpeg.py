@@ -118,12 +118,20 @@ def test_corrupt_payloads_raise():
         jpeg_decode(b"\x00\x01" + blob[2:])  # bad SOI
     with pytest.raises(ValueError):
         jpeg_decode(blob[: len(blob) // 2])  # truncated entropy data
-    # progressive marker -> explicit NotImplementedError, not garbage
+    # flipping a baseline stream's SOF0 to SOF2 makes its scan header
+    # (Ss=0, Se=63) ILLEGAL for progressive — explicit error, never
+    # garbage pixels (r6: SOF2 itself now decodes; see the progressive
+    # tests below)
     prog = bytearray(blob)
     i = prog.index(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         jpeg_decode(bytes(prog))
+    # genuinely unsupported frame types still raise NotImplementedError
+    loss = bytearray(blob)
+    loss[i + 1] = 0xC3  # lossless sequential
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(loss))
 
 
 def test_grayscale_single_component():
@@ -197,3 +205,86 @@ def test_four_component_cmyk_raises():
     blob[i + 9] = 4  # claim 4 components
     with pytest.raises(NotImplementedError, match="component"):
         jpeg_decode(bytes(blob))
+
+
+# ---------------------------------------------- progressive (SOF2, r6)
+
+
+def test_progressive_decode_equals_baseline_exactly():
+    # same quantized coefficients -> after all 5 scans the progressive
+    # decode must equal the baseline decode BIT-FOR-BIT
+    from data_migration_etl_scripts_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    img = _gradient()
+    for sub in ("444", "420"):
+        for q in (95, 60):
+            base = jpeg_decode(jpeg_encode(img, quality=q, subsampling=sub))
+            prog = jpeg_decode(jpeg_encode_progressive(img, quality=q, subsampling=sub))
+            assert prog == base
+
+
+def test_progressive_eob_runs_and_refinement_on_smooth_image():
+    # a smooth 64x64 ramp leaves band 6-63 almost empty: EOB runs span
+    # many blocks (EOBRUN > 1 path) and the refinement scan carries
+    # correction bits for the surviving low-frequency coefficients
+    from data_migration_etl_scripts_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    img = [[(x * 2, (x + y), y * 2) for x in range(64)] for y in range(64)]
+    blob = jpeg_encode_progressive(img, quality=85)
+    w, h, rows = jpeg_decode(blob)
+    assert (w, h) == (64, 64)
+    base = jpeg_decode(jpeg_encode(img, quality=85))[2]
+    assert rows == base
+
+
+def test_progressive_noise_image_exercises_zrl_and_high_categories():
+    import random
+
+    from data_migration_etl_scripts_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    rng = random.Random(3)
+    img = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(24)] for _ in range(16)]
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality=90))
+    base = jpeg_decode(jpeg_encode(img, quality=90))
+    assert prog == base
+
+
+def test_progressive_stream_structure():
+    from data_migration_etl_scripts_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    blob = jpeg_encode_progressive(_gradient(), quality=90)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in blob          # SOF2, not SOF0
+    assert blob.count(b"\xff\xda") == 11  # 1 DC + 3x3 AC + 1 DC-refine
+
+
+def test_progressive_truncated_raises():
+    from data_migration_etl_scripts_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+    import pytest
+
+    blob = jpeg_encode_progressive(_gradient(), quality=90)
+    with pytest.raises(ValueError):
+        jpeg_decode(blob[: len(blob) // 3])
+
+
+def test_image_decode_dispatches_progressive_jpeg():
+    from data_migration_etl_scripts_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+    from data_migration_etl_scripts_spark.operators.multimodal import image_decode
+
+    img = _gradient()
+    w, h, rows = image_decode(jpeg_encode_progressive(img, quality=95))
+    assert (w, h) == (W, H)
+    assert _max_err(rows, img) <= 6  # DCT loss only
