@@ -401,6 +401,7 @@ def semantic_dedup(
     vec_col: str,
     threshold: float = 0.95,
     bucket_bits: int = 8,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     cosine near-dup candidate pairs (sign-LSH bucketed, never
@@ -415,12 +416,17 @@ def semantic_dedup(
     propagation touches only docs that appear in a pair (O(near-dups),
     not O(corpus)); the final labeling is one left join of the corpus
     against that small cluster table.
+
+    Pass ``pairs`` (an (id_a, id_b) relation, e.g. a session-shared
+    stage also served to a pair-listing query) to skip the internal
+    candidate-pair build.
     """
     from data_migration_etl_scripts_spark.operators.dedup import embedding_neardup_pairs
 
-    pairs = embedding_neardup_pairs(
-        embeddings, id_col, vec_col, threshold=threshold, bucket_bits=bucket_bits
-    )
+    if pairs is None:
+        pairs = embedding_neardup_pairs(
+            embeddings, id_col, vec_col, threshold=threshold, bucket_bits=bucket_bits
+        )
     clusters = dup_clusters(pairs, src="id_a", dst="id_b")
     ids = embeddings.select(F.col(id_col).alias("doc_id"))
     labeled = ids.join(clusters, "doc_id", "left").select(

@@ -20,8 +20,10 @@ knowledge):
     code = c0 + L*c1 + L^2*c2)
   - requantization s'' = C*(s' + D) with the per-class (C, D) grid and
     scalefactor table sf[i] = 2 * 2^(-i/3)
-  - stereo = independently coded channels (intensity/joint stereo
-    raises NotImplementedError — the documented seam)
+  - stereo: independently coded channels (mode 00), and INTENSITY
+    (joint) stereo (mode 01, r6): above the mode_extension bound one
+    set of sample codes serves both channels, scaled by per-channel
+    scalefactors
 
 What is STRUCTURAL-but-not-bit-conformant (documented, by design):
   - the 512-tap polyphase prototype window. The ISO Annex-B C/D
@@ -299,11 +301,14 @@ def _pick_scalefactor(peak: float) -> int:
 
 # ------------------------------------------------------------ headers
 
-def _frame_header(layer: int, bitrate_idx: int, rate_idx: int, pad: int, mode: int) -> bytes:
+def _frame_header(
+    layer: int, bitrate_idx: int, rate_idx: int, pad: int, mode: int,
+    mode_ext: int = 0,
+) -> bytes:
     b0 = 0xFF
     b1 = 0xE0 | (0b11 << 3) | ((0b11 if layer == 1 else 0b10) << 1) | 1  # MPEG-1, no CRC
     b2 = (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1)
-    b3 = mode << 6
+    b3 = (mode << 6) | (mode_ext << 4)
     return bytes((b0, b1, b2, b3))
 
 
@@ -329,6 +334,7 @@ def _parse_header(data: bytes, pos: int) -> dict:
     if bitrate_idx in (0, 15) or rate_idx == 3:
         raise NotImplementedError("free-format/reserved bitrate or reserved rate")
     mode = (b3 >> 6) & 0b11
+    mode_ext = (b3 >> 4) & 0b11
     bitrate = (BITRATES_L1 if layer == 1 else BITRATES_L2)[bitrate_idx] * 1000
     rate = SAMPLE_RATES[rate_idx]
     pad = (b2 >> 1) & 1
@@ -338,7 +344,13 @@ def _parse_header(data: bytes, pos: int) -> dict:
         frame_len = 144 * bitrate // rate + pad
     return {
         "layer": layer, "bitrate": bitrate, "rate": rate, "pad": pad,
-        "mode": mode, "nch": 1 if mode == 0b11 else 2, "frame_len": frame_len,
+        "mode": mode, "mode_ext": mode_ext,
+        "nch": 1 if mode == 0b11 else 2, "frame_len": frame_len,
+        # intensity-stereo bound: below it channels code independently,
+        # from it on one set of sample codes serves both channels
+        # (scaled by each channel's own scalefactors). Independent
+        # stereo/dual/mono = no joint region.
+        "bound": 4 * (mode_ext + 1) if mode == 0b01 else 32,
         "crc": (b1 & 1) == 0,
     }
 
@@ -362,12 +374,10 @@ def mpeg_audio_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
         elif hdr["rate"] != rate or hdr["nch"] != nch:
             raise ValueError("mid-stream rate/mode change")
         body = _BitReader(data, pos + 4 + (2 if hdr["crc"] else 0))
-        if hdr["mode"] == 0b01:
-            raise NotImplementedError("joint (intensity) stereo — documented seam")
         if hdr["layer"] == 1:
-            _decode_layer1_frame(body, nch, subband_stream)
+            _decode_layer1_frame(body, nch, subband_stream, hdr["bound"])
         else:
-            _decode_layer2_frame(body, nch, subband_stream)
+            _decode_layer2_frame(body, nch, subband_stream, hdr["bound"])
         pos += hdr["frame_len"]
     if rate is None:
         raise ValueError("no complete MPEG audio frame found")
@@ -375,12 +385,23 @@ def mpeg_audio_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
     return rate, nch, channels
 
 
-def _decode_layer1_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) -> None:
-    # ISO field order: subband-major, channel-minor for alloc + scf
+def _decode_layer1_frame(
+    r: _BitReader, nch: int, out: list[list[list[float]]], bound: int = 32
+) -> None:
+    # ISO field order: subband-major, channel-minor for alloc + scf.
+    # Intensity (joint) stereo: from `bound` on, ONE allocation and ONE
+    # set of sample codes serve both channels, each scaled by its own
+    # transmitted scalefactor (mono streams: bound is irrelevant).
+    bound = min(bound, 32) if nch == 2 else 32
     alloc = [[0] * 32 for _ in range(nch)]
     for sb in range(32):
-        for ch in range(nch):
-            alloc[ch][sb] = r.read(4)
+        if sb < bound:
+            for ch in range(nch):
+                alloc[ch][sb] = r.read(4)
+        else:
+            a = r.read(4)
+            for ch in range(nch):
+                alloc[ch][sb] = a
     for ch in range(nch):
         if any(a == 15 for a in alloc[ch]):
             raise ValueError("forbidden Layer I allocation 15")
@@ -392,6 +413,14 @@ def _decode_layer1_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) 
     grans = [[[0.0] * 32 for _ in range(12)] for _ in range(nch)]
     for s in range(12):
         for sb in range(32):
+            a = alloc[0][sb] if sb >= bound else None
+            if sb >= bound:
+                if a:
+                    nb = a + 1
+                    sp = _requantize(r.read(nb), (1 << nb) - 1)
+                    for ch in range(nch):
+                        grans[ch][s][sb] = sp * SCALEFACTORS[scf[ch][sb]]
+                continue
             for ch in range(nch):
                 a = alloc[ch][sb]
                 if a:
@@ -404,13 +433,24 @@ def _decode_layer1_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) 
         out[ch].extend(grans[ch])
 
 
-def _decode_layer2_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) -> None:
+def _decode_layer2_frame(
+    r: _BitReader, nch: int, out: list[list[list[float]]], bound: int = 32
+) -> None:
     table = ALLOC_TABLE_A
-    # ISO field order: subband-major, channel-minor throughout
+    # ISO field order: subband-major, channel-minor throughout.
+    # Intensity (joint) stereo: from `bound` on, ONE allocation and ONE
+    # set of (possibly grouped) sample codes serve both channels, each
+    # scaled by its own transmitted scalefactors.
+    bound = min(bound, SBLIMIT_II) if nch == 2 else SBLIMIT_II
     alloc = [[0] * SBLIMIT_II for _ in range(nch)]
     for sb in range(SBLIMIT_II):
-        for ch in range(nch):
-            alloc[ch][sb] = r.read(_nbal(table[sb]))
+        if sb < bound:
+            for ch in range(nch):
+                alloc[ch][sb] = r.read(_nbal(table[sb]))
+        else:
+            a = r.read(_nbal(table[sb]))
+            for ch in range(nch):
+                alloc[ch][sb] = a
     scfsi = [[0] * SBLIMIT_II for _ in range(nch)]
     for sb in range(SBLIMIT_II):
         for ch in range(nch):
@@ -432,23 +472,39 @@ def _decode_layer2_frame(r: _BitReader, nch: int, out: list[list[list[float]]]) 
                 a = r.read(6); c = r.read(6); b = c
             scf[ch][sb] = (a, b, c)
     grans = [[[0.0] * 32 for _ in range(36)] for _ in range(nch)]
+
+    def read_triple(sb: int, nlevels: int, bits: int, grouped: bool):
+        if grouped:
+            code = r.read(bits)
+            return (
+                code % nlevels,
+                (code // nlevels) % nlevels,
+                (code // (nlevels * nlevels)) % nlevels,
+            )
+        return (r.read(bits), r.read(bits), r.read(bits))
+
     for g in range(12):  # granule = 3 consecutive samples per subband
         for sb in range(SBLIMIT_II):
+            if sb >= bound:
+                idx = alloc[0][sb]
+                if not idx:
+                    continue
+                nlevels = table[sb][idx]
+                c_, d_, bits, grouped = QUANT_CLASSES[nlevels]
+                triple = read_triple(sb, nlevels, bits, grouped)
+                sps = [_requantize(t, nlevels) for t in triple]
+                for ch in range(nch):
+                    sf = SCALEFACTORS[scf[ch][sb][g // 4]]
+                    for t in range(3):
+                        grans[ch][3 * g + t][sb] = sps[t] * sf
+                continue
             for ch in range(nch):
                 idx = alloc[ch][sb]
                 if not idx:
                     continue
                 nlevels = table[sb][idx]
                 c_, d_, bits, grouped = QUANT_CLASSES[nlevels]
-                if grouped:
-                    code = r.read(bits)
-                    triple = (
-                        code % nlevels,
-                        (code // nlevels) % nlevels,
-                        (code // (nlevels * nlevels)) % nlevels,
-                    )
-                else:
-                    triple = (r.read(bits), r.read(bits), r.read(bits))
+                triple = read_triple(sb, nlevels, bits, grouped)
                 sf = SCALEFACTORS[scf[ch][sb][g // 4]]
                 for t in range(3):
                     grans[ch][3 * g + t][sb] = _requantize(triple[t], nlevels) * sf
@@ -480,6 +536,7 @@ def mpeg_audio_encode(
     bits: int = 8,
     sblimit: int | None = None,
     right: list[float] | None = None,
+    joint_bound: int | None = None,
 ) -> bytes:
     """Mono [-1, 1] samples -> MPEG-1 Layer I/II bytes (fixture
     encoder, like ``jpeg_encode``): PQMF analysis, per-block
@@ -490,62 +547,115 @@ def mpeg_audio_encode(
     Pass ``right`` for two-channel STEREO (mode 0b00): the channels
     are coded independently per the ISO stereo mode — each gets its
     own allocation/scalefactors, samples interleaved per-subband in
-    channel order. Intensity/joint stereo (mode 0b01) remains the
-    documented decode seam."""
+    channel order. Add ``joint_bound`` (4/8/12/16) for INTENSITY
+    (joint) stereo (mode 0b01): subbands from the bound up transmit
+    ONE set of sample codes (the L/R mean, normalized to its own
+    scalefactor) plus per-channel scalefactors that carry each
+    channel's envelope — the standard high-band intensity trade."""
     if rate not in SAMPLE_RATES.values():
         raise ValueError(f"rate must be one of {sorted(SAMPLE_RATES.values())}")
     if right is not None and len(right) != len(samples):
         raise ValueError("stereo channels must be the same length")
+    if joint_bound is not None:
+        if right is None:
+            raise ValueError("joint_bound requires a right channel")
+        if joint_bound not in (4, 8, 12, 16):
+            raise ValueError("joint_bound must be 4, 8, 12 or 16")
     frame_granules = 12 if layer == 1 else 36
     frame_samples = 32 * frame_granules
     nframes = len(samples) // frame_samples
     if nframes == 0:
         raise ValueError(f"need at least {frame_samples} samples")
     chans = [samples] if right is None else [samples, right]
-    mode = 0b11 if right is None else 0b00
+    if right is None:
+        mode, mode_ext, bound = 0b11, 0, 32
+    elif joint_bound is None:
+        mode, mode_ext, bound = 0b00, 0, 32
+    else:
+        mode, mode_ext, bound = 0b01, joint_bound // 4 - 1, joint_bound
     granules = [pqmf_analyze(ch[: nframes * frame_samples]) for ch in chans]
     frames = bytearray()
     for f in range(nframes):
         grs = [g[f * frame_granules : (f + 1) * frame_granules] for g in granules]
         if layer == 1:
-            frames += _encode_layer1_frame(grs, rate, bits, mode)
+            frames += _encode_layer1_frame(grs, rate, bits, mode, mode_ext, bound)
         else:
-            frames += _encode_layer2_frame(grs, rate, bits, sblimit or SBLIMIT_II, mode)
+            frames += _encode_layer2_frame(
+                grs, rate, bits, sblimit or SBLIMIT_II, mode, mode_ext, bound
+            )
     return bytes(frames)
 
 
 _SILENCE = 1e-6  # subbands quieter than this get allocation 0
 
 
+def _joint_scf(peak_ch: float, peak_joint: float, scf_joint: int) -> int:
+    """Per-channel scalefactor for an intensity subband: the decoder
+    reconstructs ch = requant(code) * scf_ch with requant(code) ~
+    joint / scf_joint_value, so scf_ch must carry the channel's
+    envelope relative to the joint signal."""
+    if peak_joint <= _SILENCE:
+        return len(SCALEFACTORS) - 1
+    return _pick_scalefactor(
+        SCALEFACTORS[scf_joint] * peak_ch / peak_joint
+    )
+
+
 def _encode_layer1_frame(
-    grs: list[list[list[float]]], rate: int, bits: int, mode: int
+    grs: list[list[list[float]]], rate: int, bits: int, mode: int,
+    mode_ext: int = 0, bound: int = 32,
 ) -> bytes:
     nch = len(grs)
+    if nch == 1:
+        bound = 32
     w = _BitWriter()
     peaks = [
         [max(abs(g[sb]) for g in gr) for sb in range(32)] for gr in grs
     ]
+    joint = [
+        [sum(gr[s][sb] for gr in grs) / nch for sb in range(32)]
+        for s in range(len(grs[0]))
+    ]
+    jpeaks = [max(abs(joint[s][sb]) for s in range(12)) for sb in range(32)]
     # real encoders allocate by psychoacoustics; the fixture encoder
     # allocates `bits` to every audible subband and 0 to silence
     alloc = [
         [bits - 1 if peaks[ch][sb] > _SILENCE else 0 for sb in range(32)]
         for ch in range(nch)
     ]
+    for sb in range(bound, 32):  # joint region: one shared allocation
+        a = bits - 1 if max(peaks[ch][sb] for ch in range(nch)) > _SILENCE else 0
+        for ch in range(nch):
+            alloc[ch][sb] = a
     nlevels = (1 << bits) - 1
-    scf = [
-        [_pick_scalefactor(peaks[ch][sb]) if alloc[ch][sb] else 0 for sb in range(32)]
-        for ch in range(nch)
-    ]
-    # ISO field order: subband-major, channel-minor (mirrors the decoder)
+    jscf = [_pick_scalefactor(jpeaks[sb]) for sb in range(32)]
+    scf = [[0] * 32 for _ in range(nch)]
     for sb in range(32):
         for ch in range(nch):
-            w.write(alloc[ch][sb], 4)
+            if not alloc[ch][sb]:
+                continue
+            if sb >= bound:
+                scf[ch][sb] = _joint_scf(peaks[ch][sb], jpeaks[sb], jscf[sb])
+            else:
+                scf[ch][sb] = _pick_scalefactor(peaks[ch][sb])
+    # ISO field order: subband-major, channel-minor (mirrors the decoder)
+    for sb in range(32):
+        if sb >= bound:
+            w.write(alloc[0][sb], 4)
+        else:
+            for ch in range(nch):
+                w.write(alloc[ch][sb], 4)
     for sb in range(32):
         for ch in range(nch):
             if alloc[ch][sb]:
                 w.write(scf[ch][sb], 6)
     for s in range(12):
         for sb in range(32):
+            if sb >= bound:
+                if alloc[0][sb]:
+                    v = joint[s][sb] / SCALEFACTORS[jscf[sb]]
+                    w.write(_quantize(v, nlevels), bits)
+                continue
             for ch in range(nch):
                 if alloc[ch][sb]:
                     v = grs[ch][s][sb] / SCALEFACTORS[scf[ch][sb]]
@@ -554,15 +664,19 @@ def _encode_layer1_frame(
     body = bytes(w.buf)
     idx, frame_len = _pick_frame(1, rate, len(body) + 4)
     rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
-    return _frame_header(1, idx, rate_idx, 0, mode) + body + bytes(
+    return _frame_header(1, idx, rate_idx, 0, mode, mode_ext) + body + bytes(
         frame_len - 4 - len(body)
     )
 
 
 def _encode_layer2_frame(
-    grs: list[list[list[float]]], rate: int, bits: int, sblimit: int, mode: int
+    grs: list[list[list[float]]], rate: int, bits: int, sblimit: int, mode: int,
+    mode_ext: int = 0, bound: int = 32,
 ) -> bytes:
     nch = len(grs)
+    if nch == 1:
+        bound = SBLIMIT_II
+    bound = min(bound, sblimit)
     table = ALLOC_TABLE_A
     # per subband: the table entry closest to 2^bits - 1 levels
     # (same allocation for both channels — fixture simplicity)
@@ -573,31 +687,60 @@ def _encode_layer2_frame(
         best = min(range(1, len(steps)), key=lambda i: abs(steps[i] - want))
         alloc_idx.append(best)
         nlevels.append(steps[best])
+    joint = [
+        [sum(gr[g][sb] for gr in grs) / nch for sb in range(32)]
+        for g in range(len(grs[0]))
+    ]
     w = _BitWriter()
     # ISO field order: subband-major, channel-minor (mirrors the decoder)
     for sb in range(SBLIMIT_II):
-        for ch in range(nch):
+        if sb >= bound:
             w.write(alloc_idx[sb] if sb < sblimit else 0, _nbal(table[sb]))
+        else:
+            for ch in range(nch):
+                w.write(alloc_idx[sb] if sb < sblimit else 0, _nbal(table[sb]))
     for sb in range(sblimit):
         for ch in range(nch):
             w.write(0, 2)  # scfsi=0: all three scalefactors present
     scf = [[None] * sblimit for _ in range(nch)]
+    jscf = [[0, 0, 0] for _ in range(sblimit)]
     for sb in range(sblimit):
+        jpeaks = [
+            max(abs(joint[g][sb]) for g in range(12 * blk, 12 * blk + 12))
+            for blk in range(3)
+        ]
+        jscf[sb] = [_pick_scalefactor(p) for p in jpeaks]
         for ch in range(nch):
             per_block = []
             for blk in range(3):
                 peak = max(
                     abs(grs[ch][g][sb]) for g in range(12 * blk, 12 * blk + 12)
                 )
-                per_block.append(_pick_scalefactor(peak))
+                if sb >= bound:
+                    per_block.append(
+                        _joint_scf(peak, jpeaks[blk], jscf[sb][blk])
+                    )
+                else:
+                    per_block.append(_pick_scalefactor(peak))
             scf[ch][sb] = per_block
             for v in per_block:
                 w.write(v, 6)
     for g in range(12):
         for sb in range(sblimit):
+            L = nlevels[sb]
+            c_, d_, nbits, grouped = QUANT_CLASSES[L]
+            if sb >= bound:
+                sf = SCALEFACTORS[jscf[sb][g // 4]]
+                codes = [
+                    _quantize(joint[3 * g + t][sb] / sf, L) for t in range(3)
+                ]
+                if grouped:
+                    w.write(codes[0] + L * codes[1] + L * L * codes[2], nbits)
+                else:
+                    for c in codes:
+                        w.write(c, nbits)
+                continue
             for ch in range(nch):
-                L = nlevels[sb]
-                c_, d_, nbits, grouped = QUANT_CLASSES[L]
                 sf = SCALEFACTORS[scf[ch][sb][g // 4]]
                 codes = [
                     _quantize(grs[ch][3 * g + t][sb] / sf, L) for t in range(3)
@@ -611,6 +754,6 @@ def _encode_layer2_frame(
     body = bytes(w.buf)
     idx, frame_len = _pick_frame(2, rate, len(body) + 4)
     rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
-    return _frame_header(2, idx, rate_idx, 0, mode) + body + bytes(
+    return _frame_header(2, idx, rate_idx, 0, mode, mode_ext) + body + bytes(
         frame_len - 4 - len(body)
     )

@@ -879,10 +879,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings", "vec_id", "embedding", threshold=0.2, bucket_bits=8
     ),
 )
-def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.2, bucket_bits=8
+def _embedding_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared sign-LSH cosine near-dup pair stage (threshold
+    0.2, 8 bucket bits) — consumed by dedup_embedding_neardup (the
+    pair listing) and dedup_semantic (components + labeling), so the
+    bucketed pair join runs once per session (stage_cache contract)."""
+    return dd.memo_stage(
+        spark,
+        ("embpairs", sf_dir, "vec_id", "embedding", 0.2, 8),
+        lambda: dd.embedding_neardup_pairs(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            threshold=0.2, bucket_bits=8,
+        ),
     )
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_pairs_stage(spark, sf_dir)
 
 
 @query(
@@ -2370,10 +2383,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the survivor set is a single filter with no second corpus pass.
     Reference parity: generalizes the reference's exact-key dedup
     vocabulary (e.g. ProductManagement/categories.py:86-101) to
-    embedding space."""
+    embedding space. The candidate-pair stage is session-shared with
+    dedup_embedding_neardup (_embedding_pairs_stage)."""
     return cu.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.2, bucket_bits=8,
+        pairs=_embedding_pairs_stage(spark, sf_dir),
     )
 
 

@@ -219,12 +219,76 @@ def test_decode_errors():
     # free-format bitrate index 0
     with pytest.raises(NotImplementedError, match="free-format"):
         ma.mpeg_audio_decode(bytes((0xFF, 0xFD, 0x08, 0x00)) + bytes(400))
-    # joint (intensity) stereo: mode 01
+
+
+# ----------------------------------------- intensity (joint) stereo
+
+
+def test_layer2_intensity_stereo_roundtrip():
+    """Mode 01: below the bound channels are independent; above it one
+    set of codes carries the joint signal and per-channel scalefactors
+    carry each channel's envelope. L and R share a waveform at 2:1
+    intensity — the intended use case — so both reconstruct well."""
+    n = 1152 * 3
+    shape = [
+        0.3 * math.sin(2 * math.pi * 440 * t / RATE)
+        + 0.25 * math.sin(2 * math.pi * 5000 * t / RATE)
+        for t in range(n)
+    ]
+    left = shape
+    right = [0.5 * v for v in shape]
+    blob = ma.mpeg_audio_encode(
+        left, rate=RATE, layer=2, bits=8, right=right, joint_bound=4
+    )
+    hdr = ma._parse_header(blob, 0)
+    assert hdr["mode"] == 0b01 and hdr["bound"] == 4 and hdr["nch"] == 2
+    rate, nch, chans = ma.mpeg_audio_decode(blob)
+    assert nch == 2
+    # intensity reconstruction error is floored by the scalefactor
+    # grid (2^(1/3) steps ~ up to 12% envelope error), not the bits:
+    # measured ~18 dB for a perfectly-correlated 2:1 pair
+    assert _snr_db(left[: n - D], chans[0][D:]) >= 15.0
+    assert _snr_db(right[: n - D], chans[1][D:]) >= 15.0
+    # intensity is smaller than independent stereo at the same bits
+    indep = ma.mpeg_audio_encode(left, rate=RATE, layer=2, bits=8, right=right)
+    assert len(blob) <= len(indep)
+
+
+def test_layer1_intensity_stereo_roundtrip():
+    n = 384 * 6
+    shape = [0.4 * math.sin(2 * math.pi * 880 * t / RATE) for t in range(n)]
+    left, right = shape, [0.6 * v for v in shape]
+    blob = ma.mpeg_audio_encode(
+        left, rate=RATE, layer=1, bits=8, right=right, joint_bound=8
+    )
+    hdr = ma._parse_header(blob, 0)
+    assert hdr["mode"] == 0b01 and hdr["bound"] == 8
+    rate, nch, chans = ma.mpeg_audio_decode(blob)
+    m = len(chans[0])
+    assert _snr_db(left[: m - D], chans[0][D:m]) >= 15.0
+    assert _snr_db(right[: m - D], chans[1][D:m]) >= 15.0
+
+
+def test_intensity_stereo_preserves_channel_envelope():
+    """The per-channel scalefactors must carry the 2:1 intensity ratio
+    through the joint region (decoded RMS ratio ~0.5, not ~1)."""
+    n = 1152 * 2
+    shape = [0.5 * math.sin(2 * math.pi * 6000 * t / RATE) for t in range(n)]
+    blob = ma.mpeg_audio_encode(
+        shape, rate=RATE, layer=2, bits=8,
+        right=[0.5 * v for v in shape], joint_bound=4,
+    )
+    _, _, chans = ma.mpeg_audio_decode(blob)
+    rms = [math.sqrt(sum(x * x for x in ch[D:]) / (n - D)) for ch in chans]
+    assert 0.3 < rms[1] / rms[0] < 0.7
+
+
+def test_joint_bound_validation():
     sig = _sine(440.0, 1152)
-    blob = bytearray(ma.mpeg_audio_encode(sig, rate=RATE, layer=2, bits=8))
-    blob[3] = (blob[3] & 0x3F) | (0b01 << 6)
-    with pytest.raises(NotImplementedError, match="joint"):
-        ma.mpeg_audio_decode(bytes(blob))
+    with pytest.raises(ValueError, match="right channel"):
+        ma.mpeg_audio_encode(sig, joint_bound=4)
+    with pytest.raises(ValueError, match="4, 8, 12 or 16"):
+        ma.mpeg_audio_encode(sig, right=list(sig), joint_bound=5)
 
 
 # ------------------------------------- multimodal wiring (audio_decode)
