@@ -699,9 +699,6 @@ def _encode_layer2_frame(
         else:
             for ch in range(nch):
                 w.write(alloc_idx[sb] if sb < sblimit else 0, _nbal(table[sb]))
-    for sb in range(sblimit):
-        for ch in range(nch):
-            w.write(0, 2)  # scfsi=0: all three scalefactors present
     scf = [[None] * sblimit for _ in range(nch)]
     jscf = [[0, 0, 0] for _ in range(sblimit)]
     for sb in range(sblimit):
@@ -723,8 +720,35 @@ def _encode_layer2_frame(
                 else:
                     per_block.append(_pick_scalefactor(peak))
             scf[ch][sb] = per_block
-            for v in per_block:
-                w.write(v, 6)
+
+    def _scfsi(pb: list[int]) -> int:
+        # ISO scalefactor sharing: equal neighbors transmit once —
+        # 2 = all three equal (1 field), 1 = first two equal (2),
+        # 3 = last two equal (2), 0 = all distinct (3). Values are
+        # preserved exactly, so decode output is identical to scfsi=0
+        # coding — only the frame shrinks.
+        a, b, c = pb
+        if a == b == c:
+            return 2
+        if a == b:
+            return 1
+        if b == c:
+            return 3
+        return 0
+
+    for sb in range(sblimit):
+        for ch in range(nch):
+            w.write(_scfsi(scf[ch][sb]), 2)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            a, b, c = scf[ch][sb]
+            si = _scfsi(scf[ch][sb])
+            if si == 0:
+                w.write(a, 6); w.write(b, 6); w.write(c, 6)
+            elif si == 2:
+                w.write(a, 6)
+            else:  # 1 or 3: (first, last) — decoder rebuilds the middle
+                w.write(a, 6); w.write(c, 6)
     for g in range(12):
         for sb in range(sblimit):
             L = nlevels[sb]

@@ -17,13 +17,15 @@ environment, so the decode kernels come in two flavors:
 - ``decoder="real"``: REAL byte-level decoding for the formats the
   Python stdlib can handle — uncompressed 24-bit BMP (struct), 8-bit
   PNG (zlib inflate + the five scanline filters), GIF (full
-  variable-width LZW + interlace unweave), baseline JPEG (SOF0 —
-  Huffman + dequant + IDCT + YCbCr, ``operators/jpeg.py``), PCM WAV
-  (wave), and MPEG-1 audio Layer I/II (``operators/mpeg_audio.py`` —
-  frame syntax + requantization exact, pseudo-QMF filterbank) — with
+  variable-width LZW + interlace unweave), baseline AND progressive
+  JPEG (SOF0/SOF2 — Huffman + dequant + IDCT + YCbCr, spectral
+  selection + successive approximation, ``operators/jpeg.py``), PCM
+  WAV (wave), and MPEG-1 audio Layer I/II incl. independent and
+  intensity stereo (``operators/mpeg_audio.py`` — frame syntax +
+  requantization exact, pseudo-QMF filterbank) — with
   NotImplementedError narrowed to the remaining compressed codecs
-  (WebP/progressive JPEG/MP3/H.264), which is exactly where a
-  PIL/ffmpeg kernel plugs in on a real deployment.
+  (WebP/MP3/H.264), which is exactly where a PIL/ffmpeg kernel plugs
+  in on a real deployment.
 
 Scale design: mapInPandas streams Arrow batches, so peak memory per
 task is one batch of decoded media, not a partition; keep
@@ -595,8 +597,8 @@ def gif_decode_frames(
 def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Dispatch on magic bytes: BMP, PNG, GIF and baseline JPEG (SOF0)
     decode via stdlib (`operators/jpeg.py` for the latter); remaining
-    formats (WebP, progressive JPEG, ...) raise at the PIL plug
-    point."""
+    formats (WebP, ...) raise at the PIL plug point. JPEG covers both
+    baseline (SOF0) and progressive (SOF2) frames."""
     if b[:2] == b"BM":
         return bmp_decode(b)
     if b[:8] == _PNG_SIG:
@@ -932,9 +934,11 @@ def synthetic_real_media_rows(
 ) -> list[tuple]:
     """Deterministic GENUINE media payload rows (pure Python, no
     Spark) — 8x8 gradient BMPs, PNGs, GIFs and baseline JPEGs
-    (rotating) and 8 kHz sine WAVs; with ``include_mpeg``, four extra
-    MPEG-1 audio rows (Layer II mono, Layer I mono, Layer II stereo,
-    Layer II grouped-class) at ids n..n+3. Shared by the Spark fixture
+    (rotating) and 8 kHz sine WAVs; with ``include_mpeg``, six extra
+    r6 payload rows at ids n..n+5: MPEG-1 audio (Layer II mono,
+    Layer I mono, Layer II independent stereo, Layer II grouped-class,
+    Layer II INTENSITY stereo) and a progressive (SOF2) JPEG. Shared
+    by the Spark fixture
     below and the selfcheck range-assert oracle, which recomputes the
     expected features driver-side from these exact bytes."""
     from data_migration_etl_scripts_spark.operators.jpeg import jpeg_encode
@@ -973,6 +977,20 @@ def synthetic_real_media_rows(
                      "{}"))
         rows.append((n + 3, "audio",
                      bytearray(mpeg_audio_encode(tone(660.0, 1152), layer=2, bits=2)),
+                     "{}"))
+        rows.append((n + 4, "audio",
+                     bytearray(mpeg_audio_encode(
+                         tone(440.0, 1152), layer=2, bits=8,
+                         right=tone(440.0, 1152, amp=0.3), joint_bound=4)),
+                     "{}"))
+        from data_migration_etl_scripts_spark.operators.jpeg import (
+            jpeg_encode_progressive,
+        )
+
+        px = [[((x * 31 + 5) % 256, (y * 29) % 256, (x * y + 11) % 256)
+               for x in range(16)] for y in range(16)]
+        rows.append((n + 5, "image",
+                     bytearray(jpeg_encode_progressive(px, quality=92)),
                      "{}"))
     return rows
 

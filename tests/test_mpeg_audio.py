@@ -348,3 +348,41 @@ def test_extract_features_real_kernel_mp2(spark):
     assert mp2.feature[1] == float(n)
     assert mp2.feature[2] > 0.3  # real RMS energy, not hash noise
     assert out[1].feature[1] == 800.0  # WAV path unchanged
+
+
+# --------------------------------------------- scfsi scalefactor reuse
+
+
+def test_layer2_scfsi_sharing_emitted_and_decodes():
+    """A constant-envelope sine has equal scalefactors across the three
+    blocks of every coded subband: the encoder must emit scfsi=2 (one
+    scalefactor field) and the decoder's sharing paths must reproduce
+    the same samples the scfsi=0 coding would."""
+    sig = _sine(440.0, 1152 * 2)
+    blob = ma.mpeg_audio_encode(sig, rate=RATE, layer=2, bits=10)
+    # frame 2 (frame 1's first block carries the filterbank warm-up
+    # ramp): 4-byte header, then the allocation region (sum of nbal
+    # bits over the 30 subbands), then scfsi of subband 0
+    frame_len = ma._parse_header(blob, 0)["frame_len"]
+    r = ma._BitReader(blob, frame_len + 4)
+    alloc0 = [r.read(ma._nbal(ma.ALLOC_TABLE_A[sb])) for sb in range(ma.SBLIMIT_II)]
+    assert alloc0[0]  # the carrier subband is coded
+    scfsi0 = r.read(2)
+    assert scfsi0 == 2  # constant envelope: one scalefactor for all 3 blocks
+    # and the full round trip still clears the mono SNR bar
+    n = 1152 * 2
+    rate, nch, chans = ma.mpeg_audio_decode(blob)
+    assert _snr_db(sig[: n - D], chans[0][D:]) >= 50.0
+
+
+def test_layer2_scfsi_mixed_patterns_roundtrip():
+    """An amplitude-ramped signal makes per-block scalefactors differ,
+    mixing scfsi patterns 0/1/3 — decode must still track the envelope."""
+    n = 1152 * 2
+    sig = [
+        (0.1 + 0.8 * t / n) * math.sin(2 * math.pi * 440 * t / RATE)
+        for t in range(n)
+    ]
+    blob = ma.mpeg_audio_encode(sig, rate=RATE, layer=2, bits=10)
+    rate, nch, chans = ma.mpeg_audio_decode(blob)
+    assert _snr_db(sig[: n - D], chans[0][D:]) >= 40.0
