@@ -53,6 +53,35 @@ SQL_PORTABLE_BOARD = [
     "backfill_earliest_ship",
     "date_offset_expiry",
     "recode_priority",
+    # r6 widening: every further oracle that runs verbatim under Spark
+    # SQL and row-matches its DataFrame twin (probed over all 100
+    # oracle texts; the rest lean on DuckDB-only functions)
+    "watermark_max",
+    "fk_remap_orders_customer",
+    "right_join_part_linecount",
+    "preagg_join_order_totals",
+    "dedup_distinct_pairs",
+    "first_event_per_user",
+    "running_total_supplier",
+    "unpivot_measures",
+    "checkout_repair",
+    "rollup_acctbal",
+    "set_ops_customers",
+    "distinct_agg_supplier",
+    "lag_lead_rank_prices",
+    "cdc_batch_extract",
+    "grouping_sets_revenue",
+    "fuzzy_name_pairs",
+    "session_windows_batch",
+    "categories_shape",
+    "fk_orphan_report",
+    "range_join_click_windows",
+    "sql_surface_revenue",
+    "incremental_rollup_orders",
+    "expectations_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
 ]
 
 
@@ -65,7 +94,7 @@ def _canon_rows(rows):
 
 
 def test_board_queries_through_sql_frontend(spark):
-    """run_sql(oracle_text) == DataFrame twin for 14 board queries:
+    """run_sql(oracle_text) == DataFrame twin for 40 board queries:
     the SQL front-end and the DataFrame API share the planner AND the
     answer — same rows, same column set, for the same SQL the DuckDB
     oracle pins."""
