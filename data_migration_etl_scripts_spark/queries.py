@@ -1924,8 +1924,11 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over a TRAINED k-means codebook (Lloyd's, 3 rounds of
     broadcast-assign + per-dimension mean): same search plan as
-    ann_topk_ivf, better cells. Rows-only check: the codebook is the
-    product of an iterative algorithm with no SQL twin."""
+    ann_topk_ivf, better cells. The codebook is the product of an
+    iterative algorithm with no SQL twin, so tools/selfcheck.py
+    range-asserts instead: every returned cosine re-verified exactly
+    in DuckDB, descending-rank order, and a recall@5 floor vs the
+    exact brute force."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = sim.train_kmeans_centroids(emb, n_centroids=8, n_iter=3)
     return sim.cosine_topk_ivf(
@@ -2183,8 +2186,10 @@ def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sketch_profile_events")  # no oracle: HLL/t-digest are engine-specific
 def sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type mergeable sketches: HLL distinct users + t-digest
-    amount quantiles. Rows-only driver check (sketch values are
-    engine-specific); pytest bounds them against exact answers."""
+    amount quantiles. Sketch values are engine-specific, so
+    tools/selfcheck.py range-asserts: exact n_rows, approx_distinct
+    within 5% of exact, quantiles inside exact rank brackets; pytest
+    additionally bounds them."""
     ev = _t(spark, sf_dir, "events")
     return pf.approx_profile(ev, "event_type", "user_id")
 
@@ -2496,10 +2501,11 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenization (not the token_stats estimator): merges
     trained on THIS corpus (one word-count shuffle + driver loop over
     the bounded top-2000 word table), then applied map-side via an
-    Arrow-batched Pandas UDF with a per-worker word cache. Rows-only by
-    design — the iterative greedy merge has no SQL twin; correctness is
-    pinned by tests/test_bpe.py (golden merges, naive-reference parity,
-    reconstruction property)."""
+    Arrow-batched Pandas UDF with a per-worker word cache. The iterative
+    greedy merge has no SQL twin, so tools/selfcheck.py range-asserts
+    per-doc token-count brackets + the head-reconstruction prefix
+    invariant vs the raw text; golden merges/naive-reference parity
+    are pinned by tests/test_bpe.py."""
     from data_migration_etl_scripts_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -2610,10 +2616,11 @@ def video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling: animated GIFs (stdlib codec — patch
     frames composited to full frames) fan out to every-2nd-frame rows
     via an Arrow-batched mapInPandas kernel; each frame re-encodes as
-    BMP and is fingerprinted here for a scalar output. Rows-only by
-    design: pixel decoding has no SQL twin (same class as
-    multimodal_real_decode); correctness is pinned by
-    tests/test_multimodal_real.py round-trips."""
+    BMP and is fingerprinted here for a scalar output. Pixel decoding
+    has no SQL twin, but the fixture GIFs are deterministic formulas,
+    so tools/selfcheck.py range-asserts the EXACT row set (every
+    sampled frame rebuilt + BMP-md5'd driver-side); round-trips are
+    additionally pinned by tests/test_multimodal_real.py."""
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
     media = mm.synthetic_video_media(spark, n=8)
@@ -2638,7 +2645,12 @@ def corpus_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is the already-oracle-checked operator; the composition adds
     no new shuffle beyond each stage's own (score/filter map-side,
     tokenize map-side, pack = per-shard window, export = one
-    repartition). Rows-only: BPE's merge loop has no SQL twin."""
+    repartition). BPE's merge loop has no SQL twin, but everything
+    around it is range-asserted by tools/selfcheck.py: the kept-doc
+    set vs the exact DuckDB quantile twin, every tar re-read
+    driver-side (member keys == kept ids, int32 bin length == token
+    count, per-doc token-count brackets, FULL token-to-text
+    reconstruction), and manifest rows vs on-disk bytes."""
     import os as _os
 
     from data_migration_etl_scripts_spark.operators import bpe

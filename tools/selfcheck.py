@@ -265,11 +265,160 @@ def _range_bpe_tokenize(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_video_frames(con, cols, rows) -> list[str]:
+    """video_frame_extract: the fixture GIFs are deterministic formulas,
+    so every output row is recomputable driver-side — rebuild each
+    sampled frame from the recipe (8x8 base gradient + moving 2x2
+    block), re-encode as BMP, and demand the exact (media_id,
+    frame_idx, t_ms, width, height, frame_md5) row set."""
+    import hashlib as _hl
+
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    want = set()
+    for i in range(8):  # synthetic_video_media(n=8), every_n=2 -> frames 0, 2
+        base = [[((x * 31 + i) % 256, (y * 53) % 256, 64)
+                 for x in range(8)] for y in range(8)]
+        for f in (0, 2):
+            fr = [row[:] for row in base]
+            bx, by = (f * 2) % 6, (f + i) % 6
+            for y in range(by, by + 2):
+                for x in range(bx, bx + 2):
+                    fr[y][x] = (255, f * 60 % 256, i * 40 % 256)
+            md5 = _hl.md5(mm.bmp_encode(fr)).hexdigest()
+            want.add((i, f, f * 100, 8, 8, md5))
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {
+        (r[idx["media_id"]], r[idx["frame_idx"]], r[idx["t_ms"]],
+         r[idx["width"]], r[idx["height"]], r[idx["frame_md5"]])
+        for r in rows
+    }
+    bad = []
+    if got != want:
+        for t in sorted(want - got):
+            bad.append(f"missing frame row {t[:3]} (or pixel/md5 drift)")
+        for t in sorted(got - want):
+            bad.append(f"unexpected frame row {t[:3]}")
+    return bad
+
+
+def _range_training_shards(con, cols, rows) -> list[str]:
+    """corpus_to_training_shards: the BPE merge choice has no SQL twin,
+    but everything around it does — the kept-doc set (quality >= the
+    exact 25th percentile, DuckDB quantile_cont twin), and the shipped
+    artifacts themselves: every tar re-read driver-side (stdlib
+    tarfile) must contain exactly {json, bin} members for exactly the
+    kept doc ids, each json record self-consistent, each bin an
+    int32-LE array whose length equals the record's token count, token
+    counts inside the per-doc [words, chars+words] bracket, and the
+    FULL reconstruction invariant: tokens joined minus '</w>' equals
+    the lowercased text with ASCII whitespace removed. Manifest rows
+    must match the on-disk files byte-for-byte."""
+    import json as _json
+    import os as _os
+    import re as _re
+    import struct as _struct
+    import tarfile as _tar
+
+    from data_migration_etl_scripts_spark.operators import curation as cu
+    from data_migration_etl_scripts_spark.operators import text as tx
+
+    bad = []
+    kept_sql = cu.filter_by_quantile_sql(
+        tx.quality_score_sql("documents", "doc_id", "text"),
+        "quality", 0.25,
+    )
+    ws = _re.compile(r"\s+", flags=_re.ASCII)
+    kept = {}
+    for d, text in con.sql(
+        f"SELECT k.doc_id, d.text FROM ({kept_sql}) k "
+        "JOIN documents d USING (doc_id) WHERE d.text IS NOT NULL"
+    ).fetchall():
+        parts = [w for w in ws.split(text.lower()) if w]
+        kept[d] = (len(parts), len("".join(parts)), "".join(parts))
+    idx = {c: i for i, c in enumerate(cols)}
+    # manifest carries tar basenames; the query writes to this fixed dir
+    out_dir = f"/tmp/dmess_shards/train_{_os.path.basename(SF_DIR.rstrip('/'))}"
+    seen_keys: set[int] = set()
+    n_members = 0
+    for r in rows:
+        f = _os.path.join(out_dir, r[idx["file"]])
+        if not _os.path.isfile(f):
+            bad.append(f"manifest file missing on disk: {f}")
+            continue
+        size = _os.path.getsize(f)
+        if size != r[idx["n_bytes"]]:
+            bad.append(f"{f}: n_bytes {r[idx['n_bytes']]} != disk {size}")
+        if size % 512:
+            bad.append(f"{f}: size not 512-block aligned")
+        keys_here = set()
+        with _tar.open(f) as t:
+            members = {m.name: t.extractfile(m).read() for m in t.getmembers()}
+        n_members += len(members)
+        recs = {}
+        for name, payload in members.items():
+            key_s, ext = name.rsplit(".", 1)
+            key = int(key_s)
+            keys_here.add(key)
+            if key not in kept:
+                bad.append(f"{f}: member {name} is not a kept doc")
+                continue
+            if ext == "json":
+                recs[key] = _json.loads(payload)
+            elif ext == "bin":
+                if len(payload) % 4:
+                    bad.append(f"{f}: {name} not int32-aligned")
+                recs.setdefault(key, {})["__nbin"] = len(payload) // 4
+                recs[key].setdefault("__first", None)
+                if len(payload) >= 4:
+                    recs[key]["__first"] = _struct.unpack("<i", payload[:4])[0]
+            else:
+                bad.append(f"{f}: unexpected member ext {ext}")
+        for key, rec in recs.items():
+            if "n_tokens" not in rec:
+                continue
+            words, chars, squash = kept[key]
+            if rec["doc_id"] != key:
+                bad.append(f"{f}: record {key} carries doc_id {rec['doc_id']}")
+            if not (words <= rec["n_tokens"] <= chars + words):
+                bad.append(
+                    f"doc {key}: n_tokens {rec['n_tokens']} outside "
+                    f"[{words}, {chars + words}]"
+                )
+            toks = rec.get("tokens") or []
+            if len(toks) != rec["n_tokens"]:
+                bad.append(f"doc {key}: tokens len != n_tokens")
+            if "".join(toks).replace("</w>", "") != squash:
+                bad.append(f"doc {key}: token reconstruction != text")
+            if rec.get("__nbin") is not None and rec["__nbin"] != rec["n_tokens"]:
+                bad.append(
+                    f"doc {key}: bin ids {rec['__nbin']} != n_tokens"
+                )
+        if len(keys_here) != r[idx["n_items"]]:
+            bad.append(
+                f"{f}: n_items {r[idx['n_items']]} != {len(keys_here)} sample keys"
+            )
+        if keys_here and (
+            min(keys_here) != r[idx["key_min"]] or max(keys_here) != r[idx["key_max"]]
+        ):
+            bad.append(f"{f}: key_min/key_max don't match members")
+        seen_keys |= keys_here
+    if seen_keys != set(kept):
+        bad.append(
+            f"shipped keys != kept docs ({len(seen_keys)} vs {len(kept)})"
+        )
+    if n_members != 2 * len(kept):
+        bad.append(f"member count {n_members} != 2 * kept {len(kept)}")
+    return bad
+
+
 RANGE_CHECKS = {
     "sketch_profile_events": _range_sketch_profile,
     "ann_topk_ivf_trained": _range_ivf_trained,
     "multimodal_real_decode": _range_multimodal_decode,
     "bpe_tokenize_corpus": _range_bpe_tokenize,
+    "video_frame_extract": _range_video_frames,
+    "corpus_to_training_shards": _range_training_shards,
 }
 
 
