@@ -145,17 +145,109 @@ def png_encode(
     )
 
 
+#: Adam7 pass layout: (x_start, x_step, y_start, y_step)
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(
+    raw: bytes, pos: int, width: int, height: int, channels: int, depth: int
+) -> tuple[list[bytearray], int]:
+    """Unfilter ``height`` scanlines of one (sub)image starting at
+    ``pos`` in the inflated stream; returns (lines, new pos). The
+    filter distance is the byte-per-pixel count, floored at 1 for
+    sub-byte depths (the PNG rule)."""
+    bpp = max(1, (channels * depth) // 8)
+    stride = (width * channels * depth + 7) // 8
+    prev = bytearray(stride)
+    lines: list[bytearray] = []
+    for _y in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG data length mismatch")
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = line
+        lines.append(line)
+    return lines, pos
+
+
+def _png_line_pixels(
+    line: bytearray, width: int, channels: int, depth: int,
+    palette: list[tuple[int, int, int]] | None,
+) -> list[tuple[int, int, int]]:
+    """One unfiltered scanline -> (r, g, b) pixels (alpha dropped,
+    sub-byte samples unpacked MSB-first, 16-bit reduced to the high
+    byte, grayscale scaled to 8-bit, palette indices looked up)."""
+    out: list[tuple[int, int, int]] = []
+    if palette is not None or (channels == 1 and depth < 8):
+        maxv = (1 << depth) - 1
+        for px in range(width):
+            if depth == 8:
+                v = line[px]
+            elif depth == 16:
+                v = line[2 * px]
+            else:
+                bitpos = px * depth
+                v = (line[bitpos >> 3] >> (8 - depth - (bitpos & 7))) & maxv
+            if palette is not None:
+                if v >= len(palette):
+                    raise ValueError("PNG palette index out of range")
+                out.append(palette[v])
+            else:
+                g = v * 255 // maxv if maxv else 0
+                out.append((g, g, g))
+        return out
+    step = channels * (2 if depth == 16 else 1)
+    scale = 2 if depth == 16 else 1
+    for px in range(width):
+        base = px * step
+        if channels <= 2:  # grayscale (+alpha dropped)
+            g = line[base]
+            out.append((g, g, g))
+        else:  # truecolor (+alpha dropped)
+            out.append(
+                (line[base], line[base + scale], line[base + 2 * scale])
+            )
+    return out
+
+
 def png_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """PNG bytes -> (width, height, top-down (r, g, b) rows). Pure
     stdlib: chunk walk + zlib inflate + the five scanline filters
-    (None/Sub/Up/Average/Paeth). Supports non-interlaced 8-bit
-    truecolor (RGB), truecolor+alpha (alpha dropped), and grayscale;
-    palette/16-bit/interlaced stay at the PIL plug point."""
+    (None/Sub/Up/Average/Paeth). Supports grayscale (1/2/4/8/16-bit),
+    palette (PLTE, 1/2/4/8-bit), truecolor and truecolor+alpha
+    (8/16-bit, alpha dropped, 16-bit reduced to the high byte), and
+    Adam7 INTERLACED images of all of those (r6 — sub-images
+    unfiltered per pass and scattered into place)."""
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, width = 8, 0
     height = bit_depth = color_type = interlace = 0
     idat = bytearray()
+    palette: list[tuple[int, int, int]] | None = None
     while pos + 8 <= len(b):
         (length,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
@@ -165,54 +257,56 @@ def png_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
+        elif ctype == b"PLTE":
+            palette = [
+                (data[i], data[i + 1], data[i + 2])
+                for i in range(0, len(data) - 2, 3)
+            ]
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or channels is None or interlace != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or interlace not in (0, 1):
         raise NotImplementedError(
-            "palette/16-bit/interlaced PNG needs PIL — plug the codec kernel in here"
+            "exotic PNG color type needs PIL — plug the codec kernel in here"
         )
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError("palette PNG depth must be 1/2/4/8")
+    elif bit_depth not in (8, 16) and not (color_type == 0 and bit_depth in (1, 2, 4)):
+        raise NotImplementedError(
+            "sub-byte non-gray PNG depth needs PIL — plug the codec kernel in here"
+        )
+    pal = palette if color_type == 3 else None
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
+    rows: list[list[tuple[int, int, int]]]
+    if interlace == 0:
+        lines, end = _png_unfilter(raw, 0, width, height, channels, bit_depth)
+        if end != len(raw):
+            raise ValueError("PNG data length mismatch")
+        rows = [
+            _png_line_pixels(ln, width, channels, bit_depth, pal) for ln in lines
+        ]
+        return width, height, rows
+    # Adam7: seven independently filtered sub-images, scattered back
+    rows = [[(0, 0, 0)] * width for _ in range(height)]
+    p = 0
+    for x0, dx, y0, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        lines, p = _png_unfilter(raw, p, pw, ph, channels, bit_depth)
+        for j, ln in enumerate(lines):
+            px = _png_line_pixels(ln, pw, channels, bit_depth, pal)
+            y = y0 + j * dy
+            for i, v in enumerate(px):
+                rows[y][x0 + i * dx] = v
+    if p != len(raw):
         raise ValueError("PNG data length mismatch")
-    prev = bytearray(stride)
-    rows: list[list[tuple[int, int, int]]] = []
-    for y in range(height):
-        base = y * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
-                p = a + prev[i] - c
-                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        prev = line
-        if channels == 1:
-            rows.append([(v, v, v) for v in line])
-        elif channels == 2:
-            rows.append([(line[i], line[i], line[i]) for i in range(0, stride, 2)])
-        else:
-            rows.append(
-                [tuple(line[i : i + 3]) for i in range(0, stride, channels)]
-            )
     return width, height, rows
 
 

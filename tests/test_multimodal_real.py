@@ -130,11 +130,13 @@ def test_png_decode_grayscale():
     assert back == px
 
 
-def test_png_decode_rejects_16bit():
+def test_png_decode_rejects_exotic_color_type():
+    # 16-bit/palette/interlaced all decode as of r6; a reserved color
+    # type still raises the explicit plug-point error, never garbage
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 7, 0, 0, 0)  # color type 7
 
     def chunk(ctype, data):
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
@@ -250,3 +252,145 @@ def test_extract_frames_real_raises_on_nongif_video(spark):
     media = mm.synthetic_media(spark, n=6).where("media_type = 'video'")
     with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
         mm.extract_frames(media, decoder="real").collect()
+
+
+# ------------------------------- PNG: palette / Adam7 / 16-bit (r6)
+
+
+def _chunk(ctype, data):
+    import struct
+    import zlib
+
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _ihdr(w, h, depth, color_type, interlace=0):
+    import struct
+
+    return struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+
+
+def test_png_palette_4bit_decodes():
+    import zlib
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    w, h = 5, 3  # odd width: last nibble of each scanline is padding
+    idx = [[(x + y) % 4 for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for row in idx:
+        raw.append(0)  # filter None
+        for i in range(0, w, 2):
+            hi = row[i] << 4
+            lo = row[i + 1] if i + 1 < w else 0
+            raw.append(hi | lo)
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", _ihdr(w, h, 4, 3))
+            + _chunk(b"PLTE", bytes(v for c in pal for v in c))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
+    gw, gh, rows = mm.png_decode(blob)
+    assert (gw, gh) == (w, h)
+    assert rows == [[pal[v] for v in row] for row in idx]
+
+
+def test_png_palette_8bit_with_sub_filter():
+    import zlib
+
+    pal = [(i, 255 - i, i * 3 % 256) for i in range(16)]
+    w, h = 6, 2
+    idx = [[(x * y + x) % 16 for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for row in idx:
+        raw.append(1)  # Sub filter over the index bytes (bpp=1)
+        prev = 0
+        for v in row:
+            raw.append((v - prev) & 0xFF)
+            prev = v
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", _ihdr(w, h, 8, 3))
+            + _chunk(b"PLTE", bytes(v for c in pal for v in c))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
+    _, _, rows = mm.png_decode(blob)
+    assert rows == [[pal[v] for v in row] for row in idx]
+
+
+def test_png_16bit_truecolor_takes_high_byte():
+    import zlib
+
+    w, h = 3, 2
+    px16 = [[((x * 1000 + 90) % 65536, (y * 30000) % 65536, 65535)
+             for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for row in px16:
+        raw.append(0)
+        for r, g, b in row:
+            raw += bytes((r >> 8, r & 255, g >> 8, g & 255, b >> 8, b & 255))
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", _ihdr(w, h, 16, 2))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
+    _, _, rows = mm.png_decode(blob)
+    assert rows == [[(r >> 8, g >> 8, b >> 8) for r, g, b in row] for row in px16]
+
+
+def test_png_gray_1bit():
+    import zlib
+
+    w, h = 10, 2
+    bits = [[(x + y) % 2 for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for row in bits:
+        raw.append(0)
+        byte, n, acc = 0, 0, bytearray()
+        for v in row:
+            byte = (byte << 1) | v
+            n += 1
+            if n == 8:
+                acc.append(byte)
+                byte, n = 0, 0
+        if n:
+            acc.append(byte << (8 - n))
+        raw += acc
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", _ihdr(w, h, 1, 0))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
+    _, _, rows = mm.png_decode(blob)
+    assert rows == [[(255, 255, 255) if v else (0, 0, 0) for v in row]
+                    for row in bits]
+
+
+def _adam7_interlace_rgb(px):
+    """Hand-interlace an RGB image: per Adam7 pass, extract the
+    sub-image and emit filter-0 scanlines (the decoder must invert)."""
+    h, w = len(px), len(px[0])
+    raw = bytearray()
+    for x0, dx, y0, dy in mm._ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            raw.append(0)
+            y = y0 + j * dy
+            for i in range(pw):
+                raw += bytes(px[y][x0 + i * dx])
+    return bytes(raw)
+
+
+def test_png_adam7_interlaced_truecolor():
+    import zlib
+
+    w, h = 11, 9  # odd dims exercise empty/ragged passes
+    px = [[((x * 23 + y) % 256, (y * 17) % 256, (x ^ y) % 256)
+           for x in range(w)] for y in range(h)]
+    raw = _adam7_interlace_rgb(px)
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", _ihdr(w, h, 8, 2, interlace=1))
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    gw, gh, rows = mm.png_decode(blob)
+    assert (gw, gh) == (w, h)
+    assert rows == px
+
+
+def test_png_adam7_tiny_image_skips_empty_passes():
+    import zlib
+
+    px = [[(9, 8, 7)]]  # 1x1: only pass 1 has pixels
+    raw = _adam7_interlace_rgb(px)
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", _ihdr(1, 1, 8, 2, interlace=1))
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    assert mm.png_decode(blob) == (1, 1, px)
