@@ -20,12 +20,13 @@ environment, so the decode kernels come in two flavors:
   variable-width LZW + interlace unweave), baseline AND progressive
   JPEG (SOF0/SOF2 — Huffman + dequant + IDCT + YCbCr, spectral
   selection + successive approximation, ``operators/jpeg.py``), PCM
-  WAV (wave), and MPEG-1 audio Layer I/II incl. independent and
-  intensity stereo (``operators/mpeg_audio.py`` — frame syntax +
-  requantization exact, pseudo-QMF filterbank) — with
-  NotImplementedError narrowed to the remaining compressed codecs
-  (WebP/MP3/H.264), which is exactly where a PIL/ffmpeg kernel plugs
-  in on a real deployment.
+  WAV (wave), WebP LOSSLESS (VP8L — prefix codes, color cache, LZ77,
+  all four transforms, ``operators/webp.py``), and MPEG-1 audio
+  Layer I/II incl. independent and intensity stereo
+  (``operators/mpeg_audio.py`` — frame syntax + requantization exact,
+  pseudo-QMF filterbank) — with NotImplementedError narrowed to the
+  remaining compressed codecs (lossy-VP8 WebP/MP3/H.264), which is
+  exactly where a PIL/ffmpeg kernel plugs in on a real deployment.
 
 Scale design: mapInPandas streams Arrow batches, so peak memory per
 task is one batch of decoded media, not a partition; keep
@@ -703,8 +704,12 @@ def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         from data_migration_etl_scripts_spark.operators.jpeg import jpeg_decode
 
         return jpeg_decode(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from data_migration_etl_scripts_spark.operators.webp import webp_decode
+
+        return webp_decode(b)
     raise NotImplementedError(
-        "WebP/other compressed images need PIL — plug the codec kernel in here"
+        "other compressed images need PIL — plug the codec kernel in here"
     )
 
 
@@ -735,7 +740,7 @@ def audio_decode(b: bytes) -> tuple[int, list[float]]:
     downmixed to mono and the polyphase filterbank's leading delay
     (``PQMF_DELAY`` samples) is trimmed so sample 0 aligns with the
     encoder's sample 0."""
-    if b[:4] == b"RIFF":
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return wav_decode(b)
     if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
         from data_migration_etl_scripts_spark.operators.mpeg_audio import (
@@ -767,6 +772,7 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         or content[:8] == _PNG_SIG
         or content[:6] in (b"GIF87a", b"GIF89a")
         or content[:2] == b"\xff\xd8"
+        or (content[:4] == b"RIFF" and content[8:12] == b"WEBP")
     ):
         w, h, rows = image_decode(content)
         n = max(1, w * h)
@@ -780,7 +786,7 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         out = [float(w), float(h)]
         out += [s / (255.0 * n) for s in sums]
         out += [m / 255.0 for m in mx]
-    elif content[:4] == b"RIFF" or (
+    elif (content[:4] == b"RIFF" and content[8:12] == b"WAVE") or (
         len(content) >= 2
         and content[0] == 0xFF
         and (content[1] & 0xE0) == 0xE0
@@ -1031,7 +1037,8 @@ def synthetic_real_media_rows(
     (rotating) and 8 kHz sine WAVs; with ``include_mpeg``, six extra
     r6 payload rows at ids n..n+5: MPEG-1 audio (Layer II mono,
     Layer I mono, Layer II independent stereo, Layer II grouped-class,
-    Layer II INTENSITY stereo) and a progressive (SOF2) JPEG. Shared
+    Layer II INTENSITY stereo), a progressive (SOF2) JPEG, and a
+    lossless WebP (predictor transform + color cache). Shared
     by the Spark fixture
     below and the selfcheck range-assert oracle, which recomputes the
     expected features driver-side from these exact bytes."""
@@ -1085,6 +1092,13 @@ def synthetic_real_media_rows(
                for x in range(16)] for y in range(16)]
         rows.append((n + 5, "image",
                      bytearray(jpeg_encode_progressive(px, quality=92)),
+                     "{}"))
+        from data_migration_etl_scripts_spark.operators.webp import webp_encode
+
+        px2 = [[((x * 13) % 256, (x + y * 9) % 256, (y * 21) % 256)
+                for x in range(12)] for y in range(10)]
+        rows.append((n + 6, "image",
+                     bytearray(webp_encode(px2, predictor_mode=7)),
                      "{}"))
     return rows
 

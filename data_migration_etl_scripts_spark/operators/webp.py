@@ -1,0 +1,843 @@
+"""WebP LOSSLESS (VP8L) codec, pure stdlib — closes the "WebP" entry
+of the multimodal plug-point list (reference parity note: the
+reference ETL repo has no media handling; this is LLM-data-addendum
+surface, like ``jpeg.py``/``mpeg_audio.py``).
+
+Decoder (``webp_decode``): RIFF/WEBP container walk (VP8X extended
+headers skipped, lossy ``VP8 `` raises — a different codec entirely),
+then the VP8L bitstream: LSB-first bit reading, SIMPLE and NORMAL
+prefix-code transmission (code-length codes with 16/17/18 repeats and
+the optional max-symbol short-circuit), meta-prefix groups, the color
+cache (0x1e35a7bd multiplicative hash), LZ77 backward references with
+the formulaic (prefix, extra-bits) length/distance scheme, and all
+four transforms inverted in reverse order: PREDICTOR (the 14 spatial
+modes, block-granular), COLOR (signed 3.5 fixed-point cross-channel
+deltas), SUBTRACT_GREEN, and COLOR_INDEXING (palette + sub-byte pixel
+bundling for palettes <= 16 colors).
+
+Encoder (``webp_encode``): spec-valid fixture encoder in the
+``jpeg_encode`` tradition — optional SUBTRACT_GREEN, optional color
+cache, greedy RLE LZ77 (distance-1 runs through the 1D distance
+escape), canonical length-limited prefix codes transmitted the NORMAL
+way (uncompressed code-length lists through a one-level code-length
+code), SIMPLE codes for degenerate alphabets. Our decoder reads
+tables from the stream, so it decodes what libwebp writes wherever
+the documented seams below don't apply.
+
+Documented seams (the Annex-B policy: never reproduce a data table
+from memory and call it exact):
+
+- the 2D distance map (distance codes 1..120 index a spec-tabulated
+  list of 120 (dx, dy) neighbor offsets). The table is pure data with
+  no closed form; ``_DIST_2D_SEAM`` raises with a pointer. Codes
+  > 120 (the 1D escape every encoder may use, and the only form THIS
+  encoder emits) decode exactly.
+- ``_CL_ORDER`` (the 19-entry code-length-code transmission order) is
+  required by the format and is included as a REMEMBERED constant —
+  engine-written streams are self-consistent regardless; verify
+  against libwebp before trusting foreign streams that exercise it.
+- lossy VP8 and the ALPH chunk raise NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# remembered constant (see module docstring): transmission order of the
+# code-length code's own 3-bit lengths
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+_HASH_MUL = 0x1E35A7BD
+
+
+class _LSBReader:
+    """VP8L bit reader: LSB-first within each byte."""
+
+    def __init__(self, data: bytes, byte_pos: int = 0) -> None:
+        self.data = data
+        self.bit = byte_pos * 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte_i = self.bit >> 3
+            if byte_i >= len(self.data):
+                raise ValueError("truncated VP8L bitstream")
+            v |= ((self.data[byte_i] >> (self.bit & 7)) & 1) << i
+            self.bit += 1
+        return v
+
+
+class _LSBWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc |= (value & ((1 << bits) - 1)) << self.n
+        self.n += bits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+# -------------------------------------------------------- prefix codes
+
+
+class _PrefixCode:
+    """Canonical prefix code. ``single`` = a 1-symbol code: the decoder
+    returns it without consuming bits (the spec's degenerate case)."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ValueError("prefix code with no symbols")
+        if len(used) == 1:
+            self.single = used[0][1]
+            self.table: dict[tuple[int, int], int] = {}
+            self.codes = {used[0][1]: (0, 0)}
+            return
+        self.single = None
+        # canonical assignment: by (length, symbol); VP8L codes are
+        # read MSB-first despite the LSB-first bit transport
+        used.sort()
+        kraft = sum(1 << (15 - ln) for ln, _ in used)
+        if kraft > (1 << 15):
+            raise ValueError("over-subscribed prefix code")
+        self.table = {}
+        self.codes = {}
+        code = 0
+        prev_len = used[0][0]
+        for ln, sym in used:
+            code <<= (ln - prev_len)
+            prev_len = ln
+            self.table[(ln, code)] = sym
+            self.codes[sym] = (code, ln)
+            code += 1
+
+    def decode(self, r: _LSBReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, 16):
+            code = (code << 1) | r.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+def _limited_lengths(freqs: dict[int, int], max_len: int = 15) -> list[int]:
+    """Code lengths for a canonical prefix code over ``freqs`` (symbol
+    -> count), depth-limited by simple post-clamping + Kraft repair."""
+    import heapq
+
+    n_alpha = max(freqs) + 1
+    syms = [s for s, c in freqs.items() if c > 0]
+    if len(syms) <= 1:
+        out = [0] * n_alpha
+        for s in syms:
+            out[s] = 1
+        return out
+    heap = [(c, i, (s,)) for i, (s, c) in enumerate(sorted(freqs.items())) if c > 0]
+    heapq.heapify(heap)
+    i = len(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        c1, _, g1 = heapq.heappop(heap)
+        c2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, i, g1 + g2))
+        i += 1
+    out = [0] * n_alpha
+    for s, d in depth.items():
+        out[s] = min(max_len, max(1, d))
+    # Kraft repair after clamping: lengthen the shallowest non-trivial
+    # codes until the code is feasible
+    def kraft() -> int:
+        return sum(1 << (max_len - ln) for ln in out if ln)
+
+    while kraft() > (1 << max_len):
+        cand = min(
+            (s for s in syms if out[s] < max_len), key=lambda s: out[s]
+        )
+        out[cand] += 1
+    return out
+
+
+# ------------------------------------------------- formulaic LZ77 maps
+
+
+def _prefix_decode_value(code: int, r: _LSBReader) -> int:
+    """length/distance prefix code -> value (the formulaic scheme:
+    code < 4 -> code + 1; else (2 + code%2) << extra, + extra bits)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.read(extra) + 1
+
+
+def _prefix_encode_value(v: int) -> tuple[int, int, int]:
+    """value -> (code, extra_bits_value, extra_bits_count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    nb = x.bit_length() - 1  # top bit position
+    second = (x >> (nb - 1)) & 1
+    code = 2 * nb + second
+    extra = nb - 1
+    return code, x & ((1 << extra) - 1), extra
+
+
+_DIST_2D_SEAM = (
+    "VP8L 2D distance codes (<= 120) index the spec's 120-entry "
+    "neighbor-offset table — data with no closed form, deliberately "
+    "not reproduced from memory (module docstring); this engine's "
+    "encoder emits only the exact 1D escape (> 120). Drop the libwebp "
+    "table into webp.py for foreign streams that use 2D codes."
+)
+
+
+# -------------------------------------------------------------- decode
+
+
+def _read_prefix_code(r: _LSBReader, alphabet_size: int) -> _PrefixCode:
+    if r.read(1):  # SIMPLE
+        n_syms = r.read(1) + 1
+        if r.read(1):  # first symbol is 8-bit
+            sym0 = r.read(8)
+        else:
+            sym0 = r.read(1)
+        lengths = [0] * alphabet_size
+        lengths[sym0] = 1
+        if n_syms == 2:
+            sym1 = r.read(8)
+            lengths[sym1] = 1
+        return _PrefixCode(lengths)
+    # NORMAL: code-length code, then symbol lengths
+    num_cl = r.read(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = r.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if r.read(1):  # limited symbol count
+        length_nbits = 2 + 2 * r.read(3)
+        max_symbol = 2 + r.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = cl_code.decode(r)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + r.read(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev_len
+                    i += 1
+        elif s == 17:
+            i += 3 + r.read(3)
+        else:  # 18
+            i += 11 + r.read(7)
+    return _PrefixCode(lengths)
+
+
+def _decode_entropy_image(
+    r: _LSBReader, w: int, h: int, allow_meta: bool
+) -> list[int]:
+    """Decode one VP8L entropy-coded ARGB image (as flat 32-bit ints).
+    Transforms are handled by the caller; this is the spatially-coded
+    layer (groups, cache, LZ77, literals). The color-cache bit is read
+    at EVERY image level (libwebp DecodeImageStream); meta-prefix
+    groups only at the top level."""
+    cache_bits = 0
+    if r.read(1):
+        cache_bits = r.read(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError("bad VP8L color-cache size")
+    meta: list[int] | None = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and r.read(1):
+        meta_bits = r.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(r, mw, mh, False)
+        meta = [((p >> 8) & 0xFFFF) for p in meta_img]
+        n_groups = max(meta) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _g in range(n_groups):
+        g_code = _read_prefix_code(r, 256 + 24 + cache_size)
+        r_code = _read_prefix_code(r, 256)
+        b_code = _read_prefix_code(r, 256)
+        a_code = _read_prefix_code(r, 256)
+        d_code = _read_prefix_code(r, 40)
+        groups.append((g_code, r_code, b_code, a_code, d_code))
+    cache = [0] * cache_size
+    out: list[int] = [0] * (w * h)
+    pos = 0
+    total = w * h
+
+    def insert(px: int) -> None:
+        if cache_size:
+            cache[(_HASH_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+    while pos < total:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            mw = (w + (1 << meta_bits) - 1) >> meta_bits
+            gi = meta[(y >> meta_bits) * mw + (x >> meta_bits)]
+        else:
+            gi = 0
+        g_code, r_code, b_code, a_code, d_code = groups[gi]
+        sym = g_code.decode(r)
+        if sym < 256:
+            red = r_code.decode(r)
+            blue = b_code.decode(r)
+            alpha = a_code.decode(r)
+            px = (alpha << 24) | (red << 16) | (sym << 8) | blue
+            out[pos] = px
+            insert(px)
+            pos += 1
+        elif sym < 256 + 24:
+            length = _prefix_decode_value(sym - 256, r)
+            dcode = _prefix_decode_value(d_code.decode(r), r)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                raise NotImplementedError(_DIST_2D_SEAM)
+            if dist <= 0 or dist > pos:
+                raise ValueError("VP8L back-reference before image start")
+            for _ in range(length):
+                if pos >= total:
+                    raise ValueError("VP8L back-reference overruns image")
+                px = out[pos - dist]
+                out[pos] = px
+                insert(px)
+                pos += 1
+        else:
+            out[pos] = cache[sym - 256 - 24]
+            pos += 1
+    return out
+
+
+def _cdelta(m: int, v: int) -> int:
+    """Color-transform delta: signed 3.5 fixed-point multiplier."""
+    ms = m - 256 if m >= 128 else m
+    vs = v - 256 if v >= 128 else v
+    return (ms * vs) >> 5
+
+
+def _apply_inverse_transforms(
+    argb: list[int], w: int, h: int, transforms: list[tuple]
+) -> tuple[list[int], int]:
+    """Invert the recorded transforms in reverse order; returns the
+    (possibly widened, for color-indexing bundling) pixel list + w."""
+    for t in reversed(transforms):
+        kind = t[0]
+        if kind == 2:  # subtract green
+            for i, p in enumerate(argb):
+                g = (p >> 8) & 0xFF
+                red = ((p >> 16) + g) & 0xFF
+                blue = (p + g) & 0xFF
+                argb[i] = (p & 0xFF00FF00) | (red << 16) | blue
+        elif kind == 3:  # color indexing
+            _k, palette, width_bits, orig_w = t
+            if width_bits:
+                px_per = 1 << width_bits
+                bits = 8 >> width_bits
+                mask = (1 << bits) - 1
+                wide = [0] * (orig_w * h)
+                for y in range(h):
+                    for x in range(orig_w):
+                        packed = argb[y * w + (x >> width_bits)]
+                        idx = ((packed >> 8) >> (bits * (x % px_per))) & mask
+                        if idx >= len(palette):
+                            raise ValueError("VP8L palette index overflow")
+                        wide[y * orig_w + x] = palette[idx]
+                argb = wide
+                w = orig_w
+            else:
+                for i, p in enumerate(argb):
+                    idx = (p >> 8) & 0xFF
+                    if idx >= len(palette):
+                        raise ValueError("VP8L palette index overflow")
+                    argb[i] = palette[idx]
+        elif kind == 1:  # color transform
+            _k, bits, cimg, cw = t
+            for y in range(h):
+                for x in range(w):
+                    cp = cimg[(y >> bits) * cw + (x >> bits)]
+                    g2r = (cp >> 16) & 0xFF
+                    g2b = (cp >> 8) & 0xFF
+                    r2b = cp & 0xFF
+                    p = argb[y * w + x]
+                    green = (p >> 8) & 0xFF
+                    red = ((p >> 16) + _cdelta(g2r, green)) & 0xFF
+                    blue = ((p & 0xFF) + _cdelta(g2b, green) + _cdelta(r2b, red)) & 0xFF
+                    argb[y * w + x] = (p & 0xFF00FF00) | (red << 16) | blue
+        elif kind == 0:  # predictor
+            _k, bits, pimg, pw = t
+            argb = _inverse_predictor(argb, w, h, bits, pimg, pw)
+        else:
+            raise ValueError(f"unknown VP8L transform {kind}")
+    return argb, w
+
+
+def _avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) + (b >> 24)) >> 1) << 24)
+        | (((((a >> 16) & 255) + ((b >> 16) & 255)) >> 1) << 16)
+        | (((((a >> 8) & 255) + ((b >> 8) & 255)) >> 1) << 8)
+        | (((a & 255) + (b & 255)) >> 1)
+    )
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select: whichever of L/T is closer to the gradient
+        p = [
+            ((L >> s) & 255) + ((T >> s) & 255) - ((TL >> s) & 255)
+            for s in (24, 16, 8, 0)
+        ]
+        pl = sum(abs(c - ((L >> s) & 255)) for c, s in zip(p, (24, 16, 8, 0)))
+        pt = sum(abs(c - ((T >> s) & 255)) for c, s in zip(p, (24, 16, 8, 0)))
+        return L if pl <= pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return sum(
+            _clamp255(((L >> s) & 255) + ((T >> s) & 255) - ((TL >> s) & 255)) << s
+            for s in (24, 16, 8, 0)
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+        out = 0
+        for s in (24, 16, 8, 0):
+            ave = (((L >> s) & 255) + ((T >> s) & 255)) >> 1
+            out |= _clamp255(ave + (ave - ((TL >> s) & 255)) // 2) << s
+        return out
+    raise ValueError(f"bad VP8L predictor mode {mode}")
+
+
+def _inverse_predictor(
+    res: list[int], w: int, h: int, bits: int, pimg: list[int], pw: int
+) -> list[int]:
+    out = [0] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = out[i - 1]  # top row: Left
+            elif x == 0:
+                pred = out[i - w]  # left column: Top
+            else:
+                mode = (pimg[(y >> bits) * pw + (x >> bits)] >> 8) & 0xFF
+                L, T, TL = out[i - 1], out[i - w], out[i - w - 1]
+                TR = out[i - w + 1] if x + 1 < w else out[i - w]
+                pred = _predict(mode, L, T, TL, TR)
+            px = 0
+            for s in (24, 16, 8, 0):
+                px |= ((((res[i] >> s) & 255) + ((pred >> s) & 255)) & 255) << s
+            out[i] = px
+    return out
+
+
+def webp_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """WebP bytes -> (width, height, top-down (r, g, b) rows). Lossless
+    (VP8L) only; lossy VP8 raises at the documented seam."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if tag == b"VP8L":
+            payload = b[pos + 8 : pos + 8 + size]
+            break
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) is a different codec — documented seam"
+            )
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("WebP without a VP8L chunk")
+    if payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    r = _LSBReader(payload, 1)
+    w = r.read(14) + 1
+    h = r.read(14) + 1
+    r.read(1)  # alpha hint
+    if r.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    orig_w = w
+    transforms: list[tuple] = []
+    seen = set()
+    while r.read(1):
+        kind = r.read(2)
+        if kind in seen:
+            raise ValueError("repeated VP8L transform")
+        seen.add(kind)
+        if kind == 2:
+            transforms.append((2,))
+        elif kind == 3:
+            n_colors = r.read(8) + 1
+            deltas = _decode_entropy_image(r, n_colors, 1, False)
+            palette = []
+            acc = 0
+            for d in deltas:
+                acc = sum(
+                    ((((acc >> s) & 255) + ((d >> s) & 255)) & 255) << s
+                    for s in (24, 16, 8, 0)
+                )
+                palette.append(acc)
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append((3, palette, width_bits, w))
+            w = (w + (1 << width_bits) - 1) >> width_bits
+        elif kind in (0, 1):
+            bits = r.read(3) + 2
+            sw = (w + (1 << bits) - 1) >> bits
+            sh = (h + (1 << bits) - 1) >> bits
+            simg = _decode_entropy_image(r, sw, sh, False)
+            transforms.append((kind, bits, simg, sw))
+        else:
+            raise ValueError("unknown VP8L transform")
+    argb = _decode_entropy_image(r, w, h, True)
+    argb, w = _apply_inverse_transforms(argb, w, h, transforms)
+    if w != orig_w:
+        raise ValueError("VP8L transform width bookkeeping broke")
+    return orig_w, h, [
+        [
+            (
+                (argb[y * orig_w + x] >> 16) & 255,
+                (argb[y * orig_w + x] >> 8) & 255,
+                argb[y * orig_w + x] & 255,
+            )
+            for x in range(orig_w)
+        ]
+        for y in range(h)
+    ]
+
+
+# -------------------------------------------------------------- encode
+
+
+def _write_prefix_code(wtr: _LSBWriter, lengths: list[int]) -> _PrefixCode:
+    """Transmit a prefix code. 1-2 symbol alphabets go SIMPLE; larger
+    ones NORMAL with a one-level code-length code (no 16/17/18 runs for
+    the used region, an 18-run would need… simplicity: every position's
+    length is sent through the CL code; zeros are cheap)."""
+    used = [s for s, ln in enumerate(lengths) if ln > 0]
+    if 1 <= len(used) <= 2 and all(lengths[s] == 1 for s in used) and max(used) <= 255:
+        wtr.write(1, 1)  # simple
+        wtr.write(len(used) - 1, 1)
+        first = used[0]
+        if first > 1:
+            wtr.write(1, 1)
+            wtr.write(first, 8)
+        else:
+            wtr.write(0, 1)
+            wtr.write(first, 1)
+        if len(used) == 2:
+            wtr.write(used[1], 8)
+        return _PrefixCode(lengths)
+    wtr.write(0, 1)  # normal
+    cl_freq: dict[int, int] = {}
+    for ln in lengths:
+        cl_freq[ln] = cl_freq.get(ln, 0) + 1
+    cl_lengths = _limited_lengths(cl_freq, max_len=7)
+    cl_lengths += [0] * (19 - len(cl_lengths))
+    wtr.write(19 - 4, 4)  # transmit all 19 CL lengths
+    for sym in _CL_ORDER:
+        wtr.write(cl_lengths[sym], 3)
+    cl_code = _PrefixCode(cl_lengths)
+    wtr.write(0, 1)  # no max-symbol short-circuit
+    for ln in lengths:
+        if cl_code.single is None:
+            code, n = cl_code.codes[ln]
+            wtr.write(int(f"{code:0{n}b}"[::-1], 2) if n else 0, n)
+    return _PrefixCode(lengths)
+
+
+def _emit_code(wtr: _LSBWriter, code: _PrefixCode, sym: int) -> None:
+    if code.single is not None:
+        return
+    c, n = code.codes[sym]
+    # prefix codes are MSB-first on the wire; the writer is LSB-first
+    wtr.write(int(f"{c:0{n}b}"[::-1], 2), n)
+
+
+def _forward_predictor(argb: list[int], w: int, h: int, mode: int) -> list[int]:
+    """Residuals for a single predictor ``mode`` applied to every block
+    (the encoder's forward half of :func:`_inverse_predictor`)."""
+    res = [0] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = argb[i - 1]
+            elif x == 0:
+                pred = argb[i - w]
+            else:
+                L, T, TL = argb[i - 1], argb[i - w], argb[i - w - 1]
+                TR = argb[i - w + 1] if x + 1 < w else argb[i - w]
+                pred = _predict(mode, L, T, TL, TR)
+            px = 0
+            for s in (24, 16, 8, 0):
+                px |= ((((argb[i] >> s) & 255) - ((pred >> s) & 255)) & 255) << s
+            res[i] = px
+    return res
+
+
+def webp_encode(
+    rows: list[list[tuple[int, int, int]]],
+    subtract_green: bool = True,
+    cache_bits: int = 6,
+    rle: bool = True,
+    predictor_mode: int | None = None,
+    palette: bool = False,
+) -> bytes:
+    """Top-down (r, g, b) rows -> lossless WebP (VP8L) bytes.
+    Bit-exact round trip (lossless by construction); SUBTRACT_GREEN,
+    a color cache, greedy distance-1 RLE (through the exact 1D
+    distance escape), a single-mode PREDICTOR transform
+    (``predictor_mode`` 0..13 — one 512px block, so the mode sub-image
+    is one pixel), and COLOR_INDEXING with sub-byte bundling
+    (``palette=True``, images with <= 256 distinct colors) exercise
+    the decoder's machinery end to end."""
+    h = len(rows)
+    w = len(rows[0])
+    argb = [
+        (0xFF << 24) | (r << 16) | (g << 8) | b
+        for row in rows for (r, g, b) in row
+    ]
+    wtr = _LSBWriter()
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(0, 1)  # no alpha
+    wtr.write(0, 3)  # version
+    coded_w = w
+    if palette:
+        if subtract_green or predictor_mode is not None:
+            raise ValueError("palette composes with cache/rle only")
+        colors = []
+        index = {}
+        for p in argb:
+            if p not in index:
+                index[p] = len(colors)
+                colors.append(p)
+        if len(colors) > 256:
+            raise ValueError("palette=True needs <= 256 distinct colors")
+        wtr.write(1, 1)
+        wtr.write(3, 2)  # COLOR_INDEXING
+        wtr.write(len(colors) - 1, 8)
+        deltas = []
+        prev = 0
+        for c in colors:
+            d = 0
+            for s in (24, 16, 8, 0):
+                d |= ((((c >> s) & 255) - ((prev >> s) & 255)) & 255) << s
+            deltas.append(d)
+            prev = c
+        _emit_entropy_image(wtr, deltas, cache_bits=0, rle=False)
+        if len(colors) <= 2:
+            width_bits = 3
+        elif len(colors) <= 4:
+            width_bits = 2
+        elif len(colors) <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        if width_bits:
+            px_per = 1 << width_bits
+            bits = 8 >> width_bits
+            coded_w = (w + px_per - 1) >> width_bits
+            packed = [0] * (coded_w * h)
+            for y in range(h):
+                for x in range(w):
+                    unit = y * coded_w + (x >> width_bits)
+                    packed[unit] |= index[argb[y * w + x]] << (
+                        8 + bits * (x % px_per)
+                    )
+            argb = [p | 0xFF000000 for p in packed]
+        else:
+            argb = [0xFF000000 | (index[p] << 8) for p in argb]
+    if subtract_green:
+        wtr.write(1, 1)  # a transform follows
+        wtr.write(2, 2)  # SUBTRACT_GREEN
+        argb = [
+            (p & 0xFF00FF00)
+            | ((((p >> 16) & 255) - ((p >> 8) & 255)) & 255) << 16
+            | ((((p & 255)) - ((p >> 8) & 255)) & 255)
+            for p in argb
+        ]
+    if predictor_mode is not None:
+        # read AFTER subtract-green: the decoder inverts the LAST-read
+        # transform FIRST, so forward order = subtract-green, then
+        # predictor residuals — and decode undoes them in mirror order
+        wtr.write(1, 1)
+        wtr.write(0, 2)  # PREDICTOR
+        wtr.write(9 - 2, 3)  # 512px blocks: one mode pixel covers all
+        mode_img = [0xFF000000 | (predictor_mode << 8)]
+        pw = (coded_w + 511) >> 9
+        ph = (h + 511) >> 9
+        if pw != 1 or ph != 1:
+            raise ValueError("predictor_mode fixture encoder needs <= 512px")
+        _emit_entropy_image(wtr, mode_img, cache_bits=0, rle=False)
+    if predictor_mode is not None:
+        argb = _forward_predictor(argb, coded_w, h, predictor_mode)
+    wtr.write(0, 1)  # no more transforms
+    _emit_entropy_image(wtr, argb, cache_bits=cache_bits, rle=rle, top_level=True)
+    payload = b"\x2f" + wtr.flush()
+    if len(payload) % 2:
+        padded = payload + b"\x00"
+    else:
+        padded = payload
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + padded
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _emit_entropy_image(
+    wtr: _LSBWriter, argb: list[int], cache_bits: int, rle: bool,
+    top_level: bool = False,
+) -> None:
+    """Emit one entropy-coded image (cache bit, 5 prefix codes,
+    tokens) — used for the main image (which alone carries the
+    meta-prefix bit) and for transform sub-images (palette deltas,
+    predictor modes)."""
+    cache_size = 1 << cache_bits if cache_bits else 0
+    if cache_bits:
+        wtr.write(1, 1)
+        wtr.write(cache_bits, 4)
+    else:
+        wtr.write(0, 1)
+    if top_level:
+        wtr.write(0, 1)  # no meta-prefix groups
+    cache = [None] * cache_size
+    tokens: list[tuple] = []
+    i, n = 0, len(argb)
+    while i < n:
+        if rle and i > 0 and argb[i] == argb[i - 1]:
+            run = 1
+            while i + run < n and argb[i + run] == argb[i + run - 1]:
+                run += 1
+            tokens.append(("ref", run, 1))
+            for j in range(i, i + run):
+                if cache_size:
+                    cache[(_HASH_MUL * argb[j] & 0xFFFFFFFF) >> (32 - cache_bits)] = argb[j]
+            i += run
+            continue
+        px = argb[i]
+        if cache_size:
+            slot = (_HASH_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[slot] == px:
+                tokens.append(("cache", slot))
+                i += 1
+                continue
+            cache[slot] = px
+        tokens.append(("lit", px))
+        i += 1
+    # ---- histograms -> codes
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {0: 0}
+    bf: dict[int, int] = {0: 0}
+    af: dict[int, int] = {0: 0}
+    df: dict[int, int] = {0: 0}
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            gf[(p >> 8) & 255] = gf.get((p >> 8) & 255, 0) + 1
+            rf[(p >> 16) & 255] = rf.get((p >> 16) & 255, 0) + 1
+            bf[p & 255] = bf.get(p & 255, 0) + 1
+            af[(p >> 24) & 255] = af.get((p >> 24) & 255, 0) + 1
+        elif t[0] == "ref":
+            lc, _, _ = _prefix_encode_value(t[1])
+            gf[256 + lc] = gf.get(256 + lc, 0) + 1
+            dc, _, _ = _prefix_encode_value(t[2] + 120)  # 1D escape
+            df[dc] = df.get(dc, 0) + 1
+        else:
+            gf[280 + t[1]] = gf.get(280 + t[1], 0) + 1
+    for freq in (gf, rf, bf, af, df):
+        if not any(freq.values()):
+            freq[0] = 1  # unused code: a 1-symbol placeholder (0 bits)
+    ga = 256 + 24 + cache_size
+    g_lengths = _limited_lengths(gf) + [0] * ga
+    g_code = _write_prefix_code(wtr, g_lengths[:ga])
+    codes = []
+    for freq in (rf, bf, af):
+        lens = _limited_lengths(freq) + [0] * 256
+        codes.append(_write_prefix_code(wtr, lens[:256]))
+    r_code, b_code, a_code = codes
+    d_lengths = _limited_lengths(df) + [0] * 40
+    d_code = _write_prefix_code(wtr, d_lengths[:40])
+    # ---- emit tokens
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            _emit_code(wtr, g_code, (p >> 8) & 255)
+            _emit_code(wtr, r_code, (p >> 16) & 255)
+            _emit_code(wtr, b_code, p & 255)
+            _emit_code(wtr, a_code, (p >> 24) & 255)
+        elif t[0] == "ref":
+            lc, lx, ln = _prefix_encode_value(t[1])
+            _emit_code(wtr, g_code, 256 + lc)
+            if ln:
+                wtr.write(lx, ln)
+            dc, dx, dn = _prefix_encode_value(t[2] + 120)
+            _emit_code(wtr, d_code, dc)
+            if dn:
+                wtr.write(dx, dn)
+        else:
+            _emit_code(wtr, g_code, 280 + t[1])

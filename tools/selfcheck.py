@@ -215,9 +215,10 @@ def _range_multimodal_decode(con, cols, rows) -> list[str]:
         ):
             bad.append(f"id {mid}: feature {got} != driver-side recompute {want}")
         # independent structural facts, not recomputed through the kernel
-        want_dim = 16.0 if mid >= 24 else 8.0  # 16x16 progressive-JPEG row
-        if mtype == "image" and got[:2] != [want_dim, want_dim]:
-            bad.append(f"id {mid}: image dims {got[:2]} != [{want_dim}] x2")
+        # (extended rows: 29 = 16x16 progressive JPEG, 30 = 12x10 WebP)
+        want_dims = {29: [16.0, 16.0], 30: [12.0, 10.0]}.get(mid, [8.0, 8.0])
+        if mtype == "image" and got[:2] != want_dims:
+            bad.append(f"id {mid}: image dims {got[:2]} != {want_dims}")
         if mtype == "audio":
             if not (0.02 <= got[0] <= 0.15):  # 100ms WAVs / 24-85ms MPEG
                 bad.append(f"id {mid}: audio duration {got[0]}s outside [0.02, 0.15]")
