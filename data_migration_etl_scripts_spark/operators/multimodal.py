@@ -714,18 +714,37 @@ def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
 
 
 def wav_decode(b: bytes) -> tuple[int, list[float]]:
-    """PCM WAV bytes -> (duration_ms, mono samples in [-1, 1])."""
+    """PCM WAV bytes -> (duration_ms, mono samples in [-1, 1]).
+    All integer PCM widths decode (r6): 8-bit unsigned, 16-bit,
+    24-bit packed, and 32-bit (signed little-endian); float PCM WAVs
+    use format 3, which the stdlib ``wave`` module rejects upstream —
+    that stays the soundfile plug point."""
     with wave.open(io.BytesIO(b)) as w:
         nch, sampwidth, rate, nframes = (
             w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
         )
         raw = w.readframes(nframes)
-    if sampwidth != 2:
+    if sampwidth == 1:  # unsigned, midpoint 128
+        ints = [v - 128 for v in raw]
+        full = 128.0
+    elif sampwidth == 2:
+        ints = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+        full = 32768.0
+    elif sampwidth == 3:  # packed 24-bit signed LE
+        ints = []
+        for i in range(0, len(raw), 3):
+            v = raw[i] | (raw[i + 1] << 8) | (raw[i + 2] << 16)
+            ints.append(v - (1 << 24) if v & 0x800000 else v)
+        full = float(1 << 23)
+    elif sampwidth == 4:
+        ints = list(struct.unpack(f"<{len(raw) // 4}i", raw))
+        full = float(1 << 31)
+    else:
         raise NotImplementedError(
-            "non-16-bit audio needs ffmpeg/soundfile — plug the codec kernel in here"
+            f"{8 * sampwidth}-bit PCM needs ffmpeg/soundfile — plug the "
+            "codec kernel in here"
         )
-    ints = struct.unpack(f"<{len(raw) // 2}h", raw)
-    mono = [sum(ints[i:i + nch]) / (nch * 32768.0) for i in range(0, len(ints), nch)]
+    mono = [sum(ints[i:i + nch]) / (nch * full) for i in range(0, len(ints), nch)]
     return int(nframes * 1000 / rate), mono
 
 

@@ -394,3 +394,35 @@ def test_png_adam7_tiny_image_skips_empty_passes():
     blob = (mm._PNG_SIG + _chunk(b"IHDR", _ihdr(1, 1, 8, 2, interlace=1))
             + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
     assert mm.png_decode(blob) == (1, 1, px)
+
+
+@pytest.mark.parametrize("sampwidth", [1, 2, 3, 4])
+def test_wav_decode_all_pcm_widths(sampwidth):
+    import io
+    import math
+    import struct
+    import wave
+
+    n, rate = 800, 8000
+    samples = [0.5 * math.sin(2 * math.pi * 440 * t / rate) for t in range(n)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        frames = bytearray()
+        for s in samples:
+            if sampwidth == 1:
+                frames.append(max(0, min(255, int(s * 127) + 128)))
+            elif sampwidth == 2:
+                frames += struct.pack("<h", int(s * 32767))
+            elif sampwidth == 3:
+                v = int(s * ((1 << 23) - 1)) & 0xFFFFFF
+                frames += bytes((v & 255, (v >> 8) & 255, (v >> 16) & 255))
+            else:
+                frames += struct.pack("<i", int(s * ((1 << 31) - 1)))
+        w.writeframes(bytes(frames))
+    dur_ms, mono = mm.wav_decode(buf.getvalue())
+    assert dur_ms == 100 and len(mono) == n
+    tol = 0.02 if sampwidth == 1 else 1e-4
+    assert abs(mono[500] - samples[500]) < tol
