@@ -648,15 +648,20 @@ def webp_encode(
     rle: bool = True,
     predictor_mode: int | None = None,
     palette: bool = False,
+    color_transform: tuple[int, int, int] | None = None,
+    meta_bits: int | None = None,
 ) -> bytes:
     """Top-down (r, g, b) rows -> lossless WebP (VP8L) bytes.
     Bit-exact round trip (lossless by construction); SUBTRACT_GREEN,
     a color cache, greedy distance-1 RLE (through the exact 1D
     distance escape), a single-mode PREDICTOR transform
     (``predictor_mode`` 0..13 — one 512px block, so the mode sub-image
-    is one pixel), and COLOR_INDEXING with sub-byte bundling
-    (``palette=True``, images with <= 256 distinct colors) exercise
-    the decoder's machinery end to end."""
+    is one pixel), a constant COLOR transform (``color_transform`` =
+    (g2r, g2b, r2b) signed 3.5 fixed-point bytes), COLOR_INDEXING with
+    sub-byte bundling (``palette=True``, images with <= 256 distinct
+    colors), and META-PREFIX groups (``meta_bits`` — block-alternating
+    group assignment; literal-only, so set rle=False/cache_bits=0)
+    exercise the decoder's machinery end to end."""
     h = len(rows)
     w = len(rows[0])
     argb = [
@@ -723,6 +728,26 @@ def webp_encode(
             | ((((p & 255)) - ((p >> 8) & 255)) & 255)
             for p in argb
         ]
+    if color_transform is not None:
+        # read after subtract-green, before predictor: forward order =
+        # SG -> COLOR -> PREDICTOR; decode inverts in mirror order
+        g2r, g2b, r2b = color_transform
+        wtr.write(1, 1)
+        wtr.write(1, 2)  # COLOR
+        wtr.write(9 - 2, 3)  # 512px blocks: one element covers all
+        if (coded_w + 511) >> 9 != 1 or (h + 511) >> 9 != 1:
+            raise ValueError("color_transform fixture encoder needs <= 512px")
+        cte = 0xFF000000 | (g2r << 16) | (g2b << 8) | r2b
+        _emit_entropy_image(wtr, [cte], cache_bits=0, rle=False)
+        out = []
+        for p in argb:
+            green = (p >> 8) & 255
+            red = (p >> 16) & 255
+            blue = p & 255
+            nr = (red - _cdelta(g2r, green)) & 255
+            nb = (blue - _cdelta(g2b, green) - _cdelta(r2b, red)) & 255
+            out.append((p & 0xFF00FF00) | (nr << 16) | nb)
+        argb = out
     if predictor_mode is not None:
         # read AFTER subtract-green: the decoder inverts the LAST-read
         # transform FIRST, so forward order = subtract-green, then
@@ -739,7 +764,10 @@ def webp_encode(
     if predictor_mode is not None:
         argb = _forward_predictor(argb, coded_w, h, predictor_mode)
     wtr.write(0, 1)  # no more transforms
-    _emit_entropy_image(wtr, argb, cache_bits=cache_bits, rle=rle, top_level=True)
+    _emit_entropy_image(
+        wtr, argb, cache_bits=cache_bits, rle=rle, top_level=True,
+        meta_bits=meta_bits, width=coded_w, height=h,
+    )
     payload = b"\x2f" + wtr.flush()
     if len(payload) % 2:
         padded = payload + b"\x00"
@@ -752,11 +780,15 @@ def webp_encode(
 def _emit_entropy_image(
     wtr: _LSBWriter, argb: list[int], cache_bits: int, rle: bool,
     top_level: bool = False,
+    meta_bits: int | None = None,
+    width: int | None = None,
+    height: int | None = None,
 ) -> None:
     """Emit one entropy-coded image (cache bit, 5 prefix codes,
     tokens) — used for the main image (which alone carries the
     meta-prefix bit) and for transform sub-images (palette deltas,
-    predictor modes)."""
+    predictor modes). ``meta_bits`` emits TWO prefix-code groups
+    assigned checkerboard-per-block (literal-only: no cache/rle)."""
     cache_size = 1 << cache_bits if cache_bits else 0
     if cache_bits:
         wtr.write(1, 1)
@@ -764,6 +796,58 @@ def _emit_entropy_image(
     else:
         wtr.write(0, 1)
     if top_level:
+        if meta_bits is not None:
+            if cache_bits or rle:
+                raise ValueError("meta_bits fixture path is literal-only")
+            if not (2 <= meta_bits <= 9):
+                raise ValueError("meta_bits must be in 2..9")
+            wtr.write(1, 1)
+            wtr.write(meta_bits - 2, 3)
+            mw = (width + (1 << meta_bits) - 1) >> meta_bits
+            mh = (height + (1 << meta_bits) - 1) >> meta_bits
+            meta_px = [
+                0xFF000000 | ((((mx + my) % 2) & 0xFF) << 8)
+                for my in range(mh) for mx in range(mw)
+            ]
+            _emit_entropy_image(wtr, meta_px, cache_bits=0, rle=False)
+            group_of = [
+                ((x >> meta_bits) + (y >> meta_bits)) % 2
+                for y in range(height) for x in range(width)
+            ]
+            # per-group histograms and codes (n_groups = max index + 1:
+            # a single-block image degenerates to one group)
+            n_groups = max(group_of) + 1
+            group_codes = []
+            hists = [
+                ({}, {0: 0}, {0: 0}, {0: 0}, {0: 0}) for _ in range(n_groups)
+            ]
+            for i, p in enumerate(argb):
+                gf, rf, bf, af, df = hists[group_of[i]]
+                gf[(p >> 8) & 255] = gf.get((p >> 8) & 255, 0) + 1
+                rf[(p >> 16) & 255] = rf.get((p >> 16) & 255, 0) + 1
+                bf[p & 255] = bf.get(p & 255, 0) + 1
+                af[(p >> 24) & 255] = af.get((p >> 24) & 255, 0) + 1
+            for gf, rf, bf, af, df in hists:
+                for freq in (gf, rf, bf, af, df):
+                    if not any(freq.values()):
+                        freq[0] = 1
+                ga = 256 + 24
+                g_lengths = _limited_lengths(gf) + [0] * ga
+                gc = _write_prefix_code(wtr, g_lengths[:ga])
+                chans = []
+                for freq in (rf, bf, af):
+                    lens = _limited_lengths(freq) + [0] * 256
+                    chans.append(_write_prefix_code(wtr, lens[:256]))
+                d_lengths = _limited_lengths(df) + [0] * 40
+                dc = _write_prefix_code(wtr, d_lengths[:40])
+                group_codes.append((gc, chans[0], chans[1], chans[2], dc))
+            for i, p in enumerate(argb):
+                gc, rc, bc, ac, _dc = group_codes[group_of[i]]
+                _emit_code(wtr, gc, (p >> 8) & 255)
+                _emit_code(wtr, rc, (p >> 16) & 255)
+                _emit_code(wtr, bc, p & 255)
+                _emit_code(wtr, ac, (p >> 24) & 255)
+            return
         wtr.write(0, 1)  # no meta-prefix groups
     cache = [None] * cache_size
     tokens: list[tuple] = []

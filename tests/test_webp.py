@@ -152,3 +152,27 @@ def test_real_features_webp_vs_png_same_pixels(spark):
            mm.extract_features(media, dim=6, decoder="real").collect()}
     assert out[0].feature == out[1].feature
     assert out[0].n_bytes != out[1].n_bytes
+
+
+@pytest.mark.parametrize("cte", [(40, 200, 17), (130, 7, 250), (0, 0, 0), (255, 255, 255)])
+def test_color_transform_roundtrip(cte):
+    img = _gradient()
+    assert webp_decode(webp_encode(img, color_transform=cte))[2] == img
+
+
+def test_color_transform_composes_with_predictor():
+    img = _gradient()
+    blob = webp_encode(img, color_transform=(130, 7, 250), predictor_mode=11)
+    assert webp_decode(blob)[2] == img
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4])
+def test_meta_prefix_groups_roundtrip(bits):
+    img = _gradient()
+    blob = webp_encode(img, meta_bits=bits, cache_bits=0, rle=False)
+    assert webp_decode(blob)[2] == img
+    rng = random.Random(bits)
+    noise = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+              for _ in range(19)] for _ in range(12)]
+    blob = webp_encode(noise, meta_bits=bits, cache_bits=0, rle=False)
+    assert webp_decode(blob)[2] == noise
