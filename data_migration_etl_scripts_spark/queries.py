@@ -45,6 +45,7 @@ from data_migration_etl_scripts_spark.operators import contamination as ctm
 from data_migration_etl_scripts_spark.operators import dedup as dd
 from data_migration_etl_scripts_spark.operators import diffing as dfo
 from data_migration_etl_scripts_spark.operators import embed as em
+from data_migration_etl_scripts_spark.operators import html as hx
 from data_migration_etl_scripts_spark.operators import ingest as ig
 from data_migration_etl_scripts_spark.operators import profile as pf
 from data_migration_etl_scripts_spark.operators import similarity as sim
@@ -1838,6 +1839,70 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type",
         "n_bytes",
         F.to_json(F.col("feature")).alias("feature_json"),
+    )
+
+
+# ------- web-corpus front end: HTML extraction + policy filtering ----
+
+#: shared fixture recipe: wrap each document's text in deterministic
+#: markup (script/style/comment blocks, entities injected, an anchor,
+#: block tags) so the extractor has REAL work whose expected output is
+#: still pinned by the DuckDB twin running the same construction
+_HTML_WRAP_SQL = (
+    "'<html><head><title>' || lang || '</title>"
+    "<style>p {color: red}</style>"
+    "<script>if (1 < 2) { track(\"<p>\"); }</script></head>"
+    "<body><!-- nav --><h1>' || source || '</h1><p>' || "
+    "replace(text, ' the ', ' &amp; ') || "
+    "'</p><a href=\"/u\">' || source || ' link</a>"
+    "<div>footer</div></body></html>'"
+)
+
+
+def _html_docs(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        F.expr(_HTML_WRAP_SQL.replace('\\"', '"')).alias("html"),
+    )
+
+
+@query(
+    "html_extract_text",
+    oracle=hx.extract_text_sql(
+        f"(SELECT doc_id, {_HTML_WRAP_SQL} AS html "
+        "FROM documents WHERE text IS NOT NULL)",
+        "doc_id", "html",
+    ),
+)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus front end: HTML -> visible text as pure column
+    expressions (script/style/comment removal, block tags -> newlines,
+    tag strip, entity decode, whitespace normalization) plus the
+    link-density boilerplate signal (anchor-text chars / clean chars).
+    The fixture wraps each document in deterministic markup — built by
+    the SAME SQL expression in both engines — so extraction output is
+    fully hash-matched, entities and all. Map-side only: at 100 TB
+    this pipelines into the WARC scan with zero shuffles."""
+    return hx.extract_text(_html_docs(spark, sf_dir), "doc_id", "html")
+
+
+@query(
+    "corpus_blocklist_filter",
+    oracle=hx.blocklist_filter_sql(
+        "documents", "doc_id", "text",
+        ["slow", "stale", "corrupt"], max_frac=0.02,
+    ),
+)
+def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style wordlist policy filter: canonical tokens counted
+    against a blocklist; keep = flagged fraction <= 2% (the C4 rule is
+    0%; the threshold form subsumes it). Every doc comes back labeled,
+    so the survivor set is one filter and the drop set is auditable.
+    One map-side pass — the policy list rides the plan as a literal."""
+    return hx.blocklist_filter(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        ["slow", "stale", "corrupt"], max_frac=0.02,
     )
 
 

@@ -74,6 +74,8 @@ AUDITED = {
     "dedup_remove_runs": "O(dup-volume) explode: only FLAGGED window positions explode into (doc, tpos) coverage; per-doc gaps-and-islands is a doc-partitioned window (no global sort); removal rebuild touches only docs that had a span",
     "quality_repetition": "one explode of the combined token+2-gram stream -> (doc, w, gram) count -> per-doc max: two shuffles, both map-side partial-aggregated and keyed per document (no hot key); dup_line_frac is a pure per-row array expression riding the same scan",
     "embed_pq_codes": "PQ index build stage for the family: seeded codebooks collected once (bounded n_codes rows), encode = map-side literal argmax; the (vid, codes) relation is session-shared (stage_cache) so ann_topk_ivf_pq reuses this exact build",
+    "html_extract_text": "HTML -> text + link density as ONE map-side projection (regex cascade inside codegen, zero Exchanges) — at 100 TB this pipelines into the WARC scan",
+    "corpus_blocklist_filter": "policy wordlist rides the plan as a literal IN-list; one map-side pass over tokens, no shuffle, keep/drop fully auditable per doc",
 }
 
 
