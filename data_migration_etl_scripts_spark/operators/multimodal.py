@@ -748,19 +748,22 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
     return int(nframes * 1000 / rate), mono
 
 
-def audio_decode(b: bytes) -> tuple[int, list[float]]:
+def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
     """Dispatch on magic bytes: PCM WAV (RIFF, stdlib wave) and MPEG-1
     audio Layer I/II (0xFFEx sync, `operators/mpeg_audio.py` — header
     walk + requantization real, pseudo-QMF filterbank) decode for
     real; Layer III (MP3) and other compressed codecs raise at the
     ffmpeg plug point inside the respective decoder.
 
-    Returns (duration_ms, mono samples in [-1, 1]). MPEG streams are
+    Returns (sample_rate, mono samples in [-1, 1]). MPEG streams are
     downmixed to mono and the polyphase filterbank's leading delay
     (``PQMF_DELAY`` samples) is trimmed so sample 0 aligns with the
     encoder's sample 0."""
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        return wav_decode(b)
+        with wave.open(io.BytesIO(b)) as w:
+            rate = w.getframerate()
+        _dur, mono = wav_decode(b)
+        return rate, mono
     if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
         from data_migration_etl_scripts_spark.operators.mpeg_audio import (
             PQMF_DELAY,
@@ -773,10 +776,17 @@ def audio_decode(b: bytes) -> tuple[int, list[float]]:
             sum(channels[ch][i] for ch in range(nch)) / nch
             for i in range(PQMF_DELAY, n)
         ]
-        return int(len(mono) * 1000 / rate), mono
+        return rate, mono
     raise NotImplementedError(
         "unrecognized audio container needs ffmpeg — plug the codec kernel in here"
     )
+
+
+def audio_decode(b: bytes) -> tuple[int, list[float]]:
+    """(duration_ms, mono) form of :func:`audio_decode_rate` — the
+    contract the feature kernels consume."""
+    rate, mono = audio_decode_rate(b)
+    return int(len(mono) * 1000 / rate), mono
 
 
 def _real_features(content: bytes | None, dim: int) -> list[float] | None:

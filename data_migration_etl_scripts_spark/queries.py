@@ -1906,6 +1906,29 @@ def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("audio_mel_features")  # no SQL oracle: FFT kernel — range-asserted
+# by tools/selfcheck.py (_range_audio_mel): per-payload driver-side mel
+# recompute + structural asserts (true rates, frame-count formula)
+def audio_mel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-mel spectrograms over the real-audio fixture (WAV + MPEG-1
+    Layer I/II payloads through one dispatcher): Hann window, radix-2
+    FFT, formula-derived HTK mel filterbank — the standard acoustic
+    feature an ASR training pipeline ships (operators/melspec.py).
+    The frames x n_mels matrix travels as mmap-able float32-LE
+    (fingerprinted here for a scalar output)."""
+    from data_migration_etl_scripts_spark.operators import melspec as msp
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    media = mm.synthetic_real_media(spark, n=24, include_mpeg=True).where(
+        F.col("media_type") == "audio"
+    )
+    mel = msp.audio_mel_spectrogram(media, n_fft=256, hop=160, n_mels=16)
+    return mel.select(
+        "media_id", "rate", "n_frames", "n_mels",
+        F.md5(F.col("mel_bin")).alias("mel_md5"),
+    )
+
+
 # ------- corpus curation: clustering, sampling, packing, scrubbing ---
 
 

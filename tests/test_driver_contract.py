@@ -27,20 +27,27 @@ def test_every_oracle_has_a_query():
 
 def test_rows_only_queries_are_the_documented_exceptions():
     # iterative codebook, media kernels, engine-specific sketches —
-    # anything else missing an oracle is an accidental coverage gap
-    # multimodal_features graduated to a hash-checked oracle in round 3
-    # (md5-chain fake kernel has an exact DuckDB twin)
+    # anything else missing an oracle is an accidental coverage gap.
+    # As of round 6 EVERY entry here carries a range-assert partial
+    # oracle in tools/selfcheck.py (RANGE_CHECKS): none is a bare
+    # rows-only check anymore.
     allowed = {
         "ann_topk_ivf_trained",
         "multimodal_real_decode",
         "sketch_profile_events",
         # BPE's iterative greedy merge has no SQL form; both entries'
         # correctness is pinned by tests/test_bpe.py + the shard tests
+        # + the selfcheck reconstruction/bracket range asserts
         "bpe_tokenize_corpus",
         "corpus_to_training_shards",
-        # pixel decoding has no SQL twin; pinned by codec round-trips
+        # pixel/FFT kernels have no SQL twin; pinned by codec
+        # round-trips + exact driver-side recomputes in selfcheck
         "video_frame_extract",
+        "audio_mel_features",
     }
+    from tools.selfcheck import RANGE_CHECKS
+
+    assert allowed <= set(RANGE_CHECKS), "oracle-less query without range assert"
     missing = set(q.all_queries()) - set(q.all_oracles())
     assert missing == allowed, missing ^ allowed
 

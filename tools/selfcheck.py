@@ -413,6 +413,47 @@ def _range_training_shards(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_audio_mel(con, cols, rows) -> list[str]:
+    """audio_mel_features: the FFT/mel kernel is pinned by pytest
+    (tests/test_melspec.py — naive-DFT parity, Parseval, tone
+    localization); this range assert pins the SPARK side by
+    recomputing each payload's exact mel fingerprint driver-side from
+    the same fixture bytes, plus independent structural facts (true
+    sample rates from the fixture recipe, the frame-count formula)."""
+    import hashlib as _hl
+    import struct as _struct
+
+    from data_migration_etl_scripts_spark.operators import melspec as msp
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    fixture = {
+        mid: bytes(content)
+        for mid, mtype, content, _m in mm.synthetic_real_media_rows(
+            24, include_mpeg=True
+        )
+        if mtype == "audio"
+    }
+    idx = {c: i for i, c in enumerate(cols)}
+    bad = []
+    if {r[idx["media_id"]] for r in rows} != set(fixture):
+        return [f"row id set != audio fixture ids ({len(rows)} rows)"]
+    for r in rows:
+        mid = r[idx["media_id"]]
+        rate, mono = mm.audio_decode_rate(fixture[mid])
+        if r[idx["rate"]] != rate:
+            bad.append(f"id {mid}: rate {r[idx['rate']]} != true {rate}")
+        want_frames = max(0, (len(mono) - 256) // 160 + 1) if len(mono) >= 256 else 0
+        if r[idx["n_frames"]] != want_frames:
+            bad.append(
+                f"id {mid}: n_frames {r[idx['n_frames']]} != formula {want_frames}"
+            )
+        mel = msp.log_mel_spectrogram(mono, rate, n_fft=256, hop=160, n_mels=16)
+        blob = b"".join(_struct.pack("<16f", *row) for row in mel)
+        if r[idx["mel_md5"]] != _hl.md5(blob).hexdigest():
+            bad.append(f"id {mid}: mel fingerprint != driver-side recompute")
+    return bad
+
+
 RANGE_CHECKS = {
     "sketch_profile_events": _range_sketch_profile,
     "ann_topk_ivf_trained": _range_ivf_trained,
@@ -420,6 +461,7 @@ RANGE_CHECKS = {
     "bpe_tokenize_corpus": _range_bpe_tokenize,
     "video_frame_extract": _range_video_frames,
     "corpus_to_training_shards": _range_training_shards,
+    "audio_mel_features": _range_audio_mel,
 }
 
 
