@@ -185,3 +185,24 @@ def audio_mel_spectrogram(
             yield pd.DataFrame(out)
 
     return df.select("media_id", "content").mapInPandas(kernel, schema=MEL_SCHEMA)
+
+
+def mfcc_from_mel(mel_frames: list[list[float]], n_mfcc: int = 13) -> list[list[float]]:
+    """Classic MFCCs: orthonormal DCT-II over each log-mel frame,
+    keeping the first ``n_mfcc`` coefficients. Pure formula (the DCT
+    basis is cosines), the historical compact form of the mel feature."""
+    if not mel_frames:
+        return []
+    n = len(mel_frames[0])
+    basis = [
+        [
+            math.cos(math.pi * k * (2 * i + 1) / (2 * n))
+            * (math.sqrt(1.0 / n) if k == 0 else math.sqrt(2.0 / n))
+            for i in range(n)
+        ]
+        for k in range(n_mfcc)
+    ]
+    return [
+        [sum(b * v for b, v in zip(row_k, frame)) for row_k in basis]
+        for frame in mel_frames
+    ]

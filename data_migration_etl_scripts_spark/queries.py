@@ -1929,6 +1929,29 @@ def audio_mel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("image_neardup_pairs")  # no SQL oracle: pixel decode — range-
+# asserted by tools/selfcheck.py (_range_image_neardup): hashes AND the
+# pair set recomputed exactly driver-side from the shared fixture bytes
+def image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection (the LAION-style image-dedup stage):
+    dHash perceptual hashes via the stdlib codec dispatch (BMP/PNG/
+    WebP/JPEG/GIF all hash by PIXELS — container-invariant, pinned),
+    then banded hamming pairs: 8 bit-bands equi-join (pigeonhole-exact
+    recall for hamming <= 6) + bit_count popcount filter, all
+    JVM-side. The fixture carries known structure: same-pixel
+    triplets across three containers + a brightness-shifted copy
+    (hamming 0, dHash invariance) + a locally-edited copy (small
+    hamming) + unrelated noise (excluded)."""
+    from data_migration_etl_scripts_spark.operators import imagehash as ihx
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        ihx.synthetic_imagehash_media_rows(4), mm.MEDIA_SCHEMA
+    )
+    hashes = ihx.image_dhash(media)
+    return ihx.dhash_neardup_pairs(hashes, max_hamming=6, n_bands=8)
+
+
 # ------- corpus curation: clustering, sampling, packing, scrubbing ---
 
 

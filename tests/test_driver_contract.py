@@ -44,6 +44,7 @@ def test_rows_only_queries_are_the_documented_exceptions():
         # round-trips + exact driver-side recomputes in selfcheck
         "video_frame_extract",
         "audio_mel_features",
+        "image_neardup_pairs",
     }
     from tools.selfcheck import RANGE_CHECKS
 

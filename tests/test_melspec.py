@@ -121,3 +121,16 @@ def test_audio_decode_rate_exposes_true_rate():
     sig = [0.1] * 800
     rate, mono = mm.audio_decode_rate(mm.wav_encode(sig, rate=44100))
     assert rate == 44100 and len(mono) == 800
+
+
+def test_mfcc_dct_is_orthonormal_and_compacts_energy():
+    rng = random.Random(4)
+    frames = [[rng.uniform(-3, 3) for _ in range(16)] for _ in range(5)]
+    full = ms.mfcc_from_mel(frames, n_mfcc=16)  # complete DCT
+    # orthonormal: energy preserved frame-by-frame (Parseval for DCT-II)
+    for f, c in zip(frames, full):
+        assert abs(sum(v * v for v in f) - sum(v * v for v in c)) < 1e-9
+    # a smooth (constant) frame compacts into coefficient 0
+    smooth = ms.mfcc_from_mel([[2.5] * 16], n_mfcc=16)[0]
+    assert abs(smooth[0] - 2.5 * 4.0) < 1e-9  # sqrt(16) * mean
+    assert max(abs(v) for v in smooth[1:]) < 1e-9

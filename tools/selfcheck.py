@@ -454,6 +454,49 @@ def _range_audio_mel(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_image_neardup(con, cols, rows) -> list[str]:
+    """image_neardup_pairs: DuckDB cannot decode pixels, but the
+    fixture is deterministic shared bytes — recompute every dHash AND
+    the exact brute-force pair set driver-side and demand set
+    equality (this is a FULL oracle, just not a SQL one). Also pin
+    the structural invariants the fixture encodes: every same-pixel
+    container pair and every brightness-shifted copy at hamming 0."""
+    import itertools as _it
+
+    from data_migration_etl_scripts_spark.operators import imagehash as ihx
+    from data_migration_etl_scripts_spark.operators.multimodal import image_decode
+
+    hashes = {}
+    for mid, _t, content, _m in ihx.synthetic_imagehash_media_rows(4):
+        _w, _h, px = image_decode(bytes(content))
+        hashes[mid] = ihx.dhash_bits(px)
+
+    def ham(a, b):
+        return bin(hashes[a] ^ hashes[b]).count("1")
+
+    want = {
+        (a, b, ham(a, b))
+        for a, b in _it.combinations(sorted(hashes), 2)
+        if ham(a, b) <= 6
+    }
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {
+        (r[idx["id_a"]], r[idx["id_b"]], r[idx["hamming"]]) for r in rows
+    }
+    bad = []
+    if got != want:
+        for t in sorted(want - got):
+            bad.append(f"missing pair {t}")
+        for t in sorted(got - want):
+            bad.append(f"unexpected pair {t}")
+    for k in range(4):
+        b = 10 * k
+        for other in (b + 1, b + 2, b + 3):  # PNG, WebP, brightened
+            if ham(b, other) != 0:
+                bad.append(f"invariance broken: ham({b},{other}) != 0")
+    return bad
+
+
 RANGE_CHECKS = {
     "sketch_profile_events": _range_sketch_profile,
     "ann_topk_ivf_trained": _range_ivf_trained,
@@ -462,6 +505,7 @@ RANGE_CHECKS = {
     "video_frame_extract": _range_video_frames,
     "corpus_to_training_shards": _range_training_shards,
     "audio_mel_features": _range_audio_mel,
+    "image_neardup_pairs": _range_image_neardup,
 }
 
 
