@@ -76,6 +76,8 @@ AUDITED = {
     "embed_pq_codes": "PQ index build stage for the family: seeded codebooks collected once (bounded n_codes rows), encode = map-side literal argmax; the (vid, codes) relation is session-shared (stage_cache) so ann_topk_ivf_pq reuses this exact build",
     "html_extract_text": "HTML -> text + link density as ONE map-side projection (regex cascade inside codegen, zero Exchanges) — at 100 TB this pipelines into the WARC scan",
     "corpus_blocklist_filter": "policy wordlist rides the plan as a literal IN-list; one map-side pass over tokens, no shuffle, keep/drop fully auditable per doc",
+    "audio_mel_features": "decode + STFT + mel filterbank all inside one mapInPandas pass (Arrow-batched); per-file rows stay in their input partition — zero Exchanges before the bounded summary agg",
+    "image_neardup_pairs": "dHash computed per image map-side; near-dup candidates via banded-hamming equi-join on 16-bit bands — O(colliding pairs), never all-pairs",
 }
 
 
