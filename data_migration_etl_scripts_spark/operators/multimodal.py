@@ -749,11 +749,13 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
 
 
 def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
-    """Dispatch on magic bytes: PCM WAV (RIFF, stdlib wave) and MPEG-1
-    audio Layer I/II (0xFFEx sync, `operators/mpeg_audio.py` — header
-    walk + requantization real, pseudo-QMF filterbank) decode for
-    real; Layer III (MP3) and other compressed codecs raise at the
-    ffmpeg plug point inside the respective decoder.
+    """Dispatch on magic bytes: PCM WAV (RIFF, stdlib wave), FLAC
+    (b"fLaC", `operators/flac.py` — bit-exact lossless decode, CRC +
+    MD5 verified), and MPEG-1 audio Layer I/II (0xFFEx sync,
+    `operators/mpeg_audio.py` — header walk + requantization real,
+    pseudo-QMF filterbank) decode for real; Layer III (MP3) and other
+    compressed codecs raise at the ffmpeg plug point inside the
+    respective decoder.
 
     Returns (sample_rate, mono samples in [-1, 1]). MPEG streams are
     downmixed to mono and the polyphase filterbank's leading delay
@@ -763,6 +765,17 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
         with wave.open(io.BytesIO(b)) as w:
             rate = w.getframerate()
         _dur, mono = wav_decode(b)
+        return rate, mono
+    if b[:4] == b"fLaC":
+        from data_migration_etl_scripts_spark.operators.flac import flac_decode
+
+        rate, nch, bps, channels = flac_decode(b)
+        full = float(1 << (bps - 1))
+        n = len(channels[0])
+        mono = [
+            sum(channels[ch][i] for ch in range(nch)) / (nch * full)
+            for i in range(n)
+        ]
         return rate, mono
     if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
         from data_migration_etl_scripts_spark.operators.mpeg_audio import (
@@ -815,10 +828,14 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         out = [float(w), float(h)]
         out += [s / (255.0 * n) for s in sums]
         out += [m / 255.0 for m in mx]
-    elif (content[:4] == b"RIFF" and content[8:12] == b"WAVE") or (
-        len(content) >= 2
-        and content[0] == 0xFF
-        and (content[1] & 0xE0) == 0xE0
+    elif (
+        (content[:4] == b"RIFF" and content[8:12] == b"WAVE")
+        or content[:4] == b"fLaC"
+        or (
+            len(content) >= 2
+            and content[0] == 0xFF
+            and (content[1] & 0xE0) == 0xE0
+        )
     ):
         dur_ms, mono = audio_decode(content)
         n_bands = max(1, dim - 2)
@@ -1063,12 +1080,13 @@ def synthetic_real_media_rows(
 ) -> list[tuple]:
     """Deterministic GENUINE media payload rows (pure Python, no
     Spark) — 8x8 gradient BMPs, PNGs, GIFs and baseline JPEGs
-    (rotating) and 8 kHz sine WAVs; with ``include_mpeg``, six extra
-    r6 payload rows at ids n..n+5: MPEG-1 audio (Layer II mono,
+    (rotating) and 8 kHz sine WAVs; with ``include_mpeg``, nine extra
+    r6 payload rows at ids n..n+8: MPEG-1 audio (Layer II mono,
     Layer I mono, Layer II independent stereo, Layer II grouped-class,
-    Layer II INTENSITY stereo), a progressive (SOF2) JPEG, and a
-    lossless WebP (predictor transform + color cache). Shared
-    by the Spark fixture
+    Layer II INTENSITY stereo), a progressive (SOF2) JPEG, a
+    lossless WebP (predictor transform + color cache), a mono FLAC
+    (fixed predictors) and a stereo mid/side FLAC (LPC order 4).
+    Shared by the Spark fixture
     below and the selfcheck range-assert oracle, which recomputes the
     expected features driver-side from these exact bytes."""
     from data_migration_etl_scripts_spark.operators.jpeg import jpeg_encode
@@ -1128,6 +1146,22 @@ def synthetic_real_media_rows(
                 for x in range(12)] for y in range(10)]
         rows.append((n + 6, "image",
                      bytearray(webp_encode(px2, predictor_mode=7)),
+                     "{}"))
+        from data_migration_etl_scripts_spark.operators.flac import flac_encode
+
+        def itone(freq, length, amp=0.6):
+            return [int(amp * 32767 * math.sin(2 * math.pi * freq * t / 32000.0))
+                    for t in range(length)]
+
+        rows.append((n + 7, "audio",
+                     bytearray(flac_encode([itone(440.0, 3200)],
+                                           rate=32000, block_size=1024)),
+                     "{}"))
+        rows.append((n + 8, "audio",
+                     bytearray(flac_encode(
+                         [itone(440.0, 3200), itone(880.0, 3200, amp=0.3)],
+                         rate=32000, block_size=1024,
+                         stereo_mode="mid_side", force_lpc=4)),
                      "{}"))
     return rows
 
