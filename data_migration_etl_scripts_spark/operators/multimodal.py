@@ -1196,7 +1196,9 @@ def extract_frames(
     ``frame_sample_plan`` (which only plans timestamps from metadata).
 
     decoder="real": animated GIF decodes fully in stdlib (patch frames
-    composited to full frames); real video codecs (H.264 etc.) raise at
+    composited to full frames) and AVI/MJPEG decodes for real (RIFF
+    container walk + per-frame baseline JPEG, `operators/avi.py`);
+    other video codecs (H.264 etc.) raise at
     the ffmpeg plug point. decoder="fake": two deterministic md5-seeded
     4x4 frames per item, so the Spark plumbing (fan-out schema,
     batching) runs and benches without codec libs. Frames re-encode as
@@ -1221,6 +1223,18 @@ def extract_frames(
                 if i % every_n:
                     continue
                 yield (i, t_start, w, h, bmp_encode(rows))
+        elif content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            from data_migration_etl_scripts_spark.operators.avi import (
+                avi_decode_frames,
+            )
+
+            w, h, _fps_milli, frames = avi_decode_frames(
+                content, max_frames=max_frames * every_n
+            )
+            for i, (t_ms, rows) in enumerate(frames):
+                if i % every_n:
+                    continue
+                yield (i, t_ms, w, h, bmp_encode(rows))
         else:
             raise NotImplementedError(
                 "real video codecs need ffmpeg — plug the codec kernel in here"
@@ -1262,10 +1276,14 @@ def extract_frames(
     return df.select("media_id", "content").mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
-def synthetic_video_media(spark, n: int = 6) -> DataFrame:
-    """Tiny table of GENUINE animated GIFs (8x8, 4 frames, moving
-    2x2 block — deterministic formulas, no RNG) for the real
-    frame-extraction path."""
+def synthetic_video_rows(n: int = 6, include_avi: bool = False) -> list[tuple]:
+    """Deterministic GENUINE video payload rows (pure Python, no
+    Spark): animated GIFs (8x8, 4 frames, moving 2x2 block — formulas,
+    no RNG) at ids 0..n-1; with ``include_avi``, two AVI/MJPEG rows at
+    ids n..n+1 (16x16, 4 frames at 10 fps, moving 4x4 block — RIFF
+    container + one baseline JPEG per frame, `operators/avi.py`).
+    Shared by the Spark fixture below and the selfcheck range-assert
+    oracle, which recomputes expected frames from these exact bytes."""
     rows = []
     for i in range(n):
         frames = []
@@ -1282,4 +1300,35 @@ def synthetic_video_media(spark, n: int = 6) -> DataFrame:
             (i, "video", bytearray(gif_encode_frames(frames, delay_ms=100)),
              '{"duration_ms": 400}')
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    if include_avi:
+        from data_migration_etl_scripts_spark.operators.avi import (
+            avi_encode_mjpeg,
+        )
+
+        for i in range(2):
+            frames = []
+            for f in range(4):
+                fr = [[((x * 16 + i * 40) % 256, (y * 16) % 256, 96)
+                       for x in range(16)] for y in range(16)]
+                bx, by = (f * 4) % 12, (f * 3 + i * 2) % 12
+                for y in range(by, by + 4):
+                    for x in range(bx, bx + 4):
+                        fr[y][x] = (255, (f * 70 + i * 30) % 256, 0)
+                frames.append(fr)
+            rows.append(
+                (n + i, "video",
+                 bytearray(avi_encode_mjpeg(frames, fps=10, quality=90)),
+                 '{"duration_ms": 400}')
+            )
+    return rows
+
+
+def synthetic_video_media(
+    spark, n: int = 6, include_avi: bool = False
+) -> DataFrame:
+    """Tiny table of GENUINE video payloads (see
+    :func:`synthetic_video_rows`) for the real frame-extraction
+    path."""
+    return spark.createDataFrame(
+        synthetic_video_rows(n, include_avi), MEDIA_SCHEMA
+    )

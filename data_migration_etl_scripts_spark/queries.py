@@ -2725,16 +2725,20 @@ def chunk_token_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("video_frame_extract")
 def video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling: animated GIFs (stdlib codec — patch
-    frames composited to full frames) fan out to every-2nd-frame rows
-    via an Arrow-batched mapInPandas kernel; each frame re-encodes as
-    BMP and is fingerprinted here for a scalar output. Pixel decoding
-    has no SQL twin, but the fixture GIFs are deterministic formulas,
-    so tools/selfcheck.py range-asserts the EXACT row set (every
-    sampled frame rebuilt + BMP-md5'd driver-side); round-trips are
-    additionally pinned by tests/test_multimodal_real.py."""
+    frames composited to full frames) and AVI/MJPEG containers (RIFF
+    walk + per-frame baseline JPEG, operators/avi.py) fan out to
+    every-2nd-frame rows via an Arrow-batched mapInPandas kernel; each
+    frame re-encodes as BMP and is fingerprinted here for a scalar
+    output. Pixel decoding has no SQL twin, but the fixture videos are
+    deterministic formulas, so tools/selfcheck.py range-asserts the
+    EXACT row set (every sampled GIF frame rebuilt + BMP-md5'd
+    driver-side from the recipe; AVI rows re-decoded driver-side from
+    the same bytes plus independent dim/timing facts); round-trips are
+    additionally pinned by tests/test_multimodal_real.py and
+    tests/test_avi.py."""
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
-    media = mm.synthetic_video_media(spark, n=8)
+    media = mm.synthetic_video_media(spark, n=8, include_avi=True)
     frames = mm.extract_frames(media, every_n=2, decoder="real")
     return frames.select(
         "media_id",

@@ -271,10 +271,17 @@ def _range_video_frames(con, cols, rows) -> list[str]:
     so every output row is recomputable driver-side — rebuild each
     sampled frame from the recipe (8x8 base gradient + moving 2x2
     block), re-encode as BMP, and demand the exact (media_id,
-    frame_idx, t_ms, width, height, frame_md5) row set."""
+    frame_idx, t_ms, width, height, frame_md5) row set. The two AVI/
+    MJPEG rows (ids 8-9) are pinned by driver-side re-decode of the
+    same container bytes (exact md5 — pins the Spark transport) plus
+    facts independent of the codec: 16x16 dims and t_ms from the
+    10 fps strh clock."""
     import hashlib as _hl
 
     from data_migration_etl_scripts_spark.operators import multimodal as mm
+    from data_migration_etl_scripts_spark.operators.avi import (
+        avi_decode_frames,
+    )
 
     want = set()
     for i in range(8):  # synthetic_video_media(n=8), every_n=2 -> frames 0, 2
@@ -288,6 +295,16 @@ def _range_video_frames(con, cols, rows) -> list[str]:
                     fr[y][x] = (255, f * 60 % 256, i * 40 % 256)
             md5 = _hl.md5(mm.bmp_encode(fr)).hexdigest()
             want.add((i, f, f * 100, 8, 8, md5))
+    for mid, _t, content, _m in mm.synthetic_video_rows(8, include_avi=True):
+        if mid < 8:
+            continue
+        w, h, fps_milli, frames = avi_decode_frames(bytes(content))
+        if (w, h, fps_milli, len(frames)) != (16, 16, 10000, 4):
+            return [f"AVI fixture {mid}: unexpected shape "
+                    f"{(w, h, fps_milli, len(frames))}"]
+        for f in (0, 2):
+            md5 = _hl.md5(mm.bmp_encode(frames[f][1])).hexdigest()
+            want.add((mid, f, f * 100, 16, 16, md5))
     idx = {c: i for i, c in enumerate(cols)}
     got = {
         (r[idx["media_id"]], r[idx["frame_idx"]], r[idx["t_ms"]],
