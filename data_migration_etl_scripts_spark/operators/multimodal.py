@@ -713,12 +713,45 @@ def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     )
 
 
+def _wav_parse_float(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """Minimal RIFF walk for IEEE-float WAVs (fmt code 3, 32/64-bit),
+    which the stdlib ``wave`` module rejects. Returns
+    (nch, bits, rate, data) or None when the file is not format 3."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    code, nch, rate = struct.unpack_from("<HHI", fmt)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if code != 3 or bits not in (32, 64):
+        return None
+    return nch, bits, rate, data
+
+
 def wav_decode(b: bytes) -> tuple[int, list[float]]:
     """PCM WAV bytes -> (duration_ms, mono samples in [-1, 1]).
     All integer PCM widths decode (r6): 8-bit unsigned, 16-bit,
-    24-bit packed, and 32-bit (signed little-endian); float PCM WAVs
-    use format 3, which the stdlib ``wave`` module rejects upstream —
-    that stays the soundfile plug point."""
+    24-bit packed, and 32-bit (signed little-endian) — plus IEEE
+    float32/float64 WAVs (format 3) through a minimal RIFF walk,
+    since stdlib ``wave`` rejects them."""
+    f = _wav_parse_float(b)
+    if f is not None:
+        nch, bits, rate, data = f
+        width = bits // 8
+        n = len(data) // width
+        vals = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[:n * width])
+        mono = [sum(vals[i:i + nch]) / nch for i in range(0, n, nch)]
+        return int(len(mono) * 1000 / rate), mono
     with wave.open(io.BytesIO(b)) as w:
         nch, sampwidth, rate, nframes = (
             w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
@@ -762,8 +795,12 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
     (``PQMF_DELAY`` samples) is trimmed so sample 0 aligns with the
     encoder's sample 0."""
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        with wave.open(io.BytesIO(b)) as w:
-            rate = w.getframerate()
+        f = _wav_parse_float(b)
+        if f is not None:
+            rate = f[2]
+        else:
+            with wave.open(io.BytesIO(b)) as w:
+                rate = w.getframerate()
         _dur, mono = wav_decode(b)
         return rate, mono
     if b[:4] == b"fLaC":

@@ -1929,6 +1929,32 @@ def audio_mel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("audio_resample_16k")  # no SQL oracle: windowed-sinc kernel —
+# range-asserted by tools/selfcheck.py (_range_audio_resample): exact
+# per-payload driver-side recompute + the ceil(n*L/M) length formula +
+# sine-RMS preservation through the rate change
+def audio_resample_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate normalization to 16 kHz over the real-audio fixture
+    (8 kHz WAVs, 32 kHz MPEG-1 and FLAC — the mixed-provenance reality
+    of a speech corpus): polyphase windowed-sinc resampling
+    (operators/resample.py, formula-derived Kaiser-sinc taps,
+    numpy-vectorized per clip), shipping mono float32-LE PCM at one
+    uniform rate — the step between decode and featurization in every
+    ASR training pipeline. The clip travels as mmap-able pcm_bin
+    (fingerprinted here for a scalar output)."""
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+    from data_migration_etl_scripts_spark.operators import resample as rs
+
+    media = mm.synthetic_real_media(spark, n=24, include_mpeg=True).where(
+        F.col("media_type") == "audio"
+    )
+    out = rs.audio_resample(media, target_rate=16000)
+    return out.select(
+        "media_id", "src_rate", "dst_rate", "n_in", "n_out",
+        F.md5(F.col("pcm_bin")).alias("pcm_md5"),
+    )
+
+
 @query("image_neardup_pairs")  # no SQL oracle: pixel decode — range-
 # asserted by tools/selfcheck.py (_range_image_neardup): hashes AND the
 # pair set recomputed exactly driver-side from the shared fixture bytes

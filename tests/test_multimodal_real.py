@@ -426,3 +426,43 @@ def test_wav_decode_all_pcm_widths(sampwidth):
     assert dur_ms == 100 and len(mono) == n
     tol = 0.02 if sampwidth == 1 else 1e-4
     assert abs(mono[500] - samples[500]) < tol
+
+
+def _float_wav(samples, rate=8000, bits=32, nch=1):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, nch, rate, rate * nch * bits // 8,
+                      nch * bits // 8, bits)
+    data = b"".join(
+        struct.pack("<f" if bits == 32 else "<d", s) for s in samples
+    )
+    body = (b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+@pytest.mark.parametrize("bits", [32, 64])
+def test_wav_decode_ieee_float(bits):
+    import math
+
+    n, rate = 800, 8000
+    samples = [0.5 * math.sin(2 * math.pi * 440 * t / rate) for t in range(n)]
+    blob = _float_wav(samples, rate=rate, bits=bits)
+    dur_ms, mono = mm.wav_decode(blob)
+    assert dur_ms == 100 and len(mono) == n
+    tol = 1e-6 if bits == 32 else 1e-12
+    assert all(abs(m - s) < tol for m, s in zip(mono, samples))
+    # full dispatch path keeps the true rate
+    rate2, mono2 = mm.audio_decode_rate(blob)
+    assert rate2 == rate and mono2 == mono
+
+
+def test_wav_decode_ieee_float_stereo_downmix():
+    left = [0.5, -0.25, 0.75]
+    right = [0.1, 0.05, -0.25]
+    inter = [v for pair in zip(left, right) for v in pair]
+    blob = _float_wav(inter, rate=8000, bits=32, nch=2)
+    _, mono = mm.wav_decode(blob)
+    assert all(abs(m - (l + r) / 2) < 1e-6
+               for m, l, r in zip(mono, left, right))

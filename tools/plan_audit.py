@@ -77,6 +77,7 @@ AUDITED = {
     "html_extract_text": "HTML -> text + link density as ONE map-side projection (regex cascade inside codegen, zero Exchanges) — at 100 TB this pipelines into the WARC scan",
     "corpus_blocklist_filter": "policy wordlist rides the plan as a literal IN-list; one map-side pass over tokens, no shuffle, keep/drop fully auditable per doc",
     "audio_mel_features": "decode + STFT + mel filterbank all inside one mapInPandas pass (Arrow-batched); per-file rows stay in their input partition — zero Exchanges before the bounded summary agg",
+    "audio_resample_16k": "decode + polyphase windowed-sinc resample in one Arrow-batched mapInPandas pass; numpy-vectorized per clip, tap table cached per executor — zero Exchanges, embarrassingly parallel over the binary column",
     "image_neardup_pairs": "dHash computed per image map-side; near-dup candidates via banded-hamming equi-join on 16-bit bands — O(colliding pairs), never all-pairs",
 }
 

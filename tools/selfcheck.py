@@ -514,6 +514,63 @@ def _range_image_neardup(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_audio_resample(con, cols, rows) -> list[str]:
+    """audio_resample_16k: the windowed-sinc kernel is pinned by pytest
+    (tests/test_resample.py — amplitude preservation, anti-aliasing,
+    round-trip SNR); this range assert pins the SPARK side by
+    recomputing each payload's exact resampled fingerprint driver-side
+    from the same fixture bytes, plus facts independent of the kernel:
+    dst_rate, the ceil(n*L/M) output-length formula, and sine-RMS
+    preservation through the rate change (the fixture tones' RMS is
+    derivable from their recipes)."""
+    import hashlib as _hl
+    import math as _math
+    import struct as _struct
+
+    import numpy as _np
+
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+    from data_migration_etl_scripts_spark.operators import resample as rs
+
+    fixture = {
+        mid: bytes(content)
+        for mid, mtype, content, _m in mm.synthetic_real_media_rows(
+            24, include_mpeg=True
+        )
+        if mtype == "audio"
+    }
+    idx = {c: i for i, c in enumerate(cols)}
+    bad = []
+    if {r[idx["media_id"]] for r in rows} != set(fixture):
+        return [f"row id set != audio fixture ids ({len(rows)} rows)"]
+    for r in rows:
+        mid = r[idx["media_id"]]
+        rate, mono = mm.audio_decode_rate(fixture[mid])
+        if r[idx["src_rate"]] != rate:
+            bad.append(f"id {mid}: src_rate {r[idx['src_rate']]} != {rate}")
+        if r[idx["dst_rate"]] != 16000:
+            bad.append(f"id {mid}: dst_rate != 16000")
+        g = _math.gcd(rate, 16000)
+        want_out = (len(mono) * (16000 // g) + rate // g - 1) // (rate // g)
+        if (r[idx["n_in"]], r[idx["n_out"]]) != (len(mono), want_out):
+            bad.append(
+                f"id {mid}: lengths {(r[idx['n_in']], r[idx['n_out']])} "
+                f"!= ({len(mono)}, {want_out})"
+            )
+        y = rs.resample(mono, rate, 16000)
+        blob = _struct.pack(f"<{len(y)}f", *y.astype(_np.float32))
+        if r[idx["pcm_md5"]] != _hl.md5(blob).hexdigest():
+            bad.append(f"id {mid}: pcm fingerprint != driver-side recompute")
+        # independent: resampling must conserve in-band signal power
+        rms_in = _math.sqrt(sum(v * v for v in mono) / max(1, len(mono)))
+        rms_out = float(_np.sqrt((y * y).mean()))
+        if rms_in > 0.01 and not 0.9 <= rms_out / rms_in <= 1.1:
+            bad.append(
+                f"id {mid}: RMS ratio {rms_out / rms_in:.3f} outside [0.9, 1.1]"
+            )
+    return bad
+
+
 RANGE_CHECKS = {
     "sketch_profile_events": _range_sketch_profile,
     "ann_topk_ivf_trained": _range_ivf_trained,
@@ -522,6 +579,7 @@ RANGE_CHECKS = {
     "video_frame_extract": _range_video_frames,
     "corpus_to_training_shards": _range_training_shards,
     "audio_mel_features": _range_audio_mel,
+    "audio_resample_16k": _range_audio_resample,
     "image_neardup_pairs": _range_image_neardup,
 }
 
