@@ -1978,6 +1978,36 @@ def image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ihx.dhash_neardup_pairs(hashes, max_hamming=6, n_bands=8)
 
 
+@query("audio_neardup_pairs")  # no SQL oracle: FFT fingerprint — range-
+# asserted by tools/selfcheck.py (_range_audio_neardup): hashes AND the
+# pair set recomputed exactly driver-side from the shared fixture bytes
+def audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection (the speech/music-corpus dedup stage):
+    Haitsma-Kalker-style 64-bit spectral fingerprints via the WAV/
+    FLAC/MPEG decode dispatch + internal 16 kHz resample (operators/
+    audiohash.py — log-band-energy gradients: exactly gain- and
+    container-invariant, robust to lossy re-encode and source rate),
+    then the SAME banded hamming pair search the image stage uses
+    (imagehash.dhash_neardup_pairs — generic over any 64-bit hash):
+    8 bit-bands equi-join (pigeonhole-exact recall for hamming <= 6)
+    + bit_count popcount filter, all JVM-side. The fixture carries
+    known structure per base clip: int16-WAV / FLAC / half-gain
+    float-WAV copies (hamming 0), an MPEG-1 Layer II re-encode and a
+    32 kHz rendering (small hamming), and an unrelated chirp
+    (excluded)."""
+    from data_migration_etl_scripts_spark.operators import audiohash as afx
+    from data_migration_etl_scripts_spark.operators import imagehash as ihx
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        afx.synthetic_audiohash_media_rows(4), mm.MEDIA_SCHEMA
+    )
+    hashes = afx.audio_afp(media)
+    return ihx.dhash_neardup_pairs(
+        hashes, hash_col="afp", max_hamming=6, n_bands=8
+    )
+
+
 # ------- corpus curation: clustering, sampling, packing, scrubbing ---
 
 

@@ -514,6 +514,54 @@ def _range_image_neardup(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_audio_neardup(con, cols, rows) -> list[str]:
+    """audio_neardup_pairs: fingerprint + pair set recomputed EXACTLY
+    driver-side from the same fixture bytes (a full oracle, just not a
+    SQL one). Also pin the structural invariants the fixture encodes:
+    every lossless-container copy and the half-gain float-WAV copy at
+    hamming 0 (log-gradient gain invariance), and no pair bridging
+    different base clips."""
+    import itertools as _it
+
+    from data_migration_etl_scripts_spark.operators import audiohash as afx
+    from data_migration_etl_scripts_spark.operators.multimodal import (
+        audio_decode_rate,
+    )
+
+    hashes = {}
+    for mid, _t, content, _m in afx.synthetic_audiohash_media_rows(4):
+        rate, mono = audio_decode_rate(bytes(content))
+        hashes[mid] = afx.afp_bits(mono, rate)
+
+    def ham(a, b):
+        return bin(hashes[a] ^ hashes[b]).count("1")
+
+    want = {
+        (a, b, ham(a, b))
+        for a, b in _it.combinations(sorted(hashes), 2)
+        if ham(a, b) <= 6
+    }
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {
+        (r[idx["id_a"]], r[idx["id_b"]], r[idx["hamming"]]) for r in rows
+    }
+    bad = []
+    if got != want:
+        for t in sorted(want - got):
+            bad.append(f"missing pair {t}")
+        for t in sorted(got - want):
+            bad.append(f"unexpected pair {t}")
+    for k in range(4):
+        b = 10 * k
+        for other in (b + 1, b + 2):  # FLAC copy, half-gain float WAV
+            if ham(b, other) != 0:
+                bad.append(f"invariance broken: ham({b},{other}) != 0")
+    for a, b, _h in got:
+        if a // 10 != b // 10:
+            bad.append(f"pair ({a},{b}) bridges different base clips")
+    return bad
+
+
 def _range_audio_resample(con, cols, rows) -> list[str]:
     """audio_resample_16k: the windowed-sinc kernel is pinned by pytest
     (tests/test_resample.py — amplitude preservation, anti-aliasing,
@@ -579,6 +627,7 @@ RANGE_CHECKS = {
     "video_frame_extract": _range_video_frames,
     "corpus_to_training_shards": _range_training_shards,
     "audio_mel_features": _range_audio_mel,
+    "audio_neardup_pairs": _range_audio_neardup,
     "audio_resample_16k": _range_audio_resample,
     "image_neardup_pairs": _range_image_neardup,
 }
