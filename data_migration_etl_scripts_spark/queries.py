@@ -1978,6 +1978,32 @@ def image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ihx.dhash_neardup_pairs(hashes, max_hamming=6, n_bands=8)
 
 
+@query("video_neardup_pairs")  # no SQL oracle: pixel decode — range-
+# asserted by tools/selfcheck.py (_range_video_neardup): frame hashes
+# AND the pair rollup recomputed exactly driver-side from the fixture
+def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection (the last cell of the per-modality
+    dedup matrix): per-FRAME dHashes via the GIF/AVI decode dispatch
+    in ONE mapInPandas pass (operators/videohash.py), then a fully
+    relational frame-level banded hamming join rolled up to video
+    pairs — two clips pair when >= 2 of one's frames each have a
+    near-frame (hamming <= 6, pigeonhole-exact recall) in the other.
+    The fixture carries known structure per base clip: AVI quality-92
+    vs quality-70 re-encode vs palette-quantized GIF (three lossy
+    paths of the SAME frames: pairs), and unrelated clips with
+    distinct spatial structure (excluded)."""
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+    from data_migration_etl_scripts_spark.operators import videohash as vhx
+
+    media = spark.createDataFrame(
+        vhx.synthetic_videohash_media_rows(3), mm.MEDIA_SCHEMA
+    )
+    hashes = vhx.video_frame_hashes(media)
+    return vhx.video_neardup_pairs(
+        hashes, min_matched_frames=2, max_hamming=6, n_bands=8
+    )
+
+
 @query("audio_neardup_pairs")  # no SQL oracle: FFT fingerprint — range-
 # asserted by tools/selfcheck.py (_range_audio_neardup): hashes AND the
 # pair set recomputed exactly driver-side from the shared fixture bytes

@@ -80,6 +80,7 @@ AUDITED = {
     "audio_resample_16k": "decode + polyphase windowed-sinc resample in one Arrow-batched mapInPandas pass; numpy-vectorized per clip, tap table cached per executor — zero Exchanges, embarrassingly parallel over the binary column",
     "image_neardup_pairs": "dHash computed per image map-side; near-dup candidates via banded-hamming equi-join on 16-bit bands — O(colliding pairs), never all-pairs",
     "audio_neardup_pairs": "spectral fingerprint per clip map-side (decode+resample+FFT in one mapInPandas pass); pair search is the same banded-hamming equi-join as the image stage — O(colliding pairs), never all-pairs",
+    "video_neardup_pairs": "per-frame dHash map-side; frame-level banded-hamming equi-join + distinct-frame rollup to video pairs — O(colliding frame pairs), hot hashes bounded by the distinct rollup",
 }
 
 

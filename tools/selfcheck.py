@@ -514,6 +514,69 @@ def _range_image_neardup(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_video_neardup(con, cols, rows) -> list[str]:
+    """video_neardup_pairs: frame hashes and the matched-frame rollup
+    recomputed EXACTLY driver-side from the same fixture bytes (a full
+    oracle, just not a SQL one), plus the structural invariants: every
+    base's three lossy renderings pair up, and no pair bridges
+    different base clips."""
+    from data_migration_etl_scripts_spark.operators import videohash as vhx
+    from data_migration_etl_scripts_spark.operators.avi import (
+        avi_decode_frames,
+    )
+    from data_migration_etl_scripts_spark.operators.imagehash import dhash_bits
+    from data_migration_etl_scripts_spark.operators.multimodal import (
+        gif_decode_frames,
+    )
+
+    hashes = {}
+    for mid, _t, content, _m in vhx.synthetic_videohash_media_rows(3):
+        b = bytes(content)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            _w, _h, frames = gif_decode_frames(b, max_frames=64)
+            px = [r for _d, r in frames]
+        else:
+            _w, _h, _f, frames = avi_decode_frames(b, max_frames=64)
+            px = [r for _t2, r in frames]
+        hashes[mid] = [dhash_bits(p) for p in px]
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    want = set()
+    for a in sorted(hashes):
+        for b in sorted(hashes):
+            if a >= b:
+                continue
+            m = sum(
+                1 for x in hashes[a]
+                if any(ham(x, y) <= 6 for y in hashes[b])
+            )
+            if m >= 2:
+                want.add((a, b, m))
+    idx = {c: i for i, c in enumerate(cols)}
+    got = {
+        (r[idx["id_a"]], r[idx["id_b"]], r[idx["matched_frames"]])
+        for r in rows
+    }
+    bad = []
+    if got != want:
+        for t in sorted(want - got):
+            bad.append(f"missing pair {t}")
+        for t in sorted(got - want):
+            bad.append(f"unexpected pair {t}")
+    pair_ids = {(a, b) for a, b, _m in got}
+    for k in range(3):
+        for a, b in ((10 * k, 10 * k + 1), (10 * k, 10 * k + 2),
+                     (10 * k + 1, 10 * k + 2)):
+            if (a, b) not in pair_ids:
+                bad.append(f"lossy-rendering pair ({a},{b}) missing")
+    for a, b in pair_ids:
+        if a // 10 != b // 10:
+            bad.append(f"pair ({a},{b}) bridges different base clips")
+    return bad
+
+
 def _range_audio_neardup(con, cols, rows) -> list[str]:
     """audio_neardup_pairs: fingerprint + pair set recomputed EXACTLY
     driver-side from the same fixture bytes (a full oracle, just not a
@@ -628,6 +691,7 @@ RANGE_CHECKS = {
     "corpus_to_training_shards": _range_training_shards,
     "audio_mel_features": _range_audio_mel,
     "audio_neardup_pairs": _range_audio_neardup,
+    "video_neardup_pairs": _range_video_neardup,
     "audio_resample_16k": _range_audio_resample,
     "image_neardup_pairs": _range_image_neardup,
 }
