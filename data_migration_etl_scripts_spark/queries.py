@@ -2711,6 +2711,33 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("unigram_tokenize_corpus")  # no SQL oracle: EM training loop —
+# range-asserted by tools/selfcheck.py (_range_unigram_tokenize):
+# per-doc piece-count brackets + the head-reconstruction prefix
+# invariant; EM math (brute-force lattice parity, monotone likelihood)
+# is pinned by tests/test_unigram.py
+def unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-family unigram-LM tokenization — the second
+    tokenizer family next to BPE (operators/unigram.py): seed
+    substrings -> EM (lattice forward-backward expected counts) ->
+    prune to the vocab budget, trained on THIS corpus (one word-count
+    shuffle + driver loop over the bounded top-2000 word table), then
+    Viterbi-applied map-side via an Arrow-batched Pandas UDF with a
+    per-worker word cache."""
+    from data_migration_etl_scripts_spark.operators import unigram as ug
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    vocab = ug.train_unigram(
+        docs, "text", vocab_size=300, max_words=2000, max_piece_len=6
+    )
+    toks = ug.apply_unigram(docs, vocab, "text", max_piece_len=6)
+    return toks.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        F.array_join(F.slice("pieces", 1, 8), " ").alias("piece_head"),
+    )
+
+
 def _ppl_bucket_oracle() -> str:
     from data_migration_etl_scripts_spark.operators import contamination as ctm2
     from data_migration_etl_scripts_spark.operators import curation as cu3

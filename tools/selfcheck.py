@@ -266,6 +266,47 @@ def _range_bpe_tokenize(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_unigram_tokenize(con, cols, rows) -> list[str]:
+    """unigram_tokenize_corpus: the EM training loop has no SQL twin
+    (lattice parity and monotone likelihood are pinned by pytest), but
+    three invariants are independently checkable per document against
+    DuckDB: (1) row set == docs with non-null text; (2) word count <=
+    n_pieces <= non-space chars + words (each word is 1..len+1 pieces
+    of '▁'+word); (3) reconstruction — the first 8 pieces with the
+    '▁' markers and spaces stripped are a prefix of the lowercased
+    text with ASCII whitespace removed."""
+    import re as _re
+
+    ws = _re.compile(r"\s+", flags=_re.ASCII)  # kernel's exact splitter
+    idx = {c: i for i, c in enumerate(cols)}
+    exact = {}
+    for d, text in con.sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall():
+        parts = [w for w in ws.split(text.lower()) if w]
+        squash = "".join(parts)
+        exact[d] = (len(parts), len(squash), squash)
+    bad = []
+    if {r[idx["doc_id"]] for r in rows} != set(exact):
+        return [
+            f"doc set mismatch: {len(rows)} rows vs {len(exact)} non-null docs"
+        ]
+    for r in rows:
+        d = r[idx["doc_id"]]
+        words, chars, squash = exact[d]
+        n = r[idx["n_pieces"]]
+        if not (words <= n <= chars + words):
+            bad.append(
+                f"doc {d}: n_pieces {n} outside [{words}, {chars + words}]"
+            )
+        head = r[idx["piece_head"]].replace("▁", "").replace(" ", "")
+        if not squash.startswith(head):
+            bad.append(
+                f"doc {d}: piece head {head[:40]!r} not a prefix of the text"
+            )
+    return bad
+
+
 def _range_video_frames(con, cols, rows) -> list[str]:
     """video_frame_extract: the fixture GIFs are deterministic formulas,
     so every output row is recomputable driver-side — rebuild each
@@ -687,6 +728,7 @@ RANGE_CHECKS = {
     "ann_topk_ivf_trained": _range_ivf_trained,
     "multimodal_real_decode": _range_multimodal_decode,
     "bpe_tokenize_corpus": _range_bpe_tokenize,
+    "unigram_tokenize_corpus": _range_unigram_tokenize,
     "video_frame_extract": _range_video_frames,
     "corpus_to_training_shards": _range_training_shards,
     "audio_mel_features": _range_audio_mel,
