@@ -354,3 +354,13 @@ def apply_unigram(
 def decode_pieces(pieces: list[str]) -> str:
     """Concatenate pieces; word-boundary markers map back to spaces."""
     return "".join(pieces).replace(WB, " ").strip()
+
+
+def build_vocab(logp: dict[str, float]) -> dict[str, int]:
+    """Piece -> id table: pieces in (probability desc, piece) order —
+    stable (same trained probs => same ids on any machine). Feed the
+    result straight to `bpe.encode_token_ids`, which is generic over
+    any array<string> token column: the int32-LE ``ids_bin`` handoff
+    is shared between both tokenizer families."""
+    ranked = sorted(logp, key=lambda p: (-logp[p], p))
+    return {p: i for i, p in enumerate(ranked)}

@@ -1887,6 +1887,50 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hx.extract_text(_html_docs(spark, sf_dir), "doc_id", "html")
 
 
+def _warc_oracle_sql() -> str:
+    """The WARC fixture pages as a DuckDB VALUES table fed through the
+    SAME extraction SQL — a FULL hash-matched oracle for the whole
+    WARC -> HTTP -> HTML -> text pipeline (the Spark side parses real
+    container bytes; the oracle starts from the identical page HTML
+    the fixture put inside them)."""
+    from data_migration_etl_scripts_spark.sources.warc import (
+        synthetic_warc_blobs,
+    )
+
+    _rows, pages = synthetic_warc_blobs(2, 3)
+    values = ", ".join(
+        "('" + uri.replace("'", "''") + "', '"
+        + html.replace("'", "''") + "')"
+        for uri, html in sorted(pages.items())
+    )
+    return hx.extract_text_sql(
+        f"(SELECT * FROM (VALUES {values}) AS t(uri, html))", "uri", "html"
+    )
+
+
+@query("warc_extract_text", oracle=_warc_oracle_sql())
+def warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl ingestion end to end: WARC container bytes (ISO
+    28500, plain AND per-record-gzip packaging — the CommonCrawl
+    form) -> records via the Arrow-batched parser (sources/warc.py)
+    -> HTTP envelopes split -> 200/html responses -> the map-side
+    HTML extraction pipeline (operators/html.py). The oracle rebuilds
+    the SAME pages as a DuckDB VALUES table and runs the shared
+    extraction SQL, so the whole container->text path is hash-matched
+    — framing, gzip members, HTTP split, entities and all."""
+    from data_migration_etl_scripts_spark.sources import warc as wc
+
+    rows, _pages = wc.synthetic_warc_blobs(2, 3)
+    blobs = spark.createDataFrame(rows, "path string, content binary")
+    recs = wc.read_warc(blobs)
+    html_rows = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").contains("http")
+    ).select("uri", F.col("payload").cast("string").alias("html"))
+    return hx.extract_text(html_rows, "uri", "html")
+
+
 @query(
     "corpus_blocklist_filter",
     oracle=hx.blocklist_filter_sql(

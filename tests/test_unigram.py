@@ -145,3 +145,23 @@ def test_spark_apply_matches_driver_viterbi(spark):
     assert rows[1] == want1
     assert rows[2] == want2
     assert rows[3] == []
+
+
+def test_vocab_ids_and_binary_packing(spark):
+    from data_migration_etl_scripts_spark.operators import bpe
+
+    vocab_lp = ug.train_unigram_from_counts(
+        TOY, vocab_size=24, max_piece_len=4, max_seed=50
+    )
+    vocab = ug.build_vocab(vocab_lp)
+    # stable: ids ordered by probability desc then piece
+    ranked = sorted(vocab_lp, key=lambda p: (-vocab_lp[p], p))
+    assert [vocab[p] for p in ranked] == list(range(len(ranked)))
+    docs = spark.createDataFrame([(1, "abab cab")], "doc_id long, text string")
+    toks = ug.apply_unigram(docs, vocab_lp, "text", max_piece_len=4)
+    packed = bpe.encode_token_ids(toks, "pieces", vocab).collect()[0]
+    assert packed.ids == [vocab[p] for p in packed.pieces]
+    back = bpe.decode_token_ids(bytes(packed.ids_bin),
+                                vocab)
+    assert back == list(packed.pieces)
+    assert ug.decode_pieces(back) == "abab cab"
