@@ -113,6 +113,9 @@ def audio_afp(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(kernel, schema=AFP_SCHEMA)
 
 
+_FIXTURE_MEMO: dict[int, list[tuple]] = {}
+
+
 def synthetic_audiohash_media_rows(n_base: int = 4) -> list[tuple]:
     """Deterministic audio table with KNOWN near-dup structure (pure
     Python — shared by the board query and the selfcheck oracle): for
@@ -125,6 +128,10 @@ def synthetic_audiohash_media_rows(n_base: int = 4) -> list[tuple]:
     32 kHz (rate-invariance: small hamming), and one unrelated
     noise-chord clip at 10k+5."""
     import math
+
+    memo = _FIXTURE_MEMO.get(n_base)
+    if memo is not None:  # deterministic rows; MP2 encode is the cost
+        return memo
 
     from data_migration_etl_scripts_spark.operators.flac import flac_encode
     from data_migration_etl_scripts_spark.operators.mpeg_audio import (
@@ -188,4 +195,5 @@ def synthetic_audiohash_media_rows(n_base: int = 4) -> list[tuple]:
         ]
         rows.append((10 * k + 5, "audio",
                      bytearray(wav_encode(noise, rate=16000)), "{}"))
+    _FIXTURE_MEMO[n_base] = rows
     return rows
