@@ -214,6 +214,34 @@ def read_warc(df: DataFrame, path_col: str = "path",
     )
 
 
+def warc_docs(df: DataFrame, min_chars: int = 1) -> DataFrame:
+    """WARC blobs -> corpus-ready documents: records ->
+    200/HTML responses -> text extraction (`operators/html.py`) ->
+    (doc_id, url, text, n_chars, link_density) with ``doc_id`` =
+    xxhash64 of the URL (deterministic, collision-safe at crawl
+    scale). The output schema slots straight into the text pipeline —
+    dedup, quality filters, and `streaming/ingest.stream_corpus_ingest`
+    (crawl -> corpus end to end; see tests/test_warc.py)."""
+    from pyspark.sql import functions as F
+
+    from data_migration_etl_scripts_spark.operators import html as hx
+
+    recs = read_warc(df)
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").contains("http")
+    ).select("uri", F.col("payload").cast("string").alias("html"))
+    out = hx.extract_text(pages, "uri", "html")
+    return out.where(F.col("n_chars") >= min_chars).select(
+        F.xxhash64("uri").alias("doc_id"),
+        F.col("uri").alias("url"),
+        F.col("text_clean").alias("text"),
+        "n_chars",
+        "link_density",
+    )
+
+
 def synthetic_warc_blobs(n_files: int = 2, pages_per_file: int = 3):
     """Deterministic (path, warc_bytes, expected) fixture shared by
     the board query and its oracle: each file holds a warcinfo record

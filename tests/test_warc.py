@@ -110,6 +110,42 @@ def test_read_warc_spark_rows(spark):
     assert all(r.http_status is None for r in reqs)
 
 
+def test_warc_to_corpus_ingest_end_to_end(spark, tmp_path):
+    """Crawl -> corpus: WARC blobs -> warc_docs -> the streaming
+    dedup-admit loop. A re-crawl of the same pages (different WARC
+    file, same HTML) must be rejected as duplicate history."""
+    import glob
+    import shutil
+
+    from data_migration_etl_scripts_spark.streaming.ingest import (
+        read_ingest_corpus,
+        stream_corpus_ingest,
+    )
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    src.mkdir()
+
+    def land_docs(name, blobs):
+        df = spark.createDataFrame(blobs, "path string, content binary")
+        docs = wc.warc_docs(df).select("doc_id", "text")
+        staged = tmp_path / f"stage_{name}"
+        docs.coalesce(1).write.parquet(str(staged))
+        part = glob.glob(str(staged / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    rows, pages = wc.synthetic_warc_blobs(2, 3)
+    land_docs("crawl1", rows)
+    stream_corpus_ingest(spark, str(src), state)
+    admitted = read_ingest_corpus(spark, state).collect()
+    assert len(admitted) == 6  # every page is a distinct doc
+
+    # re-crawl: same pages in a fresh WARC file -> all exact dups
+    land_docs("crawl2", rows)
+    stream_corpus_ingest(spark, str(src), state)
+    assert len(read_ingest_corpus(spark, state).collect()) == 6
+
+
 def test_read_warc_binaryfile_source(spark, tmp_path):
     rows, pages = wc.synthetic_warc_blobs(2, 2)
     for path, blob in rows:
