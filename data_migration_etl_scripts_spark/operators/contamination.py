@@ -497,6 +497,7 @@ def bigram_logprob(
     vocab_size: int = 4096,
     bigram_size: int = 16384,
     lam: float = 0.7,
+    model_df: DataFrame | None = None,
 ) -> DataFrame:
     """Interpolated bigram-LM scoring (the CCNet-style upgrade over
     :func:`unigram_logprob`): per transition (w1, w2),
@@ -509,6 +510,11 @@ def bigram_logprob(
     Catches fluent-word-salad that fools a unigram model (every token
     common, no two of them ever adjacent in real text).
 
+    ``model_df`` (optional) separates TRAIN from EVAL: the count
+    tables build from ``model_df`` while ``df`` is scored — the
+    held-out perplexity shape every LM-quality gate runs (default:
+    self-scoring, the CCNet in-domain form).
+
     Plan: transitions come from zip_with over shifted slices (the
     no-CSE-safe shingle pattern); both model tables are
     TakeOrderedAndProject tops, broadcast; per-transition log-probs
@@ -517,25 +523,33 @@ def bigram_logprob(
     hit_frac, avg_logprob); docs with < 2 tokens report (0, 0.0, 0.0).
     """
     toks = tp.tokens(text_col)
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
-    n = F.size("t")
-    pairs = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice("t", 1, n - 1),
-            F.expr("slice(t, 2, size(t) - 1)"),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    trans = base.select("doc_id", F.explode_outer(pairs).alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
-    tok = base.select("doc_id", F.explode("t").alias("w"))
+
+    def lattice(src: DataFrame):
+        base = src.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+        n = F.size("t")
+        pairs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("t", 1, n - 1),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        trans = base.select(
+            "doc_id", F.explode_outer(pairs).alias("p")
+        ).select(
+            "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+        return base, trans
+
+    _base, trans = lattice(df)
+    m_base, m_trans = lattice(model_df if model_df is not None else df)
+    tok = m_base.select("doc_id", F.explode("t").alias("w"))
     counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(F.sum("c").cast("long").alias("total"))
     vocab = counts.orderBy(F.desc("c"), "w").limit(vocab_size)
     bigrams = (
-        trans.where(F.col("w1").isNotNull())
+        m_trans.where(F.col("w1").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
         .join(F.broadcast(vocab.select(F.col("w").alias("w1"))), "w1")
@@ -594,17 +608,15 @@ def bigram_logprob_sql(
     vocab_size: int = 4096,
     bigram_size: int = 16384,
     lam: float = 0.7,
+    model_table: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`bigram_logprob` (same tops, interpolation,
-    rounding, and DECIMAL summation)."""
+    rounding, and DECIMAL summation). ``model_table`` mirrors
+    ``model_df``: counts build there, ``table`` is scored."""
     toks = tp.tokens_sql(text_col)
-    return f"""
-        WITH base AS (
-            SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
-        ),
-        trans AS (
+    trans_body = """
             SELECT doc_id, u.p.w1 AS w1, u.p.w2 AS w2
-            FROM base
+            FROM {src}
             LEFT JOIN LATERAL (
                 SELECT unnest(COALESCE(NULLIF(
                     CASE WHEN len(t) >= 2 THEN
@@ -614,14 +626,24 @@ def bigram_logprob_sql(
                             z -> struct_pack(w1 := z[1], w2 := z[2]))
                     ELSE [] END, []), [NULL])) AS p
             ) u ON true
+    """
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
         ),
-        tok AS (SELECT doc_id, unnest(t) AS w FROM base),
+        base_m AS (
+            SELECT {id_col} AS doc_id, {toks} AS t
+            FROM {model_table or table}
+        ),
+        trans AS ({trans_body.format(src="base")}),
+        trans_m AS ({trans_body.format(src="base_m")}),
+        tok AS (SELECT doc_id, unnest(t) AS w FROM base_m),
         counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
         totals AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
         vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {vocab_size}),
         bigrams AS (
             SELECT tr.w1, tr.w2, count(*) AS cb
-            FROM trans tr
+            FROM trans_m tr
             JOIN vocab v1 ON tr.w1 = v1.w
             JOIN vocab v2 ON tr.w2 = v2.w
             GROUP BY tr.w1, tr.w2

@@ -2302,6 +2302,40 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HELDOUT_EVAL = "(SELECT * FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)"
+_HELDOUT_TRAIN = "(SELECT * FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)"
+
+
+@query(
+    "bigram_heldout_ppl",
+    oracle=f"""
+        SELECT doc_id, n_transitions, hit_frac, avg_logprob,
+               round(exp(-avg_logprob), 6) AS ppl
+        FROM ({ctm.bigram_logprob_sql(_HELDOUT_EVAL, vocab_size=2048,
+                                      bigram_size=8192,
+                                      model_table=_HELDOUT_TRAIN)})
+    """,
+)
+def bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT perplexity evaluation — the LM-eval shape every data
+    pipeline runs before shipping a corpus: the bigram model trains on
+    the even-id half and scores the odd-id half it never saw
+    (model_df separation in ctm.bigram_logprob). Out-of-table
+    transitions fall to the interpolated unigram floor; ppl =
+    exp(-avg_logprob) per doc. Fully hash-matched against the DuckDB
+    twin with the same train/eval split."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    ev = docs.where(F.col("doc_id") % 2 == 1)
+    scored = ctm.bigram_logprob(
+        ev, model_df=train, vocab_size=2048, bigram_size=8192
+    )
+    return scored.select(
+        "doc_id", "n_transitions", "hit_frac", "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+    )
+
+
 @query(
     "decontaminate_fuzzy_docs",
     oracle=ctm.decontaminate_fuzzy_sql(

@@ -324,3 +324,31 @@ def test_bigram_lm_penalizes_word_salad(spark):
            for r in ctm.unigram_logprob(df, vocab_size=64).collect()}
     assert bi[100] < bi[0] - 0.3, (bi[100], bi[0])   # salad clearly worse
     assert abs(uni[100] - uni[0]) < 1e-6             # unigrams blind to it
+
+
+def test_bigram_heldout_model_separation(spark):
+    """model_df separates train from eval: transitions the model never
+    saw fall to the unigram floor (hit_frac 0), while self-scoring the
+    train half sees its own bigrams (hit_frac 1). The eval docs must
+    not leak into the model tables."""
+    from data_migration_etl_scripts_spark.operators import contamination as ctm
+
+    train_text = "alpha beta gamma delta alpha beta gamma delta"
+    eval_text = "delta gamma beta alpha delta gamma beta alpha"  # reversed adjacencies
+    train = spark.createDataFrame(
+        [(i, train_text) for i in range(4)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, eval_text), (101, train_text)], "doc_id long, text string"
+    )
+    scored = {r.doc_id: r for r in ctm.bigram_logprob(
+        ev, model_df=train, vocab_size=16, bigram_size=64).collect()}
+    # the train-like doc hits every transition; the reversed doc none
+    assert scored[101].hit_frac == 1.0
+    assert scored[100].hit_frac == 0.0
+    assert scored[100].avg_logprob < scored[101].avg_logprob - 1.0
+    # self-scoring (no model_df) would have admitted the reversed doc's
+    # bigrams into the model — hit_frac must then be positive
+    selfd = {r.doc_id: r for r in ctm.bigram_logprob(
+        ev, vocab_size=16, bigram_size=64).collect()}
+    assert selfd[100].hit_frac > 0.0
