@@ -1,0 +1,219 @@
+"""Trainable quality classifier — hashing-trick logistic regression,
+the fastText-style linear gate real corpus pipelines train on weak
+labels (GPT-3's WebText-similarity LR, CCNet's fastText filters) as
+the learned upgrade over the fixed quality heuristics in
+`operators/text.py`.
+
+Features: word unigrams hashed into ``n_buckets`` via the engine's
+cross-engine md5 idiom (hex-prefix -> integer -> modulo — identical
+in Spark and DuckDB, the same trick the deterministic samplers use)
+plus one bias bucket per document. Training: full-batch gradient
+descent on the logistic loss, each round two bounded shuffles
+(broadcast weight join -> per-doc score; residual join -> per-bucket
+gradient). The weight vector (<= n_buckets+1 rows) is the only thing
+the driver ever holds — the Lloyd's-centroid pattern.
+
+DETERMINISM (the point): every float that crosses an aggregation is
+rounded to 9 dp and summed as DECIMAL(20,10), weights re-round after
+every update, and probabilities round before use — so training is
+bit-reproducible across partitionings AND across engines. The SQL
+twin (:func:`train_predict_sql`) unrolls the same rounds as chained
+CTEs; the board query hash-matches a TRAINED model's predictions
+against DuckDB running the identical descent.
+
+At 100 TB: features are one explode + groupBy per corpus pass;
+each GD round shuffles (doc, bucket) contribution rows keyed by doc
+then bucket — both map-side combined; the weight table broadcasts.
+Rounds are fixed and few (a linear probe, not a deep net)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.operators import textprep as tp
+
+_DEC = "decimal(20,10)"
+
+
+def _bucket(col: F.Column, n_buckets: int) -> F.Column:
+    """Cross-engine stable hash bucket: first 6 md5 hex chars as an
+    integer, modulo n_buckets (md5 of the UTF-8 term bytes — the
+    engine's deterministic-sampler idiom)."""
+    hx = F.substring(F.md5(col.cast("binary")), 1, 6)
+    return F.conv(hx, 16, 10).cast("long") % n_buckets
+
+
+def _bucket_sql(expr: str, n_buckets: int) -> str:
+    return (f"CAST(('0x' || substr(md5({expr}), 1, 6)) AS BIGINT) "
+            f"% {n_buckets}")
+
+
+def hashed_features(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 1024
+) -> DataFrame:
+    """(doc, text) -> sparse feature rows (doc_id, h, x): hashed
+    unigram counts plus a bias bucket (h = n_buckets, x = 1) so empty
+    documents still carry a trainable intercept."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tp.tokens(text_col)).alias("w")
+    )
+    grams = toks.groupBy(
+        "doc_id", _bucket(F.col("w"), n_buckets).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    bias = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(n_buckets).cast("long").alias("h"),
+        F.lit(1.0).alias("x"),
+    )
+    return grams.unionByName(bias)
+
+
+def hashed_features_sql(
+    table: str, id_col: str, text_col: str, n_buckets: int = 1024
+) -> str:
+    toks = tp.tokens_sql(text_col)
+    return f"""
+        SELECT doc_id, {_bucket_sql('w', n_buckets)} AS h,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM (SELECT {id_col} AS doc_id, unnest({toks}) AS w FROM {table})
+        GROUP BY doc_id, h
+        UNION ALL
+        SELECT {id_col} AS doc_id, {n_buckets} AS h, 1.0 AS x FROM {table}
+    """
+
+
+def train_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    rounds: int = 3,
+    lr: float = 0.5,
+) -> dict[int, float]:
+    """Full-batch GD on the logistic loss. ``labels`` = (doc_id, y in
+    {0, 1}). Returns bucket -> weight after ``rounds`` updates.
+    Deterministic: 9-dp rounding + DECIMAL sums at every aggregation,
+    so the result is independent of partitioning (and matches the SQL
+    twin bit for bit)."""
+    spark = feats.sparkSession
+    n_docs = labels.count()
+    feats = feats.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    w: dict[int, float] = {}
+    for _ in range(rounds):
+        if w:
+            w_df = F.broadcast(spark.createDataFrame(
+                list(w.items()), "h long, w double"
+            ))
+            scored = feats.join(w_df, "h", "left")
+        else:
+            scored = feats.withColumn("w", F.lit(None).cast("double"))
+        s = (
+            scored.select(
+                "doc_id",
+                F.round(F.col("x") * F.coalesce("w", F.lit(0.0)), 9)
+                .cast(_DEC).alias("c"),
+            )
+            .groupBy("doc_id").agg(F.sum("c").cast("double").alias("s"))
+        )
+        p = labels.join(s, "doc_id", "left").select(
+            "doc_id", "y",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce("s", F.lit(0.0)))),
+                9,
+            ).alias("p"),
+        )
+        g_rows = (
+            feats.join(p, "doc_id")
+            .select(
+                "h",
+                F.round((F.col("p") - F.col("y")) * F.col("x"), 9)
+                .cast(_DEC).alias("c"),
+            )
+            .groupBy("h")
+            .agg(F.round(F.sum("c").cast("double") / n_docs, 9).alias("g"))
+            .collect()  # <= n_buckets+1 rows — the Lloyd's pattern
+        )
+        for r in g_rows:
+            w[r["h"]] = round(w.get(r["h"], 0.0) - lr * r["g"], 9)
+    return w
+
+
+def predict(
+    feats: DataFrame, weights: dict[int, float], labels: DataFrame
+) -> DataFrame:
+    """(doc_id, y, p): scored probabilities under a trained weight
+    vector (broadcast join, one shuffle)."""
+    spark = feats.sparkSession
+    w_df = F.broadcast(spark.createDataFrame(
+        list(weights.items()) or [(None, None)], "h long, w double"
+    ))
+    s = (
+        feats.join(w_df, "h", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("x") * F.coalesce("w", F.lit(0.0)), 9)
+            .cast(_DEC).alias("c"),
+        )
+        .groupBy("doc_id").agg(F.sum("c").cast("double").alias("s"))
+    )
+    return labels.join(s, "doc_id", "left").select(
+        "doc_id", "y",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce("s", F.lit(0.0)))), 6
+        ).alias("p"),
+    )
+
+
+def train_predict_sql(
+    feats_sql: str,
+    labels_sql: str,
+    rounds: int = 3,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB twin of train_logreg + predict: the GD rounds unroll as
+    chained CTEs (w0 empty -> s/p/g/w per round), with the identical
+    9-dp + DECIMAL discipline. ``labels_sql`` must expose (doc_id, y);
+    ``feats_sql`` (doc_id, h, x)."""
+    ctes = [
+        f"feats AS ({feats_sql})",
+        f"labels AS ({labels_sql})",
+        "n AS (SELECT count(*) AS n_docs FROM labels)",
+        "w0 AS (SELECT CAST(NULL AS BIGINT) AS h, CAST(NULL AS DOUBLE) AS w "
+        "WHERE false)",
+    ]
+    for r in range(rounds):
+        prev, cur = f"w{r}", r + 1
+        ctes.append(f"""s{cur} AS (
+            SELECT f.doc_id,
+                   CAST(sum(CAST(round(f.x * COALESCE(w.w, 0.0), 9)
+                                 AS DECIMAL(20,10))) AS DOUBLE) AS s
+            FROM feats f LEFT JOIN {prev} w ON f.h = w.h
+            GROUP BY f.doc_id)""")
+        ctes.append(f"""p{cur} AS (
+            SELECT l.doc_id, l.y,
+                   round(1.0 / (1.0 + exp(-COALESCE(s.s, 0.0))), 9) AS p
+            FROM labels l LEFT JOIN s{cur} s ON l.doc_id = s.doc_id)""")
+        ctes.append(f"""g{cur} AS (
+            SELECT f.h,
+                   round(CAST(sum(CAST(round((p.p - p.y) * f.x, 9)
+                                       AS DECIMAL(20,10))) AS DOUBLE)
+                         / (SELECT n_docs FROM n), 9) AS g
+            FROM feats f JOIN p{cur} p ON f.doc_id = p.doc_id
+            GROUP BY f.h)""")
+        ctes.append(f"""w{cur} AS (
+            SELECT COALESCE(g.h, w.h) AS h,
+                   round(COALESCE(w.w, 0.0) - {lr!r} * COALESCE(g.g, 0.0), 9)
+                   AS w
+            FROM g{cur} g FULL OUTER JOIN {prev} w ON g.h = w.h)""")
+    final = f"""sF AS (
+            SELECT f.doc_id,
+                   CAST(sum(CAST(round(f.x * COALESCE(w.w, 0.0), 9)
+                                 AS DECIMAL(20,10))) AS DOUBLE) AS s
+            FROM feats f LEFT JOIN w{rounds} w ON f.h = w.h
+            GROUP BY f.doc_id)"""
+    ctes.append(final)
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT l.doc_id, l.y,
+               round(1.0 / (1.0 + exp(-COALESCE(s.s, 0.0))), 6) AS p
+        FROM labels l LEFT JOIN sF s ON l.doc_id = s.doc_id
+    """)

@@ -2302,6 +2302,46 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_oracle() -> str:
+    from data_migration_etl_scripts_spark.operators import classifier as clf
+    from data_migration_etl_scripts_spark.operators import textprep as tp2
+
+    docs = "(SELECT * FROM documents WHERE text IS NOT NULL)"
+    toks = tp2.tokens_sql("text")
+    labels = (
+        f"SELECT doc_id, CAST(len(list_intersect({toks}, "
+        f"['data', 'model', 'training'])) > 0 AS INT) AS y FROM {docs}"
+    )
+    feats = clf.hashed_features_sql(docs, "doc_id", "text", n_buckets=512)
+    return clf.train_predict_sql(feats, labels, rounds=3, lr=0.5)
+
+
+@query("quality_classifier_scores", oracle=_classifier_oracle())
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality gate (the fastText/CCNet-style linear filter,
+    learned — not a fixed heuristic): hashing-trick logistic
+    regression (operators/classifier.py) fit by 3 full-batch GD
+    rounds on weak topic labels, then scored over the corpus. The
+    descent itself is deterministic (9-dp + DECIMAL discipline at
+    every aggregation), so the TRAINED MODEL's predictions hash-match
+    DuckDB running the identical unrolled rounds — training as a
+    first-class, oracle-checked operator, not a black box."""
+    from data_migration_etl_scripts_spark.operators import classifier as clf
+    from data_migration_etl_scripts_spark.operators import textprep as tp
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    labels = docs.select(
+        "doc_id",
+        F.arrays_overlap(
+            tp.tokens("text"),
+            F.array(F.lit("data"), F.lit("model"), F.lit("training")),
+        ).cast("int").alias("y"),
+    )
+    feats = clf.hashed_features(docs, "doc_id", "text", n_buckets=512)
+    w = clf.train_logreg(feats, labels, rounds=3, lr=0.5)
+    return clf.predict(feats, w, labels)
+
+
 _HELDOUT_EVAL = "(SELECT * FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)"
 _HELDOUT_TRAIN = "(SELECT * FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)"
 

@@ -1,0 +1,97 @@
+"""Hashing-trick logistic regression (operators/classifier.py):
+feature extraction, learning on separable data, partitioning
+determinism (the 9-dp + DECIMAL discipline), held-out
+generalization, and degenerate inputs.
+
+Reference parity note: a trained quality gate is LLM-data-pipeline
+addendum surface (SURVEY.md) — the learned upgrade over the fixed
+text-quality heuristics."""
+
+from __future__ import annotations
+
+from data_migration_etl_scripts_spark.operators import classifier as clf
+
+GOOD = [
+    "the data model trains on curated data with careful evaluation",
+    "training data quality drives model behavior more than size",
+    "a clean data pipeline makes model training reproducible",
+    "model evaluation needs held out data from the same pipeline",
+]
+BAD = [
+    "buy cheap watches now lowest prices click here fast",
+    "winner winner claim your prize account today free money",
+    "hot deals hot deals subscribe unsubscribe mailing blast",
+    "lorem ipsum dolor sit amet consectetur adipiscing elit",
+]
+
+
+def _docs(spark, texts_labels):
+    return spark.createDataFrame(
+        [(i, t) for i, (t, _y) in enumerate(texts_labels)],
+        "doc_id long, text string",
+    ), spark.createDataFrame(
+        [(i, y) for i, (_t, y) in enumerate(texts_labels)],
+        "doc_id long, y int",
+    )
+
+
+def test_hashed_features_counts_and_bias(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "")], "doc_id long, text string"
+    )
+    rows = clf.hashed_features(docs, "doc_id", "text", n_buckets=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.h, r.x))
+    # doc 2: bias only; doc 1: bias + 2 token buckets (alpha x2, beta x1)
+    assert by_doc[2] == [(64, 1.0)]
+    assert (64, 1.0) in by_doc[1]
+    token_feats = sorted(x for h, x in by_doc[1] if h != 64)
+    assert token_feats == [1.0, 2.0]
+    assert all(0 <= h <= 64 for h, _ in by_doc[1])
+
+
+def test_learns_separable_labels(spark):
+    data = [(t, 1) for t in GOOD] + [(t, 0) for t in BAD]
+    docs, labels = _docs(spark, data)
+    feats = clf.hashed_features(docs, "doc_id", "text", n_buckets=256)
+    w = clf.train_logreg(feats, labels, rounds=8, lr=1.0)
+    preds = {r.doc_id: r for r in clf.predict(feats, w, labels).collect()}
+    assert all(
+        (r.p > 0.5) == (r.y == 1) for r in preds.values()
+    ), {d: (r.y, r.p) for d, r in preds.items()}
+
+
+def test_training_deterministic_across_partitioning(spark):
+    data = [(t, 1) for t in GOOD] + [(t, 0) for t in BAD]
+    docs, labels = _docs(spark, data)
+    feats = clf.hashed_features(docs, "doc_id", "text", n_buckets=256)
+    w1 = clf.train_logreg(feats.repartition(1), labels, rounds=3, lr=0.5)
+    w7 = clf.train_logreg(feats.repartition(7), labels, rounds=3, lr=0.5)
+    assert w1 == w7
+
+
+def test_generalizes_to_heldout(spark):
+    data = [(t, 1) for t in GOOD] + [(t, 0) for t in BAD]
+    docs, labels = _docs(spark, data)
+    feats = clf.hashed_features(docs, "doc_id", "text", n_buckets=256)
+    w = clf.train_logreg(feats, labels, rounds=8, lr=1.0)
+    unseen = spark.createDataFrame(
+        [(100, "good training data and model evaluation pipeline"),
+         (101, "click here free prize winner fast money")],
+        "doc_id long, text string",
+    )
+    ulabels = spark.createDataFrame(
+        [(100, 1), (101, 0)], "doc_id long, y int"
+    )
+    ufeats = clf.hashed_features(unseen, "doc_id", "text", n_buckets=256)
+    got = {r.doc_id: r.p for r in clf.predict(ufeats, w, ulabels).collect()}
+    assert got[100] > 0.5 > got[101]
+
+
+def test_empty_weights_score_half(spark):
+    docs = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
+    labels = spark.createDataFrame([(1, 0)], "doc_id long, y int")
+    feats = clf.hashed_features(docs, "doc_id", "text", n_buckets=32)
+    got = clf.predict(feats, {}, labels).collect()[0]
+    assert got.p == 0.5
