@@ -1,0 +1,164 @@
+"""Iterative graph analytics — PageRank with the engine's
+deterministic-iteration discipline, extending the graph family beyond
+the connected-components labeler in `operators/curation.py` (dedup
+clusters) to importance scoring: entity ranking over relationship
+graphs (who are the load-bearing suppliers/customers), link-graph
+authority for web corpora (the `operators/html.py` front end yields
+anchors), influence weighting for sampling.
+
+Standard damped PageRank with dangling-mass redistribution:
+
+    PR_{i+1}(v) = (1-d)/N + d * (sum_{u->v} PR_i(u)/out(u)
+                                 + dangling_i/N)
+
+DETERMINISM: per-edge contributions round to 9 dp and sum as
+DECIMAL(20,10); each iteration's rank re-rounds — so K iterations
+are bit-reproducible across partitionings and across engines, and
+the SQL twin (:func:`pagerank_sql`) unrolls the same K rounds as
+chained CTEs for a hash-matched oracle. (The same unrolled-iteration
+oracle pattern as the trained classifier's gradient descent.)
+
+Scale shape: each iteration is ONE shuffle (contributions grouped by
+dst) plus two single-row aggregates (dangling mass; nothing is ever
+collected except them); ranks localCheckpoint per round so lineage
+stays flat at K iterations — the Lloyd's/label-propagation
+discipline every iterative operator here follows."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(20,10)"
+
+
+def _q9(col: F.Column) -> F.Column:
+    """Quantize to 9 dp via floor(x*1e9 + 0.5)/1e9 — every step an
+    exactly-rounded IEEE op, so BOTH engines compute the identical
+    double. round(x, 9) is NOT cross-engine safe here: iterated
+    PageRank keeps landing decimal-aligned ranks on exact .5
+    boundaries at the 10th digit, where Spark (HALF_UP on the
+    shortest decimal repr) and DuckDB (half-away on the binary
+    value) disagree."""
+    return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
+def _q9_sql(expr: str) -> str:
+    return f"floor(({expr}) * 1e9 + 0.5) / 1e9"
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(src, dst) edges -> (node, rank) after ``iterations`` rounds.
+    Nodes = union of both endpoint sets; parallel edges count with
+    multiplicity (a supplier filling 3 of a customer's orders pulls
+    3 shares of that customer's rank). Ranks sum to ~1 (9-dp
+    quantization wobble only)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    # IEEE division itself is exactly rounded in both engines, so the
+    # (1-d)/N and dangling/N terms need no defensive quantization.
+    ranks = nodes.withColumn("rank", _q9(F.lit(1.0) / F.lit(float(n))))
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg["src"], "left"
+        ).select("node", "rank", "out")
+        dangling = (
+            with_deg.where(F.col("out").isNull())
+            .agg(F.sum(F.col("rank").cast(_DEC)))
+            .collect()[0][0]
+        )
+        dangling = float(dangling or 0.0)
+        contrib = (
+            e.join(
+                with_deg.where(F.col("out").isNotNull()),
+                e["src"] == with_deg["node"],
+            )
+            .select(
+                "dst",
+                _q9(F.col("rank") / F.col("out")).cast(_DEC).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                _q9(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0))
+                       + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the K iterations unroll as
+    chained CTEs with the identical 9-dp + DECIMAL discipline.
+    ``edges_sql`` must expose (src, dst).
+
+    Literal discipline: damping constants are precomputed in Python
+    and emitted in e-notation — DuckDB parses bare decimals as exact
+    DECIMALs (1.0 - 0.85 = 0.15 exactly), which diverges from the
+    IEEE double 0.15000000000000002 the Spark side computes; an
+    e-notation literal forces DOUBLE parsing."""
+    dd = f"{damping:.17e}"
+    one_minus_d = f"{1.0 - damping:.17e}"
+    ctes = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION "
+        "SELECT dst AS node FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outd AS (SELECT src, count(*) AS \"out\" FROM e GROUP BY src)",
+        f"pr0 AS (SELECT node, "
+        f"{_q9_sql('CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)')} "
+        "AS rank FROM nodes)",
+    ]
+    for i in range(iterations):
+        prev, cur = f"pr{i}", f"pr{i + 1}"
+        ctes.append(f"""dang{i} AS (
+            SELECT CAST(COALESCE(sum(CAST(p.rank AS DECIMAL(20,10))), 0)
+                        AS DOUBLE) AS m
+            FROM {prev} p LEFT JOIN outd o ON p.node = o.src
+            WHERE o."out" IS NULL)""")
+        ctes.append(f"""con{i} AS (
+            SELECT e.dst,
+                   CAST(sum(CAST({_q9_sql('p.rank / o."out"')}
+                                 AS DECIMAL(20,10))) AS DOUBLE) AS inflow
+            FROM e
+            JOIN {prev} p ON e.src = p.node
+            JOIN outd o ON e.src = o.src
+            GROUP BY e.dst)""")
+        inner = (f"{one_minus_d} / (SELECT n FROM nn) "
+                 f"+ {dd} * (COALESCE(c.inflow, CAST(0.0 AS DOUBLE)) "
+                 f"+ (SELECT m FROM dang{i}) / (SELECT n FROM nn))")
+        ctes.append(f"""{cur} AS (
+            SELECT n.node, {_q9_sql(inner)} AS rank
+            FROM nodes n LEFT JOIN con{i} c ON n.node = c.dst)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f" SELECT node, rank FROM pr{iterations}")

@@ -2302,6 +2302,49 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_EDGES_SQL = """
+    SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+           's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+           'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    from data_migration_etl_scripts_spark.operators import graph as gr
+
+    return gr.pagerank_sql(_PAGERANK_EDGES_SQL, iterations=5)
+
+
+@query("entity_pagerank", oracle=_pagerank_oracle())
+def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics: damped PageRank with dangling-mass
+    redistribution over the bidirectional customer<->supplier
+    fulfillment graph (an edge per lineitem in each direction —
+    parallel edges carry multiplicity, so heavy trade relationships
+    pull proportionally more rank). Five iterations, each one shuffle
+    + flat lineage via localCheckpoint; per-edge contributions round
+    to 9 dp and DECIMAL-sum, making the iteration bit-reproducible —
+    the TRAINED ranks hash-match DuckDB running the same five rounds
+    as unrolled CTEs (the classifier's oracle pattern, applied to
+    graph iteration)."""
+    from data_migration_etl_scripts_spark.operators import graph as gr
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    fwd = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return gr.pagerank(edges, iterations=5)
+
+
 def _classifier_oracle() -> str:
     from data_migration_etl_scripts_spark.operators import classifier as clf
     from data_migration_etl_scripts_spark.operators import textprep as tp2

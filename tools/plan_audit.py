@@ -84,6 +84,7 @@ AUDITED = {
     "unigram_tokenize_corpus": "one word-count shuffle; EM + prune run driver-side on the bounded Zipf head (TakeOrderedAndProject, never the corpus); Viterbi apply is map-side with broadcast vocab + word cache — zero extra Exchanges",
     "warc_extract_text": "WARC blobs fan out to records in one mapInPandas pass; HTTP split + HTML->text are map-side column work pipelined behind it — zero Exchanges, the shape of a 1000-executor crawl scan",
     "quality_classifier_scores": "each GD round = two map-side-combined shuffles (per-doc score, per-bucket gradient) + a <=513-row weight collect; weights broadcast back — the corpus is never driver-side",
+    "entity_pagerank": "one dst-keyed shuffle per iteration (contributions map-side combined), single-row dangling aggregate, flat lineage via per-round localCheckpoint — nothing but that scalar is ever collected",
 }
 
 
