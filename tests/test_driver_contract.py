@@ -45,6 +45,13 @@ def test_rows_only_queries_are_the_documented_exceptions():
         "video_frame_extract",
         "audio_mel_features",
         "image_neardup_pairs",
+        "audio_resample_16k",
+        "audio_neardup_pairs",
+        "video_neardup_pairs",
+        # unigram EM (lattice forward-backward) has no SQL form;
+        # pinned by brute-force parity tests + the selfcheck
+        # reconstruction/bracket range asserts
+        "unigram_tokenize_corpus",
     }
     from tools.selfcheck import RANGE_CHECKS
 
