@@ -278,6 +278,125 @@ def tfidf_topk_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
     """
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval (Okapi, Lucene idf) — query-relevance ranking
+    for retrieval-based data selection (mine the corpus for documents
+    relevant to a target distribution, the importance-resampling
+    front end). Returns the top-``k`` docs by
+    score = sum_t idf(t) * tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)),
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Plan: ONE explode feeds doc lengths and the query-term-filtered
+    tf table (the isin filter prunes before any shuffle); N/avgdl are
+    a 1-row broadcast; top-k is TakeOrderedAndProject. Determinism:
+    per-term contributions round to 9 dp (JVM vs libm ln last-ulp)
+    and DECIMAL-sum; the final score rounds to 6 dp BEFORE ranking
+    with (score desc, doc_id) tie-break."""
+    terms = sorted(set(tp.tokens_list(query)))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tp.tokens(text_col)).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    tf_norm = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf")
+           + F.lit(k1) * (F.lit(1.0 - b)
+                          + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_norm, 9).cast("decimal(20,10)").alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` (same filter-early tf table,
+    rounding, DECIMAL summation, and tie-break). Float constants are
+    precomputed and emitted in e-notation — DuckDB parses bare
+    decimals as exact DECIMALs, which diverges from Spark's doubles
+    (the PageRank lesson, operators/graph.py)."""
+    terms = sorted(set(tp.tokens_list(query)))
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    t = tp.tokens_sql(text_col)
+    k1p1, k1e, one_mb, be = (
+        f"{k1 + 1.0:.17e}", f"{k1:.17e}", f"{1.0 - b:.17e}", f"{b:.17e}"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS doc_id, unnest({t}) AS tok FROM {table}
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM dl),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+               WHERE tok IN ({terms_sql}) GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                       round(ln((n_docs - df + 0.5)
+                                / (df + CAST(0.5 AS DOUBLE)) + 1.0), 9)
+                       * (tf * {k1p1}
+                          / (tf + {k1e} * ({one_mb}
+                                           + {be} * dl.dl / avgdl))), 9)
+                   AS DECIMAL(20,10)) AS c
+            FROM tf JOIN dfreq USING (tok)
+                    JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+        )
+        SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
 #: PII patterns chosen to behave identically under Java regex (Spark)
 #: and RE2 (DuckDB): no backrefs, no lookaround.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

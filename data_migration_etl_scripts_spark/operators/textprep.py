@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 _TOKEN_RE = "[^a-z0-9]+"
 
 
+def tokens_list(text: str) -> list[str]:
+    """Driver-side Python twin of :func:`tokens` (same regex class;
+    the pattern is ASCII-only so Python/Java/RE2 agree) — for
+    tokenizing literal query strings before they enter a plan."""
+    import re
+
+    return [w for w in re.sub(_TOKEN_RE, " ", text.lower()).split(" ") if w]
+
+
 def tokens(col: Column | str) -> Column:
     """lower -> non-alnum runs to space -> split -> drop empties."""
     c = F.col(col) if isinstance(col, str) else col

@@ -2302,6 +2302,28 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY = "model training data quality"
+
+
+@query(
+    "bm25_search",
+    oracle=tx.bm25_topk_sql(
+        "(SELECT * FROM documents WHERE text IS NOT NULL)",
+        "doc_id", "text", _BM25_QUERY, k=20,
+    ),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus (Okapi weighting, Lucene idf) —
+    the query-relevance miner behind retrieval-based data selection
+    (rank the corpus against a target query/distribution, keep the
+    head). One explode feeds doc lengths and the query-term-filtered
+    tf table; N/avgdl broadcast as one row; top-20 is
+    TakeOrderedAndProject. 9-dp contribution rounding + DECIMAL sums
+    keep the ranking hash-matched against the DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return tx.bm25_topk(docs, "doc_id", "text", _BM25_QUERY, k=20)
+
+
 _PAGERANK_EDGES_SQL = """
     SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
            's' || CAST(l.l_suppkey AS VARCHAR) AS dst

@@ -328,3 +328,32 @@ def test_cluster_balanced_sampling_caps_every_cluster(spark):
     total = emb.count()
     full = cu.sample_cluster_balanced(emb, n_clusters=8, budget_per_cluster=10**6)
     assert full.count() == total
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 (operators/text.py): more matching terms rank higher;
+    with equal tf, shorter docs rank higher (length normalization);
+    docs without any query term never appear; k caps the output."""
+    from data_migration_etl_scripts_spark.operators import text as tx
+
+    pad = " ".join(f"filler{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, "model training data quality drives everything"),
+            (2, "model training only here"),
+            (3, "model training only here " + pad),  # same tf, longer
+            (4, "completely unrelated tokens about gardens and rivers"),
+            (5, "data quality"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tx.bm25_topk(docs, "doc_id", "text",
+                        "model training data quality", k=3).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == 3 and 4 not in ids
+    assert ids[0] == 1  # all four terms
+    scores = {r.doc_id: r.score for r in tx.bm25_topk(
+        docs, "doc_id", "text", "model training data quality", k=10
+    ).collect()}
+    assert 4 not in scores
+    assert scores[2] > scores[3]  # length normalization
