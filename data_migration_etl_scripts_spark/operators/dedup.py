@@ -348,6 +348,172 @@ def ngram_jaccard_pairs_sql(
     """
 
 
+# ----------------------------------------------------------- ppjoin
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via the AllPairs/PPJoin prefix
+    filter — the principled candidate bound: unlike
+    :func:`ngram_jaccard_pairs`'s ubiquitous-shingle cap (a heuristic
+    that also shrinks the measured universe), the prefix filter is
+    LOSSLESS at the given threshold. Order every doc's distinct
+    tokens by global rarity (freq asc, token asc); any pair with
+    Jaccard >= t over sets of sizes na <= nb must share a token
+    among each side's first n - ceil(t*n) + 1 tokens — so the
+    candidate join touches only prefix rows, plus a size-ratio
+    filter (t*na <= nb <= na/t), then exact verification counts the
+    full intersection.
+
+    Scale shape: one vocab-frequency shuffle; per-doc ordering is a
+    doc-partitioned window (NO global sort); the candidate join is
+    bounded by prefix length (~(1-t)*|d| rows per doc) and rare
+    tokens first — the hot-token explosion naive shingle joins hit
+    cannot occur because ubiquitous tokens sit at the END of every
+    ordering, outside the prefixes."""
+    num, den = _rational(threshold)
+
+    def ceil_tn(ncol):
+        # exact ceil(threshold * n) as integer arithmetic: ceil(t*n)
+        # with a DOUBLE t is a cross-engine trap (0.7*10 is
+        # 7.000000000000001 in IEEE -> ceil 8; DuckDB's DECIMAL
+        # literal gives exactly 7.0 -> ceil 7)
+        return F.floor((F.lit(num) * ncol + F.lit(den - 1)) / F.lit(den))
+
+    feat = (
+        tp.tokens(text_col) if shingle_n <= 1
+        else tp.word_shingles(tp.tokens(text_col), n=shingle_n)
+    )
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.explode(feat).alias("tok")
+        )
+        .distinct()
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    ordered = (
+        tok.join(freq, "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("freq", "tok")
+            ),
+        )
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    with_n = ordered.join(sizes, "doc_id")
+    prefix = with_n.where(
+        F.col("pos") <= F.col("n") - ceil_tn(F.col("n")) + 1
+    ).select("doc_id", "tok", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= ceil_tn(F.col("a.n")))
+            & (F.col("a.n") >= ceil_tn(F.col("b.n"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ppjoin_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 1,
+) -> str:
+    """DuckDB twin of :func:`ppjoin_pairs` (same ordering, prefix
+    bound, size-ratio filter, and verification; the ceil(t*n) bounds
+    use the same exact rational integer arithmetic)."""
+    toks = (
+        tp.tokens_sql(text_col) if shingle_n <= 1
+        else tp.word_shingles_sql(tp.tokens_sql(text_col), n=shingle_n)
+    )
+    t = threshold
+    num, den = _rational(threshold)
+
+    def ceil_tn(expr: str) -> str:
+        return f"floor(({num} * {expr} + {den - 1}) / {den})"
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT {id_col} AS doc_id, tok FROM (
+                SELECT {id_col}, unnest({toks}) AS tok FROM {table}
+            )
+        ),
+        freq AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        ordered AS (
+            SELECT t.doc_id, t.tok, s.n,
+                   row_number() OVER (PARTITION BY t.doc_id
+                                      ORDER BY f.freq, t.tok) AS pos
+            FROM tok t JOIN freq f ON t.tok = f.tok
+                       JOIN sizes s ON t.doc_id = s.doc_id
+        ),
+        prefix AS (
+            SELECT doc_id, tok, n FROM ordered
+            WHERE pos <= n - {ceil_tn('n')} + 1
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a JOIN prefix b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+             AND b.n >= {ceil_tn('a.n')}
+             AND a.n >= {ceil_tn('b.n')}
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cands c
+            JOIN tok ta ON ta.doc_id = c.doc_a
+            JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+               round(i.n_inter
+                     / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= {t:.17e}
+    """
+
+
+def _rational(threshold: float) -> tuple[int, int]:
+    """threshold as an exact small rational (num, den) — thresholds
+    are human-written short decimals (0.7, 0.85), so den <= 10^6."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold)).limit_denominator(10 ** 6)
+    return fr.numerator, fr.denominator
+
+
 # ---------------------------------------------------------- simhash
 
 SIMHASH_BITS = 32

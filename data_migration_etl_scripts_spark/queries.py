@@ -2302,6 +2302,29 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ppjoin_exact_pairs",
+    oracle=dd.ppjoin_pairs_sql(
+        "(SELECT * FROM documents WHERE text IS NOT NULL)",
+        "doc_id", "text", threshold=0.6, shingle_n=3,
+    ),
+)
+def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via the AllPairs/PPJoin prefix
+    filter — the lossless counterpart to the minhash/shingle-cap
+    candidate generators: order each doc's distinct 3-gram shingles
+    by global rarity, join only the first n - ceil(t*n) + 1 of them
+    (any qualifying pair provably shares a prefix feature),
+    size-ratio filter, then exact intersection verification — zero
+    false negatives at the threshold, no probabilistic recall and no
+    shrunk shingle universe. ceil(t*n) runs as exact rational
+    integer arithmetic — a DOUBLE ceil is a cross-engine trap
+    (0.7*10 = 7.000000000000001 -> ceil 8 vs DuckDB's exact DECIMAL
+    7.0 -> ceil 7)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return dd.ppjoin_pairs(docs, "doc_id", "text", threshold=0.6, shingle_n=3)
+
+
 _BM25_QUERY = "model training data quality"
 
 

@@ -306,3 +306,41 @@ def test_persistent_ivf_index_build_append_search(spark, tmp_path):
     want = sorted(map(tuple, sim.cosine_topk_ivf(
         union, qs, k=5, centroids=cent, n_probe=4).collect()))
     assert got == want
+
+
+def test_ppjoin_exact_recall_vs_bruteforce(spark):
+    """PPJoin's prefix filter is LOSSLESS: over random word-edit
+    corpora the pair set must equal brute-force all-pairs Jaccard at
+    the threshold — exactly, including the jaccard values."""
+    import itertools
+    import random
+
+    from data_migration_etl_scripts_spark.operators import textprep as tp
+    from data_migration_etl_scripts_spark.operators.dedup import ppjoin_pairs
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    base_words = [rng.choice(vocab) for _ in range(25)]
+    for i in range(30):
+        words = list(base_words)
+        for _ in range(rng.randrange(0, 14)):  # 0-13 random edits
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words)))
+    for t in (0.5, 0.8):
+        got = {
+            (r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+            for r in ppjoin_pairs(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                "doc_id", "text", threshold=t,
+            ).collect()
+        }
+        sets = {i: set(tp.tokens_list(txt)) for i, txt in docs}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = round(inter / union, 6)
+            if j >= t:
+                want[(a, b)] = (inter, j)
+        assert got == want, (t, got.keys() ^ want.keys())

@@ -85,6 +85,8 @@ AUDITED = {
     "warc_extract_text": "WARC blobs fan out to records in one mapInPandas pass; HTTP split + HTML->text are map-side column work pipelined behind it — zero Exchanges, the shape of a 1000-executor crawl scan",
     "quality_classifier_scores": "each GD round = two map-side-combined shuffles (per-doc score, per-bucket gradient) + a <=513-row weight collect; weights broadcast back — the corpus is never driver-side",
     "entity_pagerank": "one dst-keyed shuffle per iteration (contributions map-side combined), single-row dangling aggregate, flat lineage via per-round localCheckpoint — nothing but that scalar is ever collected",
+    "ppjoin_exact_pairs": "prefix filter bounds the candidate join to ~(1-t)*|d| rarity-ordered features per doc (hot tokens sit outside every prefix); per-doc window, no global sort; verification touches candidates only — lossless recall without all-pairs",
+    "bm25_search": "query-term isin filter prunes the exploded tokens before any shuffle; doc stats broadcast as one row; top-k = TakeOrderedAndProject",
 }
 
 
