@@ -397,6 +397,51 @@ def bm25_topk_sql(
     """
 
 
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-doc DEFLATE compressibility — the entropy/repetition
+    signal web-corpus pipelines ship alongside the token heuristics
+    (a doc that compresses far below ~natural-language entropy is
+    boilerplate/repetition; far above is noise/binary junk). Returns
+    (doc_id, n_bytes, n_compressed, bits_per_byte) with
+    bits_per_byte = 8 * compressed/raw over the UTF-8 bytes, rounded
+    6 dp; empty/null docs report (0, 0, 0.0).
+
+    zlib at a FIXED level is deterministic within an environment, so
+    the selfcheck range assert recomputes every row exactly
+    driver-side (a full oracle, not a SQL one). Map-side Arrow-batched
+    Pandas UDF — zero shuffles."""
+    import pandas as pd  # noqa: F401 — worker-side
+
+    @F.pandas_udf("struct<n_bytes: long, n_compressed: long, "
+                  "bits_per_byte: double>")
+    def kernel(texts):
+        import zlib
+
+        import pandas as pd2
+
+        rows = []
+        for t in texts:
+            if t is None or t == "":
+                rows.append((0, 0, 0.0))
+                continue
+            raw = t.encode("utf-8")
+            comp = len(zlib.compress(raw, level))
+            rows.append((len(raw), comp, round(8.0 * comp / len(raw), 6)))
+        return pd2.DataFrame(
+            rows, columns=["n_bytes", "n_compressed", "bits_per_byte"]
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), kernel(F.col(text_col)).alias("c")
+    ).select(
+        "doc_id", F.col("c.n_bytes").alias("n_bytes"),
+        F.col("c.n_compressed").alias("n_compressed"),
+        F.col("c.bits_per_byte").alias("bits_per_byte"),
+    )
+
+
 #: PII patterns chosen to behave identically under Java regex (Spark)
 #: and RE2 (DuckDB): no backrefs, no lookaround.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

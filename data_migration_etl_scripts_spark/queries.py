@@ -2325,6 +2325,20 @@ def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ppjoin_pairs(docs, "doc_id", "text", threshold=0.6, shingle_n=3)
 
 
+@query("compression_signal")  # no SQL oracle: DEFLATE has no SQL twin —
+# range-asserted by tools/selfcheck.py (_range_compression): every row
+# recomputed exactly driver-side with the same zlib level, plus the
+# natural-language bits-per-byte band
+def compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DEFLATE compressibility (bits per byte) — the
+    entropy/repetition quality signal web-corpus pipelines ship next
+    to the token heuristics. Map-side Arrow-batched kernel, zero
+    shuffles; deterministic at a fixed zlib level, so the range
+    assert is a full per-row recompute."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return tx.compression_ratio(docs, "doc_id", "text")
+
+
 _BM25_QUERY = "model training data quality"
 
 

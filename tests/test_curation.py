@@ -357,3 +357,39 @@ def test_bm25_ranking_properties(spark):
     ).collect()}
     assert 4 not in scores
     assert scores[2] > scores[3]  # length normalization
+
+
+def test_compression_signal_discriminates(spark):
+    """compression_ratio (operators/text.py): repetitive text
+    compresses far below natural language, which sits far below
+    random noise; values match a driver-side zlib recompute."""
+    import random
+    import zlib
+
+    from data_migration_etl_scripts_spark.operators import text as tx
+
+    rng = random.Random(5)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(8))
+        for _ in range(180)
+    )
+    natural = (
+        "the training corpus needs careful curation because quality "
+        "filters and deduplication shape what the model learns "
+    ) * 12
+    repetitive = "same line again " * 90
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, natural), (3, noise), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.compression_ratio(
+        docs, "doc_id", "text").collect()}
+    assert rows[1].bits_per_byte < rows[2].bits_per_byte < rows[3].bits_per_byte
+    for d, txt in ((1, repetitive), (2, natural), (3, noise)):
+        raw = txt.encode()
+        comp = len(zlib.compress(raw, 6))
+        assert rows[d].n_bytes == len(raw)
+        assert rows[d].n_compressed == comp
+        assert rows[d].bits_per_byte == round(8.0 * comp / len(raw), 6)
+    assert (rows[4].n_bytes, rows[4].bits_per_byte) == (0, 0.0)

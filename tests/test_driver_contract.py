@@ -52,6 +52,9 @@ def test_rows_only_queries_are_the_documented_exceptions():
         # pinned by brute-force parity tests + the selfcheck
         # reconstruction/bracket range asserts
         "unigram_tokenize_corpus",
+        # DEFLATE has no SQL twin; selfcheck recomputes every row
+        # exactly driver-side with the same zlib level
+        "compression_signal",
     }
     from tools.selfcheck import RANGE_CHECKS
 

@@ -555,6 +555,40 @@ def _range_image_neardup(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_compression(con, cols, rows) -> list[str]:
+    """compression_signal: DEFLATE has no SQL twin, but zlib at a
+    fixed level is deterministic — recompute every row exactly
+    driver-side from the DuckDB-fetched text (a full oracle), and pin
+    the independent fact that median bits-per-byte sits in the
+    natural-language band (well under the 8.0 of incompressible
+    data)."""
+    import zlib as _z
+
+    idx = {c: i for i, c in enumerate(cols)}
+    texts = dict(con.sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall())
+    bad = []
+    if {r[idx["doc_id"]] for r in rows} != set(texts):
+        return [f"doc set mismatch ({len(rows)} rows)"]
+    bpbs = []
+    for r in rows:
+        raw = texts[r[idx["doc_id"]]].encode("utf-8")
+        comp = len(_z.compress(raw, 6))
+        want = (len(raw), comp,
+                round(8.0 * comp / len(raw), 6) if raw else 0.0)
+        got = (r[idx["n_bytes"]], r[idx["n_compressed"]],
+               r[idx["bits_per_byte"]])
+        if got != want:
+            bad.append(f"doc {r[idx['doc_id']]}: {got} != recompute {want}")
+        bpbs.append(got[2])
+    bpbs.sort()
+    med = bpbs[len(bpbs) // 2]
+    if not 1.0 <= med <= 6.0:
+        bad.append(f"median bits/byte {med} outside natural-language band")
+    return bad
+
+
 def _range_video_neardup(con, cols, rows) -> list[str]:
     """video_neardup_pairs: frame hashes and the matched-frame rollup
     recomputed EXACTLY driver-side from the same fixture bytes (a full
@@ -734,6 +768,7 @@ RANGE_CHECKS = {
     "audio_mel_features": _range_audio_mel,
     "audio_neardup_pairs": _range_audio_neardup,
     "video_neardup_pairs": _range_video_neardup,
+    "compression_signal": _range_compression,
     "audio_resample_16k": _range_audio_resample,
     "image_neardup_pairs": _range_image_neardup,
 }
