@@ -2302,6 +2302,33 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dp_oracle() -> str:
+    from data_migration_etl_scripts_spark.operators import privacy as pv
+
+    return pv.dp_group_counts_sql(
+        "orders", ["o_orderstatus", "o_orderpriority"], eps=0.5,
+        seed="board-release",
+    )
+
+
+@query("dp_release_counts", oracle=_dp_oracle())
+def dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release: per-(status, priority) order
+    counts with SEEDED Laplace(1/eps) noise (operators/privacy.py) —
+    publishable statistics whose re-run publishes the SAME numbers
+    (fresh noise per run would compose into the classic averaging
+    attack). The seeded md5-uniform -> inverse-CDF noise is the same
+    cross-engine idiom the deterministic samplers use, so the
+    RELEASED values hash-match the DuckDB twin exactly."""
+    from data_migration_etl_scripts_spark.operators import privacy as pv
+
+    return pv.dp_group_counts(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        eps=0.5, seed="board-release",
+    )
+
+
 @query(
     "ppjoin_exact_pairs",
     oracle=dd.ppjoin_pairs_sql(

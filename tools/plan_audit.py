@@ -87,6 +87,7 @@ AUDITED = {
     "entity_pagerank": "one dst-keyed shuffle per iteration (contributions map-side combined), single-row dangling aggregate, flat lineage via per-round localCheckpoint — nothing but that scalar is ever collected",
     "ppjoin_exact_pairs": "prefix filter bounds the candidate join to ~(1-t)*|d| rarity-ordered features per doc (hot tokens sit outside every prefix); per-doc window, no global sort; verification touches candidates only — lossless recall without all-pairs",
     "bm25_search": "query-term isin filter prunes the exploded tokens before any shuffle; doc stats broadcast as one row; top-k = TakeOrderedAndProject",
+    "dp_release_counts": "one groupBy shuffle; the seeded Laplace noise is a pure column expression over the (group-cardinality-sized) aggregate — codegen, no UDF, nothing collected",
 }
 
 
