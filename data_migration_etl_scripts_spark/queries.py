@@ -3632,3 +3632,9 @@ def ann_recall_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim.cosine_topk_bucketed(emb, queries_df, k=5)
     exact = sim.cosine_topk_bruteforce(emb, queries_df, k=5)
     return sim.recall_at_k(approx, exact, k=5)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decision-support suite (q4..q22, adapted to the slim schema) —
+# registered on import; q1/q3/q5/q10 live above.
+from data_migration_etl_scripts_spark import tpch as _tpch  # noqa: E402,F401
