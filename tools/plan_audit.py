@@ -88,6 +88,12 @@ AUDITED = {
     "ppjoin_exact_pairs": "prefix filter bounds the candidate join to ~(1-t)*|d| rarity-ordered features per doc (hot tokens sit outside every prefix); per-doc window, no global sort; verification touches candidates only — lossless recall without all-pairs",
     "bm25_search": "query-term isin filter prunes the exploded tokens before any shuffle; doc stats broadcast as one row; top-k = TakeOrderedAndProject",
     "dp_release_counts": "one groupBy shuffle; the seeded Laplace noise is a pure column expression over the (group-cardinality-sized) aggregate — codegen, no UDF, nothing collected",
+    "q4_order_priority": "EXISTS = LEFT SEMI with the non-equi lateness predicate in the join condition; orders quarter-pruned at the scan — one orderkey shuffle",
+    "q8_market_share": "ECONOMY part + ASIA customer prune both fact sides via broadcast BEFORE the orders-lineitem shuffle; numerator/denominator are sibling DECIMAL partials in one aggregate",
+    "q13_customer_distribution": "left join keeps zero-order customers (filter in the JOIN condition, not WHERE); per-customer count groups on the join key so the shuffle is shared",
+    "q18_large_volume_customers": "HAVING subquery and outer agg share one grouped child — per-order quantity computed once; customer broadcasts onto survivors; top-100 = TakeOrderedAndProject",
+    "q19_disjunctive_revenue": "the FULL brand/size/quantity disjunction is pushed per-table to both parquet scans (row-group pruning on every OR arm); part broadcasts",
+    "q21_waiting_orders": "EXISTS/NOT EXISTS de-correlated into one grouped pass per (order, supplier) + one per order — no probe joins, no window; blame filter is two scalar compares",
 }
 
 
