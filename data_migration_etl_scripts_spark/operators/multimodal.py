@@ -690,10 +690,12 @@ def gif_decode_frames(
 
 
 def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Dispatch on magic bytes: BMP, PNG, GIF and baseline JPEG (SOF0)
-    decode via stdlib (`operators/jpeg.py` for the latter); remaining
-    formats (WebP, ...) raise at the PIL plug point. JPEG covers both
-    baseline (SOF0) and progressive (SOF2) frames."""
+    """Dispatch on magic bytes: BMP, PNG, GIF, JPEG (baseline SOF0 +
+    progressive SOF2 via `operators/jpeg.py`), lossless WebP/VP8L
+    (`operators/webp.py`) and baseline TIFF (`operators/tiff.py` —
+    both byte orders, none/PackBits/LZW, predictor, gray/RGB/palette/
+    bilevel). Remaining formats (lossy VP8, HEIC, ...) raise at the
+    PIL plug point."""
     if b[:2] == b"BM":
         return bmp_decode(b)
     if b[:8] == _PNG_SIG:
@@ -708,6 +710,10 @@ def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         from data_migration_etl_scripts_spark.operators.webp import webp_decode
 
         return webp_decode(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from data_migration_etl_scripts_spark.operators.tiff import tiff_decode
+
+        return tiff_decode(b)
     raise NotImplementedError(
         "other compressed images need PIL — plug the codec kernel in here"
     )
@@ -852,6 +858,7 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         or content[:6] in (b"GIF87a", b"GIF89a")
         or content[:2] == b"\xff\xd8"
         or (content[:4] == b"RIFF" and content[8:12] == b"WEBP")
+        or content[:4] in (b"II*\x00", b"MM\x00*")
     ):
         w, h, rows = image_decode(content)
         n = max(1, w * h)
@@ -1122,7 +1129,8 @@ def synthetic_real_media_rows(
     Layer I mono, Layer II independent stereo, Layer II grouped-class,
     Layer II INTENSITY stereo), a progressive (SOF2) JPEG, a
     lossless WebP (predictor transform + color cache), a mono FLAC
-    (fixed predictors) and a stereo mid/side FLAC (LPC order 4).
+    (fixed predictors), a stereo mid/side FLAC (LPC order 4), an
+    LZW+predictor striped TIFF and a big-endian PackBits gray TIFF.
     Shared by the Spark fixture
     below and the selfcheck range-assert oracle, which recomputes the
     expected features driver-side from these exact bytes."""
@@ -1199,6 +1207,20 @@ def synthetic_real_media_rows(
                          [itone(440.0, 3200), itone(880.0, 3200, amp=0.3)],
                          rate=32000, block_size=1024,
                          stereo_mode="mid_side", force_lpc=4)),
+                     "{}"))
+        from data_migration_etl_scripts_spark.operators.tiff import tiff_encode
+
+        px3 = [[((x * 23 + y) % 256, (x + y * 17) % 256, (x * y + 3) % 256)
+                for x in range(11)] for y in range(9)]
+        rows.append((n + 9, "image",
+                     bytearray(tiff_encode(px3, compression="lzw",
+                                           predictor=True, rows_per_strip=4)),
+                     "{}"))
+        px4 = [[((x * 19 + y * 7) % 256,) * 3 for x in range(14)]
+               for y in range(6)]
+        rows.append((n + 10, "image",
+                     bytearray(tiff_encode(px4, compression="packbits",
+                                           gray=True, big_endian=True)),
                      "{}"))
     return rows
 

@@ -1,0 +1,458 @@
+"""Baseline TIFF 6.0 codec — pure stdlib, spec-derived.
+
+Decoder covers the baseline-TIFF matrix a web/scan corpus actually
+contains: both byte orders (II little-endian / MM big-endian), striped
+images (any RowsPerStrip), Compression 1 (none), 32773 (PackBits) and
+5 (LZW, with the spec's early-change code widths), Predictor 2
+(horizontal differencing), and PhotometricInterpretation 0/1
+(bilevel+gray, including WhiteIsZero inversion), 2 (RGB, with an
+extra-samples-tolerant chunky layout) and 3 (palette via ColorMap's
+16-bit channels). Multi-IFD files decode their first image, matching
+mainstream viewer behavior.
+
+Encoder writes single-IFD little-endian TIFF (gray or RGB, any
+RowsPerStrip, compression none/PackBits/LZW, optional predictor 2) —
+enough to round-trip every decoder path and to cross-check against
+foreign fixtures byte-structurally.
+
+Engine integration: `multimodal.image_decode` dispatches on the
+II*/MM* magic, so TIFF bytes flow through every existing image
+surface (features, resize, dHash near-dup pairs) unchanged.
+
+Reference parity: the reference ETL (data-migration-etl-scripts) has no media
+path at all — this extends the multimodal addendum, same per-row
+kernel shape as operators/jpeg.py (mapInPandas streams Arrow batches;
+each file decodes independently, embarrassingly parallel at 100 TB).
+
+What is NOT here (documented seams, same policy as jpeg.py/webp.py):
+tiled TIFF (tag 322/323), JPEG-in-TIFF (Compression 6/7), deflate
+(8), CCITT fax codings (2/3/4), planar configuration 2, and >8-bit
+samples. Each raises NotImplementedError naming the tag value.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# tag constants (TIFF 6.0 §8)
+
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_COLORMAP = 320
+_T_TILE_WIDTH = 322
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd(b: bytes, off: int, e: str) -> dict[int, list[int]]:
+    """Parse one IFD into {tag: [values...]} (BYTE/SHORT/LONG only —
+    the tags baseline decode needs are all integral)."""
+    (n,) = struct.unpack_from(e + "H", b, off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, base)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            voff = base + 8
+        else:
+            (voff,) = struct.unpack_from(e + "I", b, base + 8)
+        if typ == 3:
+            tags[tag] = list(struct.unpack_from(e + f"{cnt}H", b, voff))
+        elif typ == 4:
+            tags[tag] = list(struct.unpack_from(e + f"{cnt}I", b, voff))
+        elif typ == 1:
+            tags[tag] = list(b[voff : voff + cnt])
+        # other types (RATIONAL, ASCII...) are metadata — skipped
+    return tags
+
+
+# ---------------------------------------------------------------------------
+# PackBits (TIFF 6.0 §9)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 126:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+            continue
+        # literal stretch until a 3-byte run starts (2-byte runs are
+        # cheaper folded into the literal)
+        j = i
+        while (
+            j + 1 < n
+            and j - i < 127
+            and not (
+                j + 2 < n and data[j + 1] == data[j + 2] == data[j]
+            )
+        ):
+            j += 1
+        out += bytes([j - i]) + data[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, codes start
+# at 9 bits, Clear=256, EOI=257, EARLY CHANGE (width bumps at 2^w - 1).
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out[:expected])
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # EARLY CHANGE: the decoder's table lags the encoder's by one
+        # entry, so it must bump at 2^w - 2 (one before the classic
+        # 2^w - 1) to read the next code at the width the encoder
+        # wrote it — the TIFF-spec quirk that breaks GIF-style LZW.
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out[:expected])
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits.append((256, width))  # leading Clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        # encoder mirrors the decoder's early change
+        if next_code >= (1 << width) - 1:
+            if width < 12:
+                width += 1
+            else:  # table full: emit Clear, reset
+                out_bits.append((256, width))
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))  # EOI
+    # pack MSB-first
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, cw in out_bits:
+        buf = (buf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """TIFF bytes -> (width, height, rows of (r, g, b)). First IFD."""
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order/magic header")
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    t = _read_ifd(b, ifd_off, e)
+    if _T_TILE_WIDTH in t:
+        raise NotImplementedError("tiled TIFF (tag 322) — strip layout only")
+    width = t[_T_WIDTH][0]
+    height = t[_T_HEIGHT][0]
+    comp = t.get(_T_COMPRESSION, [1])[0]
+    photo = t.get(_T_PHOTOMETRIC, [1])[0]
+    bits = t.get(_T_BITS, [1])
+    spp = t.get(_T_SPP, [len(bits)])[0]
+    planar = t.get(_T_PLANAR, [1])[0]
+    predictor = t.get(_T_PREDICTOR, [1])[0]
+    rows_per_strip = t.get(_T_ROWS_PER_STRIP, [height])[0] or height
+    offsets = t[_T_STRIP_OFFSETS]
+    counts = t.get(
+        _T_STRIP_COUNTS, [len(b) - offsets[0]] if len(offsets) == 1 else None
+    )
+    if counts is None:
+        raise ValueError("multi-strip TIFF without StripByteCounts")
+    if planar != 1:
+        raise NotImplementedError(f"PlanarConfiguration {planar} — chunky (1) only")
+    if any(x not in (1, 8) for x in bits[:spp]):
+        raise NotImplementedError(f"BitsPerSample {bits} — 1- and 8-bit only")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"Compression {comp} — none (1), LZW (5), PackBits (32773) only"
+        )
+
+    bilevel = bits[0] == 1 and spp == 1
+    row_bytes = (width + 7) // 8 if bilevel else width * spp
+    raw = bytearray()
+    row0 = 0
+    for off, cnt in zip(offsets, counts):
+        n_rows = min(rows_per_strip, height - row0)
+        expected = row_bytes * n_rows
+        chunk = b[off : off + cnt]
+        if comp == 1:
+            data = chunk[:expected]
+        elif comp == 32773:
+            data = packbits_decode(chunk, expected)
+        else:
+            data = lzw_decode(chunk, expected)
+        if predictor == 2:
+            if bilevel:
+                raise NotImplementedError("Predictor 2 on bilevel data")
+            data = bytearray(data)
+            for r in range(n_rows):
+                base = r * row_bytes
+                for i in range(spp, row_bytes):
+                    data[base + i] = (data[base + i] + data[base + i - spp]) & 0xFF
+            data = bytes(data)
+        raw += data
+        row0 += n_rows
+
+    rows: list[list[tuple[int, int, int]]] = []
+    if bilevel:
+        for y in range(height):
+            base = y * row_bytes
+            row = []
+            for x in range(width):
+                bit = (raw[base + (x >> 3)] >> (7 - (x & 7))) & 1
+                v = 255 * bit
+                if photo == 0:  # WhiteIsZero
+                    v = 255 - v
+                row.append((v, v, v))
+            rows.append(row)
+        return width, height, rows
+    if photo in (0, 1) and spp == 1:  # 8-bit gray
+        for y in range(height):
+            base = y * width
+            row = []
+            for x in range(width):
+                v = raw[base + x]
+                if photo == 0:
+                    v = 255 - v
+                row.append((v, v, v))
+            rows.append(row)
+        return width, height, rows
+    if photo == 3 and spp == 1:  # palette: ColorMap is 3*2^bits SHORTs
+        cmap = t[_T_COLORMAP]
+        n = len(cmap) // 3
+        for y in range(height):
+            base = y * width
+            row = []
+            for x in range(width):
+                i = raw[base + x]
+                row.append(
+                    (cmap[i] >> 8, cmap[n + i] >> 8, cmap[2 * n + i] >> 8)
+                )
+            rows.append(row)
+        return width, height, rows
+    if photo == 2 and spp >= 3:  # RGB (+ ignored extra samples)
+        for y in range(height):
+            base = y * width * spp
+            row = []
+            for x in range(width):
+                p = base + x * spp
+                row.append((raw[p], raw[p + 1], raw[p + 2]))
+            rows.append(row)
+        return width, height, rows
+    raise NotImplementedError(
+        f"PhotometricInterpretation {photo} with {spp} samples"
+    )
+
+
+# ---------------------------------------------------------------------------
+# encode (single IFD, little-endian)
+
+
+def tiff_encode(
+    px: list[list[tuple[int, int, int]]],
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+    predictor: bool = False,
+    gray: bool = False,
+    big_endian: bool = False,
+) -> bytes:
+    """rows of (r, g, b) -> TIFF bytes. compression in
+    {'none', 'packbits', 'lzw'}; predictor applies horizontal
+    differencing (LZW-style, valid with any compression per spec);
+    gray writes 1 sample/pixel from the red channel."""
+    height = len(px)
+    width = len(px[0])
+    spp = 1 if gray else 3
+    rps = rows_per_strip or height
+    e = ">" if big_endian else "<"
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+
+    # raster -> per-strip encoded bytes
+    strips: list[bytes] = []
+    for y0 in range(0, height, rps):
+        seg = bytearray()
+        for y in range(y0, min(y0 + rps, height)):
+            line = bytearray()
+            for x in range(width):
+                r, g, bl = px[y][x]
+                line += bytes([r & 0xFF] if gray else [r & 0xFF, g & 0xFF, bl & 0xFF])
+            if predictor:
+                for i in range(len(line) - 1, spp - 1, -1):
+                    line[i] = (line[i] - line[i - spp]) & 0xFF
+            seg += line
+        if compression == "none":
+            strips.append(bytes(seg))
+        elif compression == "packbits":
+            strips.append(packbits_encode(bytes(seg)))
+        else:
+            strips.append(lzw_encode(bytes(seg)))
+
+    n_strips = len(strips)
+    entries: list[tuple[int, int, int, int]] = []  # tag, type, count, value
+    extra = bytearray()  # out-of-line values, appended after the IFD
+
+    def entry(tag: int, typ: int, values: list[int]) -> None:
+        cnt = len(values)
+        size = _TYPE_SIZES[typ] * cnt
+        fmt = {3: "H", 4: "I"}[typ]
+        if size <= 4:
+            packed = struct.pack(e + f"{cnt}{fmt}", *values).ljust(4, b"\x00")
+            entries.append((tag, typ, cnt, int.from_bytes(packed, "big" if big_endian else "little")))
+        else:
+            entries.append((tag, typ, cnt, ("extra", len(extra))))  # type: ignore[arg-type]
+            extra.extend(struct.pack(e + f"{cnt}{fmt}", *values))
+
+    header = 8
+    # layout: header | IFD | extra values | strip data
+    # IFD size depends on entry count — fixed set below
+    entry(_T_WIDTH, 3, [width])
+    entry(_T_HEIGHT, 3, [height])
+    entry(_T_BITS, 3, [8] * spp)
+    entry(_T_COMPRESSION, 3, [comp_id])
+    entry(_T_PHOTOMETRIC, 3, [1 if gray else 2])
+    entry(_T_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
+    entry(_T_SPP, 3, [spp])
+    entry(_T_ROWS_PER_STRIP, 3, [rps])
+    entry(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
+    if predictor:
+        entry(_T_PREDICTOR, 3, [2])
+    entries.sort(key=lambda x: x[0])
+
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra_off = header + ifd_size
+    data_off = extra_off + len(extra)
+    # patch strip offsets now that layout is known
+    strip_offs = []
+    pos = data_off
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    fixed: list[bytes] = []
+    for tag, typ, cnt, val in entries:
+        if tag == _T_STRIP_OFFSETS:
+            if cnt == 1:
+                val_b = struct.pack(e + "I", strip_offs[0])
+            else:
+                val_b = struct.pack(e + "I", extra_off + len(extra))
+                extra.extend(struct.pack(e + f"{cnt}I", *strip_offs))
+                data_off = extra_off + len(extra)
+                # relayout: strip data moved — recompute offsets below
+        elif isinstance(val, tuple):
+            val_b = struct.pack(e + "I", extra_off + val[1])
+        else:
+            val_b = val.to_bytes(4, "big" if big_endian else "little")
+        fixed.append(struct.pack(e + "HHI", tag, typ, cnt) + val_b)
+
+    # if strip offsets went out-of-line, the data base moved: rewrite them
+    if n_strips > 1:
+        pos = extra_off + len(extra)
+        strip_offs = []
+        for s in strips:
+            strip_offs.append(pos)
+            pos += len(s)
+        # find the offsets array at its recorded position inside extra
+        # (it is the LAST thing appended)
+        arr = struct.pack(e + f"{n_strips}I", *strip_offs)
+        extra[-len(arr):] = arr
+
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(e + "I", header)
+    out += struct.pack(e + "H", len(entries))
+    for eb in fixed:
+        out += eb
+    out += struct.pack(e + "I", 0)  # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)

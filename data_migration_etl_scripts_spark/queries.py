@@ -1824,12 +1824,13 @@ def entity_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range-asserted by tools/selfcheck.py (_range_multimodal_decode), which
 # recomputes the expected features driver-side from the same payload bytes
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal REAL decode path: genuine BMP/PNG/GIF/JPEG/WAV and
-    MPEG-1 audio Layer I/II payloads decoded byte-level (stdlib
-    struct/wave/zlib + operators/jpeg.py + operators/mpeg_audio.py)
-    inside the Arrow-batched mapInPandas kernel — no hash fakes
+    """Multimodal REAL decode path: genuine BMP/PNG/GIF/JPEG (baseline
+    + progressive)/WebP/TIFF/WAV/FLAC and MPEG-1 audio Layer I/II
+    payloads decoded byte-level (stdlib struct/zlib + the operators/
+    {jpeg,webp,tiff,flac,mpeg_audio}.py codecs) inside the
+    Arrow-batched mapInPandas kernel — no hash fakes
     (operators/multimodal.py, decoder="real"). Remaining compressed
-    codecs (WebP/MP3/H.264) stay the documented PIL/ffmpeg plug-point."""
+    codecs (MP3/H.264/lossy VP8) stay the documented ffmpeg plug-point."""
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
     media = mm.synthetic_real_media(spark, n=24, include_mpeg=True)

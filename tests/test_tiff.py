@@ -1,0 +1,219 @@
+"""TIFF 6.0 codec: round-trip matrix (byte orders x compressions x
+strip layouts x predictor x gray/RGB), decode-only paths via
+hand-built IFDs (bilevel, WhiteIsZero, palette, extra samples),
+LZW early-change conformance, corrupt/unsupported handling, and
+image-surface integration (dispatch + dHash container invariance)."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from data_migration_etl_scripts_spark.operators import multimodal as mm
+from data_migration_etl_scripts_spark.operators import tiff as tf
+
+
+def _px(w=37, h=23, seed=0):
+    rnd = random.Random(seed)
+    return [
+        [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+         for _ in range(w)]
+        for _ in range(h)
+    ]
+
+
+def _smooth(w=37, h=23):
+    return [[((x * 3 + y) % 256, (x + y * 5) % 256, (x * y) % 256)
+             for x in range(w)] for y in range(h)]
+
+
+def test_roundtrip_full_matrix():
+    imgs = [_px(), _smooth()]
+    for comp in ("none", "packbits", "lzw"):
+        for rps in (None, 5):
+            for pred in (False, True):
+                for be in (False, True):
+                    for img in imgs:
+                        b = tf.tiff_encode(
+                            img, compression=comp, rows_per_strip=rps,
+                            predictor=pred, big_endian=be,
+                        )
+                        w, h, out = tf.tiff_decode(b)
+                        assert (w, h) == (37, 23)
+                        assert out == img, (comp, rps, pred, be)
+
+
+def test_gray_roundtrip_and_strip_tail():
+    # 23 rows with rows_per_strip 4 -> last strip is 3 rows (partial)
+    g = [[(v % 256,) * 3 for v in range(37)] for _ in range(23)]
+    for comp in ("none", "packbits", "lzw"):
+        b = tf.tiff_encode(g, compression=comp, gray=True, rows_per_strip=4)
+        assert tf.tiff_decode(b)[2] == g
+
+
+def test_lzw_early_change_boundary():
+    """Random bytes force width bumps at 9->10->11->12 and a table-full
+    Clear reset; any early-change off-by-one corrupts from byte ~254."""
+    rnd = random.Random(1)
+    data = bytes(rnd.randrange(256) for _ in range(50000))
+    assert tf.lzw_decode(tf.lzw_encode(data), len(data)) == data
+
+
+def test_lzw_kwkwk_case():
+    # 'aaaa...' drives the code-not-yet-in-table branch immediately
+    data = b"a" * 64 + b"ab" * 32 + b"a" * 64
+    assert tf.lzw_decode(tf.lzw_encode(data), len(data)) == data
+
+
+def test_packbits_spec_example():
+    # the TIFF 6.0 spec's worked example
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                 0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    expect = bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4
+                   + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
+    assert tf.packbits_decode(enc, len(expect)) == expect
+    # and our encoder's output decodes back
+    assert tf.packbits_decode(tf.packbits_encode(expect), len(expect)) == expect
+
+
+def _ifd(entries, data_blobs, big_endian=False):
+    """Hand-assemble a single-IFD TIFF. entries: (tag, typ, values);
+    data_blobs appended after the IFD, referenced by marker offsets."""
+    e = ">" if big_endian else "<"
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra = bytearray()
+    fixed = []
+    for tag, typ, vals in sorted(entries):
+        cnt = len(vals)
+        if sizes[typ] * cnt <= 4:
+            vb = struct.pack(e + f"{cnt}{fmts[typ]}", *vals).ljust(4, b"\x00")
+        else:
+            vb = struct.pack(e + "I", 8 + ifd_size + len(extra))
+            extra += struct.pack(e + f"{cnt}{fmts[typ]}", *vals)
+        fixed.append(struct.pack(e + "HHI", tag, typ, cnt) + vb)
+    out = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(e + "I", 8)
+    out += struct.pack(e + "H", len(entries))
+    for f in fixed:
+        out += f
+    out += struct.pack(e + "I", 0)
+    out += extra
+    for blob in data_blobs:
+        out += blob
+    return bytes(out)
+
+
+def test_bilevel_whiteiszero_decodes():
+    # 10x3 1-bit image, photometric 0 (WhiteIsZero): bit 1 -> black
+    rows_bits = [0b1010101010, 0b1111100000, 0b0000011111]
+    raw = bytearray()
+    for r in rows_bits:
+        raw += bytes([(r >> 2) & 0xFF, (r & 0x3) << 6])
+    # strip data goes right after the IFD; compute its offset:
+    # header 8 + (2 + 7*12 + 4) = 98
+    b = _ifd(
+        [(256, 3, [10]), (257, 3, [3]), (258, 3, [1]), (259, 3, [1]),
+         (262, 3, [0]), (273, 4, [98]), (279, 4, [len(raw)])],
+        [bytes(raw)],
+    )
+    w, h, px = tf.tiff_decode(b)
+    assert (w, h) == (10, 3)
+    assert px[0][0] == (0, 0, 0)       # bit 1, WhiteIsZero -> black
+    assert px[0][1] == (255, 255, 255)
+    assert px[1][:5] == [(0, 0, 0)] * 5
+    assert px[2][:5] == [(255, 255, 255)] * 5
+
+
+def test_gray_whiteiszero_inverts():
+    g = [[(10, 10, 10), (250, 250, 250)]]
+    b = tf.tiff_encode(g, gray=True)
+    # flip photometric 1 -> 0 in place: find tag 262 entry
+    b = bytearray(b)
+    n = struct.unpack_from("<H", b, 8)[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if struct.unpack_from("<H", b, base)[0] == 262:
+            struct.pack_into("<H", b, base + 8, 0)
+    w, h, px = tf.tiff_decode(bytes(b))
+    assert px[0][0] == (245, 245, 245) and px[0][1] == (5, 5, 5)
+
+
+def test_palette_colormap():
+    # 4x2 palette image, 256-entry ColorMap with 16-bit channels
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    cmap = [0] * 768
+    for i, (r, g, bl) in enumerate([(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]):
+        cmap[i] = r << 8
+        cmap[256 + i] = g << 8
+        cmap[512 + i] = bl << 8
+    # offset: 8 + (2 + 8*12 + 4) = 110, colormap goes out-of-line first
+    # -> easier: let _ifd place colormap in extra; strip offset =
+    # 8 + ifd + len(cmap bytes)
+    ifd_size = 2 + 8 * 12 + 4
+    strip_off = 8 + ifd_size + 768 * 2
+    b = _ifd(
+        [(256, 3, [4]), (257, 3, [2]), (258, 3, [8]), (259, 3, [1]),
+         (262, 3, [3]), (273, 4, [strip_off]), (279, 4, [8]),
+         (320, 3, cmap)],
+        [idx],
+    )
+    w, h, px = tf.tiff_decode(b)
+    assert px[0] == [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+    assert px[1] == [(17, 34, 51), (0, 0, 255), (0, 255, 0), (255, 0, 0)]
+
+
+def test_rgb_with_extra_alpha_sample():
+    # spp=4 chunky RGBA: alpha ignored
+    raw = bytes([10, 20, 30, 255, 40, 50, 60, 128])
+    ifd_size = 2 + 8 * 12 + 4
+    # BitsPerSample (4 SHORTs) is the only out-of-line value: 8 bytes
+    b = _ifd(
+        [(256, 3, [2]), (257, 3, [1]), (258, 3, [8, 8, 8, 8]),
+         (259, 3, [1]), (262, 3, [2]), (273, 4, [8 + ifd_size + 8]),
+         (277, 3, [4]), (279, 4, [8])],
+        [raw],
+    )
+    assert tf.tiff_decode(b)[2] == [[(10, 20, 30), (40, 50, 60)]]
+
+
+def test_unsupported_paths_raise_with_tag_names():
+    px = _smooth(8, 8)
+    good = tf.tiff_encode(px)
+    with pytest.raises(ValueError):
+        tf.tiff_decode(b"XX" + good[2:])
+    # unsupported compression id: patch tag 259 to 8 (deflate)
+    b = bytearray(good)
+    n = struct.unpack_from("<H", b, 8)[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if struct.unpack_from("<H", b, base)[0] == 259:
+            struct.pack_into("<H", b, base + 8, 8)
+    with pytest.raises(NotImplementedError, match="Compression 8"):
+        tf.tiff_decode(bytes(b))
+    # tiled layout: inject tag 322
+    with pytest.raises(NotImplementedError, match="tiled"):
+        tf.tiff_decode(_ifd(
+            [(256, 3, [4]), (257, 3, [4]), (322, 3, [16]),
+             (273, 4, [0]), (279, 4, [0])], [b""]))
+
+
+def test_image_decode_dispatches_tiff():
+    px = _px(16, 12, seed=3)
+    for be in (False, True):
+        w, h, out = mm.image_decode(
+            tf.tiff_encode(px, compression="lzw", big_endian=be)
+        )
+        assert (w, h, out) == (16, 12, px)
+
+
+def test_dhash_container_invariant_includes_tiff():
+    from data_migration_etl_scripts_spark.operators import imagehash as ih
+
+    px = _smooth(24, 16)
+    h_bmp = ih.dhash_bits(mm.image_decode(mm.bmp_encode(px))[2])
+    h_tif = ih.dhash_bits(mm.image_decode(tf.tiff_encode(px, compression="packbits"))[2])
+    assert h_bmp == h_tif

@@ -215,8 +215,12 @@ def _range_multimodal_decode(con, cols, rows) -> list[str]:
         ):
             bad.append(f"id {mid}: feature {got} != driver-side recompute {want}")
         # independent structural facts, not recomputed through the kernel
-        # (extended rows: 29 = 16x16 progressive JPEG, 30 = 12x10 WebP)
-        want_dims = {29: [16.0, 16.0], 30: [12.0, 10.0]}.get(mid, [8.0, 8.0])
+        # (extended rows: 29 = 16x16 progressive JPEG, 30 = 12x10 WebP,
+        # 33 = 11x9 LZW+predictor TIFF, 34 = 14x6 big-endian gray TIFF)
+        want_dims = {
+            29: [16.0, 16.0], 30: [12.0, 10.0],
+            33: [11.0, 9.0], 34: [14.0, 6.0],
+        }.get(mid, [8.0, 8.0])
         if mtype == "image" and got[:2] != want_dims:
             bad.append(f"id {mid}: image dims {got[:2]} != {want_dims}")
         if mtype == "audio":
