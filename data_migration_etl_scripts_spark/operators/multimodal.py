@@ -748,8 +748,9 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
     """PCM WAV bytes -> (duration_ms, mono samples in [-1, 1]).
     All integer PCM widths decode (r6): 8-bit unsigned, 16-bit,
     24-bit packed, and 32-bit (signed little-endian) — plus IEEE
-    float32/float64 WAVs (format 3) through a minimal RIFF walk,
-    since stdlib ``wave`` rejects them."""
+    float32/float64 WAVs (format 3) through a minimal RIFF walk and
+    IMA-ADPCM WAVs (format 0x11, operators/adpcm.py), both of which
+    stdlib ``wave`` rejects."""
     f = _wav_parse_float(b)
     if f is not None:
         nch, bits, rate, data = f
@@ -758,6 +759,16 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
         vals = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[:n * width])
         mono = [sum(vals[i:i + nch]) / nch for i in range(0, n, nch)]
         return int(len(mono) * 1000 / rate), mono
+    # IMA ADPCM (format 0x11): stdlib wave rejects compressed formats
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 22:
+        fmt_pos = b.find(b"fmt ")
+        if fmt_pos >= 0 and int.from_bytes(b[fmt_pos + 8:fmt_pos + 10], "little") == 0x11:
+            from data_migration_etl_scripts_spark.operators.adpcm import (
+                adpcm_wav_decode,
+            )
+
+            rate, _nch, mono = adpcm_wav_decode(b)
+            return int(len(mono) * 1000 / rate), mono
     with wave.open(io.BytesIO(b)) as w:
         nch, sampwidth, rate, nframes = (
             w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
@@ -805,6 +816,16 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
         if f is not None:
             rate = f[2]
         else:
+            fmt_pos = b.find(b"fmt ")
+            if fmt_pos >= 0 and int.from_bytes(
+                b[fmt_pos + 8:fmt_pos + 10], "little"
+            ) == 0x11:  # IMA ADPCM — stdlib wave rejects it
+                from data_migration_etl_scripts_spark.operators.adpcm import (
+                    adpcm_wav_decode,
+                )
+
+                rate, _nch, mono = adpcm_wav_decode(b)
+                return rate, mono
             with wave.open(io.BytesIO(b)) as w:
                 rate = w.getframerate()
         _dur, mono = wav_decode(b)
@@ -1221,6 +1242,14 @@ def synthetic_real_media_rows(
         rows.append((n + 10, "image",
                      bytearray(tiff_encode(px4, compression="packbits",
                                            gray=True, big_endian=True)),
+                     "{}"))
+        from data_migration_etl_scripts_spark.operators.adpcm import (
+            adpcm_wav_encode,
+        )
+
+        rows.append((n + 11, "audio",
+                     bytearray(adpcm_wav_encode(
+                         [itone(550.0, 800)], rate=8000)),
                      "{}"))
     return rows
 
