@@ -3639,3 +3639,133 @@ def ann_recall_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H decision-support suite (q4..q22, adapted to the slim schema) —
 # registered on import; q1/q3/q5/q10 live above.
 from data_migration_etl_scripts_spark import tpch as _tpch  # noqa: E402,F401
+
+
+@query(
+    "ivm_join_orders_customer",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_nationkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/ivm.py): the
+    orders x customer view is built from a 70% history slice, then
+    three fact batches and two LATE dim batches fold in via the delta
+    algebra dV = (dF x D_new) + (F_old x dD) — history is re-touched
+    only by broadcast dim deltas, never rejoined wholesale. The oracle
+    is the one-shot join; a green hash proves every (old, new)
+    quadrant lands exactly once, including orders that arrived before
+    their customer row did."""
+    from data_migration_etl_scripts_spark.operators import ivm
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    cut_o = orders.agg(F.max("o_orderkey")).first()[0] or 0
+    cut_c = cust.agg(F.max("o_custkey")).first()[0] or 0
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    f_batches = [
+        orders.where(ok <= cut_o * 7 // 10),
+        orders.where((ok > cut_o * 7 // 10) & (ok <= cut_o * 8 // 10)),
+        orders.where((ok > cut_o * 8 // 10) & (ok <= cut_o * 9 // 10)),
+        orders.where(ok > cut_o * 9 // 10),
+    ]
+    d_batches = [  # dim arrives LATER than the facts that reference it
+        cust.where(ck <= cut_c // 2),
+        cust.where((ck > cut_c // 2) & (ck <= cut_c * 8 // 10)),
+        cust.where(ck > cut_c * 8 // 10),
+    ]
+    view = ivm.maintain_join(f_batches, d_batches, on="o_custkey")
+    return view.select(
+        "o_orderkey", "o_custkey", "c_name", "c_nationkey", "o_totalprice"
+    )
+
+
+_SFT_TURN_SQL = (
+    "'<|' || CASE WHEN event_type IN ('click', 'view') THEN 'user' "
+    "ELSE 'assistant' END || '|> ' || event_type || ' ' || props"
+)
+
+
+@query(
+    "sft_render_conversations",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, props,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    turns AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id,
+               {_SFT_TURN_SQL} AS turn,
+               CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END
+                   AS is_assistant
+        FROM seq
+    )
+    SELECT user_id || '-' || session_id AS conv_id,
+           count(*) AS n_turns,
+           string_agg(turn, ' ' ORDER BY ts, event_id) AS rendered,
+           count(*) * 3 AS n_tokens,
+           sum(is_assistant) * 3 AS n_assistant_tokens
+    FROM turns
+    GROUP BY conv_id
+    """,
+)
+def sft_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering: event sessions (30-min gap) become
+    conversations, events become role-tagged turns (interaction events
+    = user, system events = assistant), rendered in event order into
+    one template string with per-conversation token and LOSS-MASK
+    counts (assistant tokens only — the half that trains). The whole
+    pipeline is one window pass + one ordered group aggregate; at
+    100 TB both shuffles key on user/session, never global."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    is_assistant = (~F.col("event_type").isin("click", "view")).cast("int")
+    turn = F.concat(
+        F.lit("<|"),
+        F.when(F.col("event_type").isin("click", "view"), "user").otherwise("assistant"),
+        F.lit("|> "), F.col("event_type"), F.lit(" "), F.col("props"),
+    )
+    turns = ev.select(
+        "user_id", "ts", "event_id",
+        F.sum(new_session).over(w).alias("session_id"),
+        turn.alias("turn"),
+        is_assistant.alias("is_assistant"),
+    )
+    return (
+        turns.groupBy(
+            F.concat_ws("-", "user_id", "session_id").alias("conv_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "turn"))
+                    ),
+                    lambda s: s["turn"],
+                ),
+                " ",
+            ).alias("rendered"),
+            (F.count(F.lit(1)) * 3).alias("n_tokens"),
+            (F.sum("is_assistant") * 3).alias("n_assistant_tokens"),
+        )
+    )
