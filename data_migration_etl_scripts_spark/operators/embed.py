@@ -537,3 +537,113 @@ def train_pq_codebooks(
                 new_books[m][c][d] = mu
         books = new_books
     return books
+
+
+# ------------------------------------------------- PCA whitening (r6)
+
+
+def pca_whiten_model(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+) -> tuple[list[float], list[list[float]]]:
+    """Distributed PCA fit: (mean, W) where ``W`` is the
+    (out_dim x in_dim) whitening projection diag(1/sqrt(lam+eps)) U^T
+    over the top ``out_dim`` eigenvectors of the population covariance.
+
+    Scale shape: each PARTITION reduces to one (count, sum, Gram) row
+    inside an Arrow-batched mapInPandas pass (numpy outer products —
+    the one place per-element SQL would be 100x slower), so the driver
+    merges #partitions rows of ~in_dim^2 doubles, never data rows. At
+    1000 executors over 100 TB that is a few MB of partials; the eigh
+    on an in_dim x in_dim matrix is microseconds. Eigenvector sign is
+    fixed (largest-|component| positive) so the model is reproducible
+    run-to-run."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame({
+                "n": [len(x)],
+                "s": [x.sum(axis=0).tolist()],
+                "g": [(x.T @ x).reshape(-1).tolist()],
+            })
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(in_dim)
+    g = np.zeros((in_dim, in_dim))
+    for r in sorted(rows, key=lambda r: (r["n"], r["s"])):  # stable merge order
+        s += np.array(r["s"])
+        g += np.array(r["g"]).reshape(in_dim, in_dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    lam, u = np.linalg.eigh(cov)           # ascending
+    lam, u = lam[::-1][:out_dim], u[:, ::-1][:, :out_dim]
+    for j in range(out_dim):               # sign convention
+        i = int(np.argmax(np.abs(u[:, j])))
+        if u[i, j] < 0:
+            u[:, j] = -u[:, j]
+    w = (u / np.sqrt(np.maximum(lam, 0.0) + eps)).T  # (out_dim, in_dim)
+    return mean.tolist(), w.tolist()
+
+
+def pca_whiten_apply(
+    df: DataFrame,
+    mean: list[float],
+    w: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "pc_",
+    decimals: int = 6,
+) -> DataFrame:
+    """Map-side projection pc_j = W[j] . (v - mean): literal weight
+    arrays folded via zip_with + aggregate (the random_projection
+    pattern) — zero shuffles, zero UDFs. An explicit 64-term sum per
+    output would exceed Janino's method-size limit at out_dim 16 and
+    silently fall back to interpreted eval; the HOF fold stays inside
+    whole-stage codegen. Rounded for cross-run hash stability. The
+    centered vector materializes in a projection BEFORE the lambdas
+    (no CSE inside lambdas)."""
+    cols = [F.col(id_col).alias("vec_id")]
+    bias = [sum(a * b for a, b in zip(wj, mean)) for wj in w]
+    centered = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    for j, wj in enumerate(w):
+        warr = F.array(*[F.lit(float(x)) for x in wj])
+        dot = F.aggregate(
+            F.zip_with(F.col("_v"), warr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(
+            F.round(dot - F.lit(float(bias[j])), decimals).alias(f"{prefix}{j}")
+        )
+    return centered.select(*cols)
+
+
+def pca_whiten(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Fit + apply in one call: the dim-reduction/decorrelation stage
+    that runs before ANN indexing or clustering (whitened cosine ==
+    Mahalanobis similarity). Two passes over the data: one bounded
+    stats reduce, one map-side projection."""
+    mean, w = pca_whiten_model(df, in_dim, out_dim, vec_col, eps)
+    return pca_whiten_apply(df, mean, w, id_col, vec_col)

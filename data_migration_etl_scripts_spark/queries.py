@@ -3769,3 +3769,19 @@ def sft_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("is_assistant") * 3).alias("n_assistant_tokens"),
         )
     )
+
+
+@query("embed_pca_whiten")  # no SQL oracle: eigendecomposition has no
+# SQL form — range-asserted in tools/selfcheck.py (_range_pca_whiten:
+# whitened covariance == I, exact linearity in the input, top-k
+# subspace alignment against an independent numpy recompute)
+def embed_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embedding column (operators/embed.py):
+    the decorrelation/dim-reduction stage before ANN indexing or
+    clustering — whitened cosine = Mahalanobis similarity. Fit is one
+    bounded stats reduce (per-partition numpy Gram partials inside
+    mapInPandas; the driver merges #partitions rows, never data);
+    apply is a pure map-side generated-literal projection. Top-16 of
+    64 dims, eps 1e-6, sign-fixed eigenvectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return em.pca_whiten(emb, in_dim=64, out_dim=16)

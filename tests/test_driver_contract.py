@@ -55,6 +55,10 @@ def test_rows_only_queries_are_the_documented_exceptions():
         # DEFLATE has no SQL twin; selfcheck recomputes every row
         # exactly driver-side with the same zlib level
         "compression_signal",
+        # eigendecomposition has no SQL form; selfcheck asserts the
+        # whitening identity-covariance property, exact linearity in
+        # the input, and subspace alignment vs an independent numpy PCA
+        "embed_pca_whiten",
     }
     from tools.selfcheck import RANGE_CHECKS
 

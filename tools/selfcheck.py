@@ -761,7 +761,55 @@ def _range_audio_resample(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_pca_whiten(con, cols, rows) -> list[str]:
+    """embed_pca_whiten: eigendecomposition has no SQL form, but its
+    defining properties are checkable without trusting the engine:
+    (1) the returned components have identity covariance (whitening),
+    (2) they are an exactly LINEAR map of the input embeddings
+    (lstsq residual ~ 0 — no hash fake can pass this), and (3) the
+    recovered map spans the same top-16 eigen-subspace as an
+    independent numpy PCA of the same parquet (principal-angle
+    cosines), sidestepping the near-degenerate per-vector rotation
+    ambiguity of a flat spectrum."""
+    import numpy as np
+
+    bad: list[str] = []
+    data = con.sql(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([list(e) for _vid, e in data], dtype=np.float64)
+    idx = {c: i for i, c in enumerate(cols)}
+    k = 16
+    by_id = {r[idx["vec_id"]]: [r[idx[f"pc_{j}"]] for j in range(k)] for r in rows}
+    if len(rows) != len(data):
+        bad.append(f"row count {len(rows)} != embeddings {len(data)}")
+        return bad
+    Y = np.array([by_id[vid] for vid, _e in data], dtype=np.float64)
+    # (1) whitening: population covariance of the output is I
+    C = np.cov(Y.T, bias=True)
+    dev = np.abs(C - np.eye(k)).max()
+    if dev > 5e-3:
+        bad.append(f"whitened covariance deviates from I by {dev:.2e}")
+    # (2) exact linearity in X (projection = affine map)
+    A = np.hstack([X, np.ones((len(X), 1))])
+    M, *_ = np.linalg.lstsq(A, Y, rcond=None)
+    resid = np.abs(A @ M - Y).max()
+    if resid > 1e-4:  # rounding to 6dp bounds the true residual
+        bad.append(f"output is not a linear map of the input (resid {resid:.2e})")
+    # (3) top-k subspace alignment vs independent numpy PCA
+    mu = X.mean(axis=0)
+    lam, u = np.linalg.eigh((X - mu).T @ (X - mu) / len(X))
+    u_top = u[:, ::-1][:, :k]
+    w_dir = M[:-1]  # (64, 16) recovered projection directions
+    q_w, _ = np.linalg.qr(w_dir)
+    sv = np.linalg.svd(u_top.T @ q_w, compute_uv=False)
+    if sv.min() < 0.99:
+        bad.append(f"subspace principal-angle cos {sv.min():.4f} < 0.99")
+    return bad
+
+
 RANGE_CHECKS = {
+    "embed_pca_whiten": _range_pca_whiten,
     "sketch_profile_events": _range_sketch_profile,
     "ann_topk_ivf_trained": _range_ivf_trained,
     "multimodal_real_decode": _range_multimodal_decode,
