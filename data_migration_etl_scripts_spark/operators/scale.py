@@ -281,3 +281,67 @@ def write_hive_partitioned(
             "coarser column (date, source) and range-cluster the rest"
         )
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+# ----------------------------------------------- bloom prefilter (r6)
+
+
+def bloom_bitmap(
+    dim: DataFrame,
+    key_col: str,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+) -> list[int]:
+    """Build a Bloom-filter bitmap (``n_bits`` bits as n_bits/64
+    longs) over a dim-side key column, entirely with column bit math:
+    per (key, seed) probe -> word index + mask, one bit_or group-by on
+    the word index, and a BOUNDED collect of n_bits/64 rows.
+
+    This is the manual runtime-filter for the case Spark's own
+    broadcast/DPP machinery can't cover: the filtered dim key set is
+    too big for an IN-list but the FACT scan is the cost center. A
+    bitmap of any practical size (1 MB covers ~1M keys at 1% fp)
+    broadcasts as a literal; the fact side drops definite-nonmembers
+    BEFORE the shuffle. False positives only — the exact join after
+    the prefilter keeps semantics identical (the oracle is the plain
+    join)."""
+    n_words = (n_bits + 63) // 64
+    probes = []
+    for s in range(n_hashes):
+        pos = f"pmod(xxhash64({key_col}, {s}), {n_bits})"
+        probes.append(F.expr(
+            f"struct(cast({pos} div 64 as int) as w, "
+            f"shiftleft(cast(1 as bigint), cast({pos} % 64 as int)) as m)"
+        ))
+    words = (
+        dim.select(F.explode(F.array(*probes)).alias("p"))
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or("p.m").alias("m"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["w"]] = r["m"]
+    return bitmap
+
+
+def bloom_might_contain(
+    key_col: str,
+    bitmap: list[int],
+    n_hashes: int = 3,
+) -> Column:
+    """Probe column: AND over the ``n_hashes`` bit tests against the
+    literal bitmap — pure codegen (element_at + shifts), no UDF, no
+    join. Compose as fact.where(bloom_might_contain(...)) ahead of the
+    exact join. The bitmap literal parses once (array of longs); every
+    shift term is fully parenthesized (`<<` binds looser than `+`)."""
+    n_bits = 64 * len(bitmap)
+    arr = "array(" + ", ".join(f"{w}L" for w in bitmap) + ")"
+    tests = []
+    for s in range(n_hashes):
+        pos = f"pmod(xxhash64({key_col}, {s}), {n_bits})"
+        tests.append(
+            f"(element_at({arr}, cast({pos} div 64 as int) + 1) & "
+            f"(shiftleft(cast(1 as bigint), cast({pos} % 64 as int)))) != 0"
+        )
+    return F.expr(" AND ".join(f"({t})" for t in tests))

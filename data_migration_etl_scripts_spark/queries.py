@@ -3785,3 +3785,46 @@ def embed_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 dims, eps 1e-6, sign-fixed eigenvectors."""
     emb = _t(spark, sf_dir, "embeddings")
     return em.pca_whiten(emb, in_dim=64, out_dim=16)
+
+
+@query(
+    "bloom_prefilter_revenue",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n_name
+    """,
+)
+def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual Bloom runtime filter (operators/scale.py): the BUILDING
+    customer keys build an 8 KiB bitmap (bounded bit_or aggregate);
+    the orders scan drops definite-nonmembers with pure bit math
+    BEFORE any shuffle, then the EXACT join keeps semantics identical
+    — the oracle is the plain join, so a green hash proves the filter
+    admits every member. This is the fact-scan pruning move for when
+    the dim keyset outgrows an IN-list but the fact shuffle is the
+    cost center; false positives only cost, never corrupt."""
+    from data_migration_etl_scripts_spark.operators import scale as sc
+
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey", "c_nationkey")
+    bitmap = sc.bloom_bitmap(cust, "c_custkey", n_bits=8192, n_hashes=3)
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    prefiltered = orders.where(sc.bloom_might_contain("o_custkey", bitmap))
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        prefiltered.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+    )

@@ -310,3 +310,27 @@ def test_runtime_bloom_filter_prunes_fact_side_of_selective_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_no_false_negatives_and_pure_codegen(spark):
+    from data_migration_etl_scripts_spark.operators import scale as sc
+
+    dim = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    bm = sc.bloom_bitmap(dim, "k", n_bits=8192, n_hashes=3)
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    kept = fact.where(sc.bloom_might_contain("k", bm))
+    # zero false negatives: every true member survives the prefilter
+    assert dim.join(kept, "k", "left_anti").count() == 0
+    # false-positive rate bounded (8192 bits / 500 keys / 3 hashes)
+    assert kept.count() - 500 < 20000 * 0.02
+    # probe is pure codegen: no UDF, no join, no exchange
+    p = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_bloom_prefilter_query_prunes_before_shuffle(spark):
+    df = q.bloom_prefilter_revenue(spark, SF)
+    p = plan(df)
+    # the bitmap probe lands in the orders-side Filter, pre-join
+    assert "xxhash64" in p
+    assert "BroadcastHashJoin" in p
