@@ -3828,3 +3828,68 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("revenue"),
         )
     )
+
+
+_SFT_CONV_SQL = """
+    SELECT user_id * 100000 + session_id AS conv_key,
+           count(*) * 3 AS conv_tokens,
+           sum(is_assistant) * 3 AS mask_tokens
+    FROM (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id,
+               CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END
+                   AS is_assistant
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+    )
+    GROUP BY conv_key
+"""
+
+
+@query(
+    "sft_pack_conversations",
+    oracle=cu.pack_sequences_sql(
+        _SFT_CONV_SQL, "conv_key", "conv_tokens", capacity=64, n_shards=8
+    ).replace("SELECT conv_key, shard, n_tokens,",
+              "SELECT conv_key, shard, n_tokens, mask_tokens,")
+    .replace("SELECT conv_key, conv_key % 8 AS shard,",
+             "SELECT conv_key, mask_tokens, conv_key % 8 AS shard,"),
+)
+def sft_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT sequence packing with loss-mask accounting: conversations
+    (session windows over events, 3 tokens per turn) pack into 64-token
+    bins per shard — concat-and-chunk layout, per-shard running-sum
+    window, no global sort — with each conversation's assistant-token
+    (mask) count riding along. Composes the sessionization window with
+    the pack operator; the oracle replays the identical composition in
+    SQL, so the whole chain hash-matches end to end."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    turns = ev.select(
+        "user_id",
+        F.sum(new_session).over(w).alias("session_id"),
+        (~F.col("event_type").isin("click", "view")).cast("int").alias("is_assistant"),
+    )
+    convs = turns.groupBy(
+        (F.col("user_id") * 100000 + F.col("session_id")).alias("conv_key")
+    ).agg(
+        (F.count(F.lit(1)) * 3).alias("conv_tokens"),
+        (F.sum("is_assistant") * 3).alias("mask_tokens"),
+    )
+    return cu.pack_sequences(
+        convs, "conv_key", "conv_tokens", capacity=64, n_shards=8,
+        keep_cols=["mask_tokens"],
+    )
