@@ -217,3 +217,91 @@ def blocklist_filter_sql(
             FROM {table}
         )
     """
+
+
+# ------------------------------------------------ markdown (r6)
+
+#: shared pattern strings (RE2-compatible: no backreferences in the
+#: PATTERNS; capture-group replacements differ only in marker syntax —
+#: $1 in Spark, \1 in DuckDB)
+_MD_FENCE = r"(?s)```[^`]*```"
+_MD_IMAGE = r"!\[([^\]]*)\]\([^)]*\)"
+_MD_LINK = r"\[([^\]]*)\]\([^)]*\)"
+_MD_HEADER = r"(?m)^#{1,6}[ \t]+"
+_MD_QUOTE = r"(?m)^>[ \t]?"
+_MD_LIST = r"(?m)^[ \t]*([-*+]|[0-9]+\.)[ \t]+"
+_MD_RULE = r"(?m)^[ \t]*(-{3,}|={3,}|\*{3,})[ \t]*$"
+_MD_EMPH = r"\*{1,3}"
+
+
+def markdown_to_text(col: Column | str) -> Column:
+    """Markdown -> prose text: fenced code blocks dropped (code is not
+    prose — count them separately), image/link syntax reduced to its
+    visible text, header/quote/list/rule markers stripped, asterisk
+    emphasis unwrapped, backticks and table pipes removed, whitespace
+    normalized. Underscore emphasis is deliberately NOT stripped
+    (snake_case identifiers survive). Pure column expressions — the
+    README/issue/doc half of a code-adjacent corpus runs map-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _MD_FENCE, " ")
+    c = F.regexp_replace(c, _MD_IMAGE, "$1")
+    c = F.regexp_replace(c, _MD_LINK, "$1")
+    c = F.regexp_replace(c, _MD_RULE, " ")
+    c = F.regexp_replace(c, _MD_HEADER, "")
+    c = F.regexp_replace(c, _MD_QUOTE, "")
+    c = F.regexp_replace(c, _MD_LIST, "")
+    c = F.regexp_replace(c, _MD_EMPH, "")
+    for lit in ("`", "|"):
+        c = F.replace(c, F.lit(lit), F.lit(" "))
+    c = F.regexp_replace(c, _RE_HSPACE, " ")
+    c = F.regexp_replace(c, _RE_NL, "\n")
+    c = F.regexp_replace(c, "^\n+|\n+$", "")
+    return F.trim(c)
+
+
+def markdown_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`markdown_to_text` (same pattern strings,
+    \\1 replacement markers)."""
+    c = expr
+    c = f"regexp_replace({c}, '{_MD_FENCE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_MD_IMAGE}', '\\1', 'g')"
+    c = f"regexp_replace({c}, '{_MD_LINK}', '\\1', 'g')"
+    c = f"regexp_replace({c}, '{_MD_RULE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_MD_HEADER}', '', 'g')"
+    c = f"regexp_replace({c}, '{_MD_QUOTE}', '', 'g')"
+    c = f"regexp_replace({c}, '{_MD_LIST}', '', 'g')"
+    c = f"regexp_replace({c}, '{_MD_EMPH}', '', 'g')"
+    c = f"replace({c}, chr(96), ' ')"
+    c = f"replace({c}, chr(124), ' ')"
+    c = f"regexp_replace({c}, '[ \\t\\x0B\\f\\r]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\\n[ \\n]*', chr(10), 'g')"
+    c = f"regexp_replace({c}, '^\\n+|\\n+$', '', 'g')"
+    return f"trim({c})"
+
+
+def extract_markdown(df: DataFrame, id_col: str, md_col: str) -> DataFrame:
+    """(id, text, n_chars, n_code_blocks, n_links): extraction plus the
+    two structure signals a code-adjacent quality filter keys on,
+    counted BEFORE stripping."""
+    n_code = F.regexp_count(F.col(md_col), F.lit(_MD_FENCE))
+    n_links = F.regexp_count(F.col(md_col), F.lit(_MD_LINK))
+    return df.select(
+        F.col(id_col),
+        markdown_to_text(md_col).alias("text"),
+        F.length(markdown_to_text(md_col)).alias("n_chars"),
+        n_code.alias("n_code_blocks"),
+        n_links.alias("n_links"),
+    )
+
+
+def extract_markdown_sql(table: str, id_col: str, md_col: str) -> str:
+    """DuckDB twin of :func:`extract_markdown`."""
+    txt = markdown_to_text_sql(md_col)
+    return f"""
+    SELECT {id_col},
+           {txt} AS text,
+           length({txt}) AS n_chars,
+           length(regexp_extract_all({md_col}, '{_MD_FENCE}')) AS n_code_blocks,
+           length(regexp_extract_all({md_col}, '{_MD_LINK}')) AS n_links
+    FROM {table}
+    """

@@ -80,3 +80,51 @@ def maintain_join(
         d_old = dd if d_old is None else d_old.unionByName(dd)
     assert view is not None
     return view
+
+
+def maintain_join_cdc(
+    batches: list[dict],
+    on: list[str] | str,
+    fact_key: str,
+    dim_key: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Full-CDC join maintenance: each batch is a dict with any of
+    ``f_ins``/``d_ins`` (insert DataFrames) and ``f_del``/``d_del``
+    (single-column key frames). Deletes apply BEFORE the batch's
+    inserts (the CDC convention: a replace arrives as delete+insert).
+
+    The maintained view and side snapshots are pruned by ANTI joins on
+    the delete keys — at scale the delete keyset is batch-sized and
+    broadcasts, so retraction costs one broadcast anti-join over V,
+    never a rebuild. Dim deletes cascade: every view row carrying a
+    deleted dim key retracts, exactly matching the one-shot join over
+    the surviving sets (the oracle)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    f_old: DataFrame | None = None
+    d_old: DataFrame | None = None
+    view: DataFrame | None = None
+    for b in batches:
+        f_del, d_del = b.get("f_del"), b.get("d_del")
+        if f_del is not None and f_old is not None:
+            f_old = f_old.join(F.broadcast(f_del), fact_key, "left_anti")
+            view = view.join(F.broadcast(f_del), fact_key, "left_anti") if view is not None else None
+        if d_del is not None and d_old is not None:
+            d_old = d_old.join(F.broadcast(d_del), dim_key, "left_anti")
+            view = view.join(F.broadcast(d_del), dim_key, "left_anti") if view is not None else None
+        fd = b.get("f_ins")
+        dd = b.get("d_ins")
+        if fd is None and f_old is not None:
+            fd = f_old.limit(0)
+        if dd is None and d_old is not None:
+            dd = d_old.limit(0)
+        if fd is None or dd is None:
+            # first batch must seed both sides
+            fd = fd if fd is not None else b["f_ins"]
+            dd = dd if dd is not None else b["d_ins"]
+        dv = join_delta(f_old, fd, d_old, dd, keys, broadcast_dim)
+        view = dv if view is None else view.unionByName(dv)
+        f_old = fd if f_old is None else f_old.unionByName(fd)
+        d_old = dd if d_old is None else d_old.unionByName(dd)
+    assert view is not None
+    return view

@@ -3893,3 +3893,178 @@ def sft_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
         convs, "conv_key", "conv_tokens", capacity=64, n_shards=8,
         keep_cols=["mask_tokens"],
     )
+
+
+#: markdown fixture wrap — the SAME SQL expression builds the fixture
+#: in both engines (chr(10) newlines parse identically), so extraction
+#: output is fully hash-matched: fenced code, image/link syntax,
+#: headers, quotes, lists, emphasis, a table row, a setext rule.
+_MD_WRAP_SQL = (
+    "'# ' || source || chr(10) || '===' || chr(10)"
+    " || '> quoted intro' || chr(10)"
+    " || '- item one' || chr(10) || '2. item two' || chr(10)"
+    " || '```' || chr(10) || 'code(' || lang || ');' || chr(10) || '```' || chr(10)"
+    " || replace(text, ' the ', ' **the** ')"
+    " || chr(10) || '![alt text](/img/' || source || '.png)'"
+    " || ' [see more](http://example.com/' || source || ') tail'"
+    " || chr(10) || '| a | b |' || chr(10) || '---' || chr(10) || 'fin `x` end'"
+)
+
+
+@query(
+    "markdown_extract_text",
+    oracle=hx.extract_markdown_sql(
+        f"(SELECT doc_id, {_MD_WRAP_SQL} AS md "
+        "FROM documents WHERE text IS NOT NULL)",
+        "doc_id", "md",
+    ),
+)
+def markdown_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> prose text (operators/html.py markdown family): the
+    README/issue/docs half of a code-adjacent corpus. Fenced code
+    dropped but COUNTED (the structure signal a quality filter keys
+    on), image/link syntax reduced to visible text, header/quote/
+    list/rule markers stripped, asterisk emphasis unwrapped, table
+    pipes and backticks removed, whitespace normalized — all pure
+    column expressions, map-side at any corpus size. The fixture wraps
+    every document in deterministic markdown built by the SAME SQL in
+    both engines, so the output is fully hash-matched."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    md = docs.select("doc_id", F.expr(_MD_WRAP_SQL).alias("md"))
+    return hx.extract_markdown(md, "doc_id", "md")
+
+
+@query(
+    "ivm_join_cdc_deletes",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_nationkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 10 <> 3 AND c_custkey % 17 <> 5
+    """,
+)
+def ivm_join_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance under FULL CDC (operators/ivm.py
+    maintain_join_cdc): after two insert batches, a delete batch
+    retracts 10% of orders and 1/17 of customers — dim deletes CASCADE
+    (every view row of a deleted customer retracts via one broadcast
+    anti-join, never a rebuild) — then a final insert batch lands on
+    the pruned state. The oracle is the one-shot join over the
+    surviving sets; a green hash proves retraction and re-insert
+    compose exactly."""
+    from data_migration_etl_scripts_spark.operators import ivm
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    cut = orders.agg(F.max("o_orderkey")).first()[0] or 0
+    ok = F.col("o_orderkey")
+    batches = [
+        {"f_ins": orders.where(ok <= cut * 6 // 10), "d_ins": cust},
+        {"f_ins": orders.where((ok > cut * 6 // 10) & (ok <= cut * 8 // 10))},
+        {
+            "f_del": orders.where(ok % 10 == 3).select("o_orderkey"),
+            "d_del": cust.where(F.col("o_custkey") % 17 == 5).select("o_custkey"),
+        },
+        {"f_ins": orders.where((ok > cut * 8 // 10) & (ok % 10 != 3))},
+    ]
+    view = ivm.maintain_join_cdc(
+        batches, on="o_custkey", fact_key="o_orderkey", dim_key="o_custkey"
+    )
+    return view.select("o_orderkey", "o_custkey", "c_nationkey", "o_totalprice")
+
+
+@query(
+    "gapfill_monthly_revenue",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT n_name,
+               CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 MONTH))
+                    AS DATE) AS month
+        FROM nation, bounds b
+    ),
+    actual AS (
+        SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, month
+    )
+    SELECT s.n_name, s.month,
+           CAST(coalesce(a.rev, 0) AS DOUBLE) AS revenue,
+           CAST(sum(coalesce(a.rev, 0)) OVER (
+               PARTITION BY s.n_name ORDER BY s.month
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+    FROM spine s LEFT JOIN actual a
+      ON s.n_name = a.n_name AND s.month = a.month
+    """,
+)
+def gapfill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill (time-series densification): a month spine
+    from the global order-date bounds cross-joins the nation dim, the
+    actual monthly revenue left-joins onto it, missing months fill
+    with 0, and the running total stays correct THROUGH the gaps —
+    the report shape every BI layer needs and sparse group-bys can't
+    give. The spine is bounds x dims (a broadcast cross of two tiny
+    relations); the fact aggregates once; the window partitions by
+    nation — no global sort at any history length. DECIMAL partials
+    keep both the per-month and cumulative sums exact."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    bounds = orders.agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("lo"),
+        F.trunc(F.max("o_orderdate"), "month").alias("hi"),
+    )
+    spine = (
+        nation.crossJoin(F.broadcast(bounds))
+        .select(
+            "n_name",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 month)")
+            ).alias("month"),
+        )
+    )
+    actual = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.trunc("o_orderdate", "month").alias("month"))
+        .agg(F.sum("price").alias("rev"))
+    )
+    w = (
+        Window.partitionBy(spine.n_name)
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(
+        actual,
+        (spine.n_name == actual.n_name) & (spine.month == actual.month),
+        "left",
+    ).select(
+        spine.n_name.alias("n_name"),
+        spine.month.alias("month"),
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,2)")).alias("rev0"),
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "n_name", "month",
+        F.col("rev0").cast("double").alias("revenue"),
+        F.sum("rev0").over(w).cast("double").alias("cum_revenue"),
+    )

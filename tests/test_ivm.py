@@ -59,3 +59,40 @@ def test_delta_form_uses_broadcast(spark):
     p = view._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_cdc_delete_then_reinsert_same_key(spark):
+    f1 = spark.createDataFrame([(1, 10)], "k int, fv int")
+    d1 = spark.createDataFrame([(1, "a")], "k int, dv string")
+    batches = [
+        {"f_ins": f1, "d_ins": d1},
+        {"f_del": spark.createDataFrame([(1,)], "k int")},
+        {"f_ins": spark.createDataFrame([(1, 99)], "k int, fv int")},
+    ]
+    view = ivm.maintain_join_cdc(batches, on="k", fact_key="k", dim_key="k")
+    assert _rows(view) == [(1, 99, "a")]
+
+
+def test_cdc_dim_delete_cascades(spark):
+    f1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, fv int")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, dv string")
+    batches = [
+        {"f_ins": f1, "d_ins": d1},
+        {"d_del": spark.createDataFrame([(1,)], "k int")},
+    ]
+    view = ivm.maintain_join_cdc(batches, on="k", fact_key="k", dim_key="k")
+    # every view row of the deleted dim key retracts
+    assert _rows(view) == [(2, 20, "b")]
+
+
+def test_cdc_delete_before_insert_within_batch(spark):
+    f1 = spark.createDataFrame([(1, 10)], "k int, fv int")
+    d1 = spark.createDataFrame([(1, "a")], "k int, dv string")
+    batches = [
+        {"f_ins": f1, "d_ins": d1},
+        # replace = delete + insert in ONE batch
+        {"f_del": spark.createDataFrame([(1,)], "k int"),
+         "f_ins": spark.createDataFrame([(1, 42)], "k int, fv int")},
+    ]
+    view = ivm.maintain_join_cdc(batches, on="k", fact_key="k", dim_key="k")
+    assert _rows(view) == [(1, 42, "a")]
