@@ -4068,3 +4068,194 @@ def gapfill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev0").cast("double").alias("revenue"),
         F.sum("rev0").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 2^2 grouping combinations in ONE pass —
+    Spark expands the grouping sets map-side (Expand node), so the
+    fact scans once however many combinations roll up. NULL grouping
+    markers coalesce to 'ALL' so the hash is engine-agnostic."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders", "revenue",
+        )
+    )
+
+
+@query(
+    "histogram_prices",
+    oracle="""
+    WITH b AS (SELECT 0.0 AS lo, 600000.0 AS hi, 24 AS n)
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / n)),
+                      n - 1) AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo_seen,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi_seen
+    FROM orders, b
+    GROUP BY bucket
+    """,
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: fixed [0, 600k) domain in
+    24 buckets (top bucket clamps the tail) — one map-side bucket
+    expression + one count shuffle, the profile primitive dashboards
+    bin with. Same floor arithmetic both engines: identical IEEE."""
+    orders = _t(spark, sf_dir, "orders")
+    width = (600000.0 - 0.0) / 24
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - 0.0) / width), F.lit(23)
+    ).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").cast("double").alias("lo_seen"),
+        F.max("o_totalprice").cast("double").alias("hi_seen"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    )
+    SELECT cohort,
+           datediff('day', cohort, CAST(date_trunc('day', ts) AS DATE))
+               AS day_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-activity day,
+    activity counted per (cohort, day offset) — the product-analytics
+    table every growth dashboard draws. First-touch is one min-agg
+    (broadcastable per-user relation); the matrix is one distinct-agg
+    keyed by (cohort, offset) — both shuffles user-keyed, no window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH stage AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS clicked_after_view,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_buy > t_click
+                    THEN 1 ELSE 0 END) AS purchased_in_order
+    FROM stage
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): per-user
+    first-touch per stage via conditional min aggregates — ONE grouped
+    pass over events, no window, no self-join — then the strictly-
+    ordered conversion counts. NULL-safe ordering: a missing earlier
+    stage disqualifies later ones (SQL NULL comparison semantics match
+    engines exactly)."""
+    ev = _t(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("int")).alias("viewed"),
+        F.sum(clicked.cast("int")).alias("clicked_after_view"),
+        F.sum(bought.cast("int")).alias("purchased_in_order"),
+    )
+
+
+@query(
+    "mad_outlier_flags",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               any_value(m.med) AS med,
+               median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value,
+           CASE WHEN abs(e.value - m.med) > 3.0 * m.mad
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    WHERE abs(e.value - m.med) > 3.0 * m.mad
+    """,
+)
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per event type: two exact
+    per-group percentile aggregates (group cardinality = event types,
+    broadcastable), then a map-side |x - med| > 3*MAD flag over the
+    fact — the quality screen that survives heavy-tailed value
+    distributions where mean/stddev flags everything. At 100 TB swap
+    median for percentile_approx (t-digest) — same plan shape."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad"))
+        .select(
+            "event_id", "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.lit(1).alias("is_outlier"),
+        )
+    )
