@@ -4259,3 +4259,132 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("is_outlier"),
         )
     )
+
+
+@query(
+    "dup_graph_triangles",
+    oracle=f"""
+    WITH edges AS (
+        SELECT doc_a, doc_b FROM (
+            {dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", k=12, bands=4)}
+        )
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM edges) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.doc_b = e2.doc_a
+    JOIN edges e3 ON e2.doc_b = e3.doc_b AND e1.doc_a = e3.doc_a
+    WHERE e1.doc_a < e1.doc_b AND e2.doc_a < e2.doc_b
+    """,
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the near-dup graph — the transitivity
+    diagnostic that justifies (or indicts) collapsing dup clusters:
+    high triangle density means near-dup is behaving like an
+    equivalence relation, sparse triangles mean chains that cluster-
+    collapse would over-merge. Edges come from the session-shared
+    minhash pair stage (build-once); counting is the canonical
+    oriented 3-way self-join over a<b ordered edges — each triangle
+    counted exactly once, never an all-pairs blowup because the edge
+    relation is already O(near-dups)."""
+    pairs = _minhash_pairs_stage(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e2.doc_b") == F.col("e3.doc_b"))
+            & (F.col("e1.doc_a") == F.col("e3.doc_a")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return tri.crossJoin(
+        F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+
+
+@query(
+    "moving_avg_revenue",
+    oracle="""
+    WITH monthly AS (
+        SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, month
+    )
+    SELECT n_name, month, CAST(rev AS DOUBLE) AS revenue,
+           CAST(avg(CAST(rev AS DOUBLE)) OVER (
+               PARTITION BY n_name ORDER BY month
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS revenue_ma3
+    FROM monthly
+    """,
+)
+def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month trailing moving average of nation revenue — the
+    smoothing window every trend report runs. Frame-bounded window per
+    nation (never global); monthly partials are DECIMAL-exact, the
+    average divides identically in both engines because each frame
+    averages the SAME <=3 doubles in the SAME order."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.trunc("o_orderdate", "month").alias("month"))
+        .agg(F.sum("price").alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month").rowsBetween(-2, 0)
+    return monthly.select(
+        "n_name", "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.avg(F.col("rev").cast("double")).over(w).alias("revenue_ma3"),
+    )
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               round(ln(length(text) + 2), 9) AS w,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wpri'),
+                                     1, 13)) AS BIGINT) / 4503599627370496.0)
+                   AS u
+        FROM documents
+    )
+    SELECT doc_id, w,
+           round(-ln(1.0 - u) / w, 9) AS priority
+    FROM scored
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (Efraimidis-Spirakis A-Res, keyed
+    form): each doc draws a deterministic md5 uniform and keeps key
+    -ln(1-u)/w — the k SMALLEST keys are a weighted-without-replacement
+    sample, here weight = ln(doc length). One map-side expression +
+    TakeOrderedAndProject: no shuffle, no state, reproducible across
+    engines/partitionings (the md5 uniform and the rounded key are
+    bit-identical; doc_id tiebreak pins boundary order)."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit(":wpri"))), 1, 13), 16, 10)
+        .cast("double") / F.lit(4503599627370496.0)
+    )
+    w = F.round(F.log(F.length("text") + 2), 9)
+    scored = docs.select(
+        "doc_id", w.alias("w"),
+        F.round(-F.log(F.lit(1.0) - u) / w, 9).alias("priority"),
+    )
+    return scored.orderBy("priority", "doc_id").limit(100)
