@@ -82,6 +82,34 @@ SQL_PORTABLE_BOARD = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    # session-3 widening: the TPC-H suite + the analytics/IVM pack all
+    # run verbatim (EXISTS/NOT EXISTS, CUBE, scalar subqueries, frame
+    # windows); retention/gapfill/sft/weighted lean on DuckDB-only
+    # datediff('day',..)/unnest/string_agg/hex-cast forms
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_balance",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_orders",
+    "q22_global_sales_opportunity",
+    "cube_revenue",
+    "histogram_prices",
+    "funnel_conversion",
+    "mad_outlier_flags",
+    "moving_avg_revenue",
+    "ivm_join_orders_customer",
+    "ivm_join_cdc_deletes",
+    "bloom_prefilter_revenue",
 ]
 
 
@@ -94,7 +122,7 @@ def _canon_rows(rows):
 
 
 def test_board_queries_through_sql_frontend(spark):
-    """run_sql(oracle_text) == DataFrame twin for 40 board queries:
+    """run_sql(oracle_text) == DataFrame twin for 64 board queries:
     the SQL front-end and the DataFrame API share the planner AND the
     answer — same rows, same column set, for the same SQL the DuckDB
     oracle pins."""
