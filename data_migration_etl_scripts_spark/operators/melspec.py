@@ -206,3 +206,83 @@ def mfcc_from_mel(mel_frames: list[list[float]], n_mfcc: int = 13) -> list[list[
         [sum(b * v for b, v in zip(row_k, frame)) for row_k in basis]
         for frame in mel_frames
     ]
+
+
+def delta_features(
+    frames: list[list[float]], width: int = 2
+) -> list[list[float]]:
+    """Regression-formula deltas (HTK/librosa convention): for frame t,
+    d_t = sum_{n=1..N} n * (c_{t+n} - c_{t-n}) / (2 * sum n^2), with
+    edge frames replicated (librosa mode='nearest'). Applied once for
+    deltas, twice for delta-deltas — the velocity/acceleration half of
+    the classic 39-dim MFCC stack."""
+    if not frames:
+        return []
+    t_max = len(frames) - 1
+    denom = 2.0 * sum(n * n for n in range(1, width + 1))
+    out = []
+    for t in range(len(frames)):
+        row = []
+        for d in range(len(frames[0])):
+            acc = 0.0
+            for n in range(1, width + 1):
+                hi = frames[min(t + n, t_max)][d]
+                lo = frames[max(t - n, 0)][d]
+                acc += n * (hi - lo)
+            row.append(acc / denom)
+        out.append(row)
+    return out
+
+
+MFCC_STACK_SCHEMA = (
+    "media_id long, rate int, n_frames int, n_dims int, mfcc_bin binary"
+)
+
+
+def audio_mfcc_stack(
+    df: DataFrame,
+    n_fft: int = 256,
+    hop: int = 160,
+    n_mels: int = 16,
+    n_mfcc: int = 8,
+    width: int = 2,
+) -> DataFrame:
+    """The full classic acoustic front end: log-mel -> MFCC -> delta ->
+    delta-delta, concatenated per frame (3 * n_mfcc dims) and shipped
+    as row-major float32-LE — decode + FFT + DCT + regression deltas
+    all inside ONE Arrow-batched mapInPandas pass (same scale shape as
+    the mel kernel: per-clip work, zero Exchanges)."""
+    from data_migration_etl_scripts_spark.operators.multimodal import (
+        audio_decode_rate,
+    )
+
+    n_dims = 3 * n_mfcc
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "rate": [], "n_frames": [],
+                   "n_dims": [], "mfcc_bin": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                rate, mono = audio_decode_rate(bytes(content))
+                mel = log_mel_spectrogram(
+                    mono, rate, n_fft=n_fft, hop=hop, n_mels=n_mels
+                )
+                mfcc = mfcc_from_mel(mel, n_mfcc=n_mfcc)
+                d1 = delta_features(mfcc, width)
+                d2 = delta_features(d1, width)
+                blob = b"".join(
+                    struct.pack(f"<{n_dims}f", *(c + v + a))
+                    for c, v, a in zip(mfcc, d1, d2)
+                )
+                out["media_id"].append(mid)
+                out["rate"].append(rate)
+                out["n_frames"].append(len(mfcc))
+                out["n_dims"].append(n_dims)
+                out["mfcc_bin"].append(blob)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=MFCC_STACK_SCHEMA
+    )

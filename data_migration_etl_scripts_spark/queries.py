@@ -4388,3 +4388,27 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.log(F.lit(1.0) - u) / w, 9).alias("priority"),
     )
     return scored.orderBy("priority", "doc_id").limit(100)
+
+
+@query("audio_mfcc_stack")  # no SQL oracle: FFT/DCT kernel — range-
+# asserted by tools/selfcheck.py (_range_mfcc_stack): per-payload
+# driver-side recompute of the full 24-dim stack fingerprint
+def audio_mfcc_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic 3x-stacked acoustic front end (mel -> MFCC ->
+    delta -> delta-delta, 24 dims/frame here) over the real-audio
+    fixture — what an ASR/audio-LM training pipeline actually ships
+    next to the tokenized text. One Arrow-batched mapInPandas pass per
+    clip (operators/melspec.py audio_mfcc_stack); the frames x dims
+    matrix travels as mmap-able float32-LE, fingerprinted here for a
+    scalar output."""
+    from data_migration_etl_scripts_spark.operators import melspec as msp
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    media = mm.synthetic_real_media(spark, n=24, include_mpeg=True).where(
+        F.col("media_type") == "audio"
+    )
+    stack = msp.audio_mfcc_stack(media, n_fft=256, hop=160, n_mels=16, n_mfcc=8)
+    return stack.select(
+        "media_id", "rate", "n_frames", "n_dims",
+        F.md5(F.col("mfcc_bin")).alias("mfcc_md5"),
+    )

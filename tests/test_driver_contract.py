@@ -59,6 +59,9 @@ def test_rows_only_queries_are_the_documented_exceptions():
         # whitening identity-covariance property, exact linearity in
         # the input, and subspace alignment vs an independent numpy PCA
         "embed_pca_whiten",
+        # FFT/DCT/delta stack: selfcheck recomputes every payload's
+        # fingerprint driver-side (same pattern as audio_mel_features)
+        "audio_mfcc_stack",
     }
     from tools.selfcheck import RANGE_CHECKS
 

@@ -134,3 +134,32 @@ def test_mfcc_dct_is_orthonormal_and_compacts_energy():
     smooth = ms.mfcc_from_mel([[2.5] * 16], n_mfcc=16)[0]
     assert abs(smooth[0] - 2.5 * 4.0) < 1e-9  # sqrt(16) * mean
     assert max(abs(v) for v in smooth[1:]) < 1e-9
+
+
+def test_delta_features_regression_formula():
+    from data_migration_etl_scripts_spark.operators.melspec import delta_features
+
+    # linear ramp: delta of c_t = t is exactly 1.0 in the interior
+    frames = [[float(t)] for t in range(10)]
+    d = delta_features(frames, width=2)
+    assert all(abs(row[0] - 1.0) < 1e-12 for row in d[2:8])
+    # edges replicate (mode='nearest'): first frame sees (c1-c0) + 2*(c2-c0) over 10
+    assert abs(d[0][0] - (1 * 1 + 2 * 2) / 10.0) < 1e-12
+    # constant signal: zero velocity everywhere
+    assert all(r == [0.0] for r in delta_features([[7.0]] * 5, width=2))
+    # delta of delta of a quadratic is constant in the interior
+    quad = [[float(t * t)] for t in range(12)]
+    dd = delta_features(delta_features(quad), width=2)
+    assert abs(dd[4][0] - dd[6][0]) < 1e-9
+
+
+def test_mfcc_stack_kernel_shapes(spark):
+    from data_migration_etl_scripts_spark.operators import melspec as msp
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    media = mm.synthetic_real_media(spark, n=4).where("media_type = 'audio'")
+    rows = msp.audio_mfcc_stack(media, n_fft=256, hop=160, n_mels=16,
+                                n_mfcc=8).collect()
+    assert rows and all(r["n_dims"] == 24 for r in rows)
+    for r in rows:
+        assert len(r["mfcc_bin"]) == r["n_frames"] * 24 * 4

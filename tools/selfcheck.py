@@ -808,7 +808,47 @@ def _range_pca_whiten(con, cols, rows) -> list[str]:
     return bad
 
 
+def _range_mfcc_stack(con, cols, rows) -> list[str]:
+    """audio_mfcc_stack: DCT/delta formulas are pinned by pytest
+    (test_melspec.py); this pins the Spark side by recomputing each
+    payload's full mel->MFCC->delta->delta-delta stack fingerprint
+    driver-side from the same fixture bytes."""
+    import hashlib as _hl
+    import struct as _struct
+
+    from data_migration_etl_scripts_spark.operators import melspec as msp
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    fixture = {
+        mid: bytes(content)
+        for mid, mtype, content, _m in mm.synthetic_real_media_rows(
+            24, include_mpeg=True
+        )
+        if mtype == "audio"
+    }
+    idx = {c: i for i, c in enumerate(cols)}
+    bad = []
+    if {r[idx["media_id"]] for r in rows} != set(fixture):
+        return [f"row id set != audio fixture ids ({len(rows)} rows)"]
+    for r in rows:
+        mid = r[idx["media_id"]]
+        rate, mono = mm.audio_decode_rate(fixture[mid])
+        mel = msp.log_mel_spectrogram(mono, rate, n_fft=256, hop=160, n_mels=16)
+        mfcc = msp.mfcc_from_mel(mel, n_mfcc=8)
+        d1 = msp.delta_features(mfcc)
+        d2 = msp.delta_features(d1)
+        blob = b"".join(
+            _struct.pack("<24f", *(c + v + a)) for c, v, a in zip(mfcc, d1, d2)
+        )
+        if r[idx["n_dims"]] != 24 or r[idx["n_frames"]] != len(mfcc):
+            bad.append(f"id {mid}: shape {r[idx['n_frames']]}x{r[idx['n_dims']]} != {len(mfcc)}x24")
+        if r[idx["mfcc_md5"]] != _hl.md5(blob).hexdigest():
+            bad.append(f"id {mid}: stack fingerprint != driver-side recompute")
+    return bad
+
+
 RANGE_CHECKS = {
+    "audio_mfcc_stack": _range_mfcc_stack,
     "embed_pca_whiten": _range_pca_whiten,
     "sketch_profile_events": _range_sketch_profile,
     "ann_topk_ivf_trained": _range_ivf_trained,
