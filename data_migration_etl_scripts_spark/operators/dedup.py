@@ -375,7 +375,16 @@ def ppjoin_pairs(
     bounded by prefix length (~(1-t)*|d| rows per doc) and rare
     tokens first — the hot-token explosion naive shingle joins hit
     cannot occur because ubiquitous tokens sit at the END of every
-    ordering, outside the prefixes."""
+    ordering, outside the prefixes.
+
+    Degenerate-vocab note: on corpora whose distinct-token universe is
+    tiny relative to doc count (the synthetic test tables), even rare
+    tokens appear in thousands of docs and near-uniform doc sizes
+    blunt the size/position bounds — candidates lawfully approach
+    all-pairs because that many pairs genuinely clear prefix+size
+    screening. Real web/text corpora (Zipf vocab, varied lengths) are
+    the regime the filters were designed for. The positional filter
+    (ubound >= alpha) is lossless, so it needs no oracle twin."""
     num, den = _rational(threshold)
 
     def ceil_tn(ncol):
@@ -394,6 +403,10 @@ def ppjoin_pairs(
             F.col(id_col).alias("doc_id"), F.explode(feat).alias("tok")
         )
         .distinct()
+        # five downstream consumers (freq, ordering, sizes, both
+        # verification sides) would each re-run the tokenize+explode+
+        # distinct subtree: materialize the feature relation once
+        .localCheckpoint(eager=True)
     )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     ordered = (
@@ -409,7 +422,20 @@ def ppjoin_pairs(
     with_n = ordered.join(sizes, "doc_id")
     prefix = with_n.where(
         F.col("pos") <= F.col("n") - ceil_tn(F.col("n")) + 1
-    ).select("doc_id", "tok", "n")
+    ).select("doc_id", "tok", "n", "pos")
+    # PPJoin's POSITIONAL filter (lossless, result set unchanged — the
+    # oracle needs no twin of it): a match at prefix positions (pa,
+    # pb) bounds the achievable overlap by 1 + min(na-pa, nb-pb),
+    # which must reach alpha = ceil(t/(1+t) * (na+nb)). On small-vocab
+    # corpora the token prefix alone degenerates toward all-pairs;
+    # the position bound restores candidate selectivity.
+    alpha = F.floor(
+        (F.lit(num) * (F.col("a.n") + F.col("b.n")) + F.lit(num + den - 1))
+        / F.lit(num + den)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
@@ -417,7 +443,8 @@ def ppjoin_pairs(
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n") >= ceil_tn(F.col("a.n")))
-            & (F.col("a.n") >= ceil_tn(F.col("b.n"))),
+            & (F.col("a.n") >= ceil_tn(F.col("b.n")))
+            & (ubound >= alpha),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

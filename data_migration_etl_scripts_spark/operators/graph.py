@@ -72,24 +72,32 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    # STATIC structure, computed once: edges carry their source's
+    # out-degree, and the dangling-node SET (no out-edges) never
+    # changes across iterations — only its rank mass does. This keeps
+    # each iteration to ONE action (the checkpoint) instead of a
+    # dangling-collect job + an update job, and drops the per-round
+    # ranks->out_deg join.
+    e_out = e.join(out_deg, "src").select("src", "dst", "out").localCheckpoint(
+        eager=True
+    )
+    dangling_nodes = nodes.join(
+        out_deg, nodes["node"] == out_deg["src"], "left_anti"
+    ).localCheckpoint(eager=True)
     # IEEE division itself is exactly rounded in both engines, so the
     # (1-d)/N and dangling/N terms need no defensive quantization.
     ranks = nodes.withColumn("rank", _q9(F.lit(1.0) / F.lit(float(n))))
     for _ in range(iterations):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left"
-        ).select("node", "rank", "out")
-        dangling = (
-            with_deg.where(F.col("out").isNull())
-            .agg(F.sum(F.col("rank").cast(_DEC)))
-            .collect()[0][0]
-        )
-        dangling = float(dangling or 0.0)
-        contrib = (
-            e.join(
-                with_deg.where(F.col("out").isNotNull()),
-                e["src"] == with_deg["node"],
+        dang = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
+                ).alias("dangm")
             )
+        )
+        contrib = (
+            e_out.join(ranks, e_out["src"] == ranks["node"])
             .select(
                 "dst",
                 _q9(F.col("rank") / F.col("out")).cast(_DEC).alias("c"),
@@ -99,18 +107,19 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 _q9(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (F.coalesce("inflow", F.lit(0.0))
-                       + F.lit(dangling / n))
+                       + F.col("dangm") / F.lit(float(n)))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_sql(

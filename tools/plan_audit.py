@@ -94,6 +94,11 @@ AUDITED = {
     "q18_large_volume_customers": "HAVING subquery and outer agg share one grouped child — per-order quantity computed once; customer broadcasts onto survivors; top-100 = TakeOrderedAndProject",
     "q19_disjunctive_revenue": "the FULL brand/size/quantity disjunction is pushed per-table to both parquet scans (row-group pruning on every OR arm); part broadcasts",
     "q21_waiting_orders": "EXISTS/NOT EXISTS de-correlated into one grouped pass per (order, supplier) + one per order — no probe joins, no window; blame filter is two scalar compares",
+    "ivm_join_orders_customer": "delta algebra: each batch joins only dF x D_new (broadcast) + F_old x dD (broadcast dim delta) — history never rejoined wholesale, the view accumulates as unions of per-batch deltas",
+    "gapfill_monthly_revenue": "spine = broadcast cross of two tiny relations (bounds x nations); fact aggregates once; running total is a nation-partitioned window — no global sort at any history length",
+    "dup_graph_triangles": "edges from the session-shared minhash stage (leaf scan); oriented 3-way self-join over a<b edges counts each triangle once — input already O(near-dups), never all-pairs",
+    "embed_pca_whiten": "fit = one mapInPandas pass reducing each partition to a (count, sum, Gram) row (driver merges #partitions rows); apply = zip_with/aggregate literal folds inside whole-stage codegen, zero Exchanges",
+    "bloom_prefilter_revenue": "8 KiB bitmap from one bit_or aggregate; probe = literal-array bit math in the orders-side Filter BEFORE any join; exact join after keeps semantics",
 }
 
 
