@@ -4412,3 +4412,75 @@ def audio_mfcc_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "rate", "n_frames", "n_dims",
         F.md5(F.col("mfcc_bin")).alias("mfcc_md5"),
     )
+
+
+_FUZZY_PAIRS_SQL = """
+    SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@query(
+    "entity_resolution_customers",
+    oracle=f"""
+    WITH labels AS ({cu.dup_clusters_sql(_FUZZY_PAIRS_SQL)})
+    SELECT coalesce(l.cluster_id, c.c_custkey) AS entity_id,
+           count(*) AS n_members,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_acctbal,
+           CAST(max(c.c_acctbal) AS DOUBLE) AS max_acctbal
+    FROM customer c LEFT JOIN labels l ON c.c_custkey = l.doc_id
+    GROUP BY entity_id
+    HAVING count(*) > 1
+    """,
+)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked edit-distance candidate
+    pairs (nation + name-prefix blocking, levenshtein <= 2) ->
+    connected components (hash-min label propagation) -> GOLDEN RECORD
+    aggregates per resolved entity (multi-member entities reported).
+    The full record-linkage composition in one declared plan: the pair
+    join is block-bounded, components touch only linked ids, and the
+    final rollup is one grouped pass over customers with labels
+    broadcast. Oracle replays the identical chain with a recursive-CTE
+    reachability."""
+    from data_migration_etl_scripts_spark.operators import curation as cu2
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.substring(F.col("a.c_name"), 1, 15)
+               == F.substring(F.col("b.c_name"), 1, 15))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+        .select(
+            F.col("a.c_custkey").alias("doc_a"),
+            F.col("b.c_custkey").alias("doc_b"),
+        )
+    )
+    labels = cu2.dup_clusters(pairs)
+    return (
+        cust.join(
+            F.broadcast(labels), cust.c_custkey == labels.doc_id, "left"
+        )
+        .groupBy(
+            F.coalesce("cluster_id", "c_custkey").alias("entity_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double").alias("total_acctbal"),
+            F.max("c_acctbal").cast("double").alias("max_acctbal"),
+        )
+        .where(F.col("n_members") > 1)
+    )
