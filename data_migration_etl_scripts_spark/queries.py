@@ -4484,3 +4484,89 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_members") > 1)
     )
+
+
+@query(
+    "minhash_calibration",
+    oracle=f"""
+    WITH pairs AS (
+        {dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", k=12, bands=4)}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest({__import__("data_migration_etl_scripts_spark.operators.textprep", fromlist=["word_shingles_sql"]).word_shingles_sql(__import__("data_migration_etl_scripts_spark.operators.textprep", fromlist=["tokens_sql"]).tokens_sql("text"), n=3)}) AS s
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, p.est_sim, count(*) AS ni
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+        GROUP BY p.doc_a, p.doc_b, p.est_sim
+    ),
+    scored AS (
+        SELECT least(CAST(floor(i.est_sim * 10) AS BIGINT), 9) AS est_bucket,
+               round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 9) AS jacc,
+               i.est_sim
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT est_bucket, count(*) AS n_pairs,
+           CAST(sum(CAST(jacc AS DECIMAL(20,10))) AS DOUBLE) / count(*)
+               AS avg_exact_jaccard,
+           CAST(sum(CAST(est_sim AS DECIMAL(20,10))) AS DOUBLE) / count(*)
+               AS avg_estimate
+    FROM scored GROUP BY est_bucket
+    """,
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash family: every LSH
+    candidate pair's signature-agreement ESTIMATE is binned and
+    compared to its EXACT shingle Jaccard — the measurement that turns
+    'k=12, bands=4' from a config into a validated operating point
+    (is the unbiased estimator actually centered, bucket by bucket?).
+    Exact intersections are computed only for candidate pairs (never
+    all-pairs); per-pair ratios are identical IEEE in both engines and
+    bucket averages go through DECIMAL sums. Rides the session-shared
+    minhash pair stage."""
+    from data_migration_etl_scripts_spark.operators import textprep as tp2
+
+    pairs = _minhash_pairs_stage(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(tp2.word_shingles(tp2.tokens("text"), n=3)).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "est_sim")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            F.least(F.floor(F.col("est_sim") * 10).cast("long"), F.lit(9))
+            .alias("est_bucket"),
+            F.round(
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni")), 9
+            ).alias("jacc"),
+            "est_sim",
+        )
+    )
+    dec = "decimal(20,10)"
+    return scored.groupBy("est_bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum(F.col("jacc").cast(dec)).cast("double")
+         / F.count(F.lit(1))).alias("avg_exact_jaccard"),
+        (F.sum(F.col("est_sim").cast(dec)).cast("double")
+         / F.count(F.lit(1))).alias("avg_estimate"),
+    )
