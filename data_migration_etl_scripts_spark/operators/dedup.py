@@ -451,20 +451,36 @@ def ppjoin_pairs(
         )
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cands.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # VERIFICATION as map-side array intersection, not an explode:
+    # joining candidates back to the (doc, tok) relation materializes
+    # O(candidates x |d|) rows (measured 3.3G rows / ~400 s at sf1 for
+    # 42M candidates of 77 shingles), while attaching each side's
+    # feature ARRAY (one row per doc, broadcast) and intersecting in
+    # codegen touches the same elements without shuffling any of them.
+    # Candidate volume is corpus-dependent; verification cost per
+    # candidate is what this bounds.
+    arrs = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks")
     )
+    arr_a = arrs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("toks").alias("toks_a"))
+    arr_b = arrs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("toks").alias("toks_b"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = (
+        cands.join(F.broadcast(arr_a), "doc_a")
+        .join(F.broadcast(arr_b), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+        )
+    )
     jac = F.round(
         F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
     )
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
