@@ -1111,3 +1111,68 @@ def quality_zscore_by_source_sql(
                END AS quality_z
         FROM scored s JOIN moments t USING (src)
     """
+
+
+# ------------------------------------------- consistent pseudonyms (r6)
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def _pseudo_tag(m: Column) -> Column:
+    """Deterministic per-VALUE placeholder: <EMAIL_nnn> keyed by an
+    md5-derived bucket of the matched string, so the same address maps
+    to the same tag in every document — linkage survives scrubbing."""
+    bucket = (
+        F.conv(F.substring(F.md5(m), 1, 4), 16, 10).cast("long") % 1000
+    ).cast("string")
+    return F.concat(F.lit("<EMAIL_"), bucket, F.lit(">"))
+
+
+def pseudonymize_emails(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text, n_matches): every email replaced by a CONSISTENT
+    hashed placeholder (same value -> same tag across the corpus),
+    unlike scrub_pii's uniform mask. Split the text on the pattern,
+    tag each extracted match, and re-interleave — all higher-order
+    column expressions, zero UDFs, zero shuffles; the cross-document
+    consistency needs no state because the tag is a pure function of
+    the matched value."""
+    parts = F.split(F.col(text_col), _EMAIL_RE, -1)
+    matches = F.regexp_extract_all(F.col(text_col), F.lit(_EMAIL_RE), 0)
+    tags_padded = F.concat(
+        F.transform(matches, _pseudo_tag), F.array(F.lit(""))
+    )
+    rebuilt = F.array_join(
+        F.zip_with(parts, tags_padded,
+                   lambda p, t: F.concat(p, F.coalesce(t, F.lit("")))),
+        "",
+    )
+    return df.select(
+        F.col(id_col),
+        rebuilt.alias("text"),
+        F.size(matches).alias("n_matches"),
+    )
+
+
+def pseudonymize_emails_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`pseudonymize_emails` (same pattern, same
+    md5-bucket tag formula)."""
+    tag = (
+        "'<EMAIL_' || CAST(CAST(('0x' || substr(md5(m), 1, 4)) AS BIGINT) "
+        "% 1000 AS VARCHAR) || '>'"
+    )
+    return f"""
+    SELECT {id_col},
+           array_to_string(
+               list_transform(
+                   list_zip(
+                       string_split_regex({text_col}, '{_EMAIL_RE}'),
+                       list_concat(
+                           list_transform(
+                               regexp_extract_all({text_col}, '{_EMAIL_RE}'),
+                               m -> {tag}),
+                           [''])),
+                   z -> z[1] || coalesce(z[2], '')),
+               '') AS text,
+           length(regexp_extract_all({text_col}, '{_EMAIL_RE}')) AS n_matches
+    FROM {table}
+    """

@@ -4570,3 +4570,35 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("est_sim").cast(dec)).cast("double")
          / F.count(F.lit(1))).alias("avg_estimate"),
     )
+
+
+#: PII fixture wrap: deterministic emails injected into each doc's text
+#: by the SAME SQL in both engines; the source-derived address repeats
+#: ACROSS documents, which is exactly what consistent pseudonymization
+#: must preserve (same address -> same tag corpus-wide).
+_PII_WRAP_SQL = (
+    "'contact ' || source || '@example.com asap: ' || text"
+    " || ' cc backup.' || lang || '@mail.test end'"
+)
+
+
+@query(
+    "pii_pseudonymize_consistent",
+    oracle=tx.pseudonymize_emails_sql(
+        f"(SELECT doc_id, {_PII_WRAP_SQL} AS wrapped "
+        "FROM documents WHERE text IS NOT NULL)",
+        "doc_id", "wrapped",
+    ),
+)
+def pii_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage-preserving PII scrubbing: every email becomes a hashed
+    placeholder that is a pure function of the VALUE — the same
+    address gets the same tag in every document, so co-occurrence
+    analysis and dedup survive redaction (uniform masks destroy
+    that signal). Split/tag/re-interleave as higher-order column
+    expressions: zero UDFs, zero shuffles, no cross-document state.
+    The fixture injects source-keyed addresses that repeat across
+    docs, and the output is fully hash-matched."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    wrapped = docs.select("doc_id", F.expr(_PII_WRAP_SQL).alias("wrapped"))
+    return tx.pseudonymize_emails(wrapped, "doc_id", "wrapped")
