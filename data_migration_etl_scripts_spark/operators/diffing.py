@@ -168,3 +168,117 @@ def fk_orphan_report_sql(
         for fk, dt, dk in fks
     ]
     return " UNION ALL ".join(parts)
+
+
+# ------------------------------------------ distribution drift (r6)
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column over a FIXED [lo, hi) equi-width bucketing (fixed domain =
+    comparable across runs; the tails clamp into the edge buckets).
+
+    Output: one row per bucket (bucket, base_share, cur_share,
+    psi_term) — psi_term = (cur - base) * ln(cur / base) with the
+    standard 1e-6 floor on shares so empty buckets stay finite. The
+    total PSI is the sum; per-bucket rows localize WHERE the
+    distribution moved (>0.2 total = investigate, the classic rule).
+    Two count aggregates (bucket cardinality each) joined on bucket —
+    scan-bound at any snapshot size; shares divide exactly (IEEE) and
+    psi terms round to 9 dp for cross-engine parity."""
+    width = (hi - lo) / n_buckets
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.greatest(F.floor((F.col(col) - lo) / width), F.lit(0)),
+            F.lit(n_buckets - 1),
+        ).cast("long")
+        counts = df.where(F.col(col).isNotNull()).groupBy(
+            b.alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        total = counts.agg(F.sum("n").alias("tot"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bucket",
+            F.greatest(
+                F.col("n").cast("double") / F.col("tot").cast("double"),
+                F.lit(1e-6),
+            ).alias(name),
+        )
+
+    spark = base.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        spine.join(F.broadcast(bucketed(base, "base_share")), "bucket", "left")
+        .join(F.broadcast(bucketed(current, "cur_share")), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("base_share", F.lit(1e-6)).alias("base_share"),
+            F.coalesce("cur_share", F.lit(1e-6)).alias("cur_share"),
+        )
+    )
+    return joined.select(
+        "bucket",
+        F.round("base_share", 9).alias("base_share"),
+        F.round("cur_share", 9).alias("cur_share"),
+        F.round(
+            (F.col("cur_share") - F.col("base_share"))
+            * F.log(F.col("cur_share") / F.col("base_share")),
+            9,
+        ).alias("psi_term"),
+    )
+
+
+def psi_drift_sql(
+    base_sql: str,
+    current_sql: str,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB twin of :func:`psi_drift` (same bucketing, floors,
+    rounding)."""
+    width = (hi - lo) / n_buckets
+
+    def bucketed(src: str, name: str) -> str:
+        return f"""
+        SELECT bucket, greatest(CAST(n AS DOUBLE) /
+                   (SELECT sum(n) FROM ({src}_counts)), 1e-6) AS {name}
+        FROM ({src}_counts)
+        """
+
+    def counts(src: str) -> str:
+        return f"""
+        SELECT CAST(least(greatest(floor(({col} - {lo!r}) / {width!r}), 0),
+                          {n_buckets - 1}) AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM ({src}) WHERE {col} IS NOT NULL GROUP BY bucket
+        """
+
+    return f"""
+    WITH base_counts AS ({counts(base_sql)}),
+    cur_counts AS ({counts(current_sql)}),
+    base_sh AS (SELECT bucket, greatest(CAST(n AS DOUBLE) /
+                    (SELECT sum(n) FROM base_counts), 1e-6) AS base_share
+                FROM base_counts),
+    cur_sh AS (SELECT bucket, greatest(CAST(n AS DOUBLE) /
+                   (SELECT sum(n) FROM cur_counts), 1e-6) AS cur_share
+               FROM cur_counts),
+    spine AS (SELECT unnest(generate_series(0, {n_buckets - 1})) AS bucket)
+    SELECT s.bucket,
+           round(coalesce(b.base_share, 1e-6), 9) AS base_share,
+           round(coalesce(c.cur_share, 1e-6), 9) AS cur_share,
+           round((coalesce(c.cur_share, 1e-6) - coalesce(b.base_share, 1e-6))
+                 * ln(coalesce(c.cur_share, 1e-6) / coalesce(b.base_share, 1e-6)),
+                 9) AS psi_term
+    FROM spine s
+    LEFT JOIN base_sh b ON s.bucket = b.bucket
+    LEFT JOIN cur_sh c ON s.bucket = c.bucket
+    """

@@ -4602,3 +4602,28 @@ def pii_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     wrapped = docs.select("doc_id", F.expr(_PII_WRAP_SQL).alias("wrapped"))
     return tx.pseudonymize_emails(wrapped, "doc_id", "wrapped")
+
+
+@query(
+    "drift_psi_order_value",
+    oracle=dfo.psi_drift_sql(
+        "SELECT o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'",
+        "SELECT o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'",
+        "o_totalprice", 0.0, 600000.0,
+    ),
+)
+def drift_psi_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (PSI): order-value distribution of
+    the pre-1998 history vs everything after, per fixed bucket — the
+    retrain/alert trigger every production scoring pipeline runs
+    (total PSI > 0.2 = investigate) with per-bucket terms localizing
+    WHERE the distribution moved. Two count aggregates + a broadcast
+    10-row join; scan-bound at any snapshot size."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderdate") < _tpch_ts(spark, "1998-01-01"))
+    cur = orders.where(F.col("o_orderdate") >= _tpch_ts(spark, "1998-01-01"))
+    return dfo.psi_drift(base, cur, "o_totalprice", 0.0, 600000.0)
+
+
+def _tpch_ts(spark, s: str):
+    return F.lit(s + " 00:00:00").cast("timestamp")
