@@ -4627,3 +4627,99 @@ def drift_psi_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tpch_ts(spark, s: str):
     return F.lit(s + " 00:00:00").cast("timestamp")
+
+
+@query(
+    "trend_slope_revenue",
+    oracle="""
+    WITH monthly AS (
+        SELECT n_name,
+               CAST(datediff('month', DATE '1995-01-01',
+                             CAST(date_trunc('month', o_orderdate) AS DATE))
+                    AS BIGINT) AS x,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, x
+    )
+    SELECT n_name,
+           count(*) AS n_months,
+           round(CAST((count(*) * sum(x * y) - sum(x) * sum(y)) AS DOUBLE)
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+               AS slope_per_month
+    FROM monthly GROUP BY n_name
+    """,
+)
+def trend_slope_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue TREND via closed-form OLS over monthly
+    totals: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — regression as
+    pure aggregation, no iteration, no driver round-trip. Month totals
+    are DECIMAL-exact and x is an integer index, so every moment sum
+    is exact under any partitioning; one double division at the end.
+    The trend-detection primitive behind every 'which segments are
+    growing' report."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.months_between(
+            F.trunc("o_orderdate", "month"), F.lit("1995-01-01")
+        ).cast("long").alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "x")
+        .agg(F.sum("price").alias("y"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    return monthly.groupBy("n_name").agg(
+        n.alias("n_months"),
+        F.round(
+            (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx), 6
+        ).alias("slope_per_month"),
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT prev, event_type AS next, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY prev),
+                 6) AS p_next_given_prev
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, next
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov matrix: P(next event | previous
+    event) from per-user ordered streams — one user-partitioned lag
+    window + one grouped count, with the row-normalization as a window
+    over the 5x5 aggregate (never the fact). The path-analysis
+    primitive behind funnels, next-action prediction baselines, and
+    bot detection."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    counts = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev")
+    return counts.select(
+        "prev", "next", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6)
+        .alias("p_next_given_prev"),
+    )
