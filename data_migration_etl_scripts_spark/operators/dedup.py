@@ -459,6 +459,13 @@ def ppjoin_pairs(
     # codegen touches the same elements without shuffling any of them.
     # Candidate volume is corpus-dependent; verification cost per
     # candidate is what this bounds.
+    # Broadcast only while the per-doc array relation is bounded
+    # (docs x avg shingles x ~16 B must stay well under the 8 GB
+    # broadcast ceiling); above the bound, plain equi-joins — AQE
+    # still broadcasts if runtime sizes allow, otherwise the attach
+    # is two shuffles of the CANDIDATE set, never an explode.
+    n_docs = sizes.count()
+    bc = F.broadcast if n_docs <= 2_000_000 else (lambda df: df)
     arrs = tok.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks")
     )
@@ -469,8 +476,8 @@ def ppjoin_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     inter = (
-        cands.join(F.broadcast(arr_a), "doc_a")
-        .join(F.broadcast(arr_b), "doc_b")
+        cands.join(bc(arr_a), "doc_a")
+        .join(bc(arr_b), "doc_b")
         .select(
             "doc_a", "doc_b",
             F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
@@ -480,7 +487,7 @@ def ppjoin_pairs(
         F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
     )
     return (
-        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        inter.join(bc(sa), "doc_a").join(bc(sb), "doc_b")
         .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -224,7 +224,7 @@ def blocklist_filter_sql(
 #: shared pattern strings (RE2-compatible: no backreferences in the
 #: PATTERNS; capture-group replacements differ only in marker syntax —
 #: $1 in Spark, \1 in DuckDB)
-_MD_FENCE = r"(?s)```[^`]*```"
+_MD_FENCE = r"(?s)```.*?```"
 _MD_IMAGE = r"!\[([^\]]*)\]\([^)]*\)"
 _MD_LINK = r"\[([^\]]*)\]\([^)]*\)"
 _MD_HEADER = r"(?m)^#{1,6}[ \t]+"
@@ -281,10 +281,17 @@ def markdown_to_text_sql(expr: str) -> str:
 
 def extract_markdown(df: DataFrame, id_col: str, md_col: str) -> DataFrame:
     """(id, text, n_chars, n_code_blocks, n_links): extraction plus the
-    two structure signals a code-adjacent quality filter keys on,
-    counted BEFORE stripping."""
+    two structure signals a code-adjacent quality filter keys on.
+    n_code_blocks counts fences on the raw source; n_links counts on
+    the FENCE-STRIPPED source (link syntax inside code is code, not a
+    link) and excludes image syntax (every ![alt](url) contains a
+    [alt](url) substring the link pattern would otherwise match)."""
     n_code = F.regexp_count(F.col(md_col), F.lit(_MD_FENCE))
-    n_links = F.regexp_count(F.col(md_col), F.lit(_MD_LINK))
+    defenced = F.regexp_replace(F.col(md_col), _MD_FENCE, " ")
+    n_links = (
+        F.regexp_count(defenced, F.lit(_MD_LINK))
+        - F.regexp_count(defenced, F.lit(_MD_IMAGE))
+    )
     return df.select(
         F.col(id_col),
         markdown_to_text(md_col).alias("text"),
@@ -297,11 +304,13 @@ def extract_markdown(df: DataFrame, id_col: str, md_col: str) -> DataFrame:
 def extract_markdown_sql(table: str, id_col: str, md_col: str) -> str:
     """DuckDB twin of :func:`extract_markdown`."""
     txt = markdown_to_text_sql(md_col)
+    defenced = f"regexp_replace({md_col}, '{_MD_FENCE}', ' ', 'g')"
     return f"""
     SELECT {id_col},
            {txt} AS text,
            length({txt}) AS n_chars,
            length(regexp_extract_all({md_col}, '{_MD_FENCE}')) AS n_code_blocks,
-           length(regexp_extract_all({md_col}, '{_MD_LINK}')) AS n_links
+           length(regexp_extract_all({defenced}, '{_MD_LINK}'))
+               - length(regexp_extract_all({defenced}, '{_MD_IMAGE}')) AS n_links
     FROM {table}
     """

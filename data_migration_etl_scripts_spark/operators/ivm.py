@@ -67,6 +67,12 @@ def maintain_join(
     stay lazy — Spark plans each ΔV against the accumulated lineage;
     a deployment would persist V and the side snapshots per batch
     (same pattern as cdc.py's staged writes)."""
+    if not f_batches or not d_batches:
+        raise ValueError(
+            "maintain_join needs at least one batch on EACH side (the "
+            "first batch seeds the schemas; pass an explicit .limit(0) "
+            "frame for a side with no data)"
+        )
     n = max(len(f_batches), len(d_batches))
     f_old: DataFrame | None = None
     d_old: DataFrame | None = None
@@ -119,9 +125,13 @@ def maintain_join_cdc(
         if dd is None and d_old is not None:
             dd = d_old.limit(0)
         if fd is None or dd is None:
-            # first batch must seed both sides
-            fd = fd if fd is not None else b["f_ins"]
-            dd = dd if dd is not None else b["d_ins"]
+            # schemas come from the seeds: without a prior batch there
+            # is nothing to derive an empty delta from
+            raise ValueError(
+                "maintain_join_cdc: the FIRST batch must carry both "
+                "f_ins and d_ins (seed frames; .limit(0) is fine) — "
+                f"got keys {sorted(b)}"
+            )
         dv = join_delta(f_old, fd, d_old, dd, keys, broadcast_dim)
         view = dv if view is None else view.unionByName(dv)
         f_old = fd if f_old is None else f_old.unionByName(fd)

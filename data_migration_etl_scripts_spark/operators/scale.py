@@ -305,7 +305,12 @@ def bloom_bitmap(
     BEFORE the shuffle. False positives only — the exact join after
     the prefilter keeps semantics identical (the oracle is the plain
     join)."""
+    # round UP to whole words so the probe side's 64*len(bitmap)
+    # modulus is ALWAYS the build modulus — a ragged n_bits would make
+    # the two sides hash into different rings and silently drop
+    # members (false negatives), violating the contract below
     n_words = (n_bits + 63) // 64
+    n_bits = 64 * n_words
     probes = []
     for s in range(n_hashes):
         pos = f"pmod(xxhash64({key_col}, {s}), {n_bits})"

@@ -410,8 +410,10 @@ def tiff_encode(
 
     ifd_size = 2 + 12 * len(entries) + 4
     extra_off = header + ifd_size
+    # extra is complete (out-of-line values, including the StripOffsets
+    # placeholder when n_strips > 1), so the data base is final: compute
+    # the strip offsets once and write them into their recorded slot
     data_off = extra_off + len(extra)
-    # patch strip offsets now that layout is known
     strip_offs = []
     pos = data_off
     for s in strips:
@@ -419,31 +421,18 @@ def tiff_encode(
         pos += len(s)
     fixed: list[bytes] = []
     for tag, typ, cnt, val in entries:
-        if tag == _T_STRIP_OFFSETS:
-            if cnt == 1:
-                val_b = struct.pack(e + "I", strip_offs[0])
-            else:
-                val_b = struct.pack(e + "I", extra_off + len(extra))
-                extra.extend(struct.pack(e + f"{cnt}I", *strip_offs))
-                data_off = extra_off + len(extra)
-                # relayout: strip data moved — recompute offsets below
+        if tag == _T_STRIP_OFFSETS and cnt == 1:
+            val_b = struct.pack(e + "I", strip_offs[0])
         elif isinstance(val, tuple):
-            val_b = struct.pack(e + "I", extra_off + val[1])
+            slot = val[1]
+            if tag == _T_STRIP_OFFSETS:
+                extra[slot:slot + 4 * cnt] = struct.pack(
+                    e + f"{cnt}I", *strip_offs
+                )
+            val_b = struct.pack(e + "I", extra_off + slot)
         else:
             val_b = val.to_bytes(4, "big" if big_endian else "little")
         fixed.append(struct.pack(e + "HHI", tag, typ, cnt) + val_b)
-
-    # if strip offsets went out-of-line, the data base moved: rewrite them
-    if n_strips > 1:
-        pos = extra_off + len(extra)
-        strip_offs = []
-        for s in strips:
-            strip_offs.append(pos)
-            pos += len(s)
-        # find the offsets array at its recorded position inside extra
-        # (it is the LAST thing appended)
-        arr = struct.pack(e + f"{n_strips}I", *strip_offs)
-        extra[-len(arr):] = arr
 
     out = bytearray()
     out += (b"MM\x00*" if big_endian else b"II*\x00")

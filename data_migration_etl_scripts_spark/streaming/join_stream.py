@@ -94,10 +94,14 @@ def fold_batch_into_join(
         orphans_new = orphans_new.unionByName(
             orphans_prev.join(F.broadcast(d_delta.select(on)), on, "left_anti")
         )
-    # view first (its _SUCCESS gates the version), then companions
-    view_new.write.mode("overwrite").parquet(os.path.join(vdir, "view"))
+    # companions FIRST, the gating view write LAST: _versions() treats
+    # view/_SUCCESS as the version's commit marker, so it must appear
+    # only once dim/ and orphans/ exist — a crash mid-fold then leaves
+    # an unlisted torn directory that the replay overwrites, never a
+    # 'committed' version with missing companions
     dim_now.write.mode("overwrite").parquet(os.path.join(vdir, "dim"))
     orphans_new.write.mode("overwrite").parquet(os.path.join(vdir, "orphans"))
+    view_new.write.mode("overwrite").parquet(os.path.join(vdir, "view"))
     for v in _versions(state_dir)[:-keep_versions]:
         shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
 

@@ -109,3 +109,26 @@ def test_extraction_is_map_side_only(spark):
     plan = hx.extract_text(df, "doc_id", "html")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffles: pure projection
+
+
+def test_markdown_fence_with_inner_backticks(spark):
+    from data_migration_etl_scripts_spark.operators import html as hx
+
+    md = "intro\n```\nx = `cmd` + `other`\n```\nprose [a](http://x) tail"
+    df = spark.createDataFrame([(1, md)], "doc_id long, md string")
+    row = hx.extract_markdown(df, "doc_id", "md").collect()[0]
+    assert row["n_code_blocks"] == 1
+    assert "cmd" not in row["text"]  # code body dropped, backticks and all
+    assert row["n_links"] == 1
+
+
+def test_markdown_link_count_excludes_images_and_code(spark):
+    from data_migration_etl_scripts_spark.operators import html as hx
+
+    md = ("![pic](/i.png) real [link](http://a) "
+          "```\n[not a link](http://in-code)\n```")
+    df = spark.createDataFrame([(1, md)], "doc_id long, md string")
+    row = hx.extract_markdown(df, "doc_id", "md").collect()[0]
+    assert row["n_links"] == 1
+    assert row["n_code_blocks"] == 1
+    assert row["text"].startswith("pic real link")

@@ -96,3 +96,13 @@ def test_cdc_delete_before_insert_within_batch(spark):
     ]
     view = ivm.maintain_join_cdc(batches, on="k", fact_key="k", dim_key="k")
     assert _rows(view) == [(1, 42, "a")]
+
+
+def test_first_batch_must_seed_both_sides(spark):
+    import pytest
+
+    f1 = spark.createDataFrame([(1, 10)], "k int, fv int")
+    with pytest.raises(ValueError, match="FIRST batch"):
+        ivm.maintain_join_cdc([{"f_ins": f1}], on="k", fact_key="k", dim_key="k")
+    with pytest.raises(ValueError, match="at least one batch"):
+        ivm.maintain_join([], [f1], on="k")

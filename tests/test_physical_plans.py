@@ -312,6 +312,18 @@ def test_runtime_bloom_filter_prunes_fact_side_of_selective_join(spark):
             spark.conf.set(k, v)
 
 
+def test_bloom_ragged_nbits_rounds_to_words(spark):
+    # a non-multiple-of-64 n_bits must not split build/probe moduli
+    from data_migration_etl_scripts_spark.operators import scale as sc
+
+    dim = spark.range(0, 300).select((F.col("id") * 3).alias("k"))
+    bm = sc.bloom_bitmap(dim, "k", n_bits=1000, n_hashes=3)
+    assert len(bm) == 16  # rounded up to 1024 bits
+    fact = spark.range(0, 2000).select(F.col("id").alias("k"))
+    kept = fact.where(sc.bloom_might_contain("k", bm))
+    assert dim.join(kept, "k", "left_anti").count() == 0  # zero FN
+
+
 def test_bloom_prefilter_no_false_negatives_and_pure_codegen(spark):
     from data_migration_etl_scripts_spark.operators import scale as sc
 
