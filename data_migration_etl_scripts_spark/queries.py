@@ -4723,3 +4723,92 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6)
         .alias("p_next_given_prev"),
     )
+
+
+def _cms_bucket_sql(expr: str, depth: int, width: int) -> str:
+    """md5-derived CMS bucket for row ``depth`` (engine-shared)."""
+    return (
+        f"CAST(('0x' || substr(md5({expr} || ':cms{depth}'), 1, 13)) AS BIGINT)"
+        f" % {width}"
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({tp.tokens_sql("text")}) AS tok FROM documents
+    ),
+    exact AS (
+        SELECT tok, count(*) AS exact_n,
+               row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+        FROM toks GROUP BY tok
+    ),
+    cms AS (
+        SELECT d, bucket, count(*) AS c FROM (
+            SELECT unnest([0, 1, 2, 3]) AS d,
+                   unnest([{_cms_bucket_sql('tok', 0, 512)},
+                           {_cms_bucket_sql('tok', 1, 512)},
+                           {_cms_bucket_sql('tok', 2, 512)},
+                           {_cms_bucket_sql('tok', 3, 512)}]) AS bucket
+            FROM toks
+        ) GROUP BY d, bucket
+    )
+    SELECT e.tok, e.exact_n, min(c.c) AS cms_estimate
+    FROM exact e
+    JOIN cms c ON (
+        (c.d = 0 AND c.bucket = {_cms_bucket_sql('e.tok', 0, 512)}) OR
+        (c.d = 1 AND c.bucket = {_cms_bucket_sql('e.tok', 1, 512)}) OR
+        (c.d = 2 AND c.bucket = {_cms_bucket_sql('e.tok', 2, 512)}) OR
+        (c.d = 3 AND c.bucket = {_cms_bucket_sql('e.tok', 3, 512)})
+    )
+    WHERE e.rn <= 20
+    GROUP BY e.tok, e.exact_n
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: the mergeable frequency sketch
+    (depth 4 x width 512 counters) built in ONE grouped pass over the
+    exploded tokens — 2048 counter rows out, map-side combined, so
+    1000 executors merge by ADDING counters (the property exact
+    counts lack at stream scale). Point estimates = min over the 4
+    rows; one-sided error (estimate >= exact, within eN/width w.h.p.),
+    checked here against the exact top-20. Deterministic md5 bucket
+    hashes make the whole sketch SQL-expressible — the oracle
+    hash-matches every counter."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tp.tokens("text")).alias("tok"))
+    def spark_bucket(d: int):
+        # same value as _cms_bucket_sql's DuckDB hex-cast form
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.col("tok"),
+                                              F.lit(f":cms{d}"))), 1, 13),
+                   16, 10).cast("long") % 512
+        )
+
+    buckets = [
+        F.struct(F.lit(d).alias("d"), spark_bucket(d).alias("bucket"))
+        for d in range(4)
+    ]
+    cms = (
+        toks.select(F.explode(F.array(*buckets)).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
+    )
+    probe = exact.select(
+        "tok", "exact_n",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"), spark_bucket(d).alias("bucket"))
+            for d in range(4)
+        ])).alias("p"),
+    ).select("tok", "exact_n", F.col("p.d").alias("d"),
+             F.col("p.bucket").alias("bucket"))
+    return (
+        probe.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
