@@ -217,3 +217,97 @@ def adpcm_wav_encode(
     out += b"fact" + struct.pack("<II", 4, n)  # true per-channel length
     out += b"data" + struct.pack("<I", len(blocks)) + blocks
     return b"RIFF" + struct.pack("<I", len(out)) + bytes(out)
+
+
+# ------------------------------------------- G.711 companding (r6)
+#
+# WAV format tags 6 (A-law) and 7 (mu-law): 8-bit companded telephony
+# audio, decoded by the ITU-T G.711 expansion formulas. Formula-derived
+# (sign | exponent | mantissa fields), no tables to transcribe.
+
+
+def mulaw_decode_sample(b: int) -> int:
+    """One mu-law byte -> linear int16 (G.711: bias 0x84, 3-bit
+    exponent, 4-bit mantissa, bitwise-inverted on the wire)."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return -mag if sign else mag
+
+
+def alaw_decode_sample(b: int) -> int:
+    """One A-law byte -> linear int16 (G.711: even bits inverted on
+    the wire, 12-bit magnitude, exponent 0 is linear; the A-law sign
+    bit SET means POSITIVE — opposite of mu-law's post-complement
+    convention)."""
+    b ^= 0x55
+    sign = b & 0x80
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    if exp == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (exp - 1)
+    return mag if sign else -mag
+
+
+def g711_wav_decode(b: bytes) -> tuple[int, int, list[float]]:
+    """G.711 WAV bytes (fmt tag 6 or 7) -> (rate, nch, mono [-1, 1])."""
+    import struct as _s
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    code, nch, rate = _s.unpack_from("<HHI", fmt)
+    if code not in (6, 7):
+        raise ValueError(f"not G.711 (fmt tag {code})")
+    dec = alaw_decode_sample if code == 6 else mulaw_decode_sample
+    lut = [dec(i) / 32768.0 for i in range(256)]
+    vals = [lut[x] for x in data]
+    mono = [sum(vals[i:i + nch]) / nch for i in range(0, len(vals) - nch + 1, nch)]
+    return rate, nch, mono
+
+
+def g711_wav_encode(
+    samples: list[int], rate: int = 8000, law: str = "mulaw"
+) -> bytes:
+    """int16 mono samples -> G.711 WAV (search-based compander: each
+    sample maps to the code whose expansion is nearest — exact inverse
+    of the decode LUT, so round-trips are optimal-quantizer)."""
+    import struct as _s
+
+    dec = alaw_decode_sample if law == "alaw" else mulaw_decode_sample
+    code_id = 6 if law == "alaw" else 7
+    lut = sorted((dec(c), c) for c in range(256))
+    import bisect
+
+    keys = [v for v, _ in lut]
+
+    def nearest(s: int) -> int:
+        i = bisect.bisect_left(keys, s)
+        best = min(
+            (abs(keys[j] - s), lut[j][1])
+            for j in (max(0, i - 1), min(i, 255))
+        )
+        return best[1]
+
+    payload = bytes(nearest(max(-32768, min(32767, s))) for s in samples)
+    fmt = _s.pack("<HHIIHH", code_id, 1, rate, rate, 1, 8)
+    out = bytearray(b"WAVE")
+    out += b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    out += b"fact" + _s.pack("<II", 4, len(samples))
+    out += b"data" + _s.pack("<I", len(payload)) + payload
+    return b"RIFF" + _s.pack("<I", len(out)) + bytes(out)

@@ -759,15 +759,25 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
         vals = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[:n * width])
         mono = [sum(vals[i:i + nch]) / nch for i in range(0, n, nch)]
         return int(len(mono) * 1000 / rate), mono
-    # IMA ADPCM (format 0x11): stdlib wave rejects compressed formats
+    # compressed WAV formats stdlib wave rejects: IMA ADPCM (0x11),
+    # G.711 A-law (6) and mu-law (7)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 22:
         fmt_pos = b.find(b"fmt ")
-        if fmt_pos >= 0 and int.from_bytes(b[fmt_pos + 8:fmt_pos + 10], "little") == 0x11:
+        tag = (int.from_bytes(b[fmt_pos + 8:fmt_pos + 10], "little")
+               if fmt_pos >= 0 else 0)
+        if tag == 0x11:
             from data_migration_etl_scripts_spark.operators.adpcm import (
                 adpcm_wav_decode,
             )
 
             rate, _nch, mono = adpcm_wav_decode(b)
+            return int(len(mono) * 1000 / rate), mono
+        if tag in (6, 7):
+            from data_migration_etl_scripts_spark.operators.adpcm import (
+                g711_wav_decode,
+            )
+
+            rate, _nch, mono = g711_wav_decode(b)
             return int(len(mono) * 1000 / rate), mono
     with wave.open(io.BytesIO(b)) as w:
         nch, sampwidth, rate, nframes = (
@@ -825,6 +835,15 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
                 )
 
                 rate, _nch, mono = adpcm_wav_decode(b)
+                return rate, mono
+            if fmt_pos >= 0 and int.from_bytes(
+                b[fmt_pos + 8:fmt_pos + 10], "little"
+            ) in (6, 7):  # G.711 A-law / mu-law
+                from data_migration_etl_scripts_spark.operators.adpcm import (
+                    g711_wav_decode,
+                )
+
+                rate, _nch, mono = g711_wav_decode(b)
                 return rate, mono
             with wave.open(io.BytesIO(b)) as w:
                 rate = w.getframerate()
@@ -1250,6 +1269,20 @@ def synthetic_real_media_rows(
         rows.append((n + 11, "audio",
                      bytearray(adpcm_wav_encode(
                          [itone(550.0, 800)], rate=8000)),
+                     "{}"))
+        from data_migration_etl_scripts_spark.operators.adpcm import (
+            g711_wav_encode,
+        )
+
+        rows.append((n + 12, "audio",
+                     bytearray(g711_wav_encode(
+                         itone(330.0, 800), rate=8000, law="mulaw")),
+                     "{}"))
+        px5 = [[((x * 11 + y * 3) % 256, (x + y) % 256, (x * 2 + y * 5) % 256)
+                for x in range(9)] for y in range(7)]
+        rows.append((n + 13, "image",
+                     bytearray(tiff_encode(px5, compression="deflate",
+                                           predictor=True)),
                      "{}"))
     return rows
 

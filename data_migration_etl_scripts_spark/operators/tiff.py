@@ -2,8 +2,9 @@
 
 Decoder covers the baseline-TIFF matrix a web/scan corpus actually
 contains: both byte orders (II little-endian / MM big-endian), striped
-images (any RowsPerStrip), Compression 1 (none), 32773 (PackBits) and
-5 (LZW, with the spec's early-change code widths), Predictor 2
+images (any RowsPerStrip), Compression 1 (none), 32773 (PackBits), 8 (Adobe
+Deflate/zlib) and 5 (LZW, with the spec's early-change code widths),
+Predictor 2
 (horizontal differencing), and PhotometricInterpretation 0/1
 (bilevel+gray, including WhiteIsZero inversion), 2 (RGB, with an
 extra-samples-tolerant chunky layout) and 3 (palette via ColorMap's
@@ -11,7 +12,7 @@ extra-samples-tolerant chunky layout) and 3 (palette via ColorMap's
 mainstream viewer behavior.
 
 Encoder writes single-IFD little-endian TIFF (gray or RGB, any
-RowsPerStrip, compression none/PackBits/LZW, optional predictor 2) —
+RowsPerStrip, compression none/PackBits/LZW/Deflate, optional predictor 2) —
 enough to round-trip every decoder path and to cross-check against
 foreign fixtures byte-structurally.
 
@@ -25,8 +26,8 @@ kernel shape as operators/jpeg.py (mapInPandas streams Arrow batches;
 each file decodes independently, embarrassingly parallel at 100 TB).
 
 What is NOT here (documented seams, same policy as jpeg.py/webp.py):
-tiled TIFF (tag 322/323), JPEG-in-TIFF (Compression 6/7), deflate
-(8), CCITT fax codings (2/3/4), planar configuration 2, and >8-bit
+tiled TIFF (tag 322/323), JPEG-in-TIFF (Compression 6/7), CCITT
+fax codings (2/3/4), planar configuration 2, and >8-bit
 samples. Each raises NotImplementedError naming the tag value.
 """
 
@@ -252,9 +253,10 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         raise NotImplementedError(f"PlanarConfiguration {planar} — chunky (1) only")
     if any(x not in (1, 8) for x in bits[:spp]):
         raise NotImplementedError(f"BitsPerSample {bits} — 1- and 8-bit only")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise NotImplementedError(
-            f"Compression {comp} — none (1), LZW (5), PackBits (32773) only"
+            f"Compression {comp} — none (1), LZW (5), Deflate (8), "
+            "PackBits (32773) only"
         )
 
     bilevel = bits[0] == 1 and spp == 1
@@ -269,6 +271,10 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
             data = chunk[:expected]
         elif comp == 32773:
             data = packbits_decode(chunk, expected)
+        elif comp == 8:  # Adobe deflate: zlib stream per strip
+            import zlib
+
+            data = zlib.decompress(bytes(chunk))[:expected]
         else:
             data = lzw_decode(chunk, expected)
         if predictor == 2:
@@ -347,7 +353,7 @@ def tiff_encode(
     big_endian: bool = False,
 ) -> bytes:
     """rows of (r, g, b) -> TIFF bytes. compression in
-    {'none', 'packbits', 'lzw'}; predictor applies horizontal
+    {'none', 'packbits', 'lzw', 'deflate'}; predictor applies horizontal
     differencing (LZW-style, valid with any compression per spec);
     gray writes 1 sample/pixel from the red channel."""
     height = len(px)
@@ -355,7 +361,7 @@ def tiff_encode(
     spp = 1 if gray else 3
     rps = rows_per_strip or height
     e = ">" if big_endian else "<"
-    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[compression]
 
     # raster -> per-strip encoded bytes
     strips: list[bytes] = []
@@ -374,6 +380,10 @@ def tiff_encode(
             strips.append(bytes(seg))
         elif compression == "packbits":
             strips.append(packbits_encode(bytes(seg)))
+        elif compression == "deflate":
+            import zlib
+
+            strips.append(zlib.compress(bytes(seg), 6))
         else:
             strips.append(lzw_encode(bytes(seg)))
 

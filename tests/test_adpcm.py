@@ -113,3 +113,32 @@ def test_not_adpcm_raises():
     pcm = mm.wav_encode([0.0] * 100)
     with pytest.raises(ValueError, match="fmt tag 1"):
         ad.adpcm_wav_decode(pcm)
+
+
+def test_g711_expansion_goldens():
+    # formula-derived extremes of the G.711 expansions
+    assert ad.mulaw_decode_sample(0x80) == 32124   # max positive
+    assert ad.mulaw_decode_sample(0x00) == -32124  # max negative
+    assert ad.mulaw_decode_sample(0xFF) == 0       # quietest positive
+    assert ad.alaw_decode_sample(0xD5) == 8   # XOR -> 0x80: sign SET = +
+    assert ad.alaw_decode_sample(0x55) == -8  # XOR -> 0x00: sign clear = -
+    # A-law full scale (XOR -> 0xFF)
+    assert ad.alaw_decode_sample(0xAA) == 32256
+
+
+def test_g711_roundtrip_snr_and_dispatch():
+    tone = _tone(440, 1600)
+    for law in ("mulaw", "alaw"):
+        b = ad.g711_wav_encode(tone, rate=8000, law=law)
+        rate, nch, mono = ad.g711_wav_decode(b)
+        assert (rate, nch, len(mono)) == (8000, 1, 1600)
+        assert _snr([t / 32768.0 for t in tone], mono) > 30.0
+        dur_ms, mono2 = mm.wav_decode(b)
+        assert dur_ms == 200 and mono2 == mono
+
+
+def test_g711_features_real():
+    tone = _tone(300, 800)
+    f = mm._real_features(ad.g711_wav_encode(tone, rate=8000), 6)
+    assert f[0] == pytest.approx(0.1, abs=0.01)
+    assert 0.1 <= f[2] <= 0.9

@@ -185,14 +185,14 @@ def test_unsupported_paths_raise_with_tag_names():
     good = tf.tiff_encode(px)
     with pytest.raises(ValueError):
         tf.tiff_decode(b"XX" + good[2:])
-    # unsupported compression id: patch tag 259 to 8 (deflate)
+    # unsupported compression id: patch tag 259 to 7 (JPEG-in-TIFF)
     b = bytearray(good)
     n = struct.unpack_from("<H", b, 8)[0]
     for i in range(n):
         base = 10 + 12 * i
         if struct.unpack_from("<H", b, base)[0] == 259:
-            struct.pack_into("<H", b, base + 8, 8)
-    with pytest.raises(NotImplementedError, match="Compression 8"):
+            struct.pack_into("<H", b, base + 8, 7)
+    with pytest.raises(NotImplementedError, match="Compression 7"):
         tf.tiff_decode(bytes(b))
     # tiled layout: inject tag 322
     with pytest.raises(NotImplementedError, match="tiled"):
@@ -217,3 +217,15 @@ def test_dhash_container_invariant_includes_tiff():
     h_bmp = ih.dhash_bits(mm.image_decode(mm.bmp_encode(px))[2])
     h_tif = ih.dhash_bits(mm.image_decode(tf.tiff_encode(px, compression="packbits"))[2])
     assert h_bmp == h_tif
+
+
+def test_deflate_compression_roundtrip():
+    px = _px(21, 13, seed=9)
+    for rps in (None, 4):
+        for pred in (False, True):
+            b = tf.tiff_encode(px, compression="deflate",
+                               rows_per_strip=rps, predictor=pred)
+            assert tf.tiff_decode(b)[2] == px
+    # a smooth image actually compresses under zlib
+    sm = _smooth(32, 32)
+    assert len(tf.tiff_encode(sm, compression="deflate")) < len(tf.tiff_encode(sm))
