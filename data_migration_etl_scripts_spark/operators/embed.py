@@ -607,17 +607,20 @@ def pca_whiten_apply(
     prefix: str = "pc_",
     decimals: int = 6,
 ) -> DataFrame:
-    """Map-side projection pc_j = W[j] . (v - mean): literal weight
-    arrays folded via zip_with + aggregate (the random_projection
-    pattern) — zero shuffles, zero UDFs. An explicit 64-term sum per
-    output would exceed Janino's method-size limit at out_dim 16 and
-    silently fall back to interpreted eval; the HOF fold stays inside
-    whole-stage codegen. Rounded for cross-run hash stability. The
-    centered vector materializes in a projection BEFORE the lambdas
-    (no CSE inside lambdas)."""
+    """Map-side projection pc_j = W[j] . (v - mean), computed as
+    W[j].v - (W[j].mean): the raw vector is folded against literal
+    weight arrays via zip_with + aggregate (the random_projection
+    pattern) and the constant bias W[j].mean — precomputed on the
+    driver — is subtracted afterwards. Mathematically identical to
+    centering first, but avoids materializing a centered copy of every
+    vector per output column. Zero shuffles, zero UDFs. An explicit
+    64-term sum per output would exceed Janino's method-size limit at
+    out_dim 16 and silently fall back to interpreted eval; the HOF
+    fold stays inside whole-stage codegen. Rounded for cross-run hash
+    stability."""
     cols = [F.col(id_col).alias("vec_id")]
     bias = [sum(a * b for a, b in zip(wj, mean)) for wj in w]
-    centered = df.select(
+    vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     for j, wj in enumerate(w):
@@ -630,7 +633,7 @@ def pca_whiten_apply(
         cols.append(
             F.round(dot - F.lit(float(bias[j])), decimals).alias(f"{prefix}{j}")
         )
-    return centered.select(*cols)
+    return vecs.select(*cols)
 
 
 def pca_whiten(

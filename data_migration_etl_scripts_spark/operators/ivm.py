@@ -105,13 +105,27 @@ def maintain_join_cdc(
     broadcasts, so retraction costs one broadcast anti-join over V,
     never a rebuild. Dim deletes cascade: every view row carrying a
     deleted dim key retracts, exactly matching the one-shot join over
-    the surviving sets (the oracle)."""
+    the surviving sets (the oracle).
+
+    A delete arriving before ANY insert on its side is a malformed
+    feed (there is nothing the keys could retract) and raises
+    ValueError rather than being silently dropped."""
     keys = [on] if isinstance(on, str) else list(on)
     f_old: DataFrame | None = None
     d_old: DataFrame | None = None
     view: DataFrame | None = None
     for b in batches:
         f_del, d_del = b.get("f_del"), b.get("d_del")
+        if f_del is not None and f_old is None:
+            raise ValueError(
+                "maintain_join_cdc: f_del arrived before any f_ins — "
+                "a delete cannot precede the first insert on its side"
+            )
+        if d_del is not None and d_old is None:
+            raise ValueError(
+                "maintain_join_cdc: d_del arrived before any d_ins — "
+                "a delete cannot precede the first insert on its side"
+            )
         if f_del is not None and f_old is not None:
             f_old = f_old.join(F.broadcast(f_del), fact_key, "left_anti")
             view = view.join(F.broadcast(f_del), fact_key, "left_anti") if view is not None else None

@@ -719,6 +719,27 @@ def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     )
 
 
+def _riff_fmt_tag(b: bytes) -> tuple[int, int] | None:
+    """Walk RIFF chunks and return (format tag, sample rate) from the
+    real ``fmt `` chunk, or None when the bytes are not RIFF/WAVE or
+    carry no fmt chunk. A byte scan (``b.find(b"fmt ")``) is wrong
+    here: the four bytes can occur inside an earlier chunk payload
+    (LIST/INFO metadata) and misread the format tag, misrouting PCM
+    files to the ADPCM/G.711 decoders."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "little")
+        if cid == b"fmt " and size >= 8 and pos + 16 <= len(b):
+            tag = int.from_bytes(b[pos + 8:pos + 10], "little")
+            rate = int.from_bytes(b[pos + 12:pos + 16], "little")
+            return tag, rate
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def _wav_parse_float(b: bytes) -> tuple[int, int, int, bytes] | None:
     """Minimal RIFF walk for IEEE-float WAVs (fmt code 3, 32/64-bit),
     which the stdlib ``wave`` module rejects. Returns
@@ -761,10 +782,9 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
         return int(len(mono) * 1000 / rate), mono
     # compressed WAV formats stdlib wave rejects: IMA ADPCM (0x11),
     # G.711 A-law (6) and mu-law (7)
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 22:
-        fmt_pos = b.find(b"fmt ")
-        tag = (int.from_bytes(b[fmt_pos + 8:fmt_pos + 10], "little")
-               if fmt_pos >= 0 else 0)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        ft = _riff_fmt_tag(b)
+        tag = ft[0] if ft is not None else 0
         if tag == 0x11:
             from data_migration_etl_scripts_spark.operators.adpcm import (
                 adpcm_wav_decode,
@@ -826,19 +846,16 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
         if f is not None:
             rate = f[2]
         else:
-            fmt_pos = b.find(b"fmt ")
-            if fmt_pos >= 0 and int.from_bytes(
-                b[fmt_pos + 8:fmt_pos + 10], "little"
-            ) == 0x11:  # IMA ADPCM — stdlib wave rejects it
+            ft = _riff_fmt_tag(b)
+            tag = ft[0] if ft is not None else 0
+            if tag == 0x11:  # IMA ADPCM — stdlib wave rejects it
                 from data_migration_etl_scripts_spark.operators.adpcm import (
                     adpcm_wav_decode,
                 )
 
                 rate, _nch, mono = adpcm_wav_decode(b)
                 return rate, mono
-            if fmt_pos >= 0 and int.from_bytes(
-                b[fmt_pos + 8:fmt_pos + 10], "little"
-            ) in (6, 7):  # G.711 A-law / mu-law
+            if tag in (6, 7):  # G.711 A-law / mu-law
                 from data_migration_etl_scripts_spark.operators.adpcm import (
                     g711_wav_decode,
                 )

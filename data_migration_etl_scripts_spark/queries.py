@@ -4445,9 +4445,13 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates per resolved entity (multi-member entities reported).
     The full record-linkage composition in one declared plan: the pair
     join is block-bounded, components touch only linked ids, and the
-    final rollup is one grouped pass over customers with labels
-    broadcast. Oracle replays the identical chain with a recursive-CTE
-    reachability."""
+    final rollup is one grouped pass over customers joined to labels.
+    The label join carries NO broadcast hint on purpose: the label set
+    is dup-volume-bounded (tiny at any sane dup rate, so AQE picks a
+    broadcast join at runtime), but a pathological corpus where most
+    rows are dups would make a forced broadcast OOM where AQE's
+    sort-merge fallback still completes. Oracle replays the identical
+    chain with a recursive-CTE reachability."""
     from data_migration_etl_scripts_spark.operators import curation as cu2
 
     cust = _t(spark, sf_dir, "customer").select(
@@ -4470,9 +4474,7 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = cu2.dup_clusters(pairs)
     return (
-        cust.join(
-            F.broadcast(labels), cust.c_custkey == labels.doc_id, "left"
-        )
+        cust.join(labels, cust.c_custkey == labels.doc_id, "left")
         .groupBy(
             F.coalesce("cluster_id", "c_custkey").alias("entity_id")
         )

@@ -142,3 +142,23 @@ def test_g711_features_real():
     f = mm._real_features(ad.g711_wav_encode(tone, rate=8000), 6)
     assert f[0] == pytest.approx(0.1, abs=0.01)
     assert 0.1 <= f[2] <= 0.9
+
+
+def test_riff_decoy_fmt_in_list_chunk():
+    # A LIST/INFO chunk BEFORE the real fmt chunk whose payload
+    # contains the bytes "fmt " followed by tag 0x11: a byte-scan
+    # (b.find) would read the decoy tag and misroute this plain PCM
+    # file to the ADPCM decoder, which raises. The RIFF chunk walk
+    # must skip chunk payloads.
+    tone = _tone(440, 800)
+    pcm = mm.wav_encode([t / 32768.0 for t in tone], rate=8000)
+    decoy = b"fmt " + struct.pack("<I", 16) + struct.pack("<H", 0x11) + b"\x00" * 14
+    payload = b"INFO" + decoy
+    lst = b"LIST" + struct.pack("<I", len(payload)) + payload
+    b = pcm[:12] + lst + pcm[12:]
+    b = b"RIFF" + struct.pack("<I", len(b) - 8) + b[8:]
+    assert mm._riff_fmt_tag(b) == (1, 8000)
+    dur_ms, mono = mm.wav_decode(b)
+    assert dur_ms == 100 and len(mono) == 800
+    rate, mono2 = mm.audio_decode_rate(b)
+    assert rate == 8000 and mono2 == mono

@@ -106,3 +106,23 @@ def test_first_batch_must_seed_both_sides(spark):
         ivm.maintain_join_cdc([{"f_ins": f1}], on="k", fact_key="k", dim_key="k")
     with pytest.raises(ValueError, match="at least one batch"):
         ivm.maintain_join([], [f1], on="k")
+
+
+def test_cdc_delete_before_any_insert_raises(spark):
+    import pytest
+
+    f1 = spark.createDataFrame([(1, 10)], "k int, fv int")
+    d1 = spark.createDataFrame([(1, "a")], "k int, dv string")
+    dels = spark.createDataFrame([(1,)], "k int")
+    # a delete leading the feed has nothing to retract: malformed CDC,
+    # must raise rather than be silently dropped
+    with pytest.raises(ValueError, match="f_del arrived before any f_ins"):
+        ivm.maintain_join_cdc(
+            [{"f_del": dels, "f_ins": f1, "d_ins": d1}],
+            on="k", fact_key="k", dim_key="k",
+        )
+    with pytest.raises(ValueError, match="d_del arrived before any d_ins"):
+        ivm.maintain_join_cdc(
+            [{"d_del": dels, "f_ins": f1, "d_ins": d1}],
+            on="k", fact_key="k", dim_key="k",
+        )
