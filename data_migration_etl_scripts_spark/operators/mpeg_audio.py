@@ -1,8 +1,10 @@
 """MPEG-1 Audio Layer I/II codec, pure stdlib — the audio analog of
 the baseline JPEG codec (`operators/jpeg.py`), filling the
 `multimodal.py` compressed-audio plug-point for the two subband
-layers. Layer III (MP3) stays a documented plug-point: its IMDCT +
-Huffman + alias-reduction stack is a different order of effort.
+layers. Layer III (MP3) decodes through `operators/mpeg_layer3.py`
+(r7: side info, bit reservoir, scalefactors, requantization, MS
+stereo, alias reduction, IMDCT — the Annex-B Huffman big-values
+codebooks remain that module's documented data seam).
 
 Reference parity note: the reference ETL repo has no media handling at
 all; this exists for the LLM-data-pipeline addendum (decode / feature
@@ -59,6 +61,7 @@ import math
 SAMPLE_RATES = {0: 44100, 1: 48000, 2: 32000}
 BITRATES_L1 = [None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
 BITRATES_L2 = [None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+BITRATES_L3 = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
 
 #: scalefactor index -> multiplier (ISO table: sf[0] = 2.0, step 2^(-1/3))
 SCALEFACTORS = [2.0 * 2.0 ** (-i / 3.0) for i in range(63)]
@@ -306,7 +309,7 @@ def _frame_header(
     mode_ext: int = 0,
 ) -> bytes:
     b0 = 0xFF
-    b1 = 0xE0 | (0b11 << 3) | ((0b11 if layer == 1 else 0b10) << 1) | 1  # MPEG-1, no CRC
+    b1 = 0xE0 | (0b11 << 3) | ({1: 0b11, 2: 0b10, 3: 0b01}[layer] << 1) | 1  # MPEG-1, no CRC
     b2 = (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1)
     b3 = (mode << 6) | (mode_ext << 4)
     return bytes((b0, b1, b2, b3))
@@ -322,25 +325,21 @@ def _parse_header(data: bytes, pos: int) -> dict:
     layer_code = (b1 >> 1) & 0b11
     if version != 0b11:
         raise NotImplementedError("MPEG-2/2.5 audio needs the lower-rate tables")
-    if layer_code == 0b01:
-        raise NotImplementedError(
-            "Layer III (MP3) needs IMDCT + Huffman — documented plug-point"
-        )
     if layer_code == 0b00:
         raise ValueError("reserved layer code")
-    layer = 1 if layer_code == 0b11 else 2
+    layer = {0b11: 1, 0b10: 2, 0b01: 3}[layer_code]
     bitrate_idx = (b2 >> 4) & 0xF
     rate_idx = (b2 >> 2) & 0b11
     if bitrate_idx in (0, 15) or rate_idx == 3:
         raise NotImplementedError("free-format/reserved bitrate or reserved rate")
     mode = (b3 >> 6) & 0b11
     mode_ext = (b3 >> 4) & 0b11
-    bitrate = (BITRATES_L1 if layer == 1 else BITRATES_L2)[bitrate_idx] * 1000
+    bitrate = (BITRATES_L1, BITRATES_L2, BITRATES_L3)[layer - 1][bitrate_idx] * 1000
     rate = SAMPLE_RATES[rate_idx]
     pad = (b2 >> 1) & 1
     if layer == 1:
         frame_len = (12 * bitrate // rate + pad) * 4
-    else:
+    else:  # Layers II and III share the 144*bitrate/rate sizing
         frame_len = 144 * bitrate // rate + pad
     return {
         "layer": layer, "bitrate": bitrate, "rate": rate, "pad": pad,
@@ -358,10 +357,18 @@ def _parse_header(data: bytes, pos: int) -> dict:
 # ------------------------------------------------------------- decode
 
 def mpeg_audio_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
-    """MPEG-1 Layer I/II bytes -> (sample_rate, n_channels,
+    """MPEG-1 Layer I/II/III bytes -> (sample_rate, n_channels,
     per-channel float sample lists). Walks every frame; a truncated
     final frame is dropped (streaming-tail tolerance, like the JPEG
-    fill-byte rule). Raises on bad sync / Layer III / MPEG-2."""
+    fill-byte rule). Layer III streams (bit reservoir, IMDCT path)
+    delegate to `operators/mpeg_layer3.py`. Raises on bad sync /
+    MPEG-2."""
+    if len(data) >= 4 and _parse_header(data, 0)["layer"] == 3:
+        from data_migration_etl_scripts_spark.operators.mpeg_layer3 import (
+            layer3_decode,
+        )
+
+        return layer3_decode(data)
     pos, rate, nch = 0, None, None
     subband_stream: list[list[list[float]]] = []  # per channel: granules
     while pos + 4 <= len(data):
@@ -373,6 +380,8 @@ def mpeg_audio_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
             subband_stream = [[] for _ in range(nch)]
         elif hdr["rate"] != rate or hdr["nch"] != nch:
             raise ValueError("mid-stream rate/mode change")
+        if hdr["layer"] == 3:
+            raise ValueError("mid-stream layer change")
         body = _BitReader(data, pos + 4 + (2 if hdr["crc"] else 0))
         if hdr["layer"] == 1:
             _decode_layer1_frame(body, nch, subband_stream, hdr["bound"])

@@ -1,0 +1,763 @@
+"""MPEG-1 Audio Layer III (MP3) — structural decode + engine encoder,
+pure stdlib, closing most of the Layer III plug-point left by
+`operators/mpeg_audio.py` (which handles Layers I/II).
+
+Reference parity note: the reference ETL repo has no media handling;
+this exists for the LLM-data-pipeline addendum (decode / feature
+extraction over binary audio columns at corpus scale).
+
+What is EXACT here (ISO/IEC 11172-3 Layer III syntax, from public
+spec knowledge, all formula-derived or structurally checkable):
+  - frame walk: header, 144*bitrate/rate + pad sizing, side info
+    layout (17/32 bytes: main_data_begin 9, private bits, scfsi 4/ch,
+    59 bits per granule*channel), and the BIT RESERVOIR
+    (main_data_begin byte back-pointer into prior frames' main data)
+  - scalefactor read: scalefac_compress -> (slen1, slen2) pairs,
+    scfsi reuse groups (0-5, 6-10, 11-15, 16-20) for granule 2,
+    long / short / mixed layouts
+  - requantization: x = sign(ix)*|ix|^(4/3)
+      * 2^((global_gain - 210 - 8*subblock_gain[w]) / 4)
+      * 2^(-(1 + scalefac_scale)/2 * (scalefac + preflag*pretab))
+  - MS stereo: l = (m + s)/sqrt(2), r = (m - s)/sqrt(2)
+  - alias reduction: 8 Givens butterflies per long-subband boundary,
+    cs = 1/sqrt(1 + ci^2), ca = ci*cs (rotation, inverse = transpose)
+  - IMDCT: 18-point (36 out) with the four sine window types
+    (normal/start/short/stop), 3x12 short-window overlay at offsets
+    6/12/18, 18-sample overlap-add, frequency inversion of odd
+    time samples in odd subbands
+  - synthesis: the shared pseudo-QMF bank from `mpeg_audio.py`
+  - count1 "table B" (count1table_select=1): CLOSED FORM per the spec
+    text — every quadruple (v,w,x,y) codes in exactly 4 bits as the
+    one's complement of its value bits, signs trailing each nonzero
+
+What is a documented DATA SEAM (the repo's Annex-B policy: large
+tabulated spec constants are not reproduced from memory — see the
+prototype-window note in mpeg_audio.py):
+  - the 32 big_values Huffman codebooks and count1 table A
+    (ISO 11172-3 Annex B Table B.7). `HUFF_TABLES` ships table 0
+    (the spec-structural "no bits read, region decodes to zeros"
+    table); drop `(linbits, {(length, code): (x, y)})` entries into
+    it for the rest and `_read_big_values` decodes them, ESC/linbits
+    and sign bits included. Until then a foreign frame that selects
+    table >= 1 raises NotImplementedError naming the table.
+  - scalefactor-band boundaries and pretab (Annex B Table B.8 /
+    the preemphasis table). The grids below follow the published
+    values to the author's best knowledge and are engine data: the
+    engine encoder and decoder share them, so engine round-trips are
+    exact by construction regardless; only FOREIGN-stream band
+    scaling depends on their conformance — verify against the spec
+    text before relying on that.
+  - Layer III intensity stereo (mode_ext bit 0) raises: its is_pos
+    scalefactor reuse cannot be validated here without a foreign
+    fixture. MS stereo (mode_ext bit 1, the common joint mode) is
+    implemented.
+
+The ENGINE ENCODER (`layer3_encode`) emits conformant-syntax streams
+at the table-0 + count1-B operating point: long blocks, big_values=0,
+all spectral data as {0, +/-1} quadruples with per-scalefactor-band
+gains — a coarse but honest codec (sign + band envelope) whose every
+bit the decoder exercises: side info, scalefactors, reservoir
+(main_data_begin > 0 arises naturally once blob sizes trail frame
+areas), count1 Huffman, requantization, alias butterflies, IMDCT,
+PQMF. Codec delay: 576 samples (one granule, MDCT overlap) +
+``PQMF_DELAY``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from data_migration_etl_scripts_spark.operators.mpeg_audio import (
+    BITRATES_L3,
+    PQMF_DELAY,
+    SAMPLE_RATES,
+    _BitReader,
+    _BitWriter,
+    _frame_header,
+    pqmf_analyze,
+    pqmf_synthesize,
+)
+
+__all__ = ["layer3_decode", "layer3_encode", "PQMF_DELAY"]
+
+#: scalefac_compress -> (slen1, slen2): bit widths for the low/high
+#: scalefactor groups (ISO 11172-3 2.4.2.7 — a 16-entry pairing, kept
+#: as data; both halves are <= 4 bits so the table is self-checking
+#: against part2 length accounting in the tests).
+SLEN = [
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+]
+
+#: preemphasis table: extra scalefactor added per long sfb when
+#: preflag is set (Annex-B data; engine encoder never sets preflag).
+PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+
+#: scalefactor-band boundaries in spectral lines (22 long bands /
+#: 13 short bands per window) — Annex-B Table B.8 data, see the
+#: module docstring's seam note.
+SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+SFB_SHORT = {
+    44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+}
+
+#: alias-reduction source coefficients ci (8 values, ISO 2.4.3.4.10.1);
+#: cs/ca derive by formula and form a Givens rotation (cs^2+ca^2 == 1),
+#: so the encoder-side inverse is the exact transpose.
+_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
+_CS = [1.0 / math.sqrt(1.0 + c * c) for c in _CI]
+_CA = [c / math.sqrt(1.0 + c * c) for c in _CI]
+
+#: big_values Huffman codebooks: table index -> (linbits,
+#: {(length, code): (x, y)}). Table 0 is the spec-structural empty
+#: table (no bits read; the region decodes to zeros). Tables 1-31 and
+#: count1 table A are the Annex-B Table B.7 DATA SEAM — plug them in
+#: here and `_read_big_values` handles them (ESC-15 + linbits + sign
+#: bits included).
+HUFF_TABLES: dict[int, tuple[int, dict[tuple[int, int], tuple[int, int]]]] = {
+    0: (0, {}),
+}
+#: count1 table A codebook: {(length, code): (v, w, x, y)} — same seam.
+COUNT1_TABLE_A: dict[tuple[int, int], tuple[int, int, int, int]] = {}
+
+_MAX_RESERVOIR = 255  # encoder cap on main_data_begin (field max 511)
+
+
+# --------------------------------------------------------- side info
+
+def _parse_side_info(r: _BitReader, nch: int) -> dict:
+    si: dict = {"main_data_begin": r.read(9)}
+    r.read(5 if nch == 1 else 3)  # private_bits
+    si["scfsi"] = [[r.read(1) for _ in range(4)] for _ in range(nch)]
+    grs = []
+    for _g in range(2):
+        chs = []
+        for _ch in range(nch):
+            gi: dict = {
+                "part2_3_length": r.read(12),
+                "big_values": r.read(9),
+                "global_gain": r.read(8),
+                "scalefac_compress": r.read(4),
+                "window_switching": r.read(1),
+            }
+            if gi["window_switching"]:
+                gi["block_type"] = r.read(2)
+                gi["mixed_block"] = r.read(1)
+                gi["table_select"] = [r.read(5), r.read(5)]
+                gi["subblock_gain"] = [r.read(3) for _ in range(3)]
+                if gi["block_type"] == 0:
+                    raise ValueError("window_switching with block_type 0")
+            else:
+                gi["block_type"] = 0
+                gi["mixed_block"] = 0
+                gi["table_select"] = [r.read(5) for _ in range(3)]
+                gi["region0_count"] = r.read(4)
+                gi["region1_count"] = r.read(3)
+                gi["subblock_gain"] = [0, 0, 0]
+            gi["preflag"] = r.read(1)
+            gi["scalefac_scale"] = r.read(1)
+            gi["count1table_select"] = r.read(1)
+            chs.append(gi)
+        grs.append(chs)
+    si["granules"] = grs
+    return si
+
+
+def _side_info_len(nch: int) -> int:
+    return 17 if nch == 1 else 32
+
+
+# ------------------------------------------------------ scalefactors
+
+def _read_scalefactors(
+    r: _BitReader, gi: dict, scfsi: list[int], gr: int, prev: dict | None
+) -> dict:
+    """part2: returns {"l": [21 ints]} and/or {"s": [[3] x 12 sfbs]}.
+    scfsi reuse (granule 2, long blocks only) copies the group from
+    granule 1 and reads no bits for it."""
+    slen1, slen2 = SLEN[gi["scalefac_compress"]]
+    short = gi["block_type"] == 2
+    mixed = short and gi["mixed_block"]
+    out: dict = {}
+    if short and not mixed:
+        out["s"] = [
+            [r.read(slen1 if sfb < 6 else slen2) for _w in range(3)]
+            for sfb in range(12)
+        ]
+        out["l"] = [0] * 21
+    elif mixed:
+        out["l"] = [r.read(slen1) for _ in range(8)] + [0] * 13
+        out["s"] = [[0, 0, 0] for _ in range(3)] + [
+            [r.read(slen1 if sfb < 6 else slen2) for _w in range(3)]
+            for sfb in range(3, 12)
+        ]
+    else:
+        groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2)]
+        sf = [0] * 21
+        for gidx, (lo, hi, slen) in enumerate(groups):
+            if gr == 1 and scfsi[gidx] and prev is not None:
+                sf[lo:hi] = prev["l"][lo:hi]
+            else:
+                for sfb in range(lo, hi):
+                    sf[sfb] = r.read(slen)
+        out["l"] = sf
+    return out
+
+
+# ----------------------------------------------------------- huffman
+
+def _decode_prefix(r: _BitReader, book: dict, end_bit: int):
+    code, length = 0, 0
+    while length < 24:
+        if r.bitpos >= end_bit:
+            return None
+        code = (code << 1) | r.read(1)
+        length += 1
+        hit = book.get((length, code))
+        if hit is not None:
+            return hit
+    raise ValueError("Huffman walk exceeded 24 bits — corrupt stream")
+
+
+def _read_spectrum(
+    r: _BitReader, gi: dict, end_bit: int, rate: int
+) -> list[int]:
+    """big_values pairs + count1 quads -> 576 signed ints."""
+    ix = [0] * 576
+    long_b = SFB_LONG[rate]
+    if gi["window_switching"]:
+        r1 = 36 if gi["block_type"] == 2 and not gi["mixed_block"] else 54
+        r2 = 576
+    else:
+        r1 = long_b[min(gi["region0_count"] + 1, 22)]
+        r2 = long_b[min(gi["region0_count"] + 1 + gi["region1_count"] + 1, 22)]
+    nbig = min(gi["big_values"] * 2, 576)
+    i = 0
+    while i < nbig:
+        region = 0 if i < r1 else (1 if i < r2 else 2)
+        tsel = gi["table_select"][region]
+        if tsel not in HUFF_TABLES:
+            raise NotImplementedError(
+                f"big_values Huffman table {tsel} is Annex-B data — "
+                "add it to HUFF_TABLES (see module docstring seam note)"
+            )
+        linbits, book = HUFF_TABLES[tsel]
+        if not book:  # table 0: zero region, no bits read
+            i += 2
+            continue
+        hit = _decode_prefix(r, book, end_bit)
+        if hit is None:
+            return ix
+        x, y = hit
+        for j, v in enumerate((x, y)):
+            if v == 15 and linbits:
+                v += r.read(linbits)
+            if v:
+                if r.read(1):
+                    v = -v
+            if i + j < 576:
+                ix[i + j] = v
+        i += 2
+    # count1 region: quads until part2_3 bits or 576 lines exhausted
+    while r.bitpos < end_bit and i + 4 <= 576:
+        mark = r.bitpos
+        if gi["count1table_select"]:
+            quad = (~r.read(4)) & 0xF
+            vals = [(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1, quad & 1]
+        else:
+            if not COUNT1_TABLE_A:
+                raise NotImplementedError(
+                    "count1 table A is Annex-B data — fill COUNT1_TABLE_A"
+                )
+            hit = _decode_prefix(r, COUNT1_TABLE_A, end_bit)
+            if hit is None:
+                break
+            vals = list(hit)
+        for j in range(4):
+            if vals[j]:
+                if r.bitpos >= end_bit:
+                    # partial quad past the boundary: discard it
+                    for k in range(j):
+                        ix[i + k] = 0
+                    r.bitpos = mark
+                    return ix
+                if r.read(1):
+                    vals[j] = -vals[j]
+            ix[i + j] = vals[j]
+        if r.bitpos > end_bit:  # quad overran: discard
+            for k in range(4):
+                ix[i + k] = 0
+            r.bitpos = mark
+            break
+        i += 4
+    return ix
+
+
+# ------------------------------------------------------ requantize &c
+
+def _requantize(
+    ix: list[int], gi: dict, scf: dict, rate: int
+) -> list[float]:
+    out = [0.0] * 576
+    g = gi["global_gain"] - 210
+    sstep = 0.5 * (1 + gi["scalefac_scale"])
+    short = gi["block_type"] == 2
+    mixed = short and gi["mixed_block"]
+    long_b, short_b = SFB_LONG[rate], SFB_SHORT[rate]
+    long_end = 36 if mixed else (0 if short else 576)
+    # long part
+    sfb = 0
+    for i in range(long_end if short else 576):
+        while sfb < 21 and i >= long_b[sfb + 1]:
+            sfb += 1
+        v = ix[i]
+        if not v:
+            continue
+        sc = scf["l"][sfb] + gi["preflag"] * PRETAB[sfb] if sfb < 21 else 0
+        out[i] = (
+            math.copysign(abs(v) ** (4.0 / 3.0), v)
+            * 2.0 ** (0.25 * g - sstep * sc)
+        )
+    if not short:
+        return out
+    # short part: spectral order is sfb-major, window-minor. 13 bands
+    # per window; the last (like long sfb 21) carries no scalefactor.
+    start_sfb = 3 if mixed else 0
+    pos = long_end
+    for sfb in range(start_sfb, 13):
+        width = short_b[sfb + 1] - short_b[sfb]
+        for w in range(3):
+            gw = g - 8 * gi["subblock_gain"][w]
+            sc = scf["s"][sfb][w] if sfb < 12 else 0
+            for _k in range(width):
+                if pos >= 576:
+                    break
+                v = ix[pos]
+                if v:
+                    out[pos] = (
+                        math.copysign(abs(v) ** (4.0 / 3.0), v)
+                        * 2.0 ** (0.25 * gw - sstep * sc)
+                    )
+                pos += 1
+    return out
+
+
+def _reorder_short(xr: list[float], gi: dict, rate: int) -> list[float]:
+    """Map short-block spectral order (sfb, window, line) onto the
+    IMDCT layout (subband*18 + window*6 + line%6)."""
+    if gi["block_type"] != 2:
+        return xr
+    short_b = SFB_SHORT[rate]
+    mixed = bool(gi["mixed_block"])
+    out = list(xr[:36]) + [0.0] * 540 if mixed else [0.0] * 576
+    pos = 36 if mixed else 0
+    for sfb in range(3 if mixed else 0, 13):
+        width = short_b[sfb + 1] - short_b[sfb]
+        for w in range(3):
+            for k in range(width):
+                f = short_b[sfb] + k  # freq index within window w
+                dst = (f // 6) * 18 + w * 6 + (f % 6)
+                if dst >= 576 or pos >= 576:
+                    break
+                out[dst] = xr[pos]
+                pos += 1
+    return out
+
+
+def _alias_reduce(x: list[float], gi: dict, inverse: bool = False) -> list[float]:
+    """8 Givens butterflies per long-subband boundary (decoder
+    direction); ``inverse=True`` is the exact transpose used by the
+    encoder. Short non-mixed blocks: none; mixed: boundary 1 only."""
+    if gi["block_type"] == 2 and not gi["mixed_block"]:
+        return x
+    nb = 2 if (gi["block_type"] == 2 and gi["mixed_block"]) else 32
+    y = list(x)
+    for b in range(1, nb):
+        for i in range(8):
+            u, d = y[18 * b - 1 - i], y[18 * b + i]
+            if inverse:
+                y[18 * b - 1 - i] = u * _CS[i] + d * _CA[i]
+                y[18 * b + i] = d * _CS[i] - u * _CA[i]
+            else:
+                y[18 * b - 1 - i] = u * _CS[i] - d * _CA[i]
+                y[18 * b + i] = d * _CS[i] + u * _CA[i]
+    return y
+
+
+# --------------------------------------------------------------- imdct
+
+def _win(block_type: int) -> list[float]:
+    if block_type == 0:
+        return [math.sin(math.pi / 36 * (n + 0.5)) for n in range(36)]
+    if block_type == 1:  # start
+        return (
+            [math.sin(math.pi / 36 * (n + 0.5)) for n in range(18)]
+            + [1.0] * 6
+            + [math.sin(math.pi / 12 * (n - 18 + 0.5)) for n in range(24, 30)]
+            + [0.0] * 6
+        )
+    if block_type == 3:  # stop
+        return (
+            [0.0] * 6
+            + [math.sin(math.pi / 12 * (n - 6 + 0.5)) for n in range(6, 12)]
+            + [1.0] * 6
+            + [math.sin(math.pi / 36 * (n + 0.5)) for n in range(18, 36)]
+        )
+    raise ValueError("short windows go through _imdct_short")
+
+
+_WIN_SHORT = [math.sin(math.pi / 12 * (n + 0.5)) for n in range(12)]
+
+
+def _imdct_long(X: list[float], block_type: int) -> list[float]:
+    w = _win(block_type)
+    return [
+        w[n] * sum(
+            X[k] * math.cos(math.pi / 72 * (2 * n + 1 + 18) * (2 * k + 1))
+            for k in range(18)
+        )
+        for n in range(36)
+    ]
+
+
+def _imdct_short(X: list[float]) -> list[float]:
+    """Three 12-point IMDCTs overlaid at offsets 6/12/18 in the
+    36-sample slot; X is subband-local (window*6 + line)."""
+    out = [0.0] * 36
+    for w in range(3):
+        for n in range(12):
+            acc = sum(
+                X[w * 6 + k]
+                * math.cos(math.pi / 24 * (2 * n + 1 + 6) * (2 * k + 1))
+                for k in range(6)
+            )
+            out[6 + 6 * w + n] += acc * _WIN_SHORT[n]
+    return out
+
+
+def _mdct_long(x36: list[float]) -> list[float]:
+    """Forward of :func:`_imdct_long` for block_type 0 (engine encoder):
+    scale 4/36 makes IMDCT + windowed overlap-add the exact inverse
+    (TDAC identity pinned in tests)."""
+    w = _win(0)
+    return [
+        (4.0 / 36.0) * sum(
+            x36[n] * w[n]
+            * math.cos(math.pi / 72 * (2 * n + 1 + 18) * (2 * k + 1))
+            for n in range(36)
+        )
+        for k in range(18)
+    ]
+
+
+# --------------------------------------------------------------- decode
+
+def layer3_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
+    """MPEG-1 Layer III bytes -> (rate, nch, per-channel floats).
+    Walks frames, maintains the bit reservoir, and synthesizes through
+    the shared pseudo-QMF bank. Frames whose main_data_begin points
+    before the available reservoir (stream cut-in) are skipped, the
+    standard streaming behavior."""
+    from data_migration_etl_scripts_spark.operators.mpeg_audio import _parse_header
+
+    pos, rate, nch, mode_ext = 0, None, None, 0
+    pool = bytearray()
+    pending: list[tuple[int, dict]] = []  # (pool_start_byte, side_info)
+    while pos + 4 <= len(data):
+        hdr = _parse_header(data, pos)
+        if hdr["layer"] != 3:
+            raise ValueError("mid-stream layer change")
+        if pos + hdr["frame_len"] > len(data):
+            break
+        if rate is None:
+            rate, nch = hdr["rate"], hdr["nch"]
+        elif hdr["rate"] != rate or hdr["nch"] != nch:
+            raise ValueError("mid-stream rate/mode change")
+        if hdr["mode"] == 0b01 and hdr["mode_ext"] & 0b01:
+            raise NotImplementedError(
+                "Layer III intensity stereo is a documented seam — "
+                "MS stereo (mode_ext bit 1) is implemented"
+            )
+        mode_ext = hdr["mode_ext"] if hdr["mode"] == 0b01 else 0
+        body = pos + 4 + (2 if hdr["crc"] else 0)
+        si = _parse_side_info(_BitReader(data, body), nch)
+        start = len(pool) - si["main_data_begin"]
+        main = data[body + _side_info_len(nch): pos + hdr["frame_len"]]
+        pool.extend(main)
+        if start >= 0:
+            pending.append((start, si))
+        pos += hdr["frame_len"]
+    if rate is None:
+        raise ValueError("no complete Layer III frame found")
+
+    subband_stream: list[list[list[float]]] = [[] for _ in range(nch)]
+    overlap = [[[0.0] * 18 for _ in range(32)] for _ in range(nch)]
+    for start, si in pending:
+        r = _BitReader(bytes(pool), start)
+        for gr in range(2):
+            xs = []
+            prev_scf = None
+            for ch in range(nch):
+                gi = si["granules"][gr][ch]
+                p23_end = r.bitpos + gi["part2_3_length"]
+                scf = _read_scalefactors(r, gi, si["scfsi"][ch], gr, prev_scf)
+                if ch == 0:
+                    prev_scf = scf
+                ix = _read_spectrum(r, gi, p23_end, rate)
+                r.bitpos = p23_end  # skip stuffing up to the boundary
+                xs.append(_requantize(ix, gi, scf, rate))
+            if nch == 2 and mode_ext & 0b10:  # MS stereo
+                inv = 1.0 / math.sqrt(2.0)
+                for i in range(576):
+                    m, s = xs[0][i], xs[1][i]
+                    xs[0][i], xs[1][i] = (m + s) * inv, (m - s) * inv
+            for ch in range(nch):
+                gi = si["granules"][gr][ch]
+                xr = _reorder_short(xs[ch], gi, rate)
+                xr = _alias_reduce(xr, gi)
+                grans = [[0.0] * 32 for _ in range(18)]
+                for sb in range(32):
+                    X = xr[sb * 18: sb * 18 + 18]
+                    mixed_long = gi["mixed_block"] and sb < 2
+                    if gi["block_type"] == 2 and not mixed_long:
+                        y = _imdct_short(X)
+                    else:
+                        bt = 0 if (gi["block_type"] == 2 and mixed_long) else gi["block_type"]
+                        y = _imdct_long(X, bt)
+                    ov = overlap[ch][sb]
+                    for t in range(18):
+                        v = y[t] + ov[t]
+                        if sb & 1 and t & 1:  # frequency inversion
+                            v = -v
+                        grans[t][sb] = v
+                    overlap[ch][sb] = y[18:]
+                subband_stream[ch].extend(grans)
+    channels = [pqmf_synthesize(g) for g in subband_stream]
+    return rate, nch, channels
+
+
+# --------------------------------------------------------------- encode
+
+def _quantize_granule(
+    lines: list[float], rate: int
+) -> tuple[list[int], int, list[int]]:
+    """{0,+/-1} sign + per-band envelope quantization at the table-0 /
+    count1-B operating point: global_gain fits the loudest band,
+    per-sfb scalefactors (scalefac_scale=0 -> 3 dB steps) attenuate
+    the rest. Returns (ix, global_gain, scalefacs[21])."""
+    long_b = SFB_LONG[rate]
+    amax = [0.0] * 22
+    for sfb in range(22):
+        for i in range(long_b[sfb], long_b[sfb + 1]):
+            amax[sfb] = max(amax[sfb], abs(lines[i]))
+    peak = max(amax)
+    if peak <= 0.0:
+        return [0] * 576, 210, [0] * 21
+    gg = max(0, min(255, round(210 + 4 * math.log2(peak))))
+    g = 2.0 ** (0.25 * (gg - 210))
+    scf = [0] * 21
+    ix = [0] * 576
+    for sfb in range(22):
+        if amax[sfb] <= 0.0:
+            if sfb < 21:
+                scf[sfb] = 15 if sfb < 11 else 7
+            continue
+        if sfb < 21:
+            cap = 15 if sfb < 11 else 7
+            scf[sfb] = max(0, min(cap, round(-2 * math.log2(amax[sfb] / g))))
+            v = g * 2.0 ** (-0.5 * scf[sfb])
+        else:
+            v = g
+        for i in range(long_b[sfb], long_b[sfb + 1]):
+            if abs(lines[i]) >= 0.5 * v:
+                ix[i] = 1 if lines[i] > 0 else -1
+    return ix, gg, scf
+
+
+def _pack_granule(w: _BitWriter, ix: list[int], gg: int, scf: list[int]) -> dict:
+    """part2 (scalefactors, scalefac_compress=15: slen 4/3) + count1
+    quads, appended to ``w`` at BIT level (granules abut bit-exactly —
+    the decoder locates granule 2 at granule 1's start +
+    part2_3_length, so no per-granule byte alignment is allowed).
+    Returns the granule's side info fields."""
+    start = w.n + 8 * len(w.buf)
+    for sfb in range(11):
+        w.write(scf[sfb], 4)
+    for sfb in range(11, 21):
+        w.write(scf[sfb], 3)
+    last = 0
+    for i, v in enumerate(ix):
+        if v:
+            last = i + 1
+    nquads = (last + 3) // 4
+    for q in range(nquads):
+        vals = ix[4 * q: 4 * q + 4]
+        quad = 0
+        for v in vals:
+            quad = (quad << 1) | (1 if v else 0)
+        w.write((~quad) & 0xF, 4)
+        for v in vals:
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+    nbits = (w.n + 8 * len(w.buf)) - start
+    gi = {
+        "part2_3_length": nbits,
+        "big_values": 0,
+        "global_gain": gg,
+        "scalefac_compress": 15,
+        "table_select": [0, 0, 0],
+        "region0_count": 0,
+        "region1_count": 0,
+        "preflag": 0,
+        "scalefac_scale": 0,
+        "count1table_select": 1,
+    }
+    return gi
+
+
+def _write_side_info(
+    w: _BitWriter, begin: int, nch: int, gis: list[list[dict]], scfsi_zero=True
+) -> None:
+    w.write(begin, 9)
+    w.write(0, 5 if nch == 1 else 3)
+    for _ch in range(nch):
+        w.write(0, 4)  # scfsi: all fresh
+    for gr in range(2):
+        for ch in range(nch):
+            gi = gis[gr][ch]
+            w.write(gi["part2_3_length"], 12)
+            w.write(gi["big_values"], 9)
+            w.write(gi["global_gain"], 8)
+            w.write(gi["scalefac_compress"], 4)
+            w.write(0, 1)  # window_switching: long blocks only
+            for t in gi["table_select"]:
+                w.write(t, 5)
+            w.write(gi["region0_count"], 4)
+            w.write(gi["region1_count"], 3)
+            w.write(gi["preflag"], 1)
+            w.write(gi["scalefac_scale"], 1)
+            w.write(gi["count1table_select"], 1)
+
+
+def layer3_encode(
+    samples: list[float],
+    rate: int = 44100,
+    right: list[float] | None = None,
+    ms: bool = True,
+    bitrate_idx: int | None = None,
+) -> bytes:
+    """Mono (or stereo) [-1, 1] samples -> MPEG-1 Layer III bytes at
+    the engine operating point (module docstring). ``right`` enables
+    two-channel coding; ``ms=True`` codes mid/side (joint stereo,
+    mode_ext=2) — exact by linearity of the filterbank. The bit
+    reservoir engages automatically whenever a frame's blob undershoots
+    its main-data area (main_data_begin > 0 on the following frames),
+    capped at ``_MAX_RESERVOIR`` via stuffing bytes."""
+    if rate not in SAMPLE_RATES.values():
+        raise ValueError(f"rate must be one of {sorted(SAMPLE_RATES.values())}")
+    if right is not None and len(right) != len(samples):
+        raise ValueError("stereo channels must be the same length")
+    nch = 1 if right is None else 2
+    nfr = len(samples) // 1152
+    if nfr == 0:
+        raise ValueError("need at least 1152 samples (one frame)")
+    if nch == 2 and ms:
+        inv = 1.0 / math.sqrt(2.0)
+        chans = [
+            [(a + b) * inv for a, b in zip(samples, right)],
+            [(a - b) * inv for a, b in zip(samples, right)],
+        ]
+        mode, mode_ext = 0b01, 0b10
+    elif nch == 2:
+        chans = [list(samples), list(right)]
+        mode, mode_ext = 0b00, 0
+    else:
+        chans = [list(samples)]
+        mode, mode_ext = 0b11, 0
+
+    # analysis: PQMF -> per-subband MDCT (granule pairs, 50% overlap)
+    per_ch_granules = []
+    for ch in range(nch):
+        sub = pqmf_analyze(chans[ch][: nfr * 1152])  # granule vectors of 32
+        hist = [[0.0] * 18 for _ in range(32)]
+        gr_lines = []
+        for g in range(nfr * 2):
+            block = sub[g * 18: (g + 1) * 18]  # 18 x 32
+            lines = [0.0] * 576
+            for sb in range(32):
+                cur = [block[t][sb] for t in range(18)]
+                if sb & 1:  # mirror the decoder's frequency inversion
+                    cur = [(-v if t & 1 else v) for t, v in enumerate(cur)]
+                X = _mdct_long(hist[sb] + cur)
+                lines[sb * 18: sb * 18 + 18] = X
+                hist[sb] = cur
+            gi_stub = {"block_type": 0, "mixed_block": 0}
+            lines = _alias_reduce(lines, gi_stub, inverse=True)
+            gr_lines.append(lines)
+        per_ch_granules.append(gr_lines)
+
+    # quantize + pack each frame's blob
+    blobs: list[bytes] = []
+    frame_gis: list[list[list[dict]]] = []
+    for f in range(nfr):
+        w = _BitWriter()
+        gis = [[], []]
+        for gr in range(2):
+            for ch in range(nch):
+                ixg, gg, scf = _quantize_granule(
+                    per_ch_granules[ch][f * 2 + gr], rate
+                )
+                gis[gr].append(_pack_granule(w, ixg, gg, scf))
+        w.pad_to_byte()  # frame blobs are byte-aligned in the pool
+        blobs.append(bytes(w.buf))
+        frame_gis.append(gis)
+
+    # frame sizing: smallest uniform bitrate whose area holds every blob
+    si_len = _side_info_len(nch)
+    rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
+    need = max(len(b) for b in blobs) + 4 + si_len
+    bidx = bitrate_idx
+    if bidx is None:
+        for i in range(1, 15):
+            if 144 * BITRATES_L3[i] * 1000 // rate >= need:
+                bidx = i
+                break
+        if bidx is None:
+            raise ValueError("granule blob exceeds the highest Layer III bitrate")
+    frame_len = 144 * BITRATES_L3[bidx] * 1000 // rate
+    area = frame_len - 4 - si_len
+    if area < max(len(b) for b in blobs):
+        raise ValueError("explicit bitrate_idx too small for the blobs")
+
+    # reservoir packing: blobs stream into consecutive main-data areas;
+    # begin_i = accumulated surplus, stuffing caps it at _MAX_RESERVOIR
+    pool = bytearray()
+    begins: list[int] = []
+    for f in range(nfr):
+        surplus = f * area - len(pool)
+        if surplus > _MAX_RESERVOIR:
+            pool.extend(b"\x00" * (surplus - _MAX_RESERVOIR))
+            surplus = _MAX_RESERVOIR
+        begins.append(surplus)
+        pool.extend(blobs[f])
+    pool.extend(b"\x00" * (nfr * area - len(pool)))  # final-frame pad
+
+    out = bytearray()
+    for f in range(nfr):
+        out.extend(_frame_header(3, bidx, rate_idx, 0, mode, mode_ext))
+        w = _BitWriter()
+        _write_side_info(w, begins[f], nch, frame_gis[f])
+        w.pad_to_byte()
+        assert len(w.buf) == si_len
+        out.extend(w.buf)
+        out.extend(pool[f * area: (f + 1) * area])
+    return bytes(out)

@@ -831,11 +831,12 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
 def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
     """Dispatch on magic bytes: PCM WAV (RIFF, stdlib wave), FLAC
     (b"fLaC", `operators/flac.py` — bit-exact lossless decode, CRC +
-    MD5 verified), and MPEG-1 audio Layer I/II (0xFFEx sync,
-    `operators/mpeg_audio.py` — header walk + requantization real,
-    pseudo-QMF filterbank) decode for real; Layer III (MP3) and other
-    compressed codecs raise at the ffmpeg plug point inside the
-    respective decoder.
+    MD5 verified), and MPEG-1 audio Layer I/II/III (0xFFEx sync,
+    `operators/mpeg_audio.py` + `operators/mpeg_layer3.py` — header
+    walk, requantization, bit reservoir, IMDCT, pseudo-QMF filterbank)
+    decode for real; foreign MP3s selecting Annex-B Huffman tables and
+    other compressed codecs raise at the documented plug point inside
+    the respective decoder.
 
     Returns (sample_rate, mono samples in [-1, 1]). MPEG streams are
     downmixed to mono and the polyphase filterbank's leading delay
@@ -1187,7 +1188,10 @@ def synthetic_real_media_rows(
     Layer II INTENSITY stereo), a progressive (SOF2) JPEG, a
     lossless WebP (predictor transform + color cache), a mono FLAC
     (fixed predictors), a stereo mid/side FLAC (LPC order 4), an
-    LZW+predictor striped TIFF and a big-endian PackBits gray TIFF.
+    LZW+predictor striped TIFF, a big-endian PackBits gray TIFF,
+    IMA-ADPCM and G.711 mu-law WAVs, a Deflate TIFF, and (r7, at
+    n+14) an MPEG-1 Layer III stream from the engine encoder
+    (operators/mpeg_layer3.py — reservoir + count1 operating point).
     Shared by the Spark fixture
     below and the selfcheck range-assert oracle, which recomputes the
     expected features driver-side from these exact bytes."""
@@ -1300,6 +1304,14 @@ def synthetic_real_media_rows(
         rows.append((n + 13, "image",
                      bytearray(tiff_encode(px5, compression="deflate",
                                            predictor=True)),
+                     "{}"))
+        from data_migration_etl_scripts_spark.operators.mpeg_layer3 import (
+            layer3_encode,
+        )
+
+        rows.append((n + 14, "audio",
+                     bytearray(layer3_encode(
+                         tone(995.0, 1152 * 2), rate=32000)),
                      "{}"))
     return rows
 

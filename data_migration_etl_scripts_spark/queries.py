@@ -1825,12 +1825,13 @@ def entity_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recomputes the expected features driver-side from the same payload bytes
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal REAL decode path: genuine BMP/PNG/GIF/JPEG (baseline
-    + progressive)/WebP/TIFF/WAV/FLAC and MPEG-1 audio Layer I/II
+    + progressive)/WebP/TIFF/WAV/FLAC and MPEG-1 audio Layer I/II/III
     payloads decoded byte-level (stdlib struct/zlib + the operators/
-    {jpeg,webp,tiff,flac,mpeg_audio}.py codecs) inside the
+    {jpeg,webp,tiff,flac,mpeg_audio,mpeg_layer3}.py codecs) inside the
     Arrow-batched mapInPandas kernel — no hash fakes
     (operators/multimodal.py, decoder="real"). Remaining compressed
-    codecs (MP3/H.264/lossy VP8) stay the documented ffmpeg plug-point."""
+    codecs (H.264 / lossy VP8 / foreign-table MP3) stay documented
+    plug-points."""
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
     media = mm.synthetic_real_media(spark, n=24, include_mpeg=True)

@@ -210,9 +210,10 @@ def test_decode_errors():
         ma.mpeg_audio_decode(b"\x00\x01\x02\x03" * 10)
     with pytest.raises(ValueError, match="no complete"):
         ma.mpeg_audio_decode(b"\xff\xfd\x48\x00")  # header only, no body
-    # Layer III escape: layer code 01
-    with pytest.raises(NotImplementedError, match="Layer III"):
-        ma.mpeg_audio_decode(bytes((0xFF, 0xFB, 0x92, 0x00)) + bytes(400))
+    # Layer III (layer code 01) now DELEGATES to mpeg_layer3 (r7);
+    # an all-zero body is a valid silent frame once it is long enough
+    with pytest.raises(ValueError, match="no complete Layer III"):
+        ma.mpeg_audio_decode(bytes((0xFF, 0xFB, 0x92, 0x00)) + bytes(100))
     # MPEG-2 escape: version bits 10
     with pytest.raises(NotImplementedError, match="MPEG-2"):
         ma.mpeg_audio_decode(bytes((0xFF, 0xF5, 0x48, 0x00)) + bytes(400))

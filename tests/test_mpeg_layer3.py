@@ -1,0 +1,344 @@
+"""MPEG-1 Layer III (operators/mpeg_layer3.py): TDAC identity, alias
+rotation inverse, side-info round trip, bit-exact spectral bitstream,
+reservoir engagement, tone/representable SNR pins, stereo modes,
+scfsi reuse, short-block structure, and the documented seams."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_migration_etl_scripts_spark.operators import mpeg_layer3 as l3
+from data_migration_etl_scripts_spark.operators import multimodal as mm
+from data_migration_etl_scripts_spark.operators.mpeg_audio import (
+    PQMF_DELAY,
+    _BitReader,
+    _BitWriter,
+    _parse_header,
+    mpeg_audio_decode,
+    mpeg_audio_encode,
+    pqmf_analyze,
+)
+
+DELAY = 576 + PQMF_DELAY  # one MDCT granule + the pseudo-QMF bank
+
+
+def _tone(freq, n, rate, amp=0.6, ph=0.0):
+    return [amp * math.sin(2 * math.pi * freq * t / rate + ph) for t in range(n)]
+
+
+def _snr(ref, out, d=DELAY):
+    n = min(len(ref), len(out) - d)
+    e = sum((ref[i] - out[i + d]) ** 2 for i in range(n))
+    r = sum(v * v for v in ref[:n])
+    return 10 * math.log10(r / e) if e else float("inf")
+
+
+# ----------------------------------------------------------- transforms
+
+def test_mdct_imdct_tdac_identity():
+    import random
+
+    rng = random.Random(7)
+    sig = [rng.uniform(-1, 1) for _ in range(18 * 8)]
+    chunks = [sig[i: i + 18] for i in range(0, len(sig), 18)]
+    prev = [0.0] * 18
+    specs = []
+    for c in chunks:
+        specs.append(l3._mdct_long(prev + c))
+        prev = c
+    out, save = [], [0.0] * 18
+    for X in specs:
+        y = l3._imdct_long(X, 0)
+        out.extend(save[i] + y[i] for i in range(18))
+        save = y[18:]
+    # output granule g reconstructs input granule g-1 exactly
+    err = max(abs(out[18 + i] - sig[i]) for i in range(len(sig) - 18))
+    assert err < 1e-12
+
+
+def test_alias_reduction_is_a_rotation_with_exact_inverse():
+    import random
+
+    rng = random.Random(3)
+    x = [rng.uniform(-1, 1) for _ in range(576)]
+    gi = {"block_type": 0, "mixed_block": 0}
+    fwd = l3._alias_reduce(x, gi)
+    back = l3._alias_reduce(fwd, gi, inverse=True)
+    assert max(abs(a - b) for a, b in zip(x, back)) < 1e-12
+    # energy preserved (Givens rotations)
+    assert sum(v * v for v in fwd) == pytest.approx(sum(v * v for v in x))
+
+
+def test_imdct_short_window_layout():
+    # three 12-point windows overlay at offsets 6/12/18: the first and
+    # last 6 output slots of the 36-sample block stay zero
+    X = [0.5 * (k + 1) for k in range(18)]
+    y = l3._imdct_short(X)
+    assert y[:6] == [0.0] * 6 and y[30:] == [0.0] * 6
+    assert any(abs(v) > 0 for v in y[6:30])
+
+
+# ------------------------------------------------------------ bitstream
+
+def test_side_info_roundtrip_mono_and_stereo():
+    for nch in (1, 2):
+        gis = [
+            [
+                {
+                    "part2_3_length": 100 + 7 * g + ch, "big_values": 0,
+                    "global_gain": 200 - g, "scalefac_compress": 15,
+                    "table_select": [0, 0, 0], "region0_count": 0,
+                    "region1_count": 0, "preflag": 0, "scalefac_scale": 0,
+                    "count1table_select": 1,
+                }
+                for ch in range(nch)
+            ]
+            for g in range(2)
+        ]
+        w = _BitWriter()
+        l3._write_side_info(w, 123, nch, gis)
+        w.pad_to_byte()
+        assert len(w.buf) == l3._side_info_len(nch)
+        si = l3._parse_side_info(_BitReader(bytes(w.buf)), nch)
+        assert si["main_data_begin"] == 123
+        for g in range(2):
+            for ch in range(nch):
+                got = si["granules"][g][ch]
+                for k, v in gis[g][ch].items():
+                    assert got[k] == v, (g, ch, k)
+
+
+def test_spectral_bitstream_is_bit_exact():
+    """Decoded requantized spectrum == the encoder's quantization
+    intent, per granule — pins side info, scalefactor packing, count1
+    quad coding, part2_3 bit accounting, and requantization."""
+    rate = 44100
+    sig = _tone(995.0, 1152 * 2, rate)
+    sub = pqmf_analyze(sig)
+    hist = [[0.0] * 18 for _ in range(32)]
+    intents = []
+    for g in range(4):
+        block = sub[g * 18: (g + 1) * 18]
+        lines = [0.0] * 576
+        for sb in range(32):
+            cur = [block[t][sb] for t in range(18)]
+            if sb & 1:
+                cur = [(-v if t & 1 else v) for t, v in enumerate(cur)]
+            lines[sb * 18: sb * 18 + 18] = l3._mdct_long(hist[sb] + cur)
+            hist[sb] = cur
+        lines = l3._alias_reduce(
+            lines, {"block_type": 0, "mixed_block": 0}, inverse=True
+        )
+        ix, gg, scf = l3._quantize_granule(lines, rate)
+        gfac = 2.0 ** (0.25 * (gg - 210))
+        long_b = l3.SFB_LONG[rate]
+        vals, sfb = [0.0] * 576, 0
+        for i in range(576):
+            while sfb < 21 and i >= long_b[sfb + 1]:
+                sfb += 1
+            if ix[i]:
+                v = gfac * 2.0 ** (-0.5 * scf[sfb]) if sfb < 21 else gfac
+                vals[i] = math.copysign(v, ix[i])
+        intents.append(vals)
+
+    b = l3.layer3_encode(sig, rate=rate)
+    pos, pool, caps = 0, bytearray(), []
+    while pos + 4 <= len(b):
+        hdr = _parse_header(b, pos)
+        si = l3._parse_side_info(_BitReader(b, pos + 4), 1)
+        start = len(pool) - si["main_data_begin"]
+        pool.extend(b[pos + 4 + 17: pos + hdr["frame_len"]])
+        r = _BitReader(bytes(pool), start)
+        for gr in range(2):
+            gi = si["granules"][gr][0]
+            end = r.bitpos + gi["part2_3_length"]
+            scf = l3._read_scalefactors(r, gi, si["scfsi"][0], gr, None)
+            ix = l3._read_spectrum(r, gi, end, rate)
+            r.bitpos = end
+            caps.append(l3._requantize(ix, gi, scf, rate))
+        pos += hdr["frame_len"]
+    assert len(caps) == len(intents)
+    for g, (want, got) in enumerate(zip(intents, caps)):
+        assert max(abs(a - c) for a, c in zip(want, got)) < 1e-12, f"granule {g}"
+
+
+def test_bit_reservoir_engages_and_is_capped():
+    rate = 44100
+    b = l3.layer3_encode(_tone(995.0, 1152 * 6, rate), rate=rate)
+    pos, begins = 0, []
+    while pos + 4 <= len(b):
+        hdr = _parse_header(b, pos)
+        si = l3._parse_side_info(_BitReader(b, pos + 4), 1)
+        begins.append(si["main_data_begin"])
+        pos += hdr["frame_len"]
+    assert begins[0] == 0
+    assert any(v > 0 for v in begins[1:]), "reservoir never engaged"
+    assert all(v <= l3._MAX_RESERVOIR for v in begins)
+    # and the stream still decodes end to end
+    r, nch, ch = mpeg_audio_decode(b)
+    assert (r, nch) == (rate, 1) and len(ch[0]) == 1152 * 6
+
+
+# ------------------------------------------------------------ round trip
+
+@pytest.mark.parametrize("rate,floor", [(44100, 8.0), (48000, 14.0), (32000, 12.0)])
+def test_tone_roundtrip_snr(rate, floor):
+    sig = _tone(995.0, 1152 * 4, rate)
+    r, nch, ch = mpeg_audio_decode(l3.layer3_encode(sig, rate=rate))
+    assert (r, nch) == (rate, 1)
+    assert _snr(sig, ch[0]) > floor
+
+
+def test_representable_signal_roundtrip_high_snr():
+    """Re-encoding a decoded signal (which lives on the codec's
+    {0,+/-1} x band-gain lattice) round-trips far above the raw tone
+    SNR — pins that the loss is quantization, not pipeline error."""
+    rate = 44100
+    first = mpeg_audio_decode(l3.layer3_encode(_tone(995.0, 1152 * 6, rate), rate=rate))[2][0]
+    sig = first[DELAY: DELAY + 1152 * 4]
+    out = mpeg_audio_decode(l3.layer3_encode(sig, rate=rate))[2][0]
+    assert _snr(sig, out) > 28.0
+
+
+def test_stereo_ms_and_independent():
+    rate = 44100
+    left = _tone(995.0, 1152 * 4, rate)
+    right = _tone(995.0, 1152 * 4, rate, amp=0.45)
+    for ms in (True, False):
+        r, nch, ch = mpeg_audio_decode(
+            l3.layer3_encode(left, rate=rate, right=right, ms=ms)
+        )
+        assert (r, nch) == (rate, 2)
+        assert _snr(left, ch[0]) > 7.0
+        assert _snr(right, ch[1]) > 7.0
+
+
+def test_audio_decode_rate_dispatches_layer3():
+    rate = 32000
+    sig = _tone(995.0, 1152 * 2, rate)
+    got_rate, mono = mm.audio_decode_rate(l3.layer3_encode(sig, rate=rate))
+    assert got_rate == rate
+    assert len(mono) > 1152
+    rms = math.sqrt(sum(v * v for v in mono) / len(mono))
+    assert 0.05 < rms < 1.0  # real audio, not zeros/garbage
+
+
+def test_real_features_on_layer3():
+    sig = _tone(995.0, 1152 * 2, 32000)
+    f = mm._real_features(l3.layer3_encode(sig, rate=32000), 6)
+    assert f[0] > 0.05  # duration seconds
+    # time-band RMS: band 0 holds the 576-sample MDCT-delay silence,
+    # later bands carry the genuine tone energy
+    assert 0.1 <= max(f[3:]) <= 0.9
+    assert f[2] < f[3]
+
+
+# -------------------------------------------------------------- decoder
+
+def test_scfsi_reuses_granule1_scalefactors():
+    gi = {"scalefac_compress": 15, "block_type": 0, "mixed_block": 0}
+    prev = {"l": list(range(21))}
+    w = _BitWriter()
+    # granule 2 transmits only groups 1-3 (group 0 reused via scfsi)
+    for sfb in range(6, 11):
+        w.write(sfb + 5, 4)
+    for sfb in range(11, 21):
+        w.write(sfb % 8, 3)
+    w.pad_to_byte()
+    scf = l3._read_scalefactors(
+        _BitReader(bytes(w.buf)), gi, [1, 0, 0, 0], 1, prev
+    )
+    assert scf["l"][:6] == prev["l"][:6]  # reused, zero bits read
+    assert scf["l"][6:11] == [11, 12, 13, 14, 15]
+    assert scf["l"][11:] == [sfb % 8 for sfb in range(11, 21)]
+
+
+def test_short_block_reorder_is_a_permutation():
+    gi = {"block_type": 2, "mixed_block": 0}
+    src = [float(i + 1) for i in range(576)]
+    out = l3._reorder_short(src, gi, 44100)
+    assert sorted(out) == sorted(src)
+    # sfb 0 (width 4), window 0, line 0 is spectral position 0 and
+    # lands at subband 0, window 0, slot 0
+    assert out[0] == src[0]
+    # sfb 0, window 1, line 0 (spectral position 4) -> w=1 slot of sb 0
+    assert out[6] == src[4]
+
+
+def test_short_block_requantize_subblock_gain():
+    gi = {
+        "block_type": 2, "mixed_block": 0, "global_gain": 210,
+        "scalefac_scale": 0, "preflag": 0, "subblock_gain": [0, 1, 2],
+        "window_switching": 1,
+    }
+    scf = {"l": [0] * 21, "s": [[0, 0, 0] for _ in range(12)]}
+    ix = [0] * 576
+    ix[0] = 1   # sfb 0, window 0
+    ix[4] = 1   # sfb 0, window 1
+    ix[8] = 1   # sfb 0, window 2
+    out = l3._requantize(ix, gi, scf, 44100)
+    assert out[0] == pytest.approx(1.0)
+    assert out[4] == pytest.approx(2.0 ** -2.0)  # -8*1/4
+    assert out[8] == pytest.approx(2.0 ** -4.0)  # -8*2/4
+
+
+def test_foreign_huffman_table_raises_namefully():
+    gi = {
+        "window_switching": 0, "block_type": 0, "mixed_block": 0,
+        "big_values": 4, "table_select": [7, 0, 0],
+        "region0_count": 0, "region1_count": 0, "count1table_select": 1,
+    }
+    r = _BitReader(b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="table 7"):
+        l3._read_spectrum(r, gi, 128, 44100)
+
+
+def test_count1_table_a_is_a_seam():
+    gi = {
+        "window_switching": 0, "block_type": 0, "mixed_block": 0,
+        "big_values": 0, "table_select": [0, 0, 0],
+        "region0_count": 0, "region1_count": 0, "count1table_select": 0,
+    }
+    r = _BitReader(b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="count1 table A"):
+        l3._read_spectrum(r, gi, 128, 44100)
+
+
+def test_intensity_stereo_raises():
+    rate = 44100
+    b = bytearray(l3.layer3_encode(
+        _tone(995.0, 1152, rate), rate=rate,
+        right=_tone(700.0, 1152, rate), ms=True,
+    ))
+    # patch mode_ext to set the intensity bit (bit 0)
+    b[3] = (b[3] & ~0b00110000) | (0b11 << 4)
+    with pytest.raises(NotImplementedError, match="intensity"):
+        mpeg_audio_decode(bytes(b))
+
+
+def test_mixed_layer_stream_raises():
+    rate = 32000
+    l2 = mpeg_audio_encode(_tone(440.0, 1152, rate), rate=rate, layer=2)
+    mp3 = l3.layer3_encode(_tone(440.0, 1152 * 2, rate), rate=rate)
+    with pytest.raises(ValueError, match="layer change"):
+        mpeg_audio_decode(l2 + mp3)
+
+
+def test_truncated_tail_frame_dropped():
+    rate = 44100
+    b = l3.layer3_encode(_tone(995.0, 1152 * 3, rate), rate=rate)
+    r, nch, ch = mpeg_audio_decode(b[: len(b) - 30])
+    assert r == rate and len(ch[0]) == 1152 * 2  # last frame dropped
+
+
+def test_sfb_grids_are_consistent():
+    for rate, grid in l3.SFB_LONG.items():
+        assert grid[0] == 0 and grid[-1] == 576 and len(grid) == 23
+        assert all(a < b for a, b in zip(grid, grid[1:]))
+    for rate, grid in l3.SFB_SHORT.items():
+        assert grid[0] == 0 and grid[-1] == 192 and len(grid) == 14
+        assert all(a < b for a, b in zip(grid, grid[1:]))
+    assert len(l3.PRETAB) == 22 and len(l3.SLEN) == 16
+    assert all(s1 <= 4 and s2 <= 4 for s1, s2 in l3.SLEN)
