@@ -78,6 +78,32 @@ def main() -> int:
         "queries": times,
         "sf": _sf_from_dir(SF_DIR),
     }
+    if "multimodal_real_decode" in times:
+        out["codec_breakdown"] = _codec_breakdown()
+    return _emit(out, times, only)
+
+
+def _codec_breakdown() -> dict[str, float]:
+    """Per-codec-family kernel seconds over the multimodal fixture
+    payloads, timed driver-side (the mapInPandas kernel is the same
+    pure-Python code, embarrassingly parallel — per-row cost is the
+    quantity that regresses when a codec kernel slows down, and the
+    aggregate multimodal_real_decode wall hides which one)."""
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    fams: dict[str, float] = {}
+    for _mid, _mtype, content, _meta in mm.synthetic_real_media_rows(
+        24, include_mpeg=True
+    ):
+        payload = bytes(content)
+        fam = mm.payload_format(payload)
+        t0 = time.perf_counter()
+        mm._real_features(payload, 6)
+        fams[fam] = fams.get(fam, 0.0) + (time.perf_counter() - t0)
+    return {k: round(v, 4) for k, v in sorted(fams.items())}
+
+
+def _emit(out: dict, times: dict[str, float], only: set) -> int:
     line = json.dumps(out)
     # durable artifact: the driver's tail capture can truncate a multi-KB
     # stdout line (BENCH_r02 recorded parsed:null) — the file always

@@ -719,6 +719,39 @@ def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     )
 
 
+def payload_format(b: bytes) -> str:
+    """Classify a media payload by magic bytes into the codec family
+    that will decode it — the label bench.py's per-codec timing
+    breakdown groups by (so a kernel regression in one format can't
+    hide inside the aggregate multimodal_real_decode wall)."""
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:8] == _PNG_SIG:
+        return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "webp"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if b[:4] == b"fLaC":
+        return "flac"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        ft = _riff_fmt_tag(b)
+        tag = ft[0] if ft is not None else 1
+        return {0x11: "wav_adpcm", 6: "wav_g711", 7: "wav_g711"}.get(tag, "wav_pcm")
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        layer = {0b11: "mpeg_l1", 0b10: "mpeg_l2", 0b01: "mpeg_l3"}.get(
+            (b[1] >> 1) & 0b11
+        )
+        return layer or "mpeg_unknown"
+    return "unknown"
+
+
 def _riff_fmt_tag(b: bytes) -> tuple[int, int] | None:
     """Walk RIFF chunks and return (format tag, sample rate) from the
     real ``fmt `` chunk, or None when the bytes are not RIFF/WAVE or

@@ -342,3 +342,16 @@ def test_sfb_grids_are_consistent():
         assert all(a < b for a, b in zip(grid, grid[1:]))
     assert len(l3.PRETAB) == 22 and len(l3.SLEN) == 16
     assert all(s1 <= 4 and s2 <= 4 for s1, s2 in l3.SLEN)
+
+
+def test_payload_format_classifier():
+    rows = mm.synthetic_real_media_rows(24, include_mpeg=True)
+    fams = {mid: mm.payload_format(bytes(c)) for mid, _t, c, _m in rows}
+    assert fams[0] == "bmp" and fams[2] == "png" and fams[4] == "gif"
+    assert fams[6] == "jpeg" and fams[1] == "wav_pcm"
+    assert fams[24] == "mpeg_l2" and fams[25] == "mpeg_l1"
+    assert fams[29] == "jpeg" and fams[30] == "webp"
+    assert fams[31] == "flac" and fams[33] == "tiff"
+    assert fams[35] == "wav_adpcm" and fams[36] == "wav_g711"
+    assert fams[38] == "mpeg_l3"
+    assert mm.payload_format(b"\x00\x01") == "unknown"
