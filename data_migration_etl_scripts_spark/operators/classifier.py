@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_migration_etl_scripts_spark import planhook
+
 from data_migration_etl_scripts_spark.operators import textprep as tp
 
 _DEC = "decimal(20,10)"
@@ -122,7 +124,7 @@ def train_logreg(
                 9,
             ).alias("p"),
         )
-        g_rows = (
+        g_df = (
             feats.join(p, "doc_id")
             .select(
                 "h",
@@ -131,8 +133,9 @@ def train_logreg(
             )
             .groupBy("h")
             .agg(F.round(F.sum("c").cast("double") / n_docs, 9).alias("g"))
-            .collect()  # <= n_buckets+1 rows — the Lloyd's pattern
         )
+        planhook.capture("logreg_gradient_round", g_df)
+        g_rows = g_df.collect()  # <= n_buckets+1 rows — the Lloyd's pattern
         for r in g_rows:
             w[r["h"]] = round(w.get(r["h"], 0.0) - lr * r["g"], 9)
     return w

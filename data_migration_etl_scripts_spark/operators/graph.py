@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_migration_etl_scripts_spark import planhook
+
 _DEC = "decimal(20,10)"
 
 
@@ -117,8 +119,9 @@ def pagerank(
                        + F.col("dangm") / F.lit(float(n)))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        planhook.capture("pagerank_iteration", ranks)
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_migration_etl_scripts_spark import planhook
+
 from data_migration_etl_scripts_spark.operators.dedup import (
     _dot,
     _norm,
@@ -989,8 +991,9 @@ def train_kmeans_centroids(
             )
             .withColumn("cn", _norm(F.col("cv")))
             .where(F.col("cn") > 0)
-            .localCheckpoint()
         )
+        planhook.capture("kmeans_iteration", cent)
+        cent = cent.localCheckpoint()
     return cent
 
 
