@@ -15,11 +15,74 @@ vintage it is reading.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
+
+#: DuckDB-dialect -> Spark SQL function renames with IDENTICAL
+#: semantics and argument shapes (1-based list indexing on both sides
+#: of list_extract/element_at; quantile_cont and percentile are both
+#: exact linear-interpolation percentiles; epoch_us and unix_micros
+#: are both microseconds-since-epoch). Rename-only by design: nothing
+#: here reorders, retypes, or reinterprets arguments — anything needing
+#: that (unnest, slices, lenient casts) stays engine-specific and is
+#: NOT translated.
+_DUCKDB_FN_RENAMES = {
+    "list_distinct": "array_distinct",
+    "list_filter": "filter",
+    "list_transform": "transform",
+    "list_extract": "element_at",
+    "array_to_string": "array_join",
+    "json_extract_string": "get_json_object",
+    "quantile_cont": "percentile",
+    "epoch_us": "unix_micros",
+    "epoch": "unix_timestamp",
+    "strlen": "octet_length",
+    # list_sort and sort_array are both ASC NULLS FIRST by default;
+    # string_split/split agree whenever the separator is regex-safe
+    # (true of every oracle text — single space or punctuation-free),
+    # and the per-query row-match test is the gate either way
+    "list_sort": "sort_array",
+    "string_split": "split",
+    # both are partial-match regex predicates (RLIKE semantics)
+    "regexp_matches": "regexp_like",
+}
+
+
+def translate_duckdb_sql(sql: str) -> str:
+    """Translate a DuckDB-dialect SQL text to Spark SQL where the
+    mapping is a pure rename (see ``_DUCKDB_FN_RENAMES``) plus two
+    spelling differences:
+
+    - ``CAST(x AS VARCHAR)`` -> ``CAST(x AS STRING)`` (same type)
+    - ``datediff('day', a, b)`` -> ``datediff(day, a, b)`` (Spark
+      takes the unit as a keyword, not a string literal)
+
+    This is the usual thin dialect shim an engine ships so one SQL
+    text can drive two planners; the oracle texts remain the single
+    source of truth (DuckDB runs them verbatim, Spark runs them
+    through this). Word-boundary regexes only — the mapped names do
+    not occur inside string literals in any oracle text."""
+    out = sql
+    for src, dst in _DUCKDB_FN_RENAMES.items():
+        out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bAS\s+VARCHAR\b", "AS STRING", out, flags=re.IGNORECASE)
+    out = re.sub(
+        r"\bdatediff\(\s*'(\w+)'\s*,", r"datediff(\1,", out, flags=re.IGNORECASE
+    )
+    # DuckDB orders inside the aggregate args; Spark uses the ANSI
+    # WITHIN GROUP form. Paren-free args only (the oracle texts' shape).
+    out = re.sub(
+        r"\bstring_agg\(([^()]+?),\s*('[^']*')\s+ORDER\s+BY\s+([^()]+?)\)",
+        r"listagg(\1, \2) WITHIN GROUP (ORDER BY \3)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    return out
 
 
 def register_views(
@@ -32,9 +95,15 @@ def register_views(
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+def run_sql(
+    spark: SparkSession, sf_dir: str, sql: str, dialect: str = "spark"
+) -> DataFrame:
     """Ad-hoc SQL over the catalog: register views, return the lazy
     DataFrame for ``sql``. Catalyst applies the same pushdown/pruning
-    as the DataFrame API — a view is just a named logical plan."""
+    as the DataFrame API — a view is just a named logical plan.
+    ``dialect="duckdb"`` first applies :func:`translate_duckdb_sql`,
+    so the driver-oracle texts run here unchanged."""
     register_views(spark, sf_dir)
+    if dialect == "duckdb":
+        sql = translate_duckdb_sql(sql)
     return spark.sql(sql)
