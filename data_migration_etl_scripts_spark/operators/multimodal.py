@@ -1346,6 +1346,12 @@ def synthetic_real_media_rows(
                      bytearray(layer3_encode(
                          tone(995.0, 1152 * 2), rate=32000)),
                      "{}"))
+        px6 = [[((x * 5 + y * 13) % 256, (x * 3 + y) % 256, (x + y * 7) % 256)
+                for x in range(40)] for y in range(35)]
+        rows.append((n + 15, "image",
+                     bytearray(tiff_encode(px6, compression="lzw",
+                                           predictor=True, tiles=(16, 16))),
+                     "{}"))
     return rows
 
 

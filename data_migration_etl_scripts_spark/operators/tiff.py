@@ -11,8 +11,9 @@ extra-samples-tolerant chunky layout) and 3 (palette via ColorMap's
 16-bit channels). Multi-IFD files decode their first image, matching
 mainstream viewer behavior.
 
-Encoder writes single-IFD little-endian TIFF (gray or RGB, any
-RowsPerStrip, compression none/PackBits/LZW/Deflate, optional predictor 2) —
+Encoder writes single-IFD TIFF (either byte order, gray or RGB, any
+RowsPerStrip, compression none/PackBits/LZW/Deflate, optional
+predictor 2, and r7: the TILED layout via ``tiles=(tw, th)``) —
 enough to round-trip every decoder path and to cross-check against
 foreign fixtures byte-structurally.
 
@@ -25,10 +26,15 @@ path at all — this extends the multimodal addendum, same per-row
 kernel shape as operators/jpeg.py (mapInPandas streams Arrow batches;
 each file decodes independently, embarrassingly parallel at 100 TB).
 
+Tiled TIFF (tags 322-325) decodes (r7): tiles left-to-right then
+top-to-bottom, edge tiles padded to full size, predictor applied per
+tile row, same codec set as strips.
+
 What is NOT here (documented seams, same policy as jpeg.py/webp.py):
-tiled TIFF (tag 322/323), JPEG-in-TIFF (Compression 6/7), CCITT
-fax codings (2/3/4), planar configuration 2, and >8-bit
-samples. Each raises NotImplementedError naming the tag value.
+JPEG-in-TIFF (Compression 6/7), CCITT fax codings (2/3/4 — the T.4/
+T.6 code tables are spec data, Annex-B policy), planar configuration
+2, and >8-bit samples. Each raises NotImplementedError naming the
+tag value.
 """
 
 from __future__ import annotations
@@ -51,6 +57,9 @@ _T_PLANAR = 284
 _T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -232,8 +241,6 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         raise ValueError("not a TIFF: bad byte-order/magic header")
     (ifd_off,) = struct.unpack_from(e + "I", b, 4)
     t = _read_ifd(b, ifd_off, e)
-    if _T_TILE_WIDTH in t:
-        raise NotImplementedError("tiled TIFF (tag 322) — strip layout only")
     width = t[_T_WIDTH][0]
     height = t[_T_HEIGHT][0]
     comp = t.get(_T_COMPRESSION, [1])[0]
@@ -242,13 +249,6 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     spp = t.get(_T_SPP, [len(bits)])[0]
     planar = t.get(_T_PLANAR, [1])[0]
     predictor = t.get(_T_PREDICTOR, [1])[0]
-    rows_per_strip = t.get(_T_ROWS_PER_STRIP, [height])[0] or height
-    offsets = t[_T_STRIP_OFFSETS]
-    counts = t.get(
-        _T_STRIP_COUNTS, [len(b) - offsets[0]] if len(offsets) == 1 else None
-    )
-    if counts is None:
-        raise ValueError("multi-strip TIFF without StripByteCounts")
     if planar != 1:
         raise NotImplementedError(f"PlanarConfiguration {planar} — chunky (1) only")
     if any(x not in (1, 8) for x in bits[:spp]):
@@ -261,33 +261,81 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
 
     bilevel = bits[0] == 1 and spp == 1
     row_bytes = (width + 7) // 8 if bilevel else width * spp
-    raw = bytearray()
-    row0 = 0
-    for off, cnt in zip(offsets, counts):
-        n_rows = min(rows_per_strip, height - row0)
-        expected = row_bytes * n_rows
-        chunk = b[off : off + cnt]
+
+    def decompress(chunk: bytes, expected: int) -> bytes:
         if comp == 1:
-            data = chunk[:expected]
-        elif comp == 32773:
-            data = packbits_decode(chunk, expected)
-        elif comp == 8:  # Adobe deflate: zlib stream per strip
+            return chunk[:expected]
+        if comp == 32773:
+            return packbits_decode(chunk, expected)
+        if comp == 8:  # Adobe deflate: zlib stream per strip/tile
             import zlib
 
-            data = zlib.decompress(bytes(chunk))[:expected]
-        else:
-            data = lzw_decode(chunk, expected)
-        if predictor == 2:
-            if bilevel:
-                raise NotImplementedError("Predictor 2 on bilevel data")
-            data = bytearray(data)
-            for r in range(n_rows):
-                base = r * row_bytes
-                for i in range(spp, row_bytes):
-                    data[base + i] = (data[base + i] + data[base + i - spp]) & 0xFF
-            data = bytes(data)
-        raw += data
-        row0 += n_rows
+            return zlib.decompress(bytes(chunk))[:expected]
+        return lzw_decode(chunk, expected)
+
+    def undo_predictor(data: bytes, n_rows: int, stride: int) -> bytes:
+        if predictor != 2:
+            return data
+        if bilevel:
+            raise NotImplementedError("Predictor 2 on bilevel data")
+        out = bytearray(data)
+        for r in range(n_rows):
+            base = r * stride
+            for i in range(spp, stride):
+                out[base + i] = (out[base + i] + out[base + i - spp]) & 0xFF
+        return bytes(out)
+
+    if _T_TILE_WIDTH in t:
+        # tiled layout (tags 322-325): tw x th blocks, left-to-right
+        # then top-to-bottom, edge tiles PADDED to full tile size;
+        # compression and predictor apply per tile (predictor rows are
+        # tile-width). Spec requires tile dims to be multiples of 16,
+        # which keeps bilevel blits byte-aligned.
+        if _T_TILE_LENGTH not in t or _T_TILE_OFFSETS not in t:
+            raise ValueError(
+                "tiled TIFF missing TileLength/TileOffsets (tags 323/324)"
+            )
+        tw = t[_T_TILE_WIDTH][0]
+        th = t[_T_TILE_LENGTH][0]
+        if tw % 16 or th % 16:
+            raise ValueError(f"tile dims {tw}x{th} must be multiples of 16")
+        offsets = t[_T_TILE_OFFSETS]
+        counts = t[_T_TILE_COUNTS]
+        across = (width + tw - 1) // tw
+        tile_row_bytes = (tw + 7) // 8 if bilevel else tw * spp
+        raw = bytearray(row_bytes * height)
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            data = undo_predictor(
+                decompress(b[off: off + cnt], tile_row_bytes * th),
+                th, tile_row_bytes,
+            )
+            x0 = (idx % across) * tw
+            y0 = (idx // across) * th
+            xb = x0 // 8 if bilevel else x0 * spp
+            copy = min(tile_row_bytes, row_bytes - xb)
+            for r in range(min(th, height - y0)):
+                dst = (y0 + r) * row_bytes + xb
+                raw[dst: dst + copy] = data[
+                    r * tile_row_bytes: r * tile_row_bytes + copy
+                ]
+        raw = bytes(raw)
+    else:
+        rows_per_strip = t.get(_T_ROWS_PER_STRIP, [height])[0] or height
+        offsets = t[_T_STRIP_OFFSETS]
+        counts = t.get(
+            _T_STRIP_COUNTS, [len(b) - offsets[0]] if len(offsets) == 1 else None
+        )
+        if counts is None:
+            raise ValueError("multi-strip TIFF without StripByteCounts")
+        raw = bytearray()
+        row0 = 0
+        for off, cnt in zip(offsets, counts):
+            n_rows = min(rows_per_strip, height - row0)
+            raw += undo_predictor(
+                decompress(b[off: off + cnt], row_bytes * n_rows),
+                n_rows, row_bytes,
+            )
+            row0 += n_rows
 
     rows: list[list[tuple[int, int, int]]] = []
     if bilevel:
@@ -351,11 +399,15 @@ def tiff_encode(
     predictor: bool = False,
     gray: bool = False,
     big_endian: bool = False,
+    tiles: tuple[int, int] | None = None,
 ) -> bytes:
     """rows of (r, g, b) -> TIFF bytes. compression in
     {'none', 'packbits', 'lzw', 'deflate'}; predictor applies horizontal
     differencing (LZW-style, valid with any compression per spec);
-    gray writes 1 sample/pixel from the red channel."""
+    gray writes 1 sample/pixel from the red channel. ``tiles=(tw, th)``
+    writes the TILED layout (tags 322-325, dims must be multiples of
+    16 per spec; edge tiles zero-padded to full size) instead of
+    strips."""
     height = len(px)
     width = len(px[0])
     spp = 1 if gray else 3
@@ -363,29 +415,48 @@ def tiff_encode(
     e = ">" if big_endian else "<"
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[compression]
 
-    # raster -> per-strip encoded bytes
-    strips: list[bytes] = []
-    for y0 in range(0, height, rps):
-        seg = bytearray()
-        for y in range(y0, min(y0 + rps, height)):
-            line = bytearray()
-            for x in range(width):
-                r, g, bl = px[y][x]
-                line += bytes([r & 0xFF] if gray else [r & 0xFF, g & 0xFF, bl & 0xFF])
-            if predictor:
-                for i in range(len(line) - 1, spp - 1, -1):
-                    line[i] = (line[i] - line[i - spp]) & 0xFF
-            seg += line
+    def pack_seg(seg: bytes) -> bytes:
         if compression == "none":
-            strips.append(bytes(seg))
-        elif compression == "packbits":
-            strips.append(packbits_encode(bytes(seg)))
-        elif compression == "deflate":
+            return bytes(seg)
+        if compression == "packbits":
+            return packbits_encode(bytes(seg))
+        if compression == "deflate":
             import zlib
 
-            strips.append(zlib.compress(bytes(seg), 6))
-        else:
-            strips.append(lzw_encode(bytes(seg)))
+            return zlib.compress(bytes(seg), 6)
+        return lzw_encode(bytes(seg))
+
+    def raw_line(y: int, x0: int, x1: int) -> bytearray:
+        line = bytearray()
+        for x in range(x0, x1):
+            if y >= height or x >= width:
+                line += bytes(spp)  # edge-tile padding
+                continue
+            r, g, bl = px[y][x]
+            line += bytes([r & 0xFF] if gray else [r & 0xFF, g & 0xFF, bl & 0xFF])
+        if predictor:
+            for i in range(len(line) - 1, spp - 1, -1):
+                line[i] = (line[i] - line[i - spp]) & 0xFF
+        return line
+
+    # raster -> per-strip (or per-tile) encoded segments
+    strips: list[bytes] = []
+    if tiles is not None:
+        tw, th = tiles
+        if tw % 16 or th % 16:
+            raise ValueError(f"tile dims {tw}x{th} must be multiples of 16")
+        for y0 in range(0, height, th):
+            for x0 in range(0, width, tw):
+                seg = bytearray()
+                for y in range(y0, y0 + th):
+                    seg += raw_line(y, x0, x0 + tw)
+                strips.append(pack_seg(seg))
+    else:
+        for y0 in range(0, height, rps):
+            seg = bytearray()
+            for y in range(y0, min(y0 + rps, height)):
+                seg += raw_line(y, 0, width)
+            strips.append(pack_seg(seg))
 
     n_strips = len(strips)
     entries: list[tuple[int, int, int, int]] = []  # tag, type, count, value
@@ -410,10 +481,16 @@ def tiff_encode(
     entry(_T_BITS, 3, [8] * spp)
     entry(_T_COMPRESSION, 3, [comp_id])
     entry(_T_PHOTOMETRIC, 3, [1 if gray else 2])
-    entry(_T_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
+    offsets_tag = _T_TILE_OFFSETS if tiles is not None else _T_STRIP_OFFSETS
+    entry(offsets_tag, 4, [0] * n_strips)  # patched below
     entry(_T_SPP, 3, [spp])
-    entry(_T_ROWS_PER_STRIP, 3, [rps])
-    entry(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
+    if tiles is not None:
+        entry(_T_TILE_WIDTH, 3, [tiles[0]])
+        entry(_T_TILE_LENGTH, 3, [tiles[1]])
+        entry(_T_TILE_COUNTS, 4, [len(s) for s in strips])
+    else:
+        entry(_T_ROWS_PER_STRIP, 3, [rps])
+        entry(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
     if predictor:
         entry(_T_PREDICTOR, 3, [2])
     entries.sort(key=lambda x: x[0])
@@ -431,11 +508,11 @@ def tiff_encode(
         pos += len(s)
     fixed: list[bytes] = []
     for tag, typ, cnt, val in entries:
-        if tag == _T_STRIP_OFFSETS and cnt == 1:
+        if tag == offsets_tag and cnt == 1:
             val_b = struct.pack(e + "I", strip_offs[0])
         elif isinstance(val, tuple):
             slot = val[1]
-            if tag == _T_STRIP_OFFSETS:
+            if tag == offsets_tag:
                 extra[slot:slot + 4 * cnt] = struct.pack(
                     e + f"{cnt}I", *strip_offs
                 )

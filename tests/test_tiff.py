@@ -194,8 +194,9 @@ def test_unsupported_paths_raise_with_tag_names():
             struct.pack_into("<H", b, base + 8, 7)
     with pytest.raises(NotImplementedError, match="Compression 7"):
         tf.tiff_decode(bytes(b))
-    # tiled layout: inject tag 322
-    with pytest.raises(NotImplementedError, match="tiled"):
+    # tiled layout with incomplete tile tags (r7: tiled DECODES now; a
+    # 322 without 323/324 is malformed, not a seam)
+    with pytest.raises(ValueError, match="tags 323/324"):
         tf.tiff_decode(_ifd(
             [(256, 3, [4]), (257, 3, [4]), (322, 3, [16]),
              (273, 4, [0]), (279, 4, [0])], [b""]))
@@ -229,3 +230,36 @@ def test_deflate_compression_roundtrip():
     # a smooth image actually compresses under zlib
     sm = _smooth(32, 32)
     assert len(tf.tiff_encode(sm, compression="deflate")) < len(tf.tiff_encode(sm))
+
+
+def test_tiled_roundtrip_all_compressions():
+    # 40x35 RGB with 16x16 tiles: 3x3 tile grid, right/bottom padding
+    px = [[((x * 7 + y) % 256, (x + y * 5) % 256, (x * y) % 256)
+           for x in range(40)] for y in range(35)]
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        b = tf.tiff_encode(px, compression=comp, tiles=(16, 16))
+        w, h, rows = tf.tiff_decode(b)
+        assert (w, h) == (40, 35)
+        assert rows == px, comp
+
+
+def test_tiled_with_predictor_and_gray_big_endian():
+    px = [[((x * 3 + y * 11) % 256,) * 3 for x in range(20)]
+          for y in range(18)]
+    b = tf.tiff_encode(px, compression="lzw", predictor=True,
+                       gray=True, big_endian=True, tiles=(16, 16))
+    w, h, rows = tf.tiff_decode(b)
+    assert (w, h) == (20, 18) and rows == px
+
+
+def test_tiled_exact_multiple_no_padding():
+    px = [[((x + y) % 256, x % 256, y % 256) for x in range(32)]
+          for y in range(16)]
+    b = tf.tiff_encode(px, compression="deflate", tiles=(16, 16))
+    assert tf.tiff_decode(b)[2] == px
+
+
+def test_tile_dims_must_be_multiple_of_16():
+    px = [[(0, 0, 0)] * 8 for _ in range(8)]
+    with pytest.raises(ValueError, match="multiples of 16"):
+        tf.tiff_encode(px, tiles=(8, 8))
