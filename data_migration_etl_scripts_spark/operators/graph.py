@@ -83,15 +83,25 @@ def pagerank(
     e_out = e.join(out_deg, "src").select("src", "dst", "out").localCheckpoint(
         eager=True
     )
-    dangling_nodes = nodes.join(
-        out_deg, nodes["node"] == out_deg["src"], "left_anti"
+    # the dangling SET is static: fold it into the rank relation as a
+    # boolean ONCE (r7) — each iteration's dangling-mass aggregate is
+    # then a FILTER over the checkpointed ranks instead of a per-round
+    # ranks-vs-dangling semi-join (one less shuffle join per
+    # iteration; local wall is checkpoint-overhead-bound so the gain
+    # shows in the plan, not the sf0.1 number)
+    flagged = nodes.join(
+        out_deg.select(F.col("src").alias("node"), F.lit(False).alias("dang")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("dang", F.lit(True)).alias("dang")
     ).localCheckpoint(eager=True)
     # IEEE division itself is exactly rounded in both engines, so the
     # (1-d)/N and dangling/N terms need no defensive quantization.
-    ranks = nodes.withColumn("rank", _q9(F.lit(1.0) / F.lit(float(n))))
+    ranks = flagged.withColumn("rank", _q9(F.lit(1.0) / F.lit(float(n))))
     for _ in range(iterations):
         dang = (
-            ranks.join(dangling_nodes, "node", "left_semi")
+            ranks.where("dang")
             .agg(
                 F.coalesce(
                     F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
@@ -108,10 +118,11 @@ def pagerank(
             .agg(F.sum("c").cast("double").alias("inflow"))
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            flagged.join(contrib, flagged["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "dang",
                 _q9(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
