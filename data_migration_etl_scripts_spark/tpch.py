@@ -6,9 +6,11 @@ that warehouse runs downstream — correlated subqueries, EXISTS / NOT
 EXISTS semi-joins, HAVING against scalar subqueries, disjunctive
 predicate pushdown, CASE-pivoted counts, max-subquery selection.
 q1/q3/q5/q10 live in queries.py; this module adds the rest of the
-suite, adapted where the slim schema lacks a TPC-H column (no
-partsupp, l_shipmode, l_commitdate, l_receiptdate, p_container,
-c_phone — each adaptation is documented on the query).
+suite — ALL remaining queries q2, q4, q6-q9, q11-q22 (r7 completed
+q2/q16) — adapted where the slim schema lacks a TPC-H column (no
+partsupp — the supply relation derives from lineitem — l_shipmode,
+l_commitdate, l_receiptdate, p_container, c_phone; each adaptation is
+documented on the query).
 
 Cross-engine determinism follows queries.py's rules: money aggregates
 go through DECIMAL partials (exact, merge-order-independent at 1000
@@ -41,6 +43,140 @@ def _rev():
 
 def _ts(s: str):
     return F.lit(s + " 00:00:00").cast(_TS)
+
+
+@query(
+    "q2_minimum_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    euro AS (
+        SELECT ps_partkey, ps_cost, s_acctbal, s_name, n_name
+        FROM supply
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT ps_partkey, min(ps_cost) AS best_cost
+        FROM euro GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey AS p_partkey, p.p_brand,
+           e.ps_cost AS supply_cost
+    FROM part p
+    JOIN euro e ON p.p_partkey = e.ps_partkey
+    JOIN best b ON b.ps_partkey = e.ps_partkey AND e.ps_cost = b.best_cost
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_minimum_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: no partsupp table,
+    so the supply relation derives from lineitem — supplier s supplies
+    part p iff a line exists, at cost min(extendedprice/quantity) that
+    supplier ever charged for that part (per-row IEEE division then
+    MIN: bit-identical across engines, so the correlated min-cost
+    equality cannot drift). The correlated subquery de-correlates into
+    one grouped min per part over EUROPE suppliers; region/nation
+    broadcast; top-100 with a total-order tiebreak compiles to
+    TakeOrderedAndProject."""
+    supply = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_cost"))
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    euro = supply.join(supp, supply["ps_suppkey"] == supp["s_suppkey"]).select(
+        "ps_partkey", "ps_cost", "s_acctbal", "s_name", "n_name"
+    )
+    best = euro.groupBy("ps_partkey").agg(F.min("ps_cost").alias("best_cost"))
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_brand")
+    return (
+        euro.join(best, "ps_partkey")
+        .where(F.col("ps_cost") == F.col("best_cost"))
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("ps_cost").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem
+    ) ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'SMALL%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the supply
+    relation derives from lineitem (as in Q2) and the
+    complaint-supplier NOT IN becomes a credit-hold stand-in
+    (s_acctbal < 0) — the subquery keyset is non-null so NOT IN
+    compiles to a LEFT ANTI join, never a per-row subquery. Part
+    filters (brand <>, NOT LIKE, size IN-list) push to the part scan;
+    part broadcasts onto the distinct supply pairs; the distinct
+    supplier count is one grouped pass."""
+    supply = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    hold = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("SMALL%"))
+        & (F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 22]))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        supply.join(
+            F.broadcast(hold), supply["ps_suppkey"] == hold["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
 
 
 @query(

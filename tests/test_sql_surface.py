@@ -111,8 +111,10 @@ SQL_PORTABLE_BOARD = [
     "ivm_join_cdc_deletes",
     "bloom_prefilter_revenue",
     # r7 widening: verbatim passes found by re-probing the full oracle
-    # set at HEAD
+    # set at HEAD, plus the r7 TPC-H completions
     "event_transition_matrix",
+    "q2_minimum_cost_supplier",
+    "q16_parts_supplier_relationship",
 ]
 
 #: r7: oracle texts that run under Spark SQL through the DOCUMENTED

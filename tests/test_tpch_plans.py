@@ -97,3 +97,21 @@ def test_q9_part_prune_broadcasts(spark):
     assert p.count("BroadcastHashJoin") >= 2  # part, supplier(+nation)
     # p_name LIKE pushed to the part scan
     assert "StringContains(p_name,widget)" in p or "p_name" in p
+
+
+def test_q2_decorrelated_min_and_topk(spark):
+    p = plan(t.q2_minimum_cost_supplier(spark, SF))
+    # top-100 with total-order tiebreak: per-partition top-k, no global sort
+    assert "TakeOrderedAndProject" in p
+    # dims broadcast; the correlated min is a grouped pass, not a rescan
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q16_not_in_compiles_to_anti_join_with_pushdown(spark):
+    fp = fplan(t.q16_parts_supplier_relationship(spark, SF), spark)
+    p = plan(t.q16_parts_supplier_relationship(spark, SF))
+    assert "LeftAnti" in p
+    # brand <>, NOT LIKE prefix, and the size IN-list reach the part scan
+    assert "Not(EqualTo(p_brand,Brand#5))" in fp
+    assert "In(p_size" in fp
