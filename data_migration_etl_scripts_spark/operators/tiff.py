@@ -26,15 +26,18 @@ path at all — this extends the multimodal addendum, same per-row
 kernel shape as operators/jpeg.py (mapInPandas streams Arrow batches;
 each file decodes independently, embarrassingly parallel at 100 TB).
 
-Tiled TIFF (tags 322-325) decodes (r7): tiles left-to-right then
-top-to-bottom, edge tiles padded to full size, predictor applied per
-tile row, same codec set as strips.
+r7 additions: tiled TIFF (tags 322-325: tiles left-to-right then
+top-to-bottom, edge tiles padded to full size, predictor per tile
+row, same codec set as strips); 16-bit samples (both byte orders,
+per-SAMPLE predictor differencing, high byte kept for the 8-bit RGB
+surface); PlanarConfiguration 2 (plane-major strips, lag-1 predictor
+within a plane, interleaved to chunky before assembly).
 
 What is NOT here (documented seams, same policy as jpeg.py/webp.py):
 JPEG-in-TIFF (Compression 6/7), CCITT fax codings (2/3/4 — the T.4/
-T.6 code tables are spec data, Annex-B policy), planar configuration
-2, and >8-bit samples. Each raises NotImplementedError naming the
-tag value.
+T.6 code tables are spec data, Annex-B policy), tiled+planar-2
+combination, and >16-bit samples. Each raises NotImplementedError
+naming the tag value.
 """
 
 from __future__ import annotations
@@ -249,10 +252,12 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     spp = t.get(_T_SPP, [len(bits)])[0]
     planar = t.get(_T_PLANAR, [1])[0]
     predictor = t.get(_T_PREDICTOR, [1])[0]
-    if planar != 1:
-        raise NotImplementedError(f"PlanarConfiguration {planar} — chunky (1) only")
-    if any(x not in (1, 8) for x in bits[:spp]):
-        raise NotImplementedError(f"BitsPerSample {bits} — 1- and 8-bit only")
+    if planar not in (1, 2):
+        raise NotImplementedError(f"PlanarConfiguration {planar}")
+    if any(x not in (1, 8, 16) for x in bits[:spp]) or len(set(bits[:spp])) > 1:
+        raise NotImplementedError(
+            f"BitsPerSample {bits} — uniform 1-, 8- or 16-bit only"
+        )
     if comp not in (1, 5, 8, 32773):
         raise NotImplementedError(
             f"Compression {comp} — none (1), LZW (5), Deflate (8), "
@@ -260,7 +265,10 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         )
 
     bilevel = bits[0] == 1 and spp == 1
-    row_bytes = (width + 7) // 8 if bilevel else width * spp
+    if bits[0] == 1 and (spp != 1 or planar == 2):
+        raise NotImplementedError("bilevel data must be chunky single-sample")
+    bpp = 2 if bits[0] == 16 else 1  # bytes per sample (r7: 16-bit)
+    row_bytes = (width + 7) // 8 if bilevel else width * spp * bpp
 
     def decompress(chunk: bytes, expected: int) -> bytes:
         if comp == 1:
@@ -273,16 +281,28 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
             return zlib.decompress(bytes(chunk))[:expected]
         return lzw_decode(chunk, expected)
 
-    def undo_predictor(data: bytes, n_rows: int, stride: int) -> bytes:
+    def undo_predictor(data: bytes, n_rows: int, stride: int, nchan: int) -> bytes:
+        """Horizontal differencing is per SAMPLE (16-bit units when
+        bpp == 2), channel-interleave-aware: lag = nchan samples."""
         if predictor != 2:
             return data
         if bilevel:
             raise NotImplementedError("Predictor 2 on bilevel data")
-        out = bytearray(data)
+        if bpp == 1:
+            out = bytearray(data)
+            for r in range(n_rows):
+                base = r * stride
+                for i in range(nchan, stride):
+                    out[base + i] = (out[base + i] + out[base + i - nchan]) & 0xFF
+            return bytes(out)
+        n_samp = stride // 2
+        out = bytearray(len(data))
         for r in range(n_rows):
             base = r * stride
-            for i in range(spp, stride):
-                out[base + i] = (out[base + i] + out[base + i - spp]) & 0xFF
+            vals = list(struct.unpack_from(e + f"{n_samp}H", data, base))
+            for i in range(nchan, n_samp):
+                vals[i] = (vals[i] + vals[i - nchan]) & 0xFFFF
+            struct.pack_into(e + f"{n_samp}H", out, base, *vals)
         return bytes(out)
 
     if _T_TILE_WIDTH in t:
@@ -291,6 +311,8 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         # compression and predictor apply per tile (predictor rows are
         # tile-width). Spec requires tile dims to be multiples of 16,
         # which keeps bilevel blits byte-aligned.
+        if planar == 2:
+            raise NotImplementedError("tiled + PlanarConfiguration 2")
         if _T_TILE_LENGTH not in t or _T_TILE_OFFSETS not in t:
             raise ValueError(
                 "tiled TIFF missing TileLength/TileOffsets (tags 323/324)"
@@ -302,22 +324,55 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         offsets = t[_T_TILE_OFFSETS]
         counts = t[_T_TILE_COUNTS]
         across = (width + tw - 1) // tw
-        tile_row_bytes = (tw + 7) // 8 if bilevel else tw * spp
+        tile_row_bytes = (tw + 7) // 8 if bilevel else tw * spp * bpp
         raw = bytearray(row_bytes * height)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
             data = undo_predictor(
                 decompress(b[off: off + cnt], tile_row_bytes * th),
-                th, tile_row_bytes,
+                th, tile_row_bytes, spp,
             )
             x0 = (idx % across) * tw
             y0 = (idx // across) * th
-            xb = x0 // 8 if bilevel else x0 * spp
+            xb = x0 // 8 if bilevel else x0 * spp * bpp
             copy = min(tile_row_bytes, row_bytes - xb)
             for r in range(min(th, height - y0)):
                 dst = (y0 + r) * row_bytes + xb
                 raw[dst: dst + copy] = data[
                     r * tile_row_bytes: r * tile_row_bytes + copy
                 ]
+        raw = bytes(raw)
+    elif planar == 2:
+        # separate planes (r7): each sample's strips stored
+        # consecutively, plane-major; predictor lag is 1 within a
+        # plane. Decode per plane, then interleave to the chunky
+        # layout the assembly below expects.
+        rows_per_strip = t.get(_T_ROWS_PER_STRIP, [height])[0] or height
+        offsets = t[_T_STRIP_OFFSETS]
+        counts = t[_T_STRIP_COUNTS]
+        per_plane = len(offsets) // spp
+        plane_row = width * bpp
+        planes = []
+        for c in range(spp):
+            praw = bytearray()
+            row0 = 0
+            for off, cnt in zip(
+                offsets[c * per_plane: (c + 1) * per_plane],
+                counts[c * per_plane: (c + 1) * per_plane],
+            ):
+                n_rows = min(rows_per_strip, height - row0)
+                praw += undo_predictor(
+                    decompress(b[off: off + cnt], plane_row * n_rows),
+                    n_rows, plane_row, 1,
+                )
+                row0 += n_rows
+            planes.append(praw)
+        raw = bytearray(row_bytes * height)
+        for y in range(height):
+            for x in range(width):
+                for c in range(spp):
+                    src = y * plane_row + x * bpp
+                    dst = y * row_bytes + (x * spp + c) * bpp
+                    raw[dst: dst + bpp] = planes[c][src: src + bpp]
         raw = bytes(raw)
     else:
         rows_per_strip = t.get(_T_ROWS_PER_STRIP, [height])[0] or height
@@ -333,9 +388,15 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
             n_rows = min(rows_per_strip, height - row0)
             raw += undo_predictor(
                 decompress(b[off: off + cnt], row_bytes * n_rows),
-                n_rows, row_bytes,
+                n_rows, row_bytes, spp,
             )
             row0 += n_rows
+
+    if bpp == 2:
+        # 16-bit -> 8-bit for the RGB surface: keep the high byte
+        # (file byte order decides which half that is)
+        raw = raw[0::2] if e == ">" else raw[1::2]
+        row_bytes //= 2
 
     rows: list[list[tuple[int, int, int]]] = []
     if bilevel:

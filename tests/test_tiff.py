@@ -263,3 +263,99 @@ def test_tile_dims_must_be_multiple_of_16():
     px = [[(0, 0, 0)] * 8 for _ in range(8)]
     with pytest.raises(ValueError, match="multiples of 16"):
         tf.tiff_encode(px, tiles=(8, 8))
+
+
+def test_16bit_gray_both_endians():
+    # 4x2 16-bit gray: v16 = v8*257 decodes to v8 (high byte kept)
+    vals8 = [[10, 40, 90, 200], [255, 0, 128, 17]]
+    for be in (False, True):
+        e = ">" if be else "<"
+        raw = b"".join(
+            struct.pack(e + "H", v * 257) for row in vals8 for v in row
+        )
+        # header 8 + IFD (2 + 7*12 + 4) = 98
+        b = _ifd(
+            [(256, 3, [4]), (257, 3, [2]), (258, 3, [16]), (259, 3, [1]),
+             (262, 3, [1]), (273, 4, [98]), (279, 4, [len(raw)])],
+            [raw], big_endian=be,
+        )
+        w, h, px = tf.tiff_decode(b)
+        assert (w, h) == (4, 2)
+        assert px == [[(v, v, v) for v in row] for row in vals8], be
+
+
+def test_16bit_rgb_with_predictor():
+    # 3x2 16-bit RGB, predictor 2: differencing on 16-bit samples
+    pix = [[(1000, 2000, 3000), (1100, 2050, 2900), (65535, 0, 257)],
+           [(257, 514, 771), (300, 514, 900), (0, 65535, 400)]]
+    rows = []
+    for row in pix:
+        samp = [c for p in row for c in p]
+        diff = list(samp)
+        for i in range(len(samp) - 1, 2, -1):
+            diff[i] = (diff[i] - diff[i - 3]) & 0xFFFF
+        rows.append(struct.pack("<9H", *diff))
+    raw = b"".join(rows)
+    # header 8 + IFD (2 + 9*12 + 4) = 122; BITS count 3 -> extra block
+    # BEFORE data: offsets shift by 6
+    b = _ifd(
+        [(256, 3, [3]), (257, 3, [2]), (258, 3, [16, 16, 16]),
+         (259, 3, [1]), (262, 3, [2]), (273, 4, [122 + 6]),
+         (277, 3, [3]), (279, 4, [len(raw)]), (317, 3, [2])],
+        [raw],
+    )
+    w, h, px = tf.tiff_decode(b)
+    assert (w, h) == (3, 2)
+    want = [[tuple(c >> 8 for c in p) for p in row] for row in pix]
+    assert px == want
+
+
+def test_planar_config_2_rgb():
+    # 4x3 RGB stored as 3 separate planes, one strip per plane
+    pix = [[(x * 20, 255 - x * 30, (x * x) % 256) for x in range(4)]
+           for _ in range(3)]
+    planes = []
+    for c in range(3):
+        planes.append(bytes(row[x][c] for row in pix for x in range(4)))
+    # header 8 + IFD (2 + 9*12 + 4) = 122; extra block = BITS (3
+    # SHORTs, 6 B) + offsets (3 LONGs) + counts (3 LONGs) = 30 B
+    base = 122 + 30
+    offs = [base, base + 12, base + 24]
+    b = _ifd(
+        [(256, 3, [4]), (257, 3, [3]), (258, 3, [8, 8, 8]), (259, 3, [1]),
+         (262, 3, [2]), (273, 4, offs), (277, 3, [3]),
+         (279, 4, [12, 12, 12]), (284, 3, [2])],
+        planes,
+    )
+    w, h, px = tf.tiff_decode(b)
+    assert (w, h) == (4, 3)
+    assert px == pix
+
+
+def test_planar_config_2_with_predictor_lag1():
+    # predictor in planar mode differences within the plane (lag 1)
+    pix = [[(10, 100, 200), (13, 90, 210), (20, 95, 190)]]
+    planes = []
+    for c in range(3):
+        vals = [p[c] for p in pix[0]]
+        diff = [vals[0]] + [(vals[i] - vals[i - 1]) & 0xFF
+                            for i in range(1, 3)]
+        planes.append(bytes(diff))
+    # IFD (2 + 10*12 + 4) = 126; extra = BITS 6 + offsets 12 + counts 12
+    base = 8 + 126 + 30
+    offs = [base, base + 3, base + 6]
+    b = _ifd(
+        [(256, 3, [3]), (257, 3, [1]), (258, 3, [8, 8, 8]), (259, 3, [1]),
+         (262, 3, [2]), (273, 4, offs), (277, 3, [3]),
+         (279, 4, [3, 3, 3]), (284, 3, [2]), (317, 3, [2])],
+        planes,
+    )
+    assert tf.tiff_decode(b)[2] == pix
+
+
+def test_tiled_planar2_raises():
+    with pytest.raises(NotImplementedError, match="tiled .*Planar"):
+        tf.tiff_decode(_ifd(
+            [(256, 3, [16]), (257, 3, [16]), (258, 3, [8]), (284, 3, [2]),
+             (322, 3, [16]), (323, 3, [16]), (324, 4, [0]),
+             (325, 4, [0])], [b""]))
