@@ -4779,39 +4779,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked here against the exact top-20. Deterministic md5 bucket
     hashes make the whole sketch SQL-expressible — the oracle
     hash-matches every counter."""
+    from data_migration_etl_scripts_spark.operators import cms as cm
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tp.tokens("text")).alias("tok"))
-    def spark_bucket(d: int):
-        # same value as _cms_bucket_sql's DuckDB hex-cast form
-        return (
-            F.conv(F.substring(F.md5(F.concat(F.col("tok"),
-                                              F.lit(f":cms{d}"))), 1, 13),
-                   16, 10).cast("long") % 512
-        )
-
-    buckets = [
-        F.struct(F.lit(d).alias("d"), spark_bucket(d).alias("bucket"))
-        for d in range(4)
-    ]
-    cms = (
-        toks.select(F.explode(F.array(*buckets)).alias("p"))
-        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    sketch = cm.cms_sketch(toks, "tok", depth=4, width=512)
     exact = (
         toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
     )
-    probe = exact.select(
-        "tok", "exact_n",
-        F.explode(F.array(*[
-            F.struct(F.lit(d).alias("d"), spark_bucket(d).alias("bucket"))
-            for d in range(4)
-        ])).alias("p"),
-    ).select("tok", "exact_n", F.col("p.d").alias("d"),
-             F.col("p.bucket").alias("bucket"))
-    return (
-        probe.join(F.broadcast(cms), ["d", "bucket"])
-        .groupBy("tok", "exact_n")
-        .agg(F.min("c").alias("cms_estimate"))
-    )
+    return cm.cms_estimate(exact, sketch, "tok", depth=4, width=512) \
+        .withColumnRenamed("est", "cms_estimate")

@@ -1,0 +1,107 @@
+"""Streaming CMS heavy hitters (streaming/sketch_stream.py): folded
+counters == one-shot sketch (mergeability), heavy-hitter set matches
+the exact frequent items, crash replays cannot double-count, and the
+candidate set stays bounded."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_migration_etl_scripts_spark.operators import cms as cm
+from data_migration_etl_scripts_spark.streaming.sketch_stream import (
+    fold_batch_into_cms,
+    read_cms,
+    read_heavy_hitters,
+    stream_cms_heavy_hitters,
+)
+
+SCHEMA = "key string"
+
+
+def _write_wave(spark, src, name, keys):
+    df = spark.createDataFrame([(k,) for k in keys], SCHEMA)
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "out")
+        df.coalesce(1).write.parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+
+def _waves():
+    # two heavy keys present in every wave, a long tail of singletons
+    waves = []
+    for w in range(3):
+        keys = (["alpha"] * 30 + ["beta"] * 18
+                + [f"tail{w}_{i}" for i in range(25)])
+        waves.append(keys)
+    return waves
+
+
+def test_folded_sketch_equals_one_shot_and_hitters_exact(spark, tmp_path):
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    os.makedirs(src)
+    waves = _waves()
+    for i, keys in enumerate(waves):
+        _write_wave(spark, src, f"w{i}", keys)
+        stream_cms_heavy_hitters(
+            spark, src, state, SCHEMA, "key", phi=0.05
+        )
+    # counters: folded == one-shot over the concatenation (mergeability)
+    all_keys = [k for keys in waves for k in keys]
+    one_shot = cm.cms_sketch(
+        spark.createDataFrame([(k,) for k in all_keys], SCHEMA), "key"
+    )
+    folded = read_cms(spark, state)
+    assert folded is not None
+    diff = (
+        folded.withColumnRenamed("c", "fc")
+        .join(one_shot, ["d", "bucket"], "full")
+        .where(
+            F.coalesce("fc", F.lit(-1)) != F.coalesce("c", F.lit(-1))
+        )
+        .count()
+    )
+    assert diff == 0
+    # heavy hitters: phi=0.05 of 219 keys = 10.95 -> alpha (90), beta (54)
+    hh = {r.key: r.est for r in read_heavy_hitters(spark, state).collect()}
+    assert set(hh) >= {"alpha", "beta"}
+    assert hh["alpha"] >= 90 and hh["beta"] >= 54  # one-sided estimates
+    # bounded: tail singletons only enter via CMS collision slack
+    assert len(hh) <= 25
+
+
+def test_replay_same_batch_id_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, SCHEMA)
+    fold_batch_into_cms(spark, b0, 0, state, "key", phi=0.1)
+    first = {(r.d, r.bucket): r.c for r in read_cms(spark, state).collect()}
+    # crash replay of batch 0: identical input, same id -> same state
+    fold_batch_into_cms(spark, b0, 0, state, "key", phi=0.1)
+    again = {(r.d, r.bucket): r.c for r in read_cms(spark, state).collect()}
+    assert first == again
+    total = sum(c for (d, _b), c in first.items() if d == 0)
+    assert total == 7  # depth-0 row carries exactly N increments
+
+
+def test_candidate_reenters_on_next_appearance(spark, tmp_path):
+    state = str(tmp_path / "state")
+    # batch 0: x below threshold; batch 1: one more x pushes it over
+    fold_batch_into_cms(
+        spark,
+        spark.createDataFrame([("x",)] * 2 + [("y",)] * 8, SCHEMA),
+        0, state, "key", phi=0.5,
+    )
+    hh0 = {r.key for r in read_heavy_hitters(spark, state).collect()}
+    assert hh0 == {"y"}  # x is 2/10 < 0.5
+    fold_batch_into_cms(
+        spark,
+        spark.createDataFrame([("x",)] * 10, SCHEMA),
+        1, state, "key", phi=0.5,
+    )
+    hh1 = {r.key for r in read_heavy_hitters(spark, state).collect()}
+    assert hh1 == {"x"}  # 12/20 >= 0.5; y dropped at 8/20
