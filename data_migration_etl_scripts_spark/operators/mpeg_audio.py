@@ -204,33 +204,40 @@ _SYN = [
 def pqmf_analyze(samples: list[float]) -> list[list[float]]:
     """Mono samples -> list of granules, each 32 subband samples
     (critically decimated: one granule per 32 input samples). Input is
-    zero-padded at the head (the filter history)."""
-    x = [0.0] * 511 + list(samples)
-    out = []
-    for m in range(len(samples) // 32):
-        end = 511 + (m + 1) * 32  # newest sample index + 1
-        win = x[end - 512 : end][::-1]  # newest-first, length 512
-        out.append([sum(a * b for a, b in zip(row, win)) for row in _ANA])
-    return out
+    zero-padded at the head (the filter history). numpy-vectorized
+    (r7): one (n_granules, 512) strided window matrix against the
+    analysis bank — float64 math identical to the scalar form."""
+    import numpy as np
+
+    n = len(samples) // 32
+    if n == 0:
+        return []
+    x = np.concatenate([np.zeros(511), np.asarray(samples, dtype=np.float64)])
+    ana = np.asarray(_ANA, dtype=np.float64)  # (32, 512)
+    # window m = x[end-512 : end] reversed, end = 511 + (m+1)*32
+    idx = (511 + (np.arange(n)[:, None] + 1) * 32 - 1) - np.arange(512)[None, :]
+    wins = x[idx]  # (n, 512), newest-first
+    return (wins @ ana.T).tolist()
 
 
 def pqmf_synthesize(granules: list[list[float]]) -> list[float]:
     """Inverse of :func:`pqmf_analyze` (overall delay ``PQMF_DELAY``
-    samples, unit gain)."""
-    hist: list[list[float]] = []
-    out: list[float] = []
-    for s in granules:
-        hist.append(s)
-        if len(hist) > 16:
-            hist.pop(0)
-        for j in range(32):
-            acc = 0.0
-            for r, past in enumerate(reversed(hist)):  # r granules ago
-                base = 32 * r + j
-                for k in range(32):
-                    acc += past[k] * _SYN[k][base]
-            out.append(acc)
-    return out
+    samples, unit gain). numpy-vectorized (r7): the 16-granule history
+    convolution becomes one tensordot per granule against the
+    (16, 32, 32) synthesis tensor S[r, k, j] = _SYN[k][32r + j]."""
+    import numpy as np
+
+    if not granules:
+        return []
+    syn = np.asarray(_SYN, dtype=np.float64)  # (32, 512)
+    s3 = syn.reshape(32, 16, 32).transpose(1, 0, 2)  # (r, k, j)
+    hist = np.zeros((16, 32))  # hist[r] = granule r ago
+    out = np.empty(32 * len(granules))
+    for m, g in enumerate(granules):
+        hist[1:] = hist[:-1]
+        hist[0] = g
+        out[m * 32: (m + 1) * 32] = np.einsum("rk,rkj->j", hist, s3)
+    return out.tolist()
 
 
 # ------------------------------------------------------------ bit I/O

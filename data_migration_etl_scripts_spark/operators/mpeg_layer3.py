@@ -418,45 +418,68 @@ def _win(block_type: int) -> list[float]:
 _WIN_SHORT = [math.sin(math.pi / 12 * (n + 0.5)) for n in range(12)]
 
 
-def _imdct_long(X: list[float], block_type: int) -> list[float]:
-    w = _win(block_type)
-    return [
-        w[n] * sum(
-            X[k] * math.cos(math.pi / 72 * (2 * n + 1 + 18) * (2 * k + 1))
-            for k in range(18)
+def _imdct_matrices():
+    """Precomputed numpy transform matrices (r7 vectorization — the
+    same cos/window float64 values the scalar loops used):
+    imdct[bt] (36, 18) windowed long IMDCT; short (12, 6) windowed
+    12-point IMDCT; fwd (18, 36) forward MDCT with the 4/36 scale."""
+    import numpy as np
+
+    global _MATS
+    if _MATS is None:
+        cos_l = np.cos(
+            np.pi / 72
+            * (2 * np.arange(36)[:, None] + 1 + 18)
+            * (2 * np.arange(18)[None, :] + 1)
         )
-        for n in range(36)
-    ]
+        imdct = {
+            bt: np.asarray(_win(bt), dtype=np.float64)[:, None] * cos_l
+            for bt in (0, 1, 3)
+        }
+        cos_s = np.cos(
+            np.pi / 24
+            * (2 * np.arange(12)[:, None] + 1 + 6)
+            * (2 * np.arange(6)[None, :] + 1)
+        )
+        short = np.asarray(_WIN_SHORT, dtype=np.float64)[:, None] * cos_s
+        fwd = (4.0 / 36.0) * (
+            np.asarray(_win(0), dtype=np.float64)[None, :] * cos_l.T
+        )
+        _MATS = (imdct, short, fwd)
+    return _MATS
+
+
+_MATS = None
+
+
+def _imdct_long(X: list[float], block_type: int) -> list[float]:
+    import numpy as np
+
+    imdct, _short, _fwd = _imdct_matrices()
+    return (imdct[block_type] @ np.asarray(X, dtype=np.float64)).tolist()
 
 
 def _imdct_short(X: list[float]) -> list[float]:
     """Three 12-point IMDCTs overlaid at offsets 6/12/18 in the
     36-sample slot; X is subband-local (window*6 + line)."""
-    out = [0.0] * 36
+    import numpy as np
+
+    _imdct, short, _fwd = _imdct_matrices()
+    xs = np.asarray(X, dtype=np.float64).reshape(3, 6)
+    out = np.zeros(36)
     for w in range(3):
-        for n in range(12):
-            acc = sum(
-                X[w * 6 + k]
-                * math.cos(math.pi / 24 * (2 * n + 1 + 6) * (2 * k + 1))
-                for k in range(6)
-            )
-            out[6 + 6 * w + n] += acc * _WIN_SHORT[n]
-    return out
+        out[6 + 6 * w: 18 + 6 * w] += short @ xs[w]
+    return out.tolist()
 
 
 def _mdct_long(x36: list[float]) -> list[float]:
     """Forward of :func:`_imdct_long` for block_type 0 (engine encoder):
     scale 4/36 makes IMDCT + windowed overlap-add the exact inverse
     (TDAC identity pinned in tests)."""
-    w = _win(0)
-    return [
-        (4.0 / 36.0) * sum(
-            x36[n] * w[n]
-            * math.cos(math.pi / 72 * (2 * n + 1 + 18) * (2 * k + 1))
-            for n in range(36)
-        )
-        for k in range(18)
-    ]
+    import numpy as np
+
+    _imdct, _short, fwd = _imdct_matrices()
+    return (fwd @ np.asarray(x36, dtype=np.float64)).tolist()
 
 
 # --------------------------------------------------------------- decode
