@@ -47,10 +47,11 @@ prototype-window note in mpeg_audio.py):
     exact by construction regardless; only FOREIGN-stream band
     scaling depends on their conformance — verify against the spec
     text before relying on that.
-  - Layer III intensity stereo (mode_ext bit 0) raises: its is_pos
-    scalefactor reuse cannot be validated here without a foreign
-    fixture. MS stereo (mode_ext bit 1, the common joint mode) is
-    implemented.
+  - intensity stereo with SHORT blocks raises (the per-window is_pos
+    layout is untestable here without a foreign fixture); long-block
+    intensity (r7) decodes via ratio = tan(is_pos*pi/12) over the
+    right channel's zero region, MS below it when both bits are set,
+    and round-trips against the engine encoder's intensity mode.
 
 The ENGINE ENCODER (`layer3_encode`) emits conformant-syntax streams
 at the table-0 + count1-B operating point: long blocks, big_values=0,
@@ -505,11 +506,6 @@ def layer3_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
             rate, nch = hdr["rate"], hdr["nch"]
         elif hdr["rate"] != rate or hdr["nch"] != nch:
             raise ValueError("mid-stream rate/mode change")
-        if hdr["mode"] == 0b01 and hdr["mode_ext"] & 0b01:
-            raise NotImplementedError(
-                "Layer III intensity stereo is a documented seam — "
-                "MS stereo (mode_ext bit 1) is implemented"
-            )
         mode_ext = hdr["mode_ext"] if hdr["mode"] == 0b01 else 0
         body = pos + 4 + (2 if hdr["crc"] else 0)
         si = _parse_side_info(_BitReader(data, body), nch)
@@ -529,6 +525,7 @@ def layer3_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
         for gr in range(2):
             xs = []
             prev_scf = None
+            ixs, scfs = [], []
             for ch in range(nch):
                 gi = si["granules"][gr][ch]
                 p23_end = r.bitpos + gi["part2_3_length"]
@@ -537,10 +534,45 @@ def layer3_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
                     prev_scf = scf
                 ix = _read_spectrum(r, gi, p23_end, rate)
                 r.bitpos = p23_end  # skip stuffing up to the boundary
+                ixs.append(ix)
+                scfs.append(scf)
                 xs.append(_requantize(ix, gi, scf, rate))
-            if nch == 2 and mode_ext & 0b10:  # MS stereo
+            izone = 576  # first intensity line (MS applies below it)
+            if nch == 2 and mode_ext & 0b01:  # intensity stereo (r7)
+                if any(si["granules"][gr][c]["block_type"] == 2
+                       for c in range(2)):
+                    raise NotImplementedError(
+                        "intensity stereo with short blocks"
+                    )
+                zero_bound = 0
+                for i in range(575, -1, -1):
+                    if ixs[1][i]:
+                        zero_bound = i + 1
+                        break
+                long_b = SFB_LONG[rate]
+                izone = None
+                for sfb in range(21):
+                    if long_b[sfb] < zero_bound:
+                        continue  # right still carries real data here
+                    if izone is None:
+                        izone = long_b[sfb]
+                    is_pos = scfs[1]["l"][sfb]
+                    if is_pos == 7:
+                        continue  # intensity off for this band
+                    if is_pos == 6:
+                        rl, rr = 1.0, 0.0
+                    else:
+                        t_ = math.tan(is_pos * math.pi / 12.0)
+                        rl, rr = t_ / (1.0 + t_), 1.0 / (1.0 + t_)
+                    for i in range(long_b[sfb], long_b[sfb + 1]):
+                        x = xs[0][i]
+                        xs[0][i] = x * rl
+                        xs[1][i] = x * rr
+                if izone is None:
+                    izone = 576
+            if nch == 2 and mode_ext & 0b10:  # MS stereo (below izone)
                 inv = 1.0 / math.sqrt(2.0)
-                for i in range(576):
+                for i in range(izone):
                     m, s = xs[0][i], xs[1][i]
                     xs[0][i], xs[1][i] = (m + s) * inv, (m - s) * inv
             for ch in range(nch):
@@ -676,6 +708,7 @@ def layer3_encode(
     rate: int = 44100,
     right: list[float] | None = None,
     ms: bool = True,
+    intensity: bool = False,
     bitrate_idx: int | None = None,
 ) -> bytes:
     """Mono (or stereo) [-1, 1] samples -> MPEG-1 Layer III bytes at
@@ -684,7 +717,16 @@ def layer3_encode(
     mode_ext=2) — exact by linearity of the filterbank. The bit
     reservoir engages automatically whenever a frame's blob undershoots
     its main-data area (main_data_begin > 0 on the following frames),
-    capped at ``_MAX_RESERVOIR`` via stuffing bytes."""
+    capped at ``_MAX_RESERVOIR`` via stuffing bytes.
+
+    ``intensity=True`` (r7, requires ``right``): ALL-bands intensity
+    stereo (mode_ext bit 0) — the left channel carries the quantized
+    L+R spectrum, the right channel's scalefactor slots carry the
+    per-band pan position is_pos = round(atan2(|L|, |R|) * 12/pi)
+    (7 = band off), and the decoder splits by tan(is_pos*pi/12).
+    Lossy by design: per-band panning, exact only when the true L/R
+    ratio sits on one of the 7 angles. Lines above the last
+    scalefactor band (no is_pos slot) stay on the left channel."""
     if rate not in SAMPLE_RATES.values():
         raise ValueError(f"rate must be one of {sorted(SAMPLE_RATES.values())}")
     if right is not None and len(right) != len(samples):
@@ -693,7 +735,12 @@ def layer3_encode(
     nfr = len(samples) // 1152
     if nfr == 0:
         raise ValueError("need at least 1152 samples (one frame)")
-    if nch == 2 and ms:
+    if intensity and right is None:
+        raise ValueError("intensity=True needs a right channel")
+    if nch == 2 and intensity:
+        chans = [list(samples), list(right)]
+        mode, mode_ext = 0b01, 0b01
+    elif nch == 2 and ms:
         inv = 1.0 / math.sqrt(2.0)
         chans = [
             [(a + b) * inv for a, b in zip(samples, right)],
@@ -735,6 +782,30 @@ def layer3_encode(
         w = _BitWriter()
         gis = [[], []]
         for gr in range(2):
+            if intensity:
+                gl = per_ch_granules[0][f * 2 + gr]
+                grr = per_ch_granules[1][f * 2 + gr]
+                summed = [a + b for a, b in zip(gl, grr)]
+                ixg, gg, scf = _quantize_granule(summed, rate)
+                gis[gr].append(_pack_granule(w, ixg, gg, scf))
+                # right channel: zero spectrum, scalefactors = is_pos
+                long_b = SFB_LONG[rate]
+                is_pos = []
+                for sfb in range(21):
+                    al = sum(abs(v) for v in gl[long_b[sfb]:long_b[sfb + 1]])
+                    ar = sum(abs(v) for v in grr[long_b[sfb]:long_b[sfb + 1]])
+                    if al == 0.0 and ar == 0.0:
+                        is_pos.append(7)  # intensity off: empty band
+                    else:
+                        is_pos.append(
+                            max(0, min(6, round(
+                                math.atan2(al, ar) * 12.0 / math.pi
+                            )))
+                        )
+                gis[gr].append(
+                    _pack_granule(w, [0] * 576, 210, is_pos)
+                )
+                continue
             for ch in range(nch):
                 ixg, gg, scf = _quantize_granule(
                     per_ch_granules[ch][f * 2 + gr], rate

@@ -1352,6 +1352,12 @@ def synthetic_real_media_rows(
                      bytearray(tiff_encode(px6, compression="lzw",
                                            predictor=True, tiles=(16, 16))),
                      "{}"))
+        rows.append((n + 16, "audio",
+                     bytearray(layer3_encode(
+                         tone(995.0, 1152 * 2, amp=0.3), rate=32000,
+                         right=tone(995.0, 1152 * 2, amp=0.3),
+                         intensity=True)),
+                     "{}"))
     return rows
 
 

@@ -306,16 +306,42 @@ def test_count1_table_a_is_a_seam():
         l3._read_spectrum(r, gi, 128, 44100)
 
 
-def test_intensity_stereo_raises():
+def test_intensity_stereo_roundtrip_exact_angles():
+    """r7: all-bands intensity — pan is exact when the true L/R ratio
+    sits on a tan(k*pi/12) angle, so both channels round-trip at the
+    mono quantization floor."""
     rate = 44100
-    b = bytearray(l3.layer3_encode(
-        _tone(995.0, 1152, rate), rate=rate,
-        right=_tone(700.0, 1152, rate), ms=True,
-    ))
-    # patch mode_ext to set the intensity bit (bit 0)
+    for amp_l, amp_r in ((0.4, 0.4),            # is_pos 3 (45 deg)
+                         (0.2887, 0.5)):        # is_pos 2 (tan = 0.577)
+        left = _tone(995.0, 1152 * 4, rate, amp=amp_l)
+        right = _tone(995.0, 1152 * 4, rate, amp=amp_r)
+        b = l3.layer3_encode(left, rate=rate, right=right, intensity=True)
+        # header carries joint-stereo mode with the intensity bit
+        assert (b[3] >> 6) == 0b01 and ((b[3] >> 4) & 0b11) == 0b01
+        r, nch, ch = mpeg_audio_decode(b)
+        assert (r, nch) == (rate, 2)
+        assert _snr(left, ch[0]) > 7.0
+        assert _snr(right, ch[1]) > 7.0
+
+
+def test_intensity_plus_ms_bits_on_real_right_channel_is_ms():
+    # mode_ext = 3 on a stream whose right channel carries real data:
+    # zero_bound = 576, so there are no intensity bands and MS applies
+    # to the whole spectrum — decode equals the plain-MS decode
+    rate = 44100
+    left = _tone(995.0, 1152 * 2, rate)
+    right = _tone(995.0, 1152 * 2, rate, amp=0.45)
+    b = bytearray(l3.layer3_encode(left, rate=rate, right=right, ms=True))
+    ms_ref = mpeg_audio_decode(bytes(b))[2]
     b[3] = (b[3] & ~0b00110000) | (0b11 << 4)
-    with pytest.raises(NotImplementedError, match="intensity"):
-        mpeg_audio_decode(bytes(b))
+    both = mpeg_audio_decode(bytes(b))[2]
+    assert both == ms_ref
+
+
+def test_intensity_requires_right_channel():
+    with pytest.raises(ValueError, match="right channel"):
+        l3.layer3_encode(_tone(995.0, 1152, 44100), rate=44100,
+                         intensity=True)
 
 
 def test_mixed_layer_stream_raises():

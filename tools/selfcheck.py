@@ -227,10 +227,10 @@ def _range_multimodal_decode(con, cols, rows) -> list[str]:
         if mtype == "audio":
             if not (0.02 <= got[0] <= 0.15):  # 100ms WAVs / 24-85ms MPEG
                 bad.append(f"id {mid}: audio duration {got[0]}s outside [0.02, 0.15]")
-            # sine RMS, real signal not hash. Layer III (id 38) keeps
-            # its 576-sample MDCT delay at the head, so band 0 is the
-            # silent lead-in — the tone lives in the later bands.
-            band = max(got[3:]) if mid == 38 else got[2]
+            # sine RMS, real signal not hash. Layer III (ids 38, 40)
+            # keeps its 576-sample MDCT delay at the head, so band 0 is
+            # the silent lead-in — the tone lives in the later bands.
+            band = max(got[3:]) if mid in (38, 40) else got[2]
             if not (0.1 <= band <= 0.9):
                 bad.append(f"id {mid}: band RMS {band} outside sine range")
     return bad
