@@ -13,7 +13,7 @@ replication), restart markers, byte stuffing; PLUS progressive DCT
 (SOF2, r6): spectral selection, successive approximation (DC and AC
 first + refinement scans, EOB runs, the correction-bit walk), and
 inter-scan DHT/DQT updates. Arithmetic coding, lossless/hierarchical,
-and 12-bit stay NotImplementedError.
+and 12-bit stay NotImplementedError; Adobe CMYK/YCCK 4-component\nstreams decode (r7, inverted-value convention, APP14 transform tag).
 
 Encoder: minimal but standards-valid — Annex-K quantization tables
 (quality-scaled, libjpeg formula) and fixed Huffman tables written
@@ -395,6 +395,7 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     restart_interval = 0
     scan_pos = None
     progressive = False
+    adobe_transform: int | None = None
     n_prog_scans = 0
     mcux = mcuy = 0
     while pos + 4 <= len(b):
@@ -439,13 +440,14 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
             prec, height, width, n_comp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
-            if n_comp not in (1, 3):
-                # 4-component (Adobe CMYK/YCCK) baseline streams would
-                # otherwise silently decode comps[0:3] as YCbCr and
-                # produce garbage pixels — keep the documented seam.
+            if n_comp not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{n_comp}-component JPEG (CMYK/YCCK) needs PIL — only "
-                    "grayscale and 3-component YCbCr decode here"
+                    f"{n_comp}-component JPEG — grayscale, YCbCr, and "
+                    "Adobe CMYK/YCCK (r7) decode here"
+                )
+            if len(seg) < 6 + 3 * n_comp:
+                raise ValueError(
+                    "SOF declares more components than the segment holds"
                 )
             comps = []
             for c in range(n_comp):
@@ -477,6 +479,9 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
                 "lossless/arithmetic/hierarchical JPEG needs PIL — only "
                 "baseline SOF0/1 and progressive SOF2 decode here"
             )
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            # transform byte: 0 = CMYK as-is, 1 = YCbCr, 2 = YCCK
+            adobe_transform = seg[11] if len(seg) >= 12 else 0
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -518,7 +523,8 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     if progressive:
         if n_prog_scans == 0:
             raise ValueError("JPEG has no scan data")
-        return _prog_reconstruct(comps, qt, width, height, mcux, mcuy)
+        return _prog_reconstruct(comps, qt, width, height, mcux, mcuy,
+                                 adobe_transform)
     if scan_pos is None or not comps:
         raise ValueError("JPEG has no scan data")
 
@@ -580,11 +586,12 @@ def jpeg_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
                                     255 if v > 255 else v
                                 )
 
-    return _planes_to_rows(comps, width, height, hmax, vmax)
+    return _planes_to_rows(comps, width, height, hmax, vmax, adobe_transform)
 
 
 def _prog_reconstruct(
-    comps: list[dict], qt: dict, width: int, height: int, mcux: int, mcuy: int
+    comps: list[dict], qt: dict, width: int, height: int, mcux: int, mcuy: int,
+    adobe_transform: int | None = None,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Final pass of a progressive decode: dequantize the accumulated
     integer coefficients, IDCT every block of the padded grid, fill
@@ -612,11 +619,12 @@ def _prog_reconstruct(
                         plane[base + x] = 0 if v < 0 else (
                             255 if v > 255 else v
                         )
-    return _planes_to_rows(comps, width, height, hmax, vmax)
+    return _planes_to_rows(comps, width, height, hmax, vmax, adobe_transform)
 
 
 def _planes_to_rows(
-    comps: list[dict], width: int, height: int, hmax: int, vmax: int
+    comps: list[dict], width: int, height: int, hmax: int, vmax: int,
+    adobe_transform: int | None = None,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     rows: list[list[tuple[int, int, int]]] = []
     if len(comps) == 1:
@@ -627,6 +635,39 @@ def _planes_to_rows(
                 [(c["plane"][base + x],) * 3 for x in range(width)]
             )
         return width, height, rows
+    if len(comps) == 4:
+        # Adobe CMYK (transform 0/None) or YCCK (transform 2), values
+        # stored INVERTED per the Adobe convention (the only 4-comp
+        # JPEGs in the wild): RGB = stored_cmy * stored_k / 255.
+        c0, c1, c2, ck = comps
+        ycck = adobe_transform == 2
+        rows4: list[list[tuple[int, int, int]]] = []
+        for y in range(height):
+            row4 = []
+            b0 = (y * c0["v"] // vmax) * c0["w"]
+            b1 = (y * c1["v"] // vmax) * c1["w"]
+            b2 = (y * c2["v"] // vmax) * c2["w"]
+            bk = (y * ck["v"] // vmax) * ck["w"]
+            for x in range(width):
+                v0 = c0["plane"][b0 + x * c0["h"] // hmax]
+                v1 = c1["plane"][b1 + x * c1["h"] // hmax]
+                v2 = c2["plane"][b2 + x * c2["h"] // hmax]
+                vk = ck["plane"][bk + x * ck["h"] // hmax]
+                if ycck:  # YCbCr -> inverted CMY first
+                    Cb, Cr = v1 - 128, v2 - 128
+                    v0_, v1_, v2_ = (
+                        int(v0 + 1.402 * Cr + 0.5),
+                        int(v0 - 0.344136 * Cb - 0.714136 * Cr + 0.5),
+                        int(v0 + 1.772 * Cb + 0.5),
+                    )
+                    v0 = 0 if v0_ < 0 else 255 if v0_ > 255 else v0_
+                    v1 = 0 if v1_ < 0 else 255 if v1_ > 255 else v1_
+                    v2 = 0 if v2_ < 0 else 255 if v2_ > 255 else v2_
+                row4.append(
+                    (v0 * vk // 255, v1 * vk // 255, v2 * vk // 255)
+                )
+            rows4.append(row4)
+        return width, height, rows4
     cy, cb, cr = comps[0], comps[1], comps[2]
     for y in range(height):
         row = []
@@ -854,6 +895,80 @@ def jpeg_encode(
     w.flush()
     out.extend(w.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_cmyk(
+    rows: list[list[tuple[int, int, int]]],
+    quality: int = 90,
+    ycck: bool = False,
+) -> bytes:
+    """Top-down (r, g, b) rows -> 4-component Adobe CMYK (or YCCK)
+    baseline JPEG bytes (r7 fixture encoder). RGB converts to the
+    Adobe INVERTED CMYK convention (K' = max(r,g,b); C' = 255*r/K'),
+    which the decoder folds back as rgb = cmy' * k' / 255; ycck=True
+    additionally runs the inverted CMY triple through the YCbCr
+    forward transform (APP14 transform tag 2). 4:4:4, ids 1-4."""
+    height = len(rows)
+    width = len(rows[0])
+    qlum = [x for x in _scaled_quant(_Q_LUM, quality)]
+    qlum = [qlum[ZIGZAG[k]] for k in range(64)]
+    planes = [[[0.0] * width for _ in range(height)] for _ in range(4)]
+    for y, row in enumerate(rows):
+        for x, (r, g, b) in enumerate(row):
+            k = max(r, g, b)
+            if k == 0:
+                c = m = yv = 0.0
+            else:
+                c = 255.0 * r / k
+                m = 255.0 * g / k
+                yv = 255.0 * b / k
+            if ycck:
+                c, m, yv = (
+                    0.299 * c + 0.587 * m + 0.114 * yv,
+                    -0.168736 * c - 0.331264 * m + 0.5 * yv + 128.0,
+                    0.5 * c - 0.418688 * m - 0.081312 * yv + 128.0,
+                )
+            planes[0][y][x] = c
+            planes[1][y][x] = m
+            planes[2][y][x] = yv
+            planes[3][y][x] = float(k)
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    segment(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
+                                         2 if ycck else 0))
+    segment(0xDB, b"\x00" + bytes(qlum[k] for k in range(64)))
+    segment(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 4)
+        + b"".join(struct.pack(">BBB", cid, 0x11, 0) for cid in (1, 2, 3, 4)),
+    )
+    for cls, tid, (bits, values) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM)):
+        segment(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
+    segment(
+        0xDA,
+        b"\x04" + bytes(v for cid in (1, 2, 3, 4) for v in (cid, 0x00))
+        + b"\x00\x3f\x00",
+    )
+    dc = _build_encode_table(*_DC_LUM)
+    ac = _build_encode_table(*_AC_LUM)
+    w = _BitWriter()
+    mcux, mcuy = (width + 7) // 8, (height + 7) // 8
+    preds = [0, 0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(4):
+                preds[ci] = _encode_block(
+                    w, _component_blocks(planes[ci], mx, my),
+                    qlum, dc, ac, preds[ci],
+                )
+    w.flush()
+    out.extend(w.out)
+    out.extend(b"\xff\xd9")
     return bytes(out)
 
 

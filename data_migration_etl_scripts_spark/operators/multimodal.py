@@ -1358,6 +1358,18 @@ def synthetic_real_media_rows(
                          right=tone(995.0, 1152 * 2, amp=0.3),
                          intensity=True)),
                      "{}"))
+        from data_migration_etl_scripts_spark.operators.jpeg import (
+            jpeg_encode_cmyk,
+        )
+
+        px7 = [[((x * 9 + y * 5) % 256, (x * 7) % 256, (y * 13) % 256)
+                for x in range(18)] for y in range(12)]
+        rows.append((n + 17, "image",
+                     bytearray(jpeg_encode_cmyk(px7, quality=95)),
+                     "{}"))
+        rows.append((n + 18, "image",
+                     bytearray(jpeg_encode_cmyk(px7, quality=95, ycck=True)),
+                     "{}"))
     return rows
 
 

@@ -9,6 +9,7 @@ import os
 
 import pytest
 
+from data_migration_etl_scripts_spark.operators import jpeg as jp
 from data_migration_etl_scripts_spark.operators.jpeg import (
     jpeg_decode,
     jpeg_encode,
@@ -196,14 +197,15 @@ def test_fill_bytes_before_markers_are_skipped():
     assert rows == jpeg_decode(blob)[2]
 
 
-def test_four_component_cmyk_raises():
-    """A 4-component (Adobe CMYK) SOF0 must hit the documented
-    NotImplementedError seam, not silently decode comps[0:3] as YCbCr."""
+def test_malformed_sof_component_count_raises():
+    """r7: 4-component streams DECODE now (Adobe CMYK/YCCK); a SOF that
+    CLAIMS 4 components but carries 3 descriptors is malformed and must
+    raise cleanly, not struct-error mid-parse."""
     blob = bytearray(jpeg_encode(_gradient(), quality=90))
     i = blob.index(b"\xff\xc0")
     # SOF segment: ff c0 len(2) prec(1) h(2) w(2) ncomp(1) ...
-    blob[i + 9] = 4  # claim 4 components
-    with pytest.raises(NotImplementedError, match="component"):
+    blob[i + 9] = 4  # claim 4 components, segment still holds 3
+    with pytest.raises(ValueError, match="more components"):
         jpeg_decode(bytes(blob))
 
 
@@ -288,3 +290,30 @@ def test_image_decode_dispatches_progressive_jpeg():
     w, h, rows = image_decode(jpeg_encode_progressive(img, quality=95))
     assert (w, h) == (W, H)
     assert _max_err(rows, img) <= 6  # DCT loss only
+
+
+def test_cmyk_and_ycck_roundtrip():
+    # r7: Adobe 4-component decode (inverted-value convention)
+    px = [[((x * 17 + y * 3) % 256, (x * 5 + y * 11) % 256, (x * x + y) % 256)
+           for x in range(24)] for y in range(16)]
+    for ycck in (False, True):
+        b = jp.jpeg_encode_cmyk(px, quality=95, ycck=ycck)
+        assert b[:2] == b"\xff\xd8"
+        assert b"Adobe" in b[:64]  # APP14 present
+        w, h, out = jp.jpeg_decode(b)
+        assert (w, h) == (24, 16)
+        rmse = (sum(
+            (a - c) ** 2
+            for ro, rw in zip(out, px) for p, q in zip(ro, rw)
+            for a, c in zip(p, q)
+        ) / (24 * 16 * 3)) ** 0.5
+        assert rmse < 4.0, ("ycck" if ycck else "cmyk", rmse)
+
+
+def test_cmyk_pure_colors_exact_convention():
+    # solid blocks pin the inverted-CMYK convention: pure red/white/black
+    for color in ((255, 0, 0), (255, 255, 255), (0, 0, 0)):
+        px = [[color] * 16 for _ in range(16)]
+        _w, _h, out = jp.jpeg_decode(jp.jpeg_encode_cmyk(px, quality=98))
+        assert max(abs(a - c) for p in out for q in p
+                   for a, c in zip(q, color)) <= 4
