@@ -85,6 +85,90 @@ def decontaminate(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC contamination: (bench_id, doc_id) pairs where the
+    benchmark item's shingle set is >= ``threshold`` CONTAINED in the
+    doc — containment = |S_bench ∩ S_doc| / |S_bench|. Catches a
+    benchmark quoted inside a much larger document, which symmetric
+    Jaccard dilutes to ~0 (the standard eval-leak miss).
+
+    Plan shape: bench shingles (bench-sized, broadcast) carry their
+    item's set size; the corpus explodes its distinct shingles once and
+    the broadcast join is map-side — the only shuffle groups the
+    matched (bench_id, doc_id) pairs, bounded by shared-shingle
+    volume, never |bench| x |corpus|."""
+    bench_sh = (
+        bench.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(
+                tp.word_shingles(tp.tokens(text_col), n=n, distinct=True)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    bench_sizes = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_n")
+    )
+    bench_sh = bench_sh.join(bench_sizes, "bench_id")
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            tp.word_shingles(tp.tokens(text_col), n=n, distinct=True)
+        ).alias("shingle"),
+    ).distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("bench_id", "doc_id", "bench_n")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(
+            "bench_id", "doc_id", "n_inter",
+            F.round(F.col("n_inter") / F.col("bench_n"), 6)
+            .alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs_sql(
+    docs_table: str,
+    bench_sql: str,
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`containment_pairs`. ``bench_sql`` must
+    produce (bench_id, {text_col}) rows."""
+    sh = tp.word_shingles_sql(tp.tokens_sql(text_col), n=n)
+    return f"""
+    WITH bench_sh AS (
+        SELECT DISTINCT bench_id, shingle
+        FROM (SELECT bench_id, unnest({sh}) AS shingle FROM ({bench_sql}))
+    ),
+    bench_sizes AS (
+        SELECT bench_id, count(*) AS bench_n FROM bench_sh GROUP BY bench_id
+    ),
+    doc_sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({sh}) AS shingle FROM {docs_table})
+    )
+    SELECT b.bench_id, d.doc_id, count(*) AS n_inter,
+           round(count(*) / CAST(s.bench_n AS DOUBLE), 6) AS containment
+    FROM doc_sh d
+    JOIN bench_sh b ON d.shingle = b.shingle
+    JOIN bench_sizes s ON s.bench_id = b.bench_id
+    GROUP BY b.bench_id, d.doc_id, s.bench_n
+    HAVING round(count(*) / CAST(s.bench_n AS DOUBLE), 6) >= {threshold}
+    """
+
+
 def decontaminate_sql(
     docs_table: str,
     bench_sql: str,

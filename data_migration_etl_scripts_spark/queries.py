@@ -2254,6 +2254,37 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_containment",
+    oracle=ctm.containment_pairs_sql(
+        "documents",
+        "SELECT doc_id AS bench_id, "
+        "array_to_string((" + __import__(
+            "data_migration_etl_scripts_spark.operators.textprep",
+            fromlist=["tokens_sql"],
+        ).tokens_sql("text") + ")[1:25], ' ') AS text "
+        "FROM documents WHERE doc_id % 37 = 0",
+        n=5,
+        threshold=0.5,
+    ),
+)
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC eval-leak detection: benchmark items (short snippets
+    — here the first 25 tokens of every 37th doc, standing in for an
+    eval set quoted from the corpus) matched by shingle CONTAINMENT
+    |S_bench ∩ S_doc| / |S_bench| >= 0.5, which catches a benchmark
+    embedded in a much larger document where symmetric Jaccard
+    dilutes to ~0. Bench shingles broadcast with their set sizes; the
+    corpus side is map-side until the matched-pair group-by (bounded
+    by shared-shingle volume, never |bench| x |corpus|)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(tp.tokens("text"), 1, 25), " ").alias("text"),
+    )
+    return ctm.containment_pairs(docs, bench, n=5, threshold=0.5)
+
+
+@query(
     "hard_negatives",
     oracle=sim.mine_hard_negatives_sql(
         "embeddings", "vec_id < 8", k=5, n_centroids=8, n_probe=4,

@@ -352,3 +352,26 @@ def test_bigram_heldout_model_separation(spark):
     selfd = {r.doc_id: r for r in ctm.bigram_logprob(
         ev, vocab_size=16, bigram_size=64).collect()}
     assert selfd[100].hit_frac > 0.0
+
+
+def test_containment_catches_embedded_benchmark(spark):
+    from data_migration_etl_scripts_spark.operators import contamination as ctm
+
+    snippet = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"word{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [
+            (1, filler + " " + snippet + " " + filler),  # quotes the bench
+            (2, filler),                                  # clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, snippet)], "bench_id long, text string"
+    )
+    got = ctm.containment_pairs(docs, bench, n=5, threshold=0.9).collect()
+    assert [(r.bench_id, r.doc_id) for r in got] == [(100, 1)]
+    assert got[0].containment == 1.0  # every bench shingle present
+    # symmetric Jaccard over the same pair would be ~6/400 — the miss
+    # containment exists to catch
+    assert got[0].n_inter / (2 * 200) < 0.05
