@@ -231,6 +231,43 @@ def _sub_dot_sql(col: str, vec: list[float], offset: int) -> str:
     return "(" + (" + ".join(terms) if terms else "CAST(0.0 AS DOUBLE)") + ")"
 
 
+def _pq_books_sql(codebooks: list[list[list[float]]]) -> str:
+    """Literal array<array<struct<vec,c2,code>>> SQL for a codebook set
+    — DATA, not code: the HOF argmin below loops over it inside a
+    constant-size generated method, where the expanded per-code
+    multiply-add chains blew past Janino's 64 KB method limit and
+    dropped the whole Project to interpreted eval (observed on both
+    PQ queries; the fallback note this replaces)."""
+    per_m = []
+    for book in codebooks:
+        structs = ", ".join(
+            "named_struct('vec', array({vals}), 'c2', {c2:.17E}, 'code', {c})".format(
+                vals=", ".join(f"{x:.17E}" for x in code),
+                c2=sum(x * x for x in code) / 2.0,
+                c=c,
+            )
+            for c, code in enumerate(book)
+        )
+        per_m.append(f"array({structs})")
+    return "array(" + ", ".join(per_m) + ")"
+
+
+def _pq_argmin_sql(books_sql: str, m_expr: str, sv_expr: str,
+                   nrm_expr: str | None) -> str:
+    """argmin-code SQL over one subspace: transform the literal book
+    for subspace ``m_expr`` into (negs, code) structs via a zip_with/
+    aggregate dot fold (0.0-seeded left fold == the old explicit
+    multiply-add chain bit-for-bit) and take array_min. Ties break to
+    the lower code id, same struct ordering as before."""
+    div = f" / {nrm_expr}" if nrm_expr else ""
+    return (
+        f"array_min(transform(element_at({books_sql}, {m_expr}), "
+        f"b -> named_struct('negs', -round(aggregate(zip_with({sv_expr}, "
+        "b.vec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        f"{div} - b.c2, 9), 'code', b.code))).code"
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -246,12 +283,10 @@ def pq_encode(
     same codes. m_sub codes of a 256-codeword book = m_sub bytes per
     vector vs 8*dim for the raw doubles.
 
-    Note: above a few hundred codewords the generated Project exceeds
-    the JVM's 64KB method limit and whole-stage codegen falls back to
-    interpreted expression eval — a CONSTANT per-row factor (the plan
-    stays zero-shuffle and embarrassingly parallel); raise
-    spark.sql.codegen.hugeMethodLimit or shrink n_codes if the encode
-    pass dominates a deployment.
+    r7: the argmin runs as a transform/aggregate HOF over the literal
+    codebook array, so the generated method stays constant-size at any
+    n_codes (the expanded multiply-add form fell out of whole-stage
+    codegen at Janino's 64 KB limit — observed, now gone).
     """
     sub = len(codebooks[0][0])
     dim = len(codebooks) * sub
@@ -268,20 +303,25 @@ def pq_encode(
     # ||c||^2/2 term folds to a literal. Scores round to 9 dp before
     # the argmax; ties break to the LOWER code id (array_min over
     # (neg_score, code) structs) — the rule the SQL twin mirrors.
-    code_cols = []
-    for m, book in enumerate(codebooks):
-        structs = ", ".join(
-            "named_struct('negs', -round({dot} / __nrm - {c2:.17E}, 9), "
-            "'code', {c})".format(
-                dot=_sub_dot_sql("__v", code, m * sub),
-                c2=sum(x * x for x in code) / 2.0,
-                c=c,
-            )
-            for c, code in enumerate(book)
+    # r7: HOF fold over the literal codebook array (subvectors
+    # materialized in a projection BEFORE the lambdas — no CSE inside
+    # lambdas) keeps the generated method constant-size; the expanded
+    # multiply-add form fell out of whole-stage codegen at 64 KB.
+    books_sql = _pq_books_sql(codebooks)
+    out = out.select(
+        "*",
+        *[
+            F.expr(f"slice(__v, {m * sub + 1}, {sub})").alias(f"__s{m}")
+            for m in range(len(codebooks))
+        ],
+    )
+    code_cols = [
+        cached_expr(
+            df.sparkSession,
+            _pq_argmin_sql(books_sql, str(m + 1), f"__s{m}", "__nrm"),
         )
-        code_cols.append(
-            cached_expr(df.sparkSession, f"array_min(array({structs})).code")
-        )
+        for m in range(len(codebooks))
+    ]
     return out.select(
         F.col(id_col),
         F.array(*code_cols).alias("codes"),
@@ -505,20 +545,9 @@ def train_pq_codebooks(
     ).localCheckpoint()
 
     def assign_expr(bks: list[list[list[float]]]):
-        branches = []
-        for m, book in enumerate(bks):
-            structs = ", ".join(
-                "named_struct('negs', -round({dot} - {c2:.17E}, 9), 'code', {c})".format(
-                    dot=_sub_dot_sql("sv", code, 0),
-                    c2=sum(x * x for x in code) / 2.0,
-                    c=c,
-                )
-                for c, code in enumerate(book)
-            )
-            branches.append(
-                f"WHEN m = {m} THEN array_min(array({structs})).code"
-            )
-        return F.expr("CASE " + " ".join(branches) + " END")
+        # r7: the per-subspace CASE collapses — m indexes the literal
+        # book array directly, and the HOF fold keeps codegen small
+        return F.expr(_pq_argmin_sql(_pq_books_sql(bks), "m + 1", "sv", None))
 
     for _ in range(n_iter):
         assigned = subrows.withColumn("code", assign_expr(books))

@@ -1163,13 +1163,33 @@ def cosine_topk_ivf_pq(
     q_probe = _assign_cells(qbase, coarse_rows, "vid", n_probe=n_probe)
     sub = len(books[0][0])
 
+    # LUT build runs over queries*n_probe rows (a few dozen), so the
+    # explicit-sum form's codegen advantage is irrelevant — and its
+    # m_sub*n_codes*sub expanded terms blew past Janino's 64 KB method
+    # limit (observed), dumping the whole query-side Project to
+    # interpreted eval with an ERROR in every log. The HOF fold over a
+    # literal codeword array keeps the generated method constant-size;
+    # the left fold (0.0 seed) is bit-identical to the explicit chain.
+    # Subvectors materialize BEFORE the lambdas (no CSE inside them).
+    def _book_lit(book: list[list[float]]) -> str:
+        return "array(" + ", ".join(
+            "array(" + ", ".join(f"{x:.17E}" for x in code) + ")"
+            for code in book
+        ) + ")"
+
+    q_probe = q_probe.select(
+        "*",
+        *[
+            F.expr(f"slice(v, {m * sub + 1}, {sub})").alias(f"__qs{m}")
+            for m in range(m_sub)
+        ],
+    )
     luts = [
         _cached_expr(
             spark,
-            "array(" + ", ".join(
-                f"round({_dot_sql('v', code, m * sub, scale='nrm')}, 9)"
-                for code in book
-            ) + ")",
+            f"transform({_book_lit(book)}, c -> "
+            f"round(aggregate(zip_with(__qs{m}, c, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / nrm, 9))",
         ).alias(f"lut{m}")
         for m, book in enumerate(books)
     ]
