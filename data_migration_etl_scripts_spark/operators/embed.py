@@ -218,19 +218,6 @@ def pq_seed_codebooks(
     ]
 
 
-def _sub_dot_sql(col: str, vec: list[float], offset: int) -> str:
-    """SQL text for sum_i col[offset+i] * vec_i as explicit element_at
-    multiply-adds — one parsed string, not thousands of Column ops
-    (each is a py4j round trip at plan-build time), and no
-    higher-order folds (tree-interpreted per element)."""
-    terms = [
-        f"element_at({col}, {offset + i + 1}) * {x:.17E}"
-        for i, x in enumerate(vec)
-        if x != 0.0
-    ]
-    return "(" + (" + ".join(terms) if terms else "CAST(0.0 AS DOUBLE)") + ")"
-
-
 def _pq_books_sql(codebooks: list[list[list[float]]]) -> str:
     """Literal array<array<struct<vec,c2,code>>> SQL for a codebook set
     — DATA, not code: the HOF argmin below loops over it inside a
