@@ -50,6 +50,12 @@ _DUCKDB_FN_RENAMES = {
     "string_split": "split",
     # both are partial-match regex predicates (RLIKE semantics)
     "regexp_matches": "regexp_like",
+    # single-generator SELECT flattening; DuckDB's parallel multi-unnest
+    # zipping has no Spark form — those texts raise MULTI_GENERATOR and
+    # stay off the compat board (the row-match test is the gate)
+    "unnest": "explode",
+    # both inclusive, both take (start, stop[, step]) incl. timestamps
+    "generate_series": "sequence",
 }
 
 
@@ -74,6 +80,9 @@ def translate_duckdb_sql(sql: str) -> str:
     out = re.sub(
         r"\bdatediff\(\s*'(\w+)'\s*,", r"datediff(\1,", out, flags=re.IGNORECASE
     )
+    # DuckDB's regex GLOBAL flag: Spark's regexp_replace is global by
+    # default and its 4th arg is a position INT, so the flag drops
+    out = re.sub(r",\s*'g'\)", ")", out)
     # DuckDB orders inside the aggregate args; Spark uses the ANSI
     # WITHIN GROUP form. Paren-free args only (the oracle texts' shape).
     out = re.sub(

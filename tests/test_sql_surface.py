@@ -119,11 +119,21 @@ SQL_PORTABLE_BOARD = [
 
 #: r7: oracle texts that run under Spark SQL through the DOCUMENTED
 #: rename-only dialect shim (sql.translate_duckdb_sql — list_* /
-#: VARCHAR / datediff-unit / string_agg-WITHIN-GROUP spellings, no
-#: argument reshaping) and row-match their DataFrame twins. Together
-#: with SQL_PORTABLE_BOARD: 79 of the driver-oracle texts drive
-#: DuckDB, Spark SQL, and the DataFrame API to one pinned answer.
+#: unnest->explode / generate_series->sequence / VARCHAR /
+#: datediff-unit / regex-global-flag / string_agg-WITHIN-GROUP
+#: spellings, no argument reshaping) and row-match their DataFrame
+#: twins. Together with SQL_PORTABLE_BOARD: 88 of the driver-oracle
+#: texts drive DuckDB, Spark SQL, and the DataFrame API to one pinned
+#: answer. (dimension_template_clean and string_clean_suite run under
+#: the shim but row-MISMATCH — Java vs DuckDB regex semantics — and
+#: stay off the board: the row-match gate exists exactly for that.)
 SQL_COMPAT_BOARD = [
+    "bm25_search",
+    "clean_contact_phones",
+    "dedup_exact",
+    "drift_psi_order_value",
+    "text_tfidf_topk",
+    "top_tokens",
     "entity_clean_suite",
     "json_extract_events",
     "percentile_acctbal",
@@ -190,8 +200,11 @@ def test_translate_duckdb_sql_mappings():
         t("string_agg(x, ',' ORDER BY y)")
         == "listagg(x, ',') WITHIN GROUP (ORDER BY y)"
     )
-    # never touches string literals' surroundings or unknown names
-    assert t("SELECT unnest(x)") == "SELECT unnest(x)"
+    assert t("SELECT unnest(x) FROM a") == "SELECT explode(x) FROM a"
+    assert t("generate_series(a, b)") == "sequence(a, b)"
+    assert t("regexp_replace(x, 'a', 'b', 'g')") == "regexp_replace(x, 'a', 'b')"
+    # unknown names pass through untouched
+    assert t("SELECT time_bucket(i, ts)") == "SELECT time_bucket(i, ts)"
 
 
 def test_sql_view_scan_still_prunes_and_pushes(spark):
