@@ -381,3 +381,52 @@ def test_payload_format_classifier():
     assert fams[35] == "wav_adpcm" and fams[36] == "wav_g711"
     assert fams[38] == "mpeg_l3"
     assert mm.payload_format(b"\x00\x01") == "unknown"
+
+
+def test_pack_read_granule_inverse_property():
+    """Property (hypothesis): for ANY {0,+/-1} spectrum with any
+    per-sfb scalefactors and global gain, _pack_granule's bits read
+    back through _read_scalefactors/_read_spectrum/_requantize to the
+    exact analytic values — the bitstream layer is a true inverse on
+    its whole domain, not just tone-shaped inputs."""
+    from hypothesis import given, settings, strategies as st
+
+    rate = 44100
+    long_b = l3.SFB_LONG[rate]
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        rnd = data.draw(st.randoms(use_true_random=False))
+        ix = [0] * 576
+        for _ in range(data.draw(st.integers(0, 40))):
+            ix[rnd.randrange(576)] = rnd.choice((1, -1))
+        gg = data.draw(st.integers(0, 255))
+        scf = [data.draw(st.integers(0, 15)) for _ in range(11)] + [
+            data.draw(st.integers(0, 7)) for _ in range(10)
+        ]
+        w = _BitWriter()
+        gi = l3._pack_granule(w, ix, gg, scf)
+        w.pad_to_byte()
+        r = _BitReader(bytes(w.buf))
+        end = gi["part2_3_length"]
+        gi_full = dict(gi, window_switching=0, block_type=0, mixed_block=0,
+                       subblock_gain=[0, 0, 0])
+        got_scf = l3._read_scalefactors(r, gi_full, [0, 0, 0, 0], 0, None)
+        assert got_scf["l"] == scf
+        got_ix = l3._read_spectrum(r, gi_full, end, rate)
+        assert got_ix == ix
+        got = l3._requantize(got_ix, gi_full, got_scf, rate)
+        sfb = 0
+        for i in range(576):
+            while sfb < 21 and i >= long_b[sfb + 1]:
+                sfb += 1
+            want = 0.0
+            if ix[i]:
+                # single combined exponent, matching the decoder's form
+                # (a product of two pows differs by 1 ULP at extremes)
+                e = 0.25 * (gg - 210) - (0.5 * scf[sfb] if sfb < 21 else 0.0)
+                want = math.copysign(2.0 ** e, ix[i])
+            assert got[i] == want, (i, sfb)
+
+    run()
