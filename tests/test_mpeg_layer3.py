@@ -430,3 +430,70 @@ def test_pack_read_granule_inverse_property():
             assert got[i] == want, (i, sfb)
 
     run()
+
+
+def test_big_values_machinery_via_injected_table():
+    """The Annex-B seam is a working MECHANISM, not a stub: inject a
+    test-local prefix codebook into HUFF_TABLES and the big_values
+    reader decodes pairs, ESC-15 + linbits extensions, and sign bits
+    through it. (The test table is synthetic — spec data stays out of
+    the repo per the Annex-B policy.)"""
+    book = {  # (length, code) -> (x, y); prefix-free
+        (2, 0b00): (0, 0),
+        (2, 0b01): (1, 0),
+        (2, 0b10): (0, 1),
+        (3, 0b110): (1, 1),
+        (3, 0b111): (15, 15),
+    }
+    l3.HUFF_TABLES[31] = (3, book)
+    try:
+        w = _BitWriter()
+        # pair (1, 0): code 01, sign(+) for x
+        w.write(0b01, 2); w.write(0, 1)
+        # pair (0, 1): code 10, sign(-) for y
+        w.write(0b10, 2); w.write(1, 1)
+        # pair (15, 15) -> ESC both: +linbits(5 -> 20), +linbits(2 -> 17)
+        w.write(0b111, 3)
+        w.write(5, 3); w.write(0, 1)   # x: 15+5=20, positive
+        w.write(2, 3); w.write(1, 1)   # y: 15+2=17, negative
+        nbits = w.n + 8 * len(w.buf)
+        w.pad_to_byte()
+        gi = {
+            "window_switching": 0, "block_type": 0, "mixed_block": 0,
+            "big_values": 3, "table_select": [31, 31, 31],
+            "region0_count": 15, "region1_count": 7,
+            "count1table_select": 1,
+        }
+        ix = l3._read_spectrum(_BitReader(bytes(w.buf)), gi, nbits, 44100)
+        assert ix[:6] == [1, 0, 0, -1, 20, -17]
+        assert all(v == 0 for v in ix[6:])
+    finally:
+        del l3.HUFF_TABLES[31]
+
+
+def test_count1_table_a_machinery_via_injected_table():
+    book = {  # (length, code) -> (v, w, x, y); prefix-free
+        (1, 0b0): (0, 0, 0, 0),
+        (2, 0b10): (1, 0, 1, 0),
+        (2, 0b11): (1, 1, 1, 1),
+    }
+    l3.COUNT1_TABLE_A.update(book)
+    try:
+        w = _BitWriter()
+        w.write(0b10, 2); w.write(0, 1); w.write(1, 1)  # (1,0,1,0): +v, -x
+        w.write(0b0, 1)                                  # all-zero quad
+        w.write(0b11, 2)
+        for s in (0, 1, 0, 1):                           # +1,-1,+1,-1
+            w.write(s, 1)
+        nbits = w.n + 8 * len(w.buf)
+        w.pad_to_byte()
+        gi = {
+            "window_switching": 0, "block_type": 0, "mixed_block": 0,
+            "big_values": 0, "table_select": [0, 0, 0],
+            "region0_count": 0, "region1_count": 0,
+            "count1table_select": 0,
+        }
+        ix = l3._read_spectrum(_BitReader(bytes(w.buf)), gi, nbits, 44100)
+        assert ix[:12] == [1, 0, -1, 0, 0, 0, 0, 0, 1, -1, 1, -1]
+    finally:
+        l3.COUNT1_TABLE_A.clear()
