@@ -105,6 +105,8 @@ AUDITED = {
     "cms_heavy_hitters": "the sketch is 2048 mergeable counter rows (depth 4 x width 512) built in one grouped pass with map-side combine; point estimates = min over the 4 depth rows; the exact top-20 compare rides the same scan",
     "audio_mfcc_stack": "decode + mel + DCT + delta/delta-delta stack in ONE Arrow-batched mapInPandas pass — per-clip rows never leave their input partition; the only shuffle is the bounded fingerprint summary",
     "multimodal_real_decode": "embarrassingly parallel mapInPandas over the binary column, zero Exchanges; per-codec kernel cost is split out by bench.py's codec_breakdown so one kernel regression cannot hide in the aggregate wall",
+    "dedup_ngram_jaccard": "shingle pair candidates via the ubiquity-capped equi-join (never all-pairs); per-pair exact Jaccard is one grouped intersection count",
+    "decontaminate_containment": "bench shingles broadcast WITH their set sizes; corpus explodes once and stays map-side until the matched-pair group-by — bounded by shared-shingle volume, never |bench| x |corpus|",
 }
 
 #: iterative queries whose loop bodies localCheckpoint: the final plan
