@@ -346,3 +346,31 @@ def test_bloom_prefilter_query_prunes_before_shuffle(spark):
     # the bitmap probe lands in the orders-side Filter, pre-join
     assert "xxhash64" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_containment_broadcasts_bench_and_stays_mapside(spark):
+    # r7: the bench shingle side broadcasts; the corpus never joins
+    # |bench| x |corpus| — the only join is the broadcast hash probe
+    df = q.decontaminate_containment(spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_cms_sketch_partial_aggregates_mapside(spark):
+    from data_migration_etl_scripts_spark.operators import cms as cm
+
+    toks = spark.range(0, 1000).select(
+        (F.col("id") % 37).cast("string").alias("tok")
+    )
+    sk = cm.cms_sketch(toks, "tok")
+    p = sk._jdf.queryExecution().executedPlan().toString()
+    # one grouped pass with map-side partial aggregation, no UDF
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert "EvalPython" not in p
+    # estimates probe via broadcast — the sketch side never shuffles
+    # the probe relation
+    est = cm.cms_estimate(toks.distinct(), sk, "tok")
+    pe = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pe
