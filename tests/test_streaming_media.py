@@ -129,3 +129,39 @@ def test_media_ingest_video_and_bad_params(spark, tmp_path):
     assert _accepted_ids(spark, state) == {1}
     with pytest.raises(ValueError, match="n_bands"):
         stream_media_ingest(spark, src, state, max_hamming=8, n_bands=8)
+
+
+def test_media_ingest_layer3_payloads(spark, tmp_path):
+    """r7: MP3 payloads flow through the streaming decode gate +
+    perceptual dedup — a Layer III stream is accepted, its re-encoded
+    twin (same tone, same operating point) dedups against it, and a
+    truncated-to-garbage stream lands in quarantine."""
+    from data_migration_etl_scripts_spark.operators.mpeg_layer3 import (
+        layer3_encode,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    tone = [0.6 * math.sin(2 * math.pi * 995.0 * t / 32000.0)
+            for t in range(1152 * 3)]
+    mp3 = layer3_encode(tone, rate=32000)
+    _write_wave(spark, src, "w1", [
+        (1, "audio", bytearray(mp3), "{}"),
+        (2, "audio", bytearray(b"\xff\xfb" + b"\x00" * 8), "{}"),  # garbage
+    ])
+    stream_media_ingest(spark, src, state)
+    assert _accepted_ids(spark, state) == {1}
+    corrupt = spark.read.parquet(
+        os.path.join(state, "corrupt", "batch-000000")).collect()
+    assert [r.media_id for r in corrupt] == [2]
+
+    # wave 2: the SAME audio re-encoded (bit-different bytes, same
+    # signal) must perceptual-dedup against item 1
+    mp3b = layer3_encode(tone, rate=32000, bitrate_idx=9)
+    _write_wave(spark, src, "w2", [(10, "audio", bytearray(mp3b), "{}")])
+    stream_media_ingest(spark, src, state)
+    assert _accepted_ids(spark, state) == {1}
+    dups = {r.media_id: r.dup_of for r in spark.read.parquet(
+        os.path.join(state, "dups", "batch-000001")).collect()}
+    assert dups == {10: 1}
