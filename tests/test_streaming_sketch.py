@@ -105,3 +105,28 @@ def test_candidate_reenters_on_next_appearance(spark, tmp_path):
     )
     hh1 = {r.key for r in read_heavy_hitters(spark, state).collect()}
     assert hh1 == {"x"}  # 12/20 >= 0.5; y dropped at 8/20
+
+
+def test_cms_merge_is_order_and_split_invariant(spark):
+    """Property: any split of the key stream into sketches merges to
+    the one-shot sketch, in any merge order — the property the
+    streaming fold and a 1000-executor tree reduction both rely on."""
+    import random
+
+    rnd = random.Random(11)
+    keys = [f"k{rnd.randrange(30)}" for _ in range(400)]
+    one = {(r.d, r.bucket): r.c for r in cm.cms_sketch(
+        spark.createDataFrame([(k,) for k in keys], SCHEMA), "key"
+    ).collect()}
+    for trial in range(3):
+        cuts = sorted(rnd.sample(range(1, 400), 3))
+        parts = [keys[a:b] for a, b in zip([0] + cuts, cuts + [400])]
+        rnd.shuffle(parts)
+        merged = None
+        for p in parts:
+            sk = cm.cms_sketch(
+                spark.createDataFrame([(k,) for k in p], SCHEMA), "key"
+            )
+            merged = sk if merged is None else cm.cms_merge(merged, sk)
+        got = {(r.d, r.bucket): r.c for r in merged.collect()}
+        assert got == one, trial

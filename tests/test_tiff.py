@@ -359,3 +359,31 @@ def test_tiled_planar2_raises():
             [(256, 3, [16]), (257, 3, [16]), (258, 3, [8]), (284, 3, [2]),
              (322, 3, [16]), (323, 3, [16]), (324, 4, [0]),
              (325, 4, [0])], [b""]))
+
+
+def test_tiled_roundtrip_property():
+    """Property (hypothesis): any dims x any tile grid x any codec x
+    predictor/gray round-trips exactly — edge-padding and the blit
+    arithmetic hold off the hand-picked sizes."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 50), h=st.integers(1, 40),
+        tw=st.sampled_from([16, 32]), th=st.sampled_from([16, 32]),
+        comp=st.sampled_from(["none", "packbits", "lzw", "deflate"]),
+        pred=st.booleans(), gray=st.booleans(), be=st.booleans(),
+        seed=st.integers(0, 10**6),
+    )
+    def run(w, h, tw, th, comp, pred, gray, be, seed):
+        rnd = random.Random(seed)
+        px = [[(rnd.randrange(256),) * 3 if gray else
+               (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+               for _ in range(w)] for _ in range(h)]
+        b = tf.tiff_encode(px, compression=comp, predictor=pred,
+                           gray=gray, big_endian=be, tiles=(tw, th))
+        got_w, got_h, rows = tf.tiff_decode(b)
+        assert (got_w, got_h) == (w, h)
+        assert rows == px
+
+    run()
