@@ -69,7 +69,13 @@ def cms_estimate(
 ) -> DataFrame:
     """Attach ``est`` = min-over-depth counter to each key row (other
     columns pass through). The sketch side is counter-grid-sized, so
-    it broadcasts; the probe is an equi-join on (d, bucket)."""
+    it broadcasts; the probe is an equi-join on (d, bucket).
+
+    Left join + coalesce(c, 0): an absent (d, bucket) counter means
+    that depth never saw the key, so its contribution to the min is 0
+    — the CMS definition. (An inner join would instead DROP the row
+    from the min — overestimating — and a key missing at every depth
+    would vanish from the output entirely.)"""
     probe = keys.select(
         "*",
         F.explode(F.array(*[
@@ -80,7 +86,8 @@ def cms_estimate(
     ).select(*keys.columns, F.col("p.d").alias("d"),
              F.col("p.bucket").alias("bucket"))
     return (
-        probe.join(F.broadcast(sketch), ["d", "bucket"])
+        probe.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(*keys.columns)
-        .agg(F.min("c").alias("est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+             .alias("est"))
     )

@@ -236,7 +236,10 @@ def _read_spectrum(
     ix = [0] * 576
     long_b = SFB_LONG[rate]
     if gi["window_switching"]:
-        r1 = 36 if gi["block_type"] == 2 and not gi["mixed_block"] else 54
+        # short non-mixed: fixed 36 (= 3 * short-sfb[3]); start/stop/mixed:
+        # implied region0_count = 7 -> boundary long_b[8], which is also 36
+        # at every MPEG-1 rate (dist10/pdmp3 convention).
+        r1 = 36 if gi["block_type"] == 2 and not gi["mixed_block"] else long_b[8]
         r2 = 576
     else:
         r1 = long_b[min(gi["region0_count"] + 1, 22)]
@@ -522,16 +525,20 @@ def layer3_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
     overlap = [[[0.0] * 18 for _ in range(32)] for _ in range(nch)]
     for start, si in pending:
         r = _BitReader(bytes(pool), start)
+        # scfsi reuse is per CHANNEL within a frame: granule 2 copies the
+        # flagged groups from the SAME channel's granule-1 scalefactors.
+        gr0_scfs: list[dict | None] = [None] * nch
         for gr in range(2):
             xs = []
-            prev_scf = None
             ixs, scfs = [], []
             for ch in range(nch):
                 gi = si["granules"][gr][ch]
                 p23_end = r.bitpos + gi["part2_3_length"]
-                scf = _read_scalefactors(r, gi, si["scfsi"][ch], gr, prev_scf)
-                if ch == 0:
-                    prev_scf = scf
+                scf = _read_scalefactors(
+                    r, gi, si["scfsi"][ch], gr, gr0_scfs[ch]
+                )
+                if gr == 0:
+                    gr0_scfs[ch] = scf
                 ix = _read_spectrum(r, gi, p23_end, rate)
                 r.bitpos = p23_end  # skip stuffing up to the boundary
                 ixs.append(ix)
@@ -680,12 +687,16 @@ def _pack_granule(w: _BitWriter, ix: list[int], gg: int, scf: list[int]) -> dict
 
 
 def _write_side_info(
-    w: _BitWriter, begin: int, nch: int, gis: list[list[dict]], scfsi_zero=True
+    w: _BitWriter, begin: int, nch: int, gis: list[list[dict]],
+    scfsi: list[list[int]] | None = None,
 ) -> None:
+    """``scfsi`` is 4 group bits per channel (None -> all fresh; the
+    engine encoder always transmits full scalefactors)."""
     w.write(begin, 9)
     w.write(0, 5 if nch == 1 else 3)
-    for _ch in range(nch):
-        w.write(0, 4)  # scfsi: all fresh
+    for ch in range(nch):
+        for bit in (scfsi[ch] if scfsi is not None else (0, 0, 0, 0)):
+            w.write(bit, 1)
     for gr in range(2):
         for ch in range(nch):
             gi = gis[gr][ch]

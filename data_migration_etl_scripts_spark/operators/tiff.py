@@ -313,9 +313,11 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         # which keeps bilevel blits byte-aligned.
         if planar == 2:
             raise NotImplementedError("tiled + PlanarConfiguration 2")
-        if _T_TILE_LENGTH not in t or _T_TILE_OFFSETS not in t:
+        if (_T_TILE_LENGTH not in t or _T_TILE_OFFSETS not in t
+                or _T_TILE_COUNTS not in t):
             raise ValueError(
-                "tiled TIFF missing TileLength/TileOffsets (tags 323/324)"
+                "tiled TIFF missing TileLength/TileOffsets/TileByteCounts "
+                "(tags 323/324/325)"
             )
         tw = t[_T_TILE_WIDTH][0]
         th = t[_T_TILE_LENGTH][0]

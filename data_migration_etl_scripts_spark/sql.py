@@ -59,6 +59,48 @@ _DUCKDB_FN_RENAMES = {
 }
 
 
+def _strip_regexp_replace_gflag(sql: str) -> str:
+    """Drop a trailing ``, 'g'`` argument from ``regexp_replace(...)``
+    calls ONLY. Walks parens (string-literal-aware) from each call site
+    so nested calls and quoted commas can't confuse the match."""
+    out = []
+    i, n = 0, len(sql)
+    pat = re.compile(r"regexp_replace\s*\(", re.IGNORECASE)
+    while i < n:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        open_pos = m.end() - 1  # the '('
+        out.append(sql[i:m.end()])
+        # walk to the matching close paren, tracking single-quoted strings
+        depth, j, in_str = 1, open_pos + 1, False
+        while j < n and depth:
+            c = sql[j]
+            if in_str:
+                if c == "'":
+                    # '' is an escaped quote inside a literal
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 1
+                    else:
+                        in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        body = sql[m.end(): j - 1] if depth == 0 else sql[m.end():]
+        body = _strip_regexp_replace_gflag(body)  # nested calls
+        stripped = re.sub(r",\s*'g'\s*$", "", body)
+        out.append(stripped)
+        if depth == 0:
+            out.append(")")
+        i = j
+    return "".join(out)
+
+
 def translate_duckdb_sql(sql: str) -> str:
     """Translate a DuckDB-dialect SQL text to Spark SQL where the
     mapping is a pure rename (see ``_DUCKDB_FN_RENAMES``) plus two
@@ -76,13 +118,20 @@ def translate_duckdb_sql(sql: str) -> str:
     out = sql
     for src, dst in _DUCKDB_FN_RENAMES.items():
         out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)
-    out = re.sub(r"\bAS\s+VARCHAR\b", "AS STRING", out, flags=re.IGNORECASE)
+    # VARCHAR -> STRING only for the bare type name; a sized VARCHAR(n)
+    # is left alone (negative lookahead), Spark accepts it as-is
+    out = re.sub(
+        r"\bAS\s+VARCHAR\b(?!\s*\()", "AS STRING", out, flags=re.IGNORECASE
+    )
     out = re.sub(
         r"\bdatediff\(\s*'(\w+)'\s*,", r"datediff(\1,", out, flags=re.IGNORECASE
     )
     # DuckDB's regex GLOBAL flag: Spark's regexp_replace is global by
-    # default and its 4th arg is a position INT, so the flag drops
-    out = re.sub(r",\s*'g'\)", ")", out)
+    # default and its 4th arg is a position INT, so the flag drops.
+    # Anchored to regexp_replace calls via a paren walk — a bare
+    # ",\\s*'g')" regex would also eat e.g. split(col, 'g') or any
+    # function whose legitimate last argument is the literal 'g'.
+    out = _strip_regexp_replace_gflag(out)
     # DuckDB orders inside the aggregate args; Spark uses the ANSI
     # WITHIN GROUP form. Paren-free args only (the oracle texts' shape).
     out = re.sub(

@@ -255,6 +255,100 @@ def test_scfsi_reuses_granule1_scalefactors():
     assert scf["l"][11:] == [sfb % 8 for sfb in range(11, 21)]
 
 
+def _pack_granule2_scfsi_g0(w, ix, gg, scf):
+    """Granule-2 packer with scfsi group 0 set: transmits only sfbs
+    6-20 (group 0 is reused from granule 1). Mirrors _pack_granule's
+    count1-quad coding; part2_3_length accounts the 24 skipped bits."""
+    start = w.n + 8 * len(w.buf)
+    for sfb in range(6, 11):
+        w.write(scf[sfb], 4)
+    for sfb in range(11, 21):
+        w.write(scf[sfb], 3)
+    last = 0
+    for i, v in enumerate(ix):
+        if v:
+            last = i + 1
+    for q in range((last + 3) // 4):
+        vals = ix[4 * q: 4 * q + 4]
+        quad = 0
+        for v in vals:
+            quad = (quad << 1) | (1 if v else 0)
+        w.write((~quad) & 0xF, 4)
+        for v in vals:
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+    nbits = (w.n + 8 * len(w.buf)) - start
+    return {
+        "part2_3_length": nbits, "big_values": 0, "global_gain": gg,
+        "scalefac_compress": 15, "table_select": [0, 0, 0],
+        "region0_count": 0, "region1_count": 0, "preflag": 0,
+        "scalefac_scale": 0, "count1table_select": 1,
+    }
+
+
+def test_scfsi_decode_loop_reuses_same_channel_granule1():
+    """r8 (ADVICE): hand-packed STEREO frame with scfsi group 0 set on
+    both channels — the decode loop must reuse each channel's OWN
+    granule-1 scalefactors for granule 2. Pinned by bit-exact equality
+    against the fully-transmitted twin stream. (The old loop reset
+    prev to None per granule and saved only channel 0, so this stream
+    desynced: granule 2 read 24 scalefactor bits that were never
+    written, and ch 1 copied ch 0's scalefactors.)"""
+    rate = 44100
+    rate_idx = {v: k for k, v in l3.SAMPLE_RATES.items()}[rate]
+
+    # lines inside sfbs 0-5 (group 0) so the reused scfs are load-bearing
+    ix = [[0] * 576, [0] * 576]
+    for i in (0, 5, 9, 13, 40):
+        ix[0][i] = 1 if i % 2 == 0 else -1
+        ix[1][i + 1] = -1
+    scf1 = [  # granule-1 scalefactors: distinct per channel, group 0 nonzero
+        [3, 1, 4, 1, 5, 2, 0, 1, 2, 0, 1, 1, 0, 2, 1, 0, 1, 2, 0, 1, 0],
+        [2, 7, 1, 8, 2, 8, 1, 0, 1, 2, 0, 0, 1, 0, 2, 1, 0, 1, 0, 2, 1],
+    ]
+    scf2 = [list(s) for s in scf1]  # group 0 identical (reused); rest differs
+    for ch in range(2):
+        scf2[ch][8] = 5 + ch
+        scf2[ch][15] = 3
+
+    def build(use_scfsi):
+        w = _BitWriter()
+        gis = [[], []]
+        for ch in range(2):
+            gis[0].append(l3._pack_granule(w, ix[ch], 210, scf1[ch]))
+        for ch in range(2):
+            if use_scfsi:
+                gis[1].append(_pack_granule2_scfsi_g0(w, ix[ch], 210, scf2[ch]))
+            else:
+                gis[1].append(l3._pack_granule(w, ix[ch], 210, scf2[ch]))
+        w.pad_to_byte()
+        blob = bytes(w.buf)
+        bidx = next(
+            i for i in range(1, 15)
+            if 144 * l3.BITRATES_L3[i] * 1000 // rate >= len(blob) + 4 + 32
+        )
+        frame_len = 144 * l3.BITRATES_L3[bidx] * 1000 // rate
+        from data_migration_etl_scripts_spark.operators.mpeg_audio import (
+            _frame_header,
+        )
+        out = bytearray(_frame_header(3, bidx, rate_idx, 0, 0b00, 0))
+        sw = _BitWriter()
+        scfsi = [[1, 0, 0, 0], [1, 0, 0, 0]] if use_scfsi else None
+        l3._write_side_info(sw, 0, 2, gis, scfsi=scfsi)
+        sw.pad_to_byte()
+        out.extend(sw.buf)
+        out.extend(blob + b"\x00" * (frame_len - 4 - 32 - len(blob)))
+        return bytes(out)
+
+    rate_a, nch_a, ch_a = l3.layer3_decode(build(True))
+    rate_b, nch_b, ch_b = l3.layer3_decode(build(False))
+    assert (rate_a, nch_a) == (rate, 2) == (rate_b, nch_b)
+    assert ch_a == ch_b
+    # not vacuously zero: the group-0 lines carry real energy
+    assert any(abs(v) > 1e-6 for v in ch_a[0])
+    assert any(abs(v) > 1e-6 for v in ch_a[1])
+
+
 def test_short_block_reorder_is_a_permutation():
     gi = {"block_type": 2, "mixed_block": 0}
     src = [float(i + 1) for i in range(576)]

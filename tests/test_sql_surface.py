@@ -203,6 +203,22 @@ def test_translate_duckdb_sql_mappings():
     assert t("SELECT unnest(x) FROM a") == "SELECT explode(x) FROM a"
     assert t("generate_series(a, b)") == "sequence(a, b)"
     assert t("regexp_replace(x, 'a', 'b', 'g')") == "regexp_replace(x, 'a', 'b')"
+    # r8 (ADVICE): the 'g' strip is ANCHORED to regexp_replace — a
+    # legitimate literal-'g' final argument elsewhere must survive
+    assert t("split(col, 'g')") == "split(col, 'g')"
+    assert t("contains(x, 'g')") == "contains(x, 'g')"
+    # nested: inner call keeps its 'g' argument, outer flag drops
+    assert (
+        t("regexp_replace(concat(a, split(b, 'g')[1]), 'x', 'y', 'g')")
+        == "regexp_replace(concat(a, split(b, 'g')[1]), 'x', 'y')"
+    )
+    # quoted paren/comma content can't desync the paren walk
+    assert (
+        t("regexp_replace(x, '(a,b)', '', 'g') || split(y, 'g')")
+        == "regexp_replace(x, '(a,b)', '') || split(y, 'g')"
+    )
+    # sized VARCHAR(n) is not the bare type name: left intact
+    assert t("CAST(x AS VARCHAR(10))") == "CAST(x AS VARCHAR(10))"
     # unknown names pass through untouched
     assert t("SELECT time_bucket(i, ts)") == "SELECT time_bucket(i, ts)"
 

@@ -107,6 +107,21 @@ def test_candidate_reenters_on_next_appearance(spark, tmp_path):
     assert hh1 == {"x"}  # 12/20 >= 0.5; y dropped at 8/20
 
 
+def test_cms_estimate_unseen_keys_are_zero(spark):
+    """r8 (ADVICE): a probe key never inserted into the sketch must
+    come back est=0 (the CMS definition), not vanish from the output
+    or overestimate by skipping its absent depth rows."""
+    sketch = cm.cms_sketch(
+        spark.createDataFrame([("a",), ("a",), ("b",)], SCHEMA), "key"
+    )
+    probe = spark.createDataFrame([("a",), ("never-seen",)], SCHEMA)
+    got = {r.key: r.est for r in
+           cm.cms_estimate(probe, sketch, "key").collect()}
+    assert set(got) == {"a", "never-seen"}
+    assert got["never-seen"] == 0
+    assert got["a"] >= 2  # CMS is one-sided: est >= exact
+
+
 def test_cms_merge_is_order_and_split_invariant(spark):
     """Property: any split of the key stream into sketches merges to
     the one-shot sketch, in any merge order — the property the

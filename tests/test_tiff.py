@@ -200,6 +200,13 @@ def test_unsupported_paths_raise_with_tag_names():
         tf.tiff_decode(_ifd(
             [(256, 3, [4]), (257, 3, [4]), (322, 3, [16]),
              (273, 4, [0]), (279, 4, [0])], [b""]))
+    # r8 (ADVICE): TileByteCounts (325) absent must be the same named
+    # ValueError, not a bare KeyError
+    with pytest.raises(ValueError, match="tags 323/324/325"):
+        tf.tiff_decode(_ifd(
+            [(256, 3, [16]), (257, 3, [16]), (322, 3, [16]),
+             (323, 3, [16]), (324, 4, [0]),
+             (273, 4, [0]), (279, 4, [0])], [b""]))
 
 
 def test_image_decode_dispatches_tiff():
