@@ -56,68 +56,448 @@ _DUCKDB_FN_RENAMES = {
     "unnest": "explode",
     # both inclusive, both take (start, stop[, step]) incl. timestamps
     "generate_series": "sequence",
+    # r8 widening: DuckDB len() is list length in every oracle text
+    # that uses it (string lengths are spelled length()/strlen());
+    # cardinality is Spark's array/map length. Texts using len() on
+    # strings would fail analysis and stay off the compat board.
+    "len": "cardinality",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "list_zip": "arrays_zip",
+    "list_contains": "array_contains",
+    "list_intersect": "array_intersect",
+    "list_concat": "concat",
+    "string_split_regex": "split",
+    "chr": "char",
 }
+
+
+# --------------------------------------------------------------------
+# literal-aware SQL text machinery (the dialect shim's parser-lite):
+# every structural rewrite below walks single-quoted literals ('' is
+# the escape) so quoted commas/parens/brackets can never desync it.
+
+def _literal_mask(sql: str) -> list[bool]:
+    """mask[i] is True when sql[i] is inside a single-quoted literal
+    (including the quotes themselves)."""
+    mask = [False] * len(sql)
+    i, n, in_str = 0, len(sql), False
+    while i < n:
+        c = sql[i]
+        if in_str:
+            mask[i] = True
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    mask[i + 1] = True
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            mask[i] = True
+            in_str = True
+        i += 1
+    return mask
+
+
+def _balanced_end(sql: str, open_pos: int, mask: list[bool] | None = None) -> int:
+    """Index one PAST the closer matching the ( or [ at ``open_pos``
+    (-1 if unbalanced)."""
+    mask = mask if mask is not None else _literal_mask(sql)
+    opener = sql[open_pos]
+    closer = {"(": ")", "[": "]"}[opener]
+    depth, j = 1, open_pos + 1
+    while j < len(sql):
+        if not mask[j]:
+            if sql[j] == opener:
+                depth += 1
+            elif sql[j] == closer:
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+        j += 1
+    return -1
+
+
+def _split_top(body: str, sep: str = ",") -> list[str]:
+    """Split ``body`` on top-level ``sep`` (outside literals, parens,
+    and brackets)."""
+    mask = _literal_mask(body)
+    parts, depth, last = [], 0, 0
+    for i, c in enumerate(body):
+        if mask[i]:
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(body[last:i])
+            last = i + 1
+    parts.append(body[last:])
+    return parts
+
+
+def _rewrite_calls(sql: str, fname: str, fn) -> str:
+    """Replace every ``fname(args...)`` call (word-anchored, outside
+    literals) with ``fn(args: list[str]) -> str``. fn returning None
+    keeps the call unchanged. Innermost-first: args are recursively
+    rewritten before fn sees them."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = pat.search(sql, i)
+        while m and mask[m.start()]:
+            m = pat.search(sql, m.end())
+        if not m:
+            return sql
+        open_pos = m.end() - 1
+        end = _balanced_end(sql, open_pos, mask)
+        if end < 0:
+            return sql
+        body = _rewrite_calls(sql[open_pos + 1: end - 1], fname, fn)
+        repl = fn([a.strip() for a in _split_top(body)])
+        if repl is None:
+            repl = sql[m.start(): open_pos + 1] + body + ")"
+        sql = sql[: m.start()] + repl + sql[end:]
+        i = m.start() + len(repl)
+
+
+def _sub_outside_literals(sql: str, pattern: str, repl, flags=0) -> str:
+    """re.sub that never fires inside single-quoted literals."""
+    mask = _literal_mask(sql)
+    out, pos = [], 0
+    for m in re.finditer(pattern, sql, flags):
+        if any(mask[m.start(): m.end()]):
+            continue
+        out.append(sql[pos: m.start()])
+        out.append(m.expand(repl) if isinstance(repl, str) else repl(m))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _strip_regexp_replace_gflag(sql: str) -> str:
     """Drop a trailing ``, 'g'`` argument from ``regexp_replace(...)``
-    calls ONLY. Walks parens (string-literal-aware) from each call site
-    so nested calls and quoted commas can't confuse the match."""
-    out = []
-    i, n = 0, len(sql)
-    pat = re.compile(r"regexp_replace\s*\(", re.IGNORECASE)
-    while i < n:
-        m = pat.search(sql, i)
+    calls ONLY (Spark's replace is global by default; its optional 4th
+    arg is a position INT). A bare ``, 'g')`` regex would also eat
+    e.g. split(col, 'g')."""
+    def fix(args):
+        if len(args) == 4 and args[3] == "'g'":
+            return f"regexp_replace({args[0]}, {args[1]}, {args[2]})"
+        return None
+
+    return _rewrite_calls(sql, "regexp_replace", fix)
+
+
+# ------------------------------------------------- reshaping rewrites
+
+def _rw_struct_pack(args):
+    """struct_pack(a := x, b := y) -> named_struct('a', x, 'b', y)."""
+    parts = []
+    for a in args:
+        m = re.match(r"^(\w+)\s*:=\s*(.*)$", a, re.DOTALL)
         if not m:
-            out.append(sql[i:])
+            return None
+        parts.append(f"'{m.group(1)}', {m.group(2)}")
+    return "named_struct(" + ", ".join(parts) + ")"
+
+
+def _rw_list_agg(args):
+    """list(x) -> collect_list(x); list(x ORDER BY x) ->
+    sort_array(collect_list(x)) — row-matches whenever the sort key is
+    the element itself (or its first struct field with unique values);
+    anything else diverges and the per-query row-match gate keeps the
+    text off the board."""
+    if len(args) != 1:
+        return None
+    m = re.split(r"\s+ORDER\s+BY\s+", args[0], flags=re.IGNORECASE)
+    if len(m) == 2:
+        return f"sort_array(collect_list({m[0]}))"
+    return f"collect_list({args[0]})"
+
+
+def _rw_regexp_extract_all(args):
+    """Default-group mismatch: DuckDB's 2-arg form extracts group 0
+    (the whole match); Spark's defaults to group 1. Make DuckDB's
+    default explicit."""
+    if len(args) != 2:
+        return None
+    return f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+
+
+def _rw_string_agg(args):
+    """string_agg(x, sep [ORDER BY k1, k2, ...]) -> listagg(x, sep)
+    [WITHIN GROUP (ORDER BY ...)]. The sort-key list may itself
+    contain commas, so the tail args are rejoined before splitting on
+    ORDER BY."""
+    if len(args) < 2:
+        return None
+    tail = ", ".join(args[1:])
+    m = re.split(r"\s+ORDER\s+BY\s+", tail, flags=re.IGNORECASE)
+    if len(m) == 2:
+        return (f"listagg({args[0]}, {m[0]}) "
+                f"WITHIN GROUP (ORDER BY {m[1]})")
+    if len(args) != 2:
+        return None
+    return f"listagg({args[0]}, {args[1]})"
+
+
+def _rw_list_sum(args):
+    """list_sum(x) -> an ordered left fold in DOUBLE (bit-identical to
+    DuckDB's in-order accumulation for the oracle value ranges)."""
+    if len(args) != 1:
+        return None
+    return (f"aggregate({args[0]}, CAST(0 AS DOUBLE), "
+            "(ls_acc, ls_v) -> ls_acc + ls_v)")
+
+
+def _rw_list_inner_product(args):
+    if len(args) != 2:
+        return None
+    return (f"aggregate(zip_with({args[0]}, {args[1]}, "
+            "(ip_x, ip_y) -> ip_x * ip_y), "
+            "CAST(0 AS DOUBLE), (ip_a, ip_b) -> ip_a + ip_b)")
+
+
+def _rw_list_slice(args):
+    """list_slice(t, a, b): DuckDB slices 1-based INCLUSIVE ends;
+    Spark's slice takes (start, length)."""
+    if len(args) != 3:
+        return None
+    t, a, b = args
+    return f"slice({t}, {a}, greatest(({b}) - ({a}) + 1, 0))"
+
+
+def _strip_outer_parens(expr: str) -> str:
+    expr = expr.strip()
+    while expr.startswith("("):
+        if _balanced_end(expr, 0) != len(expr):
             break
-        open_pos = m.end() - 1  # the '('
-        out.append(sql[i:m.end()])
-        # walk to the matching close paren, tracking single-quoted strings
-        depth, j, in_str = 1, open_pos + 1, False
-        while j < n and depth:
-            c = sql[j]
-            if in_str:
-                if c == "'":
-                    # '' is an escaped quote inside a literal
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 1
-                    else:
-                        in_str = False
-            elif c == "'":
-                in_str = True
-            elif c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            j += 1
-        body = sql[m.end(): j - 1] if depth == 0 else sql[m.end():]
-        body = _strip_regexp_replace_gflag(body)  # nested calls
-        stripped = re.sub(r",\s*'g'\s*$", "", body)
-        out.append(stripped)
-        if depth == 0:
-            out.append(")")
-        i = j
-    return "".join(out)
+        expr = expr[1:-1].strip()
+    return expr
+
+
+def _split_top_as(body: str) -> tuple[str, str] | None:
+    """Split a CAST body on its top-level `` AS `` (the LAST one at
+    depth 0 outside literals — inner casts live inside parens)."""
+    mask = _literal_mask(body)
+    depth, found = 0, None
+    for m in re.finditer(r"\s+AS\s+", body, re.IGNORECASE):
+        if any(mask[m.start(): m.end()]):
+            continue
+        d = 0
+        for i in range(m.start()):
+            if not mask[i]:
+                if body[i] in "([":
+                    d += 1
+                elif body[i] in ")]":
+                    d -= 1
+        if d == 0:
+            found = m
+    if found is None:
+        return None
+    return body[: found.start()], body[found.end():]
+
+
+def _rw_cast(args):
+    """CAST('0x' || X AS BIGINT/UBIGINT) -> CAST(conv(X, 16, 10) AS
+    BIGINT): DuckDB parses hex-prefixed strings in numeric casts,
+    Spark needs an explicit base conversion. Every other CAST passes
+    through untouched."""
+    if len(args) != 1:
+        return None
+    parts = _split_top_as(args[0])
+    if parts is None:
+        return None
+    expr, typ = parts[0].strip(), parts[1].strip()
+    if typ.upper() not in ("BIGINT", "UBIGINT", "HUGEINT"):
+        return None
+    expr = _strip_outer_parens(expr)
+    m = re.match(r"^'0x'\s*\|\|\s*(.*)$", expr, re.DOTALL)
+    if not m:
+        return None
+    return f"CAST(conv({m.group(1)}, 16, 10) AS BIGINT)"
+
+
+_INTERVAL_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _rw_time_bucket(args):
+    """time_bucket(INTERVAL 'N unit', ts) -> epoch-floored bucket.
+    DuckDB's sub-day origin (2000-01-01) is itself epoch-aligned for
+    every unit that divides a day, so flooring against the Unix epoch
+    lands the identical bucket starts."""
+    if len(args) != 2:
+        return None
+    m = re.match(r"^INTERVAL\s+'(\d+)\s+(\w+)'$", args[0], re.IGNORECASE)
+    if not m:
+        return None
+    secs = int(m.group(1)) * _INTERVAL_SECONDS.get(m.group(2).lower(), 0)
+    if secs <= 0 or (86400 % secs != 0 and secs % 86400 != 0):
+        return None
+    return (f"timestamp_seconds(CAST(floor(unix_timestamp({args[1]}) "
+            f"/ {secs}) AS BIGINT) * {secs})")
+
+
+_STRPTIME_MAP = [  # C strptime -> Java DateTimeFormatter (lenient
+    # single-letter numeric fields: the oracle texts build unpadded
+    # month/day/hour strings, which DuckDB's strptime accepts)
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "M"), ("%d", "d"),
+    ("%b", "MMM"), ("%H", "H"), ("%I", "h"), ("%M", "mm"),
+    ("%S", "ss"), ("%p", "a"), ("%j", "DDD"), ("%%", "%"),
+]
+
+
+def _rw_try_strptime(args):
+    if len(args) != 2 or not re.match(r"^'.*'$", args[1], re.DOTALL):
+        return None
+    fmt = args[1][1:-1]
+    for c_code, j_code in _STRPTIME_MAP:
+        fmt = fmt.replace(c_code, j_code)
+    if "%" in fmt:
+        return None  # an unmapped code: leave the call for the gate
+    return f"try_to_timestamp({args[0]}, '{fmt}')"
+
+
+def _base_span(sql: str, mask: list[bool], bracket_pos: int) -> int | None:
+    """Start index of the expression a ``[`` at bracket_pos indexes
+    into: walks back over chained ``)``/``]`` groups and a leading
+    (possibly qualified) identifier. None when the bracket has no base
+    (a literal list)."""
+    # precompute opener positions for every closer left of the bracket
+    opens: dict[int, int] = {}
+    stack: list[int] = []
+    for i in range(bracket_pos):
+        if mask[i]:
+            continue
+        if sql[i] in "([":
+            stack.append(i)
+        elif sql[i] in ")]" and stack:
+            opens[i] = stack.pop()
+    j = bracket_pos - 1
+    saw_base = False
+    while j >= 0:
+        c = sql[j]
+        if c in ")]" and not mask[j]:
+            if j not in opens:
+                return None
+            j = opens[j] - 1
+            saw_base = True
+            continue
+        if c == "'" and mask[j] and saw_base is False:
+            # a quoted literal directly indexed: 'abc'[2] (not in the
+            # oracle texts; treat as no base)
+            return None
+        break
+    # consume a trailing identifier (function name or column ref)
+    k = j
+    while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+        k -= 1
+    if k == j and not saw_base:
+        return None
+    start = k + 1
+    # keywords before '[' mean a literal list position, not an index
+    if not saw_base and sql[start: j + 1].upper() in (
+        "SELECT", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT", "IN",
+        "WHERE", "BY", "ON", "AS", "CASE", "END", "UNION", "ALL",
+        "DISTINCT", "RETURN", "",
+    ):
+        return None
+    return start
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """DuckDB bracket suffixes -> Spark calls, innermost-safe fixpoint:
+
+    - ``expr[i]``    -> ``element_at(expr, i)``  (both 1-based)
+    - ``expr[a:b]``  -> ``slice(expr, a, b-a+1)`` (inclusive -> length)
+    - ``expr[a:]``   -> ``slice(expr, a, cardinality(expr))``
+    - ``expr[:b]``   -> ``slice(expr, 1, b)``
+    - ``[x, y]`` / ``[]`` (no base expr) -> ``array(x, y)`` / ``array()``
+    """
+    changed = True
+    while changed:
+        changed = False
+        mask = _literal_mask(sql)
+        for m in re.finditer(r"\[", sql):
+            pos = m.start()
+            if mask[pos]:
+                continue
+            end = _balanced_end(sql, pos, mask)
+            if end < 0:
+                continue
+            inner = sql[pos + 1: end - 1]
+            base_start = _base_span(sql, mask, pos)
+            if base_start is None:
+                repl = "array(" + inner + ")"
+                sql = sql[:pos] + repl + sql[end:]
+                changed = True
+                break
+            base = sql[base_start:pos].strip()
+            # top-level ':' (not '::') -> slice
+            parts = None
+            imask = _literal_mask(inner)
+            depth = 0
+            for i, c in enumerate(inner):
+                if imask[i]:
+                    continue
+                if c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                elif (c == ":" and depth == 0
+                      and (i + 1 >= len(inner) or inner[i + 1] != ":")
+                      and (i == 0 or inner[i - 1] != ":")):
+                    parts = (inner[:i].strip(), inner[i + 1:].strip())
+                    break
+            if parts is None:
+                repl = f"element_at({base}, {inner.strip()})"
+            else:
+                a, b = parts
+                if a and b:
+                    repl = f"slice({base}, {a}, greatest(({b}) - ({a}) + 1, 0))"
+                elif a:
+                    repl = f"slice({base}, {a}, cardinality({base}))"
+                else:
+                    repl = f"slice({base}, 1, {b})"
+            sql = sql[:base_start] + repl + sql[end:]
+            changed = True
+            break
+    return sql
 
 
 def translate_duckdb_sql(sql: str) -> str:
-    """Translate a DuckDB-dialect SQL text to Spark SQL where the
-    mapping is a pure rename (see ``_DUCKDB_FN_RENAMES``) plus two
-    spelling differences:
+    """Translate a DuckDB-dialect SQL text to Spark SQL.
 
-    - ``CAST(x AS VARCHAR)`` -> ``CAST(x AS STRING)`` (same type)
-    - ``datediff('day', a, b)`` -> ``datediff(day, a, b)`` (Spark
-      takes the unit as a keyword, not a string literal)
+    Two tiers, both mechanical and both gated per-query by the
+    row-match tests (a text that runs-but-diverges stays off the
+    compat board):
 
-    This is the usual thin dialect shim an engine ships so one SQL
-    text can drive two planners; the oracle texts remain the single
-    source of truth (DuckDB runs them verbatim, Spark runs them
-    through this). Word-boundary regexes only — the mapped names do
-    not occur inside string literals in any oracle text."""
+    1. Pure renames (``_DUCKDB_FN_RENAMES``) and spelling differences
+       — ``AS VARCHAR``/``AS STRING``, ``datediff`` unit quoting, the
+       regexp GLOBAL flag, ``string_agg``'s WITHIN GROUP form.
+    2. Argument-reshaping rewrites (r8) where the two dialects share
+       semantics but not call shape: DuckDB bracket indexing/slicing
+       (1-based, inclusive) to ``element_at``/``slice``; literal
+       ``[..]`` lists to ``array(..)``; ``list_slice``/``list_sum``/
+       ``list_inner_product`` to slice/fold forms; ``struct_pack`` to
+       ``named_struct``; hex-prefixed string casts to ``conv(x, 16,
+       10)``; ``time_bucket`` to epoch flooring; ``try_strptime``
+       format codes to Java patterns; ``//`` to ``div``; ``* EXCLUDE``
+       to ``* EXCEPT``; double-quoted identifiers to backticks; array
+       type suffixes (``DOUBLE[]``) to ``ARRAY<DOUBLE>``.
+
+    All structural rewrites are literal-aware (single-quoted strings
+    are never touched) and paren/bracket balanced."""
     out = sql
     for src, dst in _DUCKDB_FN_RENAMES.items():
-        out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)
+        out = _sub_outside_literals(
+            out, rf"\b{src}\s*\(", f"{dst}(", flags=re.IGNORECASE
+        )
     # VARCHAR -> STRING only for the bare type name; a sized VARCHAR(n)
     # is left alone (negative lookahead), Spark accepts it as-is
     out = re.sub(
@@ -126,21 +506,136 @@ def translate_duckdb_sql(sql: str) -> str:
     out = re.sub(
         r"\bdatediff\(\s*'(\w+)'\s*,", r"datediff(\1,", out, flags=re.IGNORECASE
     )
-    # DuckDB's regex GLOBAL flag: Spark's regexp_replace is global by
-    # default and its 4th arg is a position INT, so the flag drops.
-    # Anchored to regexp_replace calls via a paren walk — a bare
-    # ",\\s*'g')" regex would also eat e.g. split(col, 'g') or any
-    # function whose legitimate last argument is the literal 'g'.
     out = _strip_regexp_replace_gflag(out)
     # DuckDB orders inside the aggregate args; Spark uses the ANSI
-    # WITHIN GROUP form. Paren-free args only (the oracle texts' shape).
-    out = re.sub(
-        r"\bstring_agg\(([^()]+?),\s*('[^']*')\s+ORDER\s+BY\s+([^()]+?)\)",
-        r"listagg(\1, \2) WITHIN GROUP (ORDER BY \3)",
+    # WITHIN GROUP form (balanced-arg rewrite: the separator may be an
+    # expression like '' || char(10) || '').
+    out = _rewrite_calls(out, "string_agg", _rw_string_agg)
+    # ---- tier 2: argument-reshaping rewrites ----
+    # array type suffix: DOUBLE[] -> ARRAY<DOUBLE>; restricted to type
+    # NAMES so an empty list literal after a keyword (ELSE []) survives
+    # for the bracket pass. Unsigned/width spellings fold to SQL names.
+    out = _sub_outside_literals(
         out,
+        r"\b(DOUBLE|FLOAT|REAL|INT|INTEGER|BIGINT|SMALLINT|TINYINT|"
+        r"UBIGINT|HUGEINT|VARCHAR|STRING|TEXT|BOOLEAN|DATE|TIMESTAMP)"
+        r"\s*\[\s*\]",
+        r"ARRAY<\1>",
         flags=re.IGNORECASE,
     )
+    out = _sub_outside_literals(
+        out, r"\b(UBIGINT|HUGEINT)\b", "BIGINT", flags=re.IGNORECASE
+    )
+    out = _sub_outside_literals(out, r"\bREAL\b", "FLOAT", flags=re.IGNORECASE)
+    out = _rewrite_calls(out, "struct_pack", _rw_struct_pack)
+    out = _rewrite_calls(out, "list", _rw_list_agg)
+    out = _rewrite_calls(out, "list_sum", _rw_list_sum)
+    out = _rewrite_calls(out, "list_inner_product", _rw_list_inner_product)
+    out = _rewrite_calls(out, "list_slice", _rw_list_slice)
+    out = _rewrite_calls(out, "CAST", _rw_cast)
+    out = _rewrite_calls(out, "time_bucket", _rw_time_bucket)
+    out = _rewrite_calls(out, "try_strptime", _rw_try_strptime)
+    out = _rewrite_calls(out, "regexp_extract_all", _rw_regexp_extract_all)
+    # ('0x' || X)::BIGINT postfix-cast spelling of the hex cast
+    out = _sub_outside_literals(
+        out,
+        r"::\s*(BIGINT|UBIGINT|HUGEINT)\b",
+        "::BIGINT",
+        flags=re.IGNORECASE,
+    )
+    out = _hex_postfix_casts(out)
+    # DuckDB's SCALAR range(n) is [0..n) as a list (the table-valued
+    # form in FROM clauses is untouched — it only appears there
+    # un-exploded); after the unnest->explode rename the scalar form
+    # shows up as explode(range(n))
+    out = _sub_outside_literals(
+        out,
+        r"\bexplode\(\s*range\(\s*(\d+)\s*\)\s*\)",
+        lambda m: f"explode(sequence(0, {int(m.group(1)) - 1}))",
+        flags=re.IGNORECASE,
+    )
+    # DuckDB length() is polymorphic; the one list-valued call shape
+    # in the oracle texts is over regexp_extract_all
+    out = _sub_outside_literals(
+        out,
+        r"\blength\(\s*regexp_extract_all\(",
+        "cardinality(regexp_extract_all(",
+        flags=re.IGNORECASE,
+    )
+    out = _rewrite_brackets(out)
+    # DuckDB's FROM-clause lateral generator ``, UNNEST(x) AS u(col)``
+    # (after tier-1 renames: explode) -> Spark's LATERAL VIEW form.
+    # The ``AS name(col)`` alias shape is the discriminator: a
+    # select-list explode aliases a bare column instead.
+    out = _lateral_explode(out)
+    # DuckDB // is integer division; Spark spells it div
+    out = _sub_outside_literals(out, r"//", " div ")
+    # SELECT * EXCLUDE (...) -> SELECT * EXCEPT (...)
+    out = _sub_outside_literals(
+        out, r"\bEXCLUDE\s*\(", "EXCEPT (", flags=re.IGNORECASE
+    )
+    # DuckDB allows FILTER (cond); Spark requires FILTER (WHERE cond).
+    # Anchored to the aggregate-clause shape ``agg(...) FILTER (`` so
+    # the filter() higher-order function is never touched.
+    out = _sub_outside_literals(
+        out, r"(\))\s*FILTER\s*\(\s*(?!WHERE\b)", r"\1 FILTER (WHERE ",
+        flags=re.IGNORECASE,
+    )
+    # double-quoted identifiers -> backticks
+    out = _sub_outside_literals(out, r'"(\w+)"', r"`\1`")
     return out
+
+
+def _lateral_explode(sql: str) -> str:
+    """``, explode(X) AS u(col)`` -> `` LATERAL VIEW explode(X) u AS
+    col`` (comma-join lateral generator to Spark's spelling)."""
+    pat = re.compile(r",\s*explode\s*\(", re.IGNORECASE)
+    while True:
+        mask = _literal_mask(sql)
+        hit = None
+        for m in pat.finditer(sql):
+            if mask[m.start()]:
+                continue
+            open_pos = m.end() - 1
+            end = _balanced_end(sql, open_pos, mask)
+            if end < 0:
+                continue
+            alias = re.match(
+                r"\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)", sql[end:],
+                re.IGNORECASE,
+            )
+            if alias:
+                hit = (m, open_pos, end, alias)
+                break
+        if hit is None:
+            return sql
+        m, open_pos, end, alias = hit
+        body = sql[open_pos + 1: end - 1]
+        repl = (f" LATERAL VIEW explode({body}) "
+                f"{alias.group(1)} AS {alias.group(2)}")
+        sql = sql[: m.start()] + repl + sql[end + alias.end():]
+
+
+def _hex_postfix_casts(sql: str) -> str:
+    """('0x' || X)::BIGINT -> CAST(conv(X, 16, 10) AS BIGINT)."""
+    pat = re.compile(r"\(\s*'0x'\s*\|\|")
+    while True:
+        mask = _literal_mask(sql)
+        hit = None
+        for m in pat.finditer(sql):
+            if not mask[m.start()]:
+                end = _balanced_end(sql, m.start(), mask)
+                if end > 0 and re.match(r"\s*::\s*BIGINT", sql[end:],
+                                        re.IGNORECASE):
+                    hit = (m, end)
+                    break
+        if hit is None:
+            return sql
+        m, end = hit
+        inner = sql[m.end(): end - 1].strip()
+        tail = re.match(r"\s*::\s*BIGINT", sql[end:], re.IGNORECASE)
+        repl = f"CAST(conv({inner}, 16, 10) AS BIGINT)"
+        sql = sql[: m.start()] + repl + sql[end + tail.end():]
 
 
 def register_views(
@@ -160,8 +655,21 @@ def run_sql(
     DataFrame for ``sql``. Catalyst applies the same pushdown/pruning
     as the DataFrame API — a view is just a named logical plan.
     ``dialect="duckdb"`` first applies :func:`translate_duckdb_sql`,
-    so the driver-oracle texts run here unchanged."""
+    so the driver-oracle texts run here unchanged.
+
+    DuckDB string literals do NOT process backslash escapes; Spark's
+    do by default, so a DuckDB regex like ``'\\?'`` would silently
+    become ``'?'``. ``escapedStringLiterals=true`` (a parse-time-only
+    conf) restores the DuckDB/ANSI reading for the duration of the
+    parse."""
     register_views(spark, sf_dir)
     if dialect == "duckdb":
         sql = translate_duckdb_sql(sql)
+        key = "spark.sql.parser.escapedStringLiterals"
+        prev = spark.conf.get(key, "false")
+        spark.conf.set(key, "true")
+        try:
+            return spark.sql(sql)
+        finally:
+            spark.conf.set(key, prev)
     return spark.sql(sql)

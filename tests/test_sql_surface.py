@@ -117,16 +117,29 @@ SQL_PORTABLE_BOARD = [
     "q16_parts_supplier_relationship",
 ]
 
-#: r7: oracle texts that run under Spark SQL through the DOCUMENTED
-#: rename-only dialect shim (sql.translate_duckdb_sql — list_* /
-#: unnest->explode / generate_series->sequence / VARCHAR /
-#: datediff-unit / regex-global-flag / string_agg-WITHIN-GROUP
-#: spellings, no argument reshaping) and row-match their DataFrame
-#: twins. Together with SQL_PORTABLE_BOARD: 88 of the driver-oracle
-#: texts drive DuckDB, Spark SQL, and the DataFrame API to one pinned
-#: answer. (dimension_template_clean and string_clean_suite run under
-#: the shim but row-MISMATCH — Java vs DuckDB regex semantics — and
-#: stay off the board: the row-match gate exists exactly for that.)
+#: Oracle texts that run under Spark SQL through the DOCUMENTED
+#: dialect shim (sql.translate_duckdb_sql) and row-match their
+#: DataFrame twins under the driver's value canonicalization. r7
+#: shipped the rename-only tier; r8 added the argument-reshaping tier
+#: (bracket indexing/slicing, list literals, list_sum/inner_product
+#: folds, struct_pack, hex casts, time_bucket, try_strptime, lateral
+#: UNNEST, FILTER clause, // div, quoted identifiers, DuckDB's
+#: unescaped string literals via escapedStringLiterals). Together
+#: with SQL_PORTABLE_BOARD: 143 of the 164 driver-oracle texts drive
+#: DuckDB, Spark SQL, and the DataFrame API to one pinned answer.
+#:
+#: The 21 texts still off the board, by reason (tools/sql_probe.py
+#: reproduces the census): 5 recursive CTEs with UNION distinct
+#: (Spark supports only UNION ALL there), 5 correlated scalar
+#: subqueries of shapes Spark's decorrelation rejects, 4 DuckDB
+#: struct-by-position indexing (z[1] on list_zip structs — no Spark
+#: spelling), asof (ASOF JOIN syntax), dedup_paragraphs
+#: (generate_subscripts+unnest parallel zip), gapfill (generator
+#: nested in expressions), and 3 that run but value-diverge
+#: (markdown_extract_text: Java vs RE2 regex semantics;
+#: ann_topk_ivf_pq, chunk_token_stream_docs: float-order-sensitive
+#: iterative training / cumulative windows) — the row-match gate
+#: keeps them off exactly as designed.
 SQL_COMPAT_BOARD = [
     "bm25_search",
     "clean_contact_phones",
@@ -148,14 +161,78 @@ SQL_COMPAT_BOARD = [
     "skew_report_events",
     "snapshot_diff_orders",
     "trend_slope_revenue",
+    # r8 widening: the argument-reshaping tier
+    "ann_ivf2_cells",
+    "ann_ivf_cells",
+    "ann_recall_bucketed",
+    "ann_recall_ivf",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "ann_topk_ivf",
+    "ann_topk_ivf2",
+    "ann_topk_ivf_probe4",
+    "ann_topk_multitable",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "collect_json_customer_orders",
+    "collect_json_order_structs",
+    "corpus_blocklist_filter",
+    "corpus_clean",
+    "corpus_composition",
+    "decontaminate_fuzzy_docs",
+    "dedup_embedding_neardup",
+    "dedup_minhash_lsh",
+    "dedup_remove_runs",
+    "dedup_remove_runs_exact",
+    "dedup_simhash",
+    "dimension_template_clean",
+    "dp_release_counts",
+    "dup_graph_triangles",
+    "duplicate_spans_docs",
+    "embed_quantize_int8",
+    "embed_random_projection",
+    "entity_pagerank",
+    "export_tar_manifest",
+    "hard_negatives",
+    "html_extract_text",
+    "ingest_dedup",
+    "multimodal_features",
+    "pack_sequences",
+    "parse_dates_multiformat",
+    "quality_classifier_scores",
+    "quality_quantile_filter",
+    "quality_zscore_by_source",
+    "sample_by_perplexity_bucket",
+    "sample_cluster_balanced",
+    "sample_weighted_priority",
+    "select_token_budget",
+    "set_validation_order_status",
+    "string_clean_suite",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_scrub_pii",
+    "text_token_stats",
+    "unigram_lm_score",
+    "url_canonical_dedup",
+    "warc_extract_text",
+    "windowed_event_counts",
+    "zorder_key_orders",
 ]
 
 
 def _canon_rows(rows):
+    """The driver's value canonicalization (floats rounded to 9
+    digits, Decimal folded to float) — the SAME protocol the
+    correctness gate hashes with, so board membership means exactly
+    'would hash-match the oracle'. Raw str() would reject last-ULP
+    double differences the official gate accepts."""
+    from tools.selfcheck import canon
+
     out = []
     for r in rows:
         d = r.asDict()
-        out.append(tuple(str(d[k]) for k in sorted(d)))
+        out.append(tuple(canon(d[k]) for k in sorted(d)))
     return sorted(out)
 
 
@@ -208,9 +285,10 @@ def test_translate_duckdb_sql_mappings():
     assert t("split(col, 'g')") == "split(col, 'g')"
     assert t("contains(x, 'g')") == "contains(x, 'g')"
     # nested: inner call keeps its 'g' argument, outer flag drops
+    # (the r8 bracket pass also rewrites the [1] index)
     assert (
         t("regexp_replace(concat(a, split(b, 'g')[1]), 'x', 'y', 'g')")
-        == "regexp_replace(concat(a, split(b, 'g')[1]), 'x', 'y')"
+        == "regexp_replace(concat(a, element_at(split(b, 'g'), 1)), 'x', 'y')"
     )
     # quoted paren/comma content can't desync the paren walk
     assert (
@@ -221,6 +299,39 @@ def test_translate_duckdb_sql_mappings():
     assert t("CAST(x AS VARCHAR(10))") == "CAST(x AS VARCHAR(10))"
     # unknown names pass through untouched
     assert t("SELECT time_bucket(i, ts)") == "SELECT time_bucket(i, ts)"
+    # r8: argument-reshaping tier
+    assert t("SELECT t[3]") == "SELECT element_at(t, 3)"
+    assert t("SELECT t[2:5]") == "SELECT slice(t, 2, greatest((5) - (2) + 1, 0))"
+    assert t("SELECT ['a','b'][2]") == "SELECT element_at(array('a','b'), 2)"
+    assert t("SELECT ELSE [] END") == "SELECT ELSE array() END"
+    assert t("CAST(e AS DOUBLE[])") == "CAST(e AS ARRAY<DOUBLE>)"
+    assert (t("CAST('0x' || substr(h, 1, 8) AS UBIGINT)")
+            == "CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT)")
+    assert (t("('0x' || substr(md5(x), 1, 15))::BIGINT")
+            == "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)")
+    assert (t("struct_pack(a := x, b := f(y, 2))")
+            == "named_struct('a', x, 'b', f(y, 2))")
+    assert (t("list(x ORDER BY x)") == "sort_array(collect_list(x))")
+    assert (t("list_slice(t, 1, n)")
+            == "slice(t, 1, greatest((n) - (1) + 1, 0))")
+    assert (t("time_bucket(INTERVAL '30 minutes', ts)")
+            == "timestamp_seconds(CAST(floor(unix_timestamp(ts) / 1800)"
+               " AS BIGINT) * 1800)")
+    assert (t("try_strptime(d, '%m/%d/%Y')") == "try_to_timestamp(d, 'M/d/yyyy')")
+    assert t("max(c) FILTER (w = 1)") == "max(c) FILTER (WHERE w = 1)"
+    # the filter() higher-order function is NOT the FILTER clause
+    assert t("filter(t, x -> x <> '')") == "filter(t, x -> x <> '')"
+    assert t("a // b, 'http://x'") == "a  div  b, 'http://x'"
+    assert t('SELECT "out"') == "SELECT `out`"
+    assert t("SELECT * EXCLUDE (a) FROM t") == "SELECT * EXCEPT (a) FROM t"
+    assert (t(", UNNEST([1]) AS u(b)")
+            == " LATERAL VIEW explode(array(1)) u AS b")
+    assert (t("string_agg(p, '' || chr(10) || '' ORDER BY k)")
+            == "listagg(p, '' || char(10) || '') WITHIN GROUP (ORDER BY k)")
+    assert (t("regexp_extract_all(md, '(?s)x')")
+            == "regexp_extract_all(md, '(?s)x', 0)")
+    assert (t("SELECT unnest(range(8)) AS m")
+            == "SELECT explode(sequence(0, 7)) AS m")
 
 
 def test_sql_view_scan_still_prunes_and_pushes(spark):
