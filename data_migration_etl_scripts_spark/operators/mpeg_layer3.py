@@ -36,10 +36,13 @@ prototype-window note in mpeg_audio.py):
   - the 32 big_values Huffman codebooks and count1 table A
     (ISO 11172-3 Annex B Table B.7). `HUFF_TABLES` ships table 0
     (the spec-structural "no bits read, region decodes to zeros"
-    table); drop `(linbits, {(length, code): (x, y)})` entries into
-    it for the rest and `_read_big_values` decodes them, ESC/linbits
-    and sign bits included. Until then a foreign frame that selects
-    table >= 1 raises NotImplementedError naming the table.
+    table). r8: `load_huffman_tables(path_or_dict)` injects the rest
+    from a JSON file (validated, prefix-free-checked), and the
+    decoder auto-loads `$SPARK_GRAFT_MP3_TABLES` on the first miss —
+    a user with the spec data decodes arbitrary foreign MP3s with an
+    env var, no source edit. Until then a foreign frame that selects
+    table >= 1 raises NotImplementedError naming the table and the
+    loader.
   - scalefactor-band boundaries and pretab (Annex B Table B.8 /
     the preemphasis table). The grids below follow the published
     values to the author's best knowledge and are engine data: the
@@ -79,7 +82,9 @@ from data_migration_etl_scripts_spark.operators.mpeg_audio import (
     pqmf_synthesize,
 )
 
-__all__ = ["layer3_decode", "layer3_encode", "PQMF_DELAY"]
+__all__ = [
+    "layer3_decode", "layer3_encode", "load_huffman_tables", "PQMF_DELAY",
+]
 
 #: scalefac_compress -> (slen1, slen2): bit widths for the low/high
 #: scalefactor groups (ISO 11172-3 2.4.2.7 — a 16-entry pairing, kept
@@ -129,6 +134,94 @@ HUFF_TABLES: dict[int, tuple[int, dict[tuple[int, int], tuple[int, int]]]] = {
 }
 #: count1 table A codebook: {(length, code): (v, w, x, y)} — same seam.
 COUNT1_TABLE_A: dict[tuple[int, int], tuple[int, int, int, int]] = {}
+
+#: env var naming a JSON file of Annex-B tables, auto-loaded on the
+#: first decode that needs a missing table (see load_huffman_tables)
+_TABLES_ENV = "SPARK_GRAFT_MP3_TABLES"
+_env_load_done = False
+
+
+def _check_prefix_free(codes: dict) -> None:
+    by_len: dict[int, set[int]] = {}
+    for (hlen, code) in codes:
+        by_len.setdefault(hlen, set()).add(code)
+    for (hlen, code) in codes:
+        for l2, cs in by_len.items():
+            if l2 < hlen and (code >> (hlen - l2)) in cs:
+                raise ValueError(
+                    f"codebook not prefix-free: ({hlen}, {code:#b}) is "
+                    f"shadowed by a {l2}-bit code"
+                )
+
+
+def load_huffman_tables(source) -> int:
+    """Inject ISO 11172-3 Annex-B Table B.7 data (the big_values
+    codebooks and count1 table A) WITHOUT source edits — the loader
+    half of the repo's Annex-B policy: the spec tables stay out of the
+    repo, a user who has the spec data drops them in from a file.
+
+    ``source`` is a dict or a path to a JSON file shaped:
+
+        {"tables": {"<idx>": {"linbits": N,
+                              "codes": [[hlen, code, x, y], ...]},
+                    ...},
+         "count1a": [[hlen, code, v, w, x, y], ...]}
+
+    Validates widths (hlen 1-24, code < 2**hlen, values 0-15) and
+    prefix-freeness per codebook; merges into ``HUFF_TABLES`` /
+    ``COUNT1_TABLE_A`` and returns the number of big_values tables
+    loaded. Setting ``$SPARK_GRAFT_MP3_TABLES=/path/tables.json`` is
+    equivalent: the decoder auto-loads it on the first frame that
+    needs a missing table, so arbitrary foreign (LAME/FFmpeg) MP3s
+    decode end-to-end with no code change."""
+    import json
+
+    if isinstance(source, (str, bytes)):
+        with open(source) as fh:
+            source = json.load(fh)
+    n = 0
+    for idx_s, spec in (source.get("tables") or {}).items():
+        idx = int(idx_s)
+        if not 1 <= idx <= 31:
+            raise ValueError(f"big_values table index {idx} out of range")
+        linbits = int(spec.get("linbits", 0))
+        book: dict[tuple[int, int], tuple[int, int]] = {}
+        for hlen, code, x, y in spec["codes"]:
+            if not (1 <= hlen <= 24 and 0 <= code < (1 << hlen)
+                    and 0 <= x <= 15 and 0 <= y <= 15):
+                raise ValueError(
+                    f"table {idx}: bad entry ({hlen}, {code}, {x}, {y})"
+                )
+            book[(hlen, code)] = (x, y)
+        _check_prefix_free(book)
+        HUFF_TABLES[idx] = (linbits, book)
+        n += 1
+    if source.get("count1a"):
+        book_a: dict[tuple[int, int], tuple[int, int, int, int]] = {}
+        for hlen, code, v, w, x, y in source["count1a"]:
+            if not (1 <= hlen <= 24 and 0 <= code < (1 << hlen)
+                    and all(t in (0, 1) for t in (v, w, x, y))):
+                raise ValueError(f"count1a: bad entry ({hlen}, {code})")
+            book_a[(hlen, code)] = (v, w, x, y)
+        _check_prefix_free(book_a)
+        COUNT1_TABLE_A.clear()
+        COUNT1_TABLE_A.update(book_a)
+    return n
+
+
+def _try_env_tables() -> bool:
+    """One-shot auto-load from $SPARK_GRAFT_MP3_TABLES (idempotent)."""
+    global _env_load_done
+    if _env_load_done:
+        return False
+    _env_load_done = True
+    import os
+
+    path = os.environ.get(_TABLES_ENV)
+    if path and os.path.exists(path):
+        load_huffman_tables(path)
+        return True
+    return False
 
 _MAX_RESERVOIR = 255  # encoder cap on main_data_begin (field max 511)
 
@@ -249,10 +342,13 @@ def _read_spectrum(
     while i < nbig:
         region = 0 if i < r1 else (1 if i < r2 else 2)
         tsel = gi["table_select"][region]
+        if tsel not in HUFF_TABLES and _try_env_tables():
+            pass  # env-provided Annex-B tables just loaded; recheck
         if tsel not in HUFF_TABLES:
             raise NotImplementedError(
                 f"big_values Huffman table {tsel} is Annex-B data — "
-                "add it to HUFF_TABLES (see module docstring seam note)"
+                "load_huffman_tables(path) or $SPARK_GRAFT_MP3_TABLES "
+                "injects it (see module docstring seam note)"
             )
         linbits, book = HUFF_TABLES[tsel]
         if not book:  # table 0: zero region, no bits read
@@ -279,8 +375,12 @@ def _read_spectrum(
             vals = [(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1, quad & 1]
         else:
             if not COUNT1_TABLE_A:
+                _try_env_tables()
+            if not COUNT1_TABLE_A:
                 raise NotImplementedError(
-                    "count1 table A is Annex-B data — fill COUNT1_TABLE_A"
+                    "count1 table A is Annex-B data — "
+                    "load_huffman_tables(path) or $SPARK_GRAFT_MP3_TABLES "
+                    "injects it"
                 )
             hit = _decode_prefix(r, COUNT1_TABLE_A, end_bit)
             if hit is None:

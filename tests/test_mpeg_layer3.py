@@ -565,6 +565,146 @@ def test_big_values_machinery_via_injected_table():
         del l3.HUFF_TABLES[31]
 
 
+def test_load_huffman_tables_from_json(tmp_path):
+    """r8: the Annex-B loader seam — a JSON table file decodes through
+    the big_values reader exactly like a hand-injected codebook, and
+    $SPARK_GRAFT_MP3_TABLES auto-loads on the first decode miss."""
+    import json
+
+    spec = {
+        "tables": {
+            "29": {"linbits": 3, "codes": [
+                [2, 0b00, 0, 0], [2, 0b01, 1, 0],
+                [2, 0b10, 0, 1], [3, 0b110, 1, 1], [3, 0b111, 15, 15],
+            ]},
+        },
+        "count1a": [
+            [1, 0b0, 0, 0, 0, 0], [2, 0b10, 1, 0, 1, 0],
+            [2, 0b11, 1, 1, 1, 1],
+        ],
+    }
+    p = tmp_path / "tables.json"
+    p.write_text(json.dumps(spec))
+    try:
+        assert l3.load_huffman_tables(str(p)) == 1
+        w = _BitWriter()
+        w.write(0b01, 2); w.write(0, 1)          # (1, 0), +x
+        w.write(0b111, 3)                         # (15, 15) ESC both
+        w.write(5, 3); w.write(0, 1)              # x: 15+5=20, +
+        w.write(2, 3); w.write(1, 1)              # y: 15+2=17, -
+        nbits = w.n + 8 * len(w.buf)
+        w.pad_to_byte()
+        gi = {
+            "window_switching": 0, "block_type": 0, "mixed_block": 0,
+            "big_values": 2, "table_select": [29, 29, 29],
+            "region0_count": 15, "region1_count": 7,
+            "count1table_select": 1,
+        }
+        ix = l3._read_spectrum(_BitReader(bytes(w.buf)), gi, nbits, 44100)
+        assert ix[:4] == [1, 0, 20, -17]
+        assert (2, 0b10) in l3.COUNT1_TABLE_A
+    finally:
+        l3.HUFF_TABLES.pop(29, None)
+        l3.COUNT1_TABLE_A.clear()
+
+
+def test_load_huffman_tables_validates(tmp_path):
+    # not prefix-free: 1-bit 0 shadows 2-bit 00
+    bad = {"tables": {"5": {"linbits": 0, "codes": [
+        [1, 0b0, 0, 0], [2, 0b00, 1, 0]]}}}
+    with pytest.raises(ValueError, match="prefix-free"):
+        l3.load_huffman_tables(bad)
+    assert 5 not in l3.HUFF_TABLES
+    with pytest.raises(ValueError, match="bad entry"):
+        l3.load_huffman_tables({"tables": {"6": {"codes": [[2, 4, 0, 0]]}}})
+    with pytest.raises(ValueError, match="out of range"):
+        l3.load_huffman_tables({"tables": {"0": {"codes": []}}})
+
+
+def test_env_var_autoloads_tables_on_decode_miss(tmp_path, monkeypatch):
+    import json
+
+    spec = {"tables": {"30": {"linbits": 0, "codes": [
+        [1, 0b0, 0, 0], [1, 0b1, 1, 0]]}}}
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(spec))
+    monkeypatch.setenv(l3._TABLES_ENV, str(p))
+    monkeypatch.setattr(l3, "_env_load_done", False)
+    try:
+        w = _BitWriter()
+        w.write(0b1, 1); w.write(0, 1)  # (1, 0), +x
+        nbits = w.n + 8 * len(w.buf)
+        w.pad_to_byte()
+        gi = {
+            "window_switching": 0, "block_type": 0, "mixed_block": 0,
+            "big_values": 1, "table_select": [30, 30, 30],
+            "region0_count": 15, "region1_count": 7,
+            "count1table_select": 1,
+        }
+        # table 30 is NOT loaded yet: the miss triggers the env load
+        assert 30 not in l3.HUFF_TABLES
+        ix = l3._read_spectrum(_BitReader(bytes(w.buf)), gi, nbits, 44100)
+        assert ix[0] == 1 and 30 in l3.HUFF_TABLES
+    finally:
+        l3.HUFF_TABLES.pop(30, None)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_MP3_TABLES_REAL"),
+    reason="real ISO 11172-3 Annex-B table data not provided "
+           "(set SPARK_GRAFT_MP3_TABLES_REAL=/path/tables.json)",
+)
+def test_real_annexb_tables_decode_table1_stream_end_to_end():
+    """Gated on real spec data: load the user-provided Annex-B file,
+    hand-pack a frame whose big_values region uses TABLE 1's real
+    codes, and decode it end-to-end through mpeg_audio_decode."""
+    import os
+
+    n = l3.load_huffman_tables(os.environ["SPARK_GRAFT_MP3_TABLES_REAL"])
+    assert n >= 1 and 1 in l3.HUFF_TABLES
+    linbits, book = l3.HUFF_TABLES[1]
+    enc = {v: k for k, v in book.items()}  # (x, y) -> (len, code)
+    rate, rate_idx = 44100, {v: k for k, v in l3.SAMPLE_RATES.items()}[44100]
+    w = _BitWriter()
+    for sfb in range(11):
+        w.write(0, 4)
+    for sfb in range(11, 21):
+        w.write(0, 3)
+    pairs = [(1, 0), (0, 1), (1, 1)]  # table 1 domain is 0..1
+    for x, y in pairs:
+        hlen, code = enc[(x, y)]
+        w.write(code, hlen)
+        for v in (x, y):
+            if v:
+                w.write(0, 1)  # positive sign
+    p23 = (w.n + 8 * len(w.buf))
+    gi1 = {
+        "part2_3_length": p23, "big_values": len(pairs),
+        "global_gain": 210, "scalefac_compress": 15,
+        "table_select": [1, 1, 1], "region0_count": 15,
+        "region1_count": 7, "preflag": 0, "scalefac_scale": 0,
+        "count1table_select": 1,
+    }
+    gi2 = l3._pack_granule(w, [0] * 576, 210, [0] * 21)
+    w.pad_to_byte()
+    blob = bytes(w.buf)
+    bidx = next(i for i in range(1, 15)
+                if 144 * l3.BITRATES_L3[i] * 1000 // rate >= len(blob) + 21)
+    frame_len = 144 * l3.BITRATES_L3[bidx] * 1000 // rate
+    from data_migration_etl_scripts_spark.operators.mpeg_audio import (
+        _frame_header,
+    )
+    out = bytearray(_frame_header(3, bidx, rate_idx, 0, 0b11, 0))
+    sw = _BitWriter()
+    l3._write_side_info(sw, 0, 1, [[gi1], [gi2]])
+    sw.pad_to_byte()
+    out.extend(sw.buf)
+    out.extend(blob + b"\x00" * (frame_len - 4 - 17 - len(blob)))
+    r, nch, ch = mpeg_audio_decode(bytes(out))
+    assert (r, nch) == (rate, 1) and len(ch[0]) == 1152
+    assert any(abs(v) > 1e-9 for v in ch[0])
+
+
 def test_count1_table_a_machinery_via_injected_table():
     book = {  # (length, code) -> (v, w, x, y); prefix-free
         (1, 0b0): (0, 0, 0, 0),
