@@ -1,0 +1,358 @@
+"""CCITT Group 4 (ITU-T T.6, 2-D MMR) bilevel codec — the TIFF
+Compression=4 coding every scanned-document corpus hits first.
+
+Reference parity note: the reference ETL repo has no media handling;
+this exists for the LLM-data-pipeline addendum (decode of scanned-
+document TIFFs at corpus scale, `operators/tiff.py` dispatches here).
+
+What is STRUCTURAL here (public T.6 coding structure):
+  - the 2-D mode coding loop: changing elements a0/a1/a2 on the
+    coding line, b1/b2 on the reference line (first row references an
+    imaginary all-white line), pass / horizontal / vertical(+-3)
+    modes, row-by-row with no EOL codes (G4), optional EOFB ignored
+  - the 9 mode codewords (V0 '1', VR1 '011', VL1 '010', H '001',
+    P '0001', VR2 '000011', VL2 '000010', VR3 '0000011',
+    VL3 '0000010') — the tiny structural alphabet of T.4 2-D/T.6,
+    kept as engine data like the scalefactor grids in mpeg_layer3.py
+  - MSB-first bit order (TIFF FillOrder 1), rows byte-UNaligned
+    within a strip (G4 packs rows back to back)
+
+What is a DATA SEAM (the repo's Annex-B policy: large tabulated spec
+constants are never reproduced from memory):
+  - the T.4 modified-Huffman run-length codebooks used by HORIZONTAL
+    mode (terminating codes 0-63 + makeup codes 64..2560, per color —
+    ~200 tabulated entries). ``T4_WHITE`` / ``T4_BLACK`` ship empty;
+    ``load_t4_tables(path_or_dict)`` injects them from a validated
+    JSON file and ``$SPARK_GRAFT_T4_TABLES`` auto-loads on the first
+    decode that needs one — the same loader pattern as the MP3
+    Huffman seam (mpeg_layer3.load_huffman_tables).
+
+Consequence of the seam: VERTICAL and PASS modes decode and encode
+with zero injected data, but any image whose first row is non-blank
+(or whose runs move more than +-3 per row) REQUIRES horizontal mode,
+so real scanned pages need the injected tables. The synthetic-table
+tests prove the full H-mode machinery (makeup+terminating composition
+both colors); a gated test exercises real user-provided tables.
+
+Engine encode/decode are exact inverses on their whole domain (any
+bilevel image, given tables for the H-modes it needs); a
+vertical/pass-only subset (blank first row, +-3 drift) round-trips
+with the seam EMPTY, which is what the always-on tests pin.
+"""
+
+from __future__ import annotations
+
+__all__ = ["g4_encode", "g4_decode", "g4_decode_packed", "load_t4_tables"]
+
+#: T.6 / T.4-2D mode codewords (bit-length, value), MSB-first.
+_MODES = {
+    "V0": (1, 0b1),
+    "VR1": (3, 0b011),
+    "VL1": (3, 0b010),
+    "H": (3, 0b001),
+    "P": (4, 0b0001),
+    "VR2": (6, 0b000011),
+    "VL2": (6, 0b000010),
+    "VR3": (7, 0b0000011),
+    "VL3": (7, 0b0000010),
+}
+_V_BY_DELTA = {0: "V0", 1: "VR1", -1: "VL1", 2: "VR2", -2: "VL2",
+               3: "VR3", -3: "VL3"}
+
+#: T.4 modified-Huffman run-length codebooks: run -> (bit-length,
+#: code). Terminating runs 0..63 plus makeup runs (multiples of 64).
+#: Annex-B DATA SEAM — empty until load_t4_tables() injects them.
+T4_WHITE: dict[int, tuple[int, int]] = {}
+T4_BLACK: dict[int, tuple[int, int]] = {}
+
+_TABLES_ENV = "SPARK_GRAFT_T4_TABLES"
+_env_load_done = False
+
+
+def _check_prefix_free(codes: list[tuple[int, int]]) -> None:
+    by_len: dict[int, set[int]] = {}
+    for hlen, code in codes:
+        by_len.setdefault(hlen, set()).add(code)
+    for hlen, code in codes:
+        for l2, cs in by_len.items():
+            if l2 < hlen and (code >> (hlen - l2)) in cs:
+                raise ValueError(
+                    f"T.4 codebook not prefix-free: ({hlen}, {code:#b})"
+                )
+
+
+def load_t4_tables(source) -> int:
+    """Inject the T.4 run-length codebooks (Annex-B seam) from a dict
+    or a JSON file shaped::
+
+        {"white": [[run, hlen, code], ...],
+         "black": [[run, hlen, code], ...]}
+
+    with terminating runs 0-63 and makeup runs as multiples of 64.
+    Validates widths and prefix-freeness per color; returns the number
+    of entries loaded. ``$SPARK_GRAFT_T4_TABLES=/path/tables.json`` is
+    the no-code-change route: the decoder auto-loads it on the first
+    horizontal-mode code it meets."""
+    import json
+
+    if isinstance(source, (str, bytes)):
+        with open(source) as fh:
+            source = json.load(fh)
+    n = 0
+    for key, table in (("white", T4_WHITE), ("black", T4_BLACK)):
+        entries = source.get(key) or []
+        book: dict[int, tuple[int, int]] = {}
+        for run, hlen, code in entries:
+            if not (0 <= run <= 63 or (run % 64 == 0 and run <= 2560)):
+                raise ValueError(f"{key}: bad run length {run}")
+            if not (1 <= hlen <= 14 and 0 <= code < (1 << hlen)):
+                raise ValueError(f"{key}: bad code ({hlen}, {code})")
+            book[run] = (hlen, code)
+        if book:
+            _check_prefix_free(list(book.values()))
+            table.clear()
+            table.update(book)
+            n += len(book)
+    return n
+
+
+def _try_env_tables() -> bool:
+    global _env_load_done
+    if _env_load_done:
+        return False
+    _env_load_done = True
+    import os
+
+    path = os.environ.get(_TABLES_ENV)
+    if path and os.path.exists(path):
+        load_t4_tables(path)
+        return True
+    return False
+
+
+# ------------------------------------------------------------ bit io
+
+class _W:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, hlen: int) -> None:
+        self.acc = (self.acc << hlen) | code
+        self.n += hlen
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+            self.n = 0
+        return bytes(self.buf)
+
+
+class _R:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read1(self) -> int:
+        if self.pos >= 8 * len(self.data):
+            raise ValueError("G4 stream exhausted mid-row")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+
+# ----------------------------------------------------------- helpers
+
+def _transitions(row: list[int]) -> list[int]:
+    """Positions where the color changes, starting from white."""
+    out = []
+    prev = 0
+    for x, v in enumerate(row):
+        if v != prev:
+            out.append(x)
+            prev = v
+    return out
+
+
+def _b1_b2(ref: list[int], a0: int, color: int, width: int) -> tuple[int, int]:
+    """b1: first reference changing element > a0 with the opposite
+    color of a0's run (an even-index transition when coding white,
+    odd when coding black); b2: the next one after b1."""
+    import bisect
+
+    i = bisect.bisect_right(ref, a0)
+    if i % 2 != color:
+        i += 1
+    b1 = ref[i] if i < len(ref) else width
+    b2 = ref[i + 1] if i + 1 < len(ref) else width
+    return b1, b2
+
+
+def _mh_tables_for(color: int) -> dict[int, tuple[int, int]]:
+    table = T4_BLACK if color else T4_WHITE
+    if not table:
+        _try_env_tables()
+        table = T4_BLACK if color else T4_WHITE
+    if not table:
+        raise NotImplementedError(
+            "horizontal mode needs the T.4 run-length codebooks — "
+            "Annex-B data; load_t4_tables(path) or $SPARK_GRAFT_T4_TABLES "
+            "injects them (module docstring seam note)"
+        )
+    return table
+
+
+# ------------------------------------------------------------ encode
+
+def _emit_run(w: _W, run: int, color: int) -> None:
+    table = _mh_tables_for(color)
+    while run >= 64:
+        makeups = [r for r in table if r >= 64 and r <= run]
+        if not makeups:
+            raise ValueError(f"no makeup code covers run {run}")
+        m = max(makeups)
+        hlen, code = table[m]
+        w.write(code, hlen)
+        run -= m
+    if run not in table:
+        raise ValueError(f"terminating code for run {run} missing")
+    hlen, code = table[run]
+    w.write(code, hlen)
+
+
+def g4_encode(rows: list[list[int]], width: int | None = None) -> bytes:
+    """Bilevel rows (0 = white, 1 = black) -> T.6 bytes (no EOFB;
+    TIFF strips carry row counts externally). Uses vertical/pass modes
+    wherever T.6 allows; horizontal mode requires the injected T.4
+    tables and raises the seam error without them."""
+    if not rows:
+        return b""
+    width = width if width is not None else len(rows[0])
+    w = _W()
+    ref: list[int] = []  # imaginary all-white reference line
+    for row in rows:
+        cur = _transitions(row)
+        a0, color = -1, 0
+        while True:
+            b1, b2 = _b1_b2(ref, a0, color, width)
+            import bisect
+
+            i = bisect.bisect_right(cur, a0)
+            if i % 2 != color:
+                i += 1
+            a1 = cur[i] if i < len(cur) else width
+            if b2 < a1:
+                hlen, code = _MODES["P"]
+                w.write(code, hlen)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                hlen, code = _MODES[_V_BY_DELTA[a1 - b1]]
+                w.write(code, hlen)
+                a0 = a1
+                color ^= 1
+            else:
+                a2 = cur[i + 1] if i + 1 < len(cur) else width
+                hlen, code = _MODES["H"]
+                w.write(code, hlen)
+                start = max(a0, 0)
+                _emit_run(w, a1 - start, color)
+                _emit_run(w, a2 - a1, color ^ 1)
+                a0 = a2
+            if a0 >= width:
+                break
+        ref = cur
+    return w.done()
+
+
+# ------------------------------------------------------------ decode
+
+def _read_mode(r: _R) -> str:
+    """Walk the structural mode tree bit by bit."""
+    code, hlen = 0, 0
+    lookup = {v: k for k, v in _MODES.items()}
+    while hlen < 8:
+        code = (code << 1) | r.read1()
+        hlen += 1
+        hit = lookup.get((hlen, code))
+        if hit is not None:
+            return hit
+    raise ValueError("corrupt G4 stream: no mode code within 8 bits")
+
+
+def _read_run(r: _R, color: int) -> int:
+    table = _mh_tables_for(color)
+    decode = {v: k for k, v in table.items()}
+    total = 0
+    while True:
+        code, hlen = 0, 0
+        while hlen < 14:
+            code = (code << 1) | r.read1()
+            hlen += 1
+            run = decode.get((hlen, code))
+            if run is not None:
+                break
+        else:
+            raise ValueError("corrupt G4 stream: no T.4 code within 14 bits")
+        total += run
+        if run < 64:  # terminating code ends the run
+            return total
+
+
+def g4_decode(data: bytes, width: int, height: int) -> list[list[int]]:
+    """T.6 bytes -> bilevel rows (0 = white, 1 = black)."""
+    r = _R(data)
+    out: list[list[int]] = []
+    ref: list[int] = []
+    for _y in range(height):
+        row = [0] * width
+        a0, color = -1, 0
+        while True:
+            b1, b2 = _b1_b2(ref, a0, color, width)
+            mode = _read_mode(r)
+            start = max(a0, 0)
+            if mode == "P":
+                for x in range(start, min(b2, width)):
+                    row[x] = color
+                a0 = b2
+            elif mode == "H":
+                r1 = _read_run(r, color)
+                r2 = _read_run(r, color ^ 1)
+                a1 = start + r1
+                a2 = a1 + r2
+                for x in range(start, min(a1, width)):
+                    row[x] = color
+                for x in range(a1, min(a2, width)):
+                    row[x] = color ^ 1
+                a0 = a2
+            else:  # vertical family
+                d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+                a1 = b1 + d
+                for x in range(start, min(a1, width)):
+                    row[x] = color
+                a0 = a1
+                color ^= 1
+            if a0 >= width:
+                break
+        out.append(row)
+        ref = _transitions(row)
+    return out
+
+
+def g4_decode_packed(data: bytes, width: int, height: int) -> bytes:
+    """T.6 bytes -> MSB-first packed bilevel rows, one byte-aligned
+    row per scanline (the TIFF strip layout; 1 = black, matching
+    PhotometricInterpretation 0 / WhiteIsZero)."""
+    rows = g4_decode(data, width, height)
+    row_bytes = (width + 7) // 8
+    out = bytearray(row_bytes * height)
+    for y, row in enumerate(rows):
+        base = y * row_bytes
+        for x, v in enumerate(row):
+            if v:
+                out[base + (x >> 3)] |= 0x80 >> (x & 7)
+    return bytes(out)

@@ -33,11 +33,18 @@ per-SAMPLE predictor differencing, high byte kept for the 8-bit RGB
 surface); PlanarConfiguration 2 (plane-major strips, lag-1 predictor
 within a plane, interleaved to chunky before assembly).
 
+CCITT G4 (Compression 4, r8): decodes via `operators/ccitt.py` — the
+2-D mode machinery is structural; horizontal mode's T.4 run-length
+codebooks are an injectable Annex-B seam (`ccitt.load_t4_tables` /
+`$SPARK_GRAFT_T4_TABLES`), so vertical/pass-mode imagery decodes
+out of the box and real scanned pages decode once the user injects
+the spec tables.
+
 What is NOT here (documented seams, same policy as jpeg.py/webp.py):
-JPEG-in-TIFF (Compression 6/7), CCITT fax codings (2/3/4 — the T.4/
-T.6 code tables are spec data, Annex-B policy), tiled+planar-2
-combination, and >16-bit samples. Each raises NotImplementedError
-naming the tag value.
+JPEG-in-TIFF (Compression 6/7), CCITT G3 codings (2/3 — EOL/RTC
+framing plus the same T.4 tables), tiled+planar-2 combination, and
+>16-bit samples. Each raises NotImplementedError naming the tag
+value.
 """
 
 from __future__ import annotations
@@ -258,11 +265,13 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         raise NotImplementedError(
             f"BitsPerSample {bits} — uniform 1-, 8- or 16-bit only"
         )
-    if comp not in (1, 5, 8, 32773):
+    if comp not in (1, 4, 5, 8, 32773):
         raise NotImplementedError(
-            f"Compression {comp} — none (1), LZW (5), Deflate (8), "
-            "PackBits (32773) only"
+            f"Compression {comp} — none (1), CCITT G4 (4), LZW (5), "
+            "Deflate (8), PackBits (32773) only"
         )
+    if comp == 4 and (bits[0] != 1 or spp != 1):
+        raise ValueError("CCITT G4 (Compression 4) requires bilevel data")
 
     bilevel = bits[0] == 1 and spp == 1
     if bits[0] == 1 and (spp != 1 or planar == 2):
@@ -270,9 +279,17 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     bpp = 2 if bits[0] == 16 else 1  # bytes per sample (r7: 16-bit)
     row_bytes = (width + 7) // 8 if bilevel else width * spp * bpp
 
-    def decompress(chunk: bytes, expected: int) -> bytes:
+    def decompress(chunk: bytes, expected: int, pix_w: int | None = None) -> bytes:
         if comp == 1:
             return chunk[:expected]
+        if comp == 4:  # CCITT G4 (r8): rows pack back to back bit-level
+            from data_migration_etl_scripts_spark.operators.ccitt import (
+                g4_decode_packed,
+            )
+
+            w_px = pix_w if pix_w is not None else width
+            n_rows = expected // ((w_px + 7) // 8)
+            return g4_decode_packed(chunk, w_px, n_rows)
         if comp == 32773:
             return packbits_decode(chunk, expected)
         if comp == 8:  # Adobe deflate: zlib stream per strip/tile
@@ -330,7 +347,7 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         raw = bytearray(row_bytes * height)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
             data = undo_predictor(
-                decompress(b[off: off + cnt], tile_row_bytes * th),
+                decompress(b[off: off + cnt], tile_row_bytes * th, tw),
                 th, tile_row_bytes, spp,
             )
             x0 = (idx % across) * tw

@@ -1,0 +1,233 @@
+"""CCITT G4 / T.6 codec (operators/ccitt.py): structural hand-checked
+bitstreams, vertical/pass round-trips with the T.4 seam EMPTY,
+horizontal-mode machinery through synthetic injected tables, the
+Annex-B loader (validation, env autoload), TIFF Compression=4
+integration, and a gated real-tables test."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pytest
+
+from data_migration_etl_scripts_spark.operators import ccitt as cc
+from data_migration_etl_scripts_spark.operators import tiff as tf
+
+
+def _clear_tables():
+    cc.T4_WHITE.clear()
+    cc.T4_BLACK.clear()
+
+
+@pytest.fixture(autouse=True)
+def _isolated_tables():
+    _clear_tables()
+    yield
+    _clear_tables()
+
+
+#: synthetic fixed-length MH codebooks (prefix-free by construction):
+#: white 8-bit codes (terminating t -> t, makeup 64k -> 64+k),
+#: black 9-bit codes (same values) — spec data stays out of the repo,
+#: the MECHANISM (makeup+terminating composition, per-color tables,
+#: H-mode run pairs) is fully exercised.
+def _synthetic_tables():
+    white = [[t, 8, t] for t in range(64)]
+    white += [[64 * k, 8, 64 + k] for k in range(1, 41)]
+    black = [[t, 9, t] for t in range(64)]
+    black += [[64 * k, 9, 64 + k] for k in range(1, 41)]
+    return {"white": white, "black": black}
+
+
+# ------------------------------------------------------- structural
+
+def test_blank_rows_are_single_v0_bits():
+    """All-white rows over an all-white reference code as one V0 ('1')
+    per row — hand-checkable from the public mode alphabet."""
+    rows = [[0] * 16 for _ in range(8)]
+    b = cc.g4_encode(rows)
+    # 8 rows x 1 bit = 8 bits -> one 0xFF byte
+    assert b == b"\xff"
+    assert cc.g4_decode(b, 16, 8) == rows
+
+
+def test_run_first_appearance_requires_hmode_tables():
+    """Creating a run where the reference line has none is exactly
+    horizontal mode — without the Annex-B tables the encoder raises
+    the named seam error (a blank image is the ONLY image that never
+    needs H, which is why the seam matters for real pages)."""
+    rows = [[0] * 40, [0] * 10 + [1] * 8 + [0] * 22]
+    with pytest.raises(NotImplementedError, match="load_t4_tables"):
+        cc.g4_encode(rows)
+
+
+def test_vertical_modes_dominate_after_first_appearance():
+    """Once a run exists on the reference line, drifting edges (<=3
+    px/row) code as pure vertical modes: measurable as ~2 code bits
+    per steady row (V per edge), far below H-mode's table codes."""
+    cc.load_t4_tables(_synthetic_tables())
+    lo, w = 10, 40
+    deltas = [0, 1, 3, -2, -3, 2, 0, -1, 3, -3, 1, 2, -2, 0]
+    rows = [[0] * w]
+    for d in deltas:
+        lo += d
+        row = [0] * w
+        for x in range(lo, lo + 8):
+            row[x] = 1
+        rows.append(row)
+    b = cc.g4_encode(rows, w)
+    assert cc.g4_decode(b, w, len(rows)) == rows
+    # budget: row0 V0 (1) + appearance row H (3 + 8 + 9 code bits)
+    # + V0 terminator (up to ~7 more) + 14 drift rows x (two V codes
+    # <= 7 bits each + V0 terminator 1) <= ~240 bits total
+    assert len(b) * 8 <= 260
+
+
+def test_hmode_roundtrip_synthetic_tables():
+    """Full-machinery round-trip: random-ish bilevel images (new runs
+    appear, vanish, drift, merge) with synthetic injected T.4 tables."""
+    cc.load_t4_tables(_synthetic_tables())
+    import random
+
+    rnd = random.Random(8)
+    for trial in range(6):
+        w = rnd.choice([17, 33, 64, 100])
+        h = rnd.randrange(3, 14)
+        rows = [[1 if rnd.random() < 0.35 else 0 for _ in range(w)]
+                for _ in range(h)]
+        b = cc.g4_encode(rows, w)
+        assert cc.g4_decode(b, w, h) == rows, trial
+
+
+def test_hmode_long_runs_use_makeup_codes():
+    cc.load_t4_tables(_synthetic_tables())
+    w = 700  # forces makeup (>= 64) + terminating composition
+    rows = [[0] * w, [0] * 200 + [1] * 450 + [0] * 50]
+    b = cc.g4_encode(rows, w)
+    assert cc.g4_decode(b, w, 2) == rows
+
+
+def test_loader_validates():
+    with pytest.raises(ValueError, match="bad run length"):
+        cc.load_t4_tables({"white": [[65, 4, 0]]})
+    with pytest.raises(ValueError, match="bad code"):
+        cc.load_t4_tables({"white": [[0, 4, 16]]})
+    with pytest.raises(ValueError, match="prefix-free"):
+        cc.load_t4_tables({"white": [[0, 1, 0], [1, 2, 0]]})
+    assert not cc.T4_WHITE
+
+
+def test_env_autoload_on_first_hmode(tmp_path, monkeypatch):
+    p = tmp_path / "t4.json"
+    p.write_text(json.dumps(_synthetic_tables()))
+    monkeypatch.setenv(cc._TABLES_ENV, str(p))
+    monkeypatch.setattr(cc, "_env_load_done", False)
+    rows = [[0] * 20, [0] * 5 + [1] * 6 + [0] * 9]
+    b = cc.g4_encode(rows, 20)  # H-mode needed: triggers env load
+    assert cc.T4_WHITE and cc.T4_BLACK
+    assert cc.g4_decode(b, 20, 2) == rows
+
+
+def test_missing_tables_raise_namefully():
+    # (a 4-wide image would legally code via VL3 against the imaginary
+    # b1=width — the run must sit >3 px from the row end to force H)
+    with pytest.raises(NotImplementedError, match="SPARK_GRAFT_T4_TABLES"):
+        cc.g4_encode([[0] * 5 + [1] * 3 + [0] * 12], 20)
+
+
+# --------------------------------------------------- TIFF integration
+
+def _g4_tiff(rows, width, height, rows_per_strip=None, photo=0):
+    """Hand-assemble a Compression=4 bilevel TIFF (strip layout)."""
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        strips.append(cc.g4_encode(rows[y0: y0 + rps], width))
+    entries = [
+        (256, 3, [width]), (257, 3, [height]), (258, 3, [1]),
+        (259, 3, [4]), (262, 3, [photo]), (277, 3, [1]),
+        (278, 3, [rps]),
+    ]
+    # IFD with marker offsets for strip data
+    e = "<"
+    n = len(entries) + 2  # + offsets + counts
+    ifd_size = 2 + 12 * n + 4
+    data_start = 8 + ifd_size
+    off_vals, cnt_vals = [], []
+    pos = data_start + 8 * len(strips)  # room for offset/count arrays
+    blobs_off = pos
+    for s in strips:
+        off_vals.append(pos)
+        cnt_vals.append(len(s))
+        pos += len(s)
+    entries = entries + [(273, 4, off_vals), (279, 4, cnt_vals)]
+    fixed, extra = [], bytearray()
+    for tag, typ, vals in sorted(entries):
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = {3: 2, 4: 4}[typ]
+        if sz * len(vals) <= 4:
+            vb = struct.pack(e + f"{len(vals)}{fmt}", *vals).ljust(4, b"\x00")
+        else:
+            vb = struct.pack(e + "I", data_start + len(extra))
+            extra += struct.pack(e + f"{len(vals)}{fmt}", *vals)
+        fixed.append(struct.pack(e + "HHI", tag, typ, len(vals)) + vb)
+    assert len(extra) <= 8 * len(strips)
+    extra = extra.ljust(blobs_off - data_start, b"\x00")
+    out = bytearray(b"II*\x00") + struct.pack(e + "I", 8)
+    out += struct.pack(e + "H", n)
+    for f in fixed:
+        out += f
+    out += struct.pack(e + "I", 0)
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def test_tiff_g4_strip_decode():
+    cc.load_t4_tables(_synthetic_tables())
+    import random
+
+    rnd = random.Random(4)
+    w, h = 37, 11
+    rows = [[1 if rnd.random() < 0.4 else 0 for _ in range(w)]
+            for _ in range(h)]
+    for rps in (None, 4):
+        b = _g4_tiff(rows, w, h, rows_per_strip=rps)
+        gw, gh, px = tf.tiff_decode(b)
+        assert (gw, gh) == (w, h)
+        # photometric 0 (WhiteIsZero): bit 1 = black = (0,0,0)
+        want = [[(0, 0, 0) if v else (255, 255, 255) for v in row]
+                for row in rows]
+        assert px == want, rps
+
+
+def test_tiff_g4_requires_bilevel():
+    b = bytearray(_g4_tiff([[0] * 8] * 2, 8, 2))
+    # patch BitsPerSample (258) to 8
+    n = struct.unpack_from("<H", b, 8)[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if struct.unpack_from("<H", b, base)[0] == 258:
+            struct.pack_into("<H", b, base + 8, 8)
+    with pytest.raises(ValueError, match="bilevel"):
+        tf.tiff_decode(bytes(b))
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_T4_TABLES_REAL"),
+    reason="real ITU-T T.4 table data not provided "
+           "(set SPARK_GRAFT_T4_TABLES_REAL=/path/tables.json)",
+)
+def test_real_t4_tables_roundtrip():
+    import os
+    import random
+
+    cc.load_t4_tables(os.environ["SPARK_GRAFT_T4_TABLES_REAL"])
+    rnd = random.Random(1)
+    w, h = 128, 16
+    rows = [[1 if rnd.random() < 0.3 else 0 for _ in range(w)]
+            for _ in range(h)]
+    b = cc.g4_encode(rows, w)
+    assert cc.g4_decode(b, w, h) == rows
