@@ -351,12 +351,36 @@ def ngram_jaccard_pairs_sql(
 # ----------------------------------------------------------- ppjoin
 
 
+def ppjoin_candidate_estimate(
+    prefix: DataFrame,
+) -> int:
+    """Pre-flight candidate-volume estimate for the PPJoin equi-join:
+    the raw join output over a shared prefix token with df_p docs in
+    prefixes is exactly C(df_p, 2) ordered pairs, so the sum of the
+    doc-frequency second moment over PREFIX rows upper-bounds the
+    join's row volume before the size/positional screens — one cheap
+    aggregate over a relation the join builds anyway. On healthy
+    (Zipf) corpora prefix tokens are rare and this stays near the
+    true near-dup volume; on degenerate vocabularies it exposes the
+    quadratic blow-up BEFORE the 850-second join does
+    (SCALE.md "PPJoin at sf3 is candidate-bound")."""
+    row = (
+        prefix.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("est"))
+        .collect()[0]
+    )
+    return int(row["est"] or 0)
+
+
 def ppjoin_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
     shingle_n: int = 1,
+    warn_candidates: int = 50_000_000,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity join via the AllPairs/PPJoin prefix
     filter — the principled candidate bound: unlike
@@ -384,7 +408,17 @@ def ppjoin_pairs(
     all-pairs because that many pairs genuinely clear prefix+size
     screening. Real web/text corpora (Zipf vocab, varied lengths) are
     the regime the filters were designed for. The positional filter
-    (ubound >= alpha) is lossless, so it needs no oracle twin."""
+    (ubound >= alpha) is lossless, so it needs no oracle twin.
+
+    Guardrail (r8): before launching the join, the prefix
+    doc-frequency second moment estimates the raw candidate volume
+    (:func:`ppjoin_candidate_estimate`). Above ``warn_candidates`` a
+    UserWarning names the regime and the knobs (raise ``threshold``,
+    widen ``shingle_n`` — SCALE.md's measured advice); above
+    ``max_candidates`` (opt-in) the join refuses with ValueError so a
+    cluster never discovers the quadratic at hour three. The
+    estimate's one aggregate rides the localCheckpointed token
+    relation, so the pre-flight costs a fraction of the join."""
     num, den = _rational(threshold)
 
     def ceil_tn(ncol):
@@ -423,6 +457,26 @@ def ppjoin_pairs(
     prefix = with_n.where(
         F.col("pos") <= F.col("n") - ceil_tn(F.col("n")) + 1
     ).select("doc_id", "tok", "n", "pos")
+    if warn_candidates is not None or max_candidates is not None:
+        est = ppjoin_candidate_estimate(prefix)
+        knobs = (
+            f"estimated ~{est:,} raw candidate pairs at threshold="
+            f"{threshold}, shingle_n={shingle_n} — a degenerate-vocab "
+            "regime (prefix tokens shared by many docs; candidates grow "
+            "quadratically in per-token doc frequency). Knobs: raise "
+            "`threshold` (shorter prefixes, tighter size screen) or "
+            "widen `shingle_n` (grows the token universe). See the "
+            "SCALE.md PPJoin section for measured behavior."
+        )
+        if max_candidates is not None and est > max_candidates:
+            raise ValueError(
+                f"ppjoin_pairs pre-flight refused: {knobs} "
+                f"(max_candidates={max_candidates:,})"
+            )
+        if warn_candidates is not None and est > warn_candidates:
+            import warnings
+
+            warnings.warn(knobs, UserWarning, stacklevel=2)
     # PPJoin's POSITIONAL filter (lossless, result set unchanged — the
     # oracle needs no twin of it): a match at prefix positions (pa,
     # pb) bounds the achievable overlap by 1 + min(na-pa, nb-pb),

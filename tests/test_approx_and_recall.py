@@ -344,3 +344,89 @@ def test_ppjoin_exact_recall_vs_bruteforce(spark):
             if j >= t:
                 want[(a, b)] = (inter, j)
         assert got == want, (t, got.keys() ^ want.keys())
+
+
+def test_ppjoin_degenerate_vocab_guardrail(spark):
+    """r8: the pre-flight candidate estimate fires a UserWarning on a
+    degenerate-vocabulary corpus (tiny token universe -> quadratic
+    candidates), refuses under max_candidates, and the estimate lands
+    within ~2x of the join's measured raw candidate volume."""
+    import random
+    from fractions import Fraction
+
+    import pytest as _pytest
+
+    from data_migration_etl_scripts_spark.operators import textprep as tp
+    from data_migration_etl_scripts_spark.operators.dedup import ppjoin_pairs
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(15)]  # degenerate: 15-token universe
+    docs = []
+    for i in range(200):
+        words = rng.sample(vocab, 8)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.6
+
+    # driver-side replica of the candidate pipeline (prefix ordering,
+    # size + positional screens) to measure the TRUE raw volume
+    sets = {i: tp.tokens_list(txt) for i, txt in docs}
+    sets = {i: sorted(set(ws)) for i, ws in sets.items()}
+    freq: dict[str, int] = {}
+    for ws in sets.values():
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+    frac = Fraction(6, 10)
+
+    def ceil_tn(n):
+        return -((-frac.numerator * n) // frac.denominator)
+
+    prefix = {}  # doc -> [(tok, pos)], n
+    for i, ws in sets.items():
+        ordered = sorted(ws, key=lambda w: (freq[w], w))
+        n = len(ordered)
+        plen = n - ceil_tn(n) + 1
+        prefix[i] = ([(w, p + 1) for p, w in enumerate(ordered[:plen])], n)
+    by_tok: dict[str, list[tuple[int, int, int]]] = {}
+    for i, (toks, n) in prefix.items():
+        for w, p in toks:
+            by_tok.setdefault(w, []).append((i, p, n))
+    actual = 0
+    for w, rows in by_tok.items():
+        for x in range(len(rows)):
+            for y in range(len(rows)):
+                (da, pa, na), (db, pb, nb) = rows[x], rows[y]
+                if da >= db:
+                    continue
+                if nb < ceil_tn(na) or na < ceil_tn(nb):
+                    continue
+                # engine's floor((num*(na+nb) + num+den-1)/(num+den))
+                num, den = 6, 10
+                alpha = ((num * (na + nb)) + num + den - 1) // (num + den)
+                if 1 + min(na - pa, nb - pb) < alpha:
+                    continue
+                actual += 1
+    assert actual > 0
+
+    # warning fires below the measured volume; estimate within ~2x
+    with _pytest.warns(UserWarning, match="degenerate-vocab") as rec:
+        ppjoin_pairs(df, "doc_id", "text", threshold=t,
+                     warn_candidates=100).collect()
+    msg = next(str(w.message) for w in rec
+               if "degenerate-vocab" in str(w.message))
+    est = int(msg.split("~")[1].split(" ")[0].replace(",", ""))
+    assert actual / 2 <= est <= actual * 2, (est, actual)
+
+    # hard cap refuses before any join work
+    with _pytest.raises(ValueError, match="pre-flight refused"):
+        ppjoin_pairs(df, "doc_id", "text", threshold=t,
+                     warn_candidates=None, max_candidates=100)
+
+    # defaults stay silent when the volume is small (high threshold
+    # shrinks prefixes to length 1 here)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        ppjoin_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert not [w for w in caught if "degenerate" in str(w.message)]
