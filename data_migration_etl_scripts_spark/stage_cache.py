@@ -80,6 +80,15 @@ def memo_stage(spark, key: tuple, builder: Callable[[], DataFrame]) -> DataFrame
     return memo(spark, ("__stage__",) + key, lambda: builder().localCheckpoint())
 
 
+def clear() -> None:
+    """Drop every memoized value and parsed expression — bench repeat
+    rounds call this between full-inventory passes so every round pays
+    the family build costs exactly like a fresh session (honest
+    medians; see bench.py --repeat)."""
+    _VALUES.clear()
+    _EXPRS.clear()
+
+
 def cached_expr(spark, sql: str) -> Column:
     """Parse a generated SQL string once per session. Unresolved
     Columns are plan-independent, so reuse across plans is safe."""
