@@ -118,15 +118,18 @@ def _i0(x: float) -> float:
 
 
 def _kaiser_sinc(cutoff: float, taps: int = 512, beta: float = 9.0) -> list[float]:
-    h = []
+    """numpy-vectorized (r8): this runs inside the golden-section
+    search at MODULE IMPORT, in the driver and in every Python worker
+    — the pure-Python loop cost 2.2 s per process, which dominated the
+    multimodal decode walls."""
+    import numpy as np
+
     m = (taps - 1) / 2.0
-    denom = _i0(beta)
-    for n in range(taps):
-        t = n - m
-        ideal = cutoff / math.pi if t == 0 else math.sin(cutoff * t) / (math.pi * t)
-        w = _i0(beta * math.sqrt(max(0.0, 1.0 - (t / m) ** 2))) / denom
-        h.append(ideal * w)
-    return h
+    t = np.arange(taps) - m
+    # np.sinc(x) = sin(pi x)/(pi x) handles t == 0 exactly
+    ideal = (cutoff / math.pi) * np.sinc(cutoff * t / math.pi)
+    w = np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - (t / m) ** 2))) / np.i0(beta)
+    return (ideal * w).tolist()
 
 
 def _design_prototype(taps: int = 512, beta: float = 9.0) -> list[float]:
@@ -143,20 +146,18 @@ def _design_prototype(taps: int = 512, beta: float = 9.0) -> list[float]:
     tests/test_mpeg_audio.py). Swap in the ISO Annex-B table here for
     bit-conformance with foreign encoders."""
 
-    def mag2(h: list[float], w: float) -> float:
-        re = sum(h[n] * math.cos(w * n) for n in range(taps))
-        im = sum(h[n] * math.sin(w * n) for n in range(taps))
-        return re * re + im * im
+    import numpy as np
+
+    n_idx = np.arange(taps)
 
     def flatness(cutoff: float, npts: int = 17) -> float:
-        h = _kaiser_sinc(cutoff, taps, beta)
-        g0 = mag2(h, 0.0)
-        return max(
-            abs((mag2(h, w) + mag2(h, math.pi / 32.0 - w)) / g0 - 1.0)
-            for w in (
-                (math.pi / 32.0) * i / (npts - 1) for i in range(npts)
-            )
-        )
+        h = np.asarray(_kaiser_sinc(cutoff, taps, beta))
+        ws = (math.pi / 32.0) * np.arange(npts) / (npts - 1)
+        grid = np.concatenate(([0.0], ws, math.pi / 32.0 - ws))
+        mags = np.abs(np.exp(-1j * np.outer(grid, n_idx)) @ h) ** 2
+        g0 = mags[0]
+        comp = (mags[1: npts + 1] + mags[npts + 1:]) / g0
+        return float(np.max(np.abs(comp - 1.0)))
 
     lo, hi = math.pi / 128.0, math.pi / 32.0
     for _ in range(50):

@@ -1213,6 +1213,26 @@ def wav_encode(samples: list[float], rate: int = 8000) -> bytes:
 def synthetic_real_media_rows(
     n: int = 12, include_mpeg: bool = False
 ) -> list[tuple]:
+    """Memoized per (n, include_mpeg): the payload ENCODES (MP3/FLAC/
+    JPEG/...) cost ~0.5 s and at least three consumers rebuild the
+    same bytes per process (the Spark fixture, bench's codec
+    breakdown, selfcheck's range-assert recompute). Rows are
+    deterministic pure functions of the arguments, so the cache is
+    semantics-free; callers receive a fresh shallow copy."""
+    key = (n, include_mpeg)
+    hit = _REAL_MEDIA_ROWS_CACHE.get(key)
+    if hit is None:
+        hit = _synthetic_real_media_rows_build(n, include_mpeg)
+        _REAL_MEDIA_ROWS_CACHE[key] = hit
+    return list(hit)
+
+
+_REAL_MEDIA_ROWS_CACHE: dict[tuple, list] = {}
+
+
+def _synthetic_real_media_rows_build(
+    n: int = 12, include_mpeg: bool = False
+) -> list[tuple]:
     """Deterministic GENUINE media payload rows (pure Python, no
     Spark) — 8x8 gradient BMPs, PNGs, GIFs and baseline JPEGs
     (rotating) and 8 kHz sine WAVs; with ``include_mpeg``, nine extra
