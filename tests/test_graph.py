@@ -63,3 +63,54 @@ def test_deterministic_across_partitioning(spark):
     r1 = {r.node: r.rank for r in pagerank(df1, iterations=4).collect()}
     r9 = {r.node: r.rank for r in pagerank(df9, iterations=4).collect()}
     assert r1 == r9
+
+
+def test_early_exit_on_exact_fixpoint(spark, monkeypatch):
+    """r8: a symmetric 2-cycle hits its 9-dp fixpoint (0.5, 0.5) after
+    round 1 — the L1-delta check must stop the loop there, and the
+    early-exited result must equal the full K-round run bit-exactly
+    (the losslessness argument: delta == 0 means every further round
+    is a no-op)."""
+    from data_migration_etl_scripts_spark.operators import graph as g
+
+    calls = []
+    orig = g.planhook.capture
+    monkeypatch.setattr(
+        g.planhook, "capture",
+        lambda name, df: (calls.append(name), orig(name, df))[-1],
+    )
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+    # exits after round 2 at the latest (round 1 moves nothing here,
+    # the delta check needs one round to observe it)
+    assert len([c for c in calls if c == "pagerank_iteration"]) <= 2
+
+    calls.clear()
+    full = {r.node: r.rank
+            for r in pagerank(df, iterations=5, tol=None).collect()}
+    assert len([c for c in calls if c == "pagerank_iteration"]) == 5
+    assert full == got
+
+
+def test_early_exit_never_fires_mid_convergence(spark, monkeypatch):
+    """On a graph still moving at round 5, the delta check must NOT
+    change the result or the round count (the entity_pagerank hash
+    contract)."""
+    from data_migration_etl_scripts_spark.operators import graph as g
+
+    calls = []
+    orig = g.planhook.capture
+    monkeypatch.setattr(
+        g.planhook, "capture",
+        lambda name, df: (calls.append(name), orig(name, df))[-1],
+    )
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with_tol = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+    assert len([c for c in calls if c == "pagerank_iteration"]) == 4
+    without = {r.node: r.rank
+               for r in pagerank(df, iterations=4, tol=None).collect()}
+    assert with_tol == without
