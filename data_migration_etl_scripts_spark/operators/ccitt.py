@@ -42,7 +42,10 @@ with the seam EMPTY, which is what the always-on tests pin.
 
 from __future__ import annotations
 
-__all__ = ["g4_encode", "g4_decode", "g4_decode_packed", "load_t4_tables"]
+__all__ = [
+    "g4_encode", "g4_decode", "g4_decode_packed",
+    "mh_encode", "mh_decode", "mh_decode_packed", "load_t4_tables",
+]
 
 #: T.6 / T.4-2D mode codewords (bit-length, value), MSB-first.
 _MODES = {
@@ -341,6 +344,61 @@ def g4_decode(data: bytes, width: int, height: int) -> list[list[int]]:
         out.append(row)
         ref = _transitions(row)
     return out
+
+
+def mh_encode(rows: list[list[int]], width: int | None = None) -> bytes:
+    """TIFF Compression 2 (CCITT 1-D modified-Huffman RLE): each row
+    is alternating white/black run lengths from the T.4 codebooks
+    (starting white; a leading black pixel codes a zero-length white
+    run), and every row starts on a byte boundary per the TIFF spec.
+    Needs the injected T.4 tables for EVERY row — this coding has no
+    table-free subset."""
+    if not rows:
+        return b""
+    width = width if width is not None else len(rows[0])
+    out = bytearray()
+    for row in rows:
+        w = _W()
+        x, color = 0, 0
+        while x < width:
+            run = 0
+            while x + run < width and row[x + run] == color:
+                run += 1
+            _emit_run(w, run, color)
+            x += run
+            color ^= 1
+        out += w.done()
+    return bytes(out)
+
+
+def mh_decode(data: bytes, width: int, height: int) -> list[list[int]]:
+    """TIFF Compression 2 bytes -> bilevel rows."""
+    out: list[list[int]] = []
+    r = _R(data)
+    for _y in range(height):
+        r.pos = (r.pos + 7) & ~7  # rows are byte-aligned
+        row = [0] * width
+        x, color = 0, 0
+        while x < width:
+            run = _read_run(r, color)
+            for i in range(x, min(x + run, width)):
+                row[i] = color
+            x += run
+            color ^= 1
+        out.append(row)
+    return out
+
+
+def mh_decode_packed(data: bytes, width: int, height: int) -> bytes:
+    rows = mh_decode(data, width, height)
+    row_bytes = (width + 7) // 8
+    out = bytearray(row_bytes * height)
+    for y, row in enumerate(rows):
+        base = y * row_bytes
+        for x, v in enumerate(row):
+            if v:
+                out[base + (x >> 3)] |= 0x80 >> (x & 7)
+    return bytes(out)
 
 
 def g4_decode_packed(data: bytes, width: int, height: int) -> bytes:

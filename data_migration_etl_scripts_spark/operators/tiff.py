@@ -265,13 +265,13 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         raise NotImplementedError(
             f"BitsPerSample {bits} — uniform 1-, 8- or 16-bit only"
         )
-    if comp not in (1, 4, 5, 8, 32773):
+    if comp not in (1, 2, 4, 5, 8, 32773):
         raise NotImplementedError(
-            f"Compression {comp} — none (1), CCITT G4 (4), LZW (5), "
-            "Deflate (8), PackBits (32773) only"
+            f"Compression {comp} — none (1), CCITT MH (2), CCITT G4 (4), "
+            "LZW (5), Deflate (8), PackBits (32773) only"
         )
-    if comp == 4 and (bits[0] != 1 or spp != 1):
-        raise ValueError("CCITT G4 (Compression 4) requires bilevel data")
+    if comp in (2, 4) and (bits[0] != 1 or spp != 1):
+        raise ValueError("CCITT codings (Compression 2/4) require bilevel data")
 
     bilevel = bits[0] == 1 and spp == 1
     if bits[0] == 1 and (spp != 1 or planar == 2):
@@ -282,14 +282,16 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     def decompress(chunk: bytes, expected: int, pix_w: int | None = None) -> bytes:
         if comp == 1:
             return chunk[:expected]
-        if comp == 4:  # CCITT G4 (r8): rows pack back to back bit-level
+        if comp in (2, 4):  # CCITT MH 1-D / G4 2-D (r8)
             from data_migration_etl_scripts_spark.operators.ccitt import (
                 g4_decode_packed,
+                mh_decode_packed,
             )
 
             w_px = pix_w if pix_w is not None else width
             n_rows = expected // ((w_px + 7) // 8)
-            return g4_decode_packed(chunk, w_px, n_rows)
+            dec = g4_decode_packed if comp == 4 else mh_decode_packed
+            return dec(chunk, w_px, n_rows)
         if comp == 32773:
             return packbits_decode(chunk, expected)
         if comp == 8:  # Adobe deflate: zlib stream per strip/tile

@@ -136,17 +136,47 @@ def test_missing_tables_raise_namefully():
         cc.g4_encode([[0] * 5 + [1] * 3 + [0] * 12], 20)
 
 
+# ----------------------------------------------- MH 1-D (Compression 2)
+
+def test_mh_roundtrip_synthetic_tables():
+    cc.load_t4_tables(_synthetic_tables())
+    import random
+
+    rnd = random.Random(9)
+    for w in (8, 21, 64, 130):
+        rows = [[1 if rnd.random() < 0.45 else 0 for _ in range(w)]
+                for _ in range(7)]
+        b = cc.mh_encode(rows, w)
+        assert cc.mh_decode(b, w, 7) == rows, w
+
+
+def test_mh_rows_are_byte_aligned():
+    cc.load_t4_tables(_synthetic_tables())
+    # width 8 all-white: one run of 8 -> one 8-bit synthetic code per
+    # row, so 3 rows = exactly 3 bytes; alignment is observable
+    rows = [[0] * 8] * 3
+    b = cc.mh_encode(rows, 8)
+    assert len(b) == 3
+    assert cc.mh_decode(b, 8, 3) == rows
+
+
+def test_mh_needs_tables_for_every_row():
+    with pytest.raises(NotImplementedError, match="load_t4_tables"):
+        cc.mh_encode([[0] * 8], 8)
+
+
 # --------------------------------------------------- TIFF integration
 
-def _g4_tiff(rows, width, height, rows_per_strip=None, photo=0):
-    """Hand-assemble a Compression=4 bilevel TIFF (strip layout)."""
+def _g4_tiff(rows, width, height, rows_per_strip=None, photo=0, comp=4):
+    """Hand-assemble a Compression=4 (or 2) bilevel TIFF (strips)."""
     rps = rows_per_strip or height
+    enc = cc.g4_encode if comp == 4 else cc.mh_encode
     strips = []
     for y0 in range(0, height, rps):
-        strips.append(cc.g4_encode(rows[y0: y0 + rps], width))
+        strips.append(enc(rows[y0: y0 + rps], width))
     entries = [
         (256, 3, [width]), (257, 3, [height]), (258, 3, [1]),
-        (259, 3, [4]), (262, 3, [photo]), (277, 3, [1]),
+        (259, 3, [comp]), (262, 3, [photo]), (277, 3, [1]),
         (278, 3, [rps]),
     ]
     # IFD with marker offsets for strip data
@@ -201,6 +231,22 @@ def test_tiff_g4_strip_decode():
         want = [[(0, 0, 0) if v else (255, 255, 255) for v in row]
                 for row in rows]
         assert px == want, rps
+
+
+def test_tiff_mh_strip_decode():
+    cc.load_t4_tables(_synthetic_tables())
+    import random
+
+    rnd = random.Random(6)
+    w, h = 29, 9
+    rows = [[1 if rnd.random() < 0.5 else 0 for _ in range(w)]
+            for _ in range(h)]
+    b = _g4_tiff(rows, w, h, rows_per_strip=4, comp=2)
+    gw, gh, px = tf.tiff_decode(b)
+    assert (gw, gh) == (w, h)
+    want = [[(0, 0, 0) if v else (255, 255, 255) for v in row]
+            for row in rows]
+    assert px == want
 
 
 def test_tiff_g4_requires_bilevel():
