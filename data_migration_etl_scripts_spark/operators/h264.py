@@ -1,0 +1,1041 @@
+"""H.264/AVC (ISO/IEC 14496-10) baseline-profile I-frame decode + an
+I_PCM engine encoder — the dominant video coding of crawled corpora,
+scoped per the SCALE.md round-8 build-vs-seam analysis.
+
+Reference parity note: the reference ETL repo has no media handling;
+this exists for the LLM-data-pipeline addendum (first-frame decode
+for thumbnails / perceptual hashing over binary video columns).
+
+What is STRUCTURAL here (public 14496-10 coding structure, formula
+level or self-checking):
+  - Annex-B NAL walk: start codes, emulation-prevention unescape
+    (00 00 03 xx -> 00 00 xx), nal_ref_idc/type header
+  - Exp-Golomb ue(v)/se(v), RBSP trailing bits
+  - SPS/PPS/slice-header parse (baseline subset: frame_mbs_only,
+    CAVLC, one slice group; frame cropping honored)
+  - the macroblock walk for I slices; I_PCM macroblocks END TO END
+    (alignment + raw 4:2:0 samples — zero entropy tables), which the
+    engine encoder emits exclusively, so encode->decode round-trips
+    are EXACT in YUV and pin the whole container path
+  - Intra_16x16 luma prediction (V/H/DC/Plane), 8x8 chroma prediction
+    (DC/H/V/Plane), the 4x4 integer inverse transform, the 4x4 luma-DC
+    and 2x2 chroma-DC inverse Hadamards, CAVLC LEVEL decoding
+    (prefix/suffix evolution), the nC >= 8 fixed-length coeff_token
+    branch, and the 4x4 zig-zag order — all formula-derivable
+  - deblocking is NOT applied: the decoder returns the pre-deblock
+    reconstruction (fine for hashing/thumbnails; the engine encoder
+    signals disable_deblocking_filter_idc=1, so its round-trip is
+    conformant-exact, not an approximation)
+
+What is a DATA SEAM (Annex-B policy — large tabulated spec constants
+are never reproduced from memory):
+  - the CAVLC codebooks: coeff_token (nC classes 0/2/4 and chroma
+    DC), total_zeros (15 + 3 contexts), run_before (7 contexts).
+    ``load_cavlc_tables(path_or_dict)`` injects them from a validated
+    JSON file; ``$SPARK_GRAFT_CAVLC_TABLES`` auto-loads on first use
+    — the same loader pattern as mpeg_layer3.load_huffman_tables and
+    ccitt.load_t4_tables. Until injected, any non-I_PCM macroblock
+    with coded residual raises the named seam error.
+  - small conformance-caveat tables shipped like the SFB grids
+    (engine data to the author's best knowledge; only FOREIGN-stream
+    fidelity depends on them, the I_PCM round-trip does not): the
+    dequant norm matrix V (6x3) and the chroma-QP mapping tail.
+
+NOT in scope (raise namefully): Intra_4x4 / Intra_8x8 prediction,
+P/B slices (motion compensation), CABAC, interlace, high profiles.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "nal_units",
+    "parse_sps",
+    "decode_iframe_yuv",
+    "decode_iframe",
+    "encode_ipcm_yuv",
+    "encode_ipcm",
+    "load_cavlc_tables",
+]
+
+_TABLES_ENV = "SPARK_GRAFT_CAVLC_TABLES"
+_env_load_done = False
+
+#: CAVLC codebooks (Annex-B seam). coeff_token maps an nC class key
+#: ("0", "2", "4" for 0<=nC<2, 2<=nC<4, 4<=nC<8; "cdc" for chroma DC)
+#: to {(length, code): (total_coeff, trailing_ones)}. total_zeros maps
+#: a totalCoeff context (1..15, or "cdc1".."cdc3") to {(length, code):
+#: total_zeros}. run_before maps min(zerosLeft, 7) in 1..7 to
+#: {(length, code): run}.
+CAVLC: dict[str, dict] = {"coeff_token": {}, "total_zeros": {}, "run_before": {}}
+
+#: dequant norm matrix V[qP % 6][class] — classes: 0 for positions
+#: (0,0),(0,2),(2,0),(2,2); 1 for (1,1),(1,3),(3,1),(3,3); 2 others.
+#: Conformance-caveat engine data (see module docstring): derived from
+#: the integer-transform norms, published to the author's best
+#: knowledge; I_PCM round-trips do not depend on it.
+_V = [
+    [10, 16, 13], [11, 18, 14], [13, 20, 16],
+    [14, 23, 18], [16, 25, 20], [18, 29, 23],
+]
+
+#: chroma qPc mapping for qPi >= 30 (same caveat class as _V)
+_QPC_TAIL = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35,
+             36, 36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39]
+
+#: 4x4 zig-zag scan order as (row, col)
+_ZIG4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+         (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3)]
+
+#: luma 4x4 block index -> (x, y) pixel offset within the MB
+#: (8x8 quadrants raster, 2x2 of 4x4 raster within each quadrant)
+_BLK4_XY = [
+    (0, 0), (4, 0), (0, 4), (4, 4), (8, 0), (12, 0), (8, 4), (12, 4),
+    (0, 8), (4, 8), (0, 12), (4, 12), (8, 8), (12, 8), (8, 12), (12, 12),
+]
+
+
+def _clip8(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+# --------------------------------------------------------------- seam
+
+def _check_prefix_free(codes) -> None:
+    by_len: dict[int, set[int]] = {}
+    for hlen, code in codes:
+        by_len.setdefault(hlen, set()).add(code)
+    for hlen, code in codes:
+        for l2, cs in by_len.items():
+            if l2 < hlen and (code >> (hlen - l2)) in cs:
+                raise ValueError(
+                    f"CAVLC codebook not prefix-free: ({hlen}, {code:#b})"
+                )
+
+
+def load_cavlc_tables(source) -> int:
+    """Inject the CAVLC codebooks (Annex-B seam) from a dict or a JSON
+    file shaped::
+
+        {"coeff_token": {"0"|"2"|"4"|"cdc":
+                             [[hlen, code, total_coeff, t1s], ...]},
+         "total_zeros": {"1".."15"|"cdc1".."cdc3":
+                             [[hlen, code, tz], ...]},
+         "run_before":  {"1".."7": [[hlen, code, run], ...]}}
+
+    Validates widths/ranges and prefix-freeness per codebook; returns
+    the number of codebooks loaded. ``$SPARK_GRAFT_CAVLC_TABLES`` is
+    the no-code-change route (auto-loaded on the first residual that
+    needs a table)."""
+    import json
+
+    if isinstance(source, (str, bytes)):
+        with open(source) as fh:
+            source = json.load(fh)
+    n = 0
+    for key, spec in (source.get("coeff_token") or {}).items():
+        if key not in ("0", "2", "4", "cdc"):
+            raise ValueError(f"coeff_token class {key!r} unknown")
+        book = {}
+        for hlen, code, tc, t1 in spec:
+            if not (1 <= hlen <= 16 and 0 <= code < (1 << hlen)
+                    and 0 <= tc <= 16 and 0 <= t1 <= min(3, tc)):
+                raise ValueError(f"coeff_token[{key}]: bad entry")
+            book[(hlen, code)] = (tc, t1)
+        _check_prefix_free(book)
+        CAVLC["coeff_token"][key] = book
+        n += 1
+    for key, spec in (source.get("total_zeros") or {}).items():
+        book = {}
+        for hlen, code, tz in spec:
+            if not (1 <= hlen <= 9 and 0 <= code < (1 << hlen) and tz >= 0):
+                raise ValueError(f"total_zeros[{key}]: bad entry")
+            book[(hlen, code)] = tz
+        _check_prefix_free(book)
+        CAVLC["total_zeros"][key] = book
+        n += 1
+    for key, spec in (source.get("run_before") or {}).items():
+        book = {}
+        for hlen, code, run in spec:
+            if not (1 <= hlen <= 11 and 0 <= code < (1 << hlen) and run >= 0):
+                raise ValueError(f"run_before[{key}]: bad entry")
+            book[(hlen, code)] = run
+        _check_prefix_free(book)
+        CAVLC["run_before"][key] = book
+        n += 1
+    return n
+
+
+def _try_env_tables() -> bool:
+    global _env_load_done
+    if _env_load_done:
+        return False
+    _env_load_done = True
+    import os
+
+    path = os.environ.get(_TABLES_ENV)
+    if path and os.path.exists(path):
+        load_cavlc_tables(path)
+        return True
+    return False
+
+
+def _need(book_family: str, key: str) -> dict:
+    book = CAVLC[book_family].get(key)
+    if book is None and _try_env_tables():
+        book = CAVLC[book_family].get(key)
+    if book is None:
+        raise NotImplementedError(
+            f"CAVLC {book_family}[{key}] is Annex-B data — "
+            "load_cavlc_tables(path) or $SPARK_GRAFT_CAVLC_TABLES "
+            "injects it (module docstring seam note)"
+        )
+    return book
+
+
+# -------------------------------------------------------------- bit io
+
+class _R:
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0
+
+    def bits_left(self) -> int:
+        return 8 * len(self.d) - self.pos
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.pos >= 8 * len(self.d):
+                raise ValueError("H.264 RBSP exhausted")
+            v = (v << 1) | ((self.d[self.pos >> 3] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("Exp-Golomb run too long — corrupt stream")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def byte_align(self) -> None:
+        while self.pos & 7:
+            if self.u(1):
+                raise ValueError("pcm alignment bits must be zero")
+
+    def vlc(self, book: dict, what: str, max_len: int = 16):
+        code, hlen = 0, 0
+        while hlen < max_len:
+            code = (code << 1) | self.u(1)
+            hlen += 1
+            hit = book.get((hlen, code))
+            if hit is not None:
+                return hit
+        raise ValueError(f"no {what} code within {max_len} bits")
+
+
+class _W:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def u(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def ue(self, v: int) -> None:
+        bits = (v + 1).bit_length()
+        self.u(0, bits - 1)
+        self.u(v + 1, bits)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def byte_align_zero(self) -> None:
+        if self.n:
+            self.u(0, 8 - self.n)
+
+    def trailing(self) -> bytes:
+        self.u(1, 1)
+        self.byte_align_zero()
+        return bytes(self.buf)
+
+
+# ----------------------------------------------------------------- NAL
+
+def _unescape(b: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(b):
+        if i + 2 < len(b) and b[i] == 0 and b[i + 1] == 0 and b[i + 2] == 3:
+            out += b"\x00\x00"
+            i += 3
+        else:
+            out.append(b[i])
+            i += 1
+    return bytes(out)
+
+
+def _escape(b: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for byte in b:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def nal_units(data: bytes) -> list[tuple[int, int, bytes]]:
+    """Annex-B byte stream -> [(nal_ref_idc, nal_type, rbsp)]."""
+    starts = []
+    i = 0
+    while i + 3 <= len(data):
+        if data[i] == 0 and data[i + 1] == 0:
+            if data[i + 2] == 1:
+                starts.append(i + 3)
+                i += 3
+                continue
+            if i + 4 <= len(data) and data[i + 2] == 0 and data[i + 3] == 1:
+                starts.append(i + 4)
+                i += 4
+                continue
+        i += 1
+    out = []
+    for k, s in enumerate(starts):
+        end = len(data)
+        if k + 1 < len(starts):
+            end = starts[k + 1] - 3
+            if end >= 1 and data[end - 1] == 0:  # 4-byte start code
+                end -= 1
+        unit = data[s:end]
+        if not unit:
+            continue
+        hdr = unit[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set — not H.264 Annex B")
+        out.append(((hdr >> 5) & 3, hdr & 0x1F, _unescape(unit[1:])))
+    return out
+
+
+# ------------------------------------------------------- headers parse
+
+def parse_sps(rbsp: bytes) -> dict:
+    r = _R(rbsp)
+    profile = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level = r.u(8)
+    sps_id = r.ue()
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise NotImplementedError(
+            f"profile_idc {profile} (high-profile SPS extensions) — "
+            "baseline/main/extended SPS only"
+        )
+    log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    poc_lsb_bits = 0
+    if poc_type == 0:
+        poc_lsb_bits = r.ue() + 4
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed
+    w_mbs = r.ue() + 1
+    h_map = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        raise NotImplementedError("interlace (frame_mbs_only_flag=0)")
+    r.u(1)  # direct_8x8_inference
+    crop = (0, 0, 0, 0)
+    if r.u(1):
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    return {
+        "profile": profile, "level": level, "sps_id": sps_id,
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type, "poc_lsb_bits": poc_lsb_bits,
+        "width_mbs": w_mbs, "height_mbs": h_map,
+        "crop": crop,
+        "width": 16 * w_mbs - 2 * (crop[0] + crop[1]),
+        "height": 16 * h_map - 2 * (crop[2] + crop[3]),
+    }
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    r = _R(rbsp)
+    pps_id = r.ue()
+    sps_id = r.ue()
+    entropy = r.u(1)
+    if entropy:
+        raise NotImplementedError("CABAC (entropy_coding_mode_flag=1)")
+    bottom_field = r.u(1)
+    if r.ue() != 0:
+        raise NotImplementedError("slice groups (FMO)")
+    r.ue()
+    r.ue()  # num_ref_idx defaults
+    r.u(1)  # weighted_pred
+    r.u(2)  # weighted_bipred
+    init_qp = 26 + r.se()
+    r.se()  # pic_init_qs
+    chroma_qp_off = r.se()
+    deblock_ctl = r.u(1)
+    r.u(1)  # constrained_intra_pred
+    r.u(1)  # redundant_pic_cnt_present
+    return {
+        "pps_id": pps_id, "sps_id": sps_id,
+        "bottom_field": bottom_field, "init_qp": init_qp,
+        "chroma_qp_off": chroma_qp_off, "deblock_ctl": deblock_ctl,
+    }
+
+
+# ------------------------------------------------------------ decoding
+
+def _qpc(qp: int) -> int:
+    qpi = max(0, min(51, qp))
+    return qpi if qpi < 30 else _QPC_TAIL[qpi - 30]
+
+
+def _v_class(i: int, j: int) -> int:
+    if (i % 2) == 0 and (j % 2) == 0:
+        return 0
+    if (i % 2) == 1 and (j % 2) == 1:
+        return 1
+    return 2
+
+
+def _itrans4(d: list[list[int]]) -> list[list[int]]:
+    """4x4 inverse core transform (pre-rounding): rows then columns of
+    the e/f butterflies; caller applies (x + 32) >> 6."""
+    e = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        a0 = d[i][0] + d[i][2]
+        a1 = d[i][0] - d[i][2]
+        a2 = (d[i][1] >> 1) - d[i][3]
+        a3 = d[i][1] + (d[i][3] >> 1)
+        e[i][0] = a0 + a3
+        e[i][1] = a1 + a2
+        e[i][2] = a1 - a2
+        e[i][3] = a0 - a3
+    out = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a0 = e[0][j] + e[2][j]
+        a1 = e[0][j] - e[2][j]
+        a2 = (e[1][j] >> 1) - e[3][j]
+        a3 = e[1][j] + (e[3][j] >> 1)
+        out[0][j] = a0 + a3
+        out[1][j] = a1 + a2
+        out[2][j] = a1 - a2
+        out[3][j] = a0 - a3
+    return out
+
+
+def _hadamard4(d: list[list[int]]) -> list[list[int]]:
+    e = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        a0 = d[i][0] + d[i][2]
+        a1 = d[i][0] - d[i][2]
+        a2 = d[i][1] - d[i][3]
+        a3 = d[i][1] + d[i][3]
+        e[i] = [a0 + a3, a1 + a2, a1 - a2, a0 - a3]
+    out = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a0 = e[0][j] + e[2][j]
+        a1 = e[0][j] - e[2][j]
+        a2 = e[1][j] - e[3][j]
+        a3 = e[1][j] + e[3][j]
+        out[0][j] = a0 + a3
+        out[1][j] = a1 + a2
+        out[2][j] = a1 - a2
+        out[3][j] = a0 - a3
+    return out
+
+
+def _cavlc_block(r: _R, nc: int, max_coeff: int) -> list[int]:
+    """Decode one CAVLC residual block -> coefficient list in scan
+    order (length max_coeff)."""
+    if nc >= 8:
+        code = r.u(6)  # fixed-length branch: formula, no table
+        if code == 0b000011:
+            tc, t1s = 0, 0
+        else:
+            tc, t1s = (code >> 2) + 1, code & 3
+            # spec FLC: TotalCoeff = (code >> 2) + 1 except the
+            # escape above; TrailingOnes = code & 3
+    else:
+        if nc == -1:
+            book = _need("coeff_token", "cdc")
+        elif nc < 2:
+            book = _need("coeff_token", "0")
+        elif nc < 4:
+            book = _need("coeff_token", "2")
+        else:
+            book = _need("coeff_token", "4")
+        tc, t1s = r.vlc(book, "coeff_token")
+    coeffs = [0] * max_coeff
+    if tc == 0:
+        return coeffs
+    levels = []
+    for _ in range(t1s):
+        levels.append(-1 if r.u(1) else 1)
+    suffix_len = 1 if (tc > 10 and t1s < 3) else 0
+    for i in range(tc - t1s):
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix > 32:
+                raise ValueError("level_prefix too long — corrupt stream")
+        suffix_size = suffix_len
+        if prefix == 14 and suffix_len == 0:
+            suffix_size = 4
+        elif prefix >= 15:
+            suffix_size = prefix - 3
+        level_code = (min(15, prefix) << suffix_len)
+        if suffix_size:
+            level_code += r.u(suffix_size)
+        if prefix >= 15 and suffix_len == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == 0 and t1s < 3:
+            level_code += 2
+        level = (level_code + 2) >> 1 if level_code % 2 == 0 \
+            else -((level_code + 1) >> 1)
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    if tc < max_coeff:
+        if nc == -1:
+            book = _need("total_zeros", f"cdc{tc}")
+        else:
+            book = _need("total_zeros", str(tc))
+        total_zeros = r.vlc(book, "total_zeros")
+    else:
+        total_zeros = 0
+    zeros_left = total_zeros
+    pos = tc - 1 + total_zeros  # scan index of the highest coefficient
+    for i, level in enumerate(levels):
+        coeffs[pos] = level
+        if i == len(levels) - 1:
+            break
+        if zeros_left > 0:
+            run = r.vlc(
+                _need("run_before", str(min(zeros_left, 7))), "run_before"
+            )
+        else:
+            run = 0
+        zeros_left -= run
+        pos -= run + 1
+    return coeffs
+
+
+def _pred16(mode: int, top, left, tl) -> list[list[int]]:
+    """Intra_16x16 luma prediction. top/left: 16-sample lists or None."""
+    if mode == 0:  # vertical
+        if top is None:
+            raise ValueError("Intra_16x16 vertical without top neighbor")
+        return [list(top) for _ in range(16)]
+    if mode == 1:  # horizontal
+        if left is None:
+            raise ValueError("Intra_16x16 horizontal without left neighbor")
+        return [[left[y]] * 16 for y in range(16)]
+    if mode == 2:  # DC
+        if top is not None and left is not None:
+            dc = (sum(top) + sum(left) + 16) >> 5
+        elif top is not None:
+            dc = (sum(top) + 8) >> 4
+        elif left is not None:
+            dc = (sum(left) + 8) >> 4
+        else:
+            dc = 128
+        return [[dc] * 16 for _ in range(16)]
+    if mode == 3:  # plane
+        if top is None or left is None or tl is None:
+            raise ValueError("Intra_16x16 plane needs top+left neighbors")
+        h = sum((x + 1) * (top[8 + x] - (top[6 - x] if x < 7 else tl))
+                for x in range(8))
+        v = sum((y + 1) * (left[8 + y] - (left[6 - y] if y < 7 else tl))
+                for y in range(8))
+        a = 16 * (top[15] + left[15])
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        return [
+            [_clip8((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+             for x in range(16)]
+            for y in range(16)
+        ]
+    raise ValueError(f"Intra_16x16 prediction mode {mode}")
+
+
+def _pred_chroma(mode: int, top, left, tl) -> list[list[int]]:
+    """8x8 chroma prediction (mode 0 DC, 1 horizontal, 2 vertical,
+    3 plane)."""
+    if mode == 1:
+        if left is None:
+            raise ValueError("chroma horizontal without left neighbor")
+        return [[left[y]] * 8 for y in range(8)]
+    if mode == 2:
+        if top is None:
+            raise ValueError("chroma vertical without top neighbor")
+        return [list(top) for _ in range(8)]
+    if mode == 3:
+        if top is None or left is None or tl is None:
+            raise ValueError("chroma plane needs top+left neighbors")
+        h = sum((x + 1) * (top[4 + x] - (top[2 - x] if x < 3 else tl))
+                for x in range(4))
+        v = sum((y + 1) * (left[4 + y] - (left[2 - y] if y < 3 else tl))
+                for y in range(4))
+        a = 16 * (top[7] + left[7])
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        return [
+            [_clip8((a + b * (x - 3) + c * (y - 3) + 16) >> 5)
+             for x in range(8)]
+            for y in range(8)
+        ]
+    # DC: per-4x4 quadrant with the spec's corner rules
+    out = [[0] * 8 for _ in range(8)]
+    for qy in (0, 4):
+        for qx in (0, 4):
+            t = top[qx: qx + 4] if top is not None else None
+            le = left[qy: qy + 4] if left is not None else None
+            if qx == 0 and qy == 0 or (qx == 4 and qy == 4):
+                if t is not None and le is not None:
+                    dc = (sum(t) + sum(le) + 4) >> 3
+                elif t is not None:
+                    dc = (sum(t) + 2) >> 2
+                elif le is not None:
+                    dc = (sum(le) + 2) >> 2
+                else:
+                    dc = 128
+            elif qx == 4 and qy == 0:
+                if t is not None:
+                    dc = (sum(t) + 2) >> 2
+                elif le is not None:
+                    dc = (sum(le) + 2) >> 2
+                else:
+                    dc = 128
+            else:  # qx == 0, qy == 4
+                if le is not None:
+                    dc = (sum(le) + 2) >> 2
+                elif t is not None:
+                    dc = (sum(t) + 2) >> 2
+                else:
+                    dc = 128
+            for y in range(4):
+                for x in range(4):
+                    out[qy + y][qx + x] = dc
+    return out
+
+
+class _Plane:
+    def __init__(self, w: int, h: int) -> None:
+        self.w, self.h = w, h
+        self.px = bytearray(w * h)
+
+    def put(self, x0: int, y0: int, block) -> None:
+        for dy, row in enumerate(block):
+            base = (y0 + dy) * self.w + x0
+            self.px[base: base + len(row)] = bytes(row)
+
+    def row(self, x0: int, y: int, n: int):
+        if y < 0 or x0 < 0 or x0 + n > self.w:
+            return None
+        base = y * self.w + x0
+        return list(self.px[base: base + n])
+
+    def col(self, x: int, y0: int, n: int):
+        if x < 0 or y0 < 0 or y0 + n > self.h:
+            return None
+        return [self.px[(y0 + k) * self.w + x] for k in range(n)]
+
+
+def decode_iframe_yuv(data: bytes):
+    """First IDR/I frame of an Annex-B stream -> (width, height,
+    Y plane rows, Cb rows, Cr rows) at coded (uncropped) MB grid,
+    then cropped per the SPS. Pre-deblock reconstruction."""
+    sps = pps = None
+    slice_rbsp = None
+    for ref, typ, rbsp in nal_units(data):
+        if typ == 7:
+            sps = parse_sps(rbsp)
+        elif typ == 8:
+            pps = parse_pps(rbsp)
+        elif typ in (1, 5) and slice_rbsp is None:
+            slice_rbsp = (typ, ref, rbsp)
+        if sps and pps and slice_rbsp:
+            break
+    if sps is None or pps is None or slice_rbsp is None:
+        raise ValueError("no SPS+PPS+slice in stream")
+    typ, ref_idc, rbsp = slice_rbsp
+    r = _R(rbsp)
+    first_mb = r.ue()
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise NotImplementedError(
+            f"slice_type {slice_type} — I slices only (P/B need motion "
+            "compensation)"
+        )
+    if first_mb != 0:
+        raise NotImplementedError("multi-slice pictures")
+    r.ue()  # pps id
+    r.u(sps["log2_max_frame_num"])
+    if typ == 5:
+        r.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        r.u(sps["poc_lsb_bits"])
+        if pps["bottom_field"]:
+            r.se()
+    if typ == 5:
+        r.u(1)  # no_output_of_prior_pics
+        r.u(1)  # long_term_reference
+    elif ref_idc:
+        # dec_ref_pic_marking for a non-IDR reference I slice
+        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise NotImplementedError("adaptive reference-pic marking")
+    qp = pps["init_qp"] + r.se()
+    if pps["deblock_ctl"]:
+        if r.ue() != 1:  # disable_deblocking_filter_idc
+            r.se()
+            r.se()
+
+    wm, hm = sps["width_mbs"], sps["height_mbs"]
+    y_plane = _Plane(16 * wm, 16 * hm)
+    cb_plane = _Plane(8 * wm, 8 * hm)
+    cr_plane = _Plane(8 * wm, 8 * hm)
+    #: per-4x4-block coefficient counts for nC (luma grid 4wm x 4hm,
+    #: chroma grids 2wm x 2hm per component); -1 = unavailable
+    luma_nc = [[-1] * (4 * wm) for _ in range(4 * hm)]
+    cb_nc = [[-1] * (2 * wm) for _ in range(2 * hm)]
+    cr_nc = [[-1] * (2 * wm) for _ in range(2 * hm)]
+
+    def nc_of(grid, bx, by):
+        na = grid[by][bx - 1] if bx > 0 else -1
+        nb = grid[by - 1][bx] if by > 0 else -1
+        if na >= 0 and nb >= 0:
+            return (na + nb + 1) >> 1
+        if na >= 0:
+            return na
+        if nb >= 0:
+            return nb
+        return 0
+
+    for mb in range(wm * hm):
+        mbx, mby = mb % wm, mb // wm
+        mb_type = r.ue()
+        if mb_type == 25:  # I_PCM — table-free
+            r.byte_align()
+            blk = [[r.u(8) for _ in range(16)] for _ in range(16)]
+            y_plane.put(16 * mbx, 16 * mby, blk)
+            for plane in (cb_plane, cr_plane):
+                cblk = [[r.u(8) for _ in range(8)] for _ in range(8)]
+                plane.put(8 * mbx, 8 * mby, cblk)
+            for by in range(4 * mby, 4 * mby + 4):
+                for bx in range(4 * mbx, 4 * mbx + 4):
+                    luma_nc[by][bx] = 16
+            for grid in (cb_nc, cr_nc):
+                for by in range(2 * mby, 2 * mby + 2):
+                    for bx in range(2 * mbx, 2 * mbx + 2):
+                        grid[by][bx] = 16
+            continue
+        if mb_type == 0:
+            raise NotImplementedError(
+                "Intra_4x4 macroblocks — Intra_16x16 and I_PCM only "
+                "(see module scope note)"
+            )
+        if mb_type > 25:
+            raise ValueError(f"mb_type {mb_type} invalid in an I slice")
+        m = mb_type - 1
+        pred_mode = m % 4
+        rest = m // 4
+        cbp_chroma = rest % 3
+        cbp_luma = 15 if rest >= 3 else 0
+        chroma_mode = r.ue()
+        qp = (qp + r.se()) % 52  # mb_qp_delta wraps per spec arithmetic
+
+        x0, y0 = 16 * mbx, 16 * mby
+        top = y_plane.row(x0, y0 - 1, 16) if mby > 0 else None
+        left = y_plane.col(x0 - 1, y0, 16) if mbx > 0 else None
+        tl = (y_plane.px[(y0 - 1) * y_plane.w + x0 - 1]
+              if (mbx > 0 and mby > 0) else None)
+        pred = _pred16(pred_mode, top, left, tl)
+
+        # luma DC block (always present for Intra_16x16)
+        dc_nc = nc_of(luma_nc, 4 * mbx, 4 * mby)
+        dc_scan = _cavlc_block(r, dc_nc, 16)
+        dc = [[0] * 4 for _ in range(4)]
+        for k, (i, j) in enumerate(_ZIG4):
+            dc[i][j] = dc_scan[k]
+        f = _hadamard4(dc)
+        qdiv, qmod = qp // 6, qp % 6
+        ls = _V[qmod][0]
+        dcs = [[0] * 4 for _ in range(4)]
+        for i in range(4):
+            for j in range(4):
+                if qp >= 12:
+                    dcs[i][j] = (f[i][j] * ls) << (qdiv - 2)
+                else:
+                    dcs[i][j] = (f[i][j] * ls + (1 << (1 - qdiv))) \
+                        >> (2 - qdiv)
+
+        ac_scans = [[0] * 16 for _ in range(16)]
+        if cbp_luma:
+            for blk in range(16):
+                bx = 4 * mbx + _BLK4_XY[blk][0] // 4
+                by = 4 * mby + _BLK4_XY[blk][1] // 4
+                nc = nc_of(luma_nc, bx, by)
+                scan = _cavlc_block(r, nc, 15)
+                ac_scans[blk] = scan
+                luma_nc[by][bx] = sum(1 for v in scan if v)
+        else:
+            for blk in range(16):
+                bx = 4 * mbx + _BLK4_XY[blk][0] // 4
+                by = 4 * mby + _BLK4_XY[blk][1] // 4
+                luma_nc[by][bx] = 0
+
+        out16 = [[0] * 16 for _ in range(16)]
+        for blk in range(16):
+            ox, oy = _BLK4_XY[blk]
+            d = [[0] * 4 for _ in range(4)]
+            # DC from the Hadamard-transformed block: raster position
+            d[0][0] = dcs[oy // 4][ox // 4]
+            for k, (i, j) in enumerate(_ZIG4[1:]):
+                c = ac_scans[blk][k]
+                if c:
+                    d[i][j] = (c * _V[qmod][_v_class(i, j)]) << qdiv
+            res = _itrans4(d)
+            for yy in range(4):
+                for xx in range(4):
+                    out16[oy + yy][ox + xx] = _clip8(
+                        pred[oy + yy][ox + xx]
+                        + ((res[yy][xx] + 32) >> 6)
+                    )
+        y_plane.put(x0, y0, out16)
+
+        # ---- chroma ----
+        qc = _qpc(qp + pps["chroma_qp_off"])
+        cdiv, cmod = qc // 6, qc % 6
+        for plane, grid in ((cb_plane, cb_nc), (cr_plane, cr_nc)):
+            cx0, cy0 = 8 * mbx, 8 * mby
+            ctop = plane.row(cx0, cy0 - 1, 8) if mby > 0 else None
+            cleft = plane.col(cx0 - 1, cy0, 8) if mbx > 0 else None
+            ctl = (plane.px[(cy0 - 1) * plane.w + cx0 - 1]
+                   if (mbx > 0 and mby > 0) else None)
+            cpred = _pred_chroma(chroma_mode, ctop, cleft, ctl)
+            if cbp_chroma == 0:
+                plane.put(cx0, cy0, cpred)
+                for by in range(2 * mby, 2 * mby + 2):
+                    for bx in range(2 * mbx, 2 * mbx + 2):
+                        grid[by][bx] = 0
+                continue
+            # chroma DC 2x2 (nC = -1)
+            cdc_scan = _cavlc_block(r, -1, 4)
+            a, b, c, d4 = cdc_scan
+            fdc = [
+                [a + b + c + d4, a - b + c - d4],
+                [a + b - c - d4, a - b - c + d4],
+            ]
+            ls = _V[cmod][0]
+            cdc = [[((fdc[i][j] * ls) << cdiv) >> 5 for j in range(2)]
+                   for i in range(2)]
+            cac = [[0] * 15 for _ in range(4)]
+            if cbp_chroma == 2:
+                for blk in range(4):
+                    bx = 2 * mbx + blk % 2
+                    by = 2 * mby + blk // 2
+                    nc = nc_of(grid, bx, by)
+                    cac[blk] = _cavlc_block(r, nc, 15)
+                    grid[by][bx] = sum(1 for v in cac[blk] if v)
+            else:
+                for blk in range(4):
+                    grid[2 * mby + blk // 2][2 * mbx + blk % 2] = 0
+            cout = [[0] * 8 for _ in range(8)]
+            for blk in range(4):
+                ox, oy = 4 * (blk % 2), 4 * (blk // 2)
+                d = [[0] * 4 for _ in range(4)]
+                d[0][0] = cdc[blk // 2][blk % 2]
+                for k, (i, j) in enumerate(_ZIG4[1:]):
+                    cval = cac[blk][k]
+                    if cval:
+                        d[i][j] = (cval * _V[cmod][_v_class(i, j)]) << cdiv
+                res = _itrans4(d)
+                for yy in range(4):
+                    for xx in range(4):
+                        cout[oy + yy][ox + xx] = _clip8(
+                            cpred[oy + yy][ox + xx]
+                            + ((res[yy][xx] + 32) >> 6)
+                        )
+            plane.put(cx0, cy0, cout)
+
+    # crop and emit row lists
+    cl, cr_, ct, cb_ = sps["crop"]
+    w, h = sps["width"], sps["height"]
+    y_rows = [
+        list(y_plane.px[(ct * 2 + yy) * y_plane.w + cl * 2:]
+             [: w]) for yy in range(h)
+    ]
+    cb_rows = [
+        list(cb_plane.px[(ct + yy) * cb_plane.w + cl:][: w // 2])
+        for yy in range(h // 2)
+    ]
+    cr_rows = [
+        list(cr_plane.px[(ct + yy) * cr_plane.w + cl:][: w // 2])
+        for yy in range(h // 2)
+    ]
+    return w, h, y_rows, cb_rows, cr_rows
+
+
+def decode_iframe(data: bytes):
+    """First I frame -> (width, height, RGB rows) via BT.601
+    full-range conversion (the same convention as jpeg.py)."""
+    w, h, ys, cbs, crs = decode_iframe_yuv(data)
+    rows = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            Y = ys[y][x]
+            Cb = cbs[y // 2][x // 2] - 128
+            Cr = crs[y // 2][x // 2] - 128
+            row.append((
+                _clip8(round(Y + 1.402 * Cr)),
+                _clip8(round(Y - 0.344136 * Cb - 0.714136 * Cr)),
+                _clip8(round(Y + 1.772 * Cb)),
+            ))
+        rows.append(row)
+    return w, h, rows
+
+
+# ------------------------------------------------------------- encoder
+
+def _nal(w_bytes: bytes, ref_idc: int, typ: int) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | typ]) + _escape(w_bytes)
+
+
+def encode_ipcm_yuv(ys, cbs, crs) -> bytes:
+    """4:2:0 planes -> Annex-B stream of one IDR picture made entirely
+    of I_PCM macroblocks (zero entropy tables: the decode round-trip
+    is EXACT and pins NAL/SPS/PPS/slice/MB plumbing). Dimensions that
+    are not multiples of 16 are padded edge-replicated and signaled
+    via SPS frame cropping."""
+    h, w = len(ys), len(ys[0])
+    wm, hm = (w + 15) // 16, (h + 15) // 16
+    pw, ph = 16 * wm, 16 * hm
+
+    def pad(plane, tw, th):
+        rows = [list(row) + [row[-1]] * (tw - len(row)) for row in plane]
+        while len(rows) < th:
+            rows.append(list(rows[-1]))
+        return rows
+
+    ys = pad(ys, pw, ph)
+    cbs = pad(cbs, pw // 2, ph // 2)
+    crs = pad(crs, pw // 2, ph // 2)
+
+    sps = _W()
+    sps.u(66, 8)   # profile_idc: baseline
+    sps.u(0, 8)    # constraint flags / reserved
+    sps.u(30, 8)   # level 3.0
+    sps.ue(0)      # sps id
+    sps.ue(0)      # log2_max_frame_num_minus4
+    sps.ue(2)      # pic_order_cnt_type 2
+    sps.ue(0)      # max_num_ref_frames
+    sps.u(0, 1)    # gaps allowed
+    sps.ue(wm - 1)
+    sps.ue(hm - 1)
+    sps.u(1, 1)    # frame_mbs_only
+    sps.u(0, 1)    # direct_8x8_inference
+    crop_r, crop_b = (pw - w) // 2, (ph - h) // 2
+    if (pw - w) % 2 or (ph - h) % 2:
+        raise ValueError("width/height must be even (4:2:0 chroma)")
+    if crop_r or crop_b:
+        sps.u(1, 1)
+        sps.ue(0)
+        sps.ue(crop_r)
+        sps.ue(0)
+        sps.ue(crop_b)
+    else:
+        sps.u(0, 1)
+    sps.u(0, 1)    # no VUI
+    out = _nal(sps.trailing(), 3, 7)
+
+    pps = _W()
+    pps.ue(0)      # pps id
+    pps.ue(0)      # sps id
+    pps.u(0, 1)    # CAVLC
+    pps.u(0, 1)    # bottom_field_pic_order
+    pps.ue(0)      # one slice group
+    pps.ue(0)
+    pps.ue(0)      # ref idx defaults
+    pps.u(0, 1)    # weighted_pred
+    pps.u(0, 2)    # weighted_bipred
+    pps.se(0)      # pic_init_qp_minus26
+    pps.se(0)      # pic_init_qs
+    pps.se(0)      # chroma_qp_offset
+    pps.u(1, 1)    # deblocking_filter_control_present
+    pps.u(0, 1)    # constrained_intra_pred
+    pps.u(0, 1)    # redundant_pic_cnt_present
+    out += _nal(pps.trailing(), 3, 8)
+
+    sl = _W()
+    sl.ue(0)       # first_mb_in_slice
+    sl.ue(7)       # slice_type: I (all slices)
+    sl.ue(0)       # pps id
+    sl.u(0, 4)     # frame_num
+    sl.ue(0)       # idr_pic_id
+    sl.u(1, 1)     # no_output_of_prior_pics
+    sl.u(0, 1)     # long_term_reference
+    sl.se(0)       # slice_qp_delta
+    sl.ue(1)       # disable_deblocking_filter_idc = 1 (off)
+    for mb in range(wm * hm):
+        mbx, mby = mb % wm, mb // wm
+        sl.ue(25)  # I_PCM
+        sl.byte_align_zero()
+        for yy in range(16):
+            for xx in range(16):
+                sl.u(ys[16 * mby + yy][16 * mbx + xx], 8)
+        for plane in (cbs, crs):
+            for yy in range(8):
+                for xx in range(8):
+                    sl.u(plane[8 * mby + yy][8 * mbx + xx], 8)
+    out += _nal(sl.trailing(), 3, 5)
+    return out
+
+
+def encode_ipcm(px_rows) -> bytes:
+    """RGB rows -> I_PCM Annex-B stream (BT.601 full-range, 4:2:0
+    chroma averaged over each 2x2). RGB round-trips within the usual
+    color-conversion rounding (the YUV surface round-trips exactly)."""
+    h, w = len(px_rows), len(px_rows[0])
+    ys = [[0] * w for _ in range(h)]
+    cbf = [[0.0] * w for _ in range(h)]
+    crf = [[0.0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            r, g, b = px_rows[y][x]
+            ys[y][x] = _clip8(round(0.299 * r + 0.587 * g + 0.114 * b))
+            cbf[y][x] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            crf[y][x] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    cbs = [[0] * ((w + 1) // 2) for _ in range((h + 1) // 2)]
+    crs = [[0] * ((w + 1) // 2) for _ in range((h + 1) // 2)]
+    for cy in range((h + 1) // 2):
+        for cx in range((w + 1) // 2):
+            pts = [(min(2 * cy + dy, h - 1), min(2 * cx + dx, w - 1))
+                   for dy in (0, 1) for dx in (0, 1)]
+            cbs[cy][cx] = _clip8(round(sum(cbf[a][b] for a, b in pts) / 4))
+            crs[cy][cx] = _clip8(round(sum(crf[a][b] for a, b in pts) / 4))
+    return encode_ipcm_yuv(ys, cbs, crs)

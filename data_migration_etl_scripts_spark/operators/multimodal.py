@@ -749,6 +749,8 @@ def payload_format(b: bytes) -> str:
             (b[1] >> 1) & 0b11
         )
         return layer or "mpeg_unknown"
+    if b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
+        return "h264"  # Annex-B byte stream (r8)
     return "unknown"
 
 
@@ -950,8 +952,19 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         or content[:2] == b"\xff\xd8"
         or (content[:4] == b"RIFF" and content[8:12] == b"WEBP")
         or content[:4] in (b"II*\x00", b"MM\x00*")
+        or content[:4] == b"\x00\x00\x00\x01"
+        or content[:3] == b"\x00\x00\x01"
     ):
-        w, h, rows = image_decode(content)
+        if (content[:4] == b"\x00\x00\x00\x01"
+                or content[:3] == b"\x00\x00\x01"):
+            # H.264 Annex B (r8): first I-frame as the image surface
+            from data_migration_etl_scripts_spark.operators.h264 import (
+                decode_iframe,
+            )
+
+            w, h, rows = decode_iframe(content)
+        else:
+            w, h, rows = image_decode(content)
         n = max(1, w * h)
         sums = [0, 0, 0]
         mx = [0, 0, 0]
@@ -1390,6 +1403,15 @@ def _synthetic_real_media_rows_build(
         rows.append((n + 18, "image",
                      bytearray(jpeg_encode_cmyk(px7, quality=95, ycck=True)),
                      "{}"))
+        # r8: an H.264 Annex-B I_PCM stream from the engine encoder
+        # (operators/h264.py — table-free path, exact round trip)
+        from data_migration_etl_scripts_spark.operators.h264 import (
+            encode_ipcm,
+        )
+
+        px8 = [[((x * 11 + y * 3) % 256, (x * 2 + y * 9) % 256,
+                 (x * y + 17) % 256) for x in range(20)] for y in range(12)]
+        rows.append((n + 19, "video", bytearray(encode_ipcm(px8)), "{}"))
     return rows
 
 
@@ -1462,6 +1484,17 @@ def extract_frames(
                 if i % every_n:
                     continue
                 yield (i, t_ms, w, h, bmp_encode(rows))
+        elif (content[:4] == b"\x00\x00\x00\x01"
+              or content[:3] == b"\x00\x00\x01"):
+            # H.264 Annex B (r8): the engine decodes the first I frame
+            # (operators/h264.py — I_PCM + Intra_16x16/CAVLC-seam);
+            # later frames need motion compensation (documented scope)
+            from data_migration_etl_scripts_spark.operators.h264 import (
+                decode_iframe,
+            )
+
+            w, h, rows = decode_iframe(content)
+            yield (0, 0, w, h, bmp_encode(rows))
         else:
             raise NotImplementedError(
                 "real video codecs need ffmpeg — plug the codec kernel in here"

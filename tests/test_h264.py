@@ -1,0 +1,294 @@
+"""H.264 baseline I-frame codec (operators/h264.py): Exp-Golomb and
+emulation-prevention round trips, I_PCM encode->decode EXACT in YUV
+(the table-free self-check path), RGB wrapper tolerance, SPS cropping,
+intra-prediction hand references, the inverse-transform DC identity,
+CAVLC machinery through synthetic injected tables, and the named
+seam/scope errors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from data_migration_etl_scripts_spark.operators import h264 as h
+
+
+@pytest.fixture(autouse=True)
+def _isolated_tables():
+    saved = {k: dict(v) for k, v in h.CAVLC.items()}
+    yield
+    for k in h.CAVLC:
+        h.CAVLC[k].clear()
+        h.CAVLC[k].update(saved[k])
+
+
+# ------------------------------------------------------------ bit layer
+
+def test_exp_golomb_roundtrip():
+    w = h._W()
+    vals_ue = [0, 1, 2, 3, 7, 8, 254, 255, 1000]
+    vals_se = [0, 1, -1, 2, -2, 17, -40]
+    for v in vals_ue:
+        w.ue(v)
+    for v in vals_se:
+        w.se(v)
+    data = w.trailing()
+    r = h._R(data)
+    assert [r.ue() for _ in vals_ue] == vals_ue
+    assert [r.se() for _ in vals_se] == vals_se
+
+
+def test_emulation_prevention_roundtrip():
+    rnd = random.Random(3)
+    for _ in range(30):
+        raw = bytes(rnd.choice([0, 0, 0, 1, 2, 3, 255])
+                    for _ in range(rnd.randrange(1, 40)))
+        esc = h._escape(raw)
+        # no 00 00 0x pattern survives escaping
+        for i in range(len(esc) - 2):
+            assert not (esc[i] == 0 and esc[i + 1] == 0 and esc[i + 2] <= 2)
+        assert h._unescape(esc) == raw
+
+
+def test_nal_walk_both_start_codes():
+    a = h._nal(b"\x11\x22", 3, 7)
+    b3 = b"\x00\x00\x01" + bytes([(0 << 5) | 6]) + b"\x33"
+    units = h.nal_units(a + b3)
+    assert [(u[0], u[1], u[2]) for u in units] == [
+        (3, 7, b"\x11\x22"), (0, 6, b"\x33")
+    ]
+
+
+# --------------------------------------------------------------- I_PCM
+
+def _rand_planes(w, hgt, seed=1):
+    rnd = random.Random(seed)
+    ys = [[rnd.randrange(256) for _ in range(w)] for _ in range(hgt)]
+    cbs = [[rnd.randrange(256) for _ in range((w + 1) // 2)]
+           for _ in range((hgt + 1) // 2)]
+    crs = [[rnd.randrange(256) for _ in range((w + 1) // 2)]
+           for _ in range((hgt + 1) // 2)]
+    return ys, cbs, crs
+
+
+def test_ipcm_roundtrip_exact_multiple_of_16():
+    ys, cbs, crs = _rand_planes(32, 16)
+    b = h.encode_ipcm_yuv(ys, cbs, crs)
+    w, hgt, gy, gcb, gcr = h.decode_iframe_yuv(b)
+    assert (w, hgt) == (32, 16)
+    assert gy == ys and gcb == cbs and gcr == crs
+
+
+def test_ipcm_roundtrip_with_cropping():
+    # 20x12: pads to 32x16 MB grid, SPS cropping restores exact dims
+    ys, cbs, crs = _rand_planes(20, 12, seed=7)
+    b = h.encode_ipcm_yuv(ys, cbs, crs)
+    w, hgt, gy, gcb, gcr = h.decode_iframe_yuv(b)
+    assert (w, hgt) == (20, 12)
+    assert gy == ys and gcb == cbs and gcr == crs
+
+
+def test_ipcm_rgb_wrapper_tolerance():
+    rnd = random.Random(5)
+    px = [[(rnd.randrange(256),) * 3 for _ in range(16)] for _ in range(16)]
+    w, hgt, out = h.decode_iframe(h.encode_ipcm(px))
+    assert (w, hgt) == (16, 16)
+    # gray pixels survive BT.601 both ways within rounding
+    for y in range(16):
+        for x in range(16):
+            for c in range(3):
+                assert abs(out[y][x][c] - px[y][x][c]) <= 2, (x, y, c)
+
+
+def test_stream_without_sps_raises():
+    with pytest.raises(ValueError, match="SPS"):
+        h.decode_iframe_yuv(b"\x00\x00\x00\x01\x65\x88")
+
+
+# ------------------------------------------------------ reconstruction
+
+def test_itrans4_dc_only_is_flat():
+    # DC-only input: inverse core transform emits a flat block of the
+    # DC value; with the +32 >> 6 rounding, residual = (dc + 32) >> 6
+    out = h._itrans4([[64, 0, 0, 0], [0] * 4, [0] * 4, [0] * 4])
+    assert all(v == 64 for row in out for v in row)
+
+
+def test_hadamard4_involution_scaled():
+    # the 4x4 Hadamard is self-inverse up to x16
+    rnd = random.Random(2)
+    d = [[rnd.randrange(-50, 50) for _ in range(4)] for _ in range(4)]
+    twice = h._hadamard4(h._hadamard4(d))
+    assert all(twice[i][j] == 16 * d[i][j] for i in range(4) for j in range(4))
+
+
+def test_pred16_modes_hand_references():
+    top = list(range(100, 116))
+    left = list(range(50, 66))
+    v = h._pred16(0, top, None, None)
+    assert v[0] == top and v[15] == top
+    hz = h._pred16(1, None, left, None)
+    assert [r[0] for r in hz] == left and [r[15] for r in hz] == left
+    dc = h._pred16(2, top, left, None)
+    want = (sum(top) + sum(left) + 16) >> 5
+    assert dc[3][9] == want
+    assert h._pred16(2, None, None, None)[0][0] == 128
+
+
+def test_pred_chroma_dc_quadrants():
+    top = [10] * 4 + [200] * 4
+    left = [60] * 8
+    out = h._pred_chroma(0, top, left, 40)
+    assert out[0][0] == (10 * 4 + 60 * 4 + 4) >> 3   # both
+    assert out[0][7] == (200 * 4 + 2) >> 2            # top only
+    assert out[7][0] == (60 * 4 + 2) >> 2             # left only
+    assert out[7][7] == (200 * 4 + 60 * 4 + 4) >> 3   # both
+
+
+# ------------------------------------------------------------- CAVLC
+
+#: synthetic fixed-length codebooks (prefix-free by construction):
+#: coeff_token 7-bit code = (tc << 2) | t1s for tc 0..16 capped at
+#: t1s<=min(3,tc); total_zeros 5-bit identity; run_before 4-bit
+#: identity. Spec data stays out of the repo; the machinery
+#: (levels, zero runs, nC contexts) is fully exercised.
+def _synthetic_cavlc():
+    ct = [[7, (tc << 2) | t1, tc, t1]
+          for tc in range(17) for t1 in range(min(3, tc) + 1)]
+    tz = {str(tc): [[5, z, z] for z in range(16 - tc + 1)]
+          for tc in range(1, 16)}
+    tz.update({f"cdc{tc}": [[5, z, z] for z in range(4 - tc + 1)]
+               for tc in range(1, 4)})
+    rb = {str(z): [[4, run, run] for run in range(15)]
+          for z in range(1, 8)}
+    return {"coeff_token": {"0": ct, "2": ct, "4": ct, "cdc": ct},
+            "total_zeros": tz, "run_before": rb}
+
+
+def test_cavlc_loader_validates():
+    with pytest.raises(ValueError, match="prefix-free"):
+        h.load_cavlc_tables({"coeff_token": {"0": [
+            [1, 0, 1, 0], [2, 0, 2, 0]]}})
+    with pytest.raises(ValueError, match="class"):
+        h.load_cavlc_tables({"coeff_token": {"9": []}})
+    with pytest.raises(ValueError, match="bad entry"):
+        h.load_cavlc_tables({"run_before": {"1": [[4, 16, 0]]}})
+
+
+def test_cavlc_block_roundtrip_via_synthetic_tables():
+    """Hand-pack a residual block with the synthetic codebooks and
+    decode: coeff_token -> trailing-one signs -> level prefix/suffix
+    -> total_zeros -> run_before, reconstructed in scan order."""
+    h.load_cavlc_tables(_synthetic_cavlc())
+    w = h._W()
+    # totalCoeff=3, trailingOnes=2: CAVLC emits levels HIGHEST scan
+    # position first — the +1 trailing one lands at pos tc-1+tz = 3,
+    # run_before=1 puts the -1 at pos 1, run_before=0 puts the real
+    # level (3) at pos 0 -> scan array [3, -1, 0, 1]
+    w.u((3 << 2) | 2, 7)       # coeff_token tc=3 t1s=2
+    w.u(0, 1)                  # first trailing one: positive
+    w.u(1, 1)                  # second trailing one: negative
+    # real level 3: suffixLength=0, t1s<3 -> levelCode -= 2 on encode;
+    # level 3 -> levelCode 4 -> written prefix = 4-2 = 2 -> '001'
+    w.u(0b001, 3)
+    w.u(1, 5)                  # total_zeros = 1
+    w.u(1, 4)                  # run_before = 1 after the highest coeff
+    w.u(0, 4)                  # run_before = 0
+    data = w.trailing()
+    got = h._cavlc_block(h._R(data), 0, 16)
+    assert got == [3, -1, 0, 1] + [0] * 12, got
+
+
+def test_cavlc_flc_branch_is_table_free():
+    # nC >= 8 uses the 6-bit fixed-length branch: no tables needed
+    w = h._W()
+    w.u(0b000011, 6)  # escape: totalCoeff 0
+    data = w.trailing()
+    assert h._cavlc_block(h._R(data), 8, 16) == [0] * 16
+
+
+def test_missing_tables_raise_namefully():
+    w = h._W()
+    w.u(0, 7)
+    with pytest.raises(NotImplementedError, match="SPARK_GRAFT_CAVLC"):
+        h._cavlc_block(h._R(w.trailing()), 0, 16)
+
+
+# --------------------------------------------- intra16x16 end to end
+
+def _intra16_stream(wm=2, hm=1, qp_delta=0):
+    """Hand-build an Annex-B stream: SPS/PPS from the engine encoder's
+    writers, one I slice whose MBs are Intra_16x16 DC with ZERO
+    residual (cbp=0, all-zero DC block) — decode must equal the pure
+    prediction, a formula-pinned expectation."""
+    sps = h._W()
+    sps.u(66, 8); sps.u(0, 8); sps.u(30, 8)
+    sps.ue(0); sps.ue(0); sps.ue(2); sps.ue(0); sps.u(0, 1)
+    sps.ue(wm - 1); sps.ue(hm - 1)
+    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
+    out = h._nal(sps.trailing(), 3, 7)
+    pps = h._W()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1)
+    pps.ue(0); pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(0); pps.se(0); pps.se(0)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)
+    out += h._nal(pps.trailing(), 3, 8)
+    sl = h._W()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0)
+    sl.u(1, 1); sl.u(0, 1)
+    sl.se(0)      # slice_qp_delta
+    sl.ue(1)      # deblocking off
+    for _mb in range(wm * hm):
+        sl.ue(3)          # mb_type 3: m=2 -> pred DC, cbp_luma/chroma 0
+        sl.ue(0)          # intra_chroma_pred_mode DC
+        sl.se(qp_delta)   # mb_qp_delta
+        # luma DC block with totalCoeff=0 via synthetic coeff_token
+        sl.u((0 << 2) | 0, 7)
+    out += h._nal(sl.trailing(), 3, 5)
+    return out
+
+
+def test_intra16_dc_zero_residual_decodes_to_prediction():
+    h.load_cavlc_tables(_synthetic_cavlc())
+    b = _intra16_stream(wm=2, hm=1)
+    w, hgt, ys, cbs, crs = h.decode_iframe_yuv(b)
+    assert (w, hgt) == (32, 16)
+    # MB 0: no neighbors -> DC = 128 everywhere (luma + chroma)
+    assert all(ys[y][x] == 128 for y in range(16) for x in range(16))
+    assert all(cbs[y][x] == 128 for y in range(8) for x in range(8))
+    # MB 1: left neighbor available -> DC = avg(left col) = 128
+    assert all(ys[y][x] == 128 for y in range(16) for x in range(16, 32))
+
+
+def test_intra4x4_raises_namefully():
+    h.load_cavlc_tables(_synthetic_cavlc())
+    b = bytearray(_intra16_stream(wm=1, hm=1))
+    # patch the slice's first mb_type ue from 3 to 0: locate is fragile,
+    # so rebuild instead
+    sl = h._W()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0)
+    sl.u(1, 1); sl.u(0, 1); sl.se(0); sl.ue(1)
+    sl.ue(0)  # mb_type 0 = I_4x4
+    units = h.nal_units(bytes(b))
+    stream = (h._nal(units[0][2], 3, 7) + h._nal(units[1][2], 3, 8)
+              + h._nal(sl.trailing(), 3, 5))
+    with pytest.raises(NotImplementedError, match="Intra_4x4"):
+        h.decode_iframe_yuv(stream)
+
+
+def test_pb_slices_raise_namefully():
+    units = h.nal_units(_intra16_stream())
+    sl = h._W()
+    sl.ue(0); sl.ue(5)  # slice_type P (all slices)
+    stream = (h._nal(units[0][2], 3, 7) + h._nal(units[1][2], 3, 8)
+              + h._nal(sl.trailing(), 3, 1))
+    with pytest.raises(NotImplementedError, match="I slices only"):
+        h.decode_iframe_yuv(stream)
+
+
+def test_cabac_raises_namefully():
+    pps = h._W()
+    pps.ue(0); pps.ue(0); pps.u(1, 1)  # entropy_coding_mode = CABAC
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        h.parse_pps(pps.trailing())
