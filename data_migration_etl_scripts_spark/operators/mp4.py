@@ -1,0 +1,272 @@
+"""Minimal MP4 / ISO-BMFF (ISO 14496-12/-15) demux: extract the H.264
+parameter sets and the first sync video sample as an Annex-B stream —
+the container step between a crawled ``.mp4`` and
+``operators/h264.py``'s I-frame decoder.
+
+Reference parity note: LLM-data-pipeline addendum surface (first-frame
+decode for thumbnails/hashing over binary video columns).
+
+Everything here is STRUCTURAL container layout (box walk with 32/64-
+bit sizes, ``moov>trak>mdia>minf>stbl`` sample tables, ``avcC``
+parameter sets, ``stss`` sync table, ``stsc/stco/stsz`` offset
+arithmetic, length-prefixed-NAL to start-code conversion) — zero
+tabulated spec constants, so no Annex-B seam: the seam story lives in
+the codec layer (h264.py's CAVLC tables).
+
+Scope: the FIRST sync sample of the FIRST AVC video track. Fragmented
+MP4 (moof), editing lists, and non-AVC codecs raise namefully.
+
+``mp4_wrap_h264`` builds the inverse for tests: a minimal unfragmented
+single-sample MP4 around an Annex-B stream (the engine's I_PCM
+encoder output), so demux+decode round-trips are self-checking
+end to end without any foreign fixture."""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["mp4_boxes", "mp4_extract_h264", "mp4_wrap_h264"]
+
+
+def mp4_boxes(data: bytes, start: int = 0, end: int | None = None):
+    """Yield (box_type, payload_start, payload_end) for the boxes in
+    ``data[start:end]`` (one nesting level; recurse by calling again
+    on a payload range)."""
+    end = len(data) if end is None else end
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        typ = data[pos + 4: pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated 64-bit box header")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos  # box extends to end of file
+        if size < hdr or pos + size > end:
+            raise ValueError(f"box {typ!r} overruns its container")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _find(data: bytes, path: list[bytes], start: int, end: int):
+    """First box at ``path`` below [start, end); returns (s, e)."""
+    for typ, s, e in mp4_boxes(data, start, end):
+        if typ == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _find(data, path[1:], s, e)
+    raise ValueError(f"box {b'/'.join(path)!r} not found")
+
+
+def _u32s(data: bytes, pos: int, n: int) -> list[int]:
+    return list(struct.unpack_from(f">{n}I", data, pos))
+
+
+def mp4_extract_h264(data: bytes) -> bytes:
+    """MP4 bytes -> Annex-B stream of SPS + PPS + the first sync video
+    sample's NAL units."""
+    if data[4:8] not in (b"ftyp", b"styp", b"moov"):
+        raise ValueError("not an ISO-BMFF file (no ftyp/moov)")
+    if any(t == b"moof" for t, _s, _e in mp4_boxes(data)):
+        raise NotImplementedError("fragmented MP4 (moof) — flat files only")
+    moov = _find(data, [b"moov"], 0, len(data))
+
+    # first trak whose stsd carries an avc1/avc3 entry
+    last_err = None
+    for typ, ts, te in mp4_boxes(data, *moov):
+        if typ != b"trak":
+            continue
+        try:
+            stbl = _find(data, [b"mdia", b"minf", b"stbl"], ts, te)
+            stsd_s, stsd_e = _find(data, [b"stsd"], *stbl)
+            # stsd: version/flags u32, entry_count u32, then entries
+            n_entries = struct.unpack_from(">I", data, stsd_s + 4)[0]
+            entry_pos = stsd_s + 8
+            avcc = None
+            for _ in range(n_entries):
+                esize = struct.unpack_from(">I", data, entry_pos)[0]
+                etype = data[entry_pos + 4: entry_pos + 8]
+                if etype in (b"avc1", b"avc3"):
+                    # visual sample entry: 8 (hdr) + 78 bytes of fixed
+                    # fields before the extension boxes
+                    for btyp, bs, be in mp4_boxes(
+                        data, entry_pos + 8 + 78, entry_pos + esize
+                    ):
+                        if btyp == b"avcC":
+                            avcc = (bs, be)
+                            break
+                if avcc:
+                    break
+                entry_pos += esize
+            if avcc is None:
+                raise ValueError("no avc1/avcC entry in this track")
+        except ValueError as e:
+            last_err = e
+            continue
+        return _assemble(data, stbl, avcc)
+    raise ValueError(f"no AVC video track found ({last_err})")
+
+
+def _assemble(data: bytes, stbl: tuple, avcc: tuple) -> bytes:
+    s, e = avcc
+    if data[s] != 1:
+        raise ValueError(f"avcC configurationVersion {data[s]}")
+    nal_len = (data[s + 4] & 3) + 1
+    pos = s + 5
+    out = bytearray()
+    n_sps = data[pos] & 0x1F
+    pos += 1
+    for _ in range(n_sps):
+        ln = struct.unpack_from(">H", data, pos)[0]
+        out += b"\x00\x00\x00\x01" + data[pos + 2: pos + 2 + ln]
+        pos += 2 + ln
+    n_pps = data[pos]
+    pos += 1
+    for _ in range(n_pps):
+        ln = struct.unpack_from(">H", data, pos)[0]
+        out += b"\x00\x00\x00\x01" + data[pos + 2: pos + 2 + ln]
+        pos += 2 + ln
+
+    # sample tables -> offset/size of the first sync sample
+    tables: dict[bytes, tuple[int, int]] = {}
+    for typ, bs, be in mp4_boxes(data, *stbl):
+        tables[typ] = (bs, be)
+    # sync sample number (1-based); no stss => every sample is sync
+    sync_no = 1
+    if b"stss" in tables:
+        bs, _be = tables[b"stss"]
+        if struct.unpack_from(">I", data, bs + 4)[0] >= 1:
+            sync_no = struct.unpack_from(">I", data, bs + 8)[0]
+    # sizes
+    bs, _be = tables[b"stsz"]
+    uniform, count = struct.unpack_from(">II", data, bs + 4)
+    if sync_no > count:
+        raise ValueError("sync sample beyond stsz count")
+    if uniform:
+        size = uniform
+        before = [uniform] * (sync_no - 1)
+    else:
+        sizes = _u32s(data, bs + 12, sync_no)
+        size = sizes[sync_no - 1]
+        before = sizes[: sync_no - 1]
+    # sample -> chunk via stsc, then chunk offset via stco/co64
+    bs, _be = tables[b"stsc"]
+    n_stsc = struct.unpack_from(">I", data, bs + 4)[0]
+    stsc = [struct.unpack_from(">III", data, bs + 8 + 12 * i)
+            for i in range(n_stsc)]  # (first_chunk, per_chunk, desc)
+    if b"stco" in tables:
+        bs, _be = tables[b"stco"]
+        n_off = struct.unpack_from(">I", data, bs + 4)[0]
+        offsets = _u32s(data, bs + 8, n_off)
+    else:
+        bs, _be = tables[b"co64"]
+        n_off = struct.unpack_from(">I", data, bs + 4)[0]
+        offsets = list(struct.unpack_from(f">{n_off}Q", data, bs + 8))
+    # walk chunks to locate the sample
+    sample = 1
+    chunk_idx = 0
+    for i, (first, per, _d) in enumerate(stsc):
+        last_chunk = (stsc[i + 1][0] - 1) if i + 1 < len(stsc) else len(offsets)
+        for ch in range(first, last_chunk + 1):
+            if sample + per > sync_no:
+                chunk_idx = ch - 1
+                off = offsets[chunk_idx]
+                off += sum(before[sample - 1: sync_no - 1])
+                # length-prefixed NALs -> start codes
+                end_off = off + size
+                while off + nal_len <= end_off:
+                    ln = int.from_bytes(data[off: off + nal_len], "big")
+                    off += nal_len
+                    out += b"\x00\x00\x00\x01" + data[off: off + ln]
+                    off += ln
+                return bytes(out)
+            sample += per
+    raise ValueError("sync sample not reachable through stsc/stco")
+
+
+# ----------------------------------------------------------- test mux
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def mp4_wrap_h264(annexb: bytes, width: int, height: int) -> bytes:
+    """Wrap an Annex-B H.264 stream (SPS+PPS+one IDR picture, e.g. the
+    engine I_PCM encoder's output) as a minimal unfragmented MP4 with
+    one video track and one sync sample — the structural inverse of
+    :func:`mp4_extract_h264` for self-checking round trips."""
+    from data_migration_etl_scripts_spark.operators.h264 import nal_units
+
+    sps = pps = None
+    frame_nals = []
+    for ref, typ, rbsp in nal_units(annexb):
+        from data_migration_etl_scripts_spark.operators.h264 import _escape
+
+        raw = bytes([(ref << 5) | typ]) + _escape(rbsp)
+        if typ == 7:
+            sps = raw
+        elif typ == 8:
+            pps = raw
+        else:
+            frame_nals.append(raw)
+    if sps is None or pps is None or not frame_nals:
+        raise ValueError("need SPS, PPS and at least one picture NAL")
+    sample = b"".join(
+        struct.pack(">I", len(n)) + n for n in frame_nals
+    )
+
+    avcc = (bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+            + struct.pack(">H", len(sps)) + sps
+            + bytes([1]) + struct.pack(">H", len(pps)) + pps)
+    avc1 = (b"\x00" * 6 + struct.pack(">H", 1)          # data_ref_idx
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4
+            + struct.pack(">H", 1)                       # frame count
+            + b"\x00" * 32                               # compressorname
+            + struct.pack(">H", 0x18)                    # depth
+            + struct.pack(">h", -1)                      # pre_defined
+            + _box(b"avcC", avcc))
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _box(b"avc1", avc1))
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, 1, 1000))
+    stss = _box(b"stss", struct.pack(">III", 0, 1, 1))
+    stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, 1, 1))
+    stsz = _box(b"stsz", struct.pack(">IIII", 0, 0, 1, len(sample)))
+    # stco offset patched after layout below
+    stco_payload = struct.pack(">III", 0, 1, 0)
+    stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz
+                + _box(b"stco", stco_payload))
+    dref = _box(b"dref", struct.pack(">II", 0, 1)
+                + _box(b"url ", struct.pack(">I", 1)))
+    dinf = _box(b"dinf", dref)
+    vmhd = _box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+                + b"\x00" * 12 + b"spark-graft\x00")
+    mdhd = _box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, 1000, 1000,
+                                     0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", struct.pack(">IIIII", 0x7, 0, 0, 1, 0)
+                + struct.pack(">IIHHHH", 1000, 0, 0, 0, 0, 0)
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                              0, 0, 0x40000000)
+                + struct.pack(">II", width << 16, height << 16))
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 1000, 1000)
+                + struct.pack(">iH", 0x10000, 0x0100) + b"\x00" * 10
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                              0, 0, 0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                + b"isomavc1")
+    mdat = _box(b"mdat", sample)
+    # patch the single stco entry to the mdat payload offset
+    out = bytearray(ftyp + moov + mdat)
+    data_off = len(ftyp) + len(moov) + 8
+    idx = bytes(out).find(b"stco") + 4 + 8  # version/flags + count
+    struct.pack_into(">I", out, idx, data_off)
+    return bytes(out)

@@ -751,6 +751,8 @@ def payload_format(b: bytes) -> str:
         return layer or "mpeg_unknown"
     if b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
         return "h264"  # Annex-B byte stream (r8)
+    if len(b) >= 12 and b[4:8] in (b"ftyp", b"styp"):
+        return "mp4"  # ISO-BMFF container (r8)
     return "unknown"
 
 
@@ -954,14 +956,24 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         or content[:4] in (b"II*\x00", b"MM\x00*")
         or content[:4] == b"\x00\x00\x00\x01"
         or content[:3] == b"\x00\x00\x01"
+        or (len(content) >= 12 and content[4:8] in (b"ftyp", b"styp"))
     ):
         if (content[:4] == b"\x00\x00\x00\x01"
-                or content[:3] == b"\x00\x00\x01"):
-            # H.264 Annex B (r8): first I-frame as the image surface
+                or content[:3] == b"\x00\x00\x01"
+                or (len(content) >= 12
+                    and content[4:8] in (b"ftyp", b"styp"))):
+            # H.264 Annex B / MP4 (r8): first I-frame as the image
+            # surface (operators/h264.py + operators/mp4.py demux)
             from data_migration_etl_scripts_spark.operators.h264 import (
                 decode_iframe,
             )
 
+            if content[4:8] in (b"ftyp", b"styp"):
+                from data_migration_etl_scripts_spark.operators.mp4 import (
+                    mp4_extract_h264,
+                )
+
+                content = mp4_extract_h264(content)
             w, h, rows = decode_iframe(content)
         else:
             w, h, rows = image_decode(content)
@@ -1412,6 +1424,15 @@ def _synthetic_real_media_rows_build(
         px8 = [[((x * 11 + y * 3) % 256, (x * 2 + y * 9) % 256,
                  (x * y + 17) % 256) for x in range(20)] for y in range(12)]
         rows.append((n + 19, "video", bytearray(encode_ipcm(px8)), "{}"))
+        # r8: the same picture inside a minimal MP4 container
+        # (operators/mp4.py demux -> h264 decode)
+        from data_migration_etl_scripts_spark.operators.mp4 import (
+            mp4_wrap_h264,
+        )
+
+        rows.append((n + 20, "video",
+                     bytearray(mp4_wrap_h264(encode_ipcm(px8), 20, 12)),
+                     "{}"))
     return rows
 
 
@@ -1485,14 +1506,23 @@ def extract_frames(
                     continue
                 yield (i, t_ms, w, h, bmp_encode(rows))
         elif (content[:4] == b"\x00\x00\x00\x01"
-              or content[:3] == b"\x00\x00\x01"):
-            # H.264 Annex B (r8): the engine decodes the first I frame
-            # (operators/h264.py — I_PCM + Intra_16x16/CAVLC-seam);
-            # later frames need motion compensation (documented scope)
+              or content[:3] == b"\x00\x00\x01"
+              or (len(content) >= 12
+                  and content[4:8] in (b"ftyp", b"styp"))):
+            # H.264 Annex B / MP4 (r8): the engine decodes the first I
+            # frame (operators/h264.py — I_PCM + Intra_16x16/CAVLC
+            # seam; operators/mp4.py demuxes the container); later
+            # frames need motion compensation (documented scope)
             from data_migration_etl_scripts_spark.operators.h264 import (
                 decode_iframe,
             )
 
+            if content[4:8] in (b"ftyp", b"styp"):
+                from data_migration_etl_scripts_spark.operators.mp4 import (
+                    mp4_extract_h264,
+                )
+
+                content = mp4_extract_h264(content)
             w, h, rows = decode_iframe(content)
             yield (0, 0, w, h, bmp_encode(rows))
         else:
