@@ -474,6 +474,7 @@ def test_payload_format_classifier():
     assert fams[31] == "flac" and fams[33] == "tiff"
     assert fams[35] == "wav_adpcm" and fams[36] == "wav_g711"
     assert fams[38] == "mpeg_l3"
+    assert fams[43] == "h264" and fams[44] == "mp4"
     assert mm.payload_format(b"\x00\x01") == "unknown"
 
 
