@@ -63,16 +63,17 @@ def pagerank(
     3 shares of that customer's rank). Ranks sum to ~1 (9-dp
     quantization wobble only).
 
-    Convergence early-exit (r8): after each round, the L1 delta vs the
-    previous round's ranks (one join of two checkpointed leaf scans +
-    a single-row aggregate — the dangling-mass pattern) stops the loop
-    when delta <= ``tol``. The default ``tol=0.0`` is PROVABLY
-    lossless against the fixed-K oracle: ranks are 9-dp quantized, so
-    delta == 0 means the vector is a bit-exact fixpoint and every
-    remaining iteration would reproduce it unchanged — converged
-    graphs pay only the rounds they need while the K-round hash
-    contract holds. ``tol=None`` disables the check (no extra job per
-    round); a positive tol is an approximation knob whose output may
+    Convergence early-exit (r8): each round's projection carries the
+    previous rank alongside the new one, and the L1 delta rides the
+    round's OWN checkpoint action as an ``observe()`` metric (the
+    gates.py observe-fused pattern) — zero extra jobs, zero extra
+    shuffles. The loop stops when delta <= ``tol``. The default
+    ``tol=0.0`` is PROVABLY lossless against the fixed-K oracle:
+    ranks are 9-dp quantized, so delta == 0 means the vector is a
+    bit-exact fixpoint and every remaining iteration would reproduce
+    it unchanged — converged graphs pay only the rounds they need
+    while the K-round hash contract holds. ``tol=None`` disables the
+    check; a positive tol is an approximation knob whose output may
     diverge from the unrolled oracle."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -112,7 +113,6 @@ def pagerank(
     # IEEE division itself is exactly rounded in both engines, so the
     # (1-d)/N and dangling/N terms need no defensive quantization.
     ranks = flagged.withColumn("rank", _q9(F.lit(1.0) / F.lit(float(n))))
-    prev = ranks
     for it in range(iterations):
         dang = (
             ranks.where("dang")
@@ -131,38 +131,43 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").cast("double").alias("inflow"))
         )
-        ranks = (
-            flagged.join(contrib, flagged["node"] == contrib["dst"], "left")
+        # the previous round's relation (every node) is ALSO the left
+        # side of the update join, so the new projection can carry the
+        # old rank and the convergence delta rides the checkpoint
+        # action as an observed metric — no separate delta job
+        new = (
+            ranks.join(contrib, ranks["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dang))
             .select(
-                "node",
-                "dang",
+                ranks["node"].alias("node"),
+                ranks["dang"].alias("dang"),
                 _q9(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (F.coalesce("inflow", F.lit(0.0))
                        + F.col("dangm") / F.lit(float(n)))
                 ).alias("rank"),
+                ranks["rank"].alias("_prev"),
             )
         )
-        planhook.capture("pagerank_iteration", ranks)
-        ranks = ranks.localCheckpoint(eager=True)
+        obs = None
         if tol is not None and it < iterations - 1:
-            delta = (
-                ranks.select("node", F.col("rank").alias("r1"))
-                .join(prev.select("node", F.col("rank").alias("r0")), "node")
-                .agg(
-                    F.coalesce(
-                        F.sum(F.abs(F.col("r1") - F.col("r0")).cast(_DEC))
-                        .cast("double"),
-                        F.lit(0.0),
-                    ).alias("d")
-                )
-                .collect()[0]["d"]
+            from pyspark.sql import Observation
+
+            obs = Observation(f"pagerank_delta_{it}_{id(new)}")
+            new = new.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.abs(F.col("rank") - F.col("_prev")).cast(_DEC))
+                    .cast("double"),
+                    F.lit(0.0),
+                ).alias("d"),
             )
-            if delta <= tol:
-                break
-        prev = ranks
+        new = new.select("node", "dang", "rank")
+        planhook.capture("pagerank_iteration", new)
+        ranks = new.localCheckpoint(eager=True)
+        if obs is not None and obs.get["d"] <= tol:
+            break
     return ranks.select("node", "rank")
 
 
