@@ -136,6 +136,39 @@ def test_missing_tables_raise_namefully():
         cc.g4_encode([[0] * 5 + [1] * 3 + [0] * 12], 20)
 
 
+def test_g4_and_mh_roundtrip_property():
+    """Property (hypothesis): ANY bilevel image round-trips through
+    both codings with the synthetic tables — arbitrary dims, densities
+    from blank to solid, row-correlated and independent noise."""
+    from hypothesis import given, settings, strategies as st
+
+    cc.load_t4_tables(_synthetic_tables())
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rnd = data.draw(st.randoms(use_true_random=False))
+        w = data.draw(st.integers(1, 90))
+        hgt = data.draw(st.integers(1, 12))
+        p = data.draw(st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]))
+        correlated = data.draw(st.booleans())
+        rows = []
+        prev = [0] * w
+        for _ in range(hgt):
+            if correlated and rows:
+                row = list(prev)
+                for _ in range(rnd.randrange(3)):
+                    row[rnd.randrange(w)] ^= 1
+            else:
+                row = [1 if rnd.random() < p else 0 for _ in range(w)]
+            rows.append(row)
+            prev = row
+        assert cc.g4_decode(cc.g4_encode(rows, w), w, hgt) == rows
+        assert cc.mh_decode(cc.mh_encode(rows, w), w, hgt) == rows
+
+    run()
+
+
 # ----------------------------------------------- MH 1-D (Compression 2)
 
 def test_mh_roundtrip_synthetic_tables():

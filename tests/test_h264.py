@@ -106,6 +106,42 @@ def test_stream_without_sps_raises():
         h.decode_iframe_yuv(b"\x00\x00\x00\x01\x65\x88")
 
 
+def test_ipcm_roundtrip_property():
+    """Property (hypothesis): ANY 4:2:0 planes at ANY even dims
+    (multiples of 16 or not — cropping covers the rest) round-trip
+    EXACTLY through encode_ipcm_yuv -> decode_iframe_yuv, including
+    emulation-prevention-triggering byte patterns (runs of zeros)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        rnd = data.draw(st.randoms(use_true_random=False))
+        w = 2 * data.draw(st.integers(1, 24))
+        hgt = 2 * data.draw(st.integers(1, 16))
+        style = data.draw(st.sampled_from(["noise", "zeros", "edges"]))
+
+        def plane(pw, ph):
+            if style == "zeros":  # exercises emulation prevention
+                return [[0 if rnd.random() < 0.8 else rnd.randrange(4)
+                         for _ in range(pw)] for _ in range(ph)]
+            if style == "edges":
+                return [[(0, 255)[(x // 3 + y // 2) % 2]
+                         for x in range(pw)] for y in range(ph)]
+            return [[rnd.randrange(256) for _ in range(pw)]
+                    for _ in range(ph)]
+
+        ys = plane(w, hgt)
+        cbs = plane(w // 2, hgt // 2)
+        crs = plane(w // 2, hgt // 2)
+        b = h.encode_ipcm_yuv(ys, cbs, crs)
+        gw, gh, gy, gcb, gcr = h.decode_iframe_yuv(b)
+        assert (gw, gh) == (w, hgt)
+        assert gy == ys and gcb == cbs and gcr == crs
+
+    run()
+
+
 # ------------------------------------------------------ reconstruction
 
 def test_itrans4_dc_only_is_flat():

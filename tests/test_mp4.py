@@ -39,6 +39,25 @@ def test_mp4_first_frame_decodes():
                 assert abs(rows[y][x][c] - px[y][x][c]) <= 2
 
 
+def test_wrap_extract_identity_property():
+    """Property (hypothesis): wrap->extract is byte-identical for any
+    engine stream over random dims/content."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def run(data):
+        rnd = data.draw(st.randoms(use_true_random=False))
+        w = 2 * data.draw(st.integers(2, 16))
+        hgt = 2 * data.draw(st.integers(2, 12))
+        px = [[(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+               for _ in range(w)] for _ in range(hgt)]
+        stream = h.encode_ipcm(px)
+        assert m.mp4_extract_h264(m.mp4_wrap_h264(stream, w, hgt)) == stream
+
+    run()
+
+
 def test_box_walk_handles_64bit_and_to_eof_sizes():
     inner = m._box(b"free", b"xyz")
     big = (struct.pack(">I", 1) + b"skip"

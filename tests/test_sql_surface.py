@@ -334,6 +334,19 @@ def test_translate_duckdb_sql_mappings():
             == "SELECT explode(sequence(0, 7)) AS m")
 
 
+def test_translate_is_idempotent_on_every_oracle_text():
+    """Applying the shim twice equals applying it once, for all 164
+    oracle texts — pins that no rewrite re-fires on its own output
+    (e.g. the FILTER clause lookahead, div spacing, element_at/slice
+    forms), so accidental double-translation can never corrupt a
+    query."""
+    import __spark_entry__ as entry
+
+    for name, sql in entry.oracle_sql().items():
+        once = esql.translate_duckdb_sql(sql)
+        assert esql.translate_duckdb_sql(once) == once, name
+
+
 def test_sql_view_scan_still_prunes_and_pushes(spark):
     # a view is a named logical plan: filters/projections through it
     # must still reach the parquet scan
