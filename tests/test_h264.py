@@ -297,6 +297,84 @@ def test_intra16_dc_zero_residual_decodes_to_prediction():
     assert all(ys[y][x] == 128 for y in range(16) for x in range(16, 32))
 
 
+def test_cavlc_chroma_dc_context():
+    # nC = -1 routes to the "cdc" codebook; 2x2 block (max_coeff 4)
+    h.load_cavlc_tables(_synthetic_cavlc())
+    w = h._W()
+    w.u((1 << 2) | 1, 7)  # tc=1, t1s=1
+    w.u(1, 1)             # trailing one: negative
+    w.u(2, 5)             # total_zeros (cdc1 context) = 2
+    got = h._cavlc_block(h._R(w.trailing()), -1, 4)
+    assert got == [0, 0, -1, 0]
+
+
+def _one_mb_stream(mb_bits):
+    """SPS/PPS + a 1-MB I slice whose macroblock layer is written by
+    ``mb_bits(sl)``."""
+    sps = h._W()
+    sps.u(66, 8); sps.u(0, 8); sps.u(30, 8)
+    sps.ue(0); sps.ue(0); sps.ue(2); sps.ue(0); sps.u(0, 1)
+    sps.ue(0); sps.ue(0)
+    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
+    pps = h._W()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1)
+    pps.ue(0); pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(0); pps.se(0); pps.se(0)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)
+    sl = h._W()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0)
+    sl.u(1, 1); sl.u(0, 1); sl.se(0); sl.ue(1)
+    mb_bits(sl)
+    return (h._nal(sps.trailing(), 3, 7) + h._nal(pps.trailing(), 3, 8)
+            + h._nal(sl.trailing(), 3, 5))
+
+
+def test_intra16_luma_dc_residual_hand_computed():
+    """Nonzero luma DC level through the REAL dequant path: at qp=26
+    (qdiv 4, V[2][0]=13) a DC level of 1 scales to (1*13)<<2 = 52 per
+    block, the flat inverse transform adds (52+32)>>6 = 1 — so the
+    whole MB decodes to DC-pred 128 + 1 = 129, hand-computed from the
+    published formulas."""
+    h.load_cavlc_tables(_synthetic_cavlc())
+
+    def mb(sl):
+        sl.ue(3)              # Intra_16x16, DC pred, cbp 0
+        sl.ue(0)              # chroma DC pred
+        sl.se(0)              # qp_delta
+        sl.u((1 << 2) | 1, 7)  # luma DC: tc=1, t1s=1
+        sl.u(0, 1)             # +1
+        sl.u(0, 5)             # total_zeros = 0 -> level at scan pos 0
+
+    w, hgt, ys, cbs, crs = h.decode_iframe_yuv(_one_mb_stream(mb))
+    assert all(v == 129 for row in ys for v in row)
+    assert all(v == 128 for row in cbs for v in row)
+
+
+def test_chroma_dc_residual_end_to_end():
+    """cbp_chroma=1 (DC-only): prefix 8 decodes to level 6 (the +2
+    first-level adjustment), which at qPc=26 scales to
+    ((6*13)<<4)>>5 = 39 -> +1 after the flat transform; Cr all-zero
+    stays at prediction. mb_type 7 = DC pred + cbp_chroma 1."""
+    h.load_cavlc_tables(_synthetic_cavlc())
+
+    def mb(sl):
+        sl.ue(7)               # m=6: pred DC, cbp_chroma 1, cbp_luma 0
+        sl.ue(0)               # chroma DC pred
+        sl.se(0)
+        sl.u((0 << 2) | 0, 7)  # luma DC: tc=0
+        # Cb chroma DC block (cdc context): tc=1, t1s=0, level 5
+        sl.u((1 << 2) | 0, 7)
+        sl.u(1, 9)             # level_prefix 8 ('00000000' + stop '1')
+        sl.u(0, 5)             # total_zeros(cdc1) = 0
+        # Cr chroma DC block: tc=0
+        sl.u((0 << 2) | 0, 7)
+
+    w, hgt, ys, cbs, crs = h.decode_iframe_yuv(_one_mb_stream(mb))
+    assert all(v == 128 for row in ys for v in row)
+    assert all(v == 129 for row in cbs for v in row)
+    assert all(v == 128 for row in crs for v in row)
+
+
 def test_intra4x4_raises_namefully():
     h.load_cavlc_tables(_synthetic_cavlc())
     b = bytearray(_intra16_stream(wm=1, hm=1))
