@@ -68,6 +68,16 @@ _V_BY_DELTA = {0: "V0", 1: "VR1", -1: "VL1", 2: "VR2", -2: "VL2",
 T4_WHITE: dict[int, tuple[int, int]] = {}
 T4_BLACK: dict[int, tuple[int, int]] = {}
 
+#: inverted decode dicts (length, code) -> run, rebuilt by
+#: load_t4_tables — cached once so decode is O(1) per symbol rather
+#: than re-inverting the codebook per run (real scanned pages decode
+#: millions of runs)
+_T4_WHITE_DEC: dict[tuple[int, int], int] = {}
+_T4_BLACK_DEC: dict[tuple[int, int], int] = {}
+
+#: inverted mode lookup (length, code) -> mode name, built once
+_MODES_DEC = {v: k for k, v in _MODES.items()}
+
 _TABLES_ENV = "SPARK_GRAFT_T4_TABLES"
 _env_load_done = False
 
@@ -115,6 +125,9 @@ def load_t4_tables(source) -> int:
             _check_prefix_free(list(book.values()))
             table.clear()
             table.update(book)
+            dec = _T4_BLACK_DEC if key == "black" else _T4_WHITE_DEC
+            dec.clear()
+            dec.update({v: k for k, v in book.items()})
             n += len(book)
     return n
 
@@ -123,14 +136,16 @@ def _try_env_tables() -> bool:
     global _env_load_done
     if _env_load_done:
         return False
-    _env_load_done = True
     import os
 
     path = os.environ.get(_TABLES_ENV)
-    if path and os.path.exists(path):
-        load_t4_tables(path)
-        return True
-    return False
+    if not (path and os.path.exists(path)):
+        # do NOT latch: an env var set after a first failed decode in
+        # a long-lived process must still take effect
+        return False
+    load_t4_tables(path)
+    _env_load_done = True
+    return True
 
 
 # ------------------------------------------------------------ bit io
@@ -276,19 +291,26 @@ def g4_encode(rows: list[list[int]], width: int | None = None) -> bytes:
 def _read_mode(r: _R) -> str:
     """Walk the structural mode tree bit by bit."""
     code, hlen = 0, 0
-    lookup = {v: k for k, v in _MODES.items()}
     while hlen < 8:
         code = (code << 1) | r.read1()
         hlen += 1
-        hit = lookup.get((hlen, code))
+        hit = _MODES_DEC.get((hlen, code))
         if hit is not None:
             return hit
     raise ValueError("corrupt G4 stream: no mode code within 8 bits")
 
 
+def _mh_decode_table_for(color: int) -> dict[tuple[int, int], int]:
+    table = _mh_tables_for(color)  # raises the seam error when empty
+    dec = _T4_BLACK_DEC if color else _T4_WHITE_DEC
+    if len(dec) != len(table):  # direct-mutation skew (tests) — rebuild
+        dec.clear()
+        dec.update({v: k for k, v in table.items()})
+    return dec
+
+
 def _read_run(r: _R, color: int) -> int:
-    table = _mh_tables_for(color)
-    decode = {v: k for k, v in table.items()}
+    decode = _mh_decode_table_for(color)
     total = 0
     while True:
         code, hlen = 0, 0

@@ -169,14 +169,17 @@ def _try_env_tables() -> bool:
     global _env_load_done
     if _env_load_done:
         return False
-    _env_load_done = True
     import os
 
     path = os.environ.get(_TABLES_ENV)
-    if path and os.path.exists(path):
-        load_cavlc_tables(path)
-        return True
-    return False
+    if not (path and os.path.exists(path)):
+        # do NOT latch: an env var set later in a long-lived process
+        # (e.g. a Spark executor configured after first decode miss)
+        # must still be honored on the next attempt
+        return False
+    load_cavlc_tables(path)
+    _env_load_done = True
+    return True
 
 
 def _need(book_family: str, key: str) -> dict:
@@ -851,7 +854,12 @@ def decode_iframe_yuv(data: bytes):
                 [a + b - c - d4, a - b - c + d4],
             ]
             ls = _V[cmod][0]
-            cdc = [[((fdc[i][j] * ls) << cdiv) >> 5 for j in range(2)]
+            # spec 8.5.11: ((f * LevelScale4x4) << (qP/6)) >> 5 with
+            # LevelScale4x4 = 16 * normAdjust; _V holds bare normAdjust,
+            # so the 16x folds the shift from >>5 to >>1 (the luma-DC
+            # path makes the same translation: breakpoint 36->12,
+            # shift -6->-2)
+            cdc = [[((fdc[i][j] * ls) << cdiv) >> 1 for j in range(2)]
                    for i in range(2)]
             cac = [[0] * 15 for _ in range(4)]
             if cbp_chroma == 2:

@@ -68,8 +68,13 @@ def _u32s(data: bytes, pos: int, n: int) -> list[int]:
 def mp4_extract_h264(data: bytes) -> bytes:
     """MP4 bytes -> Annex-B stream of SPS + PPS + the first sync video
     sample's NAL units."""
-    if data[4:8] not in (b"ftyp", b"styp", b"moov"):
-        raise ValueError("not an ISO-BMFF file (no ftyp/moov)")
+    # valid ISO-BMFF may open with free/skip/wide (or even mdat) before
+    # ftyp/moov — require a known top-level box type up front, then let
+    # the moov walk below do the real validation
+    if data[4:8] not in (b"ftyp", b"styp", b"moov", b"free", b"skip",
+                         b"wide", b"mdat", b"pdin", b"uuid", b"moof",
+                         b"sidx", b"meta"):
+        raise ValueError("not an ISO-BMFF file (no known top-level box)")
     if any(t == b"moof" for t, _s, _e in mp4_boxes(data)):
         raise NotImplementedError("fragmented MP4 (moof) — flat files only")
     moov = _find(data, [b"moov"], 0, len(data))

@@ -210,18 +210,20 @@ def load_huffman_tables(source) -> int:
 
 
 def _try_env_tables() -> bool:
-    """One-shot auto-load from $SPARK_GRAFT_MP3_TABLES (idempotent)."""
+    """Auto-load from $SPARK_GRAFT_MP3_TABLES; latches only after a
+    successful load so an env var set later in a long-lived process
+    still takes effect."""
     global _env_load_done
     if _env_load_done:
         return False
-    _env_load_done = True
     import os
 
     path = os.environ.get(_TABLES_ENV)
-    if path and os.path.exists(path):
-        load_huffman_tables(path)
-        return True
-    return False
+    if not (path and os.path.exists(path)):
+        return False
+    load_huffman_tables(path)
+    _env_load_done = True
+    return True
 
 _MAX_RESERVOIR = 255  # encoder cap on main_data_begin (field max 511)
 

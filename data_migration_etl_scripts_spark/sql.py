@@ -205,15 +205,29 @@ def _rw_struct_pack(args):
 
 def _rw_list_agg(args):
     """list(x) -> collect_list(x); list(x ORDER BY x) ->
-    sort_array(collect_list(x)) — row-matches whenever the sort key is
-    the element itself (or its first struct field with unique values);
-    anything else diverges and the per-query row-match gate keeps the
-    text off the board."""
+    sort_array(collect_list(x)) ONLY when the sort key is textually
+    the aggregated expression itself, ascending — any other key or a
+    DESC direction has no faithful Spark spelling here, so the rewrite
+    declines and the untranslated list() fails analysis (deterministic,
+    instead of silently sorting by element and leaning on the
+    row-match gate to catch it)."""
     if len(args) != 1:
         return None
     m = re.split(r"\s+ORDER\s+BY\s+", args[0], flags=re.IGNORECASE)
     if len(m) == 2:
-        return f"sort_array(collect_list({m[0]}))"
+        expr, key = m[0].strip(), m[1].strip()
+        if re.search(r"\s+DESC$", key, re.IGNORECASE):
+            return None
+        key = re.sub(r"\s+ASC$", "", key, flags=re.IGNORECASE).strip()
+        if key != expr and not re.match(
+            # named_struct whose FIRST field is the sort key:
+            # sort_array orders by that field ascending (remaining
+            # fields only break ties) — still faithful
+            r"^named_struct\(\s*'\w+'\s*,\s*" + re.escape(key) + r"\s*,",
+            expr,
+        ):
+            return None
+        return f"sort_array(collect_list({expr}))"
     return f"collect_list({args[0]})"
 
 

@@ -353,8 +353,10 @@ def test_intra16_luma_dc_residual_hand_computed():
 def test_chroma_dc_residual_end_to_end():
     """cbp_chroma=1 (DC-only): prefix 8 decodes to level 6 (the +2
     first-level adjustment), which at qPc=26 scales to
-    ((6*13)<<4)>>5 = 39 -> +1 after the flat transform; Cr all-zero
-    stays at prediction. mb_type 7 = DC pred + cbp_chroma 1."""
+    ((6*13)<<4)>>1 = 624 (spec >>5 with the 16x weightScale folded
+    out of bare-normAdjust _V) -> (624+32)>>6 = +10 after the flat
+    transform; Cr all-zero stays at prediction. mb_type 7 = DC pred +
+    cbp_chroma 1."""
     h.load_cavlc_tables(_synthetic_cavlc())
 
     def mb(sl):
@@ -371,7 +373,7 @@ def test_chroma_dc_residual_end_to_end():
 
     w, hgt, ys, cbs, crs = h.decode_iframe_yuv(_one_mb_stream(mb))
     assert all(v == 128 for row in ys for v in row)
-    assert all(v == 129 for row in cbs for v in row)
+    assert all(v == 138 for row in cbs for v in row)
     assert all(v == 128 for row in crs for v in row)
 
 
