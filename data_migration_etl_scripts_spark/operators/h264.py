@@ -17,11 +17,30 @@ level or self-checking):
     (alignment + raw 4:2:0 samples — zero entropy tables), which the
     engine encoder emits exclusively, so encode->decode round-trips
     are EXACT in YUV and pin the whole container path
-  - Intra_16x16 luma prediction (V/H/DC/Plane), 8x8 chroma prediction
-    (DC/H/V/Plane), the 4x4 integer inverse transform, the 4x4 luma-DC
-    and 2x2 chroma-DC inverse Hadamards, CAVLC LEVEL decoding
-    (prefix/suffix evolution), the nC >= 8 fixed-length coeff_token
-    branch, and the 4x4 zig-zag order — all formula-derivable
+  - Intra_16x16 luma prediction (V/H/DC/Plane), Intra_4x4 prediction
+    (all 9 modes, r9 — formula-level, with the min(A,B) mode
+    prediction and block-level top-right availability), 8x8 chroma
+    prediction (DC/H/V/Plane), the 4x4 integer inverse transform, the
+    4x4 luma-DC and 2x2 chroma-DC inverse Hadamards, CAVLC LEVEL
+    decoding AND encoding (prefix/suffix evolution both directions),
+    the nC >= 8 fixed-length coeff_token branch, and the 4x4 zig-zag
+    order — all formula-derivable
+  - a QUANTIZED engine-encoder operating point (r9,
+    ``encode_quantized_yuv``): Intra_16x16 (or Intra_4x4) at a fixed
+    QP with CAVLC residuals. In ``dense=True`` mode every coded luma
+    block carries all its coefficients, so coeff_token rides the
+    nC>=8 fixed-length branch (total_zeros/run_before never occur)
+    and — with the first macroblock I_PCM to seed the nC context —
+    the whole stream decodes with the CAVLC seam EMPTY. The encoder
+    replays the decoder's integer reconstruction, so
+    encode -> decode is BIT-EXACT against the encoder's own recon,
+    and the quantizer derives its step from the published dequant
+    formulas through the independently-derived transform-gain
+    identity itrans(ftrans(X) ∘ u_i u_j) == 64 X with
+    u = [2, 8/5, 2, 8/5] (property-pinned in tests), which makes the
+    dequant V matrix and the DC paths SELF-CHECKING: a one-sided
+    scaling bug breaks the source-error bound even when the round
+    trip stays consistent.
   - deblocking is NOT applied: the decoder returns the pre-deblock
     reconstruction (fine for hashing/thumbnails; the engine encoder
     signals disable_deblocking_filter_idc=1, so its round-trip is
@@ -36,13 +55,20 @@ are never reproduced from memory):
     — the same loader pattern as mpeg_layer3.load_huffman_tables and
     ccitt.load_t4_tables. Until injected, any non-I_PCM macroblock
     with coded residual raises the named seam error.
+  - the Intra_4x4 coded_block_pattern me(v) mapping (spec Table 9-4,
+    48 tabulated intra entries) — seam key ``cbp_intra`` in the same
+    JSON; engine Intra_4x4 round trips inject any bijection (tests
+    use the identity map), foreign streams need the real table.
   - small conformance-caveat tables shipped like the SFB grids
     (engine data to the author's best knowledge; only FOREIGN-stream
     fidelity depends on them, the I_PCM round-trip does not): the
-    dequant norm matrix V (6x3) and the chroma-QP mapping tail.
+    dequant norm matrix V (6x3) and the chroma-QP mapping tail. The
+    r9 quantized operating point pins V's INTERNAL consistency (see
+    above); conformance against foreign encoders still rests on the
+    caveat.
 
-NOT in scope (raise namefully): Intra_4x4 / Intra_8x8 prediction,
-P/B slices (motion compensation), CABAC, interlace, high profiles.
+NOT in scope (raise namefully): Intra_8x8 prediction, P/B slices
+(motion compensation), CABAC, interlace, high profiles.
 """
 
 from __future__ import annotations
@@ -54,6 +80,8 @@ __all__ = [
     "decode_iframe",
     "encode_ipcm_yuv",
     "encode_ipcm",
+    "encode_quantized_yuv",
+    "encode_quantized",
     "load_cavlc_tables",
 ]
 
@@ -66,7 +94,8 @@ _env_load_done = False
 #: a totalCoeff context (1..15, or "cdc1".."cdc3") to {(length, code):
 #: total_zeros}. run_before maps min(zerosLeft, 7) in 1..7 to
 #: {(length, code): run}.
-CAVLC: dict[str, dict] = {"coeff_token": {}, "total_zeros": {}, "run_before": {}}
+CAVLC: dict[str, dict] = {"coeff_token": {}, "total_zeros": {},
+                          "run_before": {}, "cbp_intra": {}}
 
 #: dequant norm matrix V[qP % 6][class] — classes: 0 for positions
 #: (0,0),(0,2),(2,0),(2,2); 1 for (1,1),(1,3),(3,1),(3,3); 2 others.
@@ -92,6 +121,16 @@ _BLK4_XY = [
     (0, 0), (4, 0), (0, 4), (4, 4), (8, 0), (12, 0), (8, 4), (12, 4),
     (0, 8), (4, 8), (0, 12), (4, 12), (8, 8), (12, 8), (8, 12), (12, 12),
 ]
+
+#: inverse map: (block-in-MB col, row) in 4x4 units -> coding index
+_BLK4_IDX = {(x // 4, y // 4): i for i, (x, y) in enumerate(_BLK4_XY)}
+
+#: transform-gain vector for the quantized encoder: the EXACT identity
+#: itrans4(ftrans4(X) ∘ (u_i u_j)) == 64 X holds with
+#: u = [2, 8/5, 2, 8/5] (derived from the core-transform row norms;
+#: property-pinned by test_transform_gain_identity). Kept as
+#: numerator/denominator pairs so the quantizer works in rationals.
+_UGAIN = [(2, 1), (8, 5), (2, 1), (8, 5)]
 
 
 def _clip8(v: int) -> int:
@@ -120,12 +159,13 @@ def load_cavlc_tables(source) -> int:
                              [[hlen, code, total_coeff, t1s], ...]},
          "total_zeros": {"1".."15"|"cdc1".."cdc3":
                              [[hlen, code, tz], ...]},
-         "run_before":  {"1".."7": [[hlen, code, run], ...]}}
+         "run_before":  {"1".."7": [[hlen, code, run], ...]},
+         "cbp_intra":   [[code_num, cbp], ...]}      # spec Table 9-4
 
-    Validates widths/ranges and prefix-freeness per codebook; returns
-    the number of codebooks loaded. ``$SPARK_GRAFT_CAVLC_TABLES`` is
-    the no-code-change route (auto-loaded on the first residual that
-    needs a table)."""
+    Validates widths/ranges and prefix-freeness per codebook (and
+    bijectivity for the cbp map); returns the number of codebooks
+    loaded. ``$SPARK_GRAFT_CAVLC_TABLES`` is the no-code-change route
+    (auto-loaded on the first residual that needs a table)."""
     import json
 
     if isinstance(source, (str, bytes)):
@@ -161,6 +201,17 @@ def load_cavlc_tables(source) -> int:
             book[(hlen, code)] = run
         _check_prefix_free(book)
         CAVLC["run_before"][key] = book
+        n += 1
+    cbp_spec = source.get("cbp_intra")
+    if cbp_spec:
+        book = {}
+        for code_num, cbp in cbp_spec:
+            if not (0 <= code_num <= 47 and 0 <= cbp <= 47):
+                raise ValueError("cbp_intra: bad entry")
+            book[code_num] = cbp
+        if len(book) != len(set(book.values())):
+            raise ValueError("cbp_intra: mapping must be a bijection")
+        CAVLC["cbp_intra"]["intra"] = book
         n += 1
     return n
 
@@ -467,6 +518,178 @@ def _hadamard4(d: list[list[int]]) -> list[list[int]]:
     return out
 
 
+def _ftrans4(x: list[list[int]]) -> list[list[int]]:
+    """4x4 forward core transform W = Cf · X · Cf^T with
+    Cf = [[1,1,1,1],[2,1,-1,-2],[1,-1,-1,1],[1,-2,2,-1]] — the exact
+    integer inverse pair of :func:`_itrans4` through the gain identity
+    itrans4(W ∘ u_i u_j) == 64 X (see _UGAIN)."""
+    e = [[0] * 4 for _ in range(4)]
+    for i in range(4):  # rows: e = X · Cf^T
+        a0 = x[i][0] + x[i][3]
+        a1 = x[i][1] + x[i][2]
+        a2 = x[i][1] - x[i][2]
+        a3 = x[i][0] - x[i][3]
+        e[i] = [a0 + a1, 2 * a3 + a2, a0 - a1, a3 - 2 * a2]
+    out = [[0] * 4 for _ in range(4)]
+    for j in range(4):  # columns: W = Cf · e
+        a0 = e[0][j] + e[3][j]
+        a1 = e[1][j] + e[2][j]
+        a2 = e[1][j] - e[2][j]
+        a3 = e[0][j] - e[3][j]
+        out[0][j] = a0 + a1
+        out[1][j] = 2 * a3 + a2
+        out[2][j] = a0 - a1
+        out[3][j] = a3 - 2 * a2
+    return out
+
+
+# ---------------------------------------------------- dequant helpers
+# single-source dequant formulas, used by BOTH the decoder and the
+# quantized encoder's reconstruction replay (the encoder's QUANTIZER
+# derives its step independently through _UGAIN, so a one-sided
+# translation bug here breaks the encoder's source-error bound test
+# even though the round trip stays self-consistent)
+
+def _dequant_ac(c: int, qmod: int, qdiv: int, i: int, j: int) -> int:
+    """Plain 4x4 coefficient dequant: d = c * V << (qP/6). Exact for
+    all qP: the spec's low-qP rounding form collapses to this once the
+    16x weightScale is folded out of bare-normAdjust V."""
+    return (c * _V[qmod][_v_class(i, j)]) << qdiv
+
+
+def _dequant_luma_dc(f: int, qp: int) -> int:
+    """Intra_16x16 luma-DC dequant of one Hadamard-domain value (spec
+    8.5.10 with the 16x folded: breakpoint 36->12, shift -6->-2)."""
+    qdiv, qmod = qp // 6, qp % 6
+    ls = _V[qmod][0]
+    if qp >= 12:
+        return (f * ls) << (qdiv - 2)
+    return (f * ls + (1 << (1 - qdiv))) >> (2 - qdiv)
+
+
+def _dequant_chroma_dc(f: int, qc: int) -> int:
+    """2x2 chroma-DC dequant (spec 8.5.11 with the 16x folded:
+    >>5 -> >>1)."""
+    cdiv, cmod = qc // 6, qc % 6
+    return ((f * _V[cmod][0]) << cdiv) >> 1
+
+
+def _pred4(mode: int, top, left, tl, topright):
+    """Intra_4x4 prediction (spec 8.3.1.2, all 9 modes — formula
+    level). top/left: 4-sample lists or None; tl: corner sample or
+    None; topright: 4 samples above-right or None (substituted with
+    top[3] when top exists, per the spec's reference-sample
+    construction)."""
+    if mode in (0, 3, 7) and top is None:
+        raise ValueError(f"Intra_4x4 mode {mode} without top neighbor")
+    if mode in (1, 8) and left is None:
+        raise ValueError(f"Intra_4x4 mode {mode} without left neighbor")
+    if mode in (4, 5, 6) and (top is None or left is None or tl is None):
+        raise ValueError(f"Intra_4x4 mode {mode} needs top+left+corner")
+    if mode == 0:    # vertical
+        return [list(top) for _ in range(4)]
+    if mode == 1:    # horizontal
+        return [[left[y]] * 4 for y in range(4)]
+    if mode == 2:    # DC
+        if top is not None and left is not None:
+            dc = (sum(top) + sum(left) + 4) >> 3
+        elif top is not None:
+            dc = (sum(top) + 2) >> 2
+        elif left is not None:
+            dc = (sum(left) + 2) >> 2
+        else:
+            dc = 128
+        return [[dc] * 4 for _ in range(4)]
+    t8 = (list(top) + (list(topright) if topright is not None
+                       else [top[3]] * 4)) if top is not None else None
+    if mode == 3:    # diagonal down-left
+        out = [[0] * 4 for _ in range(4)]
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y][x] = (t8[6] + 3 * t8[7] + 2) >> 2
+                else:
+                    out[y][x] = (t8[x + y] + 2 * t8[x + y + 1]
+                                 + t8[x + y + 2] + 2) >> 2
+        return out
+    if mode == 4:    # diagonal down-right
+        p = [tl] + list(top)    # p[k] = top[k-1], p[0] = corner
+        q = [tl] + list(left)
+        out = [[0] * 4 for _ in range(4)]
+        for y in range(4):
+            for x in range(4):
+                d = x - y
+                if d > 0:
+                    out[y][x] = (p[d - 1] + 2 * p[d] + p[d + 1] + 2) >> 2
+                elif d < 0:
+                    out[y][x] = (q[-d - 1] + 2 * q[-d] + q[-d + 1] + 2) >> 2
+                else:
+                    out[y][x] = (top[0] + 2 * tl + left[0] + 2) >> 2
+        return out
+    if mode == 5:    # vertical-right
+        # p[i] = spec p[i-1, -1]: p[0] is the corner, p[1..4] the top row
+        p = [tl] + list(top)
+        out = [[0] * 4 for _ in range(4)]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                m = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    out[y][x] = (p[m] + p[m + 1] + 1) >> 1
+                elif z >= 0:
+                    out[y][x] = (p[m - 1] + 2 * p[m] + p[m + 1] + 2) >> 2
+                elif z == -1:
+                    out[y][x] = (left[0] + 2 * tl + top[0] + 2) >> 2
+                else:  # z in {-2, -3} -> x == 0, y in {2, 3}
+                    out[y][x] = (left[y - 1] + 2 * left[y - 2]
+                                 + ([tl] + list(left))[y - 2] + 2) >> 2
+        return out
+    if mode == 6:    # horizontal-down (transpose-symmetric to VR)
+        q = [tl] + list(left)
+        out = [[0] * 4 for _ in range(4)]
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                m = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    out[y][x] = (q[m] + q[m + 1] + 1) >> 1
+                elif z >= 0:
+                    out[y][x] = (q[m - 1] + 2 * q[m] + q[m + 1] + 2) >> 2
+                elif z == -1:
+                    out[y][x] = (top[0] + 2 * tl + left[0] + 2) >> 2
+                else:  # z in {-2, -3} -> y == 0, x in {2, 3}
+                    out[y][x] = (top[x - 1] + 2 * top[x - 2]
+                                 + ([tl] + list(top))[x - 2] + 2) >> 2
+        return out
+    if mode == 7:    # vertical-left
+        out = [[0] * 4 for _ in range(4)]
+        for y in range(4):
+            for x in range(4):
+                k = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y][x] = (t8[k] + t8[k + 1] + 1) >> 1
+                else:
+                    out[y][x] = (t8[k] + 2 * t8[k + 1] + t8[k + 2] + 2) >> 2
+        return out
+    if mode == 8:    # horizontal-up
+        out = [[0] * 4 for _ in range(4)]
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                k = y + (x >> 1)
+                if z % 2 == 0 and z < 5:
+                    out[y][x] = (left[k] + left[k + 1] + 1) >> 1
+                elif z < 5:
+                    out[y][x] = (left[k] + 2 * left[k + 1]
+                                 + left[k + 2] + 2) >> 2
+                elif z == 5:
+                    out[y][x] = (left[2] + 3 * left[3] + 2) >> 2
+                else:
+                    out[y][x] = left[3]
+        return out
+    raise ValueError(f"Intra_4x4 prediction mode {mode}")
+
+
 def _cavlc_block(r: _R, nc: int, max_coeff: int) -> list[int]:
     """Decode one CAVLC residual block -> coefficient list in scan
     order (length max_coeff)."""
@@ -738,6 +961,77 @@ def decode_iframe_yuv(data: bytes):
             return nb
         return 0
 
+    #: per-MB Intra_4x4 flag + per-4x4-block prediction modes (for the
+    #: min(A, B) mode prediction; non-I4x4 neighbors count as DC=2)
+    mb_i4 = [[False] * wm for _ in range(hm)]
+    i4_modes = [[2] * (4 * wm) for _ in range(4 * hm)]
+
+    def blk_decoded(bx: int, by: int, cur_mb: int, cur_blk: int) -> bool:
+        """Is the 4x4 block at global block coords (bx, by) decoded
+        before block cur_blk of macroblock cur_mb? (raster MB order,
+        _BLK4_XY coding order within an MB)"""
+        if bx < 0 or by < 0 or bx >= 4 * wm or by >= 4 * hm:
+            return False
+        nmb = (by // 4) * wm + (bx // 4)
+        if nmb != cur_mb:
+            return nmb < cur_mb
+        return _BLK4_IDX[(bx % 4, by % 4)] < cur_blk
+
+    def decode_chroma(mbx: int, mby: int, chroma_mode: int,
+                      cbp_chroma: int, qp: int) -> None:
+        qc = _qpc(qp + pps["chroma_qp_off"])
+        cdiv, cmod = qc // 6, qc % 6
+        for plane, grid in ((cb_plane, cb_nc), (cr_plane, cr_nc)):
+            cx0, cy0 = 8 * mbx, 8 * mby
+            ctop = plane.row(cx0, cy0 - 1, 8) if mby > 0 else None
+            cleft = plane.col(cx0 - 1, cy0, 8) if mbx > 0 else None
+            ctl = (plane.px[(cy0 - 1) * plane.w + cx0 - 1]
+                   if (mbx > 0 and mby > 0) else None)
+            cpred = _pred_chroma(chroma_mode, ctop, cleft, ctl)
+            if cbp_chroma == 0:
+                plane.put(cx0, cy0, cpred)
+                for by in range(2 * mby, 2 * mby + 2):
+                    for bx in range(2 * mbx, 2 * mbx + 2):
+                        grid[by][bx] = 0
+                continue
+            # chroma DC 2x2 (nC = -1)
+            cdc_scan = _cavlc_block(r, -1, 4)
+            a, b, c, d4 = cdc_scan
+            fdc = [
+                [a + b + c + d4, a - b + c - d4],
+                [a + b - c - d4, a - b - c + d4],
+            ]
+            cdc = [[_dequant_chroma_dc(fdc[i][j], qc) for j in range(2)]
+                   for i in range(2)]
+            cac = [[0] * 15 for _ in range(4)]
+            if cbp_chroma == 2:
+                for blk in range(4):
+                    bx = 2 * mbx + blk % 2
+                    by = 2 * mby + blk // 2
+                    nc = nc_of(grid, bx, by)
+                    cac[blk] = _cavlc_block(r, nc, 15)
+                    grid[by][bx] = sum(1 for v in cac[blk] if v)
+            else:
+                for blk in range(4):
+                    grid[2 * mby + blk // 2][2 * mbx + blk % 2] = 0
+            cout = [[0] * 8 for _ in range(8)]
+            for blk in range(4):
+                ox, oy = 4 * (blk % 2), 4 * (blk // 2)
+                d = [[0] * 4 for _ in range(4)]
+                d[0][0] = cdc[blk // 2][blk % 2]
+                for k, (i, j) in enumerate(_ZIG4[1:]):
+                    cval = cac[blk][k]
+                    if cval:
+                        d[i][j] = _dequant_ac(cval, cmod, cdiv, i, j)
+                res = _itrans4(d)
+                for yy in range(4):
+                    for xx in range(4):
+                        cout[oy + yy][ox + xx] = _clip8(
+                            cpred[oy + yy][ox + xx]
+                            + ((res[yy][xx] + 32) >> 6)
+                        )
+            plane.put(cx0, cy0, cout)
+
     for mb in range(wm * hm):
         mbx, mby = mb % wm, mb // wm
         mb_type = r.ue()
@@ -757,10 +1051,70 @@ def decode_iframe_yuv(data: bytes):
                         grid[by][bx] = 16
             continue
         if mb_type == 0:
-            raise NotImplementedError(
-                "Intra_4x4 macroblocks — Intra_16x16 and I_PCM only "
-                "(see module scope note)"
-            )
+            # ---- Intra_4x4 (r9) ----
+            modes = []
+            for blk in range(16):
+                bx = 4 * mbx + _BLK4_XY[blk][0] // 4
+                by = 4 * mby + _BLK4_XY[blk][1] // 4
+                if bx == 0 or by == 0:
+                    predm = 2  # spec: any unavailable neighbor forces DC
+                else:
+                    ma = (i4_modes[by][bx - 1]
+                          if mb_i4[by // 4][(bx - 1) // 4] else 2)
+                    mb_ = (i4_modes[by - 1][bx]
+                           if mb_i4[(by - 1) // 4][bx // 4] else 2)
+                    predm = min(ma, mb_)
+                if r.u(1):  # prev_intra4x4_pred_mode_flag
+                    m4 = predm
+                else:
+                    rem = r.u(3)
+                    m4 = rem if rem < predm else rem + 1
+                modes.append(m4)
+                i4_modes[by][bx] = m4
+            mb_i4[mby][mbx] = True
+            chroma_mode = r.ue()
+            cbp_code = r.ue()
+            cbp = _need("cbp_intra", "intra").get(cbp_code)
+            if cbp is None:
+                raise ValueError(
+                    f"coded_block_pattern codeNum {cbp_code} unmapped"
+                )
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp_chroma == 3:
+                raise ValueError("cbp chroma component must be 0..2")
+            if cbp:
+                qp = (qp + r.se()) % 52
+            qdiv, qmod = qp // 6, qp % 6
+            for blk in range(16):
+                ox, oy = _BLK4_XY[blk]
+                gx, gy = 16 * mbx + ox, 16 * mby + oy
+                bx, by = gx // 4, gy // 4
+                top = y_plane.row(gx, gy - 1, 4) if gy > 0 else None
+                left = y_plane.col(gx - 1, gy, 4) if gx > 0 else None
+                tl = (y_plane.px[(gy - 1) * y_plane.w + gx - 1]
+                      if (gx > 0 and gy > 0) else None)
+                tr = (y_plane.row(gx + 4, gy - 1, 4)
+                      if blk_decoded(bx + 1, by - 1, mb, blk) else None)
+                pred = _pred4(modes[blk], top, left, tl, tr)
+                if cbp_luma & (1 << (blk // 4)):
+                    scan = _cavlc_block(r, nc_of(luma_nc, bx, by), 16)
+                    luma_nc[by][bx] = sum(1 for v in scan if v)
+                    d = [[0] * 4 for _ in range(4)]
+                    for k, (i, j) in enumerate(_ZIG4):
+                        c = scan[k]
+                        if c:
+                            d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
+                    res = _itrans4(d)
+                    blk_out = [
+                        [_clip8(pred[yy][xx] + ((res[yy][xx] + 32) >> 6))
+                         for xx in range(4)] for yy in range(4)
+                    ]
+                else:
+                    luma_nc[by][bx] = 0
+                    blk_out = pred
+                y_plane.put(gx, gy, blk_out)
+            decode_chroma(mbx, mby, chroma_mode, cbp_chroma, qp)
+            continue
         if mb_type > 25:
             raise ValueError(f"mb_type {mb_type} invalid in an I slice")
         m = mb_type - 1
@@ -786,15 +1140,8 @@ def decode_iframe_yuv(data: bytes):
             dc[i][j] = dc_scan[k]
         f = _hadamard4(dc)
         qdiv, qmod = qp // 6, qp % 6
-        ls = _V[qmod][0]
-        dcs = [[0] * 4 for _ in range(4)]
-        for i in range(4):
-            for j in range(4):
-                if qp >= 12:
-                    dcs[i][j] = (f[i][j] * ls) << (qdiv - 2)
-                else:
-                    dcs[i][j] = (f[i][j] * ls + (1 << (1 - qdiv))) \
-                        >> (2 - qdiv)
+        dcs = [[_dequant_luma_dc(f[i][j], qp) for j in range(4)]
+               for i in range(4)]
 
         ac_scans = [[0] * 16 for _ in range(16)]
         if cbp_luma:
@@ -820,7 +1167,7 @@ def decode_iframe_yuv(data: bytes):
             for k, (i, j) in enumerate(_ZIG4[1:]):
                 c = ac_scans[blk][k]
                 if c:
-                    d[i][j] = (c * _V[qmod][_v_class(i, j)]) << qdiv
+                    d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
             res = _itrans4(d)
             for yy in range(4):
                 for xx in range(4):
@@ -829,66 +1176,7 @@ def decode_iframe_yuv(data: bytes):
                         + ((res[yy][xx] + 32) >> 6)
                     )
         y_plane.put(x0, y0, out16)
-
-        # ---- chroma ----
-        qc = _qpc(qp + pps["chroma_qp_off"])
-        cdiv, cmod = qc // 6, qc % 6
-        for plane, grid in ((cb_plane, cb_nc), (cr_plane, cr_nc)):
-            cx0, cy0 = 8 * mbx, 8 * mby
-            ctop = plane.row(cx0, cy0 - 1, 8) if mby > 0 else None
-            cleft = plane.col(cx0 - 1, cy0, 8) if mbx > 0 else None
-            ctl = (plane.px[(cy0 - 1) * plane.w + cx0 - 1]
-                   if (mbx > 0 and mby > 0) else None)
-            cpred = _pred_chroma(chroma_mode, ctop, cleft, ctl)
-            if cbp_chroma == 0:
-                plane.put(cx0, cy0, cpred)
-                for by in range(2 * mby, 2 * mby + 2):
-                    for bx in range(2 * mbx, 2 * mbx + 2):
-                        grid[by][bx] = 0
-                continue
-            # chroma DC 2x2 (nC = -1)
-            cdc_scan = _cavlc_block(r, -1, 4)
-            a, b, c, d4 = cdc_scan
-            fdc = [
-                [a + b + c + d4, a - b + c - d4],
-                [a + b - c - d4, a - b - c + d4],
-            ]
-            ls = _V[cmod][0]
-            # spec 8.5.11: ((f * LevelScale4x4) << (qP/6)) >> 5 with
-            # LevelScale4x4 = 16 * normAdjust; _V holds bare normAdjust,
-            # so the 16x folds the shift from >>5 to >>1 (the luma-DC
-            # path makes the same translation: breakpoint 36->12,
-            # shift -6->-2)
-            cdc = [[((fdc[i][j] * ls) << cdiv) >> 1 for j in range(2)]
-                   for i in range(2)]
-            cac = [[0] * 15 for _ in range(4)]
-            if cbp_chroma == 2:
-                for blk in range(4):
-                    bx = 2 * mbx + blk % 2
-                    by = 2 * mby + blk // 2
-                    nc = nc_of(grid, bx, by)
-                    cac[blk] = _cavlc_block(r, nc, 15)
-                    grid[by][bx] = sum(1 for v in cac[blk] if v)
-            else:
-                for blk in range(4):
-                    grid[2 * mby + blk // 2][2 * mbx + blk % 2] = 0
-            cout = [[0] * 8 for _ in range(8)]
-            for blk in range(4):
-                ox, oy = 4 * (blk % 2), 4 * (blk // 2)
-                d = [[0] * 4 for _ in range(4)]
-                d[0][0] = cdc[blk // 2][blk % 2]
-                for k, (i, j) in enumerate(_ZIG4[1:]):
-                    cval = cac[blk][k]
-                    if cval:
-                        d[i][j] = (cval * _V[cmod][_v_class(i, j)]) << cdiv
-                res = _itrans4(d)
-                for yy in range(4):
-                    for xx in range(4):
-                        cout[oy + yy][ox + xx] = _clip8(
-                            cpred[oy + yy][ox + xx]
-                            + ((res[yy][xx] + 32) >> 6)
-                        )
-            plane.put(cx0, cy0, cout)
+        decode_chroma(mbx, mby, chroma_mode, cbp_chroma, qp)
 
     # crop and emit row lists
     cl, cr_, ct, cb_ = sps["crop"]
@@ -940,64 +1228,8 @@ def encode_ipcm_yuv(ys, cbs, crs) -> bytes:
     is EXACT and pins NAL/SPS/PPS/slice/MB plumbing). Dimensions that
     are not multiples of 16 are padded edge-replicated and signaled
     via SPS frame cropping."""
-    h, w = len(ys), len(ys[0])
-    wm, hm = (w + 15) // 16, (h + 15) // 16
-    pw, ph = 16 * wm, 16 * hm
-
-    def pad(plane, tw, th):
-        rows = [list(row) + [row[-1]] * (tw - len(row)) for row in plane]
-        while len(rows) < th:
-            rows.append(list(rows[-1]))
-        return rows
-
-    ys = pad(ys, pw, ph)
-    cbs = pad(cbs, pw // 2, ph // 2)
-    crs = pad(crs, pw // 2, ph // 2)
-
-    sps = _W()
-    sps.u(66, 8)   # profile_idc: baseline
-    sps.u(0, 8)    # constraint flags / reserved
-    sps.u(30, 8)   # level 3.0
-    sps.ue(0)      # sps id
-    sps.ue(0)      # log2_max_frame_num_minus4
-    sps.ue(2)      # pic_order_cnt_type 2
-    sps.ue(0)      # max_num_ref_frames
-    sps.u(0, 1)    # gaps allowed
-    sps.ue(wm - 1)
-    sps.ue(hm - 1)
-    sps.u(1, 1)    # frame_mbs_only
-    sps.u(0, 1)    # direct_8x8_inference
-    crop_r, crop_b = (pw - w) // 2, (ph - h) // 2
-    if (pw - w) % 2 or (ph - h) % 2:
-        raise ValueError("width/height must be even (4:2:0 chroma)")
-    if crop_r or crop_b:
-        sps.u(1, 1)
-        sps.ue(0)
-        sps.ue(crop_r)
-        sps.ue(0)
-        sps.ue(crop_b)
-    else:
-        sps.u(0, 1)
-    sps.u(0, 1)    # no VUI
-    out = _nal(sps.trailing(), 3, 7)
-
-    pps = _W()
-    pps.ue(0)      # pps id
-    pps.ue(0)      # sps id
-    pps.u(0, 1)    # CAVLC
-    pps.u(0, 1)    # bottom_field_pic_order
-    pps.ue(0)      # one slice group
-    pps.ue(0)
-    pps.ue(0)      # ref idx defaults
-    pps.u(0, 1)    # weighted_pred
-    pps.u(0, 2)    # weighted_bipred
-    pps.se(0)      # pic_init_qp_minus26
-    pps.se(0)      # pic_init_qs
-    pps.se(0)      # chroma_qp_offset
-    pps.u(1, 1)    # deblocking_filter_control_present
-    pps.u(0, 1)    # constrained_intra_pred
-    pps.u(0, 1)    # redundant_pic_cnt_present
-    out += _nal(pps.trailing(), 3, 8)
+    ys, cbs, crs, w, h, wm, hm = _pad420(ys, cbs, crs)
+    out = _write_sps_pps(wm, hm, w, h)
 
     sl = _W()
     sl.ue(0)       # first_mb_in_slice
@@ -1024,10 +1256,513 @@ def encode_ipcm_yuv(ys, cbs, crs) -> bytes:
     return out
 
 
-def encode_ipcm(px_rows) -> bytes:
-    """RGB rows -> I_PCM Annex-B stream (BT.601 full-range, 4:2:0
-    chroma averaged over each 2x2). RGB round-trips within the usual
-    color-conversion rounding (the YUV surface round-trips exactly)."""
+# ------------------------------------------------- quantized encoder
+
+def _cavlc_write_block(w: _W, coeffs: list[int], nc: int,
+                       max_coeff: int) -> None:
+    """Encode one residual block (scan-order coefficient list) — the
+    exact inverse of :func:`_cavlc_block`. nC >= 8 rides the
+    table-free fixed-length coeff_token branch; other contexts need
+    the injected codebooks (reverse-looked-up)."""
+    nz = [(k, c) for k, c in enumerate(coeffs) if c]
+    tc = len(nz)
+    t1s = 0
+    for _k, c in reversed(nz):
+        if abs(c) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    if nc >= 8:
+        w.u(0b000011 if tc == 0 else (((tc - 1) << 2) | t1s), 6)
+    else:
+        if nc == -1:
+            key = "cdc"
+        elif nc < 2:
+            key = "0"
+        elif nc < 4:
+            key = "2"
+        else:
+            key = "4"
+        rev = {v: k for k, v in _need("coeff_token", key).items()}
+        hit = rev.get((tc, t1s))
+        if hit is None:
+            raise ValueError(f"coeff_token ({tc},{t1s}) not in book {key}")
+        w.u(hit[1], hit[0])
+    if tc == 0:
+        return
+    levels = [c for _k, c in reversed(nz)]  # highest scan position first
+    for i in range(t1s):
+        w.u(0 if levels[i] > 0 else 1, 1)
+    suffix_len = 1 if (tc > 10 and t1s < 3) else 0
+    for i, level in enumerate(levels[t1s:]):
+        level_code = 2 * level - 2 if level > 0 else -2 * level - 1
+        if i == 0 and t1s < 3:
+            level_code -= 2
+        if suffix_len == 0:
+            if level_code < 14:
+                w.u(1, level_code + 1)       # level_code zeros, then 1
+            elif level_code < 30:
+                w.u(1, 15)                   # prefix 14
+                w.u(level_code - 14, 4)
+            elif level_code < 30 + 4096:
+                w.u(1, 16)                   # prefix 15, 12-bit suffix
+                w.u(level_code - 30, 12)
+            else:
+                raise ValueError("level beyond the engine encoder range")
+        else:
+            prefix = level_code >> suffix_len
+            if prefix < 15:
+                w.u(1, prefix + 1)
+                w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            elif level_code < (15 << suffix_len) + 4096:
+                w.u(1, 16)                   # prefix 15, 12-bit suffix
+                w.u(level_code - (15 << suffix_len), 12)
+            else:
+                raise ValueError("level beyond the engine encoder range")
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    if tc < max_coeff:
+        total_zeros = nz[-1][0] + 1 - tc
+        key = f"cdc{tc}" if nc == -1 else str(tc)
+        rev = {v: k for k, v in _need("total_zeros", key).items()}
+        hit = rev.get(total_zeros)
+        if hit is None:
+            raise ValueError(f"total_zeros {total_zeros} not in book {key}")
+        w.u(hit[1], hit[0])
+    else:
+        total_zeros = 0
+    zeros_left = total_zeros
+    pos = [k for k, _c in reversed(nz)]      # scan positions, descending
+    for i in range(tc - 1):
+        if zeros_left <= 0:
+            break
+        run = pos[i] - pos[i + 1] - 1
+        rev = {v: k for k, v in
+               _need("run_before", str(min(zeros_left, 7))).items()}
+        hit = rev.get(run)
+        if hit is None:
+            raise ValueError(f"run_before {run} not in codebook")
+        w.u(hit[1], hit[0])
+        zeros_left -= run
+
+
+def _rdiv(num: int, den: int) -> int:
+    """Round num/den (den > 0) to nearest, half away from zero."""
+    if num >= 0:
+        return (2 * num + den) // (2 * den)
+    return -((-2 * num + den) // (2 * den))
+
+
+def _quant_scan(wblk: list[list[int]], qp: int, skip_dc: bool,
+                dense: bool) -> list[int]:
+    """Scan-order levels for one 4x4 block from its forward transform,
+    stepping by the decoder's dequant scale through the _UGAIN gain
+    identity (d_target = W * u_i * u_j, level = d_target / (V << qdiv)
+    rounded). dense=True bumps zero levels to +1 so the block decodes
+    on the table-free nC>=8 / tc==maxCoeff CAVLC path."""
+    qdiv, qmod = qp // 6, qp % 6
+    out = []
+    for (i, j) in (_ZIG4[1:] if skip_dc else _ZIG4):
+        (n1, d1), (n2, d2) = _UGAIN[i], _UGAIN[j]
+        scale = _V[qmod][_v_class(i, j)] << qdiv
+        lvl = _rdiv(wblk[i][j] * n1 * n2, d1 * d2 * scale)
+        if dense and lvl == 0:
+            lvl = 1
+        out.append(lvl)
+    return out
+
+
+def _pad420(ys, cbs, crs):
+    """Edge-replicate 4:2:0 planes to whole macroblocks; returns
+    (ys, cbs, crs, w, h, wm, hm)."""
+    h, w = len(ys), len(ys[0])
+    wm, hm = (w + 15) // 16, (h + 15) // 16
+    pw, ph = 16 * wm, 16 * hm
+    if (pw - w) % 2 or (ph - h) % 2:
+        raise ValueError("width/height must be even (4:2:0 chroma)")
+
+    def pad(plane, tw, th):
+        rows = [list(row) + [row[-1]] * (tw - len(row)) for row in plane]
+        while len(rows) < th:
+            rows.append(list(rows[-1]))
+        return rows
+
+    return (pad(ys, pw, ph), pad(cbs, pw // 2, ph // 2),
+            pad(crs, pw // 2, ph // 2), w, h, wm, hm)
+
+
+def _write_sps_pps(wm: int, hm: int, w: int, h: int,
+                   init_qp: int = 26) -> bytes:
+    """SPS + PPS NALs for the engine encoders (baseline, one slice
+    group, CAVLC, deblocking signalled off by the slice header)."""
+    sps = _W()
+    sps.u(66, 8)   # profile_idc: baseline
+    sps.u(0, 8)    # constraint flags / reserved
+    sps.u(30, 8)   # level 3.0
+    sps.ue(0)      # sps id
+    sps.ue(0)      # log2_max_frame_num_minus4
+    sps.ue(2)      # pic_order_cnt_type 2
+    sps.ue(0)      # max_num_ref_frames
+    sps.u(0, 1)    # gaps allowed
+    sps.ue(wm - 1)
+    sps.ue(hm - 1)
+    sps.u(1, 1)    # frame_mbs_only
+    sps.u(0, 1)    # direct_8x8_inference
+    crop_r, crop_b = (16 * wm - w) // 2, (16 * hm - h) // 2
+    if crop_r or crop_b:
+        sps.u(1, 1)
+        sps.ue(0)
+        sps.ue(crop_r)
+        sps.ue(0)
+        sps.ue(crop_b)
+    else:
+        sps.u(0, 1)
+    sps.u(0, 1)    # no VUI
+    out = _nal(sps.trailing(), 3, 7)
+    pps = _W()
+    pps.ue(0)      # pps id
+    pps.ue(0)      # sps id
+    pps.u(0, 1)    # CAVLC
+    pps.u(0, 1)    # bottom_field_pic_order
+    pps.ue(0)      # one slice group
+    pps.ue(0)
+    pps.ue(0)      # ref idx defaults
+    pps.u(0, 1)    # weighted_pred
+    pps.u(0, 2)    # weighted_bipred
+    pps.se(init_qp - 26)
+    pps.se(0)      # pic_init_qs
+    pps.se(0)      # chroma_qp_offset
+    pps.u(1, 1)    # deblocking_filter_control_present
+    pps.u(0, 1)    # constrained_intra_pred
+    pps.u(0, 1)    # redundant_pic_cnt_present
+    return out + _nal(pps.trailing(), 3, 8)
+
+
+def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
+                         dense: bool = True):
+    """4:2:0 planes -> (Annex-B bytes, (recon_y, recon_cb, recon_cr)):
+    one IDR picture at fixed QP with CAVLC-coded quantized residuals,
+    plus the encoder's own bit-exact reconstruction (it replays the
+    decoder's integer math, predicting each macroblock from RECON
+    neighbors like the decoder does).
+
+    The first macroblock is I_PCM — it seeds every CAVLC nC context at
+    16, so with ``dense=True`` (every coded luma block carries all its
+    coefficients) coeff_token always rides the table-free nC>=8
+    fixed-length branch and the stream decodes with the CAVLC seam
+    EMPTY; chroma is prediction-only in dense mode (the 2x2 chroma-DC
+    context is unconditionally tabulated). ``dense=False`` emits
+    sparse residuals INCLUDING the chroma DC+AC path and needs the
+    coeff_token/total_zeros/run_before codebooks injected (tests use
+    synthetic ones). ``mb_mode="i4"`` codes Intra_4x4 macroblocks
+    (all-DC block modes) and additionally needs the ``cbp_intra``
+    map (spec Table 9-4; engine round trips accept any injected
+    bijection).
+
+    The quantizer steps by the published dequant formulas through the
+    independently-derived gain identity (see _UGAIN), so a one-sided
+    dequant translation bug shows up as a source-error blowout in
+    tests even though encode->decode stays bit-consistent."""
+    if mb_mode not in ("i16", "i4"):
+        raise ValueError("mb_mode must be 'i16' or 'i4'")
+    ys, cbs, crs, w, h, wm, hm = _pad420(ys, cbs, crs)
+    out = _write_sps_pps(wm, hm, w, h, init_qp=qp)
+
+    sl = _W()
+    sl.ue(0)       # first_mb_in_slice
+    sl.ue(7)       # slice_type: I (all slices)
+    sl.ue(0)       # pps id
+    sl.u(0, 4)     # frame_num
+    sl.ue(0)       # idr_pic_id
+    sl.u(1, 1)     # no_output_of_prior_pics
+    sl.u(0, 1)     # long_term_reference
+    sl.se(0)       # slice_qp_delta
+    sl.ue(1)       # disable_deblocking_filter_idc = 1 (off)
+
+    ry = _Plane(16 * wm, 16 * hm)
+    rcb = _Plane(8 * wm, 8 * hm)
+    rcr = _Plane(8 * wm, 8 * hm)
+    luma_nc = [[-1] * (4 * wm) for _ in range(4 * hm)]
+    cb_nc = [[-1] * (2 * wm) for _ in range(2 * hm)]
+    cr_nc = [[-1] * (2 * wm) for _ in range(2 * hm)]
+    i4_modes = [[2] * (4 * wm) for _ in range(4 * hm)]
+    mb_i4 = [[False] * wm for _ in range(hm)]
+    qdiv, qmod = qp // 6, qp % 6
+
+    def nc_of(grid, bx, by):
+        na = grid[by][bx - 1] if bx > 0 else -1
+        nb = grid[by - 1][bx] if by > 0 else -1
+        if na >= 0 and nb >= 0:
+            return (na + nb + 1) >> 1
+        if na >= 0:
+            return na
+        return nb if nb >= 0 else 0
+
+    def src_block(plane, x0, y0, n):
+        return [plane[y0 + dy][x0: x0 + n] for dy in range(n)]
+
+    def residual(src, pred, n):
+        return [[src[y][x] - pred[y][x] for x in range(n)] for y in range(n)]
+
+    def recon_block(pred, d, n=4):
+        res = _itrans4(d)
+        return [[_clip8(pred[yy][xx] + ((res[yy][xx] + 32) >> 6))
+                 for xx in range(4)] for yy in range(4)]
+
+    def encode_chroma(mbx, mby):
+        """Chroma for one non-I_PCM MB; returns cbp_chroma and a list
+        of (write-closure) deferred until after cbp is known (I4x4
+        writes cbp before residuals). Reconstruction happens here."""
+        qc = _qpc(qp)  # chroma_qp_offset is 0 in the engine PPS
+        cdiv, cmod = qc // 6, qc % 6
+        writers = []
+        cbp_chroma = 0 if dense else 2
+        for plane, grid, src in ((rcb, cb_nc, cbs), (rcr, cr_nc, crs)):
+            cx0, cy0 = 8 * mbx, 8 * mby
+            ctop = plane.row(cx0, cy0 - 1, 8) if mby > 0 else None
+            cleft = plane.col(cx0 - 1, cy0, 8) if mbx > 0 else None
+            ctl = (plane.px[(cy0 - 1) * plane.w + cx0 - 1]
+                   if (mbx > 0 and mby > 0) else None)
+            cpred = _pred_chroma(0, ctop, cleft, ctl)  # DC mode
+            if cbp_chroma == 0:
+                plane.put(cx0, cy0, cpred)
+                for by in range(2 * mby, 2 * mby + 2):
+                    for bx in range(2 * mbx, 2 * mbx + 2):
+                        grid[by][bx] = 0
+                continue
+            # quantize: per-4x4 forward transforms
+            wblks = []
+            for blk in range(4):
+                ox, oy = 4 * (blk % 2), 4 * (blk // 2)
+                xsrc = src_block(src, cx0 + ox, cy0 + oy, 4)
+                xres = residual(
+                    xsrc,
+                    [row[ox: ox + 4] for row in cpred[oy: oy + 4]], 4)
+                wblks.append(_ftrans4(xres))
+            # 2x2 chroma DC: target d00 = 4*W00; decoder maps scan ->
+            # fdc (self-inverse x4) -> _dequant_chroma_dc
+            g = [wblks[b][0][0] for b in range(4)]
+            hseq = [g[0] + g[1] + g[2] + g[3], g[0] - g[1] + g[2] - g[3],
+                    g[0] + g[1] - g[2] - g[3], g[0] - g[1] - g[2] + g[3]]
+            ls = _V[cmod][0]
+            # levels = h2(4*W00)/4 / ((ls<<cdiv)/2) = 2*h2(W00)/(ls<<cdiv)
+            dc_levels = [_rdiv(2 * v, ls << cdiv) for v in hseq]
+            ac_levels = [
+                _quant_scan(wblks[b], qc, skip_dc=True, dense=False)
+                for b in range(4)
+            ]
+            # replay the decoder's reconstruction
+            a, b_, c_, d4 = dc_levels
+            fdc = [[a + b_ + c_ + d4, a - b_ + c_ - d4],
+                   [a + b_ - c_ - d4, a - b_ - c_ + d4]]
+            cdc = [[_dequant_chroma_dc(fdc[i][j], qc) for j in range(2)]
+                   for i in range(2)]
+            cout = [[0] * 8 for _ in range(8)]
+            for blk in range(4):
+                ox, oy = 4 * (blk % 2), 4 * (blk // 2)
+                d = [[0] * 4 for _ in range(4)]
+                d[0][0] = cdc[blk // 2][blk % 2]
+                for k, (i, j) in enumerate(_ZIG4[1:]):
+                    cval = ac_levels[blk][k]
+                    if cval:
+                        d[i][j] = _dequant_ac(cval, cmod, cdiv, i, j)
+                res = _itrans4(d)
+                for yy in range(4):
+                    for xx in range(4):
+                        cout[oy + yy][ox + xx] = _clip8(
+                            cpred[oy + yy][ox + xx]
+                            + ((res[yy][xx] + 32) >> 6))
+            plane.put(cx0, cy0, cout)
+
+            def make_writer(grid=grid, mbx=mbx, mby=mby,
+                            dc_levels=dc_levels, ac_levels=ac_levels):
+                def write():
+                    _cavlc_write_block(sl, dc_levels, -1, 4)
+                    for blk in range(4):
+                        bx = 2 * mbx + blk % 2
+                        by = 2 * mby + blk // 2
+                        nc = nc_of(grid, bx, by)
+                        _cavlc_write_block(sl, ac_levels[blk], nc, 15)
+                        grid[by][bx] = sum(1 for v in ac_levels[blk] if v)
+                return write
+            writers.append(make_writer())
+        return cbp_chroma, writers
+
+    for mb in range(wm * hm):
+        mbx, mby = mb % wm, mb // wm
+        if mb == 0:
+            # I_PCM bootstrap: seeds every nC context at 16 and gives
+            # the dense path its table-free coeff_token branch
+            sl.ue(25)
+            sl.byte_align_zero()
+            blk = src_block(ys, 0, 0, 16)
+            for row in blk:
+                for v in row:
+                    sl.u(v, 8)
+            ry.put(0, 0, blk)
+            for plane, src in ((rcb, cbs), (rcr, crs)):
+                cblk = src_block(src, 0, 0, 8)
+                for row in cblk:
+                    for v in row:
+                        sl.u(v, 8)
+                plane.put(0, 0, cblk)
+            for by in range(4):
+                for bx in range(4):
+                    luma_nc[by][bx] = 16
+            for grid in (cb_nc, cr_nc):
+                for by in range(2):
+                    for bx in range(2):
+                        grid[by][bx] = 16
+            continue
+
+        x0, y0 = 16 * mbx, 16 * mby
+        if mb_mode == "i16":
+            top = ry.row(x0, y0 - 1, 16) if mby > 0 else None
+            left = ry.col(x0 - 1, y0, 16) if mbx > 0 else None
+            tl = (ry.px[(y0 - 1) * ry.w + x0 - 1]
+                  if (mbx > 0 and mby > 0) else None)
+            pred = _pred16(2, top, left, tl)  # DC
+            # forward transforms for the 16 blocks
+            wblks = []
+            for blk in range(16):
+                ox, oy = _BLK4_XY[blk]
+                xres = residual(
+                    src_block(ys, x0 + ox, y0 + oy, 4),
+                    [row[ox: ox + 4] for row in pred[oy: oy + 4]], 4)
+                wblks.append(_ftrans4(xres))
+            # luma DC: targets 4*W00 on the (block row, block col) grid
+            g = [[0] * 4 for _ in range(4)]
+            for blk in range(16):
+                ox, oy = _BLK4_XY[blk]
+                g[oy // 4][ox // 4] = wblks[blk][0][0]
+            hgrid = _hadamard4(g)
+            dc_levels_mat = [[0] * 4 for _ in range(4)]
+            for i in range(4):
+                for j in range(4):
+                    # levels = hadamard4(4*W00)/16 / dscale, where the
+                    # decoder's dscale comes from _dequant_luma_dc
+                    if qp >= 12:
+                        dc_levels_mat[i][j] = _rdiv(
+                            hgrid[i][j],
+                            4 * (_V[qmod][0] << (qdiv - 2)))
+                    else:
+                        dc_levels_mat[i][j] = _rdiv(
+                            hgrid[i][j] << (2 - qdiv), 4 * _V[qmod][0])
+                    if dense and dc_levels_mat[i][j] == 0:
+                        dc_levels_mat[i][j] = 1
+            dc_scan = [dc_levels_mat[i][j] for (i, j) in _ZIG4]
+            ac_scans = [_quant_scan(wblks[blk], qp, skip_dc=True,
+                                    dense=dense) for blk in range(16)]
+            cbp_chroma, cwriters = encode_chroma(mbx, mby)
+            # mb_type: pred DC(2), cbp_luma 15 -> rest = 3 + cbp_chroma
+            sl.ue(1 + 2 + 4 * (3 + cbp_chroma))
+            sl.ue(0)   # intra_chroma_pred_mode DC
+            sl.se(0)   # mb_qp_delta
+            _cavlc_write_block(
+                sl, dc_scan, nc_of(luma_nc, 4 * mbx, 4 * mby), 16)
+            for blk in range(16):
+                bx = 4 * mbx + _BLK4_XY[blk][0] // 4
+                by = 4 * mby + _BLK4_XY[blk][1] // 4
+                _cavlc_write_block(
+                    sl, ac_scans[blk], nc_of(luma_nc, bx, by), 15)
+                luma_nc[by][bx] = sum(1 for v in ac_scans[blk] if v)
+            for cw in cwriters:
+                cw()
+            # reconstruction replay (decoder-identical integer math)
+            f = _hadamard4(dc_levels_mat)
+            dcs = [[_dequant_luma_dc(f[i][j], qp) for j in range(4)]
+                   for i in range(4)]
+            out16 = [[0] * 16 for _ in range(16)]
+            for blk in range(16):
+                ox, oy = _BLK4_XY[blk]
+                d = [[0] * 4 for _ in range(4)]
+                d[0][0] = dcs[oy // 4][ox // 4]
+                for k, (i, j) in enumerate(_ZIG4[1:]):
+                    c = ac_scans[blk][k]
+                    if c:
+                        d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
+                rb = recon_block(
+                    [row[ox: ox + 4] for row in pred[oy: oy + 4]], d)
+                for yy in range(4):
+                    for xx in range(4):
+                        out16[oy + yy][ox + xx] = rb[yy][xx]
+            ry.put(x0, y0, out16)
+        else:
+            # ---- Intra_4x4 (all blocks DC mode) ----
+            mb_i4[mby][mbx] = True
+            sl.ue(0)   # mb_type I_4x4
+            for blk in range(16):
+                bx = 4 * mbx + _BLK4_XY[blk][0] // 4
+                by = 4 * mby + _BLK4_XY[blk][1] // 4
+                if bx == 0 or by == 0:
+                    predm = 2
+                else:
+                    ma = (i4_modes[by][bx - 1]
+                          if mb_i4[by // 4][(bx - 1) // 4] else 2)
+                    mb_2 = (i4_modes[by - 1][bx]
+                            if mb_i4[(by - 1) // 4][bx // 4] else 2)
+                    predm = min(ma, mb_2)
+                if predm == 2:
+                    sl.u(1, 1)             # prev flag: use predicted DC
+                else:
+                    sl.u(0, 1)
+                    sl.u(2 if 2 < predm else 1, 3)  # rem for mode 2
+                i4_modes[by][bx] = 2
+            cbp_chroma, cwriters = encode_chroma(mbx, mby)
+            cbp = 15 | (cbp_chroma << 4)
+            rev = {v: k for k, v in _need("cbp_intra", "intra").items()}
+            if cbp not in rev:
+                raise ValueError(f"cbp {cbp} unmapped in cbp_intra seam")
+            sl.ue(0)          # intra_chroma_pred_mode DC
+            sl.ue(rev[cbp])   # coded_block_pattern me(v)
+            sl.se(0)          # mb_qp_delta (cbp != 0)
+            for blk in range(16):
+                ox, oy = _BLK4_XY[blk]
+                gx, gy = x0 + ox, y0 + oy
+                bx, by = gx // 4, gy // 4
+                top = ry.row(gx, gy - 1, 4) if gy > 0 else None
+                left = ry.col(gx - 1, gy, 4) if gx > 0 else None
+                tl = (ry.px[(gy - 1) * ry.w + gx - 1]
+                      if (gx > 0 and gy > 0) else None)
+                pred = _pred4(2, top, left, tl, None)
+                xres = residual(src_block(ys, gx, gy, 4), pred, 4)
+                scan = _quant_scan(_ftrans4(xres), qp, skip_dc=False,
+                                   dense=dense)
+                _cavlc_write_block(sl, scan, nc_of(luma_nc, bx, by), 16)
+                luma_nc[by][bx] = sum(1 for v in scan if v)
+                d = [[0] * 4 for _ in range(4)]
+                for k, (i, j) in enumerate(_ZIG4):
+                    c = scan[k]
+                    if c:
+                        d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
+                ry.put(gx, gy, recon_block(pred, d))
+            for cw in cwriters:
+                cw()
+
+    out += _nal(sl.trailing(), 3, 5)
+
+    def crop_plane(plane, cw, ch):
+        return [list(plane.px[y * plane.w: y * plane.w + cw])
+                for y in range(ch)]
+
+    return out, (crop_plane(ry, w, h), crop_plane(rcb, w // 2, h // 2),
+                 crop_plane(rcr, w // 2, h // 2))
+
+
+def encode_quantized(px_rows, qp: int = 10, mb_mode: str = "i16",
+                     dense: bool = True) -> bytes:
+    """RGB rows -> quantized Annex-B stream (BT.601 full-range, 2x2
+    chroma averaging — the same conversion as :func:`encode_ipcm`)."""
+    ys, cbs, crs = _rgb_to_420(px_rows)
+    return encode_quantized_yuv(ys, cbs, crs, qp=qp, mb_mode=mb_mode,
+                                dense=dense)[0]
+
+
+def _rgb_to_420(px_rows):
+    """RGB rows -> (Y, Cb, Cr) 4:2:0 planes (BT.601 full-range, 2x2
+    chroma averaging)."""
     h, w = len(px_rows), len(px_rows[0])
     ys = [[0] * w for _ in range(h)]
     cbf = [[0.0] * w for _ in range(h)]
@@ -1046,4 +1781,11 @@ def encode_ipcm(px_rows) -> bytes:
                    for dy in (0, 1) for dx in (0, 1)]
             cbs[cy][cx] = _clip8(round(sum(cbf[a][b] for a, b in pts) / 4))
             crs[cy][cx] = _clip8(round(sum(crf[a][b] for a, b in pts) / 4))
-    return encode_ipcm_yuv(ys, cbs, crs)
+    return ys, cbs, crs
+
+
+def encode_ipcm(px_rows) -> bytes:
+    """RGB rows -> I_PCM Annex-B stream (BT.601 full-range, 4:2:0
+    chroma averaged over each 2x2). RGB round-trips within the usual
+    color-conversion rounding (the YUV surface round-trips exactly)."""
+    return encode_ipcm_yuv(*_rgb_to_420(px_rows))

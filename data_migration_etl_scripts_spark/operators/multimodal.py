@@ -1433,6 +1433,20 @@ def _synthetic_real_media_rows_build(
         rows.append((n + 20, "video",
                      bytearray(mp4_wrap_h264(encode_ipcm(px8), 20, 12)),
                      "{}"))
+        # r9: a QUANTIZED H.264 stream from the engine encoder's
+        # table-free dense operating point (first MB I_PCM, the rest
+        # Intra_16x16 with all-dense CAVLC luma residuals riding the
+        # nC>=8 fixed-length branch) — decodes with the CAVLC seam
+        # EMPTY in any worker, and exercises the dequant V / luma-DC
+        # path end to end (operators/h264.py encode_quantized)
+        from data_migration_etl_scripts_spark.operators.h264 import (
+            encode_quantized,
+        )
+
+        px9 = [[((x * 7 + y * 11) % 256, (x * 3 + y * 5) % 256,
+                 (x + y * 13) % 256) for x in range(36)] for y in range(28)]
+        rows.append((n + 21, "video",
+                     bytearray(encode_quantized(px9, qp=12)), "{}"))
     return rows
 
 
