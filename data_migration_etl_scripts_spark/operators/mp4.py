@@ -13,13 +13,19 @@ arithmetic, length-prefixed-NAL to start-code conversion) — zero
 tabulated spec constants, so no Annex-B seam: the seam story lives in
 the codec layer (h264.py's CAVLC tables).
 
-Scope: the FIRST sync sample of the FIRST AVC video track. Fragmented
-MP4 (moof), editing lists, and non-AVC codecs raise namefully.
+Scope: the FIRST sync sample of the FIRST AVC video track — from the
+classic ``stbl`` sample tables OR (r9) from movie fragments
+(``moof > traf > tfhd/trun`` with base-data-offset /
+default-base-is-moof addressing, trex/tfhd default sample sizes and
+flags, and the sample_is_non_sync_sample bit for sync selection).
+Editing lists and non-AVC codecs raise namefully.
 
-``mp4_wrap_h264`` builds the inverse for tests: a minimal unfragmented
-single-sample MP4 around an Annex-B stream (the engine's I_PCM
-encoder output), so demux+decode round-trips are self-checking
-end to end without any foreign fixture."""
+``mp4_wrap_h264`` builds the inverse for tests: a minimal
+single-sample MP4 around an Annex-B stream (the engine's encoder
+output) — unfragmented by default, ``fragmented=True`` emits the
+fMP4 layout (empty stbl + mvex/trex + one moof/mdat pair) — so
+demux+decode round-trips are self-checking end to end without any
+foreign fixture."""
 
 from __future__ import annotations
 
@@ -67,7 +73,7 @@ def _u32s(data: bytes, pos: int, n: int) -> list[int]:
 
 def mp4_extract_h264(data: bytes) -> bytes:
     """MP4 bytes -> Annex-B stream of SPS + PPS + the first sync video
-    sample's NAL units."""
+    sample's NAL units (flat stbl files and fragmented moof files)."""
     # valid ISO-BMFF may open with free/skip/wide (or even mdat) before
     # ftyp/moov — require a known top-level box type up front, then let
     # the moov walk below do the real validation
@@ -75,8 +81,7 @@ def mp4_extract_h264(data: bytes) -> bytes:
                          b"wide", b"mdat", b"pdin", b"uuid", b"moof",
                          b"sidx", b"meta"):
         raise ValueError("not an ISO-BMFF file (no known top-level box)")
-    if any(t == b"moof" for t, _s, _e in mp4_boxes(data)):
-        raise NotImplementedError("fragmented MP4 (moof) — flat files only")
+    fragmented = any(t == b"moof" for t, _s, _e in mp4_boxes(data))
     moov = _find(data, [b"moov"], 0, len(data))
 
     # first trak whose stsd carries an avc1/avc3 entry
@@ -111,11 +116,19 @@ def mp4_extract_h264(data: bytes) -> bytes:
         except ValueError as e:
             last_err = e
             continue
+        if fragmented:
+            tkhd_s, _tkhd_e = _find(data, [b"tkhd"], ts, te)
+            version = data[tkhd_s]
+            # track_ID after version/flags + creation/modification
+            tid_off = tkhd_s + 4 + (16 if version == 1 else 8)
+            track_id = struct.unpack_from(">I", data, tid_off)[0]
+            return _assemble_fmp4(data, avcc, track_id)
         return _assemble(data, stbl, avcc)
     raise ValueError(f"no AVC video track found ({last_err})")
 
 
-def _assemble(data: bytes, stbl: tuple, avcc: tuple) -> bytes:
+def _param_sets(data: bytes, avcc: tuple):
+    """avcC box -> (Annex-B SPS+PPS bytes, NAL length-field size)."""
     s, e = avcc
     if data[s] != 1:
         raise ValueError(f"avcC configurationVersion {data[s]}")
@@ -134,6 +147,101 @@ def _assemble(data: bytes, stbl: tuple, avcc: tuple) -> bytes:
         ln = struct.unpack_from(">H", data, pos)[0]
         out += b"\x00\x00\x00\x01" + data[pos + 2: pos + 2 + ln]
         pos += 2 + ln
+    return out, nal_len
+
+
+def _nals_to_annexb(data: bytes, off: int, size: int, nal_len: int,
+                    out: bytearray) -> bytes:
+    end_off = off + size
+    while off + nal_len <= end_off:
+        ln = int.from_bytes(data[off: off + nal_len], "big")
+        off += nal_len
+        out += b"\x00\x00\x00\x01" + data[off: off + ln]
+        off += ln
+    return bytes(out)
+
+
+def _assemble_fmp4(data: bytes, avcc: tuple, track_id: int) -> bytes:
+    """First sync sample of the given track across the movie
+    fragments: moof > traf > tfhd (defaults + base addressing) and
+    trun (per-sample sizes/flags; sample_is_non_sync_sample = bit 16
+    of the sample flags)."""
+    out, nal_len = _param_sets(data, avcc)
+    for typ, ms, me in mp4_boxes(data):
+        if typ != b"moof":
+            continue
+        moof_start = ms - 8  # box header start (moof sizes are 32-bit)
+        for t2, ts, te in mp4_boxes(data, ms, me):
+            if t2 != b"traf":
+                continue
+            tfhd_s, _e2 = _find(data, [b"tfhd"], ts, te)
+            tf_flags = struct.unpack_from(">I", data, tfhd_s)[0] & 0xFFFFFF
+            if struct.unpack_from(">I", data, tfhd_s + 4)[0] != track_id:
+                continue
+            pos = tfhd_s + 8
+            base = moof_start
+            if tf_flags & 0x1:           # base-data-offset-present
+                base = struct.unpack_from(">Q", data, pos)[0]
+                pos += 8
+            if tf_flags & 0x2:           # sample-description-index
+                pos += 4
+            def_size = None
+            if tf_flags & 0x8:           # default-sample-duration
+                pos += 4
+            if tf_flags & 0x10:
+                def_size = struct.unpack_from(">I", data, pos)[0]
+                pos += 4
+            def_flags = 0
+            if tf_flags & 0x20:
+                def_flags = struct.unpack_from(">I", data, pos)[0]
+                pos += 4
+            for t3, rs, re_ in mp4_boxes(data, ts, te):
+                if t3 != b"trun":
+                    continue
+                tr_flags = struct.unpack_from(">I", data, rs)[0] & 0xFFFFFF
+                count = struct.unpack_from(">I", data, rs + 4)[0]
+                pos = rs + 8
+                if not tr_flags & 0x1:
+                    raise NotImplementedError(
+                        "trun without data_offset — implicit mdat "
+                        "chaining not supported"
+                    )
+                data_off = struct.unpack_from(">i", data, pos)[0]
+                pos += 4
+                first_flags = None
+                if tr_flags & 0x4:
+                    first_flags = struct.unpack_from(">I", data, pos)[0]
+                    pos += 4
+                off = base + data_off
+                for i in range(count):
+                    if tr_flags & 0x100:   # sample-duration
+                        pos += 4
+                    size = def_size
+                    if tr_flags & 0x200:
+                        size = struct.unpack_from(">I", data, pos)[0]
+                        pos += 4
+                    if size is None:
+                        raise ValueError(
+                            "fMP4 sample without a size (no trun "
+                            "sizes, no tfhd default)"
+                        )
+                    sflags = def_flags
+                    if tr_flags & 0x400:
+                        sflags = struct.unpack_from(">I", data, pos)[0]
+                        pos += 4
+                    elif i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if tr_flags & 0x800:   # composition offset
+                        pos += 4
+                    if not sflags & 0x10000:  # sample_is_non_sync
+                        return _nals_to_annexb(
+                            data, off, size, nal_len, out)
+                    off += size
+    raise ValueError("no sync sample in any movie fragment")
+
+
+def _assemble(data: bytes, stbl: tuple, avcc: tuple) -> bytes:
+    out, nal_len = _param_sets(data, avcc)
 
     # sample tables -> offset/size of the first sync sample
     tables: dict[bytes, tuple[int, int]] = {}
@@ -180,14 +288,7 @@ def _assemble(data: bytes, stbl: tuple, avcc: tuple) -> bytes:
                 chunk_idx = ch - 1
                 off = offsets[chunk_idx]
                 off += sum(before[sample - 1: sync_no - 1])
-                # length-prefixed NALs -> start codes
-                end_off = off + size
-                while off + nal_len <= end_off:
-                    ln = int.from_bytes(data[off: off + nal_len], "big")
-                    off += nal_len
-                    out += b"\x00\x00\x00\x01" + data[off: off + ln]
-                    off += ln
-                return bytes(out)
+                return _nals_to_annexb(data, off, size, nal_len, out)
             sample += per
     raise ValueError("sync sample not reachable through stsc/stco")
 
@@ -198,11 +299,16 @@ def _box(typ: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + typ + payload
 
 
-def mp4_wrap_h264(annexb: bytes, width: int, height: int) -> bytes:
+def mp4_wrap_h264(annexb: bytes, width: int, height: int,
+                  fragmented: bool = False) -> bytes:
     """Wrap an Annex-B H.264 stream (SPS+PPS+one IDR picture, e.g. the
-    engine I_PCM encoder's output) as a minimal unfragmented MP4 with
-    one video track and one sync sample — the structural inverse of
-    :func:`mp4_extract_h264` for self-checking round trips."""
+    engine encoders' output) as a minimal MP4 with one video track and
+    one sync sample — the structural inverse of
+    :func:`mp4_extract_h264` for self-checking round trips.
+    ``fragmented=True`` emits the fMP4 layout instead: empty sample
+    tables + mvex/trex in the moov, then one moof (tfhd with
+    default-base-is-moof, trun with data_offset + sample size) and its
+    mdat — the DASH/streaming-origin shape."""
     from data_migration_etl_scripts_spark.operators.h264 import nal_units
 
     sps = pps = None
@@ -237,14 +343,23 @@ def mp4_wrap_h264(annexb: bytes, width: int, height: int) -> bytes:
             + struct.pack(">h", -1)                      # pre_defined
             + _box(b"avcC", avcc))
     stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _box(b"avc1", avc1))
-    stts = _box(b"stts", struct.pack(">IIII", 0, 1, 1, 1000))
-    stss = _box(b"stss", struct.pack(">III", 0, 1, 1))
-    stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, 1, 1))
-    stsz = _box(b"stsz", struct.pack(">IIII", 0, 0, 1, len(sample)))
-    # stco offset patched after layout below
-    stco_payload = struct.pack(">III", 0, 1, 0)
-    stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz
-                + _box(b"stco", stco_payload))
+    if fragmented:
+        # empty sample tables: all samples live in movie fragments
+        stts = _box(b"stts", struct.pack(">II", 0, 0))
+        stss = b""
+        stsc = _box(b"stsc", struct.pack(">II", 0, 0))
+        stsz = _box(b"stsz", struct.pack(">III", 0, 0, 0))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz
+                    + _box(b"stco", struct.pack(">II", 0, 0)))
+    else:
+        stts = _box(b"stts", struct.pack(">IIII", 0, 1, 1, 1000))
+        stss = _box(b"stss", struct.pack(">III", 0, 1, 1))
+        stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, 1, 1))
+        stsz = _box(b"stsz", struct.pack(">IIII", 0, 0, 1, len(sample)))
+        # stco offset patched after layout below
+        stco_payload = struct.pack(">III", 0, 1, 0)
+        stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz
+                    + _box(b"stco", stco_payload))
     dref = _box(b"dref", struct.pack(">II", 0, 1)
                 + _box(b"url ", struct.pack(">I", 1)))
     dinf = _box(b"dinf", dref)
@@ -265,7 +380,24 @@ def mp4_wrap_h264(annexb: bytes, width: int, height: int) -> bytes:
                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
                               0, 0, 0x40000000)
                 + b"\x00" * 24 + struct.pack(">I", 2))
-    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    trak = _box(b"trak", tkhd + mdia)
+    if fragmented:
+        trex = _box(b"trex", struct.pack(">IIIIII", 0, 1, 1, 1000, 0, 0))
+        moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                    + b"isomiso5dash")
+        mfhd = _box(b"mfhd", struct.pack(">II", 0, 1))
+        # tfhd: default-base-is-moof (0x20000), track 1
+        tfhd = _box(b"tfhd", struct.pack(">II", 0x20000, 1))
+        # trun: data-offset (0x1) + sample-size (0x200), one sample;
+        # data_offset patched to moof size + mdat header below
+        trun = _box(b"trun", struct.pack(">IIiI", 0x201, 1, 0,
+                                         len(sample)))
+        moof = bytearray(_box(b"moof", mfhd + _box(b"traf", tfhd + trun)))
+        idx = bytes(moof).find(b"trun") + 4 + 8  # flags + count
+        struct.pack_into(">i", moof, idx, len(moof) + 8)
+        return ftyp + moov + bytes(moof) + _box(b"mdat", sample)
+    moov = _box(b"moov", mvhd + trak)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
                 + b"isomavc1")
     mdat = _box(b"mdat", sample)

@@ -1447,6 +1447,14 @@ def _synthetic_real_media_rows_build(
                  (x + y * 13) % 256) for x in range(36)] for y in range(28)]
         rows.append((n + 21, "video",
                      bytearray(encode_quantized(px9, qp=12)), "{}"))
+        # r9: the same quantized picture in a FRAGMENTED MP4 (moof/
+        # traf/trun — the DASH/streaming-origin container shape;
+        # operators/mp4.py fMP4 demux path)
+        rows.append((n + 22, "video",
+                     bytearray(mp4_wrap_h264(
+                         encode_quantized(px9, qp=12), 36, 28,
+                         fragmented=True)),
+                     "{}"))
     return rows
 
 

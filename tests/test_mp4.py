@@ -73,11 +73,75 @@ def test_non_bmff_raises():
         m.mp4_extract_h264(b"\x00" * 40)
 
 
-def test_fragmented_raises_namefully():
+# ------------------------------------------------ fragmented MP4 (r9)
+
+def test_fmp4_wrap_extract_byte_identity():
+    _px, stream = _stream(seed=2)
+    wrapped = m.mp4_wrap_h264(stream, 20, 12, fragmented=True)
+    # the fragmented layout really is fragmented: a moof precedes mdat
+    kinds = [t for t, _s, _e in m.mp4_boxes(wrapped)]
+    assert b"moof" in kinds
+    assert m.mp4_extract_h264(wrapped) == stream
+
+
+def test_fmp4_wrap_extract_identity_property():
+    """Property (hypothesis): moof/traf/trun wrap->extract is
+    byte-identical for any engine stream (I_PCM and quantized) over
+    random dims/content — pins tfhd default-base-is-moof addressing
+    and trun data_offset/size arithmetic."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def run(data):
+        rnd = data.draw(st.randoms(use_true_random=False))
+        w = 2 * data.draw(st.integers(2, 16))
+        hgt = 2 * data.draw(st.integers(2, 12))
+        px = [[(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+               for _ in range(w)] for _ in range(hgt)]
+        if data.draw(st.booleans()):
+            stream = h.encode_ipcm(px)
+        else:
+            stream = h.encode_quantized(px, qp=data.draw(st.integers(6, 24)))
+        got = m.mp4_extract_h264(
+            m.mp4_wrap_h264(stream, w, hgt, fragmented=True))
+        assert got == stream
+
+    run()
+
+
+def test_fmp4_skips_non_sync_leading_samples():
+    """A trun whose first sample is flagged non-sync (bit 16) must be
+    skipped; the second (sync) sample is the one extracted."""
+    _px, stream = _stream(seed=6)
+    wrapped = bytearray(m.mp4_wrap_h264(stream, 20, 12, fragmented=True))
+    # rebuild the moof with TWO samples: a junk non-sync one first
+    units = list(m.mp4_boxes(bytes(wrapped)))
+    moof_s, moof_e = next((s, e) for t, s, e in units if t == b"moof")
+    mdat_s, mdat_e = next((s, e) for t, s, e in units if t == b"mdat")
+    sample = bytes(wrapped[mdat_s:mdat_e])
+    junk = b"\x00\x00\x00\x02\xff\xff"  # one bogus length-prefixed NAL
+    head = bytes(wrapped[: moof_s - 8])
+    mfhd = m._box(b"mfhd", struct.pack(">II", 0, 1))
+    tfhd = m._box(b"tfhd", struct.pack(">II", 0x20000, 1))
+    trun = m._box(b"trun", struct.pack(
+        ">IIi", 0x601, 2, 0)          # data-offset + sizes + flags
+        + struct.pack(">II", len(junk), 0x10000)   # junk: non-sync
+        + struct.pack(">II", len(sample), 0))      # real: sync
+    moof = bytearray(m._box(b"moof", mfhd + m._box(b"traf", tfhd + trun)))
+    idx = bytes(moof).find(b"trun") + 4 + 8
+    struct.pack_into(">i", moof, idx, len(moof) + 8)
+    out = head + bytes(moof) + m._box(b"mdat", junk + sample)
+    assert m.mp4_extract_h264(out) == stream
+
+
+def test_fmp4_trun_without_data_offset_raises():
     _px, stream = _stream()
-    wrapped = bytearray(m.mp4_wrap_h264(stream, 20, 12))
-    wrapped += m._box(b"moof", b"")
-    with pytest.raises(NotImplementedError, match="fragmented"):
+    wrapped = bytearray(m.mp4_wrap_h264(stream, 20, 12, fragmented=True))
+    idx = bytes(wrapped).find(b"trun") + 4
+    flags = struct.unpack_from(">I", wrapped, idx)[0]
+    struct.pack_into(">I", wrapped, idx, flags & ~0x1)
+    with pytest.raises(NotImplementedError, match="data_offset"):
         m.mp4_extract_h264(bytes(wrapped))
 
 
