@@ -204,30 +204,33 @@ def _rw_struct_pack(args):
 
 
 def _rw_list_agg(args):
-    """list(x) -> collect_list(x); list(x ORDER BY x) ->
-    sort_array(collect_list(x)) ONLY when the sort key is textually
-    the aggregated expression itself, ascending — any other key or a
-    DESC direction has no faithful Spark spelling here, so the rewrite
-    declines and the untranslated list() fails analysis (deterministic,
-    instead of silently sorting by element and leaning on the
-    row-match gate to catch it)."""
+    """list(x) -> collect_list(x); list(x ORDER BY k) gets a faithful
+    ordered spelling:
+
+    - k == x (ascending), or x is a named_struct whose FIRST field is
+      k: ``sort_array(collect_list(x))`` (remaining fields only break
+      ties — ties are unspecified in both dialects);
+    - any other key (or DESC): sort-by-key via a struct:
+      ``transform(array_sort(collect_list(struct(k, x))),
+      s -> s.__lav)`` (reversed for DESC) — never the r8 behavior of
+      silently sorting by element."""
     if len(args) != 1:
         return None
     m = re.split(r"\s+ORDER\s+BY\s+", args[0], flags=re.IGNORECASE)
     if len(m) == 2:
         expr, key = m[0].strip(), m[1].strip()
-        if re.search(r"\s+DESC$", key, re.IGNORECASE):
-            return None
-        key = re.sub(r"\s+ASC$", "", key, flags=re.IGNORECASE).strip()
-        if key != expr and not re.match(
-            # named_struct whose FIRST field is the sort key:
-            # sort_array orders by that field ascending (remaining
-            # fields only break ties) — still faithful
+        desc = bool(re.search(r"\s+DESC$", key, re.IGNORECASE))
+        key = re.sub(r"\s+(ASC|DESC)$", "", key, flags=re.IGNORECASE).strip()
+        if not desc and (key == expr or re.match(
             r"^named_struct\(\s*'\w+'\s*,\s*" + re.escape(key) + r"\s*,",
             expr,
-        ):
-            return None
-        return f"sort_array(collect_list({expr}))"
+        )):
+            return f"sort_array(collect_list({expr}))"
+        inner = (f"array_sort(collect_list(struct(({key}) AS __lak, "
+                 f"({expr}) AS __lav)))")
+        if desc:
+            inner = f"reverse({inner})"
+        return f"transform({inner}, __las -> __las.__lav)"
     return f"collect_list({args[0]})"
 
 
@@ -446,6 +449,14 @@ def _rewrite_brackets(sql: str) -> str:
                 continue
             inner = sql[pos + 1: end - 1]
             base_start = _base_span(sql, mask, pos)
+            if base_start is not None and re.match(
+                r"^\s*'(?:[^']|'')*'\s*$", inner
+            ):
+                # string-keyed access (map value / struct field):
+                # Spark accepts expr['k'] natively — translating it to
+                # element_at would break struct fields (and the tier-3
+                # zip-positional output z['0'] must survive re-runs)
+                continue
             if base_start is None:
                 repl = "array(" + inner + ")"
                 sql = sql[:pos] + repl + sql[end:]
@@ -482,6 +493,237 @@ def _rewrite_brackets(sql: str) -> str:
             changed = True
             break
     return sql
+
+
+def _try_inline_let(body: str) -> str | None:
+    """``SELECT <expr> FROM (SELECT <val> AS <name>[, ...])`` (the
+    FROM-less one-row derived table, i.e. a let binding) -> <expr>
+    with each <name> substituted by (<val>). None when the body is
+    any other shape."""
+    m = re.match(r"\s*SELECT\b", body, re.IGNORECASE)
+    if not m:
+        return None
+    mask = _literal_mask(body)
+    depth = 0
+    from_pos = None
+    for mm in re.finditer(r"\(|\)|\[|\]|\bFROM\b", body, re.IGNORECASE):
+        if mask[mm.start()]:
+            continue
+        tok = mm.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0 and mm.start() > m.end():
+            from_pos = mm.start()
+            break
+    if from_pos is None:
+        return None
+    expr = body[m.end(): from_pos].strip()
+    if len(_split_top(expr)) != 1:   # not a scalar select list
+        return None
+    tail = body[from_pos + 4:].strip()
+    if not tail.startswith("("):
+        return None
+    end = _balanced_end(tail, 0)
+    if end < 0 or tail[end:].strip():
+        return None
+    inner = tail[1: end - 1]
+    mi = re.match(r"\s*SELECT\b", inner, re.IGNORECASE)
+    if not mi:
+        return None
+    imask = _literal_mask(inner)
+    d2 = 0
+    for mm in re.finditer(r"\(|\)|\[|\]|\bFROM\b", inner, re.IGNORECASE):
+        if imask[mm.start()]:
+            continue
+        tok = mm.group(0)
+        if tok in "([":
+            d2 += 1
+        elif tok in ")]":
+            d2 -= 1
+        elif d2 == 0:
+            return None   # inner has its own FROM: not a let binding
+    for item in _split_top(inner[mi.end():]):
+        mb = re.match(r"(?s)^\s*(.*?)\s+AS\s+(\w+)\s*$", item,
+                      re.IGNORECASE)
+        if not mb:
+            return None
+        val, name = mb.group(1), mb.group(2)
+        expr = _sub_outside_literals(
+            expr, rf"(?<![\w.`]){re.escape(name)}(?![\w`])",
+            lambda _m, v=val: f"({v})",
+        )
+    return expr
+
+
+def _inline_scalar_let(sql: str) -> str:
+    """Inline DuckDB's let-binding idiom — a correlated scalar
+    subquery over a FROM-less one-row derived table::
+
+        (SELECT <expr> FROM (SELECT <val> AS <name>))
+
+    Spark's decorrelation rejects the shape (and resolution fails
+    outright when it nests deeper), but it is pure sugar: substitute
+    each binding into the expression. Outermost-first with a rescan
+    per change, so nested lets fold in as the substituted text is
+    revisited."""
+    changed = True
+    while changed:
+        changed = False
+        mask = _literal_mask(sql)
+        for m in re.finditer(r"\(\s*SELECT\b", sql, re.IGNORECASE):
+            if mask[m.start()]:
+                continue
+            end = _balanced_end(sql, m.start(), mask)
+            if end < 0:
+                continue
+            repl = _try_inline_let(sql[m.start() + 1: end - 1])
+            if repl is not None:
+                sql = sql[: m.start()] + "(" + repl + ")" + sql[end:]
+                changed = True
+                break
+    return sql
+
+
+def _lateral_posexplode(sql: str) -> str:
+    """DuckDB's parallel index+value generator over one list::
+
+        , LATERAL (SELECT generate_subscripts(s, 1) AS p,
+                   unnest(s) AS c FROM (SELECT <val> AS s)) u
+
+    -> ``LATERAL VIEW posexplode(<val>) u AS p, c`` (after tier-1
+    renamed unnest to explode). posexplode is 0-based where
+    generate_subscripts is 1-based, so references to ``u.p`` are
+    shifted to ``(u.p + 1)``."""
+    pat = re.compile(
+        r",\s*LATERAL\s*\(\s*SELECT\s+generate_subscripts\s*\(\s*(\w+)"
+        r"\s*,\s*1\s*\)\s*AS\s+(\w+)\s*,\s*explode\s*\(\s*\1\s*\)\s*AS"
+        r"\s+(\w+)\s+FROM\s*\(\s*SELECT\s+(.*?)\s+AS\s+\1\s*\)\s*\)"
+        r"\s*(\w+)",
+        re.IGNORECASE | re.DOTALL,
+    )
+    while True:
+        m = pat.search(sql)
+        if not m or any(_literal_mask(sql)[m.start(): m.start() + 1]):
+            return sql
+        s_var, p_col, c_col, val, alias = m.groups()
+        repl = f" LATERAL VIEW posexplode({val}) {alias} AS {p_col}, {c_col}"
+        sql = sql[: m.start()] + repl + sql[m.end():]
+        sql = _sub_outside_literals(
+            sql, rf"\b{alias}\.{p_col}\b(?!\s*,\s*{c_col})",
+            f"({alias}.{p_col} + 1)",
+        )
+
+
+def _hoist_cast_explode(sql: str) -> str:
+    """``CAST(explode(X) AS T)`` nested in a select item (Spark:
+    UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS) -> hoist the
+    generator to a ``LATERAL VIEW`` at the end of the enclosing
+    query block's FROM clause and reference its output column."""
+    n = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = re.search(r"\bCAST\s*\(\s*explode\s*\(", sql, re.IGNORECASE)
+        if not m or mask[m.start()]:
+            return sql
+        gen_open = m.end() - 1
+        gen_end = _balanced_end(sql, gen_open, mask)
+        if gen_end < 0:
+            return sql
+        tail = re.match(r"\s*AS\s+(\w+)\s*\)", sql[gen_end:], re.IGNORECASE)
+        if not tail:
+            return sql
+        gen_body = sql[gen_open + 1: gen_end - 1]
+        typ = tail.group(1)
+        cast_start = m.start()
+        cast_end = gen_end + tail.end()
+        # enclosing query block: smallest balanced paren span whose
+        # content opens with SELECT; whole string when none
+        block = (0, len(sql))
+        best = None
+        for mm in re.finditer(r"\(", sql):
+            if mask[mm.start()] or mm.start() > cast_start:
+                continue
+            e2 = _balanced_end(sql, mm.start(), mask)
+            if e2 < cast_end:
+                continue
+            if re.match(r"\s*SELECT\b", sql[mm.start() + 1: mm.start() + 200],
+                        re.IGNORECASE):
+                if best is None or e2 - mm.start() < best[1] - best[0]:
+                    best = (mm.start() + 1, e2 - 1)
+        if best is not None:
+            block = best
+        # insertion point: before the block's first top-level
+        # WHERE/GROUP/HAVING/ORDER/LIMIT after the FROM, else block end
+        seg = sql[block[0]: block[1]]
+        smask = _literal_mask(seg)
+        depth = 0
+        insert_rel = len(seg)
+        for mm in re.finditer(
+            r"\(|\)|\[|\]|\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b",
+            seg, re.IGNORECASE,
+        ):
+            if smask[mm.start()]:
+                continue
+            tok = mm.group(0)
+            if tok in "([":
+                depth += 1
+            elif tok in ")]":
+                depth -= 1
+            elif depth == 0 and mm.start() > (cast_start - block[0]):
+                insert_rel = mm.start()
+                break
+        col = f"__gfc{n}"
+        n += 1
+        insert_abs = block[0] + insert_rel
+        sql = (sql[:cast_start] + f"CAST({col} AS {typ})"
+               + sql[cast_end: insert_abs]
+               + f" LATERAL VIEW explode({gen_body}) __gf{n} AS {col} "
+               + sql[insert_abs:])
+
+
+def _fix_zip_positional(sql: str) -> str:
+    """DuckDB indexes the structs that ``list_zip`` builds BY POSITION
+    (1-based ``z[1]``); after the bracket pass that shows up as
+    ``element_at(z, N)`` on a struct, which Spark rejects. When a
+    lambda ranges directly over ``arrays_zip(<exprs>)`` Spark names
+    the struct fields '0', '1', ... (the inputs are expressions, not
+    bare columns), so the faithful spelling is ``z['N-1']``."""
+    def fix(args):
+        if len(args) != 2 or not re.match(r"(?is)^arrays_zip\s*\(",
+                                          args[0]):
+            return None
+        lm = re.match(r"(?s)^\s*(\w+)\s*->\s*(.*)$", args[1])
+        if not lm:
+            return None
+        var, body = lm.group(1), lm.group(2)
+        # Spark's field naming: a bare column reference contributes its
+        # own name; any other expression contributes its 0-based arg
+        # position as the name
+        zopen = args[0].index("(")
+        zargs = _split_top(args[0][zopen + 1: -1].strip())
+        names = []
+        for i, za in enumerate(zargs):
+            mm = re.match(r"^\s*(\w+(?:\.\w+)*)\s*$", za)
+            names.append(mm.group(1).split(".")[-1] if mm else str(i))
+
+        def sub(m, v=var, names=names):
+            k = int(m.group(1)) - 1
+            if not 0 <= k < len(names):
+                return m.group(0)
+            return f"{v}['{names[k]}']"
+
+        new_body = _sub_outside_literals(
+            body,
+            rf"\belement_at\(\s*{var}\s*,\s*(\d+)\s*\)",
+            sub,
+        )
+        if new_body == body:
+            return None
+        return f"transform({args[0]}, {var} -> {new_body})"
+
+    return _rewrite_calls(sql, "transform", fix)
 
 
 def translate_duckdb_sql(sql: str) -> str:
@@ -576,7 +818,12 @@ def translate_duckdb_sql(sql: str) -> str:
         "cardinality(regexp_extract_all(",
         flags=re.IGNORECASE,
     )
+    # ---- tier 3 rewrites (r9): shapes Spark's analyzer rejects ----
+    out = _inline_scalar_let(out)
+    out = _lateral_posexplode(out)
+    out = _hoist_cast_explode(out)
     out = _rewrite_brackets(out)
+    out = _fix_zip_positional(out)
     # DuckDB's FROM-clause lateral generator ``, UNNEST(x) AS u(col)``
     # (after tier-1 renames: explode) -> Spark's LATERAL VIEW form.
     # The ``AS name(col)`` alias shape is the discriminator: a
@@ -652,6 +899,289 @@ def _hex_postfix_casts(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[end + tail.end():]
 
 
+# ----------------------------------------------------------- tier 3
+# executors (r9): run what Spark's PARSER/PLANNER can't — recursive
+# CTEs with UNION-distinct (iterative materialization, the engine's
+# PageRank/components loop discipline) and ASOF JOIN (rewritten to a
+# ranked inequality join). Both return a DataFrame from run_sql's
+# dispatch; both decline (None) on shapes they don't recognize so the
+# native path's error surfaces unchanged.
+
+def _parse_cte_list(sql: str):
+    """``WITH RECURSIVE <name>[(cols)] AS (<body>), ... <tail>`` ->
+    ([(name, cols|None, body)], tail); None if the text doesn't start
+    with WITH RECURSIVE or doesn't parse."""
+    m = re.match(r"\s*WITH\s+RECURSIVE\s+", sql, re.IGNORECASE)
+    if not m:
+        return None
+    pos = m.end()
+    ctes = []
+    head = re.compile(r"(\w+)\s*(?:\(([^()]*)\))?\s+AS\s*\(", re.IGNORECASE)
+    while True:
+        mm = head.match(sql, pos)
+        if not mm:
+            return None
+        mask = _literal_mask(sql)
+        open_pos = mm.end() - 1
+        end = _balanced_end(sql, open_pos, mask)
+        if end < 0:
+            return None
+        cols = ([c.strip() for c in mm.group(2).split(",")]
+                if mm.group(2) else None)
+        ctes.append((mm.group(1), cols, sql[open_pos + 1: end - 1]))
+        j = end
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == ",":
+            pos = j + 1
+            while pos < len(sql) and sql[pos].isspace():
+                pos += 1
+            continue
+        return ctes, sql[j:]
+
+
+def _split_top_union(body: str):
+    """Split on the first top-level UNION (not UNION ALL); None when
+    there isn't one."""
+    mask = _literal_mask(body)
+    depth = 0
+    for mm in re.finditer(r"\(|\)|\[|\]|\bUNION\b(\s+ALL\b)?", body,
+                          re.IGNORECASE):
+        if mask[mm.start()]:
+            continue
+        tok = mm.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0 and not mm.group(1):
+            return body[: mm.start()], body[mm.end():]
+    return None
+
+
+def _exec_recursive(spark: SparkSession, sql: str):
+    """Dispatch wrapper: handles WITH RECURSIVE at the top level AND
+    nested inside an outer CTE/subquery (``WITH x AS (WITH RECURSIVE
+    ...)``) by materializing each parenthesized recursive block as a
+    temp view innermost-first, then running what remains.
+
+    Constraint propagation is disabled for the duration: Catalyst's
+    union constraint rewrite chokes on duplicate-attribute
+    projections (``SELECT u, u``) that the connected-components seed
+    shape uses (key-not-found on the aliased attribute)."""
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        n = 0
+        while True:
+            mask = _literal_mask(sql)
+            m = re.search(r"\(\s*WITH\s+RECURSIVE\b", sql, re.IGNORECASE)
+            if not m or mask[m.start()]:
+                break
+            end = _balanced_end(sql, m.start(), mask)
+            if end < 0:
+                return None
+            inner = _exec_recursive_top(spark, sql[m.start() + 1: end - 1])
+            if inner is None:
+                return None
+            name = f"__rec{n}"
+            n += 1
+            inner.createOrReplaceTempView(name)
+            sql = sql[: m.start()] + f"(SELECT * FROM {name})" + sql[end:]
+        if re.match(r"\s*WITH\s+RECURSIVE\b", sql, re.IGNORECASE):
+            return _exec_recursive_top(spark, sql)
+        return spark.sql(sql) if n else None
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _exec_recursive_top(spark: SparkSession, sql: str):
+    """Iterative materialization of a top-level ``WITH RECURSIVE``
+    with UNION-distinct recursion (Spark only supports UNION ALL
+    there).
+
+    Standard/DuckDB semantics: the working table starts as
+    DISTINCT(base); each round evaluates the step with the CTE name
+    bound to the LAST round's new rows, keeps only rows not already
+    accumulated, and stops on an empty delta. localCheckpoint()
+    truncates lineage per round (the PageRank loop discipline), so at
+    scale each round costs one distinct + one anti-join bounded by
+    the delta size — no plan blowup with depth."""
+    parsed = _parse_cte_list(sql)
+    if parsed is None:
+        return None
+    ctes, tail = parsed
+    for name, cols, body in ctes:
+        own = re.search(rf"\b{name}\b", body, re.IGNORECASE)
+        if not own:
+            df = spark.sql(body)
+            if cols:
+                df = df.toDF(*cols)
+            df.createOrReplaceTempView(name)
+            continue
+        parts = _split_top_union(body)
+        if parts is None:
+            return None   # UNION ALL recursion: let Spark run it native
+        base, step = parts
+        if re.search(rf"\b{name}\b", base, re.IGNORECASE):
+            return None
+        acc = spark.sql(base)
+        if cols:
+            acc = acc.toDF(*cols)
+        acc = acc.distinct().localCheckpoint()
+        frontier = acc
+        for _ in range(1000):
+            frontier.createOrReplaceTempView(name)
+            step_df = spark.sql(step)
+            if cols:
+                step_df = step_df.toDF(*cols)
+            new = step_df.distinct().subtract(acc).localCheckpoint()
+            if new.count() == 0:
+                break
+            acc = acc.unionAll(new).localCheckpoint()
+            frontier = new
+        else:
+            raise ValueError(
+                f"recursive CTE {name} did not converge in 1000 rounds"
+            )
+        acc.createOrReplaceTempView(name)
+    return spark.sql(tail)
+
+
+def _exec_asof(spark: SparkSession, sql: str):
+    """``FROM <L> la ASOF [LEFT] JOIN <R> ra ON <eq...> AND la.t >= ra.t``
+    -> inequality join + row_number over a synthesized left-row id
+    (latest right row at or before the left timestamp — the engine's
+    as-of semantics, operators/temporal.py)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE)
+    if not m:
+        return None
+    left_join = bool(m.group(1))
+    mask = _literal_mask(sql)
+    # the FROM that owns the ASOF: last top-level FROM before it
+    from_pos = None
+    depth = 0
+    for mm in re.finditer(r"\(|\)|\[|\]|\bFROM\b", sql[: m.start()],
+                          re.IGNORECASE):
+        if mask[mm.start()]:
+            continue
+        tok = mm.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0:
+            from_pos = mm.start()
+    if from_pos is None:
+        return None
+    select_m = re.match(r"\s*SELECT\b", sql, re.IGNORECASE)
+    if not select_m:
+        return None
+    select_list = sql[select_m.end(): from_pos]
+    lm = re.match(r"(?s)\s*(.*?)\s+(?:AS\s+)?(\w+)\s*$",
+                  sql[from_pos + 4: m.start()])
+    if not lm:
+        return None
+    left_expr, la = lm.group(1), lm.group(2)
+    # right side: balanced expr then alias, then ON
+    rest = sql[m.end():]
+    if rest.lstrip().startswith("("):
+        roff = len(rest) - len(rest.lstrip())
+        rend = _balanced_end(rest, roff)
+        if rend < 0:
+            return None
+        right_expr = rest[roff: rend]
+        am = re.match(r"\s*(?:AS\s+)?(\w+)\s*ON\b", rest[rend:],
+                      re.IGNORECASE)
+        if not am:
+            return None
+        ra = am.group(1)
+        cond_start = rend + am.end()
+    else:
+        am = re.match(r"\s*(\w+)\s+(?:AS\s+)?(\w+)\s*ON\b", rest,
+                      re.IGNORECASE)
+        if not am:
+            return None
+        right_expr, ra = am.group(1), am.group(2)
+        cond_start = am.end()
+    # condition runs to the next top-level clause keyword or the end
+    cond_zone = rest[cond_start:]
+    czmask = _literal_mask(cond_zone)
+    depth = 0
+    cond_end = len(cond_zone)
+    for mm in re.finditer(
+        r"\(|\)|\[|\]|\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b",
+        cond_zone, re.IGNORECASE,
+    ):
+        if czmask[mm.start()]:
+            continue
+        tok = mm.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0:
+            cond_end = mm.start()
+            break
+    cond, sql_tail = cond_zone[:cond_end], cond_zone[cond_end:]
+    eqs, time_pair = [], None
+    for piece in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        pm = re.match(
+            rf"\s*{la}\.(\w+)\s*(=|>=|<=)\s*{ra}\.(\w+)\s*$", piece
+        ) or re.match(
+            rf"\s*{ra}\.(\w+)\s*(=)\s*{la}\.(\w+)\s*$", piece
+        )
+        if not pm:
+            return None
+        lcol, op, rcol = pm.group(1), pm.group(2), pm.group(3)
+        if op == "=":
+            eqs.append((lcol, rcol))
+        elif time_pair is None:
+            time_pair = (lcol, rcol, op)
+        else:
+            return None
+    if time_pair is None:
+        return None
+    ldf = spark.sql(f"SELECT * FROM {left_expr} __asof_l"
+                    if left_expr.startswith("(")
+                    else f"SELECT * FROM {left_expr}")
+    rdf = spark.sql(f"SELECT * FROM {right_expr} __asof_r"
+                    if right_expr.startswith("(")
+                    else f"SELECT * FROM {right_expr}")
+    left_cols = list(ldf.columns)
+    l2 = ldf.withColumn("__asof_lid", F.monotonically_increasing_id())
+    r2 = rdf.select([F.col(c).alias(f"__r_{c}") for c in rdf.columns])
+    lt, rt, op = time_pair
+    conds = [l2[lc] == r2[f"__r_{rc}"] for lc, rc in eqs]
+    conds.append(l2[lt] >= r2[f"__r_{rt}"] if op == ">="
+                 else l2[lt] <= r2[f"__r_{rt}"])
+    j = l2.join(r2, reduce(lambda a, b: a & b, conds),
+                "left" if left_join else "inner")
+    order = (F.col(f"__r_{rt}").desc() if op == ">="
+             else F.col(f"__r_{rt}").asc())
+    j = (j.withColumn("__asof_rn", F.row_number().over(
+            Window.partitionBy("__asof_lid").orderBy(order)))
+          .where(F.col("__asof_rn") == 1)
+          .drop("__asof_rn", "__asof_lid"))
+    j.createOrReplaceTempView("__asof_joined")
+    out_select = _sub_outside_literals(
+        select_list, rf"\b{la}\.\*", ", ".join(left_cols))
+    out_select = _sub_outside_literals(out_select, rf"\b{la}\.(\w+)", r"\1")
+    out_select = _sub_outside_literals(out_select, rf"\b{ra}\.(\w+)",
+                                       r"__r_\1")
+    out_tail = _sub_outside_literals(sql_tail, rf"\b{la}\.(\w+)", r"\1")
+    out_tail = _sub_outside_literals(out_tail, rf"\b{ra}\.(\w+)", r"__r_\1")
+    return spark.sql(
+        f"SELECT {out_select} FROM __asof_joined {out_tail}"
+    )
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> None:
@@ -683,6 +1213,15 @@ def run_sql(
         prev = spark.conf.get(key, "false")
         spark.conf.set(key, "true")
         try:
+            # tier-3 executors: shapes Spark's parser/planner refuses
+            if re.search(r"\bWITH\s+RECURSIVE\b", sql, re.IGNORECASE):
+                df = _exec_recursive(spark, sql)
+                if df is not None:
+                    return df
+            if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
+                df = _exec_asof(spark, sql)
+                if df is not None:
+                    return df
             return spark.sql(sql)
         finally:
             spark.conf.set(key, prev)

@@ -124,22 +124,37 @@ SQL_PORTABLE_BOARD = [
 #: (bracket indexing/slicing, list literals, list_sum/inner_product
 #: folds, struct_pack, hex casts, time_bucket, try_strptime, lateral
 #: UNNEST, FILTER clause, // div, quoted identifiers, DuckDB's
-#: unescaped string literals via escapedStringLiterals). Together
-#: with SQL_PORTABLE_BOARD: 143 of the 164 driver-oracle texts drive
-#: DuckDB, Spark SQL, and the DataFrame API to one pinned answer.
+#: unescaped string literals via escapedStringLiterals). r9 added the
+#: tier-3 layer — rewrites AND executors for shapes Spark's
+#: parser/planner refuses outright:
+#:   - let-binding scalar subqueries ``(SELECT e FROM (SELECT v AS
+#:     t))`` inlined textually (Spark's decorrelation rejects the
+#:     shape; it is pure sugar) — this one idiom blocked 6 texts
+#:     directly and nested inside all 5 recursive ones;
+#:   - WITH RECURSIVE with UNION-distinct recursion: iterative
+#:     materialization in sql._exec_recursive (per-round distinct +
+#:     anti-join + localCheckpoint — the PageRank loop discipline),
+#:     including recursive CTEs nested inside outer WITH blocks;
+#:   - ASOF JOIN: sql._exec_asof (inequality join + row_number over a
+#:     synthesized left-row id — the engine's as-of semantics);
+#:   - generate_subscripts+unnest parallel zip -> LATERAL VIEW
+#:     posexplode (1-based shift applied at the references);
+#:   - generators nested in expressions (CAST(unnest(..) AS T)) ->
+#:     hoisted LATERAL VIEW;
+#:   - list(x ORDER BY k) -> transform(array_sort(collect_list(
+#:     struct(k, x))), s -> s.__lav) — faithful sort-by-key (the r8
+#:     element-sort shortcut is now only used when k IS x);
+#:   - DuckDB struct-by-position z[N] on list_zip structs ->
+#:     z['<field>'] using Spark's arrays_zip field-naming rule
+#:     (bare column -> its name, expression -> 0-based position).
+#: Together with SQL_PORTABLE_BOARD: 163 of the 164 driver-oracle
+#: texts drive DuckDB, Spark SQL, and the DataFrame API to one pinned
+#: answer.
 #:
-#: The 21 texts still off the board, by reason (tools/sql_probe.py
-#: reproduces the census): 5 recursive CTEs with UNION distinct
-#: (Spark supports only UNION ALL there), 5 correlated scalar
-#: subqueries of shapes Spark's decorrelation rejects, 4 DuckDB
-#: struct-by-position indexing (z[1] on list_zip structs — no Spark
-#: spelling), asof (ASOF JOIN syntax), dedup_paragraphs
-#: (generate_subscripts+unnest parallel zip), gapfill (generator
-#: nested in expressions), and 3 that run but value-diverge
-#: (markdown_extract_text: Java vs RE2 regex semantics;
-#: ann_topk_ivf_pq, chunk_token_stream_docs: float-order-sensitive
-#: iterative training / cumulative windows) — the row-match gate
-#: keeps them off exactly as designed.
+#: The ONE text still off the board (tools/sql_probe.py reproduces
+#: the census): markdown_extract_text runs but value-diverges — Java
+#: vs RE2 regex semantics inside markdown link stripping — and the
+#: row-match gate keeps it off exactly as designed.
 SQL_COMPAT_BOARD = [
     "bm25_search",
     "clean_contact_phones",
@@ -218,6 +233,31 @@ SQL_COMPAT_BOARD = [
     "warc_extract_text",
     "windowed_event_counts",
     "zorder_key_orders",
+    # r9 widening: the tier-3 layer — let-binding scalar-subquery
+    # inlining, recursive-CTE iterative materialization, ASOF JOIN
+    # execution, posexplode laterals, nested-generator hoisting,
+    # faithful list(x ORDER BY k) struct sort, zip-struct positional
+    # fields
+    "ann_topk_ivf_pq",
+    "asof_purchase_attribution",
+    "bigram_heldout_ppl",
+    "bigram_lm_score",
+    "chunk_token_stream_docs",
+    "corpus_curate",
+    "decontaminate_containment",
+    "decontaminate_docs",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_semantic",
+    "embed_pq_codes",
+    "entity_resolution_customers",
+    "gapfill_monthly_revenue",
+    "minhash_calibration",
+    "pii_pseudonymize_consistent",
+    "ppjoin_exact_pairs",
+    "quality_repetition",
 ]
 
 
