@@ -314,10 +314,11 @@ def _pick_scalefactor(peak: float) -> int:
 
 def _frame_header(
     layer: int, bitrate_idx: int, rate_idx: int, pad: int, mode: int,
-    mode_ext: int = 0,
+    mode_ext: int = 0, version: int = 0b11,
 ) -> bytes:
     b0 = 0xFF
-    b1 = 0xE0 | (0b11 << 3) | ({1: 0b11, 2: 0b10, 3: 0b01}[layer] << 1) | 1  # MPEG-1, no CRC
+    b1 = (0xE0 | (version << 3)
+          | ({1: 0b11, 2: 0b10, 3: 0b01}[layer] << 1) | 1)  # no CRC
     b2 = (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1)
     b3 = (mode << 6) | (mode_ext << 4)
     return bytes((b0, b1, b2, b3))
@@ -331,25 +332,56 @@ def _parse_header(data: bytes, pos: int) -> dict:
         raise ValueError(f"bad sync at byte {pos}")
     version = (b1 >> 3) & 0b11
     layer_code = (b1 >> 1) & 0b11
-    if version != 0b11:
-        raise NotImplementedError("MPEG-2/2.5 audio needs the lower-rate tables")
+    if version == 0b01:
+        raise ValueError("reserved MPEG version code")
     if layer_code == 0b00:
         raise ValueError("reserved layer code")
     layer = {0b11: 1, 0b10: 2, 0b01: 3}[layer_code]
+    if version != 0b11 and layer != 3:
+        raise NotImplementedError(
+            "MPEG-2/2.5 Layers I/II — Layer III LSF only"
+        )
     bitrate_idx = (b2 >> 4) & 0xF
     rate_idx = (b2 >> 2) & 0b11
     if bitrate_idx in (0, 15) or rate_idx == 3:
         raise NotImplementedError("free-format/reserved bitrate or reserved rate")
     mode = (b3 >> 6) & 0b11
     mode_ext = (b3 >> 4) & 0b11
+    pad = (b2 >> 1) & 1
+    if version != 0b11:
+        # MPEG-2 (10) / MPEG-2.5 (00) Layer III: rates halve/quarter
+        # by formula; the LSF bitrate row + SFB grids are the
+        # mpeg_layer3.load_lsf_tables seam
+        from data_migration_etl_scripts_spark.operators import mpeg_layer3
+
+        if not mpeg_layer3.LSF["bitrates"]:
+            mpeg_layer3._try_env_lsf_tables()
+        if not mpeg_layer3.LSF["bitrates"]:
+            raise NotImplementedError(
+                "MPEG-2/2.5 Layer III needs the LSF tables — "
+                "mpeg_layer3.load_lsf_tables(path) or "
+                "$SPARK_GRAFT_LSF_TABLES injects them"
+            )
+        rate = SAMPLE_RATES[rate_idx] // (2 if version == 0b10 else 4)
+        bitrate = mpeg_layer3.LSF["bitrates"][bitrate_idx] * 1000
+        # 576 samples per LSF Layer III frame -> 72 * bitrate / rate
+        frame_len = 72 * bitrate // rate + pad
+        return {
+            "version": version,
+            "layer": layer, "bitrate": bitrate, "rate": rate, "pad": pad,
+            "mode": mode, "mode_ext": mode_ext,
+            "nch": 1 if mode == 0b11 else 2, "frame_len": frame_len,
+            "bound": 4 * (mode_ext + 1) if mode == 0b01 else 32,
+            "crc": (b1 & 1) == 0,
+        }
     bitrate = (BITRATES_L1, BITRATES_L2, BITRATES_L3)[layer - 1][bitrate_idx] * 1000
     rate = SAMPLE_RATES[rate_idx]
-    pad = (b2 >> 1) & 1
     if layer == 1:
         frame_len = (12 * bitrate // rate + pad) * 4
     else:  # Layers II and III share the 144*bitrate/rate sizing
         frame_len = 144 * bitrate // rate + pad
     return {
+        "version": version,
         "layer": layer, "bitrate": bitrate, "rate": rate, "pad": pad,
         "mode": mode, "mode_ext": mode_ext,
         "nch": 1 if mode == 0b11 else 2, "frame_len": frame_len,

@@ -55,6 +55,16 @@ prototype-window note in mpeg_audio.py):
     intensity (r7) decodes via ratio = tan(is_pos*pi/12) over the
     right channel's zero region, MS below it when both bits are set,
     and round-trips against the engine encoder's intensity mode.
+  - MPEG-2/2.5 LSF Layer III (r9): the STRUCTURE is implemented end
+    to end — header rates by formula (half/quarter), 72*bitrate/rate
+    frame sizing, 1-granule 9/17-byte side info with 8-bit
+    main_data_begin and 9-bit scalefac_compress, the 4-partition
+    scalefactor read, and an engine LSF encoder mode
+    (``layer3_encode(lsf=True)``) whose round trip pins all of it
+    with SYNTHETIC grids. The tabulated 13818-3 data (bitrate row,
+    SFB grids, nr_sfb partition counts) is the ``load_lsf_tables`` /
+    ``$SPARK_GRAFT_LSF_TABLES`` seam; LSF intensity stereo raises
+    (different is_pos coding).
 
 The ENGINE ENCODER (`layer3_encode`) emits conformant-syntax streams
 at the table-0 + count1-B operating point: long blocks, big_values=0,
@@ -83,7 +93,8 @@ from data_migration_etl_scripts_spark.operators.mpeg_audio import (
 )
 
 __all__ = [
-    "layer3_decode", "layer3_encode", "load_huffman_tables", "PQMF_DELAY",
+    "layer3_decode", "layer3_encode", "load_huffman_tables",
+    "load_lsf_tables", "PQMF_DELAY",
 ]
 
 #: scalefac_compress -> (slen1, slen2): bit widths for the low/high
@@ -139,6 +150,117 @@ COUNT1_TABLE_A: dict[tuple[int, int], tuple[int, int, int, int]] = {}
 #: first decode that needs a missing table (see load_huffman_tables)
 _TABLES_ENV = "SPARK_GRAFT_MP3_TABLES"
 _env_load_done = False
+
+#: MPEG-2/2.5 LSF Layer III seam (r9): the lower-sampling-frequency
+#: bitrate row, SFB grids (inserted into SFB_LONG/SFB_SHORT under
+#: their own rates — the keyspaces don't collide), and the 4-partition
+#: scalefactor-band count table nr_sfb[kind][row] (kind long/short/
+#: mixed, row = the scalefac_compress range class). All tabulated spec
+#: data (13818-3 Annex B) — ``load_lsf_tables`` injects them;
+#: ``$SPARK_GRAFT_LSF_TABLES`` auto-loads. The slen partitioning
+#: FORMULA from the 9-bit scalefac_compress lives in ``_lsf_slens``
+#: (engine data to the author's best knowledge — conformance caveat;
+#: the engine LSF encoder shares it, so engine round trips are exact
+#: by construction).
+LSF: dict = {"bitrates": [], "nr_sfb": {}}
+_LSF_TABLES_ENV = "SPARK_GRAFT_LSF_TABLES"
+_lsf_env_load_done = False
+
+
+def load_lsf_tables(source) -> int:
+    """Inject the MPEG-2/2.5 LSF Layer III tables from a dict or JSON
+    file shaped::
+
+        {"bitrates": [14 kbps values for indices 1..14],
+         "sfb_long":  {"22050": [23 edges 0..576], ...},
+         "sfb_short": {"22050": [14 edges 0..192], ...},
+         "nr_sfb": {"long"|"short"|"mixed": [[4 counts] x 3 rows]}}
+
+    Grids register under their integer rates in SFB_LONG/SFB_SHORT
+    (8000-24000 — disjoint from the MPEG-1 rates). Returns the number
+    of table groups loaded."""
+    import json
+
+    if isinstance(source, (str, bytes)):
+        with open(source) as fh:
+            source = json.load(fh)
+    n = 0
+    br = source.get("bitrates")
+    if br:
+        if len(br) != 14 or any(not isinstance(v, int) or v <= 0
+                                for v in br):
+            raise ValueError("LSF bitrates: need 14 positive kbps values")
+        LSF["bitrates"] = [None] + list(br) + [None]
+        n += 1
+    for key, full, n_edges in (("sfb_long", 576, 23),
+                               ("sfb_short", 192, 14)):
+        for rate_s, edges in (source.get(key) or {}).items():
+            rate = int(rate_s)
+            if rate not in (8000, 11025, 12000, 16000, 22050, 24000):
+                raise ValueError(f"{key}: {rate} is not an LSF rate")
+            if (len(edges) != n_edges or edges[0] != 0
+                    or edges[-1] != full
+                    or any(b <= a for a, b in zip(edges, edges[1:]))):
+                raise ValueError(
+                    f"{key}[{rate}]: need {n_edges} strictly increasing "
+                    f"edges from 0 to {full}"
+                )
+            (SFB_LONG if key == "sfb_long" else SFB_SHORT)[rate] = list(edges)
+            n += 1
+    for kind, rows in (source.get("nr_sfb") or {}).items():
+        if kind not in ("long", "short", "mixed"):
+            raise ValueError(f"nr_sfb kind {kind!r} unknown")
+        if len(rows) != 3 or any(
+            len(rw) != 4 or any(not isinstance(v, int) or v < 0 for v in rw)
+            for rw in rows
+        ):
+            raise ValueError(f"nr_sfb[{kind}]: need 3 rows of 4 counts")
+        LSF["nr_sfb"][kind] = [list(rw) for rw in rows]
+        n += 1
+    return n
+
+
+def _try_env_lsf_tables() -> bool:
+    global _lsf_env_load_done
+    if _lsf_env_load_done:
+        return False
+    import os
+
+    path = os.environ.get(_LSF_TABLES_ENV)
+    if not (path and os.path.exists(path)):
+        return False
+    load_lsf_tables(path)
+    _lsf_env_load_done = True
+    return True
+
+
+def _lsf_slens(sfc: int) -> tuple[list[int], int, int]:
+    """9-bit LSF scalefac_compress -> (slen[4], nr_sfb row, preflag).
+    Formula-level partitioning (non-intensity channels); constants are
+    engine data to the author's best knowledge — see the LSF seam
+    note. Intensity-coded channels use a different partitioning and
+    are out of scope (the decoder raises before getting here)."""
+    if sfc < 400:
+        return ([(sfc >> 4) // 5, (sfc >> 4) % 5,
+                 (sfc >> 2) & 3, sfc & 3], 0, 0)
+    if sfc < 500:
+        s = sfc - 400
+        return ([(s >> 2) // 5, (s >> 2) % 5, s & 3, 0], 1, 0)
+    s = sfc - 500
+    return ([s // 3, s % 3, 0, 0], 2, 1)
+
+
+def _lsf_nr_sfb(kind: str, row: int) -> list[int]:
+    rows = LSF["nr_sfb"].get(kind)
+    if rows is None:
+        _try_env_lsf_tables()
+        rows = LSF["nr_sfb"].get(kind)
+    if rows is None:
+        raise NotImplementedError(
+            f"LSF nr_sfb[{kind}] is tabulated spec data — "
+            "load_lsf_tables(path) or $SPARK_GRAFT_LSF_TABLES injects it"
+        )
+    return rows[row]
 
 
 def _check_prefix_free(codes: dict) -> None:
@@ -268,8 +390,87 @@ def _parse_side_info(r: _BitReader, nch: int) -> dict:
     return si
 
 
-def _side_info_len(nch: int) -> int:
-    return 17 if nch == 1 else 32
+def _side_info_len(nch: int, version: int = 0b11) -> int:
+    if version == 0b11:
+        return 17 if nch == 1 else 32
+    return 9 if nch == 1 else 17
+
+
+def _parse_side_info_lsf(r: _BitReader, nch: int) -> dict:
+    """MPEG-2/2.5 Layer III side info: ONE granule, 8-bit
+    main_data_begin, 1/2 private bits, no scfsi, 9-bit
+    scalefac_compress, no preflag bit (derived from the sfc range)."""
+    si: dict = {"main_data_begin": r.read(8)}
+    r.read(1 if nch == 1 else 2)  # private_bits
+    si["scfsi"] = [[0, 0, 0, 0] for _ in range(nch)]
+    chs = []
+    for _ch in range(nch):
+        gi: dict = {
+            "part2_3_length": r.read(12),
+            "big_values": r.read(9),
+            "global_gain": r.read(8),
+            "scalefac_compress": r.read(9),
+            "window_switching": r.read(1),
+        }
+        if gi["window_switching"]:
+            gi["block_type"] = r.read(2)
+            gi["mixed_block"] = r.read(1)
+            gi["table_select"] = [r.read(5), r.read(5)]
+            gi["subblock_gain"] = [r.read(3) for _ in range(3)]
+            if gi["block_type"] == 0:
+                raise ValueError("window_switching with block_type 0")
+        else:
+            gi["block_type"] = 0
+            gi["mixed_block"] = 0
+            gi["table_select"] = [r.read(5) for _ in range(3)]
+            gi["region0_count"] = r.read(4)
+            gi["region1_count"] = r.read(3)
+            gi["subblock_gain"] = [0, 0, 0]
+        _slens, _row, preflag = _lsf_slens(gi["scalefac_compress"])
+        gi["preflag"] = preflag
+        gi["scalefac_scale"] = r.read(1)
+        gi["count1table_select"] = r.read(1)
+        chs.append(gi)
+    si["granules"] = [chs]
+    return si
+
+
+def _read_scalefactors_lsf(r: _BitReader, gi: dict) -> dict:
+    """LSF part2: 4 partitions of nr_sfb[row] scalefactors at slen[p]
+    bits each, filled band-major (and window-minor for short
+    blocks)."""
+    slens, row, _pre = _lsf_slens(gi["scalefac_compress"])
+    short = gi["block_type"] == 2
+    mixed = short and gi["mixed_block"]
+    kind = "mixed" if mixed else ("short" if short else "long")
+    nr = _lsf_nr_sfb(kind, row)
+    vals: list[int] = []
+    for p in range(4):
+        for _ in range(nr[p]):
+            vals.append(r.read(slens[p]) if slens[p] else 0)
+    out: dict = {}
+    if short and not mixed:
+        out["s"] = [[0, 0, 0] for _ in range(12)]
+        for k, v in enumerate(vals):
+            sfb, w = k // 3, k % 3
+            if sfb < 12:
+                out["s"][sfb][w] = v
+        out["l"] = [0] * 21
+    elif mixed:
+        # first partition covers the long bands, the rest short bands
+        # from sfb 3 (window-minor)
+        nlong = nr[0]
+        out["l"] = [0] * 21
+        for k in range(min(nlong, 21)):
+            out["l"][k] = vals[k] if k < len(vals) else 0
+        out["s"] = [[0, 0, 0] for _ in range(12)]
+        for k, v in enumerate(vals[nlong:]):
+            sfb, w = 3 + k // 3, k % 3
+            if sfb < 12:
+                out["s"][sfb][w] = v
+    else:
+        out["l"] = ([v for v in vals] + [0] * 21)[:21]
+    return out
 
 
 # ------------------------------------------------------ scalefactors
@@ -599,6 +800,7 @@ def layer3_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
     from data_migration_etl_scripts_spark.operators.mpeg_audio import _parse_header
 
     pos, rate, nch, mode_ext = 0, None, None, 0
+    version = 0b11
     pool = bytearray()
     pending: list[tuple[int, dict]] = []  # (pool_start_byte, side_info)
     while pos + 4 <= len(data):
@@ -608,14 +810,21 @@ def layer3_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
         if pos + hdr["frame_len"] > len(data):
             break
         if rate is None:
-            rate, nch = hdr["rate"], hdr["nch"]
+            rate, nch, version = hdr["rate"], hdr["nch"], hdr["version"]
         elif hdr["rate"] != rate or hdr["nch"] != nch:
             raise ValueError("mid-stream rate/mode change")
         mode_ext = hdr["mode_ext"] if hdr["mode"] == 0b01 else 0
+        if version != 0b11 and mode_ext & 0b01:
+            raise NotImplementedError(
+                "LSF intensity stereo (different is_pos coding)"
+            )
         body = pos + 4 + (2 if hdr["crc"] else 0)
-        si = _parse_side_info(_BitReader(data, body), nch)
+        if version == 0b11:
+            si = _parse_side_info(_BitReader(data, body), nch)
+        else:
+            si = _parse_side_info_lsf(_BitReader(data, body), nch)
         start = len(pool) - si["main_data_begin"]
-        main = data[body + _side_info_len(nch): pos + hdr["frame_len"]]
+        main = data[body + _side_info_len(nch, version): pos + hdr["frame_len"]]
         pool.extend(main)
         if start >= 0:
             pending.append((start, si))
@@ -630,15 +839,18 @@ def layer3_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
         # scfsi reuse is per CHANNEL within a frame: granule 2 copies the
         # flagged groups from the SAME channel's granule-1 scalefactors.
         gr0_scfs: list[dict | None] = [None] * nch
-        for gr in range(2):
+        for gr in range(len(si["granules"])):
             xs = []
             ixs, scfs = [], []
             for ch in range(nch):
                 gi = si["granules"][gr][ch]
                 p23_end = r.bitpos + gi["part2_3_length"]
-                scf = _read_scalefactors(
-                    r, gi, si["scfsi"][ch], gr, gr0_scfs[ch]
-                )
+                if version == 0b11:
+                    scf = _read_scalefactors(
+                        r, gi, si["scfsi"][ch], gr, gr0_scfs[ch]
+                    )
+                else:
+                    scf = _read_scalefactors_lsf(r, gi)
                 if gr == 0:
                     gr0_scfs[ch] = scf
                 ix = _read_spectrum(r, gi, p23_end, rate)
@@ -712,13 +924,14 @@ def layer3_decode(data: bytes) -> tuple[int, int, list[list[float]]]:
 # --------------------------------------------------------------- encode
 
 def _quantize_granule(
-    lines: list[float], rate: int
+    lines: list[float], rate: int, caps: list[int] | None = None
 ) -> tuple[list[int], int, list[int]]:
     """{0,+/-1} sign + per-band envelope quantization at the table-0 /
     count1-B operating point: global_gain fits the loudest band,
     per-sfb scalefactors (scalefac_scale=0 -> 3 dB steps) attenuate
     the rest. Returns (ix, global_gain, scalefacs[21])."""
     long_b = SFB_LONG[rate]
+    caps = caps if caps is not None else [15] * 11 + [7] * 10
     amax = [0.0] * 22
     for sfb in range(22):
         for i in range(long_b[sfb], long_b[sfb + 1]):
@@ -733,11 +946,11 @@ def _quantize_granule(
     for sfb in range(22):
         if amax[sfb] <= 0.0:
             if sfb < 21:
-                scf[sfb] = 15 if sfb < 11 else 7
+                scf[sfb] = caps[sfb]
             continue
         if sfb < 21:
-            cap = 15 if sfb < 11 else 7
-            scf[sfb] = max(0, min(cap, round(-2 * math.log2(amax[sfb] / g))))
+            scf[sfb] = max(0, min(caps[sfb],
+                                  round(-2 * math.log2(amax[sfb] / g))))
             v = g * 2.0 ** (-0.5 * scf[sfb])
         else:
             v = g
@@ -788,6 +1001,68 @@ def _pack_granule(w: _BitWriter, ix: list[int], gg: int, scf: list[int]) -> dict
     return gi
 
 
+def _pack_granule_lsf(
+    w: _BitWriter, ix: list[int], gg: int, scf: list[int],
+    nr: list[int], slens: list[int], sfc: int,
+) -> dict:
+    """LSF part2 (4 partitions of nr[p] scalefactors at slens[p] bits)
+    + count1 quads — same bit-abutting contract as _pack_granule."""
+    start = w.n + 8 * len(w.buf)
+    band = 0
+    for p in range(4):
+        for _ in range(nr[p]):
+            v = scf[band] if band < 21 else 0
+            if slens[p]:
+                w.write(v, slens[p])
+            band += 1
+    last = 0
+    for i, v in enumerate(ix):
+        if v:
+            last = i + 1
+    for q in range((last + 3) // 4):
+        vals = ix[4 * q: 4 * q + 4]
+        quad = 0
+        for v in vals:
+            quad = (quad << 1) | (1 if v else 0)
+        w.write((~quad) & 0xF, 4)
+        for v in vals:
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+    nbits = (w.n + 8 * len(w.buf)) - start
+    return {
+        "part2_3_length": nbits,
+        "big_values": 0,
+        "global_gain": gg,
+        "scalefac_compress": sfc,
+        "table_select": [0, 0, 0],
+        "region0_count": 0,
+        "region1_count": 0,
+        "preflag": 0,
+        "scalefac_scale": 0,
+        "count1table_select": 1,
+    }
+
+
+def _write_side_info_lsf(
+    w: _BitWriter, begin: int, nch: int, gis: list[dict]
+) -> None:
+    w.write(begin, 8)
+    w.write(0, 1 if nch == 1 else 2)
+    for ch in range(nch):
+        gi = gis[ch]
+        w.write(gi["part2_3_length"], 12)
+        w.write(gi["big_values"], 9)
+        w.write(gi["global_gain"], 8)
+        w.write(gi["scalefac_compress"], 9)
+        w.write(0, 1)  # window_switching: long blocks only
+        for t in gi["table_select"]:
+            w.write(t, 5)
+        w.write(gi["region0_count"], 4)
+        w.write(gi["region1_count"], 3)
+        w.write(gi["scalefac_scale"], 1)
+        w.write(gi["count1table_select"], 1)
+
+
 def _write_side_info(
     w: _BitWriter, begin: int, nch: int, gis: list[list[dict]],
     scfsi: list[list[int]] | None = None,
@@ -823,6 +1098,7 @@ def layer3_encode(
     ms: bool = True,
     intensity: bool = False,
     bitrate_idx: int | None = None,
+    lsf: bool = False,
 ) -> bytes:
     """Mono (or stereo) [-1, 1] samples -> MPEG-1 Layer III bytes at
     the engine operating point (module docstring). ``right`` enables
@@ -840,14 +1116,30 @@ def layer3_encode(
     Lossy by design: per-band panning, exact only when the true L/R
     ratio sits on one of the 7 angles. Lines above the last
     scalefactor band (no is_pos slot) stay on the left channel."""
-    if rate not in SAMPLE_RATES.values():
+    if lsf:
+        if rate not in (8000, 11025, 12000, 16000, 22050, 24000):
+            raise ValueError("lsf=True needs an MPEG-2/2.5 rate")
+        if intensity:
+            raise ValueError("LSF intensity stereo is out of scope")
+        if rate not in SFB_LONG:
+            _try_env_lsf_tables()
+        if rate not in SFB_LONG or not LSF["bitrates"]:
+            raise NotImplementedError(
+                f"LSF SFB grid / bitrates for {rate} Hz — "
+                "load_lsf_tables(path) or $SPARK_GRAFT_LSF_TABLES "
+                "injects them"
+            )
+    elif rate not in SAMPLE_RATES.values():
         raise ValueError(f"rate must be one of {sorted(SAMPLE_RATES.values())}")
     if right is not None and len(right) != len(samples):
         raise ValueError("stereo channels must be the same length")
     nch = 1 if right is None else 2
-    nfr = len(samples) // 1152
+    frame_samples = 576 if lsf else 1152
+    nfr = len(samples) // frame_samples
     if nfr == 0:
-        raise ValueError("need at least 1152 samples (one frame)")
+        raise ValueError(
+            f"need at least {frame_samples} samples (one frame)"
+        )
     if intensity and right is None:
         raise ValueError("intensity=True needs a right channel")
     if nch == 2 and intensity:
@@ -868,12 +1160,13 @@ def layer3_encode(
         mode, mode_ext = 0b11, 0
 
     # analysis: PQMF -> per-subband MDCT (granule pairs, 50% overlap)
+    ngran = nfr * (1 if lsf else 2)
     per_ch_granules = []
     for ch in range(nch):
-        sub = pqmf_analyze(chans[ch][: nfr * 1152])  # granule vectors of 32
+        sub = pqmf_analyze(chans[ch][: nfr * frame_samples])
         hist = [[0.0] * 18 for _ in range(32)]
         gr_lines = []
-        for g in range(nfr * 2):
+        for g in range(ngran):
             block = sub[g * 18: (g + 1) * 18]  # 18 x 32
             lines = [0.0] * 576
             for sb in range(32):
@@ -891,7 +1184,33 @@ def layer3_encode(
     # quantize + pack each frame's blob
     blobs: list[bytes] = []
     frame_gis: list[list[list[dict]]] = []
-    for f in range(nfr):
+    if lsf:
+        # one granule per frame; scalefac_compress 399 -> slens
+        # (4,4,3,3) over the injected nr_sfb partitions
+        lsf_sfc = 399
+        slens, row, _pre = _lsf_slens(lsf_sfc)
+        nr = _lsf_nr_sfb("long", row)
+        caps = [0] * 21
+        band = 0
+        for p in range(4):
+            for _ in range(nr[p]):
+                if band < 21:
+                    caps[band] = (1 << slens[p]) - 1
+                band += 1
+        for f in range(nfr):
+            w = _BitWriter()
+            gis_f: list[dict] = []
+            for ch in range(nch):
+                ixg, gg, scf = _quantize_granule(
+                    per_ch_granules[ch][f], rate, caps=caps
+                )
+                gis_f.append(_pack_granule_lsf(
+                    w, ixg, gg, scf, nr, slens, lsf_sfc
+                ))
+            w.pad_to_byte()
+            blobs.append(bytes(w.buf))
+            frame_gis.append([gis_f])
+    for f in range(0 if lsf else nfr):
         w = _BitWriter()
         gis = [[], []]
         for gr in range(2):
@@ -929,18 +1248,28 @@ def layer3_encode(
         frame_gis.append(gis)
 
     # frame sizing: smallest uniform bitrate whose area holds every blob
-    si_len = _side_info_len(nch)
-    rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
+    version = 0b11
+    if lsf:
+        version = 0b10 if rate >= 16000 else 0b00
+        base_rate = rate * (2 if version == 0b10 else 4)
+        rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[base_rate]
+        br_row = LSF["bitrates"]
+        per_frame = 72
+    else:
+        rate_idx = {v: k for k, v in SAMPLE_RATES.items()}[rate]
+        br_row = BITRATES_L3
+        per_frame = 144
+    si_len = _side_info_len(nch, version)
     need = max(len(b) for b in blobs) + 4 + si_len
     bidx = bitrate_idx
     if bidx is None:
         for i in range(1, 15):
-            if 144 * BITRATES_L3[i] * 1000 // rate >= need:
+            if per_frame * br_row[i] * 1000 // rate >= need:
                 bidx = i
                 break
         if bidx is None:
             raise ValueError("granule blob exceeds the highest Layer III bitrate")
-    frame_len = 144 * BITRATES_L3[bidx] * 1000 // rate
+    frame_len = per_frame * br_row[bidx] * 1000 // rate
     area = frame_len - 4 - si_len
     if area < max(len(b) for b in blobs):
         raise ValueError("explicit bitrate_idx too small for the blobs")
@@ -960,9 +1289,13 @@ def layer3_encode(
 
     out = bytearray()
     for f in range(nfr):
-        out.extend(_frame_header(3, bidx, rate_idx, 0, mode, mode_ext))
+        out.extend(_frame_header(3, bidx, rate_idx, 0, mode, mode_ext,
+                                 version=version))
         w = _BitWriter()
-        _write_side_info(w, begins[f], nch, frame_gis[f])
+        if lsf:
+            _write_side_info_lsf(w, begins[f], nch, frame_gis[f][0])
+        else:
+            _write_side_info(w, begins[f], nch, frame_gis[f])
         w.pad_to_byte()
         assert len(w.buf) == si_len
         out.extend(w.buf)
