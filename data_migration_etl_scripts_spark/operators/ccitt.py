@@ -1,5 +1,13 @@
-"""CCITT Group 4 (ITU-T T.6, 2-D MMR) bilevel codec — the TIFF
-Compression=4 coding every scanned-document corpus hits first.
+"""CCITT Group 4 (ITU-T T.6, 2-D MMR) + Group 3 (T.4) bilevel codecs
+— the TIFF Compression=4/3/2 codings every scanned-document corpus
+hits.
+
+r9 adds Group 3 (TIFF Compression 3): EOL-framed rows (eleven 0s + 1,
+fill-bit tolerant, optional byte alignment per T4Options bit 2),
+pure 1-D MH rows, and the 2-D option (T4Options bit 0: a mode bit
+after each EOL; 2-D rows reuse the same T.6 coding loop against the
+previous row). G3 always needs the injected T.4 codebooks — the
+first row of a page is 1-D by construction.
 
 Reference parity note: the reference ETL repo has no media handling;
 this exists for the LLM-data-pipeline addendum (decode of scanned-
@@ -44,6 +52,7 @@ from __future__ import annotations
 
 __all__ = [
     "g4_encode", "g4_decode", "g4_decode_packed",
+    "g3_encode", "g3_decode", "g3_decode_packed",
     "mh_encode", "mh_decode", "mh_decode_packed", "load_t4_tables",
 ]
 
@@ -242,6 +251,39 @@ def _emit_run(w: _W, run: int, color: int) -> None:
     w.write(code, hlen)
 
 
+def _encode_row_2d(w: _W, cur: list[int], ref: list[int],
+                   width: int) -> None:
+    """One 2-D (T.4/T.6) coded row: cur/ref are transition lists."""
+    import bisect
+
+    a0, color = -1, 0
+    while True:
+        b1, b2 = _b1_b2(ref, a0, color, width)
+        i = bisect.bisect_right(cur, a0)
+        if i % 2 != color:
+            i += 1
+        a1 = cur[i] if i < len(cur) else width
+        if b2 < a1:
+            hlen, code = _MODES["P"]
+            w.write(code, hlen)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            hlen, code = _MODES[_V_BY_DELTA[a1 - b1]]
+            w.write(code, hlen)
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = cur[i + 1] if i + 1 < len(cur) else width
+            hlen, code = _MODES["H"]
+            w.write(code, hlen)
+            start = max(a0, 0)
+            _emit_run(w, a1 - start, color)
+            _emit_run(w, a2 - a1, color ^ 1)
+            a0 = a2
+        if a0 >= width:
+            break
+
+
 def g4_encode(rows: list[list[int]], width: int | None = None) -> bytes:
     """Bilevel rows (0 = white, 1 = black) -> T.6 bytes (no EOFB;
     TIFF strips carry row counts externally). Uses vertical/pass modes
@@ -254,34 +296,7 @@ def g4_encode(rows: list[list[int]], width: int | None = None) -> bytes:
     ref: list[int] = []  # imaginary all-white reference line
     for row in rows:
         cur = _transitions(row)
-        a0, color = -1, 0
-        while True:
-            b1, b2 = _b1_b2(ref, a0, color, width)
-            import bisect
-
-            i = bisect.bisect_right(cur, a0)
-            if i % 2 != color:
-                i += 1
-            a1 = cur[i] if i < len(cur) else width
-            if b2 < a1:
-                hlen, code = _MODES["P"]
-                w.write(code, hlen)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                hlen, code = _MODES[_V_BY_DELTA[a1 - b1]]
-                w.write(code, hlen)
-                a0 = a1
-                color ^= 1
-            else:
-                a2 = cur[i + 1] if i + 1 < len(cur) else width
-                hlen, code = _MODES["H"]
-                w.write(code, hlen)
-                start = max(a0, 0)
-                _emit_run(w, a1 - start, color)
-                _emit_run(w, a2 - a1, color ^ 1)
-                a0 = a2
-            if a0 >= width:
-                break
+        _encode_row_2d(w, cur, ref, width)
         ref = cur
     return w.done()
 
@@ -327,45 +342,159 @@ def _read_run(r: _R, color: int) -> int:
             return total
 
 
+def _decode_row_2d(r: _R, ref: list[int], width: int) -> list[int]:
+    """Decode one 2-D coded row against the reference transitions."""
+    row = [0] * width
+    a0, color = -1, 0
+    while True:
+        b1, b2 = _b1_b2(ref, a0, color, width)
+        mode = _read_mode(r)
+        start = max(a0, 0)
+        if mode == "P":
+            for x in range(start, min(b2, width)):
+                row[x] = color
+            a0 = b2
+        elif mode == "H":
+            r1 = _read_run(r, color)
+            r2 = _read_run(r, color ^ 1)
+            a1 = start + r1
+            a2 = a1 + r2
+            for x in range(start, min(a1, width)):
+                row[x] = color
+            for x in range(a1, min(a2, width)):
+                row[x] = color ^ 1
+            a0 = a2
+        else:  # vertical family
+            d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                 "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = b1 + d
+            for x in range(start, min(a1, width)):
+                row[x] = color
+            a0 = a1
+            color ^= 1
+        if a0 >= width:
+            break
+    return row
+
+
 def g4_decode(data: bytes, width: int, height: int) -> list[list[int]]:
     """T.6 bytes -> bilevel rows (0 = white, 1 = black)."""
     r = _R(data)
     out: list[list[int]] = []
     ref: list[int] = []
     for _y in range(height):
-        row = [0] * width
-        a0, color = -1, 0
-        while True:
-            b1, b2 = _b1_b2(ref, a0, color, width)
-            mode = _read_mode(r)
-            start = max(a0, 0)
-            if mode == "P":
-                for x in range(start, min(b2, width)):
-                    row[x] = color
-                a0 = b2
-            elif mode == "H":
-                r1 = _read_run(r, color)
-                r2 = _read_run(r, color ^ 1)
-                a1 = start + r1
-                a2 = a1 + r2
-                for x in range(start, min(a1, width)):
-                    row[x] = color
-                for x in range(a1, min(a2, width)):
-                    row[x] = color ^ 1
-                a0 = a2
-            else:  # vertical family
-                d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                a1 = b1 + d
-                for x in range(start, min(a1, width)):
-                    row[x] = color
-                a0 = a1
-                color ^= 1
-            if a0 >= width:
-                break
+        row = _decode_row_2d(r, ref, width)
         out.append(row)
         ref = _transitions(row)
     return out
+
+
+# --------------------------------------------------- G3 (T.4, r9)
+
+def _write_eol(w: _W, align: bool, extra: int = 0) -> None:
+    """EOL = eleven 0s + 1; ``align=True`` (T4Options fill bits) pads
+    with extra 0s so the EOL (+ the 2-D mode bit when ``extra=1``)
+    ends on a byte boundary."""
+    if align:
+        pos = 8 * len(w.buf) + w.n
+        pad = (-(pos + 12 + extra)) % 8
+        if pad:
+            w.write(0, pad)
+    w.write(1, 12)
+
+
+def _read_eol(r: _R) -> None:
+    """Consume fill zeros + one EOL (>= 11 zeros then a 1)."""
+    zeros = 0
+    while True:
+        b = r.read1()
+        if b:
+            if zeros < 11:
+                raise ValueError(
+                    f"G3: expected EOL, got a 1 after {zeros} zeros"
+                )
+            return
+        zeros += 1
+        if zeros > 64 + 11:
+            raise ValueError("G3: runaway fill before EOL")
+
+
+def g3_encode(rows: list[list[int]], width: int | None = None,
+              two_d: bool = False, fill: bool = False) -> bytes:
+    """TIFF Compression 3 (CCITT T.4 / Group 3): every row is
+    preceded by an EOL; ``two_d=True`` (T4Options bit 0) adds the
+    1-D/2-D mode bit after each EOL and codes rows after the first
+    2-D against the previous row; ``fill=True`` (T4Options bit 2)
+    byte-aligns each EOL. 1-D rows are T.4 MH runs, so the injected
+    codebooks are required (G3 has no table-free subset — the first
+    row is always 1-D)."""
+    if not rows:
+        return b""
+    width = width if width is not None else len(rows[0])
+    w = _W()
+    ref: list[int] = []
+    for y, row in enumerate(rows):
+        _write_eol(w, fill, extra=1 if two_d else 0)
+        cur = _transitions(row)
+        if two_d:
+            one_d = y == 0
+            w.write(1 if one_d else 0, 1)
+        else:
+            one_d = True
+        if one_d:
+            x, color = 0, 0
+            while x < width:
+                run = 0
+                while x + run < width and row[x + run] == color:
+                    run += 1
+                _emit_run(w, run, color)
+                x += run
+                color ^= 1
+        else:
+            _encode_row_2d(w, cur, ref, width)
+        ref = cur
+    return w.done()
+
+
+def g3_decode(data: bytes, width: int, height: int,
+              two_d: bool = False) -> list[list[int]]:
+    """TIFF Compression 3 bytes -> bilevel rows (EOL-framed 1-D MH,
+    or mixed 1-D/2-D when T4Options bit 0 is set)."""
+    r = _R(data)
+    out: list[list[int]] = []
+    ref: list[int] = []
+    for _y in range(height):
+        _read_eol(r)
+        one_d = True
+        if two_d:
+            one_d = bool(r.read1())
+        if one_d:
+            row = [0] * width
+            x, color = 0, 0
+            while x < width:
+                run = _read_run(r, color)
+                for i in range(x, min(x + run, width)):
+                    row[i] = color
+                x += run
+                color ^= 1
+        else:
+            row = _decode_row_2d(r, ref, width)
+        out.append(row)
+        ref = _transitions(row)
+    return out
+
+
+def g3_decode_packed(data: bytes, width: int, height: int,
+                     two_d: bool = False) -> bytes:
+    rows = g3_decode(data, width, height, two_d=two_d)
+    row_bytes = (width + 7) // 8
+    out = bytearray(row_bytes * height)
+    for y, row in enumerate(rows):
+        base = y * row_bytes
+        for x, v in enumerate(row):
+            if v:
+                out[base + (x >> 3)] |= 0x80 >> (x & 7)
+    return bytes(out)
 
 
 def mh_encode(rows: list[list[int]], width: int | None = None) -> bytes:

@@ -58,6 +58,7 @@ _T_WIDTH = 256
 _T_HEIGHT = 257
 _T_BITS = 258
 _T_COMPRESSION = 259
+_T_T4OPTIONS = 292
 _T_PHOTOMETRIC = 262
 _T_STRIP_OFFSETS = 273
 _T_SPP = 277
@@ -265,13 +266,16 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         raise NotImplementedError(
             f"BitsPerSample {bits} — uniform 1-, 8- or 16-bit only"
         )
-    if comp not in (1, 2, 4, 5, 8, 32773):
+    if comp not in (1, 2, 3, 4, 5, 8, 32773):
         raise NotImplementedError(
-            f"Compression {comp} — none (1), CCITT MH (2), CCITT G4 (4), "
-            "LZW (5), Deflate (8), PackBits (32773) only"
+            f"Compression {comp} — none (1), CCITT MH (2), CCITT G3 (3), "
+            "CCITT G4 (4), LZW (5), Deflate (8), PackBits (32773) only"
         )
-    if comp in (2, 4) and (bits[0] != 1 or spp != 1):
-        raise ValueError("CCITT codings (Compression 2/4) require bilevel data")
+    if comp in (2, 3, 4) and (bits[0] != 1 or spp != 1):
+        raise ValueError("CCITT codings (Compression 2/3/4) require bilevel data")
+    t4_options = t.get(_T_T4OPTIONS, [0])[0]
+    if comp == 3 and t4_options & 0x2:
+        raise NotImplementedError("G3 uncompressed mode (T4Options bit 1)")
 
     bilevel = bits[0] == 1 and spp == 1
     if bits[0] == 1 and (spp != 1 or planar == 2):
@@ -282,14 +286,19 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     def decompress(chunk: bytes, expected: int, pix_w: int | None = None) -> bytes:
         if comp == 1:
             return chunk[:expected]
-        if comp in (2, 4):  # CCITT MH 1-D / G4 2-D (r8)
+        if comp in (2, 3, 4):  # CCITT MH 1-D / G3 (r9) / G4 2-D (r8)
             from data_migration_etl_scripts_spark.operators.ccitt import (
+                g3_decode_packed,
                 g4_decode_packed,
                 mh_decode_packed,
             )
 
             w_px = pix_w if pix_w is not None else width
             n_rows = expected // ((w_px + 7) // 8)
+            if comp == 3:
+                return g3_decode_packed(
+                    chunk, w_px, n_rows, two_d=bool(t4_options & 0x1)
+                )
             dec = g4_decode_packed if comp == 4 else mh_decode_packed
             return dec(chunk, w_px, n_rows)
         if comp == 32773:

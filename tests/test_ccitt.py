@@ -7,6 +7,7 @@ integration, and a gated real-tables test."""
 from __future__ import annotations
 
 import json
+import random
 import struct
 
 import pytest
@@ -310,3 +311,126 @@ def test_real_t4_tables_roundtrip():
             for _ in range(h)]
     b = cc.g4_encode(rows, w)
     assert cc.g4_decode(b, w, h) == rows
+
+
+# --------------------------------------------- G3 / Compression 3 (r9)
+
+def test_g3_1d_roundtrip_property():
+    """EOL-framed 1-D MH rows: any bilevel image round-trips (needs
+    the injected T.4 codebooks — G3 has no table-free subset)."""
+    cc.load_t4_tables(_synthetic_tables())
+    rnd = random.Random(11)
+    for _ in range(25):
+        w = rnd.randrange(1, 80)
+        h = rnd.randrange(1, 16)
+        rows = [[rnd.randrange(2) for _ in range(w)] for _ in range(h)]
+        b = cc.g3_encode(rows, w)
+        assert cc.g3_decode(b, w, h) == rows
+
+
+def test_g3_2d_and_fill_roundtrip_property():
+    """T4Options bit 0 (2-D rows after the first) and bit 2 (EOLs
+    byte-aligned by fill bits), all combinations."""
+    cc.load_t4_tables(_synthetic_tables())
+    rnd = random.Random(12)
+    for _ in range(15):
+        w = rnd.randrange(2, 60)
+        h = rnd.randrange(2, 12)
+        rows = [[rnd.randrange(2) for _ in range(w)] for _ in range(h)]
+        for two_d in (False, True):
+            for fill in (False, True):
+                b = cc.g3_encode(rows, w, two_d=two_d, fill=fill)
+                assert cc.g3_decode(b, w, h, two_d=two_d) == rows, (
+                    two_d, fill)
+
+
+def test_g3_fill_bits_byte_align_eols():
+    cc.load_t4_tables(_synthetic_tables())
+    rows = [[1, 0, 1, 0, 1], [0, 1, 0, 1, 0]]
+    b = cc.g3_encode(rows, 5, fill=True)
+    # with fill, the first EOL is padded to 16 bits: 0x00 0x01
+    assert b[:2] == b"\x00\x01"
+
+
+def test_g3_bad_eol_raises():
+    cc.load_t4_tables(_synthetic_tables())
+    with pytest.raises(ValueError, match="EOL"):
+        cc.g3_decode(b"\xff\xff", 8, 1)
+
+
+def test_g3_needs_tables():
+    with pytest.raises(NotImplementedError, match="load_t4_tables"):
+        cc.g3_encode([[1, 0, 1]], 3)
+
+
+def test_tiff_g3_strip_decode():
+    """Compression=3 TIFF through tiff_decode, 1-D and 2-D options
+    (tag 292), multiple strips."""
+    cc.load_t4_tables(_synthetic_tables())
+    rnd = random.Random(13)
+    w, h = 23, 9
+    rows = [[rnd.randrange(2) for _ in range(w)] for _ in range(h)]
+    for t4opts in (0, 1):
+        strips = []
+        rps = 4
+        for y0 in range(0, h, rps):
+            strips.append(cc.g3_encode(rows[y0: y0 + rps], w,
+                                       two_d=bool(t4opts & 1)))
+        b = _g4_tiff_raw(strips, w, h, rps, comp=3, t4_options=t4opts)
+        gw, gh, px = tf.tiff_decode(b)
+        assert (gw, gh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                want = (0, 0, 0) if rows[y][x] else (255, 255, 255)
+                assert px[y][x] == want, (t4opts, x, y)
+
+
+def _g4_tiff_raw(strips, width, height, rps, comp, t4_options=None):
+    """Like _g4_tiff but over pre-encoded strips (+ optional tag 292)."""
+    entries = [
+        (256, 3, [width]), (257, 3, [height]), (258, 3, [1]),
+        (259, 3, [comp]), (262, 3, [0]), (277, 3, [1]),
+        (278, 3, [rps]),
+    ]
+    if t4_options is not None:
+        entries.append((292, 4, [t4_options]))
+    e = "<"
+    n = len(entries) + 2
+    ifd_size = 2 + 12 * n + 4
+    data_start = 8 + ifd_size
+    off_vals, cnt_vals = [], []
+    pos = data_start + 8 * len(strips)
+    blobs_off = pos
+    for s in strips:
+        off_vals.append(pos)
+        cnt_vals.append(len(s))
+        pos += len(s)
+    entries = entries + [(273, 4, off_vals), (279, 4, cnt_vals)]
+    fixed, extra = [], bytearray()
+    for tag, typ, vals in sorted(entries):
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = {3: 2, 4: 4}[typ]
+        if sz * len(vals) <= 4:
+            vb = struct.pack(e + f"{len(vals)}{fmt}", *vals).ljust(4, b"\x00")
+        else:
+            vb = struct.pack(e + "I", data_start + len(extra))
+            extra += struct.pack(e + f"{len(vals)}{fmt}", *vals)
+        fixed.append(struct.pack(e + "HHI", tag, typ, len(vals)) + vb)
+    assert len(extra) <= 8 * len(strips)
+    extra = extra.ljust(blobs_off - data_start, b"\x00")
+    out = bytearray(b"II*\x00") + struct.pack(e + "I", 8)
+    out += struct.pack(e + "H", n)
+    for f in fixed:
+        out += f
+    out += struct.pack(e + "I", 0)
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def test_tiff_g3_uncompressed_mode_raises():
+    cc.load_t4_tables(_synthetic_tables())
+    b = _g4_tiff_raw([b"\x00\x01"], 8, 1, 1, comp=3, t4_options=2)
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        tf.tiff_decode(b)
