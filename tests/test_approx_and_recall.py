@@ -430,3 +430,50 @@ def test_ppjoin_degenerate_vocab_guardrail(spark):
         _warnings.simplefilter("always")
         ppjoin_pairs(df, "doc_id", "text", threshold=0.9).collect()
     assert not [w for w in caught if "degenerate" in str(w.message)]
+
+
+def test_ppjoin_estimate_calibration_non_degenerate(spark):
+    """r9 (VERDICT #6): the estimate's calibration on the NON-degenerate
+    documents corpus — est counts (prefix token, pair) incidences, so
+    it sits a small stable multiple (the per-pair shared-prefix-token
+    multiplicity) above distinct candidates. Measured at sf0.01 and
+    sf0.1 (SCALE.md r9 row): est/distinct 5.4x and 5.3x — scale-stable
+    — and est/verified ~13x. The pinned band [2, 10] is what the 50M
+    warn default was sized against (50M raw est ~ 9M distinct
+    candidates ~ 4M verified pairs on this corpus family)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from data_migration_etl_scripts_spark.operators import textprep as tp
+    from data_migration_etl_scripts_spark.operators.dedup import (
+        ppjoin_candidate_estimate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = (
+        docs.select(F.col("doc_id"), F.explode(tp.tokens("text")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    ordered = tok.join(freq, "tok").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("freq", "tok")),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix = (
+        ordered.join(sizes, "doc_id")
+        .where(F.col("pos") <= F.col("n")
+               - F.floor((F.lit(7) * F.col("n") + F.lit(9)) / F.lit(10)) + 1)
+        .select("doc_id", "tok", "n", "pos")
+    )
+    est = ppjoin_candidate_estimate(prefix)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    distinct_cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert distinct_cand > 0
+    ratio = est / distinct_cand
+    assert 2.0 <= ratio <= 10.0, (est, distinct_cand, ratio)
