@@ -234,6 +234,26 @@ def _rw_list_agg(args):
     return f"collect_list({args[0]})"
 
 
+def _rw_regexp_replace_groups(args):
+    """RE2/DuckDB replacement strings reference groups as ``\\1``;
+    Java's replaceAll uses ``$1`` and reads ``\\1`` as a LITERAL '1'
+    (and bare ``$`` as a group sigil). Translate the replacement
+    argument: protect literal ``$`` then rewrite ``\\N`` -> ``$N``."""
+    if len(args) != 3:
+        return None
+    rep = args[2]
+    if not (len(rep) >= 2 and rep[0] == "'" and rep[-1] == "'"):
+        return None
+    inner = rep[1:-1]
+    if not re.search(r"\\\d", inner):
+        # no \N group refs: nothing to translate (and this guard makes
+        # the rewrite idempotent — its own output carries $N, never \N)
+        return None
+    new = inner.replace("$", r"\$")
+    new = re.sub(r"\\(\d)", r"$\1", new)
+    return f"regexp_replace({args[0]}, {args[1]}, '{new}')"
+
+
 def _rw_regexp_extract_all(args):
     """Default-group mismatch: DuckDB's 2-arg form extracts group 0
     (the whole match); Spark's defaults to group 1. Make DuckDB's
@@ -763,6 +783,7 @@ def translate_duckdb_sql(sql: str) -> str:
         r"\bdatediff\(\s*'(\w+)'\s*,", r"datediff(\1,", out, flags=re.IGNORECASE
     )
     out = _strip_regexp_replace_gflag(out)
+    out = _rewrite_calls(out, "regexp_replace", _rw_regexp_replace_groups)
     # DuckDB orders inside the aggregate args; Spark uses the ANSI
     # WITHIN GROUP form (balanced-arg rewrite: the separator may be an
     # expression like '' || char(10) || '').

@@ -147,14 +147,13 @@ SQL_PORTABLE_BOARD = [
 #:   - DuckDB struct-by-position z[N] on list_zip structs ->
 #:     z['<field>'] using Spark's arrays_zip field-naming rule
 #:     (bare column -> its name, expression -> 0-based position).
-#: Together with SQL_PORTABLE_BOARD: 163 of the 164 driver-oracle
-#: texts drive DuckDB, Spark SQL, and the DataFrame API to one pinned
-#: answer.
-#:
-#: The ONE text still off the board (tools/sql_probe.py reproduces
-#: the census): markdown_extract_text runs but value-diverges — Java
-#: vs RE2 regex semantics inside markdown link stripping — and the
-#: row-match gate keeps it off exactly as designed.
+#:   - regexp_replace REPLACEMENT group refs: RE2/DuckDB spell them
+#:     ``\1``, Java spells them ``$1`` (and reads ``\1`` as a
+#:     literal '1') — the one "Java vs RE2 semantics" divergence was
+#:     actually this mechanical spelling, closing the last text.
+#: Together with SQL_PORTABLE_BOARD: ALL 164 driver-oracle texts
+#: drive DuckDB, Spark SQL, and the DataFrame API to one pinned
+#: answer (tools/sql_probe.py reproduces the census).
 SQL_COMPAT_BOARD = [
     "bm25_search",
     "clean_contact_phones",
@@ -255,6 +254,7 @@ SQL_COMPAT_BOARD = [
     "entity_resolution_customers",
     "gapfill_monthly_revenue",
     "minhash_calibration",
+    "markdown_extract_text",
     "pii_pseudonymize_consistent",
     "ppjoin_exact_pairs",
     "quality_repetition",
