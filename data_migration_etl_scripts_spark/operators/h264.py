@@ -891,25 +891,22 @@ class _Plane:
         return [self.px[(y0 + k) * self.w + x] for k in range(n)]
 
 
-def decode_iframe_yuv(data: bytes):
-    """First IDR/I frame of an Annex-B stream -> (width, height,
-    Y plane rows, Cb rows, Cr rows) at coded (uncropped) MB grid,
-    then cropped per the SPS. Pre-deblock reconstruction."""
-    sps = pps = None
-    slice_rbsp = None
-    for ref, typ, rbsp in nal_units(data):
-        if typ == 7:
-            sps = parse_sps(rbsp)
-        elif typ == 8:
-            pps = parse_pps(rbsp)
-        elif typ in (1, 5) and slice_rbsp is None:
-            slice_rbsp = (typ, ref, rbsp)
-        if sps and pps and slice_rbsp:
-            break
-    if sps is None or pps is None or slice_rbsp is None:
-        raise ValueError("no SPS+PPS+slice in stream")
-    typ, ref_idc, rbsp = slice_rbsp
-    r = _R(rbsp)
+def _rbsp_stop(d: bytes) -> int:
+    """Bit position (MSB-first indexing) of the rbsp_stop_one_bit —
+    the LAST set bit of the RBSP. Macroblock data continues while the
+    read position is before it (the spec's more_rbsp_data())."""
+    for i in range(len(d) - 1, -1, -1):
+        if d[i]:
+            b = d[i]
+            for k in range(8):          # k = bit index from the LSB
+                if b & (1 << k):
+                    return 8 * i + (7 - k)
+    return 0
+
+
+def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
+                        ref_idc: int) -> tuple[int, int]:
+    """I-slice header -> (first_mb_in_slice, slice QP)."""
     first_mb = r.ue()
     slice_type = r.ue()
     if slice_type % 5 != 2:
@@ -917,8 +914,6 @@ def decode_iframe_yuv(data: bytes):
             f"slice_type {slice_type} — I slices only (P/B need motion "
             "compensation)"
         )
-    if first_mb != 0:
-        raise NotImplementedError("multi-slice pictures")
     r.ue()  # pps id
     r.u(sps["log2_max_frame_num"])
     if typ == 5:
@@ -939,6 +934,29 @@ def decode_iframe_yuv(data: bytes):
         if r.ue() != 1:  # disable_deblocking_filter_idc
             r.se()
             r.se()
+    return first_mb, qp
+
+
+def decode_iframe_yuv(data: bytes):
+    """First IDR/I picture of an Annex-B stream -> (width, height,
+    Y plane rows, Cb rows, Cr rows) at coded (uncropped) MB grid,
+    then cropped per the SPS. Pre-deblock reconstruction.
+
+    Multi-slice pictures decode (r9): slices must cover the MB raster
+    contiguously in order (no FMO/ASO); intra prediction and CAVLC nC
+    contexts treat other-slice neighbors as UNAVAILABLE, per the
+    slice-independence rule."""
+    sps = pps = None
+    slices: list[tuple[int, int, bytes]] = []
+    for ref, typ, rbsp in nal_units(data):
+        if typ == 7 and sps is None:
+            sps = parse_sps(rbsp)
+        elif typ == 8 and pps is None:
+            pps = parse_pps(rbsp)
+        elif typ in (1, 5):
+            slices.append((typ, ref, rbsp))
+    if sps is None or pps is None or not slices:
+        raise ValueError("no SPS+PPS+slice in stream")
 
     wm, hm = sps["width_mbs"], sps["height_mbs"]
     y_plane = _Plane(16 * wm, 16 * hm)
@@ -949,10 +967,27 @@ def decode_iframe_yuv(data: bytes):
     luma_nc = [[-1] * (4 * wm) for _ in range(4 * hm)]
     cb_nc = [[-1] * (2 * wm) for _ in range(2 * hm)]
     cr_nc = [[-1] * (2 * wm) for _ in range(2 * hm)]
+    #: which slice decoded each MB (-1 = not yet) — neighbors from a
+    #: DIFFERENT slice are unavailable for prediction and nC
+    mb_slice = [[-1] * wm for _ in range(hm)]
+    #: per-MB Intra_4x4 flag + per-4x4-block prediction modes (for the
+    #: min(A, B) mode prediction; non-I4x4 neighbors count as DC=2)
+    mb_i4 = [[False] * wm for _ in range(hm)]
+    i4_modes = [[2] * (4 * wm) for _ in range(4 * hm)]
 
-    def nc_of(grid, bx, by):
-        na = grid[by][bx - 1] if bx > 0 else -1
-        nb = grid[by - 1][bx] if by > 0 else -1
+    cur_slice = 0
+    r = _R(b"")
+    qp = 26
+
+    def mb_avail(mbx2: int, mby2: int) -> bool:
+        return (0 <= mbx2 < wm and 0 <= mby2 < hm
+                and mb_slice[mby2][mbx2] == cur_slice)
+
+    def nc_of(grid, bx, by, div):
+        na = (grid[by][bx - 1]
+              if bx > 0 and mb_avail((bx - 1) // div, by // div) else -1)
+        nb = (grid[by - 1][bx]
+              if by > 0 and mb_avail(bx // div, (by - 1) // div) else -1)
         if na >= 0 and nb >= 0:
             return (na + nb + 1) >> 1
         if na >= 0:
@@ -961,32 +996,29 @@ def decode_iframe_yuv(data: bytes):
             return nb
         return 0
 
-    #: per-MB Intra_4x4 flag + per-4x4-block prediction modes (for the
-    #: min(A, B) mode prediction; non-I4x4 neighbors count as DC=2)
-    mb_i4 = [[False] * wm for _ in range(hm)]
-    i4_modes = [[2] * (4 * wm) for _ in range(4 * hm)]
-
     def blk_decoded(bx: int, by: int, cur_mb: int, cur_blk: int) -> bool:
         """Is the 4x4 block at global block coords (bx, by) decoded
-        before block cur_blk of macroblock cur_mb? (raster MB order,
-        _BLK4_XY coding order within an MB)"""
+        before block cur_blk of macroblock cur_mb AND in the same
+        slice? (raster MB order, _BLK4_XY coding order within an MB)"""
         if bx < 0 or by < 0 or bx >= 4 * wm or by >= 4 * hm:
             return False
         nmb = (by // 4) * wm + (bx // 4)
         if nmb != cur_mb:
-            return nmb < cur_mb
+            return nmb < cur_mb and mb_avail(bx // 4, by // 4)
         return _BLK4_IDX[(bx % 4, by % 4)] < cur_blk
 
     def decode_chroma(mbx: int, mby: int, chroma_mode: int,
                       cbp_chroma: int, qp: int) -> None:
         qc = _qpc(qp + pps["chroma_qp_off"])
         cdiv, cmod = qc // 6, qc % 6
+        up = mb_avail(mbx, mby - 1)
+        lf = mb_avail(mbx - 1, mby)
         for plane, grid in ((cb_plane, cb_nc), (cr_plane, cr_nc)):
             cx0, cy0 = 8 * mbx, 8 * mby
-            ctop = plane.row(cx0, cy0 - 1, 8) if mby > 0 else None
-            cleft = plane.col(cx0 - 1, cy0, 8) if mbx > 0 else None
+            ctop = plane.row(cx0, cy0 - 1, 8) if up else None
+            cleft = plane.col(cx0 - 1, cy0, 8) if lf else None
             ctl = (plane.px[(cy0 - 1) * plane.w + cx0 - 1]
-                   if (mbx > 0 and mby > 0) else None)
+                   if (up and lf) else None)
             cpred = _pred_chroma(chroma_mode, ctop, cleft, ctl)
             if cbp_chroma == 0:
                 plane.put(cx0, cy0, cpred)
@@ -1008,7 +1040,7 @@ def decode_iframe_yuv(data: bytes):
                 for blk in range(4):
                     bx = 2 * mbx + blk % 2
                     by = 2 * mby + blk // 2
-                    nc = nc_of(grid, bx, by)
+                    nc = nc_of(grid, bx, by, 2)
                     cac[blk] = _cavlc_block(r, nc, 15)
                     grid[by][bx] = sum(1 for v in cac[blk] if v)
             else:
@@ -1032,8 +1064,10 @@ def decode_iframe_yuv(data: bytes):
                         )
             plane.put(cx0, cy0, cout)
 
-    for mb in range(wm * hm):
+    def decode_mb(mb: int) -> None:
+        nonlocal qp
         mbx, mby = mb % wm, mb // wm
+        mb_slice[mby][mbx] = cur_slice
         mb_type = r.ue()
         if mb_type == 25:  # I_PCM — table-free
             r.byte_align()
@@ -1049,14 +1083,18 @@ def decode_iframe_yuv(data: bytes):
                 for by in range(2 * mby, 2 * mby + 2):
                     for bx in range(2 * mbx, 2 * mbx + 2):
                         grid[by][bx] = 16
-            continue
+            return
         if mb_type == 0:
             # ---- Intra_4x4 (r9) ----
             modes = []
             for blk in range(16):
                 bx = 4 * mbx + _BLK4_XY[blk][0] // 4
                 by = 4 * mby + _BLK4_XY[blk][1] // 4
-                if bx == 0 or by == 0:
+                in_mb_left = bx % 4 > 0
+                in_mb_up = by % 4 > 0
+                availA = in_mb_left or mb_avail(bx // 4 - 1, mby)
+                availB = in_mb_up or mb_avail(mbx, by // 4 - 1)
+                if not (availA and availB):
                     predm = 2  # spec: any unavailable neighbor forces DC
                 else:
                     ma = (i4_modes[by][bx - 1]
@@ -1089,15 +1127,18 @@ def decode_iframe_yuv(data: bytes):
                 ox, oy = _BLK4_XY[blk]
                 gx, gy = 16 * mbx + ox, 16 * mby + oy
                 bx, by = gx // 4, gy // 4
-                top = y_plane.row(gx, gy - 1, 4) if gy > 0 else None
-                left = y_plane.col(gx - 1, gy, 4) if gx > 0 else None
+                up_ok = blk_decoded(bx, by - 1, mb, blk)
+                lf_ok = blk_decoded(bx - 1, by, mb, blk)
+                tl_ok = blk_decoded(bx - 1, by - 1, mb, blk)
+                top = y_plane.row(gx, gy - 1, 4) if up_ok else None
+                left = y_plane.col(gx - 1, gy, 4) if lf_ok else None
                 tl = (y_plane.px[(gy - 1) * y_plane.w + gx - 1]
-                      if (gx > 0 and gy > 0) else None)
+                      if tl_ok else None)
                 tr = (y_plane.row(gx + 4, gy - 1, 4)
                       if blk_decoded(bx + 1, by - 1, mb, blk) else None)
                 pred = _pred4(modes[blk], top, left, tl, tr)
                 if cbp_luma & (1 << (blk // 4)):
-                    scan = _cavlc_block(r, nc_of(luma_nc, bx, by), 16)
+                    scan = _cavlc_block(r, nc_of(luma_nc, bx, by, 4), 16)
                     luma_nc[by][bx] = sum(1 for v in scan if v)
                     d = [[0] * 4 for _ in range(4)]
                     for k, (i, j) in enumerate(_ZIG4):
@@ -1114,7 +1155,7 @@ def decode_iframe_yuv(data: bytes):
                     blk_out = pred
                 y_plane.put(gx, gy, blk_out)
             decode_chroma(mbx, mby, chroma_mode, cbp_chroma, qp)
-            continue
+            return
         if mb_type > 25:
             raise ValueError(f"mb_type {mb_type} invalid in an I slice")
         m = mb_type - 1
@@ -1126,14 +1167,16 @@ def decode_iframe_yuv(data: bytes):
         qp = (qp + r.se()) % 52  # mb_qp_delta wraps per spec arithmetic
 
         x0, y0 = 16 * mbx, 16 * mby
-        top = y_plane.row(x0, y0 - 1, 16) if mby > 0 else None
-        left = y_plane.col(x0 - 1, y0, 16) if mbx > 0 else None
+        up = mb_avail(mbx, mby - 1)
+        lf = mb_avail(mbx - 1, mby)
+        top = y_plane.row(x0, y0 - 1, 16) if up else None
+        left = y_plane.col(x0 - 1, y0, 16) if lf else None
         tl = (y_plane.px[(y0 - 1) * y_plane.w + x0 - 1]
-              if (mbx > 0 and mby > 0) else None)
+              if (up and lf) else None)
         pred = _pred16(pred_mode, top, left, tl)
 
         # luma DC block (always present for Intra_16x16)
-        dc_nc = nc_of(luma_nc, 4 * mbx, 4 * mby)
+        dc_nc = nc_of(luma_nc, 4 * mbx, 4 * mby, 4)
         dc_scan = _cavlc_block(r, dc_nc, 16)
         dc = [[0] * 4 for _ in range(4)]
         for k, (i, j) in enumerate(_ZIG4):
@@ -1148,7 +1191,7 @@ def decode_iframe_yuv(data: bytes):
             for blk in range(16):
                 bx = 4 * mbx + _BLK4_XY[blk][0] // 4
                 by = 4 * mby + _BLK4_XY[blk][1] // 4
-                nc = nc_of(luma_nc, bx, by)
+                nc = nc_of(luma_nc, bx, by, 4)
                 scan = _cavlc_block(r, nc, 15)
                 ac_scans[blk] = scan
                 luma_nc[by][bx] = sum(1 for v in scan if v)
@@ -1177,6 +1220,31 @@ def decode_iframe_yuv(data: bytes):
                     )
         y_plane.put(x0, y0, out16)
         decode_chroma(mbx, mby, chroma_mode, cbp_chroma, qp)
+
+    next_mb = 0
+    for slice_id, (typ, ref_idc, rbsp) in enumerate(slices):
+        if next_mb >= wm * hm:
+            break  # first picture complete; later NALs = other pictures
+        cur_slice = slice_id
+        r = _R(rbsp)
+        first_mb, qp = _parse_slice_header(r, sps, pps, typ, ref_idc)
+        if first_mb != next_mb:
+            raise NotImplementedError(
+                f"slice starts at MB {first_mb}, expected {next_mb} — "
+                "out-of-order/FMO slices unsupported"
+            )
+        stop = _rbsp_stop(rbsp)
+        mb = first_mb
+        while r.pos < stop:
+            if mb >= wm * hm:
+                raise ValueError("slice data overruns the picture")
+            decode_mb(mb)
+            mb += 1
+        next_mb = mb
+    if next_mb < wm * hm:
+        raise ValueError(
+            f"picture not fully covered: {next_mb} of {wm * hm} MBs"
+        )
 
     # crop and emit row lists
     cl, cr_, ct, cb_ = sps["crop"]
@@ -1441,7 +1509,7 @@ def _write_sps_pps(wm: int, hm: int, w: int, h: int,
 
 
 def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
-                         dense: bool = True):
+                         dense: bool = True, slices: int = 1):
     """4:2:0 planes -> (Annex-B bytes, (recon_y, recon_cb, recon_cr)):
     one IDR picture at fixed QP with CAVLC-coded quantized residuals,
     plus the encoder's own bit-exact reconstruction (it replays the
@@ -1464,22 +1532,41 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
     The quantizer steps by the published dequant formulas through the
     independently-derived gain identity (see _UGAIN), so a one-sided
     dequant translation bug shows up as a source-error blowout in
-    tests even though encode->decode stays bit-consistent."""
+    tests even though encode->decode stays bit-consistent.
+
+    ``slices > 1`` (r9) splits the MB raster into that many contiguous
+    slices (each its own NAL). Slice independence is honored on BOTH
+    sides: the encoder predicts only from same-slice recon neighbors
+    and restarts every nC context, and the FIRST MB of every slice is
+    I_PCM so dense mode keeps its table-free bootstrap."""
     if mb_mode not in ("i16", "i4"):
         raise ValueError("mb_mode must be 'i16' or 'i4'")
     ys, cbs, crs, w, h, wm, hm = _pad420(ys, cbs, crs)
     out = _write_sps_pps(wm, hm, w, h, init_qp=qp)
 
-    sl = _W()
-    sl.ue(0)       # first_mb_in_slice
-    sl.ue(7)       # slice_type: I (all slices)
-    sl.ue(0)       # pps id
-    sl.u(0, 4)     # frame_num
-    sl.ue(0)       # idr_pic_id
-    sl.u(1, 1)     # no_output_of_prior_pics
-    sl.u(0, 1)     # long_term_reference
-    sl.se(0)       # slice_qp_delta
-    sl.ue(1)       # disable_deblocking_filter_idc = 1 (off)
+    n_mbs = wm * hm
+    # slice boundaries align to MB ROWS: a slice starting mid-row
+    # would orphan the next row's left-edge MB (no same-slice
+    # neighbor -> nC context 0 -> dense mode loses its table-free
+    # bootstrap)
+    slices = max(1, min(int(slices), hm))
+    rows_per = -(-hm // slices)
+    slice_starts = [r * wm for r in range(0, hm, rows_per)]
+
+    def new_slice_writer(first_mb: int) -> _W:
+        w2 = _W()
+        w2.ue(first_mb)  # first_mb_in_slice
+        w2.ue(7)       # slice_type: I (all slices)
+        w2.ue(0)       # pps id
+        w2.u(0, 4)     # frame_num
+        w2.ue(0)       # idr_pic_id
+        w2.u(1, 1)     # no_output_of_prior_pics
+        w2.u(0, 1)     # long_term_reference
+        w2.se(0)       # slice_qp_delta
+        w2.ue(1)       # disable_deblocking_filter_idc = 1 (off)
+        return w2
+
+    sl = new_slice_writer(0)
 
     ry = _Plane(16 * wm, 16 * hm)
     rcb = _Plane(8 * wm, 8 * hm)
@@ -1489,11 +1576,29 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
     cr_nc = [[-1] * (2 * wm) for _ in range(2 * hm)]
     i4_modes = [[2] * (4 * wm) for _ in range(4 * hm)]
     mb_i4 = [[False] * wm for _ in range(hm)]
+    mb_slice = [[-1] * wm for _ in range(hm)]
+    cur_slice = 0
     qdiv, qmod = qp // 6, qp % 6
 
-    def nc_of(grid, bx, by):
-        na = grid[by][bx - 1] if bx > 0 else -1
-        nb = grid[by - 1][bx] if by > 0 else -1
+    def mb_avail(mbx2: int, mby2: int) -> bool:
+        return (0 <= mbx2 < wm and 0 <= mby2 < hm
+                and mb_slice[mby2][mbx2] == cur_slice)
+
+    def blk_decoded(bx: int, by: int, cur_mb: int, cur_blk: int) -> bool:
+        # decoder-identical availability (operators/h264.py decode):
+        # earlier same-slice MB, or earlier coding-order block in-MB
+        if bx < 0 or by < 0 or bx >= 4 * wm or by >= 4 * hm:
+            return False
+        nmb = (by // 4) * wm + (bx // 4)
+        if nmb != cur_mb:
+            return nmb < cur_mb and mb_avail(bx // 4, by // 4)
+        return _BLK4_IDX[(bx % 4, by % 4)] < cur_blk
+
+    def nc_of(grid, bx, by, div=4):
+        na = (grid[by][bx - 1]
+              if bx > 0 and mb_avail((bx - 1) // div, by // div) else -1)
+        nb = (grid[by - 1][bx]
+              if by > 0 and mb_avail(bx // div, (by - 1) // div) else -1)
         if na >= 0 and nb >= 0:
             return (na + nb + 1) >> 1
         if na >= 0:
@@ -1519,12 +1624,13 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
         cdiv, cmod = qc // 6, qc % 6
         writers = []
         cbp_chroma = 0 if dense else 2
+        up, lf = mb_avail(mbx, mby - 1), mb_avail(mbx - 1, mby)
         for plane, grid, src in ((rcb, cb_nc, cbs), (rcr, cr_nc, crs)):
             cx0, cy0 = 8 * mbx, 8 * mby
-            ctop = plane.row(cx0, cy0 - 1, 8) if mby > 0 else None
-            cleft = plane.col(cx0 - 1, cy0, 8) if mbx > 0 else None
+            ctop = plane.row(cx0, cy0 - 1, 8) if up else None
+            cleft = plane.col(cx0 - 1, cy0, 8) if lf else None
             ctl = (plane.px[(cy0 - 1) * plane.w + cx0 - 1]
-                   if (mbx > 0 and mby > 0) else None)
+                   if (up and lf) else None)
             cpred = _pred_chroma(0, ctop, cleft, ctl)  # DC mode
             if cbp_chroma == 0:
                 plane.put(cx0, cy0, cpred)
@@ -1583,46 +1689,53 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
                     for blk in range(4):
                         bx = 2 * mbx + blk % 2
                         by = 2 * mby + blk // 2
-                        nc = nc_of(grid, bx, by)
+                        nc = nc_of(grid, bx, by, 2)
                         _cavlc_write_block(sl, ac_levels[blk], nc, 15)
                         grid[by][bx] = sum(1 for v in ac_levels[blk] if v)
                 return write
             writers.append(make_writer())
         return cbp_chroma, writers
 
-    for mb in range(wm * hm):
+    for mb in range(n_mbs):
         mbx, mby = mb % wm, mb // wm
-        if mb == 0:
-            # I_PCM bootstrap: seeds every nC context at 16 and gives
-            # the dense path its table-free coeff_token branch
+        if mb in slice_starts and mb != 0:
+            out += _nal(sl.trailing(), 3, 5)
+            sl = new_slice_writer(mb)
+            cur_slice += 1
+        mb_slice[mby][mbx] = cur_slice
+        if mb in slice_starts:
+            # I_PCM bootstrap at every slice start: seeds the slice's
+            # nC contexts at 16 and keeps dense mode table-free
+            x0, y0 = 16 * mbx, 16 * mby
             sl.ue(25)
             sl.byte_align_zero()
-            blk = src_block(ys, 0, 0, 16)
+            blk = src_block(ys, x0, y0, 16)
             for row in blk:
                 for v in row:
                     sl.u(v, 8)
-            ry.put(0, 0, blk)
+            ry.put(x0, y0, blk)
             for plane, src in ((rcb, cbs), (rcr, crs)):
-                cblk = src_block(src, 0, 0, 8)
+                cblk = src_block(src, 8 * mbx, 8 * mby, 8)
                 for row in cblk:
                     for v in row:
                         sl.u(v, 8)
-                plane.put(0, 0, cblk)
-            for by in range(4):
-                for bx in range(4):
+                plane.put(8 * mbx, 8 * mby, cblk)
+            for by in range(4 * mby, 4 * mby + 4):
+                for bx in range(4 * mbx, 4 * mbx + 4):
                     luma_nc[by][bx] = 16
             for grid in (cb_nc, cr_nc):
-                for by in range(2):
-                    for bx in range(2):
+                for by in range(2 * mby, 2 * mby + 2):
+                    for bx in range(2 * mbx, 2 * mbx + 2):
                         grid[by][bx] = 16
             continue
 
         x0, y0 = 16 * mbx, 16 * mby
         if mb_mode == "i16":
-            top = ry.row(x0, y0 - 1, 16) if mby > 0 else None
-            left = ry.col(x0 - 1, y0, 16) if mbx > 0 else None
+            up, lf = mb_avail(mbx, mby - 1), mb_avail(mbx - 1, mby)
+            top = ry.row(x0, y0 - 1, 16) if up else None
+            left = ry.col(x0 - 1, y0, 16) if lf else None
             tl = (ry.px[(y0 - 1) * ry.w + x0 - 1]
-                  if (mbx > 0 and mby > 0) else None)
+                  if (up and lf) else None)
             pred = _pred16(2, top, left, tl)  # DC
             # forward transforms for the 16 blocks
             wblks = []
@@ -1696,7 +1809,9 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
             for blk in range(16):
                 bx = 4 * mbx + _BLK4_XY[blk][0] // 4
                 by = 4 * mby + _BLK4_XY[blk][1] // 4
-                if bx == 0 or by == 0:
+                availA = bx % 4 > 0 or mb_avail(bx // 4 - 1, mby)
+                availB = by % 4 > 0 or mb_avail(mbx, by // 4 - 1)
+                if not (availA and availB):
                     predm = 2
                 else:
                     ma = (i4_modes[by][bx - 1]
@@ -1722,10 +1837,12 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
                 ox, oy = _BLK4_XY[blk]
                 gx, gy = x0 + ox, y0 + oy
                 bx, by = gx // 4, gy // 4
-                top = ry.row(gx, gy - 1, 4) if gy > 0 else None
-                left = ry.col(gx - 1, gy, 4) if gx > 0 else None
-                tl = (ry.px[(gy - 1) * ry.w + gx - 1]
-                      if (gx > 0 and gy > 0) else None)
+                up_ok = blk_decoded(bx, by - 1, mb, blk)
+                lf_ok = blk_decoded(bx - 1, by, mb, blk)
+                tl_ok = blk_decoded(bx - 1, by - 1, mb, blk)
+                top = ry.row(gx, gy - 1, 4) if up_ok else None
+                left = ry.col(gx - 1, gy, 4) if lf_ok else None
+                tl = (ry.px[(gy - 1) * ry.w + gx - 1] if tl_ok else None)
                 pred = _pred4(2, top, left, tl, None)
                 xres = residual(src_block(ys, gx, gy, 4), pred, 4)
                 scan = _quant_scan(_ftrans4(xres), qp, skip_dc=False,

@@ -1455,7 +1455,25 @@ def _synthetic_real_media_rows_build(
                          encode_quantized(px9, qp=12), 36, 28,
                          fragmented=True)),
                      "{}"))
+        # r9: a MULTI-SLICE quantized picture (2 slices — the error-
+        # resilience layout real encoders emit; slice-independent
+        # prediction/nC, still table-free)
+        from data_migration_etl_scripts_spark.operators.h264 import (
+            encode_quantized_yuv,
+        )
+
+        ys9, cbs9, crs9 = _rgb_to_420_h264(px9)
+        rows.append((n + 23, "video",
+                     bytearray(encode_quantized_yuv(
+                         ys9, cbs9, crs9, qp=12, slices=2)[0]),
+                     "{}"))
     return rows
+
+
+def _rgb_to_420_h264(px_rows):
+    from data_migration_etl_scripts_spark.operators.h264 import _rgb_to_420
+
+    return _rgb_to_420(px_rows)
 
 
 def synthetic_real_media(

@@ -665,3 +665,63 @@ def test_cabac_raises_namefully():
     pps.ue(0); pps.ue(0); pps.u(1, 1)  # entropy_coding_mode = CABAC
     with pytest.raises(NotImplementedError, match="CABAC"):
         h.parse_pps(pps.trailing())
+
+
+# ------------------------------------------------- multi-slice (r9)
+
+def test_multislice_dense_roundtrip_seam_empty():
+    """Multi-slice pictures decode (real crawled I-frames are often
+    multi-slice). Slice independence both ways: prediction and nC
+    contexts never cross a slice boundary, each slice's first MB is
+    I_PCM, and dense mode stays table-free — recon bit-exact with the
+    seam EMPTY for every slice count."""
+    ys, cbs, crs = _grad_image(48, 48, seed=4)
+    ref = None
+    for ns in (1, 2, 3, 5):
+        b, (ry, rcb, rcr) = h.encode_quantized_yuv(
+            ys, cbs, crs, qp=10, slices=ns)
+        n_slices = sum(1 for _r, t, _x in h.nal_units(b) if t == 5)
+        assert n_slices == min(ns, 3)  # row-aligned: 3 MB rows max
+        w, hgt, gy, gcb, gcr = h.decode_iframe_yuv(b)
+        assert gy == ry and gcb == rcb and gcr == rcr, ns
+        if ref is None:
+            ref = ys
+        # every variant still tracks the source at the same qp
+        err = sum(abs(gy[y][x] - ys[y][x])
+                  for y in range(48) for x in range(48)) / (48 * 48)
+        assert err < 5.0, (ns, err)
+
+
+def test_multislice_sparse_i16_and_i4():
+    h.load_cavlc_tables(_synthetic_cavlc())
+    ys, cbs, crs = _grad_image(48, 48, seed=9)
+    for mode in ("i16", "i4"):
+        b, (ry, rcb, rcr) = h.encode_quantized_yuv(
+            ys, cbs, crs, qp=10, mb_mode=mode, dense=False, slices=3)
+        w, hgt, gy, gcb, gcr = h.decode_iframe_yuv(b)
+        assert gy == ry and gcb == rcb and gcr == rcr, mode
+
+
+def test_multislice_out_of_order_raises():
+    ys, cbs, crs = _grad_image(32, 32, seed=2)
+    b = h.encode_quantized_yuv(ys, cbs, crs, qp=10, slices=2)[0]
+    units = h.nal_units(b)
+    sl_units = [(r, t, p) for r, t, p in units if t == 5]
+    assert len(sl_units) == 2
+    head = b"".join(h._nal(p, r, t) for r, t, p in units if t in (7, 8))
+    swapped = head + h._nal(sl_units[1][2], 3, 5) + h._nal(
+        sl_units[0][2], 3, 5)
+    with pytest.raises(NotImplementedError, match="out-of-order"):
+        h.decode_iframe_yuv(swapped)
+
+
+def test_multislice_missing_slice_raises():
+    ys, cbs, crs = _grad_image(32, 32, seed=2)
+    b = h.encode_quantized_yuv(ys, cbs, crs, qp=10, slices=2)[0]
+    units = h.nal_units(b)
+    keep = [u for u in units if u[1] != 5]
+    first_slice = next(u for u in units if u[1] == 5)
+    partial = b"".join(h._nal(p, r, t) for r, t, p in keep) + h._nal(
+        first_slice[2], 3, 5)
+    with pytest.raises(ValueError, match="not fully covered"):
+        h.decode_iframe_yuv(partial)
