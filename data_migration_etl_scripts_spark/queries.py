@@ -4821,3 +4821,62 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cm.cms_estimate(exact, sketch, "tok", depth=4, width=512) \
         .withColumnRenamed("est", "cms_estimate")
+
+
+# ------------------------------------------------ SQL tier-3 surfaces
+
+
+_SQL_RECURSIVE_REACH = """
+    WITH RECURSIVE reach(node, root) AS (
+        SELECT n_nationkey, n_nationkey FROM nation WHERE n_nationkey < 10
+        UNION
+        SELECT n.n_nationkey, r.root
+        FROM nation n JOIN reach r ON n.n_nationkey = r.node + 10
+    )
+    SELECT root, count(*) AS n_reached, max(node) AS deepest
+    FROM reach GROUP BY root
+"""
+
+
+@query("sql_recursive_reachability", oracle=_SQL_RECURSIVE_REACH)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 tier-3 surface under the full hash oracle: a WITH RECURSIVE
+    UNION-distinct reachability (5 chains over the nation keys) runs
+    natively in DuckDB and through the engine's iterative
+    materialization executor (sql._exec_recursive — per-round
+    distinct + anti-join + localCheckpoint, the PageRank loop
+    discipline) in Spark. Same text, both engines, one pinned answer
+    — the executor itself is on the oracle board, not just
+    pytest-pinned."""
+    from data_migration_etl_scripts_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_RECURSIVE_REACH, dialect="duckdb")
+
+
+_SQL_ASOF_VIEW_ATTRIBUTION = """
+    SELECT l.event_id AS event_id, l.user_id AS user_id,
+           l.value AS cart_value,
+           r.event_id AS prior_view_id, r.value AS prior_view_value
+    FROM (SELECT event_id, ts, user_id, value FROM events
+          WHERE event_type = 'signup') l
+    ASOF LEFT JOIN (SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC
+            ) AS __rn FROM (SELECT event_id, ts, user_id, value
+                            FROM events WHERE event_type = 'view')
+        ) WHERE __rn = 1) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@query("sql_asof_attribution", oracle=_SQL_ASOF_VIEW_ATTRIBUTION)
+def sql_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 tier-3 surface under the full hash oracle: ASOF LEFT JOIN
+    (latest prior view per signup, per user; right side deduped per
+    (user, ts) so the as-of pick is deterministic) runs natively in
+    DuckDB and through sql._exec_asof (inequality join + row_number
+    over a synthesized left-row id) in Spark."""
+    from data_migration_etl_scripts_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_ASOF_VIEW_ATTRIBUTION,
+                   dialect="duckdb")

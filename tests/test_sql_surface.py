@@ -151,7 +151,7 @@ SQL_PORTABLE_BOARD = [
 #:     ``\1``, Java spells them ``$1`` (and reads ``\1`` as a
 #:     literal '1') — the one "Java vs RE2 semantics" divergence was
 #:     actually this mechanical spelling, closing the last text.
-#: Together with SQL_PORTABLE_BOARD: ALL 164 driver-oracle texts
+#: Together with SQL_PORTABLE_BOARD: ALL 166 driver-oracle texts
 #: drive DuckDB, Spark SQL, and the DataFrame API to one pinned
 #: answer (tools/sql_probe.py reproduces the census).
 SQL_COMPAT_BOARD = [
@@ -256,6 +256,11 @@ SQL_COMPAT_BOARD = [
     "minhash_calibration",
     "markdown_extract_text",
     "pii_pseudonymize_consistent",
+    # r9: the tier-3 executors' own oracle-board queries (the query
+    # IS run_sql of the text; listed here so the board sweep keeps
+    # exercising them through the shim path too)
+    "sql_recursive_reachability",
+    "sql_asof_attribution",
     "ppjoin_exact_pairs",
     "quality_repetition",
 ]
