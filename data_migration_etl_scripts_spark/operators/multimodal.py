@@ -1467,6 +1467,15 @@ def _synthetic_real_media_rows_build(
                      bytearray(encode_quantized_yuv(
                          ys9, cbs9, crs9, qp=12, slices=2)[0]),
                      "{}"))
+        # r9: new-style JPEG-in-TIFF (Compression 7, photometric 6) —
+        # the scanned-document layout (operators/tiff.py strips decode
+        # through operators/jpeg.py)
+        px10 = [[((x * 9 + y * 4) % 256, (x * 2 + y * 7) % 256,
+                  (x * 5 + y) % 256) for x in range(24)] for y in range(20)]
+        rows.append((n + 24, "image",
+                     bytearray(tiff_encode(px10, compression="jpeg",
+                                           rows_per_strip=8, quality=92)),
+                     "{}"))
     return rows
 
 

@@ -40,11 +40,17 @@ codebooks are an injectable Annex-B seam (`ccitt.load_t4_tables` /
 out of the box and real scanned pages decode once the user injects
 the spec tables.
 
+r9 additions: CCITT G3 (Compression 3, tag 292 T4Options: 1-D rows,
+the 2-D option, fill bits) via `operators/ccitt.py`; new-style
+JPEG-in-TIFF (Compression 7) both ways — strips/tiles decode through
+`operators/jpeg.py` with the shared JPEGTables (tag 347) stream
+prepended, PhotometricInterpretation 6 handled by the JPEG codec's
+own YCbCr stage, and `tiff_encode(compression="jpeg")` writes it.
+
 What is NOT here (documented seams, same policy as jpeg.py/webp.py):
-JPEG-in-TIFF (Compression 6/7), CCITT G3 codings (2/3 — EOL/RTC
-framing plus the same T.4 tables), tiled+planar-2 combination, and
->16-bit samples. Each raises NotImplementedError naming the tag
-value.
+old-style JPEG-in-TIFF (Compression 6, deprecated by TTN2),
+tiled+planar-2 combination, and >16-bit samples. Each raises
+NotImplementedError naming the tag value.
 """
 
 from __future__ import annotations
@@ -59,6 +65,7 @@ _T_HEIGHT = 257
 _T_BITS = 258
 _T_COMPRESSION = 259
 _T_T4OPTIONS = 292
+_T_JPEGTABLES = 347
 _T_PHOTOMETRIC = 262
 _T_STRIP_OFFSETS = 273
 _T_SPP = 277
@@ -92,7 +99,7 @@ def _read_ifd(b: bytes, off: int, e: str) -> dict[int, list[int]]:
             tags[tag] = list(struct.unpack_from(e + f"{cnt}H", b, voff))
         elif typ == 4:
             tags[tag] = list(struct.unpack_from(e + f"{cnt}I", b, voff))
-        elif typ == 1:
+        elif typ in (1, 7):   # BYTE / UNDEFINED (e.g. JPEGTables)
             tags[tag] = list(b[voff : voff + cnt])
         # other types (RATIONAL, ASCII...) are metadata — skipped
     return tags
@@ -266,11 +273,19 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
         raise NotImplementedError(
             f"BitsPerSample {bits} — uniform 1-, 8- or 16-bit only"
         )
-    if comp not in (1, 2, 3, 4, 5, 8, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773):
         raise NotImplementedError(
             f"Compression {comp} — none (1), CCITT MH (2), CCITT G3 (3), "
-            "CCITT G4 (4), LZW (5), Deflate (8), PackBits (32773) only"
+            "CCITT G4 (4), LZW (5), JPEG (7), Deflate (8), "
+            "PackBits (32773) only"
         )
+    if comp == 7:
+        if bits[0] != 8:
+            raise NotImplementedError("JPEG-in-TIFF is 8-bit only")
+        if photo == 6:
+            # new-style JPEG strips decode straight to RGB (the JPEG
+            # codec owns the YCbCr stage); downstream treats them as 2
+            photo = 2
     if comp in (2, 3, 4) and (bits[0] != 1 or spp != 1):
         raise ValueError("CCITT codings (Compression 2/3/4) require bilevel data")
     t4_options = t.get(_T_T4OPTIONS, [0])[0]
@@ -283,9 +298,35 @@ def tiff_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     bpp = 2 if bits[0] == 16 else 1  # bytes per sample (r7: 16-bit)
     row_bytes = (width + 7) // 8 if bilevel else width * spp * bpp
 
+    jpeg_tables = bytes(t.get(_T_JPEGTABLES, []))
+
     def decompress(chunk: bytes, expected: int, pix_w: int | None = None) -> bytes:
         if comp == 1:
             return chunk[:expected]
+        if comp == 7:  # new-style JPEG-in-TIFF (r9)
+            from data_migration_etl_scripts_spark.operators.jpeg import (
+                jpeg_decode,
+            )
+
+            stream = bytes(chunk)
+            if len(jpeg_tables) > 4 and stream[:2] == b"\xff\xd8":
+                # JPEGTables = SOI + DQT/DHT + EOI; prepend its tables
+                # to the strip stream (drop the tables EOI + strip SOI)
+                stream = jpeg_tables[:-2] + stream[2:]
+            jw, jh, jrows = jpeg_decode(stream)
+            w_px = pix_w if pix_w is not None else width
+            if jw != w_px:
+                raise ValueError(
+                    f"JPEG strip width {jw} != segment width {w_px}"
+                )
+            pad = bytes(max(0, spp - 3))
+            out = bytearray()
+            for row in jrows:
+                if spp == 1:
+                    out += bytes(px_[0] for px_ in row)
+                else:
+                    out += b"".join(bytes(px_[:spp]) + pad for px_ in row)
+            return bytes(out[:expected])
         if comp in (2, 3, 4):  # CCITT MH 1-D / G3 (r9) / G4 2-D (r8)
             from data_migration_etl_scripts_spark.operators.ccitt import (
                 g3_decode_packed,
@@ -491,20 +532,29 @@ def tiff_encode(
     gray: bool = False,
     big_endian: bool = False,
     tiles: tuple[int, int] | None = None,
+    quality: int = 90,
 ) -> bytes:
     """rows of (r, g, b) -> TIFF bytes. compression in
-    {'none', 'packbits', 'lzw', 'deflate'}; predictor applies horizontal
-    differencing (LZW-style, valid with any compression per spec);
-    gray writes 1 sample/pixel from the red channel. ``tiles=(tw, th)``
-    writes the TILED layout (tags 322-325, dims must be multiples of
-    16 per spec; edge tiles zero-padded to full size) instead of
-    strips."""
+    {'none', 'packbits', 'lzw', 'deflate', 'jpeg'}; predictor applies
+    horizontal differencing (LZW-style, valid with any compression per
+    spec — not with 'jpeg'); gray writes 1 sample/pixel from the red
+    channel. ``tiles=(tw, th)`` writes the TILED layout (tags 322-325,
+    dims must be multiples of 16 per spec; edge tiles zero-padded to
+    full size) instead of strips. ``compression='jpeg'`` (r9) writes
+    new-style JPEG-in-TIFF (Compression 7, PhotometricInterpretation
+    6): each strip/tile is an independent baseline JPEG at
+    ``quality``; lossy like any JPEG, but the engine decode of the
+    TIFF equals the engine JPEG round trip of each strip EXACTLY
+    (same codec both ways)."""
     height = len(px)
     width = len(px[0])
     spp = 1 if gray else 3
     rps = rows_per_strip or height
     e = ">" if big_endian else "<"
-    comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[compression]
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
+               "jpeg": 7}[compression]
+    if compression == "jpeg" and (gray or predictor):
+        raise ValueError("JPEG-in-TIFF: RGB chunky, no predictor")
 
     def pack_seg(seg: bytes) -> bytes:
         if compression == "none":
@@ -530,9 +580,34 @@ def tiff_encode(
                 line[i] = (line[i] - line[i - spp]) & 0xFF
         return line
 
+    def jpeg_seg(y0, y1, x0, x1):
+        from data_migration_etl_scripts_spark.operators.jpeg import (
+            jpeg_encode,
+        )
+
+        rows = []
+        for y in range(y0, y1):
+            row = []
+            for x in range(x0, x1):
+                row.append(px[y][x] if (y < height and x < width)
+                           else (0, 0, 0))
+            rows.append(row)
+        return jpeg_encode(rows, quality=quality)
+
     # raster -> per-strip (or per-tile) encoded segments
     strips: list[bytes] = []
-    if tiles is not None:
+    if compression == "jpeg":
+        if tiles is not None:
+            tw, th = tiles
+            if tw % 16 or th % 16:
+                raise ValueError(f"tile dims {tw}x{th} must be multiples of 16")
+            for y0 in range(0, height, th):
+                for x0 in range(0, width, tw):
+                    strips.append(jpeg_seg(y0, y0 + th, x0, x0 + tw))
+        else:
+            for y0 in range(0, height, rps):
+                strips.append(jpeg_seg(y0, min(y0 + rps, height), 0, width))
+    elif tiles is not None:
         tw, th = tiles
         if tw % 16 or th % 16:
             raise ValueError(f"tile dims {tw}x{th} must be multiples of 16")
@@ -571,7 +646,8 @@ def tiff_encode(
     entry(_T_HEIGHT, 3, [height])
     entry(_T_BITS, 3, [8] * spp)
     entry(_T_COMPRESSION, 3, [comp_id])
-    entry(_T_PHOTOMETRIC, 3, [1 if gray else 2])
+    entry(_T_PHOTOMETRIC, 3,
+          [6 if compression == "jpeg" else (1 if gray else 2)])
     offsets_tag = _T_TILE_OFFSETS if tiles is not None else _T_STRIP_OFFSETS
     entry(offsets_tag, 4, [0] * n_strips)  # patched below
     entry(_T_SPP, 3, [spp])

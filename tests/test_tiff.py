@@ -185,14 +185,14 @@ def test_unsupported_paths_raise_with_tag_names():
     good = tf.tiff_encode(px)
     with pytest.raises(ValueError):
         tf.tiff_decode(b"XX" + good[2:])
-    # unsupported compression id: patch tag 259 to 7 (JPEG-in-TIFF)
+    # unsupported compression id: patch tag 259 to 6 (old-style JPEG)
     b = bytearray(good)
     n = struct.unpack_from("<H", b, 8)[0]
     for i in range(n):
         base = 10 + 12 * i
         if struct.unpack_from("<H", b, base)[0] == 259:
-            struct.pack_into("<H", b, base + 8, 7)
-    with pytest.raises(NotImplementedError, match="Compression 7"):
+            struct.pack_into("<H", b, base + 8, 6)
+    with pytest.raises(NotImplementedError, match="Compression 6"):
         tf.tiff_decode(bytes(b))
     # tiled layout with incomplete tile tags (r7: tiled DECODES now; a
     # 322 without 323/324 is malformed, not a seam)
@@ -394,3 +394,146 @@ def test_tiled_roundtrip_property():
         assert rows == px
 
     run()
+
+
+# --------------------------------------------- JPEG-in-TIFF, comp 7 (r9)
+
+def _grad_px(w, h):
+    return [[((x * 11 + y * 3) % 256, (x + y * 2) % 256, (x * 5 + y) % 256)
+             for x in range(w)] for y in range(h)]
+
+
+def test_jpeg_in_tiff_strips_equal_composed_jpeg():
+    """Compression-7 strips decode EXACTLY like each strip run through
+    the engine JPEG codec standalone (same codec both ways — the
+    self-check that needs no tolerance despite JPEG loss)."""
+    from data_migration_etl_scripts_spark.operators.jpeg import (
+        jpeg_decode, jpeg_encode,
+    )
+
+    px = _grad_px(32, 24)
+    b = tf.tiff_encode(px, compression="jpeg", rows_per_strip=8,
+                       quality=92)
+    w, h, got = tf.tiff_decode(b)
+    assert (w, h) == (32, 24)
+    want = []
+    for y0 in range(0, 24, 8):
+        _w, _h, rows = jpeg_decode(
+            jpeg_encode([r[:] for r in px[y0: y0 + 8]], quality=92))
+        want.extend(rows)
+    assert got == want
+
+
+def test_jpeg_in_tiff_tiled_roundtrip_tolerance():
+    px = _grad_px(32, 24)
+    b = tf.tiff_encode(px, compression="jpeg", tiles=(16, 16), quality=92)
+    w, h, got = tf.tiff_decode(b)
+    assert (w, h) == (32, 24)
+    err = max(abs(got[y][x][c] - px[y][x][c])
+              for y in range(24) for x in range(32) for c in range(3))
+    assert err <= 40  # plain JPEG loss, no structural error
+
+
+def test_jpeg_in_tiff_shared_jpegtables():
+    """Tag 347: DQT/DHT live in a shared JPEGTables stream, strips
+    carry only SOF/SOS — the scanned-document layout. Split an engine
+    strip into (tables, image) and verify the decode equals the
+    unsplit one."""
+    import struct as _st
+
+    from data_migration_etl_scripts_spark.operators.jpeg import (
+        jpeg_encode,
+    )
+
+    px = _grad_px(32, 16)
+    full = jpeg_encode(px, quality=90)
+    # walk markers; extract DQT (DB) + DHT (C4) into the tables stream
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos < len(full):
+        assert full[pos] == 0xFF
+        marker = full[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0xDA:  # SOS: rest of stream is entropy data
+            image += full[pos:]
+            break
+        (seglen,) = _st.unpack_from(">H", full, pos + 2)
+        seg = full[pos: pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else image).extend(seg)
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    # hand-build the TIFF: one strip = the stripped image stream
+    b = bytearray(tf.tiff_encode(px, compression="jpeg", quality=90))
+    # simpler than patching: build via the public writer, then decode
+    # the hand-split layout through a minimal IFD
+    strips = [bytes(image)]
+    entries = [
+        (256, 3, [32]), (257, 3, [16]), (258, 3, [8, 8, 8]),
+        (259, 3, [7]), (262, 3, [6]), (277, 3, [3]), (278, 3, [16]),
+        (347, 7, list(tables)),
+    ]
+    e = "<"
+    n = len(entries) + 2
+    ifd_size = 2 + 12 * n + 4
+    data_start = 8 + ifd_size
+    off_vals, cnt_vals = [], []
+    extra = bytearray()
+    fixed = []
+    # lay out out-of-line values first (entries sorted by tag)
+    pos0 = data_start
+    blobs: list[bytes] = []
+    entries_all = entries + [(273, 4, None), (279, 4, None)]
+    # compute extra sizes: bits(3H=6>4), tables(len>4)
+    layout = {}
+    for tag, typ, vals in sorted(entries):
+        sz = {3: 2, 4: 4, 7: 1}[typ] * len(vals)
+        if sz > 4:
+            layout[tag] = pos0
+            pos0 += sz
+    strip_off = pos0
+    for tag, typ, vals in sorted(entries + [
+        (273, 4, [0]), (279, 4, [len(strips[0])]),
+    ]):
+        if tag == 273:
+            vals = [strip_off]
+        fmt = {3: "H", 4: "I", 7: "B"}[typ]
+        sz = {3: 2, 4: 4, 7: 1}[typ]
+        if sz * len(vals) <= 4:
+            vb = _st.pack(e + f"{len(vals)}{fmt}", *vals).ljust(4, b"\x00")
+        else:
+            vb = _st.pack(e + "I", layout[tag])
+        fixed.append(_st.pack(e + "HHI", tag, typ, len(vals)) + vb)
+    out = bytearray(b"II*\x00") + _st.pack(e + "I", 8)
+    out += _st.pack(e + "H", n)
+    for f in fixed:
+        out += f
+    out += _st.pack(e + "I", 0)
+    for tag, typ, vals in sorted(entries):
+        sz = {3: 2, 4: 4, 7: 1}[typ] * len(vals)
+        if sz > 4:
+            fmt = {3: "H", 4: "I", 7: "B"}[typ]
+            out += _st.pack(e + f"{len(vals)}{fmt}", *vals)
+    out += strips[0]
+    w1, h1, split_rows = tf.tiff_decode(bytes(out))
+    w2, h2, whole_rows = tf.tiff_decode(bytes(b))
+    assert (w1, h1) == (w2, h2) == (32, 16)
+    assert split_rows == whole_rows
+
+
+def test_jpeg_in_tiff_rejects_gray_and_predictor():
+    px = _grad_px(16, 16)
+    with pytest.raises(ValueError, match="JPEG-in-TIFF"):
+        tf.tiff_encode(px, compression="jpeg", gray=True)
+    with pytest.raises(ValueError, match="JPEG-in-TIFF"):
+        tf.tiff_encode(px, compression="jpeg", predictor=True)
+
+
+def test_old_style_jpeg_raises():
+    px = _grad_px(16, 16)
+    b = bytearray(tf.tiff_encode(px, compression="jpeg"))
+    idx = bytes(b).find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", b, idx + 8, 6)  # Compression 6 (old-style)
+    with pytest.raises(NotImplementedError, match="Compression 6"):
+        tf.tiff_decode(bytes(b))

@@ -222,6 +222,7 @@ def _range_multimodal_decode(con, cols, rows) -> list[str]:
             33: [11.0, 9.0], 34: [14.0, 6.0], 37: [9.0, 7.0],
             39: [40.0, 35.0],  # r7: tiled LZW+predictor TIFF
             41: [18.0, 12.0], 42: [18.0, 12.0],  # r7: CMYK/YCCK JPEG
+            48: [24.0, 20.0],  # r9: JPEG-in-TIFF (Compression 7)
         }.get(mid, [8.0, 8.0])
         if mtype == "image" and got[:2] != want_dims:
             bad.append(f"id {mid}: image dims {got[:2]} != {want_dims}")
