@@ -41,10 +41,20 @@ level or self-checking):
     dequant V matrix and the DC paths SELF-CHECKING: a one-sided
     scaling bug breaks the source-error bound even when the round
     trip stays consistent.
-  - deblocking is NOT applied: the decoder returns the pre-deblock
-    reconstruction (fine for hashing/thumbnails; the engine encoder
-    signals disable_deblocking_filter_idc=1, so its round-trip is
-    conformant-exact, not an approximation)
+  - the in-loop DEBLOCKING filter (r9): edge walk, boundary-strength
+    derivation for I slices (4 on MB edges, 3 internal), the sample
+    conditions and strong/normal filtering equations, qP averaging
+    with the I_PCM-means-0 rule, and the per-slice idc/offset
+    plumbing — all formula-level. ``decode_iframe_yuv(deblock=...)``:
+    ``"auto"`` (default) filters when the stream signals it AND the
+    tC0 seam is loaded, else returns the pre-deblock reconstruction
+    (the pre-r9 behavior; fine for hashing/thumbnails). The engine
+    encoders' default operating points signal
+    disable_deblocking_filter_idc=1 so their round-trips are
+    conformant-exact either way; ``encode_quantized_yuv(...,
+    deblock=True)`` signals the filter ON and replays the decoder's
+    deblock on its recon, keeping encode -> decode bit-exact and
+    self-checking the filter structure.
 
 What is a DATA SEAM (Annex-B policy — large tabulated spec constants
 are never reproduced from memory):
@@ -59,6 +69,14 @@ are never reproduced from memory):
     48 tabulated intra entries) — seam key ``cbp_intra`` in the same
     JSON; engine Intra_4x4 round trips inject any bijection (tests
     use the identity map), foreign streams need the real table.
+  - the deblocking tC0 clipping table (spec Table 8-17, bS 1..3 x 52,
+    no published closed form) — seam key ``deblock_tc0``; engine
+    deblocked round trips inject any values (the encoder replays the
+    decoder), foreign-stream fidelity needs the real table. The
+    alpha/beta thresholds DEFAULT to the published List et al. (2003)
+    closed forms (conformance caveat: the formula matching Table 8-16
+    is to the author's best knowledge) and can be overridden exactly
+    via seam key ``deblock_alpha_beta``.
   - small conformance-caveat tables shipped like the SFB grids
     (engine data to the author's best knowledge; only FOREIGN-stream
     fidelity depends on them, the I_PCM round-trip does not): the
@@ -95,7 +113,8 @@ _env_load_done = False
 #: total_zeros}. run_before maps min(zerosLeft, 7) in 1..7 to
 #: {(length, code): run}.
 CAVLC: dict[str, dict] = {"coeff_token": {}, "total_zeros": {},
-                          "run_before": {}, "cbp_intra": {}}
+                          "run_before": {}, "cbp_intra": {},
+                          "deblock": {}}
 
 #: dequant norm matrix V[qP % 6][class] — classes: 0 for positions
 #: (0,0),(0,2),(2,0),(2,2); 1 for (1,1),(1,3),(3,1),(3,3); 2 others.
@@ -160,7 +179,10 @@ def load_cavlc_tables(source) -> int:
          "total_zeros": {"1".."15"|"cdc1".."cdc3":
                              [[hlen, code, tz], ...]},
          "run_before":  {"1".."7": [[hlen, code, run], ...]},
-         "cbp_intra":   [[code_num, cbp], ...]}      # spec Table 9-4
+         "cbp_intra":   [[code_num, cbp], ...],      # spec Table 9-4
+         "deblock_tc0": [[52 vals] x 3],             # tC0 by bS 1..3
+         "deblock_alpha_beta": {"alpha": [52 vals],  # Table 8-16
+                                "beta":  [52 vals]}} # overrides
 
     Validates widths/ranges and prefix-freeness per codebook (and
     bijectivity for the cbp map); returns the number of codebooks
@@ -212,6 +234,33 @@ def load_cavlc_tables(source) -> int:
         if len(book) != len(set(book.values())):
             raise ValueError("cbp_intra: mapping must be a bijection")
         CAVLC["cbp_intra"]["intra"] = book
+        n += 1
+    tc0_spec = source.get("deblock_tc0")
+    if tc0_spec:
+        if (len(tc0_spec) != 3
+                or any(len(row) != 52 for row in tc0_spec)
+                or any(not (0 <= int(v) <= 255)
+                       for row in tc0_spec for v in row)):
+            raise ValueError(
+                "deblock_tc0 must be 3 rows (bS 1..3) of 52 values in "
+                "0..255"
+            )
+        CAVLC["deblock"]["tc0"] = [[int(v) for v in row]
+                                   for row in tc0_spec]
+        n += 1
+    ab_spec = source.get("deblock_alpha_beta")
+    if ab_spec:
+        for name in ("alpha", "beta"):
+            row = ab_spec.get(name)
+            if (not row or len(row) != 52
+                    or any(not (0 <= int(v) <= 255) for v in row)
+                    or any(int(row[i]) > int(row[i + 1])
+                           for i in range(51))):
+                raise ValueError(
+                    f"deblock_alpha_beta[{name!r}] must be 52 "
+                    "non-decreasing values in 0..255"
+                )
+            CAVLC["deblock"][name] = [int(v) for v in row]
         n += 1
     return n
 
@@ -891,6 +940,210 @@ class _Plane:
         return [self.px[(y0 + k) * self.w + x] for k in range(n)]
 
 
+# --------------------------------------------------------- deblocking
+#
+# In-loop filter (spec clause 8.7), I-slice specialization: every
+# macroblock is intra, so boundary strength is 4 on macroblock edges
+# and 3 on internal 4x4 edges — no coded-coefficient / motion cases.
+# The FILTER STRUCTURE (edge walk, sample conditions, strong and
+# normal filtering equations, qP averaging with the I_PCM-means-0
+# rule) is formula-level from the spec. The alpha/beta thresholds
+# default to the PUBLISHED closed forms of the filter's designers
+# (List, Joch, Lainema, Bjontegaard, Karczewicz, "Adaptive Deblocking
+# Filter", IEEE Trans. CSVT 13(7), 2003): alpha(x) = 0.8*(2^(x/6)-1)
+# and beta(x) = 0.5*x - 7, zero below the x = 16 activation point and
+# capped at 255 / 18 — conformance against the spec's Table 8-16
+# rests on the formula matching the table (override via the
+# "deblock_alpha_beta" loader key for a guaranteed-conformant table).
+# The tC0 clipping table (Table 8-17, bS 1..3 x 52) has no published
+# closed form and is strictly Annex-B seam data ("deblock_tc0").
+# Engine round trips self-check the filter independent of the table
+# values: the encoder replays the decoder's deblock on its recon.
+
+
+def _deblock_alpha(x: int) -> int:
+    t = CAVLC["deblock"].get("alpha")
+    if t is not None:
+        return t[x]
+    return 0 if x < 16 else min(255, int(0.8 * (2 ** (x / 6) - 1)))
+
+
+def _deblock_beta(x: int) -> int:
+    t = CAVLC["deblock"].get("beta")
+    if t is not None:
+        return t[x]
+    return 0 if x < 16 else min(18, x // 2 - 7)
+
+
+def _need_tc0():
+    t = CAVLC["deblock"].get("tc0")
+    if t is None and _try_env_tables():
+        t = CAVLC["deblock"].get("tc0")
+    if t is None:
+        raise NotImplementedError(
+            "deblocking tC0 (spec Table 8-17, bS < 4 clipping) is "
+            "Annex-B data — load_cavlc_tables({'deblock_tc0': ...}) or "
+            "$SPARK_GRAFT_CAVLC_TABLES injects it (module docstring "
+            "seam note)"
+        )
+    return t
+
+
+def _tc0_available() -> bool:
+    if CAVLC["deblock"].get("tc0") is None:
+        _try_env_tables()
+    return CAVLC["deblock"].get("tc0") is not None
+
+
+def _deblock_edge(px, base: int, step: int, n_lines: int,
+                  line_step: int, bs: int, alpha: int, beta: int,
+                  tc0: int, luma: bool) -> None:
+    """Filter one edge, 4 samples deep on each side: for each of
+    ``n_lines`` lines (``line_step`` apart), q_k = px[base + k*step]
+    and p_k = px[base - (k+1)*step]. Per-line decisions read that
+    line's pre-filter samples; writes are in place (later edges of
+    the same picture see filtered values, per the spec's sequential
+    process)."""
+    for _ in range(n_lines):
+        o = base
+        base += line_step
+        p0, p1, p2 = px[o - step], px[o - 2 * step], px[o - 3 * step]
+        q0, q1, q2 = px[o], px[o + step], px[o + 2 * step]
+        if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+                and abs(q1 - q0) < beta):
+            continue
+        ap, aq = abs(p2 - p0), abs(q2 - q0)
+        if bs == 4:
+            if not luma:
+                px[o - step] = (2 * p1 + p0 + q1 + 2) >> 2
+                px[o] = (2 * q1 + q0 + p1 + 2) >> 2
+                continue
+            strong = abs(p0 - q0) < (alpha >> 2) + 2
+            if strong and ap < beta:
+                p3 = px[o - 4 * step]
+                px[o - step] = (p2 + 2 * p1 + 2 * p0 + 2 * q0
+                                + q1 + 4) >> 3
+                px[o - 2 * step] = (p2 + p1 + p0 + q0 + 2) >> 2
+                px[o - 3 * step] = (2 * p3 + 3 * p2 + p1 + p0
+                                    + q0 + 4) >> 3
+            else:
+                px[o - step] = (2 * p1 + p0 + q1 + 2) >> 2
+            if strong and aq < beta:
+                q3 = px[o + 3 * step]
+                px[o] = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+                px[o + step] = (q2 + q1 + q0 + p0 + 2) >> 2
+                px[o + 2 * step] = (2 * q3 + 3 * q2 + q1 + q0
+                                    + p0 + 4) >> 3
+            else:
+                px[o] = (2 * q1 + q0 + p1 + 2) >> 2
+            continue
+        # bS < 4: clipped delta filtering
+        if luma:
+            tc = tc0 + (1 if ap < beta else 0) + (1 if aq < beta else 0)
+        else:
+            tc = tc0 + 1
+        delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3
+        delta = -tc if delta < -tc else (tc if delta > tc else delta)
+        px[o - step] = _clip8(p0 + delta)
+        px[o] = _clip8(q0 - delta)
+        if luma:
+            if ap < beta:
+                d1 = (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1
+                d1 = -tc0 if d1 < -tc0 else (tc0 if d1 > tc0 else d1)
+                px[o - 2 * step] = p1 + d1
+            if aq < beta:
+                d1 = (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1
+                d1 = -tc0 if d1 < -tc0 else (tc0 if d1 > tc0 else d1)
+                px[o + step] = q1 + d1
+
+
+def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
+                     mb_qp, mb_ipcm, mb_slice, slice_db,
+                     chroma_qp_off: int) -> None:
+    """Apply the in-loop filter to the reconstructed (uncropped) MB
+    grid. ``slice_db[sid] = (idc, offA, offB)`` carries each slice's
+    disable_deblocking_filter_idc and alpha/beta offsets (already
+    doubled per FilterOffsetA/B); idc == 1 skips that slice's MBs,
+    idc == 2 skips edges whose other side lies in a different slice.
+    MBs run in raster order; per MB all vertical edges left-to-right,
+    then all horizontal edges top-to-bottom. I_PCM macroblocks count
+    as qP = 0 per 8.7.2."""
+    tc0_tab = None
+
+    def qp_y(mbx: int, mby: int) -> int:
+        return 0 if mb_ipcm[mby][mbx] else mb_qp[mby][mbx]
+
+    def qp_c(mbx: int, mby: int) -> int:
+        return _qpc(qp_y(mbx, mby) + chroma_qp_off)
+
+    for mby in range(hm):
+        for mbx in range(wm):
+            sid = mb_slice[mby][mbx]
+            idc, off_a, off_b = slice_db[sid]
+            if idc == 1:
+                continue
+            left_ok = mbx > 0 and (idc != 2
+                                   or mb_slice[mby][mbx - 1] == sid)
+            top_ok = mby > 0 and (idc != 2
+                                  or mb_slice[mby - 1][mbx] == sid)
+            for vertical in (True, False):
+                if not (left_ok if vertical else top_ok):
+                    first_e = 1
+                else:
+                    first_e = 0
+                for e in range(first_e, 4):
+                    bs = 4 if e == 0 else 3
+                    if e == 0:
+                        nx, ny = ((mbx - 1, mby) if vertical
+                                  else (mbx, mby - 1))
+                    else:
+                        nx, ny = mbx, mby
+                    qav = (qp_y(nx, ny) + qp_y(mbx, mby) + 1) >> 1
+                    ia = max(0, min(51, qav + off_a))
+                    ib = max(0, min(51, qav + off_b))
+                    a, b = _deblock_alpha(ia), _deblock_beta(ib)
+                    if a > 0 and b > 0:
+                        if bs < 4:
+                            if tc0_tab is None:
+                                tc0_tab = _need_tc0()
+                            tc0 = tc0_tab[bs - 1][ia]
+                        else:
+                            tc0 = 0
+                        pl = y_plane
+                        if vertical:
+                            base = (16 * mby) * pl.w + 16 * mbx + 4 * e
+                            _deblock_edge(pl.px, base, 1, 16, pl.w,
+                                          bs, a, b, tc0, True)
+                        else:
+                            base = (16 * mby + 4 * e) * pl.w + 16 * mbx
+                            _deblock_edge(pl.px, base, pl.w, 16, 1,
+                                          bs, a, b, tc0, True)
+                    if e in (0, 2):
+                        # co-located chroma edge (4:2:0: luma x/y
+                        # offsets 0 and 8 land on chroma 0 and 4)
+                        qavc = (qp_c(nx, ny) + qp_c(mbx, mby) + 1) >> 1
+                        iac = max(0, min(51, qavc + off_a))
+                        ibc = max(0, min(51, qavc + off_b))
+                        ac, bc = _deblock_alpha(iac), _deblock_beta(ibc)
+                        if not (ac > 0 and bc > 0):
+                            continue
+                        if bs < 4:
+                            if tc0_tab is None:
+                                tc0_tab = _need_tc0()
+                            tc0c = tc0_tab[bs - 1][iac]
+                        else:
+                            tc0c = 0
+                        for pl in (cb_plane, cr_plane):
+                            if vertical:
+                                base = (8 * mby) * pl.w + 8 * mbx + 2 * e
+                                _deblock_edge(pl.px, base, 1, 8, pl.w,
+                                              bs, ac, bc, tc0c, False)
+                            else:
+                                base = (8 * mby + 2 * e) * pl.w + 8 * mbx
+                                _deblock_edge(pl.px, base, pl.w, 8, 1,
+                                              bs, ac, bc, tc0c, False)
+
+
 def _rbsp_stop(d: bytes) -> int:
     """Bit position (MSB-first indexing) of the rbsp_stop_one_bit —
     the LAST set bit of the RBSP. Macroblock data continues while the
@@ -905,8 +1158,9 @@ def _rbsp_stop(d: bytes) -> int:
 
 
 def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
-                        ref_idc: int) -> tuple[int, int]:
-    """I-slice header -> (first_mb_in_slice, slice QP)."""
+                        ref_idc: int):
+    """I-slice header -> (first_mb_in_slice, slice QP,
+    disable_deblocking_filter_idc, FilterOffsetA, FilterOffsetB)."""
     first_mb = r.ue()
     slice_type = r.ue()
     if slice_type % 5 != 2:
@@ -930,22 +1184,33 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise NotImplementedError("adaptive reference-pic marking")
     qp = pps["init_qp"] + r.se()
+    idc, off_a, off_b = 0, 0, 0
     if pps["deblock_ctl"]:
-        if r.ue() != 1:  # disable_deblocking_filter_idc
-            r.se()
-            r.se()
-    return first_mb, qp
+        idc = r.ue()
+        if idc != 1:
+            off_a = 2 * r.se()  # slice_alpha_c0_offset_div2
+            off_b = 2 * r.se()  # slice_beta_offset_div2
+    return first_mb, qp, idc, off_a, off_b
 
 
-def decode_iframe_yuv(data: bytes):
+def decode_iframe_yuv(data: bytes, deblock="auto"):
     """First IDR/I picture of an Annex-B stream -> (width, height,
     Y plane rows, Cb rows, Cr rows) at coded (uncropped) MB grid,
-    then cropped per the SPS. Pre-deblock reconstruction.
+    then cropped per the SPS.
 
     Multi-slice pictures decode (r9): slices must cover the MB raster
     contiguously in order (no FMO/ASO); intra prediction and CAVLC nC
     contexts treat other-slice neighbors as UNAVAILABLE, per the
-    slice-independence rule."""
+    slice-independence rule.
+
+    ``deblock`` (r9): ``"auto"`` applies the in-loop filter when the
+    stream signals it on AND the tC0 seam is loaded (otherwise the
+    pre-deblock reconstruction is returned, the pre-r9 behavior —
+    fine for hashing/thumbnails); ``True`` honors the stream's signal
+    and raises namefully if tC0 is missing; ``False`` never filters.
+    Streams that signal disable_deblocking_filter_idc = 1 (all engine
+    encoders' default operating points) are identical under all
+    three."""
     sps = pps = None
     slices: list[tuple[int, int, bytes]] = []
     for ref, typ, rbsp in nal_units(data):
@@ -970,6 +1235,11 @@ def decode_iframe_yuv(data: bytes):
     #: which slice decoded each MB (-1 = not yet) — neighbors from a
     #: DIFFERENT slice are unavailable for prediction and nC
     mb_slice = [[-1] * wm for _ in range(hm)]
+    #: per-MB final QPY + I_PCM flags + per-slice deblock params, for
+    #: the in-loop filter pass
+    mb_qp_g = [[26] * wm for _ in range(hm)]
+    mb_ipcm = [[False] * wm for _ in range(hm)]
+    slice_db: list[tuple[int, int, int]] = []
     #: per-MB Intra_4x4 flag + per-4x4-block prediction modes (for the
     #: min(A, B) mode prediction; non-I4x4 neighbors count as DC=2)
     mb_i4 = [[False] * wm for _ in range(hm)]
@@ -1070,6 +1340,7 @@ def decode_iframe_yuv(data: bytes):
         mb_slice[mby][mbx] = cur_slice
         mb_type = r.ue()
         if mb_type == 25:  # I_PCM — table-free
+            mb_ipcm[mby][mbx] = True
             r.byte_align()
             blk = [[r.u(8) for _ in range(16)] for _ in range(16)]
             y_plane.put(16 * mbx, 16 * mby, blk)
@@ -1227,7 +1498,9 @@ def decode_iframe_yuv(data: bytes):
             break  # first picture complete; later NALs = other pictures
         cur_slice = slice_id
         r = _R(rbsp)
-        first_mb, qp = _parse_slice_header(r, sps, pps, typ, ref_idc)
+        first_mb, qp, db_idc, db_a, db_b = _parse_slice_header(
+            r, sps, pps, typ, ref_idc)
+        slice_db.append((db_idc, db_a, db_b))
         if first_mb != next_mb:
             raise NotImplementedError(
                 f"slice starts at MB {first_mb}, expected {next_mb} — "
@@ -1239,12 +1512,22 @@ def decode_iframe_yuv(data: bytes):
             if mb >= wm * hm:
                 raise ValueError("slice data overruns the picture")
             decode_mb(mb)
+            mb_qp_g[mb // wm][mb % wm] = qp
             mb += 1
         next_mb = mb
     if next_mb < wm * hm:
         raise ValueError(
             f"picture not fully covered: {next_mb} of {wm * hm} MBs"
         )
+
+    if deblock not in (False, True, "auto"):
+        raise ValueError("deblock must be False, True, or 'auto'")
+    signaled = any(idc != 1 for idc, _, _ in slice_db)
+    if signaled and (deblock is True
+                     or (deblock == "auto" and _tc0_available())):
+        _deblock_picture(y_plane, cb_plane, cr_plane, wm, hm,
+                         mb_qp_g, mb_ipcm, mb_slice, slice_db,
+                         pps["chroma_qp_off"])
 
     # crop and emit row lists
     cl, cr_, ct, cb_ = sps["crop"]
@@ -1264,10 +1547,10 @@ def decode_iframe_yuv(data: bytes):
     return w, h, y_rows, cb_rows, cr_rows
 
 
-def decode_iframe(data: bytes):
+def decode_iframe(data: bytes, deblock="auto"):
     """First I frame -> (width, height, RGB rows) via BT.601
     full-range conversion (the same convention as jpeg.py)."""
-    w, h, ys, cbs, crs = decode_iframe_yuv(data)
+    w, h, ys, cbs, crs = decode_iframe_yuv(data, deblock=deblock)
     rows = []
     for y in range(h):
         row = []
@@ -1509,7 +1792,8 @@ def _write_sps_pps(wm: int, hm: int, w: int, h: int,
 
 
 def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
-                         dense: bool = True, slices: int = 1):
+                         dense: bool = True, slices: int = 1,
+                         deblock: bool = False):
     """4:2:0 planes -> (Annex-B bytes, (recon_y, recon_cb, recon_cr)):
     one IDR picture at fixed QP with CAVLC-coded quantized residuals,
     plus the encoder's own bit-exact reconstruction (it replays the
@@ -1538,7 +1822,15 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
     slices (each its own NAL). Slice independence is honored on BOTH
     sides: the encoder predicts only from same-slice recon neighbors
     and restarts every nC context, and the FIRST MB of every slice is
-    I_PCM so dense mode keeps its table-free bootstrap."""
+    I_PCM so dense mode keeps its table-free bootstrap.
+
+    ``deblock=True`` (r9) signals the in-loop filter ON
+    (disable_deblocking_filter_idc=0, zero offsets) and replays the
+    decoder's deblocking on the returned recon, so
+    ``decode_iframe_yuv(bytes, deblock=True)`` stays bit-exact
+    against it; decoding then needs the ``deblock_tc0`` seam (any
+    injected values round-trip — the self-check pins the FILTER, the
+    real Table 8-17 matters only for foreign streams)."""
     if mb_mode not in ("i16", "i4"):
         raise ValueError("mb_mode must be 'i16' or 'i4'")
     ys, cbs, crs, w, h, wm, hm = _pad420(ys, cbs, crs)
@@ -1563,7 +1855,12 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
         w2.u(1, 1)     # no_output_of_prior_pics
         w2.u(0, 1)     # long_term_reference
         w2.se(0)       # slice_qp_delta
-        w2.ue(1)       # disable_deblocking_filter_idc = 1 (off)
+        if deblock:
+            w2.ue(0)   # disable_deblocking_filter_idc = 0 (filter on)
+            w2.se(0)   # slice_alpha_c0_offset_div2
+            w2.se(0)   # slice_beta_offset_div2
+        else:
+            w2.ue(1)   # disable_deblocking_filter_idc = 1 (off)
         return w2
 
     sl = new_slice_writer(0)
@@ -1859,6 +2156,17 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
                 cw()
 
     out += _nal(sl.trailing(), 3, 5)
+
+    if deblock:
+        # replay the decoder's in-loop filter on the recon, so the
+        # returned planes equal decode_iframe_yuv(out, deblock=True)
+        # bit-exactly (same self-check role as the rest of the recon)
+        mb_qp_g = [[qp] * wm for _ in range(hm)]
+        mb_ipcm = [[False] * wm for _ in range(hm)]
+        for s in slice_starts:
+            mb_ipcm[s // wm][s % wm] = True
+        _deblock_picture(ry, rcb, rcr, wm, hm, mb_qp_g, mb_ipcm,
+                         mb_slice, [(0, 0, 0)] * len(slice_starts), 0)
 
     def crop_plane(plane, cw, ch):
         return [list(plane.px[y * plane.w: y * plane.w + cw])
