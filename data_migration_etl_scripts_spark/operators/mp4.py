@@ -31,7 +31,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["mp4_boxes", "mp4_extract_h264", "mp4_wrap_h264"]
+__all__ = ["mp4_boxes", "mp4_extract_h264", "mp4_wrap_h264",
+           "mp4_extract_aac", "mp4_wrap_aac"]
 
 
 def mp4_boxes(data: bytes, start: int = 0, end: int | None = None):
@@ -161,12 +162,10 @@ def _nals_to_annexb(data: bytes, off: int, size: int, nal_len: int,
     return bytes(out)
 
 
-def _assemble_fmp4(data: bytes, avcc: tuple, track_id: int) -> bytes:
-    """First sync sample of the given track across the movie
-    fragments: moof > traf > tfhd (defaults + base addressing) and
-    trun (per-sample sizes/flags; sample_is_non_sync_sample = bit 16
-    of the sample flags)."""
-    out, nal_len = _param_sets(data, avcc)
+def _fmp4_samples(data: bytes, track_id: int):
+    """Yield (offset, size, sample_flags) for every sample of the
+    given track across the movie fragments: moof > traf > tfhd
+    (defaults + base addressing) and trun (per-sample sizes/flags)."""
     for typ, ms, me in mp4_boxes(data):
         if typ != b"moof":
             continue
@@ -233,10 +232,17 @@ def _assemble_fmp4(data: bytes, avcc: tuple, track_id: int) -> bytes:
                         sflags = first_flags
                     if tr_flags & 0x800:   # composition offset
                         pos += 4
-                    if not sflags & 0x10000:  # sample_is_non_sync
-                        return _nals_to_annexb(
-                            data, off, size, nal_len, out)
+                    yield off, size, sflags
                     off += size
+
+
+def _assemble_fmp4(data: bytes, avcc: tuple, track_id: int) -> bytes:
+    """First sync sample of the given track across the movie
+    fragments (sample_is_non_sync_sample = bit 16 of sample flags)."""
+    out, nal_len = _param_sets(data, avcc)
+    for off, size, sflags in _fmp4_samples(data, track_id):
+        if not sflags & 0x10000:  # sample_is_non_sync
+            return _nals_to_annexb(data, off, size, nal_len, out)
     raise ValueError("no sync sample in any movie fragment")
 
 
@@ -405,5 +411,279 @@ def mp4_wrap_h264(annexb: bytes, width: int, height: int,
     out = bytearray(ftyp + moov + mdat)
     data_off = len(ftyp) + len(moov) + 8
     idx = bytes(out).find(b"stco") + 4 + 8  # version/flags + count
+    struct.pack_into(">I", out, idx, data_off)
+    return bytes(out)
+
+
+# ----------------------------------------------------------- AAC audio
+
+def _track_id(data: bytes, ts: int, te: int) -> int:
+    tkhd_s, _e = _find(data, [b"tkhd"], ts, te)
+    version = data[tkhd_s]
+    tid_off = tkhd_s + 4 + (16 if version == 1 else 8)
+    return struct.unpack_from(">I", data, tid_off)[0]
+
+
+def _stbl_samples(data: bytes, stbl: tuple):
+    """All (offset, size) pairs from the classic sample tables."""
+    tables = {typ: (bs, be) for typ, bs, be in mp4_boxes(data, *stbl)}
+    bs, _be = tables[b"stsz"]
+    uniform, count = struct.unpack_from(">II", data, bs + 4)
+    sizes = [uniform] * count if uniform else _u32s(data, bs + 12, count)
+    bs, _be = tables[b"stsc"]
+    n_stsc = struct.unpack_from(">I", data, bs + 4)[0]
+    stsc = [struct.unpack_from(">III", data, bs + 8 + 12 * i)
+            for i in range(n_stsc)]
+    if b"stco" in tables:
+        bs, _be = tables[b"stco"]
+        n_off = struct.unpack_from(">I", data, bs + 4)[0]
+        offsets = _u32s(data, bs + 8, n_off)
+    else:
+        bs, _be = tables[b"co64"]
+        n_off = struct.unpack_from(">I", data, bs + 4)[0]
+        offsets = list(struct.unpack_from(f">{n_off}Q", data, bs + 8))
+    out = []
+    si = 0
+    for i, (first, per, _d) in enumerate(stsc):
+        last = (stsc[i + 1][0] - 1) if i + 1 < len(stsc) else len(offsets)
+        for ch in range(first, last + 1):
+            off = offsets[ch - 1]
+            for _ in range(per):
+                if si >= count:
+                    return out
+                out.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    return out
+
+
+def _read_descriptor(data: bytes, pos: int):
+    """MPEG-4 expandable-class descriptor header -> (tag, payload
+    start, payload end)."""
+    tag = data[pos]
+    pos += 1
+    ln = 0
+    for _ in range(4):
+        b = data[pos]
+        pos += 1
+        ln = (ln << 7) | (b & 0x7F)
+        if not b & 0x80:
+            break
+    return tag, pos, pos + ln
+
+
+def _parse_esds(data: bytes, s: int, e: int) -> tuple[int, int]:
+    """esds box payload -> (rate_idx, channels) from the
+    AudioSpecificConfig (14496-3): ES_Descriptor(3) >
+    DecoderConfigDescriptor(4) > DecSpecificInfo(5)."""
+    tag, ps, pe = _read_descriptor(data, s + 4)  # skip version/flags
+    if tag != 0x03:
+        raise ValueError(f"esds: expected ES_Descriptor, got tag {tag}")
+    pos = ps + 2  # ES_ID
+    flags = data[pos]
+    pos += 1
+    if flags & 0x80:   # streamDependenceFlag
+        pos += 2
+    if flags & 0x40:   # URL_Flag
+        pos += 1 + data[pos]
+    if flags & 0x20:   # OCRstreamFlag
+        pos += 2
+    tag, ds, de = _read_descriptor(data, pos)
+    if tag != 0x04:
+        raise ValueError("esds: DecoderConfigDescriptor missing")
+    oti = data[ds]
+    if oti not in (0x40, 0x66, 0x67, 0x68):  # MPEG-4 / MPEG-2 AAC
+        raise NotImplementedError(
+            f"audio objectTypeIndication {oti:#x} is not AAC"
+        )
+    tag, cs, ce = _read_descriptor(data, ds + 13)
+    if tag != 0x05:
+        raise ValueError("esds: DecSpecificInfo missing")
+    b0, b1 = data[cs], data[cs + 1]
+    aot = b0 >> 3
+    if aot != 2:
+        raise NotImplementedError(
+            f"AudioSpecificConfig object type {aot} — AAC-LC (2) only"
+        )
+    rate_idx = ((b0 & 7) << 1) | (b1 >> 7)
+    if rate_idx == 15:
+        raise NotImplementedError("explicit sampling frequency in ASC")
+    channels = (b1 >> 3) & 0xF
+    return rate_idx, channels
+
+
+def _adts_hdr_bytes(rate_idx: int, channels: int,
+                    frame_len: int) -> bytes:
+    """7-byte ADTS header (no CRC, fullness 0x7FF) — bit-identical to
+    operators/aac.py's engine encoder headers, so wrap->extract
+    round-trips byte-exactly."""
+    return bytes([
+        0xFF, 0xF1,
+        (1 << 6) | (rate_idx << 2) | (channels >> 2),
+        ((channels & 3) << 6) | (frame_len >> 11),
+        (frame_len >> 3) & 0xFF,
+        ((frame_len & 7) << 5) | 0x1F,
+        0xFC,
+    ])
+
+
+def mp4_extract_aac(data: bytes) -> bytes:
+    """MP4 bytes -> ADTS AAC stream of ALL samples of the first AAC
+    audio (``mp4a``) track, from the classic ``stbl`` tables or (for
+    fragmented files) the moof/traf/trun walk — the audio sibling of
+    :func:`mp4_extract_h264`, feeding ``operators/aac.py``."""
+    if data[4:8] not in (b"ftyp", b"styp", b"moov", b"free", b"skip",
+                         b"wide", b"mdat", b"pdin", b"uuid", b"moof",
+                         b"sidx", b"meta"):
+        raise ValueError("not an ISO-BMFF file (no known top-level box)")
+    fragmented = any(t == b"moof" for t, _s, _e in mp4_boxes(data))
+    moov = _find(data, [b"moov"], 0, len(data))
+    last_err = None
+    for typ, ts, te in mp4_boxes(data, *moov):
+        if typ != b"trak":
+            continue
+        try:
+            stbl = _find(data, [b"mdia", b"minf", b"stbl"], ts, te)
+            stsd_s, _stsd_e = _find(data, [b"stsd"], *stbl)
+            n_entries = struct.unpack_from(">I", data, stsd_s + 4)[0]
+            entry_pos = stsd_s + 8
+            esds = None
+            for _ in range(n_entries):
+                esize = struct.unpack_from(">I", data, entry_pos)[0]
+                if data[entry_pos + 4: entry_pos + 8] == b"mp4a":
+                    version = struct.unpack_from(
+                        ">H", data, entry_pos + 16)[0]
+                    # v0: 28 fixed bytes after the 8-byte sample-entry
+                    # header; QuickTime v1 adds 16 more
+                    box_at = entry_pos + 8 + 28 + (16 if version else 0)
+                    for btyp, bs, be in mp4_boxes(
+                        data, box_at, entry_pos + esize
+                    ):
+                        if btyp == b"esds":
+                            esds = (bs, be)
+                            break
+                if esds:
+                    break
+                entry_pos += esize
+            if esds is None:
+                raise ValueError("no mp4a/esds entry in this track")
+            rate_idx, channels = _parse_esds(data, *esds)
+        except ValueError as e:
+            last_err = e
+            continue
+        if fragmented:
+            samples = list(_fmp4_samples(data, _track_id(data, ts, te)))
+            samples = [(off, size) for off, size, _f in samples]
+        else:
+            samples = _stbl_samples(data, stbl)
+        if not samples:
+            raise ValueError("AAC track has no samples")
+        out = bytearray()
+        for off, size in samples:
+            out += _adts_hdr_bytes(rate_idx, channels, 7 + size)
+            out += data[off: off + size]
+        return bytes(out)
+    raise ValueError(f"no AAC audio track found ({last_err})")
+
+
+def mp4_wrap_aac(adts: bytes, fragmented: bool = False) -> bytes:
+    """Wrap an ADTS AAC stream (e.g. the engine encoders' output) as a
+    minimal MP4 with one audio track — the structural inverse of
+    :func:`mp4_extract_aac` for self-checking round trips.
+    ``fragmented=True`` emits the fMP4 layout (empty stbl + mvex/trex,
+    one moof/mdat with per-sample trun sizes)."""
+    from data_migration_etl_scripts_spark.operators.aac import (
+        _RATES,
+        adts_frames,
+    )
+
+    # frame body = frame bytes minus the 7/9-byte ADTS header
+    payloads = []
+    rate_idx = channels = None
+    pos = 0
+    for hdr, _r, _end in adts_frames(adts):
+        rate_idx, channels = hdr["rate_idx"], hdr["channels"]
+        head = 7 if hdr["crc_absent"] else 9
+        payloads.append(adts[pos + head: pos + hdr["frame_len"]])
+        pos += hdr["frame_len"]
+    if not payloads:
+        raise ValueError("no ADTS frames to wrap")
+    rate = _RATES[rate_idx]
+
+    asc = bytes([
+        (2 << 3) | (rate_idx >> 1),
+        ((rate_idx & 1) << 7) | (channels << 3),
+    ])
+    dsi = bytes([0x05, len(asc)]) + asc
+    dcd_payload = (bytes([0x40, 0x15]) + b"\x00" * 11 + dsi)
+    dcd = bytes([0x04, len(dcd_payload)]) + dcd_payload
+    sl = bytes([0x06, 1, 2])
+    es_payload = b"\x00\x00\x00" + dcd + sl
+    es = bytes([0x03, len(es_payload)]) + es_payload
+    esds = _box(b"esds", struct.pack(">I", 0) + es)
+    mp4a = (b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">HH", 0, 0)       # version/revision
+            + b"\x00" * 4                    # vendor
+            + struct.pack(">HH", channels, 16)
+            + struct.pack(">HH", 0, 0)       # compression/packet
+            + struct.pack(">I", rate << 16)  # 16.16 sample rate
+            + esds)
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _box(b"mp4a", mp4a))
+    n = len(payloads)
+    sample_data = b"".join(payloads)
+    if fragmented:
+        stts = _box(b"stts", struct.pack(">II", 0, 0))
+        stsc = _box(b"stsc", struct.pack(">II", 0, 0))
+        stsz = _box(b"stsz", struct.pack(">III", 0, 0, 0))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz
+                    + _box(b"stco", struct.pack(">II", 0, 0)))
+    else:
+        stts = _box(b"stts", struct.pack(">IIII", 0, 1, n, 1024))
+        stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+        stsz = _box(b"stsz", struct.pack(">III", 0, 0, n)
+                    + b"".join(struct.pack(">I", len(p))
+                               for p in payloads))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz
+                    + _box(b"stco", struct.pack(">III", 0, 1, 0)))
+    dref = _box(b"dref", struct.pack(">II", 0, 1)
+                + _box(b"url ", struct.pack(">I", 1)))
+    smhd = _box(b"smhd", struct.pack(">IHH", 0, 0, 0))
+    minf = _box(b"minf", smhd + _box(b"dinf", dref) + stbl)
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"soun"
+                + b"\x00" * 12 + b"spark-graft\x00")
+    mdhd = _box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, rate,
+                                     1024 * n, 0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", struct.pack(">IIIII", 0x7, 0, 0, 1, 0)
+                + struct.pack(">IIHHHH", 1024 * n, 0, 0, 0, 0x0100, 0)
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                              0, 0, 0x40000000)
+                + struct.pack(">II", 0, 0))
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, rate, 1024 * n)
+                + struct.pack(">iH", 0x10000, 0x0100) + b"\x00" * 10
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                              0, 0, 0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    trak = _box(b"trak", tkhd + mdia)
+    if fragmented:
+        trex = _box(b"trex", struct.pack(">IIIIII", 0, 1, 1, 1024, 0, 0))
+        moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                    + b"isomiso5dash")
+        mfhd = _box(b"mfhd", struct.pack(">II", 0, 1))
+        tfhd = _box(b"tfhd", struct.pack(">II", 0x20000, 1))
+        trun_payload = struct.pack(">IIi", 0x201, n, 0) + b"".join(
+            struct.pack(">I", len(p)) for p in payloads)
+        trun = _box(b"trun", trun_payload)
+        moof = bytearray(_box(b"moof", mfhd + _box(b"traf",
+                                                   tfhd + trun)))
+        idx = bytes(moof).find(b"trun") + 4 + 8  # flags + count
+        struct.pack_into(">i", moof, idx, len(moof) + 8)
+        return ftyp + moov + bytes(moof) + _box(b"mdat", sample_data)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    out = bytearray(ftyp + moov + _box(b"mdat", sample_data))
+    data_off = len(ftyp) + len(moov) + 8
+    idx = bytes(out).find(b"stco") + 4 + 8
     struct.pack_into(">I", out, idx, data_off)
     return bytes(out)

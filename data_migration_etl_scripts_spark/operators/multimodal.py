@@ -719,6 +719,39 @@ def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     )
 
 
+def _bmff_is_audio_only(b: bytes) -> bool:
+    """True when an ISO-BMFF file has no AVC video track (so the
+    media surface is its mp4a audio) — a cheap stsd-entry walk."""
+    from data_migration_etl_scripts_spark.operators import mp4 as m4
+
+    try:
+        moov = m4._find(b, [b"moov"], 0, len(b))
+    except ValueError:
+        return False
+    has_video = has_audio = False
+    for typ, ts, te in m4.mp4_boxes(b, *moov):
+        if typ != b"trak":
+            continue
+        try:
+            stsd_s, stsd_e = m4._find(
+                b, [b"mdia", b"minf", b"stbl", b"stsd"], ts, te)
+        except ValueError:
+            continue
+        import struct as _s
+
+        n_entries = _s.unpack_from(">I", b, stsd_s + 4)[0]
+        pos = stsd_s + 8
+        for _ in range(n_entries):
+            esize = _s.unpack_from(">I", b, pos)[0]
+            etype = b[pos + 4: pos + 8]
+            if etype in (b"avc1", b"avc3"):
+                has_video = True
+            elif etype == b"mp4a":
+                has_audio = True
+            pos += esize
+    return has_audio and not has_video
+
+
 def payload_format(b: bytes) -> str:
     """Classify a media payload by magic bytes into the codec family
     that will decode it — the label bench.py's per-codec timing
@@ -744,6 +777,8 @@ def payload_format(b: bytes) -> str:
         return {0x11: "wav_adpcm", 6: "wav_g711", 7: "wav_g711"}.get(tag, "wav_pcm")
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return "avi"
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xF6) == 0xF0:
+        return "aac"  # ADTS: 0xFFF sync with layer bits 00 (r9)
     if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
         layer = {0b11: "mpeg_l1", 0b10: "mpeg_l2", 0b01: "mpeg_l3"}.get(
             (b[1] >> 1) & 0b11
@@ -868,12 +903,14 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
 def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
     """Dispatch on magic bytes: PCM WAV (RIFF, stdlib wave), FLAC
     (b"fLaC", `operators/flac.py` — bit-exact lossless decode, CRC +
-    MD5 verified), and MPEG-1 audio Layer I/II/III (0xFFEx sync,
-    `operators/mpeg_audio.py` + `operators/mpeg_layer3.py` — header
-    walk, requantization, bit reservoir, IMDCT, pseudo-QMF filterbank)
-    decode for real; foreign MP3s selecting Annex-B Huffman tables and
-    other compressed codecs raise at the documented plug point inside
-    the respective decoder.
+    MD5 verified), ADTS AAC-LC (0xFFF sync + layer 00,
+    `operators/aac.py` — r9), MP4/ISO-BMFF audio (ftyp/moov,
+    `operators/mp4.py` mp4a demux -> AAC), and MPEG-1 audio Layer
+    I/II/III (0xFFEx sync, `operators/mpeg_audio.py` +
+    `operators/mpeg_layer3.py` — header walk, requantization, bit
+    reservoir, IMDCT, pseudo-QMF filterbank) decode for real; foreign
+    MP3s/AACs selecting Annex-B codebooks and other compressed codecs
+    raise at the documented plug point inside the respective decoder.
 
     Returns (sample_rate, mono samples in [-1, 1]). MPEG streams are
     downmixed to mono and the polyphase filterbank's leading delay
@@ -912,6 +949,34 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
         n = len(channels[0])
         mono = [
             sum(channels[ch][i] for ch in range(nch)) / (nch * full)
+            for i in range(n)
+        ]
+        return rate, mono
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xF6) == 0xF0:
+        # ADTS AAC: 0xFFF sync with LAYER BITS 00 (reserved in MPEG
+        # audio — exactly what distinguishes the two syncs); engine
+        # silence streams decode seam-free, foreign content needs
+        # load_aac_tables (operators/aac.py seam note)
+        from data_migration_etl_scripts_spark.operators.aac import aac_decode
+
+        rate, nch, channels = aac_decode(b)
+        n = len(channels[0])
+        mono = [
+            sum(channels[ch][i] for ch in range(nch)) / nch
+            for i in range(n)
+        ]
+        return rate, mono
+    if len(b) >= 12 and b[4:8] in (b"ftyp", b"styp", b"moov"):
+        # ISO-BMFF audio: demux the first mp4a track to ADTS, decode
+        from data_migration_etl_scripts_spark.operators.aac import aac_decode
+        from data_migration_etl_scripts_spark.operators.mp4 import (
+            mp4_extract_aac,
+        )
+
+        rate, nch, channels = aac_decode(mp4_extract_aac(b))
+        n = len(channels[0])
+        mono = [
+            sum(channels[ch][i] for ch in range(nch)) / nch
             for i in range(n)
         ]
         return rate, mono
@@ -956,7 +1021,8 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         or content[:4] in (b"II*\x00", b"MM\x00*")
         or content[:4] == b"\x00\x00\x00\x01"
         or content[:3] == b"\x00\x00\x01"
-        or (len(content) >= 12 and content[4:8] in (b"ftyp", b"styp"))
+        or (len(content) >= 12 and content[4:8] in (b"ftyp", b"styp")
+            and not _bmff_is_audio_only(content))
     ):
         if (content[:4] == b"\x00\x00\x00\x01"
                 or content[:3] == b"\x00\x00\x01"
@@ -996,6 +1062,7 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
             and content[0] == 0xFF
             and (content[1] & 0xE0) == 0xE0
         )
+        or (len(content) >= 12 and content[4:8] in (b"ftyp", b"styp"))
     ):
         dur_ms, mono = audio_decode(content)
         n_bands = max(1, dim - 2)
@@ -1475,6 +1542,25 @@ def _synthetic_real_media_rows_build(
         rows.append((n + 24, "image",
                      bytearray(tiff_encode(px10, compression="jpeg",
                                            rows_per_strip=8, quality=92)),
+                     "{}"))
+        # r9: ADTS AAC-LC from the engine's seam-free operating point
+        # (max_sfb = 0 silence — pins the whole ADTS/element/ICS/
+        # filterbank container path with zero injected tables;
+        # operators/aac.py), bare and inside a minimal MP4 audio
+        # track (operators/mp4.py mp4a/esds demux)
+        from data_migration_etl_scripts_spark.operators.aac import (
+            aac_encode_silence,
+        )
+        from data_migration_etl_scripts_spark.operators.mp4 import (
+            mp4_wrap_aac,
+        )
+
+        adts = aac_encode_silence(frames=4, rate_idx=8, channels=1)
+        rows.append((n + 25, "audio", bytearray(adts), "{}"))
+        rows.append((n + 26, "audio",
+                     bytearray(mp4_wrap_aac(
+                         aac_encode_silence(frames=3, rate_idx=7,
+                                            channels=2))),
                      "{}"))
     return rows
 
