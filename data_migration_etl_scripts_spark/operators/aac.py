@@ -1014,13 +1014,43 @@ def _esc_book_encode(book: dict):
     return inv
 
 
-def aac_encode_quantized(pcm, rate_idx: int = 4, global_gain: int = 70):
-    """Mono PCM in [-1, 1] -> (ADTS bytes, recon list): ONLY_LONG
-    sine-window frames, escape-book (11) spectral pairs, delta-zero
-    scalefactors at a fixed global gain. Needs the ``swb_long`` grid
-    for the rate plus spectral book 11 and the sf book injected (any
+def _write_esc_pairs(body: _W, qs, n: int, inv) -> None:
+    """Escape-book (11) pair coding over qs[:n] (n even): codeword,
+    sign bits for nonzero magnitudes, then formula-level escape
+    sequences for |q| >= 16."""
+    k = 0
+    while k < n:
+        va, vb = qs[k], qs[k + 1]
+        ca, cb_ = min(abs(va), 16), min(abs(vb), 16)
+        hlen, code = inv[(ca, cb_)]
+        body.u(code, hlen)
+        for v, c in ((va, ca), (vb, cb_)):
+            if c:
+                body.u(1 if v < 0 else 0, 1)
+        for v, c in ((va, ca), (vb, cb_)):
+            if c == 16:
+                mag = abs(v)
+                nones = max(0, mag.bit_length() - 5)
+                body.u((1 << nones) - 1, nones)
+                body.u(0, 1)
+                body.u(mag - (1 << (nones + 4)), nones + 4)
+        k += 2
+
+
+def aac_encode_quantized(pcm, rate_idx: int = 4, global_gain: int = 70,
+                         short: bool = False):
+    """Mono PCM in [-1, 1] -> (ADTS bytes, recon list): sine-window
+    frames with escape-book (11) spectral pairs and delta-zero
+    scalefactors at a fixed global gain. Needs the band grid(s) for
+    the rate plus spectral book 11 and the sf book injected (any
     valid tables round-trip — tests use synthetic ones; foreign
     decoders need the real books).
+
+    ``short=False`` emits ONLY_LONG frames. ``short=True`` (r9) emits
+    the conformant transition pattern LONG_START -> EIGHT_SHORT... ->
+    LONG_STOP (eight 256-point MDCTs per short frame, one group per
+    window), exercising the decoder's grouping/deinterleave/short
+    filterbank and the window-sequence overlap identities end to end.
 
     The encoder replays the decoder's dequant + IMDCT + overlap-add
     on its own quantized spectra, so ``aac_decode`` of the returned
@@ -1031,82 +1061,99 @@ def aac_encode_quantized(pcm, rate_idx: int = 4, global_gain: int = 70):
     import numpy as np
 
     swb = _need("swb_long", rate_idx)
-    if any(v % 2 for v in swb):
-        raise ValueError(
-            "quantized encoder needs even band offsets (pair "
-            "codewords must align with band boundaries; real AAC "
-            "grids are multiples of 4)"
-        )
+    swb_s = _need("swb_short", rate_idx) if short else None
+    for grid in (swb, swb_s) if short else (swb,):
+        if any(v % 2 for v in grid):
+            raise ValueError(
+                "quantized encoder needs even band offsets (pair "
+                "codewords must align with band boundaries; real AAC "
+                "grids are multiples of 4)"
+            )
     book = _need("spectral", ESC_HCB)
     sf_book = _need("sf", "sf")
     inv = _esc_book_encode(book)
     sf0_len, sf0_code = _sf_delta_zero_code(sf_book)
     max_sfb = len(swb) - 1
+    max_sfb_s = len(swb_s) - 1 if short else 0
 
     x = np.asarray(list(pcm), dtype=np.float64) * 32768.0
-    n_frames = max(1, -(-len(x) // 1024) + 1)
+    n_frames = max(3 if short else 1, -(-len(x) // 1024) + 1)
     x = np.concatenate([np.zeros(1024), x,
                         np.zeros(1024 * (n_frames + 1) - len(x))])
-    win = np.array(_win_half(1024, 0, False)
-                   + _win_half(1024, 0, True))
+    # per-frame window sequences: START -> SHORT... -> STOP when short
+    seqs = ([1] + [2] * (n_frames - 2) + [3]) if short \
+        else [0] * n_frames
+
+    wl = np.array(_win_half(1024, 0, False))
+    wr = np.array(_win_half(1024, 0, True))
+    ws_l = np.array(_win_half(128, 0, False))
+    ws_r = np.array(_win_half(128, 0, True))
+    long_wins = {
+        0: np.concatenate([wl, wr]),
+        1: np.concatenate([wl, np.ones(448), ws_r, np.zeros(448)]),
+        3: np.concatenate([np.zeros(448), ws_l, np.ones(448), wr]),
+    }
+    short_win = np.concatenate([ws_l, ws_r])
     fmat = _mdct_mat(2048)
+    fmat_s = _mdct_mat(256) if short else None
     step = 2.0 ** (0.25 * (global_gain - 100))
+
+    def quant(spec):
+        q = np.sign(spec) * np.floor(np.abs(spec / step) ** 0.75
+                                     + 0.4054)
+        return [int(v) for v in np.clip(q, -8191, 8191)]
 
     out = bytearray()
     synth = _Synth()
     recon: list[float] = []
-    ics = {"seq": 0, "shape": 0, "max_sfb": max_sfb,
-           "groups": [1], "num_windows": 1, "short": False,
-           "rate_idx": rate_idx, "swb": swb}
-    for f in range(n_frames):
-        seg = x[1024 * f: 1024 * f + 2048] * win
-        # forward MDCT normalized so that fmat -> _imdct_mat -> sine
-        # OLA is the identity (Princen-Bradley; pinned by the PR test)
-        spec = fmat @ seg
-        q = np.sign(spec) * np.floor(
-            np.abs(spec / step) ** 0.75 + 0.4054)
-        q = np.clip(q, -8191, 8191).astype(int)
+    for f, seq in enumerate(seqs):
+        frame = x[1024 * f: 1024 * f + 2048]
+        if seq == 2:
+            specs = [quant(fmat_s @ (frame[448 + 128 * w8:
+                                           448 + 128 * w8 + 256]
+                                     * short_win))
+                     for w8 in range(8)]
+            grid, ms, sect_bits = swb_s, max_sfb_s, 3
+            ics = {"seq": 2, "shape": 0, "max_sfb": ms,
+                   "groups": [1] * 8, "num_windows": 8,
+                   "short": True, "rate_idx": rate_idx, "swb": grid}
+        else:
+            # forward MDCT normalized so fmat -> _imdct_mat -> OLA is
+            # the identity (Princen-Bradley; pinned by the PR test)
+            specs = [quant(fmat @ (frame * long_wins[seq]))]
+            grid, ms, sect_bits = swb, max_sfb, 5
+            ics = {"seq": seq, "shape": 0, "max_sfb": ms,
+                   "groups": [1], "num_windows": 1, "short": False,
+                   "rate_idx": rate_idx, "swb": grid}
         body = _W()
         body.u(0, 3)               # SCE
         body.u(0, 4)
         body.u(global_gain, 8)
         body.u(0, 1)               # ics_reserved
-        body.u(0, 2)               # ONLY_LONG
+        body.u(seq, 2)
         body.u(0, 1)               # sine
-        body.u(max_sfb, 6)
-        body.u(0, 1)               # predictor
-        # section_data: one ESC_HCB section covering max_sfb bands
-        body.u(ESC_HCB, 4)
-        rem = max_sfb
-        while rem >= 31:
-            body.u(31, 5)
-            rem -= 31
-        body.u(rem, 5)
-        for _sfb in range(max_sfb):   # delta-0 scalefactors
+        if seq == 2:
+            body.u(ms, 4)
+            body.u(0, 7)           # grouping: 8 groups of 1 window
+        else:
+            body.u(ms, 6)
+            body.u(0, 1)           # predictor
+        esc = (1 << sect_bits) - 1
+        for _g in range(len(specs)):
+            # one ESC_HCB section covering all ms bands per group
+            body.u(ESC_HCB, 4)
+            rem = ms
+            while rem >= esc:
+                body.u(esc, sect_bits)
+                rem -= esc
+            body.u(rem, sect_bits)
+        for _ in range(len(specs) * ms):   # delta-0 scalefactors
             body.u(sf0_code, sf0_len)
         body.u(0, 1)               # pulse
         body.u(0, 1)               # tns
         body.u(0, 1)               # gain control
-        qs = [0] * 1024
-        for k in range(swb[max_sfb]):
-            qs[k] = int(q[k])
-        k = 0
-        while k < swb[max_sfb]:
-            a, b = qs[k], qs[k + 1] if k + 1 < 1024 else 0
-            ca, cb_ = min(abs(a), 16), min(abs(b), 16)
-            hlen, code = inv[(ca, cb_)]
-            body.u(code, hlen)
-            for v, c in ((a, ca), (b, cb_)):
-                if c:
-                    body.u(1 if v < 0 else 0, 1)
-            for v, c in ((a, ca), (b, cb_)):
-                if c == 16:
-                    mag = abs(v)
-                    nones = max(0, mag.bit_length() - 5)
-                    body.u((1 << nones) - 1, nones)
-                    body.u(0, 1)
-                    body.u(mag - (1 << (nones + 4)), nones + 4)
-            k += 2
+        for qs in specs:
+            _write_esc_pairs(body, qs, grid[ms], inv)
         body.u(7, 3)               # END
         payload = body.tobytes()
         hdr = _W()
@@ -1114,13 +1161,16 @@ def aac_encode_quantized(pcm, rate_idx: int = 4, global_gain: int = 70):
         out += hdr.tobytes() + payload
 
         # decoder replay: dequant + synthesize via the shared path
-        buf = [0.0] * 1024
-        base = 0
-        for sfb in range(max_sfb):
-            w_ = swb[sfb + 1] - swb[sfb]
-            buf[base: base + w_] = _dequant_band(
-                qs[base: base + w_], global_gain)
-            base += w_
-        recon += synth.add([buf], ics)
+        wins = []
+        for qs in specs:
+            buf = [0.0] * (128 if seq == 2 else 1024)
+            base = 0
+            for sfb in range(ms):
+                w_ = grid[sfb + 1] - grid[sfb]
+                buf[base: base + w_] = _dequant_band(
+                    qs[base: base + w_], global_gain)
+                base += w_
+            wins.append(buf)
+        recon += synth.add(wins, ics)
     scale = 1.0 / 32768.0
     return bytes(out), [v * scale for v in recon]

@@ -900,6 +900,25 @@ def wav_decode(b: bytes) -> tuple[int, list[float]]:
     return int(nframes * 1000 / rate), mono
 
 
+def _strip_id3(b: bytes) -> bytes:
+    """Strip leading ID3v2 tag(s) (10-byte header with a synchsafe
+    28-bit size, +10 when the footer flag is set) and a trailing
+    128-byte ID3v1 'TAG' block — pure container structure, so crawled
+    tagged MP3/AAC files reach the codec sync bytes."""
+    while b[:3] == b"ID3" and len(b) >= 10:
+        if any(v & 0x80 for v in b[6:10]):
+            break  # not a synchsafe size: leave as-is
+        size = ((b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]) + 10
+        if b[5] & 0x10:  # footer present
+            size += 10
+        if size >= len(b):
+            break
+        b = b[size:]
+    if len(b) > 128 and b[-128:-125] == b"TAG":
+        b = b[:-128]
+    return b
+
+
 def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
     """Dispatch on magic bytes: PCM WAV (RIFF, stdlib wave), FLAC
     (b"fLaC", `operators/flac.py` — bit-exact lossless decode, CRC +
@@ -915,7 +934,13 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
     Returns (sample_rate, mono samples in [-1, 1]). MPEG streams are
     downmixed to mono and the polyphase filterbank's leading delay
     (``PQMF_DELAY`` samples) is trimmed so sample 0 aligns with the
-    encoder's sample 0."""
+    encoder's sample 0.
+
+    Crawled MP3/AAC files almost always carry metadata tags: a
+    leading ID3v2 container (synchsafe-sized, structural) and/or a
+    trailing 128-byte ID3v1 ``TAG`` block are stripped before
+    dispatch (r9)."""
+    b = _strip_id3(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         f = _wav_parse_float(b)
         if f is not None:

@@ -412,3 +412,48 @@ def test_multimodal_dispatch_aac():
     feats = mm._real_features(wrapped, 6)
     assert feats[0] == pytest.approx(2048 / 16000)
     assert all(v == 0.0 for v in feats[2:])
+
+
+def test_id3_tags_stripped_before_dispatch():
+    """Crawled MP3/AAC files carry ID3v2 headers and/or ID3v1
+    trailers — audio_decode_rate strips both (synchsafe-size walk)
+    before codec-sync dispatch."""
+    from data_migration_etl_scripts_spark.operators import multimodal as mm
+
+    adts = a.aac_encode_silence(frames=2, rate_idx=8, channels=1)
+    frame_payload = b"\x03TIT2\x00\x00\x00\x05\x00\x00\x00song"
+    size = len(frame_payload)
+    id3v2 = (b"ID3\x04\x00\x00"
+             + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                      (size >> 7) & 0x7F, size & 0x7F])
+             + frame_payload)
+    id3v1 = b"TAG" + b"\x00" * 125
+    tagged = id3v2 + id3v2 + adts + id3v1  # stacked v2 tags happen
+    rate, mono = mm.audio_decode_rate(tagged)
+    assert rate == 16000 and len(mono) == 2048
+    # a WAV with no tags is untouched
+    raw = mm.wav_encode([0.0] * 80)
+    assert mm._strip_id3(raw) == raw
+
+
+def test_quantized_short_windows_roundtrip():
+    """The EIGHT_SHORT operating point (LONG_START -> SHORT... ->
+    LONG_STOP): decode is float-exact against the encoder's replay,
+    the window-sequence overlap identities hold (source-error bound
+    across the long/short transitions), and the stream really carries
+    all three sequences."""
+    a.load_aac_tables(_synthetic_tables())
+    n = 4000
+    pcm = [0.5 * math.sin(2 * math.pi * 660 * t / 44100)
+           for t in range(n)]
+    data, recon = a.aac_encode_quantized(pcm, rate_idx=4,
+                                         global_gain=124, short=True)
+    rate, nch, chans = a.aac_decode(data)
+    assert chans[0] == recon
+    err = sum(abs(recon[1024 + i] - pcm[i]) for i in range(n)) / n
+    assert err < 0.002, err
+    seqs = []
+    for hdr, r, _end in a.adts_frames(data):
+        r.u(3 + 4 + 8 + 1)  # SCE + tag + global_gain + reserved
+        seqs.append(r.u(2))
+    assert seqs[0] == 1 and seqs[-1] == 3 and 2 in seqs
