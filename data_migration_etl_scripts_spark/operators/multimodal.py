@@ -719,6 +719,24 @@ def image_decode(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     )
 
 
+def _is_mpegts(b: bytes) -> bool:
+    """188-byte-packet MPEG transport stream: 0x47 sync repeating at
+    the packet stride (two packets checked — one byte can collide)."""
+    return len(b) > 188 and b[0] == 0x47 and b[188] == 0x47
+
+
+def _ts_is_audio_only(b: bytes) -> bool:
+    """True when a transport stream declares no AVC video (so its
+    media surface is the audio track)."""
+    from data_migration_etl_scripts_spark.operators.mpegts import ts_demux
+
+    try:
+        out = ts_demux(b)
+    except (ValueError, NotImplementedError):
+        return False
+    return "h264" not in out and ("aac" in out or "mpeg_audio" in out)
+
+
 def _bmff_is_audio_only(b: bytes) -> bool:
     """True when an ISO-BMFF file has no AVC video track (so the
     media surface is its mp4a audio) — a cheap stsd-entry walk."""
@@ -788,6 +806,8 @@ def payload_format(b: bytes) -> str:
         return "h264"  # Annex-B byte stream (r8)
     if len(b) >= 12 and b[4:8] in (b"ftyp", b"styp"):
         return "mp4"  # ISO-BMFF container (r8)
+    if _is_mpegts(b):
+        return "mpegts"  # HLS/broadcast transport stream (r9)
     return "unknown"
 
 
@@ -991,14 +1011,24 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
             for i in range(n)
         ]
         return rate, mono
-    if len(b) >= 12 and b[4:8] in (b"ftyp", b"styp", b"moov"):
-        # ISO-BMFF audio: demux the first mp4a track to ADTS, decode
+    if (len(b) >= 12 and b[4:8] in (b"ftyp", b"styp", b"moov")) \
+            or _is_mpegts(b):
+        # ISO-BMFF / MPEG-TS audio: demux the AAC track, decode
         from data_migration_etl_scripts_spark.operators.aac import aac_decode
-        from data_migration_etl_scripts_spark.operators.mp4 import (
-            mp4_extract_aac,
-        )
 
-        rate, nch, channels = aac_decode(mp4_extract_aac(b))
+        if _is_mpegts(b):
+            from data_migration_etl_scripts_spark.operators.mpegts import (
+                ts_extract_aac,
+            )
+
+            adts = ts_extract_aac(b)
+        else:
+            from data_migration_etl_scripts_spark.operators.mp4 import (
+                mp4_extract_aac,
+            )
+
+            adts = mp4_extract_aac(b)
+        rate, nch, channels = aac_decode(adts)
         n = len(channels[0])
         mono = [
             sum(channels[ch][i] for ch in range(nch)) / nch
@@ -1048,18 +1078,27 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         or content[:3] == b"\x00\x00\x01"
         or (len(content) >= 12 and content[4:8] in (b"ftyp", b"styp")
             and not _bmff_is_audio_only(content))
+        or (_is_mpegts(content) and not _ts_is_audio_only(content))
     ):
         if (content[:4] == b"\x00\x00\x00\x01"
                 or content[:3] == b"\x00\x00\x01"
                 or (len(content) >= 12
-                    and content[4:8] in (b"ftyp", b"styp"))):
-            # H.264 Annex B / MP4 (r8): first I-frame as the image
-            # surface (operators/h264.py + operators/mp4.py demux)
+                    and content[4:8] in (b"ftyp", b"styp"))
+                or _is_mpegts(content)):
+            # H.264 Annex B / MP4 (r8) / MPEG-TS (r9): first I-frame
+            # as the image surface (operators/h264.py + the mp4.py /
+            # mpegts.py demuxers)
             from data_migration_etl_scripts_spark.operators.h264 import (
                 decode_iframe,
             )
 
-            if content[4:8] in (b"ftyp", b"styp"):
+            if _is_mpegts(content):
+                from data_migration_etl_scripts_spark.operators.mpegts import (
+                    ts_extract_h264,
+                )
+
+                content = ts_extract_h264(content)
+            elif content[4:8] in (b"ftyp", b"styp"):
                 from data_migration_etl_scripts_spark.operators.mp4 import (
                     mp4_extract_h264,
                 )
@@ -1088,6 +1127,7 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
             and (content[1] & 0xE0) == 0xE0
         )
         or (len(content) >= 12 and content[4:8] in (b"ftyp", b"styp"))
+        or _is_mpegts(content)
     ):
         dur_ms, mono = audio_decode(content)
         n_bands = max(1, dim - 2)
@@ -1587,6 +1627,18 @@ def _synthetic_real_media_rows_build(
                          aac_encode_silence(frames=3, rate_idx=7,
                                             channels=2))),
                      "{}"))
+        # r9: an HLS-shaped MPEG transport stream segment carrying the
+        # quantized H.264 picture AND an AAC track (operators/
+        # mpegts.py PAT/PMT/PES demux -> both codec layers)
+        from data_migration_etl_scripts_spark.operators.mpegts import (
+            ts_wrap,
+        )
+
+        rows.append((n + 27, "video",
+                     bytearray(ts_wrap(
+                         h264=encode_quantized(px9, qp=12),
+                         aac=aac_encode_silence(frames=2, rate_idx=8))),
+                     "{}"))
     return rows
 
 
@@ -1668,16 +1720,24 @@ def extract_frames(
         elif (content[:4] == b"\x00\x00\x00\x01"
               or content[:3] == b"\x00\x00\x01"
               or (len(content) >= 12
-                  and content[4:8] in (b"ftyp", b"styp"))):
-            # H.264 Annex B / MP4 (r8): the engine decodes the first I
-            # frame (operators/h264.py — I_PCM + Intra_16x16/CAVLC
-            # seam; operators/mp4.py demuxes the container); later
-            # frames need motion compensation (documented scope)
+                  and content[4:8] in (b"ftyp", b"styp"))
+              or _is_mpegts(content)):
+            # H.264 Annex B / MP4 (r8) / MPEG-TS (r9): the engine
+            # decodes the first I frame (operators/h264.py — I_PCM +
+            # Intra_16x16/CAVLC seam; mp4.py / mpegts.py demux the
+            # containers); later frames need motion compensation
+            # (documented scope)
             from data_migration_etl_scripts_spark.operators.h264 import (
                 decode_iframe,
             )
 
-            if content[4:8] in (b"ftyp", b"styp"):
+            if _is_mpegts(content):
+                from data_migration_etl_scripts_spark.operators.mpegts import (
+                    ts_extract_h264,
+                )
+
+                content = ts_extract_h264(content)
+            elif content[4:8] in (b"ftyp", b"styp"):
                 from data_migration_etl_scripts_spark.operators.mp4 import (
                     mp4_extract_h264,
                 )

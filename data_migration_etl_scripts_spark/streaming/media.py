@@ -83,6 +83,29 @@ def media_fingerprints(df: DataFrame) -> DataFrame:
 
                 _w, _h, _f, frames = avi_decode_frames(b, max_frames=1)
                 return dhash_bits(frames[0][1])
+            if (b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01"
+                    or (len(b) >= 12 and b[4:8] in (b"ftyp", b"styp"))
+                    or (len(b) > 188 and b[0] == 0x47
+                        and b[188] == 0x47)):
+                # H.264 Annex B / MP4 / MPEG-TS (r9): first I frame
+                from data_migration_etl_scripts_spark.operators.h264 import (
+                    decode_iframe,
+                )
+
+                if b[0] == 0x47:
+                    from data_migration_etl_scripts_spark.operators.mpegts import (
+                        ts_extract_h264,
+                    )
+
+                    b = ts_extract_h264(b)
+                elif b[4:8] in (b"ftyp", b"styp"):
+                    from data_migration_etl_scripts_spark.operators.mp4 import (
+                        mp4_extract_h264,
+                    )
+
+                    b = mp4_extract_h264(b)
+                _w, _h, rows = decode_iframe(b)
+                return dhash_bits(rows)
             raise NotImplementedError("unrecognized video container")
         raise ValueError(f"unknown media_type {mtype!r}")
 
