@@ -544,27 +544,18 @@ def _lcg_noise(seed: int, n: int) -> tuple[list[float], int]:
 _WIN_CACHE: dict = {}
 
 
-def _i0(x: float) -> float:
-    s = t = 1.0
-    for k in range(1, 30):
-        t *= (x / (2 * k)) ** 2
-        s += t
-    return s
-
-
 def _kbd_half(n_half: int, alpha: float) -> list[float]:
-    """Left half of the Kaiser-Bessel-derived window (closed form)."""
-    kern = [
-        _i0(math.pi * alpha
-            * math.sqrt(max(0.0, 1.0 - (2.0 * j / n_half - 1.0) ** 2)))
-        for j in range(n_half + 1)
-    ]
-    total = sum(kern)
-    acc, out = 0.0, []
-    for j in range(n_half):
-        acc += kern[j]
-        out.append(math.sqrt(acc / total))
-    return out
+    """Left half of the Kaiser-Bessel-derived window (closed form;
+    vectorized — a pure-Python I0 series here was a measured ~0.1 s
+    per-worker import tax)."""
+    import numpy as np
+
+    j = np.arange(n_half + 1, dtype=np.float64)
+    kern = np.i0(math.pi * alpha
+                 * np.sqrt(np.maximum(0.0,
+                                      1.0 - (2.0 * j / n_half - 1.0) ** 2)))
+    cum = np.cumsum(kern)
+    return list(np.sqrt(cum[:n_half] / cum[n_half]))
 
 
 def _win_half(n_half: int, shape: int, right: bool) -> list[float]:
@@ -581,14 +572,28 @@ def _win_half(n_half: int, shape: int, right: bool) -> list[float]:
     return w
 
 
-def _imdct_mat(n: int):
+def _cos_grid(n: int):
+    """cos(2*pi/n * (i + 0.5 + n/4)(k + 0.5)) for the (n, n/2) MDCT
+    grid via an integer-indexed 4n-entry cosine table: the argument is
+    pi/(2n) * (2i + 1 + n/2)(2k + 1), an integer multiple of pi/(2n)
+    with period 4n — 8k cos evaluations instead of n*n/2 (a measured
+    ~0.3 s per-worker import tax with the naive outer product)."""
     import numpy as np
 
+    g = _WIN_CACHE.get(("grid", n))
+    if g is None:
+        idx = np.outer(2 * np.arange(n) + 1 + n // 2,
+                       2 * np.arange(n // 2) + 1) % (4 * n)
+        table = np.cos(np.pi / (2 * n) * np.arange(4 * n))
+        g = table[idx]
+        _WIN_CACHE[("grid", n)] = g
+    return g
+
+
+def _imdct_mat(n: int):
     m = _WIN_CACHE.get(("mat", n))
     if m is None:
-        nn = np.arange(n)[:, None] + 0.5 + n / 4.0
-        kk = np.arange(n // 2)[None, :] + 0.5
-        m = (2.0 / n) * np.cos(2.0 * math.pi / n * nn * kk)
+        m = (2.0 / n) * _cos_grid(n)
         _WIN_CACHE[("mat", n)] = m
     return m
 
@@ -596,6 +601,10 @@ def _imdct_mat(n: int):
 def _imdct(spec, n: int):
     import numpy as np
 
+    if not any(spec):
+        # zero spectrum -> zero block; silence frames (the seam-free
+        # engine operating point) never pay the matrix build
+        return np.zeros(n)
     return _imdct_mat(n) @ np.asarray(spec, dtype=np.float64)
 
 
@@ -987,13 +996,9 @@ def aac_encode_silence(frames: int = 8, rate_idx: int = 4,
 
 
 def _mdct_mat(n: int):
-    import numpy as np
-
     m = _WIN_CACHE.get(("fmat", n))
     if m is None:
-        nn = np.arange(n)[None, :] + 0.5 + n / 4.0
-        kk = np.arange(n // 2)[:, None] + 0.5
-        m = 2.0 * np.cos(2.0 * math.pi / n * nn * kk)
+        m = 2.0 * _cos_grid(n).T
         _WIN_CACHE[("fmat", n)] = m
     return m
 
