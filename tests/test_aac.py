@@ -457,3 +457,60 @@ def test_quantized_short_windows_roundtrip():
         r.u(3 + 4 + 8 + 1)  # SCE + tag + global_gain + reserved
         seqs.append(r.u(2))
     assert seqs[0] == 1 and seqs[-1] == 3 and 2 in seqs
+
+
+def test_cpe_independent_windows():
+    """common_window = 0: each channel parses its own ics_info (the
+    per-channel path) — both channels reconstruct independently."""
+    a.load_aac_tables(_synthetic_tables())
+    w = a._W()
+    w.u(1, 3)      # CPE
+    w.u(0, 4)
+    w.u(0, 1)      # common_window = 0
+    for pairs in ([(2, -1), (3, 1)], [(1, 1), (-2, 0)]):
+        w.u(60, 8)     # global_gain
+        w.u(0, 1)      # ics_reserved
+        w.u(0, 2)      # ONLY_LONG
+        w.u(0, 1)      # sine
+        w.u(1, 6)      # max_sfb = 1
+        w.u(0, 1)      # predictor
+        w.u(5, 4)      # section: book 5
+        w.u(1, 5)
+        w.u(60, 7)     # delta-0 scalefactor
+        w.u(0, 1)
+        w.u(0, 1)
+        w.u(0, 1)
+        for x, y in pairs:
+            w.u((x + 4) * 9 + (y + 4), 7)
+    w.u(7, 3)
+    w.byte_align_zero()
+    payload = w.tobytes()
+    hdr = a._W()
+    a._adts_header(hdr, 4, 2, 7 + len(payload))
+    rate, nch, (l, r) = a.aac_decode(hdr.tobytes() + payload)
+    assert nch == 2 and any(v != 0.0 for v in l) and l != r
+
+
+def test_adts_crc_present_skipped():
+    """protection_absent = 0: the 16-bit CRC after the header is
+    skipped and the frame still decodes (foreign broadcast streams
+    carry it)."""
+    plain = a.aac_encode_silence(frames=1, rate_idx=8)
+    hdr, _r, _e = next(a.adts_frames(plain))
+    body = plain[7: hdr["frame_len"]]
+    w = a._W()
+    w.u(0xFFF, 12)
+    w.u(0, 1)
+    w.u(0, 2)
+    w.u(0, 1)      # protection_absent = 0 -> CRC follows
+    w.u(1, 2)
+    w.u(8, 4)
+    w.u(0, 1)
+    w.u(1, 3)
+    w.u(0, 4)
+    w.u(9 + len(body), 13)
+    w.u(0x7FF, 11)
+    w.u(0, 2)
+    w.u(0xBEEF, 16)  # CRC bytes (value not validated — skipped)
+    rate, nch, chans = a.aac_decode(w.tobytes() + body)
+    assert rate == 16000 and len(chans[0]) == 1024
