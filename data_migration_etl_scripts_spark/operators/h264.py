@@ -1,10 +1,12 @@
-"""H.264/AVC (ISO/IEC 14496-10) baseline-profile I-frame decode + an
-I_PCM engine encoder — the dominant video coding of crawled corpora,
-scoped per the SCALE.md round-8 build-vs-seam analysis.
+"""H.264/AVC (ISO/IEC 14496-10) baseline-profile decode — IDR/I
+pictures AND P pictures (r9: motion compensation) — plus engine
+encoders, the dominant video coding of crawled corpora, scoped per
+the SCALE.md round-8 build-vs-seam analysis.
 
 Reference parity note: the reference ETL repo has no media handling;
-this exists for the LLM-data-pipeline addendum (first-frame decode
-for thumbnails / perceptual hashing over binary video columns).
+this exists for the LLM-data-pipeline addendum (frame extraction /
+perceptual hashing over binary video columns — IPPP GOPs now yield
+every frame, not just the IDR).
 
 What is STRUCTURAL here (public 14496-10 coding structure, formula
 level or self-checking):
@@ -85,8 +87,26 @@ are never reproduced from memory):
     above); conformance against foreign encoders still rests on the
     caveat.
 
-NOT in scope (raise namefully): Intra_8x8 prediction, P/B slices
-(motion compensation), CABAC, interlace, high profiles.
+  - P slices (r9): P_Skip, P_L0_16x16 / 16x8 / 8x16 partitions,
+    median + directional MV prediction (shared verbatim by encoder
+    and decoder), quarter-pel luma MC (6-tap half-pel + quarter
+    averaging per the spec equations) and eighth-pel bilinear chroma
+    MC, te(v) multi-reference indices over a sliding-window DPB,
+    mb_skip_run, and inter boundary strengths (2/1/0) for the
+    deblocking filter — all formula-level. The inter
+    coded_block_pattern me(v) column is seam key ``cbp_inter``
+    (engine round trips accept any bijection, like ``cbp_intra``).
+    ENGINE OPERATING POINTS: ``encode_video_yuv`` codes IPPP with a
+    per-frame GLOBAL motion vector and dense residuals (replaying
+    the decoder's MC/filter, so decode is bit-exact against the
+    returned recons — fractional MVs self-check the interpolator),
+    and ``encode_video_skip`` emits an IDR + all-skip P pictures,
+    the TABLE-FREE multi-frame path.
+
+NOT in scope (raise namefully): Intra_8x8 prediction, P_8x8
+sub-macroblock partitions, B slices (bi-prediction), weighted
+prediction, ref-list modification / adaptive marking, CABAC,
+interlace, high profiles.
 """
 
 from __future__ import annotations
@@ -96,6 +116,11 @@ __all__ = [
     "parse_sps",
     "decode_iframe_yuv",
     "decode_iframe",
+    "decode_video_yuv",
+    "decode_video",
+    "encode_video_yuv",
+    "encode_video",
+    "encode_video_skip",
     "encode_ipcm_yuv",
     "encode_ipcm",
     "encode_quantized_yuv",
@@ -115,6 +140,8 @@ _env_load_done = False
 CAVLC: dict[str, dict] = {"coeff_token": {}, "total_zeros": {},
                           "run_before": {}, "cbp_intra": {},
                           "deblock": {}}
+#: NB: the inter coded_block_pattern me(v) column (spec Table 9-4)
+#: loads under CAVLC["cbp_intra"]["inter"] via loader key "cbp_inter"
 
 #: dequant norm matrix V[qP % 6][class] — classes: 0 for positions
 #: (0,0),(0,2),(2,0),(2,2); 1 for (1,1),(1,3),(3,1),(3,3); 2 others.
@@ -180,6 +207,7 @@ def load_cavlc_tables(source) -> int:
                              [[hlen, code, tz], ...]},
          "run_before":  {"1".."7": [[hlen, code, run], ...]},
          "cbp_intra":   [[code_num, cbp], ...],      # spec Table 9-4
+         "cbp_inter":   [[code_num, cbp], ...],      # Table 9-4 inter
          "deblock_tc0": [[52 vals] x 3],             # tC0 by bS 1..3
          "deblock_alpha_beta": {"alpha": [52 vals],  # Table 8-16
                                 "beta":  [52 vals]}} # overrides
@@ -234,6 +262,17 @@ def load_cavlc_tables(source) -> int:
         if len(book) != len(set(book.values())):
             raise ValueError("cbp_intra: mapping must be a bijection")
         CAVLC["cbp_intra"]["intra"] = book
+        n += 1
+    cbp_i_spec = source.get("cbp_inter")
+    if cbp_i_spec:
+        book = {}
+        for code_num, cbp in cbp_i_spec:
+            if not (0 <= code_num <= 47 and 0 <= cbp <= 47):
+                raise ValueError("cbp_inter: bad entry")
+            book[code_num] = cbp
+        if len(book) != len(set(book.values())):
+            raise ValueError("cbp_inter: mapping must be a bijection")
+        CAVLC["cbp_intra"]["inter"] = book
         n += 1
     tc0_spec = source.get("deblock_tc0")
     if tc0_spec:
@@ -456,7 +495,7 @@ def parse_sps(rbsp: bytes) -> dict:
         r.se()
         for _ in range(r.ue()):
             r.se()
-    r.ue()  # max_num_ref_frames
+    max_ref = r.ue()
     r.u(1)  # gaps_in_frame_num_value_allowed
     w_mbs = r.ue() + 1
     h_map = r.ue() + 1
@@ -471,6 +510,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "profile": profile, "level": level, "sps_id": sps_id,
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type, "poc_lsb_bits": poc_lsb_bits,
+        "max_ref": max(1, max_ref),
         "width_mbs": w_mbs, "height_mbs": h_map,
         "crop": crop,
         "width": 16 * w_mbs - 2 * (crop[0] + crop[1]),
@@ -488,9 +528,9 @@ def parse_pps(rbsp: bytes) -> dict:
     bottom_field = r.u(1)
     if r.ue() != 0:
         raise NotImplementedError("slice groups (FMO)")
-    r.ue()
-    r.ue()  # num_ref_idx defaults
-    r.u(1)  # weighted_pred
+    num_ref_l0 = r.ue() + 1
+    r.ue()  # num_ref_idx_l1 default
+    weighted_pred = r.u(1)
     r.u(2)  # weighted_bipred
     init_qp = 26 + r.se()
     r.se()  # pic_init_qs
@@ -500,6 +540,7 @@ def parse_pps(rbsp: bytes) -> dict:
     r.u(1)  # redundant_pic_cnt_present
     return {
         "pps_id": pps_id, "sps_id": sps_id,
+        "num_ref_l0": num_ref_l0, "weighted_pred": weighted_pred,
         "bottom_field": bottom_field, "init_qp": init_qp,
         "chroma_qp_off": chroma_qp_off, "deblock_ctl": deblock_ctl,
     }
@@ -1059,7 +1100,7 @@ def _deblock_edge(px, base: int, step: int, n_lines: int,
 
 def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
                      mb_qp, mb_ipcm, mb_slice, slice_db,
-                     chroma_qp_off: int) -> None:
+                     chroma_qp_off: int, luma_nc=None, mv_g=None) -> None:
     """Apply the in-loop filter to the reconstructed (uncropped) MB
     grid. ``slice_db[sid] = (idc, offA, offB)`` carries each slice's
     disable_deblocking_filter_idc and alpha/beta offsets (already
@@ -1067,14 +1108,37 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
     idc == 2 skips edges whose other side lies in a different slice.
     MBs run in raster order; per MB all vertical edges left-to-right,
     then all horizontal edges top-to-bottom. I_PCM macroblocks count
-    as qP = 0 per 8.7.2."""
+    as qP = 0 per 8.7.2.
+
+    For all-intra pictures bS is 4 on MB edges and 3 internally (one
+    strength per edge). When ``luma_nc``/``mv_g`` are given (P
+    pictures, r9), bS follows 8.7.2.1 per 4x4 block pair: 4/3 when
+    either side is intra, 2 when either side has coded coefficients,
+    1 when refs differ or any MV component differs by >= 4 quarter
+    samples, else 0 (unfiltered)."""
     tc0_tab = None
+    per_block = mv_g is not None
 
     def qp_y(mbx: int, mby: int) -> int:
         return 0 if mb_ipcm[mby][mbx] else mb_qp[mby][mbx]
 
     def qp_c(mbx: int, mby: int) -> int:
         return _qpc(qp_y(mbx, mby) + chroma_qp_off)
+
+    def bs_of(pbx: int, pby: int, qbx: int, qby: int,
+              mb_edge: bool) -> int:
+        if not per_block:
+            return 4 if mb_edge else 3
+        mp = mv_g[pby][pbx]
+        mq = mv_g[qby][qbx]
+        if mp is None or mq is None or mp[2] < 0 or mq[2] < 0:
+            return 4 if mb_edge else 3  # intra on either side
+        if luma_nc[pby][pbx] > 0 or luma_nc[qby][qbx] > 0:
+            return 2
+        if (mp[2] != mq[2] or abs(mp[0] - mq[0]) >= 4
+                or abs(mp[1] - mq[1]) >= 4):
+            return 1
+        return 0
 
     for mby in range(hm):
         for mbx in range(wm):
@@ -1092,7 +1156,7 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
                 else:
                     first_e = 0
                 for e in range(first_e, 4):
-                    bs = 4 if e == 0 else 3
+                    mb_edge = e == 0
                     if e == 0:
                         nx, ny = ((mbx - 1, mby) if vertical
                                   else (mbx, mby - 1))
@@ -1102,7 +1166,26 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
                     ia = max(0, min(51, qav + off_a))
                     ib = max(0, min(51, qav + off_b))
                     a, b = _deblock_alpha(ia), _deblock_beta(ib)
-                    if a > 0 and b > 0:
+                    if not (a > 0 and b > 0):
+                        continue
+                    qavc = (qp_c(nx, ny) + qp_c(mbx, mby) + 1) >> 1
+                    iac = max(0, min(51, qavc + off_a))
+                    ibc = max(0, min(51, qavc + off_b))
+                    ac, bc = _deblock_alpha(iac), _deblock_beta(ibc)
+                    # four 4-line luma segments (one 4x4 block pair
+                    # each); bS is constant per segment
+                    for seg in range(4):
+                        if vertical:
+                            qbx = 4 * mbx + e
+                            qby = 4 * mby + seg
+                            pbx, pby = qbx - 1, qby
+                        else:
+                            qbx = 4 * mbx + seg
+                            qby = 4 * mby + e
+                            pbx, pby = qbx, qby - 1
+                        bs = bs_of(pbx, pby, qbx, qby, mb_edge)
+                        if bs == 0:
+                            continue
                         if bs < 4:
                             if tc0_tab is None:
                                 tc0_tab = _need_tc0()
@@ -1111,37 +1194,34 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
                             tc0 = 0
                         pl = y_plane
                         if vertical:
-                            base = (16 * mby) * pl.w + 16 * mbx + 4 * e
-                            _deblock_edge(pl.px, base, 1, 16, pl.w,
+                            base = ((16 * mby + 4 * seg) * pl.w
+                                    + 16 * mbx + 4 * e)
+                            _deblock_edge(pl.px, base, 1, 4, pl.w,
                                           bs, a, b, tc0, True)
                         else:
-                            base = (16 * mby + 4 * e) * pl.w + 16 * mbx
-                            _deblock_edge(pl.px, base, pl.w, 16, 1,
+                            base = ((16 * mby + 4 * e) * pl.w
+                                    + 16 * mbx + 4 * seg)
+                            _deblock_edge(pl.px, base, pl.w, 4, 1,
                                           bs, a, b, tc0, True)
-                    if e in (0, 2):
-                        # co-located chroma edge (4:2:0: luma x/y
-                        # offsets 0 and 8 land on chroma 0 and 4)
-                        qavc = (qp_c(nx, ny) + qp_c(mbx, mby) + 1) >> 1
-                        iac = max(0, min(51, qavc + off_a))
-                        ibc = max(0, min(51, qavc + off_b))
-                        ac, bc = _deblock_alpha(iac), _deblock_beta(ibc)
-                        if not (ac > 0 and bc > 0):
-                            continue
-                        if bs < 4:
-                            if tc0_tab is None:
-                                tc0_tab = _need_tc0()
-                            tc0c = tc0_tab[bs - 1][iac]
-                        else:
-                            tc0c = 0
-                        for pl in (cb_plane, cr_plane):
-                            if vertical:
-                                base = (8 * mby) * pl.w + 8 * mbx + 2 * e
-                                _deblock_edge(pl.px, base, 1, 8, pl.w,
-                                              bs, ac, bc, tc0c, False)
+                        if e in (0, 2) and ac > 0 and bc > 0:
+                            # co-located chroma edge segment (2 lines)
+                            if bs < 4:
+                                tc0c = tc0_tab[bs - 1][iac]
                             else:
-                                base = (8 * mby + 2 * e) * pl.w + 8 * mbx
-                                _deblock_edge(pl.px, base, pl.w, 8, 1,
-                                              bs, ac, bc, tc0c, False)
+                                tc0c = 0
+                            for pl in (cb_plane, cr_plane):
+                                if vertical:
+                                    base = ((8 * mby + 2 * seg) * pl.w
+                                            + 8 * mbx + 2 * e)
+                                    _deblock_edge(pl.px, base, 1, 2,
+                                                  pl.w, bs, ac, bc,
+                                                  tc0c, False)
+                                else:
+                                    base = ((8 * mby + 2 * e) * pl.w
+                                            + 8 * mbx + 2 * seg)
+                                    _deblock_edge(pl.px, base, pl.w,
+                                                  2, 1, bs, ac, bc,
+                                                  tc0c, False)
 
 
 def _rbsp_stop(d: bytes) -> int:
@@ -1158,16 +1238,20 @@ def _rbsp_stop(d: bytes) -> int:
 
 
 def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
-                        ref_idc: int):
-    """I-slice header -> (first_mb_in_slice, slice QP,
-    disable_deblocking_filter_idc, FilterOffsetA, FilterOffsetB)."""
+                        ref_idc: int) -> dict:
+    """I- or P-slice header -> dict with first_mb, qp, deblock params
+    (idc + FilterOffsetA/B), is_p, and the active L0 reference count
+    (r9: P slices — B slices need bi-prediction and stay out of
+    scope)."""
     first_mb = r.ue()
     slice_type = r.ue()
-    if slice_type % 5 != 2:
+    st = slice_type % 5
+    if st not in (0, 2):
         raise NotImplementedError(
-            f"slice_type {slice_type} — I slices only (P/B need motion "
-            "compensation)"
+            f"slice_type {slice_type} — I and P slices only (B slices "
+            "need bi-prediction)"
         )
+    is_p = st == 0
     r.ue()  # pps id
     r.u(sps["log2_max_frame_num"])
     if typ == 5:
@@ -1176,11 +1260,20 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
         r.u(sps["poc_lsb_bits"])
         if pps["bottom_field"]:
             r.se()
+    num_ref = pps["num_ref_l0"]
+    if is_p:
+        if r.u(1):  # num_ref_idx_active_override_flag
+            num_ref = r.ue() + 1
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError("ref_pic_list_modification")
+        if pps["weighted_pred"]:
+            raise NotImplementedError("weighted prediction (pred "
+                                      "weight tables)")
     if typ == 5:
         r.u(1)  # no_output_of_prior_pics
         r.u(1)  # long_term_reference
     elif ref_idc:
-        # dec_ref_pic_marking for a non-IDR reference I slice
+        # dec_ref_pic_marking for a non-IDR reference slice
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise NotImplementedError("adaptive reference-pic marking")
     qp = pps["init_qp"] + r.se()
@@ -1190,39 +1283,155 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
         if idc != 1:
             off_a = 2 * r.se()  # slice_alpha_c0_offset_div2
             off_b = 2 * r.se()  # slice_beta_offset_div2
-    return first_mb, qp, idc, off_a, off_b
+    return {"first_mb": first_mb, "qp": qp, "idc": idc,
+            "off_a": off_a, "off_b": off_b, "is_p": is_p,
+            "num_ref": num_ref}
 
 
-def decode_iframe_yuv(data: bytes, deblock="auto"):
-    """First IDR/I picture of an Annex-B stream -> (width, height,
-    Y plane rows, Cb rows, Cr rows) at coded (uncropped) MB grid,
-    then cropped per the SPS.
+# ------------------------------------------------- motion compensation
+
+def _mv_predict(getmv, bx0: int, by0: int, w_blks: int, ref: int,
+                directional: str | None = None):
+    """Median (or directional) luma MV predictor (spec 8.4.1.3) for a
+    partition whose top-left 4x4 block is (bx0, by0), width
+    ``w_blks`` blocks. ``getmv(bx, by)`` returns (mvx, mvy, refIdx)
+    or None for unavailable; intra blocks carry refIdx -1. Shared by
+    the decoder and the engine encoder so mvd coding round-trips by
+    construction."""
+    a = getmv(bx0 - 1, by0)
+    b = getmv(bx0, by0 - 1)
+    c = getmv(bx0 + w_blks, by0 - 1)
+    if c is None:
+        c = getmv(bx0 - 1, by0 - 1)  # D substitutes for C
+    if directional == "A" and a is not None and a[2] == ref:
+        return a[0], a[1]
+    if directional == "B" and b is not None and b[2] == ref:
+        return b[0], b[1]
+    if directional == "C" and c is not None and c[2] == ref:
+        return c[0], c[1]
+    if b is None and c is None and a is not None:
+        return a[0], a[1]
+    matches = [m for m in (a, b, c) if m is not None and m[2] == ref]
+    if len(matches) == 1:
+        return matches[0][0], matches[0][1]
+
+    def med(i):
+        vals = sorted((m[i] if m is not None else 0)
+                      for m in (a, b, c))
+        return vals[1]
+
+    return med(0), med(1)
+
+
+def _plane_np(plane):
+    import numpy as np
+
+    return np.asarray(plane.px, dtype=np.int32).reshape(plane.h, plane.w)
+
+
+def _interp_luma(arr, x0: int, y0: int, bw: int, bh: int,
+                 mvx: int, mvy: int):
+    """Quarter-sample luma prediction block (spec 8.4.2.2.1): 6-tap
+    [1,-5,20,20,-5,1] half-pel filters, quarter positions as rounded
+    averages of the adjacent integer/half samples, frame edges
+    clamped (edge extension). ``arr`` is the reference picture as an
+    int numpy array; returns bh x bw int rows."""
+    import numpy as np
+
+    ix, fx = x0 + (mvx >> 2), mvx & 3
+    iy, fy = y0 + (mvy >> 2), mvy & 3
+    hh, ww = arr.shape
+    ys = np.clip(np.arange(iy - 2, iy + bh + 3), 0, hh - 1)
+    xs = np.clip(np.arange(ix - 2, ix + bw + 3), 0, ww - 1)
+    win = arr[np.ix_(ys, xs)].astype(np.int64)  # (bh+5, bw+5)
+
+    def tap_x(a):
+        return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+                + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+    def tap_y(a):
+        return (a[0:-5, :] - 5 * a[1:-4, :] + 20 * a[2:-3, :]
+                + 20 * a[3:-2, :] - 5 * a[4:-1, :] + a[5:, :])
+
+    def clip8a(a):
+        return np.clip(a, 0, 255)
+
+    g = win[2: 2 + bh, 2: 2 + bw]
+    if fx == 0 and fy == 0:
+        return g.tolist()
+    b_raw = tap_x(win)                       # (bh+5, bw)
+    h_raw = tap_y(win)                       # (bh, bw+5)
+    b = clip8a((b_raw + 16) >> 5)
+    h = clip8a((h_raw + 16) >> 5)
+    b_sel = b[2: 2 + bh, :]
+    s = b[3: 3 + bh, :]
+    h_sel = h[:, 2: 2 + bw]
+    m = h[:, 3: 3 + bw]
+    g_r = win[2: 2 + bh, 3: 3 + bw]
+    g_d = win[3: 3 + bh, 2: 2 + bw]
+    j = None
+    if fx in (1, 2, 3) and fy in (1, 2, 3):
+        # center half-pel from the UNROUNDED vertical intermediates
+        j = clip8a((tap_x(h_raw) + 512) >> 10)
+
+    def avg(a, b2):
+        return (a + b2 + 1) >> 1
+
+    out = {
+        (1, 0): lambda: avg(g, b_sel),
+        (2, 0): lambda: b_sel,
+        (3, 0): lambda: avg(b_sel, g_r),
+        (0, 1): lambda: avg(g, h_sel),
+        (1, 1): lambda: avg(b_sel, h_sel),
+        (2, 1): lambda: avg(b_sel, j),
+        (3, 1): lambda: avg(b_sel, m),
+        (0, 2): lambda: h_sel,
+        (1, 2): lambda: avg(h_sel, j),
+        (2, 2): lambda: j,
+        (3, 2): lambda: avg(j, m),
+        (0, 3): lambda: avg(h_sel, g_d),
+        (1, 3): lambda: avg(h_sel, s),
+        (2, 3): lambda: avg(j, s),
+        (3, 3): lambda: avg(m, s),
+    }[(fx, fy)]()
+    return out.tolist()
+
+
+def _interp_chroma(arr, cx0: int, cy0: int, bw: int, bh: int,
+                   mvx: int, mvy: int):
+    """Eighth-sample chroma prediction (spec 8.4.2.2.2): bilinear over
+    the four neighboring integer samples, edges clamped. The luma MV
+    in quarter units IS the chroma MV in eighth units (4:2:0)."""
+    import numpy as np
+
+    ix, fx = cx0 + (mvx >> 3), mvx & 7
+    iy, fy = cy0 + (mvy >> 3), mvy & 7
+    hh, ww = arr.shape
+    ys = np.clip(np.arange(iy, iy + bh + 1), 0, hh - 1)
+    xs = np.clip(np.arange(ix, ix + bw + 1), 0, ww - 1)
+    win = arr[np.ix_(ys, xs)].astype(np.int64)
+    a = win[:bh, :bw]
+    b = win[:bh, 1:]
+    c = win[1:, :bw]
+    d = win[1:, 1:]
+    out = ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+           + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+    return out.tolist()
+
+
+def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
+    """Decode ONE coded picture (its list of (nal_type, ref_idc, rbsp)
+    slices) against the reference list ``refs`` (most-recent-first
+    numpy plane triples). Returns the reconstructed (possibly
+    in-loop-filtered) y/cb/cr ``_Plane``s at the uncropped MB grid.
 
     Multi-slice pictures decode (r9): slices must cover the MB raster
-    contiguously in order (no FMO/ASO); intra prediction and CAVLC nC
-    contexts treat other-slice neighbors as UNAVAILABLE, per the
-    slice-independence rule.
-
-    ``deblock`` (r9): ``"auto"`` applies the in-loop filter when the
-    stream signals it on AND the tC0 seam is loaded (otherwise the
-    pre-deblock reconstruction is returned, the pre-r9 behavior —
-    fine for hashing/thumbnails); ``True`` honors the stream's signal
-    and raises namefully if tC0 is missing; ``False`` never filters.
-    Streams that signal disable_deblocking_filter_idc = 1 (all engine
-    encoders' default operating points) are identical under all
-    three."""
-    sps = pps = None
-    slices: list[tuple[int, int, bytes]] = []
-    for ref, typ, rbsp in nal_units(data):
-        if typ == 7 and sps is None:
-            sps = parse_sps(rbsp)
-        elif typ == 8 and pps is None:
-            pps = parse_pps(rbsp)
-        elif typ in (1, 5):
-            slices.append((typ, ref, rbsp))
-    if sps is None or pps is None or not slices:
-        raise ValueError("no SPS+PPS+slice in stream")
-
+    contiguously in order (no FMO/ASO); intra prediction, CAVLC nC
+    contexts and MV prediction treat other-slice neighbors as
+    UNAVAILABLE, per the slice-independence rule. P slices (r9):
+    P_Skip / P_L0_16x16 / 16x8 / 8x16 partitions with median MV
+    prediction, quarter-pel luma + eighth-pel chroma MC, multi-ref
+    L0 via sliding-window DPB; P_8x8 sub-partitions raise."""
     wm, hm = sps["width_mbs"], sps["height_mbs"]
     y_plane = _Plane(16 * wm, 16 * hm)
     cb_plane = _Plane(8 * wm, 8 * hm)
@@ -1244,6 +1453,9 @@ def decode_iframe_yuv(data: bytes, deblock="auto"):
     #: min(A, B) mode prediction; non-I4x4 neighbors count as DC=2)
     mb_i4 = [[False] * wm for _ in range(hm)]
     i4_modes = [[2] * (4 * wm) for _ in range(4 * hm)]
+    #: per-4x4-block motion info: None = not decoded, else
+    #: (mvx, mvy, ref) with ref = -1 for intra blocks (spec 8.4.1.3)
+    mv_g = [[None] * (4 * wm) for _ in range(4 * hm)]
 
     cur_slice = 0
     r = _R(b"")
@@ -1277,19 +1489,53 @@ def decode_iframe_yuv(data: bytes, deblock="auto"):
             return nmb < cur_mb and mb_avail(bx // 4, by // 4)
         return _BLK4_IDX[(bx % 4, by % 4)] < cur_blk
 
+    # ---- motion-vector prediction (spec 8.4.1.3) ----
+
+    def mvinfo(bx: int, by: int):
+        if bx < 0 or by < 0 or bx >= 4 * wm or by >= 4 * hm:
+            return None
+        if not mb_avail(bx // 4, by // 4):
+            return None
+        return mv_g[by][bx]
+
+    def set_mv(mbx, mby, px, py, pw, ph, mv):
+        for by in range((16 * mby + py) // 4,
+                        (16 * mby + py + ph) // 4):
+            for bx in range((16 * mbx + px) // 4,
+                            (16 * mbx + px + pw) // 4):
+                mv_g[by][bx] = mv
+
+    def mv_pred(bx0: int, by0: int, w_blks: int, ref: int,
+                directional: str | None = None):
+        return _mv_predict(mvinfo, bx0, by0, w_blks, ref, directional)
+
+    def mc_luma(mbx, mby, px, py, pw, ph, mvx, mvy, ref):
+        return _interp_luma(refs[ref][0], 16 * mbx + px, 16 * mby + py,
+                            pw, ph, mvx, mvy)
+
+    def mc_chroma(mbx, mby, mvx, mvy, ref):
+        return (_interp_chroma(refs[ref][1], 8 * mbx, 8 * mby, 8, 8,
+                               mvx, mvy),
+                _interp_chroma(refs[ref][2], 8 * mbx, 8 * mby, 8, 8,
+                               mvx, mvy))
+
     def decode_chroma(mbx: int, mby: int, chroma_mode: int,
-                      cbp_chroma: int, qp: int) -> None:
+                      cbp_chroma: int, qp: int, preds=None) -> None:
         qc = _qpc(qp + pps["chroma_qp_off"])
         cdiv, cmod = qc // 6, qc % 6
         up = mb_avail(mbx, mby - 1)
         lf = mb_avail(mbx - 1, mby)
-        for plane, grid in ((cb_plane, cb_nc), (cr_plane, cr_nc)):
+        for ci, (plane, grid) in enumerate(((cb_plane, cb_nc),
+                                            (cr_plane, cr_nc))):
             cx0, cy0 = 8 * mbx, 8 * mby
-            ctop = plane.row(cx0, cy0 - 1, 8) if up else None
-            cleft = plane.col(cx0 - 1, cy0, 8) if lf else None
-            ctl = (plane.px[(cy0 - 1) * plane.w + cx0 - 1]
-                   if (up and lf) else None)
-            cpred = _pred_chroma(chroma_mode, ctop, cleft, ctl)
+            if preds is not None:
+                cpred = preds[ci]
+            else:
+                ctop = plane.row(cx0, cy0 - 1, 8) if up else None
+                cleft = plane.col(cx0 - 1, cy0, 8) if lf else None
+                ctl = (plane.px[(cy0 - 1) * plane.w + cx0 - 1]
+                       if (up and lf) else None)
+                cpred = _pred_chroma(chroma_mode, ctop, cleft, ctl)
             if cbp_chroma == 0:
                 plane.put(cx0, cy0, cpred)
                 for by in range(2 * mby, 2 * mby + 2):
@@ -1334,13 +1580,150 @@ def decode_iframe_yuv(data: bytes, deblock="auto"):
                         )
             plane.put(cx0, cy0, cout)
 
-    def decode_mb(mb: int) -> None:
+    def mark_intra_mvs(mbx: int, mby: int) -> None:
+        for by in range(4 * mby, 4 * mby + 4):
+            for bx in range(4 * mbx, 4 * mbx + 4):
+                mv_g[by][bx] = (0, 0, -1)
+
+    def decode_skip(mb: int) -> None:
+        """P_Skip: predictor MV against ref 0, no residual."""
+        mbx, mby = mb % wm, mb // wm
+        mb_slice[mby][mbx] = cur_slice
+        if not refs:
+            raise ValueError("P slice with an empty reference list")
+        a = mvinfo(4 * mbx - 1, 4 * mby)
+        b = mvinfo(4 * mbx, 4 * mby - 1)
+        if (a is None or b is None
+                or a == (0, 0, 0) or b == (0, 0, 0)):
+            mv = (0, 0)
+        else:
+            mv = mv_pred(4 * mbx, 4 * mby, 4, 0)
+        set_mv(mbx, mby, 0, 0, 16, 16, (mv[0], mv[1], 0))
+        y_plane.put(16 * mbx, 16 * mby,
+                    mc_luma(mbx, mby, 0, 0, 16, 16, mv[0], mv[1], 0))
+        cbp_, crp_ = mc_chroma(mbx, mby, mv[0], mv[1], 0)
+        cb_plane.put(8 * mbx, 8 * mby, cbp_)
+        cr_plane.put(8 * mbx, 8 * mby, crp_)
+        for by in range(4 * mby, 4 * mby + 4):
+            for bx in range(4 * mbx, 4 * mbx + 4):
+                luma_nc[by][bx] = 0
+        for grid in (cb_nc, cr_nc):
+            for by in range(2 * mby, 2 * mby + 2):
+                for bx in range(2 * mbx, 2 * mbx + 2):
+                    grid[by][bx] = 0
+        mb_qp_g[mby][mbx] = qp
+
+    def read_te(max_val: int) -> int:
+        if max_val <= 0:
+            return 0
+        if max_val == 1:
+            return 1 - r.u(1)
+        return r.ue()
+
+    def decode_inter_mb(mb: int, mb_type: int, num_ref: int) -> None:
+        nonlocal qp
+        mbx, mby = mb % wm, mb // wm
+        if not refs:
+            raise ValueError("P slice with an empty reference list")
+        if mb_type >= 3:
+            raise NotImplementedError(
+                "P_8x8 sub-macroblock partitions"
+            )
+        if mb_type == 0:
+            parts = [(0, 0, 16, 16, None)]
+        elif mb_type == 1:   # 16x8: top predicts from B, bottom from A
+            parts = [(0, 0, 16, 8, "B"), (0, 8, 16, 8, "A")]
+        else:                # 8x16: left predicts from A, right from C
+            parts = [(0, 0, 8, 16, "A"), (8, 0, 8, 16, "C")]
+        nref = min(num_ref, len(refs))
+        ref_idx = [read_te(nref - 1) for _ in parts]
+        mvds = [(r.se(), r.se()) for _ in parts]
+        pred16 = [[0] * 16 for _ in range(16)]
+        mvs = []
+        for (px, py, pw, ph, direc), ref, (mdx, mdy) in zip(
+                parts, ref_idx, mvds):
+            if ref >= len(refs):
+                raise ValueError(f"ref_idx {ref} beyond the DPB")
+            bx0 = (16 * mbx + px) // 4
+            by0 = (16 * mby + py) // 4
+            mpx, mpy = mv_pred(bx0, by0, pw // 4, ref, direc)
+            mvx, mvy = mpx + mdx, mpy + mdy
+            set_mv(mbx, mby, px, py, pw, ph, (mvx, mvy, ref))
+            blkp = mc_luma(mbx, mby, px, py, pw, ph, mvx, mvy, ref)
+            for yy in range(ph):
+                pred16[py + yy][px: px + pw] = blkp[yy]
+            mvs.append((px, py, pw, ph, mvx, mvy, ref))
+        # chroma prediction per partition (same MV, eighth-pel)
+        cpredb = [[0] * 8 for _ in range(8)]
+        cpredr = [[0] * 8 for _ in range(8)]
+        for px, py, pw, ph, mvx, mvy, ref in mvs:
+            cb_blk = _interp_chroma(refs[ref][1], 8 * mbx + px // 2,
+                                    8 * mby + py // 2, pw // 2, ph // 2,
+                                    mvx, mvy)
+            cr_blk = _interp_chroma(refs[ref][2], 8 * mbx + px // 2,
+                                    8 * mby + py // 2, pw // 2, ph // 2,
+                                    mvx, mvy)
+            for yy in range(ph // 2):
+                cpredb[py // 2 + yy][px // 2: px // 2 + pw // 2] = \
+                    cb_blk[yy]
+                cpredr[py // 2 + yy][px // 2: px // 2 + pw // 2] = \
+                    cr_blk[yy]
+
+        cbp_code = r.ue()
+        cbp = _need("cbp_intra", "inter").get(cbp_code)
+        if cbp is None:
+            raise ValueError(
+                f"inter coded_block_pattern codeNum {cbp_code} unmapped"
+            )
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp_chroma == 3:
+            raise ValueError("cbp chroma component must be 0..2")
+        if cbp:
+            qp = (qp + r.se()) % 52
+        qdiv, qmod = qp // 6, qp % 6
+        out16 = [row[:] for row in pred16]
+        for blk in range(16):
+            ox, oy = _BLK4_XY[blk]
+            bx = (16 * mbx + ox) // 4
+            by = (16 * mby + oy) // 4
+            if cbp_luma & (1 << (blk // 4)):
+                scan = _cavlc_block(r, nc_of(luma_nc, bx, by, 4), 16)
+                luma_nc[by][bx] = sum(1 for v in scan if v)
+                d = [[0] * 4 for _ in range(4)]
+                for k, (i, j) in enumerate(_ZIG4):
+                    c = scan[k]
+                    if c:
+                        d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
+                res = _itrans4(d)
+                for yy in range(4):
+                    for xx in range(4):
+                        out16[oy + yy][ox + xx] = _clip8(
+                            pred16[oy + yy][ox + xx]
+                            + ((res[yy][xx] + 32) >> 6))
+            else:
+                luma_nc[by][bx] = 0
+                for yy in range(4):
+                    for xx in range(4):
+                        out16[oy + yy][ox + xx] = _clip8(
+                            pred16[oy + yy][ox + xx])
+        y_plane.put(16 * mbx, 16 * mby, out16)
+        decode_chroma(mbx, mby, 0, cbp_chroma, qp,
+                      preds=(cpredb, cpredr))
+
+    def decode_mb(mb: int, is_p: bool = False, num_ref: int = 1) -> None:
         nonlocal qp
         mbx, mby = mb % wm, mb // wm
         mb_slice[mby][mbx] = cur_slice
         mb_type = r.ue()
+        if is_p:
+            if mb_type < 5:
+                decode_inter_mb(mb, mb_type, num_ref)
+                return
+            mb_type -= 5  # intra macroblock inside a P slice
+            mark_intra_mvs(mbx, mby)
         if mb_type == 25:  # I_PCM — table-free
             mb_ipcm[mby][mbx] = True
+            mark_intra_mvs(mbx, mby)
             r.byte_align()
             blk = [[r.u(8) for _ in range(16)] for _ in range(16)]
             y_plane.put(16 * mbx, 16 * mby, blk)
@@ -1493,25 +1876,39 @@ def decode_iframe_yuv(data: bytes, deblock="auto"):
         decode_chroma(mbx, mby, chroma_mode, cbp_chroma, qp)
 
     next_mb = 0
-    for slice_id, (typ, ref_idc, rbsp) in enumerate(slices):
-        if next_mb >= wm * hm:
-            break  # first picture complete; later NALs = other pictures
+    has_inter = False
+    for slice_id, (typ, ref_idc, rbsp) in enumerate(pic):
         cur_slice = slice_id
         r = _R(rbsp)
-        first_mb, qp, db_idc, db_a, db_b = _parse_slice_header(
-            r, sps, pps, typ, ref_idc)
-        slice_db.append((db_idc, db_a, db_b))
-        if first_mb != next_mb:
+        hdr = _parse_slice_header(r, sps, pps, typ, ref_idc)
+        qp = hdr["qp"]
+        slice_db.append((hdr["idc"], hdr["off_a"], hdr["off_b"]))
+        if hdr["first_mb"] != next_mb:
             raise NotImplementedError(
-                f"slice starts at MB {first_mb}, expected {next_mb} — "
-                "out-of-order/FMO slices unsupported"
+                f"slice starts at MB {hdr['first_mb']}, expected "
+                f"{next_mb} — out-of-order/FMO slices unsupported"
             )
+        is_p = hdr["is_p"]
+        has_inter = has_inter or is_p
         stop = _rbsp_stop(rbsp)
-        mb = first_mb
-        while r.pos < stop:
+        mb = hdr["first_mb"]
+        while True:
+            if is_p:
+                if r.pos >= stop:
+                    break
+                for _ in range(r.ue()):   # mb_skip_run
+                    if mb >= wm * hm:
+                        raise ValueError(
+                            "skip run overruns the picture")
+                    decode_skip(mb)
+                    mb += 1
+                if r.pos >= stop:
+                    break
+            elif r.pos >= stop:
+                break
             if mb >= wm * hm:
                 raise ValueError("slice data overruns the picture")
-            decode_mb(mb)
+            decode_mb(mb, is_p, hdr["num_ref"])
             mb_qp_g[mb // wm][mb % wm] = qp
             mb += 1
         next_mb = mb
@@ -1527,9 +1924,13 @@ def decode_iframe_yuv(data: bytes, deblock="auto"):
                      or (deblock == "auto" and _tc0_available())):
         _deblock_picture(y_plane, cb_plane, cr_plane, wm, hm,
                          mb_qp_g, mb_ipcm, mb_slice, slice_db,
-                         pps["chroma_qp_off"])
+                         pps["chroma_qp_off"],
+                         luma_nc=luma_nc if has_inter else None,
+                         mv_g=mv_g if has_inter else None)
+    return y_plane, cb_plane, cr_plane
 
-    # crop and emit row lists
+
+def _crop_planes(sps, y_plane, cb_plane, cr_plane):
     cl, cr_, ct, cb_ = sps["crop"]
     w, h = sps["width"], sps["height"]
     y_rows = [
@@ -1544,13 +1945,67 @@ def decode_iframe_yuv(data: bytes, deblock="auto"):
         list(cr_plane.px[(ct + yy) * cr_plane.w + cl:][: w // 2])
         for yy in range(h // 2)
     ]
-    return w, h, y_rows, cb_rows, cr_rows
+    return y_rows, cb_rows, cr_rows
 
 
-def decode_iframe(data: bytes, deblock="auto"):
-    """First I frame -> (width, height, RGB rows) via BT.601
-    full-range conversion (the same convention as jpeg.py)."""
-    w, h, ys, cbs, crs = decode_iframe_yuv(data, deblock=deblock)
+def decode_video_yuv(data: bytes, max_frames: int | None = None,
+                     deblock="auto"):
+    """Annex-B stream -> (width, height, [(y_rows, cb_rows, cr_rows),
+    ...]) for up to ``max_frames`` pictures in decode order (r9: IDR/I
+    pictures AND P pictures — motion-compensated, sliding-window
+    DPB). Picture boundaries are slices with first_mb_in_slice == 0;
+    an IDR resets the reference list. ``deblock`` as in
+    :func:`decode_iframe_yuv`; when the filter runs, the FILTERED
+    picture is the reference, per the in-loop definition."""
+    sps = pps = None
+    pics: list[list[tuple[int, int, bytes]]] = []
+    for ref, typ, rbsp in nal_units(data):
+        if typ == 7 and sps is None:
+            sps = parse_sps(rbsp)
+        elif typ == 8 and pps is None:
+            pps = parse_pps(rbsp)
+        elif typ in (1, 5):
+            if _R(rbsp).ue() == 0 or not pics:
+                pics.append([])
+            pics[-1].append((typ, ref, rbsp))
+    if sps is None or pps is None or not pics:
+        raise ValueError("no SPS+PPS+slice in stream")
+    dpb: list = []
+    frames = []
+    for pic in pics:
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        if pic[0][0] == 5:
+            dpb = []  # IDR: reference list resets
+        y_p, cb_p, cr_p = _decode_picture(sps, pps, pic, dpb, deblock)
+        frames.append(_crop_planes(sps, y_p, cb_p, cr_p))
+        if pic[0][1]:  # nal_ref_idc != 0: used for reference
+            dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
+                           _plane_np(cr_p)))
+            del dpb[sps["max_ref"]:]  # sliding window
+    return sps["width"], sps["height"], frames
+
+
+def decode_iframe_yuv(data: bytes, deblock="auto"):
+    """First IDR/I picture of an Annex-B stream -> (width, height,
+    Y plane rows, Cb rows, Cr rows) at coded (uncropped) MB grid,
+    then cropped per the SPS.
+
+    ``deblock`` (r9): ``"auto"`` applies the in-loop filter when the
+    stream signals it on AND the tC0 seam is loaded (otherwise the
+    pre-deblock reconstruction is returned, the pre-r9 behavior —
+    fine for hashing/thumbnails); ``True`` honors the stream's signal
+    and raises namefully if tC0 is missing; ``False`` never filters.
+    Streams that signal disable_deblocking_filter_idc = 1 (all engine
+    encoders' default operating points) are identical under all
+    three."""
+    w, h, frames = decode_video_yuv(data, max_frames=1,
+                                    deblock=deblock)
+    ys, cbs, crs = frames[0]
+    return w, h, ys, cbs, crs
+
+
+def _yuv_rows_to_rgb(w, h, ys, cbs, crs):
     rows = []
     for y in range(h):
         row = []
@@ -1564,7 +2019,23 @@ def decode_iframe(data: bytes, deblock="auto"):
                 _clip8(round(Y + 1.772 * Cb)),
             ))
         rows.append(row)
-    return w, h, rows
+    return rows
+
+
+def decode_iframe(data: bytes, deblock="auto"):
+    """First I frame -> (width, height, RGB rows) via BT.601
+    full-range conversion (the same convention as jpeg.py)."""
+    w, h, ys, cbs, crs = decode_iframe_yuv(data, deblock=deblock)
+    return w, h, _yuv_rows_to_rgb(w, h, ys, cbs, crs)
+
+
+def decode_video(data: bytes, max_frames: int | None = None,
+                 deblock="auto"):
+    """Annex-B stream -> (width, height, [RGB rows per frame]) — the
+    multi-frame (IPPP) surface for frame extraction (r9)."""
+    w, h, frames = decode_video_yuv(data, max_frames=max_frames,
+                                    deblock=deblock)
+    return w, h, [_yuv_rows_to_rgb(w, h, *f) for f in frames]
 
 
 # ------------------------------------------------------------- encoder
@@ -1745,7 +2216,7 @@ def _pad420(ys, cbs, crs):
 
 
 def _write_sps_pps(wm: int, hm: int, w: int, h: int,
-                   init_qp: int = 26) -> bytes:
+                   init_qp: int = 26, max_ref: int = 0) -> bytes:
     """SPS + PPS NALs for the engine encoders (baseline, one slice
     group, CAVLC, deblocking signalled off by the slice header)."""
     sps = _W()
@@ -1755,7 +2226,7 @@ def _write_sps_pps(wm: int, hm: int, w: int, h: int,
     sps.ue(0)      # sps id
     sps.ue(0)      # log2_max_frame_num_minus4
     sps.ue(2)      # pic_order_cnt_type 2
-    sps.ue(0)      # max_num_ref_frames
+    sps.ue(max_ref)  # max_num_ref_frames
     sps.u(0, 1)    # gaps allowed
     sps.ue(wm - 1)
     sps.ue(hm - 1)
@@ -2183,6 +2654,272 @@ def encode_quantized(px_rows, qp: int = 10, mb_mode: str = "i16",
     ys, cbs, crs = _rgb_to_420(px_rows)
     return encode_quantized_yuv(ys, cbs, crs, qp=qp, mb_mode=mb_mode,
                                 dense=dense)[0]
+
+
+def encode_video_yuv(frames, qp: int = 10, mvs=None,
+                     deblock: bool = False):
+    """List of 4:2:0 (ys, cbs, crs) frames -> (Annex-B bytes,
+    [recon frame triples]): an IDR I_PCM picture followed by P
+    pictures whose macroblocks are P_L0_16x16 at a per-frame GLOBAL
+    motion vector (``mvs[f]`` in quarter-pel units for frames 1..,
+    default all (0, 0) = frame differencing) with dense CAVLC luma
+    residuals against the motion-compensated reference — chroma is
+    prediction-only, exactly the dense quantized discipline.
+
+    Self-check role (r9): the encoder replays the decoder's MC +
+    residual reconstruction (and, with ``deblock=True``, its in-loop
+    filter — the FILTERED picture is the reference both sides), so
+    ``decode_video_yuv`` of the returned bytes is BIT-EXACT against
+    the returned recons; non-zero ``mvs`` with fractional components
+    drive the quarter/eighth-pel interpolation end to end. The first
+    macroblock of every P picture is I_PCM, so with the dense
+    residuals the stream needs only the ``cbp_inter`` me(v) map
+    injected (the same standing as Intra_4x4's ``cbp_intra``);
+    coeff_token rides the table-free nC >= 8 branch throughout."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    mvs = list(mvs) if mvs is not None else [(0, 0)] * (len(frames) - 1)
+    if len(mvs) != len(frames) - 1:
+        raise ValueError("mvs must cover frames 1..n-1")
+    inv_cbp = None
+    if len(frames) > 1:
+        book = _need("cbp_intra", "inter")
+        inv_cbp = {cbp: code for code, cbp in book.items()}
+        if 15 not in inv_cbp:
+            raise ValueError("injected cbp_inter map lacks cbp 15")
+
+    padded = [_pad420(*f) for f in frames]
+    ys0, cbs0, crs0, w, h, wm, hm = padded[0]
+    for f in padded[1:]:
+        if (f[3], f[4]) != (w, h):
+            raise ValueError("all frames must share dimensions")
+    out = bytearray(_write_sps_pps(wm, hm, w, h, init_qp=qp,
+                                   max_ref=1))
+    qdiv, qmod = qp // 6, qp % 6
+    recons = []
+    ref = None  # (y, cb, cr) numpy planes of the previous recon
+
+    def plane_from(rows, pw, ph):
+        pl = _Plane(pw, ph)
+        for yy in range(ph):
+            pl.px[yy * pw: (yy + 1) * pw] = rows[yy]
+        return pl
+
+    for fi, (fys, fcbs, fcrs, _w, _h, _wm, _hm) in enumerate(padded):
+        sl = _W()
+        if fi == 0:
+            # IDR I_PCM picture: recon == padded source, table-free
+            sl.ue(0)       # first_mb_in_slice
+            sl.ue(7)       # slice_type: I (all slices)
+            sl.ue(0)       # pps id
+            sl.u(0, 4)     # frame_num
+            sl.ue(0)       # idr_pic_id
+            sl.u(1, 1)     # no_output_of_prior_pics
+            sl.u(0, 1)     # long_term_reference
+            sl.se(0)       # slice_qp_delta
+            if deblock:
+                sl.ue(0)
+                sl.se(0)
+                sl.se(0)
+            else:
+                sl.ue(1)
+            for mb in range(wm * hm):
+                mbx, mby = mb % wm, mb // wm
+                sl.ue(25)  # I_PCM
+                sl.byte_align_zero()
+                for yy in range(16):
+                    for xx in range(16):
+                        sl.u(fys[16 * mby + yy][16 * mbx + xx], 8)
+                for plane in (fcbs, fcrs):
+                    for yy in range(8):
+                        for xx in range(8):
+                            sl.u(plane[8 * mby + yy][8 * mbx + xx], 8)
+            out += _nal(sl.trailing(), 3, 5)
+            ry = plane_from(fys, 16 * wm, 16 * hm)
+            rcb = plane_from(fcbs, 8 * wm, 8 * hm)
+            rcr = plane_from(fcrs, 8 * wm, 8 * hm)
+            if deblock:
+                # I_PCM MBs deblock at qP = 0: a no-op pass, replayed
+                # for exactness anyway
+                _deblock_picture(ry, rcb, rcr, wm, hm,
+                                 [[qp] * wm for _ in range(hm)],
+                                 [[True] * wm for _ in range(hm)],
+                                 [[0] * wm for _ in range(hm)],
+                                 [(0, 0, 0)], 0)
+        else:
+            mv = tuple(mvs[fi - 1])
+            sl.ue(0)       # first_mb_in_slice
+            sl.ue(5)       # slice_type: P (all slices)
+            sl.ue(0)       # pps id
+            sl.u(fi % 16, 4)  # frame_num
+            sl.u(0, 1)     # num_ref_idx_active_override
+            sl.u(0, 1)     # ref_pic_list_modification_flag_l0
+            sl.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
+            sl.se(0)       # slice_qp_delta
+            if deblock:
+                sl.ue(0)
+                sl.se(0)
+                sl.se(0)
+            else:
+                sl.ue(1)
+            ry = _Plane(16 * wm, 16 * hm)
+            rcb = _Plane(8 * wm, 8 * hm)
+            rcr = _Plane(8 * wm, 8 * hm)
+            luma_nc = [[-1] * (4 * wm) for _ in range(4 * hm)]
+            mv_g = [[None] * (4 * wm) for _ in range(4 * hm)]
+            mb_ipcm = [[False] * wm for _ in range(hm)]
+
+            def getmv(bx, by):
+                if bx < 0 or by < 0 or bx >= 4 * wm or by >= 4 * hm:
+                    return None
+                return mv_g[by][bx]
+
+            def nc_of(bx, by):
+                na = luma_nc[by][bx - 1] if bx > 0 else -1
+                nb = luma_nc[by - 1][bx] if by > 0 else -1
+                if na >= 0 and nb >= 0:
+                    return (na + nb + 1) >> 1
+                return na if na >= 0 else (nb if nb >= 0 else 0)
+
+            for mb in range(wm * hm):
+                mbx, mby = mb % wm, mb // wm
+                sl.ue(0)   # mb_skip_run
+                if mb == 0:
+                    sl.ue(30)  # I_PCM inside a P slice (5 + 25)
+                    mb_ipcm[mby][mbx] = True
+                    sl.byte_align_zero()
+                    for yy in range(16):
+                        for xx in range(16):
+                            sl.u(fys[yy][xx], 8)
+                    for plane in (fcbs, fcrs):
+                        for yy in range(8):
+                            for xx in range(8):
+                                sl.u(plane[yy][xx], 8)
+                    ry.put(0, 0, [row[:16] for row in fys[:16]])
+                    rcb.put(0, 0, [row[:8] for row in fcbs[:8]])
+                    rcr.put(0, 0, [row[:8] for row in fcrs[:8]])
+                    for by in range(4):
+                        for bx in range(4):
+                            luma_nc[by][bx] = 16
+                            mv_g[by][bx] = (0, 0, -1)
+                    continue
+                sl.ue(0)   # mb_type: P_L0_16x16
+                mpx, mpy = _mv_predict(getmv, 4 * mbx, 4 * mby, 4, 0)
+                sl.se(mv[0] - mpx)
+                sl.se(mv[1] - mpy)
+                for by in range(4 * mby, 4 * mby + 4):
+                    for bx in range(4 * mbx, 4 * mbx + 4):
+                        mv_g[by][bx] = (mv[0], mv[1], 0)
+                pred16 = _interp_luma(ref[0], 16 * mbx, 16 * mby,
+                                      16, 16, mv[0], mv[1])
+                cpredb = _interp_chroma(ref[1], 8 * mbx, 8 * mby,
+                                        8, 8, mv[0], mv[1])
+                cpredr = _interp_chroma(ref[2], 8 * mbx, 8 * mby,
+                                        8, 8, mv[0], mv[1])
+                sl.ue(inv_cbp[15])  # cbp: all luma, no chroma
+                sl.se(0)            # mb_qp_delta
+                out16 = [row[:] for row in pred16]
+                for blk in range(16):
+                    ox, oy = _BLK4_XY[blk]
+                    bx = (16 * mbx + ox) // 4
+                    by = (16 * mby + oy) // 4
+                    res = [[fys[16 * mby + oy + yy][16 * mbx + ox + xx]
+                            - pred16[oy + yy][ox + xx]
+                            for xx in range(4)] for yy in range(4)]
+                    scan = _quant_scan(_ftrans4(res), qp,
+                                       skip_dc=False, dense=True)
+                    _cavlc_write_block(sl, scan, nc_of(bx, by), 16)
+                    luma_nc[by][bx] = sum(1 for v in scan if v)
+                    d = [[0] * 4 for _ in range(4)]
+                    for k, (i, j) in enumerate(_ZIG4):
+                        c = scan[k]
+                        if c:
+                            d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
+                    dres = _itrans4(d)
+                    for yy in range(4):
+                        for xx in range(4):
+                            out16[oy + yy][ox + xx] = _clip8(
+                                pred16[oy + yy][ox + xx]
+                                + ((dres[yy][xx] + 32) >> 6))
+                ry.put(16 * mbx, 16 * mby, out16)
+                rcb.put(8 * mbx, 8 * mby,
+                        [[_clip8(v) for v in row] for row in cpredb])
+                rcr.put(8 * mbx, 8 * mby,
+                        [[_clip8(v) for v in row] for row in cpredr])
+            out += _nal(sl.trailing(), 2, 1)
+            if deblock:
+                _deblock_picture(ry, rcb, rcr, wm, hm,
+                                 [[qp] * wm for _ in range(hm)],
+                                 mb_ipcm,
+                                 [[0] * wm for _ in range(hm)],
+                                 [(0, 0, 0)], 0,
+                                 luma_nc=luma_nc, mv_g=mv_g)
+        ref = (_plane_np(ry), _plane_np(rcb), _plane_np(rcr))
+        recons.append(_crop_planes(
+            {"crop": (0, 0, 0, 0) if (w, h) == (16 * wm, 16 * hm)
+             else (0, (16 * wm - w) // 2, 0, (16 * hm - h) // 2),
+             "width": w, "height": h},
+            ry, rcb, rcr))
+    return bytes(out), recons
+
+
+def encode_video(rgb_frames, qp: int = 10, mvs=None,
+                 deblock: bool = False) -> bytes:
+    """RGB frame list -> IPPP Annex-B stream (BT.601 full-range, 2x2
+    chroma averaging — the same conversion as :func:`encode_ipcm`)."""
+    return encode_video_yuv([_rgb_to_420(f) for f in rgb_frames],
+                            qp=qp, mvs=mvs, deblock=deblock)[0]
+
+
+def encode_video_skip(px_rows, frames: int) -> bytes:
+    """RGB rows -> a ``frames``-picture clip: one I_PCM IDR followed
+    by ALL-SKIP P pictures (one mb_skip_run covering the raster) —
+    every P macroblock is P_Skip with a zero predictor, copying the
+    reference. ZERO tables are consulted on either side, so this is
+    the table-free multi-frame operating point (the video sibling of
+    I_PCM / AAC silence), exercising the P slice header, skip-run
+    machinery and MC copy path end to end."""
+    ys, cbs, crs = _rgb_to_420(px_rows)
+    ys, cbs, crs, w, h, wm, hm = _pad420(ys, cbs, crs)
+    out = bytearray(_write_sps_pps(wm, hm, w, h, max_ref=1))
+    sl = _W()
+    sl.ue(0)
+    sl.ue(7)       # I slice
+    sl.ue(0)
+    sl.u(0, 4)
+    sl.ue(0)       # idr_pic_id
+    sl.u(1, 1)
+    sl.u(0, 1)
+    sl.se(0)
+    sl.ue(1)       # deblocking off
+    for mb in range(wm * hm):
+        mbx, mby = mb % wm, mb // wm
+        sl.ue(25)
+        sl.byte_align_zero()
+        for yy in range(16):
+            for xx in range(16):
+                sl.u(ys[16 * mby + yy][16 * mbx + xx], 8)
+        for plane in (cbs, crs):
+            for yy in range(8):
+                for xx in range(8):
+                    sl.u(plane[8 * mby + yy][8 * mbx + xx], 8)
+    out += _nal(sl.trailing(), 3, 5)
+    for fi in range(1, frames):
+        sl = _W()
+        sl.ue(0)
+        sl.ue(5)        # P slice
+        sl.ue(0)
+        sl.u(fi % 16, 4)
+        sl.u(0, 1)      # num_ref override
+        sl.u(0, 1)      # ref_pic_list_modification
+        sl.u(0, 1)      # adaptive marking
+        sl.se(0)
+        sl.ue(1)        # deblocking off
+        sl.ue(wm * hm)  # mb_skip_run: the whole picture
+        out += _nal(sl.trailing(), 2, 1)
+    return bytes(out)
 
 
 def _rgb_to_420(px_rows):

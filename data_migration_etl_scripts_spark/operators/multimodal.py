@@ -1639,6 +1639,21 @@ def _synthetic_real_media_rows_build(
                          h264=encode_quantized(px9, qp=12),
                          aac=aac_encode_silence(frames=2, rate_idx=8))),
                      "{}"))
+        # r9: a THREE-frame IPPP clip (I_PCM IDR + all-skip P
+        # pictures) — the table-free multi-frame operating point:
+        # P slice headers, skip-run machinery and the MC copy path
+        # decode with the seam EMPTY (operators/h264.py
+        # encode_video_skip), and frame extraction yields >1 frame
+        # from an H.264 payload
+        from data_migration_etl_scripts_spark.operators.h264 import (
+            encode_video_skip,
+        )
+
+        px11 = [[((x * 13 + y * 7) % 256, (x * 3 + y * 2) % 256,
+                  (x + y * 11) % 256) for x in range(24)]
+                for y in range(16)]
+        rows.append((n + 28, "video",
+                     bytearray(encode_video_skip(px11, 3)), "{}"))
     return rows
 
 
@@ -1723,14 +1738,9 @@ def extract_frames(
                   and content[4:8] in (b"ftyp", b"styp"))
               or _is_mpegts(content)):
             # H.264 Annex B / MP4 (r8) / MPEG-TS (r9): the engine
-            # decodes the first I frame (operators/h264.py — I_PCM +
-            # Intra_16x16/CAVLC seam; mp4.py / mpegts.py demux the
-            # containers); later frames need motion compensation
-            # (documented scope)
-            from data_migration_etl_scripts_spark.operators.h264 import (
-                decode_iframe,
-            )
-
+            # decodes the IDR and its following P pictures (r9 motion
+            # compensation — IPPP GOPs; mp4.py / mpegts.py demux the
+            # containers); B slices remain documented scope
             if _is_mpegts(content):
                 from data_migration_etl_scripts_spark.operators.mpegts import (
                     ts_extract_h264,
@@ -1743,8 +1753,17 @@ def extract_frames(
                 )
 
                 content = mp4_extract_h264(content)
-            w, h, rows = decode_iframe(content)
-            yield (0, 0, w, h, bmp_encode(rows))
+            from data_migration_etl_scripts_spark.operators.h264 import (
+                decode_video,
+            )
+
+            w, h, vframes = decode_video(
+                content, max_frames=max_frames * every_n)
+            for i, rows in enumerate(vframes):
+                if i % every_n:
+                    continue
+                # 25 fps nominal — Annex-B carries no VUI timing here
+                yield (i, i * 40, w, h, bmp_encode(rows))
         else:
             raise NotImplementedError(
                 "real video codecs need ffmpeg — plug the codec kernel in here"

@@ -650,14 +650,16 @@ def test_quantized_roundtrip_property():
     run()
 
 
-def test_pb_slices_raise_namefully():
+def test_b_slices_raise_namefully():
+    """P slices decode since r9; the scope boundary is B slices
+    (bi-prediction)."""
     units = h.nal_units(_intra16_stream())
     sl = h._W()
-    sl.ue(0); sl.ue(5)  # slice_type P (all slices)
+    sl.ue(0); sl.ue(6)  # slice_type B (all slices)
     stream = (h._nal(units[0][2], 3, 7) + h._nal(units[1][2], 3, 8)
               + h._nal(sl.trailing(), 3, 1))
-    with pytest.raises(NotImplementedError, match="I slices only"):
-        h.decode_iframe_yuv(stream)
+    with pytest.raises(NotImplementedError, match="B slices"):
+        h.decode_video_yuv(stream)
 
 
 def test_cabac_raises_namefully():
@@ -874,3 +876,187 @@ def test_deblock_ipcm_neighbor_counts_as_qp0():
     # some interior (bS = 3, qav 30) column did filter
     assert any(py[y][x] != ry[y][x]
                for y in range(16) for x in range(20, 44))
+
+
+# -------------------------------------------------- P slices (r9)
+
+def _cbp_inter_identity():
+    h.load_cavlc_tables({"cbp_inter": [[i, i] for i in range(48)]})
+
+
+def _grad_clip(n_frames, w=48, hgt=32, step=9):
+    cb = [[118 + (x % 9) for x in range(w // 2)]
+          for _y in range(hgt // 2)]
+    cr = [[132 + (_y % 7) for _x in range(w // 2)]
+          for _y in range(hgt // 2)]
+    return [([[(x * 5 + y * 3 + f * step) % 256 for x in range(w)]
+              for y in range(hgt)], cb, cr) for f in range(n_frames)]
+
+
+def test_video_zero_mv_roundtrip():
+    """IDR + frame-differencing P pictures: decode is bit-exact
+    against the encoder replay, the IDR recon IS the source (I_PCM),
+    and the P recon tracks its source within quantization error."""
+    _cbp_inter_identity()
+    frames = _grad_clip(3)
+    b, recons = h.encode_video_yuv(frames, qp=8)
+    w, hgt, out = h.decode_video_yuv(b)
+    assert (w, hgt) == (48, 32) and len(out) == 3
+    assert out == recons
+    assert recons[0][0] == frames[0][0]
+    for fi in (1, 2):
+        err = sum(abs(recons[fi][0][y][x] - frames[fi][0][y][x])
+                  for y in range(32) for x in range(48)) / (32 * 48)
+        assert err < 0.6, (fi, err)
+
+
+def test_video_every_quarter_pel_phase_roundtrip():
+    """All 16 fractional MV phases (and negative MVs) drive the 6-tap
+    half-pel + quarter-average interpolator; encode->decode stays
+    bit-exact because the encoder replays the decoder's MC."""
+    _cbp_inter_identity()
+    for mv in [(1, 0), (2, 0), (3, 0), (0, 1), (0, 2), (0, 3),
+               (1, 1), (2, 2), (3, 3), (1, 2), (2, 1), (3, 2),
+               (2, 3), (1, 3), (3, 1), (-5, 7)]:
+        frames = _grad_clip(2)
+        b, recons = h.encode_video_yuv(frames, qp=8, mvs=[mv])
+        w, hgt, out = h.decode_video_yuv(b)
+        assert out == recons, mv
+
+
+def test_video_motion_alignment():
+    """A true integer-pel pan with the MATCHING motion vector leaves
+    only the dense +/-1 floor to code, so the bitstream is MUCH
+    smaller than with mv = 0 or a sign-flipped vector — this catches
+    MV sign/application errors that pure round-trip consistency
+    cannot (residual coding reproduces the source either way)."""
+    _cbp_inter_identity()
+    rnd = random.Random(11)
+    w, hgt = 48, 32
+    base = [[rnd.randrange(256) for _x in range(w + 8)]
+            for _y in range(hgt)]
+    cb = [[128] * (w // 2) for _ in range(hgt // 2)]
+    f0 = [row[4: 4 + w] for row in base]
+    f1 = [row[0: w] for row in base]      # content moved RIGHT 4 px
+    frames = [(f0, cb, cb), (f1, cb, cb)]
+    b_good, rec_good = h.encode_video_yuv(frames, qp=8,
+                                          mvs=[(-16, 0)])
+    b_zero, _ = h.encode_video_yuv(frames, qp=8, mvs=[(0, 0)])
+    b_bad, _ = h.encode_video_yuv(frames, qp=8, mvs=[(16, 0)])
+    assert len(b_good) < 0.75 * len(b_zero), (len(b_good),
+                                              len(b_zero))
+    assert len(b_good) < 0.75 * len(b_bad)
+    # and the aligned P recon still tracks its source within the
+    # dense quantization floor
+    err = sum(abs(rec_good[1][0][y][x] - f1[y][x])
+              for y in range(hgt) for x in range(w)) / (w * hgt)
+    assert err < 1.0, err
+    w2, h2, out = h.decode_video_yuv(b_good)
+    assert out == rec_good
+
+
+def test_video_skip_static_clip_seam_empty():
+    """IDR + all-skip P pictures: the table-free multi-frame
+    operating point (P slice header + skip-run + MC copy) with the
+    seam completely EMPTY."""
+    px = [[((x * 7 + y * 3) % 256, (x + y * 5) % 256, (x * y) % 256)
+           for x in range(20)] for y in range(12)]
+    clip = h.encode_video_skip(px, 4)
+    w, hgt, frames = h.decode_video(clip)
+    assert (w, hgt) == (20, 12) and len(frames) == 4
+    assert frames[0] == frames[1] == frames[2] == frames[3]
+    ref = h.decode_iframe(h.encode_ipcm(px))[2]
+    assert frames[0] == ref
+
+
+def test_video_deblocked_p_roundtrip():
+    """deblock=True on an IPPP clip: the FILTERED picture is the
+    reference on both sides (inter bS derivation: coefficients -> 2,
+    MV delta >= 4 quarters -> 1), and decode stays bit-exact against
+    the encoder replay."""
+    _cbp_inter_identity()
+    h.load_cavlc_tables(
+        {"deblock_tc0": [[max(0, i // 5 + bs - 2) for i in range(52)]
+                         for bs in (1, 2, 3)]})
+    frames = _grad_clip(3)
+    b, recons = h.encode_video_yuv(frames, qp=30, mvs=[(1, 1), (0, 2)],
+                                   deblock=True)
+    w, hgt, out = h.decode_video_yuv(b, deblock=True)
+    assert out == recons
+    w, hgt, pre = h.decode_video_yuv(b, deblock=False)
+    assert pre != recons  # the filter did change the pictures
+
+
+def test_video_max_frames_and_iframe_wrapper():
+    _cbp_inter_identity()
+    frames = _grad_clip(4)
+    b, recons = h.encode_video_yuv(frames, qp=8)
+    w, hgt, out = h.decode_video_yuv(b, max_frames=2)
+    assert len(out) == 2 and out == recons[:2]
+    # decode_iframe_yuv still returns exactly the first picture
+    w, hgt, ys, cbs, crs = h.decode_iframe_yuv(b)
+    assert (ys, cbs, crs) == recons[0]
+
+
+def test_video_idr_resets_references():
+    """Two concatenated GOPs: the second IDR resets the DPB and both
+    GOPs decode bit-exact."""
+    _cbp_inter_identity()
+    b1, r1 = h.encode_video_yuv(_grad_clip(2), qp=8)
+    b2, r2 = h.encode_video_yuv(_grad_clip(2, step=17), qp=8)
+    w, hgt, out = h.decode_video_yuv(b1 + b2)
+    assert len(out) == 4
+    assert out == r1 + r2
+
+
+def test_video_p_scope_errors():
+    _cbp_inter_identity()
+    b, _ = h.encode_video_yuv(_grad_clip(2), qp=8)
+    # cbp_inter seam required for decode too
+    h.CAVLC["cbp_intra"].pop("inter")
+    with pytest.raises(NotImplementedError, match="load_cavlc_tables"):
+        h.decode_video_yuv(b)
+    _cbp_inter_identity()
+    # P_8x8 sub-partitions raise namefully: flip the first inter
+    # mb_type by hand-building a tiny P slice
+    units = h.nal_units(b)
+    sps = h.parse_sps(units[0][2])
+    sl = h._W()
+    sl.ue(0); sl.ue(5)   # first_mb, slice_type P
+    sl.ue(0)             # pps id
+    sl.u(1, 4)           # frame_num
+    sl.u(0, 1); sl.u(0, 1); sl.u(0, 1)
+    sl.se(0); sl.ue(1)
+    sl.ue(0)             # mb_skip_run
+    sl.ue(3)             # mb_type P_8x8
+    head = b"".join(h._nal(p, r_, t) for r_, t, p in units
+                    if t in (7, 8, 5))
+    with pytest.raises(NotImplementedError, match="P_8x8"):
+        h.decode_video_yuv(head + h._nal(sl.trailing(), 2, 1))
+
+
+def test_interp_luma_positions_hand_checked():
+    """Half-pel 6-tap and quarter-pel averaging against a by-hand
+    computation on a small ramp."""
+    import numpy as np
+
+    arr = np.array([[x * 10 + y for x in range(12)]
+                    for y in range(12)])
+    # position b (fx=2, fy=0) at (4, 4): 6-tap over x = 2..7 row 4
+    got = h._interp_luma(arr, 4, 4, 1, 1, 2, 0)[0][0]
+    row = [arr[4][x] for x in range(2, 8)]
+    want = (row[0] - 5 * row[1] + 20 * row[2] + 20 * row[3]
+            - 5 * row[4] + row[5] + 16) >> 5
+    assert got == max(0, min(255, want))
+    # position a (fx=1) averages G and b
+    got_a = h._interp_luma(arr, 4, 4, 1, 1, 1, 0)[0][0]
+    assert got_a == (arr[4][4] + got + 1) >> 1
+    # chroma eighth-pel bilinear at (fx, fy) = (3, 5)
+    gotc = h._interp_chroma(arr, 2, 2, 1, 1, 3, 5)[0][0]
+    a_, b_, c_, d_ = arr[2][2], arr[2][3], arr[3][2], arr[3][3]
+    wantc = (5 * 3 * a_ + 3 * 3 * b_ + 5 * 5 * c_ + 3 * 5 * d_
+             + 32) >> 6
+    assert gotc == wantc
+    # edge clamp: negative integer MV at the frame corner
+    got_e = h._interp_luma(arr, 0, 0, 2, 2, -8, -8)
+    assert got_e == [[arr[0][0]] * 2 for _ in range(2)]
