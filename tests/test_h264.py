@@ -1060,3 +1060,70 @@ def test_interp_luma_positions_hand_checked():
     # edge clamp: negative integer MV at the frame corner
     got_e = h._interp_luma(arr, 0, 0, 2, 2, -8, -8)
     assert got_e == [[arr[0][0]] * 2 for _ in range(2)]
+
+
+def test_video_multi_reference_te_and_dpb_order():
+    """Hand-built stream: IDR (I_PCM) + a second non-IDR I_PCM
+    picture + a P picture that overrides num_ref to 2 and selects
+    ref_idx 1 (te(v) single inverted bit) with zero MV and cbp 0 —
+    every P macroblock copies the FIRST picture, proving te(v)
+    parsing and most-recent-first DPB ordering."""
+    _cbp_inter_identity()
+    wm = hm = 1  # one 16x16 MB
+    f0 = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    f1 = [[255 - f0[y][x] for x in range(16)] for y in range(16)]
+    c0 = [[100] * 8 for _ in range(8)]
+    c1 = [[200] * 8 for _ in range(8)]
+
+    def ipcm_pic(ys, cbs, crs, idr, frame_num):
+        sl = h._W()
+        sl.ue(0)
+        sl.ue(7)        # I slice
+        sl.ue(0)
+        sl.u(frame_num, 4)
+        if idr:
+            sl.ue(0)    # idr_pic_id
+        if idr:
+            sl.u(1, 1)
+            sl.u(0, 1)
+        else:
+            sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+        sl.se(0)
+        sl.ue(1)        # deblocking off
+        sl.ue(25)
+        sl.byte_align_zero()
+        for yy in range(16):
+            for xx in range(16):
+                sl.u(ys[yy][xx], 8)
+        for plane in (cbs, crs):
+            for yy in range(8):
+                for xx in range(8):
+                    sl.u(plane[yy][xx], 8)
+        return h._nal(sl.trailing(), 3, 5 if idr else 1)
+
+    sps_pps = h._write_sps_pps(wm, hm, 16, 16, max_ref=2)
+    psl = h._W()
+    psl.ue(0)
+    psl.ue(5)           # P slice
+    psl.ue(0)
+    psl.u(2, 4)         # frame_num
+    psl.u(1, 1)         # num_ref_idx_active_override_flag
+    psl.ue(1)           # num_ref_idx_l0_active_minus1 = 1 -> 2 refs
+    psl.u(0, 1)         # ref_pic_list_modification
+    psl.u(0, 1)         # adaptive marking
+    psl.se(0)
+    psl.ue(1)           # deblocking off
+    psl.ue(0)           # mb_skip_run
+    psl.ue(0)           # mb_type P_L0_16x16
+    psl.u(0, 1)         # te(v) ref_idx: bit 0 -> value 1 (older ref)
+    psl.se(0)
+    psl.se(0)           # mvd (0, 0)
+    psl.ue(0)           # cbp codeNum 0 -> cbp 0 (identity map)
+    stream = (sps_pps + ipcm_pic(f0, c0, c0, True, 0)
+              + ipcm_pic(f1, c1, c1, False, 1)
+              + h._nal(psl.trailing(), 2, 1))
+    w, hgt, out = h.decode_video_yuv(stream)
+    assert len(out) == 3
+    assert out[0] == (f0, c0, c0)
+    assert out[1] == (f1, c1, c1)
+    assert out[2] == (f0, c0, c0)  # ref_idx 1 = two pictures back
