@@ -1805,14 +1805,19 @@ def extract_frames(
     return df.select("media_id", "content").mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
-def synthetic_video_rows(n: int = 6, include_avi: bool = False) -> list[tuple]:
+def synthetic_video_rows(n: int = 6, include_avi: bool = False,
+                         include_h264: bool = False) -> list[tuple]:
     """Deterministic GENUINE video payload rows (pure Python, no
     Spark): animated GIFs (8x8, 4 frames, moving 2x2 block — formulas,
     no RNG) at ids 0..n-1; with ``include_avi``, two AVI/MJPEG rows at
     ids n..n+1 (16x16, 4 frames at 10 fps, moving 4x4 block — RIFF
-    container + one baseline JPEG per frame, `operators/avi.py`).
-    Shared by the Spark fixture below and the selfcheck range-assert
-    oracle, which recomputes expected frames from these exact bytes."""
+    container + one baseline JPEG per frame, `operators/avi.py`);
+    with ``include_h264`` (r9), one table-free H.264 IPPP clip at id
+    n+2 (I_PCM IDR + three all-skip P pictures,
+    `operators/h264.py::encode_video_skip` — P slice header, skip
+    runs and the MC copy path with the seam empty). Shared by the
+    Spark fixture below and the selfcheck range-assert oracle, which
+    recomputes expected frames from these exact bytes."""
     rows = []
     for i in range(n):
         frames = []
@@ -1849,15 +1854,28 @@ def synthetic_video_rows(n: int = 6, include_avi: bool = False) -> list[tuple]:
                  bytearray(avi_encode_mjpeg(frames, fps=10, quality=90)),
                  '{"duration_ms": 400}')
             )
+    if include_h264:
+        from data_migration_etl_scripts_spark.operators.h264 import (
+            encode_video_skip,
+        )
+
+        px = [[((x * 9 + y * 5) % 256, (x * 3 + y * 7) % 256,
+                (x + y) % 256) for x in range(16)] for y in range(16)]
+        rows.append(
+            (n + 2, "video", bytearray(encode_video_skip(px, 4)),
+             '{"duration_ms": 160}')
+        )
     return rows
 
 
 def synthetic_video_media(
-    spark, n: int = 6, include_avi: bool = False
+    spark, n: int = 6, include_avi: bool = False,
+    include_h264: bool = False
 ) -> DataFrame:
     """Tiny table of GENUINE video payloads (see
     :func:`synthetic_video_rows`) for the real frame-extraction
     path."""
     return spark.createDataFrame(
-        synthetic_video_rows(n, include_avi), MEDIA_SCHEMA
+        synthetic_video_rows(n, include_avi, include_h264),
+        MEDIA_SCHEMA
     )

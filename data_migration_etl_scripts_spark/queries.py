@@ -3114,8 +3114,10 @@ def chunk_token_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("video_frame_extract")
 def video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling: animated GIFs (stdlib codec — patch
-    frames composited to full frames) and AVI/MJPEG containers (RIFF
-    walk + per-frame baseline JPEG, operators/avi.py) fan out to
+    frames composited to full frames), AVI/MJPEG containers (RIFF
+    walk + per-frame baseline JPEG, operators/avi.py), and an H.264
+    IPPP clip (r9: I_PCM IDR + all-skip P pictures — motion-
+    compensated multi-frame decode, table-free) fan out to
     every-2nd-frame rows via an Arrow-batched mapInPandas kernel; each
     frame re-encodes as BMP and is fingerprinted here for a scalar
     output. Pixel decoding has no SQL twin, but the fixture videos are
@@ -3127,7 +3129,8 @@ def video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_avi.py."""
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
-    media = mm.synthetic_video_media(spark, n=8, include_avi=True)
+    media = mm.synthetic_video_media(spark, n=8, include_avi=True,
+                                     include_h264=True)
     frames = mm.extract_frames(media, every_n=2, decoder="real")
     return frames.select(
         "media_id",

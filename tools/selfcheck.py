@@ -359,8 +359,28 @@ def _range_video_frames(con, cols, rows) -> list[str]:
                     fr[y][x] = (255, f * 60 % 256, i * 40 % 256)
             md5 = _hl.md5(mm.bmp_encode(fr)).hexdigest()
             want.add((i, f, f * 100, 8, 8, md5))
-    for mid, _t, content, _m in mm.synthetic_video_rows(8, include_avi=True):
+    for mid, _t, content, _m in mm.synthetic_video_rows(
+            8, include_avi=True, include_h264=True):
         if mid < 8:
+            continue
+        if mid == 10:
+            # r9: the table-free H.264 IPPP clip — re-decode the same
+            # bytes driver-side (motion-compensated P pictures must
+            # all equal the IDR: all-skip copies) at the 25 fps
+            # nominal clock the kernel stamps
+            from data_migration_etl_scripts_spark.operators.h264 import (
+                decode_video,
+            )
+
+            w, h, vframes = decode_video(bytes(content))
+            if (w, h, len(vframes)) != (16, 16, 4):
+                return [f"H.264 fixture: unexpected shape "
+                        f"{(w, h, len(vframes))}"]
+            if any(fr != vframes[0] for fr in vframes[1:]):
+                return ["H.264 all-skip clip frames diverge"]
+            for f in (0, 2):
+                md5 = _hl.md5(mm.bmp_encode(vframes[f])).hexdigest()
+                want.add((mid, f, f * 40, 16, 16, md5))
             continue
         w, h, fps_milli, frames = avi_decode_frames(bytes(content))
         if (w, h, fps_milli, len(frames)) != (16, 16, 10000, 4):
