@@ -88,6 +88,8 @@ are never reproduced from memory):
     caveat.
 
   - P slices (r9): P_Skip, P_L0_16x16 / 16x8 / 8x16 partitions,
+    P_8x8 / P_8x8ref0 with all four sub-partition shapes
+    (8x8/8x4/4x8/4x4),
     median + directional MV prediction (shared verbatim by encoder
     and decoder), quarter-pel luma MC (6-tap half-pel + quarter
     averaging per the spec equations) and eighth-pel bilinear chroma
@@ -103,10 +105,9 @@ are never reproduced from memory):
     and ``encode_video_skip`` emits an IDR + all-skip P pictures,
     the TABLE-FREE multi-frame path.
 
-NOT in scope (raise namefully): Intra_8x8 prediction, P_8x8
-sub-macroblock partitions, B slices (bi-prediction), weighted
-prediction, ref-list modification / adaptive marking, CABAC,
-interlace, high profiles.
+NOT in scope (raise namefully): Intra_8x8 prediction, B slices
+(bi-prediction), weighted prediction, ref-list modification /
+adaptive marking, CABAC, interlace, high profiles.
 """
 
 from __future__ import annotations
@@ -1625,18 +1626,38 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
         mbx, mby = mb % wm, mb // wm
         if not refs:
             raise ValueError("P slice with an empty reference list")
-        if mb_type >= 3:
-            raise NotImplementedError(
-                "P_8x8 sub-macroblock partitions"
-            )
-        if mb_type == 0:
-            parts = [(0, 0, 16, 16, None)]
-        elif mb_type == 1:   # 16x8: top predicts from B, bottom from A
-            parts = [(0, 0, 16, 8, "B"), (0, 8, 16, 8, "A")]
-        else:                # 8x16: left predicts from A, right from C
-            parts = [(0, 0, 8, 16, "A"), (8, 0, 8, 16, "C")]
         nref = min(num_ref, len(refs))
-        ref_idx = [read_te(nref - 1) for _ in parts]
+        if mb_type in (3, 4):
+            # P_8x8 / P_8x8ref0: four quadrants, each sub-partitioned
+            # 8x8/8x4/4x8/4x4 (sub_mb_type 0..3); syntax groups all
+            # sub_mb_types, then the per-quadrant ref indices, then
+            # every sub-partition's mvd. Median MV prediction only
+            # (the directional rules are MB-partition-specific).
+            subs = [r.ue() for _ in range(4)]
+            if any(s > 3 for s in subs):
+                raise ValueError("sub_mb_type out of range in P slice")
+            if mb_type == 4:   # P_8x8ref0: refs fixed at 0, no bits
+                refs8 = [0, 0, 0, 0]
+            else:
+                refs8 = [read_te(nref - 1) for _ in range(4)]
+            sub_shapes = ((8, 8), (8, 4), (4, 8), (4, 4))
+            parts = []
+            ref_idx = []
+            for q in range(4):
+                qx, qy = 8 * (q % 2), 8 * (q // 2)
+                sw, sh = sub_shapes[subs[q]]
+                for sy in range(0, 8, sh):
+                    for sx in range(0, 8, sw):
+                        parts.append((qx + sx, qy + sy, sw, sh, None))
+                        ref_idx.append(refs8[q])
+        else:
+            if mb_type == 0:
+                parts = [(0, 0, 16, 16, None)]
+            elif mb_type == 1:  # 16x8: top predicts from B, bottom A
+                parts = [(0, 0, 16, 8, "B"), (0, 8, 16, 8, "A")]
+            else:               # 8x16: left predicts from A, right C
+                parts = [(0, 0, 8, 16, "A"), (8, 0, 8, 16, "C")]
+            ref_idx = [read_te(nref - 1) for _ in parts]
         mvds = [(r.se(), r.se()) for _ in parts]
         pred16 = [[0] * 16 for _ in range(16)]
         mvs = []
@@ -2657,7 +2678,7 @@ def encode_quantized(px_rows, qp: int = 10, mb_mode: str = "i16",
 
 
 def encode_video_yuv(frames, qp: int = 10, mvs=None,
-                     deblock: bool = False):
+                     deblock: bool = False, mb_mode: str = "p16"):
     """List of 4:2:0 (ys, cbs, crs) frames -> (Annex-B bytes,
     [recon frame triples]): an IDR I_PCM picture followed by P
     pictures whose macroblocks are P_L0_16x16 at a per-frame GLOBAL
@@ -2675,9 +2696,19 @@ def encode_video_yuv(frames, qp: int = 10, mvs=None,
     macroblock of every P picture is I_PCM, so with the dense
     residuals the stream needs only the ``cbp_inter`` me(v) map
     injected (the same standing as Intra_4x4's ``cbp_intra``);
-    coeff_token rides the table-free nC >= 8 branch throughout."""
+    coeff_token rides the table-free nC >= 8 branch throughout.
+
+    ``mb_mode="p8x8"`` (r9) codes every inter macroblock as P_8x8
+    with one sub_mb_type of EACH shape (8x8/8x4/4x8/4x4) across the
+    four quadrants — exercising sub-macroblock partitioning and
+    per-sub-partition MV prediction end to end (the global MV keeps
+    prediction content identical, so the sub-partition syntax is the
+    variable under test)."""
     import numpy as np
 
+    if mb_mode not in ("p16", "p8x8"):
+        raise ValueError("mb_mode must be 'p16' or 'p8x8'")
+    p8x8 = mb_mode == "p8x8"
     if not frames:
         raise ValueError("need at least one frame")
     mvs = list(mvs) if mvs is not None else [(0, 0)] * (len(frames) - 1)
@@ -2805,19 +2836,56 @@ def encode_video_yuv(frames, qp: int = 10, mvs=None,
                             luma_nc[by][bx] = 16
                             mv_g[by][bx] = (0, 0, -1)
                     continue
-                sl.ue(0)   # mb_type: P_L0_16x16
-                mpx, mpy = _mv_predict(getmv, 4 * mbx, 4 * mby, 4, 0)
-                sl.se(mv[0] - mpx)
-                sl.se(mv[1] - mpy)
-                for by in range(4 * mby, 4 * mby + 4):
-                    for bx in range(4 * mbx, 4 * mbx + 4):
-                        mv_g[by][bx] = (mv[0], mv[1], 0)
-                pred16 = _interp_luma(ref[0], 16 * mbx, 16 * mby,
-                                      16, 16, mv[0], mv[1])
-                cpredb = _interp_chroma(ref[1], 8 * mbx, 8 * mby,
-                                        8, 8, mv[0], mv[1])
-                cpredr = _interp_chroma(ref[2], 8 * mbx, 8 * mby,
-                                        8, 8, mv[0], mv[1])
+                if p8x8:
+                    sl.ue(3)   # mb_type: P_8x8
+                    # one sub_mb_type of each shape per quadrant —
+                    # exercises 8x8/8x4/4x8/4x4 sub-partitioning
+                    sub_shapes = ((8, 8), (8, 4), (4, 8), (4, 4))
+                    parts = []
+                    for q in range(4):
+                        sl.ue(q)   # sub_mb_type
+                        qx, qy = 8 * (q % 2), 8 * (q // 2)
+                        sw, sh = sub_shapes[q]
+                        for sy in range(0, 8, sh):
+                            for sx in range(0, 8, sw):
+                                parts.append((qx + sx, qy + sy,
+                                              sw, sh))
+                    # num_ref == 1: te(v) ref indices carry no bits
+                else:
+                    sl.ue(0)   # mb_type: P_L0_16x16
+                    parts = [(0, 0, 16, 16)]
+                pred16 = [[0] * 16 for _ in range(16)]
+                cpredb = [[0] * 8 for _ in range(8)]
+                cpredr = [[0] * 8 for _ in range(8)]
+                for px, py, pw, ph in parts:
+                    mpx, mpy = _mv_predict(
+                        getmv, (16 * mbx + px) // 4,
+                        (16 * mby + py) // 4, pw // 4, 0)
+                    sl.se(mv[0] - mpx)
+                    sl.se(mv[1] - mpy)
+                    for by in range((16 * mby + py) // 4,
+                                    (16 * mby + py + ph) // 4):
+                        for bx in range((16 * mbx + px) // 4,
+                                        (16 * mbx + px + pw) // 4):
+                            mv_g[by][bx] = (mv[0], mv[1], 0)
+                    blkp = _interp_luma(ref[0], 16 * mbx + px,
+                                        16 * mby + py, pw, ph,
+                                        mv[0], mv[1])
+                    for yy in range(ph):
+                        pred16[py + yy][px: px + pw] = blkp[yy]
+                    cbk = _interp_chroma(ref[1], 8 * mbx + px // 2,
+                                         8 * mby + py // 2,
+                                         pw // 2, ph // 2,
+                                         mv[0], mv[1])
+                    crk = _interp_chroma(ref[2], 8 * mbx + px // 2,
+                                         8 * mby + py // 2,
+                                         pw // 2, ph // 2,
+                                         mv[0], mv[1])
+                    for yy in range(ph // 2):
+                        cpredb[py // 2 + yy][
+                            px // 2: px // 2 + pw // 2] = cbk[yy]
+                        cpredr[py // 2 + yy][
+                            px // 2: px // 2 + pw // 2] = crk[yy]
                 sl.ue(inv_cbp[15])  # cbp: all luma, no chroma
                 sl.se(0)            # mb_qp_delta
                 out16 = [row[:] for row in pred16]

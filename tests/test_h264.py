@@ -1017,21 +1017,18 @@ def test_video_p_scope_errors():
     with pytest.raises(NotImplementedError, match="load_cavlc_tables"):
         h.decode_video_yuv(b)
     _cbp_inter_identity()
-    # P_8x8 sub-partitions raise namefully: flip the first inter
-    # mb_type by hand-building a tiny P slice
+    # ref-list modification stays out of scope and raises namefully
     units = h.nal_units(b)
-    sps = h.parse_sps(units[0][2])
     sl = h._W()
     sl.ue(0); sl.ue(5)   # first_mb, slice_type P
     sl.ue(0)             # pps id
     sl.u(1, 4)           # frame_num
-    sl.u(0, 1); sl.u(0, 1); sl.u(0, 1)
-    sl.se(0); sl.ue(1)
-    sl.ue(0)             # mb_skip_run
-    sl.ue(3)             # mb_type P_8x8
+    sl.u(0, 1)           # num_ref override
+    sl.u(1, 1)           # ref_pic_list_modification_flag_l0 = 1
     head = b"".join(h._nal(p, r_, t) for r_, t, p in units
                     if t in (7, 8, 5))
-    with pytest.raises(NotImplementedError, match="P_8x8"):
+    with pytest.raises(NotImplementedError,
+                       match="ref_pic_list_modification"):
         h.decode_video_yuv(head + h._nal(sl.trailing(), 2, 1))
 
 
@@ -1127,3 +1124,82 @@ def test_video_multi_reference_te_and_dpb_order():
     assert out[0] == (f0, c0, c0)
     assert out[1] == (f1, c1, c1)
     assert out[2] == (f0, c0, c0)  # ref_idx 1 = two pictures back
+
+
+def test_video_p8x8_all_subshapes_roundtrip():
+    """mb_mode='p8x8' codes one sub_mb_type of each shape per MB
+    (8x8/8x4/4x8/4x4); decode is bit-exact against the encoder replay
+    at zero and fractional global MVs."""
+    _cbp_inter_identity()
+    for mv in [(0, 0), (3, 2), (-6, 7)]:
+        frames = _grad_clip(2)
+        b, recons = h.encode_video_yuv(frames, qp=8, mvs=[mv],
+                                       mb_mode="p8x8")
+        w, hgt, out = h.decode_video_yuv(b)
+        assert out == recons, mv
+
+
+def test_video_p8x8_independent_sub_mvs():
+    """Hand-built P_8x8 macroblock whose four 8x8 quadrants carry
+    DIFFERENT motion vectors: each quadrant must reconstruct as its
+    own shifted copy of the reference (pins sub-partition syntax
+    order and per-sub-partition MV prediction)."""
+    _cbp_inter_identity()
+    f0 = [[(x * 13 + y * 5) % 256 for x in range(16)]
+          for y in range(16)]
+    c0 = [[90 + x for x in range(8)] for _ in range(8)]
+    sps_pps = h._write_sps_pps(1, 1, 16, 16, max_ref=1)
+    idr = h._W()
+    idr.ue(0); idr.ue(7); idr.ue(0)
+    idr.u(0, 4); idr.ue(0); idr.u(1, 1); idr.u(0, 1)
+    idr.se(0); idr.ue(1)
+    idr.ue(25)
+    idr.byte_align_zero()
+    for yy in range(16):
+        for xx in range(16):
+            idr.u(f0[yy][xx], 8)
+    for _pl in range(2):
+        for yy in range(8):
+            for xx in range(8):
+                idr.u(c0[yy][xx], 8)
+    # quadrant MVs (quarter-pel): distinct, mixed signs/phases
+    qmvs = [(4, 0), (-4, 4), (0, -8), (2, 3)]
+    psl = h._W()
+    psl.ue(0); psl.ue(5); psl.ue(0)
+    psl.u(1, 4)
+    psl.u(0, 1); psl.u(0, 1); psl.u(0, 1)
+    psl.se(0); psl.ue(1)
+    psl.ue(0)        # mb_skip_run
+    psl.ue(3)        # P_8x8
+    for _q in range(4):
+        psl.ue(0)    # sub_mb_type 8x8
+    # num_ref 1 -> no ref_idx bits; mvds vs the median predictor,
+    # computed with the shared predictor on a replica grid
+    mv_g = [[None] * 4 for _ in range(4)]
+
+    def getmv(bx, by):
+        if bx < 0 or by < 0 or bx >= 4 or by >= 4:
+            return None
+        return mv_g[by][bx]
+
+    for q, (mvx, mvy) in enumerate(qmvs):
+        bx0, by0 = 2 * (q % 2), 2 * (q // 2)
+        mpx, mpy = h._mv_predict(getmv, bx0, by0, 2, 0)
+        psl.se(mvx - mpx)
+        psl.se(mvy - mpy)
+        for by in range(by0, by0 + 2):
+            for bx in range(bx0, bx0 + 2):
+                mv_g[by][bx] = (mvx, mvy, 0)
+    psl.ue(0)        # cbp codeNum 0 -> cbp 0 (identity map)
+    stream = (sps_pps + h._nal(idr.trailing(), 3, 5)
+              + h._nal(psl.trailing(), 2, 1))
+    w, hgt, out = h.decode_video_yuv(stream)
+    assert len(out) == 2
+    import numpy as np
+
+    arr = np.array(f0)
+    for q, (mvx, mvy) in enumerate(qmvs):
+        px0, py0 = 8 * (q % 2), 8 * (q // 2)
+        want = h._interp_luma(arr, px0, py0, 8, 8, mvx, mvy)
+        got = [row[px0: px0 + 8] for row in out[1][0][py0: py0 + 8]]
+        assert got == want, q
