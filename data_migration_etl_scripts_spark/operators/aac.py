@@ -63,6 +63,8 @@ NOT in scope (raise namefully): MAIN-profile prediction, SSR gain
 control, LTP, CCE coupling / PCE program config, SBR/PS extensions
 (HE-AAC — the FIL extension payload is skipped, decoding the LC core
 per the spec's core-compatibility rule), and 960-sample framing.
+LFE elements decode (SCE-shaped, r9); multi-program frames decode
+their first program.
 """
 
 from __future__ import annotations
@@ -826,9 +828,10 @@ def _apply_ms(groups_x, cb_maps, ics: dict, ms_used) -> None:
 
 def aac_decode(data: bytes):
     """ADTS AAC-LC stream -> (rate, nch, [channel sample lists] in
-    [-1, 1]). Decodes the first SCE or CPE program element of every
-    frame; DSE and FIL (incl. SBR extension payloads — LC core only)
-    are skipped per the element walk."""
+    [-1, 1]). Decodes the first SCE/CPE/LFE program element of every
+    frame (later audio elements are parsed for bit sync and
+    discarded — first-program rule); DSE and FIL (incl. SBR extension
+    payloads — LC core only) are skipped per the element walk."""
     rate = None
     nch = 0
     synths: list[_Synth] = []
@@ -842,10 +845,13 @@ def aac_decode(data: bytes):
             ele = r.u(3)
             if ele == 7:  # END
                 break
-            if ele == 0 and not got_audio:  # SCE
+            if ele in (0, 3):  # SCE / LFE (identical element syntax)
                 r.u(4)  # element_instance_tag
                 groups_x, cb_map, sfs, ics, tns = _decode_ics(
                     r, {}, rate_idx)
+                if got_audio:
+                    continue  # later program elements: parsed for
+                    # bit sync, output discarded (first-program rule)
                 seed = _apply_pns_is([groups_x], [cb_map], [sfs],
                                      ics, None, seed, False)
                 wins = _deinterleave(groups_x, ics)
@@ -856,7 +862,7 @@ def aac_decode(data: bytes):
                     nch = 1
                 chans[0] += synths[0].add(wins, ics)
                 got_audio = True
-            elif ele == 1 and not got_audio:  # CPE
+            elif ele == 1:  # CPE
                 r.u(4)
                 common = r.u(1)
                 ms_used = None
@@ -877,6 +883,9 @@ def aac_decode(data: bytes):
                 else:
                     l = _decode_ics(r, {}, rate_idx)
                     rr = _decode_ics(r, {}, rate_idx)
+                if got_audio:
+                    continue  # later program elements: parsed for
+                    # bit sync, output discarded (first-program rule)
                 (lx, lcb, lsf, lics, ltns) = l
                 (rx, rcb, rsf, rics, rtns) = rr
                 seed = _apply_pns_is([lx, rx], [lcb, rcb],
@@ -912,12 +921,8 @@ def aac_decode(data: bytes):
                 raise NotImplementedError(
                     "CCE coupling / PCE program config elements"
                 )
-            elif ele == 3:  # LFE: an SCE-shaped single channel
-                raise NotImplementedError("LFE channel element")
             else:
-                raise ValueError(
-                    f"unexpected duplicate audio element {ele}"
-                )
+                raise ValueError(f"unexpected syntactic element {ele}")
         if not got_audio:
             raise ValueError("ADTS frame without an audio element")
     if rate is None:

@@ -514,3 +514,50 @@ def test_adts_crc_present_skipped():
     w.u(0xBEEF, 16)  # CRC bytes (value not validated — skipped)
     rate, nch, chans = a.aac_decode(w.tobytes() + body)
     assert rate == 16000 and len(chans[0]) == 1024
+
+
+def test_lfe_and_extra_program_elements():
+    """LFE parses as its SCE-shaped self; a second audio element in
+    the same frame is parsed for bit sync but the FIRST program wins
+    (multi-program broadcast streams decode their primary)."""
+    # LFE-only frame: silent SCE body with the element id rewritten
+    w = a._W()
+    w.u(3, 3)    # LFE
+    w.u(0, 4)
+    w.u(0, 8)
+    w.u(0, 1)
+    w.u(0, 2)
+    w.u(0, 1)
+    w.u(0, 6)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(7, 3)
+    w.byte_align_zero()
+    payload = w.tobytes()
+    hdr = a._W()
+    a._adts_header(hdr, 8, 1, 7 + len(payload))
+    rate, nch, chans = a.aac_decode(hdr.tobytes() + payload)
+    assert (rate, nch, len(chans[0])) == (16000, 1, 1024)
+    # SCE + LFE in one frame: the SCE is the program, LFE skipped
+    w2 = a._W()
+    for ele_id in (0, 3):
+        w2.u(ele_id, 3)
+        w2.u(0, 4)
+        w2.u(0, 8)
+        w2.u(0, 1)
+        w2.u(0, 2)
+        w2.u(0, 1)
+        w2.u(0, 6)
+        w2.u(0, 1)
+        w2.u(0, 1)
+        w2.u(0, 1)
+        w2.u(0, 1)
+    w2.u(7, 3)
+    w2.byte_align_zero()
+    payload = w2.tobytes()
+    hdr = a._W()
+    a._adts_header(hdr, 8, 1, 7 + len(payload))
+    rate, nch, chans = a.aac_decode(hdr.tobytes() + payload)
+    assert (nch, len(chans[0])) == (1, 1024)
