@@ -561,3 +561,29 @@ def test_lfe_and_extra_program_elements():
     a._adts_header(hdr, 8, 1, 7 + len(payload))
     rate, nch, chans = a.aac_decode(hdr.tobytes() + payload)
     assert (nch, len(chans[0])) == (1, 1024)
+
+
+def test_quantized_roundtrip_property():
+    """Property: ANY bounded random PCM at ANY sane global gain
+    round-trips float-exact against the encoder replay, in both long
+    and short-window modes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.data_too_large])
+    @given(st.data())
+    def run(data):
+        a.load_aac_tables(_synthetic_tables())
+        rnd = data.draw(st.randoms(use_true_random=False))
+        n = data.draw(st.integers(500, 2000))
+        gg = data.draw(st.integers(118, 140))
+        short = data.draw(st.booleans())
+        pcm = [rnd.randrange(-800, 801) / 1000.0 for _ in range(n)]
+        adts, recon = a.aac_encode_quantized(pcm, rate_idx=4,
+                                             global_gain=gg,
+                                             short=short)
+        rate, nch, chans = a.aac_decode(adts)
+        assert chans[0] == recon
+
+    run()

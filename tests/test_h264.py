@@ -1203,3 +1203,36 @@ def test_video_p8x8_independent_sub_mvs():
         want = h._interp_luma(arr, px0, py0, 8, 8, mvx, mvy)
         got = [row[px0: px0 + 8] for row in out[1][0][py0: py0 + 8]]
         assert got == want, q
+
+
+def test_video_roundtrip_property():
+    """Property: ANY random frames, MVs and clip lengths round-trip
+    bit-exact through the IPPP encoder replay in both macroblock
+    modes."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.data())
+    def run(data):
+        _cbp_inter_identity()
+        rnd = data.draw(st.randoms(use_true_random=False))
+        w = 16 * data.draw(st.integers(1, 3))
+        hgt = 16 * data.draw(st.integers(1, 2))
+        n = data.draw(st.integers(2, 4))
+        mode = data.draw(st.sampled_from(["p16", "p8x8"]))
+        qp = data.draw(st.integers(6, 30))
+        frames = []
+        for _ in range(n):
+            ys = [[rnd.randrange(256) for _ in range(w)]
+                  for _ in range(hgt)]
+            cs = [[rnd.randrange(256) for _ in range(w // 2)]
+                  for _ in range(hgt // 2)]
+            frames.append((ys, cs, [row[:] for row in cs]))
+        mvs = [(rnd.randrange(-8, 9), rnd.randrange(-8, 9))
+               for _ in range(n - 1)]
+        b, recons = h.encode_video_yuv(frames, qp=qp, mvs=mvs,
+                                       mb_mode=mode)
+        w2, h2, out = h.decode_video_yuv(b)
+        assert out == recons
+
+    run()

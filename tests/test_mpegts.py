@@ -106,3 +106,24 @@ def test_multimodal_dispatch_mpegts():
     assert feats[0] == pytest.approx(2048 / 16000)  # audio surface
     rate, mono = mm.audio_decode_rate(audio_seg)
     assert rate == 16000 and all(x == 0.0 for x in mono)
+
+
+def test_wrap_extract_property():
+    """Property: ANY payload sizes (incl. exact multiples of the
+    184-byte packet body and one-off boundaries) round-trip through
+    wrap -> extract byte-exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.data())
+    def run(data):
+        rnd = data.draw(st.randoms(use_true_random=False))
+        size = data.draw(st.sampled_from(
+            [1, 50, 183, 184, 185, 368, 367, 369, 1000, 2000]))
+        # PES-shaped-agnostic: arbitrary ES bytes ride the container
+        es = bytes(rnd.randrange(256) for _ in range(size))
+        seg = ts.ts_wrap(h264=es)
+        assert len(seg) % 188 == 0
+        assert ts.ts_extract_h264(seg) == es
+
+    run()
