@@ -808,6 +808,8 @@ def payload_format(b: bytes) -> str:
         return "mp4"  # ISO-BMFF container (r8)
     if _is_mpegts(b):
         return "mpegts"  # HLS/broadcast transport stream (r9)
+    if b[:4] == b"OggS":
+        return "ogg"  # Ogg container (r9: FLAC mapping decodes)
     return "unknown"
 
 
@@ -997,6 +999,25 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
             for i in range(n)
         ]
         return rate, mono
+    if b[:4] == b"OggS":
+        # Ogg container (r9): the FLAC mapping decodes end to end
+        # (operators/ogg.py -> operators/flac.py, bit-exact);
+        # Vorbis/Opus raise at the documented plug point
+        from data_migration_etl_scripts_spark.operators.flac import (
+            flac_decode,
+        )
+        from data_migration_etl_scripts_spark.operators.ogg import (
+            ogg_extract_flac,
+        )
+
+        rate, nch, bps, channels = flac_decode(ogg_extract_flac(b))
+        full = float(1 << (bps - 1))
+        n = len(channels[0])
+        mono = [
+            sum(channels[ch][i] for ch in range(nch)) / (nch * full)
+            for i in range(n)
+        ]
+        return rate, mono
     if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xF6) == 0xF0:
         # ADTS AAC: 0xFFF sync with LAYER BITS 00 (reserved in MPEG
         # audio — exactly what distinguishes the two syncs); engine
@@ -1128,6 +1149,7 @@ def _real_features(content: bytes | None, dim: int) -> list[float] | None:
         )
         or (len(content) >= 12 and content[4:8] in (b"ftyp", b"styp"))
         or _is_mpegts(content)
+        or content[:4] == b"OggS"
     ):
         dur_ms, mono = audio_decode(content)
         n_bands = max(1, dim - 2)
@@ -1654,6 +1676,23 @@ def _synthetic_real_media_rows_build(
                 for y in range(16)]
         rows.append((n + 28, "video",
                      bytearray(encode_video_skip(px11, 3)), "{}"))
+        # r9: an Ogg-FLAC file (operators/ogg.py page/lacing demux ->
+        # operators/flac.py bit-exact decode) — 100 ms 440 Hz sine,
+        # the same shape as the WAV rows so the generic audio
+        # structural asserts apply
+        from data_migration_etl_scripts_spark.operators.flac import (
+            flac_encode,
+        )
+        from data_migration_etl_scripts_spark.operators.ogg import (
+            ogg_wrap_flac,
+        )
+
+        tone16 = [[int(0.6 * 32767 * math.sin(
+            2 * math.pi * 440 * t / 8000.0)) for t in range(800)]]
+        rows.append((n + 29, "audio",
+                     bytearray(ogg_wrap_flac(
+                         flac_encode(tone16, rate=8000))),
+                     "{}"))
     return rows
 
 
