@@ -313,6 +313,10 @@ def test_audio_decode_still_handles_wav():
 
 def test_audio_decode_rejects_unknown_container():
     with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.audio_decode(b"QQXX" + bytes(64))
+    # Ogg is recognized since r9: a malformed page raises from the
+    # container layer, not the generic plug point
+    with pytest.raises(ValueError):
         mm.audio_decode(b"OggS" + bytes(64))
 
 
