@@ -768,22 +768,39 @@ def _apply_tns(wins, ics: dict, tns) -> None:
                 _tns_apply(wins[w], start, end, lpc, direction)
 
 
-def _apply_pns_is(groups_x, cb_maps, sfs_pair, ics: dict, ms_used,
+def _apply_pns_is(groups_x, cb_maps, sfs_pair, ics_pair, ms_used,
                   seed: int, stereo: bool):
     """PNS noise fill (both channels) and intensity stereo (right from
     left), operating on the group-interleaved buffers. Returns the
     updated LCG seed (deterministic engine PRNG — the spec leaves the
-    generator implementation-defined)."""
-    swb = ics["swb"]
+    generator implementation-defined).
+
+    ``ics_pair`` is one ics dict per channel: with common_window=0 the
+    two channels of a CPE carry their OWN window/band geometry, so each
+    channel's band walk uses its own ics. PNS correlation (14496-3):
+    when ms_used is set for a band that is NOISE_HCB in both channels,
+    the right channel reuses the left channel's random vector with the
+    sign inverted (the energy stays channel-coded); ms_used is only
+    present with common_window=1, where the geometries are identical by
+    construction."""
     nch = 2 if stereo else 1
-    for g, gw in enumerate(ics["groups"]):
-        base = 0
-        for sfb in range(ics["max_sfb"]):
-            width = (swb[sfb + 1] - swb[sfb]) * gw
-            for ch in range(nch):
+    left_noise: dict = {}   # (g, sfb) -> raw left-channel LCG vector
+    for ch in range(nch):
+        ics = ics_pair[ch]
+        swb = ics["swb"]
+        for g, gw in enumerate(ics["groups"]):
+            base = 0
+            for sfb in range(ics["max_sfb"]):
+                width = (swb[sfb + 1] - swb[sfb]) * gw
                 cb = cb_maps[ch][g][sfb]
                 if cb == NOISE_HCB:
-                    noise, seed = _lcg_noise(seed, width)
+                    if (ch == 1 and ms_used and ms_used[g][sfb]
+                            and (g, sfb) in left_noise):
+                        noise = [-v for v in left_noise[g, sfb]]
+                    else:
+                        noise, seed = _lcg_noise(seed, width)
+                        if ch == 0 and stereo:
+                            left_noise[g, sfb] = noise
                     rms = math.sqrt(sum(v * v for v in noise) / width)
                     gain = 2.0 ** (0.25 * sfs_pair[ch][g][sfb]) / (
                         rms or 1.0)
@@ -799,7 +816,7 @@ def _apply_pns_is(groups_x, cb_maps, sfs_pair, ics: dict, ms_used,
                     groups_x[1][g][base: base + width] = [
                         v * scale
                         for v in groups_x[0][g][base: base + width]]
-            base += width
+                base += width
     return seed
 
 
@@ -853,7 +870,7 @@ def aac_decode(data: bytes):
                     continue  # later program elements: parsed for
                     # bit sync, output discarded (first-program rule)
                 seed = _apply_pns_is([groups_x], [cb_map], [sfs],
-                                     ics, None, seed, False)
+                                     [ics], None, seed, False)
                 wins = _deinterleave(groups_x, ics)
                 _apply_tns(wins, ics, tns)
                 if not synths:
@@ -889,8 +906,8 @@ def aac_decode(data: bytes):
                 (lx, lcb, lsf, lics, ltns) = l
                 (rx, rcb, rsf, rics, rtns) = rr
                 seed = _apply_pns_is([lx, rx], [lcb, rcb],
-                                     [lsf, rsf], lics, ms_used, seed,
-                                     True)
+                                     [lsf, rsf], [lics, rics],
+                                     ms_used, seed, True)
                 _apply_ms([lx, rx], [lcb, rcb], lics, ms_used)
                 lw = _deinterleave(lx, lics)
                 rw = _deinterleave(rx, rics)

@@ -112,6 +112,8 @@ adaptive marking, CABAC, interlace, high profiles.
 
 from __future__ import annotations
 
+import warnings
+
 __all__ = [
     "nal_units",
     "parse_sps",
@@ -1037,6 +1039,34 @@ def _tc0_available() -> bool:
     return CAVLC["deblock"].get("tc0") is not None
 
 
+_warned_closed_form_ab = False
+
+
+def _warn_if_closed_form_ab() -> None:
+    """One-time warning when the in-loop filter is about to run with
+    the tC0 seam injected but alpha/beta still on the published closed
+    forms, which deviate from spec Table 8-16 at 19 of 104 indices
+    (e.g. alpha idx 28: 19 vs 20; beta idx 16: 1 vs 2). Because the
+    filter is in-loop, the divergence compounds across P frames on
+    foreign streams; inject the "deblock_alpha_beta" loader key for a
+    guaranteed-conformant decode. Engine round trips are unaffected
+    (the encoder replays this decoder's filter, whatever the values)."""
+    global _warned_closed_form_ab
+    if _warned_closed_form_ab:
+        return
+    if (CAVLC["deblock"].get("alpha") is None
+            or CAVLC["deblock"].get("beta") is None):
+        _warned_closed_form_ab = True
+        warnings.warn(
+            "h264 deblocking: tC0 seam loaded but alpha/beta thresholds "
+            "default to published closed forms that deviate from spec "
+            "Table 8-16 at 19 indices — foreign-stream decode is "
+            "near- but not fully conformant; inject "
+            "load_cavlc_tables({'deblock_alpha_beta': {'alpha': [...], "
+            "'beta': [...]}}) for exact Table 8-16 behavior",
+            RuntimeWarning, stacklevel=3)
+
+
 def _deblock_edge(px, base: int, step: int, n_lines: int,
                   line_step: int, bs: int, alpha: int, beta: int,
                   tc0: int, luma: bool) -> None:
@@ -1626,7 +1656,12 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
         mbx, mby = mb % wm, mb // wm
         if not refs:
             raise ValueError("P slice with an empty reference list")
-        nref = min(num_ref, len(refs))
+        # te(v) bit-width is governed by the DECLARED
+        # num_ref_idx_l0_active (slice header / PPS), not by how full
+        # the decoder's DPB happens to be — parsing must not depend on
+        # decoder state or a frame-gap stream desyncs. The resulting
+        # index is validated against the DPB below (ref >= len(refs)).
+        nref = num_ref
         if mb_type in (3, 4):
             # P_8x8 / P_8x8ref0: four quadrants, each sub-partitioned
             # 8x8/8x4/4x8/4x4 (sub_mb_type 0..3); syntax groups all
@@ -1943,6 +1978,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
     signaled = any(idc != 1 for idc, _, _ in slice_db)
     if signaled and (deblock is True
                      or (deblock == "auto" and _tc0_available())):
+        _warn_if_closed_form_ab()
         _deblock_picture(y_plane, cb_plane, cr_plane, wm, hm,
                          mb_qp_g, mb_ipcm, mb_slice, slice_db,
                          pps["chroma_qp_off"],
@@ -2678,7 +2714,8 @@ def encode_quantized(px_rows, qp: int = 10, mb_mode: str = "i16",
 
 
 def encode_video_yuv(frames, qp: int = 10, mvs=None,
-                     deblock: bool = False, mb_mode: str = "p16"):
+                     deblock: bool = False, mb_mode: str = "p16",
+                     declare_num_ref: int = 1):
     """List of 4:2:0 (ys, cbs, crs) frames -> (Annex-B bytes,
     [recon frame triples]): an IDR I_PCM picture followed by P
     pictures whose macroblocks are P_L0_16x16 at a per-frame GLOBAL
@@ -2703,11 +2740,22 @@ def encode_video_yuv(frames, qp: int = 10, mvs=None,
     four quadrants — exercising sub-macroblock partitioning and
     per-sub-partition MV prediction end to end (the global MV keeps
     prediction content identical, so the sub-partition syntax is the
-    variable under test)."""
+    variable under test).
+
+    ``declare_num_ref`` (r10): slice headers override
+    num_ref_idx_l0_active to this value and every partition carries a
+    te(v) ref_idx (always 0). With the encoder's max_num_ref_frames=1
+    the DPB never holds more than one picture, so declare_num_ref=2
+    pins the conformance rule that te(v) bit-width follows the
+    DECLARED active count, not the decoder's DPB fill — a stream
+    declaring 2 refs while 1 is buffered must still parse the
+    ref_idx bits."""
     import numpy as np
 
     if mb_mode not in ("p16", "p8x8"):
         raise ValueError("mb_mode must be 'p16' or 'p8x8'")
+    if declare_num_ref < 1:
+        raise ValueError("declare_num_ref must be >= 1")
     p8x8 = mb_mode == "p8x8"
     if not frames:
         raise ValueError("need at least one frame")
@@ -2785,7 +2833,11 @@ def encode_video_yuv(frames, qp: int = 10, mvs=None,
             sl.ue(5)       # slice_type: P (all slices)
             sl.ue(0)       # pps id
             sl.u(fi % 16, 4)  # frame_num
-            sl.u(0, 1)     # num_ref_idx_active_override
+            if declare_num_ref > 1:
+                sl.u(1, 1)  # num_ref_idx_active_override
+                sl.ue(declare_num_ref - 1)
+            else:
+                sl.u(0, 1)  # num_ref_idx_active_override
             sl.u(0, 1)     # ref_pic_list_modification_flag_l0
             sl.u(0, 1)     # adaptive_ref_pic_marking_mode_flag
             sl.se(0)       # slice_qp_delta
@@ -2850,10 +2902,21 @@ def encode_video_yuv(frames, qp: int = 10, mvs=None,
                             for sx in range(0, 8, sw):
                                 parts.append((qx + sx, qy + sy,
                                               sw, sh))
-                    # num_ref == 1: te(v) ref indices carry no bits
+                    # te(v) ref indices: no bits when the declared
+                    # active count is 1; always ref 0 otherwise
+                    if declare_num_ref == 2:
+                        for _ in range(4):
+                            sl.u(1, 1)   # te(v) max 1: bit 1 -> 0
+                    elif declare_num_ref > 2:
+                        for _ in range(4):
+                            sl.ue(0)
                 else:
                     sl.ue(0)   # mb_type: P_L0_16x16
                     parts = [(0, 0, 16, 16)]
+                    if declare_num_ref == 2:
+                        sl.u(1, 1)       # te(v) max 1: bit 1 -> 0
+                    elif declare_num_ref > 2:
+                        sl.ue(0)
                 pred16 = [[0] * 16 for _ in range(16)]
                 cpredb = [[0] * 8 for _ in range(8)]
                 cpredr = [[0] * 8 for _ in range(8)]

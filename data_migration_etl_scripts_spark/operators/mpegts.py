@@ -239,34 +239,56 @@ def _make_section(table_id: int, body: bytes, tsi: int = 1) -> bytes:
 def _pes(stream_id: int, es: bytes) -> bytes:
     ln = len(es) + 3
     if ln > 0xFFFF:
-        ln = 0  # unbounded (video-style); legal per 13818-1
+        ln = 0  # unbounded; legal per 13818-1 for VIDEO streams only
     return (b"\x00\x00\x01" + bytes([stream_id])
             + bytes([ln >> 8, ln & 0xFF])
             + b"\x80\x00\x00"   # '10' marker, no flags, no header data
             + es)
 
 
-def _packetize(pid: int, pes: bytes) -> bytes:
+#: max ES bytes in one bounded PES: 0xFFFF covers the 3 optional-header
+#: bytes plus the payload
+_PES_AUDIO_MAX = 0xFFFF - 3
+
+
+def _pes_chunks(stream_id: int, es: bytes) -> list[bytes]:
+    """ES bytes -> one or more PES packets. 13818-1 permits
+    PES_packet_length = 0 (unbounded) only for video elementary
+    streams; audio ES longer than a bounded PES can carry is split
+    into multiple bounded packets (the demux side reassembles per PID
+    in stream order, so extract(wrap(x)) stays byte-exact)."""
+    if 0xE0 <= stream_id <= 0xEF:
+        return [_pes(stream_id, es)]
+    return [_pes(stream_id, es[o: o + _PES_AUDIO_MAX])
+            for o in range(0, len(es), _PES_AUDIO_MAX)] or [
+        _pes(stream_id, b"")]
+
+
+def _packetize(pid: int, pes_list: list[bytes]) -> bytes:
+    """TS-packetize one or more PES packets on a PID: each PES starts
+    a fresh TS packet with payload_unit_start_indicator set; the
+    continuity counter runs across the whole PID."""
     out = bytearray()
-    pos = 0
     counter = 0
-    first = True
-    while pos < len(pes):
-        chunk = pes[pos: pos + 184]
-        pos += len(chunk)
-        hdr = bytearray([0x47, (0x40 if first else 0) | (pid >> 8),
-                         pid & 0xFF, 0x10 | (counter & 0xF)])
-        counter += 1
-        first = False
-        if len(chunk) < 184:
-            # pad with an adaptation field of stuffing bytes
-            stuff = 184 - len(chunk) - 1
-            hdr[3] = (hdr[3] & 0x0F) | 0x30
-            af = bytes([stuff]) + (
-                (b"\x00" + b"\xff" * (stuff - 1)) if stuff else b"")
-            out += hdr + af + chunk
-        else:
-            out += hdr + chunk
+    for pes in pes_list:
+        pos = 0
+        first = True
+        while pos < len(pes):
+            chunk = pes[pos: pos + 184]
+            pos += len(chunk)
+            hdr = bytearray([0x47, (0x40 if first else 0) | (pid >> 8),
+                             pid & 0xFF, 0x10 | (counter & 0xF)])
+            counter += 1
+            first = False
+            if len(chunk) < 184:
+                # pad with an adaptation field of stuffing bytes
+                stuff = 184 - len(chunk) - 1
+                hdr[3] = (hdr[3] & 0x0F) | 0x30
+                af = bytes([stuff]) + (
+                    (b"\x00" + b"\xff" * (stuff - 1)) if stuff else b"")
+                out += hdr + af + chunk
+            else:
+                out += hdr + chunk
     return bytes(out)
 
 
@@ -295,7 +317,7 @@ def ts_wrap(h264: bytes | None = None, aac: bytes | None = None) -> bytes:
     out += _psi_packet(0, pat, 0)
     out += _psi_packet(pmt_pid, pmt, 0)
     if h264 is not None:
-        out += _packetize(vid_pid, _pes(0xE0, h264))
+        out += _packetize(vid_pid, _pes_chunks(0xE0, h264))
     if aac is not None:
-        out += _packetize(aud_pid, _pes(0xC0, aac))
+        out += _packetize(aud_pid, _pes_chunks(0xC0, aac))
     return bytes(out)

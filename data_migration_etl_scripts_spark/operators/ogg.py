@@ -104,24 +104,41 @@ def ogg_pages(data: bytes):
 def ogg_packets(data: bytes):
     """Reassemble logical packets per stream: -> {serial: [packet
     bytes, ...]} (lacing values of 255 continue a packet, including
-    across pages via the continuation flag)."""
+    across pages via the continuation flag).
+
+    RFC 3533 loss handling: a packet left open when the next page
+    lacks the continuation flag is DISCARDED (its tail was lost), as
+    is any packet still open at end of stream; and when a stream is
+    joined mid-packet (first page seen carries the continuation flag
+    with no packet open), the leading segments through the orphan's
+    terminating lace are skipped rather than glued onto the next
+    packet."""
     streams: dict[int, list[bytes]] = {}
     open_pkt: dict[int, bytearray] = {}
     for htype, _granule, serial, _seq, segs in ogg_pages(data):
         buf = open_pkt.setdefault(serial, bytearray())
-        if not (htype & 0x01):  # not a continuation page
-            if buf:
-                # unterminated packet from the previous page: emit
-                streams.setdefault(serial, []).append(bytes(buf))
-                buf.clear()
+        skip_orphan = False
+        if htype & 0x01:
+            if not buf:
+                # joined mid-packet: the page opens with the tail of a
+                # packet whose head we never saw — discard through its
+                # terminating lace
+                skip_orphan = True
+        elif buf:
+            # previous page left a packet open but this page does not
+            # continue it: the tail is lost — discard, don't emit
+            buf.clear()
         for lace, seg in segs:
+            if skip_orphan:
+                if lace < 255:
+                    skip_orphan = False
+                continue
             buf += seg
             if lace < 255:  # packet terminates here
                 streams.setdefault(serial, []).append(bytes(buf))
                 buf.clear()
-    for serial, buf in open_pkt.items():
-        if buf:
-            streams.setdefault(serial, []).append(bytes(buf))
+        # a packet still open at EOS is truncated: fall out of the
+        # loop without emitting it
     return streams
 
 

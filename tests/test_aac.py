@@ -587,3 +587,114 @@ def test_quantized_roundtrip_property():
         assert chans[0] == recon
 
     run()
+
+
+def _noise_ics_bits(w, n_bands: int, energies: list[int]):
+    """One channel's ics payload: all-NOISE sections over ``n_bands``
+    bands with the given coded energies (first 9-bit raw, then dpcm
+    via the synthetic sf book where code 60 = delta 0)."""
+    w.u(60, 8)             # global_gain
+    w.u(13, 4)             # NOISE_HCB section
+    w.u(n_bands, 5)        # sect_len
+    w.u(energies[0], 9)    # first noise energy (9-bit raw)
+    for e in energies[1:]:
+        w.u(60 + e, 7)     # dpcm noise energy (synthetic sf book)
+    w.u(0, 1)              # pulse
+    w.u(0, 1)              # tns
+    w.u(0, 1)              # gain control
+
+
+def _cpe_noise_common(ms_present: int, g_left: int, g_right: int):
+    """Single-CPE frame, common_window, max_sfb=1, both channels one
+    NOISE band."""
+    w = a._W()
+    w.u(1, 3)      # CPE
+    w.u(0, 4)
+    w.u(1, 1)      # common_window
+    w.u(0, 1)      # ics_reserved
+    w.u(0, 2)      # ONLY_LONG
+    w.u(0, 1)      # sine
+    w.u(1, 6)      # max_sfb = 1
+    w.u(0, 1)      # predictor
+    w.u(ms_present, 2)
+    if ms_present == 1:
+        w.u(1, 1)  # ms_used[0][0]
+    _noise_ics_bits(w, 1, [g_left])
+    _noise_ics_bits(w, 1, [g_right])
+    w.u(7, 3)
+    w.byte_align_zero()
+    payload = w.tobytes()
+    hdr = a._W()
+    a._adts_header(hdr, 4, 2, 7 + len(payload))
+    return hdr.tobytes() + payload
+
+
+def test_cpe_pns_ms_correlation():
+    """ms_used set on a both-channels NOISE band: the right channel
+    reuses the left channel's random vector with inverted sign
+    (14496-3 PNS correlation; round-10 ADVICE fix) — without ms_used
+    the channels draw independent noise."""
+    a.load_aac_tables(_synthetic_tables())
+    rate, nch, (l, r) = a.aac_decode(_cpe_noise_common(2, 300, 300))
+    assert nch == 2 and any(v != 0.0 for v in l)
+    for i in range(1024):
+        assert abs(r[i] + l[i]) < 1e-12
+    # independent vectors when ms is absent (same coded energy; the
+    # time-domain energies differ per vector because the MDCT first
+    # half isn't phase-invariant — only a loose band)
+    rate, nch, (l0, r0) = a.aac_decode(_cpe_noise_common(0, 300, 300))
+    assert max(abs(r0[i] + l0[i]) for i in range(1024)) > 1e-6
+    el, er = sum(v * v for v in l0), sum(v * v for v in r0)
+    assert 0.25 < er / el < 4.0
+    # correlated but energy-offset: r = -4 * l (+8 coded = 16x energy)
+    rate, nch, (l4, r4) = a.aac_decode(_cpe_noise_common(2, 300, 308))
+    for i in range(1024):
+        assert abs(r4[i] + 4.0 * l4[i]) < 1e-9
+
+
+def test_cpe_pns_common_window0_uses_per_channel_ics():
+    """common_window=0: each channel's PNS band walk uses its OWN
+    ics geometry (round-10 ADVICE fix) — right coding 2 noise bands
+    to the left's 1 fills both of ITS bands (2x energy), not just
+    the bands of the left channel's grid."""
+    a.load_aac_tables(_synthetic_tables())
+
+    def chan_bits(w, max_sfb: int, energies):
+        w.u(60, 8)     # global_gain
+        w.u(0, 1)      # ics_reserved
+        w.u(0, 2)      # ONLY_LONG
+        w.u(0, 1)      # sine
+        w.u(max_sfb, 6)
+        w.u(0, 1)      # predictor
+        w.u(13, 4)     # NOISE section
+        w.u(max_sfb, 5)
+        w.u(energies[0], 9)
+        for e in energies[1:]:
+            w.u(60 + e, 7)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.u(0, 1)
+
+    def build(right_bands: int):
+        w = a._W()
+        w.u(1, 3)
+        w.u(0, 4)
+        w.u(0, 1)      # common_window = 0
+        chan_bits(w, 1, [300])
+        chan_bits(w, right_bands, [300] + [0] * (right_bands - 1))
+        w.u(7, 3)
+        w.byte_align_zero()
+        payload = w.tobytes()
+        hdr = a._W()
+        a._adts_header(hdr, 4, 2, 7 + len(payload))
+        return hdr.tobytes() + payload
+
+    rate, nch, (l1, r1) = a.aac_decode(build(1))
+    rate, nch, (l2, r2) = a.aac_decode(build(2))
+    el = sum(v * v for v in l1)
+    e1 = sum(v * v for v in r1)
+    e2 = sum(v * v for v in r2)
+    # independent vectors: time-domain energies are only loosely
+    # comparable (deterministic LCG, so these bands are stable)
+    assert 0.25 < e1 / el < 4.0
+    assert e2 / e1 > 1.4        # the 2nd right-band noise is applied

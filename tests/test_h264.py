@@ -1236,3 +1236,56 @@ def test_video_roundtrip_property():
         assert out == recons
 
     run()
+
+
+def test_declared_num_ref_governs_te_parsing():
+    """A stream declaring num_ref_idx_l0_active = 2 while the DPB
+    holds only 1 picture (encoder SPS max_num_ref_frames = 1) must
+    still parse one te(v) ref_idx bit per partition — bit-width
+    follows the DECLARED count, not decoder DPB fill (14496-10
+    7.4.3; round-10 ADVICE fix). Both P_16x16 and P_8x8 shapes."""
+    _cbp_inter_identity()
+    frames = _grad_clip(3)
+    for mode in ("p16", "p8x8"):
+        b, recons = h.encode_video_yuv(frames, qp=8, mb_mode=mode,
+                                       declare_num_ref=2)
+        w, hgt, out = h.decode_video_yuv(b)
+        assert out == recons, mode
+        # and the declared-1 stream differs in the bit layout but
+        # decodes to the same recon (te bits carry ref 0 either way)
+        b1, recons1 = h.encode_video_yuv(frames, qp=8, mb_mode=mode)
+        assert b1 != b
+        assert recons1 == recons
+
+
+def test_deblock_closed_form_alpha_beta_warns_once():
+    """deblock='auto' with the tC0 seam injected but alpha/beta on
+    the published closed forms warns (once) that decode is not
+    exactly Table 8-16 conformant; injecting deblock_alpha_beta
+    silences it (round-10 ADVICE fix)."""
+    import warnings as _warnings
+
+    h.load_cavlc_tables({"deblock_tc0": _synthetic_tc0()})
+    ys, cbs, crs = _grad_image(48, 32, seed=5)
+    b, _ = h.encode_quantized_yuv(ys, cbs, crs, qp=30, dense=True,
+                                  deblock=True)
+    closed_a = [h._deblock_alpha(i) for i in range(52)]
+    closed_b = [h._deblock_beta(i) for i in range(52)]
+
+    h._warned_closed_form_ab = False
+    with pytest.warns(RuntimeWarning, match="Table 8-16"):
+        h.decode_iframe_yuv(b)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        h.decode_iframe_yuv(b)   # latched: no second warning
+    assert not [w for w in rec if issubclass(w.category,
+                                             RuntimeWarning)]
+
+    h._warned_closed_form_ab = False
+    h.load_cavlc_tables({"deblock_alpha_beta": {"alpha": closed_a,
+                                                "beta": closed_b}})
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        h.decode_iframe_yuv(b)   # seam populated: silent
+    assert not [w for w in rec if issubclass(w.category,
+                                             RuntimeWarning)]

@@ -127,3 +127,28 @@ def test_wrap_extract_property():
         assert ts.ts_extract_h264(seg) == es
 
     run()
+
+
+def test_audio_pes_bounded_length():
+    """13818-1 permits PES_packet_length = 0 (unbounded) only for
+    video ES: audio ES > 64 KiB is split into multiple BOUNDED PES
+    packets (round-10 ADVICE fix), and reassembly stays byte-exact."""
+    aac_big = bytes(range(256)) * 600            # 150 KiB "audio" ES
+    tsb = ts.ts_wrap(aac=aac_big)
+    assert ts.ts_demux(tsb)["aac"] == aac_big
+    # every audio PES in the mux is bounded (non-zero length field)
+    seen = 0
+    for pid, pusi, payload in ts._packets(tsb):
+        if pid == 0x0101 and pusi:
+            assert payload[:3] == b"\x00\x00\x01"
+            ln = (payload[4] << 8) | payload[5]
+            assert 0 < ln <= 0xFFFF
+            seen += 1
+    assert seen == 3                             # ceil(150 KiB / 65532)
+    # video keeps the unbounded form for long ES
+    h264_big = b"\x00\x00\x01\x65" + bytes(70000)
+    ts_v = ts.ts_wrap(h264=h264_big)
+    assert ts.ts_demux(ts_v)["h264"] == h264_big
+    for pid, pusi, payload in ts._packets(ts_v):
+        if pid == 0x0100 and pusi:
+            assert (payload[4] << 8) | payload[5] == 0

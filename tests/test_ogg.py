@@ -81,3 +81,36 @@ def test_multimodal_dispatch_ogg():
     # and matches decoding the bare FLAC
     rate2, mono2 = mm.audio_decode_rate(native)
     assert mono == mono2
+
+
+def test_unterminated_packets_dropped():
+    """RFC 3533 loss handling (round-10 ADVICE fix): a packet left
+    open when the next page lacks the continuation flag is discarded,
+    as is a packet still open at end of stream."""
+    serial = 7
+    # page 0: one lace of 255 -> packet stays open
+    p0 = ogg._page(0x02, 0, serial, 0, [b"A" * 255], [255])
+    # page 1: NO continuation flag, one complete packet "B"
+    p1 = ogg._page(0x00, 0, serial, 1, [b"B" * 10], [10])
+    pkts = ogg.ogg_packets(p0 + p1)
+    assert pkts == {serial: [b"B" * 10]}          # open "A" tail lost
+    # open buffer at EOS: dropped, not emitted
+    pkts = ogg.ogg_packets(p0)
+    assert pkts.get(serial, []) == []
+
+
+def test_midstream_join_skips_orphan_continuation():
+    """Joining a stream on a continuation page: the orphan tail
+    segments (through their terminating lace) are skipped, not glued
+    onto the next packet."""
+    serial = 9
+    # continuation page carrying: orphan tail (20 bytes, terminating
+    # lace) then a fresh complete packet "X"
+    pg = ogg._page(0x01, 0, serial, 5, [b"Z" * 20, b"X" * 8], [20, 8])
+    pkts = ogg.ogg_packets(pg)
+    assert pkts == {serial: [b"X" * 8]}
+    # orphan spanning two continuation pages: both skipped
+    pg0 = ogg._page(0x01, 0, serial, 5, [b"Z" * 255], [255])
+    pg1 = ogg._page(0x01, 0, serial, 6, [b"Z" * 9, b"Y" * 4], [9, 4])
+    pkts = ogg.ogg_packets(pg0 + pg1)
+    assert pkts == {serial: [b"Y" * 4]}
