@@ -507,7 +507,19 @@ def _parse_esds(data: bytes, s: int, e: int) -> tuple[int, int]:
         )
     rate_idx = ((b0 & 7) << 1) | (b1 >> 7)
     if rate_idx == 15:
-        raise NotImplementedError("explicit sampling frequency in ASC")
+        # explicit 24-bit samplingFrequency follows the index, then
+        # the 4-bit channelConfiguration (14496-3 ASC syntax). ADTS
+        # carries only the 4-bit index, so map the explicit rate back
+        # to its table entry (exact match; else the nearest rate —
+        # some encoders write a standard rate explicitly).
+        from data_migration_etl_scripts_spark.operators.aac import _RATES
+
+        b2, b3, b4 = data[cs + 2], data[cs + 3], data[cs + 4]
+        freq = ((b1 & 0x7F) << 17) | (b2 << 9) | (b3 << 1) | (b4 >> 7)
+        rate_idx = min(range(len(_RATES)),
+                       key=lambda i: abs(_RATES[i] - freq))
+        channels = (b4 >> 3) & 0xF
+        return rate_idx, channels
     channels = (b1 >> 3) & 0xF
     return rate_idx, channels
 
@@ -586,12 +598,16 @@ def mp4_extract_aac(data: bytes) -> bytes:
     raise ValueError(f"no AAC audio track found ({last_err})")
 
 
-def mp4_wrap_aac(adts: bytes, fragmented: bool = False) -> bytes:
+def mp4_wrap_aac(adts: bytes, fragmented: bool = False,
+                 explicit_rate: bool = False) -> bytes:
     """Wrap an ADTS AAC stream (e.g. the engine encoders' output) as a
     minimal MP4 with one audio track — the structural inverse of
     :func:`mp4_extract_aac` for self-checking round trips.
     ``fragmented=True`` emits the fMP4 layout (empty stbl + mvex/trex,
-    one moof/mdat with per-sample trun sizes)."""
+    one moof/mdat with per-sample trun sizes). ``explicit_rate=True``
+    codes the ASC with samplingFrequencyIndex 15 + the 24-bit explicit
+    samplingFrequency (the variant some encoders emit even for
+    standard rates), pinning the extract side's explicit-rate parse."""
     from data_migration_etl_scripts_spark.operators.aac import (
         _RATES,
         adts_frames,
@@ -610,10 +626,19 @@ def mp4_wrap_aac(adts: bytes, fragmented: bool = False) -> bytes:
         raise ValueError("no ADTS frames to wrap")
     rate = _RATES[rate_idx]
 
-    asc = bytes([
-        (2 << 3) | (rate_idx >> 1),
-        ((rate_idx & 1) << 7) | (channels << 3),
-    ])
+    if explicit_rate:
+        asc = bytes([
+            (2 << 3) | (15 >> 1),
+            (1 << 7) | ((rate >> 17) & 0x7F),
+            (rate >> 9) & 0xFF,
+            (rate >> 1) & 0xFF,
+            ((rate & 1) << 7) | (channels << 3),
+        ])
+    else:
+        asc = bytes([
+            (2 << 3) | (rate_idx >> 1),
+            ((rate_idx & 1) << 7) | (channels << 3),
+        ])
     dsi = bytes([0x05, len(asc)]) + asc
     dcd_payload = (bytes([0x40, 0x15]) + b"\x00" * 11 + dsi)
     dcd = bytes([0x04, len(dcd_payload)]) + dcd_payload

@@ -35,20 +35,37 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: all left columns + ``right_cols`` from the
     latest right row with ``right_ts <= left_ts`` (ties on equal ts
     include the right row). Unmatched left rows keep nulls.
 
+    ``key`` may be one column name or a sequence (composite equi-key;
+    left and right must share the names — rename the right frame
+    first if they differ). ``direction`` follows pandas
+    ``merge_asof`` vocabulary: ``"backward"`` (default) picks the
+    LATEST right row with ``right_ts <= left_ts``; ``"forward"``
+    picks the EARLIEST right row with ``right_ts >= left_ts``.
+
     ``tiebreak`` orders right rows sharing (key, ts) — pass the right
     table's id column for a deterministic winner (latest wins);
     required for oracle parity when such duplicates exist.
+
+    Scale note: this is the union-marker form — one shuffle on the
+    key, per-key window sorts, ZERO pair inflation. Never express
+    as-of as an equi-join with the time inequality as a join filter:
+    that materializes |L|x|R| pairs per key before the window prunes
+    them, the classic hot-key wall at 100x data.
     """
+    keys = [key] if isinstance(key, str) else list(key)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     lcols = left.columns
     l = left.select(
         *lcols,
@@ -57,10 +74,12 @@ def asof_join(
         F.lit(None).cast("long").alias("__tb"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
     )
-    # the key column comes from the right row itself; every left column
+    # the key columns come from the right row itself; every left column
     # is null on this side (unionByName fills them)
-    r = right.select(
-        F.col(key),
+    # a null right timestamp satisfies no inequality: it must not be
+    # forward-filled into left rows (nulls sort first under asc order)
+    r = right.where(F.col(right_ts).isNotNull()).select(
+        *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias(
@@ -70,10 +89,14 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
     # right rows (side 0) sort before left rows (side 1) at equal ts, so
-    # an exactly-simultaneous right row IS visible to the left row
+    # an exactly-simultaneous right row IS visible to the left row.
+    # forward direction walks time descending: the last right row seen
+    # at or after the left ts is the EARLIEST such row
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    tb_order = F.col("__tb") if direction == "backward" else F.col("__tb").desc()
     w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb"))
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("__side"), tb_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

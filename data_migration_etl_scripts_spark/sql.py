@@ -1176,20 +1176,54 @@ def _exec_asof(spark: SparkSession, sql: str):
                     if right_expr.startswith("(")
                     else f"SELECT * FROM {right_expr}")
     left_cols = list(ldf.columns)
-    l2 = ldf.withColumn("__asof_lid", F.monotonically_increasing_id())
-    r2 = rdf.select([F.col(c).alias(f"__r_{c}") for c in rdf.columns])
     lt, rt, op = time_pair
-    conds = [l2[lc] == r2[f"__r_{rc}"] for lc, rc in eqs]
-    conds.append(l2[lt] >= r2[f"__r_{rt}"] if op == ">="
-                 else l2[lt] <= r2[f"__r_{rt}"])
-    j = l2.join(r2, reduce(lambda a, b: a & b, conds),
-                "left" if left_join else "inner")
-    order = (F.col(f"__r_{rt}").desc() if op == ">="
-             else F.col(f"__r_{rt}").asc())
-    j = (j.withColumn("__asof_rn", F.row_number().over(
-            Window.partitionBy("__asof_lid").orderBy(order)))
-          .where(F.col("__asof_rn") == 1)
-          .drop("__asof_rn", "__asof_lid"))
+    if eqs:
+        # scale path: delegate to the union+last-over-window operator
+        # (operators/temporal.py::asof_join) — one shuffle on the
+        # equi-keys, ZERO pair inflation. The old inequality-join +
+        # row_number form materialized |L|x|R| pairs per hot key.
+        from data_migration_etl_scripts_spark.operators.temporal import (
+            asof_join,
+        )
+
+        rename = {rc: lc for lc, rc in eqs if rc != lc}
+        r_renamed = rdf
+        for rc, lc in rename.items():
+            r_renamed = r_renamed.withColumnRenamed(rc, lc)
+        keys = [lc for lc, _ in eqs]
+        rcols = list(rdf.columns)
+        rcols_renamed = [rename.get(c, c) for c in rcols]
+        j = asof_join(
+            ldf, r_renamed, keys, lt, rename.get(rt, rt),
+            rcols_renamed,
+            direction="backward" if op == ">=" else "forward",
+        )
+        # expose right columns under their ORIGINAL names as __r_<c>
+        j = j.select(
+            *left_cols,
+            *[F.col(f"asof_{ren}").alias(f"__r_{orig}")
+              for orig, ren in zip(rcols, rcols_renamed)],
+        )
+        if not left_join:
+            # inner semantics: matched rows carry a non-null right ts
+            j = j.where(F.col(f"__r_{rt}").isNotNull())
+    else:
+        # no equi-key: fall back to the inequality join (a window
+        # over a single global partition would be worse)
+        l2 = ldf.withColumn("__asof_lid",
+                            F.monotonically_increasing_id())
+        r2 = rdf.select([F.col(c).alias(f"__r_{c}")
+                         for c in rdf.columns])
+        conds = [l2[lt] >= r2[f"__r_{rt}"] if op == ">="
+                 else l2[lt] <= r2[f"__r_{rt}"]]
+        j = l2.join(r2, reduce(lambda a, b: a & b, conds),
+                    "left" if left_join else "inner")
+        order = (F.col(f"__r_{rt}").desc() if op == ">="
+                 else F.col(f"__r_{rt}").asc())
+        j = (j.withColumn("__asof_rn", F.row_number().over(
+                Window.partitionBy("__asof_lid").orderBy(order)))
+              .where(F.col("__asof_rn") == 1)
+              .drop("__asof_rn", "__asof_lid"))
     j.createOrReplaceTempView("__asof_joined")
     out_select = _sub_outside_literals(
         select_list, rf"\b{la}\.\*", ", ".join(left_cols))

@@ -698,3 +698,31 @@ def test_cpe_pns_common_window0_uses_per_channel_ics():
     # comparable (deterministic LCG, so these bands are stable)
     assert 0.25 < e1 / el < 4.0
     assert e2 / e1 > 1.4        # the 2nd right-band noise is applied
+
+
+def test_mp4_asc_explicit_sampling_frequency():
+    """An ASC coding samplingFrequencyIndex 15 + the 24-bit explicit
+    rate (round-10 fix — previously raised NotImplementedError)
+    extracts byte-identically to the index-coded variant."""
+    from data_migration_etl_scripts_spark.operators import mp4
+
+    a.load_aac_tables(_synthetic_tables())
+    for ridx, ch in ((4, 1), (7, 2), (11, 1)):
+        adts = a.aac_encode_silence(frames=2, rate_idx=ridx,
+                                    channels=ch)
+        wrapped = mp4.mp4_wrap_aac(adts, explicit_rate=True)
+        assert mp4.mp4_extract_aac(wrapped) == adts, (ridx, ch)
+    # a non-table explicit rate maps to the nearest standard index
+    # (here: 44100 stays itself; synthesize 44000 by patching the ASC)
+    adts = a.aac_encode_silence(frames=1, rate_idx=4, channels=1)
+    wrapped = bytearray(mp4.mp4_wrap_aac(adts, explicit_rate=True))
+    marker = bytes([(2 << 3) | 7, (1 << 7) | ((44100 >> 17) & 0x7F),
+                    (44100 >> 9) & 0xFF])
+    at = bytes(wrapped).find(marker)
+    assert at > 0
+    freq = 44000
+    wrapped[at + 1] = (1 << 7) | ((freq >> 17) & 0x7F)
+    wrapped[at + 2] = (freq >> 9) & 0xFF
+    wrapped[at + 3] = (freq >> 1) & 0xFF
+    wrapped[at + 4] = ((freq & 1) << 7) | (wrapped[at + 4] & 0x78)
+    assert mp4.mp4_extract_aac(bytes(wrapped)) == adts

@@ -107,6 +107,9 @@ AUDITED = {
     "multimodal_real_decode": "embarrassingly parallel mapInPandas over the binary column, zero Exchanges; per-codec kernel cost is split out by bench.py's codec_breakdown so one kernel regression cannot hide in the aggregate wall",
     "dedup_ngram_jaccard": "shingle pair candidates via the ubiquity-capped equi-join (never all-pairs); per-pair exact Jaccard is one grouped intersection count",
     "decontaminate_containment": "bench shingles broadcast WITH their set sizes; corpus explodes once and stays map-side until the matched-pair group-by — bounded by shared-shingle volume, never |bench| x |corpus|",
+    "dedup_simhash": "64-bit simhash is pure codegen bit math over token hashes (no UDF); near-dup candidates via 16-bit banded equi-join — O(colliding pairs), never all-pairs; hamming verify is one xor+popcount per candidate",
+    "sql_recursive_reachability": "WITH RECURSIVE executor: per-round work is the FRONTIER delta only (distinct + anti-join vs accumulated), localCheckpoint keeps lineage flat; rounds bounded by graph diameter, never row count",
+    "sql_asof_attribution": "tier-3 ASOF executor delegates to the union+last-over-window operator (r10): one shuffle on the equi-keys, per-key window sort, ZERO pair inflation — the physical plan has no join node at all",
 }
 
 #: iterative queries whose loop bodies localCheckpoint: the final plan
