@@ -105,9 +105,21 @@ are never reproduced from memory):
     and ``encode_video_skip`` emits an IDR + all-skip P pictures,
     the TABLE-FREE multi-frame path.
 
+What is NEW in r10 — CABAC entropy coding (spec clause 9.3,
+``operators/h264_cabac.py``): PPS entropy_coding_mode_flag = 1
+decodes through the arithmetic engine over the SAME reconstruction
+code (the ``ent`` entropy-source abstraction below), covering the
+full I/P syntax surface. The rangeTabLPS / transIdxLPS / context-
+init tables are the Annex-B seam (``load_cabac_tables`` /
+``$SPARK_GRAFT_CABAC_TABLES``); the engine-encoder operating point
+is :func:`transcode_to_cabac`, which re-serializes any engine CAVLC
+stream's syntax through the arithmetic coder so decode(transcode(x))
+is picture-exact with ANY injected tables.
+
 NOT in scope (raise namefully): Intra_8x8 prediction, B slices
 (bi-prediction), weighted prediction, ref-list modification /
-adaptive marking, CABAC, interlace, high profiles.
+adaptive marking, interlace, high-profile transform/scaling-list
+tools (8x8 transform, QP scaling matrices).
 """
 
 from __future__ import annotations
@@ -129,6 +141,7 @@ __all__ = [
     "encode_quantized_yuv",
     "encode_quantized",
     "load_cavlc_tables",
+    "transcode_to_cabac",
 ]
 
 _TABLES_ENV = "SPARK_GRAFT_CAVLC_TABLES"
@@ -525,9 +538,7 @@ def parse_pps(rbsp: bytes) -> dict:
     r = _R(rbsp)
     pps_id = r.ue()
     sps_id = r.ue()
-    entropy = r.u(1)
-    if entropy:
-        raise NotImplementedError("CABAC (entropy_coding_mode_flag=1)")
+    entropy = r.u(1)   # 1 = CABAC (r10), 0 = CAVLC
     bottom_field = r.u(1)
     if r.ue() != 0:
         raise NotImplementedError("slice groups (FMO)")
@@ -542,7 +553,7 @@ def parse_pps(rbsp: bytes) -> dict:
     r.u(1)  # constrained_intra_pred
     r.u(1)  # redundant_pic_cnt_present
     return {
-        "pps_id": pps_id, "sps_id": sps_id,
+        "pps_id": pps_id, "sps_id": sps_id, "entropy": entropy,
         "num_ref_l0": num_ref_l0, "weighted_pred": weighted_pred,
         "bottom_field": bottom_field, "init_qp": init_qp,
         "chroma_qp_off": chroma_qp_off, "deblock_ctl": deblock_ctl,
@@ -1284,29 +1295,37 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
         )
     is_p = st == 0
     r.ue()  # pps id
-    r.u(sps["log2_max_frame_num"])
+    frame_num = r.u(sps["log2_max_frame_num"])
+    idr_pic_id = poc_lsb = None
     if typ == 5:
-        r.ue()  # idr_pic_id
+        idr_pic_id = r.ue()
     if sps["poc_type"] == 0:
-        r.u(sps["poc_lsb_bits"])
+        poc_lsb = r.u(sps["poc_lsb_bits"])
         if pps["bottom_field"]:
             r.se()
     num_ref = pps["num_ref_l0"]
+    override = None
     if is_p:
         if r.u(1):  # num_ref_idx_active_override_flag
             num_ref = r.ue() + 1
+            override = num_ref
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError("ref_pic_list_modification")
         if pps["weighted_pred"]:
             raise NotImplementedError("weighted prediction (pred "
                                       "weight tables)")
+    idr_bits = None
     if typ == 5:
-        r.u(1)  # no_output_of_prior_pics
-        r.u(1)  # long_term_reference
+        idr_bits = (r.u(1), r.u(1))  # no_output_of_prior / long_term
     elif ref_idc:
         # dec_ref_pic_marking for a non-IDR reference slice
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise NotImplementedError("adaptive reference-pic marking")
+    init_idc = 0
+    if pps.get("entropy") and is_p:
+        init_idc = r.ue()
+        if init_idc > 2:
+            raise ValueError(f"cabac_init_idc {init_idc} out of range")
     qp = pps["init_qp"] + r.se()
     idc, off_a, off_b = 0, 0, 0
     if pps["deblock_ctl"]:
@@ -1316,7 +1335,14 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
             off_b = 2 * r.se()  # slice_beta_offset_div2
     return {"first_mb": first_mb, "qp": qp, "idc": idc,
             "off_a": off_a, "off_b": off_b, "is_p": is_p,
-            "num_ref": num_ref}
+            "num_ref": num_ref, "cabac_init_idc": init_idc,
+            # raw fields retained so the CAVLC->CABAC transcoder can
+            # re-emit an equivalent header
+            "slice_type": slice_type, "frame_num": frame_num,
+            "idr_pic_id": idr_pic_id, "poc_lsb": poc_lsb,
+            "num_ref_override": override, "typ": typ,
+            "ref_idc": ref_idc, "idr_bits": idr_bits,
+            "qp_delta_hdr": qp - pps["init_qp"]}
 
 
 # ------------------------------------------------- motion compensation
@@ -1450,11 +1476,254 @@ def _interp_chroma(arr, cx0: int, cy0: int, bw: int, bh: int,
     return out.tolist()
 
 
-def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
+# --------------------------------------------------- entropy sources
+#
+# decode_mb / decode_inter_mb / decode_chroma fetch every syntax
+# element through an ``ent`` object, so the SAME reconstruction code
+# serves CAVLC (Exp-Golomb + the r8 CAVLC block decoder) and CABAC
+# (r10, operators/h264_cabac.py). ``ent.block`` kinds map to CABAC
+# ctxBlockCat: "ldc"=0 (Intra16 luma DC), "lac"=1 (Intra16 AC),
+# "l4"=2 (luma 4x4), "cdc"=3 (chroma DC), "cac"=4 (chroma AC).
+
+_BLOCK_CAT = {"ldc": 0, "lac": 1, "l4": 2, "cdc": 3, "cac": 4}
+
+
+class _EntCavlc:
+    """CAVLC entropy source — thin shims preserving the pre-r10
+    inline parse behavior bit-for-bit."""
+
+    def __init__(self, r: _R) -> None:
+        self.r = r
+
+    def mb_type(self, mbx, mby, is_p) -> int:
+        return self.r.ue()
+
+    def sub_mb_type(self) -> int:
+        return self.r.ue()
+
+    def ref_idx(self, nref, mbx, mby, px, py, pw, ph) -> int:
+        mx = nref - 1
+        if mx <= 0:
+            return 0
+        if mx == 1:
+            return 1 - self.r.u(1)
+        return self.r.ue()
+
+    def mvd(self, mbx, mby, px, py, pw, ph):
+        return (self.r.se(), self.r.se())
+
+    def i4_mode(self):
+        if self.r.u(1):   # prev_intra4x4_pred_mode_flag
+            return (1, None)
+        return (0, self.r.u(3))
+
+    def chroma_mode(self, mbx, mby) -> int:
+        return self.r.ue()
+
+    def cbp(self, mbx, mby, intra: bool) -> int:
+        code = self.r.ue()
+        book = _need("cbp_intra", "intra" if intra else "inter")
+        cbp = book.get(code)
+        if cbp is None:
+            kind = "" if intra else "inter "
+            raise ValueError(
+                f"{kind}coded_block_pattern codeNum {code} unmapped")
+        return cbp
+
+    def qp_delta(self) -> int:
+        return self.r.se()
+
+    def block(self, kind, nc, n, pos):
+        return _cavlc_block(self.r, nc, n)
+
+    def ipcm_samples(self):
+        self.r.byte_align()
+        y16 = [[self.r.u(8) for _ in range(16)] for _ in range(16)]
+        cb8 = [[self.r.u(8) for _ in range(8)] for _ in range(8)]
+        cr8 = [[self.r.u(8) for _ in range(8)] for _ in range(8)]
+        return y16, cb8, cr8
+
+    def finish_mb(self, mbx, mby) -> None:
+        pass
+
+
+class _EntCapture:
+    """Recording proxy over :class:`_EntCavlc`: every syntax element
+    (with its position args) is appended to a per-MB record, giving
+    the CAVLC->CABAC transcoder a complete replay script without
+    duplicating any reconstruction logic."""
+
+    def __init__(self, inner) -> None:
+        self.inner = inner
+        self.mbs: list = []
+        self.cur = None
+
+    def mb_type(self, mbx, mby, is_p) -> int:
+        v = self.inner.mb_type(mbx, mby, is_p)
+        self.cur = {"t": v, "is_p": is_p, "i4": [], "refs": [],
+                    "mvds": [], "subs": [], "blocks": [],
+                    "cbp": None, "qpd": None, "cmode": None,
+                    "ipcm": None}
+        self.mbs.append(self.cur)
+        return v
+
+    def sub_mb_type(self) -> int:
+        v = self.inner.sub_mb_type()
+        self.cur["subs"].append(v)
+        return v
+
+    def ref_idx(self, nref, mbx, mby, px, py, pw, ph) -> int:
+        v = self.inner.ref_idx(nref, mbx, mby, px, py, pw, ph)
+        self.cur["refs"].append((nref, px, py, pw, ph, v))
+        return v
+
+    def mvd(self, mbx, mby, px, py, pw, ph):
+        v = self.inner.mvd(mbx, mby, px, py, pw, ph)
+        self.cur["mvds"].append((px, py, pw, ph, v))
+        return v
+
+    def i4_mode(self):
+        v = self.inner.i4_mode()
+        self.cur["i4"].append(v)
+        return v
+
+    def chroma_mode(self, mbx, mby) -> int:
+        v = self.inner.chroma_mode(mbx, mby)
+        self.cur["cmode"] = v
+        return v
+
+    def cbp(self, mbx, mby, intra) -> int:
+        v = self.inner.cbp(mbx, mby, intra)
+        self.cur["cbp"] = v
+        return v
+
+    def qp_delta(self) -> int:
+        v = self.inner.qp_delta()
+        self.cur["qpd"] = v
+        return v
+
+    def block(self, kind, nc, n, pos):
+        v = self.inner.block(kind, nc, n, pos)
+        self.cur["blocks"].append((kind, pos, v))
+        return v
+
+    def ipcm_samples(self):
+        v = self.inner.ipcm_samples()
+        self.cur["ipcm"] = v
+        return v
+
+    def finish_mb(self, mbx, mby) -> None:
+        pass
+
+
+class _EntCabac:
+    """CABAC entropy source (r10): drives
+    :class:`h264_cabac.CabacSyntax` and tracks the per-MB fields the
+    neighbor model needs. The byte-exact engine<->reader sync at
+    terminate bins (module docstring of h264_cabac) is what lets
+    ``ipcm_samples`` read aligned raw bytes from the same reader."""
+
+    def __init__(self, r: _R, dec, syn) -> None:
+        self.r = r
+        self.dec = dec
+        self.syn = syn
+        self.cur = None     # per-MB scratch for the model update
+
+    def _start(self, mbx, mby):
+        self.cur = {"mb_type": None, "cbp": 0, "cmode": 0,
+                    "ldc": 0, "cdc": [0, 0], "ipcm": False}
+
+    def mb_type(self, mbx, mby, is_p) -> int:
+        self._start(mbx, mby)
+        self.syn.start_mb(mbx, mby)
+        if is_p:
+            v = self.syn.mb_type_p()
+            self.syn.cur_intra = v >= 5
+            iv = v - 5 if v >= 5 else -1
+        else:
+            v = self.syn.mb_type_i(mbx, mby)
+            self.syn.cur_intra = True
+            iv = v
+        self.cur["mb_type"] = iv      # intra-space value or -1
+        self.cur["ipcm"] = iv == 25
+        if 1 <= iv <= 24:             # Intra_16x16 carries its cbp
+            rest = (iv - 1) // 4
+            self.cur["cbp"] = ((rest % 3) << 4) | (15 if rest >= 3
+                                                   else 0)
+        return v
+
+    def sub_mb_type(self) -> int:
+        return self.syn.sub_mb_type()
+
+    def ref_idx(self, nref, mbx, mby, px, py, pw, ph) -> int:
+        if nref <= 1:   # ref_idx_l0 absent; still mark the grid
+            self.syn.m.note_ref(mbx, mby, px, py, pw, ph, 0)
+            return 0
+        return self.syn.ref_idx(mbx, mby, px, py, pw, ph)
+
+    def mvd(self, mbx, mby, px, py, pw, ph):
+        return self.syn.mvd_pair(mbx, mby, px, py, pw, ph)
+
+    def i4_mode(self):
+        return self.syn.i4_mode()
+
+    def chroma_mode(self, mbx, mby) -> int:
+        cm = self.syn.intra_chroma_mode(mbx, mby)
+        self.cur["cmode"] = cm
+        return cm
+
+    def cbp(self, mbx, mby, intra: bool) -> int:
+        cbp = self.syn.cbp(mbx, mby)
+        if (cbp >> 4) == 3:
+            raise ValueError("cbp chroma component must be 0..2")
+        self.cur["cbp"] = cbp
+        return cbp
+
+    def qp_delta(self) -> int:
+        return self.syn.qp_delta()
+
+    def block(self, kind, nc, n, pos):
+        return self.syn.block(_BLOCK_CAT[kind], pos, n, self.cur)
+
+    def ipcm_samples(self):
+        # the mb_type terminate bin flushed the engine: the reader is
+        # exactly at the encoder's post-flush bit, so align + raw
+        # bytes line up; the engine re-initializes afterwards
+        self.r.byte_align()
+        y16 = [[self.r.u(8) for _ in range(16)] for _ in range(16)]
+        cb8 = [[self.r.u(8) for _ in range(8)] for _ in range(8)]
+        cr8 = [[self.r.u(8) for _ in range(8)] for _ in range(8)]
+        self.dec.init_engine()
+        self.syn.m.prev_qpd_nz = False
+        return y16, cb8, cr8
+
+    def finish_mb(self, mbx, mby) -> None:
+        c = self.cur
+        iv = c["mb_type"]
+        if iv < 0:      # inter MB: qp-delta flag reset when absent
+            if not c["cbp"]:
+                self.syn.m.prev_qpd_nz = False
+            self.syn.m.note_mb(mbx, mby, intra=False, inxn=False,
+                               ipcm=False, i16=False, cbp=c["cbp"],
+                               cmode=0, ldc=0, cdc=c["cdc"])
+            return
+        i16 = 1 <= iv <= 24
+        if iv == 0 and not c["cbp"]:
+            self.syn.m.prev_qpd_nz = False
+        self.syn.m.note_mb(mbx, mby, intra=True, inxn=iv == 0,
+                           ipcm=c["ipcm"], i16=i16, cbp=c["cbp"],
+                           cmode=c["cmode"], ldc=c["ldc"],
+                           cdc=c["cdc"])
+
+
+def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
+                    capture: list | None = None):
     """Decode ONE coded picture (its list of (nal_type, ref_idc, rbsp)
     slices) against the reference list ``refs`` (most-recent-first
     numpy plane triples). Returns the reconstructed (possibly
     in-loop-filtered) y/cb/cr ``_Plane``s at the uncropped MB grid.
+    With ``capture`` (CAVLC streams only), each slice appends
+    (header dict, per-MB syntax records) for the CABAC transcoder.
 
     Multi-slice pictures decode (r9): slices must cover the MB raster
     contiguously in order (no FMO/ASO); intra prediction, CAVLC nC
@@ -1490,6 +1759,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
 
     cur_slice = 0
     r = _R(b"")
+    ent = None      # per-slice entropy source (_EntCavlc / _EntCabac)
     qp = 26
 
     def mb_avail(mbx2: int, mby2: int) -> bool:
@@ -1574,7 +1844,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
                         grid[by][bx] = 0
                 continue
             # chroma DC 2x2 (nC = -1)
-            cdc_scan = _cavlc_block(r, -1, 4)
+            cdc_scan = ent.block("cdc", -1, 4, (mbx, mby, ci))
             a, b, c, d4 = cdc_scan
             fdc = [
                 [a + b + c + d4, a - b + c - d4],
@@ -1588,7 +1858,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
                     bx = 2 * mbx + blk % 2
                     by = 2 * mby + blk // 2
                     nc = nc_of(grid, bx, by, 2)
-                    cac[blk] = _cavlc_block(r, nc, 15)
+                    cac[blk] = ent.block("cac", nc, 15, (ci, bx, by))
                     grid[by][bx] = sum(1 for v in cac[blk] if v)
             else:
                 for blk in range(4):
@@ -1644,13 +1914,6 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
                     grid[by][bx] = 0
         mb_qp_g[mby][mbx] = qp
 
-    def read_te(max_val: int) -> int:
-        if max_val <= 0:
-            return 0
-        if max_val == 1:
-            return 1 - r.u(1)
-        return r.ue()
-
     def decode_inter_mb(mb: int, mb_type: int, num_ref: int) -> None:
         nonlocal qp
         mbx, mby = mb % wm, mb // wm
@@ -1668,13 +1931,15 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
             # sub_mb_types, then the per-quadrant ref indices, then
             # every sub-partition's mvd. Median MV prediction only
             # (the directional rules are MB-partition-specific).
-            subs = [r.ue() for _ in range(4)]
+            subs = [ent.sub_mb_type() for _ in range(4)]
             if any(s > 3 for s in subs):
                 raise ValueError("sub_mb_type out of range in P slice")
             if mb_type == 4:   # P_8x8ref0: refs fixed at 0, no bits
                 refs8 = [0, 0, 0, 0]
             else:
-                refs8 = [read_te(nref - 1) for _ in range(4)]
+                refs8 = [ent.ref_idx(nref, mbx, mby, 8 * (q % 2),
+                                     8 * (q // 2), 8, 8)
+                         for q in range(4)]
             sub_shapes = ((8, 8), (8, 4), (4, 8), (4, 4))
             parts = []
             ref_idx = []
@@ -1692,8 +1957,10 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
                 parts = [(0, 0, 16, 8, "B"), (0, 8, 16, 8, "A")]
             else:               # 8x16: left predicts from A, right C
                 parts = [(0, 0, 8, 16, "A"), (8, 0, 8, 16, "C")]
-            ref_idx = [read_te(nref - 1) for _ in parts]
-        mvds = [(r.se(), r.se()) for _ in parts]
+            ref_idx = [ent.ref_idx(nref, mbx, mby, px, py, pw, ph)
+                       for px, py, pw, ph, _d in parts]
+        mvds = [ent.mvd(mbx, mby, px, py, pw, ph)
+                for px, py, pw, ph, _d in parts]
         pred16 = [[0] * 16 for _ in range(16)]
         mvs = []
         for (px, py, pw, ph, direc), ref, (mdx, mdy) in zip(
@@ -1725,17 +1992,12 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
                 cpredr[py // 2 + yy][px // 2: px // 2 + pw // 2] = \
                     cr_blk[yy]
 
-        cbp_code = r.ue()
-        cbp = _need("cbp_intra", "inter").get(cbp_code)
-        if cbp is None:
-            raise ValueError(
-                f"inter coded_block_pattern codeNum {cbp_code} unmapped"
-            )
+        cbp = ent.cbp(mbx, mby, intra=False)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp_chroma == 3:
             raise ValueError("cbp chroma component must be 0..2")
         if cbp:
-            qp = (qp + r.se()) % 52
+            qp = (qp + ent.qp_delta()) % 52
         qdiv, qmod = qp // 6, qp % 6
         out16 = [row[:] for row in pred16]
         for blk in range(16):
@@ -1743,7 +2005,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
             bx = (16 * mbx + ox) // 4
             by = (16 * mby + oy) // 4
             if cbp_luma & (1 << (blk // 4)):
-                scan = _cavlc_block(r, nc_of(luma_nc, bx, by, 4), 16)
+                scan = ent.block("l4", nc_of(luma_nc, bx, by, 4), 16,
+                                 (bx, by))
                 luma_nc[by][bx] = sum(1 for v in scan if v)
                 d = [[0] * 4 for _ in range(4)]
                 for k, (i, j) in enumerate(_ZIG4):
@@ -1770,7 +2033,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
         nonlocal qp
         mbx, mby = mb % wm, mb // wm
         mb_slice[mby][mbx] = cur_slice
-        mb_type = r.ue()
+        mb_type = ent.mb_type(mbx, mby, is_p)
         if is_p:
             if mb_type < 5:
                 decode_inter_mb(mb, mb_type, num_ref)
@@ -1780,12 +2043,10 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
         if mb_type == 25:  # I_PCM — table-free
             mb_ipcm[mby][mbx] = True
             mark_intra_mvs(mbx, mby)
-            r.byte_align()
-            blk = [[r.u(8) for _ in range(16)] for _ in range(16)]
+            blk, cb8, cr8 = ent.ipcm_samples()
             y_plane.put(16 * mbx, 16 * mby, blk)
-            for plane in (cb_plane, cr_plane):
-                cblk = [[r.u(8) for _ in range(8)] for _ in range(8)]
-                plane.put(8 * mbx, 8 * mby, cblk)
+            cb_plane.put(8 * mbx, 8 * mby, cb8)
+            cr_plane.put(8 * mbx, 8 * mby, cr8)
             for by in range(4 * mby, 4 * mby + 4):
                 for bx in range(4 * mbx, 4 * mbx + 4):
                     luma_nc[by][bx] = 16
@@ -1812,26 +2073,21 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
                     mb_ = (i4_modes[by - 1][bx]
                            if mb_i4[(by - 1) // 4][bx // 4] else 2)
                     predm = min(ma, mb_)
-                if r.u(1):  # prev_intra4x4_pred_mode_flag
+                flag, rem = ent.i4_mode()
+                if flag:    # prev_intra4x4_pred_mode_flag
                     m4 = predm
                 else:
-                    rem = r.u(3)
                     m4 = rem if rem < predm else rem + 1
                 modes.append(m4)
                 i4_modes[by][bx] = m4
             mb_i4[mby][mbx] = True
-            chroma_mode = r.ue()
-            cbp_code = r.ue()
-            cbp = _need("cbp_intra", "intra").get(cbp_code)
-            if cbp is None:
-                raise ValueError(
-                    f"coded_block_pattern codeNum {cbp_code} unmapped"
-                )
+            chroma_mode = ent.chroma_mode(mbx, mby)
+            cbp = ent.cbp(mbx, mby, intra=True)
             cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
             if cbp_chroma == 3:
                 raise ValueError("cbp chroma component must be 0..2")
             if cbp:
-                qp = (qp + r.se()) % 52
+                qp = (qp + ent.qp_delta()) % 52
             qdiv, qmod = qp // 6, qp % 6
             for blk in range(16):
                 ox, oy = _BLK4_XY[blk]
@@ -1848,7 +2104,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
                       if blk_decoded(bx + 1, by - 1, mb, blk) else None)
                 pred = _pred4(modes[blk], top, left, tl, tr)
                 if cbp_luma & (1 << (blk // 4)):
-                    scan = _cavlc_block(r, nc_of(luma_nc, bx, by, 4), 16)
+                    scan = ent.block("l4", nc_of(luma_nc, bx, by, 4),
+                                     16, (bx, by))
                     luma_nc[by][bx] = sum(1 for v in scan if v)
                     d = [[0] * 4 for _ in range(4)]
                     for k, (i, j) in enumerate(_ZIG4):
@@ -1873,8 +2130,9 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
         rest = m // 4
         cbp_chroma = rest % 3
         cbp_luma = 15 if rest >= 3 else 0
-        chroma_mode = r.ue()
-        qp = (qp + r.se()) % 52  # mb_qp_delta wraps per spec arithmetic
+        chroma_mode = ent.chroma_mode(mbx, mby)
+        # mb_qp_delta wraps per spec arithmetic
+        qp = (qp + ent.qp_delta()) % 52
 
         x0, y0 = 16 * mbx, 16 * mby
         up = mb_avail(mbx, mby - 1)
@@ -1887,7 +2145,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
 
         # luma DC block (always present for Intra_16x16)
         dc_nc = nc_of(luma_nc, 4 * mbx, 4 * mby, 4)
-        dc_scan = _cavlc_block(r, dc_nc, 16)
+        dc_scan = ent.block("ldc", dc_nc, 16, (mbx, mby))
         dc = [[0] * 4 for _ in range(4)]
         for k, (i, j) in enumerate(_ZIG4):
             dc[i][j] = dc_scan[k]
@@ -1902,7 +2160,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
                 bx = 4 * mbx + _BLK4_XY[blk][0] // 4
                 by = 4 * mby + _BLK4_XY[blk][1] // 4
                 nc = nc_of(luma_nc, bx, by, 4)
-                scan = _cavlc_block(r, nc, 15)
+                scan = ent.block("lac", nc, 15, (bx, by))
                 ac_scans[blk] = scan
                 luma_nc[by][bx] = sum(1 for v in scan if v)
         else:
@@ -1933,6 +2191,15 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
 
     next_mb = 0
     has_inter = False
+    use_cabac = bool(pps.get("entropy"))
+    if use_cabac and capture is not None:
+        raise ValueError("syntax capture is a CAVLC-source feature")
+    cabac_model = None
+    if use_cabac:
+        from data_migration_etl_scripts_spark.operators import (
+            h264_cabac as _cb,
+        )
+        cabac_model = _cb.MbState(wm, hm, mb_avail)
     for slice_id, (typ, ref_idc, rbsp) in enumerate(pic):
         cur_slice = slice_id
         r = _R(rbsp)
@@ -1946,8 +2213,43 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
             )
         is_p = hdr["is_p"]
         has_inter = has_inter or is_p
-        stop = _rbsp_stop(rbsp)
         mb = hdr["first_mb"]
+        if use_cabac:
+            # cabac_alignment_one_bit(s), then slice data from the
+            # byte boundary (pad so arithmetic read-ahead never
+            # exhausts the reader at the trailing terminate)
+            while r.pos & 7:
+                if not r.u(1):
+                    raise ValueError(
+                        "cabac_alignment_one_bit must be 1")
+            r = _R(rbsp[r.pos // 8:] + b"\x00\x00")
+            dec = _cb.CabacDecoder(lambda: r.u(1))
+            key = f"P{hdr['cabac_init_idc']}" if is_p else "I"
+            syn = _cb.CabacSyntax(
+                dec, _cb.init_ctx_states(qp, key), cabac_model, True)
+            ent = _EntCabac(r, dec, syn)
+            cabac_model.slice_start()
+            while True:
+                if mb >= wm * hm:
+                    raise ValueError(
+                        "slice data overruns the picture")
+                mbx, mby = mb % wm, mb // wm
+                syn.start_mb(mbx, mby)
+                if is_p and syn.mb_skip(mbx, mby):
+                    decode_skip(mb)
+                    cabac_model.note_skip(mbx, mby)
+                else:
+                    decode_mb(mb, is_p, hdr["num_ref"])
+                    ent.finish_mb(mbx, mby)
+                    mb_qp_g[mby][mbx] = qp
+                mb += 1
+                if syn.end_of_slice():
+                    break
+            next_mb = mb
+            continue
+        ent = (_EntCapture(_EntCavlc(r)) if capture is not None
+               else _EntCavlc(r))
+        stop = _rbsp_stop(rbsp)
         while True:
             if is_p:
                 if r.pos >= stop:
@@ -1957,6 +2259,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
                         raise ValueError(
                             "skip run overruns the picture")
                     decode_skip(mb)
+                    if capture is not None:
+                        ent.mbs.append(("skip",))
                     mb += 1
                 if r.pos >= stop:
                     break
@@ -1967,6 +2271,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock):
             decode_mb(mb, is_p, hdr["num_ref"])
             mb_qp_g[mb // wm][mb % wm] = qp
             mb += 1
+        if capture is not None:
+            capture.append((hdr, ent.mbs))
         next_mb = mb
     if next_mb < wm * hm:
         raise ValueError(
@@ -3082,3 +3388,252 @@ def encode_ipcm(px_rows) -> bytes:
     chroma averaged over each 2x2). RGB round-trips within the usual
     color-conversion rounding (the YUV surface round-trips exactly)."""
     return encode_ipcm_yuv(*_rgb_to_420(px_rows))
+
+
+# ----------------------------------------------- CABAC transcode (r10)
+
+def _write_slice_header_bits(w: _W, sps: dict, pps: dict,
+                             hdr: dict) -> None:
+    """Re-emit a parsed slice header (the engine-supported subset)
+    with cabac_init_idc inserted when the PPS is CABAC."""
+    w.ue(hdr["first_mb"])
+    w.ue(hdr["slice_type"])
+    w.ue(0)                      # pps id (engine streams use 0)
+    w.u(hdr["frame_num"], sps["log2_max_frame_num"])
+    if hdr["typ"] == 5:
+        w.ue(hdr["idr_pic_id"])
+    if sps["poc_type"] == 0:
+        w.u(hdr["poc_lsb"] or 0, sps["poc_lsb_bits"])
+    if hdr["is_p"]:
+        if hdr["num_ref_override"] is not None:
+            w.u(1, 1)
+            w.ue(hdr["num_ref_override"] - 1)
+        else:
+            w.u(0, 1)
+        w.u(0, 1)                # ref_pic_list_modification_flag_l0
+    if hdr["typ"] == 5:
+        a, b = hdr["idr_bits"] or (0, 0)
+        w.u(a, 1)
+        w.u(b, 1)
+    elif hdr["ref_idc"]:
+        w.u(0, 1)                # adaptive_ref_pic_marking
+    if pps.get("entropy") and hdr["is_p"]:
+        w.ue(0)                  # cabac_init_idc
+    w.se(hdr["qp_delta_hdr"])
+    if pps["deblock_ctl"]:
+        w.ue(hdr["idc"])
+        if hdr["idc"] != 1:
+            w.se(hdr["off_a"] // 2)
+            w.se(hdr["off_b"] // 2)
+
+
+def _write_cabac_slice_data(w: _W, records: list, hdr: dict,
+                            model, wm: int, mark=None) -> None:
+    """Serialize captured per-MB syntax records as CABAC slice data
+    (cabac_alignment_one_bit, then the arithmetic payload), replaying
+    the exact element order the decoder walks. Shares the ctxIdx
+    derivations with the decode path through h264_cabac.CabacSyntax +
+    the MbState model, so decode(transcode(x)) reconstructs the same
+    picture by construction."""
+    from data_migration_etl_scripts_spark.operators import (
+        h264_cabac as _cb,
+    )
+
+    while w.n & 7:
+        w.u(1, 1)                # cabac_alignment_one_bit
+    bits: list[int] = []
+    enc = _cb.CabacEncoder(bits.append)
+    key = f"P{hdr['cabac_init_idc']}" if hdr["is_p"] else "I"
+    syn = _cb.CabacSyntax(enc, _cb.init_ctx_states(hdr["qp"], key),
+                          model, False)
+    model.slice_start()
+    is_p = hdr["is_p"]
+    mb = hdr["first_mb"]
+    for i, rec in enumerate(records):
+        mbx, mby = mb % wm, mb // wm
+        last = i == len(records) - 1
+        if mark is not None:
+            mark(mb)
+        syn.start_mb(mbx, mby)
+        if rec == ("skip",):
+            syn.mb_skip(mbx, mby, 1)
+            model.note_skip(mbx, mby)
+            syn.end_of_slice(1 if last else 0)
+            mb += 1
+            continue
+        if is_p:
+            syn.mb_skip(mbx, mby, 0)
+        t = rec["t"]
+        if is_p and t == 4:
+            # P_8x8ref0 has no CABAC binarization: recode as P_8x8
+            # with explicit zero refs (bit syntax differs, picture
+            # identical)
+            t = 3
+        iv = (t - 5 if is_p and t >= 5 else (t if not is_p else -1))
+        if is_p:
+            syn.mb_type_p(t if t < 5 else t)
+        else:
+            syn.mb_type_i(mbx, mby, t)
+        syn.cur_intra = iv >= 0
+        cur = {"ldc": 0, "cdc": [0, 0]}
+        if iv == 25:             # I_PCM: mb_type flushed the engine
+            while len(bits) & 7:
+                bits.append(0)   # pcm_alignment_zero_bit
+            y16, cb8, cr8 = rec["ipcm"]
+            for rows, n in ((y16, 16), (cb8, 8), (cr8, 8)):
+                for row in rows:
+                    for v in row:
+                        for k in range(7, -1, -1):
+                            bits.append((v >> k) & 1)
+            enc.init_engine()
+            model.note_mb(mbx, mby, intra=True, inxn=False,
+                          ipcm=True, i16=False, cbp=0, cmode=0,
+                          ldc=0, cdc=[0, 0])
+            syn.end_of_slice(1 if last else 0)
+            mb += 1
+            continue
+        if iv == 0:              # Intra_4x4
+            for fl, rem in rec["i4"]:
+                syn.i4_mode((fl, rem if rem is not None else 0))
+            syn.intra_chroma_mode(mbx, mby, rec["cmode"])
+            syn.cbp(mbx, mby, rec["cbp"])
+            if rec["cbp"]:
+                syn.qp_delta(rec["qpd"])
+        elif iv > 0:             # Intra_16x16 (cbp rides mb_type)
+            syn.intra_chroma_mode(mbx, mby, rec["cmode"])
+            syn.qp_delta(rec["qpd"])
+        else:                    # inter
+            for s in rec["subs"]:
+                syn.sub_mb_type(s)
+            refs = rec["refs"]
+            if rec["t"] == 4 and not refs:
+                refs = [(hdr["num_ref"], 8 * (q % 2), 8 * (q // 2),
+                         8, 8, 0) for q in range(4)]
+            for nref, px, py, pw, ph, val in refs:
+                if nref <= 1:
+                    model.note_ref(mbx, mby, px, py, pw, ph, val)
+                else:
+                    syn.ref_idx(mbx, mby, px, py, pw, ph, val)
+            for px, py, pw, ph, val in rec["mvds"]:
+                syn.mvd_pair(mbx, mby, px, py, pw, ph, val)
+            syn.cbp(mbx, mby, rec["cbp"])
+            if rec["cbp"]:
+                syn.qp_delta(rec["qpd"])
+        for kind, pos, scan in rec["blocks"]:
+            syn.block(_BLOCK_CAT[kind], pos, len(scan), cur, scan)
+        if iv >= 0:
+            if (rec["cbp"] is None or not rec["cbp"]) and iv == 0:
+                model.prev_qpd_nz = False
+            cbp = rec["cbp"] or 0
+            if 1 <= iv <= 24:
+                rest = (iv - 1) // 4
+                cbp = ((rest % 3) << 4) | (15 if rest >= 3 else 0)
+            model.note_mb(mbx, mby, intra=True, inxn=iv == 0,
+                          ipcm=False, i16=1 <= iv <= 24, cbp=cbp,
+                          cmode=rec["cmode"] or 0, ldc=cur["ldc"],
+                          cdc=cur["cdc"])
+        else:
+            if not rec["cbp"]:
+                model.prev_qpd_nz = False
+            model.note_mb(mbx, mby, intra=False, inxn=False,
+                          ipcm=False, i16=False, cbp=rec["cbp"] or 0,
+                          cmode=0, ldc=0, cdc=cur["cdc"])
+        syn.end_of_slice(1 if last else 0)
+        mb += 1
+    while len(bits) & 7:
+        bits.append(0)           # trailing alignment after the flush
+    for i in range(0, len(bits), 8):
+        v = 0
+        for b in bits[i: i + 8]:
+            v = (v << 1) | b
+        w.u(v, 8)
+
+
+def transcode_to_cabac(data: bytes) -> bytes:
+    """Re-encode a CAVLC Annex-B stream (e.g. any engine encoder's
+    output) as a CABAC stream: the PPS entropy_coding_mode_flag flips
+    to 1, P-slice headers gain cabac_init_idc, and every slice's
+    macroblock syntax is re-serialized through the arithmetic coder —
+    predictions, residuals, and reconstruction are untouched, so
+    ``decode_video_yuv(transcode_to_cabac(x))`` returns exactly the
+    planes of ``decode_video_yuv(x)``. This is the CABAC seam's
+    engine-encoder operating point: it exercises every CABAC syntax
+    element the decoder supports with injected tables."""
+    from data_migration_etl_scripts_spark.operators import (
+        h264_cabac as _cb,
+    )
+
+    sps = pps = None
+    out = bytearray()
+    pics: list[list] = []
+    order: list = []         # emit order: ("nal", bytes) | ("pic", i)
+    for ref, typ, rbsp in nal_units(data):
+        if typ == 7:
+            if sps is None:
+                sps = parse_sps(rbsp)
+            order.append(("nal", _nal(rbsp, ref, typ)))
+        elif typ == 8:
+            if pps is None:
+                pps = parse_pps(rbsp)
+                if pps.get("entropy"):
+                    raise ValueError("stream is already CABAC")
+                rb = bytearray(rbsp)
+                rr = _R(rbsp)
+                rr.ue()
+                rr.ue()
+                rb[rr.pos >> 3] |= 0x80 >> (rr.pos & 7)
+                order.append(("nal", _nal(bytes(rb), ref, typ)))
+            else:
+                order.append(("nal", _nal(rbsp, ref, typ)))
+        elif typ in (1, 5):
+            if _R(rbsp).ue() == 0 or not pics:
+                pics.append([])
+                order.append(("pic", len(pics) - 1))
+            pics[-1].append((typ, ref, rbsp))
+        else:
+            order.append(("nal", _nal(rbsp, ref, typ)))
+    if sps is None or pps is None or not pics:
+        raise ValueError("no SPS+PPS+slice in stream")
+    wm, hm = sps["width_mbs"], sps["height_mbs"]
+    pps_cabac = dict(pps, entropy=1)
+
+    dpb: list = []
+    rendered: dict[int, bytes] = {}
+    for pi, pic in enumerate(pics):
+        if pic[0][0] == 5:
+            dpb = []
+        capture: list = []
+        y_p, cb_p, cr_p = _decode_picture(sps, pps, pic, dpb,
+                                          deblock="auto",
+                                          capture=capture)
+        decoded = [[-1] * wm for _ in range(hm)]
+        sl_id = [0]
+
+        def avail(mbx, mby, _d=decoded, _s=sl_id):
+            return _d[mby][mbx] == _s[0]
+
+        model = _cb.MbState(wm, hm, avail)
+        chunk = bytearray()
+        mb0 = 0
+        for si, ((typ, ref, _rbsp), (hdr, records)) in enumerate(
+                zip(pic, capture)):
+            sl_id[0] = si
+            w = _W()
+            hdr = dict(hdr, cabac_init_idc=0)
+            _write_slice_header_bits(w, sps, pps_cabac, hdr)
+
+            def mark(m, _si=si):
+                decoded[m // wm][m % wm] = _si
+
+            _write_cabac_slice_data(w, records, hdr, model, wm,
+                                    mark=mark)
+            mb0 += len(records)
+            chunk += _nal(bytes(w.buf), ref, typ)
+        rendered[pi] = bytes(chunk)
+        if pic[0][1]:
+            dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
+                           _plane_np(cr_p)))
+            del dpb[sps["max_ref"]:]
+    for kind, v in order:
+        out += v if kind == "nal" else rendered[v]
+    return bytes(out)

@@ -40,6 +40,7 @@ from __future__ import annotations
 import hashlib
 import io
 import math
+import os
 import struct
 import wave
 import zlib
@@ -1398,7 +1399,15 @@ def synthetic_real_media_rows(
     breakdown, selfcheck's range-assert recompute). Rows are
     deterministic pure functions of the arguments, so the cache is
     semantics-free; callers receive a fresh shallow copy."""
-    key = (n, include_mpeg)
+    from data_migration_etl_scripts_spark.operators import (
+        h264_cabac as _h264_cabac,
+    )
+
+    # the r10 CABAC row is environment-gated (env table seam), so the
+    # gate state is part of the cache key
+    cabac = bool(os.environ.get(_h264_cabac._TABLES_ENV)
+                 and _h264_cabac.seam_available())
+    key = (n, include_mpeg, cabac)
     hit = _REAL_MEDIA_ROWS_CACHE.get(key)
     if hit is None:
         hit = _synthetic_real_media_rows_build(n, include_mpeg)
@@ -1693,6 +1702,28 @@ def _synthetic_real_media_rows_build(
                      bytearray(ogg_wrap_flac(
                          flac_encode(tone16, rate=8000))),
                      "{}"))
+        # r10: a CABAC-entropy H.264 stream (the engine transcoder
+        # re-serializes the quantized picture's syntax through the
+        # clause-9.3 arithmetic coder; operators/h264_cabac.py).
+        # Gated on the CABAC table seam being available via
+        # $SPARK_GRAFT_CABAC_TABLES, because Spark workers re-import
+        # the module and a CABAC payload needs the same tables at
+        # decode time — with the seam empty this row is simply absent
+        # (both the query and its driver-side oracle see the same
+        # gate, so the compare stays consistent either way).
+        from data_migration_etl_scripts_spark.operators import (
+            h264_cabac as _h264_cabac,
+        )
+        from data_migration_etl_scripts_spark.operators.h264 import (
+            transcode_to_cabac,
+        )
+
+        if (os.environ.get(_h264_cabac._TABLES_ENV)
+                and _h264_cabac.seam_available()):
+            rows.append((n + 30, "video",
+                         bytearray(transcode_to_cabac(
+                             encode_quantized(px9, qp=12))),
+                         "{}"))
     return rows
 
 

@@ -662,11 +662,19 @@ def test_b_slices_raise_namefully():
         h.decode_video_yuv(stream)
 
 
-def test_cabac_raises_namefully():
+def test_cabac_pps_accepted_and_seam_raises_namefully():
+    """entropy_coding_mode_flag = 1 parses (r10); decoding a CABAC
+    slice without the table seam raises at the documented plug."""
     pps = h._W()
-    pps.ue(0); pps.ue(0); pps.u(1, 1)  # entropy_coding_mode = CABAC
-    with pytest.raises(NotImplementedError, match="CABAC"):
-        h.parse_pps(pps.trailing())
+    pps.ue(0); pps.ue(0); pps.u(1, 1)   # entropy_coding_mode = CABAC
+    pps.u(0, 1)                         # bottom_field
+    pps.ue(0)                           # slice groups
+    pps.ue(0); pps.ue(0)                # num_ref l0/l1
+    pps.u(0, 1); pps.u(0, 2)            # weighted pred/bipred
+    pps.se(0); pps.se(0); pps.se(0)     # init_qp/qs/chroma off
+    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    parsed = h.parse_pps(pps.trailing())
+    assert parsed["entropy"] == 1
 
 
 # ------------------------------------------------- multi-slice (r9)
