@@ -116,10 +116,26 @@ is :func:`transcode_to_cabac`, which re-serializes any engine CAVLC
 stream's syntax through the arithmetic coder so decode(transcode(x))
 is picture-exact with ANY injected tables.
 
-NOT in scope (raise namefully): Intra_8x8 prediction, B slices
-(bi-prediction), weighted prediction, ref-list modification /
-adaptive marking, interlace, high-profile transform/scaling-list
-tools (8x8 transform, QP scaling matrices).
+What is NEW in r10 (second block) — B slices and explicit weighted
+prediction: POC derivation (8.2.1 type-0 lsb/msb wrap), POC-ordered
+RefPicList0/1 construction with the identical-list swap rule, all
+Table 7-14 B macroblock shapes (L0/L1/Bi x 16x16/16x8/8x16, B_8x8
+sub-partitions incl. B_Direct_8x8), B_Skip / B_Direct_16x16 via
+SPATIAL direct (MinPositive refs, per-list median MVps, colZeroFlag
+against RefPicList1[0]'s stored motion field, direct_8x8_inference
+corners), bi-prediction averaging, and the explicit weighted-sample
+formulas with pred_weight_table parsing for P (weighted_pred) and B
+(weighted_bipred_idc=1). Engine operating points:
+``encode_video_b_yuv`` (I_PCM + PCM-P + dense-residual B cycling
+L0/L1/Bi at per-list global MVs, optionally weighted — decode is
+bit-exact against the replayed recons) and ``encode_video_b_skip``
+(the TABLE-FREE all-B_Skip clip).
+
+NOT in scope (raise namefully): Intra_8x8 prediction, temporal
+direct mode, implicit weighted bi-prediction (idc=2), CABAC-coded
+B slices, ref-list modification / adaptive marking, interlace,
+high-profile transform/scaling-list tools (8x8 transform, QP
+scaling matrices).
 """
 
 from __future__ import annotations
@@ -136,6 +152,8 @@ __all__ = [
     "encode_video_yuv",
     "encode_video",
     "encode_video_skip",
+    "encode_video_b_yuv",
+    "encode_video_b_skip",
     "encode_ipcm_yuv",
     "encode_ipcm",
     "encode_quantized_yuv",
@@ -518,7 +536,7 @@ def parse_sps(rbsp: bytes) -> dict:
     frame_mbs_only = r.u(1)
     if not frame_mbs_only:
         raise NotImplementedError("interlace (frame_mbs_only_flag=0)")
-    r.u(1)  # direct_8x8_inference
+    direct_8x8 = r.u(1)
     crop = (0, 0, 0, 0)
     if r.u(1):
         crop = (r.ue(), r.ue(), r.ue(), r.ue())
@@ -526,7 +544,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "profile": profile, "level": level, "sps_id": sps_id,
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type, "poc_lsb_bits": poc_lsb_bits,
-        "max_ref": max(1, max_ref),
+        "max_ref": max(1, max_ref), "direct_8x8": direct_8x8,
         "width_mbs": w_mbs, "height_mbs": h_map,
         "crop": crop,
         "width": 16 * w_mbs - 2 * (crop[0] + crop[1]),
@@ -543,9 +561,9 @@ def parse_pps(rbsp: bytes) -> dict:
     if r.ue() != 0:
         raise NotImplementedError("slice groups (FMO)")
     num_ref_l0 = r.ue() + 1
-    r.ue()  # num_ref_idx_l1 default
+    num_ref_l1 = r.ue() + 1
     weighted_pred = r.u(1)
-    r.u(2)  # weighted_bipred
+    weighted_bipred = r.u(2)
     init_qp = 26 + r.se()
     r.se()  # pic_init_qs
     chroma_qp_off = r.se()
@@ -554,7 +572,9 @@ def parse_pps(rbsp: bytes) -> dict:
     r.u(1)  # redundant_pic_cnt_present
     return {
         "pps_id": pps_id, "sps_id": sps_id, "entropy": entropy,
-        "num_ref_l0": num_ref_l0, "weighted_pred": weighted_pred,
+        "num_ref_l0": num_ref_l0, "num_ref_l1": num_ref_l1,
+        "weighted_pred": weighted_pred,
+        "weighted_bipred": weighted_bipred,
         "bottom_field": bottom_field, "init_qp": init_qp,
         "chroma_qp_off": chroma_qp_off, "deblock_ctl": deblock_ctl,
     }
@@ -1279,6 +1299,57 @@ def _rbsp_stop(d: bytes) -> int:
     return 0
 
 
+def _parse_pred_weight_table(r: _R, num_ref0: int,
+                             num_ref1: int) -> dict:
+    """pred_weight_table (7.3.3.2): explicit per-reference luma and
+    chroma (weight, offset) pairs — syntax-carried, no seam. Absent
+    flags default to (1 << logWD, 0)."""
+    lwd = r.ue()
+    cwd = r.ue()
+    if lwd > 7 or cwd > 7:
+        raise ValueError("pred_weight_table log2 denom out of range")
+
+    def one_list(n):
+        luma, chroma = [], []
+        for _ in range(n):
+            if r.u(1):
+                luma.append((r.se(), r.se()))
+            else:
+                luma.append((1 << lwd, 0))
+            if r.u(1):
+                chroma.append(((r.se(), r.se()), (r.se(), r.se())))
+            else:
+                chroma.append((((1 << cwd), 0), ((1 << cwd), 0)))
+        return luma, chroma
+
+    l0, c0 = one_list(num_ref0)
+    l1, c1 = one_list(num_ref1) if num_ref1 else ([], [])
+    return {"lwd": lwd, "cwd": cwd, "l0": l0, "c0": c0,
+            "l1": l1, "c1": c1}
+
+
+def _wp_uni(blk, w: int, o: int, lwd: int):
+    """Explicit uni-directional weighted sample prediction
+    (8.4.2.3.2): ((s*w + 2^(lwd-1)) >> lwd) + o, clipped."""
+    rnd = 1 << (lwd - 1) if lwd else 0
+    return [[_clip8(((v * w + rnd) >> lwd) + o) for v in row]
+            for row in blk]
+
+
+def _bi_avg(b0, b1):
+    """Default bi-prediction: per-sample rounded average."""
+    return [[(x + y + 1) >> 1 for x, y in zip(r0, r1)]
+            for r0, r1 in zip(b0, b1)]
+
+
+def _wp_bi(b0, b1, w0: int, o0: int, w1: int, o1: int, lwd: int):
+    """Explicit bi-directional weighted sample prediction."""
+    off = (o0 + o1 + 1) >> 1
+    rnd = 1 << lwd
+    return [[_clip8(((x * w0 + y * w1 + rnd) >> (lwd + 1)) + off)
+             for x, y in zip(r0, r1)] for r0, r1 in zip(b0, b1)]
+
+
 def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
                         ref_idc: int) -> dict:
     """I- or P-slice header -> dict with first_mb, qp, deblock params
@@ -1288,12 +1359,12 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
     first_mb = r.ue()
     slice_type = r.ue()
     st = slice_type % 5
-    if st not in (0, 2):
+    if st not in (0, 1, 2):
         raise NotImplementedError(
-            f"slice_type {slice_type} — I and P slices only (B slices "
-            "need bi-prediction)"
+            f"slice_type {slice_type} — I, P and B slices only"
         )
     is_p = st == 0
+    is_b = st == 1
     r.ue()  # pps id
     frame_num = r.u(sps["log2_max_frame_num"])
     idr_pic_id = poc_lsb = None
@@ -1303,17 +1374,37 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
         poc_lsb = r.u(sps["poc_lsb_bits"])
         if pps["bottom_field"]:
             r.se()
+    direct_spatial = None
+    if is_b:
+        direct_spatial = r.u(1)
+        if not direct_spatial:
+            raise NotImplementedError(
+                "temporal direct mode (direct_spatial_mv_pred_flag=0)"
+            )
     num_ref = pps["num_ref_l0"]
+    num_ref1 = pps["num_ref_l1"]
     override = None
-    if is_p:
+    weights = None
+    if is_p or is_b:
         if r.u(1):  # num_ref_idx_active_override_flag
             num_ref = r.ue() + 1
-            override = num_ref
+            if is_b:
+                num_ref1 = r.ue() + 1
+                override = (num_ref, num_ref1)
+            else:
+                override = num_ref
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError("ref_pic_list_modification")
-        if pps["weighted_pred"]:
-            raise NotImplementedError("weighted prediction (pred "
-                                      "weight tables)")
+        if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
+            raise NotImplementedError("ref_pic_list_modification (l1)")
+        if is_b and pps["weighted_bipred"] == 2:
+            raise NotImplementedError(
+                "implicit weighted bi-prediction (weighted_bipred_idc"
+                "=2 — POC-distance weights)")
+        if ((is_p and pps["weighted_pred"])
+                or (is_b and pps["weighted_bipred"] == 1)):
+            weights = _parse_pred_weight_table(
+                r, num_ref, num_ref1 if is_b else 0)
     idr_bits = None
     if typ == 5:
         idr_bits = (r.u(1), r.u(1))  # no_output_of_prior / long_term
@@ -1322,7 +1413,7 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise NotImplementedError("adaptive reference-pic marking")
     init_idc = 0
-    if pps.get("entropy") and is_p:
+    if pps.get("entropy") and st != 2:
         init_idc = r.ue()
         if init_idc > 2:
             raise ValueError(f"cabac_init_idc {init_idc} out of range")
@@ -1335,6 +1426,7 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
             off_b = 2 * r.se()  # slice_beta_offset_div2
     return {"first_mb": first_mb, "qp": qp, "idc": idc,
             "off_a": off_a, "off_b": off_b, "is_p": is_p,
+            "is_b": is_b, "num_ref1": num_ref1, "weights": weights,
             "num_ref": num_ref, "cabac_init_idc": init_idc,
             # raw fields retained so the CAVLC->CABAC transcoder can
             # re-emit an equivalent header
@@ -1717,7 +1809,7 @@ class _EntCabac:
 
 
 def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
-                    capture: list | None = None):
+                    capture: list | None = None, cur_poc: int = 0):
     """Decode ONE coded picture (its list of (nal_type, ref_idc, rbsp)
     slices) against the reference list ``refs`` (most-recent-first
     numpy plane triples). Returns the reconstructed (possibly
@@ -1754,13 +1846,19 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
     mb_i4 = [[False] * wm for _ in range(hm)]
     i4_modes = [[2] * (4 * wm) for _ in range(4 * hm)]
     #: per-4x4-block motion info: None = not decoded, else
-    #: (mvx, mvy, ref) with ref = -1 for intra blocks (spec 8.4.1.3)
+    #: (mvx, mvy, ref) with ref = -1 for intra blocks (spec 8.4.1.3).
+    #: B slices (r10) keep a second grid for list 1; a partition that
+    #: does not use a list carries (0, 0, -1) there — available-but-
+    #: unused per 8.4.1.3.1 (contributes 0 to the median), distinct
+    #: from None (MB not available)
     mv_g = [[None] * (4 * wm) for _ in range(4 * hm)]
+    mv_g1 = [[None] * (4 * wm) for _ in range(4 * hm)]
 
     cur_slice = 0
     r = _R(b"")
     ent = None      # per-slice entropy source (_EntCavlc / _EntCabac)
     qp = 26
+    p_weights = None   # per-slice explicit P weighting (r10)
 
     def mb_avail(mbx2: int, mby2: int) -> bool:
         return (0 <= mbx2 < wm and 0 <= mby2 < hm
@@ -1799,12 +1897,20 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             return None
         return mv_g[by][bx]
 
-    def set_mv(mbx, mby, px, py, pw, ph, mv):
+    def mvinfo1(bx: int, by: int):
+        if bx < 0 or by < 0 or bx >= 4 * wm or by >= 4 * hm:
+            return None
+        if not mb_avail(bx // 4, by // 4):
+            return None
+        return mv_g1[by][bx]
+
+    def set_mv(mbx, mby, px, py, pw, ph, mv, grid=None):
+        grid = mv_g if grid is None else grid
         for by in range((16 * mby + py) // 4,
                         (16 * mby + py + ph) // 4):
             for bx in range((16 * mbx + px) // 4,
                             (16 * mbx + px + pw) // 4):
-                mv_g[by][bx] = mv
+                grid[by][bx] = mv
 
     def mv_pred(bx0: int, by0: int, w_blks: int, ref: int,
                 directional: str | None = None):
@@ -1885,6 +1991,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         for by in range(4 * mby, 4 * mby + 4):
             for bx in range(4 * mbx, 4 * mbx + 4):
                 mv_g[by][bx] = (0, 0, -1)
+                mv_g1[by][bx] = (0, 0, -1)
 
     def decode_skip(mb: int) -> None:
         """P_Skip: predictor MV against ref 0, no residual."""
@@ -1973,6 +2080,9 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             mvx, mvy = mpx + mdx, mpy + mdy
             set_mv(mbx, mby, px, py, pw, ph, (mvx, mvy, ref))
             blkp = mc_luma(mbx, mby, px, py, pw, ph, mvx, mvy, ref)
+            if p_weights is not None:
+                wv, ov = p_weights["l0"][ref]
+                blkp = _wp_uni(blkp, wv, ov, p_weights["lwd"])
             for yy in range(ph):
                 pred16[py + yy][px: px + pw] = blkp[yy]
             mvs.append((px, py, pw, ph, mvx, mvy, ref))
@@ -1986,12 +2096,23 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             cr_blk = _interp_chroma(refs[ref][2], 8 * mbx + px // 2,
                                     8 * mby + py // 2, pw // 2, ph // 2,
                                     mvx, mvy)
+            if p_weights is not None:
+                (cbw, cbo), (crw, cro) = p_weights["c0"][ref]
+                cb_blk = _wp_uni(cb_blk, cbw, cbo, p_weights["cwd"])
+                cr_blk = _wp_uni(cr_blk, crw, cro, p_weights["cwd"])
             for yy in range(ph // 2):
                 cpredb[py // 2 + yy][px // 2: px // 2 + pw // 2] = \
                     cb_blk[yy]
                 cpredr[py // 2 + yy][px // 2: px // 2 + pw // 2] = \
                     cr_blk[yy]
 
+        inter_residual(mbx, mby, pred16, cpredb, cpredr)
+
+    def inter_residual(mbx, mby, pred16, cpredb, cpredr) -> None:
+        """Shared inter tail (P r9, B r10): cbp + optional qp_delta +
+        luma residual blocks over the motion-compensated prediction,
+        then chroma reconstruction against the given predictions."""
+        nonlocal qp
         cbp = ent.cbp(mbx, mby, intra=False)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp_chroma == 3:
@@ -2029,12 +2150,330 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         decode_chroma(mbx, mby, 0, cbp_chroma, qp,
                       preds=(cpredb, cpredr))
 
-    def decode_mb(mb: int, is_p: bool = False, num_ref: int = 1) -> None:
+    # ---- B slices (r10): bi-prediction, spatial direct, weighting
+
+    #: per-slice B context: {"l0", "l1" (poc-ordered ref lists of DPB
+    #: entries), "w" (pred_weight_table dict or None), "nref0/1"}
+    b_ctx: dict = {}
+
+    def _b_pred_block(px, py, pw, ph, mbx, mby, use0, use1,
+                      mv0, mv1, r0, r1):
+        """Luma+chroma prediction for one B partition: uni (possibly
+        weighted) or bi (averaged / explicitly weighted)."""
+        w = b_ctx["w"]
+
+        def fetch(lst, ref, mvx, mvy):
+            if ref >= len(lst):
+                raise ValueError(f"B ref_idx {ref} beyond the list")
+            e = lst[ref]
+            luma = _interp_luma(e[0], 16 * mbx + px, 16 * mby + py,
+                                pw, ph, mvx, mvy)
+            cb = _interp_chroma(e[1], 8 * mbx + px // 2,
+                                8 * mby + py // 2, pw // 2, ph // 2,
+                                mvx, mvy)
+            cr = _interp_chroma(e[2], 8 * mbx + px // 2,
+                                8 * mby + py // 2, pw // 2, ph // 2,
+                                mvx, mvy)
+            return luma, cb, cr
+
+        if use0 and use1:
+            y0, cb0, cr0 = fetch(b_ctx["l0"], r0, *mv0)
+            y1, cb1, cr1 = fetch(b_ctx["l1"], r1, *mv1)
+            if w is None:
+                return (_bi_avg(y0, y1), _bi_avg(cb0, cb1),
+                        _bi_avg(cr0, cr1))
+            (w0, o0), (w1, o1) = w["l0"][r0], w["l1"][r1]
+            y = _wp_bi(y0, y1, w0, o0, w1, o1, w["lwd"])
+            (cbw0, cbo0), (crw0, cro0) = w["c0"][r0]
+            (cbw1, cbo1), (crw1, cro1) = w["c1"][r1]
+            cb = _wp_bi(cb0, cb1, cbw0, cbo0, cbw1, cbo1, w["cwd"])
+            cr = _wp_bi(cr0, cr1, crw0, cro0, crw1, cro1, w["cwd"])
+            return y, cb, cr
+        lst, ref, mv, wl, wc = ((b_ctx["l0"], r0, mv0, "l0", "c0")
+                                if use0 else
+                                (b_ctx["l1"], r1, mv1, "l1", "c1"))
+        y, cb, cr = fetch(lst, ref, *mv)
+        if w is not None:
+            wv, ov = w[wl][ref]
+            y = _wp_uni(y, wv, ov, w["lwd"])
+            (cbw, cbo), (crw, cro) = w[wc][ref]
+            cb = _wp_uni(cb, cbw, cbo, w["cwd"])
+            cr = _wp_uni(cr, crw, cro, w["cwd"])
+        return y, cb, cr
+
+    def _spatial_direct_mb(mbx, mby):
+        """Spatial direct derivation (8.4.1.2.2) at MB level:
+        MinPositive reference indices + median MV predictors per
+        list; per-block colZeroFlag zeroing happens in the caller."""
+        bx0, by0 = 4 * mbx, 4 * mby
+
+        def minpos(getmv):
+            a = getmv(bx0 - 1, by0)
+            b = getmv(bx0, by0 - 1)
+            c = getmv(bx0 + 4, by0 - 1)
+            if c is None:
+                c = getmv(bx0 - 1, by0 - 1)
+            rs = [m[2] for m in (a, b, c)
+                  if m is not None and m[2] >= 0]
+            return min(rs) if rs else -1
+
+        r0 = minpos(mvinfo)
+        r1 = minpos(mvinfo1)
+        zero_pred = r0 < 0 and r1 < 0
+        if zero_pred:
+            r0 = r1 = 0
+        mvp0 = (_mv_predict(mvinfo, bx0, by0, 4, r0)
+                if r0 >= 0 else (0, 0))
+        mvp1 = (_mv_predict(mvinfo1, bx0, by0, 4, r1)
+                if r1 >= 0 else (0, 0))
+        return r0, r1, mvp0, mvp1, zero_pred
+
+    def _col_zero(bx, by):
+        """colZeroFlag: the colocated 4x4 block of RefPicList1[0] is
+        ref-0 with both MV components in [-1, 1] quarter-pel (the
+        caller already mapped 8x8-inference corners)."""
+        e = b_ctx["l1"][0]
+        mvf = e[4] if len(e) > 4 else None
+        if mvf is None:
+            return False
+        cm = mvf[by][bx]
+        return (cm is not None and cm[2] == 0
+                and -1 <= cm[0] <= 1 and -1 <= cm[1] <= 1)
+
+    def _direct_part(mbx, mby, px, py, pw, ph, derived):
+        """One direct(-skip) region: per-4x4 (or per-8x8-corner with
+        direct_8x8_inference) colZero refinement, grid updates, and
+        the combined prediction written into pred16/cpreds."""
+        r0, r1, mvp0, mvp1, zero_pred = derived
+        use0, use1 = r0 >= 0, r1 >= 0
+        pred16, cpredb, cpredr = ([[0] * pw for _ in range(ph)],
+                                  [[0] * (pw // 2)
+                                   for _ in range(ph // 2)],
+                                  [[0] * (pw // 2)
+                                   for _ in range(ph // 2)])
+        infer = bool(sps.get("direct_8x8"))
+        step = 8 if infer else 4
+        for sy in range(0, ph, step):
+            for sx in range(0, pw, step):
+                bx = (16 * mbx + px + sx) // 4
+                by = (16 * mby + py + sy) // 4
+                if infer:
+                    # colocated = the 8x8's outer-corner 4x4 of the MB
+                    cbx = 4 * mbx + (3 if (px + sx) >= 8 else 0)
+                    cby = 4 * mby + (3 if (py + sy) >= 8 else 0)
+                else:
+                    cbx, cby = bx, by
+                cz = (not zero_pred) and _col_zero(cbx, cby)
+                mv0 = ((0, 0) if zero_pred or (cz and r0 == 0)
+                       else mvp0)
+                mv1 = ((0, 0) if zero_pred or (cz and r1 == 0)
+                       else mvp1)
+                sw = min(step, pw - sx)
+                sh = min(step, ph - sy)
+                set_mv(mbx, mby, px + sx, py + sy, sw, sh,
+                       (mv0[0], mv0[1], r0) if use0 else (0, 0, -1))
+                set_mv(mbx, mby, px + sx, py + sy, sw, sh,
+                       (mv1[0], mv1[1], r1) if use1 else (0, 0, -1),
+                       grid=mv_g1)
+                yb, cbb, crb = _b_pred_block(
+                    px + sx, py + sy, sw, sh, mbx, mby,
+                    use0, use1, mv0, mv1, max(r0, 0), max(r1, 0))
+                for yy in range(sh):
+                    pred16[sy + yy][sx: sx + sw] = yb[yy]
+                for yy in range(sh // 2):
+                    cpredb[sy // 2 + yy][
+                        sx // 2: sx // 2 + sw // 2] = cbb[yy]
+                    cpredr[sy // 2 + yy][
+                        sx // 2: sx // 2 + sw // 2] = crb[yy]
+        return pred16, cpredb, cpredr
+
+    def decode_skip_b(mb: int) -> None:
+        """B_Skip: spatial direct prediction, no residual."""
+        mbx, mby = mb % wm, mb // wm
+        mb_slice[mby][mbx] = cur_slice
+        derived = _spatial_direct_mb(mbx, mby)
+        pred16, cpredb, cpredr = _direct_part(mbx, mby, 0, 0, 16, 16,
+                                              derived)
+        y_plane.put(16 * mbx, 16 * mby, pred16)
+        cb_plane.put(8 * mbx, 8 * mby, cpredb)
+        cr_plane.put(8 * mbx, 8 * mby, cpredr)
+        for by in range(4 * mby, 4 * mby + 4):
+            for bx in range(4 * mbx, 4 * mbx + 4):
+                luma_nc[by][bx] = 0
+        for grid in (cb_nc, cr_nc):
+            for by in range(2 * mby, 2 * mby + 2):
+                for bx in range(2 * mbx, 2 * mbx + 2):
+                    grid[by][bx] = 0
+        mb_qp_g[mby][mbx] = qp
+
+    #: B mb_type 4..21 (two-partition shapes): (pred0, pred1) pairs in
+    #: Table 7-14 order; each pair spans an even (16x8) and odd (8x16)
+    #: mb_type
+    _B_PAIRS = (((1, 0), (1, 0)), ((0, 1), (0, 1)), ((1, 0), (0, 1)),
+                ((0, 1), (1, 0)), ((1, 0), (1, 1)), ((0, 1), (1, 1)),
+                ((1, 1), (1, 0)), ((1, 1), (0, 1)), ((1, 1), (1, 1)))
+    #: B sub_mb_type 1..12: (w, h, (use0, use1)); 0 = B_Direct_8x8
+    _B_SUBS = (None, (8, 8, (1, 0)), (8, 8, (0, 1)), (8, 8, (1, 1)),
+               (8, 4, (1, 0)), (4, 8, (1, 0)), (8, 4, (0, 1)),
+               (4, 8, (0, 1)), (8, 4, (1, 1)), (4, 8, (1, 1)),
+               (4, 4, (1, 0)), (4, 4, (0, 1)), (4, 4, (1, 1)))
+
+    def decode_b_mb(mb: int, mb_type: int) -> None:
+        """B macroblock (r10): B_Direct_16x16, the 16x16/16x8/8x16
+        L0/L1/Bi shapes, and B_8x8 sub-partitions (incl. direct 8x8),
+        followed by the shared inter residual."""
+        mbx, mby = mb % wm, mb // wm
+        if not b_ctx["l0"] or not b_ctx["l1"]:
+            raise ValueError("B slice with an empty reference list")
+        nref0, nref1 = b_ctx["nref0"], b_ctx["nref1"]
+        pred16 = [[0] * 16 for _ in range(16)]
+        cpredb = [[0] * 8 for _ in range(8)]
+        cpredr = [[0] * 8 for _ in range(8)]
+
+        def place(px, py, pw, ph, yb, cbb, crb):
+            for yy in range(ph):
+                pred16[py + yy][px: px + pw] = yb[yy]
+            for yy in range(ph // 2):
+                cpredb[py // 2 + yy][px // 2: px // 2 + pw // 2] = \
+                    cbb[yy]
+                cpredr[py // 2 + yy][px // 2: px // 2 + pw // 2] = \
+                    crb[yy]
+
+        if mb_type == 0:        # B_Direct_16x16
+            derived = _spatial_direct_mb(mbx, mby)
+            p16, cbb, crb = _direct_part(mbx, mby, 0, 0, 16, 16,
+                                         derived)
+            place(0, 0, 16, 16, p16, cbb, crb)
+            inter_residual(mbx, mby, pred16, cpredb, cpredr)
+            return
+        if mb_type == 22:       # B_8x8
+            subs = [ent.sub_mb_type() for _ in range(4)]
+            if any(s > 12 for s in subs):
+                raise ValueError("B sub_mb_type out of range")
+            quads = [(8 * (q % 2), 8 * (q // 2)) for q in range(4)]
+            refs0, refs1 = {}, {}
+            for q, s in enumerate(subs):
+                if s and _B_SUBS[s][2][0]:
+                    refs0[q] = ent.ref_idx(nref0, mbx, mby,
+                                           *quads[q], 8, 8)
+            for q, s in enumerate(subs):
+                if s and _B_SUBS[s][2][1]:
+                    refs1[q] = ent.ref_idx(nref1, mbx, mby,
+                                           *quads[q], 8, 8)
+            # all list-0 mvds (per sub-partition), then all list-1
+            parts = []      # (q, px, py, sw, sh, use0, use1)
+            for q, s in enumerate(subs):
+                qx, qy = quads[q]
+                if s == 0:
+                    parts.append((q, qx, qy, 8, 8, None, None))
+                    continue
+                sw, sh, (u0, u1) = _B_SUBS[s]
+                for sy in range(0, 8, sh):
+                    for sx in range(0, 8, sw):
+                        parts.append((q, qx + sx, qy + sy, sw, sh,
+                                      u0, u1))
+            mvd0 = {}
+            for i, (q, px, py, sw, sh, u0, u1) in enumerate(parts):
+                if u0:
+                    mvd0[i] = ent.mvd(mbx, mby, px, py, sw, sh)
+            mvd1 = {}
+            for i, (q, px, py, sw, sh, u0, u1) in enumerate(parts):
+                if u1:
+                    mvd1[i] = ent.mvd(mbx, mby, px, py, sw, sh)
+            derived = None
+            for i, (q, px, py, sw, sh, u0, u1) in enumerate(parts):
+                if u0 is None:   # B_Direct_8x8
+                    if derived is None:
+                        derived = _spatial_direct_mb(mbx, mby)
+                    p8, cb8, cr8 = _direct_part(mbx, mby, px, py,
+                                                8, 8, derived)
+                    place(px, py, 8, 8, p8, cb8, cr8)
+                    continue
+                r0 = refs0.get(q, 0)
+                r1 = refs1.get(q, 0)
+                bx0 = (16 * mbx + px) // 4
+                by0 = (16 * mby + py) // 4
+                mv0 = mv1 = (0, 0)
+                if u0:
+                    mpx, mpy = _mv_predict(mvinfo, bx0, by0,
+                                           sw // 4, r0)
+                    dx, dy = mvd0[i]
+                    mv0 = (mpx + dx, mpy + dy)
+                if u1:
+                    mpx, mpy = _mv_predict(mvinfo1, bx0, by0,
+                                           sw // 4, r1)
+                    dx, dy = mvd1[i]
+                    mv1 = (mpx + dx, mpy + dy)
+                set_mv(mbx, mby, px, py, sw, sh,
+                       (mv0[0], mv0[1], r0) if u0 else (0, 0, -1))
+                set_mv(mbx, mby, px, py, sw, sh,
+                       (mv1[0], mv1[1], r1) if u1 else (0, 0, -1),
+                       grid=mv_g1)
+                yb, cbb, crb = _b_pred_block(px, py, sw, sh, mbx,
+                                             mby, u0, u1, mv0, mv1,
+                                             r0, r1)
+                place(px, py, sw, sh, yb, cbb, crb)
+            inter_residual(mbx, mby, pred16, cpredb, cpredr)
+            return
+        # one- and two-partition shapes (mb_type 1..21)
+        if mb_type <= 3:
+            shapes = [(0, 0, 16, 16)]
+            preds = [((1, 0), (0, 1), (1, 1))[mb_type - 1]]
+        else:
+            k = mb_type - 4
+            pair = _B_PAIRS[k // 2]
+            if k % 2 == 0:
+                shapes = [(0, 0, 16, 8), (0, 8, 16, 8)]
+            else:
+                shapes = [(0, 0, 8, 16), (8, 0, 8, 16)]
+            preds = list(pair)
+        refs0 = [ent.ref_idx(nref0, mbx, mby, *sh)
+                 if preds[i][0] else 0
+                 for i, sh in enumerate(shapes)]
+        refs1 = [ent.ref_idx(nref1, mbx, mby, *sh)
+                 if preds[i][1] else 0
+                 for i, sh in enumerate(shapes)]
+        mvds0 = [ent.mvd(mbx, mby, *sh) if preds[i][0] else (0, 0)
+                 for i, sh in enumerate(shapes)]
+        mvds1 = [ent.mvd(mbx, mby, *sh) if preds[i][1] else (0, 0)
+                 for i, sh in enumerate(shapes)]
+        for i, (px, py, pw, ph) in enumerate(shapes):
+            u0, u1 = preds[i]
+            bx0 = (16 * mbx + px) // 4
+            by0 = (16 * mby + py) // 4
+            mv0 = mv1 = (0, 0)
+            if u0:
+                mpx, mpy = _mv_predict(mvinfo, bx0, by0, pw // 4,
+                                       refs0[i])
+                mv0 = (mpx + mvds0[i][0], mpy + mvds0[i][1])
+            if u1:
+                mpx, mpy = _mv_predict(mvinfo1, bx0, by0, pw // 4,
+                                       refs1[i])
+                mv1 = (mpx + mvds1[i][0], mpy + mvds1[i][1])
+            set_mv(mbx, mby, px, py, pw, ph,
+                   (mv0[0], mv0[1], refs0[i]) if u0 else (0, 0, -1))
+            set_mv(mbx, mby, px, py, pw, ph,
+                   (mv1[0], mv1[1], refs1[i]) if u1 else (0, 0, -1),
+                   grid=mv_g1)
+            yb, cbb, crb = _b_pred_block(px, py, pw, ph, mbx, mby,
+                                         u0, u1, mv0, mv1,
+                                         refs0[i], refs1[i])
+            place(px, py, pw, ph, yb, cbb, crb)
+        inter_residual(mbx, mby, pred16, cpredb, cpredr)
+
+    def decode_mb(mb: int, is_p: bool = False, num_ref: int = 1,
+                  is_b: bool = False) -> None:
         nonlocal qp
         mbx, mby = mb % wm, mb // wm
         mb_slice[mby][mbx] = cur_slice
-        mb_type = ent.mb_type(mbx, mby, is_p)
-        if is_p:
+        mb_type = ent.mb_type(mbx, mby, is_p or is_b)
+        if is_b:
+            if mb_type < 23:
+                decode_b_mb(mb, mb_type)
+                return
+            mb_type -= 23  # intra macroblock inside a B slice
+            mark_intra_mvs(mbx, mby)
+        elif is_p:
             if mb_type < 5:
                 decode_inter_mb(mb, mb_type, num_ref)
                 return
@@ -2205,6 +2644,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         r = _R(rbsp)
         hdr = _parse_slice_header(r, sps, pps, typ, ref_idc)
         qp = hdr["qp"]
+        p_weights = hdr["weights"] if hdr["is_p"] else None
         slice_db.append((hdr["idc"], hdr["off_a"], hdr["off_b"]))
         if hdr["first_mb"] != next_mb:
             raise NotImplementedError(
@@ -2212,9 +2652,31 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                 f"{next_mb} — out-of-order/FMO slices unsupported"
             )
         is_p = hdr["is_p"]
-        has_inter = has_inter or is_p
+        is_b = hdr["is_b"]
+        has_inter = has_inter or is_p or is_b
+        if is_b:
+            if not refs:
+                raise ValueError("B slice with an empty DPB")
+            past = sorted([e for e in refs if e[3] <= cur_poc],
+                          key=lambda e: -e[3])
+            futr = sorted([e for e in refs if e[3] > cur_poc],
+                          key=lambda e: e[3])
+            l0, l1 = past + futr, futr + past
+            if (len(l1) > 1
+                    and all(a is b for a, b in zip(l0, l1))):
+                # spec RefPicList1 rule: identical lists swap the
+                # first two entries
+                l1 = [l1[1], l1[0]] + l1[2:]
+            b_ctx.clear()
+            b_ctx.update({"l0": l0, "l1": l1, "w": hdr["weights"],
+                          "nref0": hdr["num_ref"],
+                          "nref1": hdr["num_ref1"]})
         mb = hdr["first_mb"]
         if use_cabac:
+            if is_b:
+                raise NotImplementedError(
+                    "CABAC B slices (list-1 context trees) — CAVLC B "
+                    "decodes; CABAC covers I/P (r10)")
             # cabac_alignment_one_bit(s), then slice data from the
             # byte boundary (pad so arithmetic read-ahead never
             # exhausts the reader at the trailing terminate)
@@ -2251,14 +2713,17 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                else _EntCavlc(r))
         stop = _rbsp_stop(rbsp)
         while True:
-            if is_p:
+            if is_p or is_b:
                 if r.pos >= stop:
                     break
                 for _ in range(r.ue()):   # mb_skip_run
                     if mb >= wm * hm:
                         raise ValueError(
                             "skip run overruns the picture")
-                    decode_skip(mb)
+                    if is_b:
+                        decode_skip_b(mb)
+                    else:
+                        decode_skip(mb)
                     if capture is not None:
                         ent.mbs.append(("skip",))
                     mb += 1
@@ -2268,7 +2733,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                 break
             if mb >= wm * hm:
                 raise ValueError("slice data overruns the picture")
-            decode_mb(mb, is_p, hdr["num_ref"])
+            decode_mb(mb, is_p, hdr["num_ref"], is_b=is_b)
             mb_qp_g[mb // wm][mb % wm] = qp
             mb += 1
         if capture is not None:
@@ -2290,7 +2755,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                          pps["chroma_qp_off"],
                          luma_nc=luma_nc if has_inter else None,
                          mv_g=mv_g if has_inter else None)
-    return y_plane, cb_plane, cr_plane
+    return y_plane, cb_plane, cr_plane, mv_g
 
 
 def _crop_planes(sps, y_plane, cb_plane, cr_plane):
@@ -2309,6 +2774,34 @@ def _crop_planes(sps, y_plane, cb_plane, cr_plane):
         for yy in range(h // 2)
     ]
     return y_rows, cb_rows, cr_rows
+
+
+def _picture_poc(sps: dict, hdr: dict, idr: bool,
+                 state: dict) -> int:
+    """PicOrderCnt of the current picture (8.2.1): poc_type 0 uses
+    the lsb/msb wrap derivation against the previous REFERENCE
+    picture; other types fall back to decode order (no reordering
+    exists without type-0 POC in this profile subset)."""
+    if sps["poc_type"] != 0 or hdr["poc_lsb"] is None:
+        state["cnt"] = state.get("cnt", -1) + 1
+        return 2 * state["cnt"]
+    if idr:
+        state["msb"], state["lsb"] = 0, 0
+        prev_msb = prev_lsb = 0
+    else:
+        prev_msb = state.get("msb", 0)
+        prev_lsb = state.get("lsb", 0)
+    max_lsb = 1 << sps["poc_lsb_bits"]
+    lsb = hdr["poc_lsb"]
+    if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+        msb = prev_msb + max_lsb
+    elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+        msb = prev_msb - max_lsb
+    else:
+        msb = prev_msb
+    if hdr["ref_idc"]:
+        state["msb"], state["lsb"] = msb, lsb
+    return msb + lsb
 
 
 def decode_video_yuv(data: bytes, max_frames: int | None = None,
@@ -2335,16 +2828,21 @@ def decode_video_yuv(data: bytes, max_frames: int | None = None,
         raise ValueError("no SPS+PPS+slice in stream")
     dpb: list = []
     frames = []
+    poc_state: dict = {}
     for pic in pics:
         if max_frames is not None and len(frames) >= max_frames:
             break
         if pic[0][0] == 5:
             dpb = []  # IDR: reference list resets
-        y_p, cb_p, cr_p = _decode_picture(sps, pps, pic, dpb, deblock)
+        hdr0 = _parse_slice_header(_R(pic[0][2]), sps, pps,
+                                   pic[0][0], pic[0][1])
+        poc = _picture_poc(sps, hdr0, pic[0][0] == 5, poc_state)
+        y_p, cb_p, cr_p, mvf = _decode_picture(sps, pps, pic, dpb,
+                                               deblock, cur_poc=poc)
         frames.append(_crop_planes(sps, y_p, cb_p, cr_p))
         if pic[0][1]:  # nal_ref_idc != 0: used for reference
             dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
-                           _plane_np(cr_p)))
+                           _plane_np(cr_p), poc, mvf))
             del dpb[sps["max_ref"]:]  # sliding window
     return sps["width"], sps["height"], frames
 
@@ -2579,16 +3077,24 @@ def _pad420(ys, cbs, crs):
 
 
 def _write_sps_pps(wm: int, hm: int, w: int, h: int,
-                   init_qp: int = 26, max_ref: int = 0) -> bytes:
+                   init_qp: int = 26, max_ref: int = 0,
+                   poc0: bool = False, wbipred: int = 0) -> bytes:
     """SPS + PPS NALs for the engine encoders (baseline, one slice
-    group, CAVLC, deblocking signalled off by the slice header)."""
+    group, CAVLC, deblocking signalled off by the slice header).
+    ``poc0`` selects pic_order_cnt_type 0 with 6-bit lsb (the B
+    encoder needs real POCs for reference-list ordering); ``wbipred``
+    sets weighted_bipred_idc (1 = explicit tables in B headers)."""
     sps = _W()
-    sps.u(66, 8)   # profile_idc: baseline
+    sps.u(66 if not poc0 else 77, 8)   # baseline / main (B slices)
     sps.u(0, 8)    # constraint flags / reserved
     sps.u(30, 8)   # level 3.0
     sps.ue(0)      # sps id
     sps.ue(0)      # log2_max_frame_num_minus4
-    sps.ue(2)      # pic_order_cnt_type 2
+    if poc0:
+        sps.ue(0)  # pic_order_cnt_type 0
+        sps.ue(2)  # log2_max_pic_order_cnt_lsb_minus4 -> 6 bits
+    else:
+        sps.ue(2)  # pic_order_cnt_type 2
     sps.ue(max_ref)  # max_num_ref_frames
     sps.u(0, 1)    # gaps allowed
     sps.ue(wm - 1)
@@ -2615,7 +3121,7 @@ def _write_sps_pps(wm: int, hm: int, w: int, h: int,
     pps.ue(0)
     pps.ue(0)      # ref idx defaults
     pps.u(0, 1)    # weighted_pred
-    pps.u(0, 2)    # weighted_bipred
+    pps.u(wbipred, 2)  # weighted_bipred_idc
     pps.se(init_qp - 26)
     pps.se(0)      # pic_init_qs
     pps.se(0)      # chroma_qp_offset
@@ -3599,13 +4105,18 @@ def transcode_to_cabac(data: bytes) -> bytes:
 
     dpb: list = []
     rendered: dict[int, bytes] = {}
+    poc_state: dict = {}
     for pi, pic in enumerate(pics):
         if pic[0][0] == 5:
             dpb = []
         capture: list = []
-        y_p, cb_p, cr_p = _decode_picture(sps, pps, pic, dpb,
-                                          deblock="auto",
-                                          capture=capture)
+        hdr0 = _parse_slice_header(_R(pic[0][2]), sps, pps,
+                                   pic[0][0], pic[0][1])
+        poc = _picture_poc(sps, hdr0, pic[0][0] == 5, poc_state)
+        y_p, cb_p, cr_p, mvf = _decode_picture(sps, pps, pic, dpb,
+                                               deblock="auto",
+                                               capture=capture,
+                                               cur_poc=poc)
         decoded = [[-1] * wm for _ in range(hm)]
         sl_id = [0]
 
@@ -3617,6 +4128,10 @@ def transcode_to_cabac(data: bytes) -> bytes:
         mb0 = 0
         for si, ((typ, ref, _rbsp), (hdr, records)) in enumerate(
                 zip(pic, capture)):
+            if hdr["is_b"]:
+                raise NotImplementedError(
+                    "CABAC B slices (list-1 context trees) — the "
+                    "transcoder covers I/P streams (r10)")
             sl_id[0] = si
             w = _W()
             hdr = dict(hdr, cabac_init_idc=0)
@@ -3632,8 +4147,368 @@ def transcode_to_cabac(data: bytes) -> bytes:
         rendered[pi] = bytes(chunk)
         if pic[0][1]:
             dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
-                           _plane_np(cr_p)))
+                           _plane_np(cr_p), poc, mvf))
             del dpb[sps["max_ref"]:]
     for kind, v in order:
         out += v if kind == "nal" else rendered[v]
     return bytes(out)
+
+
+# ------------------------------------------------- B-slice encoder (r10)
+
+def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
+                       weights=None):
+    """Three DISPLAY-order 4:2:0 frames (f0, f1, f2) -> (Annex-B
+    bytes, recon triples in DECODE order [I, P, B]): an I_PCM IDR
+    (poc 0), a P picture of f2 coded as all-I_PCM-in-P macroblocks
+    (poc 4, exact recon, zero entropy tables), then a NON-REFERENCE
+    B picture of f1 (poc 2) whose inter macroblocks cycle
+    B_L0_16x16 (list 0 = the I picture) / B_L1_16x16 (list 1 = the
+    P picture) / B_Bi_16x16 with GLOBAL per-list motion vectors
+    ``mvs = (mv_l0, mv_l1)`` in quarter-pel units and dense CAVLC
+    luma residuals (first MB I_PCM, chroma prediction-only — the
+    same dense discipline as :func:`encode_video_yuv`, needing only
+    the ``cbp_inter`` seam).
+
+    ``weights`` = {"lwd", "cwd", "w0": (w, o), "w1": (w, o),
+    "c0"/"c1": ((w, o), (w, o))} emits explicit weighted
+    bi-prediction (PPS weighted_bipred_idc = 1 + a pred_weight_table
+    in the B slice header) and applies it in the replayed recon, so
+    the weighted sample formulas self-check bit-exactly.
+
+    Self-check role: the encoder replays the decoder's reference-list
+    construction (POC-ordered), median MV prediction per list, MC
+    interpolation and bi/weighted combination, so
+    ``decode_video_yuv`` of the returned bytes is BIT-EXACT against
+    the returned recons."""
+    if len(frames) != 3:
+        raise ValueError("encode_video_b_yuv takes exactly 3 frames")
+    mv0, mv1 = (tuple(mvs[0]), tuple(mvs[1]))
+    book = _need("cbp_intra", "inter")
+    inv_cbp = {cbp: code for code, cbp in book.items()}
+    if 15 not in inv_cbp:
+        raise ValueError("injected cbp_inter map lacks cbp 15")
+    padded = [_pad420(*f) for f in frames]
+    ys0, cbs0, crs0, w, h, wm, hm = padded[0]
+    for f in padded[1:]:
+        if (f[3], f[4]) != (w, h):
+            raise ValueError("all frames must share dimensions")
+    out = bytearray(_write_sps_pps(
+        wm, hm, w, h, init_qp=qp, max_ref=2, poc0=True,
+        wbipred=1 if weights else 0))
+    qdiv, qmod = qp // 6, qp % 6
+
+    def pcm_picture(fys, fcbs, fcrs, slice_type, frame_num, poc,
+                    idr):
+        sl = _W()
+        sl.ue(0)                  # first_mb_in_slice
+        sl.ue(slice_type)
+        sl.ue(0)                  # pps id
+        sl.u(frame_num, 4)
+        if idr:
+            sl.ue(0)              # idr_pic_id
+        sl.u(poc, 6)              # pic_order_cnt_lsb
+        if slice_type == 5:       # P: override/refmod
+            sl.u(0, 1)
+            sl.u(0, 1)
+        if idr:
+            sl.u(1, 1)
+            sl.u(0, 1)
+        else:
+            sl.u(0, 1)            # adaptive marking
+        sl.se(0)                  # slice_qp_delta
+        sl.ue(1)                  # deblocking off
+        for mb in range(wm * hm):
+            if slice_type == 5:
+                sl.ue(0)          # mb_skip_run
+                sl.ue(30)         # I_PCM in a P slice
+            else:
+                sl.ue(25)         # I_PCM
+            sl.byte_align_zero()
+            mbx, mby = mb % wm, mb // wm
+            for yy in range(16):
+                for xx in range(16):
+                    sl.u(fys[16 * mby + yy][16 * mbx + xx], 8)
+            for plane in (fcbs, fcrs):
+                for yy in range(8):
+                    for xx in range(8):
+                        sl.u(plane[8 * mby + yy][8 * mbx + xx], 8)
+        return sl
+
+    def plane_of(rows, pw, ph):
+        pl = _Plane(pw, ph)
+        for y, row in enumerate(rows):
+            pl.px[y * pw: y * pw + pw] = row[:pw]
+        return pl
+
+    # ---- I (IDR, poc 0) and P (all PCM, poc 4): exact recons
+    fys, fcbs, fcrs = padded[0][0], padded[0][1], padded[0][2]
+    out += _nal(pcm_picture(fys, fcbs, fcrs, 7, 0, 0, True)
+                .trailing(), 3, 5)
+    ri = (plane_of(fys, 16 * wm, 16 * hm),
+          plane_of(fcbs, 8 * wm, 8 * hm),
+          plane_of(fcrs, 8 * wm, 8 * hm))
+    fys2, fcbs2, fcrs2 = padded[2][0], padded[2][1], padded[2][2]
+    out += _nal(pcm_picture(fys2, fcbs2, fcrs2, 5, 1, 4, False)
+                .trailing(), 2, 1)
+    rp = (plane_of(fys2, 16 * wm, 16 * hm),
+          plane_of(fcbs2, 8 * wm, 8 * hm),
+          plane_of(fcrs2, 8 * wm, 8 * hm))
+    np_i = (_plane_np(ri[0]), _plane_np(ri[1]), _plane_np(ri[2]))
+    np_p = (_plane_np(rp[0]), _plane_np(rp[1]), _plane_np(rp[2]))
+
+    # ---- B picture of f1 (poc 2, non-reference)
+    fys1, fcbs1, fcrs1 = padded[1][0], padded[1][1], padded[1][2]
+    sl = _W()
+    sl.ue(0)
+    sl.ue(6)      # slice_type B (all slices)
+    sl.ue(0)
+    sl.u(2, 4)    # frame_num
+    sl.u(2, 6)    # poc_lsb 2 -> between I (0) and P (4)
+    sl.u(1, 1)    # direct_spatial_mv_pred_flag
+    sl.u(0, 1)    # num_ref override
+    sl.u(0, 1)    # ref mod l0
+    sl.u(0, 1)    # ref mod l1
+    if weights:
+        sl.ue(weights["lwd"])
+        sl.ue(weights["cwd"])
+        for lk, ck in (("w0", "c0"), ("w1", "c1")):
+            wv, ov = weights[lk]
+            sl.u(1, 1)
+            sl.se(wv)
+            sl.se(ov)
+            sl.u(1, 1)
+            for cw, co in weights[ck]:
+                sl.se(cw)
+                sl.se(co)
+    # non-reference (nal_ref_idc 0): no dec_ref_pic_marking
+    sl.se(0)      # slice_qp_delta
+    sl.ue(1)      # deblocking off
+
+    ry = _Plane(16 * wm, 16 * hm)
+    rcb = _Plane(8 * wm, 8 * hm)
+    rcr = _Plane(8 * wm, 8 * hm)
+    luma_nc = [[-1] * (4 * wm) for _ in range(4 * hm)]
+    g0 = [[None] * (4 * wm) for _ in range(4 * hm)]
+    g1 = [[None] * (4 * wm) for _ in range(4 * hm)]
+
+    def getmv(grid):
+        def f(bx, by):
+            if bx < 0 or by < 0 or bx >= 4 * wm or by >= 4 * hm:
+                return None
+            return grid[by][bx]
+        return f
+
+    def nc_of(bx, by):
+        na = luma_nc[by][bx - 1] if bx > 0 else -1
+        nb = luma_nc[by - 1][bx] if by > 0 else -1
+        if na >= 0 and nb >= 0:
+            return (na + nb + 1) >> 1
+        return na if na >= 0 else (nb if nb >= 0 else 0)
+
+    def wp_y(blk, key):
+        if not weights:
+            return blk
+        wv, ov = weights[key]
+        return _wp_uni(blk, wv, ov, weights["lwd"])
+
+    def wp_c(blk, key, ci):
+        if not weights:
+            return blk
+        wv, ov = weights[key][ci]
+        return _wp_uni(blk, wv, ov, weights["cwd"])
+
+    for mb in range(wm * hm):
+        mbx, mby = mb % wm, mb // wm
+        sl.ue(0)      # mb_skip_run
+        if mb == 0:   # I_PCM in a B slice seeds the nC contexts
+            sl.ue(48)  # 23 + 25
+            sl.byte_align_zero()
+            for yy in range(16):
+                for xx in range(16):
+                    sl.u(fys1[yy][xx], 8)
+            for plane in (fcbs1, fcrs1):
+                for yy in range(8):
+                    for xx in range(8):
+                        sl.u(plane[yy][xx], 8)
+            ry.put(0, 0, [row[:16] for row in fys1[:16]])
+            rcb.put(0, 0, [row[:8] for row in fcbs1[:8]])
+            rcr.put(0, 0, [row[:8] for row in fcrs1[:8]])
+            for by in range(4):
+                for bx in range(4):
+                    luma_nc[by][bx] = 16
+                    g0[by][bx] = (0, 0, -1)
+                    g1[by][bx] = (0, 0, -1)
+            continue
+        mode = (mb % 3) + 1   # 1 = B_L0, 2 = B_L1, 3 = B_Bi
+        sl.ue(mode)
+        use0, use1 = mode != 2, mode != 1
+        # te(v) refs: one per list per used list, but num_ref == 1
+        # both lists -> zero bits
+        bx0, by0 = 4 * mbx, 4 * mby
+        if use0:
+            mpx, mpy = _mv_predict(getmv(g0), bx0, by0, 4, 0)
+            sl.se(mv0[0] - mpx)
+            sl.se(mv0[1] - mpy)
+        if use1:
+            mpx, mpy = _mv_predict(getmv(g1), bx0, by0, 4, 0)
+            sl.se(mv1[0] - mpx)
+            sl.se(mv1[1] - mpy)
+        for by in range(by0, by0 + 4):
+            for bx in range(bx0, bx0 + 4):
+                g0[by][bx] = ((mv0[0], mv0[1], 0) if use0
+                              else (0, 0, -1))
+                g1[by][bx] = ((mv1[0], mv1[1], 0) if use1
+                              else (0, 0, -1))
+        # prediction: replay the decoder's combination
+        y0 = _interp_luma(np_i[0], 16 * mbx, 16 * mby, 16, 16,
+                          mv0[0], mv0[1]) if use0 else None
+        y1 = _interp_luma(np_p[0], 16 * mbx, 16 * mby, 16, 16,
+                          mv1[0], mv1[1]) if use1 else None
+        cb0 = _interp_chroma(np_i[1], 8 * mbx, 8 * mby, 8, 8,
+                             mv0[0], mv0[1]) if use0 else None
+        cb1 = _interp_chroma(np_p[1], 8 * mbx, 8 * mby, 8, 8,
+                             mv1[0], mv1[1]) if use1 else None
+        cr0 = _interp_chroma(np_i[2], 8 * mbx, 8 * mby, 8, 8,
+                             mv0[0], mv0[1]) if use0 else None
+        cr1 = _interp_chroma(np_p[2], 8 * mbx, 8 * mby, 8, 8,
+                             mv1[0], mv1[1]) if use1 else None
+        if use0 and use1:
+            if weights:
+                (w0, o0), (w1, o1) = weights["w0"], weights["w1"]
+                pred16 = _wp_bi(y0, y1, w0, o0, w1, o1,
+                                weights["lwd"])
+                (b0w, b0o), (r0w, r0o) = weights["c0"]
+                (b1w, b1o), (r1w, r1o) = weights["c1"]
+                cpredb = _wp_bi(cb0, cb1, b0w, b0o, b1w, b1o,
+                                weights["cwd"])
+                cpredr = _wp_bi(cr0, cr1, r0w, r0o, r1w, r1o,
+                                weights["cwd"])
+            else:
+                pred16 = _bi_avg(y0, y1)
+                cpredb = _bi_avg(cb0, cb1)
+                cpredr = _bi_avg(cr0, cr1)
+        elif use0:
+            pred16 = wp_y(y0, "w0")
+            cpredb = wp_c(cb0, "c0", 0)
+            cpredr = wp_c(cr0, "c0", 1)
+        else:
+            pred16 = wp_y(y1, "w1")
+            cpredb = wp_c(cb1, "c1", 0)
+            cpredr = wp_c(cr1, "c1", 1)
+        sl.ue(inv_cbp[15])   # cbp: all luma, no chroma
+        sl.se(0)             # mb_qp_delta
+        out16 = [row[:] for row in pred16]
+        for blk in range(16):
+            ox, oy = _BLK4_XY[blk]
+            bx = (16 * mbx + ox) // 4
+            by = (16 * mby + oy) // 4
+            res = [[fys1[16 * mby + oy + yy][16 * mbx + ox + xx]
+                    - pred16[oy + yy][ox + xx]
+                    for xx in range(4)] for yy in range(4)]
+            scan = _quant_scan(_ftrans4(res), qp, skip_dc=False,
+                               dense=True)
+            _cavlc_write_block(sl, scan, nc_of(bx, by), 16)
+            luma_nc[by][bx] = sum(1 for v in scan if v)
+            d = [[0] * 4 for _ in range(4)]
+            for k, (i, j) in enumerate(_ZIG4):
+                c = scan[k]
+                if c:
+                    d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
+            dres = _itrans4(d)
+            for yy in range(4):
+                for xx in range(4):
+                    out16[oy + yy][ox + xx] = _clip8(
+                        pred16[oy + yy][ox + xx]
+                        + ((dres[yy][xx] + 32) >> 6))
+        ry.put(16 * mbx, 16 * mby, out16)
+        rcb.put(8 * mbx, 8 * mby,
+                [[_clip8(v) for v in row] for row in cpredb])
+        rcr.put(8 * mbx, 8 * mby,
+                [[_clip8(v) for v in row] for row in cpredr])
+    out += _nal(sl.trailing(), 0, 1)
+
+    crop_sps = {"crop": (0, (16 * wm - w) // 2, 0, (16 * hm - h) // 2)
+                if (w, h) != (16 * wm, 16 * hm) else (0, 0, 0, 0),
+                "width": w, "height": h}
+    recons = [_crop_planes(crop_sps, *ri),
+              _crop_planes(crop_sps, *rp),
+              _crop_planes(crop_sps, ry, rcb, rcr)]
+    return bytes(out), recons
+
+
+def encode_video_b_skip(px_rows) -> bytes:
+    """RGB rows -> a 3-picture clip that is fully TABLE-FREE on both
+    sides: an I_PCM IDR (poc 0), an all-I_PCM-in-P reference picture
+    of the SAME content (poc 4), and a non-reference all-B_Skip
+    picture between them (poc 2) — every B macroblock spatial-directs
+    to zero motion with zero-valued references in both lists and
+    bi-averages the two identical references, so the B recon equals
+    the I picture exactly. Exercises the B slice header, skip-run
+    machinery, POC-ordered list construction and the bi-prediction
+    average with ZERO entropy tables (the B sibling of
+    :func:`encode_video_skip`)."""
+    ys, cbs, crs = _rgb_to_420(px_rows)
+    b, _ = _encode_video_b_skip_build(ys, cbs, crs)
+    return b
+
+
+def _encode_video_b_skip_build(ys, cbs, crs):
+    ys, cbs, crs, w, h, wm, hm = _pad420(ys, cbs, crs)
+    out = bytearray(_write_sps_pps(wm, hm, w, h, max_ref=2,
+                                   poc0=True))
+
+    def pcm(slice_type, frame_num, poc, idr, ref_idc, typ):
+        sl = _W()
+        sl.ue(0)
+        sl.ue(slice_type)
+        sl.ue(0)
+        sl.u(frame_num, 4)
+        if idr:
+            sl.ue(0)
+        sl.u(poc, 6)
+        if slice_type == 5:
+            sl.u(0, 1)
+            sl.u(0, 1)
+        if idr:
+            sl.u(1, 1)
+            sl.u(0, 1)
+        else:
+            sl.u(0, 1)
+        sl.se(0)
+        sl.ue(1)
+        for mb in range(wm * hm):
+            if slice_type == 5:
+                sl.ue(0)
+                sl.ue(30)
+            else:
+                sl.ue(25)
+            sl.byte_align_zero()
+            mbx, mby = mb % wm, mb // wm
+            for yy in range(16):
+                for xx in range(16):
+                    sl.u(ys[16 * mby + yy][16 * mbx + xx], 8)
+            for plane in (cbs, crs):
+                for yy in range(8):
+                    for xx in range(8):
+                        sl.u(plane[8 * mby + yy][8 * mbx + xx], 8)
+        return _nal(sl.trailing(), ref_idc, typ)
+
+    out += pcm(7, 0, 0, True, 3, 5)
+    out += pcm(5, 1, 4, False, 2, 1)
+    sl = _W()
+    sl.ue(0)
+    sl.ue(6)      # B slice
+    sl.ue(0)
+    sl.u(2, 4)
+    sl.u(2, 6)    # poc_lsb 2
+    sl.u(1, 1)    # direct_spatial
+    sl.u(0, 1)
+    sl.u(0, 1)
+    sl.u(0, 1)
+    sl.se(0)
+    sl.ue(1)
+    sl.ue(wm * hm)   # one skip run covering the picture
+    out += _nal(sl.trailing(), 0, 1)
+    return bytes(out), None
+

@@ -1702,6 +1702,18 @@ def _synthetic_real_media_rows_build(
                      bytearray(ogg_wrap_flac(
                          flac_encode(tone16, rate=8000))),
                      "{}"))
+        # r10: a THREE-picture clip with a B picture — I_PCM IDR +
+        # all-PCM P reference + a non-reference all-B_Skip picture
+        # between them in display order (spatial direct, POC-ordered
+        # reference lists, bi-prediction average) — fully TABLE-FREE
+        # on both sides (operators/h264.py encode_video_b_skip), and
+        # frame extraction yields all 3 frames
+        from data_migration_etl_scripts_spark.operators.h264 import (
+            encode_video_b_skip,
+        )
+
+        rows.append((n + 31, "video",
+                     bytearray(encode_video_b_skip(px11)), "{}"))
         # r10: a CABAC-entropy H.264 stream (the engine transcoder
         # re-serializes the quantized picture's syntax through the
         # clause-9.3 arithmetic coder; operators/h264_cabac.py).

@@ -650,15 +650,18 @@ def test_quantized_roundtrip_property():
     run()
 
 
-def test_b_slices_raise_namefully():
-    """P slices decode since r9; the scope boundary is B slices
-    (bi-prediction)."""
+def test_temporal_direct_raises_namefully():
+    """B slices decode since r10 (spatial direct); the scope boundary
+    is temporal direct mode (direct_spatial_mv_pred_flag = 0)."""
     units = h.nal_units(_intra16_stream())
     sl = h._W()
     sl.ue(0); sl.ue(6)  # slice_type B (all slices)
+    sl.ue(0)            # pps id
+    sl.u(0, 4)          # frame_num
+    sl.u(0, 1)          # direct_spatial_mv_pred_flag = 0 (temporal)
     stream = (h._nal(units[0][2], 3, 7) + h._nal(units[1][2], 3, 8)
               + h._nal(sl.trailing(), 3, 1))
-    with pytest.raises(NotImplementedError, match="B slices"):
+    with pytest.raises(NotImplementedError, match="temporal direct"):
         h.decode_video_yuv(stream)
 
 
@@ -1297,3 +1300,158 @@ def test_deblock_closed_form_alpha_beta_warns_once():
         h.decode_iframe_yuv(b)   # seam populated: silent
     assert not [w for w in rec if issubclass(w.category,
                                              RuntimeWarning)]
+
+
+# --------------------------------------------------- B slices (r10)
+
+def test_b_skip_clip_table_free():
+    """I_PCM IDR + all-PCM P + all-B_Skip picture decodes with ZERO
+    tables: the B picture spatial-directs to zero motion with ref 0
+    in both lists and bi-averages I and P; since they carry the same
+    content here, the B recon equals the I picture exactly."""
+    px = [[((x * 7 + y * 3) % 256, x % 256, y % 256)
+           for x in range(32)] for y in range(32)]
+    b = h.encode_video_b_skip(px)
+    w, hgt, frames = h.decode_video_yuv(b)
+    assert (w, hgt) == (32, 32) and len(frames) == 3
+    assert frames[2] == frames[0]
+    assert frames[1] == frames[0]     # the P is PCM of the same px
+
+
+def test_b_encode_decode_bit_exact():
+    """encode_video_b_yuv replays the decoder's POC-ordered list
+    construction, per-list median MV prediction, MC and
+    bi-prediction average: decode is bit-exact against the recons
+    for zero and fractional per-list MVs."""
+    _cbp_inter_identity()
+    frames = _grad_clip(3)
+    for mvs in (((0, 0), (0, 0)), ((5, -3), (-2, 7)),
+                ((1, 1), (3, 2))):
+        b, recons = h.encode_video_b_yuv(frames, qp=8, mvs=mvs)
+        w, hgt, out = h.decode_video_yuv(b)
+        assert out == recons, mvs
+    # B_L0 references the PAST (I), B_L1 the FUTURE (P): corrupting
+    # the list-1 picture must change only the L1/Bi macroblocks
+    b, recons = h.encode_video_b_yuv(frames, qp=8)
+    w, hgt, out = h.decode_video_yuv(b)
+    assert out == recons
+
+
+def test_b_explicit_weighted_prediction():
+    """weighted_bipred_idc = 1 + pred_weight_table: the uni and bi
+    weighted sample formulas ((s*w + 2^(lwd-1)) >> lwd) + o and
+    ((s0*w0 + s1*w1 + 2^lwd) >> (lwd+1)) + avg-offset replay
+    bit-exactly through encode -> decode, luma AND chroma."""
+    _cbp_inter_identity()
+    frames = _grad_clip(3)
+    wts = {"lwd": 5, "cwd": 4, "w0": (20, 3), "w1": (44, -2),
+           "c0": ((10, 1), (18, 0)), "c1": ((22, -1), (14, 2))}
+    b, recons = h.encode_video_b_yuv(frames, qp=8, weights=wts)
+    w, hgt, out = h.decode_video_yuv(b)
+    assert out == recons
+    # the weights demonstrably changed the picture vs unweighted
+    b0, recons0 = h.encode_video_b_yuv(frames, qp=8)
+    assert recons0[2] != recons[2]
+    # and the stream really declares weighted_bipred_idc = 1
+    for ref, typ, rbsp in h.nal_units(b):
+        if typ == 8:
+            assert h.parse_pps(rbsp)["weighted_bipred"] == 1
+
+
+def test_p_explicit_weighted_prediction_hand_stream():
+    """A hand-built P stream with weighted_pred = 1: a zero-residual
+    P_L0_16x16 macroblock reconstructs as the weighted reference
+    sample-for-sample (uni formula, luma + chroma)."""
+    h.load_cavlc_tables({"cbp_inter": [[i, i] for i in range(48)]})
+    px_y = [[(x * 5 + y * 7) % 256 for x in range(16)]
+            for y in range(16)]
+    cb = [[(100 + x * 3 + y) % 256 for x in range(8)]
+          for y in range(8)]
+    cr = [[(60 + x + y * 2) % 256 for x in range(8)]
+          for y in range(8)]
+    # SPS (poc type 2) + PPS with weighted_pred = 1
+    sps_pps = h.nal_units(h.encode_ipcm_yuv(px_y, cb, cr))
+    sps_rbsp = sps_pps[0][2]
+    pps = h._W()
+    pps.ue(0); pps.ue(0)
+    pps.u(0, 1)     # CAVLC
+    pps.u(0, 1)
+    pps.ue(0)
+    pps.ue(0); pps.ue(0)
+    pps.u(1, 1)     # weighted_pred = 1
+    pps.u(0, 2)
+    pps.se(0); pps.se(0); pps.se(0)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)
+    idr = sps_pps[2][2]      # the I_PCM slice rbsp
+    lwd, wv, ov = 3, 13, 7
+    cwd, cwv, cov = 2, 5, -9
+    sl = h._W()
+    sl.ue(0)
+    sl.ue(5)        # P
+    sl.ue(0)
+    sl.u(1, 4)      # frame_num
+    sl.u(0, 1)      # override
+    sl.u(0, 1)      # ref mod
+    sl.ue(lwd)      # pred_weight_table
+    sl.ue(cwd)
+    sl.u(1, 1)      # luma_weight_l0_flag
+    sl.se(wv)
+    sl.se(ov)
+    sl.u(1, 1)      # chroma_weight_l0_flag
+    sl.se(cwv); sl.se(cov)
+    sl.se(cwv); sl.se(cov)
+    sl.u(0, 1)      # adaptive marking
+    sl.se(0)        # qp delta
+    sl.ue(1)        # deblock off
+    sl.ue(0)        # skip run
+    sl.ue(0)        # P_L0_16x16
+    sl.se(0); sl.se(0)        # mvd 0 (predictor 0: no neighbors)
+    sl.ue(0)        # cbp 0 (identity map)
+    stream = (h._nal(sps_rbsp, 3, 7) + h._nal(pps.trailing(), 3, 8)
+              + h._nal(idr, 3, 5) + h._nal(sl.trailing(), 2, 1))
+    w, hgt, frames = h.decode_video_yuv(stream)
+    assert len(frames) == 2
+    iy, icb, icr = frames[0]
+    py, pcb, pcr = frames[1]
+    rnd = 1 << (lwd - 1)
+    for y in range(16):
+        for x in range(16):
+            exp = min(255, max(0, ((iy[y][x] * wv + rnd) >> lwd) + ov))
+            assert py[y][x] == exp, (x, y)
+    crnd = 1 << (cwd - 1)
+    for y in range(8):
+        for x in range(8):
+            exp = min(255, max(0, ((icb[y][x] * cwv + crnd) >> cwd)
+                               + cov))
+            assert pcb[y][x] == exp, (x, y)
+
+
+def test_b_transcode_raises_namefully():
+    """CABAC covers I/P (r10): transcoding a B stream raises at the
+    documented boundary rather than mis-encoding."""
+    from data_migration_etl_scripts_spark.operators import (
+        h264_cabac as C,
+    )
+
+    rl = [[max(2, min(240, ((q + 1) * (128 - 2 * s)) // 2 + 2))
+           for q in range(4)] for s in range(64)]
+    tl = [max(0, s - 1 - s // 8) for s in range(64)]
+    init = {k: [[(i * 5) % 16 - 8, 40 + (i * 7) % 48]
+                for i in range(277)]
+            for k in ("I", "P0", "P1", "P2")}
+    saved = {"range_lps": C.CABAC["range_lps"],
+             "trans_lps": C.CABAC["trans_lps"],
+             "init": dict(C.CABAC["init"])}
+    try:
+        C.load_cabac_tables({"range_lps": rl, "trans_lps": tl,
+                             "init": init})
+        px = [[((x * 7 + y * 3) % 256, x % 256, y % 256)
+               for x in range(32)] for y in range(32)]
+        b = h.encode_video_b_skip(px)
+        with pytest.raises(NotImplementedError, match="CABAC B"):
+            h.transcode_to_cabac(b)
+    finally:
+        C.CABAC["range_lps"] = saved["range_lps"]
+        C.CABAC["trans_lps"] = saved["trans_lps"]
+        C.CABAC["init"].clear()
+        C.CABAC["init"].update(saved["init"])
