@@ -1001,14 +1001,28 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
         ]
         return rate, mono
     if b[:4] == b"OggS":
-        # Ogg container (r9): the FLAC mapping decodes end to end
-        # (operators/ogg.py -> operators/flac.py, bit-exact);
-        # Vorbis/Opus raise at the documented plug point
-        from data_migration_etl_scripts_spark.operators.flac import (
-            flac_decode,
-        )
+        # Ogg container: the FLAC mapping decodes end to end (r9,
+        # operators/ogg.py -> operators/flac.py, bit-exact); Vorbis
+        # routes to operators/vorbis.py (r10 — full header/setup
+        # parse + the silence operating point; nonzero floors raise
+        # at its documented synthesis plug); Opus raises
         from data_migration_etl_scripts_spark.operators.ogg import (
             ogg_extract_flac,
+            ogg_stream_kinds,
+        )
+
+        kinds = set(ogg_stream_kinds(b).values())
+        if "vorbis" in kinds and "flac" not in kinds:
+            from data_migration_etl_scripts_spark.operators.vorbis \
+                import vorbis_decode
+
+            rate, nch, channels = vorbis_decode(b)
+            n = len(channels[0])
+            mono = [sum(channels[ch][i] for ch in range(nch)) / nch
+                    for i in range(n)]
+            return rate, mono
+        from data_migration_etl_scripts_spark.operators.flac import (
+            flac_decode,
         )
 
         rate, nch, bps, channels = flac_decode(ogg_extract_flac(b))
@@ -1730,6 +1744,17 @@ def _synthetic_real_media_rows_build(
             transcode_to_cabac,
         )
 
+        # r10: an Ogg-VORBIS stream from the engine silence encoder
+        # (operators/vorbis.py — full header-triad/setup parse +
+        # silence operating point, zero tables on either side)
+        from data_migration_etl_scripts_spark.operators.vorbis import (
+            vorbis_encode_silence,
+        )
+
+        rows.append((n + 32, "audio",
+                     bytearray(vorbis_encode_silence(
+                         frames=4, rate=8000, channels=1)),
+                     "{}"))
         if (os.environ.get(_h264_cabac._TABLES_ENV)
                 and _h264_cabac.seam_available()):
             rows.append((n + 30, "video",

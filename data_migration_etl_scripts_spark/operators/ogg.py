@@ -21,11 +21,11 @@ Codec mappings:
     FLAC frames. ``ogg_extract_flac`` rebuilds the native FLAC file
     byte-exactly, which ``operators/flac.py`` then decodes bit-exact
     (CRC + MD5 verified) — a REAL end-to-end path.
-  - Vorbis ("\\x01vorbis") and Opus ("OpusHead") streams are
-    recognized and their packets extracted (``ogg_packets``), but
-    DECODE raises namefully: both codecs are Annex-B-scale tabulated
-    (Vorbis floor/residue codebooks, Opus range-coder PDFs) and
-    stay documented plug points.
+  - Vorbis ("\\x01vorbis") streams route to operators/vorbis.py
+    (r10): full header-triad/setup parsing plus the silence
+    operating point decode; nonzero floor curves raise at ITS
+    documented synthesis plug. Opus ("OpusHead") stays a recognized
+    plug point (range-coder PDFs are Annex-B-scale data).
 
 ``ogg_wrap_flac`` builds the inverse (native FLAC -> Ogg FLAC pages,
 bounded page sizes, correct lacing incl. the 255-boundary cases and

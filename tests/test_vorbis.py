@@ -1,0 +1,180 @@
+"""Vorbis I (operators/vorbis.py): canonical codeword assignment
+(spec worked example + error cases), packed-float decode, full
+header-triad/setup parsing over engine streams, the silence operating
+point end to end through the Ogg layer, lapping sample accounting,
+granule truncation, the named synthesis plug point, and the seam
+loader."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_migration_etl_scripts_spark.operators import ogg
+from data_migration_etl_scripts_spark.operators import vorbis as V
+
+
+def test_codeword_assignment_spec_example():
+    """The Vorbis I spec's section-3 worked example: lengths
+    [2,4,4,4,4,2,3,3] produce exactly these codewords."""
+    book = V._assign_codewords([2, 4, 4, 4, 4, 2, 3, 3])
+    assert book == {(2, 0b00): 0, (4, 0b0100): 1, (4, 0b0101): 2,
+                    (4, 0b0110): 3, (4, 0b0111): 4, (2, 0b10): 5,
+                    (3, 0b110): 6, (3, 0b111): 7}
+
+
+def test_codeword_assignment_errors_and_edges():
+    with pytest.raises(ValueError, match="overspecified"):
+        V._assign_codewords([1, 1, 1])
+    with pytest.raises(ValueError, match="underspecified"):
+        V._assign_codewords([2, 2, 2])
+    # single used entry: one 1-bit codeword regardless of length
+    assert V._assign_codewords([0, 3, 0]) == {(3, 0): 1}
+    assert V._assign_codewords([]) == {}
+    # unused entries skip numbering
+    book = V._assign_codewords([1, 0, 1])
+    assert book == {(1, 0): 0, (1, 1): 2}
+
+
+def test_packed_float():
+    """Vorbis 32-bit float: 21-bit signed mantissa, 10-bit exponent
+    biased at 788."""
+    w = V._WL()
+    w.u((790 << 21) | 3, 32)      # +3 * 2^2 = 12
+    assert V._RL(w.tobytes()).f32() == 12.0
+    w = V._WL()
+    w.u((1 << 31) | (788 << 21) | 5, 32)   # -5 * 2^0
+    assert V._RL(w.tobytes()).f32() == -5.0
+
+
+def test_lookup1_values():
+    assert V._lookup1_values(8, 3) == 2     # 2^3 = 8
+    assert V._lookup1_values(9, 2) == 3
+    assert V._lookup1_values(10, 2) == 3    # 4^2 > 10
+    assert V._lookup1_values(1, 4) == 1
+
+
+def test_silence_round_trip_mono():
+    b = V.vorbis_encode_silence(frames=5, rate=8000, channels=1)
+    rate, nch, pcm = V.vorbis_decode(b)
+    assert (rate, nch) == (8000, 1)
+    # 5 frames of blocksize 256: first primes, 4 return 128 each
+    assert len(pcm[0]) == 4 * 128
+    assert all(v == 0.0 for v in pcm[0])
+
+
+def test_silence_round_trip_shapes():
+    for ch, rate, be in ((2, 44100, 8), (1, 16000, 6), (2, 11025, 11)):
+        b = V.vorbis_encode_silence(frames=3, rate=rate, channels=ch,
+                                    blockexp=be)
+        r2, c2, pcm = V.vorbis_decode(b)
+        n = 1 << be
+        assert (r2, c2) == (rate, ch)
+        assert all(len(p) == 2 * (n // 2) for p in pcm)
+
+
+def test_setup_parse_contents():
+    """The engine silence stream's setup header parses into the full
+    config: codebook with canonical codewords, floor1 geometry,
+    residue, mapping, mode."""
+    b = V.vorbis_encode_silence(frames=1, rate=8000, channels=2)
+    pkts = ogg.ogg_packets(b)
+    (serial, packets), = pkts.items()
+    cfg = V.parse_vorbis_headers(packets)
+    assert cfg["channels"] == 2 and cfg["rate"] == 8000
+    assert cfg["bs0"] == cfg["bs1"] == 256
+    (book,) = cfg["books"]
+    assert book["dims"] == 1 and book["entries"] == 2
+    assert book["codewords"] == {(1, 0): 0, (1, 1): 1}
+    (floor,) = cfg["floors"]
+    assert floor["type"] == 1 and floor["partitions"] == 1
+    assert floor["xs"] == [0, 64, 32]
+    (res,) = cfg["residues"]
+    assert res["type"] == 0 and res["classifications"] == 1
+    (mapping,) = cfg["mappings"]
+    assert mapping["mux"] == [0, 0] and mapping["cfg"] == [(0, 0)]
+    (mode,) = cfg["modes"]
+    assert mode["blockflag"] == 0
+
+
+def test_granule_truncation():
+    """The final Ogg granule position trims the lapped tail (the
+    standard way Vorbis encodes non-multiple-of-block lengths)."""
+    b = bytearray(V.vorbis_encode_silence(frames=4, rate=8000))
+    # rewrite the LAST page's granule to 300 (< the 3*128 = 384 full
+    # count) and fix its CRC
+    # find the last page's byte offset
+    import struct
+    pos = 0
+    last_off = None
+    data = bytes(b)
+    while pos + 27 <= len(data):
+        nsegs = data[pos + 26]
+        body = sum(data[pos + 27: pos + 27 + nsegs])
+        if pos + 27 + nsegs + body > len(data):
+            break
+        last_off = pos
+        pos = pos + 27 + nsegs + body
+    assert last_off is not None
+    struct.pack_into("<q", b, last_off + 6, 300)
+    page_end = pos
+    chunk = bytearray(b[last_off:page_end])
+    chunk[22:26] = b"\x00\x00\x00\x00"
+    crc = ogg._page_crc(bytes(chunk))
+    struct.pack_into("<I", b, last_off + 22, crc)
+    rate, nch, pcm = V.vorbis_decode(bytes(b))
+    assert len(pcm[0]) == 300
+
+
+def test_nonzero_floor_raises_namefully():
+    """A packet whose floor nonzero bit is set reaches the documented
+    synthesis plug point."""
+    b = V.vorbis_encode_silence(frames=2, rate=8000, channels=1)
+    pkts = ogg.ogg_packets(b)
+    (serial, packets), = pkts.items()
+    # audio packet bits (LSB-first): type 0, no mode bits, floor
+    # nonzero = 1
+    bad = packets[:3] + [bytes([0b10])]
+    with pytest.raises(NotImplementedError, match="floor/residue"):
+        V.vorbis_decode_packets(bad)
+
+
+def test_header_validation_errors():
+    b = V.vorbis_encode_silence(frames=1)
+    (serial, packets), = ogg.ogg_packets(b).items()
+    with pytest.raises(ValueError, match="3 header"):
+        V.vorbis_decode_packets(packets[:2])
+    ident = bytearray(packets[0])
+    ident[7] = 9    # version != 0
+    with pytest.raises(ValueError, match="version"):
+        V.parse_vorbis_headers([bytes(ident)] + packets[1:])
+    setup = bytearray(packets[2])
+    setup[8] ^= 0xFF   # break the codebook sync
+    with pytest.raises(ValueError, match="sync"):
+        V.parse_vorbis_headers(packets[:2] + [bytes(setup)])
+
+
+def test_seam_loader_validates():
+    with pytest.raises(ValueError, match="256"):
+        V.load_vorbis_tables({"floor1_inverse_db": [0.5] * 10})
+    with pytest.raises(ValueError, match="0, 1"):
+        V.load_vorbis_tables({"floor1_inverse_db": [2.0] * 256})
+    saved = V.VORBIS["floor1_inverse_db"]
+    try:
+        assert V.load_vorbis_tables(
+            {"floor1_inverse_db": [i / 255.0 for i in range(256)]}
+        ) == 1
+    finally:
+        V.VORBIS["floor1_inverse_db"] = saved
+
+
+def test_multimodal_dispatch_vorbis():
+    """audio_decode_rate routes Ogg-Vorbis through the new decoder."""
+    from data_migration_etl_scripts_spark.operators import (
+        multimodal as mm,
+    )
+
+    b = V.vorbis_encode_silence(frames=4, rate=8000, channels=1)
+    assert mm.payload_format(b) == "ogg"
+    rate, mono = mm.audio_decode_rate(b)
+    assert rate == 8000 and len(mono) == 3 * 128
+    assert all(v == 0.0 for v in mono)

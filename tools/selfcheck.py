@@ -227,17 +227,19 @@ def _range_multimodal_decode(con, cols, rows) -> list[str]:
         if mtype == "image" and got[:2] != want_dims:
             bad.append(f"id {mid}: image dims {got[:2]} != {want_dims}")
         if mtype == "audio":
-            if mid in (49, 50):
-                # r9: AAC silence operating point (bare ADTS @16k x4
-                # frames, MP4-wrapped stereo @22.05k x3 frames) — the
-                # structural facts are the exact frame-grid duration
-                # and an all-zero signal
-                want_dur = {49: 4096 / 16000, 50: 3072 / 22050}[mid]
+            if mid in (49, 50, 56):
+                # silence operating points: r9 AAC (bare ADTS @16k x4
+                # frames, MP4-wrapped stereo @22.05k x3 frames) and
+                # r10 Ogg-Vorbis (@8k, 4 short blocks -> 3 lapped
+                # 128-sample frames) — the structural facts are the
+                # exact frame-grid duration and an all-zero signal
+                want_dur = {49: 4096 / 16000, 50: 3072 / 22050,
+                            56: 384 / 8000}[mid]
                 if abs(got[0] - want_dur) > 1e-3:
                     bad.append(
-                        f"id {mid}: AAC duration {got[0]} != {want_dur}")
+                        f"id {mid}: silence duration {got[0]} != {want_dur}")
                 if any(abs(v) > 1e-9 for v in got[2:]):
-                    bad.append(f"id {mid}: AAC silence has energy {got}")
+                    bad.append(f"id {mid}: silence payload has energy {got}")
                 continue
             if not (0.02 <= got[0] <= 0.15):  # 100ms WAVs / 24-85ms MPEG
                 bad.append(f"id {mid}: audio duration {got[0]}s outside [0.02, 0.15]")
