@@ -1417,11 +1417,17 @@ def synthetic_real_media_rows(
         h264_cabac as _h264_cabac,
     )
 
-    # the r10 CABAC row is environment-gated (env table seam), so the
-    # gate state is part of the cache key
+    from data_migration_etl_scripts_spark.operators import (
+        vorbis as _vorbis,
+    )
+
+    # the r10 CABAC and quantized-Vorbis rows are environment-gated
+    # (env table seams), so the gate states are part of the cache key
     cabac = bool(os.environ.get(_h264_cabac._TABLES_ENV)
                  and _h264_cabac.seam_available())
-    key = (n, include_mpeg, cabac)
+    vorb = bool(os.environ.get(_vorbis._TABLES_ENV)
+                and _vorbis.seam_available())
+    key = (n, include_mpeg, cabac, vorb)
     hit = _REAL_MEDIA_ROWS_CACHE.get(key)
     if hit is None:
         hit = _synthetic_real_media_rows_build(n, include_mpeg)
@@ -1760,6 +1766,21 @@ def _synthetic_real_media_rows_build(
             rows.append((n + 30, "video",
                          bytearray(transcode_to_cabac(
                              encode_quantized(px9, qp=12))),
+                         "{}"))
+        # r10: a QUANTIZED Ogg-Vorbis stream (flat floors +
+        # pseudorandom residues through real stream codebooks) —
+        # env-gated on the floor1 inverse-dB seam, which decode needs
+        # in every worker
+        from data_migration_etl_scripts_spark.operators import (
+            vorbis as _vorbis,
+        )
+
+        if (os.environ.get(_vorbis._TABLES_ENV)
+                and _vorbis.seam_available()):
+            rows.append((n + 33, "audio",
+                         bytearray(_vorbis.vorbis_encode_quantized(
+                             frames=4, rate=8000, channels=2,
+                             coupled=True)[0]),
                          "{}"))
     return rows
 

@@ -20,19 +20,22 @@ no published closed form), which only nonzero floor curves consult:
 it is the declared seam (``load_vorbis_tables`` /
 ``$SPARK_GRAFT_VORBIS_TABLES``, key ``"floor1_inverse_db"``).
 
-What DECODES end to end today (r10): the silence operating point —
-streams whose floor1 nonzero flag is clear in every channel of every
-audio packet decode to exact zero PCM with the spec's block/lapping
-sample accounting (short/long windows, the (prev/4 + cur/4) return
-rule, first-packet priming, Ogg granule truncation). The engine
-encoder :func:`vorbis_encode_silence` emits a fully VALID stream —
-real identification/comment/setup headers with a parseable codebook,
-floor1, residue and mapping — so encode -> decode round-trips pin
-the whole container + header + packet walk with the seam EMPTY
-(the I_PCM / AAC-silence discipline). Nonzero floor curves (actual
-audio synthesis: floor curve rendering, residue vector decode, MDCT)
-raise namefully at the documented plug point until a later round
-builds the synthesis path on the in-house filterbank.
+What DECODES end to end (r10): the FULL synthesis pipeline —
+floor1 curve decode (neighbor prediction + amplitude fold) and
+integer line rendering through the seam dB table, residue types
+0/1/2 with partition classwords and VQ value vectors, inverse
+square-polar channel coupling (reverse step order), the IMDCT (the
+same TDAC cosine kernel as the in-house AAC filterbank), Vorbis
+windowing incl. block-switch slope narrowing, and absolute-position
+overlap-add with first-packet priming and Ogg final-granule
+truncation. Engine operating points: :func:`vorbis_encode_silence`
+(all-floors-silent: exact zero PCM, ZERO tables either side — the
+I_PCM / AAC-silence discipline) and :func:`vorbis_encode_quantized`
+(flat floors + pseudorandom integer residues through real stream
+codebooks, mono/stereo, optionally with coupling + residue type 2 —
+the encoder replays the synthesis with an INDEPENDENT equal-size lap
+implementation, so decode must match float-exactly). The spec's
+floor type 0 (legacy LSP) raises namefully.
 """
 
 from __future__ import annotations
@@ -41,8 +44,8 @@ import json
 import os
 
 __all__ = ["vorbis_decode", "vorbis_decode_packets",
-           "vorbis_encode_silence", "parse_vorbis_headers",
-           "load_vorbis_tables", "VORBIS"]
+           "vorbis_encode_silence", "vorbis_encode_quantized",
+           "parse_vorbis_headers", "load_vorbis_tables", "VORBIS"]
 
 _TABLES_ENV = "SPARK_GRAFT_VORBIS_TABLES"
 _env_load_done = False
@@ -422,16 +425,24 @@ def parse_vorbis_headers(packets: list[bytes]) -> dict:
 def vorbis_decode_packets(packets: list[bytes],
                           final_granule: int | None = None):
     """Header + audio packets -> (rate, channels, [channel PCM
-    lists]). Implements the full packet walk and the spec's lapping
-    sample accounting; ONLY all-floors-silent frames synthesize
-    (exact zeros) — a nonzero floor reaches the documented synthesis
-    plug point and raises namefully."""
+    lists]): the FULL synthesis pipeline (r10 second block) — floor1
+    curve decode + render (seam dB table), residue types 0/1/2,
+    inverse square-polar coupling in reverse step order, IMDCT,
+    Vorbis windowing with block-switch slopes, and absolute-position
+    overlap-add with the first-packet priming / final-granule
+    truncation rules. All-silent frames never consult the seam, so
+    the silence operating point stays table-free."""
+    import numpy as np
+
     cfg = parse_vorbis_headers(packets)
     channels = cfg["channels"]
     modes = cfg["modes"]
     mode_bits = _ilog(len(modes) - 1)
-    total = 0
-    prev_block = None
+    acc = [np.zeros(0) for _ in range(channels)]
+    outs: list[list[float]] = [[] for _ in range(channels)]
+    pos = 0             # absolute left edge of the current frame
+    emit_from = None    # first not-yet-final absolute sample
+    prev_n = None
     for pkt in packets[3:]:
         if not pkt:
             continue
@@ -440,33 +451,77 @@ def vorbis_decode_packets(packets: list[bytes],
             raise ValueError("non-audio packet in the audio stream")
         mode = modes[r.u(mode_bits)] if mode_bits else modes[0]
         n = cfg["bs1"] if mode["blockflag"] else cfg["bs0"]
+        n2 = n // 2
         if mode["blockflag"]:
-            r.u(1)
-            r.u(1)   # prev/next window shape flags
+            wprev = cfg["bs1"] if r.u(1) else cfg["bs0"]
+            wnext = cfg["bs1"] if r.u(1) else cfg["bs0"]
+        else:
+            wprev = wnext = n
         mapping = cfg["mappings"][mode["mapping"]]
+        floors_dec = []
         for ch in range(channels):
             floor = cfg["floors"][
                 mapping["cfg"][mapping["mux"][ch]][0]]
-            nonzero = r.u(1)
-            if nonzero:
-                if VORBIS["floor1_inverse_db"] is None:
-                    _try_env_tables()
-                raise NotImplementedError(
-                    "Vorbis floor/residue synthesis (nonzero floor "
-                    "curves) — the silence operating point decodes; "
-                    "full synthesis is the documented next increment "
-                    f"(floor1 {floor['partitions']} partitions "
-                    "parsed, spectral path pending)"
-                )
-        # all channels silent: residue decode reads nothing (every
-        # channel is do-not-decode), the frame is exact zeros
-        if prev_block is not None:
-            total += prev_block // 4 + n // 4
-        prev_block = n
+            floors_dec.append(_floor1_read(r, floor, cfg["books"]))
+        # nonzero-vector propagation across coupling pairs
+        audible = [d is not None for d in floors_dec]
+        for m_ch, a_ch in mapping["couplings"]:
+            if audible[m_ch] or audible[a_ch]:
+                audible[m_ch] = audible[a_ch] = True
+        residue = [None] * channels
+        for sm in range(mapping["submaps"]):
+            bundle = [ch for ch in range(channels)
+                      if mapping["mux"][ch] == sm]
+            res = cfg["residues"][mapping["cfg"][sm][1]]
+            dnd = [not audible[ch] for ch in bundle]
+            vecs = _residue_decode(r, res, cfg["books"], dnd, n2)
+            for ch, v in zip(bundle, vecs):
+                residue[ch] = v
+        # inverse coupling, reverse step order (spec 4.3.5)
+        for m_ch, a_ch in reversed(mapping["couplings"]):
+            m_v, a_v = residue[m_ch], residue[a_ch]
+            for i in range(n2):
+                m = m_v[i]
+                a = a_v[i]
+                if m > 0:
+                    if a > 0:
+                        m_v[i], a_v[i] = m, m - a
+                    else:
+                        m_v[i], a_v[i] = m + a, m
+                else:
+                    if a > 0:
+                        m_v[i], a_v[i] = m, m + a
+                    else:
+                        m_v[i], a_v[i] = m - a, m
+        win = np.asarray(_frame_window(n, wprev, wnext))
+        mat = _imdct_mat(n)
+        if prev_n is not None:
+            pos += prev_n // 4 + n // 4
+        for ch in range(channels):
+            if floors_dec[ch] is None:
+                frame = np.zeros(n)
+            else:
+                floor = cfg["floors"][
+                    mapping["cfg"][mapping["mux"][ch]][0]]
+                curve = _floor1_curve(floor, floors_dec[ch], n2)
+                spec = np.asarray(curve) * np.asarray(residue[ch])
+                frame = (mat @ spec) * win
+            if acc[ch].shape[0] < pos + n:
+                acc[ch] = np.concatenate(
+                    [acc[ch], np.zeros(pos + n - acc[ch].shape[0])])
+            acc[ch][pos: pos + n] += frame
+        center = pos + n2
+        if emit_from is None:
+            emit_from = center     # first packet primes
+        else:
+            for ch in range(channels):
+                outs[ch].extend(acc[ch][emit_from: center].tolist())
+            emit_from = center
+        prev_n = n
+    total = len(outs[0]) if outs else 0
     if final_granule is not None and 0 <= final_granule < total:
-        total = final_granule
-    return cfg["rate"], channels, [[0.0] * total
-                                   for _ in range(channels)]
+        outs = [o[:final_granule] for o in outs]
+    return cfg["rate"], channels, outs
 
 
 def vorbis_decode(ogg_bytes: bytes):
@@ -610,3 +665,567 @@ def vorbis_encode_silence(frames: int = 4, rate: int = 8000,
         htype = 0x04 if i == len(audio) - 1 else 0
         out += _page(htype, granule, serial, 2 + i, [pkt], lace(pkt))
     return bytes(out)
+
+
+# -------------------------------------------------------- synthesis
+#
+# Full audio synthesis (r10, second block): scalar Huffman reads, VQ
+# value vectors, floor1 curve decode + the integer line renderer,
+# residue types 0/1/2, inverse square-polar coupling, and the IMDCT +
+# Vorbis-window lapping pipeline. The IMDCT cosine kernel is the same
+# TDAC family as the in-house AAC filterbank: Vorbis's
+# cos(pi/(2n)(2j+1+n/2)(2k+1)) equals cos(2pi/n (j+.5+n/4)(k+.5)).
+# The ONE tabulated constant consulted here is the floor1 inverse-dB
+# amplitude table (seam; module docstring).
+
+
+def seam_available() -> bool:
+    """True when the floor1 inverse-dB table is loaded (or loads from
+    the env seam) — gates the quantized fixture row in
+    operators/multimodal.py (workers re-import this module)."""
+    if VORBIS["floor1_inverse_db"] is None:
+        _try_env_tables()
+    return VORBIS["floor1_inverse_db"] is not None
+
+
+def _need_db() -> list:
+    t = VORBIS["floor1_inverse_db"]
+    if t is None and _try_env_tables():
+        t = VORBIS["floor1_inverse_db"]
+    if t is None:
+        raise NotImplementedError(
+            "floor1 inverse-dB amplitude table (Vorbis I spec 10.1, "
+            "256 floats, no published closed form) is tabulated "
+            "data — load_vorbis_tables({'floor1_inverse_db': ...}) "
+            "or $SPARK_GRAFT_VORBIS_TABLES injects it"
+        )
+    return t
+
+
+def _huff_read(r: _RL, book: dict) -> int:
+    """Scalar codeword read: Vorbis codewords descend the canonical
+    tree MSB-first, one stream bit per level."""
+    code = 0
+    ln = 0
+    words = book["codewords"]
+    while ln < 33:
+        code = (code << 1) | r.u(1)
+        ln += 1
+        hit = words.get((ln, code))
+        if hit is not None:
+            return hit
+    raise ValueError("Vorbis codeword longer than 32 bits")
+
+
+def _vq_values(book: dict, entry: int) -> list[float]:
+    """Lookup-type value vector for an entry (spec 3.3)."""
+    dims = book["dims"]
+    mults = book["mults"]
+    mn, delta = book["min"], book["delta"]
+    out = []
+    if book["lookup"] == 1:
+        v = _lookup1_values(book["entries"], dims)
+        last = 0.0
+        div = 1
+        for _ in range(dims):
+            off = (entry // div) % v
+            val = mults[off] * delta + mn + last
+            out.append(val)
+            if book["seq_p"]:
+                last = val
+            div *= v
+    else:
+        last = 0.0
+        for i in range(dims):
+            val = mults[entry * dims + i] * delta + mn + last
+            out.append(val)
+            if book["seq_p"]:
+                last = val
+    return out
+
+
+# ------------------------------------------------------------ floor1
+
+_FLOOR1_RANGE = {1: 256, 2: 128, 3: 86, 4: 64}
+
+
+def _render_point(x0, y0, x1, y1, x) -> int:
+    dy = y1 - y0
+    adx = x1 - x0
+    err = abs(dy) * (x - x0)
+    off = err // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _render_line(x0, y0, x1, y1, out, n, mult, table) -> None:
+    """Integer Bresenham line render (spec 9.2.7) writing amplitude
+    values table[y * mult] into out[x0..min(x1, n)-1]."""
+    dy = y1 - y0
+    adx = x1 - x0
+    base = abs(dy) // adx
+    if dy < 0:
+        base = -base
+    sy = base - 1 if dy < 0 else base + 1
+    ady = abs(dy) - abs(base) * adx
+    x, y, err = x0, y0, 0
+    if x0 < n:
+        out[x0] = table[min(255, y0 * mult)]
+    for x in range(x0 + 1, min(x1, n)):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        out[x] = table[min(255, y * mult)]
+
+
+def _floor1_read(r: _RL, floor: dict, books: list):
+    """floor1 packet data -> final Y values + step2 flags (spec
+    7.2.3/7.2.4 amplitude merge), or None when the nonzero flag is
+    clear (silent channel)."""
+    if not r.u(1):
+        return None
+    rng = _FLOOR1_RANGE[floor["multiplier"]]
+    ybits = _ilog(rng - 1)
+    xs = floor["xs"]
+    ys = [r.u(ybits), r.u(ybits)]
+    for cls in floor["class_list"]:
+        c = floor["classes"][cls]
+        sub = c["sub"]
+        cbits = sub
+        csub = (1 << sub) - 1
+        cval = 0
+        if sub:
+            cval = _huff_read(r, books[c["master"]])
+        for _ in range(c["dim"]):
+            book = c["books"][cval & csub]
+            cval >>= cbits
+            ys.append(_huff_read(r, books[book]) if book >= 0 else 0)
+    # amplitude merge: values after the first two are folded
+    # residuals against the neighbor-line prediction
+    npts = len(xs)
+    final = [0] * npts
+    flags = [False] * npts
+    final[0], final[1] = ys[0], ys[1]
+    flags[0] = flags[1] = True
+    for j in range(2, npts):
+        # low/high neighbors: nearest X below/above among PRIOR points
+        lo = 0
+        hi = 1
+        for k in range(j):
+            if xs[lo] < xs[k] < xs[j]:
+                lo = k
+            if xs[j] < xs[k] < xs[hi] or (xs[hi] < xs[j]
+                                          and xs[k] > xs[j]):
+                hi = k
+        pred = _render_point(xs[lo], final[lo], xs[hi], final[hi],
+                             xs[j])
+        val = ys[j]
+        highroom = rng - pred
+        lowroom = pred
+        room = 2 * min(highroom, lowroom)
+        if val:
+            flags[lo] = flags[hi] = flags[j] = True
+            if val >= room:
+                final[j] = (val - lowroom + pred
+                            if highroom > lowroom
+                            else pred - (val - highroom) - 1)
+            else:
+                final[j] = (pred - ((val + 1) >> 1) if val & 1
+                            else pred + (val >> 1))
+            final[j] = max(0, min(rng - 1, final[j]))
+        else:
+            final[j] = pred
+    return final, flags
+
+
+def _floor1_curve(floor: dict, decoded, n2: int) -> list[float]:
+    """Rendered floor curve over n2 spectral bins (seam table)."""
+    table = _need_db()
+    final, flags = decoded
+    xs = floor["xs"]
+    mult = floor["multiplier"]
+    pts = sorted((x, final[i]) for i, x in enumerate(xs) if flags[i])
+    out = [0.0] * n2
+    hx = 0
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        if x1 <= x0:
+            continue
+        _render_line(x0, y0, x1, y1, out, n2, mult, table)
+        hx = x1
+    if hx < n2:
+        lvl = table[min(255, pts[-1][1] * mult)]
+        for x in range(max(hx, 0), n2):
+            out[x] = lvl
+    return out
+
+
+# ----------------------------------------------------------- residue
+
+
+def _residue_decode(r: _RL, res: dict, books: list, dnd: list[bool],
+                    n2: int) -> list[list[float]]:
+    """Residue decode (spec 8.6.2) for a channel bundle. ``dnd`` =
+    do-not-decode flags. Types 0/1 decode per channel; type 2
+    interleaves the bundle into one vector, decoded iff ANY channel
+    is audible, then deinterleaved."""
+    ch = len(dnd)
+    rtype = res["type"]
+    if rtype == 2:
+        vecs = [[0.0] * n2 for _ in range(ch)]
+        if all(dnd):
+            return vecs
+        big = _residue_core(r, res, books, [False], n2 * ch)[0]
+        for i in range(n2 * ch):
+            vecs[i % ch][i // ch] = big[i]
+        return vecs
+    return _residue_core(r, res, books, dnd, n2)
+
+
+def _residue_core(r: _RL, res: dict, books: list, dnd: list[bool],
+                  size: int) -> list[list[float]]:
+    ch = len(dnd)
+    vecs = [[0.0] * size for _ in range(ch)]
+    begin = min(res["begin"], size)
+    end = min(res["end"], size)
+    if end <= begin:
+        return vecs
+    psize = res["psize"]
+    n_parts = (end - begin) // psize
+    classbook = books[res["classbook"]]
+    cdims = classbook["dims"]
+    classes = [[0] * (n_parts + cdims) for _ in range(ch)]
+    for pass_n in range(8):
+        pc = 0
+        while pc < n_parts:
+            if pass_n == 0:
+                for j in range(ch):
+                    if dnd[j]:
+                        continue
+                    temp = _huff_read(r, classbook)
+                    for i in range(cdims - 1, -1, -1):
+                        classes[j][pc + i] = (
+                            temp % res["classifications"])
+                        temp //= res["classifications"]
+            for _i in range(cdims):
+                if pc >= n_parts:
+                    break
+                for j in range(ch):
+                    if dnd[j]:
+                        continue
+                    vq = res["books"][classes[j][pc]][pass_n]
+                    if vq is None:
+                        continue
+                    book = books[vq]
+                    dims = book["dims"]
+                    off = begin + pc * psize
+                    v = vecs[j]
+                    if res["type"] == 0:
+                        step = psize // dims
+                        for k in range(step):
+                            vals = _vq_values(
+                                book, _huff_read(r, book))
+                            for d in range(dims):
+                                v[off + k + d * step] += vals[d]
+                    else:        # types 1 and 2 share the core
+                        k = 0
+                        while k < psize:
+                            vals = _vq_values(
+                                book, _huff_read(r, book))
+                            for d in range(dims):
+                                v[off + k] += vals[d]
+                                k += 1
+                pc += 1
+    return vecs
+
+
+# --------------------------------------------------- filterbank/lap
+
+
+_IMDCT_CACHE: dict[int, object] = {}
+
+
+def _imdct_mat(n: int):
+    """n//2 spectral -> n time IMDCT matrix (Vorbis 4.3.6 kernel)."""
+    import math
+
+    import numpy as np
+
+    m = _IMDCT_CACHE.get(n)
+    if m is None:
+        j = np.arange(n).reshape(-1, 1)
+        k = np.arange(n // 2).reshape(1, -1)
+        m = np.cos(math.pi / (2 * n) * (2 * j + 1 + n // 2)
+                   * (2 * k + 1))
+        _IMDCT_CACHE[n] = m
+    return m
+
+
+def _vorbis_window(n: int) -> list[float]:
+    """The full-n Vorbis window: sin(pi/2 * sin^2(pi (i+.5)/n))."""
+    import math
+
+    key = -n
+    w = _IMDCT_CACHE.get(key)
+    if w is None:
+        w = [math.sin(0.5 * math.pi
+                      * math.sin(math.pi * (i + 0.5) / n) ** 2)
+             for i in range(n)]
+        _IMDCT_CACHE[key] = w
+    return w
+
+
+def _frame_window(n: int, prev_n: int, next_n: int) -> list[float]:
+    """Window for one block with possibly narrower lap slopes (block
+    switching, spec 4.3.1): the left slope spans prev_n/2 samples
+    centered at n/4, the right slope next_n/2 centered at 3n/4; flat
+    1.0 between, 0.0 outside the slopes."""
+    if prev_n == n and next_n == n:
+        return _vorbis_window(n)
+    wl = _vorbis_window(prev_n)
+    wr = _vorbis_window(next_n)
+    out = [0.0] * n
+    ls = n // 4 - prev_n // 4
+    for i in range(prev_n // 2):
+        out[ls + i] = wl[i]
+    for i in range(ls + prev_n // 2, n // 2 + n // 4 - next_n // 4):
+        out[i] = 1.0
+    rs = n // 2 + n // 4 - next_n // 4
+    for i in range(next_n // 2):
+        out[rs + i] = wr[next_n // 2 + i]
+    return out
+
+
+# ------------------------------------------------ quantized encoder
+
+
+def _w_codeword(w: _WL, book_cw: dict, entry: int) -> None:
+    """Write a codeword MSB-first (the read order of _huff_read)."""
+    for (ln, code), e in book_cw.items():
+        if e == entry:
+            for i in range(ln - 1, -1, -1):
+                w.u((code >> i) & 1, 1)
+            return
+    raise ValueError(f"entry {entry} has no codeword")
+
+
+def _f32_pack(v: float) -> int:
+    """Inverse of _RL.f32 for the integer-valued floats the engine
+    setup uses (|v| < 2^21, exponent 788)."""
+    m = int(abs(v))
+    return (0x80000000 if v < 0 else 0) | (788 << 21) | m
+
+
+def _quantized_setup(coupled: bool, channels: int) -> bytes:
+    """Setup with real content books: [0] = 2-entry classbook,
+    [1] = 64-entry uniform-length scalar/VQ book (lookup 2, dims 1,
+    values -32..31) shared by the floor and the residue; residue
+    type 1 (or 2 when ``coupled``), one coupling step when asked."""
+    w = _WL()
+    w.u(2 - 1, 8)           # two codebooks
+    # book 0: classbook
+    w.u(0x564342, 24)
+    w.u(1, 16)
+    w.u(2, 24)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(0, 5)
+    w.u(0, 5)
+    w.u(0, 4)
+    # book 1: 64 entries, uniform length 6, lookup 2 dims 1
+    w.u(0x564342, 24)
+    w.u(1, 16)
+    w.u(64, 24)
+    w.u(0, 1)               # not ordered
+    w.u(0, 1)               # not sparse
+    for _ in range(64):
+        w.u(5, 5)           # length 6 (coded - 1)
+    w.u(2, 4)               # lookup type 2
+    w.u(_f32_pack(-32.0), 32)   # min
+    w.u(_f32_pack(1.0), 32)     # delta
+    w.u(5, 4)               # value_bits 6 (coded - 1)
+    w.u(0, 1)               # seq_p
+    for i in range(64):
+        w.u(i, 6)           # multiplicands 0..63
+    w.u(0, 6)               # time count - 1
+    w.u(0, 16)
+    w.u(0, 6)               # floor count - 1
+    w.u(1, 16)              # floor type 1
+    w.u(1, 5)               # partitions
+    w.u(0, 4)               # class 0
+    w.u(0, 3)               # class dim 1
+    w.u(0, 2)               # subclasses 0
+    w.u(1 + 1, 8)           # subclass book: book 1
+    w.u(0, 2)               # multiplier 1
+    w.u(6, 4)               # rangebits
+    w.u(32, 6)              # the one extra X point
+    w.u(0, 6)               # residue count - 1
+    w.u(2 if coupled else 1, 16)    # residue type
+    w.u(0, 24)              # begin
+    w.u(4096, 24)           # end (clamped by the decoder to size)
+    w.u(32 - 1, 24)         # partition size 32
+    w.u(2 - 1, 6)           # 2 classifications
+    w.u(0, 8)               # classbook 0
+    for _ in range(2):      # both classes: pass-0 bit -> book 1
+        w.u(1, 3)
+        w.u(0, 1)
+    w.u(1, 8)
+    w.u(1, 8)
+    w.u(0, 6)               # mapping count - 1
+    w.u(0, 16)              # mapping type
+    w.u(0, 1)               # one submap
+    if coupled:
+        w.u(1, 1)           # coupling present
+        w.u(0, 8)           # one step
+        bits = _ilog(channels - 1)
+        w.u(0, bits)        # magnitude ch 0
+        w.u(1, bits)        # angle ch 1
+    else:
+        w.u(0, 1)
+    w.u(0, 2)               # reserved
+    w.u(0, 8)               # time cfg
+    w.u(0, 8)               # floor 0
+    w.u(0, 8)               # residue 0
+    w.u(0, 6)               # mode count - 1
+    w.u(0, 1)               # short blocks only
+    w.u(0, 16)
+    w.u(0, 16)
+    w.u(0, 8)
+    w.u(1, 1)               # framing
+    return b"\x05vorbis" + w.tobytes()
+
+
+def vorbis_encode_quantized(frames: int = 4, rate: int = 8000,
+                            channels: int = 1, blockexp: int = 8,
+                            floor_y: int = 160, seed: int = 7,
+                            coupled: bool = False):
+    """Engine QUANTIZED operating point -> (ogg bytes, [expected PCM
+    per channel]): flat floor1 curves at amplitude index ``floor_y``
+    and deterministic pseudorandom integer residues in [-32, 31]
+    coded through REAL stream codebooks (residue type 1; with
+    ``coupled`` True and 2 channels: one square-polar coupling step +
+    residue type 2 over the interleaved bundle). The expected PCM is
+    computed by an INDEPENDENT equal-blocksize lap implementation
+    (prev-half + current-half), so ``vorbis_decode`` of the returned
+    bytes must match it float-exactly — pinning floor render,
+    residue/classword order, VQ values, (de)coupling, IMDCT and
+    window against each other. Requires the floor1 inverse-dB seam
+    (any valid injected table; both sides use the same one)."""
+    import numpy as np
+
+    from data_migration_etl_scripts_spark.operators.ogg import _page
+
+    if coupled and channels != 2:
+        raise ValueError("coupled needs exactly 2 channels")
+    if not 6 <= blockexp <= 13:
+        raise ValueError("blockexp must be in [6, 13]")
+    table = _need_db()
+    n = 1 << blockexp
+    n2 = n // 2
+    w = _WL()
+    w.u(0, 32)
+    w.u(channels, 8)
+    w.u(rate, 32)
+    w.u(0, 32)
+    w.u(0, 32)
+    w.u(0, 32)
+    w.u(blockexp, 4)
+    w.u(blockexp, 4)
+    w.u(1, 1)
+    ident = b"\x01vorbis" + w.tobytes()
+    comment = (b"\x03vorbis"
+               + (11).to_bytes(4, "little") + b"spark-graft"
+               + (0).to_bytes(4, "little") + b"\x01")
+    setup = _quantized_setup(coupled, channels)
+    cfg = parse_vorbis_headers([ident, comment, setup])
+    book1 = cfg["books"][1]
+    cw_class = cfg["books"][0]["codewords"]
+    cw_val = book1["codewords"]
+
+    state = seed & 0x7FFFFFFF
+
+    def rnd():
+        nonlocal state
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        return (state >> 16) % 64 - 32
+
+    amp = table[min(255, floor_y)]
+    win = np.asarray(_vorbis_window(n))
+    mat = _imdct_mat(n)
+    psize = 32
+    n_parts = n2 // psize
+
+    audio = []
+    frames_pcm = []     # per frame: [channel time arrays]
+    for _f in range(frames):
+        aw = _WL()
+        aw.u(0, 1)              # audio packet
+        # floors: nonzero, flat at floor_y
+        for _ch in range(channels):
+            aw.u(1, 1)
+            aw.u(floor_y, 8)    # y0 (range 256 -> 8 bits)
+            aw.u(floor_y, 8)    # y1
+            _w_codeword(aw, cw_val, 0)   # third point: val 0 (flat)
+        res_ints = [[rnd() for _ in range(n2)]
+                    for _ch in range(channels)]
+        if coupled:
+            # encoder works in the COUPLED domain: res_ints are the
+            # transmitted magnitude/angle vectors; expected spectra
+            # apply the decoder's inverse mapping
+            big = [0] * (2 * n2)
+            for i in range(n2):
+                big[2 * i] = res_ints[0][i]
+                big[2 * i + 1] = res_ints[1][i]
+            for pc in range(len(big) // psize):
+                _w_codeword(aw, cw_class, 0)
+                for k in range(psize):
+                    _w_codeword(aw, cw_val,
+                                big[pc * psize + k] + 32)
+            dec = [[0.0] * n2 for _ in range(2)]
+            for i in range(n2):
+                m, a = float(res_ints[0][i]), float(res_ints[1][i])
+                if m > 0:
+                    dec[0][i], dec[1][i] = ((m, m - a) if a > 0
+                                            else (m + a, m))
+                else:
+                    dec[0][i], dec[1][i] = ((m, m + a) if a > 0
+                                            else (m - a, m))
+            spectra = dec
+        else:
+            for pc in range(n_parts):
+                for ch in range(channels):
+                    _w_codeword(aw, cw_class, 0)
+                for ch in range(channels):
+                    for k in range(psize):
+                        _w_codeword(aw, cw_val,
+                                    res_ints[ch][pc * psize + k] + 32)
+            spectra = [[float(v) for v in row] for row in res_ints]
+        audio.append(aw.tobytes())
+        frames_pcm.append([
+            (mat @ (np.asarray(sp) * amp)) * win for sp in spectra])
+
+    # independent equal-size lap: emit prev[n2:] + cur[:n2] per join
+    expected = [[] for _ in range(channels)]
+    for f in range(1, frames):
+        for ch in range(channels):
+            seg = (frames_pcm[f - 1][ch][n2:]
+                   + frames_pcm[f][ch][:n2])
+            expected[ch].extend(float(v) for v in seg)
+
+    serial = 0x7B16
+    out = bytearray()
+
+    def lace(p):
+        return [255] * (len(p) // 255) + [len(p) % 255]
+
+    out += _page(0x02, 0, serial, 0, [ident], lace(ident))
+    out += _page(0, 0, serial, 1, [comment, setup],
+                 lace(comment) + lace(setup))
+    granule = 0
+    for i, pkt in enumerate(audio):
+        if i:
+            granule += n2
+        htype = 0x04 if i == len(audio) - 1 else 0
+        out += _page(htype, granule, serial, 2 + i, [pkt], lace(pkt))
+    return bytes(out), expected

@@ -125,17 +125,79 @@ def test_granule_truncation():
     assert len(pcm[0]) == 300
 
 
-def test_nonzero_floor_raises_namefully():
-    """A packet whose floor nonzero bit is set reaches the documented
-    synthesis plug point."""
-    b = V.vorbis_encode_silence(frames=2, rate=8000, channels=1)
-    pkts = ogg.ogg_packets(b)
-    (serial, packets), = pkts.items()
-    # audio packet bits (LSB-first): type 0, no mode bits, floor
-    # nonzero = 1
-    bad = packets[:3] + [bytes([0b10])]
-    with pytest.raises(NotImplementedError, match="floor/residue"):
-        V.vorbis_decode_packets(bad)
+def test_missing_db_table_raises_namefully():
+    """Nonzero floors decode (r10 second block), but rendering needs
+    the inverse-dB seam: with the seam empty the decode raises at
+    the documented table plug by env-var name."""
+    saved = V.VORBIS["floor1_inverse_db"]
+    V.load_vorbis_tables({"floor1_inverse_db":
+                          [(i / 255.0) ** 2 for i in range(256)]})
+    try:
+        b, _exp = V.vorbis_encode_quantized(frames=2)
+        V.VORBIS["floor1_inverse_db"] = None
+        with pytest.raises(NotImplementedError,
+                           match="SPARK_GRAFT_VORBIS_TABLES"):
+            V.vorbis_decode(b)
+    finally:
+        V.VORBIS["floor1_inverse_db"] = saved
+
+
+def _db_table():
+    return [(i / 255.0) ** 2 for i in range(256)]
+
+
+@pytest.fixture
+def _db_seam():
+    saved = V.VORBIS["floor1_inverse_db"]
+    V.load_vorbis_tables({"floor1_inverse_db": _db_table()})
+    yield
+    V.VORBIS["floor1_inverse_db"] = saved
+
+
+def test_quantized_round_trip_float_exact(_db_seam):
+    """Flat floors + pseudorandom integer residues through real
+    stream codebooks: decode equals the encoder's INDEPENDENT
+    equal-size lap replay float-exactly (mono and stereo, both
+    block sizes, different amplitudes) — pinning floor render,
+    classword/partition order, VQ values, IMDCT and window against
+    each other. The signal is genuinely nonzero."""
+    for kw in ({"frames": 4, "channels": 1},
+               {"frames": 3, "channels": 2, "blockexp": 7,
+                "floor_y": 100},
+               {"frames": 5, "channels": 1, "blockexp": 9,
+                "floor_y": 220, "seed": 3}):
+        b, exp = V.vorbis_encode_quantized(rate=8000, **kw)
+        rate, ch, pcm = V.vorbis_decode(b)
+        assert rate == 8000 and ch == kw["channels"]
+        for c in range(ch):
+            assert pcm[c] == exp[c], kw
+        assert any(v != 0.0 for v in pcm[0])
+
+
+def test_quantized_coupled_stereo_type2(_db_seam):
+    """One square-polar coupling step + residue type 2 over the
+    interleaved bundle: decode applies the inverse mapping in
+    reverse step order and still matches the replay float-exactly."""
+    b, exp = V.vorbis_encode_quantized(frames=3, channels=2,
+                                       coupled=True, seed=99)
+    rate, ch, pcm = V.vorbis_decode(b)
+    assert ch == 2
+    for c in range(2):
+        assert pcm[c] == exp[c]
+    # the two channels genuinely differ (coupling is not identity)
+    assert pcm[0] != pcm[1]
+
+
+def test_floor_amplitude_scales_output(_db_seam):
+    """Same residues, higher floor index -> strictly larger RMS (the
+    dB table is monotone in this fixture)."""
+    b1, _ = V.vorbis_encode_quantized(frames=3, floor_y=80, seed=5)
+    b2, _ = V.vorbis_encode_quantized(frames=3, floor_y=200, seed=5)
+    _, _, p1 = V.vorbis_decode(b1)
+    _, _, p2 = V.vorbis_decode(b2)
+    e1 = sum(v * v for v in p1[0])
+    e2 = sum(v * v for v in p2[0])
+    assert e2 > e1 > 0
 
 
 def test_header_validation_errors():
