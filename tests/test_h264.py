@@ -1455,3 +1455,103 @@ def test_b_transcode_raises_namefully():
         C.CABAC["trans_lps"] = saved["trans_lps"]
         C.CABAC["init"].clear()
         C.CABAC["init"].update(saved["init"])
+
+
+def test_b_partition_shapes_hand_stream():
+    """Hand-built one-MB B pictures covering the parse paths the
+    engine encoder doesn't emit: B_Direct_16x16 (with residual
+    syntax), the 16x8 / 8x16 two-partition shapes, and B_8x8 with
+    L0/L1/Bi/direct sub-partitions. The I and P references carry the
+    SAME picture, so every B prediction (L0 copy, L1 copy, bi
+    average, spatial direct) must reconstruct exactly that picture."""
+    h.load_cavlc_tables({"cbp_inter": [[i, i] for i in range(48)]})
+    px = [[((x * 9 + y * 5) % 256, (x * 3) % 256, (y * 7) % 256)
+           for x in range(16)] for y in range(16)]
+
+    def b_stream(body_bits):
+        ys, cbs, crs = h._rgb_to_420(px)
+        base = h.nal_units(h.encode_video_b_skip(px))
+        sl = h._W()
+        sl.ue(0)
+        sl.ue(6)      # B slice
+        sl.ue(0)
+        sl.u(2, 4)    # frame_num
+        sl.u(2, 6)    # poc_lsb 2
+        sl.u(1, 1)    # direct_spatial
+        sl.u(0, 1)
+        sl.u(0, 1)
+        sl.u(0, 1)
+        sl.se(0)
+        sl.ue(1)      # deblock off
+        sl.ue(0)      # mb_skip_run 0
+        for v, n in body_bits:
+            if n == "ue":
+                sl.ue(v)
+            elif n == "se":
+                sl.se(v)
+            else:
+                sl.u(v, n)
+        # IDR + PCM-P from the table-free skip clip, new B slice
+        return (h._nal(base[0][2], 3, 7) + h._nal(base[1][2], 3, 8)
+                + h._nal(base[2][2], 3, 5) + h._nal(base[3][2], 2, 1)
+                + h._nal(sl.trailing(), 0, 1))
+
+    w0, h0, ref_frames = h.decode_video_yuv(h.encode_video_b_skip(px))
+    want = ref_frames[0]
+
+    cases = {
+        # B_Direct_16x16 WITH residual syntax (cbp 0 via identity map)
+        "direct16": [(0, "ue"), (0, "ue")],
+        # mb_type 4: B_L0_L0_16x8 — two mvd_l0 pairs, cbp 0
+        "16x8_l0": [(4, "ue"), (0, "se"), (0, "se"), (0, "se"),
+                    (0, "se"), (0, "ue")],
+        # mb_type 7: B_L1_L1_8x16 — two mvd_l1 pairs, cbp 0
+        "8x16_l1": [(7, "ue"), (0, "se"), (0, "se"), (0, "se"),
+                    (0, "se"), (0, "ue")],
+        # mb_type 21: B_Bi_Bi_8x16 — l0 then l1 mvds for both parts
+        "8x16_bi": [(21, "ue")] + [(0, "se")] * 8 + [(0, "ue")],
+        # B_8x8 (22): subs = L0_8x8, L1_8x8, Bi_8x8, Direct_8x8;
+        # mvds: l0 for subs 0 and 2, l1 for subs 1 and 2
+        "b8x8": [(22, "ue"), (1, "ue"), (2, "ue"), (3, "ue"),
+                 (0, "ue")] + [(0, "se")] * 8 + [(0, "ue")],
+    }
+    for name, body in cases.items():
+        stream = b_stream(body)
+        w, hgt, frames = h.decode_video_yuv(stream)
+        assert len(frames) == 3, name
+        assert frames[2] == want, f"{name}: B recon != reference"
+        assert frames[1] == want, name
+
+
+def test_b_16x8_partitions_use_distinct_mvs():
+    """The two partitions of a 16x8 B macroblock carry independent
+    motion: a nonzero mvd on the BOTTOM partition moves only the
+    bottom half (content check against the shifted reference)."""
+    h.load_cavlc_tables({"cbp_inter": [[i, i] for i in range(48)]})
+    px = [[((x * 9 + y * 5) % 256, 120, 130) for x in range(16)]
+          for y in range(16)]
+    ys, cbs, crs = h._rgb_to_420(px)
+    base = h.nal_units(h.encode_video_b_skip(px))
+    sl = h._W()
+    sl.ue(0); sl.ue(6); sl.ue(0)
+    sl.u(2, 4); sl.u(2, 6)
+    sl.u(1, 1); sl.u(0, 1); sl.u(0, 1); sl.u(0, 1)
+    sl.se(0); sl.ue(1)
+    sl.ue(0)        # skip run
+    sl.ue(4)        # B_L0_L0_16x8
+    sl.se(0); sl.se(0)      # top mvd (0,0)
+    sl.se(-4); sl.se(0)     # bottom mvd: predictor is top's (0,0)
+    sl.ue(0)        # cbp 0
+    stream = (h._nal(base[0][2], 3, 7) + h._nal(base[1][2], 3, 8)
+              + h._nal(base[2][2], 3, 5) + h._nal(base[3][2], 2, 1)
+              + h._nal(sl.trailing(), 0, 1))
+    w, hgt, frames = h.decode_video_yuv(stream)
+    iy = frames[0][0]
+    by = frames[2][0]
+    # top half: exact copy; bottom half: sampled one full pel to the
+    # LEFT (mvx = -4 quarter-pel), with the x = 0 edge clamp
+    assert by[:8] == iy[:8]
+    for y in range(8, 16):
+        assert by[y][0] == iy[y][0], y
+        for x in range(1, 16):
+            assert by[y][x] == iy[y][x - 1], (x, y)

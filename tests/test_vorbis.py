@@ -240,3 +240,51 @@ def test_multimodal_dispatch_vorbis():
     rate, mono = mm.audio_decode_rate(b)
     assert rate == 8000 and len(mono) == 3 * 128
     assert all(v == 0.0 for v in mono)
+
+
+def test_residue_type0_interleave_and_seq_lookup():
+    """Residue type 0 scatters each dims-length VQ vector with stride
+    step = psize // dims (untouched by the engine encoder, which uses
+    types 1/2) — pinned against a hand-computed expectation; and
+    lookup vectors with seq_p accumulate left to right."""
+    mults = [(i * 7 + 3) % 16 for i in range(64)]
+    vq = {"dims": 4, "entries": 16, "lengths": [4] * 16,
+          "codewords": V._assign_codewords([4] * 16),
+          "lookup": 2, "min": -8.0, "delta": 1.0, "seq_p": 0,
+          "mults": mults}
+    classbook = {"dims": 1, "entries": 2, "lengths": [1, 1],
+                 "codewords": V._assign_codewords([1, 1]),
+                 "lookup": 0}
+    books = [classbook, vq]
+    res = {"type": 0, "begin": 0, "end": 32, "psize": 32,
+           "classifications": 2, "classbook": 0,
+           "cascades": [1, 1], "books": [[1] + [None] * 7,
+                                         [1] + [None] * 7]}
+    # one partition: classword 0 (1 bit), then step=8 codewords of
+    # 4 bits each (uniform canonical: entry i <-> code i, MSB-first)
+    w = V._WL()
+    w.u(0, 1)
+    entries = [3, 0, 15, 7, 9, 1, 12, 5]
+    for e in entries:
+        for bit in range(3, -1, -1):
+            w.u((e >> bit) & 1, 1)
+    r = V._RL(w.tobytes())
+    (vec,) = V._residue_decode(r, res, books, [False], 32)
+    step = 32 // 4
+    for k, e in enumerate(entries):
+        vals = [mults[e * 4 + d] * 1.0 + (-8.0) for d in range(4)]
+        for d in range(4):
+            assert vec[k + d * step] == vals[d], (k, d)
+    # seq_p accumulation (lookup type 2)
+    vq_seq = dict(vq, seq_p=1)
+    vals = V._vq_values(vq_seq, 5)
+    run = 0.0
+    for d in range(4):
+        run += mults[5 * 4 + d] - 8.0
+        assert vals[d] == run
+    # lookup type 1: component index via the integer root
+    vq1 = {"dims": 2, "entries": 9, "lookup": 1, "min": 1.0,
+           "delta": 2.0, "seq_p": 0, "mults": [5, 0, 7]}
+    # lookup1_values(9, 2) = 3: entry 7 -> indices (7 % 3, 7 // 3 % 3)
+    # = (1, 2) -> mults (0, 7)
+    assert V._vq_values(vq1, 7) == [0 * 2.0 + 1.0, 7 * 2.0 + 1.0]
