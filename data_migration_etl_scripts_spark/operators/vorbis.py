@@ -440,7 +440,11 @@ def vorbis_decode_packets(packets: list[bytes],
     mode_bits = _ilog(len(modes) - 1)
     acc = [np.zeros(0) for _ in range(channels)]
     outs: list[list[float]] = [[] for _ in range(channels)]
-    pos = 0             # absolute left edge of the current frame
+    # absolute left edge of the current frame; based at bs1/4 because
+    # a long block after a short one extends BACKWARD past the
+    # short block's left edge (its zero-windowed lead-in) — the dip
+    # is bounded by bs1/4
+    pos = cfg["bs1"] // 4
     emit_from = None    # first not-yet-final absolute sample
     prev_n = None
     for pkt in packets[3:]:
@@ -496,7 +500,11 @@ def vorbis_decode_packets(packets: list[bytes],
         win = np.asarray(_frame_window(n, wprev, wnext))
         mat = _imdct_mat(n)
         if prev_n is not None:
-            pos += prev_n // 4 + n // 4
+            # slope-center alignment: the previous frame's right
+            # slope center (3*prev_n/4) meets this frame's left slope
+            # center (n/4) — equal sizes reduce to the familiar n/2
+            # hop; centers still advance by prev_n/4 + n/4
+            pos += 3 * prev_n // 4 - n // 4
         for ch in range(channels):
             if floors_dec[ch] is None:
                 frame = np.zeros(n)

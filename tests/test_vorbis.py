@@ -288,3 +288,67 @@ def test_residue_type0_interleave_and_seq_lookup():
     # lookup1_values(9, 2) = 3: entry 7 -> indices (7 % 3, 7 // 3 % 3)
     # = (1, 2) -> mults (0, 7)
     assert V._vq_values(vq1, 7) == [0 * 2.0 + 1.0, 7 * 2.0 + 1.0]
+
+
+def test_mixed_blocksize_silence_lapping():
+    """A hand-built two-mode stream (short 256 / long 1024) with
+    all-silent floors: the absolute-position lap accounting must
+    return exactly sum(prev/4 + cur/4) samples across the
+    short->long->short transitions (the spec's window-switch
+    arithmetic), all zeros."""
+    w = V._WL()
+    w.u(0, 32)
+    w.u(1, 8)          # mono
+    w.u(8000, 32)
+    w.u(0, 32); w.u(0, 32); w.u(0, 32)
+    w.u(8, 4)          # bs0 = 256
+    w.u(10, 4)         # bs1 = 1024
+    w.u(1, 1)
+    ident = b"\x01vorbis" + w.tobytes()
+    comment = (b"\x03vorbis" + (1).to_bytes(4, "little") + b"x"
+               + (0).to_bytes(4, "little") + b"\x01")
+    # setup: same single codebook/floor/residue/mapping as the engine
+    # silence stream, but TWO modes (short, long)
+    w = V._WL()
+    w.u(0, 8)
+    w.u(0x564342, 24)
+    w.u(1, 16); w.u(2, 24); w.u(0, 1); w.u(0, 1)
+    w.u(0, 5); w.u(0, 5); w.u(0, 4)
+    w.u(0, 6); w.u(0, 16)              # time
+    w.u(0, 6)                          # one floor
+    w.u(1, 16); w.u(1, 5); w.u(0, 4)
+    w.u(0, 3); w.u(0, 2); w.u(1, 8)    # class: dim 1, book 0
+    w.u(0, 2); w.u(6, 4); w.u(32, 6)
+    w.u(0, 6)                          # one residue
+    w.u(0, 16); w.u(0, 24); w.u(0, 24); w.u(0, 24)
+    w.u(0, 6); w.u(0, 8)
+    w.u(0, 3); w.u(0, 1)
+    w.u(0, 6)                          # one mapping
+    w.u(0, 16); w.u(0, 1); w.u(0, 1); w.u(0, 2)
+    w.u(0, 8); w.u(0, 8); w.u(0, 8)
+    w.u(1, 6)                          # TWO modes
+    w.u(0, 1); w.u(0, 16); w.u(0, 16); w.u(0, 8)   # mode 0: short
+    w.u(1, 1); w.u(0, 16); w.u(0, 16); w.u(0, 8)   # mode 1: long
+    w.u(1, 1)
+    setup = b"\x05vorbis" + w.tobytes()
+
+    def audio(mode):
+        aw = V._WL()
+        aw.u(0, 1)
+        aw.u(mode, 1)          # mode number (1 bit: two modes)
+        if mode:
+            aw.u(0, 1)         # prev window flag (short neighbor)
+            aw.u(0, 1)         # next window flag
+        aw.u(0, 1)             # floor nonzero = 0
+        return aw.tobytes()
+
+    seq = [0, 1, 1, 0, 0]      # short, long, long, short, short
+    sizes = [256, 1024, 1024, 256, 256]
+    pkts = [ident, comment, setup] + [audio(m) for m in seq]
+    rate, ch, pcm = V.vorbis_decode_packets(pkts)
+    want = sum(sizes[i - 1] // 4 + sizes[i] // 4
+               for i in range(1, len(sizes)))
+    assert rate == 8000 and ch == 1
+    # (64+256) + (256+256) + (256+64) + (64+64) = 1280
+    assert len(pcm[0]) == want == 1280
+    assert all(v == 0.0 for v in pcm[0])
