@@ -779,10 +779,10 @@ def _apply_pns_is(groups_x, cb_maps, sfs_pair, ics_pair, ms_used,
     two channels of a CPE carry their OWN window/band geometry, so each
     channel's band walk uses its own ics. PNS correlation (14496-3):
     when ms_used is set for a band that is NOISE_HCB in both channels,
-    the right channel reuses the left channel's random vector with the
-    sign inverted (the energy stays channel-coded); ms_used is only
-    present with common_window=1, where the geometries are identical by
-    construction."""
+    the right channel reuses the SAME left-channel random vector
+    (fully correlated noise — faad2/FDK agree; the energy stays
+    channel-coded). ms_used is only present with common_window=1,
+    where the geometries are identical by construction."""
     nch = 2 if stereo else 1
     left_noise: dict = {}   # (g, sfb) -> raw left-channel LCG vector
     for ch in range(nch):
@@ -796,7 +796,7 @@ def _apply_pns_is(groups_x, cb_maps, sfs_pair, ics_pair, ms_used,
                 if cb == NOISE_HCB:
                     if (ch == 1 and ms_used and ms_used[g][sfb]
                             and (g, sfb) in left_noise):
-                        noise = [-v for v in left_noise[g, sfb]]
+                        noise = left_noise[g, sfb]
                     else:
                         noise, seed = _lcg_noise(seed, width)
                         if ch == 0 and stereo:

@@ -2007,9 +2007,19 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         else:
             mv = mv_pred(4 * mbx, 4 * mby, 4, 0)
         set_mv(mbx, mby, 0, 0, 16, 16, (mv[0], mv[1], 0))
-        y_plane.put(16 * mbx, 16 * mby,
-                    mc_luma(mbx, mby, 0, 0, 16, 16, mv[0], mv[1], 0))
+        yblk = mc_luma(mbx, mby, 0, 0, 16, 16, mv[0], mv[1], 0)
         cbp_, crp_ = mc_chroma(mbx, mby, mv[0], mv[1], 0)
+        if p_weights is not None:
+            # spec 8.4.2.3: P_Skip is an inter prediction with
+            # refIdxL0=0 — explicit weights apply to it exactly as to
+            # coded P MBs (fades are skip-heavy; bypassing weighting
+            # here decodes silently wrong and deblock compounds it)
+            wv, ov = p_weights["l0"][0]
+            yblk = _wp_uni(yblk, wv, ov, p_weights["lwd"])
+            (cbw, cbo), (crw, cro) = p_weights["c0"][0]
+            cbp_ = _wp_uni(cbp_, cbw, cbo, p_weights["cwd"])
+            crp_ = _wp_uni(crp_, crw, cro, p_weights["cwd"])
+        y_plane.put(16 * mbx, 16 * mby, yblk)
         cb_plane.put(8 * mbx, 8 * mby, cbp_)
         cr_plane.put(8 * mbx, 8 * mby, crp_)
         for by in range(4 * mby, 4 * mby + 4):

@@ -91,9 +91,19 @@ def asof_join(
     # right rows (side 0) sort before left rows (side 1) at equal ts, so
     # an exactly-simultaneous right row IS visible to the left row.
     # forward direction walks time descending: the last right row seen
-    # at or after the left ts is the EARLIEST such row
-    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
-    tb_order = F.col("__tb") if direction == "backward" else F.col("__tb").desc()
+    # at or after the left ts is the EARLIEST such row. Left rows with a
+    # NULL timestamp must match nothing in either direction: asc defaults
+    # to NULLS FIRST (fine for backward); the descending walk needs
+    # desc_nulls_first, else the null left row sorts after every right
+    # row and inherits the earliest one. The tiebreak stays ascending in
+    # BOTH directions — "latest tiebreak wins" means the largest __tb
+    # must be the last row the window sees among equal-ts rights.
+    ts_order = (
+        F.col("__ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__ts").desc_nulls_first()
+    )
+    tb_order = F.col("__tb").asc()
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts_order, F.col("__side"), tb_order)

@@ -631,25 +631,28 @@ def _cpe_noise_common(ms_present: int, g_left: int, g_right: int):
 
 def test_cpe_pns_ms_correlation():
     """ms_used set on a both-channels NOISE band: the right channel
-    reuses the left channel's random vector with inverted sign
-    (14496-3 PNS correlation; round-10 ADVICE fix) — without ms_used
-    the channels draw independent noise."""
+    reuses the SAME left-channel random vector — fully correlated
+    noise, per the 14496-3 text faad2 quotes verbatim (neither faad2
+    nor FDK inverts the sign; round-11 ADVICE fix reversing the r10
+    advisory's sign claim) — without ms_used the channels draw
+    independent noise."""
     a.load_aac_tables(_synthetic_tables())
     rate, nch, (l, r) = a.aac_decode(_cpe_noise_common(2, 300, 300))
     assert nch == 2 and any(v != 0.0 for v in l)
     for i in range(1024):
-        assert abs(r[i] + l[i]) < 1e-12
+        assert abs(r[i] - l[i]) < 1e-12
     # independent vectors when ms is absent (same coded energy; the
     # time-domain energies differ per vector because the MDCT first
     # half isn't phase-invariant — only a loose band)
     rate, nch, (l0, r0) = a.aac_decode(_cpe_noise_common(0, 300, 300))
-    assert max(abs(r0[i] + l0[i]) for i in range(1024)) > 1e-6
+    amp = max(abs(v) for v in l0)
+    assert max(abs(r0[i] - l0[i]) for i in range(1024)) > 0.1 * amp
     el, er = sum(v * v for v in l0), sum(v * v for v in r0)
     assert 0.25 < er / el < 4.0
-    # correlated but energy-offset: r = -4 * l (+8 coded = 16x energy)
+    # correlated but energy-offset: r = 4 * l (+8 coded = 16x energy)
     rate, nch, (l4, r4) = a.aac_decode(_cpe_noise_common(2, 300, 308))
     for i in range(1024):
-        assert abs(r4[i] + 4.0 * l4[i]) < 1e-9
+        assert abs(r4[i] - 4.0 * l4[i]) < 1e-9
 
 
 def test_cpe_pns_common_window0_uses_per_channel_ics():

@@ -1426,6 +1426,75 @@ def test_p_explicit_weighted_prediction_hand_stream():
             assert pcb[y][x] == exp, (x, y)
 
 
+def test_p_skip_applies_explicit_weighted_prediction():
+    """P_Skip under weighted_pred = 1: spec 8.4.2.3 applies the
+    explicit L0 weights (refIdxL0 = 0) to skipped macroblocks exactly
+    as to coded ones — fades are skip-heavy, so bypassing weighting on
+    skip decodes silently wrong and deblock compounds it across frames
+    (round-11 ADVICE fix). Hand stream: one-MB picture, slice is a
+    single mb_skip_run = 1 — the P frame must be the weighted
+    reference, luma AND both chroma planes."""
+    h.load_cavlc_tables({"cbp_inter": [[i, i] for i in range(48)]})
+    px_y = [[(x * 5 + y * 7) % 256 for x in range(16)]
+            for y in range(16)]
+    cb = [[(100 + x * 3 + y) % 256 for x in range(8)]
+          for y in range(8)]
+    cr = [[(60 + x + y * 2) % 256 for x in range(8)]
+          for y in range(8)]
+    sps_pps = h.nal_units(h.encode_ipcm_yuv(px_y, cb, cr))
+    sps_rbsp = sps_pps[0][2]
+    pps = h._W()
+    pps.ue(0); pps.ue(0)
+    pps.u(0, 1)     # CAVLC
+    pps.u(0, 1)
+    pps.ue(0)
+    pps.ue(0); pps.ue(0)
+    pps.u(1, 1)     # weighted_pred = 1
+    pps.u(0, 2)
+    pps.se(0); pps.se(0); pps.se(0)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)
+    idr = sps_pps[2][2]
+    lwd, wv, ov = 3, 13, 7
+    cwd, cwv, cov = 2, 5, -9
+    sl = h._W()
+    sl.ue(0)
+    sl.ue(5)        # P
+    sl.ue(0)
+    sl.u(1, 4)      # frame_num
+    sl.u(0, 1)      # override
+    sl.u(0, 1)      # ref mod
+    sl.ue(lwd)      # pred_weight_table
+    sl.ue(cwd)
+    sl.u(1, 1)      # luma_weight_l0_flag
+    sl.se(wv)
+    sl.se(ov)
+    sl.u(1, 1)      # chroma_weight_l0_flag
+    sl.se(cwv); sl.se(cov)
+    sl.se(cwv); sl.se(cov)
+    sl.u(0, 1)      # adaptive marking
+    sl.se(0)        # qp delta
+    sl.ue(1)        # deblock off
+    sl.ue(1)        # mb_skip_run = 1: the whole picture is P_Skip
+    stream = (h._nal(sps_rbsp, 3, 7) + h._nal(pps.trailing(), 3, 8)
+              + h._nal(idr, 3, 5) + h._nal(sl.trailing(), 2, 1))
+    w, hgt, frames = h.decode_video_yuv(stream)
+    assert len(frames) == 2
+    iy, icb, icr = frames[0]
+    py, pcb, pcr = frames[1]
+    rnd = 1 << (lwd - 1)
+    for y in range(16):
+        for x in range(16):
+            exp = min(255, max(0, ((iy[y][x] * wv + rnd) >> lwd) + ov))
+            assert py[y][x] == exp, (x, y)
+    crnd = 1 << (cwd - 1)
+    for plane, ref in ((pcb, icb), (pcr, icr)):
+        for y in range(8):
+            for x in range(8):
+                exp = min(255, max(0, ((ref[y][x] * cwv + crnd) >> cwd)
+                                   + cov))
+                assert plane[y][x] == exp, (x, y)
+
+
 def test_b_transcode_raises_namefully():
     """CABAC covers I/P (r10): transcoding a B stream raises at the
     documented boundary rather than mis-encoding."""

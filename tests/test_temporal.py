@@ -152,6 +152,52 @@ def test_asof_composite_key_and_null_right_ts(spark):
     assert out[2].asof_rid is None
 
 
+def test_asof_forward_null_left_ts_matches_nothing(spark):
+    """A left row with a NULL timestamp satisfies no inequality in
+    EITHER direction. The descending forward walk must sort null-ts
+    left rows first (desc_nulls_first) — with the default NULLS LAST
+    they'd sort after every right row and last(ignorenulls) would hand
+    them the earliest right row, a spurious match (round-10 advisory)."""
+    left = spark.createDataFrame(
+        [(1, 10, None), (2, 10, _ts("2024-01-01 12:00:00"))],
+        "lid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts("2024-01-01 13:00:00"), 1.0)],
+        "rid long, k long, rts timestamp, v double",
+    )
+    for direction in ("backward", "forward"):
+        out = {r.lid: r for r in tmp.asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid", "v"], tiebreak="rid", direction=direction,
+        ).collect()}
+        assert out[1].asof_rid is None, direction
+    # sanity: the non-null left row does match in forward direction
+    out = {r.lid: r for r in tmp.asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_cols=["rid"], tiebreak="rid", direction="forward",
+    ).collect()}
+    assert out[2].asof_rid == 100
+
+
+def test_asof_forward_equal_ts_tiebreak_latest_wins(spark):
+    """Among right rows sharing the winning timestamp, the LARGEST
+    tiebreak wins in both directions (documented latest-wins rule and
+    the DuckDB oracle's dedup). The forward walk must keep __tb
+    ascending: descending tiebreak made the smallest win (r10 advisory)."""
+    t = _ts("2024-01-01 10:00:00")
+    left = spark.createDataFrame([(1, 5, t)], "lid long, k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(7, 5, t, 1.0), (9, 5, t, 2.0)],
+        "rid long, k long, rts timestamp, v double",
+    )
+    out = tmp.asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_cols=["rid", "v"], tiebreak="rid", direction="forward",
+    ).collect()[0]
+    assert out.asof_rid == 9 and out.asof_v == 2.0
+
+
 def test_sql_asof_executor_plan_has_no_join(spark):
     """The tier-3 ASOF executor delegates equi-key shapes to the
     union+window operator: the physical plan contains NO join node
