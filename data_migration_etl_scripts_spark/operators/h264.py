@@ -131,8 +131,16 @@ L0/L1/Bi at per-list global MVs, optionally weighted — decode is
 bit-exact against the replayed recons) and ``encode_video_b_skip``
 (the TABLE-FREE all-B_Skip clip).
 
-NOT in scope (raise namefully): Intra_8x8 prediction, temporal
-direct mode, implicit weighted bi-prediction (idc=2), CABAC-coded
+NEW in r11 — the two remaining B-prediction modes, both pure
+POC-distance formulas (no new tables): TEMPORAL direct
+(8.4.1.2.3 — per-block colocated-MV scaling by DistScaleFactor,
+with the colocated reference mapped into the current RefPicList0 by
+POC via a per-picture reference-POC grid stored alongside the motion
+field), and IMPLICIT weighted bi-prediction (weighted_bipred_idc=2,
+8.4.2.3.1 — per-(ref0, ref1) POC-distance weights at logWD 5, zero
+offsets, uni partitions unweighted).
+
+NOT in scope (raise namefully): Intra_8x8 prediction, CABAC-coded
 B slices, ref-list modification / adaptive marking, interlace,
 high-profile transform/scaling-list tools (8x8 transform, QP
 scaling matrices).
@@ -1350,6 +1358,48 @@ def _wp_bi(b0, b1, w0: int, o0: int, w1: int, o1: int, lwd: int):
              for x, y in zip(r0, r1)] for r0, r1 in zip(b0, b1)]
 
 
+def _clip3(lo: int, hi: int, v: int) -> int:
+    return lo if v < lo else (hi if v > hi else v)
+
+
+def _dist_scale_factor(cur: int, poc0: int, poc1: int) -> int:
+    """DistScaleFactor (8.4.1.2.3): POC-distance ratio in .8 fixed
+    point between (cur - poc0) and (poc1 - poc0). Spec '/' truncates
+    toward zero; the numerator 16384 + Abs(td/2) is positive, so
+    truncation = floor of the absolute quotient with the sign of td."""
+    tb = _clip3(-128, 127, cur - poc0)
+    td = _clip3(-128, 127, poc1 - poc0)
+    q = (16384 + (abs(td) >> 1)) // abs(td)
+    tx = q if td > 0 else -q
+    return _clip3(-1024, 1023, (tb * tx + 32) >> 6)
+
+
+def _temporal_mv_scale(cur: int, poc0: int, poc1: int, mvcol):
+    """Temporal direct MV derivation (8.4.1.2.3): scale the colocated
+    MV by the POC-distance ratio. Returns (mvL0, mvL1). When the two
+    anchor pictures share a POC the colocated MV passes through
+    unscaled and list 1 gets the zero MV."""
+    if poc0 == poc1:
+        return (mvcol[0], mvcol[1]), (0, 0)
+    dsf = _dist_scale_factor(cur, poc0, poc1)
+    mv0 = ((dsf * mvcol[0] + 128) >> 8, (dsf * mvcol[1] + 128) >> 8)
+    return mv0, (mv0[0] - mvcol[0], mv0[1] - mvcol[1])
+
+
+def _implicit_weights(cur: int, poc0: int, poc1: int):
+    """Implicit weighted bi-prediction weights (8.4.2.3.1,
+    weighted_bipred_idc = 2): (w0, w1) with logWD fixed at 5 and zero
+    offsets. Falls back to the 32/32 equal split when the anchors
+    share a POC or the scale factor leaves [-64, 128] (the spec's
+    guard against extreme extrapolation)."""
+    if poc0 == poc1:
+        return 32, 32
+    w1 = _dist_scale_factor(cur, poc0, poc1) >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
 def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
                         ref_idc: int) -> dict:
     """I- or P-slice header -> dict with first_mb, qp, deblock params
@@ -1377,10 +1427,6 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
     direct_spatial = None
     if is_b:
         direct_spatial = r.u(1)
-        if not direct_spatial:
-            raise NotImplementedError(
-                "temporal direct mode (direct_spatial_mv_pred_flag=0)"
-            )
     num_ref = pps["num_ref_l0"]
     num_ref1 = pps["num_ref_l1"]
     override = None
@@ -1397,10 +1443,6 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
             raise NotImplementedError("ref_pic_list_modification")
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
             raise NotImplementedError("ref_pic_list_modification (l1)")
-        if is_b and pps["weighted_bipred"] == 2:
-            raise NotImplementedError(
-                "implicit weighted bi-prediction (weighted_bipred_idc"
-                "=2 — POC-distance weights)")
         if ((is_p and pps["weighted_pred"])
                 or (is_b and pps["weighted_bipred"] == 1)):
             weights = _parse_pred_weight_table(
@@ -1427,6 +1469,8 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
     return {"first_mb": first_mb, "qp": qp, "idc": idc,
             "off_a": off_a, "off_b": off_b, "is_p": is_p,
             "is_b": is_b, "num_ref1": num_ref1, "weights": weights,
+            "direct_spatial": direct_spatial,
+            "implicit_wp": is_b and pps["weighted_bipred"] == 2,
             "num_ref": num_ref, "cabac_init_idc": init_idc,
             # raw fields retained so the CAVLC->CABAC transcoder can
             # re-emit an equivalent header
@@ -1853,12 +1897,22 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
     #: from None (MB not available)
     mv_g = [[None] * (4 * wm) for _ in range(4 * hm)]
     mv_g1 = [[None] * (4 * wm) for _ in range(4 * hm)]
+    #: per-4x4-block POC of the picture the L0 motion references
+    #: (None for intra/undecoded) — temporal direct mode (r11) maps a
+    #: colocated block's reference into the CURRENT RefPicList0 by
+    #: POC, and a ref INDEX alone is meaningless across pictures
+    #: (each slice builds its own list order)
+    mv_refpoc = [[None] * (4 * wm) for _ in range(4 * hm)]
 
     cur_slice = 0
     r = _R(b"")
     ent = None      # per-slice entropy source (_EntCavlc / _EntCabac)
     qp = 26
     p_weights = None   # per-slice explicit P weighting (r10)
+    #: POC per active-L0 index for the CURRENT slice (refs order for
+    #: P slices, b_ctx["l0"] order for B slices); None where the DPB
+    #: entry carries no POC (short test tuples)
+    cur_l0_pocs: list = []
 
     def mb_avail(mbx2: int, mby2: int) -> bool:
         return (0 <= mbx2 < wm and 0 <= mby2 < hm
@@ -1905,12 +1959,18 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         return mv_g1[by][bx]
 
     def set_mv(mbx, mby, px, py, pw, ph, mv, grid=None):
+        is_l0 = grid is None
         grid = mv_g if grid is None else grid
+        refpoc = None
+        if is_l0 and mv[2] >= 0 and mv[2] < len(cur_l0_pocs):
+            refpoc = cur_l0_pocs[mv[2]]
         for by in range((16 * mby + py) // 4,
                         (16 * mby + py + ph) // 4):
             for bx in range((16 * mbx + px) // 4,
                             (16 * mbx + px + pw) // 4):
                 grid[by][bx] = mv
+                if is_l0:
+                    mv_refpoc[by][bx] = refpoc
 
     def mv_pred(bx0: int, by0: int, w_blks: int, ref: int,
                 directional: str | None = None):
@@ -1992,6 +2052,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             for bx in range(4 * mbx, 4 * mbx + 4):
                 mv_g[by][bx] = (0, 0, -1)
                 mv_g1[by][bx] = (0, 0, -1)
+                mv_refpoc[by][bx] = None
 
     def decode_skip(mb: int) -> None:
         """P_Skip: predictor MV against ref 0, no residual."""
@@ -2189,6 +2250,16 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         if use0 and use1:
             y0, cb0, cr0 = fetch(b_ctx["l0"], r0, *mv0)
             y1, cb1, cr1 = fetch(b_ctx["l1"], r1, *mv1)
+            if b_ctx.get("implicit"):
+                # idc=2: POC-distance weights per (r0, r1) pair, logWD
+                # 5, zero offsets, SAME weights for luma and chroma;
+                # uni-predicted partitions stay unweighted (8.4.2.3)
+                iw0, iw1 = _implicit_weights(
+                    b_ctx["poc"], b_ctx["l0"][r0][3],
+                    b_ctx["l1"][r1][3])
+                return (_wp_bi(y0, y1, iw0, 0, iw1, 0, 5),
+                        _wp_bi(cb0, cb1, iw0, 0, iw1, 0, 5),
+                        _wp_bi(cr0, cr1, iw0, 0, iw1, 0, 5))
             if w is None:
                 return (_bi_avg(y0, y1), _bi_avg(cb0, cb1),
                         _bi_avg(cr0, cr1))
@@ -2250,12 +2321,42 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         return (cm is not None and cm[2] == 0
                 and -1 <= cm[0] <= 1 and -1 <= cm[1] <= 1)
 
+    def _temporal_direct_block(cbx, cby):
+        """Temporal direct derivation (8.4.1.2.3) for ONE colocated
+        4x4 block of RefPicList1[0]: map the colocated reference into
+        the current RefPicList0 by POC, then scale the colocated MV by
+        the POC-distance ratio. Intra/unavailable colocated blocks
+        carry the zero MV against RefPicList0[0], per 8.4.1.2.2."""
+        e = b_ctx["l1"][0]
+        mvf = e[4] if len(e) > 4 else None
+        pocf = e[5] if len(e) > 5 else None
+        cm = mvf[cby][cbx] if mvf is not None else None
+        if cm is None or cm[2] < 0:
+            mvcol, r0 = (0, 0), 0
+        else:
+            mvcol = (cm[0], cm[1])
+            colpoc = pocf[cby][cbx] if pocf is not None else None
+            r0 = next((i for i, le in enumerate(b_ctx["l0"])
+                       if len(le) > 3 and le[3] == colpoc), None)
+            if colpoc is None or r0 is None:
+                raise ValueError(
+                    "temporal direct: colocated block's reference "
+                    "picture is not in the current RefPicList0")
+        mv0, mv1 = _temporal_mv_scale(
+            b_ctx["poc"], b_ctx["l0"][r0][3], b_ctx["l1"][0][3],
+            mvcol)
+        return r0, mv0, mv1
+
     def _direct_part(mbx, mby, px, py, pw, ph, derived):
         """One direct(-skip) region: per-4x4 (or per-8x8-corner with
-        direct_8x8_inference) colZero refinement, grid updates, and
-        the combined prediction written into pred16/cpreds."""
-        r0, r1, mvp0, mvp1, zero_pred = derived
-        use0, use1 = r0 >= 0, r1 >= 0
+        direct_8x8_inference) derivation, grid updates, and the
+        combined prediction written into pred16/cpreds. ``derived`` is
+        the MB-level spatial derivation, or None for temporal direct
+        (fully per-block: each block scales its OWN colocated MV)."""
+        temporal = derived is None
+        if not temporal:
+            r0, r1, mvp0, mvp1, zero_pred = derived
+            use0, use1 = r0 >= 0, r1 >= 0
         pred16, cpredb, cpredr = ([[0] * pw for _ in range(ph)],
                                   [[0] * (pw // 2)
                                    for _ in range(ph // 2)],
@@ -2273,11 +2374,17 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                     cby = 4 * mby + (3 if (py + sy) >= 8 else 0)
                 else:
                     cbx, cby = bx, by
-                cz = (not zero_pred) and _col_zero(cbx, cby)
-                mv0 = ((0, 0) if zero_pred or (cz and r0 == 0)
-                       else mvp0)
-                mv1 = ((0, 0) if zero_pred or (cz and r1 == 0)
-                       else mvp1)
+                if temporal:
+                    # both lists always predict in temporal direct
+                    r0, mv0, mv1 = _temporal_direct_block(cbx, cby)
+                    r1 = 0
+                    use0 = use1 = True
+                else:
+                    cz = (not zero_pred) and _col_zero(cbx, cby)
+                    mv0 = ((0, 0) if zero_pred or (cz and r0 == 0)
+                           else mvp0)
+                    mv1 = ((0, 0) if zero_pred or (cz and r1 == 0)
+                           else mvp1)
                 sw = min(step, pw - sx)
                 sh = min(step, ph - sy)
                 set_mv(mbx, mby, px + sx, py + sy, sw, sh,
@@ -2298,10 +2405,12 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         return pred16, cpredb, cpredr
 
     def decode_skip_b(mb: int) -> None:
-        """B_Skip: spatial direct prediction, no residual."""
+        """B_Skip: direct prediction (spatial or temporal per the
+        slice header flag), no residual."""
         mbx, mby = mb % wm, mb // wm
         mb_slice[mby][mbx] = cur_slice
-        derived = _spatial_direct_mb(mbx, mby)
+        derived = (_spatial_direct_mb(mbx, mby)
+                   if b_ctx["spatial"] else None)
         pred16, cpredb, cpredr = _direct_part(mbx, mby, 0, 0, 16, 16,
                                               derived)
         y_plane.put(16 * mbx, 16 * mby, pred16)
@@ -2350,7 +2459,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                     crb[yy]
 
         if mb_type == 0:        # B_Direct_16x16
-            derived = _spatial_direct_mb(mbx, mby)
+            derived = (_spatial_direct_mb(mbx, mby)
+                       if b_ctx["spatial"] else None)
             p16, cbb, crb = _direct_part(mbx, mby, 0, 0, 16, 16,
                                          derived)
             place(0, 0, 16, 16, p16, cbb, crb)
@@ -2390,11 +2500,12 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             for i, (q, px, py, sw, sh, u0, u1) in enumerate(parts):
                 if u1:
                     mvd1[i] = ent.mvd(mbx, mby, px, py, sw, sh)
-            derived = None
+            derived = "unset"
             for i, (q, px, py, sw, sh, u0, u1) in enumerate(parts):
                 if u0 is None:   # B_Direct_8x8
-                    if derived is None:
-                        derived = _spatial_direct_mb(mbx, mby)
+                    if derived == "unset":
+                        derived = (_spatial_direct_mb(mbx, mby)
+                                   if b_ctx["spatial"] else None)
                     p8, cb8, cr8 = _direct_part(mbx, mby, px, py,
                                                 8, 8, derived)
                     place(px, py, 8, 8, p8, cb8, cr8)
@@ -2680,7 +2791,13 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             b_ctx.clear()
             b_ctx.update({"l0": l0, "l1": l1, "w": hdr["weights"],
                           "nref0": hdr["num_ref"],
-                          "nref1": hdr["num_ref1"]})
+                          "nref1": hdr["num_ref1"],
+                          "spatial": bool(hdr["direct_spatial"]),
+                          "implicit": hdr["implicit_wp"],
+                          "poc": cur_poc})
+            cur_l0_pocs = [e[3] if len(e) > 3 else None for e in l0]
+        elif is_p:
+            cur_l0_pocs = [e[3] if len(e) > 3 else None for e in refs]
         mb = hdr["first_mb"]
         if use_cabac:
             if is_b:
@@ -2765,7 +2882,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                          pps["chroma_qp_off"],
                          luma_nc=luma_nc if has_inter else None,
                          mv_g=mv_g if has_inter else None)
-    return y_plane, cb_plane, cr_plane, mv_g
+    return y_plane, cb_plane, cr_plane, mv_g, mv_refpoc
 
 
 def _crop_planes(sps, y_plane, cb_plane, cr_plane):
@@ -2847,12 +2964,12 @@ def decode_video_yuv(data: bytes, max_frames: int | None = None,
         hdr0 = _parse_slice_header(_R(pic[0][2]), sps, pps,
                                    pic[0][0], pic[0][1])
         poc = _picture_poc(sps, hdr0, pic[0][0] == 5, poc_state)
-        y_p, cb_p, cr_p, mvf = _decode_picture(sps, pps, pic, dpb,
-                                               deblock, cur_poc=poc)
+        y_p, cb_p, cr_p, mvf, pocf = _decode_picture(
+            sps, pps, pic, dpb, deblock, cur_poc=poc)
         frames.append(_crop_planes(sps, y_p, cb_p, cr_p))
         if pic[0][1]:  # nal_ref_idc != 0: used for reference
             dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
-                           _plane_np(cr_p), poc, mvf))
+                           _plane_np(cr_p), poc, mvf, pocf))
             del dpb[sps["max_ref"]:]  # sliding window
     return sps["width"], sps["height"], frames
 
@@ -4123,10 +4240,9 @@ def transcode_to_cabac(data: bytes) -> bytes:
         hdr0 = _parse_slice_header(_R(pic[0][2]), sps, pps,
                                    pic[0][0], pic[0][1])
         poc = _picture_poc(sps, hdr0, pic[0][0] == 5, poc_state)
-        y_p, cb_p, cr_p, mvf = _decode_picture(sps, pps, pic, dpb,
-                                               deblock="auto",
-                                               capture=capture,
-                                               cur_poc=poc)
+        y_p, cb_p, cr_p, mvf, pocf = _decode_picture(
+            sps, pps, pic, dpb, deblock="auto", capture=capture,
+            cur_poc=poc)
         decoded = [[-1] * wm for _ in range(hm)]
         sl_id = [0]
 
@@ -4157,7 +4273,7 @@ def transcode_to_cabac(data: bytes) -> bytes:
         rendered[pi] = bytes(chunk)
         if pic[0][1]:
             dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
-                           _plane_np(cr_p), poc, mvf))
+                           _plane_np(cr_p), poc, mvf, pocf))
             del dpb[sps["max_ref"]:]
     for kind, v in order:
         out += v if kind == "nal" else rendered[v]
@@ -4167,7 +4283,8 @@ def transcode_to_cabac(data: bytes) -> bytes:
 # ------------------------------------------------- B-slice encoder (r10)
 
 def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
-                       weights=None):
+                       weights=None, implicit: bool = False,
+                       poc_p: int = 4, direct_mbs: bool = False):
     """Three DISPLAY-order 4:2:0 frames (f0, f1, f2) -> (Annex-B
     bytes, recon triples in DECODE order [I, P, B]): an I_PCM IDR
     (poc 0), a P picture of f2 coded as all-I_PCM-in-P macroblocks
@@ -4186,6 +4303,15 @@ def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
     in the B slice header) and applies it in the replayed recon, so
     the weighted sample formulas self-check bit-exactly.
 
+    ``implicit`` (r11) emits weighted_bipred_idc = 2 and replays the
+    POC-distance implicit weights on every bi-predicted macroblock
+    (``poc_p`` repositions the P anchor so the weights are asymmetric
+    — the B sits at poc 2, so poc_p=8 yields the 48/16 split).
+    ``direct_mbs`` (r11) extends the mode cycle with B_Direct_16x16
+    under TEMPORAL direct (direct_spatial_mv_pred_flag = 0): the
+    colocated PCM-P macroblocks are intra, so every direct block
+    derives the zero MV against both anchors, per 8.4.1.2.2/3.
+
     Self-check role: the encoder replays the decoder's reference-list
     construction (POC-ordered), median MV prediction per list, MC
     interpolation and bi/weighted combination, so
@@ -4193,6 +4319,9 @@ def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
     the returned recons."""
     if len(frames) != 3:
         raise ValueError("encode_video_b_yuv takes exactly 3 frames")
+    if weights and implicit:
+        raise ValueError("explicit weights and implicit mode are "
+                         "mutually exclusive (one idc per PPS)")
     mv0, mv1 = (tuple(mvs[0]), tuple(mvs[1]))
     book = _need("cbp_intra", "inter")
     inv_cbp = {cbp: code for code, cbp in book.items()}
@@ -4205,7 +4334,9 @@ def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
             raise ValueError("all frames must share dimensions")
     out = bytearray(_write_sps_pps(
         wm, hm, w, h, init_qp=qp, max_ref=2, poc0=True,
-        wbipred=1 if weights else 0))
+        wbipred=2 if implicit else (1 if weights else 0)))
+    # B sits at poc 2: l0 = [I(0), P(poc_p)], l1 = [P, I]
+    imp_w0, imp_w1 = _implicit_weights(2, 0, poc_p)
     qdiv, qmod = qp // 6, qp % 6
 
     def pcm_picture(fys, fcbs, fcrs, slice_type, frame_num, poc,
@@ -4259,7 +4390,7 @@ def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
           plane_of(fcbs, 8 * wm, 8 * hm),
           plane_of(fcrs, 8 * wm, 8 * hm))
     fys2, fcbs2, fcrs2 = padded[2][0], padded[2][1], padded[2][2]
-    out += _nal(pcm_picture(fys2, fcbs2, fcrs2, 5, 1, 4, False)
+    out += _nal(pcm_picture(fys2, fcbs2, fcrs2, 5, 1, poc_p, False)
                 .trailing(), 2, 1)
     rp = (plane_of(fys2, 16 * wm, 16 * hm),
           plane_of(fcbs2, 8 * wm, 8 * hm),
@@ -4274,8 +4405,9 @@ def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
     sl.ue(6)      # slice_type B (all slices)
     sl.ue(0)
     sl.u(2, 4)    # frame_num
-    sl.u(2, 6)    # poc_lsb 2 -> between I (0) and P (4)
-    sl.u(1, 1)    # direct_spatial_mv_pred_flag
+    sl.u(2, 6)    # poc_lsb 2 -> between I (0) and P (poc_p)
+    # temporal direct when the cycle includes direct MBs
+    sl.u(0 if direct_mbs else 1, 1)  # direct_spatial_mv_pred_flag
     sl.u(0, 1)    # num_ref override
     sl.u(0, 1)    # ref mod l0
     sl.u(0, 1)    # ref mod l1
@@ -4350,41 +4482,56 @@ def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
                     g0[by][bx] = (0, 0, -1)
                     g1[by][bx] = (0, 0, -1)
             continue
-        mode = (mb % 3) + 1   # 1 = B_L0, 2 = B_L1, 3 = B_Bi
+        if direct_mbs:
+            mode = (mb - 1) % 4   # 0 = B_Direct_16x16, then L0/L1/Bi
+        else:
+            mode = (mb % 3) + 1   # 1 = B_L0, 2 = B_L1, 3 = B_Bi
         sl.ue(mode)
-        use0, use1 = mode != 2, mode != 1
+        if mode == 0:
+            # temporal direct against intra colocated blocks: zero MV,
+            # refIdx 0 both lists (8.4.1.2.2/3), no mvd/ref syntax
+            use0 = use1 = True
+            cmv0 = cmv1 = (0, 0)
+        else:
+            use0, use1 = mode != 2, mode != 1
+            cmv0, cmv1 = mv0, mv1
         # te(v) refs: one per list per used list, but num_ref == 1
         # both lists -> zero bits
         bx0, by0 = 4 * mbx, 4 * mby
-        if use0:
-            mpx, mpy = _mv_predict(getmv(g0), bx0, by0, 4, 0)
-            sl.se(mv0[0] - mpx)
-            sl.se(mv0[1] - mpy)
-        if use1:
-            mpx, mpy = _mv_predict(getmv(g1), bx0, by0, 4, 0)
-            sl.se(mv1[0] - mpx)
-            sl.se(mv1[1] - mpy)
+        if mode != 0:
+            if use0:
+                mpx, mpy = _mv_predict(getmv(g0), bx0, by0, 4, 0)
+                sl.se(cmv0[0] - mpx)
+                sl.se(cmv0[1] - mpy)
+            if use1:
+                mpx, mpy = _mv_predict(getmv(g1), bx0, by0, 4, 0)
+                sl.se(cmv1[0] - mpx)
+                sl.se(cmv1[1] - mpy)
         for by in range(by0, by0 + 4):
             for bx in range(bx0, bx0 + 4):
-                g0[by][bx] = ((mv0[0], mv0[1], 0) if use0
+                g0[by][bx] = ((cmv0[0], cmv0[1], 0) if use0
                               else (0, 0, -1))
-                g1[by][bx] = ((mv1[0], mv1[1], 0) if use1
+                g1[by][bx] = ((cmv1[0], cmv1[1], 0) if use1
                               else (0, 0, -1))
         # prediction: replay the decoder's combination
         y0 = _interp_luma(np_i[0], 16 * mbx, 16 * mby, 16, 16,
-                          mv0[0], mv0[1]) if use0 else None
+                          cmv0[0], cmv0[1]) if use0 else None
         y1 = _interp_luma(np_p[0], 16 * mbx, 16 * mby, 16, 16,
-                          mv1[0], mv1[1]) if use1 else None
+                          cmv1[0], cmv1[1]) if use1 else None
         cb0 = _interp_chroma(np_i[1], 8 * mbx, 8 * mby, 8, 8,
-                             mv0[0], mv0[1]) if use0 else None
+                             cmv0[0], cmv0[1]) if use0 else None
         cb1 = _interp_chroma(np_p[1], 8 * mbx, 8 * mby, 8, 8,
-                             mv1[0], mv1[1]) if use1 else None
+                             cmv1[0], cmv1[1]) if use1 else None
         cr0 = _interp_chroma(np_i[2], 8 * mbx, 8 * mby, 8, 8,
-                             mv0[0], mv0[1]) if use0 else None
+                             cmv0[0], cmv0[1]) if use0 else None
         cr1 = _interp_chroma(np_p[2], 8 * mbx, 8 * mby, 8, 8,
-                             mv1[0], mv1[1]) if use1 else None
+                             cmv1[0], cmv1[1]) if use1 else None
         if use0 and use1:
-            if weights:
+            if implicit:
+                pred16 = _wp_bi(y0, y1, imp_w0, 0, imp_w1, 0, 5)
+                cpredb = _wp_bi(cb0, cb1, imp_w0, 0, imp_w1, 0, 5)
+                cpredr = _wp_bi(cr0, cr1, imp_w0, 0, imp_w1, 0, 5)
+            elif weights:
                 (w0, o0), (w1, o1) = weights["w0"], weights["w1"]
                 pred16 = _wp_bi(y0, y1, w0, o0, w1, o1,
                                 weights["lwd"])
@@ -4447,26 +4594,40 @@ def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
     return bytes(out), recons
 
 
-def encode_video_b_skip(px_rows) -> bytes:
+def encode_video_b_skip(px_rows, temporal: bool = False,
+                        implicit: bool = False,
+                        poc_p: int = 4) -> bytes:
     """RGB rows -> a 3-picture clip that is fully TABLE-FREE on both
     sides: an I_PCM IDR (poc 0), an all-I_PCM-in-P reference picture
-    of the SAME content (poc 4), and a non-reference all-B_Skip
-    picture between them (poc 2) — every B macroblock spatial-directs
-    to zero motion with zero-valued references in both lists and
-    bi-averages the two identical references, so the B recon equals
-    the I picture exactly. Exercises the B slice header, skip-run
-    machinery, POC-ordered list construction and the bi-prediction
-    average with ZERO entropy tables (the B sibling of
-    :func:`encode_video_skip`)."""
+    of the SAME content (poc ``poc_p``), and a non-reference
+    all-B_Skip picture between them (poc 2) — every B macroblock
+    direct-predicts to zero motion with zero-valued references in
+    both lists and bi-combines the two identical references, so the B
+    recon equals the I picture exactly. Exercises the B slice header,
+    skip-run machinery, POC-ordered list construction and the
+    bi-prediction combination with ZERO entropy tables (the B sibling
+    of :func:`encode_video_skip`).
+
+    ``temporal`` (r11) emits direct_spatial_mv_pred_flag = 0 — the
+    colocated PCM macroblocks are intra, so temporal direct derives
+    the zero MV too. ``implicit`` emits weighted_bipred_idc = 2: the
+    identity still holds for ANY POC split because the implicit
+    weights always sum to 64 with zero offsets —
+    ((p*w0 + p*w1 + 32) >> 6) == p — so an asymmetric ``poc_p``
+    pins the weighted path by exactness, table-free."""
     ys, cbs, crs = _rgb_to_420(px_rows)
-    b, _ = _encode_video_b_skip_build(ys, cbs, crs)
+    b, _ = _encode_video_b_skip_build(ys, cbs, crs,
+                                      temporal=temporal,
+                                      implicit=implicit, poc_p=poc_p)
     return b
 
 
-def _encode_video_b_skip_build(ys, cbs, crs):
+def _encode_video_b_skip_build(ys, cbs, crs, temporal=False,
+                               implicit=False, poc_p=4):
     ys, cbs, crs, w, h, wm, hm = _pad420(ys, cbs, crs)
     out = bytearray(_write_sps_pps(wm, hm, w, h, max_ref=2,
-                                   poc0=True))
+                                   poc0=True,
+                                   wbipred=2 if implicit else 0))
 
     def pcm(slice_type, frame_num, poc, idr, ref_idc, typ):
         sl = _W()
@@ -4505,14 +4666,14 @@ def _encode_video_b_skip_build(ys, cbs, crs):
         return _nal(sl.trailing(), ref_idc, typ)
 
     out += pcm(7, 0, 0, True, 3, 5)
-    out += pcm(5, 1, 4, False, 2, 1)
+    out += pcm(5, 1, poc_p, False, 2, 1)
     sl = _W()
     sl.ue(0)
     sl.ue(6)      # B slice
     sl.ue(0)
     sl.u(2, 4)
     sl.u(2, 6)    # poc_lsb 2
-    sl.u(1, 1)    # direct_spatial
+    sl.u(0 if temporal else 1, 1)    # direct_spatial
     sl.u(0, 1)
     sl.u(0, 1)
     sl.u(0, 1)

@@ -1734,6 +1734,16 @@ def _synthetic_real_media_rows_build(
 
         rows.append((n + 31, "video",
                      bytearray(encode_video_b_skip(px11)), "{}"))
+        # r11: the same table-free B clip under TEMPORAL direct mode
+        # (direct_spatial_mv_pred_flag=0) + IMPLICIT weighted
+        # bi-prediction (weighted_bipred_idc=2) with an asymmetric
+        # POC split — the implicit weights always sum to 64 with zero
+        # offsets, so the identity recon pins the weighted path
+        # exactly with the seam EMPTY
+        rows.append((n + 34, "video",
+                     bytearray(encode_video_b_skip(
+                         px11, temporal=True, implicit=True,
+                         poc_p=8)), "{}"))
         # r10: a CABAC-entropy H.264 stream (the engine transcoder
         # re-serializes the quantized picture's syntax through the
         # clause-9.3 arithmetic coder; operators/h264_cabac.py).

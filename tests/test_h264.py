@@ -650,19 +650,67 @@ def test_quantized_roundtrip_property():
     run()
 
 
-def test_temporal_direct_raises_namefully():
-    """B slices decode since r10 (spatial direct); the scope boundary
-    is temporal direct mode (direct_spatial_mv_pred_flag = 0)."""
-    units = h.nal_units(_intra16_stream())
-    sl = h._W()
-    sl.ue(0); sl.ue(6)  # slice_type B (all slices)
-    sl.ue(0)            # pps id
-    sl.u(0, 4)          # frame_num
-    sl.u(0, 1)          # direct_spatial_mv_pred_flag = 0 (temporal)
-    stream = (h._nal(units[0][2], 3, 7) + h._nal(units[1][2], 3, 8)
-              + h._nal(sl.trailing(), 3, 1))
-    with pytest.raises(NotImplementedError, match="temporal direct"):
-        h.decode_video_yuv(stream)
+def test_temporal_mv_scale_spec_values():
+    """Temporal direct MV scaling (8.4.1.2.3) pinned against
+    hand-computed spec arithmetic, independent of the decoder: tb/td
+    clipping, truncating division in tx, DistScaleFactor clipping,
+    and the mvL1 = mvL0 - mvCol identity."""
+    # cur=2, poc0=0, poc1=8: tb=2, td=8, tx=(16384+4)//8=2048,
+    # dsf=(2*2048+32)>>6=64; mvL0=(64*16+128)>>8=4, mvL1=4-16=-12
+    assert h._temporal_mv_scale(2, 0, 8, (16, 0)) == ((4, 0), (-12, 0))
+    # cur=6, poc0=0, poc1=8: tb=6, dsf=(6*2048+32)>>6=192;
+    # mvL0=(192*16+128)>>8=12+... (3072+128)>>8=12, mvL1=-4
+    assert h._temporal_mv_scale(6, 0, 8, (16, 0)) == ((12, 0), (-4, 0))
+    # negative colocated MV: (192*-16+128)>>8 = (-3072+128)>>8 =
+    # -2944>>8 = -12 (arithmetic shift floors)
+    assert h._temporal_mv_scale(6, 0, 8, (-16, -8)) == (
+        (-12, -6), (4, 2))
+    # equal anchor POCs: pass-through, list-1 zero
+    assert h._temporal_mv_scale(5, 3, 3, (7, -9)) == ((7, -9), (0, 0))
+    # td clipping at 127 and tb at -128: cur far BEFORE poc0
+    mv0, mv1 = h._temporal_mv_scale(-300, 0, 400, (16, 0))
+    tx = (16384 + 63) // 127
+    dsf = max(-1024, min(1023, (-128 * tx + 32) >> 6))
+    assert mv0 == ((dsf * 16 + 128) >> 8, 0)
+    assert mv1 == (mv0[0] - 16, 0)
+
+
+def test_implicit_weights_spec_values():
+    """Implicit bi-prediction weights (8.4.2.3.1) pinned by hand:
+    w1 = DistScaleFactor >> 2, w0 = 64 - w1, with the 32/32 fallback
+    when the anchors share a POC or w1 leaves [-64, 128]."""
+    assert h._implicit_weights(2, 0, 4) == (32, 32)   # midpoint
+    assert h._implicit_weights(2, 0, 8) == (48, 16)   # dsf 64
+    assert h._implicit_weights(6, 0, 8) == (16, 48)   # dsf 192
+    assert h._implicit_weights(3, 3, 9) == (64, 0)    # tb 0 -> dsf 0
+    assert h._implicit_weights(9, 4, 4) == (32, 32)   # equal POC
+    # extreme extrapolation: cur far past poc1 -> w1 > 128 -> fallback
+    assert h._implicit_weights(100, 0, 4) == (32, 32)
+
+
+def test_b_temporal_direct_and_implicit_round_trips():
+    """Engine round trips for the two r11 B modes: temporal-direct
+    macroblocks (intra colocated -> zero-MV bi prediction) and
+    implicit weighted bi-prediction (wbipred_idc=2 parsed from the
+    PPS, POC-distance weights replayed), separately and combined —
+    decode is bit-exact against the encoder recons."""
+    _cbp_inter_identity()
+    frames = _grad_clip(3)
+    for kw in ({"direct_mbs": True},
+               {"implicit": True, "poc_p": 8},
+               {"direct_mbs": True, "implicit": True, "poc_p": 8}):
+        b, recons = h.encode_video_b_yuv(frames, qp=8, **kw)
+        w, hgt, out = h.decode_video_yuv(b)
+        assert out == recons, kw
+    # asymmetric implicit weights demonstrably differ from the
+    # default average, and the PPS really declares idc=2
+    b, recons = h.encode_video_b_yuv(frames, qp=8, implicit=True,
+                                     poc_p=8)
+    b0, recons0 = h.encode_video_b_yuv(frames, qp=8, poc_p=8)
+    assert recons0[2] != recons[2]
+    for ref, typ, rbsp in h.nal_units(b):
+        if typ == 8:
+            assert h.parse_pps(rbsp)["weighted_bipred"] == 2
 
 
 def test_cabac_pps_accepted_and_seam_raises_namefully():
@@ -1590,6 +1638,136 @@ def test_b_partition_shapes_hand_stream():
         assert len(frames) == 3, name
         assert frames[2] == want, f"{name}: B recon != reference"
         assert frames[1] == want, name
+
+
+def test_temporal_direct_scales_colocated_motion_hand_stream():
+    """End-to-end temporal direct with a REAL colocated motion field:
+    I_PCM IDR (poc 0), then a reference P picture at poc 8 whose
+    single macroblock is P_L0_16x16 with mv (16, 0) quarter-pel
+    (= 1 full-pel shift of... 4 px), then a B at poc 2 coded
+    B_Direct_16x16 under direct_spatial_mv_pred_flag = 0. The decoder
+    must map the colocated reference (the I picture, by POC), scale:
+    dsf = 64, mvL0 = (64*16+128)>>8 = (4, 0), mvL1 = mvL0 - mvCol =
+    (-12, 0), and bi-average the two fetches. Expected luma computed
+    here with the same edge-clamp rule, independent of the decoder's
+    MC code path."""
+    h.load_cavlc_tables({"cbp_inter": [[i, i] for i in range(48)]})
+    px = [[((x * 16 + y) % 256, 120, 130) for x in range(16)]
+          for y in range(16)]
+    base = h.nal_units(h.encode_video_b_skip(px))
+
+    psl = h._W()
+    psl.ue(0)
+    psl.ue(5)       # P
+    psl.ue(0)
+    psl.u(1, 4)     # frame_num
+    psl.u(8, 6)     # poc_lsb 8
+    psl.u(0, 1)     # override
+    psl.u(0, 1)     # ref mod
+    psl.u(0, 1)     # adaptive marking
+    psl.se(0)       # qp delta
+    psl.ue(1)       # deblock off
+    psl.ue(0)       # skip run
+    psl.ue(0)       # P_L0_16x16
+    psl.se(16)      # mvd x (predictor 0: no neighbors)
+    psl.se(0)       # mvd y
+    psl.ue(0)       # cbp 0 (identity map)
+
+    def b_slice(direct16: bool):
+        sl = h._W()
+        sl.ue(0)
+        sl.ue(6)    # B
+        sl.ue(0)
+        sl.u(2, 4)  # frame_num
+        sl.u(2, 6)  # poc_lsb 2
+        sl.u(0, 1)  # direct_spatial_mv_pred_flag = 0: TEMPORAL
+        sl.u(0, 1)
+        sl.u(0, 1)
+        sl.u(0, 1)
+        sl.se(0)
+        sl.ue(1)    # deblock off
+        if direct16:
+            sl.ue(0)    # skip run 0
+            sl.ue(0)    # B_Direct_16x16
+            sl.ue(0)    # cbp 0
+        else:
+            sl.ue(1)    # mb_skip_run = 1: whole picture is B_Skip
+        return sl
+
+    for direct16 in (True, False):
+        stream = (h._nal(base[0][2], 3, 7) + h._nal(base[1][2], 3, 8)
+                  + h._nal(base[2][2], 3, 5)
+                  + h._nal(psl.trailing(), 2, 1)
+                  + h._nal(b_slice(direct16).trailing(), 0, 1))
+        w, hgt, frames = h.decode_video_yuv(stream)
+        assert len(frames) == 3
+        iy = frames[0][0]
+        py = frames[1][0]
+        by = frames[2][0]
+
+        def cl(x):
+            return min(15, max(0, x))
+
+        # the P picture itself: I shifted 4 px left with edge clamp
+        for y in range(16):
+            for x in range(16):
+                assert py[y][x] == iy[y][cl(x + 4)], ("P", x, y)
+        # B: avg of I at +1 px (mvL0 = 4 qpel) and P at -3 px
+        # (mvL1 = -12 qpel), each with its own clamp
+        for y in range(16):
+            for x in range(16):
+                l0 = iy[y][cl(x + 1)]
+                l1 = py[y][cl(x - 3)]
+                assert by[y][x] == (l0 + l1 + 1) >> 1, \
+                    (direct16, x, y)
+
+
+def test_implicit_bipred_hand_stream_pins_weight_formula():
+    """Hand stream under weighted_bipred_idc = 2 with DIFFERENT
+    constant-value anchors (I = 100, P = 200) and asymmetric POCs
+    (0 / 8, B at 2): a B_Bi_16x16 macroblock must produce
+    ((100*48 + 200*16 + 32) >> 6) + 0 = 125 everywhere — the default
+    average would give 150, so the POC-distance weights are pinned by
+    value, luma and chroma."""
+    h.load_cavlc_tables({"cbp_inter": [[i, i] for i in range(48)]})
+    b, recons = h.encode_video_b_yuv(
+        [([[100] * 16 for _ in range(16)],
+          [[60] * 8 for _ in range(8)], [[90] * 8 for _ in range(8)]),
+         ([[0] * 16 for _ in range(16)],
+          [[0] * 8 for _ in range(8)], [[0] * 8 for _ in range(8)]),
+         ([[200] * 16 for _ in range(16)],
+          [[160] * 8 for _ in range(8)],
+          [[190] * 8 for _ in range(8)])],
+        qp=8, implicit=True, poc_p=8)
+    base = h.nal_units(b)   # SPS(+wbipred=2 PPS), IDR, P — reuse
+    sl = h._W()
+    sl.ue(0)
+    sl.ue(6)    # B
+    sl.ue(0)
+    sl.u(2, 4)
+    sl.u(2, 6)  # poc 2
+    sl.u(1, 1)  # spatial direct flag (irrelevant: no direct MBs)
+    sl.u(0, 1)
+    sl.u(0, 1)
+    sl.u(0, 1)
+    sl.se(0)
+    sl.ue(1)
+    sl.ue(0)    # skip run
+    sl.ue(3)    # B_Bi_16x16
+    sl.se(0); sl.se(0)    # mvd l0
+    sl.se(0); sl.se(0)    # mvd l1
+    sl.ue(0)    # cbp 0
+    stream = (h._nal(base[0][2], 3, 7) + h._nal(base[1][2], 3, 8)
+              + h._nal(base[2][2], 3, 5) + h._nal(base[3][2], 2, 1)
+              + h._nal(sl.trailing(), 0, 1))
+    w, hgt, frames = h.decode_video_yuv(stream)
+    by, bcb, bcr = frames[2]
+    assert by[0][0] == ((100 * 48 + 200 * 16 + 32) >> 6)  # 125
+    assert all(v == 125 for row in by for v in row)
+    assert all(v == ((60 * 48 + 160 * 16 + 32) >> 6)
+               for row in bcb for v in row)
+    assert all(v == ((90 * 48 + 190 * 16 + 32) >> 6)
+               for row in bcr for v in row)
 
 
 def test_b_16x8_partitions_use_distinct_mvs():
