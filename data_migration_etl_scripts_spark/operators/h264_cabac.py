@@ -35,13 +35,17 @@ STRUCTURAL (formula-level, built here):
     the terminate bin selecting I_PCM), sub_mb_type, ref_idx, mvd,
     intra pred modes, intra_chroma_pred_mode, coded_block_pattern,
     mb_qp_delta, coded_block_flag, significant/last maps, levels,
-    end_of_slice. CAVEAT: these derivations are reconstructed from
-    the published spec structure; the engine encoder uses the
-    identical derivations so engine round trips are bit-exact by
-    construction, and the arithmetic core is exact — but foreign-
-    stream conformance of individual ctxIdx assignments awaits
-    fixture validation (same standing as the deblock alpha/beta
-    closed forms before their table seam).
+    end_of_slice. CONFORMANCE STANDING (r11): the arithmetic engine
+    and the I/P ctxIdx surface are pinned against NON-engine-derived
+    expectations in tests/test_h264_cabac_conformance.py — hand-traced
+    9.3.3.2 state evolution over hand-written bit vectors, plus
+    hand-derived clause-9.3.3.1 context walks asserted through a
+    trace hook on both coder sides (this caught and fixed the P
+    mb_type binIdx-2 dual-context bug round trips could never see).
+    Residual caveat: decoding a REAL foreign Main-profile stream
+    additionally needs the genuine Annex-B tables; the env-gated
+    foreign-fixture harness ($SPARK_GRAFT_CABAC_FIXTURE) pins that
+    end-to-end once real data is injected.
 
 ANNEX-B SEAM DATA (tabulated, injected — never recalled):
   - rangeTabLPS (64 states x 4 range quarters, Table 9-44)
@@ -424,6 +428,11 @@ class CabacSyntax:
         self.st = states
         self.m = model
         self.dec = decoding
+        #: optional conformance trace: when set to a list, every
+        #: context-coded bin appends its ctxIdx, every bypass bin
+        #: appends "bp", every terminate appends 276 — the hook the
+        #: hand-derived clause-9.3.3.1 walk tests pin against
+        self.trace = None
         self.cur_intra = False     # set once the MB's mb_type is known
         #: the MB being coded: its own earlier blocks/partitions ARE
         #: neighbor-visible (grids carry them) even though its info
@@ -436,16 +445,22 @@ class CabacSyntax:
     # --------------------------------------------------- primitives
 
     def _bit(self, ctx: int, val=None) -> int:
+        if self.trace is not None:
+            self.trace.append(ctx)
         if self.dec:
             return self.eng.decision(self.st[ctx])
         return self.eng.decision(self.st[ctx], val)
 
     def _bp(self, val=None) -> int:
+        if self.trace is not None:
+            self.trace.append("bp")
         if self.dec:
             return self.eng.bypass()
         return self.eng.bypass(val)
 
     def _term(self, val=None) -> int:
+        if self.trace is not None:
+            self.trace.append(276)
         if self.dec:
             return self.eng.terminate()
         return self.eng.terminate(val)
@@ -584,7 +599,12 @@ class CabacSyntax:
             b1 = 1 if val in (1, 2) else 0
             self._bit(15, b1)
             b2 = {0: 0, 3: 1, 1: 1, 2: 0}[val]
-            self._bit(16, b2)
+            # Table 9-39 binIdx 2 carries the dual inc "2, 3": the
+            # {16x16, 8x8} branch (b1=0) uses ctxIdx 16, the
+            # {16x8, 8x16} branch (b1=1) uses 17 — r11 conformance
+            # fix; both engine sides previously used 16 for both
+            # branches, invisible to round trips by construction
+            self._bit(17 if b1 else 16, b2)
             return val
         if self._bit(14):
             if not self._bit(17):
@@ -593,7 +613,7 @@ class CabacSyntax:
                 return 30
             return 5 + self._i16_fields(18, (19, 19), (20, 20), 20)
         if self._bit(15):
-            return 1 if self._bit(16) else 2
+            return 1 if self._bit(17) else 2
         return 3 if self._bit(16) else 0
 
     def sub_mb_type(self, val=None) -> int:
