@@ -140,10 +140,16 @@ field), and IMPLICIT weighted bi-prediction (weighted_bipred_idc=2,
 8.4.2.3.1 — per-(ref0, ref1) POC-distance weights at logWD 5, zero
 offsets, uni partitions unweighted).
 
-NOT in scope (raise namefully): Intra_8x8 prediction, CABAC-coded
-B slices, ref-list modification / adaptive marking, interlace,
-high-profile transform/scaling-list tools (8x8 transform, QP
-scaling matrices).
+NEW in r11 (second block) — CABAC-coded B slices: the Table 9-37/9-38
+bin trees, the B skip offset, per-list ref/mvd context grids, and B
+reuse of the P init columns (no new seam data); decode and the
+CAVLC->CABAC transcoder both cover B, pinned by hand-derived context
+walks in tests/test_h264_cabac_conformance.py plus the full
+transcode matrix.
+
+NOT in scope (raise namefully): Intra_8x8 prediction, ref-list
+modification / adaptive marking, interlace, high-profile
+transform/scaling-list tools (8x8 transform, QP scaling matrices).
 """
 
 from __future__ import annotations
@@ -1631,13 +1637,14 @@ class _EntCavlc:
     def __init__(self, r: _R) -> None:
         self.r = r
 
-    def mb_type(self, mbx, mby, is_p) -> int:
+    def mb_type(self, mbx, mby, mode) -> int:
         return self.r.ue()
 
     def sub_mb_type(self) -> int:
         return self.r.ue()
 
-    def ref_idx(self, nref, mbx, mby, px, py, pw, ph) -> int:
+    def ref_idx(self, nref, mbx, mby, px, py, pw, ph,
+                lst: int = 0) -> int:
         mx = nref - 1
         if mx <= 0:
             return 0
@@ -1645,7 +1652,7 @@ class _EntCavlc:
             return 1 - self.r.u(1)
         return self.r.ue()
 
-    def mvd(self, mbx, mby, px, py, pw, ph):
+    def mvd(self, mbx, mby, px, py, pw, ph, lst: int = 0):
         return (self.r.se(), self.r.se())
 
     def i4_mode(self):
@@ -1694,9 +1701,9 @@ class _EntCapture:
         self.mbs: list = []
         self.cur = None
 
-    def mb_type(self, mbx, mby, is_p) -> int:
-        v = self.inner.mb_type(mbx, mby, is_p)
-        self.cur = {"t": v, "is_p": is_p, "i4": [], "refs": [],
+    def mb_type(self, mbx, mby, mode) -> int:
+        v = self.inner.mb_type(mbx, mby, mode)
+        self.cur = {"t": v, "mode": mode, "i4": [], "refs": [],
                     "mvds": [], "subs": [], "blocks": [],
                     "cbp": None, "qpd": None, "cmode": None,
                     "ipcm": None}
@@ -1708,14 +1715,15 @@ class _EntCapture:
         self.cur["subs"].append(v)
         return v
 
-    def ref_idx(self, nref, mbx, mby, px, py, pw, ph) -> int:
-        v = self.inner.ref_idx(nref, mbx, mby, px, py, pw, ph)
-        self.cur["refs"].append((nref, px, py, pw, ph, v))
+    def ref_idx(self, nref, mbx, mby, px, py, pw, ph,
+                lst: int = 0) -> int:
+        v = self.inner.ref_idx(nref, mbx, mby, px, py, pw, ph, lst)
+        self.cur["refs"].append((nref, px, py, pw, ph, v, lst))
         return v
 
-    def mvd(self, mbx, mby, px, py, pw, ph):
-        v = self.inner.mvd(mbx, mby, px, py, pw, ph)
-        self.cur["mvds"].append((px, py, pw, ph, v))
+    def mvd(self, mbx, mby, px, py, pw, ph, lst: int = 0):
+        v = self.inner.mvd(mbx, mby, px, py, pw, ph, lst)
+        self.cur["mvds"].append((px, py, pw, ph, v, lst))
         return v
 
     def i4_mode(self):
@@ -1764,15 +1772,23 @@ class _EntCabac:
         self.dec = dec
         self.syn = syn
         self.cur = None     # per-MB scratch for the model update
+        self.is_b = False   # current MB parses with the B trees
 
     def _start(self, mbx, mby):
         self.cur = {"mb_type": None, "cbp": 0, "cmode": 0,
-                    "ldc": 0, "cdc": [0, 0], "ipcm": False}
+                    "ldc": 0, "cdc": [0, 0], "ipcm": False,
+                    "bdirect": False}
 
-    def mb_type(self, mbx, mby, is_p) -> int:
+    def mb_type(self, mbx, mby, mode) -> int:
         self._start(mbx, mby)
         self.syn.start_mb(mbx, mby)
-        if is_p:
+        self.is_b = mode == "b"
+        if mode == "b":
+            v = self.syn.mb_type_b(mbx, mby)
+            self.syn.cur_intra = v >= 23
+            iv = v - 23 if v >= 23 else -1
+            self.cur["bdirect"] = v == 0
+        elif mode == "p":
             v = self.syn.mb_type_p()
             self.syn.cur_intra = v >= 5
             iv = v - 5 if v >= 5 else -1
@@ -1789,16 +1805,19 @@ class _EntCabac:
         return v
 
     def sub_mb_type(self) -> int:
+        if self.is_b:
+            return self.syn.sub_mb_type_b()
         return self.syn.sub_mb_type()
 
-    def ref_idx(self, nref, mbx, mby, px, py, pw, ph) -> int:
-        if nref <= 1:   # ref_idx_l0 absent; still mark the grid
-            self.syn.m.note_ref(mbx, mby, px, py, pw, ph, 0)
+    def ref_idx(self, nref, mbx, mby, px, py, pw, ph,
+                lst: int = 0) -> int:
+        if nref <= 1:   # ref_idx absent; still mark the grid
+            self.syn.m.note_ref(mbx, mby, px, py, pw, ph, 0, lst)
             return 0
-        return self.syn.ref_idx(mbx, mby, px, py, pw, ph)
+        return self.syn.ref_idx(mbx, mby, px, py, pw, ph, lst=lst)
 
-    def mvd(self, mbx, mby, px, py, pw, ph):
-        return self.syn.mvd_pair(mbx, mby, px, py, pw, ph)
+    def mvd(self, mbx, mby, px, py, pw, ph, lst: int = 0):
+        return self.syn.mvd_pair(mbx, mby, px, py, pw, ph, lst=lst)
 
     def i4_mode(self):
         return self.syn.i4_mode()
@@ -1841,7 +1860,8 @@ class _EntCabac:
                 self.syn.m.prev_qpd_nz = False
             self.syn.m.note_mb(mbx, mby, intra=False, inxn=False,
                                ipcm=False, i16=False, cbp=c["cbp"],
-                               cmode=0, ldc=0, cdc=c["cdc"])
+                               cmode=0, ldc=0, cdc=c["cdc"],
+                               bdirect=c["bdirect"])
             return
         i16 = 1 <= iv <= 24
         if iv == 0 and not c["cbp"]:
@@ -2479,7 +2499,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             for q, s in enumerate(subs):
                 if s and _B_SUBS[s][2][1]:
                     refs1[q] = ent.ref_idx(nref1, mbx, mby,
-                                           *quads[q], 8, 8)
+                                           *quads[q], 8, 8, lst=1)
             # all list-0 mvds (per sub-partition), then all list-1
             parts = []      # (q, px, py, sw, sh, use0, use1)
             for q, s in enumerate(subs):
@@ -2499,7 +2519,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             mvd1 = {}
             for i, (q, px, py, sw, sh, u0, u1) in enumerate(parts):
                 if u1:
-                    mvd1[i] = ent.mvd(mbx, mby, px, py, sw, sh)
+                    mvd1[i] = ent.mvd(mbx, mby, px, py, sw, sh,
+                                      lst=1)
             derived = "unset"
             for i, (q, px, py, sw, sh, u0, u1) in enumerate(parts):
                 if u0 is None:   # B_Direct_8x8
@@ -2551,12 +2572,13 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         refs0 = [ent.ref_idx(nref0, mbx, mby, *sh)
                  if preds[i][0] else 0
                  for i, sh in enumerate(shapes)]
-        refs1 = [ent.ref_idx(nref1, mbx, mby, *sh)
+        refs1 = [ent.ref_idx(nref1, mbx, mby, *sh, lst=1)
                  if preds[i][1] else 0
                  for i, sh in enumerate(shapes)]
         mvds0 = [ent.mvd(mbx, mby, *sh) if preds[i][0] else (0, 0)
                  for i, sh in enumerate(shapes)]
-        mvds1 = [ent.mvd(mbx, mby, *sh) if preds[i][1] else (0, 0)
+        mvds1 = [ent.mvd(mbx, mby, *sh, lst=1)
+                 if preds[i][1] else (0, 0)
                  for i, sh in enumerate(shapes)]
         for i, (px, py, pw, ph) in enumerate(shapes):
             u0, u1 = preds[i]
@@ -2587,7 +2609,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         nonlocal qp
         mbx, mby = mb % wm, mb // wm
         mb_slice[mby][mbx] = cur_slice
-        mb_type = ent.mb_type(mbx, mby, is_p or is_b)
+        mb_type = ent.mb_type(mbx, mby,
+                              "b" if is_b else ("p" if is_p else "i"))
         if is_b:
             if mb_type < 23:
                 decode_b_mb(mb, mb_type)
@@ -2800,10 +2823,6 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             cur_l0_pocs = [e[3] if len(e) > 3 else None for e in refs]
         mb = hdr["first_mb"]
         if use_cabac:
-            if is_b:
-                raise NotImplementedError(
-                    "CABAC B slices (list-1 context trees) — CAVLC B "
-                    "decodes; CABAC covers I/P (r10)")
             # cabac_alignment_one_bit(s), then slice data from the
             # byte boundary (pad so arithmetic read-ahead never
             # exhausts the reader at the trailing terminate)
@@ -2813,7 +2832,10 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                         "cabac_alignment_one_bit must be 1")
             r = _R(rbsp[r.pos // 8:] + b"\x00\x00")
             dec = _cb.CabacDecoder(lambda: r.u(1))
-            key = f"P{hdr['cabac_init_idc']}" if is_p else "I"
+            # cabac_init_idc selects among the same three init
+            # columns for P AND B slices (9.3.1.1); only I uses "I"
+            key = (f"P{hdr['cabac_init_idc']}" if is_p or is_b
+                   else "I")
             syn = _cb.CabacSyntax(
                 dec, _cb.init_ctx_states(qp, key), cabac_model, True)
             ent = _EntCabac(r, dec, syn)
@@ -2824,11 +2846,15 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                         "slice data overruns the picture")
                 mbx, mby = mb % wm, mb // wm
                 syn.start_mb(mbx, mby)
-                if is_p and syn.mb_skip(mbx, mby):
-                    decode_skip(mb)
+                if ((is_p or is_b)
+                        and syn.mb_skip(mbx, mby, is_b=is_b)):
+                    if is_b:
+                        decode_skip_b(mb)
+                    else:
+                        decode_skip(mb)
                     cabac_model.note_skip(mbx, mby)
                 else:
-                    decode_mb(mb, is_p, hdr["num_ref"])
+                    decode_mb(mb, is_p, hdr["num_ref"], is_b=is_b)
                     ent.finish_mb(mbx, mby)
                     mb_qp_g[mby][mbx] = qp
                 mb += 1
@@ -4037,20 +4063,49 @@ def _write_slice_header_bits(w: _W, sps: dict, pps: dict,
         w.ue(hdr["idr_pic_id"])
     if sps["poc_type"] == 0:
         w.u(hdr["poc_lsb"] or 0, sps["poc_lsb_bits"])
-    if hdr["is_p"]:
-        if hdr["num_ref_override"] is not None:
+    is_b = hdr.get("is_b")
+    if is_b:
+        w.u(1 if hdr["direct_spatial"] else 0, 1)
+    if hdr["is_p"] or is_b:
+        ov = hdr["num_ref_override"]
+        if ov is not None:
             w.u(1, 1)
-            w.ue(hdr["num_ref_override"] - 1)
+            if is_b:
+                w.ue(ov[0] - 1)
+                w.ue(ov[1] - 1)
+            else:
+                w.ue(ov - 1)
         else:
             w.u(0, 1)
         w.u(0, 1)                # ref_pic_list_modification_flag_l0
+        if is_b:
+            w.u(0, 1)            # ref_pic_list_modification_flag_l1
+        if hdr.get("weights"):
+            # re-emit the parsed pred_weight_table with every flag
+            # explicit (bit syntax may differ from the source stream;
+            # the sample semantics are identical)
+            wt = hdr["weights"]
+            w.ue(wt["lwd"])
+            w.ue(wt["cwd"])
+            for lk, ck in ((("l0", "c0"),) if not is_b
+                           else (("l0", "c0"), ("l1", "c1"))):
+                for (lw, lo), ((bw, bo), (rw, ro)) in zip(wt[lk],
+                                                          wt[ck]):
+                    w.u(1, 1)
+                    w.se(lw)
+                    w.se(lo)
+                    w.u(1, 1)
+                    w.se(bw)
+                    w.se(bo)
+                    w.se(rw)
+                    w.se(ro)
     if hdr["typ"] == 5:
         a, b = hdr["idr_bits"] or (0, 0)
         w.u(a, 1)
         w.u(b, 1)
     elif hdr["ref_idc"]:
         w.u(0, 1)                # adaptive_ref_pic_marking
-    if pps.get("entropy") and hdr["is_p"]:
+    if pps.get("entropy") and (hdr["is_p"] or is_b):
         w.ue(0)                  # cabac_init_idc
     w.se(hdr["qp_delta_hdr"])
     if pps["deblock_ctl"]:
@@ -4076,11 +4131,12 @@ def _write_cabac_slice_data(w: _W, records: list, hdr: dict,
         w.u(1, 1)                # cabac_alignment_one_bit
     bits: list[int] = []
     enc = _cb.CabacEncoder(bits.append)
-    key = f"P{hdr['cabac_init_idc']}" if hdr["is_p"] else "I"
+    is_p = hdr["is_p"]
+    is_b = hdr.get("is_b")
+    key = (f"P{hdr['cabac_init_idc']}" if is_p or is_b else "I")
     syn = _cb.CabacSyntax(enc, _cb.init_ctx_states(hdr["qp"], key),
                           model, False)
     model.slice_start()
-    is_p = hdr["is_p"]
     mb = hdr["first_mb"]
     for i, rec in enumerate(records):
         mbx, mby = mb % wm, mb // wm
@@ -4089,22 +4145,29 @@ def _write_cabac_slice_data(w: _W, records: list, hdr: dict,
             mark(mb)
         syn.start_mb(mbx, mby)
         if rec == ("skip",):
-            syn.mb_skip(mbx, mby, 1)
+            syn.mb_skip(mbx, mby, 1, is_b=bool(is_b))
             model.note_skip(mbx, mby)
             syn.end_of_slice(1 if last else 0)
             mb += 1
             continue
-        if is_p:
-            syn.mb_skip(mbx, mby, 0)
+        if is_p or is_b:
+            syn.mb_skip(mbx, mby, 0, is_b=bool(is_b))
         t = rec["t"]
         if is_p and t == 4:
             # P_8x8ref0 has no CABAC binarization: recode as P_8x8
             # with explicit zero refs (bit syntax differs, picture
             # identical)
             t = 3
-        iv = (t - 5 if is_p and t >= 5 else (t if not is_p else -1))
-        if is_p:
-            syn.mb_type_p(t if t < 5 else t)
+        if is_b:
+            iv = t - 23 if t >= 23 else -1
+        elif is_p:
+            iv = t - 5 if t >= 5 else -1
+        else:
+            iv = t
+        if is_b:
+            syn.mb_type_b(mbx, mby, t)
+        elif is_p:
+            syn.mb_type_p(t)
         else:
             syn.mb_type_i(mbx, mby, t)
         syn.cur_intra = iv >= 0
@@ -4137,18 +4200,23 @@ def _write_cabac_slice_data(w: _W, records: list, hdr: dict,
             syn.qp_delta(rec["qpd"])
         else:                    # inter
             for s in rec["subs"]:
-                syn.sub_mb_type(s)
+                if is_b:
+                    syn.sub_mb_type_b(s)
+                else:
+                    syn.sub_mb_type(s)
             refs = rec["refs"]
             if rec["t"] == 4 and not refs:
                 refs = [(hdr["num_ref"], 8 * (q % 2), 8 * (q // 2),
-                         8, 8, 0) for q in range(4)]
-            for nref, px, py, pw, ph, val in refs:
+                         8, 8, 0, 0) for q in range(4)]
+            for nref, px, py, pw, ph, val, lst in refs:
                 if nref <= 1:
-                    model.note_ref(mbx, mby, px, py, pw, ph, val)
+                    model.note_ref(mbx, mby, px, py, pw, ph, val,
+                                   lst)
                 else:
-                    syn.ref_idx(mbx, mby, px, py, pw, ph, val)
-            for px, py, pw, ph, val in rec["mvds"]:
-                syn.mvd_pair(mbx, mby, px, py, pw, ph, val)
+                    syn.ref_idx(mbx, mby, px, py, pw, ph, val,
+                                lst=lst)
+            for px, py, pw, ph, val, lst in rec["mvds"]:
+                syn.mvd_pair(mbx, mby, px, py, pw, ph, val, lst=lst)
             syn.cbp(mbx, mby, rec["cbp"])
             if rec["cbp"]:
                 syn.qp_delta(rec["qpd"])
@@ -4170,7 +4238,8 @@ def _write_cabac_slice_data(w: _W, records: list, hdr: dict,
                 model.prev_qpd_nz = False
             model.note_mb(mbx, mby, intra=False, inxn=False,
                           ipcm=False, i16=False, cbp=rec["cbp"] or 0,
-                          cmode=0, ldc=0, cdc=cur["cdc"])
+                          cmode=0, ldc=0, cdc=cur["cdc"],
+                          bdirect=bool(is_b) and rec["t"] == 0)
         syn.end_of_slice(1 if last else 0)
         mb += 1
     while len(bits) & 7:
@@ -4254,10 +4323,6 @@ def transcode_to_cabac(data: bytes) -> bytes:
         mb0 = 0
         for si, ((typ, ref, _rbsp), (hdr, records)) in enumerate(
                 zip(pic, capture)):
-            if hdr["is_b"]:
-                raise NotImplementedError(
-                    "CABAC B slices (list-1 context trees) — the "
-                    "transcoder covers I/P streams (r10)")
             sl_id[0] = si
             w = _W()
             hdr = dict(hdr, cabac_init_idc=0)

@@ -7,8 +7,8 @@ real crawled video).
 
 Reference parity note: the reference ETL repo has no media handling;
 this exists for the LLM-data-pipeline addendum (frame extraction over
-binary video columns). Scope matches the r9 decoder: frame
-macroblocks, I/P slices, CAVLC-equivalent syntax surface.
+binary video columns). Scope: frame macroblocks, I/P/B slices (B
+r11), CAVLC-equivalent syntax surface.
 
 Build-vs-seam split (the repo's standing codec policy):
 
@@ -30,12 +30,18 @@ STRUCTURAL (formula-level, built here):
   - binarizations: U, TU, FL (LSB-first), UEG0 (uCoff 14) for
     residual levels, UEG3 (uCoff 9, signed) for mvd
   - per-element context index derivations (Table 9-39 structure +
-    clause 9.3.3.1.x neighbor rules) for the I/P syntax surface:
-    mb_skip_flag, mb_type (I tree and P prefix + intra suffix with
-    the terminate bin selecting I_PCM), sub_mb_type, ref_idx, mvd,
-    intra pred modes, intra_chroma_pred_mode, coded_block_pattern,
-    mb_qp_delta, coded_block_flag, significant/last maps, levels,
-    end_of_slice. CONFORMANCE STANDING (r11): the arithmetic engine
+    clause 9.3.3.1.x neighbor rules) for the I/P/B syntax surface:
+    mb_skip_flag (P offset 11, B offset 24), mb_type (I tree, P
+    prefix + intra suffix, and the r11 B tree: Table 9-37 group
+    binarization at 27..32 with the intra suffix at 32..35),
+    sub_mb_type (P 21..23; B Table 9-38 at 36..39), per-LIST
+    ref_idx/mvd (separate list-0/list-1 neighbor grids; direct and
+    skip regions contribute no refs/mvds per the 9.3.3.1.1.6/7 skip
+    rules), intra pred modes, intra_chroma_pred_mode,
+    coded_block_pattern, mb_qp_delta, coded_block_flag,
+    significant/last maps, levels, end_of_slice. B slices need no
+    new seam data: cabac_init_idc selects the same P0/P1/P2 init
+    columns for P and B (9.3.1.1). CONFORMANCE STANDING (r11): the arithmetic engine
     and the I/P ctxIdx surface are pinned against NON-engine-derived
     expectations in tests/test_h264_cabac_conformance.py — hand-traced
     9.3.3.2 state evolution over hand-written bit vectors, plus
@@ -353,8 +359,16 @@ class MbState:
         self.cbf_l = [[0] * (4 * wm) for _ in range(4 * hm)]
         self.cbf_c = ([[0] * (2 * wm) for _ in range(2 * hm)],
                       [[0] * (2 * wm) for _ in range(2 * hm)])
-        self.mvd = [[(0, 0)] * (4 * wm) for _ in range(4 * hm)]
-        self.ref = [[None] * (4 * wm) for _ in range(4 * hm)]
+        #: per-list |mvd| and decoded-ref grids (index = list); B
+        #: slices (r11) derive ref_idx/mvd contexts per list — blocks
+        #: a list does not predict from stay at the defaults (ref
+        #: None, mvd 0), which is also how direct/skip regions
+        #: contribute (they carry no mvd and their derived refs are
+        #: excluded per the 9.3.3.1.1.6 skip rule)
+        self.mvd = ([[(0, 0)] * (4 * wm) for _ in range(4 * hm)],
+                    [[(0, 0)] * (4 * wm) for _ in range(4 * hm)])
+        self.ref = ([[None] * (4 * wm) for _ in range(4 * hm)],
+                    [[None] * (4 * wm) for _ in range(4 * hm)])
         self.prev_qpd_nz = False    # per-slice; reset by slice_start
 
     def slice_start(self) -> None:
@@ -370,16 +384,18 @@ class MbState:
         self.info[mby][mbx] = {"skip": True, "intra": False,
                                "inxn": False, "ipcm": False,
                                "i16": False, "cbp": 0, "cmode": 0,
-                               "ldc": 0, "cdc": [0, 0]}
+                               "ldc": 0, "cdc": [0, 0],
+                               "bdirect": True}
         for by in range(4 * mby, 4 * mby + 4):
             for bx in range(4 * mbx, 4 * mbx + 4):
-                self.ref[by][bx] = 0
-                self.mvd[by][bx] = (0, 0)
+                for lst in (0, 1):
+                    self.ref[lst][by][bx] = 0
+                    self.mvd[lst][by][bx] = (0, 0)
         self.prev_qpd_nz = False
 
     def note_mb(self, mbx: int, mby: int, *, intra: bool, inxn: bool,
                 ipcm: bool, i16: bool, cbp: int, cmode: int,
-                ldc: int, cdc) -> None:
+                ldc: int, cdc, bdirect: bool = False) -> None:
         if ipcm:
             cbp, ldc, cdc = 0x2F, 1, [1, 1]
             for by in range(4 * mby, 4 * mby + 4):
@@ -393,27 +409,30 @@ class MbState:
         if intra:
             for by in range(4 * mby, 4 * mby + 4):
                 for bx in range(4 * mbx, 4 * mbx + 4):
-                    self.ref[by][bx] = None
-                    self.mvd[by][bx] = (0, 0)
+                    for lst in (0, 1):
+                        self.ref[lst][by][bx] = None
+                        self.mvd[lst][by][bx] = (0, 0)
         self.info[mby][mbx] = {"skip": False, "intra": intra,
                                "inxn": inxn, "ipcm": ipcm,
                                "i16": i16, "cbp": cbp,
                                "cmode": cmode, "ldc": ldc,
-                               "cdc": list(cdc)}
+                               "cdc": list(cdc), "bdirect": bdirect}
 
-    def note_mvd(self, mbx, mby, px, py, pw, ph, ax, ay) -> None:
+    def note_mvd(self, mbx, mby, px, py, pw, ph, ax, ay,
+                 lst: int = 0) -> None:
         for by in range((16 * mby + py) // 4,
                         (16 * mby + py + ph) // 4):
             for bx in range((16 * mbx + px) // 4,
                             (16 * mbx + px + pw) // 4):
-                self.mvd[by][bx] = (ax, ay)
+                self.mvd[lst][by][bx] = (ax, ay)
 
-    def note_ref(self, mbx, mby, px, py, pw, ph, ref) -> None:
+    def note_ref(self, mbx, mby, px, py, pw, ph, ref,
+                 lst: int = 0) -> None:
         for by in range((16 * mby + py) // 4,
                         (16 * mby + py + ph) // 4):
             for bx in range((16 * mbx + px) // 4,
                             (16 * mbx + px + pw) // 4):
-                self.ref[by][bx] = ref
+                self.ref[lst][by][bx] = ref
 
 
 class CabacSyntax:
@@ -508,13 +527,17 @@ class CabacSyntax:
 
     # --------------------------------------------- macroblock level
 
-    def mb_skip(self, mbx: int, mby: int, val=None) -> int:
+    def mb_skip(self, mbx: int, mby: int, val=None,
+                is_b: bool = False) -> int:
+        """mb_skip_flag: ctxIdxOffset 11 for P, 24 for B (Table 9-34);
+        the increment counts available non-skipped neighbors either
+        way (9.3.3.1.1.1)."""
         inc = 0
         for nx, ny in ((mbx - 1, mby), (mbx, mby - 1)):
             ninf = self.m.mbinfo(nx, ny)
             if ninf is not None and not ninf["skip"]:
                 inc += 1
-        return self._bit(11 + inc, val)
+        return self._bit((24 if is_b else 11) + inc, val)
 
     def end_of_slice(self, val=None) -> int:
         return self._term(val)
@@ -634,9 +657,130 @@ class CabacSyntax:
             return 1
         return 2 if self._bit(23) else 3
 
+    # ------------------------------------------------- B slices (r11)
+
+    def mb_type_b(self, mbx: int, mby: int, val=None) -> int:
+        """B-slice mb_type in the decoder's unified numbering
+        (0 = B_Direct_16x16, 1..21 = the Table 7-14 shapes, 22 =
+        B_8x8, 23 + i = intra type i). Binarization per Table 9-37:
+        '0' = direct; '10x' = L0/L1 16x16; '11' + a 4-bit group where
+        values 0..7 map to mb_type 3..10, 13 opens the intra suffix
+        (ctxIdxOffset 32), 14 = B_L1_L0_8x16, 15 = B_8x8, and 8..12
+        take a fifth bit for mb_type 12..21. ctxIdx: bin0 27 + inc
+        (neighbor counts exclude B_Skip/B_Direct per 9.3.3.1.1.3),
+        bin1 30, first group bit 31, every later bin 32."""
+        inc = 0
+        for nx, ny in ((mbx - 1, mby), (mbx, mby - 1)):
+            ninf = self.m.mbinfo(nx, ny)
+            if ninf is not None and not ninf.get("bdirect"):
+                inc += 1
+        if val is not None:
+            if val == 0:
+                self._bit(27 + inc, 0)
+                return val
+            self._bit(27 + inc, 1)
+            if val in (1, 2):
+                self._bit(30, 0)
+                self._bit(32, val - 1)
+                return val
+            self._bit(30, 1)
+            if val >= 23:
+                group, tail = 13, None
+            elif 3 <= val <= 10:
+                group, tail = val - 3, None
+            elif val == 11:
+                group, tail = 14, None
+            elif val == 22:
+                group, tail = 15, None
+            else:               # 12..21: five-bit form
+                full = val + 4
+                group, tail = full >> 1, full & 1
+            self._bit(31, (group >> 3) & 1)
+            self._bit(32, (group >> 2) & 1)
+            self._bit(32, (group >> 1) & 1)
+            self._bit(32, group & 1)
+            if tail is not None:
+                self._bit(32, tail)
+            if val >= 23:
+                iv = val - 23
+                if iv == 0:
+                    self._bit(32, 0)
+                    return val
+                self._bit(32, 1)
+                if iv == 25:
+                    self._term(1)
+                    return val
+                self._term(0)
+                self._i16_fields(33, (34, 34), (35, 35), 35, iv)
+            return val
+        if not self._bit(27 + inc):
+            return 0
+        if not self._bit(30):
+            return 1 + self._bit(32)
+        group = ((self._bit(31) << 3) | (self._bit(32) << 2)
+                 | (self._bit(32) << 1) | self._bit(32))
+        if group < 8:
+            return group + 3
+        if group == 13:
+            if not self._bit(32):
+                return 23
+            if self._term():
+                return 48      # 23 + I_PCM
+            return 23 + self._i16_fields(33, (34, 34), (35, 35), 35)
+        if group == 14:
+            return 11
+        if group == 15:
+            return 22
+        return ((group << 1) | self._bit(32)) - 4
+
+    def sub_mb_type_b(self, val=None) -> int:
+        """B sub_mb_type (Table 9-38 binarization; spec Table 7-18
+        numbering, 0 = B_Direct_8x8 .. 12 = B_Bi_4x4). ctxIdx: bins
+        0..2 at 36/37/38, every later bin 39."""
+        if val is not None:
+            if val == 0:
+                self._bit(36, 0)
+            elif val in (1, 2):
+                self._bit(36, 1)
+                self._bit(37, 0)
+                self._bit(39, val - 1)
+            elif val <= 6:
+                self._bit(36, 1)
+                self._bit(37, 1)
+                self._bit(38, 0)
+                self._bit(39, (val - 3) >> 1)
+                self._bit(39, (val - 3) & 1)
+            elif val <= 10:
+                self._bit(36, 1)
+                self._bit(37, 1)
+                self._bit(38, 1)
+                self._bit(39, 0)
+                self._bit(39, (val - 7) >> 1)
+                self._bit(39, (val - 7) & 1)
+            else:
+                self._bit(36, 1)
+                self._bit(37, 1)
+                self._bit(38, 1)
+                self._bit(39, 1)
+                self._bit(39, val - 11)
+            return val
+        if not self._bit(36):
+            return 0
+        if not self._bit(37):
+            return 1 + self._bit(39)
+        t = 3
+        if self._bit(38):
+            if self._bit(39):
+                return 11 + self._bit(39)
+            t += 4
+        t += self._bit(39) << 1
+        t += self._bit(39)
+        return t
+
     # ------------------------------------------------- inter fields
 
-    def ref_idx(self, mbx, mby, px, py, pw, ph, val=None) -> int:
+    def ref_idx(self, mbx, mby, px, py, pw, ph, val=None,
+                lst: int = 0) -> int:
         bx0 = (16 * mbx + px) // 4
         by0 = (16 * mby + py) // 4
         inc = 0
@@ -647,13 +791,13 @@ class CabacSyntax:
                 ninf = self.m.mbinfo(nbx // 4, nby // 4)
                 if ninf is None or ninf["skip"] or ninf["intra"]:
                     continue
-            rv = self.m.ref[nby][nbx]
+            rv = self.m.ref[lst][nby][nbx]
             if rv is not None and rv > 0:
                 inc += w
         ctx_of = lambda i: (54 + inc) if i == 0 else (58 if i == 1
                                                       else 59)
         ref = self._unary(ctx_of, val)
-        self.m.note_ref(mbx, mby, px, py, pw, ph, ref)
+        self.m.note_ref(mbx, mby, px, py, pw, ph, ref, lst)
         return ref
 
     def _mvd_comp(self, base: int, inc: int, val=None) -> int:
@@ -673,7 +817,8 @@ class CabacSyntax:
             self._bp(1 if val < 0 else 0)
         return val
 
-    def mvd_pair(self, mbx, mby, px, py, pw, ph, val=None):
+    def mvd_pair(self, mbx, mby, px, py, pw, ph, val=None,
+                 lst: int = 0):
         bx0 = (16 * mbx + px) // 4
         by0 = (16 * mby + py) // 4
         out = []
@@ -686,13 +831,13 @@ class CabacSyntax:
                     ninf = self.m.mbinfo(nbx // 4, nby // 4)
                     if ninf is None or ninf["intra"]:
                         continue
-                s += self.m.mvd[nby][nbx][comp]
+                s += self.m.mvd[lst][nby][nbx][comp]
             inc = 0 if s < 3 else (1 if s <= 32 else 2)
             out.append(self._mvd_comp(base, inc,
                                       None if val is None
                                       else val[comp]))
         self.m.note_mvd(mbx, mby, px, py, pw, ph,
-                        abs(out[0]), abs(out[1]))
+                        abs(out[0]), abs(out[1]), lst)
         return tuple(out)
 
     # ------------------------------------------------- intra fields

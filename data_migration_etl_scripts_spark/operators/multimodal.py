@@ -1777,6 +1777,12 @@ def _synthetic_real_media_rows_build(
                          bytearray(transcode_to_cabac(
                              encode_quantized(px9, qp=12))),
                          "{}"))
+            # r11: a CABAC-coded B clip (the table-free all-B_Skip
+            # stream transcoded through the arithmetic coder — B
+            # skip flag at ctx 24, B reference lists, end_of_slice)
+            rows.append((n + 35, "video",
+                         bytearray(transcode_to_cabac(
+                             encode_video_b_skip(px11))), "{}"))
         # r10: a QUANTIZED Ogg-Vorbis stream (flat floors +
         # pseudorandom residues through real stream codebooks) —
         # env-gated on the floor1 inverse-dB seam, which decode needs

@@ -1,0 +1,95 @@
+"""Board leg with populated table seams (r10 verdict watch-item #3):
+the CABAC and quantized-Vorbis fixture rows are env-gated off the
+default board, so the default selfcheck never decodes them through
+the Spark mapInPandas path. This test runs `multimodal_real_decode`
+in a FRESH subprocess with synthetic CABAC + Vorbis tables injected
+via the env seams BEFORE the JVM starts (local-mode Python workers
+inherit the driver environment at launch, so setting the vars inside
+an existing session would not reach them), and re-verifies every
+row's features driver-side from the same payload bytes — the exact
+protocol of tools/selfcheck.py::_range_multimodal_decode.
+
+The equivalent manual command (documented for CI):
+
+    SPARK_GRAFT_CABAC_TABLES=<json> SPARK_GRAFT_VORBIS_TABLES=<json> \
+        python tools/selfcheck.py multimodal_real
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_DRIVER = r"""
+import json, sys
+from pyspark.sql import SparkSession
+
+from data_migration_etl_scripts_spark.operators import h264_cabac, vorbis
+from data_migration_etl_scripts_spark.operators import multimodal as mm
+from data_migration_etl_scripts_spark import queries
+
+assert h264_cabac.seam_available(), "CABAC env seam did not load"
+assert vorbis.seam_available(), "Vorbis env seam did not load"
+
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .appName("board-seam-leg").getOrCreate())
+try:
+    df = queries.multimodal_real_decode(spark, sys.argv[1])
+    rows = df.collect()
+finally:
+    spark.stop()
+
+fixture = {mid: (mtype, bytes(content))
+           for mid, mtype, content, _m in mm.synthetic_real_media_rows(
+               24, include_mpeg=True)}
+gated = {24 + 30, 24 + 33, 24 + 35}
+assert gated <= set(fixture), sorted(fixture)
+assert len(rows) == len(fixture), (len(rows), len(fixture))
+seen = set()
+for r in rows:
+    mtype, payload = fixture[r.media_id]
+    assert r.media_type == mtype, r.media_id
+    assert r.n_bytes == len(payload), r.media_id
+    got = json.loads(r.feature_json)
+    want = mm._real_features(payload, 6)
+    assert len(got) == len(want), r.media_id
+    assert all(abs(g - w) <= max(1e-5, 1e-6 * abs(w))
+               for g, w in zip(got, want)), r.media_id
+    seen.add(r.media_id)
+assert gated <= seen
+print("BOARD_SEAM_OK", len(rows))
+"""
+
+
+def _synthetic_cabac_tables() -> dict:
+    rl = [[max(2, min(240, ((q + 1) * (128 - 2 * s)) // 2 + 2))
+           for q in range(4)] for s in range(64)]
+    tl = [max(0, s - 1 - s // 8) for s in range(64)]
+    init = {k: [[(i * 5) % 16 - 8, 40 + (i * 7) % 48]
+                for i in range(277)]
+            for k in ("I", "P0", "P1", "P2")}
+    return {"range_lps": rl, "trans_lps": tl, "init": init}
+
+
+def test_board_runs_with_populated_seams():
+    """The 60-row board (57 default + CABAC-I n+30 + quantized-Vorbis
+    n+33 + CABAC-B n+35) decodes end to end through Spark with
+    synthetic seam tables injected via the env vars, and every row's
+    features match the driver-side recompute."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CABAC_TABLES"] = json.dumps(
+        _synthetic_cabac_tables())
+    env["SPARK_GRAFT_VORBIS_TABLES"] = json.dumps(
+        {"floor1_inverse_db": [(i / 255.0) ** 2 for i in range(256)]})
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "-c", _DRIVER, sf],
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "BOARD_SEAM_OK" in out.stdout, (
+        out.stdout[-2000:], out.stderr[-4000:])

@@ -1543,9 +1543,15 @@ def test_p_skip_applies_explicit_weighted_prediction():
                 assert plane[y][x] == exp, (x, y)
 
 
-def test_b_transcode_raises_namefully():
-    """CABAC covers I/P (r10): transcoding a B stream raises at the
-    documented boundary rather than mis-encoding."""
+def test_b_transcode_to_cabac_round_trips():
+    """CABAC-coded B slices (r11): every engine B operating point —
+    plain bi-prediction, per-list global MVs, temporal-direct MBs,
+    explicit weights, implicit weights, and the table-free all-B_Skip
+    clip — survives CAVLC -> CABAC transcoding picture-exact. The B
+    init contexts reuse the P0/P1/P2 seam columns (cabac_init_idc
+    governs P AND B per 9.3.1.1), so NO new seam data was needed;
+    the Table 9-37/9-38 bin trees are structure, pinned independently
+    in test_h264_cabac_conformance.py."""
     from data_migration_etl_scripts_spark.operators import (
         h264_cabac as C,
     )
@@ -1562,11 +1568,26 @@ def test_b_transcode_raises_namefully():
     try:
         C.load_cabac_tables({"range_lps": rl, "trans_lps": tl,
                              "init": init})
+        _cbp_inter_identity()
+        frames = _grad_clip(3)
+        wts = {"lwd": 5, "cwd": 4, "w0": (20, 3), "w1": (44, -2),
+               "c0": ((10, 1), (18, 0)), "c1": ((22, -1), (14, 2))}
+        for kw in ({}, {"mvs": ((4, -8), (12, 0))},
+                   {"direct_mbs": True}, {"weights": wts},
+                   {"implicit": True, "poc_p": 8},
+                   {"direct_mbs": True, "implicit": True,
+                    "poc_p": 8}):
+            b, recons = h.encode_video_b_yuv(frames, qp=8, **kw)
+            cb = h.transcode_to_cabac(b)
+            w, hgt, out = h.decode_video_yuv(cb)
+            assert out == recons, kw
+        # all-B_Skip clip: B skip runs through the ctx-24 skip flag
         px = [[((x * 7 + y * 3) % 256, x % 256, y % 256)
                for x in range(32)] for y in range(32)]
         b = h.encode_video_b_skip(px)
-        with pytest.raises(NotImplementedError, match="CABAC B"):
-            h.transcode_to_cabac(b)
+        w, hgt, ref = h.decode_video_yuv(b)
+        w, hgt, out = h.decode_video_yuv(h.transcode_to_cabac(b))
+        assert out == ref
     finally:
         C.CABAC["range_lps"] = saved["range_lps"]
         C.CABAC["trans_lps"] = saved["trans_lps"]

@@ -235,14 +235,18 @@ def test_cabac_fixture_row_env_gated(tmp_path, monkeypatch):
     monkeypatch.setenv(C._TABLES_ENV, str(p))
     monkeypatch.setattr(C, "_env_load_done", False)
     rows = mm.synthetic_real_media_rows(include_mpeg=True)
-    assert len(rows) == len(base) + 1
-    mid, mtype, payload, _meta = rows[-1]
+    # the seam now gates TWO payload rows: the transcoded quantized
+    # I picture (n+30) and the transcoded all-B_Skip clip (n+35, r11)
+    assert len(rows) == len(base) + 2
+    by_id = {r[0]: r for r in rows}
+    mid, mtype, payload, _meta = by_id[12 + 30]
     assert mtype == "video"
     w, hh, frames = h.decode_video_yuv(bytes(payload))
     # same picture as the CAVLC quantized fixture row it transcodes
-    for r in rows:
-        if r[0] == mid - 9:   # n+21: the CAVLC quantized row
-            assert h.decode_video_yuv(bytes(r[2]))[2] == frames
-            break
-    else:
-        raise AssertionError("CAVLC quantized fixture row not found")
+    assert h.decode_video_yuv(bytes(by_id[12 + 21][2]))[2] == frames
+    # the CABAC-B clip: 3 frames, B_Skip recon == the I picture
+    bid, btype, bpayload, _m = by_id[12 + 35]
+    assert btype == "video"
+    w, hh, bframes = h.decode_video_yuv(bytes(bpayload))
+    assert len(bframes) == 3
+    assert bframes[2] == bframes[0]

@@ -480,6 +480,174 @@ def test_p_mb_type_16x8_8x16_bin2_ctx17(const_tables):
         assert rsyn.mb_type_p() == val
 
 
+def _b_walk(syn, model, w):
+    """Two-MB B-slice sequence: B_Bi_16x16 with per-list refs/mvds,
+    then B_Direct_16x16 — pins the r11 B trees (Table 9-37), the
+    B skip offset (24), the per-list ref/mvd context separation, and
+    the direct-neighbor exclusion in the mb_type bin-0 increment."""
+    def v(x):
+        return x if w else None
+
+    out = []
+    syn.start_mb(0, 0)
+    out.append(syn.mb_skip(0, 0, v(0), is_b=True))
+    syn.cur_intra = False
+    out.append(syn.mb_type_b(0, 0, v(3)))       # B_Bi_16x16
+    out.append(syn.ref_idx(0, 0, 0, 0, 16, 16, v(0), lst=0))
+    out.append(syn.ref_idx(0, 0, 0, 0, 16, 16, v(1), lst=1))
+    out.append(syn.mvd_pair(0, 0, 0, 0, 16, 16, v((1, 0)), lst=0))
+    out.append(syn.mvd_pair(0, 0, 0, 0, 16, 16, v((0, -6)), lst=1))
+    out.append(syn.cbp(0, 0, v(0)))
+    model.note_mb(0, 0, intra=False, inxn=False, ipcm=False,
+                  i16=False, cbp=0, cmode=0, ldc=0, cdc=[0, 0])
+    out.append(syn.end_of_slice(v(0)))
+
+    syn.start_mb(1, 0)
+    out.append(syn.mb_skip(1, 0, v(0), is_b=True))
+    syn.cur_intra = False
+    out.append(syn.mb_type_b(1, 0, v(0)))       # B_Direct_16x16
+    out.append(syn.cbp(1, 0, v(0)))
+    model.note_mb(1, 0, intra=False, inxn=False, ipcm=False,
+                  i16=False, cbp=0, cmode=0, ldc=0, cdc=[0, 0],
+                  bdirect=True)
+    out.append(syn.end_of_slice(v(1)))
+    return out
+
+
+#: hand-derived expectation for _b_walk
+_B_EXPECTED = (
+    # MB0 mb_skip (B): offset 24, neighbors unavailable -> inc 0
+    [24]
+    # mb_type B_Bi_16x16 (3): bin0 1@27 (inc 0: no available
+    # neighbors); bin1 1@30; 4-bit group 0 -> 0@31, 0@32, 0@32, 0@32
+    + [27, 30, 31, 32, 32, 32]
+    # ref_idx l0 = 0: list-0 neighbor grid empty -> inc 0 -> 0@54
+    + [54]
+    # ref_idx l1 = 1: the LIST-1 grid is separate and empty -> inc 0
+    # -> bins 1@54, 0@58 (a shared grid would have seen l0's write)
+    + [54, 58]
+    # mvd l0 (1,0): sums 0 -> x bins 1@40, 0@43, sign; y 0@47
+    + [40, 43, "bp", 47]
+    # mvd l1 (0,-6): the list-1 |mvd| grid is empty -> inc 0 both
+    # components; x 0@40; y mag 6 = six 1-bins at 47, 50, 51, 52,
+    # 53, 53 then the TU terminator 0@53, sign bypass
+    + [40, 47, 50, 51, 52, 53, 53, 53, "bp"]
+    # cbp 0, no neighbors: 73, then own-bit increments 74, 75, 76,
+    # chroma 77
+    + [73, 74, 75, 76, 77]
+    + [276]
+    # MB1 mb_skip: left available, not skipped -> inc 1 -> 25
+    + [25]
+    # mb_type B_Direct_16x16: left neighbor is available and NOT
+    # direct/skip -> condTerm 1 -> bin0 0@28
+    + [28]
+    # cbp 0: left MB's 8x8 blocks all uncoded -> a 1 -> 74; own bit0
+    # -> 74; left blk3 + own bit0 -> 76; own bits -> 76; chroma 77
+    + [74, 74, 76, 76, 77]
+    + [276]
+)
+
+
+def test_ctx_walk_b_slice_write_side(const_tables):
+    sink = []
+    enc = C.CabacEncoder(sink.append)
+    syn, model = _mk_syntax(2, 1, False, enc)
+    _b_walk(syn, model, True)
+    assert syn.trace == _B_EXPECTED
+
+
+def test_ctx_walk_b_slice_read_side(const_tables):
+    sink = []
+    enc = C.CabacEncoder(sink.append)
+    wsyn, wmodel = _mk_syntax(2, 1, False, enc)
+    written = _b_walk(wsyn, wmodel, True)
+    enc.terminate(1)
+    sink.extend([0] * 32)
+
+    dec = C.CabacDecoder(_bit_feed(sink))
+    rsyn, rmodel = _mk_syntax(2, 1, True, dec)
+    read = _b_walk(rsyn, rmodel, False)
+    assert rsyn.trace == _B_EXPECTED
+    assert read[:-1] == written[:-1]
+    assert read[-1] == 1
+
+
+def test_b_mb_type_binarization_shapes(const_tables):
+    """Table 9-37 bin-string shapes per B mb_type value, pinned as
+    the ctx sequence each value walks on the write side (direct '0';
+    '10x'; '11' + 4-bit group; 5-bit tail for 12..21; group 13 opens
+    the intra suffix at offset 32/33/34/35), plus encode->decode
+    value agreement for the full 0..48 range."""
+    expect = {
+        0: [27],
+        1: [27, 30, 32],
+        2: [27, 30, 32],
+        3: [27, 30, 31, 32, 32, 32],
+        10: [27, 30, 31, 32, 32, 32],
+        11: [27, 30, 31, 32, 32, 32],           # group 14
+        12: [27, 30, 31, 32, 32, 32, 32],       # five-bit form
+        21: [27, 30, 31, 32, 32, 32, 32],
+        22: [27, 30, 31, 32, 32, 32],           # group 15
+        23: [27, 30, 31, 32, 32, 32, 32],       # intra: suffix 0@32
+        # I_16x16 type 1 inside B: suffix 1@32, terminate, luma@33,
+        # chroma@34, two pred bins@35
+        24: [27, 30, 31, 32, 32, 32, 32, 276, 33, 34, 35, 35],
+        48: [27, 30, 31, 32, 32, 32, 32, 276],  # I_PCM
+    }
+    for val, ctxs in expect.items():
+        sink = []
+        enc = C.CabacEncoder(sink.append)
+        syn, _ = _mk_syntax(1, 1, False, enc)
+        syn.start_mb(0, 0)
+        syn.mb_type_b(0, 0, val)
+        assert syn.trace == ctxs, val
+    for val in list(range(23)) + [23, 24, 36, 47, 48]:
+        sink = []
+        enc = C.CabacEncoder(sink.append)
+        syn, _ = _mk_syntax(1, 1, False, enc)
+        syn.start_mb(0, 0)
+        syn.mb_type_b(0, 0, val)
+        enc.terminate(1)
+        sink.extend([0] * 16)
+        dec = C.CabacDecoder(_bit_feed(sink))
+        rsyn, _ = _mk_syntax(1, 1, True, dec)
+        rsyn.start_mb(0, 0)
+        assert rsyn.mb_type_b(0, 0) == val
+
+
+def test_b_sub_mb_type_binarization_shapes(const_tables):
+    """Table 9-38 shapes: '0' direct, '10x', '110xx', '1110xx',
+    '1111x' — ctx walk 36/37/38 then 39, and value round trips over
+    the full 0..12 range."""
+    expect = {
+        0: [36],
+        1: [36, 37, 39],
+        2: [36, 37, 39],
+        3: [36, 37, 38, 39, 39],
+        6: [36, 37, 38, 39, 39],
+        7: [36, 37, 38, 39, 39, 39],
+        10: [36, 37, 38, 39, 39, 39],
+        11: [36, 37, 38, 39, 39],
+        12: [36, 37, 38, 39, 39],
+    }
+    for val, ctxs in expect.items():
+        sink = []
+        enc = C.CabacEncoder(sink.append)
+        syn, _ = _mk_syntax(1, 1, False, enc)
+        syn.sub_mb_type_b(val)
+        assert syn.trace == ctxs, val
+    for val in range(13):
+        sink = []
+        enc = C.CabacEncoder(sink.append)
+        syn, _ = _mk_syntax(1, 1, False, enc)
+        syn.sub_mb_type_b(val)
+        enc.terminate(1)
+        sink.extend([0] * 16)
+        dec = C.CabacDecoder(_bit_feed(sink))
+        rsyn, _ = _mk_syntax(1, 1, True, dec)
+        assert rsyn.sub_mb_type_b() == val
+
+
 # ------------------------------------- 3. foreign fixture (env-gated)
 
 _FIXTURE_ENV = "SPARK_GRAFT_CABAC_FIXTURE"
