@@ -18,11 +18,18 @@ the SQL twin (:func:`pagerank_sql`) unrolls the same K rounds as
 chained CTEs for a hash-matched oracle. (The same unrolled-iteration
 oracle pattern as the trained classifier's gradient descent.)
 
-Scale shape: each iteration is ONE shuffle (contributions grouped by
-dst) plus two single-row aggregates (dangling mass; nothing is ever
-collected except them); ranks localCheckpoint per round so lineage
-stays flat at K iterations — the Lloyd's/label-propagation
-discipline every iterative operator here follows."""
+Scale shape (r11): the edge relation is shuffled and sorted by src
+ONCE and persisted — every iteration's contribution join reads it in
+place (InMemoryRelation preserves partitioning/ordering where a
+checkpoint scan reports UnknownPartitioning and would re-exchange the
+full edge set per round). Per iteration only node-sized data moves:
+the rank relation to the join key and the map-side-combined
+contributions to dst. The dangling mass and the convergence delta
+ride each round's checkpoint action as observed metrics — ONE job
+per iteration, nothing collected but those two scalars; ranks
+localCheckpoint per round so lineage stays flat at K iterations —
+the Lloyd's/label-propagation discipline every iterative operator
+here follows."""
 
 from __future__ import annotations
 
@@ -94,9 +101,25 @@ def pagerank(
     # each iteration to ONE action (the checkpoint) instead of a
     # dangling-collect job + an update job, and drops the per-round
     # ranks->out_deg join.
-    e_out = e.join(out_deg, "src").select("src", "dst", "out").localCheckpoint(
-        eager=True
+    #
+    # PERSIST, not localCheckpoint (r11): a checkpointed RDD scan
+    # reports UnknownPartitioning, so every iteration re-exchanged
+    # AND re-sorted the FULL edge relation for the contrib join — the
+    # dominant per-round cost, and the piece that breaks at 100x
+    # edges. An InMemoryRelation preserves the child plan's
+    # outputPartitioning/ordering, so shuffling+sorting by src ONCE
+    # here lets all K per-round sort-merge joins reuse it: only the
+    # (|nodes|-sized) rank relation moves per iteration.
+    from pyspark.storagelevel import StorageLevel
+
+    e_out = (
+        e.join(out_deg, "src")
+        .select("src", "dst", "out")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e_out.count()   # eager, like the checkpoints around it
     # the dangling SET is static: fold it into the rank relation as a
     # boolean ONCE (r7) — each iteration's dangling-mass aggregate is
     # then a FILTER over the checkpointed ranks instead of a per-round
@@ -113,15 +136,22 @@ def pagerank(
     # IEEE division itself is exactly rounded in both engines, so the
     # (1-d)/N and dangling/N terms need no defensive quantization.
     ranks = flagged.withColumn("rank", _q9(F.lit(1.0) / F.lit(float(n))))
-    for it in range(iterations):
-        dang = (
-            ranks.where("dang")
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
-                ).alias("dangm")
-            )
+    # Each round's dangling mass is an aggregate over the PREVIOUS
+    # round's output — so it rides the previous round's checkpoint
+    # action as a second observed metric and feeds the next update as
+    # a plain literal (bit-identical: the same DECIMAL sum, the same
+    # double division). Only the INITIAL mass needs its own (tiny)
+    # aggregate job. This halves the per-iteration job count versus
+    # the old per-round broadcast-subquery aggregate (r11; the bench
+    # line's spread was dominated by scheduler overhead, not math).
+    from pyspark.sql import Observation
+
+    dangm = ranks.where("dang").agg(
+        F.coalesce(
+            F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
         )
+    ).collect()[0][0]
+    for it in range(iterations):
         contrib = (
             e_out.join(ranks, e_out["src"] == ranks["node"])
             .select(
@@ -133,11 +163,11 @@ def pagerank(
         )
         # the previous round's relation (every node) is ALSO the left
         # side of the update join, so the new projection can carry the
-        # old rank and the convergence delta rides the checkpoint
-        # action as an observed metric — no separate delta job
+        # old rank; the convergence delta AND the next round's
+        # dangling mass both ride the checkpoint action as observed
+        # metrics — one job per iteration, no separate aggregates
         new = (
             ranks.join(contrib, ranks["node"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dang))
             .select(
                 ranks["node"].alias("node"),
                 ranks["dang"].alias("dang"),
@@ -145,29 +175,41 @@ def pagerank(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (F.coalesce("inflow", F.lit(0.0))
-                       + F.col("dangm") / F.lit(float(n)))
+                       + F.lit(dangm) / F.lit(float(n)))
                 ).alias("rank"),
                 ranks["rank"].alias("_prev"),
             )
         )
         obs = None
-        if tol is not None and it < iterations - 1:
-            from pyspark.sql import Observation
-
-            obs = Observation(f"pagerank_delta_{it}_{id(new)}")
-            new = new.observe(
-                obs,
+        last = it == iterations - 1
+        if not last:
+            obs = Observation(f"pagerank_obs_{it}_{id(new)}")
+            metrics = [
                 F.coalesce(
-                    F.sum(F.abs(F.col("rank") - F.col("_prev")).cast(_DEC))
-                    .cast("double"),
+                    F.sum(F.when(F.col("dang"), F.col("rank"))
+                          .cast(_DEC)).cast("double"),
                     F.lit(0.0),
-                ).alias("d"),
-            )
+                ).alias("dangm")
+            ]
+            if tol is not None:
+                metrics.append(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("rank") - F.col("_prev"))
+                              .cast(_DEC)).cast("double"),
+                        F.lit(0.0),
+                    ).alias("d")
+                )
+            new = new.observe(obs, *metrics)
         new = new.select("node", "dang", "rank")
         planhook.capture("pagerank_iteration", new)
         ranks = new.localCheckpoint(eager=True)
-        if obs is not None and obs.get["d"] <= tol:
-            break
+        if obs is not None:
+            m = obs.get
+            if tol is not None and m["d"] <= tol:
+                break
+            dangm = m["dangm"]
+    # ranks is checkpointed (no lineage into e_out): safe to release
+    e_out.unpersist()
     return ranks.select("node", "rank")
 
 

@@ -114,3 +114,36 @@ def test_early_exit_never_fires_mid_convergence(spark, monkeypatch):
     without = {r.node: r.rank
                for r in pagerank(df, iterations=4, tol=None).collect()}
     assert with_tol == without
+
+
+def test_iteration_reuses_edge_partitioning(spark):
+    """The per-iteration contribution join must read the persisted
+    edge relation IN PLACE: the cached (repartition+sort by src) plan
+    preserves outputPartitioning/ordering, so the join's edge side is
+    an InMemoryTableScan with NO exchange or sort above it — a
+    checkpointed edge scan reported UnknownPartitioning and
+    re-shuffled the FULL edge set every round (r11 fix; the piece
+    that breaks at 100x edges)."""
+    from data_migration_etl_scripts_spark import planhook
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    planhook.enable()
+    try:
+        pagerank(df, iterations=2, tol=None).collect()
+        plan = planhook._CAPTURES["pagerank_iteration"]
+    finally:
+        planhook.disable()
+    tree = plan.split("(1) ")[0]
+    lines = [ln for ln in tree.splitlines() if ln.strip()]
+    scans = [i for i, ln in enumerate(lines)
+             if "InMemoryTableScan" in ln]
+    assert scans, tree
+    # between the cached edge scan and its join there must be no
+    # shuffle Exchange and no Sort re-doing the persisted layout
+    # (a Filter/Project or — at toy scale, where AQE broadcasts the
+    # edge side — a BroadcastExchange is fine)
+    for ln in lines[max(0, scans[0] - 4): scans[0]]:
+        stripped = ln.replace("BroadcastExchange", "")
+        assert "Exchange (" not in stripped, tree
+        assert "Sort (" not in ln, tree
