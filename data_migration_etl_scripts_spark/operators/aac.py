@@ -844,20 +844,30 @@ def _apply_ms(groups_x, cb_maps, ics: dict, ms_used) -> None:
 # -------------------------------------------------------------- decode
 
 def aac_decode(data: bytes):
-    """ADTS AAC-LC stream -> (rate, nch, [channel sample lists] in
-    [-1, 1]). Decodes the first SCE/CPE/LFE program element of every
-    frame (later audio elements are parsed for bit sync and
-    discarded — first-program rule); DSE and FIL (incl. SBR extension
-    payloads — LC core only) are skipped per the element walk."""
+    """ADTS AAC-LC / HE-AAC v1 stream -> (rate, nch, [channel sample
+    lists] in [-1, 1]). Decodes the first SCE/CPE/LFE program element
+    of every frame (later audio elements are parsed for bit sync and
+    discarded — first-program rule); DSE and plain FIL are skipped.
+    A FIL extension payload carrying EXT_SBR_DATA (13/14) routes to
+    ``operators/sbr.py`` (r11): the core output runs through the SBR
+    chain and the stream decodes at TWICE the core rate (implicit
+    HE-AAC signalling). SBR needs its table seam — absent tables
+    raise namefully rather than silently playing the half-rate core."""
+    from data_migration_etl_scripts_spark.operators import sbr as _sbr
+
     rate = None
     nch = 0
     synths: list[_Synth] = []
     chans: list[list[float]] = []
     seed = 0x2A
+    sbr_st: dict = {"header": None, "bands": None, "chans": None,
+                    "prev": None, "active": False}
     for hdr, r, _end in adts_frames(data):
         rate = hdr["rate"]
         rate_idx = hdr["rate_idx"]
         got_audio = False
+        frame_core: list | None = None
+        sbr_data = None
         while True:
             ele = r.u(3)
             if ele == 7:  # END
@@ -877,7 +887,7 @@ def aac_decode(data: bytes):
                     synths = [_Synth()]
                     chans = [[]]
                     nch = 1
-                chans[0] += synths[0].add(wins, ics)
+                frame_core = [synths[0].add(wins, ics)]
                 got_audio = True
             elif ele == 1:  # CPE
                 r.u(4)
@@ -917,8 +927,8 @@ def aac_decode(data: bytes):
                     synths = [_Synth(), _Synth()]
                     chans = [[], []]
                     nch = 2
-                chans[0] += synths[0].add(lw, lics)
-                chans[1] += synths[1].add(rw, rics)
+                frame_core = [synths[0].add(lw, lics),
+                              synths[1].add(rw, rics)]
                 got_audio = True
             elif ele == 4:  # DSE
                 r.u(4)
@@ -933,7 +943,14 @@ def aac_decode(data: bytes):
                 cnt = r.u(4)
                 if cnt == 15:
                     cnt += r.u(8) - 1
-                r.pos += 8 * cnt
+                endpos = r.pos + 8 * cnt
+                if cnt:
+                    ext = r.u(4)
+                    if ext in (13, 14) and frame_core is not None:
+                        sbr_data = _sbr_fil(r, ext == 14, sbr_st,
+                                            rate * 2,
+                                            len(frame_core), _sbr)
+                r.pos = endpos
             elif ele in (2, 5):
                 raise NotImplementedError(
                     "CCE coupling / PCE program config elements"
@@ -942,10 +959,71 @@ def aac_decode(data: bytes):
                 raise ValueError(f"unexpected syntactic element {ele}")
         if not got_audio:
             raise ValueError("ADTS frame without an audio element")
+        if sbr_data is not None:
+            sbr_st["active"] = True
+            for ci, out in enumerate(
+                    _sbr_frame(sbr_st, frame_core, sbr_data, _sbr)):
+                chans[ci] += out
+        else:
+            if sbr_st["active"]:
+                raise ValueError(
+                    "HE-AAC stream dropped its SBR payload mid-"
+                    "stream (frame-length bookkeeping would desync)")
+            for ci, out in enumerate(frame_core):
+                chans[ci] += out
     if rate is None:
         raise ValueError("no ADTS frames in stream")
+    if sbr_st["active"]:
+        rate *= 2
     scale = 1.0 / 32768.0
     return rate, nch, [[v * scale for v in ch] for ch in chans]
+
+
+def _sbr_fil(r, crc: bool, st: dict, fs_out: int, n_ch: int, sb):
+    """Parse one SBR FIL extension: header (persisted), band
+    derivation on header change, then the channel data. Returns the
+    parsed data dict or None when no header has arrived yet."""
+    if crc:
+        r.u(10)
+    if r.u(1):
+        newh = sb.parse_sbr_header(r)
+        if newh != st["header"]:
+            st["header"] = newh
+            st["bands"] = None
+    if st["header"] is None:
+        return None   # sbr_data only decodes once a header arrived
+    if st["bands"] is None:
+        st["bands"] = sb.derive_bands(st["header"], fs_out)
+        st["chans"] = [sb.SbrChannel() for _ in range(n_ch)]
+        st["prev"] = [None] * n_ch
+    data = sb.parse_sbr_data(r, st["header"], st["bands"],
+                             n_ch == 2, st["prev"])
+    for ci, ch in enumerate(data["ch"]):
+        st["prev"][ci] = (ch["env"][-1],
+                          ch["grid"]["freq_res"][-1],
+                          ch["noise"][-1])
+    return data
+
+
+def _sbr_frame(st: dict, frame_core: list, data: dict, sb) -> list:
+    """Dequantize (decoupling the CPE pair when coupled) and run the
+    per-channel SBR chain over this frame's core outputs."""
+    chs = data["ch"]
+    if data["coupling"]:
+        e0, e1, q0, q1 = sb.decouple(
+            chs[0]["env"], chs[1]["env"], chs[0]["noise"],
+            chs[1]["noise"], chs[0]["grid"])
+        lin = [(e0, q0), (e1, q1)]
+    else:
+        lin = [(sb.dequant_env(c["env"], c["grid"]),
+                sb.dequant_noise(c["noise"])) for c in chs]
+    out = []
+    for ci, core in enumerate(frame_core):
+        env_lin, noise_lin = lin[ci]
+        out.append(sb.process_frame(
+            st["chans"][ci], core, st["header"], st["bands"],
+            chs[ci], env_lin, noise_lin))
+    return out
 
 
 # ------------------------------------------------------------ encoders
@@ -980,6 +1058,74 @@ def _silent_sce(w: _W) -> None:
     w.u(0, 1)    # gain control
     w.u(7, 3)    # END
     w.byte_align_zero()
+
+
+def aac_encode_sbr(frames: int = 2, rate_idx: int = 8,
+                   num_env: int = 1, freq_res: int = 0,
+                   env_val: int = 0, noise_val: int = 30,
+                   invf_mode: int = 0, header=None) -> bytes:
+    """HE-AAC v1 engine operating point: a silent AAC-LC SCE core
+    with one SBR FIL extension per frame (implicit signalling, header
+    in every frame so decode can start anywhere). The FIXFIX grid,
+    flat delta-f envelopes at ``env_val`` and noise floors at
+    ``noise_val`` exercise the full parse -> band-table -> QMF -> HF
+    generation -> envelope-adjust -> synthesis chain; with the silent
+    core the output is pure adjusted noise, deterministic through the
+    seam noise table. Needs the SBR table seam on BOTH sides (the
+    huffman books code the flat runs' zero deltas), the CABAC-style
+    injected-tables discipline."""
+    from data_migration_etl_scripts_spark.operators import sbr as sb
+
+    h = {"amp_res": 1, "start_freq": 0, "stop_freq": 0,
+         "xover_band": 0, "freq_scale": 0, "alter_scale": 0,
+         "noise_bands": 2, "limiter_bands": 2, "limiter_gains": 2,
+         "interpol_freq": 1, "smoothing_mode": 1}
+    if header:
+        h.update(header)
+    fs_out = _RATES[rate_idx] * 2
+    bands = sb.derive_bands(h, fs_out)
+    out = bytearray()
+    for _ in range(frames):
+        body = _W()
+        # the silent SCE, without END (the FIL rides between them)
+        body.u(0, 3)
+        body.u(0, 4)
+        body.u(0, 8)
+        body.u(0, 1)
+        body.u(0, 2)
+        body.u(0, 1)
+        body.u(0, 6)
+        body.u(0, 1)
+        body.u(0, 1)
+        body.u(0, 1)
+        body.u(0, 1)
+        sbrw = _W()
+        sbrw.u(13, 4)          # extension_type EXT_SBR_DATA
+        sbrw.u(1, 1)           # bs_header_flag
+        sb.write_sbr_header(sbrw, h)
+        env_vals = [[env_val] * bands["n"][freq_res]
+                    for _ in range(num_env)]
+        noise_vals = [[noise_val] * bands["n_q"]
+                      for _ in range(1 if num_env == 1 else 2)]
+        sb.write_sbr_sce(sbrw, h, bands, num_env, freq_res,
+                         env_vals, noise_vals, invf_mode)
+        cnt = (len(sbrw.bits) + 7) // 8
+        if cnt >= 15:
+            body.u(6, 3)       # FIL
+            body.u(15, 4)
+            body.u(cnt - 14, 8)
+        else:
+            body.u(6, 3)
+            body.u(cnt, 4)
+        body.bits.extend(sbrw.bits)
+        body.bits.extend([0] * (8 * cnt - len(sbrw.bits)))
+        body.u(7, 3)           # END
+        body.byte_align_zero()
+        payload = body.tobytes()
+        hdr = _W()
+        _adts_header(hdr, rate_idx, 1, 7 + len(payload))
+        out += hdr.tobytes() + payload
+    return bytes(out)
 
 
 def aac_encode_silence(frames: int = 8, rate_idx: int = 4,

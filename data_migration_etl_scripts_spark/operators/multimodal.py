@@ -1421,13 +1421,18 @@ def synthetic_real_media_rows(
         vorbis as _vorbis,
     )
 
-    # the r10 CABAC and quantized-Vorbis rows are environment-gated
-    # (env table seams), so the gate states are part of the cache key
+    from data_migration_etl_scripts_spark.operators import sbr as _sbr
+
+    # the r10 CABAC / quantized-Vorbis and r11 SBR rows are
+    # environment-gated (env table seams), so the gate states are
+    # part of the cache key
     cabac = bool(os.environ.get(_h264_cabac._TABLES_ENV)
                  and _h264_cabac.seam_available())
     vorb = bool(os.environ.get(_vorbis._TABLES_ENV)
                 and _vorbis.seam_available())
-    key = (n, include_mpeg, cabac, vorb)
+    sbr_on = bool(os.environ.get(_sbr._TABLES_ENV)
+                  and _sbr.seam_available())
+    key = (n, include_mpeg, cabac, vorb, sbr_on)
     hit = _REAL_MEDIA_ROWS_CACHE.get(key)
     if hit is None:
         hit = _synthetic_real_media_rows_build(n, include_mpeg)
@@ -1798,6 +1803,25 @@ def _synthetic_real_media_rows_build(
                              frames=4, rate=8000, channels=2,
                              coupled=True)[0]),
                          "{}"))
+        # r11: an HE-AAC v1 stream (silent LC core + SBR FIL
+        # extension; operators/sbr.py full chain, decodes at twice
+        # the core rate) — env-gated on the SBR table seam, which
+        # every worker needs to run the QMF/huffman layers
+        from data_migration_etl_scripts_spark.operators import (
+            sbr as _sbr,
+        )
+
+        if (os.environ.get(_sbr._TABLES_ENV)
+                and _sbr.seam_available()):
+            from data_migration_etl_scripts_spark.operators.aac import (
+                aac_encode_sbr,
+            )
+
+            rows.append((n + 36, "audio",
+                         bytearray(aac_encode_sbr(
+                             frames=2, rate_idx=8, num_env=2,
+                             freq_res=1, env_val=35, noise_val=12,
+                             invf_mode=2)), "{}"))
     return rows
 
 

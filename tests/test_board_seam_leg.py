@@ -27,11 +27,13 @@ import json, sys
 from pyspark.sql import SparkSession
 
 from data_migration_etl_scripts_spark.operators import h264_cabac, vorbis
+from data_migration_etl_scripts_spark.operators import sbr as _sbr
 from data_migration_etl_scripts_spark.operators import multimodal as mm
 from data_migration_etl_scripts_spark import queries
 
 assert h264_cabac.seam_available(), "CABAC env seam did not load"
 assert vorbis.seam_available(), "Vorbis env seam did not load"
+assert _sbr.seam_available(), "SBR env seam did not load"
 
 spark = (SparkSession.builder.master("local[4]")
          .config("spark.sql.shuffle.partitions", "4")
@@ -46,7 +48,7 @@ finally:
 fixture = {mid: (mtype, bytes(content))
            for mid, mtype, content, _m in mm.synthetic_real_media_rows(
                24, include_mpeg=True)}
-gated = {24 + 30, 24 + 33, 24 + 35}
+gated = {24 + 30, 24 + 33, 24 + 35, 24 + 36}
 assert gated <= set(fixture), sorted(fixture)
 assert len(rows) == len(fixture), (len(rows), len(fixture))
 seen = set()
@@ -75,16 +77,45 @@ def _synthetic_cabac_tables() -> dict:
     return {"range_lps": rl, "trans_lps": tl, "init": init}
 
 
+def _synthetic_sbr_tables() -> dict:
+    import math
+
+    win = [math.sin(math.pi * (n + 0.5) / 640) / 64.0
+           for n in range(640)]
+    seed = 7
+    noise = []
+    for _ in range(512):
+        seed = (seed * 1103515245 + 12345) & 0x7FFFFFFF
+        re = seed / 0x40000000 - 1.0
+        seed = (seed * 1103515245 + 12345) & 0x7FFFFFFF
+        noise.append([re, seed / 0x40000000 - 1.0])
+    book = [[0, "0"], [1, "10"], [-1, "110"], [2, "1110"],
+            [-2, "11110"], [3, "111110"], [-3, "111111"]]
+    names = ("t_env_15", "f_env_15", "t_env_30", "f_env_30",
+             "t_env_bal_15", "f_env_bal_15", "t_env_bal_30",
+             "f_env_bal_30", "t_noise_30", "t_noise_bal_30")
+    return {"qmf_window": win, "noise": noise,
+            "huff": {n: book for n in names},
+            "start_freq_map": {32000: [8] * 16},
+            "stop_freq_map": {32000: [16] * 14},
+            "invf_bw": [0.0, 0.6, 0.9, 0.98],
+            "limiter_gains": [0.70795, 1.0, 1.41254, 1e10],
+            "smooth_window": [0.33333, 0.30150, 0.21816, 0.11516,
+                              0.03183]}
+
+
 def test_board_runs_with_populated_seams():
-    """The 60-row board (57 default + CABAC-I n+30 + quantized-Vorbis
-    n+33 + CABAC-B n+35) decodes end to end through Spark with
-    synthetic seam tables injected via the env vars, and every row's
-    features match the driver-side recompute."""
+    """The 61-row board (57 default + CABAC-I n+30 + quantized-Vorbis
+    n+33 + CABAC-B n+35 + HE-AAC SBR n+36) decodes end to end through
+    Spark with synthetic seam tables injected via the env vars, and
+    every row's features match the driver-side recompute."""
     env = dict(os.environ)
     env["SPARK_GRAFT_CABAC_TABLES"] = json.dumps(
         _synthetic_cabac_tables())
     env["SPARK_GRAFT_VORBIS_TABLES"] = json.dumps(
         {"floor1_inverse_db": [(i / 255.0) ** 2 for i in range(256)]})
+    env["SPARK_GRAFT_SBR_TABLES"] = json.dumps(
+        _synthetic_sbr_tables())
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     out = subprocess.run(
         [sys.executable, "-c", _DRIVER, sf],

@@ -1,0 +1,412 @@
+"""HE-AAC v1 SBR (operators/sbr.py): QMF formula pins against naive
+evaluations, hand-computed band tables and grids, envelope write/parse
+round trips, channel decoupling, the full engine operating point
+(silent core + SBR FIL -> deterministic adjusted noise at 2x rate),
+and the seam/scope raises."""
+
+from __future__ import annotations
+
+import cmath
+import math
+
+import pytest
+
+from data_migration_etl_scripts_spark.operators import aac as a
+from data_migration_etl_scripts_spark.operators import sbr as sb
+
+
+def _synth_tables(fs_out=32000, k0=8, k2=16):
+    win = [math.sin(math.pi * (n + 0.5) / 640) / 64.0
+           for n in range(640)]
+    seed = 7
+    noise = []
+    for _ in range(512):
+        seed = (seed * 1103515245 + 12345) & 0x7FFFFFFF
+        re = seed / 0x40000000 - 1.0
+        seed = (seed * 1103515245 + 12345) & 0x7FFFFFFF
+        im = seed / 0x40000000 - 1.0
+        noise.append([re, im])
+    book = [[0, "0"], [1, "10"], [-1, "110"], [2, "1110"],
+            [-2, "11110"], [3, "111110"], [-3, "111111"]]
+    return {
+        "qmf_window": win,
+        "noise": noise,
+        "huff": {n: book for n in sb._BOOKS},
+        "start_freq_map": {fs_out: [k0] * 16},
+        "stop_freq_map": {fs_out: [k2] * 14},
+        "invf_bw": [0.0, 0.6, 0.9, 0.98],
+        "limiter_gains": [0.70795, 1.0, 1.41254, 1e10],
+        "smooth_window": [0.33333, 0.30150, 0.21816, 0.11516,
+                          0.03183],
+    }
+
+
+@pytest.fixture
+def seam():
+    saved = dict(sb.SBR)
+    saved_huff = dict(sb.SBR["huff"])
+    sb.load_sbr_tables(_synth_tables())
+    yield
+    sb.SBR.update(saved)
+    sb.SBR["huff"] = saved_huff
+
+
+def _header(**over):
+    h = {"amp_res": 1, "start_freq": 0, "stop_freq": 0,
+         "xover_band": 0, "freq_scale": 0, "alter_scale": 0,
+         "noise_bands": 2, "limiter_bands": 2, "limiter_gains": 2,
+         "interpol_freq": 1, "smoothing_mode": 1}
+    h.update(over)
+    return h
+
+
+# ------------------------------------------------------------- QMF
+
+
+def test_qmf_analysis_matches_naive_sum(seam):
+    """Three analysis steps pinned against a from-scratch evaluation
+    of the defining sums: the FIFO after the steps is the reversed
+    concatenation of the inputs, z = FIFO * decimated window, the
+    five-tap fold, and the complex modulation — catching any FIFO
+    shift/reversal or fold indexing drift."""
+    import random
+
+    rnd = random.Random(3)
+    blocks = [[rnd.uniform(-1, 1) for _ in range(32)]
+              for _ in range(3)]
+    ana = sb.QmfAnalysis32()
+    outs = [ana.step(b) for b in blocks]
+
+    fifo = [0.0] * 320
+    c = [sb.SBR["qmf_window"][2 * n] for n in range(320)]
+    for bi, block in enumerate(blocks):
+        fifo = block[::-1] + fifo[:-32]
+        z = [fifo[n] * c[n] for n in range(320)]
+        u = [sum(z[n + 64 * j] for j in range(5)) for n in range(64)]
+        want = [sum(u[n] * cmath.exp(1j * math.pi / 64.0
+                                     * (k + 0.5) * (2 * n - 1))
+                    for n in range(64)) for k in range(32)]
+        for k in range(32):
+            assert abs(outs[bi][k] - want[k]) < 1e-9, (bi, k)
+
+
+def test_qmf_synthesis_matches_naive_sum(seam):
+    """Two synthesis steps pinned against a from-scratch evaluation:
+    demodulation into the v FIFO, the 10-segment g shuffle, and the
+    windowed dot product."""
+    import random
+
+    rnd = random.Random(4)
+    slots = [[complex(rnd.uniform(-1, 1), rnd.uniform(-1, 1))
+              for _ in range(64)] for _ in range(2)]
+    syn = sb.QmfSynthesis64()
+    outs = [syn.step(s) for s in slots]
+
+    c = sb.SBR["qmf_window"]
+    v = [0.0] * 1280
+    for si, bands in enumerate(slots):
+        v = [0.0] * 128 + v[:-128]
+        for n in range(128):
+            v[n] = sum((bands[k]
+                        * cmath.exp(1j * math.pi / 128.0 * (k + 0.5)
+                                    * (2 * n - 255))).real
+                       for k in range(64)) / 64.0
+        g = [0.0] * 640
+        for j in range(5):
+            for n in range(64):
+                g[128 * j + n] = v[256 * j + n]
+                g[128 * j + 64 + n] = v[256 * j + 192 + n]
+        want = [sum(g[64 * j + n] * c[64 * j + n] for j in range(10))
+                for n in range(64)]
+        for n in range(64):
+            assert abs(outs[si][n] - want[n]) < 1e-9, (si, n)
+
+
+# ------------------------------------------------------ band tables
+
+
+def test_band_tables_hand_computed(seam):
+    """freq_scale 0, k0 = 8, k2 = 16: linear master 8..16; low table
+    takes every second edge; two noise bands split the low table; the
+    2.048 MHz patch rule yields (2, 6) + (6, 2) whose widths cover
+    M = 8 — all hand-derived from the documented formulas."""
+    bands = sb.derive_bands(_header(), 32000)
+    assert bands["master"] == list(range(8, 17))
+    assert bands["f"][1] == list(range(8, 17))
+    assert bands["f"][0] == [8, 10, 12, 14, 16]
+    assert (bands["kx"], bands["m"], bands["n_q"]) == (8, 8, 2)
+    assert bands["f_noise"] == [8, 12, 16]
+    assert bands["patches"] == [(2, 6), (6, 2)]
+    assert sum(w for _, w in bands["patches"]) == bands["m"]
+    assert bands["f_lim"][0] == 0 and bands["f_lim"][-1] == 8
+
+
+def test_band_tables_log_mode_monotone(seam):
+    """freq_scale 2 produces a strictly increasing master table from
+    k0 to k2 for a spread of band edges."""
+    for k2 in (20, 32, 40):
+        sb.load_sbr_tables(_synth_tables(32000, 8, k2))
+        bands = sb.derive_bands(_header(freq_scale=2), 32000)
+        m = bands["master"]
+        assert m[0] == 8 and m[-1] == k2
+        assert all(m[i] < m[i + 1] for i in range(len(m) - 1))
+        assert sum(w for _, w in bands["patches"]) == bands["m"]
+        assert all(s >= 1 for s, _ in bands["patches"])
+
+
+# ---------------------------------------------------- grid + parse
+
+
+class _R:
+    def __init__(self, bits):
+        self.bits = bits
+        self.pos = 0
+
+    def u(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bits[self.pos]
+            self.pos += 1
+        return v
+
+
+def _bits(w):
+    return _R(list(w.bits))
+
+
+def test_grid_fixfix_borders(seam):
+    w = a._W()
+    w.u(0, 2)   # FIXFIX
+    w.u(2, 2)   # num_env = 4
+    w.u(1, 1)   # freq_res high
+    g = sb._parse_grid(_bits(w), amp_res=1)
+    assert g["num_env"] == 4
+    assert g["borders"] == [0, 4, 8, 12, 16]
+    assert g["freq_res"] == [1, 1, 1, 1]
+    assert g["l_a"] == -1
+    assert g["noise_borders"] == [0, 8, 16]
+
+
+def test_grid_fixvar_borders_and_la(seam):
+    """FIXVAR with var_bord 0 and two relative borders of 4: borders
+    accumulate from the END (16, 12, 8 -> [0? no: first border is 0
+    only in concept...) — hand-derived: t_E = [0? -- the leading
+    border of FIXVAR is fixed at 0]. pointer 2 -> l_A = numEnv + 1 -
+    pointer = 2."""
+    w = a._W()
+    w.u(1, 2)   # FIXVAR
+    w.u(0, 2)   # var_bord 0
+    w.u(2, 2)   # num_rel 2 -> num_env 3
+    w.u(1, 2)   # rel 2*1+2 = 4
+    w.u(1, 2)   # rel 4
+    w.u(2, 2)   # pointer (2 bits: ceil(log2(4)))
+    w.u(1, 1)   # freq_res (read in reverse order)
+    w.u(0, 1)
+    w.u(1, 1)
+    g = sb._parse_grid(_bits(w), amp_res=1)
+    assert g["num_env"] == 3
+    assert g["borders"] == [0, 8, 12, 16]
+    # reversed read: last written bit lands on env 0
+    assert g["freq_res"] == [1, 0, 1]
+    assert g["l_a"] == 3 + 1 - 2
+    assert g["noise_borders"] == [0, g["borders"][2], 16]
+
+
+def test_envelope_write_parse_round_trip(seam):
+    """write_sbr_sce -> parse_sbr_data inverts exactly: grids, flat
+    and sloped envelopes through the injected huffman books, noise
+    floors, invf modes."""
+    h = _header()
+    bands = sb.derive_bands(h, 32000)
+    w = a._W()
+    env = [[30, 31, 29, 29, 30, 32, 31, 30],
+           [28, 28, 28, 28, 28, 28, 28, 28]]
+    noise = [[10, 11], [12, 12]]
+    sb.write_sbr_sce(w, h, bands, 2, 1, env, noise, invf_mode=2)
+    data = sb.parse_sbr_data(_bits(w), h, bands, is_cpe=False)
+    ch = data["ch"][0]
+    assert ch["grid"]["num_env"] == 2
+    assert ch["env"] == env
+    assert ch["noise"] == noise
+    assert ch["invf"] == [2, 2]
+    assert not data["coupling"]
+
+
+def test_decouple_even_balance_splits_evenly(seam):
+    g = {"amp_res": 1}
+    e0, e1, q0, q1 = sb.decouple([[10]], [[12]], [[5]], [[12]], g)
+    # balance at the pan centre: each side gets half the (doubled)
+    # sum energy = 2^(10+6)
+    assert abs(e0[0][0] - 2.0 ** 16) < 1e-6
+    assert abs(e1[0][0] - 2.0 ** 16) < 1e-6
+    assert abs(q0[0][0] - 2.0 ** 1) < 1e-9
+    assert abs(q1[0][0] - 2.0 ** 1) < 1e-9
+    # balance off-centre moves energy to channel 0 monotonically
+    e0b, e1b, _, _ = sb.decouple([[10]], [[14]], [[5]], [[12]], g)
+    assert e0b[0][0] > e0[0][0] > 0
+    assert e1b[0][0] < e1[0][0]
+    assert abs((e0b[0][0] + e1b[0][0]) - 2.0 ** 17) < 1e-6
+
+
+def test_ps_extension_raises_namefully(seam):
+    h = _header()
+    bands = sb.derive_bands(h, 32000)
+    w = a._W()
+    sb.write_sbr_sce(w, h, bands, 1, 0, [[0] * bands["n"][0]],
+                     [[30] * bands["n_q"]], 0)
+    w.bits[-1] = 1              # flip bs_extended_data on
+    w.u(1, 4)                   # cnt
+    w.u(2, 2)                   # extension id 2 = PS
+    w.u(0, 6)
+    with pytest.raises(NotImplementedError, match="Parametric"):
+        sb.parse_sbr_data(_bits(w), h, bands, is_cpe=False)
+
+
+def test_hf_generation_transposes_core_content(seam):
+    """With a real tone in the core, the HF generator must place
+    energy into the patched high bands: patch (2, 6) copies source
+    bands 2..7 to targets 8..13, so a tone landing in core QMF band 3
+    appears at target band 9 — and with bs_invf_mode 0 the chirp is
+    zero, making the patch an exact copy of the source sequence."""
+    h = _header()
+    bands = sb.derive_bands(h, 32000)
+    st = sb.SbrChannel()
+    # core at 16 kHz: QMF band b covers [b, b+1) * 250 Hz * ... each
+    # of the 32 analysis bands spans fs/64 = 250 Hz; band 3 centre =
+    # 3.5 * 250 = 875 Hz
+    core = [math.sin(2 * math.pi * 875.0 * t / 16000.0)
+            for t in range(1024)]
+    xlow = list(st.hist)
+    for i in range(32):
+        xlow.append(st.ana.step(core[32 * i: 32 * i + 32]))
+    xhigh, bw = sb.hf_generate(xlow, bands, [0] * bands["n_q"],
+                               [], 2, 34)
+    assert bw == [0.0, 0.0]
+    assert set(xhigh) == set(range(8, 16))
+    # exact copy: target 9 <- source 3 (patch (2,6): 8<-2, 9<-3, ...)
+    for t in range(32):
+        assert xhigh[9][t] == xlow[t + 2][3]
+    # the tone band dominates its neighbour (the synthetic test
+    # window leaks, so this is an ordering check — the exact-copy
+    # assertion above is the real transposition pin)
+    e9 = sum(abs(v) ** 2 for v in xhigh[9])
+    e8 = sum(abs(v) ** 2 for v in xhigh[8])
+    assert e9 > e8 > 0
+    # nonzero inverse filtering changes the patched sequence but
+    # keeps it finite (chirped two-tap LPC extension)
+    xh2, bw2 = sb.hf_generate(xlow, bands, [3] * bands["n_q"],
+                              [0.98, 0.98], 2, 34)
+    assert bw2 == [0.98, 0.98]
+    assert any(xh2[9][t] != xhigh[9][t] for t in range(32))
+    assert all(abs(v) < 1e6 for v in xh2[9])
+
+
+def test_envelope_delta_time_coding(seam):
+    """A hand-built payload with df_env = [0, 1]: the second
+    envelope's values accumulate the time deltas onto the first
+    envelope's bands (same resolution), per 4.6.18.3.5."""
+    h = _header()
+    bands = sb.derive_bands(h, 32000)
+    w = a._W()
+    w.u(0, 1)       # bs_data_extra
+    w.u(0, 2)       # FIXFIX
+    w.u(1, 2)       # num_env 2
+    w.u(0, 1)       # freq_res low
+    w.u(0, 1)       # df_env[0] = 0
+    w.u(1, 1)       # df_env[1] = 1 (delta-time)
+    w.u(0, 1)       # df_noise[0]
+    w.u(0, 1)       # df_noise[1]
+    for _ in range(bands["n_q"]):
+        w.u(0, 2)   # invf
+    # envelope 0: start 20, f-deltas +1, -1, +2 over n_low = 4 bands
+    w.u(20, 6)
+    for bits in ("10", "110", "1110"):
+        for c in bits:
+            w.u(1 if c == "1" else 0, 1)
+    # envelope 1: t-deltas +1 per band
+    for _ in range(4):
+        w.u(1, 1)   # "10" = +1
+        w.u(0, 1)
+    # two noise floors, flat at 15
+    for _ in range(2):
+        w.u(15, 5)
+        w.u(0, 1)   # delta 0
+    w.u(0, 1)       # add_harmonic
+    w.u(0, 1)       # extended
+    data = sb.parse_sbr_data(_bits(w), h, bands, is_cpe=False)
+    ch = data["ch"][0]
+    assert ch["env"][0] == [20, 21, 20, 22]
+    assert ch["env"][1] == [21, 22, 21, 23]
+    assert ch["noise"] == [[15, 15], [15, 15]]
+
+
+# ------------------------------------------------------- end to end
+
+
+def test_sbr_stream_decodes_at_double_rate(seam):
+    b = a.aac_encode_sbr(frames=3, rate_idx=8, num_env=2, freq_res=1,
+                         env_val=40, noise_val=10, invf_mode=2)
+    rate, nch, chans = a.aac_decode(b)
+    assert (rate, nch) == (32000, 1)
+    assert len(chans[0]) == 3 * 2048
+    # deterministic: a second decode is float-identical
+    rate2, nch2, chans2 = a.aac_decode(b)
+    assert chans2 == chans
+    # the adjusted noise is audible at this envelope level
+    assert sum(v * v for v in chans[0]) > 1e-6
+
+
+def test_sbr_energy_follows_envelope(seam):
+    """Higher coded envelope values must produce more output energy
+    (the adjuster's target-energy contract), and the minimum noise
+    floor with a tiny envelope is near-silence."""
+    def power(env_val, noise_val):
+        b = a.aac_encode_sbr(frames=2, rate_idx=8, env_val=env_val,
+                             noise_val=noise_val)
+        _, _, chans = a.aac_decode(b)
+        return sum(v * v for v in chans[0]) / len(chans[0])
+
+    p_low, p_mid, p_high = (power(20, 10), power(30, 10),
+                            power(40, 10))
+    assert p_low < p_mid < p_high
+    assert power(0, 30) < 1e-12
+
+
+def test_sbr_header_only_once_then_data_frames(seam):
+    """The header persists across frames: frames 2.. carry
+    bs_header_flag = 0 and still decode (state carried), matching a
+    stream that repeats the header every frame."""
+    full = a.aac_encode_sbr(frames=2, rate_idx=8, env_val=30)
+    rate, nch, chans = a.aac_decode(full)
+    assert len(chans[0]) == 2 * 2048
+
+
+def test_sbr_missing_tables_raise_namefully():
+    saved = dict(sb.SBR)
+    saved_huff = dict(sb.SBR["huff"])
+    try:
+        sb.load_sbr_tables(_synth_tables())
+        b = a.aac_encode_sbr(frames=1, rate_idx=8)
+        for k in sb.SBR:
+            sb.SBR[k] = None
+        sb.SBR["huff"] = {}
+        sb._env_load_done = True
+        with pytest.raises(NotImplementedError,
+                           match="SPARK_GRAFT_SBR_TABLES"):
+            a.aac_decode(b)
+    finally:
+        sb.SBR.update(saved)
+        sb.SBR["huff"] = saved_huff
+        sb._env_load_done = True
+
+
+def test_loader_validation(seam):
+    with pytest.raises(ValueError, match="640"):
+        sb.load_sbr_tables({"qmf_window": [0.0] * 100})
+    with pytest.raises(ValueError, match="512"):
+        sb.load_sbr_tables({"noise": [[0, 0]] * 3})
+    with pytest.raises(ValueError, match="prefix-free"):
+        sb.load_sbr_tables(
+            {"huff": {"t_env_15": [[0, "0"], [1, "01"]]}})
+    with pytest.raises(ValueError, match="unknown SBR huffman"):
+        sb.load_sbr_tables({"huff": {"bogus": [[0, "0"]]}})
