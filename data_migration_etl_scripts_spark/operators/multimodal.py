@@ -1776,6 +1776,18 @@ def _synthetic_real_media_rows_build(
                      bytearray(vorbis_encode_silence(
                          frames=4, rate=8000, channels=1)),
                      "{}"))
+        # r11: an Ogg-Vorbis stream with a TYPE 0 (LSP) floor —
+        # bark map + cosine products are pure formulas, so unlike the
+        # floor1 quantized row this one needs NO seam table and rides
+        # the DEFAULT board
+        from data_migration_etl_scripts_spark.operators.vorbis import (
+            vorbis_encode_quantized,
+        )
+
+        rows.append((n + 37, "audio",
+                     bytearray(vorbis_encode_quantized(
+                         frames=4, rate=8000, channels=2,
+                         floor0=True)[0]), "{}"))
         if (os.environ.get(_h264_cabac._TABLES_ENV)
                 and _h264_cabac.seam_available()):
             rows.append((n + 30, "video",

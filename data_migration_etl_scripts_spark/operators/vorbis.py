@@ -34,13 +34,18 @@ I_PCM / AAC-silence discipline) and :func:`vorbis_encode_quantized`
 (flat floors + pseudorandom integer residues through real stream
 codebooks, mono/stereo, optionally with coupling + residue type 2 —
 the encoder replays the synthesis with an INDEPENDENT equal-size lap
-implementation, so decode must match float-exactly). The spec's
-floor type 0 (legacy LSP) raises namefully.
+implementation, so decode must match float-exactly). Floor type 0
+(legacy LSP, r11) decodes too: bark-map bins, the parity-split p/q
+cosine products and the amplitude-normalized exponential are all
+pure formulas, so floor0 streams — unlike floor1 — need NO seam
+table at all (``vorbis_encode_quantized(floor0=True)`` is a fully
+table-free operating point).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 
 __all__ = ["vorbis_decode", "vorbis_decode_packets",
@@ -251,13 +256,31 @@ def _parse_codebook(r: _RL) -> dict:
     return book
 
 
-def _parse_floor(r: _RL, n_books: int) -> dict:
+def _parse_floor(r: _RL, n_books: int, books: list) -> dict:
     ftype = r.u(16)
     if ftype == 0:
-        raise NotImplementedError(
-            "Vorbis floor type 0 (LSP) — floor1 streams decode; the "
-            "legacy LSP floor stays a documented plug point"
-        )
+        # legacy LSP floor (r11; spec 6.2): the curve is synthesized
+        # from line-spectral-pair coefficients read in VQ context
+        order = r.u(8)
+        rate = r.u(16)
+        bark_map_size = r.u(16)
+        amplitude_bits = r.u(6)
+        amplitude_offset = r.u(8)
+        num_books = r.u(4) + 1
+        blist = [r.u(8) for _ in range(num_books)]
+        if order == 0 or rate == 0 or bark_map_size == 0:
+            raise ValueError("floor0 order/rate/bark_map_size must "
+                             "be nonzero")
+        for b in blist:
+            if b >= n_books:
+                raise ValueError("floor0 book out of range")
+            if books[b]["lookup"] == 0:
+                raise ValueError("floor0 book lacks a value mapping")
+        return {"type": 0, "order": order, "rate": rate,
+                "bark_map_size": bark_map_size,
+                "amplitude_bits": amplitude_bits,
+                "amplitude_offset": amplitude_offset,
+                "books": blist, "_maps": {}}
     if ftype != 1:
         raise ValueError(f"Vorbis floor type {ftype} reserved")
     partitions = r.u(5)
@@ -395,7 +418,7 @@ def parse_vorbis_headers(packets: list[bytes]) -> dict:
     for _ in range(r.u(6) + 1):     # time domain transforms
         if r.u(16) != 0:
             raise ValueError("Vorbis time type must be 0")
-    floors = [_parse_floor(r, len(books))
+    floors = [_parse_floor(r, len(books), books)
               for _ in range(r.u(6) + 1)]
     residues = [_parse_residue(r, len(books), books)
                 for _ in range(r.u(6) + 1)]
@@ -466,7 +489,7 @@ def vorbis_decode_packets(packets: list[bytes],
         for ch in range(channels):
             floor = cfg["floors"][
                 mapping["cfg"][mapping["mux"][ch]][0]]
-            floors_dec.append(_floor1_read(r, floor, cfg["books"]))
+            floors_dec.append(_floor_read(r, floor, cfg["books"]))
         # nonzero-vector propagation across coupling pairs
         audible = [d is not None for d in floors_dec]
         for m_ch, a_ch in mapping["couplings"]:
@@ -511,7 +534,7 @@ def vorbis_decode_packets(packets: list[bytes],
             else:
                 floor = cfg["floors"][
                     mapping["cfg"][mapping["mux"][ch]][0]]
-                curve = _floor1_curve(floor, floors_dec[ch], n2)
+                curve = _floor_curve(floor, floors_dec[ch], n2)
                 spec = np.asarray(curve) * np.asarray(residue[ch])
                 frame = (mat @ spec) * win
             if acc[ch].shape[0] < pos + n:
@@ -869,6 +892,108 @@ def _floor1_curve(floor: dict, decoded, n2: int) -> list[float]:
     return out
 
 
+# ------------------------------------------------------------ floor0
+
+
+def _bark(x: float) -> float:
+    """The Bark-scale map of spec 6.2.3 (pure formula)."""
+    return (13.1 * math.atan(0.00074 * x)
+            + 2.24 * math.atan(1.85e-8 * x * x)
+            + 1e-4 * x)
+
+
+def _floor0_map(floor: dict, n2: int) -> list[int]:
+    """Linear-bin -> bark-bin map, cached per blocksize on the floor
+    config (lazy — no import/parse tax)."""
+    mp = floor["_maps"].get(n2)
+    if mp is None:
+        bms = floor["bark_map_size"]
+        c = bms / _bark(0.5 * floor["rate"])
+        mp = [min(bms - 1,
+                  int(_bark(0.5 * floor["rate"] * i / n2) * c))
+              for i in range(n2)]
+        floor["_maps"][n2] = mp
+    return mp
+
+
+def _floor0_read(r: _RL, floor: dict, books: list):
+    """floor0 packet data (spec 6.2.2): amplitude (zero = channel
+    unused), book number over ilog(num_books) bits — the spec's
+    quirky no-minus-one width, which is what makes an out-of-range
+    number representable and 'undecodable' — then LSP coefficient
+    vectors in VQ context with the running 'last' offset."""
+    amplitude = r.u(floor["amplitude_bits"])
+    if not amplitude:
+        return None
+    bn = r.u(_ilog(len(floor["books"])))
+    if bn >= len(floor["books"]):
+        raise ValueError("floor0 book number out of range — "
+                         "undecodable packet")
+    book = books[floor["books"][bn]]
+    coeffs: list[float] = []
+    last = 0.0
+    while len(coeffs) < floor["order"]:
+        entry = _huff_read(r, book)
+        coeffs.extend(v + last for v in _vq_values(book, entry))
+        last = coeffs[-1]
+    return (amplitude, coeffs[: floor["order"]])
+
+
+def _floor0_curve(floor: dict, decoded, n2: int) -> list[float]:
+    """LSP curve synthesis (spec 6.2.3): per bark bin, the p/q
+    products over the even/odd cosine-domain coefficients (parity
+    split by the filter order), then the amplitude-normalized
+    exponential. Consecutive bins sharing a bark index share the
+    computation. Fully formula-level — floor0, unlike floor1, needs
+    NO seam table."""
+    amplitude, coeffs = decoded
+    order = floor["order"]
+    mp = _floor0_map(floor, n2)
+    cosc = [math.cos(c) for c in coeffs]
+    amax = float((1 << floor["amplitude_bits"]) - 1)
+    off = float(floor["amplitude_offset"])
+    out = [0.0] * n2
+    i = 0
+    while i < n2:
+        m = mp[i]
+        cw = math.cos(math.pi * m / floor["bark_map_size"])
+        if order % 2:
+            p = 1.0 - cw * cw
+            for j in range((order - 1) // 2):
+                p *= 4.0 * (cosc[2 * j + 1] - cw) ** 2
+            q = 0.25
+            for j in range((order + 1) // 2):
+                q *= 4.0 * (cosc[2 * j] - cw) ** 2
+        else:
+            p = (1.0 - cw) / 2.0
+            q = (1.0 + cw) / 2.0
+            for j in range(order // 2):
+                p *= 4.0 * (cosc[2 * j + 1] - cw) ** 2
+                q *= 4.0 * (cosc[2 * j] - cw) ** 2
+        # exponent capped where a C float implementation saturates to
+        # inf — Python's math.exp raises instead of overflowing
+        lin = math.exp(min(709.0,
+                           0.11512925
+                           * (amplitude * off
+                              / (amax * math.sqrt(p + q)) - off)))
+        while i < n2 and mp[i] == m:
+            out[i] = lin
+            i += 1
+    return out
+
+
+def _floor_read(r: _RL, floor: dict, books: list):
+    if floor["type"] == 0:
+        return _floor0_read(r, floor, books)
+    return _floor1_read(r, floor, books)
+
+
+def _floor_curve(floor: dict, decoded, n2: int) -> list[float]:
+    if floor["type"] == 0:
+        return _floor0_curve(floor, decoded, n2)
+    return _floor1_curve(floor, decoded, n2)
+
+
 # ----------------------------------------------------------- residue
 
 
@@ -1025,11 +1150,15 @@ def _f32_pack(v: float) -> int:
     return (0x80000000 if v < 0 else 0) | (788 << 21) | m
 
 
-def _quantized_setup(coupled: bool, channels: int) -> bytes:
+def _quantized_setup(coupled: bool, channels: int,
+                     floor0: bool = False) -> bytes:
     """Setup with real content books: [0] = 2-entry classbook,
     [1] = 64-entry uniform-length scalar/VQ book (lookup 2, dims 1,
     values -32..31) shared by the floor and the residue; residue
-    type 1 (or 2 when ``coupled``), one coupling step when asked."""
+    type 1 (or 2 when ``coupled``), one coupling step when asked.
+    With ``floor0`` the floor is a TYPE 0 (LSP) config: order 4,
+    bark_map_size 64, 6 amplitude bits, offset 10, coefficients
+    through book 1."""
     w = _WL()
     w.u(2 - 1, 8)           # two codebooks
     # book 0: classbook
@@ -1059,15 +1188,25 @@ def _quantized_setup(coupled: bool, channels: int) -> bytes:
     w.u(0, 6)               # time count - 1
     w.u(0, 16)
     w.u(0, 6)               # floor count - 1
-    w.u(1, 16)              # floor type 1
-    w.u(1, 5)               # partitions
-    w.u(0, 4)               # class 0
-    w.u(0, 3)               # class dim 1
-    w.u(0, 2)               # subclasses 0
-    w.u(1 + 1, 8)           # subclass book: book 1
-    w.u(0, 2)               # multiplier 1
-    w.u(6, 4)               # rangebits
-    w.u(32, 6)              # the one extra X point
+    if floor0:
+        w.u(0, 16)          # floor type 0 (LSP)
+        w.u(4, 8)           # order 4
+        w.u(8000, 16)       # floor rate
+        w.u(64, 16)         # bark_map_size
+        w.u(6, 6)           # amplitude_bits
+        w.u(10, 8)          # amplitude_offset
+        w.u(0, 4)           # num_books - 1
+        w.u(1, 8)           # coefficient book: book 1
+    else:
+        w.u(1, 16)          # floor type 1
+        w.u(1, 5)           # partitions
+        w.u(0, 4)           # class 0
+        w.u(0, 3)           # class dim 1
+        w.u(0, 2)           # subclasses 0
+        w.u(1 + 1, 8)       # subclass book: book 1
+        w.u(0, 2)           # multiplier 1
+        w.u(6, 4)           # rangebits
+        w.u(32, 6)          # the one extra X point
     w.u(0, 6)               # residue count - 1
     w.u(2 if coupled else 1, 16)    # residue type
     w.u(0, 24)              # begin
@@ -1107,7 +1246,8 @@ def _quantized_setup(coupled: bool, channels: int) -> bytes:
 def vorbis_encode_quantized(frames: int = 4, rate: int = 8000,
                             channels: int = 1, blockexp: int = 8,
                             floor_y: int = 160, seed: int = 7,
-                            coupled: bool = False):
+                            coupled: bool = False,
+                            floor0: bool = False):
     """Engine QUANTIZED operating point -> (ogg bytes, [expected PCM
     per channel]): flat floor1 curves at amplitude index ``floor_y``
     and deterministic pseudorandom integer residues in [-32, 31]
@@ -1119,7 +1259,14 @@ def vorbis_encode_quantized(frames: int = 4, rate: int = 8000,
     bytes must match it float-exactly — pinning floor render,
     residue/classword order, VQ values, (de)coupling, IMDCT and
     window against each other. Requires the floor1 inverse-dB seam
-    (any valid injected table; both sides use the same one)."""
+    (any valid injected table; both sides use the same one).
+
+    With ``floor0`` (r11) the stream carries a TYPE 0 (LSP) floor:
+    per channel an amplitude, a book number and LSP coefficient
+    vectors with the running 'last' offset (deterministic prefix
+    sums over the PRNG deltas), and the expected PCM multiplies the
+    residues by the :func:`_floor0_curve` synthesis — floor0 needs
+    NO seam table, so this operating point is fully table-free."""
     import numpy as np
 
     from data_migration_etl_scripts_spark.operators.ogg import _page
@@ -1128,7 +1275,7 @@ def vorbis_encode_quantized(frames: int = 4, rate: int = 8000,
         raise ValueError("coupled needs exactly 2 channels")
     if not 6 <= blockexp <= 13:
         raise ValueError("blockexp must be in [6, 13]")
-    table = _need_db()
+    table = None if floor0 else _need_db()
     n = 1 << blockexp
     n2 = n // 2
     w = _WL()
@@ -1145,7 +1292,7 @@ def vorbis_encode_quantized(frames: int = 4, rate: int = 8000,
     comment = (b"\x03vorbis"
                + (11).to_bytes(4, "little") + b"spark-graft"
                + (0).to_bytes(4, "little") + b"\x01")
-    setup = _quantized_setup(coupled, channels)
+    setup = _quantized_setup(coupled, channels, floor0)
     cfg = parse_vorbis_headers([ident, comment, setup])
     book1 = cfg["books"][1]
     cw_class = cfg["books"][0]["codewords"]
@@ -1158,23 +1305,52 @@ def vorbis_encode_quantized(frames: int = 4, rate: int = 8000,
         state = (1103515245 * state + 12345) & 0x7FFFFFFF
         return (state >> 16) % 64 - 32
 
-    amp = table[min(255, floor_y)]
     win = np.asarray(_vorbis_window(n))
     mat = _imdct_mat(n)
     psize = 32
     n_parts = n2 // psize
+    if floor0:
+        # deterministic, WELL-CONDITIONED LSP coefficients: the even-
+        # and odd-indexed cosine roots are kept apart (coeffs 2, 5,
+        # 11, 14 -> cos spread over [-0.45, 0.3]), so p + q never
+        # collapses and the curve stays within a couple of orders of
+        # magnitude of unity; the curve replays the decoder's
+        # synthesis
+        f0 = cfg["floors"][0]
+        f0_amp = 10
+        base = [2, 3, 6, 3]
+        f0_deltas = [[base[i % 4] + (ci if i == 0 else 0)
+                      for i in range(f0["order"])]
+                     for ci in range(channels)]
+        curves = []
+        for ch in range(channels):
+            coeffs, acc = [], 0.0
+            for d in f0_deltas[ch]:
+                acc += float(d)
+                coeffs.append(acc)
+            curves.append(np.asarray(_floor0_curve(
+                f0, (f0_amp, coeffs), n2)))
+    else:
+        amp = table[min(255, floor_y)]
 
     audio = []
     frames_pcm = []     # per frame: [channel time arrays]
     for _f in range(frames):
         aw = _WL()
         aw.u(0, 1)              # audio packet
-        # floors: nonzero, flat at floor_y
-        for _ch in range(channels):
-            aw.u(1, 1)
-            aw.u(floor_y, 8)    # y0 (range 256 -> 8 bits)
-            aw.u(floor_y, 8)    # y1
-            _w_codeword(aw, cw_val, 0)   # third point: val 0 (flat)
+        if floor0:
+            for ch in range(channels):
+                aw.u(f0_amp, 6)     # amplitude (nonzero)
+                aw.u(0, 1)          # book number: ilog(1) = 1 bit
+                for d in f0_deltas[ch]:
+                    _w_codeword(aw, cw_val, d + 32)
+        else:
+            # floors: nonzero, flat at floor_y
+            for _ch in range(channels):
+                aw.u(1, 1)
+                aw.u(floor_y, 8)    # y0 (range 256 -> 8 bits)
+                aw.u(floor_y, 8)    # y1
+                _w_codeword(aw, cw_val, 0)  # third point: 0 (flat)
         res_ints = [[rnd() for _ in range(n2)]
                     for _ch in range(channels)]
         if coupled:
@@ -1210,8 +1386,14 @@ def vorbis_encode_quantized(frames: int = 4, rate: int = 8000,
                                     res_ints[ch][pc * psize + k] + 32)
             spectra = [[float(v) for v in row] for row in res_ints]
         audio.append(aw.tobytes())
-        frames_pcm.append([
-            (mat @ (np.asarray(sp) * amp)) * win for sp in spectra])
+        if floor0:
+            frames_pcm.append([
+                (mat @ (np.asarray(sp) * curves[ci])) * win
+                for ci, sp in enumerate(spectra)])
+        else:
+            frames_pcm.append([
+                (mat @ (np.asarray(sp) * amp)) * win
+                for sp in spectra])
 
     # independent equal-size lap: emit prev[n2:] + cur[:n2] per join
     expected = [[] for _ in range(channels)]

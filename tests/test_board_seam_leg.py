@@ -105,7 +105,7 @@ def _synthetic_sbr_tables() -> dict:
 
 
 def test_board_runs_with_populated_seams():
-    """The 61-row board (57 default + CABAC-I n+30 + quantized-Vorbis
+    """The 62-row board (58 default + CABAC-I n+30 + quantized-Vorbis
     n+33 + CABAC-B n+35 + HE-AAC SBR n+36) decodes end to end through
     Spark with synthetic seam tables injected via the env vars, and
     every row's features match the driver-side recompute."""

@@ -352,3 +352,96 @@ def test_mixed_blocksize_silence_lapping():
     # (64+256) + (256+256) + (256+64) + (64+64) = 1280
     assert len(pcm[0]) == want == 1280
     assert all(v == 0.0 for v in pcm[0])
+
+
+def test_floor0_curve_hand_math():
+    """Order-1 LSP curve pinned against a from-scratch evaluation of
+    the spec formulas: bark map, odd-order p = 1 - cos^2(w) and
+    q = (cos(c0) - cos(w))^2, and the amplitude-normalized
+    exponential."""
+    import math
+
+    floor = {"type": 0, "order": 1, "rate": 8000,
+             "bark_map_size": 4, "amplitude_bits": 6,
+             "amplitude_offset": 10, "books": [0], "_maps": {}}
+    amp, c0 = 40, 2.0
+    got = V._floor0_curve(floor, (amp, [c0]), 8)
+
+    def bark(x):
+        return (13.1 * math.atan(0.00074 * x)
+                + 2.24 * math.atan(1.85e-8 * x * x) + 1e-4 * x)
+
+    scale = 4 / bark(4000.0)
+    for i in range(8):
+        m = min(3, int(bark(4000.0 * i / 8) * scale))
+        cw = math.cos(math.pi * m / 4)
+        p = 1.0 - cw * cw
+        q = (math.cos(c0) - cw) ** 2
+        want = math.exp(min(709.0, 0.11512925
+                            * (amp * 10 / (63 * math.sqrt(p + q))
+                               - 10)))
+        assert got[i] == want, i
+
+
+def test_floor0_round_trips_table_free():
+    """The floor0 quantized operating point decodes float-exactly
+    against the encoder's independent-lap expectation with the seam
+    EMPTY — floor0, unlike floor1, consults no tabulated constant."""
+    saved = V.VORBIS["floor1_inverse_db"]
+    V.VORBIS["floor1_inverse_db"] = None
+    V._env_load_done = True
+    try:
+        for ch, coupled in ((1, False), (2, False), (2, True)):
+            b, expected = V.vorbis_encode_quantized(
+                frames=4, channels=ch, coupled=coupled, floor0=True)
+            rate, nch, outs = V.vorbis_decode(b)
+            assert nch == ch
+            for c in range(ch):
+                assert outs[c] == expected[c], (ch, coupled, c)
+    finally:
+        V.VORBIS["floor1_inverse_db"] = saved
+
+
+def test_floor0_zero_amplitude_means_unused_channel():
+    """A zero amplitude marks the channel unused for the frame
+    (6.2.2) — _floor0_read returns None without touching the
+    coefficient books."""
+    floor = {"type": 0, "order": 4, "rate": 8000,
+             "bark_map_size": 64, "amplitude_bits": 6,
+             "amplitude_offset": 10, "books": [0], "_maps": {}}
+
+    class _Bits:
+        def __init__(self, vals):
+            self.vals = list(vals)
+
+        def u(self, n):
+            return self.vals.pop(0)
+
+    assert V._floor0_read(_Bits([0]), floor, []) is None
+
+
+def test_floor0_config_validation():
+    """floor0 setup cross-validation: out-of-range coefficient books
+    and books without a value mapping are rejected at parse time."""
+    w = V._WL()
+    w.u(0, 16)      # floor type 0
+    w.u(4, 8)       # order
+    w.u(8000, 16)
+    w.u(64, 16)
+    w.u(6, 6)
+    w.u(10, 8)
+    w.u(0, 4)       # one book
+    w.u(9, 8)       # book index out of range
+    with pytest.raises(ValueError, match="out of range"):
+        V._parse_floor(V._RL(w.tobytes()), 1, [{"lookup": 1}])
+    w2 = V._WL()
+    w2.u(0, 16)
+    w2.u(4, 8)
+    w2.u(8000, 16)
+    w2.u(64, 16)
+    w2.u(6, 6)
+    w2.u(10, 8)
+    w2.u(0, 4)
+    w2.u(0, 8)      # book 0, but it has no value mapping
+    with pytest.raises(ValueError, match="value mapping"):
+        V._parse_floor(V._RL(w2.tobytes()), 1, [{"lookup": 0}])

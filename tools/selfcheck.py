@@ -227,6 +227,17 @@ def _range_multimodal_decode(con, cols, rows) -> list[str]:
         if mtype == "image" and got[:2] != want_dims:
             bad.append(f"id {mid}: image dims {got[:2]} != {want_dims}")
         if mtype == "audio":
+            if mid == 61:
+                # r11 floor0 (LSP) Ogg-Vorbis: deterministic synthetic
+                # residues, not a sine — the per-feature equality
+                # against the driver-side recompute (above) is the
+                # value pin; here only the exact lapped duration
+                # (4 blocks of 256 -> 3 x 128 emitted samples @ 8 kHz)
+                if abs(got[0] - 384 / 8000) > 1e-3:
+                    bad.append(
+                        f"id {mid}: floor0 duration {got[0]} != "
+                        f"{384 / 8000}")
+                continue
             if mid in (49, 50, 56):
                 # silence operating points: r9 AAC (bare ADTS @16k x4
                 # frames, MP4-wrapped stereo @22.05k x3 frames) and
