@@ -648,6 +648,34 @@ def test_b_sub_mb_type_binarization_shapes(const_tables):
         assert rsyn.sub_mb_type_b() == val
 
 
+def test_level_escape_eg0_walk(const_tables):
+    """coeff_abs_level_minus1 beyond the TU cap: a lone coefficient
+    of +20 (m1 = 19) codes 14 prefix ones then an EG0 suffix for 5
+    ('110' escapes + two magnitude bits) and the sign — hand-derived
+    walk: cbf 93, sig 134 + last 195, bin0 at 248 (inc0 = min(4,
+    1+0) = 1), bins 1+ at 252 (5 + numGt1 0), then 4 suffix + 1 sign
+    bypasses. Read side returns the value."""
+    sink = []
+    enc = C.CabacEncoder(sink.append)
+    syn, _ = _mk_syntax(1, 1, False, enc)
+    syn.start_mb(0, 0)
+    cur = {"ldc": 0, "cdc": [0, 0]}
+    scan = [20] + [0] * 15
+    syn.block(2, (0, 0), 16, cur, scan)
+    # EG0 of 5: escapes 1(+1), 1(+2) -> 3 consumed, stop 0, then k=2
+    # magnitude bits -> 5 bypasses + sign = 6 "bp"
+    assert syn.trace == ([93, 134, 195]
+                         + [248] + [252] * 13
+                         + ["bp"] * 6)
+    enc.terminate(1)
+    sink.extend([0] * 16)
+    dec = C.CabacDecoder(_bit_feed(sink))
+    rsyn, _ = _mk_syntax(1, 1, True, dec)
+    rsyn.start_mb(0, 0)
+    out = rsyn.block(2, (0, 0), 16, {"ldc": 0, "cdc": [0, 0]})
+    assert out == scan
+
+
 # ------------------------------------- 3. foreign fixture (env-gated)
 
 _FIXTURE_ENV = "SPARK_GRAFT_CABAC_FIXTURE"

@@ -248,6 +248,65 @@ def test_decouple_even_balance_splits_evenly(seam):
     assert abs((e0b[0][0] + e1b[0][0]) - 2.0 ** 17) < 1e-6
 
 
+def test_cpe_coupled_parse_and_decouple(seam):
+    """Hand-built sbr_channel_pair_element with bs_coupling = 1: one
+    grid (copied to channel 1), shared invf, channel-0 envelopes
+    through the plain books and channel-1 through the BALANCE books
+    (5-bit start), per the coupled element order — then the decoupled
+    energies preserve the doubled sum."""
+    h = _header()
+    bands = sb.derive_bands(h, 32000)
+    w = a._W()
+    w.u(0, 1)       # bs_data_extra
+    w.u(1, 1)       # bs_coupling
+    w.u(0, 2)       # grid ch0: FIXFIX
+    w.u(0, 2)       # num_env 1
+    w.u(0, 1)       # freq_res low
+    w.u(0, 1)       # dtdf ch0: df_env[0]
+    w.u(0, 1)       # df_noise[0]
+    w.u(0, 1)       # dtdf ch1
+    w.u(0, 1)
+    for _ in range(bands["n_q"]):
+        w.u(1, 2)   # invf (shared)
+    # ch0 envelope: amp_res forced 0 by the 1-env FIXFIX rule ->
+    # 7-bit start, f_env_15 deltas
+    w.u(33, 7)
+    for _ in range(bands["n"][0] - 1):
+        w.u(0, 1)   # delta 0 ('0' in the synthetic book)
+    # ch0 noise: 5-bit start + f_env_30 deltas
+    w.u(14, 5)
+    for _ in range(bands["n_q"] - 1):
+        w.u(0, 1)
+    # ch1 (balance): 6-bit start (7 - 1), f_env_bal_15 deltas
+    w.u(12, 6)
+    for _ in range(bands["n"][0] - 1):
+        w.u(0, 1)
+    # ch1 noise balance: 4-bit start (5 - 1)
+    w.u(11, 4)
+    for _ in range(bands["n_q"] - 1):
+        w.u(0, 1)
+    w.u(0, 1)       # add_harmonic ch0
+    w.u(0, 1)       # add_harmonic ch1
+    w.u(0, 1)       # extended
+    data = sb.parse_sbr_data(_bits(w), h, bands, is_cpe=True)
+    assert data["coupling"]
+    c0, c1 = data["ch"]
+    assert c0["grid"]["num_env"] == 1 and c1["grid"]["num_env"] == 1
+    assert c0["grid"]["amp_res"] == 0       # forced by 1-env FIXFIX
+    assert c0["invf"] == c1["invf"] == [1, 1]
+    assert c0["env"] == [[33] * bands["n"][0]]
+    assert c1["env"] == [[12] * bands["n"][0]]
+    assert c0["noise"] == [[14, 14]] and c1["noise"] == [[11, 11]]
+    e0, e1, q0, q1 = sb.decouple(c0["env"], c1["env"], c0["noise"],
+                                 c1["noise"], c0["grid"])
+    # the per-channel energies sum to the doubled coded sum energy
+    a05 = 0.5   # amp_res 0 -> a = 0.5
+    want = 2.0 ** (33 * a05 + 7.0)
+    assert abs(e0[0][0] + e1[0][0] - want) < 1e-6 * want
+    wantq = 2.0 ** (7.0 - 14)
+    assert abs(q0[0][0] + q1[0][0] - wantq) < 1e-9
+
+
 def test_ps_extension_raises_namefully(seam):
     h = _header()
     bands = sb.derive_bands(h, 32000)
