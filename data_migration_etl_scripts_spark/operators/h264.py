@@ -3231,12 +3231,16 @@ def _pad420(ys, cbs, crs):
 
 def _write_sps_pps(wm: int, hm: int, w: int, h: int,
                    init_qp: int = 26, max_ref: int = 0,
-                   poc0: bool = False, wbipred: int = 0) -> bytes:
+                   poc0: bool = False, wbipred: int = 0,
+                   direct8x8: bool = False) -> bytes:
     """SPS + PPS NALs for the engine encoders (baseline, one slice
     group, CAVLC, deblocking signalled off by the slice header).
     ``poc0`` selects pic_order_cnt_type 0 with 6-bit lsb (the B
     encoder needs real POCs for reference-list ordering); ``wbipred``
-    sets weighted_bipred_idc (1 = explicit tables in B headers)."""
+    sets weighted_bipred_idc (1 = explicit tables in B headers);
+    ``direct8x8`` (r11) sets direct_8x8_inference_flag — real
+    Main-profile streams virtually always set it, and it changes
+    which COLOCATED blocks direct modes consult (the 8x8 corners)."""
     sps = _W()
     sps.u(66 if not poc0 else 77, 8)   # baseline / main (B slices)
     sps.u(0, 8)    # constraint flags / reserved
@@ -3253,7 +3257,7 @@ def _write_sps_pps(wm: int, hm: int, w: int, h: int,
     sps.ue(wm - 1)
     sps.ue(hm - 1)
     sps.u(1, 1)    # frame_mbs_only
-    sps.u(0, 1)    # direct_8x8_inference
+    sps.u(1 if direct8x8 else 0, 1)    # direct_8x8_inference
     crop_r, crop_b = (16 * wm - w) // 2, (16 * hm - h) // 2
     if crop_r or crop_b:
         sps.u(1, 1)
@@ -4661,7 +4665,8 @@ def encode_video_b_yuv(frames, qp: int = 10, mvs=((0, 0), (0, 0)),
 
 def encode_video_b_skip(px_rows, temporal: bool = False,
                         implicit: bool = False,
-                        poc_p: int = 4) -> bytes:
+                        poc_p: int = 4,
+                        direct8x8: bool = False) -> bytes:
     """RGB rows -> a 3-picture clip that is fully TABLE-FREE on both
     sides: an I_PCM IDR (poc 0), an all-I_PCM-in-P reference picture
     of the SAME content (poc ``poc_p``), and a non-reference
@@ -4683,16 +4688,19 @@ def encode_video_b_skip(px_rows, temporal: bool = False,
     ys, cbs, crs = _rgb_to_420(px_rows)
     b, _ = _encode_video_b_skip_build(ys, cbs, crs,
                                       temporal=temporal,
-                                      implicit=implicit, poc_p=poc_p)
+                                      implicit=implicit, poc_p=poc_p,
+                                      direct8x8=direct8x8)
     return b
 
 
 def _encode_video_b_skip_build(ys, cbs, crs, temporal=False,
-                               implicit=False, poc_p=4):
+                               implicit=False, poc_p=4,
+                               direct8x8=False):
     ys, cbs, crs, w, h, wm, hm = _pad420(ys, cbs, crs)
     out = bytearray(_write_sps_pps(wm, hm, w, h, max_ref=2,
                                    poc0=True,
-                                   wbipred=2 if implicit else 0))
+                                   wbipred=2 if implicit else 0,
+                                   direct8x8=direct8x8))
 
     def pcm(slice_type, frame_num, poc, idr, ref_idc, typ):
         sl = _W()

@@ -1359,11 +1359,14 @@ def test_b_skip_clip_table_free():
     content here, the B recon equals the I picture exactly."""
     px = [[((x * 7 + y * 3) % 256, x % 256, y % 256)
            for x in range(32)] for y in range(32)]
-    b = h.encode_video_b_skip(px)
-    w, hgt, frames = h.decode_video_yuv(b)
-    assert (w, hgt) == (32, 32) and len(frames) == 3
-    assert frames[2] == frames[0]
-    assert frames[1] == frames[0]     # the P is PCM of the same px
+    for kw in ({}, {"direct8x8": True},
+               {"temporal": True, "direct8x8": True},
+               {"implicit": True, "poc_p": 8, "direct8x8": True}):
+        b = h.encode_video_b_skip(px, **kw)
+        w, hgt, frames = h.decode_video_yuv(b)
+        assert (w, hgt) == (32, 32) and len(frames) == 3, kw
+        assert frames[2] == frames[0], kw
+        assert frames[1] == frames[0], kw   # the P is PCM of px
 
 
 def test_b_encode_decode_bit_exact():
@@ -1741,6 +1744,110 @@ def test_temporal_direct_scales_colocated_motion_hand_stream():
                 l1 = py[y][cl(x - 3)]
                 assert by[y][x] == (l0 + l1 + 1) >> 1, \
                     (direct16, x, y)
+
+
+def test_temporal_direct_8x8_inference_corners_hand_stream():
+    """direct_8x8_inference_flag changes WHICH colocated blocks
+    temporal direct consults: per-4x4 without it, the 8x8 quadrant
+    CORNERS with it. Hand stream: the colocated P macroblock is
+    P_8x8 whose first quadrant splits 8x4 with mvs (16,0) over
+    (0,0) — so colocated block row 1 columns 0..1 disagree with
+    their quadrant corner (0,0). Decoding the same B picture under
+    both SPS flags must follow each rule exactly (expectations
+    computed here from the scaled MVs and clamped fetches; the two
+    outputs provably differ in that region). Hand derivation of the
+    P medians: part (0,4,8,4)'s only ref-0 neighbor is the block
+    above -> predictor (16,0), so mvd (-16,0) lands mv (0,0); the
+    8x8 quadrants take left-only/median predictors of (16,0)/(0,0)
+    as annotated in the body."""
+    h.load_cavlc_tables({"cbp_inter": [[i, i] for i in range(48)]})
+    px = [[((x * 16 + y) % 256, 120, 130) for x in range(16)]
+          for y in range(16)]
+
+    def build(infer: bool) -> bytes:
+        base = h.nal_units(h.encode_video_b_skip(px,
+                                                 direct8x8=infer))
+        psl = h._W()
+        psl.ue(0)
+        psl.ue(5)       # P
+        psl.ue(0)
+        psl.u(1, 4)     # frame_num
+        psl.u(8, 6)     # poc 8
+        psl.u(0, 1)
+        psl.u(0, 1)
+        psl.u(0, 1)     # adaptive marking
+        psl.se(0)
+        psl.ue(1)       # deblock off
+        psl.ue(0)       # skip run
+        psl.ue(3)       # P_8x8
+        psl.ue(1)       # quadrant 0: 8x4
+        psl.ue(0)       # quadrants 1..3: 8x8
+        psl.ue(0)
+        psl.ue(0)
+        # mvds in part order; predictors hand-derived: p0 no
+        # neighbors -> (0,0); p1 above-only -> (16,0); p2 left-only
+        # -> (16,0); p3 median(0, (0,0), (16,0)) -> (0,0); p4
+        # median((0,0), (16,0), (0,0)) -> (0,0)
+        for dx, dy in ((16, 0), (-16, 0), (0, 0), (0, 0), (0, 0)):
+            psl.se(dx)
+            psl.se(dy)
+        psl.ue(0)       # cbp 0
+        bsl = h._W()
+        bsl.ue(0)
+        bsl.ue(6)       # B
+        bsl.ue(0)
+        bsl.u(2, 4)
+        bsl.u(2, 6)     # poc 2
+        bsl.u(0, 1)     # TEMPORAL direct
+        bsl.u(0, 1)
+        bsl.u(0, 1)
+        bsl.u(0, 1)
+        bsl.se(0)
+        bsl.ue(1)
+        bsl.ue(0)       # skip run
+        bsl.ue(0)       # B_Direct_16x16
+        bsl.ue(0)       # cbp 0
+        return (h._nal(base[0][2], 3, 7) + h._nal(base[1][2], 3, 8)
+                + h._nal(base[2][2], 3, 5)
+                + h._nal(psl.trailing(), 2, 1)
+                + h._nal(bsl.trailing(), 0, 1))
+
+    def cl(x):
+        return min(15, max(0, x))
+
+    outs = {}
+    for infer in (False, True):
+        w, hgt, frames = h.decode_video_yuv(build(infer))
+        iy, py, by = frames[0][0], frames[1][0], frames[2][0]
+        # the P picture: quadrant 0 rows 0-3 and quadrant 1 shifted
+        # 4 px left, everything else an exact copy
+        for y in range(16):
+            for x in range(16):
+                mvp = 16 if ((y < 4 and x < 8) or (y < 8 and x >= 8)) \
+                    else 0
+                assert py[y][x] == iy[y][cl(x + mvp // 4)], \
+                    ("P", infer, x, y)
+        # colocated mv per 4x4 block row/col (quarter-pel)
+        grid = [[16, 16, 16, 16], [0, 0, 16, 16],
+                [0, 0, 0, 0], [0, 0, 0, 0]]
+        for by4 in range(4):
+            for bx4 in range(4):
+                if infer:
+                    mvcol = grid[3 if by4 >= 2 else 0][
+                        3 if bx4 >= 2 else 0]
+                else:
+                    mvcol = grid[by4][bx4]
+                # dsf = 64: mvL0 = (64*mvcol+128)>>8, mvL1 = L0-col
+                mv0 = (64 * mvcol + 128) >> 8
+                mv1 = mv0 - mvcol
+                for yy in range(4 * by4, 4 * by4 + 4):
+                    for xx in range(4 * bx4, 4 * bx4 + 4):
+                        l0 = iy[yy][cl(xx + mv0 // 4)]
+                        l1 = py[yy][cl(xx + mv1 // 4)]
+                        assert by[yy][xx] == (l0 + l1 + 1) >> 1, \
+                            (infer, xx, yy, mvcol)
+        outs[infer] = by
+    assert outs[False] != outs[True]   # the flag provably matters
 
 
 def test_implicit_bipred_hand_stream_pins_weight_formula():
