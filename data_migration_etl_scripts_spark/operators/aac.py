@@ -960,6 +960,15 @@ def aac_decode(data: bytes):
         if not got_audio:
             raise ValueError("ADTS frame without an audio element")
         if sbr_data is not None:
+            if not sbr_st["active"] and any(chans):
+                # frames decoded before the first SBR header arrived
+                # were appended at the 1024-sample core rate; the
+                # whole stream is returned at the doubled SBR rate,
+                # so zero-order-hold those leading samples to keep
+                # their wall-clock duration correct
+                for ci in range(len(chans)):
+                    chans[ci] = [v for v in chans[ci]
+                                 for _ in (0, 1)]
             sbr_st["active"] = True
             for ci, out in enumerate(
                     _sbr_frame(sbr_st, frame_core, sbr_data, _sbr)):

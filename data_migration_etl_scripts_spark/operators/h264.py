@@ -1923,6 +1923,10 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
     #: POC, and a ref INDEX alone is meaningless across pictures
     #: (each slice builds its own list order)
     mv_refpoc = [[None] * (4 * wm) for _ in range(4 * hm)]
+    #: L1 twin of mv_refpoc: temporal direct (8.4.1.2.1) falls back
+    #: to the colocated block's L1 motion when it predicted L1-only
+    #: (a B picture used as reference), so the L1 ref POCs persist too
+    mv_refpoc1 = [[None] * (4 * wm) for _ in range(4 * hm)]
 
     cur_slice = 0
     r = _R(b"")
@@ -1933,6 +1937,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
     #: P slices, b_ctx["l0"] order for B slices); None where the DPB
     #: entry carries no POC (short test tuples)
     cur_l0_pocs: list = []
+    cur_l1_pocs: list = []
 
     def mb_avail(mbx2: int, mby2: int) -> bool:
         return (0 <= mbx2 < wm and 0 <= mby2 < hm
@@ -1981,16 +1986,15 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
     def set_mv(mbx, mby, px, py, pw, ph, mv, grid=None):
         is_l0 = grid is None
         grid = mv_g if grid is None else grid
-        refpoc = None
-        if is_l0 and mv[2] >= 0 and mv[2] < len(cur_l0_pocs):
-            refpoc = cur_l0_pocs[mv[2]]
+        pocs = cur_l0_pocs if is_l0 else cur_l1_pocs
+        pgrid = mv_refpoc if is_l0 else mv_refpoc1
+        refpoc = pocs[mv[2]] if 0 <= mv[2] < len(pocs) else None
         for by in range((16 * mby + py) // 4,
                         (16 * mby + py + ph) // 4):
             for bx in range((16 * mbx + px) // 4,
                             (16 * mbx + px + pw) // 4):
                 grid[by][bx] = mv
-                if is_l0:
-                    mv_refpoc[by][bx] = refpoc
+                pgrid[by][bx] = refpoc
 
     def mv_pred(bx0: int, by0: int, w_blks: int, ref: int,
                 directional: str | None = None):
@@ -2073,6 +2077,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                 mv_g[by][bx] = (0, 0, -1)
                 mv_g1[by][bx] = (0, 0, -1)
                 mv_refpoc[by][bx] = None
+                mv_refpoc1[by][bx] = None
 
     def decode_skip(mb: int) -> None:
         """P_Skip: predictor MV against ref 0, no residual."""
@@ -2338,6 +2343,12 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         if mvf is None:
             return False
         cm = mvf[by][bx]
+        if (cm is not None and cm[2] < 0 and len(e) > 6
+                and e[6] is not None):
+            # L1-only colocated block: refIdxCol/mvCol come from L1
+            cm1 = e[6][by][bx]
+            if cm1 is not None and cm1[2] >= 0:
+                cm = cm1
         return (cm is not None and cm[2] == 0
                 and -1 <= cm[0] <= 1 and -1 <= cm[1] <= 1)
 
@@ -2351,11 +2362,22 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         mvf = e[4] if len(e) > 4 else None
         pocf = e[5] if len(e) > 5 else None
         cm = mvf[cby][cbx] if mvf is not None else None
+        colpoc = pocf[cby][cbx] if (cm is not None and cm[2] >= 0
+                                    and pocf is not None) else None
+        if cm is not None and cm[2] < 0 and len(e) > 6:
+            # colocated block predicted L1-only (a B picture used as
+            # reference): 8.4.1.2.1 takes its L1 motion instead of
+            # treating the block as intra
+            mvf1, pocf1 = e[6], e[7] if len(e) > 7 else None
+            cm1 = mvf1[cby][cbx] if mvf1 is not None else None
+            if cm1 is not None and cm1[2] >= 0:
+                cm = cm1
+                colpoc = (pocf1[cby][cbx] if pocf1 is not None
+                          else None)
         if cm is None or cm[2] < 0:
             mvcol, r0 = (0, 0), 0
         else:
             mvcol = (cm[0], cm[1])
-            colpoc = pocf[cby][cbx] if pocf is not None else None
             r0 = next((i for i, le in enumerate(b_ctx["l0"])
                        if len(le) > 3 and le[3] == colpoc), None)
             if colpoc is None or r0 is None:
@@ -2819,6 +2841,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                           "implicit": hdr["implicit_wp"],
                           "poc": cur_poc})
             cur_l0_pocs = [e[3] if len(e) > 3 else None for e in l0]
+            cur_l1_pocs = [e[3] if len(e) > 3 else None for e in l1]
         elif is_p:
             cur_l0_pocs = [e[3] if len(e) > 3 else None for e in refs]
         mb = hdr["first_mb"]
@@ -2908,7 +2931,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                          pps["chroma_qp_off"],
                          luma_nc=luma_nc if has_inter else None,
                          mv_g=mv_g if has_inter else None)
-    return y_plane, cb_plane, cr_plane, mv_g, mv_refpoc
+    return (y_plane, cb_plane, cr_plane, mv_g, mv_refpoc,
+            mv_g1, mv_refpoc1)
 
 
 def _crop_planes(sps, y_plane, cb_plane, cr_plane):
@@ -2990,12 +3014,13 @@ def decode_video_yuv(data: bytes, max_frames: int | None = None,
         hdr0 = _parse_slice_header(_R(pic[0][2]), sps, pps,
                                    pic[0][0], pic[0][1])
         poc = _picture_poc(sps, hdr0, pic[0][0] == 5, poc_state)
-        y_p, cb_p, cr_p, mvf, pocf = _decode_picture(
+        y_p, cb_p, cr_p, mvf, pocf, mvf1, pocf1 = _decode_picture(
             sps, pps, pic, dpb, deblock, cur_poc=poc)
         frames.append(_crop_planes(sps, y_p, cb_p, cr_p))
         if pic[0][1]:  # nal_ref_idc != 0: used for reference
             dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
-                           _plane_np(cr_p), poc, mvf, pocf))
+                           _plane_np(cr_p), poc, mvf, pocf,
+                           mvf1, pocf1))
             del dpb[sps["max_ref"]:]  # sliding window
     return sps["width"], sps["height"], frames
 
@@ -4313,7 +4338,7 @@ def transcode_to_cabac(data: bytes) -> bytes:
         hdr0 = _parse_slice_header(_R(pic[0][2]), sps, pps,
                                    pic[0][0], pic[0][1])
         poc = _picture_poc(sps, hdr0, pic[0][0] == 5, poc_state)
-        y_p, cb_p, cr_p, mvf, pocf = _decode_picture(
+        y_p, cb_p, cr_p, mvf, pocf, mvf1, pocf1 = _decode_picture(
             sps, pps, pic, dpb, deblock="auto", capture=capture,
             cur_poc=poc)
         decoded = [[-1] * wm for _ in range(hm)]
@@ -4342,7 +4367,8 @@ def transcode_to_cabac(data: bytes) -> bytes:
         rendered[pi] = bytes(chunk)
         if pic[0][1]:
             dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
-                           _plane_np(cr_p), poc, mvf, pocf))
+                           _plane_np(cr_p), poc, mvf, pocf,
+                           mvf1, pocf1))
             del dpb[sps["max_ref"]:]
     for kind, v in order:
         out += v if kind == "nal" else rendered[v]

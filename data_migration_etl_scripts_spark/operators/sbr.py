@@ -284,9 +284,9 @@ def _parse_grid(r, amp_res: int) -> dict:
     # l_A: the envelope at which additional sinusoids may start
     if cls == 0:
         l_a = -1
-    elif cls == 2:      # VARFIX
-        l_a = -1 if pointer == 0 else (0 if pointer == 1
-                                       else pointer - 1)
+    elif cls == 2:      # VARFIX: pointer <= 1 signals no sinusoid
+        # start (4.6.18.3.3: l_A = pointer - 1 only when pointer > 1)
+        l_a = pointer - 1 if pointer > 1 else -1
     else:               # FIXVAR / VARVAR
         l_a = -1 if pointer in (0, 1) else num_env + 1 - pointer
     num_noise = 1 if num_env == 1 else 2
@@ -295,11 +295,16 @@ def _parse_grid(r, amp_res: int) -> dict:
     else:
         if cls == 0:
             mid = borders[num_env // 2]
-        elif cls == 2:   # VARFIX
-            mid = borders[1] if pointer in (0, 1) \
-                else borders[pointer - 1]
-        else:
-            mid = borders[1] if pointer in (0, 1) \
+        elif cls == 2:   # VARFIX middleBorder (4.6.18.3.3):
+            # pointer==0 -> t_E[1]; pointer==1 -> t_E[L_E-1]
+            if pointer == 0:
+                mid = borders[1]
+            elif pointer == 1:
+                mid = borders[num_env - 1]
+            else:
+                mid = borders[pointer - 1]
+        else:            # FIXVAR / VARVAR: pointer<=1 -> t_E[L_E-1]
+            mid = borders[num_env - 1] if pointer in (0, 1) \
                 else borders[num_env + 1 - pointer]
         nborders = [borders[0], mid, borders[-1]]
     # FIXFIX single envelope forces the coarse amplitude resolution
@@ -374,7 +379,10 @@ def _parse_noise(r, grid: dict, bands: dict, balance: bool,
     fbook = "f_env_bal_30" if balance else "f_env_30"
     out = []
     nq = bands["n_q"]
-    start_bits = 5 - (1 if balance else 0)
+    # bs_noise_start_value_balance is read with the SAME 5 bits as the
+    # mono start (Table 4.63); only the ENVELOPE start shrinks for the
+    # balance channel.  The balance <<1 semantics live in dequant.
+    start_bits = 5
     for df in grid["dtdf"]["df_noise"]:
         vals = [0] * nq
         if not df:

@@ -1850,6 +1850,112 @@ def test_temporal_direct_8x8_inference_corners_hand_stream():
     assert outs[False] != outs[True]   # the flag provably matters
 
 
+def test_temporal_direct_l1_only_colocated_falls_back_to_l1():
+    """A colocated block predicted L1-ONLY (a reference B picture)
+    carries (0, 0, -1) in its L0 grid; 8.4.1.2.1 takes its L1 motion
+    instead of treating the block as intra. Hand stream: I_PCM IDR
+    (poc 0), P at poc 8 = I shifted 4 px, then a REFERENCE B at poc 4
+    coded B_L1_16x16 with mv (16, 0) against the P — its L0 grid is
+    all-(-1) — then a non-reference temporal-direct B at poc 2 whose
+    RefPicList1[0] is that B. Derivation computed here by hand:
+    mvCol = (16, 0) from the colocated L1, colpoc = 8 -> refIdxL0 = 2
+    (the P); tb = -6, td = -4 -> DistScaleFactor = 384; mvL0 =
+    (384*16+128)>>8 = 24 qpel (6 px into P), mvL1 = 24-16 = 8 qpel
+    (2 px into the B) — BOTH fetches resolve to I shifted 10 px, so
+    every output pixel must equal iy[y][clamp(x+10)] exactly (the
+    pre-fix intra treatment would bi-average I at 0 px with the B at
+    0 px instead)."""
+    h.load_cavlc_tables({"cbp_inter": [[i, i] for i in range(48)]})
+    px = [[((x * 16 + y) % 256, 120, 130) for x in range(16)]
+          for y in range(16)]
+    base = h.nal_units(h.encode_video_b_skip(px))
+    # own SPS/PPS: identical geometry but max_num_ref_frames = 3 so
+    # the I, P and reference-B all stay in the sliding window
+    hdrs = h._write_sps_pps(1, 1, 16, 16, max_ref=3, poc0=True)
+
+    psl = h._W()
+    psl.ue(0)
+    psl.ue(5)       # P
+    psl.ue(0)
+    psl.u(1, 4)     # frame_num
+    psl.u(8, 6)     # poc 8
+    psl.u(0, 1)     # override
+    psl.u(0, 1)     # ref mod
+    psl.u(0, 1)     # adaptive marking
+    psl.se(0)
+    psl.ue(1)       # deblock off
+    psl.ue(0)       # skip run
+    psl.ue(0)       # P_L0_16x16
+    psl.se(16)      # mvd (predictor 0)
+    psl.se(0)
+    psl.ue(0)       # cbp 0
+
+    b1 = h._W()     # REFERENCE B, L1-only prediction
+    b1.ue(0)
+    b1.ue(6)        # B
+    b1.ue(0)
+    b1.u(2, 4)      # frame_num
+    b1.u(4, 6)      # poc 4
+    b1.u(0, 1)      # direct_spatial (unused: no direct MBs)
+    b1.u(0, 1)      # override
+    b1.u(0, 1)      # ref mod l0
+    b1.u(0, 1)      # ref mod l1
+    b1.u(0, 1)      # adaptive marking (reference slice)
+    b1.se(0)
+    b1.ue(1)        # deblock off
+    b1.ue(0)        # skip run
+    b1.ue(2)        # B_L1_16x16
+    b1.se(16)       # mvd l1 (predictor 0)
+    b1.se(0)
+    b1.ue(0)        # cbp 0
+    psl_bytes = psl.trailing()   # trailing() mutates: hoist
+    b1_bytes = b1.trailing()
+
+    def b2(direct16: bool):
+        sl = h._W()
+        sl.ue(0)
+        sl.ue(6)
+        sl.ue(0)
+        sl.u(3, 4)  # frame_num
+        sl.u(2, 6)  # poc 2
+        sl.u(0, 1)  # direct_spatial = 0: TEMPORAL
+        sl.u(0, 1)
+        sl.u(0, 1)
+        sl.u(0, 1)
+        sl.se(0)
+        sl.ue(1)    # deblock off
+        if direct16:
+            sl.ue(0)    # skip run 0
+            sl.ue(0)    # B_Direct_16x16
+            sl.ue(0)    # cbp 0
+        else:
+            sl.ue(1)    # whole picture is B_Skip
+        return sl
+
+    for direct16 in (True, False):
+        stream = (hdrs + h._nal(base[2][2], 3, 5)
+                  + h._nal(psl_bytes, 2, 1)
+                  + h._nal(b1_bytes, 2, 1)
+                  + h._nal(b2(direct16).trailing(), 0, 1))
+        w, hgt, frames = h.decode_video_yuv(stream)
+        assert len(frames) == 4
+        iy = frames[0][0]
+        b1y = frames[2][0]
+        by = frames[3][0]
+
+        def cl(x):
+            return min(15, max(0, x))
+
+        # the reference B itself: P (I at +4) fetched at +4 -> I+8
+        for y in range(16):
+            for x in range(16):
+                assert b1y[y][x] == iy[y][cl(x + 8)], ("B1", x, y)
+        for y in range(16):
+            for x in range(16):
+                assert by[y][x] == iy[y][cl(x + 10)], \
+                    (direct16, x, y)
+
+
 def test_implicit_bipred_hand_stream_pins_weight_formula():
     """Hand stream under weighted_bipred_idc = 2 with DIFFERENT
     constant-value anchors (I = 100, P = 200) and asymmetric POCs

@@ -212,6 +212,54 @@ def test_grid_fixvar_borders_and_la(seam):
     assert g["noise_borders"] == [0, g["borders"][2], 16]
 
 
+def _varfix_grid(pointer):
+    w = a._W()
+    w.u(2, 2)   # VARFIX
+    w.u(0, 2)   # var_bord 0
+    w.u(2, 2)   # num_rel 2 -> num_env 3
+    w.u(1, 2)   # rel 2*1+2 = 4
+    w.u(1, 2)   # rel 4 -> borders [0, 4, 8, 16]
+    w.u(pointer, 2)
+    for _ in range(3):
+        w.u(0, 1)
+    return sb._parse_grid(_bits(w), amp_res=1)
+
+
+def test_grid_varfix_la_and_middleborder(seam):
+    """4.6.18.3.3: VARFIX l_A = pointer - 1 only when pointer > 1
+    (pointer 1 does NOT start sinusoids at envelope 0), and the
+    noise-floor middleBorder is t_E[1] for pointer 0, t_E[L_E-1] for
+    pointer 1, t_E[pointer-1] otherwise."""
+    g0 = _varfix_grid(0)
+    assert g0["l_a"] == -1
+    assert g0["noise_borders"] == [0, 4, 16]       # t_E[1]
+    g1 = _varfix_grid(1)
+    assert g1["l_a"] == -1                          # NOT 0
+    assert g1["noise_borders"] == [0, 8, 16]        # t_E[L_E-1]
+    g2 = _varfix_grid(2)
+    assert g2["l_a"] == 1
+    assert g2["noise_borders"] == [0, 4, 16]        # t_E[pointer-1]
+
+
+def test_grid_fixvar_low_pointer_middleborder(seam):
+    """FIXVAR with pointer <= 1 and num_env >= 3 splits the noise
+    floors at t_E[L_E-1], not t_E[1] (the two coincide only for
+    num_env == 2)."""
+    for pointer in (0, 1):
+        w = a._W()
+        w.u(1, 2)   # FIXVAR
+        w.u(0, 2)   # var_bord 0
+        w.u(2, 2)   # num_rel 2 -> num_env 3
+        w.u(1, 2)   # rel 4
+        w.u(1, 2)   # rel 4 -> borders [0, 8, 12, 16]
+        w.u(pointer, 2)
+        for _ in range(3):
+            w.u(0, 1)
+        g = sb._parse_grid(_bits(w), amp_res=1)
+        assert g["l_a"] == -1
+        assert g["noise_borders"] == [0, 12, 16]    # t_E[L_E-1]
+
+
 def test_envelope_write_parse_round_trip(seam):
     """write_sbr_sce -> parse_sbr_data inverts exactly: grids, flat
     and sloped envelopes through the injected huffman books, noise
@@ -281,8 +329,9 @@ def test_cpe_coupled_parse_and_decouple(seam):
     w.u(12, 6)
     for _ in range(bands["n"][0] - 1):
         w.u(0, 1)
-    # ch1 noise balance: 4-bit start (5 - 1)
-    w.u(11, 4)
+    # ch1 noise balance: SAME 5-bit start as mono (Table 4.63 —
+    # only the envelope start shrinks for the balance channel)
+    w.u(11, 5)
     for _ in range(bands["n_q"] - 1):
         w.u(0, 1)
     w.u(0, 1)       # add_harmonic ch0
@@ -413,6 +462,24 @@ def test_sbr_stream_decodes_at_double_rate(seam):
     assert chans2 == chans
     # the adjusted noise is audible at this envelope level
     assert sum(v * v for v in chans[0]) > 1e-6
+
+
+def test_pre_sbr_header_frames_upsampled(seam):
+    """ADTS frames decoded BEFORE the first SBR header arrives are
+    zero-order-hold upsampled to the doubled output rate once SBR
+    activates, so the stream's duration bookkeeping stays exact."""
+    lead = a.aac_encode_silence(frames=1, rate_idx=8, channels=1)
+    body = a.aac_encode_sbr(frames=2, rate_idx=8, num_env=2,
+                            freq_res=1, env_val=40, noise_val=10,
+                            invf_mode=2)
+    rate, nch, chans = a.aac_decode(lead + body)
+    assert (rate, nch) == (32000, 1)
+    # 1 core-only frame (upsampled 1024 -> 2048) + 2 SBR frames
+    assert len(chans[0]) == 3 * 2048
+    # the silent leading frame stays silent after upsampling
+    assert all(v == 0.0 for v in chans[0][:2048])
+    # the SBR frames carry the adjusted noise
+    assert sum(v * v for v in chans[0][2048:]) > 1e-6
 
 
 def test_sbr_energy_follows_envelope(seam):
