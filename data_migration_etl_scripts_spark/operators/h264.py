@@ -187,7 +187,7 @@ _env_load_done = False
 #: {(length, code): run}.
 CAVLC: dict[str, dict] = {"coeff_token": {}, "total_zeros": {},
                           "run_before": {}, "cbp_intra": {},
-                          "deblock": {}}
+                          "deblock": {}, "scaling_default": {}}
 #: NB: the inter coded_block_pattern me(v) column (spec Table 9-4)
 #: loads under CAVLC["cbp_intra"]["inter"] via loader key "cbp_inter"
 
@@ -208,6 +208,20 @@ _QPC_TAIL = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35,
 #: 4x4 zig-zag scan order as (row, col)
 _ZIG4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
          (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3)]
+
+def _zigzag_order(n: int):
+    """Canonical diagonal zig-zag over an n x n grid as (row, col):
+    anti-diagonals by sum, odd sums walked row-ascending, even sums
+    row-descending — reproduces Table 8-8 exactly (the 4x4 order is
+    asserted against the hand-written _ZIG4 at import)."""
+    return sorted(((i, j) for i in range(n) for j in range(n)),
+                  key=lambda p: (p[0] + p[1],
+                                 p[0] if (p[0] + p[1]) % 2 else -p[0]))
+
+
+#: 8x8 zig-zag scan (Table 8-8) — the canonical diagonal order
+_ZIG8 = _zigzag_order(8)
+assert _zigzag_order(4) == _ZIG4
 
 #: luma 4x4 block index -> (x, y) pixel offset within the MB
 #: (8x8 quadrants raster, 2x2 of 4x4 raster within each quadrant)
@@ -335,6 +349,23 @@ def load_cavlc_tables(source) -> int:
         CAVLC["deblock"]["tc0"] = [[int(v) for v in row]
                                    for row in tc0_spec]
         n += 1
+    sd_spec = source.get("scaling_default")
+    if sd_spec:
+        sizes = {"4x4_intra": 16, "4x4_inter": 16,
+                 "8x8_intra": 64, "8x8_inter": 64}
+        for key, vals in sd_spec.items():
+            want = sizes.get(key)
+            if want is None:
+                raise ValueError(
+                    f"scaling_default key {key!r} unknown — expected "
+                    "one of 4x4_intra/4x4_inter/8x8_intra/8x8_inter")
+            if (len(vals) != want
+                    or any(not (1 <= int(v) <= 255) for v in vals)):
+                raise ValueError(
+                    f"scaling_default[{key!r}] must be {want} values "
+                    "in 1..255 (Table 7-3/7-4, zig-zag scan order)")
+            CAVLC["scaling_default"][key] = [int(v) for v in vals]
+            n += 1
     ab_spec = source.get("deblock_alpha_beta")
     if ab_spec:
         for name in ("alpha", "beta"):
@@ -521,17 +552,112 @@ def nal_units(data: bytes) -> list[tuple[int, int, bytes]]:
 
 # ------------------------------------------------------- headers parse
 
+def _parse_scaling_list(r: _R, size: int):
+    """scaling_list() (7.3.2.1.1.1): returns (values-in-scan-order,
+    use_default_flag). ``None`` values never occur — a zero nextScale
+    at j==0 flags the default matrix; later zeros freeze lastScale."""
+    last, nxt = 8, 8
+    vals = []
+    use_default = False
+    for j in range(size):
+        if nxt != 0:
+            delta = r.se()
+            nxt = (last + delta + 256) % 256
+            if j == 0 and nxt == 0:
+                use_default = True
+        vals.append(last if nxt == 0 else nxt)
+        last = vals[-1]
+    return vals, use_default
+
+
+def _scan_to_raster(vals, n: int):
+    """Scaling-list values arrive in zig-zag scan order; weightScale
+    is indexed (i, j) raster."""
+    zig = _ZIG4 if n == 4 else _ZIG8
+    out = [0] * (n * n)
+    for k, (i, j) in enumerate(zig):
+        out[n * i + j] = vals[k]
+    return out
+
+
+def _default_scaling(idx: int):
+    """Default scaling matrix for list index ``idx`` (Tables 7-3 /
+    7-4) — tabulated spec data behind the CAVLC seam family
+    (``load_cavlc_tables({"scaling_default": {...}})``)."""
+    fam = CAVLC.get("scaling_default") or {}
+    key = ("4x4_intra" if idx in (0, 1, 2) else
+           "4x4_inter" if idx in (3, 4, 5) else
+           "8x8_intra" if idx == 6 else "8x8_inter")
+    vals = fam.get(key)
+    if vals is None:
+        _try_env_tables()
+        vals = (CAVLC.get("scaling_default") or {}).get(key)
+    if vals is None:
+        raise NotImplementedError(
+            f"default scaling matrix {key} (Table 7-3/7-4) is "
+            "tabulated spec data — inject load_cavlc_tables("
+            "{'scaling_default': {'" + key + "': [...]}}) or "
+            "$SPARK_GRAFT_CAVLC_TABLES"
+        )
+    return list(vals)
+
+
+def _resolve_scaling_lists(present: list, base=None):
+    """Fall-back rules A/B (7.4.2.1.1/7.4.2.2): ``present[i]`` is
+    None (absent), "default", or scan-order values; ``base`` is the
+    SPS-resolved 8-list set for rule B (PPS level), else rule A.
+    Returns 8 scan-order lists (6 x 4x4 + 2 x 8x8)."""
+    out = []
+    for i, ent in enumerate(present):
+        size = 16 if i < 6 else 64
+        if ent == "default":
+            out.append(_default_scaling(i))
+        elif ent is not None:
+            out.append(list(ent))
+        elif i in (0, 3, 6, 7):
+            out.append(list(base[i]) if base is not None
+                       else _default_scaling(i))
+        else:
+            out.append(list(out[i - 1]))
+        if len(out[-1]) != size:
+            raise ValueError(f"scaling list {i}: wrong length")
+    return out
+
+
 def parse_sps(rbsp: bytes) -> dict:
     r = _R(rbsp)
     profile = r.u(8)
     r.u(8)  # constraint flags + reserved
     level = r.u(8)
     sps_id = r.ue()
-    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
-        raise NotImplementedError(
-            f"profile_idc {profile} (high-profile SPS extensions) — "
-            "baseline/main/extended SPS only"
-        )
+    scaling4 = scaling8 = scaling_scan = None
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138,
+                   139, 134, 135):
+        chroma_format = r.ue()
+        if chroma_format != 1:
+            raise NotImplementedError(
+                f"chroma_format_idc {chroma_format} — 4:2:0 only")
+        bd_luma = r.ue()
+        bd_chroma = r.ue()
+        if bd_luma or bd_chroma:
+            raise NotImplementedError(
+                "bit depths beyond 8 (high-10/high-422 SPS)")
+        if r.u(1):
+            raise NotImplementedError(
+                "qpprime_y_zero_transform_bypass (lossless High 4:4:4)")
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            present = []
+            for i in range(8):
+                if r.u(1):
+                    vals, dflt = _parse_scaling_list(
+                        r, 16 if i < 6 else 64)
+                    present.append("default" if dflt else vals)
+                else:
+                    present.append(None)
+            lists = _resolve_scaling_lists(present)
+            scaling4 = [_scan_to_raster(v, 4) for v in lists[:6]]
+            scaling8 = [_scan_to_raster(v, 8) for v in lists[6:]]
+            scaling_scan = lists            # rule-B base (scan order)
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
     poc_lsb_bits = 0
@@ -563,10 +689,18 @@ def parse_sps(rbsp: bytes) -> dict:
         "crop": crop,
         "width": 16 * w_mbs - 2 * (crop[0] + crop[1]),
         "height": 16 * h_map - 2 * (crop[2] + crop[3]),
+        # High-profile scaling matrices: raster weightScale lists
+        # (6 x 16 / 2 x 64) or None == Flat_16; scan-order copy kept
+        # as the PPS fall-back-rule-B base
+        "scaling4": scaling4, "scaling8": scaling8,
+        "scaling_scan": scaling_scan,
     }
 
 
-def parse_pps(rbsp: bytes) -> dict:
+def parse_pps(rbsp: bytes, sps: dict | None = None) -> dict:
+    """``sps`` supplies the rule-B scaling fall-back base and the
+    raster matrices for streams whose PPS carries no pic-level lists
+    (High profile); None keeps the pre-High behavior."""
     r = _R(rbsp)
     pps_id = r.ue()
     sps_id = r.ue()
@@ -584,6 +718,34 @@ def parse_pps(rbsp: bytes) -> dict:
     deblock_ctl = r.u(1)
     r.u(1)  # constrained_intra_pred
     r.u(1)  # redundant_pic_cnt_present
+    # High-profile PPS tail, present iff more_rbsp_data() before the
+    # rbsp stop bit
+    transform_8x8 = 0
+    chroma_qp_off2 = chroma_qp_off
+    scaling4 = (sps or {}).get("scaling4")
+    scaling8 = (sps or {}).get("scaling8")
+    stop = _rbsp_stop(rbsp)
+    if r.pos < stop:
+        transform_8x8 = r.u(1)
+        if r.u(1):  # pic_scaling_matrix_present_flag
+            n_lists = 6 + (2 if transform_8x8 else 0)
+            present = []
+            for i in range(n_lists):
+                if r.u(1):
+                    vals, dflt = _parse_scaling_list(
+                        r, 16 if i < 6 else 64)
+                    present.append("default" if dflt else vals)
+                else:
+                    present.append(None)
+            base = (sps or {}).get("scaling_scan")
+            # with transform_8x8 off the 8x8 lists are absent AND
+            # unused — resolving them would demand default matrices
+            # the stream never references
+            lists = _resolve_scaling_lists(present, base=base)
+            scaling4 = [_scan_to_raster(v, 4) for v in lists[:6]]
+            if transform_8x8:
+                scaling8 = [_scan_to_raster(v, 8) for v in lists[6:]]
+        chroma_qp_off2 = r.se()
     return {
         "pps_id": pps_id, "sps_id": sps_id, "entropy": entropy,
         "num_ref_l0": num_ref_l0, "num_ref_l1": num_ref_l1,
@@ -591,6 +753,9 @@ def parse_pps(rbsp: bytes) -> dict:
         "weighted_bipred": weighted_bipred,
         "bottom_field": bottom_field, "init_qp": init_qp,
         "chroma_qp_off": chroma_qp_off, "deblock_ctl": deblock_ctl,
+        "transform_8x8": transform_8x8,
+        "chroma_qp_off2": chroma_qp_off2,
+        "scaling4": scaling4, "scaling8": scaling8,
     }
 
 
@@ -710,6 +875,349 @@ def _dequant_chroma_dc(f: int, qc: int) -> int:
     >>5 -> >>1)."""
     cdiv, cmod = qc // 6, qc % 6
     return ((f * _V[cmod][0]) << cdiv) >> 1
+
+
+# --------------------------------------------- High profile: 8x8 core
+
+#: 8x8 dequant norm matrix V8[qP % 6][class] (the 8x8 sibling of _V,
+#: same conformance-caveat class: derived from the 8x8 integer-
+#: transform row norms — the mixed classes are the rounded geometric
+#: means of the pure ones, property-pinned by
+#: test_v8_geometric_mean_consistency)
+_V8 = [
+    [20, 18, 32, 19, 25, 24],
+    [22, 19, 35, 21, 28, 26],
+    [26, 23, 42, 24, 33, 31],
+    [28, 25, 45, 26, 35, 33],
+    [32, 28, 51, 29, 40, 38],
+    [36, 32, 58, 33, 45, 43],
+]
+
+#: the published 8x8 integer-transform basis (rows x8): the inverse
+#: 1D butterfly's exact (floor-free) matrix is C8^T / 8 —
+#: test_itrans8_matches_basis_matrix probes the butterfly with
+#: shift-exact inputs against this
+_C8 = [
+    [8, 8, 8, 8, 8, 8, 8, 8],
+    [12, 10, 6, 3, -3, -6, -10, -12],
+    [8, 4, -4, -8, -8, -4, 4, 8],
+    [10, -3, -12, -6, 6, 12, 3, -10],
+    [8, -8, -8, 8, 8, -8, -8, 8],
+    [6, -12, 3, 10, -10, -3, 12, -6],
+    [4, -8, 8, -4, -4, 8, -8, 4],
+    [3, -6, 10, -12, 12, -10, 6, -3],
+]
+
+
+def _v8_class(i: int, j: int) -> int:
+    im, jm = i % 4, j % 4
+    if im == 0 and jm == 0:
+        return 0
+    if i % 2 == 1 and j % 2 == 1:
+        return 1
+    if im == 2 and jm == 2:
+        return 2
+    if (im == 0 and j % 2 == 1) or (i % 2 == 1 and jm == 0):
+        return 3
+    if (im == 0 and jm == 2) or (im == 2 and jm == 0):
+        return 4
+    return 5
+
+
+def _itrans8_1d(d):
+    """One 1D pass of the 8x8 inverse transform butterfly
+    (8.5.12.2)."""
+    a0 = d[0] + d[4]
+    a4 = d[0] - d[4]
+    a2 = (d[2] >> 1) - d[6]
+    a6 = d[2] + (d[6] >> 1)
+    b0 = a0 + a6
+    b2 = a4 + a2
+    b4 = a4 - a2
+    b6 = a0 - a6
+    a1 = -d[3] + d[5] - d[7] - (d[7] >> 1)
+    a3 = d[1] + d[7] - d[3] - (d[3] >> 1)
+    a5 = -d[1] + d[7] + d[5] + (d[5] >> 1)
+    a7 = d[3] + d[5] + d[1] + (d[1] >> 1)
+    b1 = a1 + (a7 >> 2)
+    b7 = a7 - (a1 >> 2)
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    return [b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+            b6 - b1, b4 - b3, b2 - b5, b0 - b7]
+
+
+def _itrans8(d: list[list[int]]) -> list[list[int]]:
+    """8x8 inverse core transform (pre-rounding, rows then columns);
+    caller applies (x + 32) >> 6 like the 4x4 path."""
+    e = [_itrans8_1d(row) for row in d]
+    cols = [_itrans8_1d([e[i][j] for i in range(8)])
+            for j in range(8)]
+    return [[cols[j][i] for j in range(8)] for i in range(8)]
+
+
+def _ftrans8_1d(x):
+    """One 1D pass of the 8x8 forward transform butterfly (the
+    encoder side of the published pair)."""
+    a0 = x[0] + x[7]
+    a1 = x[1] + x[6]
+    a2 = x[2] + x[5]
+    a3 = x[3] + x[4]
+    a4 = x[0] - x[7]
+    a5 = x[1] - x[6]
+    a6 = x[2] - x[5]
+    a7 = x[3] - x[4]
+    b0 = a0 + a3
+    b1 = a1 + a2
+    b2 = a0 - a3
+    b3 = a1 - a2
+    b4 = a5 + a6 + (a4 + (a4 >> 1))
+    b5 = a4 - a7 - (a6 + (a6 >> 1))
+    b6 = a4 + a7 - (a5 + (a5 >> 1))
+    b7 = a5 - a6 + (a7 + (a7 >> 1))
+    return [b0 + b1, b4 + (b7 >> 2), b2 + (b3 >> 1),
+            b5 + (b6 >> 2), b0 - b1, b6 - (b5 >> 2),
+            (b2 >> 1) - b3, (b4 >> 2) - b7]
+
+
+def _ftrans8(x: list[list[int]]) -> list[list[int]]:
+    e = [_ftrans8_1d(row) for row in x]
+    cols = [_ftrans8_1d([e[i][j] for i in range(8)])
+            for j in range(8)]
+    return [[cols[j][i] for j in range(8)] for i in range(8)]
+
+
+#: squared norms of the _C8 rows (C8 · C8^T = diag(_D8N))
+_D8N = [512, 578, 320, 578, 512, 578, 320, 578]
+
+
+def _quant8(res, qp: int, dense: bool) -> list[int]:
+    """Quantize one 8x8 residual block for the engine encoder: the
+    exact rational inverse of the floor-free inverse-transform model
+    (D_ideal = M^-1 · (64·res) · M^-T with M = C8^T/8; the C8 rows
+    are orthogonal, so M^-1 = 8·diag(1/_D8N)·C8), each coefficient
+    rounded to the flat-matrix dequant step 16·V8·2^(qP/6-6). The
+    decoder's floor noise is bounded, so recon error stays near the
+    quant step (pinned by the source-error bound test). Returns the
+    64 levels in _ZIG8 scan order; ``dense`` bumps zeros to +1 so
+    every interleaved CAVLC sub-block stays on the table-free
+    nC >= 8 branch."""
+    t1 = [[sum(_C8[i][k] * res[k][j] for k in range(8))
+           for j in range(8)] for i in range(8)]
+    t2 = [[sum(t1[i][k] * _C8[j][k] for k in range(8))
+           for j in range(8)] for i in range(8)]
+    qdiv, qmod = qp // 6, qp % 6
+    out = []
+    for (i, j) in _ZIG8:
+        # D_ideal = 4096 * t2 / (dN_i * dN_j)  (4096 = 64 target
+        # gain x the two 8s of M^-1); step = ls * 2^(qdiv-6)
+        num = 4096 * 64 * t2[i][j]
+        den = (_D8N[i] * _D8N[j]
+               * ((16 * _V8[qmod][_v8_class(i, j)]) << qdiv))
+        c = _rdiv(num, den)
+        if dense and c == 0:
+            c = 1
+        out.append(c)
+    return out
+
+
+def _dq4_w(c: int, qp: int, i: int, j: int, w) -> int:
+    """Weighted 4x4 coefficient dequant (8.5.12.1 general form):
+    ``w`` is the raster 16-entry weightScale list. Collapses to
+    _dequant_ac exactly when w is the flat 16 matrix."""
+    qdiv, qmod = qp // 6, qp % 6
+    ls = w[4 * i + j] * _V[qmod][_v_class(i, j)]
+    if qp >= 24:
+        return (c * ls) << (qdiv - 4)
+    return (c * ls + (1 << (3 - qdiv))) >> (4 - qdiv)
+
+
+def _dq8(c: int, qp: int, i: int, j: int, w=None) -> int:
+    """8x8 coefficient dequant (8.5.12.2): LevelScale8x8 =
+    weightScale8x8 * normAdjust8x8 with the 6-breakpoint rounding
+    form. ``w`` raster 64-entry list; None == Flat_16."""
+    qdiv, qmod = qp // 6, qp % 6
+    ls = (16 if w is None else w[8 * i + j]) * _V8[qmod][_v8_class(i, j)]
+    if qp >= 36:
+        return (c * ls) << (qdiv - 6)
+    return (c * ls + (1 << (5 - qdiv))) >> (6 - qdiv)
+
+
+def _dq_luma_dc_w(f: int, qp: int, w00: int) -> int:
+    """Intra_16x16 luma-DC dequant (8.5.10 general form) with the
+    weightScale (0,0) entry; w00 == 16 collapses to
+    _dequant_luma_dc exactly."""
+    qdiv = qp // 6
+    ls = w00 * _V[qp % 6][0]
+    if qp >= 36:
+        return (f * ls) << (qdiv - 6)
+    return (f * ls + (1 << (5 - qdiv))) >> (6 - qdiv)
+
+
+def _dq_chroma_dc_w(f: int, qc: int, w00: int) -> int:
+    """2x2 chroma-DC dequant (8.5.11 general form)."""
+    cdiv, cmod = qc // 6, qc % 6
+    return ((f * w00 * _V[cmod][0]) << cdiv) >> 5
+
+
+def _filter8_refs(top, left, tl):
+    """Intra_8x8 reference-sample filtering (8.3.2.2.1). ``top`` is
+    the 16-sample extended top row (top-right already substituted),
+    ``left`` the 8-sample left column, ``tl`` the corner — each may
+    be None. Returns (top', left', tl') low-pass filtered."""
+    ft = fl = fc = None
+    if top is not None:
+        ft = [0] * 16
+        if tl is not None:
+            ft[0] = (tl + 2 * top[0] + top[1] + 2) >> 2
+        else:
+            ft[0] = (3 * top[0] + top[1] + 2) >> 2
+        for x in range(1, 15):
+            ft[x] = (top[x - 1] + 2 * top[x] + top[x + 1] + 2) >> 2
+        ft[15] = (top[14] + 3 * top[15] + 2) >> 2
+    if left is not None:
+        fl = [0] * 8
+        if tl is not None:
+            fl[0] = (tl + 2 * left[0] + left[1] + 2) >> 2
+        else:
+            fl[0] = (3 * left[0] + left[1] + 2) >> 2
+        for y in range(1, 7):
+            fl[y] = (left[y - 1] + 2 * left[y] + left[y + 1] + 2) >> 2
+        fl[7] = (left[6] + 3 * left[7] + 2) >> 2
+    if tl is not None:
+        if top is not None and left is not None:
+            fc = (top[0] + 2 * tl + left[0] + 2) >> 2
+        elif top is not None:
+            fc = (3 * tl + top[0] + 2) >> 2
+        elif left is not None:
+            fc = (3 * tl + left[0] + 2) >> 2
+        else:
+            fc = tl
+    return ft, fl, fc
+
+
+def _pred8(mode: int, top, left, tl, topright):
+    """Intra_8x8 prediction (8.3.2.2.2-.2.10, all 9 modes): raw
+    neighbor samples in, reference filtering applied here. top/left:
+    8-sample lists or None; topright: 8 samples above-right or None
+    (substituted with top[7] x8 when top exists, per the reference
+    construction); tl: corner or None."""
+    if mode in (0, 3, 7) and top is None:
+        raise ValueError(f"Intra_8x8 mode {mode} without top neighbor")
+    if mode in (1, 8) and left is None:
+        raise ValueError(f"Intra_8x8 mode {mode} without left neighbor")
+    if mode in (4, 5, 6) and (top is None or left is None
+                              or tl is None):
+        raise ValueError(f"Intra_8x8 mode {mode} needs top+left+corner")
+    t16 = None
+    if top is not None:
+        t16 = list(top) + (list(topright) if topright is not None
+                           else [top[7]] * 8)
+    t, lf, c = _filter8_refs(t16, list(left) if left is not None
+                             else None, tl)
+    if mode == 0:    # vertical
+        return [t[:8] for _ in range(8)]
+    if mode == 1:    # horizontal
+        return [[lf[y]] * 8 for y in range(8)]
+    if mode == 2:    # DC
+        if t is not None and lf is not None:
+            dc = (sum(t[:8]) + sum(lf) + 8) >> 4
+        elif t is not None:
+            dc = (sum(t[:8]) + 4) >> 3
+        elif lf is not None:
+            dc = (sum(lf) + 4) >> 3
+        else:
+            dc = 128
+        return [[dc] * 8 for _ in range(8)]
+    out = [[0] * 8 for _ in range(8)]
+    if mode == 3:    # diagonal down-left
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    out[y][x] = (t[14] + 3 * t[15] + 2) >> 2
+                else:
+                    out[y][x] = (t[x + y] + 2 * t[x + y + 1]
+                                 + t[x + y + 2] + 2) >> 2
+        return out
+    if mode == 4:    # diagonal down-right
+        p = [c] + t[:8]      # p[k] = t[k-1], p[0] = corner
+        q = [c] + lf
+        for y in range(8):
+            for x in range(8):
+                d = x - y
+                if d > 0:
+                    out[y][x] = (p[d - 1] + 2 * p[d] + p[d + 1]
+                                 + 2) >> 2
+                elif d < 0:
+                    out[y][x] = (q[-d - 1] + 2 * q[-d] + q[-d + 1]
+                                 + 2) >> 2
+                else:
+                    out[y][x] = (t[0] + 2 * c + lf[0] + 2) >> 2
+        return out
+    if mode == 5:    # vertical-right
+        p = [c] + t[:8]
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                m = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    out[y][x] = (p[m] + p[m + 1] + 1) >> 1
+                elif z >= 0:
+                    out[y][x] = (p[m - 1] + 2 * p[m] + p[m + 1]
+                                 + 2) >> 2
+                elif z == -1:
+                    out[y][x] = (lf[0] + 2 * c + t[0] + 2) >> 2
+                else:  # z < -1 -> x == 0
+                    out[y][x] = (lf[y - 2 * x - 1]
+                                 + 2 * lf[y - 2 * x - 2]
+                                 + ([c] + lf)[y - 2 * x - 2]
+                                 + 2) >> 2
+        return out
+    if mode == 6:    # horizontal-down (transpose of VR)
+        q = [c] + lf
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                m = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    out[y][x] = (q[m] + q[m + 1] + 1) >> 1
+                elif z >= 0:
+                    out[y][x] = (q[m - 1] + 2 * q[m] + q[m + 1]
+                                 + 2) >> 2
+                elif z == -1:
+                    out[y][x] = (t[0] + 2 * c + lf[0] + 2) >> 2
+                else:  # z < -1 -> y == 0
+                    out[y][x] = (t[x - 2 * y - 1]
+                                 + 2 * t[x - 2 * y - 2]
+                                 + ([c] + t)[x - 2 * y - 2]
+                                 + 2) >> 2
+        return out
+    if mode == 7:    # vertical-left
+        for y in range(8):
+            for x in range(8):
+                k = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y][x] = (t[k] + t[k + 1] + 1) >> 1
+                else:
+                    out[y][x] = (t[k] + 2 * t[k + 1] + t[k + 2]
+                                 + 2) >> 2
+        return out
+    if mode == 8:    # horizontal-up
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                k = y + (x >> 1)
+                if z % 2 == 0 and z < 13:
+                    out[y][x] = (lf[k] + lf[k + 1] + 1) >> 1
+                elif z < 13:
+                    out[y][x] = (lf[k] + 2 * lf[k + 1] + lf[k + 2]
+                                 + 2) >> 2
+                elif z == 13:
+                    out[y][x] = (lf[6] + 3 * lf[7] + 2) >> 2
+                else:
+                    out[y][x] = lf[7]
+        return out
+    raise ValueError(f"Intra_8x8 prediction mode {mode}")
 
 
 def _pred4(mode: int, top, left, tl, topright):
@@ -1176,7 +1684,8 @@ def _deblock_edge(px, base: int, step: int, n_lines: int,
 
 def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
                      mb_qp, mb_ipcm, mb_slice, slice_db,
-                     chroma_qp_off: int, luma_nc=None, mv_g=None) -> None:
+                     chroma_qp_off: int, luma_nc=None, mv_g=None,
+                     mb_t8=None) -> None:
     """Apply the in-loop filter to the reconstructed (uncropped) MB
     grid. ``slice_db[sid] = (idc, offA, offB)`` carries each slice's
     disable_deblocking_filter_idc and alpha/beta offsets (already
@@ -1201,6 +1710,16 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
     def qp_c(mbx: int, mby: int) -> int:
         return _qpc(qp_y(mbx, mby) + chroma_qp_off)
 
+    def coded4(bx: int, by: int) -> bool:
+        """Coded-coefficient status of the 4x4 block: for an 8x8-
+        transformed MB the spec tests the covering 8x8 block's
+        levels, not the interleave cell."""
+        if mb_t8 is not None and mb_t8[by // 4][bx // 4]:
+            b0x, b0y = (bx // 2) * 2, (by // 2) * 2
+            return any(luma_nc[b0y + dy][b0x + dx] > 0
+                       for dy in (0, 1) for dx in (0, 1))
+        return luma_nc[by][bx] > 0
+
     def bs_of(pbx: int, pby: int, qbx: int, qby: int,
               mb_edge: bool) -> int:
         if not per_block:
@@ -1209,7 +1728,7 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
         mq = mv_g[qby][qbx]
         if mp is None or mq is None or mp[2] < 0 or mq[2] < 0:
             return 4 if mb_edge else 3  # intra on either side
-        if luma_nc[pby][pbx] > 0 or luma_nc[qby][qbx] > 0:
+        if coded4(pbx, pby) or coded4(qbx, qby):
             return 2
         if (mp[2] != mq[2] or abs(mp[0] - mq[0]) >= 4
                 or abs(mp[1] - mq[1]) >= 4):
@@ -1232,6 +1751,12 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, wm: int, hm: int,
                 else:
                     first_e = 0
                 for e in range(first_e, 4):
+                    if (e in (1, 3) and mb_t8 is not None
+                            and mb_t8[mby][mbx]):
+                        # 8x8 transform: no luma transform boundary
+                        # at the 4-sample offsets (8.7); chroma rides
+                        # only e in (0, 2) so nothing else is skipped
+                        continue
                     mb_edge = e == 0
                     if e == 0:
                         nx, ny = ((mbx - 1, mby) if vertical
@@ -1655,6 +2180,9 @@ class _EntCavlc:
     def mvd(self, mbx, mby, px, py, pw, ph, lst: int = 0):
         return (self.r.se(), self.r.se())
 
+    def t8_flag(self, mbx, mby) -> int:
+        return self.r.u(1)
+
     def i4_mode(self):
         if self.r.u(1):   # prev_intra4x4_pred_mode_flag
             return (1, None)
@@ -1724,6 +2252,11 @@ class _EntCapture:
     def mvd(self, mbx, mby, px, py, pw, ph, lst: int = 0):
         v = self.inner.mvd(mbx, mby, px, py, pw, ph, lst)
         self.cur["mvds"].append((px, py, pw, ph, v, lst))
+        return v
+
+    def t8_flag(self, mbx, mby) -> int:
+        v = self.inner.t8_flag(mbx, mby)
+        self.cur["t8"] = v
         return v
 
     def i4_mode(self):
@@ -1818,6 +2351,12 @@ class _EntCabac:
 
     def mvd(self, mbx, mby, px, py, pw, ph, lst: int = 0):
         return self.syn.mvd_pair(mbx, mby, px, py, pw, ph, lst=lst)
+
+    def t8_flag(self, mbx, mby) -> int:
+        raise NotImplementedError(
+            "CABAC transform_size_8x8_flag (ctxIdx 399..401) — "
+            "CAVLC High-profile streams decode; the CABAC 8x8 "
+            "context surface is the designated r12+ extension")
 
     def i4_mode(self):
         return self.syn.i4_mode()
@@ -1927,6 +2466,14 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
     #: to the colocated block's L1 motion when it predicted L1-only
     #: (a B picture used as reference), so the L1 ref POCs persist too
     mv_refpoc1 = [[None] * (4 * wm) for _ in range(4 * hm)]
+    #: High profile (r12): per-MB transform_size_8x8_flag (drives the
+    #: residual/deblock block size) + the PPS-effective scaling
+    #: matrices (None == Flat_16 fast path)
+    mb_t8 = [[False] * wm for _ in range(hm)]
+    t8_allowed = bool(pps.get("transform_8x8"))
+    sc4 = pps.get("scaling4")
+    sc8 = pps.get("scaling8")
+    cr_qp_off = pps.get("chroma_qp_off2", pps["chroma_qp_off"])
 
     cur_slice = 0
     r = _R(b"")
@@ -2010,14 +2557,61 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                 _interp_chroma(refs[ref][2], 8 * mbx, 8 * mby, 8, 8,
                                mvx, mvy))
 
+    def dq_ac(c, qp_, i, j, midx):
+        """4x4 AC dequant through the active scaling matrix ``midx``
+        (0..5); flat matrices take the folded fast path."""
+        if sc4 is None:
+            return _dequant_ac(c, qp_ % 6, qp_ // 6, i, j)
+        return _dq4_w(c, qp_, i, j, sc4[midx])
+
+    def read_scan64(bx, by):
+        """One 8x8 luma block's 64-coefficient scan. CAVLC reads 4
+        interleaved 4x4 blocks (7.4.5.3.2: level8x8[4*k + sub] =
+        level4x4[sub][k]), each sub-block's total_coeff landing in
+        its own 4x4 nC cell; CABAC reads a single ctxBlockCat-5
+        block."""
+        if use_cabac:
+            scan = ent.block("l8", -2, 64, (bx, by))
+            for sub in range(4):
+                sbx, sby = bx + sub % 2, by + sub // 2
+                luma_nc[sby][sbx] = sum(
+                    1 for k in range(16) if scan[4 * k + sub])
+            return scan
+        scan64 = [0] * 64
+        for sub in range(4):
+            sbx, sby = bx + sub % 2, by + sub // 2
+            sc = ent.block("l4", nc_of(luma_nc, sbx, sby, 4), 16,
+                           (sbx, sby))
+            luma_nc[sby][sbx] = sum(1 for v in sc if v)
+            for k in range(16):
+                scan64[4 * k + sub] = sc[k]
+        return scan64
+
+    def luma8x8_residual(mbx, mby, b8, qp_, intra: bool):
+        """Dequant + inverse-transform one coded 8x8 block ->
+        pre-clip residual rows (caller adds prediction)."""
+        ox, oy = 8 * (b8 % 2), 8 * (b8 // 2)
+        bx, by = (16 * mbx + ox) // 4, (16 * mby + oy) // 4
+        scan64 = read_scan64(bx, by)
+        w8 = None if sc8 is None else sc8[0 if intra else 1]
+        d = [[0] * 8 for _ in range(8)]
+        for k, (i, j) in enumerate(_ZIG8):
+            cv = scan64[k]
+            if cv:
+                d[i][j] = _dq8(cv, qp_, i, j, w8)
+        return _itrans8(d)
+
     def decode_chroma(mbx: int, mby: int, chroma_mode: int,
                       cbp_chroma: int, qp: int, preds=None) -> None:
-        qc = _qpc(qp + pps["chroma_qp_off"])
-        cdiv, cmod = qc // 6, qc % 6
+        intra = preds is None
         up = mb_avail(mbx, mby - 1)
         lf = mb_avail(mbx - 1, mby)
         for ci, (plane, grid) in enumerate(((cb_plane, cb_nc),
                                             (cr_plane, cr_nc))):
+            qc = _qpc(qp + (pps["chroma_qp_off"] if ci == 0
+                            else cr_qp_off))
+            cdiv, cmod = qc // 6, qc % 6
+            midx = (1 + ci) if intra else (4 + ci)
             cx0, cy0 = 8 * mbx, 8 * mby
             if preds is not None:
                 cpred = preds[ci]
@@ -2040,8 +2634,12 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                 [a + b + c + d4, a - b + c - d4],
                 [a + b - c - d4, a - b - c + d4],
             ]
-            cdc = [[_dequant_chroma_dc(fdc[i][j], qc) for j in range(2)]
-                   for i in range(2)]
+            if sc4 is None:
+                cdc = [[_dequant_chroma_dc(fdc[i][j], qc)
+                        for j in range(2)] for i in range(2)]
+            else:
+                cdc = [[_dq_chroma_dc_w(fdc[i][j], qc, sc4[midx][0])
+                        for j in range(2)] for i in range(2)]
             cac = [[0] * 15 for _ in range(4)]
             if cbp_chroma == 2:
                 for blk in range(4):
@@ -2061,7 +2659,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                 for k, (i, j) in enumerate(_ZIG4[1:]):
                     cval = cac[blk][k]
                     if cval:
-                        d[i][j] = _dequant_ac(cval, cmod, cdiv, i, j)
+                        d[i][j] = dq_ac(cval, qc, i, j, midx)
                 res = _itrans4(d)
                 for yy in range(4):
                     for xx in range(4):
@@ -2120,6 +2718,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
     def decode_inter_mb(mb: int, mb_type: int, num_ref: int) -> None:
         nonlocal qp
         mbx, mby = mb % wm, mb // wm
+        t8_ok = True
         if not refs:
             raise ValueError("P slice with an empty reference list")
         # te(v) bit-width is governed by the DECLARED
@@ -2137,6 +2736,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             subs = [ent.sub_mb_type() for _ in range(4)]
             if any(s > 3 for s in subs):
                 raise ValueError("sub_mb_type out of range in P slice")
+            t8_ok = all(s == 0 for s in subs)   # all parts 8x8
             if mb_type == 4:   # P_8x8ref0: refs fixed at 0, no bits
                 refs8 = [0, 0, 0, 0]
             else:
@@ -2202,19 +2802,52 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                 cpredr[py // 2 + yy][px // 2: px // 2 + pw // 2] = \
                     cr_blk[yy]
 
-        inter_residual(mbx, mby, pred16, cpredb, cpredr)
+        inter_residual(mbx, mby, pred16, cpredb, cpredr,
+                       t8_ok=t8_ok)
 
-    def inter_residual(mbx, mby, pred16, cpredb, cpredr) -> None:
-        """Shared inter tail (P r9, B r10): cbp + optional qp_delta +
-        luma residual blocks over the motion-compensated prediction,
-        then chroma reconstruction against the given predictions."""
+    def inter_residual(mbx, mby, pred16, cpredb, cpredr,
+                       t8_ok: bool = True) -> None:
+        """Shared inter tail (P r9, B r10): cbp + optional
+        transform_size_8x8_flag (High, r12 — between cbp and
+        qp_delta per 7.3.5) + qp_delta + luma residual blocks over
+        the motion-compensated prediction, then chroma against the
+        given predictions. ``t8_ok`` = the caller's
+        noSubMbPartSizeLessThan8x8 / direct-inference condition."""
         nonlocal qp
         cbp = ent.cbp(mbx, mby, intra=False)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp_chroma == 3:
             raise ValueError("cbp chroma component must be 0..2")
+        t8 = False
+        if t8_allowed and cbp_luma and t8_ok:
+            t8 = bool(ent.t8_flag(mbx, mby))
+            mb_t8[mby][mbx] = t8
         if cbp:
             qp = (qp + ent.qp_delta()) % 52
+        if t8:
+            out16 = [row[:] for row in pred16]
+            for b8 in range(4):
+                ox, oy = 8 * (b8 % 2), 8 * (b8 // 2)
+                bx = (16 * mbx + ox) // 4
+                by = (16 * mby + oy) // 4
+                if cbp_luma & (1 << b8):
+                    res = luma8x8_residual(mbx, mby, b8, qp, False)
+                    for yy in range(8):
+                        for xx in range(8):
+                            out16[oy + yy][ox + xx] = _clip8(
+                                pred16[oy + yy][ox + xx]
+                                + ((res[yy][xx] + 32) >> 6))
+                else:
+                    for sub in range(4):
+                        luma_nc[by + sub // 2][bx + sub % 2] = 0
+                    for yy in range(8):
+                        for xx in range(8):
+                            out16[oy + yy][ox + xx] = _clip8(
+                                pred16[oy + yy][ox + xx])
+            y_plane.put(16 * mbx, 16 * mby, out16)
+            decode_chroma(mbx, mby, 0, cbp_chroma, qp,
+                          preds=(cpredb, cpredr))
+            return
         qdiv, qmod = qp // 6, qp % 6
         out16 = [row[:] for row in pred16]
         for blk in range(16):
@@ -2229,7 +2862,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                 for k, (i, j) in enumerate(_ZIG4):
                     c = scan[k]
                     if c:
-                        d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
+                        d[i][j] = dq_ac(c, qp, i, j, 3)
                 res = _itrans4(d)
                 for yy in range(4):
                     for xx in range(4):
@@ -2506,7 +3139,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             p16, cbb, crb = _direct_part(mbx, mby, 0, 0, 16, 16,
                                          derived)
             place(0, 0, 16, 16, p16, cbb, crb)
-            inter_residual(mbx, mby, pred16, cpredb, cpredr)
+            inter_residual(mbx, mby, pred16, cpredb, cpredr,
+                           t8_ok=bool(sps.get("direct_8x8")))
             return
         if mb_type == 22:       # B_8x8
             subs = [ent.sub_mb_type() for _ in range(4)]
@@ -2577,7 +3211,12 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                                              mby, u0, u1, mv0, mv1,
                                              r0, r1)
                 place(px, py, sw, sh, yb, cbb, crb)
-            inter_residual(mbx, mby, pred16, cpredb, cpredr)
+            inter_residual(
+                mbx, mby, pred16, cpredb, cpredr,
+                t8_ok=all(
+                    (_B_SUBS[s][:2] == (8, 8) if s
+                     else bool(sps.get("direct_8x8")))
+                    for s in subs))
             return
         # one- and two-partition shapes (mb_type 1..21)
         if mb_type <= 3:
@@ -2660,6 +3299,69 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                     for bx in range(2 * mbx, 2 * mbx + 2):
                         grid[by][bx] = 16
             return
+        if mb_type == 0 and t8_allowed and ent.t8_flag(mbx, mby):
+            # ---- Intra_8x8 (High profile, r12) ----
+            mb_t8[mby][mbx] = True
+            modes = []
+            for b8 in range(4):
+                cx, cy = 2 * (b8 % 2), 2 * (b8 // 2)
+                bx, by = 4 * mbx + cx, 4 * mby + cy
+                availA = cx > 0 or mb_avail(mbx - 1, mby)
+                availB = cy > 0 or mb_avail(mbx, mby - 1)
+                if not (availA and availB):
+                    predm = 2   # unavailable neighbor forces DC
+                else:
+                    ma = (i4_modes[by][bx - 1]
+                          if mb_i4[by // 4][(bx - 1) // 4] else 2)
+                    mb_ = (i4_modes[by - 1][bx]
+                           if mb_i4[(by - 1) // 4][bx // 4] else 2)
+                    predm = min(ma, mb_)
+                flag, rem = ent.i4_mode()
+                m8 = predm if flag else (rem if rem < predm
+                                         else rem + 1)
+                modes.append(m8)
+                # the 8x8 mode covers its four 4x4 cells so 4x4/8x8
+                # neighbors predict from it uniformly (8.3.2.1)
+                for yy in range(2):
+                    for xx in range(2):
+                        i4_modes[by + yy][bx + xx] = m8
+            mb_i4[mby][mbx] = True
+            chroma_mode = ent.chroma_mode(mbx, mby)
+            cbp = ent.cbp(mbx, mby, intra=True)
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp_chroma == 3:
+                raise ValueError("cbp chroma component must be 0..2")
+            if cbp:
+                qp = (qp + ent.qp_delta()) % 52
+            for b8 in range(4):
+                ox, oy = 8 * (b8 % 2), 8 * (b8 // 2)
+                gx, gy = 16 * mbx + ox, 16 * mby + oy
+                bx, by = gx // 4, gy // 4
+                first = 4 * b8   # coding index of the quadrant's
+                up_ok = blk_decoded(bx, by - 1, mb, first)
+                lf_ok = blk_decoded(bx - 1, by, mb, first)
+                tl_ok = blk_decoded(bx - 1, by - 1, mb, first)
+                tr_ok = blk_decoded(bx + 2, by - 1, mb, first)
+                top = y_plane.row(gx, gy - 1, 8) if up_ok else None
+                left = y_plane.col(gx - 1, gy, 8) if lf_ok else None
+                tl = (y_plane.px[(gy - 1) * y_plane.w + gx - 1]
+                      if tl_ok else None)
+                tr = (y_plane.row(gx + 8, gy - 1, 8)
+                      if tr_ok else None)
+                pred = _pred8(modes[b8], top, left, tl, tr)
+                if cbp_luma & (1 << b8):
+                    res = luma8x8_residual(mbx, mby, b8, qp, True)
+                    blk_out = [
+                        [_clip8(pred[yy][xx]
+                                + ((res[yy][xx] + 32) >> 6))
+                         for xx in range(8)] for yy in range(8)]
+                else:
+                    for sub in range(4):
+                        luma_nc[by + sub // 2][bx + sub % 2] = 0
+                    blk_out = pred
+                y_plane.put(gx, gy, blk_out)
+            decode_chroma(mbx, mby, chroma_mode, cbp_chroma, qp)
+            return
         if mb_type == 0:
             # ---- Intra_4x4 (r9) ----
             modes = []
@@ -2716,7 +3418,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                     for k, (i, j) in enumerate(_ZIG4):
                         c = scan[k]
                         if c:
-                            d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
+                            d[i][j] = dq_ac(c, qp, i, j, 0)
                     res = _itrans4(d)
                     blk_out = [
                         [_clip8(pred[yy][xx] + ((res[yy][xx] + 32) >> 6))
@@ -2756,8 +3458,12 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             dc[i][j] = dc_scan[k]
         f = _hadamard4(dc)
         qdiv, qmod = qp // 6, qp % 6
-        dcs = [[_dequant_luma_dc(f[i][j], qp) for j in range(4)]
-               for i in range(4)]
+        if sc4 is None:
+            dcs = [[_dequant_luma_dc(f[i][j], qp) for j in range(4)]
+                   for i in range(4)]
+        else:
+            dcs = [[_dq_luma_dc_w(f[i][j], qp, sc4[0][0])
+                    for j in range(4)] for i in range(4)]
 
         ac_scans = [[0] * 16 for _ in range(16)]
         if cbp_luma:
@@ -2783,7 +3489,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             for k, (i, j) in enumerate(_ZIG4[1:]):
                 c = ac_scans[blk][k]
                 if c:
-                    d[i][j] = _dequant_ac(c, qmod, qdiv, i, j)
+                    d[i][j] = dq_ac(c, qp, i, j, 0)
             res = _itrans4(d)
             for yy in range(4):
                 for xx in range(4):
@@ -2930,7 +3636,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                          mb_qp_g, mb_ipcm, mb_slice, slice_db,
                          pps["chroma_qp_off"],
                          luma_nc=luma_nc if has_inter else None,
-                         mv_g=mv_g if has_inter else None)
+                         mv_g=mv_g if has_inter else None,
+                         mb_t8=mb_t8 if t8_allowed else None)
     return (y_plane, cb_plane, cr_plane, mv_g, mv_refpoc,
             mv_g1, mv_refpoc1)
 
@@ -2996,7 +3703,7 @@ def decode_video_yuv(data: bytes, max_frames: int | None = None,
         if typ == 7 and sps is None:
             sps = parse_sps(rbsp)
         elif typ == 8 and pps is None:
-            pps = parse_pps(rbsp)
+            pps = parse_pps(rbsp, sps)
         elif typ in (1, 5):
             if _R(rbsp).ue() == 0 or not pics:
                 pics.append([])
@@ -3257,7 +3964,8 @@ def _pad420(ys, cbs, crs):
 def _write_sps_pps(wm: int, hm: int, w: int, h: int,
                    init_qp: int = 26, max_ref: int = 0,
                    poc0: bool = False, wbipred: int = 0,
-                   direct8x8: bool = False) -> bytes:
+                   direct8x8: bool = False,
+                   high8x8: bool = False) -> bytes:
     """SPS + PPS NALs for the engine encoders (baseline, one slice
     group, CAVLC, deblocking signalled off by the slice header).
     ``poc0`` selects pic_order_cnt_type 0 with 6-bit lsb (the B
@@ -3267,10 +3975,17 @@ def _write_sps_pps(wm: int, hm: int, w: int, h: int,
     Main-profile streams virtually always set it, and it changes
     which COLOCATED blocks direct modes consult (the 8x8 corners)."""
     sps = _W()
-    sps.u(66 if not poc0 else 77, 8)   # baseline / main (B slices)
+    # baseline / main (B slices) / high (8x8 transform, r12)
+    sps.u(100 if high8x8 else (66 if not poc0 else 77), 8)
     sps.u(0, 8)    # constraint flags / reserved
     sps.u(30, 8)   # level 3.0
     sps.ue(0)      # sps id
+    if high8x8:
+        sps.ue(1)      # chroma_format_idc 4:2:0
+        sps.ue(0)      # bit_depth_luma_minus8
+        sps.ue(0)      # bit_depth_chroma_minus8
+        sps.u(0, 1)    # qpprime_y_zero_transform_bypass
+        sps.u(0, 1)    # seq_scaling_matrix_present (Flat_16)
     sps.ue(0)      # log2_max_frame_num_minus4
     if poc0:
         sps.ue(0)  # pic_order_cnt_type 0
@@ -3310,6 +4025,10 @@ def _write_sps_pps(wm: int, hm: int, w: int, h: int,
     pps.u(1, 1)    # deblocking_filter_control_present
     pps.u(0, 1)    # constrained_intra_pred
     pps.u(0, 1)    # redundant_pic_cnt_present
+    if high8x8:
+        pps.u(1, 1)    # transform_8x8_mode_flag
+        pps.u(0, 1)    # pic_scaling_matrix_present
+        pps.se(0)      # second_chroma_qp_index_offset
     return out + _nal(pps.trailing(), 3, 8)
 
 
@@ -3353,10 +4072,11 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
     against it; decoding then needs the ``deblock_tc0`` seam (any
     injected values round-trip — the self-check pins the FILTER, the
     real Table 8-17 matters only for foreign streams)."""
-    if mb_mode not in ("i16", "i4"):
-        raise ValueError("mb_mode must be 'i16' or 'i4'")
+    if mb_mode not in ("i16", "i4", "i8"):
+        raise ValueError("mb_mode must be 'i16', 'i4' or 'i8'")
     ys, cbs, crs, w, h, wm, hm = _pad420(ys, cbs, crs)
-    out = _write_sps_pps(wm, hm, w, h, init_qp=qp)
+    out = _write_sps_pps(wm, hm, w, h, init_qp=qp,
+                         high8x8=(mb_mode == "i8"))
 
     n_mbs = wm * hm
     # slice boundaries align to MB ROWS: a slice starting mid-row
@@ -3395,6 +4115,7 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
     cr_nc = [[-1] * (2 * wm) for _ in range(2 * hm)]
     i4_modes = [[2] * (4 * wm) for _ in range(4 * hm)]
     mb_i4 = [[False] * wm for _ in range(hm)]
+    mb_t8_g = [[False] * wm for _ in range(hm)]
     mb_slice = [[-1] * wm for _ in range(hm)]
     cur_slice = 0
     qdiv, qmod = qp // 6, qp % 6
@@ -3621,6 +4342,80 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
                     for xx in range(4):
                         out16[oy + yy][ox + xx] = rb[yy][xx]
             ry.put(x0, y0, out16)
+        elif mb_mode == "i8":
+            # ---- Intra_8x8 (High profile, all-DC modes, r12) ----
+            mb_i4[mby][mbx] = True
+            mb_t8_g[mby][mbx] = True
+            sl.ue(0)      # mb_type I_NxN
+            sl.u(1, 1)    # transform_size_8x8_flag
+            for b8 in range(4):
+                cx, cy = 2 * (b8 % 2), 2 * (b8 // 2)
+                bx, by = 4 * mbx + cx, 4 * mby + cy
+                availA = cx > 0 or mb_avail(mbx - 1, mby)
+                availB = cy > 0 or mb_avail(mbx, mby - 1)
+                if not (availA and availB):
+                    predm = 2
+                else:
+                    ma = (i4_modes[by][bx - 1]
+                          if mb_i4[by // 4][(bx - 1) // 4] else 2)
+                    mb_2 = (i4_modes[by - 1][bx]
+                            if mb_i4[(by - 1) // 4][bx // 4] else 2)
+                    predm = min(ma, mb_2)
+                if predm == 2:
+                    sl.u(1, 1)             # prev flag
+                else:
+                    sl.u(0, 1)
+                    sl.u(2 if 2 < predm else 1, 3)
+                for yy in range(2):
+                    for xx in range(2):
+                        i4_modes[by + yy][bx + xx] = 2
+            cbp_chroma, cwriters = encode_chroma(mbx, mby)
+            cbp = 15 | (cbp_chroma << 4)
+            rev = {v: k
+                   for k, v in _need("cbp_intra", "intra").items()}
+            if cbp not in rev:
+                raise ValueError(
+                    f"cbp {cbp} unmapped in cbp_intra seam")
+            sl.ue(0)          # intra_chroma_pred_mode DC
+            sl.ue(rev[cbp])   # coded_block_pattern me(v)
+            sl.se(0)          # mb_qp_delta
+            for b8 in range(4):
+                ox, oy = 8 * (b8 % 2), 8 * (b8 // 2)
+                gx, gy = x0 + ox, y0 + oy
+                bx, by = gx // 4, gy // 4
+                first = 4 * b8
+                up_ok = blk_decoded(bx, by - 1, mb, first)
+                lf_ok = blk_decoded(bx - 1, by, mb, first)
+                tl_ok = blk_decoded(bx - 1, by - 1, mb, first)
+                tr_ok = blk_decoded(bx + 2, by - 1, mb, first)
+                top = ry.row(gx, gy - 1, 8) if up_ok else None
+                left = ry.col(gx - 1, gy, 8) if lf_ok else None
+                tl = (ry.px[(gy - 1) * ry.w + gx - 1]
+                      if tl_ok else None)
+                tr = ry.row(gx + 8, gy - 1, 8) if tr_ok else None
+                pred = _pred8(2, top, left, tl, tr)
+                xres = residual(src_block(ys, gx, gy, 8), pred, 8)
+                scan64 = _quant8(xres, qp, dense)
+                for sub in range(4):
+                    sbx, sby = bx + sub % 2, by + sub // 2
+                    sub_scan = [scan64[4 * k + sub]
+                                for k in range(16)]
+                    _cavlc_write_block(sl, sub_scan,
+                                       nc_of(luma_nc, sbx, sby), 16)
+                    luma_nc[sby][sbx] = sum(
+                        1 for v in sub_scan if v)
+                d = [[0] * 8 for _ in range(8)]
+                for k, (i, j) in enumerate(_ZIG8):
+                    c = scan64[k]
+                    if c:
+                        d[i][j] = _dq8(c, qp, i, j, None)
+                res8 = _itrans8(d)
+                ry.put(gx, gy, [
+                    [_clip8(pred[yy][xx]
+                            + ((res8[yy][xx] + 32) >> 6))
+                     for xx in range(8)] for yy in range(8)])
+            for cw in cwriters:
+                cw()
         else:
             # ---- Intra_4x4 (all blocks DC mode) ----
             mb_i4[mby][mbx] = True
@@ -3688,7 +4483,8 @@ def encode_quantized_yuv(ys, cbs, crs, qp: int = 10, mb_mode: str = "i16",
         for s in slice_starts:
             mb_ipcm[s // wm][s % wm] = True
         _deblock_picture(ry, rcb, rcr, wm, hm, mb_qp_g, mb_ipcm,
-                         mb_slice, [(0, 0, 0)] * len(slice_starts), 0)
+                         mb_slice, [(0, 0, 0)] * len(slice_starts), 0,
+                         mb_t8=mb_t8_g if mb_mode == "i8" else None)
 
     def crop_plane(plane, cw, ch):
         return [list(plane.px[y * plane.w: y * plane.w + cw])
@@ -4305,9 +5101,15 @@ def transcode_to_cabac(data: bytes) -> bytes:
             order.append(("nal", _nal(rbsp, ref, typ)))
         elif typ == 8:
             if pps is None:
-                pps = parse_pps(rbsp)
+                pps = parse_pps(rbsp, sps)
                 if pps.get("entropy"):
                     raise ValueError("stream is already CABAC")
+                if pps.get("transform_8x8"):
+                    raise NotImplementedError(
+                        "CAVLC->CABAC transcode of transform_8x8 "
+                        "streams — the ctxBlockCat-5 CABAC context "
+                        "surface (ctxIdx 399..435/1012+, Table 9-43 "
+                        "maps) is the designated r12+ extension")
                 rb = bytearray(rbsp)
                 rr = _R(rbsp)
                 rr.ue()
