@@ -2152,7 +2152,8 @@ def _interp_chroma(arr, cx0: int, cy0: int, bw: int, bh: int,
 # ctxBlockCat: "ldc"=0 (Intra16 luma DC), "lac"=1 (Intra16 AC),
 # "l4"=2 (luma 4x4), "cdc"=3 (chroma DC), "cac"=4 (chroma AC).
 
-_BLOCK_CAT = {"ldc": 0, "lac": 1, "l4": 2, "cdc": 3, "cac": 4}
+_BLOCK_CAT = {"ldc": 0, "lac": 1, "l4": 2, "cdc": 3, "cac": 4,
+              "l8": 5}
 
 
 class _EntCavlc:
@@ -2310,7 +2311,7 @@ class _EntCabac:
     def _start(self, mbx, mby):
         self.cur = {"mb_type": None, "cbp": 0, "cmode": 0,
                     "ldc": 0, "cdc": [0, 0], "ipcm": False,
-                    "bdirect": False}
+                    "bdirect": False, "t8": 0}
 
     def mb_type(self, mbx, mby, mode) -> int:
         self._start(mbx, mby)
@@ -2353,10 +2354,9 @@ class _EntCabac:
         return self.syn.mvd_pair(mbx, mby, px, py, pw, ph, lst=lst)
 
     def t8_flag(self, mbx, mby) -> int:
-        raise NotImplementedError(
-            "CABAC transform_size_8x8_flag (ctxIdx 399..401) — "
-            "CAVLC High-profile streams decode; the CABAC 8x8 "
-            "context surface is the designated r12+ extension")
+        v = self.syn.transform8_flag(mbx, mby)
+        self.cur["t8"] = v
+        return v
 
     def i4_mode(self):
         return self.syn.i4_mode()
@@ -2400,7 +2400,8 @@ class _EntCabac:
             self.syn.m.note_mb(mbx, mby, intra=False, inxn=False,
                                ipcm=False, i16=False, cbp=c["cbp"],
                                cmode=0, ldc=0, cdc=c["cdc"],
-                               bdirect=c["bdirect"])
+                               bdirect=c["bdirect"],
+                               t8=bool(c.get("t8")))
             return
         i16 = 1 <= iv <= 24
         if iv == 0 and not c["cbp"]:
@@ -2408,7 +2409,7 @@ class _EntCabac:
         self.syn.m.note_mb(mbx, mby, intra=True, inxn=iv == 0,
                            ipcm=c["ipcm"], i16=i16, cbp=c["cbp"],
                            cmode=c["cmode"], ldc=c["ldc"],
-                           cdc=c["cdc"])
+                           cdc=c["cdc"], t8=bool(c.get("t8")))
 
 
 def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
@@ -5013,12 +5014,51 @@ def _write_cabac_slice_data(w: _W, records: list, hdr: dict,
             syn.end_of_slice(1 if last else 0)
             mb += 1
             continue
-        if iv == 0:              # Intra_4x4
+        t8_mb = bool(rec.get("t8"))
+        blocks = rec["blocks"]
+        wcbp = rec["cbp"]
+        if t8_mb:
+            # reassemble each coded 8x8's four interleaved CAVLC
+            # sub-blocks (7.4.5.3.2) into one cat-5 scan; an 8x8
+            # that decoded ALL-ZERO has no CABAC form (cat 5 carries
+            # no coded_block_flag) so its cbp bit is cleared — the
+            # picture is identical, but a nonzero qp_delta whose
+            # carrier vanishes entirely cannot be preserved
+            groups, lgroup, rest = [], [], []
+            for kind, pos, scan in rec["blocks"]:
+                if kind == "l4":
+                    lgroup.append((pos, scan))
+                    if len(lgroup) == 4:
+                        s64 = [0] * 64
+                        for sub, (_p, sc) in enumerate(lgroup):
+                            for k in range(16):
+                                s64[4 * k + sub] = sc[k]
+                        groups.append((lgroup[0][0], s64))
+                        lgroup = []
+                else:
+                    rest.append((kind, pos, scan))
+            coded_b8 = [b for b in range(4)
+                        if (wcbp or 0) & (1 << b)]
+            keep_luma = 0
+            blocks = []
+            for b8, (gpos, s64) in zip(coded_b8, groups):
+                if any(s64):
+                    keep_luma |= 1 << b8
+                    blocks.append(("l8", gpos, s64))
+            blocks += rest
+            wcbp = keep_luma | ((wcbp or 0) & 0x30)
+            if not wcbp and rec["cbp"] and rec.get("qpd"):
+                raise ValueError(
+                    "cannot transcode: all-zero 8x8 residuals with "
+                    "a nonzero mb_qp_delta have no CABAC carrier")
+        if iv == 0:              # Intra_4x4 / Intra_8x8
+            if rec.get("t8") is not None:
+                syn.transform8_flag(mbx, mby, rec["t8"])
             for fl, rem in rec["i4"]:
                 syn.i4_mode((fl, rem if rem is not None else 0))
             syn.intra_chroma_mode(mbx, mby, rec["cmode"])
-            syn.cbp(mbx, mby, rec["cbp"])
-            if rec["cbp"]:
+            syn.cbp(mbx, mby, wcbp)
+            if wcbp:
                 syn.qp_delta(rec["qpd"])
         elif iv > 0:             # Intra_16x16 (cbp rides mb_type)
             syn.intra_chroma_mode(mbx, mby, rec["cmode"])
@@ -5042,29 +5082,34 @@ def _write_cabac_slice_data(w: _W, records: list, hdr: dict,
                                 lst=lst)
             for px, py, pw, ph, val, lst in rec["mvds"]:
                 syn.mvd_pair(mbx, mby, px, py, pw, ph, val, lst=lst)
-            syn.cbp(mbx, mby, rec["cbp"])
-            if rec["cbp"]:
+            syn.cbp(mbx, mby, wcbp)
+            # inter transform_size_8x8_flag sits between cbp and
+            # qp_delta and only exists while luma cbp survives
+            if rec.get("t8") is not None and (wcbp or 0) & 15:
+                syn.transform8_flag(mbx, mby, rec["t8"])
+            if wcbp:
                 syn.qp_delta(rec["qpd"])
-        for kind, pos, scan in rec["blocks"]:
+        for kind, pos, scan in blocks:
             syn.block(_BLOCK_CAT[kind], pos, len(scan), cur, scan)
         if iv >= 0:
-            if (rec["cbp"] is None or not rec["cbp"]) and iv == 0:
+            if (wcbp is None or not wcbp) and iv == 0:
                 model.prev_qpd_nz = False
-            cbp = rec["cbp"] or 0
+            cbp = wcbp or 0
             if 1 <= iv <= 24:
                 rest = (iv - 1) // 4
                 cbp = ((rest % 3) << 4) | (15 if rest >= 3 else 0)
             model.note_mb(mbx, mby, intra=True, inxn=iv == 0,
                           ipcm=False, i16=1 <= iv <= 24, cbp=cbp,
                           cmode=rec["cmode"] or 0, ldc=cur["ldc"],
-                          cdc=cur["cdc"])
+                          cdc=cur["cdc"], t8=t8_mb)
         else:
-            if not rec["cbp"]:
+            if not wcbp:
                 model.prev_qpd_nz = False
             model.note_mb(mbx, mby, intra=False, inxn=False,
-                          ipcm=False, i16=False, cbp=rec["cbp"] or 0,
+                          ipcm=False, i16=False, cbp=wcbp or 0,
                           cmode=0, ldc=0, cdc=cur["cdc"],
-                          bdirect=bool(is_b) and rec["t"] == 0)
+                          bdirect=bool(is_b) and rec["t"] == 0,
+                          t8=t8_mb and bool((wcbp or 0) & 15))
         syn.end_of_slice(1 if last else 0)
         mb += 1
     while len(bits) & 7:
@@ -5104,12 +5149,6 @@ def transcode_to_cabac(data: bytes) -> bytes:
                 pps = parse_pps(rbsp, sps)
                 if pps.get("entropy"):
                     raise ValueError("stream is already CABAC")
-                if pps.get("transform_8x8"):
-                    raise NotImplementedError(
-                        "CAVLC->CABAC transcode of transform_8x8 "
-                        "streams — the ctxBlockCat-5 CABAC context "
-                        "surface (ctxIdx 399..435/1012+, Table 9-43 "
-                        "maps) is the designated r12+ extension")
                 rb = bytearray(rbsp)
                 rr = _R(rbsp)
                 rr.ue()

@@ -79,9 +79,12 @@ _TABLES_ENV = "SPARK_GRAFT_CABAC_TABLES"
 _env_load_done = False
 
 #: CABAC seam storage: "range_lps" = 64x4 ints, "trans_lps" = 64 ints,
-#: "init" = {"I"/"P0"/"P1"/"P2": [[m, n] x >=277]}
+#: "init" = {"I"/"P0"/"P1"/"P2": [[m, n] x >=277]} (>= 436 pairs to
+#: cover the High-profile 8x8 contexts), "sig8x8_map"/"last8x8_map" =
+#: the 63-entry Table 9-43 position->ctxIdxInc mappings (r12)
 CABAC: dict[str, object] = {"range_lps": None, "trans_lps": None,
-                            "init": {}}
+                            "init": {}, "sig8x8_map": None,
+                            "last8x8_map": None}
 
 
 def load_cabac_tables(source) -> int:
@@ -134,6 +137,16 @@ def load_cabac_tables(source) -> int:
                     f"(got {len(pairs)} pairs)")
             CABAC["init"][key] = [(int(m), int(n)) for m, n in pairs]
         loaded += 1
+    for name, hi in (("sig8x8_map", 14), ("last8x8_map", 8)):
+        vals = source.get(name)
+        if vals is not None:
+            if len(vals) != 63 or any(not 0 <= int(v) <= hi
+                                      for v in vals):
+                raise ValueError(
+                    f"{name} must be 63 ctxIdxInc values in "
+                    f"[0, {hi}] (Table 9-43, frame coding)")
+            CABAC[name] = [int(v) for v in vals]
+            loaded += 1
     return loaded
 
 
@@ -342,8 +355,33 @@ class CabacEncoder:
 
 #: significance-map context offsets per ctxBlockCat (frame coding)
 _SIGOFF = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}
-#: coeff_abs_level_minus1 context offsets per ctxBlockCat
-_LEVOFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}
+#: coeff_abs_level_minus1 context offsets per ctxBlockCat; cat 5
+#: (8x8 luma, High) sits at ctxIdxOffset 426 = 227 + 199
+_LEVOFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39, 5: 199}
+
+
+def _need_8x8(states: list):
+    """The cat-5 surfaces are seam-gated twice: Table 9-43 position
+    maps AND init pairs covering ctxIdx 0..435."""
+    smap = CABAC.get("sig8x8_map")
+    lmap = CABAC.get("last8x8_map")
+    if smap is None or lmap is None:
+        _try_env_tables()
+        smap = CABAC.get("sig8x8_map")
+        lmap = CABAC.get("last8x8_map")
+    if smap is None or lmap is None:
+        raise NotImplementedError(
+            "8x8 CABAC significance maps (Table 9-43) are tabulated "
+            "spec data — inject load_cabac_tables({'sig8x8_map': "
+            "[...63], 'last8x8_map': [...63]}) or "
+            "$SPARK_GRAFT_CABAC_TABLES")
+    if len(states) < 436:
+        raise NotImplementedError(
+            "8x8 CABAC contexts (transform_size_8x8_flag 399..401, "
+            "sig/last 402..425, abs 426..435) need init pairs "
+            "covering ctxIdx 0..435 — the loaded init table stops "
+            f"at {len(states) - 1}")
+    return smap, lmap
 
 
 class MbState:
@@ -395,7 +433,8 @@ class MbState:
 
     def note_mb(self, mbx: int, mby: int, *, intra: bool, inxn: bool,
                 ipcm: bool, i16: bool, cbp: int, cmode: int,
-                ldc: int, cdc, bdirect: bool = False) -> None:
+                ldc: int, cdc, bdirect: bool = False,
+                t8: bool = False) -> None:
         if ipcm:
             cbp, ldc, cdc = 0x2F, 1, [1, 1]
             for by in range(4 * mby, 4 * mby + 4):
@@ -416,7 +455,8 @@ class MbState:
                                "inxn": inxn, "ipcm": ipcm,
                                "i16": i16, "cbp": cbp,
                                "cmode": cmode, "ldc": ldc,
-                               "cdc": list(cdc), "bdirect": bdirect}
+                               "cdc": list(cdc), "bdirect": bdirect,
+                               "t8": t8}
 
     def note_mvd(self, mbx, mby, px, py, pw, ph, ax, ay,
                  lst: int = 0) -> None:
@@ -979,15 +1019,41 @@ class CabacSyntax:
             cur["cdc"][pos[2]] = cbf
         elif cat in (1, 2):
             self.m.cbf_l[pos[1]][pos[0]] = cbf
+        elif cat == 5:
+            # the 8x8's coded status covers all four 4x4 cells so a
+            # 4x4-transformed neighbor's cbf inference sees it
+            bx, by = pos
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    self.m.cbf_l[by + dy][bx + dx] = cbf
         else:
             ci, bx, by = pos
             self.m.cbf_c[ci][by][bx] = cbf
+
+    def transform8_flag(self, mbx: int, mby: int, val=None) -> int:
+        """transform_size_8x8_flag (9.3.3.1.1.10): ctxIdx 399 +
+        condTermA + condTermB over the neighbor MBs' flags."""
+        _need_8x8(self.st)
+        inc = 0
+        for nbx, nby in ((mbx - 1, mby), (mbx, mby - 1)):
+            ninf = self.m.mbinfo(nbx, nby)
+            if ninf is not None and ninf.get("t8"):
+                inc += 1
+        return self._bit(399 + inc, val)
 
     def block(self, cat: int, pos, n: int, cur: dict, scan=None):
         """residual_block_cabac: coded_block_flag, significance map,
         levels (reverse scan) — returns the scan-order coefficient
         list. ``cur`` collects the current MB's DC cbf values for
-        :meth:`MbState.note_mb`."""
+        :meth:`MbState.note_mb`.
+
+        cat 5 (High 8x8 luma, r12): coded_block_flag is NOT coded
+        for maxNumCoeff==64 under ChromaArrayType 1/2 (7.3.5.3.3 —
+        the cbp bit already said the 8x8 is coded); sig/last ctxIdx
+        come from the seam Table 9-43 position maps at offsets
+        402/417, levels at 426."""
+        if cat == 5:
+            return self._block8(pos, cur, scan)
         cbf_ctx = 85 + cat * 4 + self._cbf_inc(cat, pos)
         if scan is not None:
             cbf = 1 if any(scan) else 0
@@ -1027,6 +1093,33 @@ class CabacSyntax:
             # implicitly significant (coded_block_flag said non-empty)
             sig[n - 1] = 1
         self._levels(cat, out, last_at, sig)
+        return out
+
+    def _block8(self, pos, cur: dict, scan=None):
+        smap, lmap = _need_8x8(self.st)
+        self._store_cbf(5, pos, 1, cur)
+        if scan is not None:
+            last_at = max(i for i, v in enumerate(scan) if v)
+            for i in range(min(last_at + 1, 63)):
+                sig = 1 if scan[i] else 0
+                self._bit(402 + smap[i], sig)
+                if sig:
+                    self._bit(417 + lmap[i],
+                              1 if i == last_at else 0)
+            self._levels(5, scan, last_at)
+            return scan
+        out = [0] * 64
+        sig = [0] * 64
+        last_at = 63
+        for i in range(63):
+            if self._bit(402 + smap[i]):
+                sig[i] = 1
+                if self._bit(417 + lmap[i]):
+                    last_at = i
+                    break
+        else:
+            sig[63] = 1
+        self._levels(5, out, last_at, sig)
         return out
 
     def _levels(self, cat: int, scan, last_at: int, sig=None) -> None:
