@@ -1800,6 +1800,23 @@ def _synthetic_real_media_rows_build(
             rows.append((n + 35, "video",
                          bytearray(transcode_to_cabac(
                              encode_video_b_skip(px11))), "{}"))
+        # r12: a HIGH-PROFILE clip — profile-100 SPS, transform_8x8
+        # PPS, Intra_8x8 all-DC macroblocks with CAVLC-interleaved
+        # 8x8 residuals (operators/h264.py mb_mode='i8'). Env-gated
+        # on the CAVLC seam's cbp_intra map (Table 9-4), which the
+        # encoder's me(v) reverse lookup AND every worker's decode
+        # both need; same both-sides-gated consistency as the CABAC
+        # rows.
+        from data_migration_etl_scripts_spark.operators import (
+            h264 as _h264,
+        )
+
+        _h264._try_env_tables()
+        if (os.environ.get(_h264._TABLES_ENV)
+                and _h264.CAVLC["cbp_intra"].get("intra")):
+            rows.append((n + 38, "video",
+                         bytearray(encode_quantized(
+                             px9, qp=12, mb_mode="i8")), "{}"))
         # r10: a QUANTIZED Ogg-Vorbis stream (flat floors +
         # pseudorandom residues through real stream codebooks) —
         # env-gated on the floor1 inverse-dB seam, which decode needs

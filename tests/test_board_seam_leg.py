@@ -21,6 +21,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 _DRIVER = r"""
 import json, sys
@@ -48,7 +49,7 @@ finally:
 fixture = {mid: (mtype, bytes(content))
            for mid, mtype, content, _m in mm.synthetic_real_media_rows(
                24, include_mpeg=True)}
-gated = {24 + 30, 24 + 33, 24 + 35, 24 + 36}
+gated = {24 + 30, 24 + 33, 24 + 35, 24 + 36, 24 + 38}
 assert gated <= set(fixture), sorted(fixture)
 assert len(rows) == len(fixture), (len(rows), len(fixture))
 seen = set()
@@ -105,13 +106,20 @@ def _synthetic_sbr_tables() -> dict:
 
 
 def test_board_runs_with_populated_seams():
-    """The 62-row board (58 default + CABAC-I n+30 + quantized-Vorbis
-    n+33 + CABAC-B n+35 + HE-AAC SBR n+36) decodes end to end through
-    Spark with synthetic seam tables injected via the env vars, and
-    every row's features match the driver-side recompute."""
+    """The 63-row board (58 default + CABAC-I n+30 + quantized-Vorbis
+    n+33 + CABAC-B n+35 + HE-AAC SBR n+36 + High-profile i8 n+38)
+    decodes end to end through Spark with synthetic seam tables
+    injected via the env vars, and every row's features match the
+    driver-side recompute."""
     env = dict(os.environ)
     env["SPARK_GRAFT_CABAC_TABLES"] = json.dumps(
         _synthetic_cabac_tables())
+    # the CAVLC loader takes a PATH (not inline JSON): stage the
+    # synthetic Table 9-4 bijection in a temp file for the workers
+    cavlc_path = os.path.join(tempfile.mkdtemp(), "cavlc.json")
+    with open(cavlc_path, "w") as fh:
+        json.dump({"cbp_intra": [[i, i] for i in range(48)]}, fh)
+    env["SPARK_GRAFT_CAVLC_TABLES"] = cavlc_path
     env["SPARK_GRAFT_VORBIS_TABLES"] = json.dumps(
         {"floor1_inverse_db": [(i / 255.0) ** 2 for i in range(256)]})
     env["SPARK_GRAFT_SBR_TABLES"] = json.dumps(
