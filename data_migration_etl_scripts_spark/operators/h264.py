@@ -1931,6 +1931,88 @@ def _implicit_weights(cur: int, poc0: int, poc1: int):
     return 64 - w1, w1
 
 
+def _parse_ref_mod(r: _R) -> list:
+    """ref_pic_list_modification commands (7.3.3.1) until idc 3:
+    [(idc, abs_diff_pic_num_minus1), ...]. Long-term picture
+    modification (idc 2) raises namefully — the long-term reference
+    machinery (MMCO 2/3/4/6) is the remaining marking scope."""
+    out = []
+    while True:
+        idc = r.ue()
+        if idc == 3:
+            return out
+        if idc == 2:
+            raise NotImplementedError(
+                "ref_pic_list_modification with long_term_pic_num "
+                "(modification_of_pic_nums_idc 2) — long-term "
+                "reference machinery")
+        if idc > 3:
+            raise ValueError(
+                f"modification_of_pic_nums_idc {idc} out of range")
+        out.append((idc, r.ue()))
+
+
+def _parse_mmco(r: _R) -> list:
+    """Adaptive dec_ref_pic_marking (7.3.3.3): MMCO 1 (unmark a
+    short-term picture by PicNum difference) is implemented; the
+    long-term / reset operations raise namefully."""
+    out = []
+    while True:
+        op = r.ue()
+        if op == 0:
+            return out
+        if op == 1:
+            out.append((1, r.ue()))
+        else:
+            raise NotImplementedError(
+                f"memory_management_control_operation {op} — "
+                "long-term marking (2/3/4/6) and the MMCO-5 reset "
+                "are the remaining marking scope")
+
+
+def _entry_pic_num(e, cur_fn: int, max_fn: int):
+    """PicNum of a DPB entry (8.2.4.1, frame coding): FrameNumWrap =
+    frame_num - MaxFrameNum when the stored frame_num exceeds the
+    current one. None for entries without a stored frame_num."""
+    fn = e[8] if len(e) > 8 else None
+    if fn is None:
+        return None
+    return fn if fn <= cur_fn else fn - max_fn
+
+
+def _apply_ref_mod(initial, cmds, cur_fn: int, max_fn: int):
+    """Short-term reference list modification (8.2.4.3.1): each
+    command derives picNumLX from the running predictor with
+    MaxPicNum wrap, then lifts that picture to the next slot,
+    shifting the rest down. Pool == the full initial list (every
+    reference appears exactly once, so pop+insert equals the spec's
+    insert+dedup)."""
+    lst = list(initial)
+    pred = cur_fn
+    idx = 0
+    for idc, val in cmds:
+        if idc == 0:
+            nw = pred - (val + 1)
+            if nw < 0:
+                nw += max_fn
+        else:
+            nw = pred + (val + 1)
+            if nw >= max_fn:
+                nw -= max_fn
+        pred = nw
+        pic_num = nw if nw <= cur_fn else nw - max_fn
+        pos = next((k for k, e in enumerate(lst)
+                    if _entry_pic_num(e, cur_fn, max_fn) == pic_num),
+                   None)
+        if pos is None:
+            raise ValueError(
+                "ref_pic_list_modification: no short-term reference "
+                f"with PicNum {pic_num} in the DPB")
+        lst.insert(idx, lst.pop(pos))
+        idx += 1
+    return lst
+
+
 def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
                         ref_idc: int) -> dict:
     """I- or P-slice header -> dict with first_mb, qp, deblock params
@@ -1962,6 +2044,8 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
     num_ref1 = pps["num_ref_l1"]
     override = None
     weights = None
+    mod_l0 = mod_l1 = None
+    mmco = None
     if is_p or is_b:
         if r.u(1):  # num_ref_idx_active_override_flag
             num_ref = r.ue() + 1
@@ -1971,9 +2055,9 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
             else:
                 override = num_ref
         if r.u(1):  # ref_pic_list_modification_flag_l0
-            raise NotImplementedError("ref_pic_list_modification")
+            mod_l0 = _parse_ref_mod(r)
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
-            raise NotImplementedError("ref_pic_list_modification (l1)")
+            mod_l1 = _parse_ref_mod(r)
         if ((is_p and pps["weighted_pred"])
                 or (is_b and pps["weighted_bipred"] == 1)):
             weights = _parse_pred_weight_table(
@@ -1984,7 +2068,7 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
     elif ref_idc:
         # dec_ref_pic_marking for a non-IDR reference slice
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
-            raise NotImplementedError("adaptive reference-pic marking")
+            mmco = _parse_mmco(r)
     init_idc = 0
     if pps.get("entropy") and st != 2:
         init_idc = r.ue()
@@ -2009,6 +2093,8 @@ def _parse_slice_header(r: _R, sps: dict, pps: dict, typ: int,
             "idr_pic_id": idr_pic_id, "poc_lsb": poc_lsb,
             "num_ref_override": override, "typ": typ,
             "ref_idc": ref_idc, "idr_bits": idr_bits,
+            "ref_mod_l0": mod_l0, "ref_mod_l1": mod_l1,
+            "mmco": mmco,
             "qp_delta_hdr": qp - pps["init_qp"]}
 
 
@@ -2486,6 +2572,9 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
     #: entry carries no POC (short test tuples)
     cur_l0_pocs: list = []
     cur_l1_pocs: list = []
+    #: the current slice's (possibly modified) L0 reference list for
+    #: P prediction — rebuilt per slice from ref_pic_list_modification
+    refs_l0 = refs
 
     def mb_avail(mbx2: int, mby2: int) -> bool:
         return (0 <= mbx2 < wm and 0 <= mby2 < hm
@@ -2549,14 +2638,14 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         return _mv_predict(mvinfo, bx0, by0, w_blks, ref, directional)
 
     def mc_luma(mbx, mby, px, py, pw, ph, mvx, mvy, ref):
-        return _interp_luma(refs[ref][0], 16 * mbx + px, 16 * mby + py,
-                            pw, ph, mvx, mvy)
+        return _interp_luma(refs_l0[ref][0], 16 * mbx + px,
+                            16 * mby + py, pw, ph, mvx, mvy)
 
     def mc_chroma(mbx, mby, mvx, mvy, ref):
-        return (_interp_chroma(refs[ref][1], 8 * mbx, 8 * mby, 8, 8,
-                               mvx, mvy),
-                _interp_chroma(refs[ref][2], 8 * mbx, 8 * mby, 8, 8,
-                               mvx, mvy))
+        return (_interp_chroma(refs_l0[ref][1], 8 * mbx, 8 * mby,
+                               8, 8, mvx, mvy),
+                _interp_chroma(refs_l0[ref][2], 8 * mbx, 8 * mby,
+                               8, 8, mvx, mvy))
 
     def dq_ac(c, qp_, i, j, midx):
         """4x4 AC dequant through the active scaling matrix ``midx``
@@ -2769,7 +2858,7 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         mvs = []
         for (px, py, pw, ph, direc), ref, (mdx, mdy) in zip(
                 parts, ref_idx, mvds):
-            if ref >= len(refs):
+            if ref >= len(refs_l0):
                 raise ValueError(f"ref_idx {ref} beyond the DPB")
             bx0 = (16 * mbx + px) // 4
             by0 = (16 * mby + py) // 4
@@ -2787,10 +2876,12 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         cpredb = [[0] * 8 for _ in range(8)]
         cpredr = [[0] * 8 for _ in range(8)]
         for px, py, pw, ph, mvx, mvy, ref in mvs:
-            cb_blk = _interp_chroma(refs[ref][1], 8 * mbx + px // 2,
+            cb_blk = _interp_chroma(refs_l0[ref][1],
+                                    8 * mbx + px // 2,
                                     8 * mby + py // 2, pw // 2, ph // 2,
                                     mvx, mvy)
-            cr_blk = _interp_chroma(refs[ref][2], 8 * mbx + px // 2,
+            cr_blk = _interp_chroma(refs_l0[ref][2],
+                                    8 * mbx + px // 2,
                                     8 * mby + py // 2, pw // 2, ph // 2,
                                     mvx, mvy)
             if p_weights is not None:
@@ -3547,10 +3638,24 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                           "spatial": bool(hdr["direct_spatial"]),
                           "implicit": hdr["implicit_wp"],
                           "poc": cur_poc})
+            max_fn = 1 << sps["log2_max_frame_num"]
+            if hdr.get("ref_mod_l0"):
+                l0 = _apply_ref_mod(l0, hdr["ref_mod_l0"],
+                                    hdr["frame_num"], max_fn)
+            if hdr.get("ref_mod_l1"):
+                l1 = _apply_ref_mod(l1, hdr["ref_mod_l1"],
+                                    hdr["frame_num"], max_fn)
+            b_ctx["l0"], b_ctx["l1"] = l0, l1
             cur_l0_pocs = [e[3] if len(e) > 3 else None for e in l0]
             cur_l1_pocs = [e[3] if len(e) > 3 else None for e in l1]
         elif is_p:
-            cur_l0_pocs = [e[3] if len(e) > 3 else None for e in refs]
+            refs_l0 = refs
+            if hdr.get("ref_mod_l0"):
+                refs_l0 = _apply_ref_mod(
+                    refs, hdr["ref_mod_l0"], hdr["frame_num"],
+                    1 << sps["log2_max_frame_num"])
+            cur_l0_pocs = [e[3] if len(e) > 3 else None
+                           for e in refs_l0]
         mb = hdr["first_mb"]
         if use_cabac:
             # cabac_alignment_one_bit(s), then slice data from the
@@ -3726,10 +3831,24 @@ def decode_video_yuv(data: bytes, max_frames: int | None = None,
             sps, pps, pic, dpb, deblock, cur_poc=poc)
         frames.append(_crop_planes(sps, y_p, cb_p, cr_p))
         if pic[0][1]:  # nal_ref_idc != 0: used for reference
-            dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
-                           _plane_np(cr_p), poc, mvf, pocf,
-                           mvf1, pocf1))
-            del dpb[sps["max_ref"]:]  # sliding window
+            entry = (_plane_np(y_p), _plane_np(cb_p),
+                     _plane_np(cr_p), poc, mvf, pocf,
+                     mvf1, pocf1, hdr0["frame_num"])
+            mmco = hdr0.get("mmco")
+            if mmco:
+                # adaptive marking (8.2.5.4.1): MMCO 1 unmarks the
+                # short-term picture at CurrPicNum - (diff + 1);
+                # sliding window does NOT run for this picture
+                max_fn = 1 << sps["log2_max_frame_num"]
+                for _op, val in mmco:
+                    px_num = hdr0["frame_num"] - (val + 1)
+                    dpb = [e for e in dpb
+                           if _entry_pic_num(e, hdr0["frame_num"],
+                                             max_fn) != px_num]
+                dpb.insert(0, entry)
+            else:
+                dpb.insert(0, entry)
+                del dpb[sps["max_ref"]:]  # sliding window
     return sps["width"], sps["height"], frames
 
 
@@ -4903,9 +5022,19 @@ def _write_slice_header_bits(w: _W, sps: dict, pps: dict,
                 w.ue(ov - 1)
         else:
             w.u(0, 1)
-        w.u(0, 1)                # ref_pic_list_modification_flag_l0
-        if is_b:
-            w.u(0, 1)            # ref_pic_list_modification_flag_l1
+        for key, present in (("ref_mod_l0", True),
+                             ("ref_mod_l1", is_b)):
+            if not present:
+                continue
+            cmds = hdr.get(key)
+            if cmds:
+                w.u(1, 1)        # ref_pic_list_modification_flag
+                for idc, val in cmds:
+                    w.ue(idc)
+                    w.ue(val)
+                w.ue(3)
+            else:
+                w.u(0, 1)
         if hdr.get("weights"):
             # re-emit the parsed pred_weight_table with every flag
             # explicit (bit syntax may differ from the source stream;
@@ -4930,7 +5059,15 @@ def _write_slice_header_bits(w: _W, sps: dict, pps: dict,
         w.u(a, 1)
         w.u(b, 1)
     elif hdr["ref_idc"]:
-        w.u(0, 1)                # adaptive_ref_pic_marking
+        cmds = hdr.get("mmco")
+        if cmds:
+            w.u(1, 1)            # adaptive_ref_pic_marking
+            for op, val in cmds:
+                w.ue(op)
+                w.ue(val)
+            w.ue(0)
+        else:
+            w.u(0, 1)
     if pps.get("entropy") and (hdr["is_p"] or is_b):
         w.ue(0)                  # cabac_init_idc
     w.se(hdr["qp_delta_hdr"])
@@ -5207,10 +5344,21 @@ def transcode_to_cabac(data: bytes) -> bytes:
             chunk += _nal(bytes(w.buf), ref, typ)
         rendered[pi] = bytes(chunk)
         if pic[0][1]:
-            dpb.insert(0, (_plane_np(y_p), _plane_np(cb_p),
-                           _plane_np(cr_p), poc, mvf, pocf,
-                           mvf1, pocf1))
-            del dpb[sps["max_ref"]:]
+            entry = (_plane_np(y_p), _plane_np(cb_p),
+                     _plane_np(cr_p), poc, mvf, pocf,
+                     mvf1, pocf1, hdr0["frame_num"])
+            mmco = hdr0.get("mmco")
+            if mmco:
+                max_fn = 1 << sps["log2_max_frame_num"]
+                for _op, val in mmco:
+                    px_num = hdr0["frame_num"] - (val + 1)
+                    dpb = [e for e in dpb
+                           if _entry_pic_num(e, hdr0["frame_num"],
+                                             max_fn) != px_num]
+                dpb.insert(0, entry)
+            else:
+                dpb.insert(0, entry)
+                del dpb[sps["max_ref"]:]
     for kind, v in order:
         out += v if kind == "nal" else rendered[v]
     return bytes(out)

@@ -1076,7 +1076,8 @@ def test_video_p_scope_errors():
     with pytest.raises(NotImplementedError, match="load_cavlc_tables"):
         h.decode_video_yuv(b)
     _cbp_inter_identity()
-    # ref-list modification stays out of scope and raises namefully
+    # short-term ref-list modification is IMPLEMENTED (r12); the
+    # remaining named scope raise is the long-term form (idc 2)
     units = h.nal_units(b)
     sl = h._W()
     sl.ue(0); sl.ue(5)   # first_mb, slice_type P
@@ -1084,10 +1085,11 @@ def test_video_p_scope_errors():
     sl.u(1, 4)           # frame_num
     sl.u(0, 1)           # num_ref override
     sl.u(1, 1)           # ref_pic_list_modification_flag_l0 = 1
+    sl.ue(2)             # modification_of_pic_nums_idc 2: long-term
     head = b"".join(h._nal(p, r_, t) for r_, t, p in units
                     if t in (7, 8, 5))
     with pytest.raises(NotImplementedError,
-                       match="ref_pic_list_modification"):
+                       match="long_term_pic_num"):
         h.decode_video_yuv(head + h._nal(sl.trailing(), 2, 1))
 
 
@@ -2036,3 +2038,239 @@ def test_b_16x8_partitions_use_distinct_mvs():
         assert by[y][0] == iy[y][0], y
         for x in range(1, 16):
             assert by[y][x] == iy[y][x - 1], (x, y)
+
+
+# ------------------------------------- r12: ref list mod + MMCO
+
+
+def test_apply_ref_mod_wrap_arithmetic():
+    """8.2.4.3.1 unit pins: the picNum predictor chains across
+    commands with MaxPicNum wrap, and FrameNumWrap maps a stored
+    frame_num above the current one to a negative PicNum."""
+    e15 = ("p15",) + (None,) * 7 + (15,)
+    e0 = ("p0",) + (None,) * 7 + (0,)
+    e1 = ("p1",) + (None,) * 7 + (1,)
+    # cur_fn 1, MaxFrameNum 16; initial order [e1, e0, e15]
+    lst = h._apply_ref_mod([e1, e0, e15], [(0, 0)], 1, 16)
+    assert [x[0] for x in lst] == ["p0", "p1", "p15"]
+    # chained: first to picNum 0, then pred 0 - 1 -> wraps to 15 ->
+    # PicNum 15 - 16 = -1 selects the oldest
+    lst = h._apply_ref_mod([e1, e0, e15], [(0, 0), (0, 0)], 1, 16)
+    assert [x[0] for x in lst] == ["p0", "p15", "p1"]
+    # idc 1 steps the predictor UP
+    lst = h._apply_ref_mod([e1, e0, e15], [(0, 1), (1, 0)], 1, 16)
+    assert [x[0] for x in lst] == ["p15", "p0", "p1"]
+    with pytest.raises(ValueError, match="PicNum"):
+        h._apply_ref_mod([e1, e0], [(0, 2)], 1, 16)
+
+
+def _ipcm_pic_r12(ys, cbs, crs, idr, frame_num, mmco=None):
+    sl = h._W()
+    sl.ue(0)
+    sl.ue(7)
+    sl.ue(0)
+    sl.u(frame_num, 4)
+    if idr:
+        sl.ue(0)
+        sl.u(1, 1)
+        sl.u(0, 1)
+    elif mmco:
+        sl.u(1, 1)      # adaptive_ref_pic_marking_mode_flag
+        for op, val in mmco:
+            sl.ue(op)
+            sl.ue(val)
+        sl.ue(0)
+    else:
+        sl.u(0, 1)
+    sl.se(0)
+    sl.ue(1)
+    sl.ue(25)
+    sl.byte_align_zero()
+    for yy in range(16):
+        for xx in range(16):
+            sl.u(ys[yy][xx], 8)
+    for plane in (cbs, crs):
+        for yy in range(8):
+            for xx in range(8):
+                sl.u(plane[yy][xx], 8)
+    return h._nal(sl.trailing(), 3, 5 if idr else 1)
+
+
+def _two_ref_head():
+    f0 = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    f1 = [[255 - f0[y][x] for x in range(16)] for y in range(16)]
+    c0 = [[100] * 8 for _ in range(8)]
+    c1 = [[200] * 8 for _ in range(8)]
+    head = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
+            + _ipcm_pic_r12(f0, c0, c0, True, 0)
+            + _ipcm_pic_r12(f1, c1, c1, False, 1))
+    return head, (f0, c0), (f1, c1)
+
+
+def test_ref_list_modification_reorders_p_prediction():
+    """Hand stream: after [IDR f0, I_PCM f1] the default L0 order is
+    most-recent-first, so a zero-MV P copies f1; the SAME P slice
+    with ref_pic_list_modification (idc 0, abs_diff 1 -> picNum 0)
+    lifts f0 to index 0 and the P copies f0 instead — the
+    modification provably reorders prediction."""
+    _cbp_inter_identity()
+    head, (f0, c0), (f1, c1) = _two_ref_head()
+
+    def p_slice(modify: bool):
+        sl = h._W()
+        sl.ue(0)
+        sl.ue(5)
+        sl.ue(0)
+        sl.u(2, 4)      # frame_num 2
+        sl.u(0, 1)      # no override (1 active ref)
+        if modify:
+            sl.u(1, 1)
+            sl.ue(0)    # idc 0: subtract
+            sl.ue(1)    # abs_diff_pic_num_minus1 = 1 -> picNum 0
+            sl.ue(3)
+        else:
+            sl.u(0, 1)
+        sl.u(0, 1)      # adaptive marking
+        sl.se(0)
+        sl.ue(1)
+        sl.ue(0)        # skip run
+        sl.ue(0)        # P_L0_16x16
+        sl.se(0)
+        sl.se(0)
+        sl.ue(0)        # cbp 0
+        return h._nal(sl.trailing(), 2, 1)
+
+    for modify, want in ((False, None), (True, None)):
+        w, hgt, out = h.decode_video_yuv(head + p_slice(modify))
+        assert len(out) == 3
+        assert out[2] == ((f0, c0, c0) if modify else (f1, c1, c1))
+
+
+def test_mmco_unmarks_short_term_reference():
+    """The second I_PCM picture carries MMCO 1 with
+    difference_of_pic_nums_minus1 = 0 (picNumX = 1 - 1 = 0): the IDR
+    leaves the DPB, so a following P that declares 2 active refs and
+    selects ref_idx 1 must fail the DPB bound — while without the
+    MMCO the same P decodes and copies the IDR."""
+    _cbp_inter_identity()
+    f0 = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    f1 = [[255 - f0[y][x] for x in range(16)] for y in range(16)]
+    c0 = [[100] * 8 for _ in range(8)]
+    c1 = [[200] * 8 for _ in range(8)]
+    sps_pps = h._write_sps_pps(1, 1, 16, 16, max_ref=2)
+
+    def stream(with_mmco: bool):
+        psl = h._W()
+        psl.ue(0)
+        psl.ue(5)
+        psl.ue(0)
+        psl.u(2, 4)
+        psl.u(1, 1)     # override: 2 active refs
+        psl.ue(1)
+        psl.u(0, 1)     # no modification
+        psl.u(0, 1)     # marking
+        psl.se(0)
+        psl.ue(1)
+        psl.ue(0)
+        psl.ue(0)       # P_L0_16x16
+        psl.u(0, 1)     # te(v) ref_idx = 1
+        psl.se(0)
+        psl.se(0)
+        psl.ue(0)
+        return (sps_pps + _ipcm_pic_r12(f0, c0, c0, True, 0)
+                + _ipcm_pic_r12(f1, c1, c1, False, 1,
+                                mmco=[(1, 0)] if with_mmco else None)
+                + h._nal(psl.trailing(), 2, 1))
+
+    w, hgt, out = h.decode_video_yuv(stream(False))
+    assert out[2] == (f0, c0, c0)
+    with pytest.raises(ValueError, match="beyond the DPB"):
+        h.decode_video_yuv(stream(True))
+    # MMCO also suppresses the sliding window: without it a 3rd ref
+    # at max_ref=2 would evict the IDR anyway; with MMCO the window
+    # holds [f1] only -> ref 0 still decodes
+    base = stream(True)
+    psl0 = h._W()
+    psl0.ue(0)
+    psl0.ue(5)
+    psl0.ue(0)
+    psl0.u(2, 4)
+    psl0.u(0, 1)
+    psl0.u(0, 1)
+    psl0.u(0, 1)
+    psl0.se(0)
+    psl0.ue(1)
+    psl0.ue(0)
+    psl0.ue(0)
+    psl0.se(0)
+    psl0.se(0)
+    psl0.ue(0)
+    ok = (sps_pps + _ipcm_pic_r12(f0, c0, c0, True, 0)
+          + _ipcm_pic_r12(f1, c1, c1, False, 1, mmco=[(1, 0)])
+          + h._nal(psl0.trailing(), 2, 1))
+    w, hgt, out = h.decode_video_yuv(ok)
+    assert out[2] == (f1, c1, c1)
+
+
+def test_mmco_long_term_ops_raise_namefully():
+    _cbp_inter_identity()
+    f0 = [[0] * 16 for _ in range(16)]
+    c = [[128] * 8 for _ in range(8)]
+    head = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
+            + _ipcm_pic_r12(f0, c, c, True, 0))
+    for op in (2, 3, 4, 5, 6):
+        bad = _ipcm_pic_r12(f0, c, c, False, 1,
+                            mmco=[(op, 0)] if op != 5 else None)
+        if op == 5:     # op 5 takes no argument: hand-write it
+            sl = h._W()
+            sl.ue(0); sl.ue(7); sl.ue(0); sl.u(1, 4)
+            sl.u(1, 1)
+            sl.ue(5)
+            bad = h._nal(sl.trailing(), 3, 1)
+        with pytest.raises(NotImplementedError,
+                           match="memory_management"):
+            h.decode_video_yuv(head + bad)
+
+
+def test_ref_mod_and_mmco_transcode_to_cabac():
+    """The CAVLC->CABAC transcoder re-emits modification and marking
+    commands in the rewritten headers: decode equality end to end."""
+    import test_h264_cabac as tc
+    from data_migration_etl_scripts_spark.operators import (
+        h264_cabac as C,
+    )
+
+    saved = {"range_lps": C.CABAC["range_lps"],
+             "trans_lps": C.CABAC["trans_lps"],
+             "init": dict(C.CABAC["init"])}
+    try:
+        C.load_cabac_tables(tc._synth_cabac())
+        _cbp_inter_identity()
+        head, (f0, c0), (f1, c1) = _two_ref_head()
+        sl = h._W()
+        sl.ue(0)
+        sl.ue(5)
+        sl.ue(0)
+        sl.u(2, 4)
+        sl.u(0, 1)
+        sl.u(1, 1)      # modification
+        sl.ue(0)
+        sl.ue(1)
+        sl.ue(3)
+        sl.u(0, 1)
+        sl.se(0)
+        sl.ue(1)
+        sl.ue(0)
+        sl.ue(0)
+        sl.se(0)
+        sl.se(0)
+        sl.ue(0)
+        stream = head + h._nal(sl.trailing(), 2, 1)
+        cab = h.transcode_to_cabac(stream)
+        assert h.decode_video_yuv(cab) == h.decode_video_yuv(stream)
+        assert h.decode_video_yuv(stream)[2][2] == (f0, c0, c0)
+    finally:
+        C.CABAC["range_lps"] = saved["range_lps"]
+        C.CABAC["trans_lps"] = saved["trans_lps"]
+        C.CABAC["init"].clear()
+        C.CABAC["init"].update(saved["init"])
