@@ -536,3 +536,125 @@ def test_loader_validation(seam):
             {"huff": {"t_env_15": [[0, "0"], [1, "01"]]}})
     with pytest.raises(ValueError, match="unknown SBR huffman"):
         sb.load_sbr_tables({"huff": {"bogus": [[0, "0"]]}})
+
+
+# ----------------------------------------- r12: hand walks (CABAC
+# lesson applied: shared derivations pinned by expectations produced
+# OUTSIDE the code, before any foreign fixture exists)
+
+
+def test_envelope_noise_bit_consumption_hand_walk(seam):
+    """Bit-exact huffman/start-value accounting for one SCE FIXFIX
+    frame, every codeword derived by hand from the synthetic book
+    (0:'0' 1:'10' -1:'110' 2:'1110' -2:'11110' 3:'111110'): the
+    parse must land on the exact bit positions computed here AND
+    yield the hand-accumulated values."""
+    h = _header()                 # amp_res 1
+    bands = sb.derive_bands(h, 32000)
+    assert bands["n"][0] == 4 and bands["n_q"] == 2
+    w = a._W()
+    w.u(0, 1)       # bs_data_extra
+    w.u(0, 2)       # FIXFIX
+    w.u(0, 2)       # num_env 1 (forces amp_res 0 -> 7-bit start)
+    w.u(0, 1)       # freq_res low
+    w.u(0, 1)       # df_env[0] = 0
+    w.u(0, 1)       # df_noise[0] = 0
+    for _ in range(bands["n_q"]):
+        w.u(2, 2)   # invf
+    # envelope: start 21 (7 bits), then +2 -1 +3 ->
+    # [21, 23, 22, 25]; codewords 1110 / 110 / 111110 = 13 bits
+    w.u(21, 7)
+    for bit in "1110" "110" "111110":
+        w.u(int(bit), 1)
+    # noise: start 12 (5 bits), then -2 -> [12, 10]; 11110 = 5 bits
+    w.u(12, 5)
+    for bit in "11110":
+        w.u(int(bit), 1)
+    w.u(0, 1)       # add_harmonic
+    w.u(0, 1)       # extended
+    # hand bit budget: 1+2+2+1 (extra+grid) + 1+1 (dtdf) + 2*2
+    #   (invf) + 7+13 (envelope) + 5+5 (noise) + 1+1 = 44
+    assert len(w.bits) == 44
+    r = _bits(w)
+    data = sb.parse_sbr_data(r, h, bands, is_cpe=False)
+    assert r.pos == 44            # consumed exactly, no slack
+    ch = data["ch"][0]
+    assert ch["env"] == [[21, 23, 22, 25]]
+    assert ch["noise"] == [[12, 10]]
+    assert ch["invf"] == [2, 2]
+    # dequant walk (amp_res forced 0 by the 1-env FIXFIX rule):
+    # a = 0.5 -> E = 2^(v/2 + 6); noise Q = 2^(6 - v)
+    lin = sb.dequant_env(ch["env"], ch["grid"])
+    assert lin[0][0] == 2.0 ** (21 * 0.5 + 6.0)
+    assert lin[0][3] == 2.0 ** (25 * 0.5 + 6.0)
+    qlin = sb.dequant_noise(ch["noise"])
+    assert qlin[0] == [2.0 ** (6.0 - 12.0), 2.0 ** (6.0 - 10.0)]
+
+
+def test_gain_calculation_hand_walk(seam):
+    """The full 4.6.18.7 gain chain for one FIXFIX envelope computed
+    INDEPENDENTLY from the documented contract + the injected seam
+    tables: G = sqrt(E_o / ((1+E_c)(1+Q))), Q_M = sqrt(E_o*Q/(1+Q)),
+    per-limiter-band boost = min(sqrt(sum_o/got), +2 dB), noise
+    cycling through the seam table in (slot, band) order — then
+    every output sample of adjust() must equal the hand value."""
+    import cmath
+
+    h = _header(smoothing_mode=1, limiter_gains=3)  # no smoothing,
+    bands = sb.derive_bands(h, 32000)               # 1e10 limiter
+    kx, m = bands["kx"], bands["m"]
+    assert (kx, m) == (8, 8)
+    grid = {"num_env": 1, "freq_res": [0], "borders": [0, 16],
+            "pointer": 0, "l_a": -1, "num_noise": 1,
+            "noise_borders": [0, 16], "amp_res": 0}
+    ch = {"grid": grid, "harm": [0] * bands["n"][1]}
+    env_raw = [[20, 22, 24, 26]]
+    noise_raw = [[14, 9]]
+    env_lin = sb.dequant_env(env_raw, grid)
+    noise_lin = sb.dequant_noise(noise_raw)
+    c = 3.0
+    nslots = 32
+    xhigh = {kx + k: [complex(c, 0.0)] * nslots for k in range(m)}
+    start_idx = 5
+    got_idx, got_sidx = sb.adjust(
+        xhigh, ch, bands, env_lin, noise_lin, 0, start_idx, h,
+        0, {})
+
+    # ---- independent recomputation ----
+    ftab = bands["f"][0]
+    e_orig = [0.0] * m
+    for b in range(len(ftab) - 1):
+        for k in range(ftab[b], ftab[b + 1]):
+            e_orig[k - kx] = 2.0 ** (env_raw[0][b] * 0.5 + 6.0)
+    q_map = [2.0 ** (6.0 - noise_raw[0][sb._noise_band_of(
+        bands, kx + k)]) for k in range(m)]
+    e_c = c * c
+    import math as _math
+
+    g = [_math.sqrt(e_orig[k] / ((1 + e_c) * (1 + q_map[k])))
+         for k in range(m)]
+    q_m = [_math.sqrt(e_orig[k] * q_map[k] / (1 + q_map[k]))
+           for k in range(m)]
+    flim = bands["f_lim"]
+    for i in range(len(flim) - 1):
+        lo, hi = flim[i], flim[i + 1]
+        sum_o = sum(e_orig[lo:hi]) + 1e-12
+        got = sum(g[k] * g[k] * e_c + q_m[k] * q_m[k]
+                  for k in range(lo, hi)) + 1e-12
+        boost = min(_math.sqrt(sum_o / got), 1.584893192)
+        for k in range(lo, hi):
+            g[k] *= boost
+            q_m[k] *= boost
+    noise_v = sb.SBR["noise"]
+    idx = start_idx
+    for t in range(nslots):
+        for k in range(m):
+            want = complex(c, 0.0) * g[k]
+            if q_m[k]:
+                idx = (idx + 1) & 511
+                want += q_m[k] * noise_v[idx]
+            gotv = xhigh[kx + k][t]
+            assert abs(gotv - want) < 1e-9 * max(1.0, abs(want)), \
+                (t, k)
+    assert got_idx == idx
+    assert got_sidx == nslots     # one sine-phase step per slot
