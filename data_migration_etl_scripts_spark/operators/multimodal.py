@@ -1021,6 +1021,18 @@ def audio_decode_rate(b: bytes) -> tuple[int, list[float]]:
             mono = [sum(channels[ch][i] for ch in range(nch)) / nch
                     for i in range(n)]
             return rate, mono
+        if "opus" in kinds and "flac" not in kinds:
+            # r12: Ogg-Opus routes to operators/opus.py (TOC/packing
+            # + range coder + the CELT-silence operating point;
+            # non-silent CELT is seam-gated, SILK raises namefully)
+            from data_migration_etl_scripts_spark.operators.opus \
+                import opus_decode
+
+            rate, nch, channels = opus_decode(b)
+            n = len(channels[0])
+            mono = [sum(channels[ch][i] for ch in range(nch)) / nch
+                    for i in range(n)]
+            return rate, mono
         from data_migration_etl_scripts_spark.operators.flac import (
             flac_decode,
         )
@@ -1788,6 +1800,21 @@ def _synthetic_real_media_rows_build(
                      bytearray(vorbis_encode_quantized(
                          frames=4, rate=8000, channels=2,
                          floor0=True)[0]), "{}"))
+        # r12: an Ogg-OPUS stream from the engine CELT-silence
+        # operating point (operators/opus.py — OpusHead/OpusTags,
+        # TOC frame packing, the RFC 6716 range coder, silence flag
+        # at logp 15) — fully TABLE-FREE on both sides, so it rides
+        # the DEFAULT board; frames_per_packet=2 exercises the
+        # code-1 two-frame packing
+        from data_migration_etl_scripts_spark.operators.opus import (
+            opus_encode_silence,
+        )
+
+        rows.append((n + 39, "audio",
+                     bytearray(opus_encode_silence(
+                         frames=4, config=31, channels=1,
+                         frames_per_packet=2, pre_skip=312)),
+                     "{}"))
         if (os.environ.get(_h264_cabac._TABLES_ENV)
                 and _h264_cabac.seam_available()):
             rows.append((n + 30, "video",

@@ -24,8 +24,10 @@ Codec mappings:
   - Vorbis ("\\x01vorbis") streams route to operators/vorbis.py
     (r10): full header-triad/setup parsing plus the silence
     operating point decode; nonzero floor curves raise at ITS
-    documented synthesis plug. Opus ("OpusHead") stays a recognized
-    plug point (range-coder PDFs are Annex-B-scale data).
+    documented synthesis plug. Opus ("OpusHead") routes to
+    operators/opus.py (r12): TOC/frame packing + the RFC 6716 range
+    coder + the CELT-silence operating point; non-silent CELT is
+    seam-gated, SILK raises namefully.
 
 ``ogg_wrap_flac`` builds the inverse (native FLAC -> Ogg FLAC pages,
 bounded page sizes, correct lacing incl. the 255-boundary cases and

@@ -238,14 +238,17 @@ def _range_multimodal_decode(con, cols, rows) -> list[str]:
                         f"id {mid}: floor0 duration {got[0]} != "
                         f"{384 / 8000}")
                 continue
-            if mid in (49, 50, 56):
+            if mid in (49, 50, 56, 63):
                 # silence operating points: r9 AAC (bare ADTS @16k x4
-                # frames, MP4-wrapped stereo @22.05k x3 frames) and
+                # frames, MP4-wrapped stereo @22.05k x3 frames),
                 # r10 Ogg-Vorbis (@8k, 4 short blocks -> 3 lapped
-                # 128-sample frames) — the structural facts are the
-                # exact frame-grid duration and an all-zero signal
+                # 128-sample frames) and r12 Ogg-Opus (4 CELT 20 ms
+                # frames @48k minus 312 pre-skip) — the structural
+                # facts are the exact frame-grid duration and an
+                # all-zero signal
                 want_dur = {49: 4096 / 16000, 50: 3072 / 22050,
-                            56: 384 / 8000}[mid]
+                            56: 384 / 8000,
+                            63: (4 * 960 - 312) / 48000}[mid]
                 if abs(got[0] - want_dur) > 1e-3:
                     bad.append(
                         f"id {mid}: silence duration {got[0]} != {want_dur}")
