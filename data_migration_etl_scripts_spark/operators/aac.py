@@ -970,8 +970,15 @@ def aac_decode(data: bytes):
                     chans[ci] = [v for v in chans[ci]
                                  for _ in (0, 1)]
             sbr_st["active"] = True
-            for ci, out in enumerate(
-                    _sbr_frame(sbr_st, frame_core, sbr_data, _sbr)):
+            outs = _sbr_frame(sbr_st, frame_core, sbr_data, _sbr)
+            if len(outs) > len(chans):
+                # PS upgraded the mono core to stereo output:
+                # duplicate any earlier mono history into the new
+                # channel and report 2 channels
+                chans += [list(chans[0])
+                          for _ in range(len(outs) - len(chans))]
+                nch = len(outs)
+            for ci, out in enumerate(outs):
                 chans[ci] += out
         else:
             if sbr_st["active"]:
@@ -1006,11 +1013,23 @@ def _sbr_fil(r, crc: bool, st: dict, fs_out: int, n_ch: int, sb):
         st["chans"] = [sb.SbrChannel() for _ in range(n_ch)]
         st["prev"] = [None] * n_ch
     data = sb.parse_sbr_data(r, st["header"], st["bands"],
-                             n_ch == 2, st["prev"])
+                             n_ch == 2, st["prev"],
+                             ps_prev=st.get("ps_prev"))
     for ci, ch in enumerate(data["ch"]):
         st["prev"][ci] = (ch["env"][-1],
                           ch["grid"]["freq_res"][-1],
                           ch["noise"][-1])
+    ps = data.get("ps")
+    if ps is not None:
+        st["ps_prev"] = {
+            "config": ps["config"],
+            "iid_idx": (ps["iid_idx"][-1] if ps["iid_idx"]
+                        else (st.get("ps_prev") or {}).get(
+                            "iid_idx")),
+            "icc_idx": (ps["icc_idx"][-1] if ps["icc_idx"]
+                        else (st.get("ps_prev") or {}).get(
+                            "icc_idx")),
+        }
     return data
 
 
@@ -1026,6 +1045,25 @@ def _sbr_frame(st: dict, frame_core: list, data: dict, sb) -> list:
     else:
         lin = [(sb.dequant_env(c["env"], c["grid"]),
                 sb.dequant_noise(c["noise"])) for c in chs]
+    ps_data = data.get("ps")
+    if ps_data is not None and len(frame_core) == 1:
+        # HE-AAC v2 (r12 staged): the mono SBR chain splits into two
+        # QMF-scaled synthesis paths per operators/ps.py
+        from data_migration_etl_scripts_spark.operators import (
+            ps as _ps,
+        )
+
+        scales, final = _ps.frame_slot_scales(
+            ps_data, st.get("ps_scale"))
+        st["ps_scale"] = final
+        if st.get("ps_syn") is None:
+            st["ps_syn"] = sb.QmfSynthesis64()
+        env_lin, noise_lin = lin[0]
+        left, right = sb.process_frame(
+            st["chans"][0], frame_core[0], st["header"],
+            st["bands"], chs[0], env_lin, noise_lin,
+            ps_slots=scales, syn_r=st["ps_syn"])
+        return [left, right]
     out = []
     for ci, core in enumerate(frame_core):
         env_lin, noise_lin = lin[ci]
@@ -1072,7 +1110,8 @@ def _silent_sce(w: _W) -> None:
 def aac_encode_sbr(frames: int = 2, rate_idx: int = 8,
                    num_env: int = 1, freq_res: int = 0,
                    env_val: int = 0, noise_val: int = 30,
-                   invf_mode: int = 0, header=None) -> bytes:
+                   invf_mode: int = 0, header=None,
+                   ps_iid=None, ps_iid_mode: int = 0) -> bytes:
     """HE-AAC v1 engine operating point: a silent AAC-LC SCE core
     with one SBR FIL extension per frame (implicit signalling, header
     in every frame so decode can start anywhere). The FIXFIX grid,
@@ -1117,7 +1156,8 @@ def aac_encode_sbr(frames: int = 2, rate_idx: int = 8,
         noise_vals = [[noise_val] * bands["n_q"]
                       for _ in range(1 if num_env == 1 else 2)]
         sb.write_sbr_sce(sbrw, h, bands, num_env, freq_res,
-                         env_vals, noise_vals, invf_mode)
+                         env_vals, noise_vals, invf_mode,
+                         ps_iid=ps_iid, ps_iid_mode=ps_iid_mode)
         cnt = (len(sbrw.bits) + 7) // 8
         if cnt >= 15:
             body.u(6, 3)       # FIL

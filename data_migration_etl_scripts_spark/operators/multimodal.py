@@ -1878,6 +1878,18 @@ def _synthetic_real_media_rows_build(
                              frames=2, rate_idx=8, num_env=2,
                              freq_res=1, env_val=35, noise_val=12,
                              invf_mode=2)), "{}"))
+            # r12: an HE-AAC v2 stream (mono core + SBR + Parametric
+            # Stereo, constant +10 dB IID -> stereo at 2x rate;
+            # operators/ps.py staged reconstruction) — additionally
+            # gated on the PS sub-family of the SBR seam
+            if _sbr.SBR.get("ps_huff") and _sbr.SBR.get(
+                    "ps_iid_quant"):
+                rows.append((n + 40, "audio",
+                             bytearray(aac_encode_sbr(
+                                 frames=2, rate_idx=8, num_env=1,
+                                 freq_res=0, env_val=35,
+                                 noise_val=12, invf_mode=2,
+                                 ps_iid=4)), "{}"))
     return rows
 
 

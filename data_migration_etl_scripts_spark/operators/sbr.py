@@ -75,7 +75,14 @@ _env_load_done = False
 SBR: dict = {"qmf_window": None, "noise": None, "huff": {},
              "start_freq_map": None, "stop_freq_map": None,
              "invf_bw": None, "limiter_gains": None,
-             "smooth_window": None}
+             "smooth_window": None,
+             # Parametric Stereo (r12): delta books + quant grids
+             "ps_huff": None, "ps_iid_quant": None,
+             "ps_icc_quant": None}
+
+#: PS huffman book names (operators/ps.py)
+_PS_BOOKS = ("iid_f_coarse", "iid_t_coarse", "iid_f_fine",
+             "iid_t_fine", "icc_f", "icc_t")
 
 #: huffman book names the parser may request
 _BOOKS = ("t_env_15", "f_env_15", "t_env_30", "f_env_30",
@@ -146,6 +153,45 @@ def load_sbr_tables(source) -> int:
                 raise ValueError(f"{key} must have {n} values")
             SBR[key] = [float(x) for x in v]
             loaded += 1
+    ph = source.get("ps_huff")
+    if ph is not None:
+        out = {}
+        for name, rows in ph.items():
+            if name not in _PS_BOOKS:
+                raise ValueError(f"unknown PS huffman book {name!r}")
+            codes = {}
+            for val, bits in rows:
+                if not bits or any(c not in "01" for c in bits):
+                    raise ValueError(f"bad codeword in {name}")
+                if bits in codes:
+                    raise ValueError(f"duplicate codeword in {name}")
+                codes[bits] = int(val)
+            for a2 in codes:
+                for b2 in codes:
+                    if a2 != b2 and b2.startswith(a2):
+                        raise ValueError(
+                            f"book {name} is not prefix-free")
+            out[name] = codes
+        SBR["ps_huff"] = out
+        loaded += 1
+    pq = source.get("ps_iid_quant")
+    if pq is not None:
+        for key2, n2 in (("coarse", 15), ("fine", 31)):
+            vals = pq.get(key2)
+            if vals is None or len(vals) != n2:
+                raise ValueError(
+                    f"ps_iid_quant[{key2!r}] must have {n2} dB "
+                    "values")
+        SBR["ps_iid_quant"] = {
+            k: [float(v) for v in pq[k]]
+            for k in ("coarse", "fine")}
+        loaded += 1
+    pc = source.get("ps_icc_quant")
+    if pc is not None:
+        if len(pc) != 8:
+            raise ValueError("ps_icc_quant must have 8 values")
+        SBR["ps_icc_quant"] = [float(v) for v in pc]
+        loaded += 1
     return loaded
 
 
@@ -401,7 +447,7 @@ def _parse_noise(r, grid: dict, bands: dict, balance: bool,
 
 
 def parse_sbr_data(r, header: dict, bands: dict, is_cpe: bool,
-                   prev_state=None) -> dict:
+                   prev_state=None, ps_prev=None) -> dict:
     """sbr_single_channel_element / sbr_channel_pair_element after the
     header. Returns per-channel grids/envelopes/noise/invf plus the
     coupling flag (couched in RAW scalefactor units; dequantization
@@ -472,6 +518,7 @@ def parse_sbr_data(r, header: dict, bands: dict, is_cpe: bool,
                 harm = [r.u(1) for _ in range(bands["n"][1])]
             ch_data.append({"grid": g, "invf": invf, "env": env,
                             "noise": noise, "harm": harm})
+    ps_data = None
     if r.u(1):          # bs_extended_data
         cnt = r.u(4)
         if cnt == 15:
@@ -481,15 +528,25 @@ def parse_sbr_data(r, header: dict, bands: dict, is_cpe: bool,
             ext_id = r.u(2)
             bits_left -= 2
             if ext_id == 2:
-                raise NotImplementedError(
-                    "Parametric Stereo (HE-AAC v2) — SBR extension "
-                    "id 2; v1 decodes, PS is the documented next "
-                    "boundary")
+                # Parametric Stereo (r12 staged): full ps_data parse
+                # + the constant-IID reconstruction operating point
+                # (operators/ps.py); hybrid/decorrelator raise there
+                from data_migration_etl_scripts_spark.operators \
+                    import ps as _ps
+
+                if is_cpe:
+                    raise ValueError(
+                        "PS extension on a channel pair element")
+                ps_data = _ps.parse_ps_data(r, ps_prev)
+                bits_left -= ps_data["consumed"]
+                if bits_left < 0:
+                    raise ValueError(
+                        "ps_data overran the SBR extension block")
             skip = bits_left - (bits_left % 8)
             r.pos += skip
             bits_left -= skip
         r.pos += bits_left
-    return {"coupling": coupling, "ch": ch_data}
+    return {"coupling": coupling, "ch": ch_data, "ps": ps_data}
 
 
 # ------------------------------------------------- frequency band data
@@ -866,7 +923,7 @@ class SbrChannel:
 
 def process_frame(st: SbrChannel, core: list, header: dict,
                   bands: dict, ch: dict, env_lin: list,
-                  noise_lin: list) -> list:
+                  noise_lin: list, ps_slots=None, syn_r=None):
     """One channel, one frame: 1024 half-rate core samples + parsed
     SBR channel data -> 2048 full-rate samples (32-band analysis, HF
     generation, envelope adjustment, 64-band synthesis). Frame-
@@ -891,6 +948,7 @@ def process_frame(st: SbrChannel, core: list, header: dict,
     kx = bands["kx"]
     m = bands["m"]
     out = []
+    out_r = [] if ps_slots is not None else None
     for t in range(32):
         slot = [0j] * 64
         for k in range(min(kx, 32)):
@@ -898,8 +956,20 @@ def process_frame(st: SbrChannel, core: list, header: dict,
         for k in range(m):
             if kx + k < 64:
                 slot[kx + k] = xhigh[kx + k][t]
-        out += st.syn.step(slot)
+        if ps_slots is None:
+            out += st.syn.step(slot)
+        else:
+            # PS (r12): the mono QMF matrix splits into two scaled
+            # copies BEFORE synthesis, so per-envelope mixing changes
+            # land at QMF-slot granularity like the spec's H
+            # interpolation (a time-domain scale would smear across
+            # the 640-tap synthesis window)
+            cl, cr = ps_slots[t]
+            out += st.syn.step([v * cl for v in slot])
+            out_r += syn_r.step([v * cr for v in slot])
     st.hist = xlow[-2:]
+    if ps_slots is not None:
+        return out, out_r
     return out
 
 
@@ -938,7 +1008,8 @@ def write_sbr_header(w, header: dict) -> None:
 
 def write_sbr_sce(w, header: dict, bands: dict, num_env: int,
                   freq_res: int, env_vals: list, noise_vals: list,
-                  invf_mode: int) -> None:
+                  invf_mode: int, ps_iid=None,
+                  ps_iid_mode: int = 0) -> None:
     """FIXFIX single-channel SBR data: ``env_vals`` is one raw
     scalefactor list per envelope (delta-f coded through the injected
     books), ``noise_vals`` one list per noise floor. The writer walks
@@ -972,7 +1043,52 @@ def write_sbr_sce(w, header: dict, bands: dict, num_env: int,
         for i in range(1, len(vals)):
             _huff_write(w, "f_env_30", vals[i] - vals[i - 1])
     w.u(0, 1)                 # bs_add_harmonic_flag
-    w.u(0, 1)                 # bs_extended_data
+    if ps_iid is None:
+        w.u(0, 1)             # bs_extended_data
+        return
+    # extended data block carrying one ps_data payload (ext id 2)
+    tmp = type(w)()
+    nbits = _write_ps_data(tmp, ps_iid, ps_iid_mode)
+    cnt = (2 + nbits + 7) // 8
+    if cnt >= 15:
+        raise ValueError("engine ps_data payload too large")
+    w.u(1, 1)                 # bs_extended_data
+    w.u(cnt, 4)
+    w.u(2, 2)                 # extension id: PS
+    w.bits.extend(tmp.bits)
+    w.bits.extend([0] * (8 * cnt - 2 - nbits))
+
+
+def _write_ps_data(w, iid_idx: int, iid_mode: int = 0) -> int:
+    """Engine ps_data payload (operators/ps.py parses it): full
+    header, FIX frame class, ONE envelope of constant IID indices
+    (freq-differential: first delta = idx, rest zero) through the
+    injected ps_huff books. Returns the bit count written."""
+    books = SBR.get("ps_huff") or {}
+    name = "iid_f_coarse" if iid_mode < 3 else "iid_f_fine"
+    book = books.get(name)
+    if book is None:
+        raise NotImplementedError(
+            f"PS huffman book {name!r} not injected "
+            "(load_sbr_tables ps_huff)")
+    rev = {v: k for k, v in book.items()}
+    start = len(w.bits)
+    w.u(1, 1)       # bs_enable_ps_header
+    w.u(1, 1)       # bs_enable_iid
+    w.u(iid_mode, 3)
+    w.u(0, 1)       # bs_enable_icc
+    w.u(0, 1)       # bs_enable_ext
+    w.u(0, 1)       # bs_frame_class FIX
+    w.u(1, 2)       # bs_num_env_idx 1 -> num_env 1
+    w.u(0, 1)       # bs_iid_dt = 0 (freq differential)
+    nr = (10, 20, 34, 10, 20, 34)[iid_mode]
+    for d in [iid_idx] + [0] * (nr - 1):
+        code = rev.get(d)
+        if code is None:
+            raise ValueError(f"IID delta {d} not in book {name}")
+        for c in code:
+            w.u(int(c), 1)
+    return len(w.bits) - start
 
 
 #: sine phase tables: real and imaginary parts cycle with the QMF

@@ -49,7 +49,7 @@ finally:
 fixture = {mid: (mtype, bytes(content))
            for mid, mtype, content, _m in mm.synthetic_real_media_rows(
                24, include_mpeg=True)}
-gated = {24 + 30, 24 + 33, 24 + 35, 24 + 36, 24 + 38}
+gated = {24 + 30, 24 + 33, 24 + 35, 24 + 36, 24 + 38, 24 + 40}
 assert gated <= set(fixture), sorted(fixture)
 assert len(rows) == len(fixture), (len(rows), len(fixture))
 seen = set()
@@ -95,6 +95,10 @@ def _synthetic_sbr_tables() -> dict:
     names = ("t_env_15", "f_env_15", "t_env_30", "f_env_30",
              "t_env_bal_15", "f_env_bal_15", "t_env_bal_30",
              "f_env_bal_30", "t_noise_30", "t_noise_bal_30")
+    ps_book = [[0, "0"], [1, "10"], [-1, "110"], [2, "1110"],
+               [-2, "11110"], [4, "111110"], [-4, "1111110"]]
+    ps_names = ("iid_f_coarse", "iid_t_coarse", "iid_f_fine",
+                "iid_t_fine", "icc_f", "icc_t")
     return {"qmf_window": win, "noise": noise,
             "huff": {n: book for n in names},
             "start_freq_map": {32000: [8] * 16},
@@ -102,15 +106,22 @@ def _synthetic_sbr_tables() -> dict:
             "invf_bw": [0.0, 0.6, 0.9, 0.98],
             "limiter_gains": [0.70795, 1.0, 1.41254, 1e10],
             "smooth_window": [0.33333, 0.30150, 0.21816, 0.11516,
-                              0.03183]}
+                              0.03183],
+            "ps_huff": {n: ps_book for n in ps_names},
+            "ps_iid_quant": {
+                "coarse": [-25, -18, -14, -10, -6, -3, -1, 0, 1, 3,
+                           6, 10, 14, 18, 25],
+                "fine": [float(v) for v in range(-30, 32, 2)][:31]},
+            "ps_icc_quant": [1.0, 0.937, 0.84118, 0.60092, 0.36764,
+                             0.0, -0.589, -1.0]}
 
 
 def test_board_runs_with_populated_seams():
-    """The 63-row board (58 default + CABAC-I n+30 + quantized-Vorbis
-    n+33 + CABAC-B n+35 + HE-AAC SBR n+36 + High-profile i8 n+38)
-    decodes end to end through Spark with synthetic seam tables
-    injected via the env vars, and every row's features match the
-    driver-side recompute."""
+    """The 65-row board (59 default + CABAC-I n+30 + quantized-Vorbis
+    n+33 + CABAC-B n+35 + HE-AAC SBR n+36 + High-profile i8 n+38 +
+    HE-AAC v2 PS n+40) decodes end to end through Spark with
+    synthetic seam tables injected via the env vars, and every row's
+    features match the driver-side recompute."""
     env = dict(os.environ)
     env["SPARK_GRAFT_CABAC_TABLES"] = json.dumps(
         _synthetic_cabac_tables())
