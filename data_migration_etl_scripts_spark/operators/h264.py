@@ -1933,19 +1933,13 @@ def _implicit_weights(cur: int, poc0: int, poc1: int):
 
 def _parse_ref_mod(r: _R) -> list:
     """ref_pic_list_modification commands (7.3.3.1) until idc 3:
-    [(idc, abs_diff_pic_num_minus1), ...]. Long-term picture
-    modification (idc 2) raises namefully — the long-term reference
-    machinery (MMCO 2/3/4/6) is the remaining marking scope."""
+    [(idc, value), ...] — idc 0/1 carry abs_diff_pic_num_minus1,
+    idc 2 (r12) carries long_term_pic_num."""
     out = []
     while True:
         idc = r.ue()
         if idc == 3:
             return out
-        if idc == 2:
-            raise NotImplementedError(
-                "ref_pic_list_modification with long_term_pic_num "
-                "(modification_of_pic_nums_idc 2) — long-term "
-                "reference machinery")
         if idc > 3:
             raise ValueError(
                 f"modification_of_pic_nums_idc {idc} out of range")
@@ -1953,31 +1947,101 @@ def _parse_ref_mod(r: _R) -> list:
 
 
 def _parse_mmco(r: _R) -> list:
-    """Adaptive dec_ref_pic_marking (7.3.3.3): MMCO 1 (unmark a
-    short-term picture by PicNum difference) is implemented; the
-    long-term / reset operations raise namefully."""
+    """Adaptive dec_ref_pic_marking (7.3.3.3): ops 1/2/3/4/6
+    implemented (r12 adds the long-term machinery); the MMCO-5
+    reset (frame_num/POC re-origin) raises namefully."""
     out = []
     while True:
         op = r.ue()
         if op == 0:
             return out
-        if op == 1:
-            out.append((1, r.ue()))
+        if op in (1, 2, 4, 6):
+            out.append((op, r.ue()))
+        elif op == 3:
+            out.append((3, r.ue(), r.ue()))
         else:
             raise NotImplementedError(
-                f"memory_management_control_operation {op} — "
-                "long-term marking (2/3/4/6) and the MMCO-5 reset "
-                "are the remaining marking scope")
+                f"memory_management_control_operation {op} — the "
+                "MMCO-5 frame_num/POC reset is the remaining "
+                "marking scope")
 
 
 def _entry_pic_num(e, cur_fn: int, max_fn: int):
-    """PicNum of a DPB entry (8.2.4.1, frame coding): FrameNumWrap =
-    frame_num - MaxFrameNum when the stored frame_num exceeds the
-    current one. None for entries without a stored frame_num."""
+    """PicNum of a SHORT-TERM DPB entry (8.2.4.1, frame coding):
+    FrameNumWrap = frame_num - MaxFrameNum when the stored frame_num
+    exceeds the current one. None for long-term entries and entries
+    without a stored frame_num."""
+    if _entry_lt(e) is not None:
+        return None
     fn = e[8] if len(e) > 8 else None
     if fn is None:
         return None
     return fn if fn <= cur_fn else fn - max_fn
+
+
+def _entry_lt(e):
+    """LongTermFrameIdx of a DPB entry, None for short-term."""
+    return e[9] if len(e) > 9 else None
+
+
+def _set_lt(e, idx):
+    e2 = list(e) + [None] * (10 - len(e))
+    e2[9] = idx
+    return tuple(e2)
+
+
+def _lt_tail(dpb):
+    """Long-term entries ordered by LongTermFrameIdx — the common
+    tail of every initial reference list (8.2.4.2)."""
+    return sorted((e for e in dpb if _entry_lt(e) is not None),
+                  key=_entry_lt)
+
+
+def _apply_marking(dpb, mmco, entry, cur_fn: int, max_fn: int,
+                   max_ref: int):
+    """dec_ref_pic_marking (8.2.5): adaptive MMCO ops (1/2/3/4/6) or
+    the sliding window, then the current picture inserted at the
+    front. Long-term entries are exempt from the window; the window
+    evicts the OLDEST short-term."""
+    dpb = list(dpb)
+    if mmco:
+        for cmd in mmco:
+            op = cmd[0]
+            if op == 1:
+                px = cur_fn - (cmd[1] + 1)
+                dpb = [e for e in dpb
+                       if _entry_pic_num(e, cur_fn, max_fn) != px]
+            elif op == 2:
+                dpb = [e for e in dpb if _entry_lt(e) != cmd[1]]
+            elif op == 3:
+                px = cur_fn - (cmd[1] + 1)
+                lt = cmd[2]
+                # 8.2.5.4.3: any picture already holding the index
+                # is unmarked first
+                dpb = [e for e in dpb if _entry_lt(e) != lt]
+                dpb = [(_set_lt(e, lt)
+                        if _entry_pic_num(e, cur_fn, max_fn) == px
+                        else e) for e in dpb]
+            elif op == 4:
+                mx = cmd[1] - 1      # value is max idx + 1
+                dpb = [e for e in dpb
+                       if _entry_lt(e) is None or _entry_lt(e) <= mx]
+            elif op == 6:
+                lt = cmd[1]
+                dpb = [e for e in dpb if _entry_lt(e) != lt]
+                entry = _set_lt(entry, lt)
+        dpb.insert(0, entry)
+        return dpb
+    dpb.insert(0, entry)
+    cap = max(1, max_ref)
+    while len(dpb) > cap:
+        for i in range(len(dpb) - 1, -1, -1):
+            if _entry_lt(dpb[i]) is None:
+                del dpb[i]
+                break
+        else:
+            break                    # nothing short-term to evict
+    return dpb
 
 
 def _apply_ref_mod(initial, cmds, cur_fn: int, max_fn: int):
@@ -1991,6 +2055,18 @@ def _apply_ref_mod(initial, cmds, cur_fn: int, max_fn: int):
     pred = cur_fn
     idx = 0
     for idc, val in cmds:
+        if idc == 2:
+            # long_term_pic_num (r12); does NOT touch the short-term
+            # predictor chain per 8.2.4.3.1
+            pos = next((k for k, e in enumerate(lst)
+                        if _entry_lt(e) == val), None)
+            if pos is None:
+                raise ValueError(
+                    "ref_pic_list_modification: no long-term "
+                    f"reference with LongTermPicNum {val}")
+            lst.insert(idx, lst.pop(pos))
+            idx += 1
+            continue
         if idc == 0:
             nw = pred - (val + 1)
             if nw < 0:
@@ -3064,6 +3140,8 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         ref-0 with both MV components in [-1, 1] quarter-pel (the
         caller already mapped 8x8-inference corners)."""
         e = b_ctx["l1"][0]
+        if _entry_lt(e) is not None:
+            return False   # long-term colocated picture (8.4.1.2.2)
         mvf = e[4] if len(e) > 4 else None
         if mvf is None:
             return False
@@ -3109,6 +3187,10 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
                 raise ValueError(
                     "temporal direct: colocated block's reference "
                     "picture is not in the current RefPicList0")
+        if _entry_lt(b_ctx["l0"][r0]) is not None:
+            # long-term L0 reference (8.4.1.2.3): the POC-distance
+            # ratio is undefined — mvL0 = mvCol, mvL1 = 0
+            return r0, mvcol, (0, 0)
         mv0, mv1 = _temporal_mv_scale(
             b_ctx["poc"], b_ctx["l0"][r0][3], b_ctx["l1"][0][3],
             mvcol)
@@ -3621,11 +3703,13 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
         if is_b:
             if not refs:
                 raise ValueError("B slice with an empty DPB")
-            past = sorted([e for e in refs if e[3] <= cur_poc],
+            shorts = [e for e in refs if _entry_lt(e) is None]
+            lts = _lt_tail(refs)   # common long-term tail (8.2.4.2)
+            past = sorted([e for e in shorts if e[3] <= cur_poc],
                           key=lambda e: -e[3])
-            futr = sorted([e for e in refs if e[3] > cur_poc],
+            futr = sorted([e for e in shorts if e[3] > cur_poc],
                           key=lambda e: e[3])
-            l0, l1 = past + futr, futr + past
+            l0, l1 = past + futr + lts, futr + past + lts
             if (len(l1) > 1
                     and all(a is b for a, b in zip(l0, l1))):
                 # spec RefPicList1 rule: identical lists swap the
@@ -3649,10 +3733,13 @@ def _decode_picture(sps: dict, pps: dict, pic, refs, deblock,
             cur_l0_pocs = [e[3] if len(e) > 3 else None for e in l0]
             cur_l1_pocs = [e[3] if len(e) > 3 else None for e in l1]
         elif is_p:
-            refs_l0 = refs
+            # init order: short-terms most-recent-first (PicNum
+            # desc), then the long-term tail (8.2.4.2)
+            refs_l0 = ([e for e in refs if _entry_lt(e) is None]
+                       + _lt_tail(refs))
             if hdr.get("ref_mod_l0"):
                 refs_l0 = _apply_ref_mod(
-                    refs, hdr["ref_mod_l0"], hdr["frame_num"],
+                    refs_l0, hdr["ref_mod_l0"], hdr["frame_num"],
                     1 << sps["log2_max_frame_num"])
             cur_l0_pocs = [e[3] if len(e) > 3 else None
                            for e in refs_l0]
@@ -3833,22 +3920,14 @@ def decode_video_yuv(data: bytes, max_frames: int | None = None,
         if pic[0][1]:  # nal_ref_idc != 0: used for reference
             entry = (_plane_np(y_p), _plane_np(cb_p),
                      _plane_np(cr_p), poc, mvf, pocf,
-                     mvf1, pocf1, hdr0["frame_num"])
-            mmco = hdr0.get("mmco")
-            if mmco:
-                # adaptive marking (8.2.5.4.1): MMCO 1 unmarks the
-                # short-term picture at CurrPicNum - (diff + 1);
-                # sliding window does NOT run for this picture
-                max_fn = 1 << sps["log2_max_frame_num"]
-                for _op, val in mmco:
-                    px_num = hdr0["frame_num"] - (val + 1)
-                    dpb = [e for e in dpb
-                           if _entry_pic_num(e, hdr0["frame_num"],
-                                             max_fn) != px_num]
-                dpb.insert(0, entry)
-            else:
-                dpb.insert(0, entry)
-                del dpb[sps["max_ref"]:]  # sliding window
+                     mvf1, pocf1, hdr0["frame_num"], None)
+            if pic[0][0] == 5 and (hdr0.get("idr_bits")
+                                   or (0, 0))[1]:
+                # IDR long_term_reference_flag (8.2.5.1)
+                entry = _set_lt(entry, 0)
+            dpb = _apply_marking(
+                dpb, hdr0.get("mmco"), entry, hdr0["frame_num"],
+                1 << sps["log2_max_frame_num"], sps["max_ref"])
     return sps["width"], sps["height"], frames
 
 
@@ -5062,9 +5141,9 @@ def _write_slice_header_bits(w: _W, sps: dict, pps: dict,
         cmds = hdr.get("mmco")
         if cmds:
             w.u(1, 1)            # adaptive_ref_pic_marking
-            for op, val in cmds:
-                w.ue(op)
-                w.ue(val)
+            for cmd in cmds:
+                for v in cmd:    # op + its 1-2 arguments
+                    w.ue(v)
             w.ue(0)
         else:
             w.u(0, 1)
@@ -5346,19 +5425,13 @@ def transcode_to_cabac(data: bytes) -> bytes:
         if pic[0][1]:
             entry = (_plane_np(y_p), _plane_np(cb_p),
                      _plane_np(cr_p), poc, mvf, pocf,
-                     mvf1, pocf1, hdr0["frame_num"])
-            mmco = hdr0.get("mmco")
-            if mmco:
-                max_fn = 1 << sps["log2_max_frame_num"]
-                for _op, val in mmco:
-                    px_num = hdr0["frame_num"] - (val + 1)
-                    dpb = [e for e in dpb
-                           if _entry_pic_num(e, hdr0["frame_num"],
-                                             max_fn) != px_num]
-                dpb.insert(0, entry)
-            else:
-                dpb.insert(0, entry)
-                del dpb[sps["max_ref"]:]
+                     mvf1, pocf1, hdr0["frame_num"], None)
+            if pic[0][0] == 5 and (hdr0.get("idr_bits")
+                                   or (0, 0))[1]:
+                entry = _set_lt(entry, 0)
+            dpb = _apply_marking(
+                dpb, hdr0.get("mmco"), entry, hdr0["frame_num"],
+                1 << sps["log2_max_frame_num"], sps["max_ref"])
     for kind, v in order:
         out += v if kind == "nal" else rendered[v]
     return bytes(out)

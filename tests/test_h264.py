@@ -1076,8 +1076,8 @@ def test_video_p_scope_errors():
     with pytest.raises(NotImplementedError, match="load_cavlc_tables"):
         h.decode_video_yuv(b)
     _cbp_inter_identity()
-    # short-term ref-list modification is IMPLEMENTED (r12); the
-    # remaining named scope raise is the long-term form (idc 2)
+    # ref-list modification is fully IMPLEMENTED (r12, incl. the
+    # long-term idc 2); out-of-range idc values still reject
     units = h.nal_units(b)
     sl = h._W()
     sl.ue(0); sl.ue(5)   # first_mb, slice_type P
@@ -1085,11 +1085,10 @@ def test_video_p_scope_errors():
     sl.u(1, 4)           # frame_num
     sl.u(0, 1)           # num_ref override
     sl.u(1, 1)           # ref_pic_list_modification_flag_l0 = 1
-    sl.ue(2)             # modification_of_pic_nums_idc 2: long-term
+    sl.ue(4)             # modification_of_pic_nums_idc 4: invalid
     head = b"".join(h._nal(p, r_, t) for r_, t, p in units
                     if t in (7, 8, 5))
-    with pytest.raises(NotImplementedError,
-                       match="long_term_pic_num"):
+    with pytest.raises(ValueError, match="out of range"):
         h.decode_video_yuv(head + h._nal(sl.trailing(), 2, 1))
 
 
@@ -2076,9 +2075,9 @@ def _ipcm_pic_r12(ys, cbs, crs, idr, frame_num, mmco=None):
         sl.u(0, 1)
     elif mmco:
         sl.u(1, 1)      # adaptive_ref_pic_marking_mode_flag
-        for op, val in mmco:
-            sl.ue(op)
-            sl.ue(val)
+        for cmd in mmco:
+            for v in cmd:
+                sl.ue(v)
         sl.ue(0)
     else:
         sl.u(0, 1)
@@ -2212,24 +2211,21 @@ def test_mmco_unmarks_short_term_reference():
     assert out[2] == (f1, c1, c1)
 
 
-def test_mmco_long_term_ops_raise_namefully():
+def test_mmco_5_reset_raises_namefully():
+    """Ops 1/2/3/4/6 are implemented (r12 long-term machinery); the
+    remaining named marking raise is the MMCO-5 reset."""
     _cbp_inter_identity()
     f0 = [[0] * 16 for _ in range(16)]
     c = [[128] * 8 for _ in range(8)]
     head = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
             + _ipcm_pic_r12(f0, c, c, True, 0))
-    for op in (2, 3, 4, 5, 6):
-        bad = _ipcm_pic_r12(f0, c, c, False, 1,
-                            mmco=[(op, 0)] if op != 5 else None)
-        if op == 5:     # op 5 takes no argument: hand-write it
-            sl = h._W()
-            sl.ue(0); sl.ue(7); sl.ue(0); sl.u(1, 4)
-            sl.u(1, 1)
-            sl.ue(5)
-            bad = h._nal(sl.trailing(), 3, 1)
-        with pytest.raises(NotImplementedError,
-                           match="memory_management"):
-            h.decode_video_yuv(head + bad)
+    sl = h._W()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(1, 4)
+    sl.u(1, 1)
+    sl.ue(5)
+    with pytest.raises(NotImplementedError,
+                       match="memory_management"):
+        h.decode_video_yuv(head + h._nal(sl.trailing(), 3, 1))
 
 
 def test_ref_mod_and_mmco_transcode_to_cabac():
@@ -2269,6 +2265,209 @@ def test_ref_mod_and_mmco_transcode_to_cabac():
         cab = h.transcode_to_cabac(stream)
         assert h.decode_video_yuv(cab) == h.decode_video_yuv(stream)
         assert h.decode_video_yuv(stream)[2][2] == (f0, c0, c0)
+    finally:
+        C.CABAC["range_lps"] = saved["range_lps"]
+        C.CABAC["trans_lps"] = saved["trans_lps"]
+        C.CABAC["init"].clear()
+        C.CABAC["init"].update(saved["init"])
+
+
+# ------------------------------------- r12: long-term references
+
+
+def _lt_p_slice(frame_num, ref_bit=None, mod=None, mmco=None,
+                two_refs=False):
+    """Zero-MV cbp-0 P_L0_16x16 slice with optional override /
+    modification / marking — the probe picture for the long-term
+    tests (its recon equals whichever reference ref_idx selects)."""
+    sl = h._W()
+    sl.ue(0)
+    sl.ue(5)
+    sl.ue(0)
+    sl.u(frame_num, 4)
+    if two_refs:
+        sl.u(1, 1)
+        sl.ue(1)
+    else:
+        sl.u(0, 1)
+    if mod:
+        sl.u(1, 1)
+        for cmd in mod:
+            for v in cmd:
+                sl.ue(v)
+        sl.ue(3)
+    else:
+        sl.u(0, 1)
+    if mmco:
+        sl.u(1, 1)
+        for cmd in mmco:
+            for v in cmd:
+                sl.ue(v)
+        sl.ue(0)
+    else:
+        sl.u(0, 1)
+    sl.se(0)
+    sl.ue(1)
+    sl.ue(0)
+    sl.ue(0)        # P_L0_16x16
+    if ref_bit is not None:
+        sl.u(ref_bit, 1)   # te(v) for 2 active refs
+    sl.se(0)
+    sl.se(0)
+    sl.ue(0)
+    return h._nal(sl.trailing(), 2, 1)
+
+
+def test_mmco3_long_term_survives_sliding_window():
+    """MMCO 3 converts the IDR to LongTermFrameIdx 0; with
+    max_ref=2 and three further short-term references the window
+    would have evicted it — the long-term entry survives in the
+    list TAIL (8.2.4.2) and a P selecting ref_idx 1 reconstructs
+    the IDR exactly. The long-term entry also stops matching
+    short-term PicNums (a second MMCO-1 aimed at its old PicNum is
+    a no-op on it)."""
+    _cbp_inter_identity()
+    f0 = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    f1 = [[255 - f0[y][x] for x in range(16)] for y in range(16)]
+    f2 = [[(7 * x + 3 * y) % 256 for x in range(16)]
+          for y in range(16)]
+    c0 = [[100] * 8 for _ in range(8)]
+    c1 = [[200] * 8 for _ in range(8)]
+    c2 = [[50] * 8 for _ in range(8)]
+    head = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
+            + _ipcm_pic_r12(f0, c0, c0, True, 0)
+            # I_PCM ref at fn 1 carrying MMCO 3: short-term PicNum 0
+            # (diff_minus1 0) -> LongTermFrameIdx 0
+            + _ipcm_pic_r12(f1, c1, c1, False, 1,
+                            mmco=[(3, 0, 0)])
+            + _ipcm_pic_r12(f2, c2, c2, False, 2))
+    # now DPB: [f2 (short, fn 2), f1 (short, fn 1), f0 (LT 0)] — f0
+    # survived although 3 entries > max_ref because the window only
+    # evicts short-terms... (f1 got evicted: cap 2 -> oldest short)
+    # P with 2 active refs: init list = [f2, f0(LT tail)]; ref 1 = f0
+    probe = _lt_p_slice(3, ref_bit=0, two_refs=True)
+    w, hgt, out = h.decode_video_yuv(head + probe)
+    assert out[3] == (f0, c0, c0)
+    # ref 0 = the newest short-term
+    probe0 = _lt_p_slice(3, ref_bit=1, two_refs=True)
+    w, hgt, out = h.decode_video_yuv(head + probe0)
+    assert out[3] == (f2, c2, c2)
+
+
+def test_ref_mod_idc2_lifts_long_term():
+    _cbp_inter_identity()
+    f0 = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    f1 = [[255 - f0[y][x] for x in range(16)] for y in range(16)]
+    c0 = [[100] * 8 for _ in range(8)]
+    c1 = [[200] * 8 for _ in range(8)]
+    head = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
+            + _ipcm_pic_r12(f0, c0, c0, True, 0)
+            + _ipcm_pic_r12(f1, c1, c1, False, 1,
+                            mmco=[(3, 0, 0)]))
+    # single active ref; idc 2 lifts LongTermPicNum 0 (= f0) to
+    # index 0 ahead of the short-term f1
+    probe = _lt_p_slice(2, mod=[(2, 0)])
+    w, hgt, out = h.decode_video_yuv(head + probe)
+    assert out[2] == (f0, c0, c0)
+    # without the modification ref 0 is the short-term f1
+    probe0 = _lt_p_slice(2)
+    w, hgt, out = h.decode_video_yuv(head + probe0)
+    assert out[2] == (f1, c1, c1)
+
+
+def test_mmco2_and_mmco4_unmark_long_terms():
+    _cbp_inter_identity()
+    f0 = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    f1 = [[255 - f0[y][x] for x in range(16)] for y in range(16)]
+    c0 = [[100] * 8 for _ in range(8)]
+    c1 = [[200] * 8 for _ in range(8)]
+    base = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
+            + _ipcm_pic_r12(f0, c0, c0, True, 0)
+            + _ipcm_pic_r12(f1, c1, c1, False, 1,
+                            mmco=[(3, 0, 0)]))
+    for unmark in ([(2, 0)],      # by LongTermPicNum
+                   [(4, 0)]):     # max_long_term_frame_idx_plus1 0
+        kill = _ipcm_pic_r12(f1, c1, c1, False, 2, mmco=unmark)
+        # after unmarking, 2 active refs overrun the 2-entry DPB?
+        # DPB = [fn2, fn1] shorts — ref 1 decodes to f1; the
+        # LONG-TERM tail is gone, so idc-2 modification now fails
+        probe = _lt_p_slice(3, mod=[(2, 0)])
+        with pytest.raises(ValueError, match="LongTermPicNum"):
+            h.decode_video_yuv(base + kill + probe)
+
+
+def test_mmco6_marks_current_as_long_term():
+    _cbp_inter_identity()
+    f0 = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    f1 = [[255 - f0[y][x] for x in range(16)] for y in range(16)]
+    c0 = [[100] * 8 for _ in range(8)]
+    c1 = [[200] * 8 for _ in range(8)]
+    head = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
+            + _ipcm_pic_r12(f0, c0, c0, True, 0)
+            # fn-1 picture marks ITSELF long-term idx 0 (MMCO 6)
+            + _ipcm_pic_r12(f1, c1, c1, False, 1, mmco=[(6, 0)]))
+    probe = _lt_p_slice(2, mod=[(2, 0)])
+    w, hgt, out = h.decode_video_yuv(head + probe)
+    assert out[2] == (f1, c1, c1)
+
+
+def test_idr_long_term_reference_flag():
+    _cbp_inter_identity()
+    f0 = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    c0 = [[100] * 8 for _ in range(8)]
+
+    # an IDR whose long_term_reference_flag is SET becomes LT 0
+    sl = h._W()
+    sl.ue(0)
+    sl.ue(7)
+    sl.ue(0)
+    sl.u(0, 4)
+    sl.ue(0)        # idr_pic_id
+    sl.u(1, 1)      # no_output_of_prior_pics
+    sl.u(1, 1)      # long_term_reference_flag = 1
+    sl.se(0)
+    sl.ue(1)
+    sl.ue(25)
+    sl.byte_align_zero()
+    for yy in range(16):
+        for xx in range(16):
+            sl.u(f0[yy][xx], 8)
+    for _plane in range(2):
+        for yy in range(8):
+            for xx in range(8):
+                sl.u(c0[yy][xx], 8)
+    head = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
+            + h._nal(sl.trailing(), 3, 5))
+    probe = _lt_p_slice(1, mod=[(2, 0)])
+    w, hgt, out = h.decode_video_yuv(head + probe)
+    assert out[1] == (f0, c0, c0)
+
+
+def test_long_term_mmco_transcode_to_cabac():
+    import test_h264_cabac as tc
+    from data_migration_etl_scripts_spark.operators import (
+        h264_cabac as C,
+    )
+
+    saved = {"range_lps": C.CABAC["range_lps"],
+             "trans_lps": C.CABAC["trans_lps"],
+             "init": dict(C.CABAC["init"])}
+    try:
+        C.load_cabac_tables(tc._synth_cabac())
+        _cbp_inter_identity()
+        f0 = [[(x * 16 + y) % 256 for x in range(16)]
+              for y in range(16)]
+        f1 = [[255 - f0[y][x] for x in range(16)]
+              for y in range(16)]
+        c0 = [[100] * 8 for _ in range(8)]
+        c1 = [[200] * 8 for _ in range(8)]
+        stream = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
+                  + _ipcm_pic_r12(f0, c0, c0, True, 0)
+                  + _ipcm_pic_r12(f1, c1, c1, False, 1,
+                                  mmco=[(3, 0, 0)])
+                  + _lt_p_slice(2, mod=[(2, 0)]))
+        cab = h.transcode_to_cabac(stream)
+        assert h.decode_video_yuv(cab) == h.decode_video_yuv(stream)
     finally:
         C.CABAC["range_lps"] = saved["range_lps"]
         C.CABAC["trans_lps"] = saved["trans_lps"]
