@@ -1947,9 +1947,10 @@ def _parse_ref_mod(r: _R) -> list:
 
 
 def _parse_mmco(r: _R) -> list:
-    """Adaptive dec_ref_pic_marking (7.3.3.3): ops 1/2/3/4/6
-    implemented (r12 adds the long-term machinery); the MMCO-5
-    reset (frame_num/POC re-origin) raises namefully."""
+    """Adaptive dec_ref_pic_marking (7.3.3.3): all frame-coding ops
+    (1/2/3/4/5/6) parse; op 5 is the full-reset (everything
+    unmarked + the current picture re-origined at frame_num/POC
+    0)."""
     out = []
     while True:
         op = r.ue()
@@ -1959,11 +1960,12 @@ def _parse_mmco(r: _R) -> list:
             out.append((op, r.ue()))
         elif op == 3:
             out.append((3, r.ue(), r.ue()))
+        elif op == 5:
+            out.append((5,))
         else:
-            raise NotImplementedError(
-                f"memory_management_control_operation {op} — the "
-                "MMCO-5 frame_num/POC reset is the remaining "
-                "marking scope")
+            raise ValueError(
+                f"memory_management_control_operation {op} out of "
+                "range")
 
 
 def _entry_pic_num(e, cur_fn: int, max_fn: int):
@@ -2026,6 +2028,8 @@ def _apply_marking(dpb, mmco, entry, cur_fn: int, max_fn: int,
                 mx = cmd[1] - 1      # value is max idx + 1
                 dpb = [e for e in dpb
                        if _entry_lt(e) is None or _entry_lt(e) <= mx]
+            elif op == 5:
+                dpb = []    # reset: everything unmarked (8.2.5.4.5)
             elif op == 6:
                 lt = cmd[1]
                 dpb = [e for e in dpb if _entry_lt(e) != lt]
@@ -3925,9 +3929,20 @@ def decode_video_yuv(data: bytes, max_frames: int | None = None,
                                    or (0, 0))[1]:
                 # IDR long_term_reference_flag (8.2.5.1)
                 entry = _set_lt(entry, 0)
+            mmco = hdr0.get("mmco")
             dpb = _apply_marking(
-                dpb, hdr0.get("mmco"), entry, hdr0["frame_num"],
+                dpb, mmco, entry, hdr0["frame_num"],
                 1 << sps["log2_max_frame_num"], sps["max_ref"])
+            if mmco and any(c[0] == 5 for c in mmco):
+                # MMCO-5 re-origin (8.2.5.4.5): the current picture
+                # is inferred to have frame_num 0 and POC 0, and the
+                # POC derivation restarts from it
+                e0 = list(dpb[0])
+                e0[3] = 0
+                e0[8] = 0
+                dpb[0] = tuple(e0)
+                poc_state.clear()
+                poc_state.update({"msb": 0, "lsb": 0, "cnt": 0})
     return sps["width"], sps["height"], frames
 
 
@@ -5429,9 +5444,20 @@ def transcode_to_cabac(data: bytes) -> bytes:
             if pic[0][0] == 5 and (hdr0.get("idr_bits")
                                    or (0, 0))[1]:
                 entry = _set_lt(entry, 0)
+            mmco = hdr0.get("mmco")
             dpb = _apply_marking(
-                dpb, hdr0.get("mmco"), entry, hdr0["frame_num"],
+                dpb, mmco, entry, hdr0["frame_num"],
                 1 << sps["log2_max_frame_num"], sps["max_ref"])
+            if mmco and any(c[0] == 5 for c in mmco):
+                # MMCO-5 re-origin (8.2.5.4.5): the current picture
+                # is inferred to have frame_num 0 and POC 0, and the
+                # POC derivation restarts from it
+                e0 = list(dpb[0])
+                e0[3] = 0
+                e0[8] = 0
+                dpb[0] = tuple(e0)
+                poc_state.clear()
+                poc_state.update({"msb": 0, "lsb": 0, "cnt": 0})
     for kind, v in order:
         out += v if kind == "nal" else rendered[v]
     return bytes(out)

@@ -2211,20 +2211,38 @@ def test_mmco_unmarks_short_term_reference():
     assert out[2] == (f1, c1, c1)
 
 
-def test_mmco_5_reset_raises_namefully():
-    """Ops 1/2/3/4/6 are implemented (r12 long-term machinery); the
-    remaining named marking raise is the MMCO-5 reset."""
+def test_mmco5_reset_unmarks_all_and_reorigins():
+    """MMCO 5 (r12): every reference leaves the DPB, the carrying
+    picture is re-origined at frame_num 0, and PicNum arithmetic
+    restarts from it — a following P at frame_num 1 that targets
+    PicNum 0 via modification reconstructs the RESET picture, and a
+    2-active-ref P fails the now-single-entry DPB bound."""
     _cbp_inter_identity()
-    f0 = [[0] * 16 for _ in range(16)]
-    c = [[128] * 8 for _ in range(8)]
+    f0 = [[(x * 16 + y) % 256 for x in range(16)] for y in range(16)]
+    f1 = [[255 - f0[y][x] for x in range(16)] for y in range(16)]
+    f2 = [[(7 * x + 3 * y) % 256 for x in range(16)]
+          for y in range(16)]
+    c0 = [[100] * 8 for _ in range(8)]
+    c1 = [[200] * 8 for _ in range(8)]
+    c2 = [[50] * 8 for _ in range(8)]
     head = (h._write_sps_pps(1, 1, 16, 16, max_ref=2)
-            + _ipcm_pic_r12(f0, c, c, True, 0))
+            + _ipcm_pic_r12(f0, c0, c0, True, 0)
+            + _ipcm_pic_r12(f1, c1, c1, False, 1)
+            + _ipcm_pic_r12(f2, c2, c2, False, 2, mmco=[(5,)]))
+    # frame_num restarts: the probe at fn 1 selects PicNum 0 = f2
+    probe = _lt_p_slice(1, mod=[(0, 0)])
+    w, hgt, out = h.decode_video_yuv(head + probe)
+    assert out[3] == (f2, c2, c2)
+    # only one reference remains (te(v): bit 0 -> ref_idx 1)
+    probe2 = _lt_p_slice(1, ref_bit=0, two_refs=True)
+    with pytest.raises(ValueError, match="beyond the DPB"):
+        h.decode_video_yuv(head + probe2)
+    # out-of-range MMCO op still rejects
     sl = h._W()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(1, 4)
     sl.u(1, 1)
-    sl.ue(5)
-    with pytest.raises(NotImplementedError,
-                       match="memory_management"):
+    sl.ue(7)
+    with pytest.raises(ValueError, match="out of range"):
         h.decode_video_yuv(head + h._nal(sl.trailing(), 3, 1))
 
 
