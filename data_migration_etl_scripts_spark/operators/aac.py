@@ -1111,7 +1111,9 @@ def aac_encode_sbr(frames: int = 2, rate_idx: int = 8,
                    num_env: int = 1, freq_res: int = 0,
                    env_val: int = 0, noise_val: int = 30,
                    invf_mode: int = 0, header=None,
-                   ps_iid=None, ps_iid_mode: int = 0) -> bytes:
+                   ps_iid=None, ps_iid_mode: int = 0,
+                   grids=None, env_rows=None,
+                   noise_rows=None) -> bytes:
     """HE-AAC v1 engine operating point: a silent AAC-LC SCE core
     with one SBR FIL extension per frame (implicit signalling, header
     in every frame so decode can start anywhere). The FIXFIX grid,
@@ -1133,7 +1135,7 @@ def aac_encode_sbr(frames: int = 2, rate_idx: int = 8,
     fs_out = _RATES[rate_idx] * 2
     bands = sb.derive_bands(h, fs_out)
     out = bytearray()
-    for _ in range(frames):
+    for fi in range(frames):
         body = _W()
         # the silent SCE, without END (the FIL rides between them)
         body.u(0, 3)
@@ -1151,13 +1153,20 @@ def aac_encode_sbr(frames: int = 2, rate_idx: int = 8,
         sbrw.u(13, 4)          # extension_type EXT_SBR_DATA
         sbrw.u(1, 1)           # bs_header_flag
         sb.write_sbr_header(sbrw, h)
-        env_vals = [[env_val] * bands["n"][freq_res]
-                    for _ in range(num_env)]
-        noise_vals = [[noise_val] * bands["n_q"]
-                      for _ in range(1 if num_env == 1 else 2)]
-        sb.write_sbr_sce(sbrw, h, bands, num_env, freq_res,
-                         env_vals, noise_vals, invf_mode,
-                         ps_iid=ps_iid, ps_iid_mode=ps_iid_mode)
+        if grids is not None:
+            # r12 cross-frame VAR operating point: one explicit grid
+            # spec + env/noise value rows per frame
+            sb.write_sbr_sce_grid(sbrw, h, bands, grids[fi],
+                                  env_rows[fi], noise_rows[fi],
+                                  invf_mode)
+        else:
+            env_vals = [[env_val] * bands["n"][freq_res]
+                        for _ in range(num_env)]
+            noise_vals = [[noise_val] * bands["n_q"]
+                          for _ in range(1 if num_env == 1 else 2)]
+            sb.write_sbr_sce(sbrw, h, bands, num_env, freq_res,
+                             env_vals, noise_vals, invf_mode,
+                             ps_iid=ps_iid, ps_iid_mode=ps_iid_mode)
         cnt = (len(sbrw.bits) + 7) // 8
         if cnt >= 15:
             body.u(6, 3)       # FIL

@@ -919,6 +919,9 @@ class SbrChannel:
         self.prev_env = None
         self.prev_env_res = None
         self.prev_noise = None
+        #: envelope parameters spilled past the frame boundary by a
+        #: VAR grid (r12): consumed by the next frame's leading gap
+        self.spill = None
 
 
 def process_frame(st: SbrChannel, core: list, header: dict,
@@ -926,25 +929,22 @@ def process_frame(st: SbrChannel, core: list, header: dict,
                   noise_lin: list, ps_slots=None, syn_r=None):
     """One channel, one frame: 1024 half-rate core samples + parsed
     SBR channel data -> 2048 full-rate samples (32-band analysis, HF
-    generation, envelope adjustment, 64-band synthesis). Frame-
-    aligned grids only: envelope borders spilling across the frame
-    boundary (bs_var_bord > 0 etc.) raise namefully — the engine
-    operating points are frame-aligned, and silently misplacing a
-    transient envelope would be worse than refusing."""
-    grid = ch["grid"]
-    if grid["borders"][0] != 0 or grid["borders"][-1] != 16:
-        raise NotImplementedError(
-            "cross-frame SBR envelope borders (VAR frame classes "
-            "with nonzero bs_var_bord) — frame-aligned grids decode")
+    generation, envelope adjustment, 64-band synthesis). VAR grids
+    whose borders cross the frame boundary decode (r12): the last
+    envelope's parameters spill forward via the channel state and
+    the next frame's leading gap consumes them at the exact absolute
+    slots (see _frame_segments for the one documented caveat)."""
     if len(core) != 1024:
         raise ValueError("SBR core frame must be 1024 samples")
     xlow = list(st.hist)
     for i in range(32):
         xlow.append(st.ana.step(core[32 * i: 32 * i + 32]))
     xhigh, st.bw = hf_generate(xlow, bands, ch["invf"], st.bw, 2, 34)
+    segments, st.spill = _frame_segments(ch, env_lin, noise_lin,
+                                         st.spill)
     st.noise_idx, st.sine_idx = adjust(
         xhigh, ch, bands, env_lin, noise_lin, 0, st.noise_idx,
-        header, st.sine_idx, st.gain_hist)
+        header, st.sine_idx, st.gain_hist, segments=segments)
     kx = bands["kx"]
     m = bands["m"]
     out = []
@@ -1059,6 +1059,59 @@ def write_sbr_sce(w, header: dict, bands: dict, num_env: int,
     w.bits.extend([0] * (8 * cnt - 2 - nbits))
 
 
+def write_sbr_sce_grid(w, header: dict, bands: dict, grid_spec,
+                       env_vals: list, noise_vals: list,
+                       invf_mode: int) -> None:
+    """SCE SBR data with an explicit FIXVAR/VARFIX grid (r12 —
+    the cross-frame border operating point). ``grid_spec`` =
+    {"class": "fixvar"|"varfix", "var_bord", "rel" (widths, each in
+    {2,4,6,8}), "pointer", "freq_res"}; ``env_vals`` one delta-f
+    row per envelope at its resolution, ``noise_vals`` one row per
+    floor."""
+    w.u(0, 1)                 # bs_data_extra
+    cls = grid_spec["class"]
+    rel = grid_spec["rel"]
+    num_env = len(rel) + 1
+    fr = grid_spec["freq_res"]
+    ptr_bits = max(1, math.ceil(math.log2(num_env + 1)))
+    w.u(1 if cls == "fixvar" else 2, 2)
+    w.u(grid_spec["var_bord"], 2)
+    w.u(len(rel), 2)
+    for width in rel:
+        w.u((width - 2) // 2, 2)
+    w.u(grid_spec.get("pointer", 0), ptr_bits)
+    if cls == "fixvar":       # freq_res is written REVERSED
+        for v in reversed(fr):
+            w.u(v, 1)
+    else:
+        for v in fr:
+            w.u(v, 1)
+    num_noise = 1 if num_env == 1 else 2
+    for _ in range(num_env):
+        w.u(0, 1)             # df_env = 0
+    for _ in range(num_noise):
+        w.u(0, 1)             # df_noise = 0
+    for _ in range(bands["n_q"]):
+        w.u(invf_mode, 2)
+    amp = header["amp_res"]   # VAR classes keep the header amp_res
+    fbook = _env_books(amp, False)[1]
+    start_bits = 6 if amp else 7
+    for l, vals in enumerate(env_vals):
+        if len(vals) != bands["n"][fr[l]]:
+            raise ValueError("envelope band count mismatch")
+        w.u(vals[0], start_bits)
+        for i in range(1, len(vals)):
+            _huff_write(w, fbook, vals[i] - vals[i - 1])
+    for vals in noise_vals:
+        if len(vals) != bands["n_q"]:
+            raise ValueError("noise band count mismatch")
+        w.u(vals[0], 5)
+        for i in range(1, len(vals)):
+            _huff_write(w, "f_env_30", vals[i] - vals[i - 1])
+    w.u(0, 1)                 # bs_add_harmonic_flag
+    w.u(0, 1)                 # bs_extended_data
+
+
 def _write_ps_data(w, iid_idx: int, iid_mode: int = 0) -> int:
     """Engine ps_data payload (operators/ps.py parses it): full
     header, FIX frame class, ONE envelope of constant IID indices
@@ -1097,9 +1150,64 @@ _SINE_RE = (1.0, 0.0, -1.0, 0.0)
 _SINE_IM = (0.0, 1.0, 0.0, -1.0)
 
 
+def _frame_segments(ch: dict, env_lin: list, noise_lin: list,
+                    spill):
+    """Clamp this frame's envelope grid to its 32 QMF slots (r12):
+    a leading ``bs_var_bord`` gap takes the PREVIOUS frame's spilled
+    envelope (carried in ``spill``), and a last envelope whose
+    border exceeds 16 hands its parameters forward as the new
+    spill. Returns (segments, new_spill) with segments =
+    [(s0, s1, env_row, res, noise_row, sine_on)].
+
+    Documented caveat (not silent): the current-energy average that
+    feeds the gain normalizes per frame-part, where a buffered
+    reference decoder averages across the whole boundary-crossing
+    envelope — identical for per-band-stationary content (the
+    engine operating points), a bounded gain deviation otherwise."""
+    grid = ch["grid"]
+    borders = grid["borders"]
+    nb = grid["noise_borders"]
+    l_a = grid["l_a"]
+    segs = []
+    if borders[0] > 0:
+        if spill is None:
+            raise ValueError(
+                "SBR VAR grid continues a previous frame's envelope "
+                "(leading bs_var_bord gap) but no spilled envelope "
+                "is pending — truncated or mid-stream start")
+        segs.append((0, 2 * borders[0], spill["env"], spill["res"],
+                     spill["noise"], spill["sine_on"]))
+    new_spill = None
+    for l in range(grid["num_env"]):
+        b0, b1 = borders[l], borders[l + 1]
+        nf = 0
+        for i in range(len(nb) - 1):
+            if nb[i] <= b0 < nb[i + 1]:
+                nf = i
+                break
+        else:
+            nf = len(nb) - 2
+        sine_on = l_a >= 0 and l >= l_a
+        env_row = env_lin[l]
+        res = grid["freq_res"][l]
+        noise_row = noise_lin[min(nf, len(noise_lin) - 1)]
+        if b0 < 16:
+            segs.append((2 * b0, 2 * min(b1, 16), env_row, res,
+                         noise_row, sine_on))
+        if b1 > 16:
+            if l != grid["num_env"] - 1:
+                raise ValueError(
+                    "only the last SBR envelope may spill past the "
+                    "frame boundary")
+            new_spill = {"env": env_row, "res": res,
+                         "noise": noise_row, "sine_on": sine_on,
+                         "slots": 2 * (b1 - 16)}
+    return segs, new_spill
+
+
 def adjust(xhigh: dict, ch: dict, bands: dict, env_lin: list,
            noise_lin: list, t0: int, noise_idx: int, header: dict,
-           sine_idx_start: int, gain_hist: dict):
+           sine_idx_start: int, gain_hist: dict, segments=None):
     """Envelope adjustment (4.6.18.7): per-envelope, per-QMF-band
     target/current energies, noise ratio mapping, gain with the
     limiter and energy-compensating boost (+2 dB cap), then
@@ -1118,26 +1226,23 @@ def adjust(xhigh: dict, ch: dict, bands: dict, env_lin: list,
 
     Returns (noise_idx, sine_idx); ``gain_hist`` (band -> recent
     gains) carries across frames like the indices."""
-    grid = ch["grid"]
     kx = bands["kx"]
     m = bands["m"]
     noise_v = _need("noise")
     lim_gain = _need("limiter_gains")[header["limiter_gains"]]
     smooth = _need("smooth_window")
-    borders = grid["borders"]
     f_high = bands["f"][1]
-    l_a = grid["l_a"]
     sine_present = [0] * m
     for band in range(bands["n"][1]):
         if ch["harm"][band]:
             centre = (f_high[band] + f_high[band + 1]) // 2
             sine_present[centre - kx] = 1
     sidx = sine_idx_start
-    for l in range(grid["num_env"]):
-        res = grid["freq_res"][l]
+    if segments is None:
+        segments, _unused = _frame_segments(ch, env_lin, noise_lin,
+                                            None)
+    for (s0, s1, env_row, res, noise_row, sine_on) in segments:
         ftab = bands["f"][res]
-        s0 = 2 * borders[l]
-        s1 = 2 * borders[l + 1]
         nslots = max(1, s1 - s0)
         # current energy per QMF band over the envelope slots
         e_curr = [0.0] * m
@@ -1161,25 +1266,16 @@ def adjust(xhigh: dict, ch: dict, bands: dict, env_lin: list,
         # mapped target energy per QMF band
         e_orig = [0.0] * m
         for b in range(len(ftab) - 1):
-            val = env_lin[l][b]
+            val = env_row[b]
             for k in range(ftab[b], ftab[b + 1]):
                 e_orig[k - kx] = val
-        # mapped noise ratio per QMF band (noise floor of this env)
-        nb = grid["noise_borders"]
-        nf = 0
-        for i in range(len(nb) - 1):
-            if nb[i] <= borders[l] < nb[i + 1]:
-                nf = i
-                break
-        else:
-            nf = len(nb) - 2
-        q_map = [noise_lin[nf][_noise_band_of(bands, kx + k)]
+        # mapped noise ratio per QMF band (the segment's floor)
+        q_map = [noise_row[_noise_band_of(bands, kx + k)]
                  for k in range(m)]
         # per-band gains and additive component levels
         g = [0.0] * m
         q_m = [0.0] * m
         s_m = [0.0] * m
-        sine_on = l_a >= 0 and l >= l_a
         for k in range(m):
             eo = e_orig[k]
             q = q_map[k]

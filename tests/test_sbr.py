@@ -658,3 +658,96 @@ def test_gain_calculation_hand_walk(seam):
                 (t, k)
     assert got_idx == idx
     assert got_sidx == nslots     # one sine-phase step per slot
+
+
+# --------------------------------- r12: cross-frame VAR borders
+
+
+def _var_stream(spill=True):
+    grids = [
+        {"class": "fixvar", "var_bord": 0, "rel": [],
+         "pointer": 0, "freq_res": [0]},
+        {"class": "fixvar", "var_bord": 2 if spill else 0,
+         "rel": [8], "pointer": 0, "freq_res": [0, 0]},
+        {"class": "varfix", "var_bord": 2 if spill else 0,
+         "rel": [6], "pointer": 0, "freq_res": [0, 0]},
+    ]
+    env_rows = [
+        [[20] * 4],
+        [[20] * 4, [26] * 4],
+        [[23] * 4, [20] * 4],
+    ]
+    noise_rows = [
+        [[20, 20]],
+        [[20, 20], [20, 20]],
+        [[20, 20], [20, 20]],
+    ]
+    return a.aac_encode_sbr(frames=3, rate_idx=8, invf_mode=2,
+                            grids=grids, env_rows=env_rows,
+                            noise_rows=noise_rows)
+
+
+def test_var_borders_cross_frame_decode(seam):
+    """FIXVAR spilling 2 border units into the next frame, consumed
+    by a VARFIX leading gap: the +6-step envelope (2^6 energy) must
+    cover its ABSOLUTE slot range — including the spilled slots at
+    the head of frame 2 — and the following +3-step envelope its
+    own. Checked by band-energy ratios in windows well inside each
+    region (unit = 128 output samples; windows keep >= 1.5-unit
+    margins for the synthesis smear)."""
+    b = _var_stream(spill=True)
+    rate, nch, chans = a.aac_decode(b)
+    assert (rate, nch) == (32000, 1)
+    s = chans[0]
+    assert len(s) == 3 * 2048
+
+    def energy(lo, hi):
+        return sum(v * v for v in s[lo:hi]) / (hi - lo)
+
+    # the synthesis filterbank delays output by ~289 samples: every
+    # window shifts right and keeps >= 1.5-unit margins
+    eA = energy(2048 + 800, 2048 + 1280)    # f1 env 20
+    eB = energy(3800, 4500)                 # f1 env 26 + SPILL
+    eC = energy(4750, 5050)                 # f2 env 23
+    assert 32.0 < eB / eA < 128.0, eB / eA      # ~2^6
+    assert 4.0 < eB / eC < 16.0, eB / eC        # ~2^3
+    # and within the spilled region itself (first 2 units of frame
+    # 2, shifted past the delay) the HIGH envelope holds
+    eSpill = energy(4400, 4600)
+    assert eSpill / eA > 16.0, eSpill / eA
+    # determinism
+    assert a.aac_decode(b) == (rate, nch, chans)
+
+
+def test_varfix_without_pending_spill_raises(seam):
+    grids = [{"class": "varfix", "var_bord": 2, "rel": [6],
+              "pointer": 0, "freq_res": [0, 0]}]
+    b = a.aac_encode_sbr(frames=1, rate_idx=8, invf_mode=2,
+                         grids=grids,
+                         env_rows=[[[20] * 4, [20] * 4]],
+                         noise_rows=[[[20, 20], [20, 20]]])
+    with pytest.raises(ValueError, match="spilled envelope"):
+        a.aac_decode(b)
+
+
+def test_var_grid_write_parse_round_trip(seam):
+    """write_sbr_sce_grid walks the exact parse order for both VAR
+    classes (freq_res reversal included)."""
+    h = _header()
+    bands = sb.derive_bands(h, 32000)
+    for spec, want_borders in (
+            ({"class": "fixvar", "var_bord": 2, "rel": [8],
+              "pointer": 0, "freq_res": [1, 0]}, [0, 10, 18]),
+            ({"class": "varfix", "var_bord": 2, "rel": [6],
+              "pointer": 0, "freq_res": [0, 1]}, [2, 8, 16])):
+        w = a._W()
+        sb.write_sbr_sce_grid(w, h, bands, spec,
+                              [[20] * bands["n"][spec["freq_res"][0]],
+                               [22] * bands["n"][spec["freq_res"][1]]],
+                              [[15, 15], [15, 15]], 1)
+        data = sb.parse_sbr_data(_bits(w), h, bands, is_cpe=False)
+        ch = data["ch"][0]
+        assert ch["grid"]["borders"] == want_borders
+        assert ch["grid"]["freq_res"] == spec["freq_res"]
+        assert ch["env"][0][0] == 20 and ch["env"][1][0] == 22
+        assert ch["noise"] == [[15, 15], [15, 15]]
