@@ -137,9 +137,12 @@ def merge_table(spark: SparkSession, merges: list[tuple[str, str]]) -> DataFrame
     """Merges as a (rank, left, right) DataFrame — the persistable
     tokenizer artifact (parquet next to the corpus indexes, same
     pattern as ingest's hash/band index tables)."""
-    return spark.createDataFrame(
+    from data_migration_etl_scripts_spark.localdata import local_df
+
+    return local_df(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
-        schema="rank int, left string, right string",
+        "rank int, left string, right string",
     )
 
 

@@ -33,12 +33,38 @@ here follows."""
 
 from __future__ import annotations
 
+import math
+import os
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_migration_etl_scripts_spark import planhook
 
 _DEC = "decimal(20,10)"
+
+#: below this many nodes the rank relation ((node, out, rank) — tens
+#: of bytes per row, so 2M nodes ~ 60-100 MB framed) broadcasts into
+#: the per-round contribution join; above it the r11 partitioned-edge
+#: plan applies. Deploy knob: $SPARK_GRAFT_PAGERANK_BCAST_NODES.
+_BCAST_NODES_DEFAULT = 2_000_000
+
+
+def _initial_dangling_mass(n: int, n_dang: int) -> float:
+    """The double the engines' DECIMAL aggregate would produce for the
+    round-0 dangling mass, computed driver-side (r12: saves the
+    separate collect job). Every dangling node holds rank
+    r0 = q9(1/n) = k/1e9 for integer k; the DECIMAL(20,10) cast of
+    that double is exactly k/1e9 (shortest-decimal round-trip of a
+    correctly-rounded quotient of exactly-representable operands),
+    the sum is exactly n_dang*k/1e9, and the final cast to double is
+    the correctly-rounded value of that rational — which is what
+    float(Fraction(...)) computes. Pinned against a live Spark
+    aggregate in tests/test_graph.py."""
+    r0 = math.floor((1.0 / n) * 1e9 + 0.5) / 1e9
+    k = int(math.floor(r0 * 1e9 + 0.5))
+    return float(Fraction(n_dang * k, 10**9))
 
 
 def _q9(col: F.Column) -> F.Column:
@@ -63,6 +89,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     tol: float | None = 0.0,
+    broadcast_nodes_max: int | None = None,
 ) -> DataFrame:
     """(src, dst) edges -> (node, rank) after ``iterations`` rounds.
     Nodes = union of both endpoint sets; parallel edges count with
@@ -82,31 +109,50 @@ def pagerank(
     while the K-round hash contract holds. ``tol=None`` disables the
     check; a positive tol is an approximation knob whose output may
     diverge from the unrolled oracle."""
+    if broadcast_nodes_max is None:
+        broadcast_nodes_max = int(os.environ.get(
+            "SPARK_GRAFT_PAGERANK_BCAST_NODES", _BCAST_NODES_DEFAULT
+        ))
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
-    nodes = (
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    # STATIC structure, computed once: the rank relation carries its
+    # node's out-degree (null = dangling -- the set never changes
+    # across iterations, only its rank mass does), so no per-round
+    # ranks->out_deg join and no dangling semi-join ever runs. n and
+    # the dangling count ride the checkpoint action as observed
+    # metrics (the gates.py observe-fused pattern) -- no separate
+    # count jobs (r12).
+    flagged_plan = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .join(out_deg.withColumnRenamed("src", "node"), "node", "left")
     )
-    n = nodes.count()
+    if broadcast_nodes_max > 0:
+        got = _pagerank_driver_resident(
+            e, flagged_plan, broadcast_nodes_max, iterations, damping, tol
+        )
+        if got is not None:
+            return got
+    # ---------------- big-graph path (r11 partitioned-edge plan) ----
+    from pyspark.sql import Observation
+
+    fobs = Observation(f"pagerank_nodes_{id(e)}")
+    flagged = flagged_plan.observe(
+        fobs,
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("out").isNull()).alias("n_dang"),
+    ).localCheckpoint(eager=True)
+    n = int(fobs.get["n"])
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
-    # STATIC structure, computed once: edges carry their source's
-    # out-degree, and the dangling-node SET (no out-edges) never
-    # changes across iterations — only its rank mass does. This keeps
-    # each iteration to ONE action (the checkpoint) instead of a
-    # dangling-collect job + an update job, and drops the per-round
-    # ranks->out_deg join.
-    #
+        return flagged.select("node").withColumn("rank", F.lit(0.0))
     # PERSIST, not localCheckpoint (r11): a checkpointed RDD scan
-    # reports UnknownPartitioning, so every iteration re-exchanged
-    # AND re-sorted the FULL edge relation for the contrib join — the
-    # dominant per-round cost, and the piece that breaks at 100x
-    # edges. An InMemoryRelation preserves the child plan's
+    # reports UnknownPartitioning, so every iteration would
+    # re-exchange AND re-sort the FULL edge relation for the contrib
+    # join -- the dominant per-round cost, and the piece that breaks
+    # at 100x edges. An InMemoryRelation preserves the child plan's
     # outputPartitioning/ordering, so shuffling+sorting by src ONCE
     # here lets all K per-round sort-merge joins reuse it: only the
     # (|nodes|-sized) rank relation moves per iteration.
@@ -120,40 +166,21 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e_out.count()   # eager, like the checkpoints around it
-    # the dangling SET is static: fold it into the rank relation as a
-    # boolean ONCE (r7) — each iteration's dangling-mass aggregate is
-    # then a FILTER over the checkpointed ranks instead of a per-round
-    # ranks-vs-dangling semi-join (one less shuffle join per
-    # iteration; local wall is checkpoint-overhead-bound so the gain
-    # shows in the plan, not the sf0.1 number)
-    flagged = nodes.join(
-        out_deg.select(F.col("src").alias("node"), F.lit(False).alias("dang")),
-        "node",
-        "left",
-    ).select(
-        "node", F.coalesce("dang", F.lit(True)).alias("dang")
-    ).localCheckpoint(eager=True)
     # IEEE division itself is exactly rounded in both engines, so the
     # (1-d)/N and dangling/N terms need no defensive quantization.
     ranks = flagged.withColumn("rank", _q9(F.lit(1.0) / F.lit(float(n))))
     # Each round's dangling mass is an aggregate over the PREVIOUS
-    # round's output — so it rides the previous round's checkpoint
-    # action as a second observed metric and feeds the next update as
-    # a plain literal (bit-identical: the same DECIMAL sum, the same
-    # double division). Only the INITIAL mass needs its own (tiny)
-    # aggregate job. This halves the per-iteration job count versus
-    # the old per-round broadcast-subquery aggregate (r11; the bench
-    # line's spread was dominated by scheduler overhead, not math).
-    from pyspark.sql import Observation
-
-    dangm = ranks.where("dang").agg(
-        F.coalesce(
-            F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
-        )
-    ).collect()[0][0]
+    # round's output -- it rides the previous round's checkpoint
+    # action as an observed metric and feeds the next update as a
+    # plain literal. The INITIAL mass is n_dang copies of the same
+    # quantized 1/n, computed driver-side (bit-identical to the
+    # DECIMAL aggregate -- see _initial_dangling_mass).
+    dangm = _initial_dangling_mass(n, int(fobs.get["n_dang"]))
     for it in range(iterations):
         contrib = (
-            e_out.join(ranks, e_out["src"] == ranks["node"])
+            e_out.join(
+                ranks.select("node", "rank"), e_out["src"] == F.col("node")
+            )
             .select(
                 "dst",
                 _q9(F.col("rank") / F.col("out")).cast(_DEC).alias("c"),
@@ -165,12 +192,12 @@ def pagerank(
         # side of the update join, so the new projection can carry the
         # old rank; the convergence delta AND the next round's
         # dangling mass both ride the checkpoint action as observed
-        # metrics — one job per iteration, no separate aggregates
+        # metrics -- one job per iteration, no separate aggregates
         new = (
             ranks.join(contrib, ranks["node"] == contrib["dst"], "left")
             .select(
                 ranks["node"].alias("node"),
-                ranks["dang"].alias("dang"),
+                ranks["out"].alias("out"),
                 _q9(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -186,7 +213,7 @@ def pagerank(
             obs = Observation(f"pagerank_obs_{it}_{id(new)}")
             metrics = [
                 F.coalesce(
-                    F.sum(F.when(F.col("dang"), F.col("rank"))
+                    F.sum(F.when(F.col("out").isNull(), F.col("rank"))
                           .cast(_DEC)).cast("double"),
                     F.lit(0.0),
                 ).alias("dangm")
@@ -200,7 +227,7 @@ def pagerank(
                     ).alias("d")
                 )
             new = new.observe(obs, *metrics)
-        new = new.select("node", "dang", "rank")
+        new = new.select("node", "out", "rank")
         planhook.capture("pagerank_iteration", new)
         ranks = new.localCheckpoint(eager=True)
         if obs is not None:
@@ -211,6 +238,105 @@ def pagerank(
     # ranks is checkpointed (no lineage into e_out): safe to release
     e_out.unpersist()
     return ranks.select("node", "rank")
+
+
+def _k9(x: float) -> int:
+    """Integer numerator of a 9-dp-quantized double: the k with
+    x ~ k/1e9 (exact for every _q9 output; the recovered product
+    x*1e9 is within fp error << 0.5 of k, so the floor(+0.5) is
+    safe)."""
+    return int(math.floor(x * 1e9 + 0.5))
+
+
+def _pagerank_driver_resident(
+    e: DataFrame,
+    flagged_plan: DataFrame,
+    cap: int,
+    iterations: int,
+    damping: float,
+    tol: float | None,
+) -> DataFrame | None:
+    """Small-graph plan (r12, guide §2.4/§3.1 + the Lloyd's pattern
+    train_logreg already uses): the node-sized rank vector lives on
+    the DRIVER; each round is ONE Spark job -- the checkpointed edge
+    relation scanned in place, a broadcast hash join against the
+    per-node quantized contributions, the map-side-combined DECIMAL
+    aggregation by dst, and a node-sized collect. No edge shuffle, no
+    sort, no edge re-cache, no per-round checkpoint.
+
+    Returns None when the graph exceeds ``cap`` nodes (the caller
+    falls through to the partitioned-edge plan).
+
+    BIT-IDENTICAL to the Spark-side loop (pinned by
+    test_paths_agree_bit_exactly): the per-edge contribution
+    q9(rank/out) is the same IEEE double whether computed in the JVM
+    or in CPython (both are correctly-rounded binary64 ops), the
+    per-dst DECIMAL(20,10) sums stay in Spark, and the driver-side
+    update plus + damping*(inflow + dangm/n) replicates the JVM
+    expression tree op for op. The dangling mass and L1 delta are
+    exact-rational sums of 9-dp quantities, computed with integer
+    numerators (see _k9/_initial_dangling_mass) -- equal to the
+    engines' DECIMAL aggregates by construction."""
+    import pandas as pd
+
+    from data_migration_etl_scripts_spark.localdata import local_df
+
+    spark = e.sparkSession
+    node_type = flagged_plan.schema["node"].dataType.simpleString()
+    pdf = flagged_plan.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        return None
+    if len(pdf) == 0:
+        return local_df(spark, [], f"node {node_type}, rank double")
+    nodes = pdf["node"].tolist()
+    outs = [None if pd.isna(o) else int(o) for o in pdf["out"].tolist()]
+    out = dict(zip(nodes, outs))
+    n = len(nodes)
+    nf = float(n)
+    r0 = math.floor((1.0 / n) * 1e9 + 0.5) / 1e9
+    rank = {v: r0 for v in nodes}
+    dangm = _initial_dangling_mass(n, sum(1 for o in outs if o is None))
+    plus = (1.0 - damping) / n
+    for _it in range(iterations):
+        c_rows = [
+            (v, math.floor((rank[v] / o) * 1e9 + 0.5) / 1e9)
+            for v, o in out.items()
+            if o is not None
+        ]
+        cdf = local_df(spark, c_rows, f"node {node_type}, c double")
+        contrib = (
+            e.join(F.broadcast(cdf), e["src"] == cdf["node"])
+            .select("dst", F.col("c").cast(_DEC).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("inflow"))
+        )
+        planhook.capture("pagerank_iteration", contrib)
+        cpdf = contrib.toPandas()
+        inflow = dict(zip(cpdf["dst"].tolist(), cpdf["inflow"].tolist()))
+        new_rank = {
+            v: math.floor(
+                (plus + damping * (inflow.get(v, 0.0) + dangm / nf)) * 1e9
+                + 0.5
+            ) / 1e9
+            for v in nodes
+        }
+        if tol is not None:
+            dnum = sum(
+                abs(_k9(new_rank[v]) - _k9(rank[v])) for v in nodes
+            )
+            rank = new_rank
+            if float(Fraction(dnum, 10**9)) <= tol:
+                break
+        else:
+            rank = new_rank
+        dangm = float(Fraction(
+            sum(_k9(rank[v]) for v, o in out.items() if o is None), 10**9
+        ))
+    return local_df(
+        spark,
+        [(v, rank[v]) for v in nodes],
+        f"node {node_type}, rank double",
+    )
 
 
 def pagerank_sql(

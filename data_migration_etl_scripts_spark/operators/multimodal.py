@@ -1907,8 +1907,10 @@ def synthetic_real_media(
     ``decoder="real"`` kernels. Driver-side createDataFrame is fine
     here: this is a test/demo table of a few KB, not a bench input
     (see synthetic_media)."""
-    return spark.createDataFrame(
-        synthetic_real_media_rows(n, include_mpeg), MEDIA_SCHEMA
+    from data_migration_etl_scripts_spark.localdata import local_df
+
+    return local_df(
+        spark, synthetic_real_media_rows(n, include_mpeg), MEDIA_SCHEMA
     )
 
 
@@ -2111,7 +2113,9 @@ def synthetic_video_media(
     """Tiny table of GENUINE video payloads (see
     :func:`synthetic_video_rows`) for the real frame-extraction
     path."""
-    return spark.createDataFrame(
-        synthetic_video_rows(n, include_avi, include_h264),
+    from data_migration_etl_scripts_spark.localdata import local_df
+
+    return local_df(
+        spark, synthetic_video_rows(n, include_avi, include_h264),
         MEDIA_SCHEMA
     )

@@ -794,7 +794,10 @@ def cosine_topk_ivf2(
     # Catalyst analysis (~1-2 s, data-independent). Cosine parity with
     # the CASE form is exact: the zip_with/aggregate fold sums in the
     # same left-to-right order as the compiled element_at chain.
-    sub_cb = spark.createDataFrame(
+    from data_migration_etl_scripts_spark.localdata import local_df
+
+    sub_cb = local_df(
+        spark,
         [
             (int(cell), int(sid), [float(x) for x in sv], float(sn))
             for cell, rows in sorted(by_cell.items())

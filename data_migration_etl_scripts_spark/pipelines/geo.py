@@ -44,8 +44,11 @@ def recode_via_join(
     and Catalyst still prunes/pushes around it.
     """
     spark = df.sparkSession
-    lookup = spark.createDataFrame(
-        [(k, v) for k, v in mapping.items()], f"{col} string, __recoded string"
+    from data_migration_etl_scripts_spark.localdata import local_df
+
+    lookup = local_df(
+        spark, [(k, v) for k, v in mapping.items()],
+        f"{col} string, __recoded string",
     )
     out = df.join(F.broadcast(lookup), col, "left")
     new_val = (

@@ -70,7 +70,10 @@ def roles_claims_transform(
         key_col="ClaimType",
         value_col="granted",
     ).where(F.col("granted"))
-    lookup = spark.createDataFrame(
+    from data_migration_etl_scripts_spark.localdata import local_df
+
+    lookup = local_df(
+        spark,
         [(f, t, v) for (f, t), v in claim_strings.items()],
         "FormName string, ClaimType string, ClaimValue string",
     )

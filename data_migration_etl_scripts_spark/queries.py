@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_migration_etl_scripts_spark import functions as ef
+from data_migration_etl_scripts_spark.localdata import local_df
 from data_migration_etl_scripts_spark.functions.contact import clean_contact_sql
 from data_migration_etl_scripts_spark.functions.numeric import (
     derive_missing_of_three,
@@ -1923,7 +1924,7 @@ def warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.sources import warc as wc
 
     rows, _pages = wc.synthetic_warc_blobs(2, 3)
-    blobs = spark.createDataFrame(rows, "path string, content binary")
+    blobs = local_df(spark, rows, "path string, content binary")
     recs = wc.read_warc(blobs)
     html_rows = recs.where(
         (F.col("warc_type") == "response")
@@ -2017,8 +2018,8 @@ def image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import imagehash as ihx
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
-    media = spark.createDataFrame(
-        ihx.synthetic_imagehash_media_rows(4), mm.MEDIA_SCHEMA
+    media = local_df(
+        spark, ihx.synthetic_imagehash_media_rows(4), mm.MEDIA_SCHEMA
     )
     hashes = ihx.image_dhash(media)
     return ihx.dhash_neardup_pairs(hashes, max_hamming=6, n_bands=8)
@@ -2041,8 +2042,8 @@ def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import multimodal as mm
     from data_migration_etl_scripts_spark.operators import videohash as vhx
 
-    media = spark.createDataFrame(
-        vhx.synthetic_videohash_media_rows(3), mm.MEDIA_SCHEMA
+    media = local_df(
+        spark, vhx.synthetic_videohash_media_rows(3), mm.MEDIA_SCHEMA
     )
     hashes = vhx.video_frame_hashes(media)
     return vhx.video_neardup_pairs(
@@ -2071,8 +2072,8 @@ def audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import imagehash as ihx
     from data_migration_etl_scripts_spark.operators import multimodal as mm
 
-    media = spark.createDataFrame(
-        afx.synthetic_audiohash_media_rows(4), mm.MEDIA_SCHEMA
+    media = local_df(
+        spark, afx.synthetic_audiohash_media_rows(4), mm.MEDIA_SCHEMA
     )
     hashes = afx.audio_afp(media)
     return ihx.dhash_neardup_pairs(
@@ -2454,14 +2455,32 @@ def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    # r12 (guide §2.3, narrower types): the iteration runs on LONG
+    # node keys (custkey*2 even / suppkey*2+1 odd) instead of "c123"/
+    # "s45" strings — every per-round hash/probe/agg then works on
+    # 8-byte longs; the string labels are reconstructed once on the
+    # final node-sized relation. Rank values are identical (the graph
+    # is isomorphic and the arithmetic never touches the key), so the
+    # oracle hash is unchanged.
     fwd = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
     )
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return gr.pagerank(edges, iterations=5)
+    ranks = gr.pagerank(edges, iterations=5)
+    return ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("CAST(node DIV 2 AS STRING)")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.expr("CAST((node - 1) DIV 2 AS STRING)"))
+        )
+        .alias("node"),
+        "rank",
+    )
 
 
 def _classifier_oracle() -> str:

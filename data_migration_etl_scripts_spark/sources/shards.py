@@ -38,6 +38,7 @@ import os
 import tarfile
 from collections.abc import Iterator
 
+from data_migration_etl_scripts_spark.localdata import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -232,7 +233,7 @@ def export_tar_shards(
     # serializing every tar write through one executor.
     rows = manifest.collect()
     (
-        spark.createDataFrame(sorted(rows), schema=_MANIFEST_SCHEMA)
+        local_df(spark, sorted(rows), _MANIFEST_SCHEMA)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "_manifest"))
     )

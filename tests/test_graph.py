@@ -117,8 +117,9 @@ def test_early_exit_never_fires_mid_convergence(spark, monkeypatch):
 
 
 def test_iteration_reuses_edge_partitioning(spark):
-    """The per-iteration contribution join must read the persisted
-    edge relation IN PLACE: the cached (repartition+sort by src) plan
+    """BIG-GRAPH path (broadcast_nodes_max=0 forces it): the
+    per-iteration contribution join must read the persisted edge
+    relation IN PLACE: the cached (repartition+sort by src) plan
     preserves outputPartitioning/ordering, so the join's edge side is
     an InMemoryTableScan with NO exchange or sort above it — a
     checkpointed edge scan reported UnknownPartitioning and
@@ -130,7 +131,8 @@ def test_iteration_reuses_edge_partitioning(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     planhook.enable()
     try:
-        pagerank(df, iterations=2, tol=None).collect()
+        pagerank(df, iterations=2, tol=None,
+                 broadcast_nodes_max=0).collect()
         plan = planhook._CAPTURES["pagerank_iteration"]
     finally:
         planhook.disable()
@@ -147,3 +149,74 @@ def test_iteration_reuses_edge_partitioning(spark):
         stripped = ln.replace("BroadcastExchange", "")
         assert "Exchange (" not in stripped, tree
         assert "Sort (" not in ln, tree
+
+
+def test_small_path_never_shuffles_edges(spark):
+    """SMALL-GRAPH path (r12): the rank relation broadcasts into the
+    contribution join, so the captured per-iteration plan must
+    contain NO sort-merge join, no Sort, and no exchange other than
+    broadcast exchanges and the single contribution aggregation
+    exchange — the edge checkpoint is scanned in place."""
+    import re
+
+    from data_migration_etl_scripts_spark import planhook
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    planhook.enable()
+    try:
+        pagerank(df, iterations=2, tol=None).collect()
+        plan = planhook._CAPTURES["pagerank_iteration"]
+    finally:
+        planhook.disable()
+    tree = plan.split("(1) ")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert "Sort (" not in tree, tree
+    non_bcast = [
+        ln for ln in tree.splitlines()
+        if re.search(r"\bExchange \(", ln) and "Broadcast" not in ln
+    ]
+    assert len(non_bcast) <= 1, tree
+
+
+def test_paths_agree_bit_exactly(spark):
+    """The broadcast-ranks plan and the partitioned-edge plan must
+    produce IDENTICAL doubles (the per-edge quantized contributions
+    and exact DECIMAL sums are plan-independent) — the contract that
+    lets the threshold be a pure performance knob."""
+    edges = [(f"n{i}", f"n{(i * 11 + 5) % 37}") for i in range(80)]
+    edges += [("dangling_src", "n0"), ("n1", "sink")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    small = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+    big = {r.node: r.rank
+           for r in pagerank(df, iterations=4,
+                             broadcast_nodes_max=0).collect()}
+    assert small == big
+
+
+def test_initial_dangling_mass_matches_spark_aggregate(spark):
+    """_initial_dangling_mass must reproduce the engines' DECIMAL
+    aggregate bit for bit for assorted (n, n_dang)."""
+    from pyspark.sql import functions as F
+
+    from data_migration_etl_scripts_spark.operators.graph import (
+        _initial_dangling_mass,
+        _q9,
+    )
+
+    for n, n_dang in [(1, 1), (3, 2), (7, 7), (23, 5), (16500, 999),
+                      (1000000, 123456), (999983, 1)]:
+        expected = (
+            spark.range(n_dang)
+            .select(_q9(F.lit(1.0) / F.lit(float(n))).alias("rank"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(20,10)"))
+                    .cast("double"),
+                    F.lit(0.0),
+                )
+            )
+            .collect()[0][0]
+        )
+        got = _initial_dangling_mass(n, n_dang)
+        assert got == expected, (n, n_dang, got, expected)
