@@ -29,19 +29,96 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+#: below this many candidate pairs the edge list collects to the
+#: driver and components are labeled with a union-find (exact, one
+#: Spark job) instead of the iterative propagation loop. Dup-pair
+#: volume is near-dup-bounded (tiny vs corpus size at any sane dup
+#: rate); 2M pairs ~ 32 MB of longs driver-side. Deploy knob:
+#: $SPARK_GRAFT_CC_DRIVER_EDGES (0 disables the driver path).
+_CC_DRIVER_EDGES_DEFAULT = 2_000_000
+
+
+def _dup_clusters_driver(
+    pairs: DataFrame, src: str, dst: str, cap: int
+) -> DataFrame | None:
+    """Small-graph path (r12, the pagerank/Lloyd's pattern): collect
+    up to ``cap`` (u, v) pairs and label components with a driver-side
+    union-find. Returns None when the pair list exceeds ``cap`` (the
+    caller falls through to the distributed loop).
+
+    Exactness: cluster_id = min node id of the connected component —
+    the propagation loop's fixpoint — computed here with pure integer
+    min over union-find components, so results are identical (and the
+    recursive-CTE oracle computes exactly the same closure). Raw
+    pairs are collected (no symmetric union / distinct needed:
+    duplicates don't change connectivity), so the one Spark job is a
+    bounded-collect of the candidate-pair relation itself."""
+    from data_migration_etl_scripts_spark.localdata import local_df
+
+    spark = pairs.sparkSession
+    node_type = pairs.schema[src].dataType.simpleString()
+    pdf = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the root IS the component's min-so-far
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    rows = sorted((n, find(n)) for n in parent)
+    return local_df(
+        spark, rows, f"doc_id {node_type}, cluster_id {node_type}"
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    driver_edges_max: int | None = None,
 ) -> DataFrame:
     """Duplicate pairs -> (doc_id, cluster_id) connected components.
 
     ``cluster_id`` is the minimum doc id of the component (canonical
-    representative: keep that doc, drop the rest). Hash-min label
+    representative: keep that doc, drop the rest). Below
+    ``driver_edges_max`` pairs (env default, see
+    ``_CC_DRIVER_EDGES_DEFAULT``) the components are labeled by a
+    driver-side union-find in ONE Spark job; above it, hash-min label
     propagation: every node repeatedly takes the min label among
-    itself and its neighbors; fixpoint = components labeled.
+    itself and its neighbors; fixpoint = components labeled. (On a
+    component whose diameter exceeds ``max_iter`` rounds the big path
+    may stop short of the fixpoint — pre-existing contract; the
+    driver path is always exact.)
     """
+    if driver_edges_max is None:
+        import os
+
+        driver_edges_max = int(os.environ.get(
+            "SPARK_GRAFT_CC_DRIVER_EDGES", _CC_DRIVER_EDGES_DEFAULT
+        ))
+    if driver_edges_max > 0:
+        got = _dup_clusters_driver(pairs, src, dst, driver_edges_max)
+        if got is not None:
+            return got
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
         edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))

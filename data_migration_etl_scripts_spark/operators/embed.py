@@ -239,6 +239,43 @@ def _pq_books_sql(codebooks: list[list[list[float]]]) -> str:
     return "array(" + ", ".join(per_m) + ")"
 
 
+def _pq_argmin_one_sql(
+    book: list[list[float]], sv_expr: str, nrm_expr: str | None
+) -> str:
+    """Per-subspace argmin SQL with ONLY this subspace's book embedded,
+    instead of the full array(named_struct(...)) literal tree of EVERY
+    subspace inside every expression (guide §1.2 plan-build cost):
+
+    Catalyst analysis of the 8 old expressions (~14k literal-tree
+    nodes total, the whole codebook x 8) cost ~2.2 s at plan-build
+    time (measured r12); this form is ~200 nodes per expression and
+    analyzes in ~0.1 s total, with the book data as two plain nested
+    double-array literals indexed by a sequence() transform. (An
+    explicit multiply-add-chain variant was measured too: codegen'd
+    per-row eval is faster, but the ~40 KB of generated code pays
+    ~2 s of Janino compile per fresh plan — a net loss until corpora
+    are orders of magnitude bigger than the bench SF.)
+
+    Scoring is bit-identical: same zip_with/aggregate dot fold order,
+    same (dot/nrm - c2) -> round-9 -> negate, same (negs, code)
+    array_min low-code tie-break — the rule the SQL twin mirrors."""
+    vecs = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x:.17E}" for x in code) + ")"
+        for code in book
+    ) + ")"
+    c2s = "array(" + ", ".join(
+        f"{sum(x * x for x in code) / 2.0:.17E}" for code in book
+    ) + ")"
+    div = f" / {nrm_expr}" if nrm_expr else ""
+    return (
+        f"array_min(transform(sequence(0, {len(book) - 1}), "
+        f"c -> named_struct('negs', -round(aggregate(zip_with({sv_expr}, "
+        f"element_at({vecs}, c + 1), (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        f"{div} - element_at({c2s}, c + 1), 9), 'code', c))).code"
+    )
+
+
 def _pq_argmin_sql(books_sql: str, m_expr: str, sv_expr: str,
                    nrm_expr: str | None) -> str:
     """argmin-code SQL over one subspace: transform the literal book
@@ -294,7 +331,6 @@ def pq_encode(
     # materialized in a projection BEFORE the lambdas — no CSE inside
     # lambdas) keeps the generated method constant-size; the expanded
     # multiply-add form fell out of whole-stage codegen at 64 KB.
-    books_sql = _pq_books_sql(codebooks)
     out = out.select(
         "*",
         *[
@@ -305,7 +341,7 @@ def pq_encode(
     code_cols = [
         cached_expr(
             df.sparkSession,
-            _pq_argmin_sql(books_sql, str(m + 1), f"__s{m}", "__nrm"),
+            _pq_argmin_one_sql(codebooks[m], f"__s{m}", "__nrm"),
         )
         for m in range(len(codebooks))
     ]
@@ -364,7 +400,14 @@ def pq_decode_expr(codes: Column, codebooks: list[list[list[float]]]) -> Column:
     expression: concat of element_at(codebook_m, code_m + 1)."""
     parts = []
     for m, book in enumerate(codebooks):
-        lut = F.array(*[F.array(*[F.lit(x) for x in code]) for code in book])
+        # one parsed nested-array literal per subspace (r12): F.lit on
+        # a nested list recursively builds per-element Column lits (a
+        # py4j round trip each); one compact SQL string parses in
+        # microseconds with identical lookup semantics
+        lut = F.expr("array(" + ", ".join(
+            "array(" + ", ".join(f"{x:.17E}" for x in code) + ")"
+            for code in book
+        ) + ")")
         parts.append(F.element_at(lut, F.element_at(codes, m + 1) + 1))
     return F.concat(*parts)
 

@@ -952,12 +952,27 @@ def train_kmeans_centroids(
     Empty cells keep their previous centroid (standard Lloyd's fix).
     Returns (centroid_id, cv, cn) ready for ``_assign_cells``.
     """
+    import math
+
+    from pyspark.sql import Row
+
+    from data_migration_etl_scripts_spark.localdata import local_df
+
     base = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("nrm", _norm(F.col("v"))).where(F.col("nrm") > 0)
     base = base.localCheckpoint()
-    cent = (
+    # r12: the codebook lives on the DRIVER between rounds (the Lloyd's
+    # pattern train_logreg / the pagerank small path use) — each round
+    # is ONE Spark job: the literal-expression assignment pass fused
+    # with the per-(cell, dim) mean aggregate and a codebook-sized
+    # collect. The former per-round codebook localCheckpoint, the
+    # second groupBy (array re-assembly) and the separate collect
+    # inside _assign_cells are gone; the round's distributed plan is
+    # unchanged where it matters (explode -> map-side partial avg — a
+    # collect_list of vectors would OOM a hot cell at scale).
+    cent_rows: list = (
         base.orderBy("vid")
         .limit(n_centroids)
         .select(
@@ -966,38 +981,45 @@ def train_kmeans_centroids(
             F.col("v").alias("cv"),
             F.col("nrm").alias("cn"),
         )
-        .localCheckpoint()
+        .collect()
     )
     for _ in range(n_iter):
-        assigned = _assign_cells(base, cent, "vid")
-        # per-(cell, dimension) mean: explode -> groupBy(cell, dim) gets
-        # map-side partial aggregation, so the shuffle carries one
-        # partial per (cell, dim) per task — never whole vectors per
-        # cell (a collect_list of vectors would OOM a hot cell at scale)
-        means = (
+        assigned = _assign_cells(base, cent_rows, "vid")
+        means_plan = (
             assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
             .groupBy("centroid_id", "dim")
             .agg(F.avg("val").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv_new")
-            )
         )
-        cent = (
-            cent.join(means, "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"),
+        planhook.capture("kmeans_iteration", means_plan)
+        got: dict[int, dict[int, float]] = {}
+        for r in means_plan.collect():
+            got.setdefault(r["centroid_id"], {})[r["dim"]] = r["m"]
+        # driver-side replica of the old update plan, op for op:
+        # coalesce(cv_new, cv), cn = sqrt(left-fold of x*x) — the same
+        # sequential IEEE adds the aggregate() HOF performs — then the
+        # cn > 0 filter. Values are bit-identical to the Spark form.
+        nxt = []
+        for row in cent_rows:
+            dims = got.get(row["centroid_id"])
+            cv = (
+                [dims[d] for d in range(len(row["cv"]))]
+                if dims is not None else list(row["cv"])
             )
-            .withColumn("cn", _norm(F.col("cv")))
-            .where(F.col("cn") > 0)
-        )
-        planhook.capture("kmeans_iteration", cent)
-        cent = cent.localCheckpoint()
-    return cent
+            acc = 0.0
+            for x in cv:
+                acc = acc + x * x
+            cn = math.sqrt(acc)
+            if cn > 0:
+                nxt.append(Row(
+                    centroid_id=row["centroid_id"], cv=cv, cn=cn
+                ))
+        cent_rows = nxt
+    id_type = base.schema["vid"].dataType.simpleString()
+    return local_df(
+        corpus.sparkSession,
+        [(r["centroid_id"], r["cv"], r["cn"]) for r in cent_rows],
+        f"centroid_id {id_type}, cv array<double>, cn double",
+    )
 
 
 def kmeans_cost(corpus: DataFrame, centroids: DataFrame,

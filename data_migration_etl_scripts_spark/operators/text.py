@@ -701,6 +701,14 @@ def duplicate_spans(
         "doc_id",
         F.posexplode(F.when(n >= w, hashes)).alias("pos", "whash"),
     )
+    # r12 (guide §2.4): the dup-hash aggregate and the semi join both
+    # consume `wins`, and the semi's probe side gets no exchange (the
+    # dup set broadcasts), so nothing forces plan reuse — the corpus
+    # was re-tokenized and re-hashed once per branch (two scans in the
+    # before-plan). Materialize the window relation once; the
+    # skew-safe shape (map-side partial count, dup-bounded broadcast)
+    # is unchanged.
+    wins = wins.localCheckpoint(eager=True)
     dup_hashes = (
         wins.groupBy("whash").agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") > 1)
@@ -856,6 +864,11 @@ def remove_duplicate_runs(
             )
         ),
     )
+    # r12 (guide §2.4): same double-scan fix as duplicate_spans — the
+    # owner aggregate and the matched join both read `wins`, and the
+    # broadcast join gives the probe side no exchange to reuse, so the
+    # corpus tokenize+hash ran once per branch. One materialization.
+    wins = wins.localCheckpoint(eager=True)
     owners = (
         wins.groupBy("whash")
         .agg(
