@@ -119,8 +119,24 @@ def train_logreg(
     Deterministic: 9-dp rounding + DECIMAL sums at every aggregation,
     so the result is independent of partitioning (and matches the SQL
     twin bit for bit)."""
+    import os
+
     n_docs = labels.count()
     feats = feats.localCheckpoint(eager=True)
+    # Two-path (the Lloyd's/pagerank-small pattern, guide §1.2): below
+    # the cap the GD loop runs ENTIRELY on the driver over the
+    # collected (doc, bucket, x) rows — the distributed loop costs
+    # ~8 stages per round in scheduler latency alone while the actual
+    # arithmetic is microseconds (measured: 25 stages, 2.3 s CPU for
+    # 500 docs). The update arithmetic is replicated op-for-op
+    # (9-dp HALF_UP double rounding = Spark's BigDecimal round, exact
+    # decimal sums as scaled ints, float(sum)/n = the same IEEE
+    # divide), so the returned weights are bit-identical — pinned by
+    # tests/test_classifier.py::test_driver_and_spark_paths_agree.
+    # Above the cap the distributed loop below is untouched.
+    cap = int(os.environ.get("SPARK_GRAFT_LOGREG_DRIVER_ROWS", 2_000_000))
+    if feats.count() <= cap:
+        return _train_logreg_driver(feats, labels, rounds, lr, n_docs)
     labels = labels.localCheckpoint(eager=True)
     w: dict[int, float] = {}
     for _ in range(rounds):
@@ -159,6 +175,78 @@ def train_logreg(
         g_rows = g_df.collect()  # <= n_buckets+1 rows — the Lloyd's pattern
         for r in g_rows:
             w[r["h"]] = round(w.get(r["h"], 0.0) - lr * r["g"], 9)
+    return w
+
+
+def _r9_int(v: float) -> int:
+    """Spark's ``CAST(round(v, 9) AS DECIMAL(20,10))`` as an EXACT
+    scaled integer (value * 1e9): BigDecimal.valueOf(v) is the
+    double's shortest decimal representation — Python ``repr`` yields
+    the same decimal value — rounded HALF_UP at 9 dp (both halves
+    round away from zero for negatives). Returning the integer keeps
+    the subsequent DECIMAL(20,10) sum exact and order-independent,
+    exactly like the distributed aggregate."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(v)).quantize(Decimal("1E-9"), ROUND_HALF_UP).scaleb(9))
+
+
+def _round9(v: float) -> float:
+    """Spark's ``round(double, 9)`` (HALF_UP on the shortest decimal
+    representation), back to double."""
+    return _r9_int(v) / 10 ** 9
+
+
+def _train_logreg_driver(
+    feats: DataFrame, labels: DataFrame, rounds: int, lr: float, n_docs: int
+) -> dict[int, float]:
+    """Driver-resident GD over the collected feature rows — the exact
+    per-op replica of the distributed loop in :func:`train_logreg`:
+
+    - ``round(x * coalesce(w, 0), 9)`` -> :func:`_r9_int` of the same
+      IEEE double product;
+    - ``sum(CAST(c AS DECIMAL(20,10)))`` -> exact integer sum of the
+      scaled 9-dp values (the decimal sum is exact in both engines);
+    - ``CAST(s AS DOUBLE)`` -> ``int / 10**9``: Python's int/int true
+      division is correctly rounded, the same decimal->double
+      conversion BigDecimal.doubleValue performs;
+    - the sigmoid and gradient rounds reuse the identical expressions
+      (``math.exp`` is the platform libm — the same function the
+      DuckDB oracle twin calls, which the distributed path already
+      hash-matches), and the weight update line is literally the one
+      the distributed path runs on the driver.
+    """
+    import math
+
+    frows = [
+        (r["doc_id"], r["h"], r["x"])
+        for r in feats.select("doc_id", "h", "x").collect()
+    ]
+    y = {
+        r["doc_id"]: r["y"] for r in labels.select("doc_id", "y").collect()
+    }
+    w: dict[int, float] = {}
+    for _ in range(rounds):
+        # s = feats -> round9(x * coalesce(w, 0)) -> DECIMAL sum by doc
+        s_acc: dict = {}
+        for doc, h, x in frows:
+            s_acc[doc] = s_acc.get(doc, 0) + _r9_int(x * w.get(h, 0.0))
+        # p = labels LEFT JOIN s: round9(sigmoid(coalesce(s, 0)))
+        p = {
+            doc: _round9(
+                1.0 / (1.0 + math.exp(-(s_acc.get(doc, 0) / 10 ** 9)))
+            )
+            for doc, yv in y.items()
+        }
+        # g = feats INNER JOIN p -> round9((p - y) * x) -> DECIMAL sum
+        #     by h -> round9(CAST(sum AS DOUBLE) / n_docs)
+        g_acc: dict[int, int] = {}
+        for doc, h, x in frows:
+            if doc in p:
+                g_acc[h] = g_acc.get(h, 0) + _r9_int((p[doc] - y[doc]) * x)
+        for h, gi in g_acc.items():
+            g = _round9((gi / 10 ** 9) / n_docs)
+            w[h] = round(w.get(h, 0.0) - lr * g, 9)
     return w
 
 

@@ -443,20 +443,28 @@ def ppjoin_pairs(
         .localCheckpoint(eager=True)
     )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    ordered = (
-        tok.join(freq, "tok")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("freq", "tok")
-            ),
-        )
+    # per-doc size via a COUNT window over the same doc partition the
+    # ordering window already establishes (one exchange, two Window
+    # operators) — the former separate sizes aggregate + join-back
+    # re-shuffled tok a second time for a value the window partition
+    # already holds (guide §2.4: operations keyed the same way share
+    # one exchange).
+    wdoc = Window.partitionBy("doc_id")
+    with_n = tok.join(freq, "tok").select(
+        "doc_id",
+        "tok",
+        F.row_number().over(wdoc.orderBy("freq", "tok")).alias("pos"),
+        F.count(F.lit(1)).over(wdoc).alias("n"),
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    with_n = ordered.join(sizes, "doc_id")
-    prefix = with_n.where(
-        F.col("pos") <= F.col("n") - ceil_tn(F.col("n")) + 1
-    ).select("doc_id", "tok", "n", "pos")
+    prefix = (
+        with_n.where(F.col("pos") <= F.col("n") - ceil_tn(F.col("n")) + 1)
+        .select("doc_id", "tok", "n", "pos")
+        # three consumers (pre-flight estimate, both sides of the
+        # candidate self-join) would each re-run the freq join +
+        # window; the prefix relation is the (1-t)-fraction of tok —
+        # materialize it once
+        .localCheckpoint(eager=True)
+    )
     if warn_candidates is not None or max_candidates is not None:
         est = ppjoin_candidate_estimate(prefix)
         knobs = (
@@ -491,6 +499,11 @@ def ppjoin_pairs(
         F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # carry each side's size through the candidate set: n is
+    # functionally dependent on doc_id, so the distinct over
+    # (doc_a, doc_b, na, nb) yields exactly the (doc_a, doc_b) pair
+    # set — and the two sizes joins the verification used to re-attach
+    # them disappear (guide §2.4).
     cands = (
         a.join(
             b,
@@ -501,7 +514,8 @@ def ppjoin_pairs(
             & (ubound >= alpha),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
         )
         .distinct()
     )
@@ -518,22 +532,24 @@ def ppjoin_pairs(
     # broadcast ceiling); above the bound, plain equi-joins — AQE
     # still broadcasts if runtime sizes allow, otherwise the attach
     # is two shuffles of the CANDIDATE set, never an explode.
-    n_docs = sizes.count()
-    bc = F.broadcast if n_docs <= 2_000_000 else (lambda df: df)
+    # one aggregation produces BOTH the per-doc feature array and the
+    # doc count (formerly a separate sizes shuffle plus an arrs
+    # shuffle consumed twice); materialized once for the two broadcast
+    # sides and the bounded n_docs count.
     arrs = tok.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks")
-    )
+    ).localCheckpoint(eager=True)
+    n_docs = arrs.count()
+    bc = F.broadcast if n_docs <= 2_000_000 else (lambda df: df)
     arr_a = arrs.select(F.col("doc_id").alias("doc_a"),
                         F.col("toks").alias("toks_a"))
     arr_b = arrs.select(F.col("doc_id").alias("doc_b"),
                         F.col("toks").alias("toks_b"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     inter = (
         cands.join(bc(arr_a), "doc_a")
         .join(bc(arr_b), "doc_b")
         .select(
-            "doc_a", "doc_b",
+            "doc_a", "doc_b", "na", "nb",
             F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
         )
     )
@@ -541,8 +557,7 @@ def ppjoin_pairs(
         F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
     )
     return (
-        inter.join(bc(sa), "doc_a").join(bc(sb), "doc_b")
-        .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -60,6 +60,24 @@ _ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized table reader. A warm ``spark.read.parquet`` costs
+    ~85 ms of driver time (path resolution + file listing + footer
+    schema) and ``_normalize_ntz`` adds a schema fetch; the bench's
+    181 queries call ``_t`` ~350 times, so re-reading per call puts
+    ~40 s of pure plan-build overhead on the board (guide §1/§7.3:
+    driver-side planning is real wall time). Memoizing the ANALYZED
+    DataFrame per (sf_dir, table) reuses the logical plan only —
+    every action still scans the parquet files; nothing is cached or
+    persisted (bench repeats clear this with the rest of
+    stage_cache)."""
+    from data_migration_etl_scripts_spark import stage_cache
+
+    return stage_cache.memo(
+        spark, ("__table__", sf_dir, name), lambda: _t_build(spark, sf_dir, name)
+    )
+
+
+def _t_build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
         # drops, which Spark only reads as a raw long (nanosAsLong).
@@ -75,6 +93,57 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return _normalize_ntz(df)
     return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _tspread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scale-adaptive compute-spread table read (guide §2.5, "input
+    skew: one huge unsplittable file ... repartition immediately after
+    the read").
+
+    The test tables ship as SINGLE-ROW-GROUP parquet files, so a scan
+    is ONE task no matter how small ``maxPartitionBytes`` gets — and
+    every CPU-heavy expression chain above it (tokenize + md5
+    explodes, DECIMAL aggregates over 600k rows) runs serially while
+    31 cores idle. Below ``SPARK_GRAFT_SPREAD_MAX_BYTES`` (default
+    256 MiB) the relation is hash-repartitioned on its leading
+    key column to the session's default parallelism: deterministic
+    (no round-robin sort-before-repartition, retry-safe per guide
+    §2.5), high-cardinality keys spread evenly, and the exchange
+    itself carries only the small table once.
+
+    Above the ceiling this is a NO-OP: at deployment scale the scan
+    already yields hundreds of splits and an extra exchange would be
+    pure cost — the gate self-disables, it is not a local[32] tune.
+    ``SPARK_GRAFT_SPREAD_MIN_BYTES`` (default 256 KiB) keeps
+    broadcast-sized lookups (nation, region, supplier) out."""
+    from data_migration_etl_scripts_spark import stage_cache
+
+    return stage_cache.memo(
+        spark, ("__spread__", sf_dir, name),
+        lambda: _tspread_build(spark, sf_dir, name),
+    )
+
+
+def _tspread_build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
+    df = _t(spark, sf_dir, name)
+    lo = int(os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 256 * 1024))
+    hi = int(os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", 256 * 1024 * 1024))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _dirs, fs in os.walk(path) for f in fs
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    if not (lo <= size <= hi):
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism, df.columns[0])
 
 
 def _normalize_ntz(df: DataFrame) -> DataFrame:
@@ -154,7 +223,7 @@ _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary (A1/A2/A5, P6). Flagship query."""
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    li = _tspread(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
     disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)")
     charge = disc_price * (1 + F.col("l_tax")).cast("decimal(12,4)")
     n = F.count(F.lit(1))
@@ -247,7 +316,7 @@ def right_join_part_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def inner_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 inner join + agg."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tspread(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)")
     return (
@@ -321,8 +390,8 @@ def semi_join_hot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def preagg_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 pre-aggregation before join (orders+checkout shape, §4)."""
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    orders = _tspread(spark, sf_dir, "orders")
+    li = _tspread(spark, sf_dir, "lineitem")
     totals = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         _decsum(_dec("l_extendedprice")).alias("gross"),
         _decsum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)"))
@@ -413,7 +482,7 @@ def window_top1_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 subset dedup (key projection so result is deterministic)."""
-    return _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    return _tspread(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
 
 
 @query(
@@ -426,7 +495,7 @@ def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 duplicate hunting."""
     return (
-        _t(spark, sf_dir, "lineitem")
+        _tspread(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey", "l_partkey")
         .agg(F.count(F.lit(1)).alias("n_dup"))
         .where(F.col("n_dup") > 1)
@@ -470,7 +539,7 @@ def running_total_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return _t(spark, sf_dir, "lineitem").select(
+    return _tspread(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
@@ -712,7 +781,7 @@ def recode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def string_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/F3/F9/F10 string-cleaning + coercion policies."""
-    cust = _t(spark, sf_dir, "customer")
+    cust = _tspread(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     dirty = (
         F.when(k % 3 == 0, F.lit("  padded  "))
@@ -812,7 +881,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_exact", oracle=dd.exact_dup_groups_sql("documents", "doc_id", "text"))
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.exact_dup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return dd.exact_dup_groups(_tspread(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(
@@ -834,7 +903,7 @@ def _minhash_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("minhash_pairs", sf_dir, 12, 4),
         lambda: dd.minhash_lsh_pairs(
-            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            _tspread(spark, sf_dir, "documents").select("doc_id", "text"),
             "doc_id", "text", k=12, bands=4,
         ),
     )
@@ -861,7 +930,7 @@ def _dup_clusters_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"),
+        _tspread(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         shingle_n=3,
@@ -872,7 +941,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=dd.simhash_sql("documents", "doc_id", "text"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return dd.simhash(_tspread(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(
@@ -890,7 +959,7 @@ def _embedding_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("embpairs", sf_dir, "vec_id", "embedding", 0.2, 8),
         lambda: dd.embedding_neardup_pairs(
-            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            _tspread(spark, sf_dir, "embeddings"), "vec_id", "embedding",
             threshold=0.2, bucket_bits=8,
         ),
     )
@@ -922,22 +991,22 @@ def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_token_stats", oracle=tx.token_stats_sql("documents", "doc_id", "text"))
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return tx.token_stats(_tspread(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query("text_language_id", oracle=tx.language_id_sql("documents", "doc_id", "text"))
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return tx.language_id(_tspread(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query("text_quality_score", oracle=tx.quality_score_sql("documents", "doc_id", "text"))
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return tx.quality_score(_tspread(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query("text_fingerprint", oracle=tx.fingerprint_sql("documents", "doc_id", "text"))
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return tx.fingerprint(_tspread(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def _multimodal_features_oracle(n: int = 128, dim: int = 8) -> str:
@@ -1121,7 +1190,7 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_agg_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate (Spark expands to a two-phase agg internally)."""
     return (
-        _t(spark, sf_dir, "lineitem")
+        _tspread(spark, sf_dir, "lineitem")
         .groupBy("l_suppkey")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
@@ -1212,13 +1281,13 @@ def backfill_earliest_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     third order)."""
     from data_migration_etl_scripts_spark.operators import backfill_from_group_earliest
 
-    orders = _t(spark, sf_dir, "orders").select(
+    orders = _tspread(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.when(
             F.col("o_orderkey") % 3 == 0, F.lit(None).cast("timestamp")
         ).otherwise(F.expr("o_orderdate + INTERVAL '30' DAY")).alias("known_ship"),
     )
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _tspread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"),
         "l_shipdate",
         "l_linenumber",
@@ -1602,7 +1671,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import textprep as tp
     from data_migration_etl_scripts_spark.operators.text import STOPWORDS_EN
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     t = tp.tokens("text")
     base = docs.select(
         "doc_id",
@@ -1683,7 +1752,7 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_tfidf_topk", oracle=tx.tfidf_topk_sql("documents", "doc_id", "text", k=5))
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (keyword extraction)."""
-    return tx.tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+    return tx.tfidf_topk(_tspread(spark, sf_dir, "documents"), "doc_id", "text", k=5)
 
 
 @query(
@@ -2156,7 +2225,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clusters come from the session-shared pair/cluster stage (one
     # signature build serves the whole dedup family); quality is its
     # own single map-side scan
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     clusters = _dup_clusters_stage(spark, sf_dir)
     quality = tx.quality_score(docs, "doc_id", "text")
     return cu.keep_best_canonicalize(quality, clusters)
@@ -2231,7 +2300,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     across stage boundaries."""
     from data_migration_etl_scripts_spark.operators import curation as cu2
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     clusters = _dup_clusters_stage(spark, sf_dir)
     dupes = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     # dupes is O(near-dup docs): broadcast keeps the corpus anti-join
@@ -2258,7 +2327,7 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the eval slice (doc_id % 23 == 0 stands in for a benchmark
     table). Eval shingle set is broadcast — the corpus side never
     shuffles until the per-doc count."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 23 == 0).select("text")
     return ctm.decontaminate(docs, bench, n=8)
 
@@ -2286,7 +2355,7 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dilutes to ~0. Bench shingles broadcast with their set sizes; the
     corpus side is map-side until the matched-pair group-by (bounded
     by shared-shingle volume, never |bench| x |corpus|)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 37 == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.array_join(F.slice(tp.tokens("text"), 1, 25), " ").alias("text"),
@@ -2307,7 +2376,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine < 0.98) — hard but not secretly positive. IVF candidate
     scan + pre-ranking ceiling filter; the false-negative poisoning
     guard is part of the plan, not post-processing."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tspread(spark, sf_dir, "embeddings")
     return sim.mine_hard_negatives(
         emb, emb.where(F.col("vec_id") < 8), k=5,
         n_centroids=8, n_probe=4, max_cosine=0.98,
@@ -2325,7 +2394,7 @@ def quality_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-prunes boilerplate farms). One scoring pass + one
     stratum-cardinality aggregate broadcast back — corpus never
     shuffles."""
-    return tx.quality_zscore_by_source(_t(spark, sf_dir, "documents"))
+    return tx.quality_zscore_by_source(_tspread(spark, sf_dir, "documents"))
 
 
 @query(
@@ -2341,7 +2410,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject tops, broadcast; DECIMAL log-prob sums keep
     the average order-independent."""
     return ctm.bigram_logprob(
-        _t(spark, sf_dir, "documents"), vocab_size=2048, bigram_size=8192
+        _tspread(spark, sf_dir, "documents"), vocab_size=2048, bigram_size=8192
     )
 
 
@@ -2391,7 +2460,7 @@ def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic — a DOUBLE ceil is a cross-engine trap
     (0.7*10 = 7.000000000000001 -> ceil 8 vs DuckDB's exact DECIMAL
     7.0 -> ceil 7)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = _tspread(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return dd.ppjoin_pairs(docs, "doc_id", "text", threshold=0.6, shingle_n=3)
 
 
@@ -2427,7 +2496,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf table; N/avgdl broadcast as one row; top-20 is
     TakeOrderedAndProject. 9-dp contribution rounding + DECIMAL sums
     keep the ranking hash-matched against the DuckDB twin."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = _tspread(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return tx.bm25_topk(docs, "doc_id", "text", _BM25_QUERY, k=20)
 
 
@@ -2519,7 +2588,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import classifier as clf
     from data_migration_etl_scripts_spark.operators import textprep as tp
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = _tspread(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     labels = docs.select(
         "doc_id",
         F.arrays_overlap(
@@ -2554,7 +2623,7 @@ def bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions fall to the interpolated unigram floor; ppl =
     exp(-avg_logprob) per doc. Fully hash-matched against the DuckDB
     twin with the same train/eval split."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = _tspread(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     train = docs.where(F.col("doc_id") % 2 == 0)
     ev = docs.where(F.col("doc_id") % 2 == 1)
     scored = ctm.bigram_logprob(
@@ -2577,7 +2646,7 @@ def decontaminate_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs that are near-copies of any eval item — catches the
     paraphrased leaks exact 8-gram overlap misses. Bench band table
     broadcast; corpus pays one signature pass."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 23 == 0)
     return ctm.decontaminate_fuzzy(docs, bench)
 
@@ -2589,7 +2658,7 @@ def decontaminate_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-token / top-2-gram /
     duplicate-line fractions) + keep flag, per document."""
-    return ctm.repetition_stats(_t(spark, sf_dir, "documents"))
+    return ctm.repetition_stats(_tspread(spark, sf_dir, "documents"))
 
 
 @query(
@@ -2645,7 +2714,7 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (perplexity-filter stand-in): top-64 vocab via TakeOrderedAndProject,
     broadcast to a per-token left join; log-probs rounded then
     DECIMAL-summed so 1000 executors agree bit-for-bit."""
-    return ctm.unigram_logprob(_t(spark, sf_dir, "documents"), vocab_size=64)
+    return ctm.unigram_logprob(_tspread(spark, sf_dir, "documents"), vocab_size=64)
 
 
 @query(
@@ -2660,7 +2729,7 @@ def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     against history indexes (content hashes + LSH band table) without
     touching historical text. Two slim equi-joins; the batch side is
     the natural AQE broadcast."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % 10 == 7)
     hist = docs.where(F.col("doc_id") % 10 != 7)
     return ig.dedup_incoming(
@@ -2681,7 +2750,7 @@ def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass table profile: null/distinct/min/max per column as
     rows (gate precheck / data-quality report). Exact mode here;
     approx=True (HLL, no Expand) is the documented 100 TB path."""
-    return pf.profile_columns(_t(spark, sf_dir, "customer"), _PROFILE_COLS)
+    return pf.profile_columns(_tspread(spark, sf_dir, "customer"), _PROFILE_COLS)
 
 
 @query("sketch_profile_events")  # no oracle: HLL/t-digest are engine-specific
@@ -2929,7 +2998,7 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute score: one exact-percentile aggregate -> one-row broadcast
     -> map-side filter; the corpus never shuffles. At 100 TB the
     percentile swaps to percentile_approx (mergeable t-digest)."""
-    scored = tx.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    scored = tx.quality_score(_tspread(spark, sf_dir, "documents"), "doc_id", "text")
     return cu.filter_by_quantile(scored, "quality", q=0.6)
 
 
@@ -3080,7 +3149,7 @@ def sample_by_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import contamination as ctm2
     from data_migration_etl_scripts_spark.operators import curation as cu3
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     scored = ctm2.unigram_logprob(docs, "doc_id", "text")
     thr = scored.agg(
         F.expr("percentile(avg_logprob, 0.25)").alias("p25"),
@@ -3191,7 +3260,7 @@ def corpus_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import bpe
     from data_migration_etl_scripts_spark.operators import curation as cu2
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = _tspread(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     scored = docs.join(
         tx.quality_score(docs, "doc_id", "text"), "doc_id"
     )
@@ -3318,7 +3387,7 @@ def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge(rollup(h), rollup(b)) == rollup(h ∪ b)."""
     from data_migration_etl_scripts_spark.operators import rollup as ru
 
-    orders = _t(spark, sf_dir, "orders").select(
+    orders = _tspread(spark, sf_dir, "orders").select(
         F.trunc(F.col("o_orderdate"), "month").alias("month"),
         F.col("o_orderstatus").alias("status"),
         "o_totalprice",
@@ -3432,7 +3501,7 @@ def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     side hashing; shuffles carry only window hashes and flagged
     positions."""
     return tx.duplicate_spans(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=12
+        _tspread(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=12
     )
 
 
@@ -3656,7 +3725,7 @@ def dedup_remove_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned text and kept/removed counts — the rewrite stage that
     follows duplicate_spans detection, entirely distributed."""
     return tx.remove_duplicate_runs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=12
+        _tspread(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=12
     )
 
 
@@ -3674,7 +3743,7 @@ def dedup_remove_runs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence of the window policy vs this is pinned at ~6% on
     adversarial corpora by tests/test_remove_runs_property.py."""
     return tx.remove_duplicate_runs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        _tspread(spark, sf_dir, "documents"), "doc_id", "text",
         window_tokens=12, policy="exact",
     )
 
@@ -3794,7 +3863,7 @@ def sft_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (assistant tokens only — the half that trains). The whole
     pipeline is one window pass + one ordered group aggregate; at
     100 TB both shuffles key on user/session, never global."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tspread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     us = F.unix_micros(F.col("ts"))
     new_session = F.when(
@@ -3934,7 +4003,7 @@ def sft_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mask) count riding along. Composes the sessionization window with
     the pack operator; the oracle replays the identical composition in
     SQL, so the whole chain hash-matches end to end."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tspread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     us = F.unix_micros(F.col("ts"))
     new_session = F.when(
@@ -4607,7 +4676,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import textprep as tp2
 
     pairs = _minhash_pairs_stage(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.explode(tp2.word_shingles(tp2.tokens("text"), n=3)).alias("s"),
@@ -4850,7 +4919,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches every counter."""
     from data_migration_etl_scripts_spark.operators import cms as cm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tp.tokens("text")).alias("tok"))
     sketch = cm.cms_sketch(toks, "tok", depth=4, width=512)
     exact = (

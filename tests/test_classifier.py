@@ -89,6 +89,21 @@ def test_generalizes_to_heldout(spark):
     assert got[100] > 0.5 > got[101]
 
 
+def test_driver_and_spark_paths_agree(spark, monkeypatch):
+    """The r12 driver-resident GD small path must return BIT-IDENTICAL
+    weights to the distributed loop (same 9-dp HALF_UP double rounds,
+    exact DECIMAL sums as scaled ints, same IEEE divides) — forced
+    both ways via the row cap."""
+    data = [(t, 1) for t in GOOD] + [(t, 0) for t in BAD]
+    docs, labels = _docs(spark, data)
+    feats = clf.hashed_features(docs, "doc_id", "text", n_buckets=256)
+    monkeypatch.setenv("SPARK_GRAFT_LOGREG_DRIVER_ROWS", "1000000")
+    w_driver = clf.train_logreg(feats, labels, rounds=4, lr=0.7)
+    monkeypatch.setenv("SPARK_GRAFT_LOGREG_DRIVER_ROWS", "0")
+    w_spark = clf.train_logreg(feats, labels, rounds=4, lr=0.7)
+    assert w_driver == w_spark
+
+
 def test_empty_weights_score_half(spark):
     docs = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
     labels = spark.createDataFrame([(1, 0)], "doc_id long, y int")
