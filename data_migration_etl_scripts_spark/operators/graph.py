@@ -113,9 +113,37 @@ def pagerank(
         broadcast_nodes_max = int(os.environ.get(
             "SPARK_GRAFT_PAGERANK_BCAST_NODES", _BCAST_NODES_DEFAULT
         ))
-    e = edges.select(
+    sel = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    )
+    # Fully-driver fixpoint (r12 second stage): ONE fused job — the
+    # edge source aggregated to (src, dst, multiplicity) and collected
+    # (bounded by the pair cap) — then nodes, out-degrees and all K
+    # rounds are exact int64/float64 arithmetic on the driver; no edge
+    # checkpoint, no per-round jobs. The round's
+    # sum(CAST(q9(rank/out) AS DECIMAL(20,10))) over the edge multiset
+    # is exactly sum(m * k)/1e9 for the integer numerators k, so the
+    # result is bit-identical to both distributed plans (pinned by
+    # test_paths_agree_bit_exactly / test_numpy_and_join_loop_paths_agree).
+    pair_cap = int(os.environ.get(
+        "SPARK_GRAFT_PAGERANK_DRIVER_EDGES", 4_000_000
+    ))
+    if broadcast_nodes_max > 0 and pair_cap > 0:
+        gdf = sel.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("m"))
+        gpdf = gdf.limit(pair_cap + 1).toPandas()
+        if len(gpdf) <= pair_cap:
+            node_type = (
+                sel.select(F.col("src").alias("node"))
+                .unionByName(sel.select(F.col("dst").alias("node")))
+                .schema["node"].dataType.simpleString()
+            )
+            got = _pagerank_numpy(
+                edges.sparkSession, gdf, gpdf, node_type,
+                broadcast_nodes_max, iterations, damping, tol,
+            )
+            if got is not None:
+                return got
+    e = sel.localCheckpoint(eager=True)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
     # STATIC structure, computed once: the rank relation carries its
     # node's out-degree (null = dangling -- the set never changes
@@ -335,6 +363,109 @@ def _pagerank_driver_resident(
     return local_df(
         spark,
         [(v, rank[v]) for v in nodes],
+        f"node {node_type}, rank double",
+    )
+
+
+def _pagerank_numpy(
+    spark, gdf, gpdf, node_type, node_cap, iterations, damping, tol,
+):
+    """Vectorized exact fixpoint over pair-aggregated edges (nodes,
+    out-degrees and the initial dangling mass all derive from the
+    collected pair table — the union/distinct/out-degree jobs the
+    Spark paths run are plain driver arithmetic here). Returns None
+    when the node count exceeds ``node_cap`` (caller falls through to
+    the distributed plans). Every step reproduces the engines'
+    arithmetic bit for bit:
+
+    - per-node contribution numerator k = floor(rank/out * 1e9 + 0.5)
+      (the integer _q9 names; float64 mul/add/floor are the same
+      correctly-rounded IEEE ops in numpy, CPython and the JVM);
+    - inflow DECIMAL(20,10) sum == sum(m * k) exactly (m copies of the
+      same 9-dp value) — int64 exact: k <= 1e9 * max_rank, and the
+      per-dst sum is bounded by 1e9 * total mass ~ 1e9 * (n * r_max),
+      far under 2^63 (and under 2^53 before the float conversion);
+    - CAST(... AS DOUBLE) == int64 -> float64 exact conversion
+      (< 2^53) divided by the exactly-representable 1e9 — a correctly
+      rounded decimal->double, same as BigDecimal.doubleValue;
+    - the update expression and final _q9 are the identical IEEE
+      elementwise ops the JVM codegen runs;
+    - dangling mass / L1 delta are the same integer-numerator sums the
+      dict-loop path used (Fraction(sum_k, 1e9) == sum_k / 1e9 here
+      because sum_k < 2^53).
+
+    Pinned by test_paths_agree_bit_exactly / test_numpy_path_matches
+    against the distributed plans."""
+    import numpy as np
+
+    from data_migration_etl_scripts_spark.localdata import local_df
+
+    src_list = gpdf["src"].tolist()
+    dst_list = gpdf["dst"].tolist()
+    m = gpdf["m"].to_numpy(dtype=np.int64)
+    # nodes = union of endpoint sets, out-degree = sum of multiplicity
+    # by src — exactly the distinct-union / count aggregates of the
+    # Spark paths, as driver dict arithmetic
+    idx: dict = {}
+    for v in src_list:
+        if v not in idx:
+            idx[v] = len(idx)
+    for v in dst_list:
+        if v not in idx:
+            idx[v] = len(idx)
+    n = len(idx)
+    if n == 0:
+        return local_df(spark, [], f"node {node_type}, rank double")
+    if n > node_cap:
+        return None
+    nodes = list(idx)
+    src_i = np.fromiter(
+        (idx[v] for v in src_list), dtype=np.int64, count=len(src_list)
+    )
+    dst_i = np.fromiter(
+        (idx[v] for v in dst_list), dtype=np.int64, count=len(dst_list)
+    )
+    out_arr = np.zeros(n, dtype=np.int64)
+    np.add.at(out_arr, src_i, m)
+    has_out = out_arr > 0
+    dang_mask = ~has_out
+    r0 = math.floor((1.0 / n) * 1e9 + 0.5) / 1e9
+    r = np.full(n, r0, dtype=np.float64)
+    dangm = _initial_dangling_mass(n, int(dang_mask.sum()))
+    plus = (1.0 - damping) / n
+    nf = float(n)
+    for _it in range(iterations):
+        planhook.capture("pagerank_iteration", gdf)
+        k = np.zeros(n, dtype=np.int64)
+        src_nodes = has_out
+        k[src_nodes] = np.floor(
+            r[src_nodes] / out_arr[src_nodes] * 1e9 + 0.5
+        ).astype(np.int64)
+        inflow_num = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow_num, dst_i, m * k[src_i])
+        inflow = inflow_num.astype(np.float64) / 1e9
+        new_r = np.floor(
+            (plus + damping * (inflow + dangm / nf)) * 1e9 + 0.5
+        ) / 1e9
+        if tol is not None:
+            dnum = int(
+                np.abs(
+                    np.floor(new_r * 1e9 + 0.5).astype(np.int64)
+                    - np.floor(r * 1e9 + 0.5).astype(np.int64)
+                ).sum()
+            )
+            r = new_r
+            if float(Fraction(dnum, 10**9)) <= tol:
+                break
+        else:
+            r = new_r
+        dangm = float(Fraction(
+            int(np.floor(r[dang_mask] * 1e9 + 0.5).astype(np.int64).sum()),
+            10**9,
+        ))
+    return local_df(
+        spark,
+        [(v, float(r[i])) for i, v in enumerate(nodes)],
         f"node {node_type}, rank double",
     )
 

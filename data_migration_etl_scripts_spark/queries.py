@@ -3260,7 +3260,13 @@ def corpus_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import bpe
     from data_migration_etl_scripts_spark.operators import curation as cu2
 
-    docs = _tspread(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # deliberately NOT _tspread: this pipeline is pandas-UDF-bound
+    # (BPE tokenize/encode), and a 32-partition corpus makes every UDF
+    # stage launch a serialized storm of Python workers for ~100 rows
+    # each (guide §4.5) — measured 4.6 -> 13.7 s with the spread on.
+    # The scan's native small partitioning keeps worker count at the
+    # data's natural width.
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     scored = docs.join(
         tx.quality_score(docs, "doc_id", "text"), "doc_id"
     )

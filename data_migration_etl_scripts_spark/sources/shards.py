@@ -233,7 +233,12 @@ def export_tar_shards(
     # serializing every tar write through one executor.
     rows = manifest.collect()
     (
+        # one part file: the manifest is one row per tar by
+        # construction; the default-parallelism local relation wrote
+        # 32 near-empty part files (32 writer inits + commits, and 32
+        # scan tasks for every later reader — guide §6 small files)
         local_df(spark, sorted(rows), _MANIFEST_SCHEMA)
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "_manifest"))
     )

@@ -194,6 +194,20 @@ def test_paths_agree_bit_exactly(spark):
     assert small == big
 
 
+def test_numpy_and_join_loop_paths_agree(spark, monkeypatch):
+    """r12 second stage: the fully-driver numpy fixpoint (pair-
+    aggregated edges, exact int64 numerators) must equal the per-round
+    broadcast-join loop bit for bit — forced apart via the pair cap."""
+    edges = [(f"n{i}", f"n{(i * 11 + 5) % 37}") for i in range(80)]
+    edges += [("dangling_src", "n0"), ("n1", "sink"),
+              ("n1", "n2"), ("n1", "n2"), ("n1", "n2")]  # multiplicity
+    df = spark.createDataFrame(edges, "src string, dst string")
+    vec = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_PAGERANK_DRIVER_EDGES", "0")
+    loop = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+    assert vec == loop
+
+
 def test_initial_dangling_mass_matches_spark_aggregate(spark):
     """_initial_dangling_mass must reproduce the engines' DECIMAL
     aggregate bit for bit for assorted (n, n_dang)."""
