@@ -178,7 +178,7 @@ def train_logreg(
     return w
 
 
-def _r9_int(v: float) -> int:
+def _r9_int_exact(v: float) -> int:
     """Spark's ``CAST(round(v, 9) AS DECIMAL(20,10))`` as an EXACT
     scaled integer (value * 1e9): BigDecimal.valueOf(v) is the
     double's shortest decimal representation — Python ``repr`` yields
@@ -189,6 +189,26 @@ def _r9_int(v: float) -> int:
     from decimal import ROUND_HALF_UP, Decimal
 
     return int(Decimal(repr(v)).quantize(Decimal("1E-9"), ROUND_HALF_UP).scaleb(9))
+
+
+def _r9_int(v: float) -> int:
+    """Fast path for :func:`_r9_int_exact`: HALF_UP of the decimal
+    value equals ``floor(v*1e9 + 0.5)`` whenever v*1e9 is not within a
+    few ulp of a .5 boundary (the decimal-vs-binary discrepancy of the
+    shortest repr is < 1 ulp, so away from the boundary both round the
+    same way; ``floor(t+0.5)`` is round-half-away for every non-half
+    t, negatives included). Boundary-band values defer to the exact
+    Decimal path. Pinned against the exact path over random and
+    adversarial inputs by tests/test_classifier.py."""
+    import math
+
+    t = v * 1e9
+    r = math.floor(t + 0.5)
+    d = (t + 0.5) - r
+    eps = 1e-6 + abs(t) * 1e-15
+    if d < eps or d > 1.0 - eps:
+        return _r9_int_exact(v)
+    return r
 
 
 def _round9(v: float) -> float:
@@ -218,36 +238,84 @@ def _train_logreg_driver(
     """
     import math
 
-    frows = [
-        (r["doc_id"], r["h"], r["x"])
-        for r in feats.select("doc_id", "h", "x").collect()
-    ]
-    y = {
-        r["doc_id"]: r["y"] for r in labels.select("doc_id", "y").collect()
-    }
-    w: dict[int, float] = {}
+    import numpy as np
+
+    # Arrow collect (toPandas), not Row collect: the feature relation
+    # is ~|docs| x |distinct hashed tokens| rows — Row materialization
+    # costs ~1.5 s/M rows where Arrow batches cost ~0.1 s
+    fpdf = feats.select("doc_id", "h", "x").toPandas()
+    lpdf = labels.select("doc_id", "y").toPandas()
+    docs = lpdf["doc_id"].tolist()
+    y_by_doc = dict(zip(docs, lpdf["y"].tolist()))
+    # factorized indices: di over LABELED docs (rows of unlabeled docs
+    # drop out of the gradient, replicating the inner join), hi over
+    # buckets
+    doc_idx = {d: i for i, d in enumerate(docs)}
+    all_docs = fpdf["doc_id"].tolist()
+    hs = fpdf["h"].tolist()
+    xs = np.asarray(fpdf["x"].tolist(), dtype=np.float64)
+    buckets = sorted(set(hs))
+    h_idx = {h: i for i, h in enumerate(buckets)}
+    hi = np.fromiter((h_idx[h] for h in hs), dtype=np.int64, count=len(hs))
+    # s-pass groups by EVERY doc in feats; factorize the extras past
+    # the labeled block
+    s_extra = {}
+    for d in all_docs:
+        if d not in doc_idx and d not in s_extra:
+            s_extra[d] = len(docs) + len(s_extra)
+    di_all = np.fromiter(
+        (doc_idx.get(d) if d in doc_idx else s_extra[d] for d in all_docs),
+        dtype=np.int64, count=len(all_docs),
+    )
+    labeled_rows = di_all < len(docs)
+    y_arr = np.asarray([y_by_doc[d] for d in docs], dtype=np.float64)
+    n_all = len(docs) + len(s_extra)
+
+    def r9_int_vec(v: np.ndarray) -> np.ndarray:
+        """Vectorized :func:`_r9_int` with the same boundary guard —
+        ambiguous elements defer to the exact Decimal path."""
+        t = v * 1e9
+        r = np.floor(t + 0.5)
+        d = (t + 0.5) - r
+        eps = 1e-6 + np.abs(t) * 1e-15
+        out = r.astype(np.int64)
+        bad = (d < eps) | (d > 1.0 - eps)
+        if bad.any():
+            for i in np.nonzero(bad)[0]:
+                out[i] = _r9_int_exact(float(v[i]))
+        return out
+
+    # only buckets reaching the gradient (rows surviving the labels
+    # inner join) ever enter the weight dict — buckets confined to
+    # unlabeled docs stay ABSENT (null -> coalesce 0), like the
+    # distributed collect
+    grad_buckets = np.unique(hi[labeled_rows])
+    w_arr = np.zeros(len(buckets), dtype=np.float64)
     for _ in range(rounds):
         # s = feats -> round9(x * coalesce(w, 0)) -> DECIMAL sum by doc
-        s_acc: dict = {}
-        for doc, h, x in frows:
-            s_acc[doc] = s_acc.get(doc, 0) + _r9_int(x * w.get(h, 0.0))
-        # p = labels LEFT JOIN s: round9(sigmoid(coalesce(s, 0)))
-        p = {
-            doc: _round9(
-                1.0 / (1.0 + math.exp(-(s_acc.get(doc, 0) / 10 ** 9)))
-            )
-            for doc, yv in y.items()
-        }
+        c = r9_int_vec(xs * w_arr[hi])
+        s_int = np.zeros(n_all, dtype=np.int64)
+        np.add.at(s_int, di_all, c)
+        # p = labels LEFT JOIN s: round9(sigmoid(coalesce(s, 0)));
+        # math.exp (libm), not np.exp (SIMD variant may differ by an
+        # ulp from the libm the JVM/DuckDB agreement rides on)
+        p_arr = np.asarray(
+            [
+                _round9(1.0 / (1.0 + math.exp(-(int(si) / 10 ** 9))))
+                for si in s_int[: len(docs)]
+            ],
+            dtype=np.float64,
+        )
         # g = feats INNER JOIN p -> round9((p - y) * x) -> DECIMAL sum
         #     by h -> round9(CAST(sum AS DOUBLE) / n_docs)
-        g_acc: dict[int, int] = {}
-        for doc, h, x in frows:
-            if doc in p:
-                g_acc[h] = g_acc.get(h, 0) + _r9_int((p[doc] - y[doc]) * x)
-        for h, gi in g_acc.items():
-            g = _round9((gi / 10 ** 9) / n_docs)
-            w[h] = round(w.get(h, 0.0) - lr * g, 9)
-    return w
+        li = di_all[labeled_rows]
+        g_rows = r9_int_vec((p_arr[li] - y_arr[li]) * xs[labeled_rows])
+        g_int = np.zeros(len(buckets), dtype=np.int64)
+        np.add.at(g_int, hi[labeled_rows], g_rows)
+        for j in grad_buckets:
+            g = _round9((int(g_int[j]) / 10 ** 9) / n_docs)
+            w_arr[j] = round(float(w_arr[j]) - lr * g, 9)
+    return {buckets[j]: float(w_arr[j]) for j in grad_buckets}
 
 
 def predict(

@@ -2408,9 +2408,10 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     — common tokens, impossible adjacencies — scores low even though
     every token is in-vocab. Both model tables are
     TakeOrderedAndProject tops, broadcast; DECIMAL log-prob sums keep
-    the average order-independent."""
+    the average order-independent. NOT _tspread — see
+    bigram_heldout_ppl (top-K driver merge scales with partitions)."""
     return ctm.bigram_logprob(
-        _tspread(spark, sf_dir, "documents"), vocab_size=2048, bigram_size=8192
+        _t(spark, sf_dir, "documents"), vocab_size=2048, bigram_size=8192
     )
 
 
@@ -2495,8 +2496,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     head). One explode feeds doc lengths and the query-term-filtered
     tf table; N/avgdl broadcast as one row; top-20 is
     TakeOrderedAndProject. 9-dp contribution rounding + DECIMAL sums
-    keep the ranking hash-matched against the DuckDB twin."""
-    docs = _tspread(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    keep the ranking hash-matched against the DuckDB twin.
+
+    Deliberately NOT _tspread: the global TakeOrderedAndProject tops
+    in this family merge top-K per input partition on the driver, so
+    32-way spread input multiplies the driver merge (measured ~1.5-2x
+    slower with the spread on)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return tx.bm25_topk(docs, "doc_id", "text", _BM25_QUERY, k=20)
 
 
@@ -2622,8 +2628,13 @@ def bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (model_df separation in ctm.bigram_logprob). Out-of-table
     transitions fall to the interpolated unigram floor; ppl =
     exp(-avg_logprob) per doc. Fully hash-matched against the DuckDB
-    twin with the same train/eval split."""
-    docs = _tspread(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    twin with the same train/eval split.
+
+    Deliberately NOT _tspread: the vocab/bigram model tables are
+    global TakeOrderedAndProject tops (K up to 8192) whose driver
+    merge scales with partitions x K — measured 2.3 -> 3.4-5.1 s with
+    the 32-way spread on."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     train = docs.where(F.col("doc_id") % 2 == 0)
     ev = docs.where(F.col("doc_id") % 2 == 1)
     scored = ctm.bigram_logprob(
@@ -3393,7 +3404,12 @@ def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge(rollup(h), rollup(b)) == rollup(h ∪ b)."""
     from data_migration_etl_scripts_spark.operators import rollup as ru
 
-    orders = _tspread(spark, sf_dir, "orders").select(
+    # NOT _tspread: this query scans orders five times (watermark cut
+    # + history + three batches) into TINY-keyed partial aggregates —
+    # map-side combine already collapses each scan to ~rows(keys), so
+    # five spread exchanges are pure overhead (measured 1.6 -> 3.0 s
+    # with the spread on).
+    orders = _t(spark, sf_dir, "orders").select(
         F.trunc(F.col("o_orderdate"), "month").alias("month"),
         F.col("o_orderstatus").alias("status"),
         "o_totalprice",

@@ -1052,15 +1052,30 @@ def _exec_recursive_top(spark: SparkSession, sql: str):
             acc = acc.toDF(*cols)
         acc = acc.distinct().localCheckpoint()
         frontier = acc
-        for _ in range(1000):
+        for _i in range(1000):
             frontier.createOrReplaceTempView(name)
             step_df = spark.sql(step)
             if cols:
                 step_df = step_df.toDF(*cols)
-            new = step_df.distinct().subtract(acc).localCheckpoint()
-            if new.count() == 0:
+            # r12 (guide §2.4/§1.2): the frontier count rides the
+            # checkpoint action as an observed metric (one job per
+            # round, not two), and the accumulator stays a UNION of
+            # the checkpointed deltas — every leaf is already
+            # materialized, so lineage is flat without re-copying the
+            # whole accumulated set each round (the former per-round
+            # acc checkpoint was O(|acc|) extra writes per round).
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"rcte_{name}_{_i}_{id(step_df)}")
+            new = (
+                step_df.distinct().subtract(acc)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            if int(obs.get["n"]) == 0:
                 break
-            acc = acc.unionAll(new).localCheckpoint()
+            acc = acc.unionAll(new)
             frontier = new
         else:
             raise ValueError(

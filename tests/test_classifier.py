@@ -104,6 +104,25 @@ def test_driver_and_spark_paths_agree(spark, monkeypatch):
     assert w_driver == w_spark
 
 
+def test_r9_fast_path_matches_exact():
+    """The guarded floor fast path must equal the exact Decimal
+    HALF_UP path on random magnitudes, negatives, and adversarial
+    .5-boundary values (which the guard routes to the exact path)."""
+    import random
+
+    random.seed(42)
+    cases = [0.0, -0.0, 1e-10, -1e-10, 0.1234567895, -0.1234567895,
+             0.0000000005, -0.0000000005, 1.5e-9, 2.5e-9, -2.5e-9,
+             123.4567891235, 7.25e-9, 1e-18, -1e-18]
+    cases += [random.uniform(-1000, 1000) for _ in range(2000)]
+    cases += [random.uniform(-1, 1) * 10 ** random.randint(-12, 4)
+              for _ in range(2000)]
+    # exact decimal halves at the 10th digit
+    cases += [k * 1e-9 + 5e-10 for k in (-3, -1, 0, 1, 7, 12345)]
+    for v in cases:
+        assert clf._r9_int(v) == clf._r9_int_exact(v), repr(v)
+
+
 def test_empty_weights_score_half(spark):
     docs = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
     labels = spark.createDataFrame([(1, 0)], "doc_id long, y int")
