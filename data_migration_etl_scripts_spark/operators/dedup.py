@@ -456,15 +456,16 @@ def ppjoin_pairs(
         F.row_number().over(wdoc.orderBy("freq", "tok")).alias("pos"),
         F.count(F.lit(1)).over(wdoc).alias("n"),
     )
-    prefix = (
-        with_n.where(F.col("pos") <= F.col("n") - ceil_tn(F.col("n")) + 1)
-        .select("doc_id", "tok", "n", "pos")
-        # three consumers (pre-flight estimate, both sides of the
-        # candidate self-join) would each re-run the freq join +
-        # window; the prefix relation is the (1-t)-fraction of tok —
-        # materialize it once
-        .localCheckpoint(eager=True)
-    )
+    # prefix stays LAZY: its three consumers (pre-flight estimate,
+    # both candidate sides) recompute the freq join + window from the
+    # tok checkpoint, which measures CHEAPER here than an extra eager
+    # materialization job — at sf0.1 the window pass is ~0.3 s while
+    # every serial checkpoint job adds fixed latency (and stall
+    # exposure); at larger inputs the tok checkpoint bounds the
+    # recompute to one in-memory scan per consumer.
+    prefix = with_n.where(
+        F.col("pos") <= F.col("n") - ceil_tn(F.col("n")) + 1
+    ).select("doc_id", "tok", "n", "pos")
     if warn_candidates is not None or max_candidates is not None:
         est = ppjoin_candidate_estimate(prefix)
         knobs = (
@@ -532,14 +533,14 @@ def ppjoin_pairs(
     # broadcast ceiling); above the bound, plain equi-joins — AQE
     # still broadcasts if runtime sizes allow, otherwise the attach
     # is two shuffles of the CANDIDATE set, never an explode.
-    # one aggregation produces BOTH the per-doc feature array and the
-    # doc count (formerly a separate sizes shuffle plus an arrs
-    # shuffle consumed twice); materialized once for the two broadcast
-    # sides and the bounded n_docs count.
+    # the former separate sizes aggregate (shuffled tok a second time,
+    # consumed three times) is gone: n rides the window and the
+    # candidate set; the broadcast-bound doc count is one partial-agg
+    # job over the tok checkpoint.
     arrs = tok.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks")
-    ).localCheckpoint(eager=True)
-    n_docs = arrs.count()
+    )
+    n_docs = tok.agg(F.count_distinct("doc_id")).collect()[0][0] or 0
     bc = F.broadcast if n_docs <= 2_000_000 else (lambda df: df)
     arr_a = arrs.select(F.col("doc_id").alias("doc_a"),
                         F.col("toks").alias("toks_a"))

@@ -315,8 +315,10 @@ def right_join_part_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def inner_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 inner join + agg."""
-    li = _tspread(spark, sf_dir, "lineitem")
+    """J3 inner join + agg. NOT _tspread: the 25-key brand aggregate
+    collapses map-side, so the spread exchange of the full fact table
+    was pure overhead (A/B +0.45 s above the noise band)."""
+    li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(12,4)")
     return (
@@ -2461,7 +2463,7 @@ def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic — a DOUBLE ceil is a cross-engine trap
     (0.7*10 = 7.000000000000001 -> ceil 8 vs DuckDB's exact DECIMAL
     7.0 -> ceil 7)."""
-    docs = _tspread(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return dd.ppjoin_pairs(docs, "doc_id", "text", threshold=0.6, shingle_n=3)
 
 
@@ -3884,8 +3886,12 @@ def sft_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     one template string with per-conversation token and LOSS-MASK
     counts (assistant tokens only — the half that trains). The whole
     pipeline is one window pass + one ordered group aggregate; at
-    100 TB both shuffles key on user/session, never global."""
-    ev = _tspread(spark, sf_dir, "events")
+    100 TB both shuffles key on user/session, never global.
+
+    NOT _tspread: the session window re-shuffles by user_id
+    immediately, so a spread exchange ahead of it is pure overhead
+    (sft_pack measured 0.8 -> 1.5 s with it on)."""
+    ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     us = F.unix_micros(F.col("ts"))
     new_session = F.when(
@@ -4024,8 +4030,9 @@ def sft_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no global sort — with each conversation's assistant-token
     (mask) count riding along. Composes the sessionization window with
     the pack operator; the oracle replays the identical composition in
-    SQL, so the whole chain hash-matches end to end."""
-    ev = _tspread(spark, sf_dir, "events")
+    SQL, so the whole chain hash-matches end to end. NOT _tspread —
+    see sft_render_conversations (window re-shuffles by user anyway)."""
+    ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     us = F.unix_micros(F.col("ts"))
     new_session = F.when(
