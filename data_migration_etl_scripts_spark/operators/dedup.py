@@ -443,18 +443,19 @@ def ppjoin_pairs(
         .localCheckpoint(eager=True)
     )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    # per-doc size via a COUNT window over the same doc partition the
-    # ordering window already establishes (one exchange, two Window
-    # operators) — the former separate sizes aggregate + join-back
-    # re-shuffled tok a second time for a value the window partition
-    # already holds (guide §2.4: operations keyed the same way share
-    # one exchange).
-    wdoc = Window.partitionBy("doc_id")
-    with_n = tok.join(freq, "tok").select(
+    # per-doc size via the sizes aggregate + broadcast join-back — a
+    # COUNT window over the doc partition was tried (one less shuffle
+    # on paper) and REVERTED on measurement: the unbounded window
+    # buffers every doc's rows in a second Window pass and benched
+    # consistently slower than the hash-join attach at sf0.1.
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    with_n = tok.join(freq, "tok").join(sizes, "doc_id").select(
         "doc_id",
         "tok",
-        F.row_number().over(wdoc.orderBy("freq", "tok")).alias("pos"),
-        F.count(F.lit(1)).over(wdoc).alias("n"),
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("freq", "tok")
+        ).alias("pos"),
+        "n",
     )
     # prefix stays LAZY: its three consumers (pre-flight estimate,
     # both candidate sides) recompute the freq join + window from the
@@ -533,14 +534,13 @@ def ppjoin_pairs(
     # broadcast ceiling); above the bound, plain equi-joins — AQE
     # still broadcasts if runtime sizes allow, otherwise the attach
     # is two shuffles of the CANDIDATE set, never an explode.
-    # the former separate sizes aggregate (shuffled tok a second time,
-    # consumed three times) is gone: n rides the window and the
-    # candidate set; the broadcast-bound doc count is one partial-agg
-    # job over the tok checkpoint.
+    # n rides the candidate set, so the verification no longer
+    # re-attaches sizes (two joins gone); the broadcast-bound doc
+    # count reuses the sizes aggregate.
     arrs = tok.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks")
     )
-    n_docs = tok.agg(F.count_distinct("doc_id")).collect()[0][0] or 0
+    n_docs = sizes.count()
     bc = F.broadcast if n_docs <= 2_000_000 else (lambda df: df)
     arr_a = arrs.select(F.col("doc_id").alias("doc_a"),
                         F.col("toks").alias("toks_a"))
