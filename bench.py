@@ -161,16 +161,41 @@ def _emit(out: dict, times: dict[str, float], only: set) -> int:
         with open(artifact, "w") as f:
             f.write(line + "\n")
     print(line)
-    # the driver's tail capture is ~2 KB; the full line above is ~4 KB, so
-    # BENCH_r02/r03 recorded parsed:null. Print a short (<200 char) summary
-    # LAST so the captured tail always ends with a parseable JSON line; the
-    # full per-query breakdown lives in BENCH_LOCAL.json.
+    # r13 (VERDICT r12 item 2): the driver's ~2 KB stdout tail cannot
+    # hold the full 181-query dict in ONE line (the names alone are
+    # ~3.5 KB), so per-query timings additionally stream as CHUNKED,
+    # individually-parseable JSON lines — each under 1.9 KB, each
+    # carrying "queries_part"/"part"/"of" — followed by the short
+    # summary line LAST (so the captured tail always ends with a
+    # parseable line, exactly as before). A consumer with the full
+    # stdout can reassemble the complete per-query dict by merging the
+    # queries_part dicts; a 2 KB-tail consumer still gets the summary
+    # plus the final chunk(s).
+    chunks: list[dict] = []
+    cur: dict[str, float] = {}
+    budget = 1800  # bytes of payload per chunk line, < the 2 KB tail
+    used = 0
+    for name, sec in times.items():
+        ent = len(name) + 12
+        if cur and used + ent > budget:
+            chunks.append(cur)
+            cur, used = {}, 0
+        cur[name] = sec
+        used += ent
+    if cur:
+        chunks.append(cur)
+    for i, ch in enumerate(chunks):
+        print(json.dumps({
+            "metric": out["metric"], "part": i + 1, "of": len(chunks),
+            "queries_part": ch,
+        }, separators=(",", ":")))
     summary = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
         "sf": out["sf"],
         "n_queries": len(times),
+        "parts": len(chunks),
         "detail": "BENCH_LOCAL.json",
     }
     print(json.dumps(summary))

@@ -136,7 +136,9 @@ def train_logreg(
     # Above the cap the distributed loop below is untouched.
     cap = int(os.environ.get("SPARK_GRAFT_LOGREG_DRIVER_ROWS", 2_000_000))
     if feats.count() <= cap:
-        return _train_logreg_driver(feats, labels, rounds, lr, n_docs)
+        got = _train_logreg_driver(feats, labels, rounds, lr, n_docs)
+        if got is not None:
+            return got
     labels = labels.localCheckpoint(eager=True)
     w: dict[int, float] = {}
     for _ in range(rounds):
@@ -185,7 +187,16 @@ def _r9_int_exact(v: float) -> int:
     the same decimal value — rounded HALF_UP at 9 dp (both halves
     round away from zero for negatives). Returning the integer keeps
     the subsequent DECIMAL(20,10) sum exact and order-independent,
-    exactly like the distributed aggregate."""
+    exactly like the distributed aggregate.
+
+    JVM assumption (ADVICE r12): ``repr(v) == Double.toString(v)``
+    holds on JDK >= 19 (JDK-4511638 made Double.toString emit the
+    shortest decimal); older JDKs can emit a longer non-shortest
+    decimal whose 9-dp HALF_UP could differ within an ulp of a .5
+    boundary. This repo pins Spark 4.x (requires JDK 17+; deploy on
+    19+), and the bit-exactness tests compare against the local JVM,
+    so a violating JDK fails tests/test_classifier.py rather than
+    silently diverging."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return int(Decimal(repr(v)).quantize(Decimal("1E-9"), ROUND_HALF_UP).scaleb(9))
@@ -211,6 +222,21 @@ def _r9_int(v: float) -> int:
     return r
 
 
+def _sigmoid(s: float) -> float:
+    """The distributed loop's ``1.0 / (1.0 + exp(-s))`` with the JVM's
+    overflow semantics: ``F.exp`` of a huge argument returns +Infinity
+    and the quotient is exactly 0.0, while CPython's ``math.exp``
+    raises OverflowError past ~709.78 — map the overflow to the same
+    1/(1+inf) = 0.0 the Spark path computes (ADVICE r12; pinned by
+    tests/test_classifier.py::test_driver_sigmoid_extreme_scores)."""
+    import math
+
+    try:
+        return 1.0 / (1.0 + math.exp(-s))
+    except OverflowError:
+        return 0.0
+
+
 def _round9(v: float) -> float:
     """Spark's ``round(double, 9)`` (HALF_UP on the shortest decimal
     representation), back to double."""
@@ -219,9 +245,12 @@ def _round9(v: float) -> float:
 
 def _train_logreg_driver(
     feats: DataFrame, labels: DataFrame, rounds: int, lr: float, n_docs: int
-) -> dict[int, float]:
+) -> dict[int, float] | None:
     """Driver-resident GD over the collected feature rows — the exact
-    per-op replica of the distributed loop in :func:`train_logreg`:
+    per-op replica of the distributed loop in :func:`train_logreg`
+    (returns None — caller falls back to the distributed loop — on
+    duplicate label rows or null keys, which the dict factorization
+    below cannot replicate):
 
     - ``round(x * coalesce(w, 0), 9)`` -> :func:`_r9_int` of the same
       IEEE double product;
@@ -236,8 +265,6 @@ def _train_logreg_driver(
       hash-matches), and the weight update line is literally the one
       the distributed path runs on the driver.
     """
-    import math
-
     import numpy as np
 
     # Arrow collect (toPandas), not Row collect: the feature relation
@@ -245,6 +272,20 @@ def _train_logreg_driver(
     # costs ~1.5 s/M rows where Arrow batches cost ~0.1 s
     fpdf = feats.select("doc_id", "h", "x").toPandas()
     lpdf = labels.select("doc_id", "y").toPandas()
+    # fall back to the distributed loop (return None) on inputs this
+    # replica's dict factorization cannot reproduce bit-for-bit
+    # (ADVICE r12): duplicate label rows per doc_id (the joins count
+    # them with multiplicity; y_by_doc/doc_idx would keep one), and
+    # null keys (pandas coerces nullable int64 to float64, and dict
+    # keys would treat NaN as an ordinary node where the equi-joins
+    # never match null).
+    if (
+        lpdf["doc_id"].duplicated().any()
+        or lpdf["doc_id"].isna().any()
+        or fpdf["doc_id"].isna().any()
+        or fpdf["h"].isna().any()
+    ):
+        return None
     docs = lpdf["doc_id"].tolist()
     y_by_doc = dict(zip(docs, lpdf["y"].tolist()))
     # factorized indices: di over LABELED docs (rows of unlabeled docs
@@ -301,7 +342,7 @@ def _train_logreg_driver(
         # ulp from the libm the JVM/DuckDB agreement rides on)
         p_arr = np.asarray(
             [
-                _round9(1.0 / (1.0 + math.exp(-(int(si) / 10 ** 9))))
+                _round9(_sigmoid(int(si) / 10 ** 9))
                 for si in s_int[: len(docs)]
             ],
             dtype=np.float64,

@@ -62,6 +62,12 @@ def _dup_clusters_driver(
     ).limit(cap + 1).toPandas()
     if len(pdf) > cap:
         return None
+    # null endpoints: the distributed loop's equi-joins never match a
+    # null key, while the union-find would index None/NaN as a node
+    # (and pandas null coercion turns integer ids into floats) — fall
+    # back to the loop, whose join semantics are the contract.
+    if pdf["u"].isna().any() or pdf["v"].isna().any():
+        return None
     parent: dict = {}
 
     def find(x):

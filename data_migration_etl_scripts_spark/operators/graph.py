@@ -314,6 +314,13 @@ def _pagerank_driver_resident(
     pdf = flagged_plan.limit(cap + 1).toPandas()
     if len(pdf) > cap:
         return None
+    # null endpoints (ADVICE r12): the Spark paths' equi-joins never
+    # match a null key, while a dict-keyed replica would treat
+    # None/NaN as an ordinary node (and pandas coerces nullable int
+    # ids to float) — fall back to the distributed plan, whose join
+    # semantics are the contract.
+    if pdf["node"].isna().any():
+        return None
     if len(pdf) == 0:
         return local_df(spark, [], f"node {node_type}, rank double")
     nodes = pdf["node"].tolist()
@@ -400,6 +407,14 @@ def _pagerank_numpy(
 
     from data_migration_etl_scripts_spark.localdata import local_df
 
+    # null endpoints (ADVICE r12): the distributed plans' equi-joins
+    # never match null keys (a null-src node is dangling, its edges
+    # contribute nothing), while this index treats None/NaN as an
+    # ordinary node with out-degree > 0 — and pandas null coercion
+    # turns integer ids into floats. Fall back to the distributed
+    # plans, whose join semantics are the contract.
+    if gpdf["src"].isna().any() or gpdf["dst"].isna().any():
+        return None
     src_list = gpdf["src"].tolist()
     dst_list = gpdf["dst"].tolist()
     m = gpdf["m"].to_numpy(dtype=np.int64)

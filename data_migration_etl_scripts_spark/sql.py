@@ -1052,6 +1052,8 @@ def _exec_recursive_top(spark: SparkSession, sql: str):
             acc = acc.toDF(*cols)
         acc = acc.distinct().localCheckpoint()
         frontier = acc
+        _fanin = 1
+        _COLLAPSE = 32
         for _i in range(1000):
             frontier.createOrReplaceTempView(name)
             step_df = spark.sql(step)
@@ -1076,6 +1078,18 @@ def _exec_recursive_top(spark: SparkSession, sql: str):
             if int(obs.get["n"]) == 0:
                 break
             acc = acc.unionAll(new)
+            _fanin += 1
+            # ADVICE r12: an unbounded unionAll chain makes each
+            # round's subtract(acc) re-analyze a plan with O(round)
+            # union leaves (O(rounds^2) driver planning, and a
+            # 1000-deep Union tree risks Catalyst stack overflow).
+            # Collapse the accumulator every _COLLAPSE rounds: one
+            # bounded checkpoint job per collapse keeps the union
+            # fan-in <= _COLLAPSE while the common shallow case pays
+            # nothing extra.
+            if _fanin >= _COLLAPSE:
+                acc = acc.localCheckpoint()
+                _fanin = 1
             frontier = new
         else:
             raise ValueError(

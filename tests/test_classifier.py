@@ -129,3 +129,47 @@ def test_empty_weights_score_half(spark):
     feats = clf.hashed_features(docs, "doc_id", "text", n_buckets=32)
     got = clf.predict(feats, {}, labels).collect()[0]
     assert got.p == 0.5
+
+
+def test_driver_sigmoid_extreme_scores(spark, monkeypatch):
+    """ADVICE r12 (medium): scores past the math.exp overflow bound
+    (|s| > ~709.78) crashed the driver GD path with OverflowError
+    while the distributed loop's F.exp returns +Infinity and yields
+    p = 0.0 exactly. The guarded sigmoid must make both paths agree
+    bit for bit on an extreme-score input."""
+    # 100 feature rows of x=100 on one doc: after round 1 each carries
+    # c = x*w = -1250 (well inside DECIMAL(20,10)), but the per-doc
+    # sum s = -125000 is far past math.exp's ~709.78 overflow bound
+    feats = spark.createDataFrame(
+        [(1, h, 100.0) for h in range(100)] + [(2, 500, 1.0)],
+        "doc_id long, h long, x double",
+    )
+    labels = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, y int")
+    monkeypatch.setenv("SPARK_GRAFT_LOGREG_DRIVER_ROWS", "1000000")
+    w_driver = clf.train_logreg(feats, labels, rounds=3, lr=0.5)
+    monkeypatch.setenv("SPARK_GRAFT_LOGREG_DRIVER_ROWS", "0")
+    w_spark = clf.train_logreg(feats, labels, rounds=3, lr=0.5)
+    assert w_driver == w_spark
+    # the helper itself: overflow maps to the JVM's 1/(1+inf) = 0.0
+    assert clf._sigmoid(-1000.0) == 0.0
+    assert clf._sigmoid(-709.0) > 0.0
+    assert clf._sigmoid(1000.0) == 1.0
+
+
+def test_duplicate_label_rows_fall_back_to_distributed(spark, monkeypatch):
+    """ADVICE r12 (low): duplicate label rows count with multiplicity
+    in the distributed joins; the driver replica's dict factorization
+    cannot reproduce that, so it must defer to the distributed loop —
+    forced-driver-cap and forced-distributed results must agree."""
+    feats = spark.createDataFrame(
+        [(1, 0, 2.0), (1, 256, 1.0), (2, 1, 1.0), (2, 256, 1.0)],
+        "doc_id long, h long, x double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 0)], "doc_id long, y int"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LOGREG_DRIVER_ROWS", "1000000")
+    w_guarded = clf.train_logreg(feats, labels, rounds=3, lr=0.5)
+    monkeypatch.setenv("SPARK_GRAFT_LOGREG_DRIVER_ROWS", "0")
+    w_spark = clf.train_logreg(feats, labels, rounds=3, lr=0.5)
+    assert w_guarded == w_spark

@@ -393,3 +393,18 @@ def test_compression_signal_discriminates(spark):
         assert rows[d].n_compressed == comp
         assert rows[d].bits_per_byte == round(8.0 * comp / len(raw), 6)
     assert (rows[4].n_bytes, rows[4].bits_per_byte) == (0, 0.0)
+
+
+def test_dup_clusters_null_endpoints_fall_back(spark):
+    """Null pair endpoints: the union-find driver path must defer to
+    the distributed propagation loop (whose equi-joins never match a
+    null key) instead of indexing None/NaN as a node — default path
+    equals the forced-distributed answer."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, None), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = sorted(map(tuple, cu.dup_clusters(pairs).collect()))
+    forced = sorted(
+        map(tuple, cu.dup_clusters(pairs, driver_edges_max=0).collect())
+    )
+    assert got == forced

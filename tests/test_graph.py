@@ -234,3 +234,18 @@ def test_initial_dangling_mass_matches_spark_aggregate(spark):
         )
         got = _initial_dangling_mass(n, n_dang)
         assert got == expected, (n, n_dang, got, expected)
+
+
+def test_null_endpoints_fall_back_and_agree(spark):
+    """ADVICE r12 (low): a null endpoint must not be indexed as an
+    ordinary node by the driver-resident paths (the Spark equi-joins
+    never match null keys) — both collapse to the distributed plan,
+    so the default path must equal the forced-distributed answer."""
+    edges = [("a", "b"), (None, "b"), ("b", None), ("b", "c"),
+             ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=3).collect()}
+    big = {r.node: r.rank
+           for r in pagerank(df, iterations=3,
+                             broadcast_nodes_max=0).collect()}
+    assert got == big

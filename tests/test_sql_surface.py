@@ -401,3 +401,22 @@ def test_sql_view_scan_still_prunes_and_pushes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "o_orderkey" in plan
+
+
+def test_recursive_cte_deep_chain_collapses_accumulator(spark):
+    """ADVICE r12 (low): a recursion deeper than the accumulator
+    collapse interval (32 rounds) must still produce the full
+    closure — the periodic acc re-checkpoint bounds union fan-in
+    without changing results."""
+    rows = ", ".join(f"({i}, {i + 1})" for i in range(40))
+    sql = f"""
+        WITH RECURSIVE r(node) AS (
+            SELECT 0 AS node
+            UNION
+            SELECT e.dst FROM (VALUES {rows}) AS e(src, dst)
+            JOIN r ON e.src = r.node
+        )
+        SELECT count(*) AS n, max(node) AS deepest FROM r
+    """
+    got = esql.run_sql(spark, SF_DIR, sql, dialect="duckdb").collect()[0]
+    assert (got["n"], got["deepest"]) == (41, 40)
