@@ -432,16 +432,27 @@ def ppjoin_pairs(
         tp.tokens(text_col) if shingle_n <= 1
         else tp.word_shingles(tp.tokens(text_col), n=shingle_n)
     )
+    from pyspark.sql import Observation
+
+    # the broadcast-bound doc count rides the checkpoint action as an
+    # observed metric (r13, guide §1.2): the former ``sizes.count()``
+    # was a whole extra serial job (tok scan + aggregate) just to pick
+    # a join hint. approx_count_distinct is enough for a plan-shape
+    # gate (observe() rejects exact DISTINCT aggregates); the result
+    # set is hint-independent.
+    _ndobs = Observation(f"ppjoin_ndocs_{id(df)}")
     tok = (
         df.select(
             F.col(id_col).alias("doc_id"), F.explode(feat).alias("tok")
         )
         .distinct()
+        .observe(_ndobs, F.approx_count_distinct("doc_id").alias("nd"))
         # five downstream consumers (freq, ordering, sizes, both
         # verification sides) would each re-run the tokenize+explode+
         # distinct subtree: materialize the feature relation once
         .localCheckpoint(eager=True)
     )
+    n_docs = int(_ndobs.get["nd"])
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     # per-doc size via the sizes aggregate + broadcast join-back — a
     # COUNT window over the doc partition was tried (one less shuffle
@@ -457,16 +468,16 @@ def ppjoin_pairs(
         ).alias("pos"),
         "n",
     )
-    # prefix stays LAZY: its three consumers (pre-flight estimate,
-    # both candidate sides) recompute the freq join + window from the
-    # tok checkpoint, which measures CHEAPER here than an extra eager
-    # materialization job — at sf0.1 the window pass is ~0.3 s while
-    # every serial checkpoint job adds fixed latency (and stall
-    # exposure); at larger inputs the tok checkpoint bounds the
-    # recompute to one in-memory scan per consumer.
+    # prefix is a LAZY localCheckpoint (r13): no extra serial
+    # materialization job — the checkpoint rides the pre-flight
+    # estimate collect (the first action over the plan), so the freq
+    # join + sizes join + ordering window run ONCE per call instead of
+    # once in the estimate job and again in the candidate join (an
+    # EAGER checkpoint here was measured SLOWER in r12 — it added a
+    # serial job; riding the estimate adds none).
     prefix = with_n.where(
         F.col("pos") <= F.col("n") - ceil_tn(F.col("n")) + 1
-    ).select("doc_id", "tok", "n", "pos")
+    ).select("doc_id", "tok", "n", "pos").localCheckpoint(eager=False)
     if warn_candidates is not None or max_candidates is not None:
         est = ppjoin_candidate_estimate(prefix)
         knobs = (
@@ -536,11 +547,10 @@ def ppjoin_pairs(
     # is two shuffles of the CANDIDATE set, never an explode.
     # n rides the candidate set, so the verification no longer
     # re-attaches sizes (two joins gone); the broadcast-bound doc
-    # count reuses the sizes aggregate.
+    # count rode the tok checkpoint as an observed metric above.
     arrs = tok.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks")
     )
-    n_docs = sizes.count()
     bc = F.broadcast if n_docs <= 2_000_000 else (lambda df: df)
     arr_a = arrs.select(F.col("doc_id").alias("doc_a"),
                         F.col("toks").alias("toks_a"))

@@ -128,7 +128,19 @@ def pagerank(
     pair_cap = int(os.environ.get(
         "SPARK_GRAFT_PAGERANK_DRIVER_EDGES", 4_000_000
     ))
-    if broadcast_nodes_max > 0 and pair_cap > 0:
+    # probe gate (r13, VERDICT r12 item 5): the pair aggregate +
+    # bounded collect below IS the work when the graph is small, but
+    # pure overhead prepended to the distributed plan when it is not.
+    # Gate it on the plan's LEAF scan bytes (driver-side statistics,
+    # no job): above the ceiling the edge relation cannot plausibly
+    # aggregate into a driver-sized pair table, so skip straight to
+    # the distributed plans.
+    from data_migration_etl_scripts_spark.plansize import probe_allowed
+
+    may_probe = probe_allowed(
+        sel, "SPARK_GRAFT_PAGERANK_PROBE_MAX_BYTES", 1 << 30
+    )
+    if broadcast_nodes_max > 0 and pair_cap > 0 and may_probe:
         gdf = sel.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("m"))
         gpdf = gdf.limit(pair_cap + 1).toPandas()
         if len(gpdf) <= pair_cap:
@@ -158,13 +170,13 @@ def pagerank(
         .distinct()
         .join(out_deg.withColumnRenamed("src", "node"), "node", "left")
     )
-    if broadcast_nodes_max > 0:
-        got = _pagerank_driver_resident(
-            e, flagged_plan, broadcast_nodes_max, iterations, damping, tol
-        )
-        if got is not None:
-            return got
-    # ---------------- big-graph path (r11 partitioned-edge plan) ----
+    # Materialize the flagged node relation ONCE (r13, VERDICT r12
+    # item 5): the node and dangling counts ride the checkpoint as
+    # observed metrics, and BOTH the driver-resident path (bounded
+    # toPandas of the checkpoint, taken only when n is already known
+    # to fit) and the partitioned-edge plan consume the same
+    # materialized relation — the former over-cap probe (a separate
+    # full distinct+join pass before falling through) is gone.
     from pyspark.sql import Observation
 
     fobs = Observation(f"pagerank_nodes_{id(e)}")
@@ -176,6 +188,14 @@ def pagerank(
     n = int(fobs.get["n"])
     if n == 0:
         return flagged.select("node").withColumn("rank", F.lit(0.0))
+    n_dang = int(fobs.get["n_dang"])
+    if broadcast_nodes_max > 0 and n <= broadcast_nodes_max:
+        got = _pagerank_driver_resident(
+            e, flagged, n, n_dang, iterations, damping, tol
+        )
+        if got is not None:
+            return got
+    # ---------------- big-graph path (r11 partitioned-edge plan) ----
     # PERSIST, not localCheckpoint (r11): a checkpointed RDD scan
     # reports UnknownPartitioning, so every iteration would
     # re-exchange AND re-sort the FULL edge relation for the contrib
@@ -203,7 +223,7 @@ def pagerank(
     # plain literal. The INITIAL mass is n_dang copies of the same
     # quantized 1/n, computed driver-side (bit-identical to the
     # DECIMAL aggregate -- see _initial_dangling_mass).
-    dangm = _initial_dangling_mass(n, int(fobs.get["n_dang"]))
+    dangm = _initial_dangling_mass(n, n_dang)
     for it in range(iterations):
         contrib = (
             e_out.join(
@@ -278,8 +298,9 @@ def _k9(x: float) -> int:
 
 def _pagerank_driver_resident(
     e: DataFrame,
-    flagged_plan: DataFrame,
-    cap: int,
+    flagged: DataFrame,
+    n: int,
+    n_dang: int,
     iterations: int,
     damping: float,
     tol: float | None,
@@ -292,8 +313,12 @@ def _pagerank_driver_resident(
     aggregation by dst, and a node-sized collect. No edge shuffle, no
     sort, no edge re-cache, no per-round checkpoint.
 
-    Returns None when the graph exceeds ``cap`` nodes (the caller
-    falls through to the partitioned-edge plan).
+    ``flagged`` is the caller's MATERIALIZED (node, out) checkpoint
+    with n <= the broadcast cap already known from its observed
+    metrics (r13) -- the collect below is a bounded scan of the
+    checkpoint, not a probe. Returns None only on null node ids (the
+    caller falls through to the partitioned-edge plan, whose
+    equi-join semantics are the contract).
 
     BIT-IDENTICAL to the Spark-side loop (pinned by
     test_paths_agree_bit_exactly): the per-edge contribution
@@ -310,10 +335,8 @@ def _pagerank_driver_resident(
     from data_migration_etl_scripts_spark.localdata import local_df
 
     spark = e.sparkSession
-    node_type = flagged_plan.schema["node"].dataType.simpleString()
-    pdf = flagged_plan.limit(cap + 1).toPandas()
-    if len(pdf) > cap:
-        return None
+    node_type = flagged.schema["node"].dataType.simpleString()
+    pdf = flagged.select("node", "out").toPandas()
     # null endpoints (ADVICE r12): the Spark paths' equi-joins never
     # match a null key, while a dict-keyed replica would treat
     # None/NaN as an ordinary node (and pandas coerces nullable int
@@ -326,11 +349,10 @@ def _pagerank_driver_resident(
     nodes = pdf["node"].tolist()
     outs = [None if pd.isna(o) else int(o) for o in pdf["out"].tolist()]
     out = dict(zip(nodes, outs))
-    n = len(nodes)
     nf = float(n)
     r0 = math.floor((1.0 / n) * 1e9 + 0.5) / 1e9
     rank = {v: r0 for v in nodes}
-    dangm = _initial_dangling_mass(n, sum(1 for o in outs if o is None))
+    dangm = _initial_dangling_mass(n, n_dang)
     plus = (1.0 - damping) / n
     for _it in range(iterations):
         c_rows = [

@@ -403,8 +403,10 @@ def test_dup_clusters_null_endpoints_fall_back(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, None), (4, 5)], "doc_a long, doc_b long"
     )
-    got = sorted(map(tuple, cu.dup_clusters(pairs).collect()))
-    forced = sorted(
+    from collections import Counter
+
+    got = Counter(map(tuple, cu.dup_clusters(pairs).collect()))
+    forced = Counter(
         map(tuple, cu.dup_clusters(pairs, driver_edges_max=0).collect())
     )
     assert got == forced
