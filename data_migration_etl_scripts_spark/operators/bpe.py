@@ -212,6 +212,79 @@ def apply_bpe(
     return out.withColumn("n_tokens", F.size("tokens"))
 
 
+def apply_bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int] | None = None,
+    lowercase: bool = True,
+    unk_id: int | None = None,
+) -> DataFrame:
+    """:func:`apply_bpe` -> :func:`encode_token_ids` fused into ONE
+    Arrow boundary (r13, guide §4): the chained form ships every
+    token array JVM -> Python -> JVM -> Python -> JVM (two
+    ArrowEvalPython nodes, the second depending on the first); here
+    tokenization, id lookup and int32-LE packing run in a single
+    pandas UDF so the arrays cross once. Output columns and values
+    are identical to the chained calls — (id, tokens, n_tokens, ids,
+    ids_bin) — pinned by tests/test_bpe.py::test_fused_matches_chain.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    if vocab is None:
+        vocab = build_vocab(merges)
+    unk = len(vocab) if unk_id is None else unk_id
+
+    @F.pandas_udf(
+        "struct<tokens: array<string>, ids: array<int>, ids_bin: binary>"
+    )
+    def tok_pack(texts):
+        import re
+        import struct as st
+
+        import pandas as pd
+
+        cache: dict[str, tuple[str, ...]] = {}
+        # ASCII \s to MATCH TRAINING — see apply_bpe
+        ws = re.compile(r"\s+", flags=re.ASCII)
+
+        def enc(text):
+            if text is None:
+                return []
+            toks: list[str] = []
+            t = text.lower() if lowercase else text
+            for w in ws.split(t):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    if len(cache) >= 1_000_000:
+                        cache.clear()
+                    got = cache[w] = encode_word(w, ranks)
+                toks.extend(got)
+            return toks
+
+        out_toks, out_ids, out_bin = [], [], []
+        for t in texts:
+            toks = enc(t)
+            ids = [vocab.get(x, unk) for x in toks]
+            out_toks.append(toks)
+            out_ids.append(ids)
+            out_bin.append(st.pack(f"<{len(ids)}i", *ids))
+        return pd.DataFrame(
+            {"tokens": out_toks, "ids": out_ids, "ids_bin": out_bin}
+        )
+
+    out = df.select(F.col(id_col), tok_pack(F.col(text_col)).alias("_tk"))
+    return out.select(
+        F.col(id_col),
+        F.col("_tk.tokens").alias("tokens"),
+        F.size("_tk.tokens").alias("n_tokens"),
+        F.col("_tk.ids").alias("ids"),
+        F.col("_tk.ids_bin").alias("ids_bin"),
+    )
+
+
 def build_vocab(
     merges: list[tuple[str, str]], base_chars: str | None = None
 ) -> dict[str, int]:

@@ -289,7 +289,16 @@ def ngram_jaccard_pairs(
     # faster than the hash-agg + broadcast-anti-join alternative, which
     # cannot share work between the hot-set agg and the join sides.
     sh = sh.withColumn("freq", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-    sh = sh.where(F.col("freq") <= max_shingle_freq).drop("freq")
+    # LAZY localCheckpoint (r13, guide §2.4): ReusedExchange shares
+    # only the exchange — the Window (sort + count) above it re-ran
+    # per consumer (both join sides AND the sizes aggregate; three
+    # ~4 s-CPU window passes in the cold profile). The lazy checkpoint
+    # adds NO serial job: it materializes inside the query's own
+    # action and every consumer reads the same blocks.
+    sh = (
+        sh.where(F.col("freq") <= max_shingle_freq).drop("freq")
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -424,8 +424,16 @@ def preagg_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 role-playing dim (nation twice) + S4 multi-join chain."""
-    li = _t(spark, sf_dir, "lineitem")
+    """J7 role-playing dim (nation twice) + S4 multi-join chain.
+
+    _tspread on the fact side (r13): the probe stage runs 5 broadcast
+    joins + a DECIMAL multiply per lineitem row — ~1 s of CPU in 3
+    tasks on the single-row-group test file. Unlike the 25-key
+    brand-revenue shape (spread reverted in r12: its probe is one
+    cheap join), the per-row work here clears the one extra exchange
+    (measured: exec 1.26 -> ~0.9 s warm; the map-side partial agg
+    still collapses to 25 pairs before the final exchange)."""
+    li = _tspread(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
@@ -2410,10 +2418,19 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     — common tokens, impossible adjacencies — scores low even though
     every token is in-vocab. Both model tables are
     TakeOrderedAndProject tops, broadcast; DECIMAL log-prob sums keep
-    the average order-independent. NOT _tspread — see
-    bigram_heldout_ppl (top-K driver merge scales with partitions)."""
+    the average order-independent.
+
+    r13 split (VERDICT r12 item 6): the SCORING side spreads (its
+    transition lattice + three broadcast joins + per-doc aggregate
+    parallelize, and the doc_id-keyed spread co-partitions the final
+    aggregate) while the MODEL tables build from the unspread read —
+    the top-K merges still see the data's natural narrow partitioning
+    (the 32-way spread on the tops was measured 2.3 -> 3.4-5.1 s in
+    r12 and stays reverted). Same counts, same scores — model_df just
+    separates the two sides."""
     return ctm.bigram_logprob(
-        _t(spark, sf_dir, "documents"), vocab_size=2048, bigram_size=8192
+        _tspread(spark, sf_dir, "documents"), vocab_size=2048,
+        bigram_size=8192, model_df=_t(spark, sf_dir, "documents"),
     )
 
 
@@ -2632,13 +2649,20 @@ def bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp(-avg_logprob) per doc. Fully hash-matched against the DuckDB
     twin with the same train/eval split.
 
-    Deliberately NOT _tspread: the vocab/bigram model tables are
-    global TakeOrderedAndProject tops (K up to 8192) whose driver
-    merge scales with partitions x K — measured 2.3 -> 3.4-5.1 s with
-    the 32-way spread on."""
+    r13 split (VERDICT r12 item 6): the EVAL side spreads (its
+    lattice + broadcast joins + per-doc aggregate parallelize on the
+    doc_id-keyed exchange) while the TRAIN side keeps the unspread
+    read — the vocab/bigram model tables are global
+    TakeOrderedAndProject tops (K up to 8192) whose merge scales with
+    partitions x K (measured 2.3 -> 3.4-5.1 s with the 32-way spread
+    on in r12; that revert stands for the model side)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     train = docs.where(F.col("doc_id") % 2 == 0)
-    ev = docs.where(F.col("doc_id") % 2 == 1)
+    ev = (
+        _tspread(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .where(F.col("doc_id") % 2 == 1)
+    )
     scored = ctm.bigram_logprob(
         ev, model_df=train, vocab_size=2048, bigram_size=8192
     )
@@ -3285,8 +3309,12 @@ def corpus_to_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = cu2.filter_by_quantile(scored, "quality", q=0.25)
     merges = bpe.train_bpe(kept, "text", num_merges=60, max_words=2000)
-    toks = bpe.apply_bpe(kept, "doc_id", "text", merges)
-    toks = bpe.encode_token_ids(toks, "tokens", bpe.build_vocab(merges))
+    # tokenize + id-pack as ONE Arrow boundary (r13, guide §4): the
+    # chained apply_bpe -> encode_token_ids shipped the token arrays
+    # across JVM<->Python twice (two dependent ArrowEvalPython nodes)
+    toks = bpe.apply_bpe_encode(
+        kept, "doc_id", "text", merges, bpe.build_vocab(merges)
+    )
     # materialize the tokenized corpus ONCE: the window + two member
     # projections would otherwise re-run the UDF chain (measured 2.3x);
     # at 100 TB this is "persist the tokenized corpus to parquet"

@@ -122,3 +122,31 @@ def test_token_ids_roundtrip_through_int32_binary(spark):
     # printable-ASCII base vocab
     assert "<unk>" in bpe.decode_token_ids(bytes(out[2].ids_bin), vocab)
     assert "<unk>" not in bpe.decode_token_ids(bytes(out[1].ids_bin), vocab)
+
+
+def test_fused_matches_chain(spark):
+    """apply_bpe_encode (one Arrow boundary) must reproduce the
+    chained apply_bpe -> encode_token_ids output exactly — columns,
+    values, packed bytes — including None and empty texts."""
+    from data_migration_etl_scripts_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, None), (3, ""),
+         (4, "the the the lowered LOWERED text")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(docs, "text", num_merges=20, max_words=100)
+    vocab = bpe.build_vocab(merges)
+    chained = bpe.encode_token_ids(
+        bpe.apply_bpe(docs, "doc_id", "text", merges), "tokens", vocab
+    )
+    fused = bpe.apply_bpe_encode(docs, "doc_id", "text", merges, vocab)
+    assert chained.columns == fused.columns
+    a = {r["doc_id"]: r for r in chained.collect()}
+    b = {r["doc_id"]: r for r in fused.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["tokens"] == b[k]["tokens"], k
+        assert a[k]["n_tokens"] == b[k]["n_tokens"], k
+        assert a[k]["ids"] == b[k]["ids"], k
+        assert bytes(a[k]["ids_bin"]) == bytes(b[k]["ids_bin"]), k
