@@ -842,6 +842,14 @@ def remove_duplicate_runs(
             "Map string ids to a surrogate BIGINT first."
         )
     w = window_tokens
+    # `based` (the tokenize) is recomputed by three branches (the wins
+    # checkpoint, all_toks, totals). A LAZY localCheckpoint of it was
+    # tried in r13 and REVERTED on measurement (guide §1 re-measure):
+    # bench median 1.88 -> 2.39 s — writing + re-reading the token
+    # array blocks costs more than re-running the map-side regex
+    # tokenize (CPU fell ~25% but wall rose; contrast ngram_jaccard,
+    # where the same trick wins because it dedups a sort+window pass,
+    # not a cheap map-side one).
     based = df.select(
         F.col(id_col).alias("doc_id"), tp.tokens(text_col).alias("toks")
     )
