@@ -38,30 +38,24 @@ from pyspark.sql import Window
 _CC_DRIVER_EDGES_DEFAULT = 2_000_000
 
 
-def _dup_clusters_driver(
-    pairs: DataFrame, src: str, dst: str, cap: int
-) -> DataFrame | None:
+def _dup_clusters_driver(uv: DataFrame) -> DataFrame | None:
     """Small-graph path (r12, the pagerank/Lloyd's pattern): collect
-    up to ``cap`` (u, v) pairs and label components with a driver-side
-    union-find. Returns None when the pair list exceeds ``cap`` (the
-    caller falls through to the distributed loop).
+    the (u, v) pairs — the caller already knows the count fits the
+    driver cap from the checkpoint's observed metric (r13) — and
+    label components with a driver-side union-find.
 
     Exactness: cluster_id = min node id of the connected component —
     the propagation loop's fixpoint — computed here with pure integer
     min over union-find components, so results are identical (and the
     recursive-CTE oracle computes exactly the same closure). Raw
     pairs are collected (no symmetric union / distinct needed:
-    duplicates don't change connectivity), so the one Spark job is a
-    bounded-collect of the candidate-pair relation itself."""
+    duplicates don't change connectivity); the collect is a bounded
+    scan of the caller's materialized pair checkpoint."""
     from data_migration_etl_scripts_spark.localdata import local_df
 
-    spark = pairs.sparkSession
-    node_type = pairs.schema[src].dataType.simpleString()
-    pdf = pairs.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).limit(cap + 1).toPandas()
-    if len(pdf) > cap:
-        return None
+    spark = uv.sparkSession
+    node_type = uv.schema["u"].dataType.simpleString()
+    pdf = uv.toPandas()
     # null endpoints: the distributed loop's equi-joins never match a
     # null key, while the union-find would index None/NaN as a node
     # (and pandas null coercion turns integer ids into floats) — fall
@@ -105,10 +99,12 @@ def dup_clusters(
     """Duplicate pairs -> (doc_id, cluster_id) connected components.
 
     ``cluster_id`` is the minimum doc id of the component (canonical
-    representative: keep that doc, drop the rest). Below
-    ``driver_edges_max`` pairs (env default, see
-    ``_CC_DRIVER_EDGES_DEFAULT``) the components are labeled by a
-    driver-side union-find in ONE Spark job; above it, hash-min label
+    representative: keep that doc, drop the rest). The pair list is
+    materialized once (checkpoint; its row count rides the action as
+    an observed metric). Below ``driver_edges_max`` pairs (env
+    default, see ``_CC_DRIVER_EDGES_DEFAULT``) the components are
+    labeled by a driver-side union-find over the bounded collect of
+    that checkpoint; above it, hash-min label
     propagation: every node repeatedly takes the min label among
     itself and its neighbors; fixpoint = components labeled. (On a
     component whose diameter exceeds ``max_iter`` rounds the big path
@@ -121,23 +117,30 @@ def dup_clusters(
         driver_edges_max = int(os.environ.get(
             "SPARK_GRAFT_CC_DRIVER_EDGES", _CC_DRIVER_EDGES_DEFAULT
         ))
-    # probe gate (r13, VERDICT r12 item 5): the bounded collect below
-    # IS the work when the pair list is small, but above the cap it
-    # still runs every upstream shuffle before discovering the
-    # overflow. Gate on the plan's LEAF scan bytes (driver-side
-    # statistics, no job) — a pair relation whose inputs exceed the
-    # ceiling cannot plausibly fit the driver cap.
-    from data_migration_etl_scripts_spark.plansize import probe_allowed
+    # Materialize the pair list ONCE with its row count riding the
+    # checkpoint as an observed metric (r13, VERDICT r12 item 5 — the
+    # pagerank flagged-relation pattern): below the cap the union-find
+    # collect is a bounded scan of the checkpoint; above it the
+    # distributed loop's symmetric union reads the SAME blocks instead
+    # of recomputing the candidate-pair plan for both union sides.
+    # No probe pass is ever wasted at any scale, and no size heuristic
+    # is needed (leaf statistics were tried and REVERTED: a
+    # localCheckpoint leaf inherits its origin JOIN's multiplied
+    # estimate — a 27 MB sf0.1 pair plan reported 717 GB and the
+    # driver path was wrongly skipped, dedup_semantic 0.3 -> 3.9 s).
+    from pyspark.sql import Observation
 
-    if driver_edges_max > 0 and probe_allowed(
-        pairs, "SPARK_GRAFT_CC_PROBE_MAX_BYTES", 1 << 30
-    ):
-        got = _dup_clusters_driver(pairs, src, dst, driver_edges_max)
+    uv = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    _obs = Observation(f"cc_pairs_{id(pairs)}")
+    uv = uv.observe(
+        _obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    if driver_edges_max > 0 and int(_obs.get["n"]) <= driver_edges_max:
+        got = _dup_clusters_driver(uv)
         if got is not None:
             return got
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
-        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        uv.unionByName(uv.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint()
     )

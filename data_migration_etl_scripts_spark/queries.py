@@ -3187,7 +3187,15 @@ def sample_by_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_etl_scripts_spark.operators import curation as cu3
 
     docs = _tspread(spark, sf_dir, "documents")
-    scored = ctm2.unigram_logprob(docs, "doc_id", "text")
+    # LAZY localCheckpoint (r13, guide §2.4): the scoring relation is
+    # consumed by the quartile-threshold aggregate (a broadcast
+    # subquery) AND the bucketing pass — without it the tokenize +
+    # explode + vocab joins ran once per consumer. No extra serial
+    # job: the checkpoint materializes inside the threshold broadcast
+    # build and the main pass reads the same blocks.
+    scored = ctm2.unigram_logprob(docs, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
     thr = scored.agg(
         F.expr("percentile(avg_logprob, 0.25)").alias("p25"),
         F.expr("percentile(avg_logprob, 0.75)").alias("p75"),
