@@ -450,6 +450,11 @@ def ppjoin_pairs(
     # gate (observe() rejects exact DISTINCT aggregates); the result
     # set is hint-independent.
     _ndobs = Observation(f"ppjoin_ndocs_{id(df)}")
+    # when a pre-flight estimate will run, the tok checkpoint is LAZY
+    # and materializes inside the estimate job (one serial job instead
+    # of two — the observed metric arrives with that same action);
+    # without a pre-flight it stays eager so the metric is available.
+    preflight = warn_candidates is not None or max_candidates is not None
     tok = (
         df.select(
             F.col(id_col).alias("doc_id"), F.explode(feat).alias("tok")
@@ -459,9 +464,8 @@ def ppjoin_pairs(
         # five downstream consumers (freq, ordering, sizes, both
         # verification sides) would each re-run the tokenize+explode+
         # distinct subtree: materialize the feature relation once
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=not preflight)
     )
-    n_docs = int(_ndobs.get["nd"])
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     # per-doc size via the sizes aggregate + broadcast join-back — a
     # COUNT window over the doc partition was tried (one less shuffle
@@ -487,7 +491,7 @@ def ppjoin_pairs(
     prefix = with_n.where(
         F.col("pos") <= F.col("n") - ceil_tn(F.col("n")) + 1
     ).select("doc_id", "tok", "n", "pos").localCheckpoint(eager=False)
-    if warn_candidates is not None or max_candidates is not None:
+    if preflight:
         est = ppjoin_candidate_estimate(prefix)
         knobs = (
             f"estimated ~{est:,} raw candidate pairs at threshold="
@@ -539,7 +543,21 @@ def ppjoin_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
             F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
         )
-        .distinct()
+        # dedup on an EXPLICIT hash repartition by the pair key (r13):
+        # the candidate exchange is byte-light but the verification
+        # above it is CPU-dense (an array intersection per pair), and
+        # AQE's size-based coalescing collapsed the tiny exchange to
+        # ONE task (~2 s serial at sf0.1). An explicit partition count
+        # opts out of coalescing; (doc_a, doc_b) hash-partitioning
+        # satisfies the 4-column dedup's clustering (n is functionally
+        # dependent on doc_id), so this is still a single exchange —
+        # deterministic keys, retry-safe, per-task state bounded (the
+        # token arrays attach AFTER via broadcast join).
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            "doc_a", "doc_b",
+        )
+        .dropDuplicates(["doc_a", "doc_b", "na", "nb"])
     )
     # VERIFICATION as map-side array intersection, not an explode:
     # joining candidates back to the (doc, tok) relation materializes
@@ -560,6 +578,10 @@ def ppjoin_pairs(
     arrs = tok.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks")
     )
+    # the approx doc count's observed metric is available here: either
+    # the eager checkpoint (no pre-flight) or the estimate job (which
+    # materialized the lazy checkpoint) has already run the plan
+    n_docs = int(_ndobs.get["nd"])
     bc = F.broadcast if n_docs <= 2_000_000 else (lambda df: df)
     arr_a = arrs.select(F.col("doc_id").alias("doc_a"),
                         F.col("toks").alias("toks_a"))

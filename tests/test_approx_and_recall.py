@@ -477,3 +477,28 @@ def test_ppjoin_estimate_calibration_non_degenerate(spark):
     assert distinct_cand > 0
     ratio = est / distinct_cand
     assert 2.0 <= ratio <= 10.0, (est, distinct_cand, ratio)
+
+
+def test_ppjoin_no_preflight_matches_default(spark):
+    """r13: with warn_candidates=None and max_candidates=None no
+    pre-flight estimate job runs — the tok checkpoint must stay EAGER
+    so the observed doc-count metric is still available (a lazy
+    checkpoint with no estimate action would deadlock obs.get), and
+    the pair set must match the default pre-flight path exactly."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(12)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, dd.ppjoin_pairs(
+            docs, "doc_id", "text", threshold=0.6,
+            warn_candidates=None, max_candidates=None,
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, dd.ppjoin_pairs(
+            docs, "doc_id", "text", threshold=0.6,
+        ).collect())
+    )
+    assert got == want and len(want) > 0
