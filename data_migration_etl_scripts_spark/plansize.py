@@ -1,15 +1,22 @@
 """Driver-side input-size evidence for two-path operators (r13).
 
-The driver-resident small paths (pagerank numpy fixpoint, union-find
-components, driver GD) must decide whether to even PROBE for the small
-regime. A probe that collects/aggregates the relation is the work
-itself below the cap, but pure overhead prepended to the distributed
-plan above it (VERDICT r12 item 5). Catalyst's optimizedPlan-level
-``sizeInBytes`` is useless for the decision — join estimates multiply
-(a 27 MB two-table join at sf0.1 estimates 2.2 TB) — but the LEAF
-scan sizes are the honest "bytes this plan must read" signal: parquet
-scans report real file sizes, LocalRelations their actual byte size,
-and (Spark 4) localCheckpoint LogicalRDDs carry their origin stats.
+The driver-resident small paths must decide whether to even PROBE for
+the small regime. A probe that collects/aggregates the relation is
+the work itself below the cap, but pure overhead prepended to the
+distributed plan above it (VERDICT r12 item 5). Catalyst's
+optimizedPlan-level ``sizeInBytes`` is useless for the decision —
+join estimates multiply (a 27 MB two-table join at sf0.1 estimates
+2.2 TB) — but the LEAF scan sizes are the honest "bytes this plan
+must read" signal when the leaves ARE scans: parquet files report
+real sizes, LocalRelations their actual byte size.
+
+APPLICABILITY CAVEAT (measured): a localCheckpoint leaf (LogicalRDD)
+inherits its ORIGIN plan's statistics — if the origin was a join, the
+leaf carries the multiplied garbage (a ~27 MB sf0.1 pair plan
+reported 717 GB). Gate only relations whose plans sit directly on
+scans/local data (pagerank's query-path edge relations); operators
+whose inputs routinely arrive checkpointed (dup_clusters) use the
+observe-on-checkpoint count instead — see curation.dup_clusters.
 
 ``leaf_input_bytes`` is pure driver-side plan inspection: no job, no
 py4j beyond one plan walk.
